@@ -1,13 +1,370 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.TimeNano
+import graft.operators.TsOps
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.ql.Engine
+import graft.storage.Tables
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + the pipeline extensions), each with a DuckDB oracle where
+  * SQL can express it. Every query ends in a total-order `ORDER BY` mirrored
+  * in the oracle so result hashing is deterministic.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(spark, dir, name)
+
+  /** Epoch nanos of a UTC date/datetime literal (plan-time constant). */
+  private def ns(s: String): Long =
+    TimeNano.toNanos(TimeNano.parseNaive(s), java.time.ZoneOffset.UTC)
+
+  /** Exact decimal-backed sum rendered as double — bit-identical between
+    * Spark and DuckDB regardless of summation order. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def engine(spark: SparkSession, dir: String) = new Engine(spark, dir)
+
+  /** Truncate the ns `ts` column to µs resolution (×1000 scale kept) for
+    * oracle-facing outputs: DuckDB 1.0 reads parquet `timestamp[ns]` as µs
+    * TIMESTAMP, so the oracle can only see µs. Engine internals stay ns
+    * (ns fidelity is covered by the ScalaTest roundtrips). */
+  private def tsUs(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+
+  /** Flagship: dialect query end-to-end on sf0.001 (SURVEY §7.3). */
+  def entry(spark: SparkSession): DataFrame = {
+    val e = engine(spark, "/root/testdata/sf0.001")
+    e.frame(
+      "with cols = [eid, uid, etype, val, props], tz = +9 " +
+        "select eid, etype, val from events where ts in ('2024-01-05', '2024-01-20');")
+  }
+
+  // ---- reference-surface queries (dialect goes through parser+planner) ----
+
+  private val qlQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_scan_project" -> ((s, d) =>
+      t(s, d, "events").select("event_id", "value").orderBy("event_id")),
+    "ql_range" -> ((s, d) =>
+      tsUs(engine(s, d)
+        .frame("select * from events where ts in ('2024-01-10', '2024-01-12')"))
+        .orderBy("ts", "event_id")),
+    "ql_eq_day" -> ((s, d) =>
+      tsUs(engine(s, d)
+        .frame("select * from events where ts = '2024-01-15'"))
+        .orderBy("ts", "event_id")),
+    "ql_gt_delta" -> ((s, d) =>
+      tsUs(engine(s, d)
+        .frame("select * from events where ts > '2024-01-28' -12 hours"))
+        .orderBy("ts", "event_id")),
+    "ql_head_limit" -> ((s, d) =>
+      tsUs(engine(s, d)
+        .frame("select * from events where ts >=|50 '2024-01-10'"))
+        .orderBy("ts", "event_id")),
+    "ql_tail_limit" -> ((s, d) =>
+      tsUs(engine(s, d)
+        .frame("select * from events where ts <=|50 '2024-01-20'"))
+        .orderBy("ts", "event_id")),
+    "ql_tz_offset" -> ((s, d) =>
+      tsUs(engine(s, d)
+        .frame("with tz = +9 select * from events where ts in ('2024-01-10', '2024-01-11')"))
+        .orderBy("ts", "event_id")),
+    "ql_projection" -> ((s, d) =>
+      tsUs(engine(s, d)
+        .frame("with cols = [eid, uid, etype, val, props] " +
+          "select eid, val from events where ts in ('2024-01-10', +2 days)"))
+        .orderBy("ts", "eid")),
+    "meta_metrics" -> ((s, d) => Tables.metricsDf(s, d)),
+    "meta_describe_events" -> ((s, d) =>
+      Tables.describeDf(s, d, Some("events"))
+        .withColumn("from_ts", col("from_ts") - pmod(col("from_ts"), lit(1000L)))
+        .withColumn("end_ts", col("end_ts") - pmod(col("end_ts"), lit(1000L))))
+  )
+
+  private def qlOracles: Map[String, String] = {
+    def evSql(since: Long, until: Long, extra: String = ""): String =
+      s"SELECT epoch_ns(ts) AS ts, event_id, user_id, event_type, value, props " +
+        s"FROM events WHERE epoch_ns(ts) >= $since AND epoch_ns(ts) < $until " +
+        s"$extra ORDER BY ts, event_id"
+    Map(
+      "ts_scan_project" ->
+        "SELECT event_id, value FROM events ORDER BY event_id",
+      "ql_range" -> evSql(ns("2024-01-10"), ns("2024-01-12")),
+      "ql_eq_day" -> evSql(ns("2024-01-15"), ns("2024-01-16")),
+      "ql_gt_delta" ->
+        (s"SELECT epoch_ns(ts) AS ts, event_id, user_id, event_type, value, props " +
+          s"FROM events WHERE epoch_ns(ts) >= ${ns("2024-01-27 12:00") + 1} " +
+          "ORDER BY ts, event_id"),
+      "ql_head_limit" ->
+        s"""SELECT ts, event_id, user_id, event_type, value, props FROM (
+           |  SELECT epoch_ns(ts) AS ts, event_id, user_id, event_type, value, props,
+           |         dense_rank() OVER (ORDER BY ts) AS rk
+           |  FROM events WHERE epoch_ns(ts) >= ${ns("2024-01-10")}
+           |) WHERE rk <= 50 ORDER BY ts, event_id""".stripMargin,
+      "ql_tail_limit" ->
+        s"""SELECT ts, event_id, user_id, event_type, value, props FROM (
+           |  SELECT epoch_ns(ts) AS ts, event_id, user_id, event_type, value, props,
+           |         dense_rank() OVER (ORDER BY ts DESC) AS rk
+           |  FROM events WHERE epoch_ns(ts) < ${ns("2024-01-20") + 1}
+           |) WHERE rk <= 50 ORDER BY ts, event_id""".stripMargin,
+      "ql_tz_offset" -> evSql(
+        ns("2024-01-10") - 9L * 3600 * 1000000000L,
+        ns("2024-01-11") - 9L * 3600 * 1000000000L),
+      "ql_projection" ->
+        (s"SELECT epoch_ns(ts) AS ts, event_id AS eid, value AS val FROM events " +
+          s"WHERE epoch_ns(ts) >= ${ns("2024-01-10")} AND epoch_ns(ts) < ${ns("2024-01-12")} " +
+          "ORDER BY ts, eid"),
+      "meta_metrics" ->
+        ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
+          "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) " +
+          "AS t(metrics) ORDER BY metrics"),
+      "meta_describe_events" ->
+        ("SELECT 'events' AS metrics, count(*) AS row_num, " +
+          "min(epoch_ns(ts)) AS from_ts, max(epoch_ns(ts)) AS end_ts FROM events")
+    )
+  }
+
+  // ---- analytics / TPC-H-ish (join, agg, window at scale) ----------------
+
+  private val BucketH = 3600L * 1000000000L
+
+  private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_downsample_1h" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.groupBy(((floor(col("ts") / BucketH)) * BucketH).cast("long").as("bucket_ts"))
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"),
+          max("value").as("max_v"), dsum(col("value")).as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
+    "agg_event_type_stats" -> ((s, d) =>
+      t(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+          dsum(col("value")).as("sum_v"), min("value").as("min_v"),
+          max("value").as("max_v"))
+        .orderBy("event_type")),
+    "tpch_q1" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "join_revenue_by_nation" -> ((s, d) => {
+      val orders   = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val nation   = t(s, d, "nation")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name")
+    }),
+    "window_top_orders" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    })
+  )
+
+  private val analyticsOracles: Map[String, String] = Map(
+    "agg_downsample_1h" ->
+      s"""SELECT (epoch_ns(ts) // $BucketH) * $BucketH AS bucket_ts,
+         |  count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    "agg_event_type_stats" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_revenue_by_nation" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "window_top_orders" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+  )
+
+  // ---- pipeline extensions (dedup / text / similarity / multimodal) ------
+
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy("fp")),
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleSize = 1).orderBy("id1", "id2")),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5, bands = 16, rowsPerBand = 4, shingleSize = 1)
+        .orderBy("id1", "id2")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashCandidates(
+        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
+        "doc_id", maxHamming = 8).orderBy("id1", "id2")),
+    "text_quality" -> ((s, d) =>
+      Text.qualityFeatures(t(s, d, "documents"), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio",
+          "digit_ratio", "ws_ratio", "stopword_ratio", "mean_token_len")
+        .orderBy("doc_id")),
+    "text_langid" -> ((s, d) =>
+      Text.langId(t(s, d, "documents"), "text")
+        .select("doc_id", "score_de", "score_en", "score_es", "score_fr",
+          "lang_pred")
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "text_shingle_fp" -> ((s, d) =>
+      Text.shingleFingerprint(t(s, d, "documents"), "text")
+        .select("doc_id", "fp_min", "fp_max", "fp_xor")
+        .orderBy("doc_id")),
+    "knn_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.knnBrute(emb, q, k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+    "knn_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshKnn(emb, q, k = 5, dims = 64, numPlanes = 8)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+    "multimodal_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id", "text"))
+        .select("media_id", "modality", "n_bytes")
+        .orderBy("media_id"))
+  )
+
+  /** DuckDB-side tokenizer (must mirror [[Text.tokens]]). */
+  private val DuckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  private val pipelineOracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, list_distinct($DuckToks) AS sh FROM documents
+         |), e AS (
+         |  SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM s
+         |), p AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |         count(*) AS shared
+         |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT id1, id2, shared, n1, n2,
+         |       CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+         |FROM p
+         |WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_m,
+         |  len($DuckToks) AS n_tokens,
+         |  CASE WHEN length(text) > 0 THEN
+         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)
+         |  ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN length(text) > 0 THEN
+         |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+         |  ELSE 0.0 END AS digit_ratio,
+         |  CASE WHEN length(text) > 0 THEN
+         |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text)
+         |  ELSE 0.0 END AS ws_ratio,
+         |  CASE WHEN len($DuckToks) > 0 THEN
+         |    CAST(len(list_filter($DuckToks,
+         |      x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+         |      / len($DuckToks)
+         |  ELSE 0.0 END AS stopword_ratio,
+         |  CASE WHEN len($DuckToks) > 0 THEN
+         |    CAST(list_sum(list_transform($DuckToks, x -> length(x))) AS DOUBLE)
+         |      / len($DuckToks)
+         |  ELSE 0.0 END AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" -> {
+      def score(words: Seq[String]): String =
+        s"CAST(len(list_filter($DuckToks, x -> list_contains([" +
+          words.map(w => s"'$w'").mkString(",") + s"], x))) AS BIGINT)"
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    ${score(Text.StopwordsDe)} AS score_de,
+         |    ${score(Text.StopwordsEn)} AS score_en,
+         |    ${score(Text.StopwordsEs)} AS score_es,
+         |    ${score(Text.StopwordsFr)} AS score_fr
+         |  FROM documents
+         |)
+         |SELECT doc_id, score_de, score_en, score_es, score_fr,
+         |  CASE
+         |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+         |    WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         |    WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+         |    WHEN score_fr > 0 THEN 'fr'
+         |    ELSE 'und'
+         |  END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 10
+        |), c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), sc AS (
+        |  SELECT qid, vec_id,
+        |    list_dot_product(qvec, vec) /
+        |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS cos
+        |  FROM q CROSS JOIN c WHERE qid <> vec_id
+        |), r AS (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM sc
+        |)
+        |SELECT qid, rank, vec_id, round(cos, 6) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    qlQueries ++ analyticsQueries ++ pipelineQueries
+
+  def oracleSql: Map[String, String] =
+    qlOracles ++ analyticsOracles ++ pipelineOracles
 }

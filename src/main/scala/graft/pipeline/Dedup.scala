@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Deduplication operators for corpus-scale pipelines.
+  *
+  * Scale design: nothing here cross-joins the corpus. Candidate generation is
+  * always hash-bucketed (exact hash, MinHash band buckets, SimHash prefix
+  * buckets) so the shuffle is keyed on small buckets; only within-bucket
+  * pairs are verified. That is the shape that survives 100 TB — the
+  * all-pairs verify step stays proportional to true-duplicate density.
+  */
+object Dedup {
+
+  /** Exact dedup: group on the normalized-content fingerprint, keep the
+    * smallest id as representative. One map-side-combinable shuffle. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", Text.fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Rows surviving exact dedup (representatives only). */
+  def exactDeduped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signatures: `numHashes` permutations approximated by seeded
+    * xxhash64 over word `shingleSize`-gram shingles; signature[i] = min hash
+    * under seed i. Computed entirely inside one projection (array exprs, no
+    * explode), so it rides the scan stage.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
+    val sh = Text.shingles(text, shingleSize)
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }
+    array(sigs: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
+    * hash each band → (band index, band hash) bucket keys. Docs sharing any
+    * bucket are near-dup candidates. Returns one row per (doc, band).
+    */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleSize: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = df.select(col(idCol),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+    }
+    withSig.select(col(idCol), explode(array(bandRows: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs (id1 < id2), deduped across bands.
+    * Shuffle is keyed on (band, bucket) — within-bucket self-join only.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val b = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs, verified via
+    * explode+join token-shingle co-counts — never materializes a cross
+    * product. `pairs` must have columns (id1, id2).
+    */
+  def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+      Text.shingles(col(textCol), shingleSize).as("__set"))
+      .withColumn("__n", size(col("__set")))
+    val exploded = sets.select(col("__id"), col("__n"),
+      explode(col("__set")).as("__tok"))
+    val shared = exploded.select(col("__id").as("id1"), col("__tok"))
+      .join(exploded.select(col("__id").as("id2"), col("__tok")), Seq("__tok"))
+      .filter(col("id1") < col("id2"))
+      .join(pairs, Seq("id1", "id2"), "left_semi")
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sets.select(col("__id").as("id1"), col("__n").as("n1")), Seq("id1"))
+      .join(sets.select(col("__id").as("id2"), col("__n").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("n1") + col("n2") - col("shared")))
+      .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+  }
+
+  /** All pairs with exact shingle-Jaccard >= threshold: LSH candidates →
+    * exact verify. The canonical fuzzy-dedup pipeline. */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, bands, rowsPerBand,
+      shingleSize)
+    jaccardVerify(df, cands, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs n-gram Jaccard >= threshold via shingle inverted index
+    * (no LSH, no cross join): explode shingles → co-count pairs sharing at
+    * least one shingle → Jaccard filter. Exactly reproducible in SQL — used
+    * as the DuckDB-oracle near-dup query.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+      Text.shingles(col(textCol), shingleSize).as("__set"))
+      .withColumn("__n", size(col("__set")))
+    val exploded = sets.select(col("__id"), col("__n"),
+      explode(col("__set")).as("__tok"))
+    val l = exploded.select(col("__id").as("id1"), col("__n").as("n1"), col("__tok"))
+    val r = exploded.select(col("__id").as("id2"), col("__n").as("n2"), col("__tok"))
+    l.join(r, Seq("__tok"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+  }
+
+  /** 64-bit SimHash over token hashes: sign-sum of each bit position across
+    * the document's tokens. Implemented as a typed [[Aggregator]] over
+    * (id, tokenHash) pairs — a single map-side-combinable aggregation.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = df.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
+    tokenHashes.groupBy(idCol)
+      .agg(udaf(SimHashAgg, Encoders.scalaLong).apply(col("__h")).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: bucket by the top `prefixBits` bits (and
+    * a rotation) then verify hamming <= maxHamming within buckets. */
+  def simhashCandidates(sim: DataFrame, idCol: String, maxHamming: Int = 3,
+      prefixBits: Int = 16): DataFrame = {
+    val shift = 64 - prefixBits
+    val bucketed = sim.select(col(idCol), col("simhash"),
+      shiftrightunsigned(col("simhash"), shift).as("b0"),
+      col("simhash").bitwiseAND(lit((1L << prefixBits) - 1)).as("b1"))
+    def pairsOn(key: String) = {
+      val l = bucketed.select(col(key).as("__k"), col(idCol).as("id1"),
+        col("simhash").as("sh1"))
+      val r = bucketed.select(col(key).as("__k"), col(idCol).as("id2"),
+        col("simhash").as("sh2"))
+      l.join(r, Seq("__k")).filter(col("id1") < col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+    }
+    pairsOn("b0").unionByName(pairsOn("b1")).distinct()
+      .withColumn("hamming", hamming(col("sh1"), col("sh2")))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash sign-sum aggregator: +1/-1 per bit per token hash. */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    override def zero: Array[Int] = new Array[Int](64)
+    override def reduce(acc: Array[Int], h: Long): Array[Int] = {
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+      acc
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < 64) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(acc: Array[Int]): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    override def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+}

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed per-partition in batches.
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * libs): [[decodeStub]] derives a deterministic fake feature vector from the
+  * bytes. Everything around it — schema, partition-batched iteration,
+  * column pruning (metadata reads never touch the blob), output shape — is
+  * the real Spark plumbing a production decode (JNI/FFmpeg/Pandas-UDF
+  * equivalent) would drop into.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("mime", StringType)
+    )), nullable = true)
+  ))
+
+  /** Deterministic fake "decode": FEATURE-DIM floats rolled from a 64-bit
+    * FNV-1a over the blob. Stands in for a real decoder; same bytes → same
+    * features, so tests are stable.
+    */
+  val FeatureDim = 8
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    val out = new Array[Float](FeatureDim)
+    var j = 0
+    var s = h
+    while (j < FeatureDim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      out(j) = ((s >>> 40).toInt & 0xffff).toFloat / 65536.0f - 0.5f
+      j += 1
+    }
+    out
+  }
+
+  /** Feature extraction over the binary column, batched per partition —
+    * the `mapPartitions` shape a vectorized decoder (Arrow batches in
+    * PySpark's `mapInPandas`) uses. Blob column is only deserialized here,
+    * never shuffled onward: output carries features + metadata only.
+    */
+  def extractFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType),
+      StructField("n_bytes", LongType),
+      StructField("features", ArrayType(FloatType))))
+    val idIdx = df.schema.fieldIndex("media_id")
+    val modIdx = df.schema.fieldIndex("modality")
+    val cIdx = df.schema.fieldIndex("content")
+    val rdd = df.rdd.mapPartitions { it =>
+      // batch loop: real decoders amortize per-batch setup (model load,
+      // codec contexts) — keep the shape even though the stub needs none
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val bytes =
+            if (row.isNullAt(cIdx)) Array.empty[Byte]
+            else row.getAs[Array[Byte]](cIdx)
+          Row(row.getLong(idIdx), row.getString(modIdx),
+            bytes.length.toLong, decodeStub(bytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** "Resize"/"frame-sample" stub: emits one row per sampled frame index with
+    * a per-frame feature slice — the fan-out shape of video frame sampling
+    * (row explodes to `numFrames` rows, blob read once).
+    */
+  def frameSample(df: DataFrame, numFrames: Int): DataFrame = {
+    val feats = extractFeatures(df)
+    feats.select(col("media_id"), col("modality"),
+        posexplode(transform(sequence(lit(0), lit(numFrames - 1)),
+          i => concat(col("media_id"), lit(":"), i))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumn("frame_key", col("col")).drop("col")
+  }
+
+  /** Synthetic media table derived from any (id, text) frame — test fixture
+    * builder so plumbing tests run without real media files. */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col(idCol), lit(3)) + 1).cast("int"))
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      modality.as("modality"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        (pmod(col(idCol), lit(640)) + 32).cast("int").as("width"),
+        (pmod(col(idCol), lit(480)) + 32).cast("int").as("height"),
+        (pmod(col(idCol), lit(10000)) + 1000).cast("long").as("duration_ms"),
+        lit("application/octet-stream").as("mime")).as("meta"))
+  }
+}

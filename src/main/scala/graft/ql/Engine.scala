@@ -1,0 +1,161 @@
+package graft.ql
+
+import java.time.{Instant, ZoneId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TimeNano
+import graft.operators.TsOps
+import graft.storage.Tables
+import Ast._
+import Interpreter._
+
+/** End-to-end dialect executor: parse → interpret → DataFrame plan → output
+  * (the reference's adhoc path,
+  * `zikeiretsu/src/tsdb/query/executor/mod.rs:34-120`).
+  *
+  * The physical strategy is deliberately left to Catalyst: the built plan is
+  * `scan → range filter → (grouped limit) → project`, so predicate/projection
+  * pushdown and partition pruning do the work the reference hand-rolled with
+  * its sorted block index.
+  */
+final class Engine(val spark: SparkSession, val dbDir: String,
+    now: () => Instant = () => Instant.now()) {
+
+  /** Parse+interpret only (exposed for tests). */
+  def interpret(query: String): Interpreted =
+    Interpreter.interpret(QueryParser.parse(query), now())
+
+  /** Compile a dialect query to a DataFrame (no output formatting). */
+  def frame(query: String): DataFrame = frame(interpret(query))
+
+  def frame(iq: Interpreted): DataFrame = iq match {
+    case ListMetrics(db, _) =>
+      Tables.metricsDf(spark, resolveDb(db))
+    case d: DescribeMetrics =>
+      if (d.blockList) Tables.blockListDf(spark, resolveDb(d.db), d.metricsFilter)
+      else Tables.describeDf(spark, resolveDb(d.db), d.metricsFilter)
+    case s: SearchMetrics =>
+      val raw = Tables.read(spark, resolveDb(s.db), s.metrics)
+      require(raw.columns.contains("ts"),
+        s"metrics '${s.metrics}' has no ts column")
+      // positional aliasing: `with cols=[...]` renames value fields in schema
+      // order; ts keeps its name and is implicitly first
+      // (`query/lexer/mod.rs:190-196`)
+      val fieldCols = raw.columns.filter(_ != "ts").toSeq
+      val aliased = s.colAliases match {
+        case Some(aliases) =>
+          require(aliases.length <= fieldCols.length,
+            s"more aliases (${aliases.length}) than fields (${fieldCols.length})")
+          val renames = fieldCols.zip(aliases ++ fieldCols.drop(aliases.length))
+          renames.foldLeft(raw) { case (d, (from, to)) =>
+            d.withColumnRenamed(from, to)
+          }
+        case None => raw
+      }
+      val filtered = TsOps.rangeFilter(aliased, s.range.since, s.range.until)
+      val limited = s.limit match {
+        case Some(Limit.Head(n)) => TsOps.groupedHead(filtered, n)
+        case Some(Limit.Tail(n)) => TsOps.groupedTail(filtered, n)
+        case None                => filtered
+      }
+      val cached = if (s.useCache) limited else limited // cache policy is caller's
+      s.fieldSelectors match {
+        case Some(names) => cached.select(("ts" +: names).map(col): _*)
+        case None =>
+          val order = "ts" +: cached.columns.filter(_ != "ts").toSeq
+          cached.select(order.map(col): _*)
+      }
+  }
+
+  /** Execute with the reference's output semantics: table/json render to a
+    * string, parquet writes to the with-clause file path. Returns the
+    * rendered text (empty for file outputs).
+    */
+  def execute(query: String): String = {
+    val iq = interpret(query)
+    val df = frame(iq)
+    val (tz, fmtDt) = iq match {
+      case s: SearchMetrics => (s.tz, s.formatDatetime)
+      case _                => (java.time.ZoneOffset.UTC: ZoneId, false)
+    }
+    iq.output.format match {
+      case OutputFormat.Table => Output.asciiTable(df, tz, fmtDt)
+      case OutputFormat.Json  => Output.columnJson(df, tz, fmtDt)
+      case OutputFormat.Parquet | OutputFormat.ParquetSnappy =>
+        val path = iq.output.filePath.getOrElse(
+          throw QueryException("InvalidOutputDestination", "parquet needs output_file"))
+        val codec =
+          if (iq.output.format == OutputFormat.ParquetSnappy) "snappy"
+          else "uncompressed"
+        df.coalesce(1).write.mode("overwrite")
+          .option("compression", codec).parquet(path)
+        ""
+    }
+  }
+
+  private def resolveDb(db: Option[String]): String =
+    db.fold(dbDir)(d => new java.io.File(dbDir, d).getPath)
+}
+
+/** Output formatting (`query/executor/output/format/`): ASCII table,
+  * column-oriented JSON (`{col: [values…]}` — NOT Spark's row-JSON), parquet.
+  * `format_datetime=true` renders the ns `ts` long as RFC3339-with-nanos in
+  * the query tz (`data_types/dataseries_ref.rs:70-148`).
+  */
+object Output {
+
+  private def renderRows(df: DataFrame, tz: ZoneId, formatDatetime: Boolean)
+      : (Array[String], Seq[Array[String]]) = {
+    val cols = df.columns
+    val tsIdx = cols.indexOf("ts")
+    val rows = df.collect().toSeq.map { row =>
+      cols.indices.map { i =>
+        if (row.isNullAt(i)) "null"
+        else if (i == tsIdx && formatDatetime && row.get(i).isInstanceOf[Long])
+          TimeNano.formatNanos(row.getLong(i), tz)
+        else row.get(i).toString
+      }.toArray
+    }
+    (cols, rows)
+  }
+
+  /** `[empty]` for empty results, matching the reference convention
+    * (`executor/interface/mod.rs:45-47`). */
+  def asciiTable(df: DataFrame, tz: ZoneId, formatDatetime: Boolean): String = {
+    val (cols, rows) = renderRows(df, tz, formatDatetime)
+    if (rows.isEmpty) return "[empty]"
+    val widths = cols.indices.map { i =>
+      math.max(cols(i).length, rows.map(_(i).length).max)
+    }
+    def line(sep: String): String =
+      widths.map("-" * _).mkString(sep + "-", "-" + sep + "-", "-" + sep)
+    def fmt(vals: Array[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    (Seq(line("+"), fmt(cols), line("+")) ++ rows.map(fmt) :+ line("+"))
+      .mkString("\n")
+  }
+
+  def columnJson(df: DataFrame, tz: ZoneId, formatDatetime: Boolean): String = {
+    val (cols, rows) = renderRows(df, tz, formatDatetime)
+    val tsIdx = cols.indexOf("ts")
+    val colTypes = df.schema.fields
+    def jsonVal(s: String, i: Int): String = {
+      if (s == "null") "null"
+      else colTypes(i).dataType match {
+        case _: org.apache.spark.sql.types.NumericType
+            if !(i == tsIdx && formatDatetime) => s
+        case org.apache.spark.sql.types.BooleanType => s
+        case _ => "\"" + s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        } + "\""
+      }
+    }
+    cols.indices.map { i =>
+      val vals = rows.map(r => jsonVal(r(i), i)).mkString("[", ",", "]")
+      "\"" + cols(i) + "\":" + vals
+    }.mkString("{", ",", "}")
+  }
+}

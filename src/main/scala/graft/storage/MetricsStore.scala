@@ -1,0 +1,128 @@
+package graft.storage
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-backed metrics catalog.
+  *
+  * A "database" is a directory; each metrics is either `dbDir/<name>/` (our
+  * writer's layout, §`WritableStore`) or `dbDir/<name>.parquet` (single-file
+  * layout, e.g. driver testdata). This replaces the reference's bespoke
+  * block/block-list format (`zikeiretsu/src/tsdb/storage/`, SPEC.md:23-77)
+  * with Parquet: row-group min/max stats are the block index, files are the
+  * blocks, directory listing is the metrics list.
+  *
+  * Timestamps: a metrics table's `ts` column is epoch-nano LongType. Parquet
+  * `timestamp[ns]` columns are read as longs via
+  * `spark.sql.legacy.parquet.nanosAsLong` (set in [[Tables.configure]]).
+  */
+object Tables {
+
+  /** Runtime confs every session needs before reading metrics tables. */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // min/max/count meta-queries answered from parquet footers
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+  }
+
+  def metricsPath(dbDir: String, metrics: String): String = {
+    val dir  = new File(dbDir, metrics)
+    val file = new File(dbDir, metrics + ".parquet")
+    if (dir.isDirectory) dir.getPath
+    else if (file.exists) file.getPath
+    else throw new IllegalArgumentException(s"unknown metrics '$metrics' in $dbDir")
+  }
+
+  def read(spark: SparkSession, dbDir: String, metrics: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(metricsPath(dbDir, metrics))
+    // drop writer partition columns (date bucketing) from the logical schema
+    if (df.columns.contains(WritableStore.PartitionCol))
+      df.drop(WritableStore.PartitionCol)
+    else df
+  }
+
+  /** All metrics names in the database dir (`.metrics` meta-table —
+    * `query/executor/metrics_list.rs`). */
+  def listMetrics(dbDir: String): Seq[String] = {
+    val root = new File(dbDir)
+    val entries = Option(root.listFiles()).getOrElse(Array.empty)
+    entries.flatMap { f =>
+      if (f.isDirectory && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        Some(f.getName)
+      else if (f.isFile && f.getName.endsWith(".parquet"))
+        Some(f.getName.stripSuffix(".parquet"))
+      else None
+    }.distinct.sorted.toSeq
+  }
+
+  def metricsDf(spark: SparkSession, dbDir: String): DataFrame = {
+    import spark.implicits._
+    listMetrics(dbDir).toDF("metrics")
+  }
+
+  /** `.describe`: per metrics — row count and ts range (`.describe` builds
+    * updated_at/block_num/from/end from block metadata,
+    * `query/executor/describe_metrics.rs:9-113`). With aggregate pushdown the
+    * min/max/count run footer-only.
+    */
+  def describeDf(spark: SparkSession, dbDir: String,
+      metricsFilter: Option[String]): DataFrame = {
+    configure(spark)
+    val names = metricsFilter.fold(listMetrics(dbDir))(m => Seq(m))
+    val frames = names.map { m =>
+      val df = read(spark, dbDir, m)
+      if (df.columns.contains("ts"))
+        df.agg(count(lit(1)).as("row_num"),
+            min("ts").as("from_ts"), max("ts").as("end_ts"))
+          .select(lit(m).as("metrics"), col("row_num"), col("from_ts"),
+            col("end_ts"))
+      else
+        df.agg(count(lit(1)).as("row_num"))
+          .select(lit(m).as("metrics"), col("row_num"),
+            lit(null).cast("long").as("from_ts"),
+            lit(null).cast("long").as("end_ts"))
+    }
+    frames.reduce(_.unionByName(_)).orderBy("metrics")
+  }
+
+  /** `.block_list`: one row per parquet data file ("block"), with its ts
+    * min/max (`describe_metrics.rs:116-158`). seq = position in filename
+    * order, mirroring the reference's block sequence numbers.
+    */
+  def blockListDf(spark: SparkSession, dbDir: String,
+      metricsFilter: Option[String]): DataFrame = {
+    configure(spark)
+    val names = metricsFilter.fold(listMetrics(dbDir))(m => Seq(m))
+    val frames = names.flatMap { m =>
+      val df = read(spark, dbDir, m)
+      if (!df.columns.contains("ts")) None
+      else Some {
+        import org.apache.spark.sql.expressions.Window
+        val perFile = df.groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("row_num"),
+            min("ts").as("block_start"), max("ts").as("block_end"))
+        perFile
+          .withColumn("seq",
+            row_number().over(Window.orderBy(col("block_start"), col("file"))))
+          .select(lit(m).as("metrics"), col("seq"), col("row_num"),
+            col("block_start"), col("block_end"))
+      }
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("metrics",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("row_num",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("block_start",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("block_end",
+            org.apache.spark.sql.types.LongType))))
+    else frames.reduce(_.unionByName(_)).orderBy("metrics", "seq")
+  }
+}

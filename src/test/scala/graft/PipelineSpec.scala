@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+
+/** Dedup / similarity / text / multimodal operator semantics on planted
+  * fixtures (exact expected outcomes, not statistical smoke).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "The quick  brown fox jumps over the lazy dog"), // ws/case dup of 0
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 0
+    (4L, "completely different words appear in this sentence here"),
+    (5L, "der schnelle braune fuchs springt und die katze ist da")
+  ).toDF("doc_id", "text")
+
+  test("tokens + shingles") {
+    val row = docs.filter($"doc_id" === 0)
+      .select(Text.tokens($"text").as("t"), Text.shingles($"text", 3).as("s"))
+      .collect()(0)
+    assert(row.getSeq[String](0).take(4) == Seq("the", "quick", "brown", "fox"))
+    assert(row.getSeq[String](1).contains("the quick brown"))
+    assert(row.getSeq[String](1).length == 7) // 9 tokens → 7 trigrams
+  }
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toMap
+    assert(out(0L) == 3L) // docs 0,1,2 collapse
+    assert(out(3L) == 1L)
+    val survivors = Dedup.exactDeduped(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(0L, 3L, 4L, 5L))
+  }
+
+  test("jaccard pairs find the planted near-duplicate") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, shingleSize = 1)
+      .select("id1", "id2", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) > 0.7)
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash LSH surfaces the same near-dups as exact jaccard") {
+    val near = Dedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.5, bands = 16, rowsPerBand = 2, shingleSize = 1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.contains((0L, 1L)))
+    assert(near.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs equal, near-dups close, distinct far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(3L)) < ham(sh(0L), sh(4L)))
+  }
+
+  test("quality features exact values") {
+    val r = Text.qualityFeatures(docs.filter($"doc_id" === 0), "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 9L)
+    assert(r.getAs[Double]("stopword_ratio") == 2.0 / 9.0) // the ×2
+    assert(r.getAs[Double]("punct_ratio") == 0.0)
+  }
+
+  test("langid picks the language with most stopword hits") {
+    val out = Text.langId(docs, "text").select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "en")
+    assert(out(5L) == "de")
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val fps = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) == fps(2L))
+    assert(fps(0L) != fps(3L))
+  }
+
+  test("knn brute: nearest neighbor of a duplicated vector is its twin") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.9f, 0.1f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.knnBrute(vecs, q, k = 2).orderBy("rank").collect()
+    assert(out(0).getAs[Long]("vec_id") == 1L)
+    assert(out(0).getAs[Double]("cos") > 0.99)
+    assert(out(1).getAs[Long]("vec_id") != 4L)
+  }
+
+  test("lsh knn achieves high recall vs brute on clustered vectors") {
+    // planted clusters: strong within-cluster cosine so LSH has signal
+    // (unstructured random vectors have near-orthogonal neighbors — no
+    // locality for ANY ANN method to find)
+    val dims = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 100L).map { i =>
+      val c = centers((i % 5).toInt)
+      (i, c.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.knnBrute(vecs, q, 5).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshKnn(vecs, q, 5, dims = dims, numPlanes = 6)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect approx).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("multimodal plumbing: features deterministic, metadata-only scan") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.map(_.getSeq[Float](3)).toSeq == f2.map(_.getSeq[Float](3)).toSeq)
+    assert(f1.forall(_.getSeq[Float](3).length == Multimodal.FeatureDim))
+    // identical bytes (docs 0 and 1) → identical features
+    assert(f1(0).getSeq[Float](3) == f1(1).getSeq[Float](3))
+    val frames = Multimodal.frameSample(media, 4)
+    assert(frames.count() == docs.count() * 4)
+  }
+
+  test("ivf assign maps every vector to exactly one centroid") {
+    val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cid").distinct().count() <= 4)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TsOps
+import graft.storage.{DataPoint, Tables, WritableStore}
+import org.apache.spark.sql.types._
+
+/** Operator semantics against the reference's boundary fixtures
+  * (FIXTURES.md §1.4: ts array `[9,10,19,20,20,20,30,40,50,50,51]`,
+  * duplicates kept; grouped-limit tie tests from `store/mod.rs:479-521`).
+  */
+class TsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val tsFixture = Seq(9L, 10L, 19L, 20L, 20L, 20L, 30L, 40L, 50L, 50L, 51L)
+  private lazy val df = tsFixture.zipWithIndex
+    .map { case (ts, i) => (ts, i.toLong) }.toDF("ts", "v")
+
+  private def tss(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+    d.orderBy("ts", "v").collect().map(_.getLong(0)).toSeq
+
+  test("range filter: since inclusive, until exclusive, duplicates kept") {
+    assert(tss(TsOps.rangeFilter(df, Some(20L), Some(50L))) ==
+      Seq(20L, 20L, 20L, 30L, 40L))
+    assert(tss(TsOps.rangeFilter(df, Some(21L), Some(50L))) == Seq(30L, 40L))
+    assert(tss(TsOps.rangeFilter(df, None, Some(20L))) == Seq(9L, 10L, 19L))
+    assert(tss(TsOps.rangeFilter(df, Some(51L), None)) == Seq(51L))
+    assert(tss(TsOps.rangeFilter(df, None, None)) == tsFixture)
+    assert(TsOps.rangeFilter(df, Some(52L), None).count() == 0)
+  }
+
+  test("grouped head keeps all rows sharing the nth distinct ts") {
+    assert(tss(TsOps.groupedHead(df, 4)) == Seq(9L, 10L, 19L, 20L, 20L, 20L))
+    assert(tss(TsOps.groupedHead(df, 1)) == Seq(9L))
+    assert(TsOps.groupedHead(df, 0).count() == 0)
+    assert(tss(TsOps.groupedHead(df, 100)) == tsFixture)
+  }
+
+  test("grouped tail keeps ties at the nth-from-last distinct ts") {
+    assert(tss(TsOps.groupedTail(df, 2)) == Seq(50L, 50L, 51L))
+    assert(tss(TsOps.groupedTail(df, 1)) == Seq(51L))
+    assert(TsOps.groupedTail(df, 0).count() == 0)
+  }
+
+  test("threshold-based grouped limit matches window-based reference impl") {
+    for (n <- Seq(1, 2, 4, 7, 11, 20)) {
+      assert(tss(TsOps.groupedHead(df, n)) ==
+        tss(TsOps.groupedLimitWindow(df, n, head = true)), s"head $n")
+      assert(tss(TsOps.groupedTail(df, n)) ==
+        tss(TsOps.groupedLimitWindow(df, n, head = false)), s"tail $n")
+    }
+  }
+
+  test("reference tail-limit fixture: tail(2) keeps last 3 rows (dup ts)") {
+    // store/mod.rs:479-521 via FIXTURES.md §1.2
+    val fx = Seq(
+      (1629745451715062000L, 100.0), (1629745451715063000L, 200.0),
+      (1629745451715064000L, 200.0), (1629745451715065000L, 300.0),
+      (1629745451715066000L, 300.0), (1639745451715061000L, 1300.0),
+      (1639745451715062000L, 1200.0), (1639745451715062000L, 1201.0)
+    ).toDF("ts", "f0")
+    val got = TsOps.groupedTail(fx, 2).orderBy("ts", "f0").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq(
+      (1639745451715061000L, 1300.0),
+      (1639745451715062000L, 1200.0),
+      (1639745451715062000L, 1201.0)))
+  }
+
+  test("downsample buckets + aggregates") {
+    val d = Seq((0L, 1.0), (5L, 2.0), (10L, 3.0), (14L, 4.0), (20L, 5.0))
+      .toDF("ts", "value")
+    val out = TsOps.downsample(d, 10L, "value").orderBy("bucket_ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1.0, 2.0, 3.0), (10L, 2L, 3.0, 4.0, 7.0), (20L, 1L, 5.0, 5.0, 5.0)))
+  }
+
+  test("asof join picks latest right row <= left ts per key") {
+    val trades = Seq(("A", 10L, 1.0), ("A", 20L, 2.0), ("B", 15L, 3.0))
+      .toDF("sym", "ts", "px").withColumnRenamed("sym", "k")
+    val quotes = Seq(("A", 8L, 100.0), ("A", 12L, 101.0), ("A", 25L, 102.0),
+      ("B", 20L, 200.0)).toDF("k", "ts", "bid")
+    val out = TsOps.asofJoin(
+      trades.select("k", "ts", "px"), quotes, Seq("k"))
+      .orderBy("k", "ts").collect()
+    // A@10 → quote@8; A@20 → quote@12; B@15 → no quote yet → null
+    assert(out(0).getDouble(out(0).fieldIndex("r_bid")) == 100.0)
+    assert(out(1).getDouble(out(1).fieldIndex("r_bid")) == 101.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("r_bid")))
+  }
+
+  test("asof join respects tolerance") {
+    val l = Seq(("A", 100L, 1.0)).toDF("k", "ts", "px")
+    val r = Seq(("A", 10L, 50.0)).toDF("k", "ts", "bid")
+    val near = TsOps.asofJoin(l, r, Seq("k"), toleranceNanos = 1000L).collect()
+    assert(near(0).getDouble(near(0).fieldIndex("r_bid")) == 50.0)
+    val far = TsOps.asofJoin(l, r, Seq("k"), toleranceNanos = 10L).collect()
+    assert(far(0).isNullAt(far(0).fieldIndex("r_bid")))
+  }
+
+  test("writable store: unsorted push → persist → sorted read, dup ts kept") {
+    val dir = SparkTestBase.tempDir("graft-store")
+    val store = new WritableStore(spark, dir, "test_metrics",
+      Seq(StructField("f0", DoubleType), StructField("f1", DoubleType)))
+    // out-of-order with duplicate ts (store/mod.rs:537-546)
+    store.pushMulti(Seq(
+      DataPoint(1629745451715063000L, Seq(200.0, 36.0)),
+      DataPoint(1629745451715062000L, Seq(100.0, 12.0)),
+      DataPoint(1629745451715066000L, Seq(300.0, 36.0)),
+      DataPoint(1629745451715064000L, Seq(200.0, 37.0)),
+      DataPoint(1639745451715062000L, Seq(1200.0, 37.0)),
+      DataPoint(1639745451715062000L, Seq(1201.0, 38.0))))
+    assert(store.persist() == 6L)
+    assert(store.bufferedCount == 0)
+    val back = Tables.read(spark, dir, "test_metrics")
+    assert(back.count() == 6)
+    val ts = back.orderBy("ts").collect().map(_.getLong(0)).toSeq
+    assert(ts == ts.sorted)
+    assert(ts.count(_ == 1639745451715062000L) == 2)
+  }
+
+  test("writable store: purge removes range from buffer") {
+    val dir = SparkTestBase.tempDir("graft-store2")
+    val store = new WritableStore(spark, dir, "m",
+      Seq(StructField("v", DoubleType)))
+    store.pushMulti((1L to 10L).map(i => DataPoint(i, Seq(i.toDouble))))
+    store.purge(3L, 7L)
+    assert(store.bufferedCount == 6) // 1,2,7,8,9,10
+    store.persist()
+    val vals = Tables.read(spark, dir, "m").orderBy("ts").collect()
+      .map(_.getLong(0)).toSeq
+    assert(vals == Seq(1L, 2L, 7L, 8L, 9L, 10L))
+  }
+
+  test("persist range-selects and later flush appends a second block") {
+    val dir = SparkTestBase.tempDir("graft-store3")
+    val store = new WritableStore(spark, dir, "m",
+      Seq(StructField("v", DoubleType)))
+    store.pushMulti((1L to 10L).map(i => DataPoint(i, Seq(i.toDouble))))
+    store.persist(until = Some(6L))
+    assert(store.bufferedCount == 5)
+    store.persist()
+    val back = Tables.read(spark, dir, "m")
+    assert(back.count() == 10)
+    // two flushes → two block files in the block list
+    val bl = Tables.blockListDf(spark, dir, Some("m")).collect()
+    assert(bl.length == 2)
+  }
+}
