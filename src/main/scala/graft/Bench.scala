@@ -27,13 +27,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // warm the JVM/codegen paths so per-query numbers reflect steady state
+    // (first Spark action otherwise pays several seconds of JIT)
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("ts") > 0L).count()
+
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+        name -> dt
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }

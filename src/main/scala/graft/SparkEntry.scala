@@ -218,10 +218,10 @@ object SparkEntry {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy("fp")),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.8, shingleSize = 1).orderBy("id1", "id2")),
+        threshold = 0.3, shingleSize = 3).orderBy("id1", "id2")),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5, bands = 16, rowsPerBand = 4, shingleSize = 1)
+        threshold = 0.3, bands = 16, rowsPerBand = 4, shingleSize = 3)
         .orderBy("id1", "id2")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(
@@ -278,8 +278,13 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "dedup_jaccard_pairs" ->
-      s"""WITH s AS (
-         |  SELECT doc_id, list_distinct($DuckToks) AS sh FROM documents
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM t
          |), e AS (
          |  SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM s
          |), p AS (
@@ -291,7 +296,7 @@ object SparkEntry {
          |SELECT id1, id2, shared, n1, n2,
          |       CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
          |FROM p
-         |WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.8
+         |WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3
          |ORDER BY id1, id2""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,

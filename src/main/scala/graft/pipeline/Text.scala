@@ -22,10 +22,15 @@ object Text {
   /** Distinct-token array (set semantics, original order dropped). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Word n-gram shingles of the token stream, joined by a single space:
-    * the unit for Jaccard/MinHash near-dup detection. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Word n-gram shingles from an already-materialized token array.
+    *
+    * Perf note: callers on hot paths must bind the token array to its own
+    * projection column first (`select(tokens(text).as("__toks"))`) and pass
+    * `col("__toks")` here. Embedding `tokens(text)` directly would place the
+    * split+filter inside the `transform` lambda, where Catalyst cannot hoist
+    * it — re-tokenizing once per shingle index (O(tokens²) per doc).
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val idxs = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     // build "t[i] t[i+1] … t[i+n-1]" for i in 0 .. size-n
     array_distinct(
@@ -36,6 +41,51 @@ object Text {
         s => s.isNotNull))
   }
 
+  /** Word n-gram shingles of the token stream, joined by a single space:
+    * the unit for Jaccard/MinHash near-dup detection. Convenience form for
+    * small inputs — hot paths use [[shinglesOfTokens]] on a bound column. */
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  // --- JVM hot-path equivalents -----------------------------------------
+  // Catalyst higher-order functions (transform/filter/aggregate) are
+  // CodegenFallback: every lambda element is an interpreted expression-tree
+  // walk (~ms per doc for shingle building). For per-doc heavy text ops a
+  // compact Scala UDF is strictly faster — there is no codegen to lose.
+  // Semantics are kept bit-identical to the expression forms above (and to
+  // the DuckDB oracle): lower → split [^a-z0-9]+ → drop empties → n-gram
+  // join by ' ' → first-occurrence-order distinct.
+
+  def tokensScala(s: String): Array[String] =
+    if (s == null) Array.empty
+    else s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+")
+      .filter(_.nonEmpty)
+
+  def shinglesScala(toks: Array[String], n: Int): Array[String] = {
+    if (toks.length < n) return Array.empty
+    val out = new Array[String](toks.length - n + 1)
+    var i = 0
+    while (i + n <= toks.length) {
+      out(i) = toks.slice(i, i + n).mkString(" ")
+      i += 1
+    }
+    out.distinct
+  }
+
+  /** text → distinct word-n-gram shingles, as a single narrow-map UDF. */
+  def shingleSetUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => shinglesScala(tokensScala(text), n))
+
+  /** Repartition up to the session default parallelism when the scan came
+    * in with too few partitions (a single small parquet file = 1 partition
+    * = 1 core for every narrow stage above it). No-op when the input is
+    * already wide — at real scale file splits provide the parallelism.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   /** Quality-score features (length / punctuation / stopword / digit
     * ratios) — the standard cheap heuristics a pretraining pipeline filters
     * on. All ratios are exact integer/integer divisions, so an SQL oracle
@@ -43,14 +93,16 @@ object Text {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    val toks = col("__toks") // materialized once — see shinglesOfTokens note
     val nChars = length(t)
-    val nTokens = tokenCount(t)
+    val nTokens = size(toks)
     val nPunct = nChars - length(regexp_replace(t, "[.,;:!?'\"()-]", ""))
     val nDigit = nChars - length(regexp_replace(t, "[0-9]", ""))
     val nWs = nChars - length(regexp_replace(t, " ", ""))
     val stop = array(StopwordsEn.map(lit): _*)
-    val nStop = size(filter(tokens(t), w => array_contains(stop, w)))
-    df.withColumn("n_chars_m", nChars.cast("long"))
+    val nStop = size(filter(toks, w => array_contains(stop, w)))
+    df.withColumn("__toks", tokens(t))
+      .withColumn("n_chars_m", nChars.cast("long"))
       .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("punct_ratio",
         when(nChars > 0, nPunct.cast("double") / nChars).otherwise(lit(0.0)))
@@ -62,8 +114,9 @@ object Text {
         when(nTokens > 0, nStop.cast("double") / nTokens).otherwise(lit(0.0)))
       .withColumn("mean_token_len",
         when(nTokens > 0,
-          aggregate(tokens(t), lit(0L), (acc, w) => acc + length(w))
+          aggregate(toks, lit(0L), (acc, w) => acc + length(w))
             .cast("double") / nTokens).otherwise(lit(0.0)))
+      .drop("__toks")
   }
 
   val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
@@ -81,17 +134,19 @@ object Text {
     * fastText — the *shape* (scores struct + argmax) is the operator.
     */
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("__toks")
     def score(words: Seq[String]): Column =
       size(filter(toks, w => array_contains(array(words.map(lit): _*), w)))
         .cast("long")
     // greatest-of-structs argmax: (score, langRank) — ranks inverted so ties
     // pick the alphabetically-first language
     val scored = df
+      .withColumn("__toks", tokens(col(textCol)))
       .withColumn("score_de", score(StopwordsDe))
       .withColumn("score_en", score(StopwordsEn))
       .withColumn("score_es", score(StopwordsEs))
       .withColumn("score_fr", score(StopwordsFr))
+      .drop("__toks")
     val langs = Seq("de", "en", "es", "fr")
     val best = greatest(langs.zipWithIndex.map { case (l, i) =>
       struct(col(s"score_$l").as("s"), lit(langs.length - i).as("r"),
@@ -110,12 +165,13 @@ object Text {
     * of word shingles (winnowing-style content signature; robust to word
     * order at the edges). xxhash64 is Spark-native and seed-stable.
     */
-  def shingleFingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
-    val sh = shingles(col(textCol), n)
-    val hashes = transform(sh, s => xxhash64(s))
-    df.withColumn("fp_min", array_min(hashes))
-      .withColumn("fp_max", array_max(hashes))
+  def shingleFingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__hashes",
+        transform(shinglesOfTokens(col("__toks"), n), s => xxhash64(s)))
+      .withColumn("fp_min", array_min(col("__hashes")))
+      .withColumn("fp_max", array_max(col("__hashes")))
       .withColumn("fp_xor",
-        aggregate(hashes, lit(0L), (acc, h) => acc.bitwiseXOR(h)))
-  }
+        aggregate(col("__hashes"), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
+      .drop("__toks", "__hashes")
 }
