@@ -175,7 +175,40 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
-    })
+    }),
+    "asof_purchase_view" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "value")
+      val joined = TsOps.asofJoin(purchases, views, Seq("user_id"))
+      tsUs(joined)
+        .withColumn("r_ts", col("r_ts") - pmod(col("r_ts"), lit(1000L)))
+        .orderBy("event_id")
+    }),
+    "sessionize_stats" -> ((s, d) => {
+      // gap computation on µs-truncated ts so the DuckDB oracle (which only
+      // sees µs) agrees on boundary gaps
+      val ev = tsUs(t(s, d, "events")).select("user_id", "ts")
+      TsOps.sessionize(ev, 3600L * 1000000000L, Seq("user_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+          max("ts").as("session_end"))
+        .orderBy("user_id", "session_idx")
+    }),
+    "text_top_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(graft.pipeline.Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(50)),
+    "meta_block_list" -> ((s, d) =>
+      Tables.blockListDf(s, d, Some("events"))
+        .withColumn("block_start",
+          col("block_start") - pmod(col("block_start"), lit(1000L)))
+        .withColumn("block_end",
+          col("block_end") - pmod(col("block_end"), lit(1000L))))
   )
 
   private val analyticsOracles: Map[String, String] = Map(
@@ -208,7 +241,41 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders
-        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "asof_purchase_view" ->
+      """SELECT l.event_id, epoch_ns(l.ts) AS ts, l.user_id, l.value,
+        |       epoch_ns(r.ts) AS r_ts, r.value AS r_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "sessionize_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > 3600000000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), c AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM c GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "text_top_tokens" ->
+      s"""SELECT tok, count(*) AS n FROM (
+         |  SELECT unnest($DuckToks) AS tok FROM documents
+         |) GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "meta_block_list" ->
+      ("SELECT 'events' AS metrics, 1 AS seq, count(*) AS row_num, " +
+        "min(epoch_ns(ts)) AS block_start, max(epoch_ns(ts)) AS block_end " +
+        "FROM events")
   )
 
   // ---- pipeline extensions (dedup / text / similarity / multimodal) ------
@@ -269,7 +336,7 @@ object SparkEntry {
   )
 
   /** DuckDB-side tokenizer (must mirror [[Text.tokens]]). */
-  private val DuckToks =
+  private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
   private val pipelineOracles: Map[String, String] = Map(

@@ -87,48 +87,64 @@ object TsOps {
         sum(valueCol).as("sum_v"))
   }
 
+  /** Gap-based sessionization: assign a per-key `session_idx` (1-based)
+    * that increments whenever the gap to the previous event exceeds
+    * `gapNanos`. One shuffle on (key); the lag/cumsum windows are
+    * partitioned, so parallelism = key cardinality (no global window).
+    */
+  def sessionize(df: DataFrame, gapNanos: Long, keyCols: Seq[String],
+      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+    val newSession = when(
+      lag(col(tsCol), 1).over(w).isNull ||
+        (col(tsCol) - lag(col(tsCol), 1).over(w)) > gapNanos, 1L).otherwise(0L)
+    df.withColumn("session_idx",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` (within `toleranceNanos` if >= 0), per matching
-    * `keyCols`. Composed from a union + running last_value window — one
-    * shuffle on (key), no custom physical operator needed.
-    *
-    * right columns are emitted with `rightPrefix`.
+    * `keyCols`. Composed from a union + one running `last` window over a
+    * packed struct — a single shuffle on (key), no custom physical operator
+    * needed, and overlapping left/right column names are fine (right values
+    * are emitted with `rightPrefix`).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       toleranceNanos: Long = -1L, tsCol: String = "ts",
       rightPrefix: String = "r_"): DataFrame = {
-    val rightVals = right.columns.filterNot(c => c == tsCol || keyCols.contains(c))
-    // tag and union; sort within (key) by (ts, side) so right rows precede
-    // left rows at equal ts — last_value then gives "latest right <= left.ts"
-    val l = left.withColumn("__side", lit(1))
-    var r = right.withColumn("__side", lit(0))
-    for (c <- left.columns if !right.columns.contains(c)) r = r.withColumn(c, lit(null))
-    var l2 = l
-    for (c <- rightVals) l2 = l2.withColumn(c, lit(null))
-    val unioned = l2.select((left.columns :+ "__side") ++ rightVals map col: _*)
-      .unionByName(r.select((left.columns :+ "__side") ++ rightVals map col: _*))
+    val rightVals = right.columns.filterNot(c => c == tsCol || keyCols.contains(c)).toSeq
+    val leftVals  = left.columns.filterNot(c => c == tsCol || keyCols.contains(c)).toSeq
+    // pack the right payload (ts + values) into one struct column, so a
+    // single `last(_, ignoreNulls)` window carries it
+    val rPacked = right.select(
+      (keyCols :+ tsCol).map(col) :+
+        struct((tsCol +: rightVals).map(col): _*).as("__r"): _*)
+      .withColumn("__side", lit(0))
+    val rStructType = rPacked.schema("__r").dataType
+    val lPacked = left
+      .withColumn("__r", lit(null).cast(rStructType))
+      .withColumn("__side", lit(1))
+    val rAligned = leftVals.foldLeft(rPacked) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lPacked.columns.map(col): _*)
+    val unioned = lPacked.unionByName(rAligned)
+    // order (ts, side): right rows precede left rows at equal ts, so a
+    // right row at exactly left.ts is visible (<= semantics)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLast = unioned
-      .withColumn("__r_ts",
-        last(when(col("__side") === 0, col(tsCol)), ignoreNulls = true).over(w))
-    val joined = rightVals.foldLeft(withLast) { (d, c) =>
-      d.withColumn(rightPrefix + c,
-        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    val tolOk =
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val rTs = col("__last_r").getField(tsCol)
+    val keep =
       if (toleranceNanos >= 0)
-        col("__r_ts").isNotNull && (col(tsCol) - col("__r_ts")) <= toleranceNanos
-      else lit(true)
-    val cleaned = joined.filter(col("__side") === 1)
-      .withColumn("__keep", tolOk)
-    val out = rightVals.foldLeft(
-      cleaned.withColumn(rightPrefix + tsCol,
-        when(col("__keep"), col("__r_ts")))) { (d, c) =>
-      d.withColumn(rightPrefix + c, when(col("__keep"), col(rightPrefix + c)))
-    }
+        col("__last_r").isNotNull && (col(tsCol) - rTs) <= toleranceNanos
+      else col("__last_r").isNotNull
+    val out = withLast.withColumn("__keep", keep)
     out.select(left.columns.map(col) ++
-      (tsCol +: rightVals.toSeq).map(c => col(rightPrefix + c)): _*)
+      (tsCol +: rightVals).map(c =>
+        when(col("__keep"), col("__last_r").getField(c))
+          .as(rightPrefix + c)): _*)
   }
 }

@@ -92,6 +92,33 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("r_bid")))
   }
 
+  test("asof join handles overlapping left/right column names") {
+    val l = Seq(("A", 10L, 1.0, 100L), ("A", 20L, 2.0, 101L))
+      .toDF("k", "ts", "value", "event_id")
+    val r = Seq(("A", 9L, 50.0, 900L), ("A", 15L, 60.0, 901L))
+      .toDF("k", "ts", "value", "event_id")
+    val out = TsOps.asofJoin(l, r, Seq("k")).orderBy("ts").collect()
+    // left's own columns intact, right payload prefixed
+    assert(out(0).getAs[Double]("value") == 1.0)
+    assert(out(0).getAs[Double]("r_value") == 50.0)
+    assert(out(0).getAs[Long]("r_event_id") == 900L)
+    assert(out(1).getAs[Double]("value") == 2.0)
+    assert(out(1).getAs[Double]("r_value") == 60.0)
+  }
+
+  test("sessionize splits on gap and is 1-based per key") {
+    val d = Seq(
+      ("u1", 0L), ("u1", 10L), ("u1", 200L), ("u1", 205L),
+      ("u2", 0L), ("u2", 500L)
+    ).toDF("user", "ts")
+    val out = TsOps.sessionize(d, 100L, Seq("user"))
+      .orderBy("user", "ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("u1", 0L, 1L), ("u1", 10L, 1L), ("u1", 200L, 2L), ("u1", 205L, 2L),
+      ("u2", 0L, 1L), ("u2", 500L, 2L)))
+  }
+
   test("asof join respects tolerance") {
     val l = Seq(("A", 100L, 1.0)).toDF("k", "ts", "px")
     val r = Seq(("A", 10L, 50.0)).toDF("k", "ts", "bid")
