@@ -36,7 +36,21 @@ final class Engine(val spark: SparkSession, val dbDir: String,
       if (d.blockList) Tables.blockListDf(spark, resolveDb(d.db), d.metricsFilter)
       else Tables.describeDf(spark, resolveDb(d.db), d.metricsFilter)
     case s: SearchMetrics =>
-      val raw = Tables.read(spark, resolveDb(s.db), s.metrics)
+      val db = resolveDb(s.db)
+      // force_sync_cloud ≈ REFRESH TABLE: re-list files, drop cached data
+      // (`storage/api/cloud_setting.rs`; cloud-path tables are just
+      // object-store URIs to Spark, so a refresh is the whole story)
+      if (s.forceSync) graft.storage.CacheRegistry.invalidate(spark, db, s.metrics)
+      // use_cache maps to the table-LRU (reference block cache analog).
+      // false = read fresh from disk: the cached plan must be dropped first,
+      // because Spark cache matching is plan-based — an equivalent scan
+      // would silently resolve to the InMemoryRelation otherwise.
+      val raw =
+        if (s.useCache) graft.storage.CacheRegistry.get(spark, db, s.metrics)
+        else {
+          graft.storage.CacheRegistry.invalidate(spark, db, s.metrics)
+          Tables.read(spark, db, s.metrics)
+        }
       require(raw.columns.contains("ts"),
         s"metrics '${s.metrics}' has no ts column")
       // positional aliasing: `with cols=[...]` renames value fields in schema
@@ -59,12 +73,11 @@ final class Engine(val spark: SparkSession, val dbDir: String,
         case Some(Limit.Tail(n)) => TsOps.groupedTail(filtered, n)
         case None                => filtered
       }
-      val cached = if (s.useCache) limited else limited // cache policy is caller's
       s.fieldSelectors match {
-        case Some(names) => cached.select(("ts" +: names).map(col): _*)
+        case Some(names) => limited.select(("ts" +: names).map(col): _*)
         case None =>
-          val order = "ts" +: cached.columns.filter(_ != "ts").toSeq
-          cached.select(order.map(col): _*)
+          val order = "ts" +: limited.columns.filter(_ != "ts").toSeq
+          limited.select(order.map(col): _*)
       }
   }
 

@@ -54,6 +54,7 @@ object Interpreter {
       tz: ZoneId,
       formatDatetime: Boolean,
       useCache: Boolean,
+      forceSync: Boolean,
       output: OutputCondition
   ) extends Interpreted
 
@@ -104,7 +105,8 @@ object Interpreter {
             Some(q.selectCols)
           }
         SearchMetrics(w.database, metrics, selectors, w.cols, range, limit,
-          zone, w.formatDatetime.getOrElse(true), w.useCache, out)
+          zone, w.formatDatetime.getOrElse(true), w.useCache,
+          w.forceSyncCloud, out)
     }
   }
 

@@ -1,0 +1,150 @@
+package graft.server
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{ServerSocket, Socket}
+import java.util.concurrent.Executors
+import org.apache.spark.sql.SparkSession
+
+import graft.ql.{Ast, Engine, Interpreter, Output}
+
+/** Remote-query server — the capability analog of the reference's Arrow
+  * Flight `DoGet` endpoint (`query/executor/interface/arrow_flight_server/`):
+  * a client ships query text, the server executes it and streams back a
+  * columnar batch. Transport here is line-framed JSON over TCP (no Arrow
+  * Flight dependency in this build): one request line
+  * `{"query": "..."}` (or a raw query line) → one response line
+  * `{"ok":true,"columns":{col:[...]}}` or `{"ok":false,"error":"..."}`.
+  *
+  * Concurrency: thread-per-connection; Spark schedules concurrent jobs from
+  * multiple threads fairly within the one session (same model as a Spark
+  * Thrift server).
+  */
+final class QueryServer(engine: Engine, port: Int = 0) {
+  @volatile private var server: Option[ServerSocket] = None
+  private val pool = Executors.newCachedThreadPool(r => {
+    val t = new Thread(r, "graft-server-conn"); t.setDaemon(true); t
+  })
+
+  def start(): Int = {
+    val ss = new ServerSocket(port)
+    server = Some(ss)
+    val acceptor = new Thread(() => {
+      try {
+        while (!ss.isClosed) {
+          val sock = ss.accept()
+          pool.submit(new Runnable { def run(): Unit = handle(sock) })
+        }
+      } catch { case _: java.net.SocketException => /* closed */ }
+    }, "graft-server-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    ss.getLocalPort
+  }
+
+  def stop(): Unit = {
+    server.foreach(_.close())
+    pool.shutdown()
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in  = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
+    val out = new PrintWriter(sock.getOutputStream, true)
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val query = parseRequest(line)
+        out.println(runQuery(query))
+        line = in.readLine()
+      }
+    } catch {
+      case _: java.io.IOException => // client went away
+    } finally sock.close()
+  }
+
+  /** Accept `{"query": "..."}` or a raw query line. */
+  private[server] def parseRequest(line: String): String = {
+    val t = line.trim
+    if (t.startsWith("{")) {
+      val m = """"query"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      m.findFirstMatchIn(t) match {
+        case Some(g) =>
+          g.group(1).replace("\\\"", "\"").replace("\\n", "\n")
+            .replace("\\t", "\t").replace("\\\\", "\\")
+        case None => t
+      }
+    } else t
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private[server] def runQuery(query: String): String =
+    try {
+      val iq = engine.interpret(query)
+      val df = engine.frame(iq)
+      val (tz, fmtDt) = iq match {
+        case s: Interpreter.SearchMetrics => (s.tz, s.formatDatetime)
+        case _ => (java.time.ZoneOffset.UTC: java.time.ZoneId, false)
+      }
+      val cols = Output.columnJson(df, tz, fmtDt)
+      s"""{"ok":true,"columns":$cols}"""
+    } catch {
+      case e: Ast.ParseException =>
+        s"""{"ok":false,"error":${jsonStr(e.getMessage)}}"""
+      case e: Interpreter.QueryException =>
+        s"""{"ok":false,"error":${jsonStr(e.getMessage)}}"""
+      case e: Exception =>
+        s"""{"ok":false,"error":${jsonStr(String.valueOf(e.getMessage))}}"""
+    }
+}
+
+object QueryServer {
+  /** `graft.server.QueryServer --db <dir> [--port n]` */
+  def main(args: Array[String]): Unit = {
+    var dbDir = "."
+    var port  = 51033 // reference Flight default port
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--db"   => dbDir = args(i + 1); i += 2
+        case "--port" => port = args(i + 1).toInt; i += 2
+        case _        => i += 1
+      }
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val actual = new QueryServer(new Engine(spark, dbDir), port).start()
+    System.err.println(s"[graft-server] listening on $actual (db=$dbDir)")
+    Thread.currentThread.join()
+  }
+}
+
+/** Client: ship a query to a running server, print the response
+  * (reference client mode, `arrow_flight_client/mod.rs`). */
+object QueryClient {
+  def main(args: Array[String]): Unit = {
+    val (hostPort, query) = args match {
+      case Array(hp, q) => (hp, q)
+      case _ =>
+        System.err.println("usage: QueryClient host:port \"query\"")
+        sys.exit(2)
+    }
+    val Array(host, p) = hostPort.split(":")
+    val sock = new Socket(host, p.toInt)
+    val out = new PrintWriter(sock.getOutputStream, true)
+    val in  = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
+    out.println(query.replace("\n", " "))
+    println(in.readLine())
+    sock.close()
+  }
+}

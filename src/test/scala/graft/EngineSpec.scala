@@ -97,12 +97,21 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("metrics") == "trades"))
   }
 
-  test("filter pushdown reaches the parquet scan") {
+  test("filter pushdown reaches the parquet scan (uncached path)") {
     val e = new Engine(spark, dbDir)
-    val df = e.frame("select * from trades where ts in ('2022-04-26', +1 day)")
+    val df = e.frame(
+      "with use_cache = false select * from trades where ts in ('2022-04-26', +1 day)")
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("PushedFilters") &&
       physical.contains("GreaterThanOrEqual(ts,"), physical)
+  }
+
+  test("default cached path reads from the table LRU") {
+    val e = new Engine(spark, dbDir)
+    val df = e.frame("select * from trades where ts in ('2022-04-26', +1 day)")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("InMemoryTableScan"), physical)
+    assert(graft.storage.CacheRegistry.size >= 1)
   }
 
   test("unknown metrics errors") {
