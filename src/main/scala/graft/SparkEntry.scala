@@ -142,6 +142,19 @@ object SparkEntry {
           max("value").as("max_v"), dsum(col("value")).as("sum_v"))
         .orderBy("bucket_ts")
     }),
+    "agg_downsample_gapfill" -> ((s, d) => {
+      val day = 86400L * 1000000000L
+      val ev = t(s, d, "events")
+      val agg = ev.groupBy(((floor(col("ts") / day)) * day).cast("long").as("bucket_ts"))
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"),
+          max("value").as("max_v"), dsum(col("value")).as("sum_v"))
+      TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
+        .orderBy("bucket_ts")
+    }),
+    "meta_describe_all" -> ((s, d) =>
+      Tables.describeDf(s, d, None)
+        .withColumn("from_ts", col("from_ts") - pmod(col("from_ts"), lit(1000L)))
+        .withColumn("end_ts", col("end_ts") - pmod(col("end_ts"), lit(1000L)))),
     "agg_event_type_stats" -> ((s, d) =>
       t(s, d, "events").groupBy("event_type")
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
@@ -217,6 +230,31 @@ object SparkEntry {
          |  count(*) AS n, min(value) AS min_v, max(value) AS max_v,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    "agg_downsample_gapfill" -> {
+      val day = 86400L * 1000000000L
+      s"""WITH buckets AS (
+         |  SELECT generate_series AS bucket_ts
+         |  FROM generate_series(${ns("2023-12-25")}, ${ns("2024-02-05") - 1}, $day)
+         |), a AS (
+         |  SELECT (epoch_ns(ts) // $day) * $day AS bucket_ts,
+         |    count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT b.bucket_ts, coalesce(a.n, 0) AS n, a.min_v, a.max_v, a.sum_v
+         |FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
+         |ORDER BY b.bucket_ts""".stripMargin
+    },
+    "meta_describe_all" -> {
+      val noTs = Seq("customer", "documents", "embeddings", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+      val rows = noTs.map(n =>
+        s"SELECT '$n' AS metrics, (SELECT count(*) FROM $n) AS row_num, " +
+          "CAST(NULL AS BIGINT) AS from_ts, CAST(NULL AS BIGINT) AS end_ts")
+      (rows :+ ("SELECT 'events' AS metrics, count(*) AS row_num, " +
+        "min(epoch_ns(ts)) AS from_ts, max(epoch_ns(ts)) AS end_ts FROM events"))
+        .mkString("", " UNION ALL ", " ORDER BY metrics")
+    },
     "agg_event_type_stats" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,

@@ -87,6 +87,25 @@ object TsOps {
         sum(valueCol).as("sum_v"))
   }
 
+  /** Densify a downsampled frame: emit one row per bucket in
+    * `[fromNanos, untilNanos)` even when no data landed there. Buckets come
+    * from `spark.range` (distributed, no driver-side materialization);
+    * `zeroFill` columns default to 0, everything else stays null in empty
+    * buckets. `fromNanos` must be bucket-aligned.
+    */
+  def fillGaps(agg: DataFrame, bucketNanos: Long, fromNanos: Long,
+      untilNanos: Long, bucketCol: String = "bucket_ts",
+      zeroFill: Seq[String] = Seq("n")): DataFrame = {
+    val spark = agg.sparkSession
+    val nBuckets = (untilNanos - fromNanos + bucketNanos - 1) / bucketNanos
+    val buckets = spark.range(nBuckets)
+      .select((col("id") * bucketNanos + fromNanos).as(bucketCol))
+    val joined = buckets.join(agg, Seq(bucketCol), "left_outer")
+    zeroFill.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+  }
+
   /** Gap-based sessionization: assign a per-key `session_idx` (1-based)
     * that increments whenever the gap to the previous event exceeds
     * `gapNanos`. One shuffle on (key); the lag/cumsum windows are

@@ -45,11 +45,13 @@ final class Engine(val spark: SparkSession, val dbDir: String,
       // false = read fresh from disk: the cached plan must be dropped first,
       // because Spark cache matching is plan-based — an equivalent scan
       // would silently resolve to the InMemoryRelation otherwise.
+      // uncached reads push the range onto the partition column too, so
+      // date-bucketed tables get directory pruning before footer stats
       val raw =
         if (s.useCache) graft.storage.CacheRegistry.get(spark, db, s.metrics)
         else {
           graft.storage.CacheRegistry.invalidate(spark, db, s.metrics)
-          Tables.read(spark, db, s.metrics)
+          Tables.readRange(spark, db, s.metrics, s.range.since, s.range.until)
         }
       require(raw.columns.contains("ts"),
         s"metrics '${s.metrics}' has no ts column")

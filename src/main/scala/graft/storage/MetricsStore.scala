@@ -43,6 +43,32 @@ object Tables {
     else df
   }
 
+  /** Range-aware read: applies the `[since, until)` ts predicate AND, for
+    * date-bucketed tables, the equivalent predicate on the `__day` partition
+    * column — directory-level pruning needs a filter on the partition column
+    * itself; the ts filter alone only prunes row-groups via footer stats.
+    */
+  def readRange(spark: SparkSession, dbDir: String, metrics: String,
+      since: Option[Long], until: Option[Long]): DataFrame = {
+    configure(spark)
+    val raw = spark.read.parquet(metricsPath(dbDir, metrics))
+    def dayStr(nanos: Long): String =
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(nanos, 86400L * 1000000000L)).toString
+    val tsConds =
+      since.map(s => col("ts") >= lit(s)).toSeq ++
+        until.map(u => col("ts") < lit(u)).toSeq
+    val dayConds =
+      if (raw.columns.contains(WritableStore.PartitionCol))
+        since.map(s => col(WritableStore.PartitionCol) >= lit(dayStr(s))).toSeq ++
+          until.map(u => col(WritableStore.PartitionCol) <= lit(dayStr(u - 1))).toSeq
+      else Nil
+    val filtered = (tsConds ++ dayConds).reduceOption(_ && _).fold(raw)(raw.filter)
+    if (raw.columns.contains(WritableStore.PartitionCol))
+      filtered.drop(WritableStore.PartitionCol)
+    else filtered
+  }
+
   /** All metrics names in the database dir (`.metrics` meta-table —
     * `query/executor/metrics_list.rs`). */
   def listMetrics(dbDir: String): Seq[String] = {

@@ -162,6 +162,40 @@ class TsOpsSpec extends AnyFunSuite {
     assert(vals == Seq(1L, 2L, 7L, 8L, 9L, 10L))
   }
 
+  test("date-partitioned store: round-trip + directory pruning in the plan") {
+    val dir = SparkTestBase.tempDir("graft-part")
+    val store = new WritableStore(spark, dir, "pm",
+      Seq(StructField("v", DoubleType)), partitionByDay = true)
+    val day = 86400L * 1000000000L
+    // three days of data, two points per day
+    store.pushMulti((0 until 6).map(i =>
+      DataPoint(19000L * day + (i / 2) * day + i, Seq(i.toDouble))))
+    store.persist()
+    val all = Tables.read(spark, dir, "pm")
+    assert(all.count() == 6)
+    assert(!all.columns.contains(WritableStore.PartitionCol))
+    // range read over the middle day only
+    val mid = Tables.readRange(spark, dir, "pm",
+      Some(19001L * day), Some(19002L * day))
+    assert(mid.orderBy("ts").collect().map(_.getDouble(1)).toSeq == Seq(2.0, 3.0))
+    // directory-level pruning: the day-range lands in PartitionFilters
+    // (executed scan reads only matching __day= dirs), ts range in
+    // PushedFilters for row-group skipping
+    val plan = mid.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(__day"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
+  }
+
+  test("fillGaps densifies empty buckets with zero counts") {
+    val d = Seq((0L, 1.0), (25L, 2.0)).toDF("ts", "value")
+    val agg = TsOps.downsample(d, 10L, "value")
+    val filled = TsOps.fillGaps(agg, 10L, 0L, 40L)
+      .orderBy("bucket_ts").collect()
+    assert(filled.map(_.getLong(0)).toSeq == Seq(0L, 10L, 20L, 30L))
+    assert(filled.map(_.getLong(1)).toSeq == Seq(1L, 0L, 1L, 0L))
+    assert(filled(1).isNullAt(filled(1).fieldIndex("min_v")))
+  }
+
   test("persist range-selects and later flush appends a second block") {
     val dir = SparkTestBase.tempDir("graft-store3")
     val store = new WritableStore(spark, dir, "m",
