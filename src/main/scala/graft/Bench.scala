@@ -10,8 +10,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "ql_range", "ql_head_limit", "agg_downsample_1h", "agg_event_type_stats",
+    "sessionize_stats", "asof_purchase_view", "json_props_stats",
     "tpch_q1", "join_revenue_by_nation", "window_top_orders",
-    "dedup_exact", "dedup_minhash_lsh", "text_quality", "knn_brute")
+    "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_pairs",
+    "text_quality", "knn_brute")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -80,6 +80,11 @@ object SparkEntry {
         .frame("with cols = [eid, uid, etype, val, props] " +
           "select eid, val from events where ts in ('2024-01-10', +2 days)"))
         .orderBy("ts", "eid")),
+    "ts_format_ns" -> ((s, d) =>
+      tsUs(t(s, d, "events").select("event_id", "ts"))
+        .select(col("event_id"),
+          graft.functions.FormatNanos.format_ns(col("ts")).as("iso"))
+        .orderBy("event_id")),
     "meta_metrics" -> ((s, d) => Tables.metricsDf(s, d)),
     "meta_describe_events" -> ((s, d) =>
       Tables.describeDf(s, d, Some("events"))
@@ -120,6 +125,9 @@ object SparkEntry {
         (s"SELECT epoch_ns(ts) AS ts, event_id AS eid, value AS val FROM events " +
           s"WHERE epoch_ns(ts) >= ${ns("2024-01-10")} AND epoch_ns(ts) < ${ns("2024-01-12")} " +
           "ORDER BY ts, eid"),
+      "ts_format_ns" ->
+        ("SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '000+00:00' AS iso " +
+          "FROM events ORDER BY event_id"),
       "meta_metrics" ->
         ("SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events')," +
           "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) " +
@@ -161,6 +169,32 @@ object SparkEntry {
           dsum(col("value")).as("sum_v"), min("value").as("min_v"),
           max("value").as("max_v"))
         .orderBy("event_type")),
+    "json_props_stats" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+    "stream_downsample" -> ((s, d) => {
+      // Structured Streaming rollup driven to completion (AvailableNow) and
+      // returned as the materialized memory-sink table; rows-only check
+      // (append mode holds back windows past the final watermark).
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      // file source wants a directory; pick the events file out of sfDir
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val agg = graft.streaming.StreamIngest.windowedDownsample(
+        src, "value", "1 hour", "2 hours")
+      val name = "stream_ds_out"
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(name).orderBy("bucket_start_us")
+    }),
     "tpch_q1" -> ((s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -259,6 +293,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_props_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.FormatNanos.format_ns
+import graft.model.TimeNano
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("format_ns renders RFC3339 with nanos, matches TimeNano reference") {
+    val ts = Seq(1650931200000000010L, 1650931260123456789L, 0L, -1L)
+    val df = ts.toDF("ts")
+    val utc = df.select(format_ns($"ts").as("s")).collect().map(_.getString(0))
+    assert(utc(0) == "2022-04-26T00:00:00.000000010+00:00")
+    assert(utc(1) == "2022-04-26T00:01:00.123456789+00:00")
+    assert(utc(2) == "1970-01-01T00:00:00.000000000+00:00")
+    assert(utc(3) == "1969-12-31T23:59:59.999999999+00:00")
+    val jst = df.select(format_ns($"ts", "+9").as("s")).collect().map(_.getString(0))
+    assert(jst(0) == "2022-04-26T09:00:00.000000010+09:00")
+    // agrees with the driver-side renderer on every value
+    val zone = TimeNano.resolveZone("+9")
+    assert(jst.toSeq == ts.map(TimeNano.formatNanos(_, zone)))
+  }
+
+  test("format_ns stays inside whole-stage codegen and handles nulls") {
+    // parquet-backed so the projection isn't constant-folded away
+    val ev = graft.storage.Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val out = ev.select(format_ns($"ts").as("s"))
+    // the starred node prefix marks whole-stage-codegen participation
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [format_ns"), plan)
+    assert(out.count() == 1000)
+    assert(out.collect().forall(_.getString(0).matches(
+      """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{9}\+00:00""")))
+    // null propagation
+    val rows = Seq(Some(1650931200000000010L), None).toDF("ts")
+      .select(format_ns($"ts").as("s")).collect()
+    assert(rows(0).getString(0).startsWith("2022-04-26"))
+    assert(rows(1).isNullAt(0))
+  }
+}
