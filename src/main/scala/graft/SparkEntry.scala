@@ -87,7 +87,8 @@ object SparkEntry {
         .orderBy("event_id")),
     "meta_metrics" -> ((s, d) => Tables.metricsDf(s, d)),
     "meta_describe_events" -> ((s, d) =>
-      Tables.describeDf(s, d, Some("events"))
+      // updated_at (file mtime) is engine surface but not oracle-stable
+      Tables.describeDf(s, d, Some("events")).drop("updated_at")
         .withColumn("from_ts", col("from_ts") - pmod(col("from_ts"), lit(1000L)))
         .withColumn("end_ts", col("end_ts") - pmod(col("end_ts"), lit(1000L))))
   )
@@ -133,7 +134,8 @@ object SparkEntry {
           "('lineitem'),('nation'),('orders'),('part'),('region'),('supplier')) " +
           "AS t(metrics) ORDER BY metrics"),
       "meta_describe_events" ->
-        ("SELECT 'events' AS metrics, count(*) AS row_num, " +
+        ("SELECT 'events' AS metrics, CAST(1 AS BIGINT) AS block_num, " +
+          "count(*) AS row_num, " +
           "min(epoch_ns(ts)) AS from_ts, max(epoch_ns(ts)) AS end_ts FROM events")
     )
   }
@@ -160,7 +162,7 @@ object SparkEntry {
         .orderBy("bucket_ts")
     }),
     "meta_describe_all" -> ((s, d) =>
-      Tables.describeDf(s, d, None)
+      Tables.describeDf(s, d, None).drop("updated_at")
         .withColumn("from_ts", col("from_ts") - pmod(col("from_ts"), lit(1000L)))
         .withColumn("end_ts", col("end_ts") - pmod(col("end_ts"), lit(1000L)))),
     "agg_event_type_stats" -> ((s, d) =>
@@ -251,7 +253,7 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok").asc)
         .limit(50)),
     "meta_block_list" -> ((s, d) =>
-      Tables.blockListDf(s, d, Some("events"))
+      Tables.blockListDf(s, d, Some("events")).drop("updated_at")
         .withColumn("block_start",
           col("block_start") - pmod(col("block_start"), lit(1000L)))
         .withColumn("block_end",
@@ -283,9 +285,11 @@ object SparkEntry {
       val noTs = Seq("customer", "documents", "embeddings", "lineitem",
         "nation", "orders", "part", "region", "supplier")
       val rows = noTs.map(n =>
-        s"SELECT '$n' AS metrics, (SELECT count(*) FROM $n) AS row_num, " +
+        s"SELECT '$n' AS metrics, CAST(1 AS BIGINT) AS block_num, " +
+          s"(SELECT count(*) FROM $n) AS row_num, " +
           "CAST(NULL AS BIGINT) AS from_ts, CAST(NULL AS BIGINT) AS end_ts")
-      (rows :+ ("SELECT 'events' AS metrics, count(*) AS row_num, " +
+      (rows :+ ("SELECT 'events' AS metrics, CAST(1 AS BIGINT) AS block_num, " +
+        "count(*) AS row_num, " +
         "min(epoch_ns(ts)) AS from_ts, max(epoch_ns(ts)) AS end_ts FROM events"))
         .mkString("", " UNION ALL ", " ORDER BY metrics")
     },

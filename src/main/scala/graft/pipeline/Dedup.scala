@@ -74,13 +74,19 @@ object Dedup {
     * Shuffle is keyed on (band, bucket) — within-bucket self-join only.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame = {
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame =
+    rawCandidates(df, idCol, textCol, bands, rowsPerBand, shingleSize).distinct()
+
+  /** Candidate pairs possibly repeated across bands — enough for a semi-join
+    * consumer; [[minhashCandidates]] adds the distinct for user-facing use. */
+  private def rawCandidates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleSize: Int): DataFrame = {
     val b = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize)
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, verified via
@@ -112,7 +118,8 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
       shingleSize: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, bands, rowsPerBand,
+    // band-duplicate pairs need no distinct: the verify semi-join dedups
+    val cands = rawCandidates(df, idCol, textCol, bands, rowsPerBand,
       shingleSize)
     jaccardVerify(df, cands, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)

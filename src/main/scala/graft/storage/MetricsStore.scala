@@ -93,22 +93,42 @@ object Tables {
     * `query/executor/describe_metrics.rs:9-113`). With aggregate pushdown the
     * min/max/count run footer-only.
     */
+  /** Data files + newest mtime (ns) for a metrics — `.describe`'s
+    * updated_at/block_num (reference block metadata,
+    * `describe_metrics.rs:95-112`). */
+  private def dataFiles(dbDir: String, metrics: String): Seq[File] = {
+    val root = new File(metricsPath(dbDir, metrics))
+    def walk(f: File): Seq[File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+    walk(root).filter(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+  }
+
+  private def fileStats(dbDir: String, metrics: String): (Long, Long) = {
+    val files = dataFiles(dbDir, metrics)
+    val mtimeNs = files.map(_.lastModified()).maxOption.getOrElse(0L) * 1000000L
+    (files.length.toLong, mtimeNs)
+  }
+
   def describeDf(spark: SparkSession, dbDir: String,
       metricsFilter: Option[String]): DataFrame = {
     configure(spark)
     val names = metricsFilter.fold(listMetrics(dbDir))(m => Seq(m))
     val frames = names.map { m =>
+      val (blockNum, updatedAt) = fileStats(dbDir, m)
       val df = read(spark, dbDir, m)
-      if (df.columns.contains("ts"))
-        df.agg(count(lit(1)).as("row_num"),
+      val base =
+        if (df.columns.contains("ts"))
+          df.agg(count(lit(1)).as("row_num"),
             min("ts").as("from_ts"), max("ts").as("end_ts"))
-          .select(lit(m).as("metrics"), col("row_num"), col("from_ts"),
-            col("end_ts"))
-      else
-        df.agg(count(lit(1)).as("row_num"))
-          .select(lit(m).as("metrics"), col("row_num"),
-            lit(null).cast("long").as("from_ts"),
-            lit(null).cast("long").as("end_ts"))
+        else
+          df.agg(count(lit(1)).as("row_num"))
+            .withColumn("from_ts", lit(null).cast("long"))
+            .withColumn("end_ts", lit(null).cast("long"))
+      base.select(lit(m).as("metrics"), lit(updatedAt).as("updated_at"),
+        lit(blockNum).as("block_num"), col("row_num"), col("from_ts"),
+        col("end_ts"))
     }
     frames.reduce(_.unionByName(_)).orderBy("metrics")
   }
@@ -126,29 +146,33 @@ object Tables {
       if (!df.columns.contains("ts")) None
       else Some {
         import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
         val perFile = df.groupBy(input_file_name().as("file"))
           .agg(count(lit(1)).as("row_num"),
             min("ts").as("block_start"), max("ts").as("block_end"))
+        // per-block updated_at from file mtimes, joined on unique part name
+        val mtimes = dataFiles(dbDir, m)
+          .map(f => (f.getName, f.lastModified() * 1000000L))
+          .toDF("fname", "updated_at")
         perFile
+          .withColumn("fname", element_at(split(col("file"), "/"), -1))
+          .join(broadcast(mtimes), Seq("fname"), "left_outer")
           .withColumn("seq",
             row_number().over(Window.orderBy(col("block_start"), col("file"))))
-          .select(lit(m).as("metrics"), col("seq"), col("row_num"),
-            col("block_start"), col("block_end"))
+          .select(lit(m).as("metrics"), col("updated_at"), col("seq"),
+            col("row_num"), col("block_start"), col("block_end"))
       }
     }
-    if (frames.isEmpty)
+    if (frames.isEmpty) {
+      import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("metrics",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("seq",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("row_num",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("block_start",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("block_end",
-            org.apache.spark.sql.types.LongType))))
-    else frames.reduce(_.unionByName(_)).orderBy("metrics", "seq")
+        StructType(Seq(
+          StructField("metrics", StringType),
+          StructField("updated_at", LongType),
+          StructField("seq", IntegerType),
+          StructField("row_num", LongType),
+          StructField("block_start", LongType),
+          StructField("block_end", LongType))))
+    } else frames.reduce(_.unionByName(_)).orderBy("metrics", "seq")
   }
 }
