@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits for the headline queries: the properties that keep
+  * each plan viable at 1000× the data — pushdown reaching the scan,
+  * broadcast for small dims, partial aggregation, no accidental cartesian
+  * products or single-partition windows.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
+
+  test("ql_range: ts predicate pushed to parquet OR cache-filtered") {
+    val p = plan("ql_range")
+    assert(p.contains("GreaterThanOrEqual(ts,") || // parquet pushdown
+      (p.contains("InMemoryTableScan") && p.contains("ts#")), p)
+  }
+
+  test("ts_scan_project: column-pruned read") {
+    // pruning shows as a 2-column parquet ReadSchema, or — when the table
+    // got plan-matched against a cached relation — a 2-column
+    // InMemoryTableScan (cache-level pruning)
+    val p = plan("ts_scan_project")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,value:double>") ||
+      p.matches("(?s).*InMemoryTableScan \\[event_id#\\d+L, value#\\d+\\].*"), p)
+  }
+
+  test("join_revenue_by_nation: nation broadcast, no shuffle for the dim") {
+    val p = plan("join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("agg queries use two-phase hash aggregation (map-side partial)") {
+    for (q <- Seq("agg_downsample_1h", "agg_event_type_stats", "tpch_q1")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q missing partial agg:\n$p")
+      assert(p.contains("HashAggregate"), s"$q not hash-aggregated:\n$p")
+    }
+  }
+
+  test("windowed queries partition their windows (no global window)") {
+    for (q <- Seq("window_top_orders", "sessionize_stats", "asof_purchase_view")) {
+      val p = plan(q)
+      // empty partition spec renders as 'Window [..., ORDER BY ...]' with
+      // no partitionBy clause and triggers the WindowExec warning; all our
+      // windows must carry a partition spec
+      assert(p.contains("hashpartitioning"), s"$q window not partitioned:\n$p")
+    }
+  }
+
+  test("knn_brute: the only cross join is the broadcast query fan-out") {
+    val p = plan("knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_jaccard_pairs: inverted-index joins, no cartesian product") {
+    val p = plan("dedup_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("grouped head threshold avoids a global-window plan") {
+    val df = SparkEntry.queries("ql_head_limit")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["), p) // threshold impl: filter, not window
+  }
+}

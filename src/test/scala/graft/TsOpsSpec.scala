@@ -128,6 +128,29 @@ class TsOpsSpec extends AnyFunSuite {
     assert(far(0).isNullAt(far(0).fieldIndex("r_bid")))
   }
 
+  test("salted join and skewed distinct count match unsalted results") {
+    import graft.operators.Skew
+    val rnd = new scala.util.Random(11)
+    // heavy-hitter key "hot" (80% of rows)
+    val big = (1 to 500).map { i =>
+      (if (rnd.nextDouble() < 0.8) "hot" else s"k${rnd.nextInt(10)}",
+        rnd.nextInt(40).toLong)
+    }.toDF("k", "v")
+    val small = Seq(("hot", 1.0), ("k1", 2.0), ("k2", 3.0)).toDF("k", "w")
+    val plain = big.join(small, "k").agg(sum("w"), count(lit(1)))
+      .collect()(0)
+    val salted = Skew.saltedJoin(big, small, Seq("k")).agg(sum("w"), count(lit(1)))
+      .collect()(0)
+    assert(plain.getDouble(0) == salted.getDouble(0))
+    assert(plain.getLong(1) == salted.getLong(1))
+
+    val want = big.groupBy("k").agg(countDistinct("v").as("v_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Skew.skewedDistinctCount(big, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("writable store: unsorted push → persist → sorted read, dup ts kept") {
     val dir = SparkTestBase.tempDir("graft-store")
     val store = new WritableStore(spark, dir, "test_metrics",
