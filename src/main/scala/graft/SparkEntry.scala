@@ -372,6 +372,21 @@ object SparkEntry {
       Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.3, bands = 16, rowsPerBand = 4, shingleSize = 3)
         .orderBy("id1", "id2")),
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, dims = 64, exact = true)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2")),
+    "dedup_embedding_lsh" -> ((s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, dims = 64, exact = false, numPlanes = 8)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2")),
+    "text_token_counts" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
@@ -447,6 +462,22 @@ object SparkEntry {
          |FROM p
          |WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id1, id2, round(cos, 6) AS cos FROM p
+        |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars_m,

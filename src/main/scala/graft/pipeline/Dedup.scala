@@ -148,6 +148,38 @@ object Dedup {
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicates: all pairs with cosine >= threshold.
+    *
+    * Candidates come from random-hyperplane LSH buckets (exact bucket +
+    * 1-bit flips, so pairs differing in <= 1 signature bit are compared);
+    * only candidates get the exact cosine. `exact = true` skips LSH and
+    * scores every pair via a broadcast cross join — the small-corpus /
+    * oracle-comparable path.
+    */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dims: Int, exact: Boolean = false,
+      numPlanes: Int = 12, seed: Int = 42): DataFrame = {
+    val l = df.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val r = df.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
+    val pairs =
+      if (exact) l.join(broadcast(r), col("id1") < col("id2"))
+      else {
+        val sig1 = Similarity.rhpSignature(col("__v1"), dims, numPlanes, seed)
+        val sig2 = Similarity.rhpSignature(col("__v2"), dims, numPlanes, seed)
+        val lb = l.withColumn("__sig0", sig1)
+          .select(col("id1"), col("__v1"), explode(array(
+            (col("__sig0") +: (0 until numPlanes).map(p =>
+              col("__sig0").bitwiseXOR(lit(1 << p)))): _*)).as("__sig"))
+        val rb = r.withColumn("__sig", sig2)
+        lb.join(rb, Seq("__sig")).filter(col("id1") < col("id2"))
+          .select("id1", "__v1", "id2", "__v2").distinct()
+      }
+    pairs
+      .withColumn("cos", Similarity.cosine(col("__v1"), col("__v2")))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+
   /** 64-bit SimHash over token hashes: sign-sum of each bit position across
     * the document's tokens. Implemented as a typed [[Aggregator]] over
     * (id, tokenHash) pairs — a single map-side-combinable aggregation.

@@ -19,6 +19,17 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish token estimate: letter runs, digit runs, and individual
+    * non-alphanumeric glyphs each count as one token — the standard cheap
+    * proxy for subword-tokenizer counts (a real BPE vocab would merge/split
+    * further; this bounds the count without shipping a vocab). Mirrors the
+    * DuckDB oracle expression
+    * `len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))`.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"),
+      lit(0)))
+
   /** Distinct-token array (set semantics, original order dropped). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 

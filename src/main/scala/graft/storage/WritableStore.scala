@@ -74,8 +74,28 @@ final class WritableStore(
     toDf(buffer.toSeq)
   }
 
+  /** Coerce a pushed value to its declared field type. Scala harmonizes
+    * mixed numeric Seq literals (`Seq(1L, 1.0)` becomes `Seq[Double]`), so
+    * boxed types at the push site routinely drift from the schema; ingest
+    * normalizes instead of failing deep inside the row encoder. */
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _)                  => null
+    case (n: Number, LongType)      => n.longValue()
+    case (n: Number, DoubleType)    => n.doubleValue()
+    case (n: Number, IntegerType)   => n.intValue()
+    case (n: Number, FloatType)     => n.floatValue()
+    case (n: Number, ShortType)     => n.shortValue()
+    case (n: Number, ByteType)      => n.byteValue()
+    case (other, _)                 => other
+  }
+
   private def toDf(dps: Seq[DataPoint]): DataFrame = {
-    val rows = dps.map(dp => Row.fromSeq(dp.tsNanos +: dp.fields))
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rows = dps.map { dp =>
+      val vals = (dp.tsNanos +: dp.fields).zip(fieldTypes)
+        .map { case (v, dt) => coerce(v, dt) }
+      Row.fromSeq(vals)
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.length / 500000 + 1)),
       schema)

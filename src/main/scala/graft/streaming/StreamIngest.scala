@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -37,6 +37,72 @@ object StreamIngest {
       .select(
         unix_micros(col("window.start")).as("bucket_start_us"),
         col("n"), col("min_v"), col("max_v"), col("sum_v"))
+  }
+
+  /** Input row for [[statefulSessionize]]: ns event time + key + value.
+    * Carries the derived µs event-time column too — the watermark attribute
+    * must flow into the stateful operator for EventTimeTimeout. */
+  final case class SessEvent(user_id: Long, ts: Long, value: Double,
+      __event_time: java.sql.Timestamp)
+
+  /** Open-session state carried between micro-batches. */
+  final case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, sum_v: Double)
+
+  /** Streaming gap-sessionization with custom state
+    * (`flatMapGroupsWithState`): per user, events extend the open session
+    * while gaps stay <= `gapNanos`; a larger gap (or event-time timeout
+    * once the watermark passes last+gap) closes and emits the session.
+    *
+    * State is one [[SessState]] per active user — bounded by active-key
+    * cardinality, evicted via timeouts; the batch analog is
+    * `TsOps.sessionize`.
+    */
+  def statefulSessionize(df: DataFrame, gapNanos: Long,
+      lateness: String = "10 minutes"): Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withTime = withEventTime(df.select("user_id", "ts", "value"))
+    val ds = withTime.withWatermark("__event_time", lateness)
+      .select(col("user_id"), col("ts"), col("value"), col("__event_time"))
+      .as[SessEvent]
+
+    def fn(userId: Long, events: Iterator[SessEvent],
+        state: GroupState[SessState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = state.getOption
+      if (state.hasTimedOut) {
+        cur.foreach(s =>
+          out += SessionOut(userId, s.start, s.last, s.n, s.sum))
+        state.remove()
+      } else {
+        for (e <- events.toSeq.sortBy(_.ts)) {
+          cur match {
+            case Some(s) if e.ts - s.last <= gapNanos =>
+              cur = Some(SessState(s.start, math.max(s.last, e.ts),
+                s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              out += SessionOut(userId, s.start, s.last, s.n, s.sum)
+              cur = Some(SessState(e.ts, e.ts, 1L, e.value))
+            case None =>
+              cur = Some(SessState(e.ts, e.ts, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close once the watermark passes the session gap
+          state.setTimeoutTimestamp((s.last + gapNanos) / 1000000L + 1L)
+        }
+      }
+      out.iterator
+    }
+
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Persist a stream to a metrics dir as sorted parquet blocks: one block
