@@ -387,6 +387,10 @@ object SparkEntry {
         Text.tokenCount(col("text")).cast("long").as("n_tokens"),
         Text.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
         .orderBy("doc_id")),
+    "pipeline_curate" -> ((s, d) =>
+      graft.pipeline.Pipelines.curate(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "lang_pred", "n_tokens")
+        .orderBy("doc_id")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashCandidates(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
@@ -432,6 +436,19 @@ object SparkEntry {
         .orderBy("media_id"))
   )
 
+  private def langScoreSql(words: Seq[String]): String =
+    s"CAST(len(list_filter($DuckToks, x -> list_contains([" +
+      words.map(w => s"'$w'").mkString(",") + s"], x))) AS BIGINT)"
+
+  private def langCaseSql: String =
+    """CASE
+      |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+      |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+      |    WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+      |    WHEN s_fr > 0 THEN 'fr'
+      |    ELSE 'und'
+      |  END""".stripMargin
+
   /** DuckDB-side tokenizer (must mirror [[Text.tokens]]). */
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -462,6 +479,44 @@ object SparkEntry {
          |FROM p
          |WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3
          |ORDER BY id1, id2""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id, text, CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |    ${langScoreSql(Text.StopwordsDe)} AS s_de,
+         |    ${langScoreSql(Text.StopwordsEn)} AS s_en,
+         |    ${langScoreSql(Text.StopwordsEs)} AS s_es,
+         |    ${langScoreSql(Text.StopwordsFr)} AS s_fr
+         |  FROM documents
+         |), kept AS (
+         |  SELECT doc_id, text, n_tokens, $langCaseSql AS lang_pred
+         |  FROM feat WHERE n_tokens BETWEEN 20 AND 70
+         |), fp AS (
+         |  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+         |  FROM kept
+         |), ex AS (
+         |  SELECT * FROM fp
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+         |), t2 AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM ex
+         |), sh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS s
+         |  FROM t2
+         |), e AS (
+         |  SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh
+         |), p AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |         count(*) AS shared
+         |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |), drops AS (
+         |  SELECT DISTINCT id2 FROM p
+         |  WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3
+         |)
+         |SELECT doc_id, lang_pred, n_tokens FROM ex
+         |WHERE doc_id NOT IN (SELECT id2 FROM drops)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
