@@ -26,6 +26,21 @@ final class Engine(val spark: SparkSession, val dbDir: String,
   def interpret(query: String): Interpreted =
     Interpreter.interpret(QueryParser.parse(query), now())
 
+  /** Full Spark SQL over the same metrics tables (each registered as a temp
+    * view), alongside the dialect — the reference's surface is the dialect;
+    * SQL is the engine's native superset (SURVEY §2.4). Also registers
+    * `format_ns(ts)` for ns rendering in SQL.
+    */
+  def sql(query: String): DataFrame = {
+    Tables.listMetrics(dbDir).foreach { m =>
+      Tables.read(spark, dbDir, m).createOrReplaceTempView(m)
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "format_ns",
+      exprs => graft.functions.FormatNanos(exprs.head, "UTC"), "scala_udf")
+    spark.sql(query)
+  }
+
   /** Compile a dialect query to a DataFrame (no output formatting). */
   def frame(query: String): DataFrame = frame(interpret(query))
 

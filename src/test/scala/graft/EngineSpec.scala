@@ -114,6 +114,15 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.storage.CacheRegistry.size >= 1)
   }
 
+  test("spark.sql superset over the same tables, with format_ns registered") {
+    val e = new Engine(spark, dbDir)
+    val rows = e.sql(
+      "SELECT format_ns(ts) AS iso, price FROM trades " +
+        "WHERE ts >= 1650931200000000000 ORDER BY ts").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getString(0) == "2022-04-26T00:00:00.000000010+00:00")
+  }
+
   test("unknown metrics errors") {
     val e = new Engine(spark, dbDir)
     assertThrows[IllegalArgumentException](
