@@ -161,6 +161,15 @@ object SparkEntry {
       TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
         .orderBy("bucket_ts")
     }),
+    "agg_downsample_locf" -> ((s, d) => {
+      val day = 86400L * 1000000000L
+      val ev = t(s, d, "events")
+      val agg = ev.groupBy(((floor(col("ts") / day)) * day).cast("long").as("bucket_ts"))
+        .agg(count(lit(1)).as("n"), min("value").as("min_v"),
+          max("value").as("max_v"), dsum(col("value")).as("sum_v"))
+      val filled = TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
+      TsOps.locf(filled, Seq("min_v", "max_v", "sum_v")).orderBy("bucket_ts")
+    }),
     "meta_describe_all" -> ((s, d) =>
       Tables.describeDf(s, d, None).drop("updated_at")
         .withColumn("from_ts", col("from_ts") - pmod(col("from_ts"), lit(1000L)))
@@ -280,6 +289,28 @@ object SparkEntry {
          |SELECT b.bucket_ts, coalesce(a.n, 0) AS n, a.min_v, a.max_v, a.sum_v
          |FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
          |ORDER BY b.bucket_ts""".stripMargin
+    },
+    "agg_downsample_locf" -> {
+      val day = 86400L * 1000000000L
+      s"""WITH buckets AS (
+         |  SELECT generate_series AS bucket_ts
+         |  FROM generate_series(${ns("2023-12-25")}, ${ns("2024-02-05") - 1}, $day)
+         |), a AS (
+         |  SELECT (epoch_ns(ts) // $day) * $day AS bucket_ts,
+         |    count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         |  FROM events GROUP BY 1
+         |), filled AS (
+         |  SELECT b.bucket_ts, coalesce(a.n, 0) AS n, a.min_v, a.max_v, a.sum_v
+         |  FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
+         |)
+         |SELECT bucket_ts, n,
+         |  last_value(min_v IGNORE NULLS) OVER w AS min_v,
+         |  last_value(max_v IGNORE NULLS) OVER w AS max_v,
+         |  last_value(sum_v IGNORE NULLS) OVER w AS sum_v
+         |FROM filled
+         |WINDOW w AS (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING)
+         |ORDER BY bucket_ts""".stripMargin
     },
     "meta_describe_all" -> {
       val noTs = Seq("customer", "documents", "embeddings", "lineitem",

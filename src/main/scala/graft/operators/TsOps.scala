@@ -106,6 +106,43 @@ object TsOps {
     }
   }
 
+  /** Forward-fill nulls in `valueCols` over bucket order (LOCF — the
+    * standard resample fill). Global bucket order uses a single-partition
+    * window over the (small) bucket axis when `keyCols` is empty; pass key
+    * columns for per-series fills at scale.
+    */
+  def locf(df: DataFrame, valueCols: Seq[String], keyCols: Seq[String] = Nil,
+      orderCol: String = "bucket_ts"): DataFrame = {
+    val w0 = if (keyCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val w = w0.rowsBetween(Window.unboundedPreceding, 0)
+    valueCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Linear interpolation of null buckets between known neighbors; edges
+    * stay null (no extrapolation). Two windows (prev/next known value and
+    * position) + one arithmetic projection.
+    */
+  def interpolate(df: DataFrame, valueCol: String, keyCols: Seq[String] = Nil,
+      orderCol: String = "bucket_ts"): DataFrame = {
+    val base = if (keyCols.isEmpty) Window.orderBy(col(orderCol))
+      else Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    val back  = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd   = base.rowsBetween(0, Window.unboundedFollowing)
+    val vKnownTs = when(col(valueCol).isNotNull, col(orderCol))
+    val prevV = last(col(valueCol), ignoreNulls = true).over(back)
+    val prevT = last(vKnownTs, ignoreNulls = true).over(back)
+    val nextV = first(col(valueCol), ignoreNulls = true).over(fwd)
+    val nextT = first(vKnownTs, ignoreNulls = true).over(fwd)
+    df.withColumn(valueCol,
+      when(col(valueCol).isNotNull, col(valueCol))
+        .when(prevV.isNotNull && nextV.isNotNull,
+          prevV + (nextV - prevV) *
+            ((col(orderCol) - prevT).cast("double") / (nextT - prevT))))
+  }
+
   /** Gap-based sessionization: assign a per-key `session_idx` (1-based)
     * that increments whenever the gap to the previous event exceeds
     * `gapNanos`. One shuffle on (key); the lag/cumsum windows are

@@ -219,6 +219,21 @@ class TsOpsSpec extends AnyFunSuite {
     assert(filled(1).isNullAt(filled(1).fieldIndex("min_v")))
   }
 
+  test("locf forward-fills and interpolate is linear with null edges") {
+    val d = Seq[(Long, Option[Double])](
+      (0L, None), (10L, Some(2.0)), (20L, None), (30L, None),
+      (40L, Some(8.0)), (50L, None)
+    ).toDF("bucket_ts", "v")
+    val filled = TsOps.locf(d, Seq("v")).orderBy("bucket_ts").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(filled.toSeq == Seq(None, Some(2.0), Some(2.0), Some(2.0),
+      Some(8.0), Some(8.0)))
+    val interp = TsOps.interpolate(d, "v").orderBy("bucket_ts").collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(interp.toSeq == Seq(None, Some(2.0), Some(4.0), Some(6.0),
+      Some(8.0), None))
+  }
+
   test("persist range-selects and later flush appends a second block") {
     val dir = SparkTestBase.tempDir("graft-store3")
     val store = new WritableStore(spark, dir, "m",
