@@ -123,6 +123,19 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(0).getString(0) == "2022-04-26T00:00:00.000000010+00:00")
   }
 
+  test("db= with-clause resolves a database subdirectory") {
+    val root = SparkTestBase.tempDir("graft-dbroot")
+    val store = new WritableStore(spark,
+      new java.io.File(root, "mydb").getPath, "m",
+      Seq(StructField("v", DoubleType)))
+    store.pushMulti(Seq(DataPoint(1650931200L * 1000000000L, Seq(1.5))))
+    store.persist()
+    val e = new Engine(spark, root)
+    val df = e.frame(
+      "with db = mydb, use_cache = false select * from m where ts >= '2020-01-01'")
+    assert(df.collect().map(_.getDouble(1)).toSeq == Seq(1.5))
+  }
+
   test("unknown metrics errors") {
     val e = new Engine(spark, dbDir)
     assertThrows[IllegalArgumentException](
