@@ -161,6 +161,14 @@ object SparkEntry {
       TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
         .orderBy("bucket_ts")
     }),
+    "rolling_24h_stats" -> ((s, d) => {
+      // rolling window on µs-truncated ts so the oracle sees identical gaps
+      val ev = tsUs(t(s, d, "events")).select("event_id", "ts", "user_id", "value")
+      TsOps.rollingAgg(ev, 24L * 3600 * 1000000000L, "value", Seq("user_id"))
+        .select("event_id", "ts", "user_id", "value", "roll_n", "roll_sum",
+          "roll_min", "roll_max")
+        .orderBy("event_id")
+    }),
     "agg_downsample_locf" -> ((s, d) => {
       val day = 86400L * 1000000000L
       val ev = t(s, d, "events")
@@ -290,6 +298,16 @@ object SparkEntry {
          |FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
          |ORDER BY b.bucket_ts""".stripMargin
     },
+    "rolling_24h_stats" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, user_id, value,
+        |  count(*) OVER w AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "agg_downsample_locf" -> {
       val day = 86400L * 1000000000L
       s"""WITH buckets AS (

@@ -106,6 +106,22 @@ object TsOps {
     }
   }
 
+  /** Rolling time-range aggregates: for every row, count/sum/avg of
+    * `valueCol` over `[ts - windowNanos, ts]` within the same key — the
+    * classic sliding-window TS analytic, as a range-frame window (one
+    * shuffle on the key, no self-join).
+    */
+  def rollingAgg(df: DataFrame, windowNanos: Long, valueCol: String,
+      keyCols: Seq[String], tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rangeBetween(-windowNanos, 0)
+    df.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum",
+        sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("roll_min", min(valueCol).over(w))
+      .withColumn("roll_max", max(valueCol).over(w))
+  }
+
   /** Forward-fill nulls in `valueCols` over bucket order (LOCF — the
     * standard resample fill). Global bucket order uses a single-partition
     * window over the (small) bucket axis when `keyCols` is empty; pass key
