@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "ql_range", "ql_head_limit", "agg_downsample_1h", "agg_event_type_stats",
-    "sessionize_stats", "asof_purchase_view", "json_props_stats",
+    "sessionize_stats", "asof_purchase_view", "rolling_24h_stats",
+    "json_props_stats", "pipeline_curate",
     "tpch_q1", "join_revenue_by_nation", "window_top_orders",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_pairs",
     "text_quality", "knn_brute")
