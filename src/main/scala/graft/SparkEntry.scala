@@ -478,6 +478,22 @@ object SparkEntry {
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
     }),
+    "knn_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val assigned = Similarity.ivfAssign(emb, cents)
+      Similarity.ivfKnn(assigned, cents, q, k = 5, nprobe = 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+    "multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id", "text"), 4)
+        .select("media_id", "frame_idx", "frame_key")
+        .orderBy("media_id", "frame_idx")),
     "multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id", "text"))

@@ -122,4 +122,32 @@ object Similarity {
     scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col(idCol), col(vecCol), col(cidCol))
   }
+
+  /** IVF probe: top-k per query scoring only vectors whose cell is among
+    * the query's `nprobe` nearest centroids — the classic two-level ANN.
+    * `assigned` is [[ivfAssign]] output (id, vec, cid); at scale it is the
+    * stored, cell-partitioned corpus and the join prunes to `nprobe`
+    * partitions per query.
+    */
+  def ivfKnn(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cidCol: String = "cid", cvecCol: String = "cvec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      excludeSelf: Boolean = true): DataFrame = {
+    // query → its nprobe nearest cells
+    val qScored = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qc", cosine(col(qvecCol), col(cvecCol)))
+    val wq = Window.partitionBy(qidCol).orderBy(col("__qc").desc, col(cidCol).asc)
+    val qCells = qScored.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col(cidCol))
+    val cands = assigned.join(broadcast(qCells), Seq(cidCol))
+      .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
+      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
 }
