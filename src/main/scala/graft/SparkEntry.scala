@@ -164,7 +164,15 @@ object SparkEntry {
     "rolling_24h_stats" -> ((s, d) => {
       // rolling window on µs-truncated ts so the oracle sees identical gaps
       val ev = tsUs(t(s, d, "events")).select("event_id", "ts", "user_id", "value")
-      TsOps.rollingAgg(ev, 24L * 3600 * 1000000000L, "value", Seq("user_id"))
+      val win = 24L * 3600 * 1000000000L
+      // decimal-cast parity sum belongs to the oracle-facing query, not the
+      // library operator (TsOps.rollingAgg sums the raw column); same window
+      // spec, so Catalyst folds both sums into one Window node
+      val w = Window.partitionBy("user_id").orderBy(col("ts"))
+        .rangeBetween(-win, 0)
+      TsOps.rollingAgg(ev, win, "value", Seq("user_id"))
+        .withColumn("roll_sum",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
         .select("event_id", "ts", "user_id", "value", "roll_n", "roll_sum",
           "roll_min", "roll_max")
         .orderBy("event_id")

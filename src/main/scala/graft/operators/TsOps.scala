@@ -116,8 +116,7 @@ object TsOps {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
       .rangeBetween(-windowNanos, 0)
     df.withColumn("roll_n", count(lit(1)).over(w))
-      .withColumn("roll_sum",
-        sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
       .withColumn("roll_min", min(valueCol).over(w))
       .withColumn("roll_max", max(valueCol).over(w))
   }

@@ -67,12 +67,36 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     if (t.startsWith("{")) {
       val m = """"query"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       m.findFirstMatchIn(t) match {
-        case Some(g) =>
-          g.group(1).replace("\\\"", "\"").replace("\\n", "\n")
-            .replace("\\t", "\t").replace("\\\\", "\\")
-        case None => t
+        case Some(g) => unescapeJson(g.group(1))
+        case None    => t
       }
     } else t
+  }
+
+  /** JSON string unescape, single left-to-right scan — chained
+    * `String.replace` calls corrupt sequences like `\\n` (escaped backslash
+    * followed by 'n') because earlier replacements consume characters that a
+    * later rule would have needed intact. */
+  private[server] def unescapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'  => sb.append('\n'); i += 2
+          case 't'  => sb.append('\t'); i += 2
+          case 'r'  => sb.append('\r'); i += 2
+          case 'b'  => sb.append('\b'); i += 2
+          case 'f'  => sb.append('\f'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2 // covers \" \\ \/ verbatim
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private def jsonStr(s: String): String =

@@ -24,6 +24,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // min/max/count meta-queries answered from parquet footers
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // the engine's time model is UTC epoch-nanos; pin the session so no
+    // date/timestamp rendering ever depends on the host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   def metricsPath(dbDir: String, metrics: String): String = {

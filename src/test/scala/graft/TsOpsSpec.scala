@@ -209,6 +209,33 @@ class TsOpsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
   }
 
+  test("date partition boundary rows land in the exact epoch day") {
+    val dir = SparkTestBase.tempDir("graft-part-edge")
+    val store = new WritableStore(spark, dir, "pe",
+      Seq(StructField("v", DoubleType)), partitionByDay = true)
+    val day = 86400L * 1000000000L
+    val mid = 19000L * day // a midnight; ts±1ns exceeds double's exact range
+    store.pushMulti(Seq(
+      DataPoint(mid - 1L, Seq(1.0)),
+      DataPoint(mid, Seq(2.0)),
+      DataPoint(mid + 1L, Seq(3.0))))
+    store.persist()
+    val dirs = new java.io.File(dir, "pe").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    val d0 = java.time.LocalDate.ofEpochDay(18999).toString
+    val d1 = java.time.LocalDate.ofEpochDay(19000).toString
+    assert(dirs == Seq(s"__day=$d0", s"__day=$d1"))
+    // a read of only the earlier day must see the ns-before-midnight row:
+    // double-rounded day derivation used to misfile it into d1, where the
+    // partition pruning of this very query silently dropped it
+    val prevDay = Tables.readRange(spark, dir, "pe", Some(mid - day), Some(mid))
+      .collect().map(_.getDouble(1)).toSeq
+    assert(prevDay == Seq(1.0))
+    val crossing = Tables.readRange(spark, dir, "pe", Some(mid - 1), Some(mid + 2))
+      .orderBy("ts").collect().map(_.getDouble(1)).toSeq
+    assert(crossing == Seq(1.0, 2.0, 3.0))
+  }
+
   test("fillGaps densifies empty buckets with zero counts") {
     val d = Seq((0L, 1.0), (25L, 2.0)).toDF("ts", "value")
     val agg = TsOps.downsample(d, 10L, "value")
