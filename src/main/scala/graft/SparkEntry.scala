@@ -539,8 +539,13 @@ object SparkEntry {
          |    [array_to_string(toks[i:i+2], ' ')
          |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
          |  FROM t
+         |), e0 AS (
+         |  SELECT doc_id, unnest(sh) AS tok FROM s
+         |), stop AS (
+         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) > 20
          |), e AS (
-         |  SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM s
+         |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
+         |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
          |), p AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
          |         count(*) AS shared
@@ -576,8 +581,13 @@ object SparkEntry {
          |    [array_to_string(toks[i:i+2], ' ')
          |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS s
          |  FROM t2
+         |), e0 AS (
+         |  SELECT doc_id, unnest(s) AS tok FROM sh
+         |), stop AS (
+         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) > 20
          |), e AS (
-         |  SELECT doc_id, len(s) AS n, unnest(s) AS tok FROM sh
+         |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
+         |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
          |), p AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
          |         count(*) AS shared

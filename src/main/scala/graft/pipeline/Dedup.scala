@@ -89,24 +89,53 @@ object Dedup {
       .select("id1", "id2")
   }
 
+  /** Default document-frequency cap for shingle-based similarity. Shingles
+    * appearing in more documents than this are boilerplate ("terms of
+    * service …"): they emit O(df²) rows in the inverted-index self-join while
+    * carrying near-zero similarity signal — at corpus scale one hot shingle
+    * is a job-killer. Capped shingles are dropped from both the numerator and
+    * the denominator (Jaccard over the filtered vocabulary), the standard
+    * stop-shingle guard; pass 0 to disable.
+    */
+  val DefaultMaxShingleDf = 20
+
+  /** Exploded shingle rows (id1-able `__id`, kept-vocabulary size `__n`,
+    * shingle `__tok`) with document-frequency > `maxDf` stop-shingles
+    * removed. The stop list is tiny (only boilerplate qualifies) →
+    * broadcast anti-join; the df count is one map-side-combinable shuffle.
+    */
+  private def cappedExploded(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+    val exploded = sets.select(col("__id"), explode(col("__set")).as("__tok"))
+    val kept =
+      if (maxDf <= 0) exploded
+      else {
+        val stop = exploded.groupBy("__tok")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select("__tok")
+        exploded.join(broadcast(stop), Seq("__tok"), "left_anti")
+      }
+    kept.withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs, verified via
     * explode+join token-shingle co-counts — never materializes a cross
-    * product. `pairs` must have columns (id1, id2).
+    * product. `pairs` must have columns (id1, id2). Jaccard is computed over
+    * the df-capped shingle vocabulary (see [[DefaultMaxShingleDf]]).
     */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleSize)
-      .withColumn("__n", size(col("__set")))
-    val exploded = sets.select(col("__id"), col("__n"),
-      explode(col("__set")).as("__tok"))
-    val shared = exploded.select(col("__id").as("id1"), col("__tok"))
-      .join(exploded.select(col("__id").as("id2"), col("__tok")), Seq("__tok"))
+      textCol: String, shingleSize: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+    e.select(col("__id").as("id1"), col("__n").as("n1"), col("__tok"))
+      .join(e.select(col("__id").as("id2"), col("__n").as("n2"), col("__tok")),
+        Seq("__tok"))
       .filter(col("id1") < col("id2"))
       .join(pairs, Seq("id1", "id2"), "left_semi")
-      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sets.select(col("__id").as("id1"), col("__n").as("n1")), Seq("id1"))
-      .join(sets.select(col("__id").as("id2"), col("__n").as("n2")), Seq("id2"))
+      .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("n1") + col("n2") - col("shared")))
@@ -117,27 +146,26 @@ object Dedup {
     * exact verify. The canonical fuzzy-dedup pipeline. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // band-duplicate pairs need no distinct: the verify semi-join dedups
     val cands = rawCandidates(df, idCol, textCol, bands, rowsPerBand,
       shingleSize)
-    jaccardVerify(df, cands, idCol, textCol, shingleSize)
+    jaccardVerify(df, cands, idCol, textCol, shingleSize, maxShingleDf)
       .filter(col("jaccard") >= threshold)
   }
 
   /** Exact all-pairs n-gram Jaccard >= threshold via shingle inverted index
-    * (no LSH, no cross join): explode shingles → co-count pairs sharing at
-    * least one shingle → Jaccard filter. Exactly reproducible in SQL — used
-    * as the DuckDB-oracle near-dup query.
+    * (no LSH, no cross join): explode shingles → df-cap stop-shingles →
+    * co-count pairs sharing at least one kept shingle → Jaccard filter.
+    * Exactly reproducible in SQL — used as the DuckDB-oracle near-dup query.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleSize: Int = 3): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleSize)
-      .withColumn("__n", size(col("__set")))
-    val exploded = sets.select(col("__id"), col("__n"),
-      explode(col("__set")).as("__tok"))
-    val l = exploded.select(col("__id").as("id1"), col("__n").as("n1"), col("__tok"))
-    val r = exploded.select(col("__id").as("id2"), col("__n").as("n2"), col("__tok"))
+      threshold: Double, shingleSize: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+    val l = e.select(col("__id").as("id1"), col("__n").as("n1"), col("__tok"))
+    val r = e.select(col("__id").as("id2"), col("__n").as("n2"), col("__tok"))
     l.join(r, Seq("__tok"))
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2", "n1", "n2")

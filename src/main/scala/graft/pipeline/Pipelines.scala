@@ -18,7 +18,8 @@ object Pipelines {
 
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 70,
-      nearDupThreshold: Double = 0.3, shingleSize: Int = 3): DataFrame = {
+      nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
+      maxShingleDf: Int = Dedup.DefaultMaxShingleDf): DataFrame = {
     val feats = Text.langId(Text.qualityFeatures(df, textCol), textCol)
     val kept = feats.filter(col("n_tokens").between(minTokens, maxTokens))
     // exact dedup: keep the smallest id per normalized fingerprint
@@ -28,7 +29,7 @@ object Pipelines {
     val exactKept = reps.join(keepIds, Seq(idCol), "left_semi").drop("__fp")
     // near-dup removal among survivors: drop the larger id of each pair
     val dropIds = Dedup.jaccardPairs(exactKept, idCol, textCol,
-        nearDupThreshold, shingleSize)
+        nearDupThreshold, shingleSize, maxShingleDf)
       .select(col("id2").as(idCol)).distinct()
     exactKept.join(dropIds, Seq(idCol), "left_anti")
   }
