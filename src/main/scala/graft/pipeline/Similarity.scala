@@ -15,23 +15,51 @@ import org.apache.spark.sql.expressions.Window
   *    flips; only candidates are scored. The 100 TB path: shuffle is keyed on
   *    signature buckets, never all-pairs.
   *
-  * Dot products use `zip_with` + `aggregate` on double-cast arrays: a
-  * sequential left fold, so the oracle (DuckDB `list_dot_product` on
-  * DOUBLE[]) computes bit-identical sums.
+  * Dot products accumulate as a sequential left fold in doubles, so the
+  * oracle (DuckDB `list_dot_product` on DOUBLE[]) computes bit-identical
+  * sums. The fold runs in a compact `Array[Float]` UDF: the Catalyst
+  * higher-order-function forms ([[dotHof]]/[[normHof]]) are CodegenFallback —
+  * interpreted per element, measured ~20× slower on this exact path — so the
+  * JVM loop wins despite UDF boxing; tests assert both forms agree bitwise.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  /** HOF reference form of the dot product (CodegenFallback — do not use on
+    * hot paths; kept as the executable spec the UDF is tested against). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
+  /** HOF reference form of the L2 norm (see [[dotHof]]). */
+  def normHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** HOF reference form of cosine (see [[dotHof]]). */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, _.cast("double"))
     val bd = transform(b, _.cast("double"))
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    dotHof(ad, bd) / (normHof(ad) * normHof(bd))
   }
+
+  /** Cosine similarity of two float-array columns — one sequential pass:
+    * dot, |a|², |b|² accumulated left-to-right in doubles exactly like the
+    * HOF fold and DuckDB's `list_dot_product`, then `dot/(√a·√b)`. */
+  private val cosineUdf =
+    udf((a: Array[Float], b: Array[Float]) => {
+      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val n = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+    })
+
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -64,18 +92,32 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: bit p = sign(vec · plane_p). Returns an
-    * int bucket (numPlanes <= 30). Pure column expressions — computed in the
-    * scan stage; for a stored corpus this would be precomputed at write time.
+    * int bucket (numPlanes <= 30). Computed in the scan stage (narrow map);
+    * for a stored corpus this would be precomputed at write time. The plane
+    * matrix is hash-derived on the driver and shipped in the UDF closure —
+    * the per-plane projections fold left-to-right like the HOF form did.
     */
   def rhpSignature(vec: Column, dims: Int, numPlanes: Int, seed: Int): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val comps = (0 until dims).map(d => lit(planeComponent(p, d, seed)))
-      val proj = aggregate(
-        zip_with(vec, array(comps: _*), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
+    val planes: Array[Array[Double]] =
+      Array.tabulate(numPlanes, dims)((p, d) => planeComponent(p, d, seed))
+    val f = udf((v: Array[Float]) => {
+      if (v == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        var sig = 0
+        var p = 0
+        while (p < planes.length) {
+          val comps = planes(p)
+          val n = math.min(v.length, comps.length)
+          var proj = 0.0
+          var i = 0
+          while (i < n) { proj += v(i).toDouble * comps(i); i += 1 }
+          if (proj >= 0) sig |= (1 << p)
+          p += 1
+        }
+        java.lang.Integer.valueOf(sig)
+      }
+    })
+    f(vec)
   }
 
   /** Approximate top-k: bucket corpus and queries by RHP signature, probe the

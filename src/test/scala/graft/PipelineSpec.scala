@@ -103,6 +103,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("vec_id") != 4L)
   }
 
+  test("UDF cosine is bit-identical to the HOF reference form") {
+    val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val pairs = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
+      .join(emb.select($"vec_id".as("id2"), $"embedding".as("v2")),
+        $"id1" === $"id2" - 1)
+    val mismatches = pairs.select(
+        Similarity.cosine($"v1", $"v2").as("u"),
+        Similarity.cosineHof($"v1", $"v2").as("h"))
+      .filter($"u" =!= $"h").count()
+    assert(mismatches == 0)
+  }
+
   test("lsh knn achieves high recall vs brute on clustered vectors") {
     // planted clusters: strong within-cluster cosine so LSH has signal
     // (unstructured random vectors have near-orthogonal neighbors — no
