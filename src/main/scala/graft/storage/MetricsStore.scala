@@ -108,74 +108,83 @@ object Tables {
       f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
   }
 
-  private def fileStats(dbDir: String, metrics: String): (Long, Long) = {
-    val files = dataFiles(dbDir, metrics)
-    val mtimeNs = files.map(_.lastModified()).maxOption.getOrElse(0L) * 1000000L
-    (files.length.toLong, mtimeNs)
+  /** Per-file footer stats: (file, rows, ts min, ts max) read driver-side
+    * from the Parquet footer — row-group metadata IS the block index (the
+    * reference answers `.block_list`/`.describe` from its block-list file,
+    * `storage/block_list/mod.rs:417-520`, never touching block data; the
+    * Spark analog is footer row-group statistics, never touching data
+    * pages). Metadata queries therefore cost zero data IO at any scale.
+    */
+  private def footerStats(spark: SparkSession, files: Seq[File])
+      : Seq[(File, Long, Option[Long], Option[Long])] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(f.getPath), conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val hasTs = footer.getFileMetaData.getSchema.getFields.asScala
+          .exists(_.getName == "ts")
+        val tsStats =
+          if (!hasTs) Nil
+          else blocks.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == "ts")
+              .map(_.getStatistics)
+              .filter(st => st != null && st.hasNonNullValue)
+              .map(st => (st.genericGetMin.asInstanceOf[Number].longValue(),
+                st.genericGetMax.asInstanceOf[Number].longValue()))
+          }
+        (f, rows, tsStats.map(_._1).minOption, tsStats.map(_._2).maxOption)
+      } finally reader.close()
+    }
   }
 
   def describeDf(spark: SparkSession, dbDir: String,
       metricsFilter: Option[String]): DataFrame = {
     configure(spark)
+    import spark.implicits._
     val names = metricsFilter.fold(listMetrics(dbDir))(m => Seq(m))
-    val frames = names.map { m =>
-      val (blockNum, updatedAt) = fileStats(dbDir, m)
-      val df = read(spark, dbDir, m)
-      val base =
-        if (df.columns.contains("ts"))
-          df.agg(count(lit(1)).as("row_num"),
-            min("ts").as("from_ts"), max("ts").as("end_ts"))
-        else
-          df.agg(count(lit(1)).as("row_num"))
-            .withColumn("from_ts", lit(null).cast("long"))
-            .withColumn("end_ts", lit(null).cast("long"))
-      base.select(lit(m).as("metrics"), lit(updatedAt).as("updated_at"),
-        lit(blockNum).as("block_num"), col("row_num"), col("from_ts"),
-        col("end_ts"))
+    val rows = names.map { m =>
+      val files = dataFiles(dbDir, m)
+      val updatedAt = files.map(_.lastModified()).maxOption.getOrElse(0L) * 1000000L
+      val stats = footerStats(spark, files)
+      val rowNum = stats.map(_._2).sum
+      val fromTs = stats.flatMap(_._3).minOption
+      val endTs = stats.flatMap(_._4).maxOption
+      (m, updatedAt, files.length.toLong, rowNum, fromTs, endTs)
     }
-    frames.reduce(_.unionByName(_)).orderBy("metrics")
+    rows.toDF("metrics", "updated_at", "block_num", "row_num", "from_ts",
+      "end_ts").orderBy("metrics")
   }
 
   /** `.block_list`: one row per parquet data file ("block"), with its ts
-    * min/max (`describe_metrics.rs:116-158`). seq = position in filename
-    * order, mirroring the reference's block sequence numbers.
+    * min/max (`describe_metrics.rs:116-158`). seq = position in
+    * (block_start, path) order, mirroring the reference's block sequence
+    * numbers. Footer-only — no data scan (see [[footerStats]]).
     */
   def blockListDf(spark: SparkSession, dbDir: String,
       metricsFilter: Option[String]): DataFrame = {
     configure(spark)
+    import spark.implicits._
     val names = metricsFilter.fold(listMetrics(dbDir))(m => Seq(m))
-    val frames = names.flatMap { m =>
-      val df = read(spark, dbDir, m)
-      if (!df.columns.contains("ts")) None
-      else Some {
-        import org.apache.spark.sql.expressions.Window
-        import spark.implicits._
-        val perFile = df.groupBy(input_file_name().as("file"))
-          .agg(count(lit(1)).as("row_num"),
-            min("ts").as("block_start"), max("ts").as("block_end"))
-        // per-block updated_at from file mtimes, joined on unique part name
-        val mtimes = dataFiles(dbDir, m)
-          .map(f => (f.getName, f.lastModified() * 1000000L))
-          .toDF("fname", "updated_at")
-        perFile
-          .withColumn("fname", element_at(split(col("file"), "/"), -1))
-          .join(broadcast(mtimes), Seq("fname"), "left_outer")
-          .withColumn("seq",
-            row_number().over(Window.orderBy(col("block_start"), col("file"))))
-          .select(lit(m).as("metrics"), col("updated_at"), col("seq"),
-            col("row_num"), col("block_start"), col("block_end"))
+    val rows = names.flatMap { m =>
+      val withTs = footerStats(spark, dataFiles(dbDir, m)).collect {
+        // empty files and ts-less tables carry no block range — not blocks
+        case (f, rows, Some(start), Some(end)) if rows > 0 =>
+          (f, rows, start, end)
       }
+      withTs.sortBy { case (f, _, start, _) => (start, f.getPath) }
+        .zipWithIndex.map { case ((f, rowNum, start, end), i) =>
+          (m, f.lastModified() * 1000000L, i + 1, rowNum, start, end)
+        }
     }
-    if (frames.isEmpty) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("metrics", StringType),
-          StructField("updated_at", LongType),
-          StructField("seq", IntegerType),
-          StructField("row_num", LongType),
-          StructField("block_start", LongType),
-          StructField("block_end", LongType))))
-    } else frames.reduce(_.unionByName(_)).orderBy("metrics", "seq")
+    rows.toDF("metrics", "updated_at", "seq", "row_num", "block_start",
+      "block_end").orderBy("metrics", "seq")
   }
 }

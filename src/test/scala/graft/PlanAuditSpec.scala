@@ -14,6 +14,16 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString
 
+  test("meta .describe/.block_list answer from footers — no data scan") {
+    val bl = SparkEntry.queries("meta_block_list")(spark, d)
+    val de = SparkEntry.queries("meta_describe_all")(spark, d)
+    // footer stats are read driver-side; the frame itself is a local relation
+    assert(!bl.queryExecution.executedPlan.toString.contains("FileScan"),
+      bl.queryExecution.executedPlan.toString)
+    assert(!de.queryExecution.executedPlan.toString.contains("FileScan"),
+      de.queryExecution.executedPlan.toString)
+  }
+
   test("ql_range: ts predicate pushed to parquet OR cache-filtered") {
     val p = plan("ql_range")
     assert(p.contains("GreaterThanOrEqual(ts,") || // parquet pushdown
