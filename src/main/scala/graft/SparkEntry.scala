@@ -449,9 +449,11 @@ object SparkEntry {
         .select("doc_id", "lang_pred", "n_tokens")
         .orderBy("doc_id")),
     "dedup_simhash" -> ((s, d) =>
+      // maxHamming=3 → 4×16-bit pigeonhole blocks: complete recall with
+      // wide buckets (64-bit-key joins), the scale-safe operating point
       Dedup.simhashCandidates(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
-        "doc_id", maxHamming = 8).orderBy("id1", "id2")),
+        "doc_id", maxHamming = 3).orderBy("id1", "id2")),
     "text_quality" -> ((s, d) =>
       Text.qualityFeatures(t(s, d, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio",

@@ -223,23 +223,38 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: bucket by the top `prefixBits` bits (and
-    * a rotation) then verify hamming <= maxHamming within buckets. */
-  def simhashCandidates(sim: DataFrame, idCol: String, maxHamming: Int = 3,
-      prefixBits: Int = 16): DataFrame = {
-    val shift = 64 - prefixBits
-    val bucketed = sim.select(col(idCol), col("simhash"),
-      shiftrightunsigned(col("simhash"), shift).as("b0"),
-      col("simhash").bitwiseAND(lit((1L << prefixBits) - 1)).as("b1"))
-    def pairsOn(key: String) = {
-      val l = bucketed.select(col(key).as("__k"), col(idCol).as("id1"),
-        col("simhash").as("sh1"))
-      val r = bucketed.select(col(key).as("__k"), col(idCol).as("id2"),
-        col("simhash").as("sh2"))
-      l.join(r, Seq("__k")).filter(col("id1") < col("id2"))
-        .select("id1", "id2", "sh1", "sh2")
+  /** SimHash near-dup pairs within `maxHamming`, found via the standard
+    * pigeonhole scheme (Manku et al., WWW'07): split the 64-bit simhash into
+    * `maxHamming + 1` contiguous blocks and bucket on each (block index,
+    * block bits) key — a pair differing in <= maxHamming bits has all its
+    * differing bits inside at most maxHamming blocks, so at least one block
+    * matches exactly and the pair shares a bucket. Recall is therefore
+    * COMPLETE (equivalent to brute-force hamming <= maxHamming), while the
+    * join stays bucket-keyed. Larger maxHamming means narrower blocks and
+    * fuller buckets — keep maxHamming small (<= 7) at scale.
+    */
+  def simhashCandidates(sim: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(nBlocks >= 1 && nBlocks <= 64, s"maxHamming $maxHamming out of range")
+    val bounds = (0 to nBlocks).map(b => (64 * b) / nBlocks)
+    val keys = (0 until nBlocks).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("blk"),
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
     }
-    pairsOn("b0").unionByName(pairsOn("b1")).distinct()
+    val bucketed = sim
+      .select(col(idCol), col("simhash"), explode(array(keys: _*)).as("bk"))
+      .select(col(idCol), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val l = bucketed.select(col("blk"), col("key"), col(idCol).as("id1"),
+      col("simhash").as("sh1"))
+    val r = bucketed.select(col("blk"), col("key"), col(idCol).as("id2"),
+      col("simhash").as("sh2"))
+    l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
+      .select("id1", "id2", "sh1", "sh2").distinct()
       .withColumn("hamming", hamming(col("sh1"), col("sh2")))
       .filter(col("hamming") <= maxHamming)
   }

@@ -118,7 +118,10 @@ final class Engine(val spark: SparkSession, val dbDir: String,
         val codec =
           if (iq.output.format == OutputFormat.ParquetSnappy) "snappy"
           else "uncompressed"
-        df.coalesce(1).write.mode("overwrite")
+        // single-file output mirrors the reference's one-parquet-per-query;
+        // disable for big extracts — parallel part-files, no 1-task funnel
+        val w = if (Output.singleFileOutput) df.coalesce(1) else df
+        w.write.mode("overwrite")
           .option("compression", codec).parquet(path)
         ""
     }
@@ -135,25 +138,43 @@ final class Engine(val spark: SparkSession, val dbDir: String,
   */
 object Output {
 
-  private def renderRows(df: DataFrame, tz: ZoneId, formatDatetime: Boolean)
-      : (Array[String], Seq[Array[String]]) = {
+  /** Driver-side render cap: table/JSON rendering materializes rows on the
+    * driver, so an unbounded `select *` over a month of data would OOM it at
+    * scale. Rows stream in via `toLocalIterator` (one partition at a time)
+    * and rendering stops at the cap; file outputs are unaffected.
+    */
+  def maxRenderRows: Int =
+    sys.env.get("GRAFT_MAX_RENDER_ROWS").map(_.toInt).getOrElse(100000)
+
+  /** Whether dialect parquet output coalesces to a single file (the
+    * reference writes one parquet per query). Set
+    * GRAFT_SINGLE_FILE_OUTPUT=false for parallel part-file writes. */
+  def singleFileOutput: Boolean =
+    sys.env.get("GRAFT_SINGLE_FILE_OUTPUT").forall(_.toBoolean)
+
+  private def renderRows(df: DataFrame, tz: ZoneId, formatDatetime: Boolean,
+      maxRows: Int): (Array[String], Seq[Array[String]], Boolean) = {
     val cols = df.columns
     val tsIdx = cols.indexOf("ts")
-    val rows = df.collect().toSeq.map { row =>
-      cols.indices.map { i =>
+    val it = df.toLocalIterator()
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    while (it.hasNext && rows.length < maxRows) {
+      val row = it.next()
+      rows += cols.indices.map { i =>
         if (row.isNullAt(i)) "null"
         else if (i == tsIdx && formatDatetime && row.get(i).isInstanceOf[Long])
           TimeNano.formatNanos(row.getLong(i), tz)
         else row.get(i).toString
       }.toArray
     }
-    (cols, rows)
+    (cols, rows.toSeq, it.hasNext)
   }
 
   /** `[empty]` for empty results, matching the reference convention
     * (`executor/interface/mod.rs:45-47`). */
-  def asciiTable(df: DataFrame, tz: ZoneId, formatDatetime: Boolean): String = {
-    val (cols, rows) = renderRows(df, tz, formatDatetime)
+  def asciiTable(df: DataFrame, tz: ZoneId, formatDatetime: Boolean,
+      maxRows: Int = maxRenderRows): String = {
+    val (cols, rows, truncated) = renderRows(df, tz, formatDatetime, maxRows)
     if (rows.isEmpty) return "[empty]"
     val widths = cols.indices.map { i =>
       math.max(cols(i).length, rows.map(_(i).length).max)
@@ -163,12 +184,14 @@ object Output {
     def fmt(vals: Array[String]): String =
       vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }
         .mkString("| ", " | ", " |")
-    (Seq(line("+"), fmt(cols), line("+")) ++ rows.map(fmt) :+ line("+"))
+    val table = (Seq(line("+"), fmt(cols), line("+")) ++ rows.map(fmt) :+ line("+"))
       .mkString("\n")
+    if (truncated) table + s"\n[truncated to $maxRows rows]" else table
   }
 
-  def columnJson(df: DataFrame, tz: ZoneId, formatDatetime: Boolean): String = {
-    val (cols, rows) = renderRows(df, tz, formatDatetime)
+  def columnJson(df: DataFrame, tz: ZoneId, formatDatetime: Boolean,
+      maxRows: Int = maxRenderRows): String = {
+    val (cols, rows, _) = renderRows(df, tz, formatDatetime, maxRows)
     val tsIdx = cols.indexOf("ts")
     val colTypes = df.schema.fields
     def jsonVal(s: String, i: Int): String = {

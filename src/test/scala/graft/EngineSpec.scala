@@ -50,6 +50,23 @@ class EngineSpec extends AnyFunSuite {
     assert(out == "[empty]")
   }
 
+  test("render caps at maxRows via local iterator (no unbounded collect)") {
+    import graft.ql.Output
+    val e = new Engine(spark, dbDir)
+    val df = e.frame("select * from trades where ts in ('2022-04-26', +1 day)")
+    val capped = Output.asciiTable(df, java.time.ZoneOffset.UTC,
+      formatDatetime = false, maxRows = 2)
+    assert(capped.linesIterator.count(_.startsWith("|")) == 1 + 2)
+    assert(capped.endsWith("[truncated to 2 rows]"))
+    val full = Output.asciiTable(df, java.time.ZoneOffset.UTC,
+      formatDatetime = false)
+    assert(full.linesIterator.count(_.startsWith("|")) == 1 + 4)
+    assert(!full.contains("truncated"))
+    val json = Output.columnJson(df, java.time.ZoneOffset.UTC,
+      formatDatetime = false, maxRows = 3)
+    assert(json.contains("\"price\":[100.0,101.5,102.0]"))
+  }
+
   test("column-oriented json output") {
     val e = new Engine(spark, dbDir)
     val out = e.execute(

@@ -65,6 +65,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ham(sh(0L), sh(3L)) < ham(sh(0L), sh(4L)))
   }
 
+  test("simhash candidates == brute-force hamming pairs (pigeonhole recall)") {
+    // synthetic simhashes with planted near pairs: flips of 1..maxHamming
+    // bits, plus random far values — candidates must equal the brute set
+    val rnd = new scala.util.Random(99)
+    val base = Array.fill(20)(rnd.nextLong())
+    val sims = base.zipWithIndex.flatMap { case (h, i) =>
+      val flips = (1 to 3).map { k =>
+        var v = h
+        rnd.shuffle((0 until 64).toList).take(k).foreach(b => v ^= (1L << b))
+        v
+      }
+      (h +: flips).zipWithIndex.map { case (v, j) => (i * 10L + j, v) }
+    }.toSeq
+    val df = sims.toDF("doc_id", "simhash")
+    val maxHam = 3
+    val got = Dedup.simhashCandidates(df, "doc_id", maxHam)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, ha) <- sims; (b, hb) <- sims if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= maxHam
+    } yield (a, b)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).size} extra=${(got -- brute).size}")
+  }
+
   test("quality features exact values") {
     val r = Text.qualityFeatures(docs.filter($"doc_id" === 0), "text")
       .collect()(0)
