@@ -31,6 +31,33 @@ object SparkEntry {
 
   private def engine(spark: SparkSession, dir: String) = new Engine(spark, dir)
 
+  /** Deterministic clustered vector fixture for the ANN recall gates: `n`
+    * vectors in `nCenters` tight clusters around real embedding rows, with
+    * per-(row, dim) seeded hash noise — genuine locality, identical on every
+    * run. (The raw embeddings are near-orthogonal; no ANN method recalls
+    * neighbors that aren't local, so gates measure on clusterable data, the
+    * case the operator exists for.) */
+  private def clusteredVecs(s: SparkSession, d: String, n: Int, nCenters: Int,
+      noise: Float): DataFrame = {
+    val centers = t(s, d, "embeddings")
+      .filter(col("vec_id") < nCenters).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val gen = udf((i: Long) => {
+      val c = centers((i % nCenters).toInt)
+      val out = new Array[Float](c.length)
+      var dim = 0
+      while (dim < c.length) {
+        val h = scala.util.hashing.MurmurHash3.productHash((i, dim, 4242))
+        out(dim) = c(dim) +
+          noise * ((h & 0xffffff).toFloat / 0x1000000.toFloat - 0.5f)
+        dim += 1
+      }
+      out
+    })
+    s.range(n).select(col("id").as("vec_id"), gen(col("id")).as("embedding"))
+  }
+
   /** Truncate the ns `ts` column to µs resolution (×1000 scale kept) for
     * oracle-facing outputs: DuckDB 1.0 reads parquet `timestamp[ns]` as µs
     * TIMESTAMP, so the oracle can only see µs. Engine internals stay ns
@@ -205,13 +232,18 @@ object SparkEntry {
         .orderBy("event_type")),
     "stream_downsample" -> ((s, d) => {
       // Structured Streaming rollup driven to completion (AvailableNow) and
-      // returned as the materialized memory-sink table; rows-only check
-      // (append mode holds back windows past the final watermark).
+      // returned as the materialized memory-sink table. Oracle-checked: on
+      // static input the emitted set is exactly the buckets whose window end
+      // is <= final watermark (max event time, ms-truncated, minus the 2h
+      // lateness) — the batch downsample restricted to that subset. The sum
+      // rides a decimal cast so partial-aggregation merge order across
+      // micro-batch shuffles cannot perturb the double.
       Tables.configure(s)
       val schema = t(s, d, "events").schema
       // file source wants a directory; pick the events file out of sfDir
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("value", col("value").cast("decimal(18,2)"))
       val agg = graft.streaming.StreamIngest.windowedDownsample(
         src, "value", "1 hour", "2 hours")
       val name = "stream_ds_out"
@@ -220,7 +252,12 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination(300000)
-      s.table(name).orderBy("bucket_start_us")
+      s.table(name)
+        .select(col("bucket_start_us"), col("n"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"),
+          col("sum_v").cast("double").as("sum_v"))
+        .orderBy("bucket_start_us")
     }),
     "tpch_q1" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -414,7 +451,21 @@ object SparkEntry {
     "meta_block_list" ->
       ("SELECT 'events' AS metrics, 1 AS seq, count(*) AS row_num, " +
         "min(epoch_ns(ts)) AS block_start, max(epoch_ns(ts)) AS block_end " +
-        "FROM events")
+        "FROM events"),
+    "stream_downsample" -> {
+      val h = 3600L * 1000000L // 1h in µs
+      // Spark tracks the watermark in milliseconds: emitted windows are
+      // those with end(ms) <= max event time(ms) - lateness(ms)
+      s"""WITH a AS (
+         |  SELECT (epoch_us(ts) // $h) * $h AS bucket_start_us,
+         |    count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         |  FROM events GROUP BY 1
+         |), mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+         |SELECT bucket_start_us, n, min_v, max_v, sum_v FROM a, mx
+         |WHERE (bucket_start_us + $h) // 1000 <= (m // 1000) - 7200000
+         |ORDER BY bucket_start_us""".stripMargin
+    }
   )
 
   // ---- pipeline extensions (dedup / text / similarity / multimodal) ------
@@ -498,6 +549,86 @@ object SparkEntry {
       Similarity.ivfKnn(assigned, cents, q, k = 5, nprobe = 3)
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
+    }),
+    // ---- recall gates: approximation quality as oracle-checkable facts ----
+    // The approximate paths (LSH/IVF/embedding-LSH) cannot have SQL oracles —
+    // their outputs depend on JVM-side hashing. What CAN be checked is the
+    // property that makes them correct: recall against the exact path on
+    // data with genuine locality. Each gate emits a single {recall_ok: 1}
+    // row (deterministic: seeded fixtures, exact arithmetic) that the DuckDB
+    // oracle pins to the constant 1 — if a code change degrades recall below
+    // the threshold, the driver compare fails. Raw embeddings are
+    // near-orthogonal (max pairwise cos ≈ 0.5 — no method can recall
+    // neighbors that aren't local), so the kNN gates run on a clustered
+    // fixture derived from the real vectors.
+    "knn_lsh_recall" -> ((s, d) => {
+      val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val brute = Similarity.knnBrute(corpus, q, k = 5).select("qid", "vec_id")
+      val approx = Similarity.lshKnn(corpus, q, k = 5, dims = 64, numPlanes = 8)
+        .select("qid", "vec_id")
+      brute.join(approx, Seq("qid", "vec_id"), "left_semi")
+        .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok")) // 45/50 = 0.9
+    }),
+    "knn_ivf_recall" -> ((s, d) => {
+      val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
+      val cents = t(s, d, "embeddings").filter(col("vec_id") < 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val brute = Similarity.knnBrute(corpus, q, k = 5).select("qid", "vec_id")
+      val assigned = Similarity.ivfAssign(corpus, cents)
+      val ivf = Similarity.ivfKnn(assigned, cents, q, k = 5, nprobe = 2)
+        .select("qid", "vec_id")
+      brute.join(ivf, Seq("qid", "vec_id"), "left_semi")
+        .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok"))
+    }),
+    "dedup_embedding_lsh_recall" -> ((s, d) => {
+      // plant near-duplicates: each vector re-emitted with ±1% per-component
+      // scaling (cos ≈ 0.9999) — the LSH tier must find >= 90% of the exact
+      // path's >= 0.9-cosine pairs
+      val base = t(s, d, "embeddings").filter(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      val pert = udf((v: Seq[Float], id: Long) => {
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val h = scala.util.hashing.MurmurHash3.productHash((id, i, 777))
+          out(i) = v(i) *
+            (1.0f + 0.02f * ((h & 0xffffff).toFloat / 0x1000000.toFloat - 0.5f))
+          i += 1
+        }
+        out
+      })
+      val dups = base.select((col("vec_id") + 100000L).as("vec_id"),
+        pert(col("embedding"), col("vec_id")).as("embedding"))
+      val both = base.unionByName(dups)
+      val exactP = Dedup.embeddingNearDups(both, "vec_id", "embedding",
+        threshold = 0.9, dims = 64, exact = true).select("id1", "id2")
+      val lshP = Dedup.embeddingNearDups(both, "vec_id", "embedding",
+        threshold = 0.9, dims = 64, exact = false, numPlanes = 8)
+        .select("id1", "id2")
+      exactP.join(lshP, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exactP.agg(count(lit(1)).as("total")))
+        .select((col("hits") >= col("total") * 0.9).cast("long").as("recall_ok"))
+    }),
+    "dedup_minhash_lsh_recall" -> ((s, d) => {
+      // MinHash-LSH + verify vs the exact inverted-index path on the real
+      // documents table — candidate generation must surface >= 90% of true
+      // >= 0.3-Jaccard pairs (the verify stage is exact, so misses can only
+      // come from banding)
+      val docs = t(s, d, "documents")
+      val exactP = Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.3, shingleSize = 3).select("id1", "id2")
+      val lshP = Dedup.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.3, bands = 16, rowsPerBand = 4, shingleSize = 3)
+        .select("id1", "id2")
+      exactP.join(lshP, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exactP.agg(count(lit(1)).as("total")))
+        .select((col("hits") >= col("total") * 0.9).cast("long").as("recall_ok"))
     }),
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(
@@ -667,6 +798,13 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // recall gates: the Spark side computes recall-vs-exact and emits 1 iff
+    // it clears the threshold; the oracle pins the constant (see the gate
+    // queries for why the approximations can't have value oracles)
+    "knn_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "dedup_minhash_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

@@ -21,10 +21,16 @@ final case class DataPoint(tsNanos: Long, fields: Seq[Any])
   * order (`store/mod.rs:500-521`). `persist` writes the selected range as one
   * sorted Parquet append ("block"), optionally clearing it from memory.
   *
+  * Durability: with `journaled = true` the store keeps a WAL-equivalent
+  * staging journal (the reference's `wal.dat` lifecycle,
+  * `storage/wal/single_file_wal.rs:52-111`, `writable_store/mod.rs:82-97`,
+  * re-expressed as Parquet): every push appends the batch to
+  * `dbDir/.journal/<metrics>/` with arrival sequence numbers, a reopened
+  * store folds surviving journal rows back into the buffer, and a
+  * successful persist truncates the journal down to whatever stayed
+  * buffered. Unflushed rows therefore survive a crash.
+  *
   * Deliberate divergences, documented:
-  *  - no WAL: Parquet block writes are atomic-enough for a batch engine (the
-  *    reference's WAL, `storage/wal/single_file_wal.rs`, protects an
-  *    in-process buffer; ours is re-playable by the caller);
   *  - single-writer per metrics assumed (the reference's lockfiles,
   *    `storage/api/write.rs:184-202`, are out of scope for immutable files);
   *  - blocks are date-bucket partitioned (`__day=YYYY-MM-DD/`) so directory
@@ -36,7 +42,8 @@ final class WritableStore(
     metrics: String,
     fieldSchema: Seq[StructField],
     validate: Boolean = true,
-    partitionByDay: Boolean = false
+    partitionByDay: Boolean = false,
+    journaled: Boolean = false
 ) {
   import WritableStore._
 
@@ -47,6 +54,24 @@ final class WritableStore(
   val schema: StructType =
     StructType(StructField("ts", LongType, nullable = false) +: fieldSchema)
 
+  private val journalSchema: StructType =
+    StructType(schema.fields :+ StructField("__seq", LongType, nullable = false))
+  private def journalDir: java.io.File =
+    new java.io.File(new java.io.File(dbDir, JournalDirName), metrics)
+  private var journalSeq = 0L
+
+  // WAL replay on open: fold surviving journal rows (in arrival order) back
+  // into the dirty buffer, exactly like the reference replays wal.dat
+  if (journaled && journalDir.isDirectory &&
+      Option(journalDir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))) {
+    val rows = spark.read.schema(journalSchema)
+      .parquet(journalDir.getPath).orderBy("__seq").collect()
+    buffer ++= rows.map { r =>
+      DataPoint(r.getLong(0), (1 until schema.length).map(r.get))
+    }
+    journalSeq = rows.lastOption.map(_.getLong(schema.length) + 1).getOrElse(0L)
+  }
+
   def push(dp: DataPoint): Unit = pushMulti(Seq(dp))
 
   def pushMulti(dps: Seq[DataPoint]): Unit = synchronized {
@@ -54,7 +79,44 @@ final class WritableStore(
       require(dp.fields.length == fieldSchema.length,
         s"field count ${dp.fields.length} != schema ${fieldSchema.length}")
     }
+    if (journaled && dps.nonEmpty) appendJournal(dps)
     buffer ++= dps
+  }
+
+  /** Append a pushed batch to the staging journal (write-on-push). */
+  private def appendJournal(dps: Seq[DataPoint]): Unit = {
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rows = dps.zipWithIndex.map { case (dp, i) =>
+      val vals = (dp.tsNanos +: dp.fields).zip(fieldTypes)
+        .map { case (v, dt) => coerce(v, dt) } :+ (journalSeq + i)
+      Row.fromSeq(vals)
+    }
+    journalSeq += dps.length
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), journalSchema)
+      .write.mode("append").parquet(journalDir.getPath)
+  }
+
+  /** Rewrite the journal to exactly the current buffer (truncate-on-persist /
+    * purge). Swap via a temp directory so a crash mid-rewrite never loses
+    * both copies. */
+  private def rewriteJournal(): Unit = {
+    val tmp = new java.io.File(journalDir.getPath + ".tmp")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(tmp)
+    if (buffer.nonEmpty) {
+      journalSeq = buffer.length.toLong
+      val fieldTypes = schema.fields.map(_.dataType)
+      val rows = buffer.toSeq.zipWithIndex.map { case (dp, i) =>
+        Row.fromSeq((dp.tsNanos +: dp.fields).zip(fieldTypes)
+          .map { case (v, dt) => coerce(v, dt) } :+ i.toLong)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), journalSchema)
+        .write.mode("overwrite").parquet(tmp.getPath)
+    }
+    rmTree(journalDir)
+    if (tmp.exists) { tmp.renameTo(journalDir); () }
   }
 
   /** Sort the dirty suffix and merge — stable, so equal timestamps keep
@@ -133,6 +195,9 @@ final class WritableStore(
           since.forall(dp.tsNanos >= _) && until.forall(dp.tsNanos < _)
         }
         buffer.clear(); buffer ++= keep; sortedUpTo = buffer.length
+        // flushed rows are durable in their block now — truncate the journal
+        // to the still-buffered remainder (reference WAL clean-after-persist)
+        if (journaled) rewriteJournal()
       }
     }
     inRange.length.toLong
@@ -144,6 +209,7 @@ final class WritableStore(
     applyDirties()
     val keep = buffer.toSeq.filterNot(dp => dp.tsNanos >= since && dp.tsNanos < until)
     buffer.clear(); buffer ++= keep; sortedUpTo = buffer.length
+    if (journaled) rewriteJournal() // replay must not resurrect purged rows
   }
 
   /** Periodic persistence daemon
@@ -173,4 +239,8 @@ object WritableStore {
   /** Date-bucket partition column written by [[WritableStore.persist]];
     * stripped from the logical schema on read ([[Tables.read]]). */
   val PartitionCol = "__day"
+
+  /** Staging-journal root under the database dir; dot-prefixed so
+    * [[Tables.listMetrics]] never surfaces it as a metrics. */
+  val JournalDirName = ".journal"
 }

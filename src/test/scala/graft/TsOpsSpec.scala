@@ -209,6 +209,41 @@ class TsOpsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
   }
 
+  test("journaled store: unflushed rows survive reopen; persist truncates") {
+    val dir = SparkTestBase.tempDir("graft-journal")
+    val s1 = new WritableStore(spark, dir, "jm",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    s1.pushMulti(Seq(
+      DataPoint(30L, Seq(3.0)), DataPoint(10L, Seq(1.0))))
+    s1.pushMulti(Seq(
+      DataPoint(10L, Seq(1.5)), // duplicate ts — arrival order must survive
+      DataPoint(20L, Seq(2.0))))
+    // "crash": drop s1 without persist; a fresh store replays the journal
+    val s2 = new WritableStore(spark, dir, "jm",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(s2.bufferedCount == 4)
+    val replayed = s2.bufferedFrame().collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // stable sort: equal-ts rows keep journal arrival order (1.0 then 1.5)
+    assert(replayed == Seq((10L, 1.0), (10L, 1.5), (20L, 2.0), (30L, 3.0)))
+    // partial persist keeps the un-flushed remainder journaled
+    s2.persist(until = Some(20L))
+    val s3 = new WritableStore(spark, dir, "jm",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(s3.bufferedCount == 2)
+    // full persist truncates the journal
+    s3.persist()
+    assert(!new java.io.File(new java.io.File(dir, WritableStore.JournalDirName), "jm").exists)
+    val s4 = new WritableStore(spark, dir, "jm",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(s4.bufferedCount == 0)
+    val persisted = Tables.read(spark, dir, "jm").orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted == Seq((10L, 1.0), (10L, 1.5), (20L, 2.0), (30L, 3.0)))
+    // the journal dir never leaks into the metrics catalog
+    assert(Tables.listMetrics(dir) == Seq("jm"))
+  }
+
   test("date partition boundary rows land in the exact epoch day") {
     val dir = SparkTestBase.tempDir("graft-part-edge")
     val store = new WritableStore(spark, dir, "pe",
