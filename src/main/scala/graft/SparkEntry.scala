@@ -278,6 +278,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy("n_name")
     }),
+    "join_revenue_salted" -> ((s, d) => {
+      // the salted-join path must produce byte-identical results to the
+      // plain join — same oracle SQL as join_revenue_by_nation
+      val orders = t(s, d, "orders").withColumnRenamed("o_custkey", "custkey")
+      val customer = t(s, d, "customer").withColumnRenamed("c_custkey", "custkey")
+      val nation = t(s, d, "nation")
+      graft.operators.Skew.saltedJoin(orders, customer, Seq("custkey"))
+        .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name")
+    }),
+    "agg_downsample_interp" -> ((s, d) => {
+      val day = 86400L * 1000000000L
+      val ev = t(s, d, "events")
+      val agg = ev.groupBy(((floor(col("ts") / day)) * day).cast("long").as("bucket_ts"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      val filled = TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
+      TsOps.interpolate(filled, "sum_v")
+        .select("bucket_ts", "n", "sum_v").orderBy("bucket_ts")
+    }),
+    "stream_sessionize" -> ((s, d) => {
+      // stateful streaming sessionize driven to completion: emitted sessions
+      // are (a) closed by a later event, or (b) timed out once the final
+      // watermark (max event ms - 10min lateness) passes last + gap. The
+      // batch sessionize restricted to that subset is the oracle. Gap math
+      // runs on µs-truncated ts so DuckDB agrees on boundaries; sum_v is
+      // omitted (double accumulation order across state updates is not
+      // oracle-stable — counts/extrema are).
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val sess = graft.streaming.StreamIngest.statefulSessionize(
+        src.select("user_id", "ts", "value"),
+        gapNanos = 3600L * 1000000000L, lateness = "10 minutes")
+      val name = "stream_sess_out"
+      val q = sess.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(name)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    }),
     "window_top_orders" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -411,6 +458,71 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_revenue_salted" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_downsample_interp" -> {
+      val day = 86400L * 1000000000L
+      s"""WITH buckets AS (
+         |  SELECT generate_series AS bucket_ts
+         |  FROM generate_series(${ns("2023-12-25")}, ${ns("2024-02-05") - 1}, $day)
+         |), a AS (
+         |  SELECT (epoch_ns(ts) // $day) * $day AS bucket_ts,
+         |    count(*) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         |  FROM events GROUP BY 1
+         |), filled AS (
+         |  SELECT b.bucket_ts, coalesce(a.n, 0) AS n, a.sum_v
+         |  FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
+         |), w AS (
+         |  SELECT bucket_ts, n, sum_v,
+         |    last_value(sum_v IGNORE NULLS) OVER back AS pv,
+         |    last_value(CASE WHEN sum_v IS NOT NULL THEN bucket_ts END
+         |      IGNORE NULLS) OVER back AS pt,
+         |    first_value(sum_v IGNORE NULLS) OVER fwd AS nv,
+         |    first_value(CASE WHEN sum_v IS NOT NULL THEN bucket_ts END
+         |      IGNORE NULLS) OVER fwd AS nt
+         |  FROM filled
+         |  WINDOW back AS (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING),
+         |    fwd AS (ORDER BY bucket_ts
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT bucket_ts, n,
+         |  CASE WHEN sum_v IS NOT NULL THEN sum_v
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |         pv + (nv - pv) *
+         |           (CAST(bucket_ts - pt AS DOUBLE) / (nt - pt))
+         |  END AS sum_v
+         |FROM w ORDER BY bucket_ts""".stripMargin
+    },
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > 3600000000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), c AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s
+        |), g AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |         min(ts) AS session_start, max(ts) AS session_end
+        |  FROM c GROUP BY user_id, session_idx
+        |), mx AS (SELECT max(epoch_ns(ts)) AS m FROM events),
+        |ls AS (SELECT user_id, max(session_idx) AS mi FROM g GROUP BY user_id)
+        |SELECT g.user_id, g.session_start, g.session_end, g.n_events
+        |FROM g JOIN ls ON g.user_id = ls.user_id, mx
+        |WHERE g.session_idx < ls.mi
+        |   OR (g.session_end // 1000000 + 3600000 + 1) < (m // 1000000 - 600000)
+        |ORDER BY g.user_id, g.session_start""".stripMargin,
     "window_top_orders" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -520,7 +632,9 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
     "text_shingle_fp" -> ((s, d) =>
-      Text.shingleFingerprint(t(s, d, "documents"), "text")
+      // md5-derived 60-bit hashes so the DuckDB oracle reproduces the folds
+      // exactly; the xxhash64 fast path is covered by PipelineSpec
+      Text.shingleFingerprint(t(s, d, "documents"), "text", hash = "md5")
         .select("doc_id", "fp_min", "fp_max", "fp_xor")
         .orderBy("doc_id")),
     "knn_brute" -> ((s, d) => {
@@ -798,6 +912,37 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_shingle_fp" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM t
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS hv
+         |  FROM s
+         |), a AS (
+         |  SELECT doc_id, min(hv) AS fp_min, max(hv) AS fp_max,
+         |         bit_xor(hv) AS fp_xor
+         |  FROM h GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, a.fp_min, a.fp_max,
+         |       coalesce(a.fp_xor, 0) AS fp_xor
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3) + 1] AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |       doc_id || ':' || i AS frame_key
+        |FROM documents, generate_series(0, 3) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // recall gates: the Spark side computes recall-vs-exact and emits 1 iff
     // it clears the threshold; the oracle pins the constant (see the gate
     // queries for why the approximations can't have value oracles)

@@ -174,15 +174,27 @@ object Text {
 
   /** Rolling-hash document fingerprint: min/max/xor folds over 64-bit hashes
     * of word shingles (winnowing-style content signature; robust to word
-    * order at the edges). xxhash64 is Spark-native and seed-stable.
+    * order at the edges).
+    *
+    * `hash = "xx"` (default) uses Spark-native seed-stable xxhash64 — the
+    * fast path. `hash = "md5"` derives a 60-bit value from the first 15 hex
+    * digits of md5, which DuckDB reproduces exactly
+    * (`('0x' || substr(md5(s),1,15))::BIGINT`) — the oracle-checkable path.
     */
-  def shingleFingerprint(df: DataFrame, textCol: String, n: Int = 3): DataFrame =
+  def shingleFingerprint(df: DataFrame, textCol: String, n: Int = 3,
+      hash: String = "xx"): DataFrame = {
+    val hashFn: Column => Column = hash match {
+      case "xx"  => s => xxhash64(s)
+      case "md5" => s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+      case other => throw new IllegalArgumentException(s"unknown hash '$other'")
+    }
     df.withColumn("__toks", tokens(col(textCol)))
       .withColumn("__hashes",
-        transform(shinglesOfTokens(col("__toks"), n), s => xxhash64(s)))
+        transform(shinglesOfTokens(col("__toks"), n), hashFn))
       .withColumn("fp_min", array_min(col("__hashes")))
       .withColumn("fp_max", array_max(col("__hashes")))
       .withColumn("fp_xor",
         aggregate(col("__hashes"), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
       .drop("__toks", "__hashes")
+  }
 }
