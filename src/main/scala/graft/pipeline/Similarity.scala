@@ -40,26 +40,12 @@ object Similarity {
     dotHof(ad, bd) / (normHof(ad) * normHof(bd))
   }
 
-  /** Cosine similarity of two float-array columns — one sequential pass:
-    * dot, |a|², |b|² accumulated left-to-right in doubles exactly like the
-    * HOF fold and DuckDB's `list_dot_product`, then `dot/(√a·√b)`. */
-  private val cosineUdf =
-    udf((a: Array[Float], b: Array[Float]) => {
-      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-      else {
-        val n = math.min(a.length, b.length)
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < n) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-      }
-    })
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Cosine similarity of two float-array columns — the native codegen
+    * expression [[graft.functions.CosineSim]]: one sequential pass (dot,
+    * |a|², |b|² accumulated left-to-right in doubles exactly like the HOF
+    * fold and DuckDB's `list_dot_product`), inside whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     *

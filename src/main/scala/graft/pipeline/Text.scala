@@ -66,9 +66,11 @@ object Text {
   // the DuckDB oracle): lower → split [^a-z0-9]+ → drop empties → n-gram
   // join by ' ' → first-occurrence-order distinct.
 
+  private val TokenPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   def tokensScala(s: String): Array[String] =
     if (s == null) Array.empty
-    else s.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+")
+    else TokenPattern.split(s.toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty)
 
   def shinglesScala(toks: Array[String], n: Int): Array[String] = {

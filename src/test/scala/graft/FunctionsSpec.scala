@@ -24,6 +24,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(jst.toSeq == ts.map(TimeNano.formatNanos(_, zone)))
   }
 
+  test("cosine_sim: codegen participation, null propagation, HOF parity") {
+    import graft.functions.CosineSim.cosine_sim
+    import graft.pipeline.Similarity
+    val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val pairs = emb.select($"vec_id".as("id1"), $"embedding".as("v1"))
+      .join(emb.select($"vec_id".as("id2"), $"embedding".as("v2")),
+        $"id1" === $"id2" - 1)
+    val out = pairs.select(cosine_sim($"v1", $"v2").as("c"))
+    out.collect() // materialize so AQE finalizes the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), plan)
+    // the starred prefix marks whole-stage-codegen participation
+    assert(plan.contains("*(") && plan.contains("Project [cosine_sim"), plan)
+    // bitwise parity with the interpreted HOF reference form
+    val mism = pairs.select(cosine_sim($"v1", $"v2").as("u"),
+        Similarity.cosineHof($"v1", $"v2").as("h"))
+      .filter($"u" =!= $"h").count()
+    assert(mism == 0)
+    // null propagation
+    val withNull = pairs.limit(1)
+      .select(cosine_sim(lit(null).cast("array<float>"), $"v2").as("c"))
+      .collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
   test("format_ns stays inside whole-stage codegen and handles nulls") {
     // parquet-backed so the projection isn't constant-folded away
     val ev = graft.storage.Tables.read(spark, "/root/testdata/sf0.001", "events")
