@@ -108,24 +108,37 @@ object Similarity {
 
   /** Approximate top-k: bucket corpus and queries by RHP signature, probe the
     * exact bucket plus all 1-bit-flip neighbors (multiprobe), score only
-    * candidates. Recall tunable via numPlanes/probes; verified against
-    * [[knnBrute]] in tests.
+    * candidates. `numTables` independent hash tables (OR-construction,
+    * distinct plane sets per table) trade compute for recall — the standard
+    * scale lever when one table's buckets miss: P(miss) decays
+    * exponentially in tables. Recall verified against [[knnBrute]] in tests
+    * and pinned by the `knn_lsh_recall` driver gate.
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
-      numPlanes: Int = 8, seed: Int = 42,
+      numPlanes: Int = 8, seed: Int = 42, numTables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec",
       excludeSelf: Boolean = true): DataFrame = {
-    val bucketedCorpus = corpus.withColumn("__sig",
-      rhpSignature(col(vecCol), dims, numPlanes, seed))
-    val qSig = queries.withColumn("__sig0",
-      rhpSignature(col(qvecCol), dims, numPlanes, seed))
-    // probe set: exact bucket + 1-bit flips
-    val probes = explode(array(
-      (col("__sig0") +: (0 until numPlanes).map(p =>
-        col("__sig0").bitwiseXOR(lit(1 << p)))): _*)).as("__sig")
-    val qProbed = qSig.select(col(qidCol), col(qvecCol), probes)
-    val cands = bucketedCorpus.join(broadcast(qProbed), Seq("__sig"))
+    require(numTables >= 1, "numTables must be >= 1")
+    def tableSeed(t: Int) = seed + 7919 * t // distinct planes per table
+    val corpusSigs = (0 until numTables).map { tbl =>
+      struct(lit(tbl).as("tbl"),
+        rhpSignature(col(vecCol), dims, numPlanes, tableSeed(tbl)).as("sig"))
+    }
+    val bucketedCorpus = corpus
+      .withColumn("__ts", explode(array(corpusSigs: _*)))
+      .select(col(idCol), col(vecCol),
+        col("__ts.tbl").as("__tbl"), col("__ts.sig").as("__sig"))
+    val qProbes = (0 until numTables).flatMap { tbl =>
+      val sig0 = rhpSignature(col(qvecCol), dims, numPlanes, tableSeed(tbl))
+      (sig0 +: (0 until numPlanes).map(p => sig0.bitwiseXOR(lit(1 << p))))
+        .map(sg => struct(lit(tbl).as("tbl"), sg.as("sig")))
+    }
+    val qProbed = queries.select(col(qidCol), col(qvecCol),
+        explode(array(qProbes: _*)).as("__p"))
+      .select(col(qidCol), col(qvecCol),
+        col("__p.tbl").as("__tbl"), col("__p.sig").as("__sig"))
+    val cands = bucketedCorpus.join(broadcast(qProbed), Seq("__tbl", "__sig"))
       .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol)).distinct()
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))

@@ -72,6 +72,24 @@ object Tables {
     else filtered
   }
 
+  /** Save a frame as a bucketed catalog table: rows are hash-bucketed (and
+    * optionally sorted) on the join/aggregation key at WRITE time, so
+    * repeated joins and aggregations on that key run shuffle-free — the
+    * co-located-join strategy for fact tables that outlive one query. (A
+    * bucketed layout must live in the session catalog: bucket metadata has
+    * no place in a bare parquet directory.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write needs at least one column")
+    val w0 = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 =
+      if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
+      else w0
+    w1.format("parquet").saveAsTable(table)
+  }
+
   /** All metrics names in the database dir (`.metrics` meta-table —
     * `query/executor/metrics_list.rs`). */
   def listMetrics(dbDir: String): Seq[String] = {

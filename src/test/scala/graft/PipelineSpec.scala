@@ -164,6 +164,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("multi-table LSH lifts recall over a single table") {
+    val dims = 16
+    val rnd = new scala.util.Random(21)
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 160L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + 0.15f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 8)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.knnBrute(vecs, q, 5).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tables: Int): Double = {
+      val approx = Similarity.lshKnn(vecs, q, 5, dims = dims, numPlanes = 8,
+        numTables = tables).select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect approx).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"4-table recall $r4 < 1-table $r1")
+    assert(r4 >= 0.9, s"4-table recall $r4 too low")
+  }
+
   test("multimodal plumbing: features deterministic, metadata-only scan") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()

@@ -209,6 +209,23 @@ class TsOpsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
   }
 
+  test("bucketed tables join without a shuffle on either side") {
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5)).toDF("k", "a", "x")
+    val dims  = (0L until 50L).map(i => (i, s"dim$i")).toDF("k", "name")
+    Tables.writeBucketed(facts, "graft_bkt_facts", Seq("k"), 8, Seq("k"))
+    Tables.writeBucketed(dims, "graft_bkt_dims", Seq("k"), 8)
+    val j = spark.table("graft_bkt_facts")
+      .join(spark.table("graft_bkt_dims").hint("merge"), Seq("k"))
+    val joined = j.groupBy("name").count()
+    assert(joined.count() == 50)
+    // both sides read pre-bucketed on k: no Exchange below the join
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
   test("journaled store: unflushed rows survive reopen; persist truncates") {
     val dir = SparkTestBase.tempDir("graft-journal")
     val s1 = new WritableStore(spark, dir, "jm",
