@@ -164,6 +164,37 @@ object Similarity {
       .select(col(idCol), col(vecCol), col(cidCol))
   }
 
+  /** Distributed k-means (Lloyd) for IVF centroid training: seeded
+    * deterministic init (first `k` corpus vectors by id), then `iters`
+    * rounds of assign (broadcast centroids, one corpus scan) + recompute
+    * (per-dimension mean via posexplode → one (cid, dim)-keyed shuffle —
+    * never collects vectors to the driver; only the k×dims centroid matrix
+    * moves). Cosine-space: means are re-used directly (IVF probes rank by
+    * cosine, so un-normalized means suffice as cell representatives).
+    */
+  def kmeans(corpus: DataFrame, k: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      val means = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("__dim", "__x")))
+        .groupBy("cid", "__dim").agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("__dim"), col("__m"))))
+          .as("__pairs"))
+        .select(col("cid"),
+          transform(col("__pairs"), p => p.getField("__m").cast("float"))
+            .as("cvec"))
+      // localCheckpoint truncates the growing lineage across iterations
+      cents = means.localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
   /** IVF probe: top-k per query scoring only vectors whose cell is among
     * the query's `nprobe` nearest centroids — the classic two-level ANN.
     * `assigned` is [[ivfAssign]] output (id, vec, cid); at scale it is the

@@ -38,6 +38,9 @@ final class Engine(val spark: SparkSession, val dbDir: String,
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "format_ns",
       exprs => graft.functions.FormatNanos(exprs.head, "UTC"), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => graft.functions.CosineSim(exprs.head, exprs(1)), "scala_udf")
     spark.sql(query)
   }
 

@@ -140,6 +140,14 @@ class EngineSpec extends AnyFunSuite {
     assert(rows(0).getString(0) == "2022-04-26T00:00:00.000000010+00:00")
   }
 
+  test("cosine_sim registered in the SQL superset") {
+    val e = new Engine(spark, dbDir)
+    val r = e.sql(
+      "SELECT cosine_sim(CAST(array(3.0, 4.0) AS array<float>), " +
+        "CAST(array(3.0, 4.0) AS array<float>)) AS c").collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("db= with-clause resolves a database subdirectory") {
     val root = SparkTestBase.tempDir("graft-dbroot")
     val store = new WritableStore(spark,

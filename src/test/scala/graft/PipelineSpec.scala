@@ -222,6 +222,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ivf recall $recall")
   }
 
+  test("kmeans recovers planted clusters well enough for high IVF recall") {
+    val dims = 16
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(vecs, k = 4, iters = 3)
+    assert(cents.count() == 4)
+    assert(cents.collect().forall(_.getSeq[Float](1).length == dims))
+    val q = vecs.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val assigned = Similarity.ivfAssign(vecs, cents)
+    val brute = Similarity.knnBrute(vecs, q, 5).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(assigned, cents, q, 5, nprobe = 1)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"kmeans-ivf recall $recall")
+  }
+
   test("ivf assign maps every vector to exactly one centroid") {
     val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.filter($"vec_id" < 4)
