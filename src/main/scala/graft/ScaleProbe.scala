@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: measure how the headline plans scale when the data grows
+  * 10× (events) / 4× (documents, quadratic-risk ops). Builds the scaled
+  * tables in /tmp by unioning shifted copies of sf0.1 (disjoint time ranges
+  * and user/doc id spaces — same distribution, bigger), then times the same
+  * operator code at 1× and N×. Near-linear ratios are the evidence that the
+  * partitioning/shuffle story holds as data grows; anything superlinear is
+  * a scale bug. Not part of the driver contract.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work  = "/tmp/graft_scaleprobe"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.TsOps
+    import graft.pipeline.{Dedup, Pipelines}
+
+    // ---- build scaled tables (idempotent) -------------------------------
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val docs   = spark.read.parquet(s"$sfDir/documents.parquet")
+    val span = 40L * 86400L * 1000000000L // shift copies by > the data span
+    def scaledEvents(k: Int): DataFrame =
+      (0 until k).map(i => events
+        .withColumn("ts", col("ts") + lit(i * span))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+        .reduce(_.unionByName(_))
+    // per-copy caesar cipher on the text: token-length/shingle statistics
+    // (and so the df profile and true-dup density) are preserved inside each
+    // copy, but vocabularies across copies are disjoint — the 4× corpus has
+    // 4× the near-dup structure, not k² cross-copy duplicates
+    def scaledDocs(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val shifted = alpha.drop(i % 26) + alpha.take(i % 26)
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text", translate(lower(col("text")), alpha, shifted))
+      }.reduce(_.unionByName(_))
+    val ev10Path = s"$work/events10.parquet"
+    val doc4Path = s"$work/documents4.parquet"
+    if (!new java.io.File(ev10Path).exists)
+      scaledEvents(10).repartition(32).write.mode("overwrite").parquet(ev10Path)
+    if (!new java.io.File(doc4Path).exists)
+      scaledDocs(4).repartition(32).write.mode("overwrite").parquet(doc4Path)
+    val ev10 = spark.read.parquet(ev10Path)
+    val doc4 = spark.read.parquet(doc4Path)
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def report(name: String, factor: Int, base: => Long, scaled: => Long): Unit = {
+      base; scaled // warm both code paths
+      val tb = time(base); val ts = time(scaled)
+      println(f"[scale] $name%-22s 1x=$tb%6.2fs  ${factor}x=$ts%6.2fs  " +
+        f"ratio=${ts / tb}%5.2f (linear would be <= $factor)")
+    }
+
+    report("range_filter", 10,
+      TsOps.rangeFilter(events, Some(1704067200L * 1000000000L), None).count(),
+      TsOps.rangeFilter(ev10, Some(1704067200L * 1000000000L), None).count())
+    report("downsample_1h", 10,
+      TsOps.downsample(events, 3600L * 1000000000L, "value").count(),
+      TsOps.downsample(ev10, 3600L * 1000000000L, "value").count())
+    report("sessionize", 10,
+      TsOps.sessionize(events.select("user_id", "ts"), 3600L * 1000000000L,
+        Seq("user_id")).count(),
+      TsOps.sessionize(ev10.select("user_id", "ts"), 3600L * 1000000000L,
+        Seq("user_id")).count())
+    report("rolling_24h", 10,
+      TsOps.rollingAgg(events.select("user_id", "ts", "value"),
+        24L * 3600 * 1000000000L, "value", Seq("user_id")).count(),
+      TsOps.rollingAgg(ev10.select("user_id", "ts", "value"),
+        24L * 3600 * 1000000000L, "value", Seq("user_id")).count())
+    report("grouped_head_50", 10,
+      TsOps.groupedHead(events, 50).count(),
+      TsOps.groupedHead(ev10, 50).count())
+    report("dedup_exact", 4,
+      Dedup.exact(docs, "doc_id", "text").count(),
+      Dedup.exact(doc4, "doc_id", "text").count())
+    report("jaccard_pairs", 4,
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.3).count(),
+      Dedup.jaccardPairs(doc4, "doc_id", "text", 0.3).count())
+    report("minhash_lsh", 4,
+      Dedup.nearDuplicates(docs, "doc_id", "text", 0.3).count(),
+      Dedup.nearDuplicates(doc4, "doc_id", "text", 0.3).count())
+    report("pipeline_curate", 4,
+      Pipelines.curate(docs, "doc_id", "text").count(),
+      Pipelines.curate(doc4, "doc_id", "text").count())
+    spark.stop()
+  }
+}
