@@ -617,6 +617,14 @@ object SparkEntry {
       Dedup.simhashCandidates(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
         "doc_id", maxHamming = 3).orderBy("id1", "id2")),
+    "text_chunks" -> ((s, d) =>
+      Text.chunk(t(s, d, "documents"), "doc_id", "text",
+        size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+    "sample_split" -> ((s, d) =>
+      Text.hashSplit(t(s, d, "documents").select("doc_id"), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
     "text_quality" -> ((s, d) =>
       Text.qualityFeatures(t(s, d, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio",
@@ -863,6 +871,37 @@ object SparkEntry {
          |  CAST(len($DuckToks) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_chunks" -> {
+      val (size, overlap) = (32, 8); val step = size - overlap
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) = 0 THEN 0
+         |         ELSE greatest(1, (len(toks) - $overlap + $step - 1) // $step)
+         |    END AS nc
+         |  FROM t
+         |)
+         |SELECT doc_id, i AS chunk_idx,
+         |  CAST(least($size, n - i * $step) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(toks[i * $step + 1 : i * $step + $size], ' ')
+         |    AS chunk_text
+         |FROM m CROSS JOIN (
+         |  SELECT unnest(generate_series(0, 999)) AS i
+         |) g
+         |WHERE g.i < m.nc
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+    "sample_split" ->
+      """SELECT split, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         % 100 < 90 THEN 'train'
+        |    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |         % 100 < 95 THEN 'valid'
+        |    ELSE 'test'
+        |  END AS split FROM documents
+        |) GROUP BY split ORDER BY split""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars_m,

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => Fn}
 
 /** Text-analysis operators for large-scale corpus pipelines: tokenization,
   * quality scoring, language-ID heuristic, fingerprinting. All built from
@@ -173,6 +174,58 @@ object Text {
     * canonical exact-dup key. (DuckDB has `md5`, so the oracle matches.) */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Sliding token-window chunking — the context-window prep step of a
+    * training pipeline: overlapping chunks of `size` tokens with `overlap`
+    * tokens shared between neighbors. Chunk i covers tokens
+    * `[i·step, i·step + size)` where `step = size - overlap`; a document
+    * with n tokens yields `max(1, ceil((n - overlap) / step))` chunks
+    * (0 for empty docs), so every token lands in at least one chunk and the
+    * final partial chunk is kept. One narrow map + explode — no shuffle.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val toks = col("__toks")
+    val n = Fn.size(toks) // `size` param shadows functions.size here
+    val nChunks = when(n === 0, lit(0))
+      .otherwise(greatest(lit(1), ((n - overlap + step - 1) / step).cast("int")))
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__nc", nChunks)
+      // guard nc=0: sequence(0, -1) would DESCEND in Spark, not be empty
+      .select(col(idCol), toks, col("__nc"),
+        explode(when(col("__nc") > 0, sequence(lit(0), col("__nc") - 1))
+          .otherwise(array().cast("array<int>"))).as("chunk_idx"))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(toks, col("chunk_idx") * step + 1, lit(size))))
+      .withColumn("n_chunk_tokens",
+        least(lit(size), Fn.size(toks) - col("chunk_idx") * step)
+          .cast("long"))
+      .select(col(idCol), col("chunk_idx"), col("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
+  /** Deterministic, engine-portable split assignment for reproducible
+    * train/valid/test mixes: bucket = md5-derived 60-bit hash of the id,
+    * mod 100 — stable across runs, Spark versions, and engines (DuckDB:
+    * `('0x' || substr(md5(id::text),1,15))::BIGINT % 100`). Returns the
+    * frame with a `split` column; fractions are percentage cut points.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      cuts: Seq[(String, Int)] = Seq("train" -> 90, "valid" -> 95,
+        "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must ascend to 100")
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+    val expr = cuts.foldRight(lit(cuts.last._1): Column) { case ((name, hi), acc) =>
+      when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
 
   /** Rolling-hash document fingerprint: min/max/xor folds over 64-bit hashes
     * of word shingles (winnowing-style content signature; robust to word

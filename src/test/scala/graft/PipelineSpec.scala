@@ -106,6 +106,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(5L) == "de")
   }
 
+  test("chunking covers every token with the declared overlap") {
+    // doc 0 has 9 tokens; size=4, overlap=2, step=2 → ceil((9-2)/2) = 4 chunks
+    val out = Text.chunk(docs.filter($"doc_id" === 0), "doc_id", "text",
+      size = 4, overlap = 2).orderBy("chunk_idx").collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "the quick brown fox", "brown fox jumps over", "jumps over the lazy",
+      "the lazy dog"))
+    assert(out.map(_.getAs[Long]("n_chunk_tokens")).toSeq == Seq(4L, 4L, 4L, 3L))
+    // empty doc → zero chunks (and no descending-sequence artifact)
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    assert(Text.chunk(empty, "doc_id", "text", 4, 2).count() == 0)
+  }
+
+  test("hashSplit is deterministic and respects cut fractions") {
+    val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val s1 = Text.hashSplit(ids, "doc_id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Text.hashSplit(ids, "doc_id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    assert(s1.values.sum == 2000)
+    // 90/5/5 within generous tolerance
+    assert(s1("train") > 1650 && s1("train") < 1940, s1)
+    assert(s1("valid") > 40 && s1("valid") < 170, s1)
+    assert(s1("test") > 40 && s1("test") < 170, s1)
+  }
+
   test("fingerprint is normalization-invariant") {
     val fps = docs.select($"doc_id", Text.fingerprint($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
