@@ -225,6 +225,45 @@ final class WritableStore(
     scheduler = Some(ex)
   }
 
+  /** Compact the persisted blocks of this metrics: read every block file,
+    * globally sort by ts, and rewrite as ~`targetRowsPerBlock`-row sorted
+    * blocks via a tmp-dir swap. Answers the small-files problem batch
+    * ingest accrues (every flush is one file; footer/listing overhead grows
+    * per block — the reference never compacts because its block list is one
+    * index file, ours benefits directly). Single-writer assumption applies:
+    * no readers/writers may hold the table during the swap. Returns the
+    * number of rows compacted.
+    */
+  def compact(targetRowsPerBlock: Long = 4000000L): Long = synchronized {
+    val dir = new java.io.File(dbDir, metrics)
+    if (!dir.isDirectory) return 0L
+    Tables.configure(spark)
+    val df = spark.read.parquet(dir.getPath)
+    val rows = df.count()
+    if (rows == 0) return 0L
+    val nBlocks = math.max(1L, (rows + targetRowsPerBlock - 1) / targetRowsPerBlock).toInt
+    val tmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(tmp)
+    val sorted =
+      if (df.columns.contains(PartitionCol))
+        // keep date bucketing: sort within each day dir
+        df.repartition(nBlocks, col(PartitionCol))
+          .sortWithinPartitions(PartitionCol, "ts")
+          .write.partitionBy(PartitionCol)
+      else
+        // global range sort → files are disjoint ts ranges (tight footers)
+        df.repartitionByRange(nBlocks, col("ts")).sortWithinPartitions("ts")
+          .write
+    sorted.parquet(tmp.getPath)
+    rmTree(dir)
+    require(tmp.renameTo(dir), s"compact swap failed for $metrics")
+    spark.catalog.refreshByPath(dir.getPath)
+    rows
+  }
+
   def shutdown(): Unit = synchronized {
     scheduler.foreach { ex => ex.shutdown(); ex.awaitTermination(10, TimeUnit.SECONDS) }
     scheduler = None

@@ -209,6 +209,32 @@ class TsOpsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts)"), plan)
   }
 
+  test("compact merges many small blocks into few sorted disjoint blocks") {
+    val dir = SparkTestBase.tempDir("graft-compact")
+    val store = new WritableStore(spark, dir, "cm",
+      Seq(StructField("v", DoubleType)))
+    // 8 out-of-order flushes → 8 block files
+    (0 until 8).foreach { i =>
+      store.pushMulti((0 until 100).map(j =>
+        DataPoint(((7 - i) * 100 + j).toLong, Seq(i * 100.0 + j))))
+      store.persist()
+    }
+    def files = Tables.blockListDf(spark, dir, Some("cm")).collect()
+    assert(files.length == 8)
+    assert(store.compact(targetRowsPerBlock = 300) == 800L)
+    val after = files
+    assert(after.length == 3, after.length) // ceil(800/300)
+    // blocks are ts-disjoint (range-sorted) and data survives intact
+    val ranges = after.map(r => (r.getAs[Long]("block_start"),
+      r.getAs[Long]("block_end"))).sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, e1), (s2, _)) =>
+      assert(e1 < s2, s"overlap: $e1 >= $s2"); case _ => }
+    val back = Tables.read(spark, dir, "cm")
+    assert(back.count() == 800)
+    assert(back.orderBy("ts").collect().map(_.getLong(0)).toSeq ==
+      (0L until 800L).toSeq)
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     import spark.implicits._
     val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5)).toDF("k", "a", "x")
