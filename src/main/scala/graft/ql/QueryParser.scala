@@ -228,9 +228,15 @@ final class QueryParser(input: String) {
       w.copy(cols = Some(cols.toSeq))
     } else if (tryKeyword("tz")) {
       expectSymbol("=")
-      w.copy(tz = Some(takeWhile(c =>
+      val name = takeWhile(c =>
         Character.isLetterOrDigit(c) || c == '/' || c == '+' || c == '-' ||
-          c == '_' || c == ':')))
+          c == '_' || c == ':')
+      // resolve eagerly: a bad zone is a parse-time error in the reference
+      // ("invalid timezone: {0}", parser/parts/timezone_parser.rs:38-44) —
+      // never a raw java.time exception later in the plan
+      try TimeNano.resolveZone(name)
+      catch { case _: Exception => fail(s"invalid timezone: $name") }
+      w.copy(tz = Some(name))
     } else if (tryKeyword("format_datetime")) {
       expectSymbol("=")
       w.copy(formatDatetime = Some(boolValue()))
