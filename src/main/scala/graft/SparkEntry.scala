@@ -592,6 +592,18 @@ object SparkEntry {
       Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.3, bands = 16, rowsPerBand = 4, shingleSize = 3)
         .orderBy("id1", "id2")),
+    "dedup_minhash_oracle" -> ((s, d) => {
+      // the full LSH pipeline with oracle-reproducible md5 hashing: DuckDB
+      // recomputes signatures, banding, candidates, and the exact verify —
+      // a hash-matched proof of the banding/verify semantics (the xxhash64
+      // fast path above shares every step but the base hash)
+      val docs = t(s, d, "documents")
+      val cands = Dedup.minhashCandidatesMd5(docs, "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleSize = 3)
+      Dedup.jaccardVerify(docs, cands, "doc_id", "text", shingleSize = 3)
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("id1", "id2")
+    }),
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dims = 64, exact = true)
@@ -873,6 +885,46 @@ object SparkEntry {
          |  CAST(len($DuckToks) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_oracle" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM t
+         |), e0 AS (
+         |  SELECT doc_id, unnest(sh) AS tok FROM s
+         |), stop AS (
+         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) > 20
+         |), e AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
+         |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
+         |), hx AS (
+         |  SELECT doc_id, r.i,
+         |    min(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || e0.tok),
+         |      1, 15))::BIGINT) AS mh
+         |  FROM e0 CROSS JOIN range(64) r(i)
+         |  GROUP BY doc_id, r.i
+         |), bnd AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+         |  FROM hx GROUP BY doc_id, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bnd a JOIN bnd b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |), p AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+         |         count(*) AS shared
+         |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT p.id1, p.id2, p.shared, p.n1, p.n2,
+         |       CAST(p.shared AS DOUBLE) / (p.n1 + p.n2 - p.shared) AS jaccard
+         |FROM p JOIN cand ON p.id1 = cand.id1 AND p.id2 = cand.id2
+         |WHERE CAST(p.shared AS DOUBLE) / (p.n1 + p.n2 - p.shared) >= 0.3
+         |ORDER BY p.id1, p.id2""".stripMargin,
     "dedup_simhash" -> {
       // 60-bit md5 token hashes: per-bit sign-sums, assemble bits 0-59
       // (bits 60-63 sign-sum to -n → 0), all-pairs hamming <= 3. Matches

@@ -121,6 +121,35 @@ object Dedup {
     kept.withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
   }
 
+  /** MinHash-LSH candidate pairs with oracle-reproducible hashing: md5-60bit
+    * seeded signatures ([[MinHash.signatureMd5Udf]]) and band buckets keyed
+    * by the literal signature-slice text (`concat_ws`), both of which DuckDB
+    * computes identically — so the full LSH pipeline (signatures → banding →
+    * candidates → exact verify) hash-matches an SQL mirror. Same shape as
+    * [[minhashCandidates]]; slower hashing, for verification tiers.
+    */
+  def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = shingleSets(df, idCol, textCol, shingleSize)
+      .select(col("__id").as(idCol),
+        MinHash.signatureMd5Udf(numHashes)(col("__set")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandRows = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
+    }
+    val bk = withSig
+      .select(col(idCol), explode(array(bandRows: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val l = bk.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = bk.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs, verified via
     * explode+join token-shingle co-counts — never materializes a cross
     * product. `pairs` must have columns (id1, id2). Jaccard is computed over

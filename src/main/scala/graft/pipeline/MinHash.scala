@@ -57,4 +57,41 @@ object MinHash {
 
   def signatureUdf(numHashes: Int): UserDefinedFunction =
     udf((shingles: Seq[String]) => signature(shingles, numHashes))
+
+  /** md5-60bit seeded hash of a shingle: the first 15 hex digits of
+    * `md5("<seed>:<shingle>")` as a long — exactly
+    * `('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT` in DuckDB, so
+    * signatures built from it are oracle-reproducible. Slower than the
+    * xxhash64 path (one digest per (shingle, seed)); use for verification,
+    * not the 100 TB hot path.
+    */
+  def hashMd5(seed: Int, s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest((seed.toString + ":" + s)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h >>> 4 // top 60 bits == first 15 hex digits
+  }
+
+  /** null for an empty shingle set, like [[signature]]. */
+  def signatureMd5(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    if (shingles == null || shingles.isEmpty) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val it = shingles.iterator
+    while (it.hasNext) {
+      val s = it.next()
+      var i = 0
+      while (i < numHashes) {
+        val v = hashMd5(i, s)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  def signatureMd5Udf(numHashes: Int): UserDefinedFunction =
+    udf((shingles: Seq[String]) => signatureMd5(shingles, numHashes))
 }
