@@ -795,6 +795,27 @@ object SparkEntry {
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** RHP plane `p` as a DuckDB double-literal array (exact round-trip:
+    * components are dyadic rationals). */
+  private def planeSql(p: Int, dims: Int, seed: Int): String =
+    (0 until dims).map(d =>
+      java.lang.Double.toString(Similarity.planeComponent(p, d, seed)))
+      .mkString("[", ", ", "]")
+
+  /** RHP signature of `vExpr` (a DOUBLE[] expression) as DuckDB SQL —
+    * mirrors [[Similarity.rhpSignature]] bit for bit: per plane, a
+    * sequential dot product against the literal plane, sign → bit. */
+  private def sigSql(vExpr: String, numPlanes: Int, dims: Int, seed: Int): String =
+    (0 until numPlanes).map(p =>
+      s"(CASE WHEN list_dot_product($vExpr, ${planeSql(p, dims, seed)}) >= 0" +
+        s" THEN ${1 << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** DuckDB cosine matching [[graft.functions.CosineSim]]'s fold order. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)))"
+
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
@@ -1067,6 +1088,75 @@ object SparkEntry {
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_minhash_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // the RHP-LSH paths are oracle-EXACT: the plane matrix is embedded as
+    // literal arrays, so DuckDB recomputes signatures, the <=1-bit
+    // multiprobe candidate set, and the cosine ranking identically
+    "dedup_embedding_lsh" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), sg AS (
+         |  SELECT vec_id, v, ${sigSql("v", 8, 64, 42)} AS sig FROM c
+         |), pr AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |         ${cosSql("a.v", "b.v")} AS cos
+         |  FROM sg a JOIN sg b
+         |    ON a.vec_id < b.vec_id
+         |   AND bit_count(xor(CAST(a.sig AS BIGINT), CAST(b.sig AS BIGINT))) <= 1
+         |)
+         |SELECT id1, id2, round(cos, 6) AS cos FROM pr
+         |WHERE cos >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), sg AS (
+         |  SELECT vec_id, v, ${sigSql("v", 8, 64, 42)} AS sig FROM c
+         |), q AS (
+         |  SELECT vec_id AS qid, v AS qv, sig AS qsig FROM sg WHERE vec_id < 10
+         |), sc AS (
+         |  SELECT q.qid, s.vec_id, ${cosSql("q.qv", "s.v")} AS cos
+         |  FROM q JOIN sg s
+         |    ON s.vec_id <> q.qid
+         |   AND bit_count(xor(CAST(q.qsig AS BIGINT), CAST(s.sig AS BIGINT))) <= 1
+         |), r AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC)
+         |      AS rank
+         |  FROM sc
+         |)
+         |SELECT qid, rank, vec_id, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), ct AS (
+         |  SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 0
+         |), asg AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT c.vec_id, c.v, ct.cid,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("ct.cv", "c.v")} DESC, ct.cid ASC) AS rn
+         |    FROM c CROSS JOIN ct
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10
+         |), qc AS (
+         |  SELECT qid, qv, cid FROM (
+         |    SELECT q.qid, q.qv, ct.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cosSql("q.qv", "ct.cv")} DESC, ct.cid ASC) AS rn
+         |    FROM q CROSS JOIN ct
+         |  ) WHERE rn <= 3
+         |), sc AS (
+         |  SELECT qc.qid, asg.vec_id, ${cosSql("qc.qv", "asg.v")} AS cos
+         |  FROM asg JOIN qc ON asg.cid = qc.cid AND asg.vec_id <> qc.qid
+         |), r AS (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC)
+         |      AS rank
+         |  FROM sc
+         |)
+         |SELECT qid, rank, vec_id, round(cos, 6) AS cos FROM r
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "knn_brute" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

@@ -70,9 +70,11 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * hash-derived value in [-0.5, 0.5). Seeded — stable across runs and
-    * engines with no RNG state to ship.
+    * engines with no RNG state to ship. Public so verification harnesses
+    * can embed the exact plane matrix as SQL literals (every component is a
+    * dyadic rational k/2^24 - 1/2, so decimal text round-trips exactly).
     */
-  private def planeComponent(plane: Int, dim: Int, seed: Int): Double = {
+  def planeComponent(plane: Int, dim: Int, seed: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((plane, dim, seed))
     (h & 0xffffff).toDouble / 0x1000000.toDouble - 0.5
   }
