@@ -49,6 +49,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("md5-60bit hash matches the DuckDB expression contract") {
+    // pinned against ('0x' || substr(md5(s), 1, 15))::BIGINT
+    import graft.pipeline.MinHash
+    assert(MinHash.hashMd5(0, "abc") == 1007738591113426928L)
+    assert(MinHash.hashMd5(7, "the quick brown") == 859283159904724978L)
+    assert(MinHash.hashMd5(63, "x") == 1146332152835323665L)
+  }
+
+  test("md5 minhash candidates ⊇ the pairs exact jaccard keeps") {
+    val cands = Dedup.minhashCandidatesMd5(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 2, shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(cands.contains((0L, 3L)))
+  }
+
   test("minhash LSH surfaces the same near-dups as exact jaccard") {
     val near = Dedup.nearDuplicates(docs, "doc_id", "text",
       threshold = 0.5, bands = 16, rowsPerBand = 2, shingleSize = 1)
