@@ -235,6 +235,62 @@ class TsOpsSpec extends AnyFunSuite {
       (0L until 800L).toSeq)
   }
 
+  test("compact preserves __day partitioning and directory pruning") {
+    val dir = SparkTestBase.tempDir("graft-compact-day")
+    val store = new WritableStore(spark, dir, "cd",
+      Seq(StructField("v", DoubleType)), partitionByDay = true)
+    val day = 86400L * 1000000000L
+    // two flushes over the same two days → 2 files per day dir
+    (0 until 2).foreach { f =>
+      store.pushMulti((0 until 4).map(i =>
+        DataPoint(19000L * day + (i % 2) * day + f * 10 + i, Seq(i.toDouble))))
+      store.persist()
+    }
+    assert(store.compact(targetRowsPerBlock = 4) == 8L)
+    val dirs = new java.io.File(dir, "cd").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq(
+      s"__day=${java.time.LocalDate.ofEpochDay(19000)}",
+      s"__day=${java.time.LocalDate.ofEpochDay(19001)}"))
+    assert(Tables.read(spark, dir, "cd").count() == 8)
+    val oneDay = Tables.readRange(spark, dir, "cd",
+      Some(19000L * day), Some(19001L * day))
+    assert(oneDay.count() == 4)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(__day"), plan)
+  }
+
+  test("periodic persist daemon flushes on schedule") {
+    val dir = SparkTestBase.tempDir("graft-daemon")
+    val store = new WritableStore(spark, dir, "pd",
+      Seq(StructField("v", DoubleType)))
+    store.pushMulti(Seq(DataPoint(1L, Seq(1.0)), DataPoint(2L, Seq(2.0))))
+    store.startPeriodicPersist(intervalMillis = 200)
+    val deadline = System.nanoTime() + 20L * 1000000000L
+    while (store.bufferedCount > 0 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(store.bufferedCount == 0, "daemon did not flush in time")
+    assert(Tables.read(spark, dir, "pd").count() == 2)
+    // rows pushed after the first flush are flushed by shutdown at latest
+    store.pushMulti(Seq(DataPoint(3L, Seq(3.0))))
+    store.shutdown()
+    assert(Tables.read(spark, dir, "pd").count() == 3)
+  }
+
+  test("interpolate with key columns fills per series independently") {
+    val d = Seq[(String, Long, Option[Double])](
+      ("a", 0L, Some(0.0)), ("a", 10L, None), ("a", 20L, Some(10.0)),
+      ("b", 0L, Some(100.0)), ("b", 10L, None), ("b", 20L, Some(0.0))
+    ).toDF("k", "bucket_ts", "v")
+    val out = TsOps.interpolate(d, "v", keyCols = Seq("k"))
+      .orderBy("k", "bucket_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq == Seq(
+      ("a", 0L, Some(0.0)), ("a", 10L, Some(5.0)), ("a", 20L, Some(10.0)),
+      ("b", 0L, Some(100.0)), ("b", 10L, Some(50.0)), ("b", 20L, Some(0.0))))
+  }
+
   test("bucketed tables join without a shuffle on either side") {
     import spark.implicits._
     val facts = (1L to 1000L).map(i => (i % 50, i, i * 1.5)).toDF("k", "a", "x")
