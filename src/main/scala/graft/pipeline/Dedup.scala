@@ -101,24 +101,27 @@ object Dedup {
 
   /** Exploded shingle rows (id1-able `__id`, kept-vocabulary size `__n`,
     * shingle `__tok`) with document-frequency > `maxDf` stop-shingles
-    * removed. The stop list is tiny (only boilerplate qualifies) →
-    * broadcast anti-join; the df count is one map-side-combinable shuffle.
+    * removed. The stop list is tiny (only boilerplate qualifies), so it is
+    * folded to a single array row and broadcast: each doc's kept set is
+    * `array_except(set, stop)` computed in the scan stage — `__n` comes
+    * from the set size BEFORE exploding, so the only shuffles in the whole
+    * cap are the map-side-combinable df count and nothing else.
     */
   private def cappedExploded(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxDf: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(df, idCol, textCol, shingleSize)
-    val exploded = sets.select(col("__id"), explode(col("__set")).as("__tok"))
     val kept =
-      if (maxDf <= 0) exploded
+      if (maxDf <= 0) sets.withColumn("__kept", col("__set"))
       else {
-        val stop = exploded.groupBy("__tok")
-          .agg(count(lit(1)).as("__df"))
+        val stopArr = sets.select(explode(col("__set")).as("__tok"))
+          .groupBy("__tok").agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf)
-          .select("__tok")
-        exploded.join(broadcast(stop), Seq("__tok"), "left_anti")
+          .agg(collect_list(col("__tok")).as("__stop"))
+        sets.crossJoin(broadcast(stopArr))
+          .withColumn("__kept", array_except(col("__set"), col("__stop")))
       }
-    kept.withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
+    kept.withColumn("__n", size(col("__kept")))
+      .select(col("__id"), col("__n"), explode(col("__kept")).as("__tok"))
   }
 
   /** MinHash-LSH candidate pairs with oracle-reproducible hashing: md5-60bit
