@@ -94,6 +94,49 @@ object Multimodal {
       .withColumn("frame_key", col("col")).drop("col")
   }
 
+  /** "Resize" stub: per-partition batched media transform — the decode →
+    * transform → re-encode shape of an image/video resize, with the codec
+    * stubbed to a deterministic byte fold. Metadata is updated for real
+    * (target dimensions, derived mime); content becomes a stand-in payload
+    * whose length scales with the target area, so downstream size
+    * accounting exercises realistic numbers. Blob read once, output carries
+    * the transformed blob + new meta only.
+    */
+  def resizeStub(df: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex("media_id")
+    val modIdx = df.schema.fieldIndex("modality")
+    val cIdx = df.schema.fieldIndex("content")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType),
+      StructField("content", BinaryType),
+      StructField("meta", mediaSchema("meta").dataType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val bytes =
+            if (row.isNullAt(cIdx)) Array.empty[Byte]
+            else row.getAs[Array[Byte]](cIdx)
+          // deterministic stand-in for the re-encoded payload: roll the
+          // decode-stub features into width*height/64 bytes
+          val n = math.max(1, width * height / 64)
+          val seedFeats = decodeStub(bytes)
+          val out = new Array[Byte](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (java.lang.Float.floatToIntBits(
+              seedFeats(i % FeatureDim)) >>> (8 * (i % 4))).toByte
+            i += 1
+          }
+          Row(row.getLong(idIdx), row.getString(modIdx), out,
+            Row(width, height, null, "application/x-resized"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Synthetic media table derived from any (id, text) frame — test fixture
     * builder so plumbing tests run without real media files. */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {

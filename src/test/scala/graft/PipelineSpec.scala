@@ -244,6 +244,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() == docs.count() * 4)
   }
 
+  test("resize stub: deterministic payloads, updated metadata, size scaling") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val r1 = Multimodal.resizeStub(media, 64, 48).orderBy("media_id").collect()
+    val r2 = Multimodal.resizeStub(media, 64, 48).orderBy("media_id").collect()
+    assert(r1.map(_.getAs[Array[Byte]]("content").toSeq).toSeq ==
+      r2.map(_.getAs[Array[Byte]]("content").toSeq).toSeq)
+    assert(r1.forall(_.getAs[Array[Byte]]("content").length == 64 * 48 / 64))
+    val meta = r1(0).getStruct(3)
+    assert(meta.getInt(0) == 64 && meta.getInt(1) == 48)
+    assert(meta.getString(3) == "application/x-resized")
+    // identical inputs (docs 0 and 1) → identical resized payloads
+    assert(r1(0).getAs[Array[Byte]]("content").toSeq ==
+      r1(1).getAs[Array[Byte]]("content").toSeq)
+  }
+
   test("ivf knn recall vs brute on clustered vectors") {
     val dims = 16
     val rnd = new scala.util.Random(13)
