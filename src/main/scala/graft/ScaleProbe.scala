@@ -49,12 +49,12 @@ object ScaleProbe {
           .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
           .withColumn("text", translate(lower(col("text")), alpha, shifted))
       }.reduce(_.unionByName(_))
+    // always regenerate: a cached copy can be stale (different SF dir) or
+    // half-written (prior crash) and would silently skew every ratio
     val ev10Path = s"$work/events10.parquet"
     val doc4Path = s"$work/documents4.parquet"
-    if (!new java.io.File(ev10Path).exists)
-      scaledEvents(10).repartition(32).write.mode("overwrite").parquet(ev10Path)
-    if (!new java.io.File(doc4Path).exists)
-      scaledDocs(4).repartition(32).write.mode("overwrite").parquet(doc4Path)
+    scaledEvents(10).repartition(32).write.mode("overwrite").parquet(ev10Path)
+    scaledDocs(4).repartition(32).write.mode("overwrite").parquet(doc4Path)
     val ev10 = spark.read.parquet(ev10Path)
     val doc4 = spark.read.parquet(doc4Path)
 

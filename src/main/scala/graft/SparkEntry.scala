@@ -832,7 +832,8 @@ object SparkEntry {
          |), e0 AS (
          |  SELECT doc_id, unnest(sh) AS tok FROM s
          |), stop AS (
-         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) > 20
+         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) >
+         |    greatest(20, ((SELECT count(*) FROM documents) * 5) // 1000)
          |), e AS (
          |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
          |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
@@ -874,7 +875,8 @@ object SparkEntry {
          |), e0 AS (
          |  SELECT doc_id, unnest(s) AS tok FROM sh
          |), stop AS (
-         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) > 20
+         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) >
+         |    greatest(20, ((SELECT count(*) FROM ex) * 5) // 1000)
          |), e AS (
          |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
          |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
@@ -917,7 +919,8 @@ object SparkEntry {
          |), e0 AS (
          |  SELECT doc_id, unnest(sh) AS tok FROM s
          |), stop AS (
-         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) > 20
+         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) >
+         |    greatest(20, ((SELECT count(*) FROM documents) * 5) // 1000)
          |), e AS (
          |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
          |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)

@@ -33,12 +33,23 @@ case class CosineSim(left: Expression, right: Expression)
         s"${left.dataType} and ${right.dataType}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // mismatched lengths yield NULL, matching the HOF reference form
+  // (zip_with pads the shorter side with nulls, poisoning the fold) —
+  // a malformed vector must never silently rank by a truncated prefix
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else CosineSim.cosine(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSim.cosine($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.CosineSim.cosine($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

@@ -99,6 +99,14 @@ object Dedup {
     */
   val DefaultMaxShingleDf = 20
 
+  /** Corpus-relative floor under the df cap: the effective threshold is
+    * `max(maxShingleDf, nDocs × 5‰)`, so on a billion-document corpus only
+    * shingles in > 0.5% of documents count as boilerplate — keeping the
+    * broadcast stop list genuinely tiny at any scale (an absolute cap of 20
+    * would otherwise sweep most of a large corpus's vocabulary into it).
+    */
+  val DfCapPerMille = 5L
+
   /** Exploded shingle rows (id1-able `__id`, kept-vocabulary size `__n`,
     * shingle `__tok`) with document-frequency > `maxDf` stop-shingles
     * removed. The stop list is tiny (only boilerplate qualifies), so it is
@@ -113,9 +121,14 @@ object Dedup {
     val kept =
       if (maxDf <= 0) sets.withColumn("__kept", col("__set"))
       else {
+        // effective threshold = max(maxDf, nDocs × DfCapPerMille ‰),
+        // computed in-plan (1-row agg, broadcast) — no driver action
+        val nDocs = sets.agg(count(lit(1)).as("__ndocs"))
         val stopArr = sets.select(explode(col("__set")).as("__tok"))
           .groupBy("__tok").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf)
+          .crossJoin(broadcast(nDocs))
+          .filter(col("__df") > greatest(lit(maxDf.toLong),
+            expr(s"(__ndocs * $DfCapPerMille) div 1000")))
           .agg(collect_list(col("__tok")).as("__stop"))
         sets.crossJoin(broadcast(stopArr))
           .withColumn("__kept", array_except(col("__set"), col("__stop")))

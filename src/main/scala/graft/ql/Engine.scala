@@ -194,7 +194,7 @@ object Output {
 
   def columnJson(df: DataFrame, tz: ZoneId, formatDatetime: Boolean,
       maxRows: Int = maxRenderRows): String = {
-    val (cols, rows, _) = renderRows(df, tz, formatDatetime, maxRows)
+    val (cols, rows, truncated) = renderRows(df, tz, formatDatetime, maxRows)
     val tsIdx = cols.indexOf("ts")
     val colTypes = df.schema.fields
     def jsonVal(s: String, i: Int): String = {
@@ -209,9 +209,13 @@ object Output {
         } + "\""
       }
     }
-    cols.indices.map { i =>
+    val body = cols.indices.map { i =>
       val vals = rows.map(r => jsonVal(r(i), i)).mkString("[", ",", "]")
       "\"" + cols(i) + "\":" + vals
-    }.mkString("{", ",", "}")
+    }
+    // a capped result must be distinguishable from a complete one — the
+    // marker key is namespaced so it cannot collide with a data column
+    val parts = if (truncated) body :+ s""""__truncated__":$maxRows""" else body
+    parts.mkString("{", ",", "}")
   }
 }

@@ -52,8 +52,14 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     try {
       var line = in.readLine()
       while (line != null) {
-        val query = parseRequest(line)
-        out.println(runQuery(query))
+        // a malformed frame must produce an error response, never kill the
+        // connection thread
+        val reply =
+          try runQuery(parseRequest(line))
+          catch { case e: Exception =>
+            s"""{"ok":false,"error":${jsonStr("bad request: " + e.getMessage)}}"""
+          }
+        out.println(reply)
         line = in.readLine()
       }
     } catch {
@@ -89,7 +95,9 @@ final class QueryServer(engine: Engine, port: Int = 0) {
           case 'r'  => sb.append('\r'); i += 2
           case 'b'  => sb.append('\b'); i += 2
           case 'f'  => sb.append('\f'); i += 2
-          case 'u' if i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(c =>
+                Character.digit(c, 16) >= 0) =>
             sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
             i += 6
           case other => sb.append(other); i += 2 // covers \" \\ \/ verbatim

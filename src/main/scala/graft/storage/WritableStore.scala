@@ -60,6 +60,31 @@ final class WritableStore(
     new java.io.File(new java.io.File(dbDir, JournalDirName), metrics)
   private var journalSeq = 0L
 
+  // Crash recovery on open, before any replay/reads:
+  //  - a journal rewrite that died between delete and rename leaves the
+  //    truth in `<journal>.tmp` — promote it (the old journal was already
+  //    deleted, so tmp is the only and the newest copy);
+  //  - a compaction that died mid-swap leaves the table in `.compact-*-tmp`
+  //    (complete iff _SUCCESS exists) or `.compact-*-old` — promote
+  //    whichever is complete, newest first.
+  private def promoteIfOrphan(target: java.io.File, candidates: Seq[java.io.File],
+      needSuccess: Boolean): Unit = {
+    if (!target.exists) {
+      candidates.find(c => c.isDirectory &&
+          (!needSuccess || new java.io.File(c, "_SUCCESS").exists))
+        .foreach { c => require(c.renameTo(target), s"recovery rename failed: $c") }
+    }
+  }
+  locally {
+    val dataDir = new java.io.File(dbDir, metrics)
+    val cTmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
+    val cOld = new java.io.File(dbDir, s".compact-$metrics-old")
+    promoteIfOrphan(dataDir, Seq(cTmp, cOld), needSuccess = true)
+    if (journaled)
+      promoteIfOrphan(journalDir,
+        Seq(new java.io.File(journalDir.getPath + ".tmp")), needSuccess = true)
+  }
+
   // WAL replay on open: fold surviving journal rows (in arrival order) back
   // into the dirty buffer, exactly like the reference replays wal.dat
   if (journaled && journalDir.isDirectory &&
@@ -116,7 +141,10 @@ final class WritableStore(
         .write.mode("overwrite").parquet(tmp.getPath)
     }
     rmTree(journalDir)
-    if (tmp.exists) { tmp.renameTo(journalDir); () }
+    if (tmp.exists)
+      require(tmp.renameTo(journalDir), s"journal swap failed for $metrics")
+    // crash between rmTree and rename is recovered on open: the tmp dir
+    // (with its _SUCCESS marker) is promoted back to the journal path
   }
 
   /** Sort the dirty suffix and merge — stable, so equal timestamps keep
@@ -243,10 +271,11 @@ final class WritableStore(
     if (rows == 0) return 0L
     val nBlocks = math.max(1L, (rows + targetRowsPerBlock - 1) / targetRowsPerBlock).toInt
     val tmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
+    val old = new java.io.File(dbDir, s".compact-$metrics-old")
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
     }
-    rmTree(tmp)
+    rmTree(tmp); rmTree(old)
     val sorted =
       if (df.columns.contains(PartitionCol))
         // keep date bucketing: sort within each day dir
@@ -258,8 +287,12 @@ final class WritableStore(
         df.repartitionByRange(nBlocks, col("ts")).sortWithinPartitions("ts")
           .write
     sorted.parquet(tmp.getPath)
-    rmTree(dir)
-    require(tmp.renameTo(dir), s"compact swap failed for $metrics")
+    // recoverable swap: at every crash point either the live dir exists or
+    // a complete copy (tmp has _SUCCESS, old is the original) is promoted
+    // back on the next store open
+    require(dir.renameTo(old), s"compact swap (live→old) failed for $metrics")
+    require(tmp.renameTo(dir), s"compact swap (tmp→live) failed for $metrics")
+    rmTree(old)
     spark.catalog.refreshByPath(dir.getPath)
     rows
   }

@@ -65,6 +65,11 @@ class EngineSpec extends AnyFunSuite {
     val json = Output.columnJson(df, java.time.ZoneOffset.UTC,
       formatDatetime = false, maxRows = 3)
     assert(json.contains("\"price\":[100.0,101.5,102.0]"))
+    // capped JSON is marked — a truncated result must be distinguishable
+    assert(json.contains("\"__truncated__\":3"))
+    val fullJson = Output.columnJson(df, java.time.ZoneOffset.UTC,
+      formatDatetime = false)
+    assert(!fullJson.contains("__truncated__"))
   }
 
   test("column-oriented json output") {

@@ -48,6 +48,10 @@ class FunctionsSpec extends AnyFunSuite {
       .select(cosine_sim(lit(null).cast("array<float>"), $"v2").as("c"))
       .collect()
     assert(withNull(0).isNullAt(0))
+    // mismatched lengths → null, like the HOF form (never a truncated score)
+    val mismatch = pairs.limit(1)
+      .select(cosine_sim(slice($"v1", 1, 63), $"v2").as("c")).collect()
+    assert(mismatch(0).isNullAt(0))
   }
 
   test("format_ns stays inside whole-stage codegen and handles nulls") {

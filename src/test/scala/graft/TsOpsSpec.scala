@@ -343,6 +343,30 @@ class TsOpsSpec extends AnyFunSuite {
     assert(Tables.listMetrics(dir) == Seq("jm"))
   }
 
+  test("crash recovery: orphaned journal tmp and compact dirs are promoted") {
+    // journal: simulate a rewrite that died between delete and rename
+    val dir = SparkTestBase.tempDir("graft-recover")
+    val s1 = new WritableStore(spark, dir, "rm",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    s1.pushMulti(Seq(DataPoint(1L, Seq(1.0)), DataPoint(2L, Seq(2.0))))
+    val jDir = new java.io.File(new java.io.File(dir, WritableStore.JournalDirName), "rm")
+    val jTmp = new java.io.File(jDir.getPath + ".tmp")
+    assert(jDir.renameTo(jTmp)) // the post-delete, pre-rename crash state
+    val s2 = new WritableStore(spark, dir, "rm",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(s2.bufferedCount == 2) // replayed from the promoted tmp
+    s2.persist()
+    // compaction: simulate a swap that died between live→old and tmp→live
+    val dataDir = new java.io.File(dir, "rm")
+    val cOld = new java.io.File(dir, ".compact-rm-old")
+    assert(dataDir.renameTo(cOld))
+    val s3 = new WritableStore(spark, dir, "rm",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(new java.io.File(dir, "rm").isDirectory)
+    assert(Tables.read(spark, dir, "rm").count() == 2)
+    assert(s3.bufferedCount == 0)
+  }
+
   test("date partition boundary rows land in the exact epoch day") {
     val dir = SparkTestBase.tempDir("graft-part-edge")
     val store = new WritableStore(spark, dir, "pe",

@@ -24,6 +24,15 @@ class JsonEscapeSpec extends AnyFunSuite {
     assert(srv.unescapeJson("""ab\""") == "ab\\")
   }
 
+  test("malformed unicode escapes degrade gracefully, never throw") {
+    // (\ and u kept in separate literals: scalac expands \\u escapes even
+    // inside triple quotes)
+    val bs = "\\"
+    assert(srv.unescapeJson("a" + bs + "uzzzzb") == "auzzzzb")
+    assert(srv.unescapeJson("a" + bs + "u00") == "au00") // too short for 4 hex
+    assert(srv.unescapeJson("a" + bs + "u0041b") == "aAb")
+  }
+
   test("parseRequest unescapes the framed query") {
     val q = srv.parseRequest("""{"query": "select \\n from m"}""")
     assert(q == "select \\n from m")
