@@ -74,14 +74,33 @@ object Dedup {
     * Shuffle is keyed on (band, bucket) — within-bucket self-join only.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame =
-    rawCandidates(df, idCol, textCol, bands, rowsPerBand, shingleSize).distinct()
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      maxBucketDocs: Int = 0): DataFrame =
+    rawCandidates(df, idCol, textCol, bands, rowsPerBand, shingleSize,
+      maxBucketDocs).distinct()
 
   /** Candidate pairs possibly repeated across bands — enough for a semi-join
-    * consumer; [[minhashCandidates]] adds the distinct for user-facing use. */
+    * consumer; [[minhashCandidates]] adds the distinct for user-facing use.
+    *
+    * `maxBucketDocs > 0` drops buckets holding more documents: a bucket of
+    * k docs emits k²/2 pairs, and oversized buckets are near-identical
+    * boilerplate clusters (every member collides in a full band) whose
+    * members the OTHER bands still pair up — the guard bounds the worst
+    * bucket's cost without an all-pairs fallback. 0 = no cap (exact
+    * banding semantics, the verification default).
+    */
   private def rawCandidates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, shingleSize: Int): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+      bands: Int, rowsPerBand: Int, shingleSize: Int,
+      maxBucketDocs: Int = 0): DataFrame = {
+    val b0 = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+    val b =
+      if (maxBucketDocs <= 0) b0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        b0.withColumn("__bn",
+            count(lit(1)).over(Window.partitionBy("band", "bucket")))
+          .filter(col("__bn") <= maxBucketDocs).drop("__bn")
+      }
     val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
     val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -192,10 +211,11 @@ object Dedup {
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
       shingleSize: Int = 3,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+      maxShingleDf: Int = DefaultMaxShingleDf,
+      maxBucketDocs: Int = 0): DataFrame = {
     // band-duplicate pairs need no distinct: the verify semi-join dedups
     val cands = rawCandidates(df, idCol, textCol, bands, rowsPerBand,
-      shingleSize)
+      shingleSize, maxBucketDocs)
     jaccardVerify(df, cands, idCol, textCol, shingleSize, maxShingleDf)
       .filter(col("jaccard") >= threshold)
   }

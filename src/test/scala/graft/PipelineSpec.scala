@@ -65,6 +65,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(cands.contains((0L, 3L)))
   }
 
+  test("oversized LSH buckets are dropped by the bucket cap, others kept") {
+    // 12 identical docs = a boilerplate cluster colliding in every band,
+    // plus one distinct near-pair that must survive the cap
+    val boiler = (100L until 112L).map(i =>
+      (i, "exactly the same boilerplate text repeated through the corpus"))
+    val all = (boiler ++ Seq(
+      (0L, "a unique document about foxes and dogs running"),
+      (1L, "a unique document about foxes and dogs sprinting")
+    )).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(all, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 66) // 12C2
+    val capped = Dedup.minhashCandidates(all, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, shingleSize = 1, maxBucketDocs = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L })
+    assert(capped.contains((0L, 1L))) // the real near-pair still surfaces
+  }
+
   test("minhash LSH surfaces the same near-dups as exact jaccard") {
     val near = Dedup.nearDuplicates(docs, "doc_id", "text",
       threshold = 0.5, bands = 16, rowsPerBand = 2, shingleSize = 1)
