@@ -811,10 +811,13 @@ object SparkEntry {
         s" THEN ${1 << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  /** DuckDB cosine matching [[graft.functions.CosineSim]]'s fold order. */
+  /** DuckDB cosine matching [[graft.functions.CosineSim]]'s fold order,
+    * including its zero-norm guard (NULL, never NaN — NaN sorts above every
+    * double in Spark, so it must not reach a ranking). */
   private def cosSql(a: String, b: String): String =
-    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
-      s"sqrt(list_dot_product($b, $b)))"
+    s"(CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0" +
+      s" THEN NULL ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))) END)"
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" ->

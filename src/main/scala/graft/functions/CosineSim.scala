@@ -35,12 +35,18 @@ case class CosineSim(left: Expression, right: Expression)
 
   // mismatched lengths yield NULL, matching the HOF reference form
   // (zip_with pads the shorter side with nulls, poisoning the fold) —
-  // a malformed vector must never silently rank by a truncated prefix
+  // a malformed vector must never silently rank by a truncated prefix.
+  // A NaN result (zero-norm vector → 0/0, or non-finite input) also yields
+  // NULL: Spark orders NaN above every double, so one all-zero embedding
+  // would otherwise rank as the top neighbor of every query
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
-    else CosineSim.cosine(x, y)
+    else {
+      val v = CosineSim.cosine(x, y)
+      if (java.lang.Double.isNaN(v)) null else v
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,6 +55,7 @@ case class CosineSim(left: Expression, right: Expression)
         ${ev.isNull} = true;
       } else {
         ${ev.value} = graft.functions.CosineSim.cosine($a, $b);
+        if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
       }""")
 
   override protected def withNewChildrenInternal(

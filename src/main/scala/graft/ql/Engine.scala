@@ -37,10 +37,18 @@ final class Engine(val spark: SparkSession, val dbDir: String,
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "format_ns",
-      exprs => graft.functions.FormatNanos(exprs.head, "UTC"), "scala_udf")
+      exprs => {
+        require(exprs.length == 1,
+          s"format_ns requires exactly 1 argument, got ${exprs.length}")
+        graft.functions.FormatNanos(exprs.head, "UTC")
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
-      exprs => graft.functions.CosineSim(exprs.head, exprs(1)), "scala_udf")
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.CosineSim(exprs.head, exprs(1))
+      }, "scala_udf")
     spark.sql(query)
   }
 

@@ -30,6 +30,13 @@ final case class DataPoint(tsNanos: Long, fields: Seq[Any])
   * successful persist truncates the journal down to whatever stayed
   * buffered. Unflushed rows therefore survive a crash.
   *
+  * Journal appends are direct local `ParquetWriter` writes (one small file
+  * per push, written under a hidden name and atomically renamed in) — no
+  * Spark job on the push path, so write-on-push latency is file-IO bound
+  * like the reference's `wal.dat` append. The file count is bounded: once
+  * it exceeds [[WritableStore.JournalCompactFiles]] the journal is
+  * rewritten to a single file.
+  *
   * Deliberate divergences, documented:
   *  - single-writer per metrics assumed (the reference's lockfiles,
   *    `storage/api/write.rs:184-202`, are out of scope for immutable files);
@@ -61,12 +68,15 @@ final class WritableStore(
   private var journalSeq = 0L
 
   // Crash recovery on open, before any replay/reads:
-  //  - a journal rewrite that died between delete and rename leaves the
-  //    truth in `<journal>.tmp` — promote it (the old journal was already
-  //    deleted, so tmp is the only and the newest copy);
+  //  - a journal rewrite that died mid-swap leaves the truth in
+  //    `<journal>.tmp` (complete iff _SUCCESS — the newest copy) or
+  //    `<journal>.old` (the pre-rewrite journal, renamed aside, never
+  //    deleted in place) — promote whichever is complete, newest first;
   //  - a compaction that died mid-swap leaves the table in `.compact-*-tmp`
   //    (complete iff _SUCCESS exists) or `.compact-*-old` — promote
   //    whichever is complete, newest first.
+  // Once the target exists, leftover side copies are stale — delete them so
+  // they can never shadow a future swap.
   private def promoteIfOrphan(target: java.io.File, candidates: Seq[java.io.File],
       needSuccess: Boolean): Unit = {
     if (!target.exists) {
@@ -74,15 +84,22 @@ final class WritableStore(
           (!needSuccess || new java.io.File(c, "_SUCCESS").exists))
         .foreach { c => require(c.renameTo(target), s"recovery rename failed: $c") }
     }
+    candidates.foreach(c => if (target.exists) rmTree(c))
   }
   locally {
     val dataDir = new java.io.File(dbDir, metrics)
     val cTmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
     val cOld = new java.io.File(dbDir, s".compact-$metrics-old")
     promoteIfOrphan(dataDir, Seq(cTmp, cOld), needSuccess = true)
-    if (journaled)
+    if (journaled) {
       promoteIfOrphan(journalDir,
-        Seq(new java.io.File(journalDir.getPath + ".tmp")), needSuccess = true)
+        Seq(new java.io.File(journalDir.getPath + ".tmp"),
+            new java.io.File(journalDir.getPath + ".old")), needSuccess = true)
+      // a crashed direct append leaves a hidden in-progress file — drop it
+      // (its rows never ack'd; the rename into *.parquet is the commit point)
+      Option(journalDir.listFiles())
+        .foreach(_.filter(_.getName.startsWith(InProgressPrefix)).foreach(_.delete()))
+    }
   }
 
   // WAL replay on open: fold surviving journal rows (in arrival order) back
@@ -106,45 +123,133 @@ final class WritableStore(
     }
     if (journaled && dps.nonEmpty) appendJournal(dps)
     buffer ++= dps
+    // bound the append-file count: small frequent pushes otherwise grow the
+    // journal dir (and replay cost) linearly until the next persist
+    if (journaled && journalFileCount > JournalCompactFiles) rewriteJournal()
   }
 
-  /** Append a pushed batch to the staging journal (write-on-push). */
+  private def journalFileCount: Int =
+    Option(journalDir.listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+
+  /** Append a pushed batch to the staging journal (write-on-push). A direct
+    * local ParquetWriter — no Spark job — written under a hidden
+    * in-progress name and renamed in atomically, so a crash mid-append can
+    * never corrupt replay. */
   private def appendJournal(dps: Seq[DataPoint]): Unit = {
-    val fieldTypes = schema.fields.map(_.dataType)
-    val rows = dps.zipWithIndex.map { case (dp, i) =>
-      val vals = (dp.tsNanos +: dp.fields).zip(fieldTypes)
-        .map { case (v, dt) => coerce(v, dt) } :+ (journalSeq + i)
-      Row.fromSeq(vals)
-    }
+    val first = journalSeq
     journalSeq += dps.length
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), journalSchema)
-      .write.mode("append").parquet(journalDir.getPath)
+    writeJournalFile(journalDir,
+      dps.zipWithIndex.map { case (dp, i) => (dp, first + i) })
   }
 
   /** Rewrite the journal to exactly the current buffer (truncate-on-persist /
-    * purge). Swap via a temp directory so a crash mid-rewrite never loses
-    * both copies. */
+    * purge / append-file compaction). Two-rename swap — the live journal is
+    * renamed aside, never deleted in place — so at every crash point either
+    * the live dir exists or a complete copy does, and recovery prefers the
+    * newer `.tmp` (complete iff _SUCCESS) over the pre-rewrite `.old`. */
   private def rewriteJournal(): Unit = {
     val tmp = new java.io.File(journalDir.getPath + ".tmp")
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
-    rmTree(tmp)
-    if (buffer.nonEmpty) {
-      journalSeq = buffer.length.toLong
-      val fieldTypes = schema.fields.map(_.dataType)
-      val rows = buffer.toSeq.zipWithIndex.map { case (dp, i) =>
-        Row.fromSeq((dp.tsNanos +: dp.fields).zip(fieldTypes)
-          .map { case (v, dt) => coerce(v, dt) } :+ i.toLong)
+    val old = new java.io.File(journalDir.getPath + ".old")
+    rmTree(tmp); rmTree(old)
+    journalSeq = buffer.length.toLong
+    tmp.mkdirs()
+    if (buffer.nonEmpty)
+      writeJournalFile(tmp, buffer.toSeq.zipWithIndex.map { case (dp, i) => (dp, i.toLong) })
+    // an empty buffer still writes the (empty) tmp with its _SUCCESS marker:
+    // recovery must prefer it over `.old`, or a crash between the two renames
+    // would resurrect already-persisted rows
+    val succ = new java.io.File(tmp, "_SUCCESS")
+    if (!succ.exists) { succ.createNewFile(); () }
+    if (journalDir.exists)
+      require(journalDir.renameTo(old), s"journal swap (live->old) failed for $metrics")
+    require(tmp.renameTo(journalDir), s"journal swap (tmp->live) failed for $metrics")
+    rmTree(old)
+  }
+
+  /** Write one sorted journal parquet file into `dir` via a local
+    * ParquetWriter (parquet-hadoop's example Group writer — already on
+    * Spark's classpath). Commit point is the rename to `*.parquet`. */
+  private def writeJournalFile(dir: java.io.File, rows: Seq[(DataPoint, Long)]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    dir.mkdirs()
+    val succ = new java.io.File(dir, "_SUCCESS")
+    if (!succ.exists) { succ.createNewFile(); () }
+    val inProgress = new java.io.File(dir,
+      s"$InProgressPrefix${rows.head._2}-${System.nanoTime()}")
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(inProgress.getPath),
+        spark.sessionState.newHadoopConf()))
+      .withType(journalMessageType)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(journalMessageType)
+    val fieldTypes = journalSchema.fields.map(_.dataType)
+    try rows.foreach { case (dp, seq) =>
+      val g = factory.newGroup()
+      (dp.tsNanos +: dp.fields :+ seq).zip(fieldTypes).zipWithIndex.foreach {
+        case ((v, dt), i) => addGroupValue(g, i, coerce(v, dt))
       }
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), journalSchema)
-        .write.mode("overwrite").parquet(tmp.getPath)
+      writer.write(g)
+    } finally writer.close()
+    val committed = new java.io.File(dir,
+      s"part-${rows.head._2}-${rows.last._2}.parquet")
+    require(inProgress.renameTo(committed), s"journal append commit failed for $metrics")
+  }
+
+  private def addGroupValue(g: org.apache.parquet.example.data.Group, idx: Int,
+      v: Any): Unit = v match {
+    case null            => ()
+    case l: Long         => g.add(idx, l)
+    case d: Double       => g.add(idx, d)
+    case i: Int          => g.add(idx, i)
+    case f: Float        => g.add(idx, f)
+    case b: Boolean      => g.add(idx, b)
+    case s: String       => g.add(idx, s)
+    case b: Array[Byte]  =>
+      g.add(idx, org.apache.parquet.io.api.Binary.fromConstantByteArray(b))
+    case s: Short        => g.add(idx, s.toInt)
+    case b: Byte         => g.add(idx, b.toInt)
+    case other => throw new IllegalArgumentException(
+      s"journal: unsupported value ${other.getClass.getName} at field $idx")
+  }
+
+  /** Parquet schema for the journal, matching what Spark's reader expects
+    * for [[journalSchema]] (so replay can read with an explicit schema). */
+  private lazy val journalMessageType: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type, Types}
+    import PrimitiveType.PrimitiveTypeName._
+    val b = Types.buildMessage()
+    journalSchema.fields.foreach { f =>
+      val rep = if (f.nullable) Type.Repetition.OPTIONAL else Type.Repetition.REQUIRED
+      def prim(t: PrimitiveType.PrimitiveTypeName,
+          ann: LogicalTypeAnnotation = null): Type = {
+        val tb = Types.primitive(t, rep)
+        (if (ann != null) tb.as(ann) else tb).named(f.name)
+      }
+      b.addField(f.dataType match {
+        case LongType    => prim(INT64)
+        case DoubleType  => prim(DOUBLE)
+        case IntegerType => prim(INT32)
+        case FloatType   => prim(FLOAT)
+        case BooleanType => prim(BOOLEAN)
+        case StringType  => prim(BINARY, LogicalTypeAnnotation.stringType())
+        case BinaryType  => prim(BINARY)
+        case ShortType   => prim(INT32, LogicalTypeAnnotation.intType(16, true))
+        case ByteType    => prim(INT32, LogicalTypeAnnotation.intType(8, true))
+        case dt => throw new IllegalArgumentException(
+          s"journaled store: unsupported field type $dt for ${f.name}")
+      })
     }
-    rmTree(journalDir)
-    if (tmp.exists)
-      require(tmp.renameTo(journalDir), s"journal swap failed for $metrics")
-    // crash between rmTree and rename is recovered on open: the tmp dir
-    // (with its _SUCCESS marker) is promoted back to the journal path
+    b.named("graft_journal")
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
   /** Sort the dirty suffix and merge — stable, so equal timestamps keep
@@ -272,9 +377,6 @@ final class WritableStore(
     val nBlocks = math.max(1L, (rows + targetRowsPerBlock - 1) / targetRowsPerBlock).toInt
     val tmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
     val old = new java.io.File(dbDir, s".compact-$metrics-old")
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
     rmTree(tmp); rmTree(old)
     val sorted =
       if (df.columns.contains(PartitionCol))
@@ -315,4 +417,12 @@ object WritableStore {
   /** Staging-journal root under the database dir; dot-prefixed so
     * [[Tables.listMetrics]] never surfaces it as a metrics. */
   val JournalDirName = ".journal"
+
+  /** Hidden prefix for in-flight journal appends (ignored by Spark's file
+    * listing and dropped on recovery); the rename to `*.parquet` commits. */
+  val InProgressPrefix = ".inprogress-"
+
+  /** Max journal append files before the journal is rewritten to one file —
+    * bounds replay cost and directory growth under small frequent pushes. */
+  val JournalCompactFiles = 64
 }

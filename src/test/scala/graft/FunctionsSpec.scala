@@ -54,6 +54,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(mismatch(0).isNullAt(0))
   }
 
+  test("cosine_sim: zero-norm vector yields null, never NaN") {
+    import graft.functions.CosineSim.cosine_sim
+    // a zero embedding must not rank as everyone's top neighbor (Spark
+    // orders NaN above every double) — the score is null instead
+    val zeroDf = Seq((Array.fill(4)(0.0f), Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("z", "v")
+    // parquet-free literal path exercises the interpreted eval; the
+    // projection over a read exercises codegen — assert both
+    val interp = zeroDf.select(
+      cosine_sim($"z", $"v").as("zv"),
+      cosine_sim($"v", $"z").as("vz"),
+      cosine_sim($"z", $"z").as("zz"),
+      cosine_sim($"v", $"v").as("vv")).collect()(0)
+    assert(interp.isNullAt(0) && interp.isNullAt(1) && interp.isNullAt(2))
+    assert(math.abs(interp.getDouble(3) - 1.0) < 1e-12)
+    val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings").limit(3)
+    val gen = emb.select(
+      cosine_sim($"embedding",
+        expr("cast(array_repeat(cast(0.0 as float), 64) as array<float>)")).as("c"))
+      .collect()
+    assert(gen.forall(_.isNullAt(0)))
+  }
+
+  test("SQL-registered functions reject wrong arity with a clear error") {
+    val eng = new graft.ql.Engine(spark, "/root/testdata/sf0.001")
+    val e1 = intercept[Exception] {
+      eng.sql("SELECT cosine_sim(CAST(array(1.0) AS array<float>))").collect()
+    }
+    assert(e1.getMessage.contains("cosine_sim requires exactly 2 arguments"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      eng.sql("SELECT format_ns(1, 2, 3)").collect()
+    }
+    assert(e2.getMessage.contains("format_ns requires exactly 1 argument"),
+      e2.getMessage)
+  }
+
   test("format_ns stays inside whole-stage codegen and handles nulls") {
     // parquet-backed so the projection isn't constant-folded away
     val ev = graft.storage.Tables.read(spark, "/root/testdata/sf0.001", "events")

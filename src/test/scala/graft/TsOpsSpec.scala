@@ -330,9 +330,13 @@ class TsOpsSpec extends AnyFunSuite {
     val s3 = new WritableStore(spark, dir, "jm",
       Seq(StructField("v", DoubleType)), journaled = true)
     assert(s3.bufferedCount == 2)
-    // full persist truncates the journal
+    // full persist truncates the journal (dir stays as an empty, complete
+    // copy — _SUCCESS marker, no data files — so crash recovery can always
+    // prefer it over a stale pre-rewrite journal)
     s3.persist()
-    assert(!new java.io.File(new java.io.File(dir, WritableStore.JournalDirName), "jm").exists)
+    val jm = new java.io.File(new java.io.File(dir, WritableStore.JournalDirName), "jm")
+    assert(jm.isDirectory)
+    assert(!jm.listFiles().exists(_.getName.endsWith(".parquet")))
     val s4 = new WritableStore(spark, dir, "jm",
       Seq(StructField("v", DoubleType)), journaled = true)
     assert(s4.bufferedCount == 0)
@@ -365,6 +369,58 @@ class TsOpsSpec extends AnyFunSuite {
     assert(new java.io.File(dir, "rm").isDirectory)
     assert(Tables.read(spark, dir, "rm").count() == 2)
     assert(s3.bufferedCount == 0)
+  }
+
+  test("crash recovery: journal rewrite mid-swap prefers tmp over old") {
+    // crash state between live->old and tmp->live: the tmp (post-persist,
+    // empty) journal is the newest truth; promoting old instead would
+    // resurrect the just-persisted rows
+    val dir = SparkTestBase.tempDir("graft-recover-swap")
+    val s1 = new WritableStore(spark, dir, "rs",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    s1.pushMulti(Seq(DataPoint(1L, Seq(1.0)), DataPoint(2L, Seq(2.0))))
+    val jDir = new java.io.File(new java.io.File(dir, WritableStore.JournalDirName), "rs")
+    val jTmp = new java.io.File(jDir.getPath + ".tmp")
+    val jOld = new java.io.File(jDir.getPath + ".old")
+    // simulate: persist completed its block write + built the empty tmp,
+    // then crashed after renaming live->old
+    assert(jDir.renameTo(jOld))
+    jTmp.mkdirs()
+    new java.io.File(jTmp, "_SUCCESS").createNewFile()
+    val s2 = new WritableStore(spark, dir, "rs",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(s2.bufferedCount == 0) // tmp won; old rows not resurrected
+    assert(!jTmp.exists && !jOld.exists) // stale side copies cleaned
+
+    // crash state after both renames but mid-rmTree(old): live journal
+    // exists; the leftover old must be swept, replay uses live only
+    val s3 = new WritableStore(spark, dir, "rs",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    s3.pushMulti(Seq(DataPoint(3L, Seq(3.0))))
+    jOld.mkdirs()
+    new java.io.File(jOld, "_SUCCESS").createNewFile()
+    val s4 = new WritableStore(spark, dir, "rs",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(s4.bufferedCount == 1)
+    assert(!jOld.exists)
+  }
+
+  test("journal: append files are bounded by threshold compaction") {
+    val dir = SparkTestBase.tempDir("graft-journal-compact")
+    val s1 = new WritableStore(spark, dir, "jc",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    (0 until WritableStore.JournalCompactFiles + 5).foreach { i =>
+      s1.push(DataPoint(i.toLong, Seq(i.toDouble)))
+    }
+    val jDir = new java.io.File(new java.io.File(dir, WritableStore.JournalDirName), "jc")
+    val nFiles = jDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles <= WritableStore.JournalCompactFiles, s"journal grew to $nFiles files")
+    // replay after compaction still yields every row in arrival order
+    val s2 = new WritableStore(spark, dir, "jc",
+      Seq(StructField("v", DoubleType)), journaled = true)
+    assert(s2.bufferedCount == WritableStore.JournalCompactFiles + 5)
+    val replayed = s2.bufferedFrame().collect().map(_.getLong(0)).toSeq
+    assert(replayed == (0 until WritableStore.JournalCompactFiles + 5).map(_.toLong))
   }
 
   test("date partition boundary rows land in the exact epoch day") {
