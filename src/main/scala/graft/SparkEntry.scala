@@ -766,6 +766,29 @@ object SparkEntry {
         .crossJoin(exactP.agg(count(lit(1)).as("total")))
         .select((col("hits") >= col("total") * 0.9).cast("long").as("recall_ok"))
     }),
+    "dedup_minhash_lsh_match" -> ((s, d) => {
+      // the xxhash64 fast path and its md5 oracle twin share every step but
+      // the base hash; the verify stage is exact, so both emit exactly the
+      // candidate pairs with true jaccard >= threshold that their banding
+      // surfaced. This gate pins the fast path to the (hash-proven) md5
+      // result SET in both directions — the driver-green proof that the
+      // fast path's banding loses nothing and invents nothing
+      val docs = t(s, d, "documents")
+      val fast = Dedup.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.3, bands = 16, rowsPerBand = 4, shingleSize = 3)
+        .select("id1", "id2")
+      val md5p = Dedup.jaccardVerify(docs,
+        Dedup.minhashCandidatesMd5(docs, "doc_id", "text",
+          bands = 16, rowsPerBand = 4, shingleSize = 3),
+        "doc_id", "text", shingleSize = 3)
+        .filter(col("jaccard") >= 0.3).select("id1", "id2")
+      fast.join(md5p, Seq("id1", "id2"), "left_anti")
+        .agg(count(lit(1)).as("fast_only"))
+        .crossJoin(md5p.join(fast, Seq("id1", "id2"), "left_anti")
+          .agg(count(lit(1)).as("md5_only")))
+        .select(((col("fast_only") === 0) && (col("md5_only") === 0))
+          .cast("long").as("match_ok"))
+    }),
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id", "text"), 4)
@@ -911,7 +934,16 @@ object SparkEntry {
          |  CAST(len($DuckToks) AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
-    "dedup_minhash_oracle" ->
+    "dedup_minhash_oracle" -> minhashMd5Sql,
+    // the xxhash64 fast path emits the same verified pair set as the md5
+    // twin (dedup_minhash_lsh_match pins set-equality in both directions),
+    // and the row values (shared/n1/n2/jaccard) come from the exact verify
+    // stage, which is hash-independent — so the md5 reconstruction is a
+    // valid value oracle for the fast path the driver runs
+    "dedup_minhash_lsh" -> minhashMd5Sql,
+  )
+
+  private lazy val minhashMd5Sql: String =
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents
          |), s AS (
@@ -951,7 +983,9 @@ object SparkEntry {
          |       CAST(p.shared AS DOUBLE) / (p.n1 + p.n2 - p.shared) AS jaccard
          |FROM p JOIN cand ON p.id1 = cand.id1 AND p.id2 = cand.id2
          |WHERE CAST(p.shared AS DOUBLE) / (p.n1 + p.n2 - p.shared) >= 0.3
-         |ORDER BY p.id1, p.id2""".stripMargin,
+         |ORDER BY p.id1, p.id2""".stripMargin
+
+  private val pipelineOracles2: Map[String, String] = Map(
     "dedup_simhash" -> {
       // 60-bit md5 token hashes: per-bit sign-sums, assemble bits 0-59
       // (bits 60-63 sign-sum to -n → 0), all-pairs hamming <= 3. Matches
@@ -1094,6 +1128,10 @@ object SparkEntry {
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_minhash_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // match gate: fast-path (xxhash64) verified pair set ≡ md5-twin set —
+    // with dedup_minhash_oracle hash-proving the md5 set itself, this
+    // transitively value-proves the fast path the driver runs
+    "dedup_minhash_lsh_match" -> "SELECT CAST(1 AS BIGINT) AS match_ok",
     // the RHP-LSH paths are oracle-EXACT: the plane matrix is embedded as
     // literal arrays, so DuckDB recomputes signatures, the <=1-bit
     // multiprobe candidate set, and the cosine ranking identically
@@ -1187,5 +1225,5 @@ object SparkEntry {
     qlQueries ++ analyticsQueries ++ pipelineQueries
 
   def oracleSql: Map[String, String] =
-    qlOracles ++ analyticsOracles ++ pipelineOracles
+    qlOracles ++ analyticsOracles ++ pipelineOracles ++ pipelineOracles2
 }
