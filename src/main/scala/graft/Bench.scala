@@ -3,13 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and prints
-  * one JSON line. Queries are forced with a count() action. Every query runs
-  * twice — one untimed warm-up pass over ALL queries first, then the timed
-  * pass — so the numbers measure the engine's steady state, not HotSpot JIT
-  * and first-touch codegen/scan costs (which otherwise land on whichever
-  * heavy query happens to run a code path first).
+  * one JSON line. Queries are forced with a count() action. One untimed
+  * warm-up pass over ALL queries runs first — so the numbers measure the
+  * engine's steady state, not HotSpot JIT and first-touch codegen/scan costs
+  * (which otherwise land on whichever heavy query happens to run a code path
+  * first) — then each query is timed over three iterations and reports the
+  * MEDIAN, making a single sample defensible against run-to-run variance
+  * (page-cache state, first-heavy-shuffle effects, GC pauses).
   */
 object Bench {
+  /** Timed iterations per query; the reported figure is the median. */
+  val Iterations = 3
   val headline: Seq[String] = Seq(
     "ql_range", "ql_head_limit", "agg_downsample_1h", "agg_event_type_stats",
     "sessionize_stats", "asof_purchase_view", "rolling_24h_stats",
@@ -44,12 +48,16 @@ object Bench {
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s $dt%8.2fs")
+        val samples = (1 to Iterations).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val dt = samples(samples.length / 2)
+        System.err.println(f"[bench] $name%-24s $dt%8.2fs  " +
+          samples.map(s => f"$s%.2f").mkString("[", " ", "]"))
         name -> dt
       }
     }

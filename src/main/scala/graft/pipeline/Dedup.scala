@@ -310,9 +310,21 @@ object Dedup {
     * COMPLETE (equivalent to brute-force hamming <= maxHamming), while the
     * join stays bucket-keyed. Larger maxHamming means narrower blocks and
     * fuller buckets — keep maxHamming small (<= 7) at scale.
+    *
+    * `maxBucketDocs > 0` drops (block, key) buckets holding more documents:
+    * a bucket of k docs emits k²/2 join rows, and oversized buckets are
+    * boilerplate clusters of near-identical simhashes — sub-splitting can't
+    * bound them, because cluster members agree on every block. UNLIKE the
+    * minhash band guard, capping here COSTS RECALL: pigeonhole blocks are
+    * not redundant (a pair is only guaranteed ONE matching block), so a pair
+    * whose sole matching block sits in a dropped bucket is lost — and
+    * cluster members themselves stop pairing with each other. Use it as the
+    * scale escape hatch when a corpus has pathological boilerplate, sized
+    * well above the largest legitimate cluster; 0 (default) = complete
+    * recall, the verification tier's operating point.
     */
   def simhashCandidates(sim: DataFrame, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketDocs: Int = 0): DataFrame = {
     val nBlocks = maxHamming + 1
     require(nBlocks >= 1 && nBlocks <= 64, s"maxHamming $maxHamming out of range")
     val bounds = (0 to nBlocks).map(b => (64 * b) / nBlocks)
@@ -323,10 +335,18 @@ object Dedup {
       struct(lit(b).as("blk"),
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
     }
-    val bucketed = sim
+    val b0 = sim
       .select(col(idCol), col("simhash"), explode(array(keys: _*)).as("bk"))
       .select(col(idCol), col("simhash"),
         col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val bucketed =
+      if (maxBucketDocs <= 0) b0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        b0.withColumn("__bn",
+            count(lit(1)).over(Window.partitionBy("blk", "key")))
+          .filter(col("__bn") <= maxBucketDocs).drop("__bn")
+      }
     val l = bucketed.select(col("blk"), col("key"), col(idCol).as("id1"),
       col("simhash").as("sh1"))
     val r = bucketed.select(col("blk"), col("key"), col(idCol).as("id2"),

@@ -129,9 +129,7 @@ final class Engine(val spark: SparkSession, val dbDir: String,
         val codec =
           if (iq.output.format == OutputFormat.ParquetSnappy) "snappy"
           else "uncompressed"
-        // single-file output mirrors the reference's one-parquet-per-query;
-        // disable for big extracts — parallel part-files, no 1-task funnel
-        val w = if (Output.singleFileOutput) df.coalesce(1) else df
+        val w = if (Output.singleFileFor(df)) df.coalesce(1) else df
         w.write.mode("overwrite")
           .option("compression", codec).parquet(path)
         ""
@@ -157,11 +155,25 @@ object Output {
   def maxRenderRows: Int =
     sys.env.get("GRAFT_MAX_RENDER_ROWS").map(_.toInt).getOrElse(100000)
 
-  /** Whether dialect parquet output coalesces to a single file (the
-    * reference writes one parquet per query). Set
-    * GRAFT_SINGLE_FILE_OUTPUT=false for parallel part-file writes. */
-  def singleFileOutput: Boolean =
-    sys.env.get("GRAFT_SINGLE_FILE_OUTPUT").forall(_.toBoolean)
+  /** Explicit single-file override for dialect parquet output (the
+    * reference writes one parquet per query). Unset → size-guarded default
+    * in [[Engine.execute]]; GRAFT_SINGLE_FILE_OUTPUT=true forces one file,
+    * =false forces parallel part-files. */
+  def singleFileOutput: Option[Boolean] =
+    sys.env.get("GRAFT_SINGLE_FILE_OUTPUT").map(_.toBoolean)
+
+  /** Estimated-size ceiling for defaulting to single-file parquet output:
+    * results Catalyst sizes above this write parallel part-files. */
+  val SingleFileMaxBytes: Long = 128L * 1024 * 1024
+
+  /** Single-file output mirrors the reference's one-parquet-per-query, but
+    * a coalesce(1) is a one-task funnel on a big extract — so the default
+    * is size-guarded: single file only when Catalyst's estimate says the
+    * result is interactive-scale, parallel part-files above.
+    * GRAFT_SINGLE_FILE_OUTPUT=true/false overrides either way. */
+  def singleFileFor(df: DataFrame): Boolean =
+    singleFileOutput.getOrElse(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= SingleFileMaxBytes)
 
   private def renderRows(df: DataFrame, tz: ZoneId, formatDatetime: Boolean,
       maxRows: Int): (Array[String], Seq[Array[String]], Boolean) = {

@@ -90,6 +90,19 @@ class EngineSpec extends AnyFunSuite {
     val back = spark.read.parquet(out)
     assert(back.count() == 4)
     assert(back.columns.head == "ts")
+    // interactive-scale result → the reference's one-parquet-per-query shape
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
+
+  test("single-file parquet default is size-guarded, not unconditional") {
+    // small estimate → single file (reference parity); big estimate → the
+    // coalesce(1) one-task funnel must NOT apply to a large extract
+    val e = new Engine(spark, dbDir)
+    val small = e.frame("select * from trades where ts in ('2022-04-26', +1 day)")
+    assert(graft.ql.Output.singleFileFor(small))
+    val big = spark.range(1L << 32) // Catalyst sizes this at 8 B/row = 32 GB
+    assert(!graft.ql.Output.singleFileFor(big.toDF()))
   }
 
   test("grouped tail via dialect") {

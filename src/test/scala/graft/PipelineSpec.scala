@@ -127,6 +127,30 @@ class PipelineSpec extends AnyFunSuite {
       s"missing=${(brute -- got).size} extra=${(got -- brute).size}")
   }
 
+  test("simhash bucket guard bounds a planted boilerplate cluster") {
+    // 40 docs sharing ONE simhash (a boilerplate cluster: every block
+    // bucket holds all 40) + 6 isolated near pairs. Uncapped, the cluster
+    // alone emits 40*39/2 pairs; with the guard those buckets are dropped
+    // while the small buckets' pairs survive untouched
+    val rnd = new scala.util.Random(7)
+    val clusterHash = rnd.nextLong()
+    val cluster = (0 until 40).map(i => (1000L + i, clusterHash))
+    val pairs = (0 until 6).flatMap { i =>
+      val h = rnd.nextLong()
+      Seq((2000L + i * 2, h), (2001L + i * 2, h ^ (1L << (i * 7))))
+    }
+    val df = (cluster ++ pairs).toDF("doc_id", "simhash")
+    val unguarded = Dedup.simhashCandidates(df, "doc_id", maxHamming = 3)
+    assert(unguarded.count() == 40L * 39 / 2 + 6)
+    val guarded = Dedup.simhashCandidates(df, "doc_id", maxHamming = 3,
+      maxBucketDocs = 10)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall caveat is real: the cluster's own pairs are gone (blocks are
+    // not redundant bands) — the guard trades them for bounded work
+    assert(guarded == (0 until 6).map(i => (2000L + i * 2, 2001L + i * 2)).toSet)
+  }
+
   test("quality features exact values") {
     val r = Text.qualityFeatures(docs.filter($"doc_id" === 0), "text")
       .collect()(0)
