@@ -686,6 +686,23 @@ object SparkEntry {
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
     }),
+    "knn_ivf_stored" -> ((s, d) => {
+      // knn_ivf probed AT REST: the assignment is persisted with cid as the
+      // storage partition key and the probe prunes the scan to the probed
+      // cell directories (PlanAuditSpec asserts the PartitionFilters) —
+      // same result as knn_ivf, so it shares that value oracle
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivf-" + Integer.toHexString(d.hashCode)).getPath
+      Similarity.writeIvf(Similarity.ivfAssign(emb, cents), path)
+      Similarity.ivfKnnStored(s, path, cents, q, k = 5, nprobe = 3)
+        .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
     // ---- recall gates: approximation quality as oracle-checkable facts ----
     // The approximate paths (LSH/IVF/embedding-LSH) cannot have SQL oracles —
     // their outputs depend on JVM-side hashing. What CAN be checked is the
@@ -1224,6 +1241,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     qlQueries ++ analyticsQueries ++ pipelineQueries
 
-  def oracleSql: Map[String, String] =
-    qlOracles ++ analyticsOracles ++ pipelineOracles ++ pipelineOracles2
+  def oracleSql: Map[String, String] = {
+    val base = qlOracles ++ analyticsOracles ++ pipelineOracles ++ pipelineOracles2
+    // the stored-index probe computes the same result as knn_ivf (identical
+    // centroids/queries/ranking — only the corpus goes through the
+    // partitionBy(cid) layout on disk), so it shares the value oracle
+    base + ("knn_ivf_stored" -> base("knn_ivf"))
+  }
 }

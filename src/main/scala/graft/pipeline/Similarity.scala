@@ -199,9 +199,9 @@ object Similarity {
 
   /** IVF probe: top-k per query scoring only vectors whose cell is among
     * the query's `nprobe` nearest centroids — the classic two-level ANN.
-    * `assigned` is [[ivfAssign]] output (id, vec, cid); at scale it is the
-    * stored, cell-partitioned corpus and the join prunes to `nprobe`
-    * partitions per query.
+    * `assigned` is [[ivfAssign]] output (id, vec, cid); at scale use
+    * [[writeIvf]] + [[ivfKnnStored]], which make the cell the storage
+    * partition key and prune the scan to the probed cells.
     */
   def ivfKnn(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 2,
@@ -209,18 +209,63 @@ object Similarity {
       cidCol: String = "cid", cvecCol: String = "cvec",
       qidCol: String = "qid", qvecCol: String = "qvec",
       excludeSelf: Boolean = true): DataFrame = {
-    // query → its nprobe nearest cells
+    val qCells = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
+      qidCol, qvecCol)
+    val cands = assigned.join(broadcast(qCells), Seq(cidCol))
+    rankTopK(cands, k, idCol, vecCol, qidCol, qvecCol, excludeSelf)
+  }
+
+  /** Persist an [[ivfAssign]]ed corpus with the cell id as the storage
+    * partition key — the IVF index at rest. Each cell is a directory, so a
+    * probe filtering on `cid` prunes at file-listing time (PartitionFilters)
+    * and reads only `nprobe`/k of the data.
+    */
+  def writeIvf(assigned: DataFrame, path: String,
+      cidCol: String = "cid"): Unit =
+    assigned.write.mode("overwrite").partitionBy(cidCol).parquet(path)
+
+  /** IVF probe against a [[writeIvf]]-stored corpus. The query set's probe
+    * cells are resolved first and applied as a static `isin` partition
+    * filter — the scan lists only those cell directories. The collected
+    * cell-id set is index metadata, <= nQueries × nprobe values by
+    * construction (both small by the IVF serving contract), not data.
+    */
+  def ivfKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cidCol: String = "cid", cvecCol: String = "cvec",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      excludeSelf: Boolean = true): DataFrame = {
+    val qCells = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
+      qidCol, qvecCol)
+    val cellIds: Array[Any] =
+      qCells.select(cidCol).distinct().collect().map(_.get(0))
+    val assigned = spark.read.parquet(path)
+      .filter(col(cidCol).isin(cellIds.toIndexedSeq: _*))
+    val cands = assigned.join(broadcast(qCells), Seq(cidCol))
+    rankTopK(cands, k, idCol, vecCol, qidCol, qvecCol, excludeSelf)
+  }
+
+  /** Each query's `nprobe` nearest cells: (qid, qvec, cid). */
+  private def probeCells(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int, cidCol: String, cvecCol: String,
+      qidCol: String, qvecCol: String): DataFrame = {
     val qScored = queries.crossJoin(broadcast(centroids))
       .withColumn("__qc", cosine(col(qvecCol), col(cvecCol)))
     val wq = Window.partitionBy(qidCol).orderBy(col("__qc").desc, col(cidCol).asc)
-    val qCells = qScored.withColumn("__r", row_number().over(wq))
+    qScored.withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
       .select(col(qidCol), col(qvecCol), col(cidCol))
-    val cands = assigned.join(broadcast(qCells), Seq(cidCol))
+  }
+
+  /** Score candidates and keep each query's top-k by cosine. */
+  private def rankTopK(cands: DataFrame, k: Int, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String, excludeSelf: Boolean): DataFrame = {
+    val scored = cands
       .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
       .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
-    cands.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("cos"))
   }

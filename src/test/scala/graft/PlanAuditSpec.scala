@@ -81,4 +81,46 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window ["), p) // threshold impl: filter, not window
   }
+
+  test("knn_ivf_stored: probe prunes the cell-partitioned index scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec    => Seq(f)
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case s: QueryStageExec        => collectScans(s.plan)
+      case r: ReusedExchangeExec    => collectScans(r.child)
+      case other => (other.children ++ other.subqueries).flatMap(collectScans)
+    }
+    // selective probe: one query, nprobe=2 — at sf0.001 the driver query's
+    // 10 queries × nprobe 3 legitimately touch every one of the ~10 cells,
+    // so pruning is only observable with a narrower probe set
+    import org.apache.spark.sql.functions._
+    val emb = graft.storage.Tables.read(spark, d, "embeddings")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = new java.io.File(SparkTestBase.tempDir("graft-ivf-prune"), "idx").getPath
+    graft.pipeline.Similarity.writeIvf(
+      graft.pipeline.Similarity.ivfAssign(emb, cents), path)
+    val df = graft.pipeline.Similarity.ivfKnnStored(spark, path, cents, q,
+      k = 5, nprobe = 2)
+    df.collect() // finalize the adaptive plan before walking it
+    val scans = collectScans(df.queryExecution.executedPlan)
+    // the stored-corpus scan: partitioned on cid, filtered to probed cells
+    val ivfScan = scans.find(_.relation.partitionSchema.fieldNames.contains("cid"))
+    assert(ivfScan.isDefined, df.queryExecution.executedPlan.toString)
+    val s = ivfScan.get
+    assert(s.partitionFilters.exists(_.references.exists(_.name == "cid")),
+      s.toString)
+    // pruning is real: strictly fewer cell directories read than exist
+    val totalCells = s.relation.location.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("cid="))).distinct.length
+    val readCells = s.selectedPartitions.partitionCount
+    assert(readCells < totalCells,
+      s"no pruning: read $readCells of $totalCells cells")
+    assert(readCells > 0)
+  }
 }
