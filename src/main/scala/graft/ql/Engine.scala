@@ -136,8 +136,9 @@ final class Engine(val spark: SparkSession, val dbDir: String,
     }
   }
 
+  // Hadoop Path, not java.io.File: dbDir may be an object-store URI
   private def resolveDb(db: Option[String]): String =
-    db.fold(dbDir)(d => new java.io.File(dbDir, d).getPath)
+    db.fold(dbDir)(d => new org.apache.hadoop.fs.Path(dbDir, d).toString)
 }
 
 /** Output formatting (`query/executor/output/format/`): ASCII table,

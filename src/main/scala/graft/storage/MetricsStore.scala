@@ -1,6 +1,7 @@
 package graft.storage
 
-import java.io.File
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -29,11 +30,27 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** Hadoop conf for catalog path operations — from the active session when
+    * one exists (so object-store credentials and fs.* settings apply), else
+    * the default. All path handling below goes through Hadoop
+    * `FileSystem`/`Path`, never `java.io.File`, so a database dir can be
+    * any supported scheme (`s3a://bucket/db`, `gs://…`), matching the
+    * reference's cloud-block capability (`cloudstorage/gcp.rs:33-140`) the
+    * Spark-native way: the object store IS the filesystem.
+    */
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsFor(p: HPath): FileSystem = p.getFileSystem(hadoopConf())
+
   def metricsPath(dbDir: String, metrics: String): String = {
-    val dir  = new File(dbDir, metrics)
-    val file = new File(dbDir, metrics + ".parquet")
-    if (dir.isDirectory) dir.getPath
-    else if (file.exists) file.getPath
+    val dir  = new HPath(dbDir, metrics)
+    val file = new HPath(dbDir, metrics + ".parquet")
+    val fs = fsFor(dir)
+    if (fs.exists(dir) && fs.getFileStatus(dir).isDirectory) dir.toString
+    else if (fs.exists(file)) file.toString
     else throw new IllegalArgumentException(s"unknown metrics '$metrics' in $dbDir")
   }
 
@@ -93,15 +110,18 @@ object Tables {
   /** All metrics names in the database dir (`.metrics` meta-table —
     * `query/executor/metrics_list.rs`). */
   def listMetrics(dbDir: String): Seq[String] = {
-    val root = new File(dbDir)
-    val entries = Option(root.listFiles()).getOrElse(Array.empty)
-    entries.flatMap { f =>
-      if (f.isDirectory && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        Some(f.getName)
-      else if (f.isFile && f.getName.endsWith(".parquet"))
-        Some(f.getName.stripSuffix(".parquet"))
+    val root = new HPath(dbDir)
+    val fs = fsFor(root)
+    val entries =
+      if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty
+    entries.flatMap { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && !name.startsWith(".") && !name.startsWith("_"))
+        Some(name)
+      else if (st.isFile && name.endsWith(".parquet"))
+        Some(name.stripSuffix(".parquet"))
       else None
-    }.distinct.sorted.toSeq
+    }.distinct.sorted
   }
 
   def metricsDf(spark: SparkSession, dbDir: String): DataFrame = {
@@ -114,16 +134,27 @@ object Tables {
     * `query/executor/describe_metrics.rs:9-113`). With aggregate pushdown the
     * min/max/count run footer-only.
     */
-  /** Data files + newest mtime (ns) for a metrics — `.describe`'s
+  /** One data file ("block"): qualified path + modification time (ms). */
+  private final case class DataFile(path: HPath, mtimeMs: Long) {
+    def name: String = path.getName
+  }
+
+  /** Data files + mtimes for a metrics — `.describe`'s
     * updated_at/block_num (reference block metadata,
-    * `describe_metrics.rs:95-112`). */
-  private def dataFiles(dbDir: String, metrics: String): Seq[File] = {
-    val root = new File(metricsPath(dbDir, metrics))
-    def walk(f: File): Seq[File] =
-      if (f.isFile) Seq(f)
-      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
-    walk(root).filter(f =>
-      f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    * `describe_metrics.rs:95-112`). Recursive remote listing, so
+    * date-bucketed layouts and object-store prefixes both walk the same
+    * way. */
+  private def dataFiles(dbDir: String, metrics: String): Seq[DataFile] = {
+    val root = new HPath(metricsPath(dbDir, metrics))
+    val it = fsFor(root).listFiles(root, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_"))
+        out += DataFile(st.getPath, st.getModificationTime)
+    }
+    out.toSeq
   }
 
   /** Per-file footer stats: (file, rows, ts min, ts max) read driver-side
@@ -133,16 +164,15 @@ object Tables {
     * Spark analog is footer row-group statistics, never touching data
     * pages). Metadata queries therefore cost zero data IO at any scale.
     */
-  private def footerStats(spark: SparkSession, files: Seq[File])
-      : Seq[(File, Long, Option[Long], Option[Long])] = {
+  private def footerStats(spark: SparkSession, files: Seq[DataFile])
+      : Seq[(DataFile, Long, Option[Long], Option[Long])] = {
     import scala.jdk.CollectionConverters._
-    import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
     files.map { f =>
       val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new HPath(f.getPath), conf))
+        HadoopInputFile.fromPath(f.path, conf))
       try {
         val footer = reader.getFooter
         val blocks = footer.getBlocks.asScala.toSeq
@@ -170,7 +200,7 @@ object Tables {
     val names = metricsFilter.fold(listMetrics(dbDir))(m => Seq(m))
     val rows = names.map { m =>
       val files = dataFiles(dbDir, m)
-      val updatedAt = files.map(_.lastModified()).maxOption.getOrElse(0L) * 1000000L
+      val updatedAt = files.map(_.mtimeMs).maxOption.getOrElse(0L) * 1000000L
       val stats = footerStats(spark, files)
       val rowNum = stats.map(_._2).sum
       val fromTs = stats.flatMap(_._3).minOption
@@ -197,9 +227,9 @@ object Tables {
         case (f, rows, Some(start), Some(end)) if rows > 0 =>
           (f, rows, start, end)
       }
-      withTs.sortBy { case (f, _, start, _) => (start, f.getPath) }
+      withTs.sortBy { case (f, _, start, _) => (start, f.path.toString) }
         .zipWithIndex.map { case ((f, rowNum, start, end), i) =>
-          (m, f.lastModified() * 1000000L, i + 1, rowNum, start, end)
+          (m, f.mtimeMs * 1000000L, i + 1, rowNum, start, end)
         }
     }
     rows.toDF("metrics", "updated_at", "seq", "row_num", "block_start",

@@ -423,6 +423,26 @@ class TsOpsSpec extends AnyFunSuite {
     assert(replayed == (0 until WritableStore.JournalCompactFiles + 5).map(_.toLong))
   }
 
+  test("metrics catalog works through a non-file filesystem scheme") {
+    // object-store path hygiene: every catalog operation (list, read,
+    // describe, block_list, range read, dialect engine) must survive a
+    // dbDir whose scheme is not file: — java.io.File would break here
+    spark.sparkContext.hadoopConfiguration.set("fs.graftfs.impl",
+      classOf[GraftTestFileSystem].getName)
+    val db = "graftfs:/root/testdata/sf0.001"
+    assert(Tables.listMetrics(db).contains("events"))
+    assert(Tables.read(spark, db, "events").count() == 1000)
+    val desc = Tables.describeDf(spark, db, Some("events")).collect()(0)
+    assert(desc.getAs[Long]("row_num") == 1000L)
+    assert(Tables.blockListDf(spark, db, Some("events")).count() >= 1)
+    val lo = desc.getAs[Long]("from_ts")
+    assert(Tables.readRange(spark, db, "events", Some(lo), Some(lo + 1)).count() >= 1)
+    val eng = new graft.ql.Engine(spark, db)
+    val out = eng.frame(
+      "with use_cache = false select * from events where ts >= '2020-01-01'")
+    assert(out.count() == 1000)
+  }
+
   test("date partition boundary rows land in the exact epoch day") {
     val dir = SparkTestBase.tempDir("graft-part-edge")
     val store = new WritableStore(spark, dir, "pe",
