@@ -27,5 +27,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Arrow's netty allocator needs reflective DirectByteBuffer access on
+  // JDK 17 (spark-submit sets the same flag)
+  "-Dio.netty.tryReflectionSetAccessible=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -10,10 +10,17 @@ import graft.ql.{Ast, Engine, Interpreter, Output}
 /** Remote-query server — the capability analog of the reference's Arrow
   * Flight `DoGet` endpoint (`query/executor/interface/arrow_flight_server/`):
   * a client ships query text, the server executes it and streams back a
-  * columnar batch. Transport here is line-framed JSON over TCP (no Arrow
-  * Flight dependency in this build): one request line
-  * `{"query": "..."}` (or a raw query line) → one response line
-  * `{"ok":true,"columns":{col:[...]}}` or `{"ok":false,"error":"..."}`.
+  * columnar batch. Transport is line-framed over TCP (Flight's gRPC layer
+  * is not available in this offline build — see README divergence note);
+  * the PAYLOAD can be genuine Arrow:
+  *
+  *  - `{"query": "..."}` (or a raw query line) → one JSON response line
+  *    `{"ok":true,"columns":{col:[...]}}` or `{"ok":false,"error":"..."}`;
+  *  - `{"query": "...", "format": "arrow"}` → one JSON header line
+  *    `{"ok":true,"format":"arrow","rows":N,"bytes":M}` followed by exactly
+  *    M raw bytes: a standard Arrow IPC stream (schema + record batches)
+  *    that any Arrow reader decodes — the same record-batch payload the
+  *    reference's `do_get_handler.rs:16-53` ships, minus the gRPC wrapper.
   *
   * Concurrency: thread-per-connection; Spark schedules concurrent jobs from
   * multiple threads fairly within the one session (same model as a Spark
@@ -48,24 +55,36 @@ final class QueryServer(engine: Engine, port: Int = 0) {
 
   private def handle(sock: Socket): Unit = {
     val in  = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
-    val out = new PrintWriter(sock.getOutputStream, true)
+    // raw stream, not a Writer: arrow responses interleave a UTF-8 header
+    // line with binary IPC bytes on the same connection
+    val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    def writeLine(s: String): Unit = {
+      out.write(s.getBytes("UTF-8")); out.write('\n'); out.flush()
+    }
     try {
       var line = in.readLine()
       while (line != null) {
         // a malformed frame must produce an error response, never kill the
         // connection thread
-        val reply =
-          try runQuery(parseRequest(line))
-          catch { case e: Exception =>
-            s"""{"ok":false,"error":${jsonStr("bad request: " + e.getMessage)}}"""
-          }
-        out.println(reply)
+        try {
+          if (wantsArrow(line)) {
+            val (header, bytes) = runQueryArrow(parseRequest(line))
+            writeLine(header)
+            if (bytes.nonEmpty) { out.write(bytes); out.flush() }
+          } else writeLine(runQuery(parseRequest(line)))
+        } catch { case e: Exception =>
+          writeLine(s"""{"ok":false,"error":${jsonStr("bad request: " + e.getMessage)}}""")
+        }
         line = in.readLine()
       }
     } catch {
       case _: java.io.IOException => // client went away
     } finally sock.close()
   }
+
+  /** `"format": "arrow"` in the request frame selects Arrow IPC framing. */
+  private[server] def wantsArrow(line: String): Boolean =
+    """"format"\s*:\s*"arrow"""".r.findFirstIn(line).isDefined
 
   /** Accept `{"query": "..."}` or a raw query line. */
   private[server] def parseRequest(line: String): String = {
@@ -131,6 +150,20 @@ final class QueryServer(engine: Engine, port: Int = 0) {
       case e: Exception =>
         s"""{"ok":false,"error":${jsonStr(String.valueOf(e.getMessage))}}"""
     }
+
+  /** Arrow-framed answer: header line + IPC stream bytes (empty on error —
+    * an error is a plain JSON line, no binary follows). */
+  private[server] def runQueryArrow(query: String): (String, Array[Byte]) =
+    try {
+      val df = engine.frame(engine.interpret(query))
+      val (bytes, rows) = ArrowFraming.toIpcStream(df, Output.maxRenderRows)
+      (s"""{"ok":true,"format":"arrow","rows":$rows,"bytes":${bytes.length}}""",
+        bytes)
+    } catch {
+      case e: Exception =>
+        (s"""{"ok":false,"error":${jsonStr(String.valueOf(e.getMessage))}}""",
+          Array.empty[Byte])
+    }
 }
 
 object QueryServer {
@@ -162,21 +195,38 @@ object QueryServer {
 }
 
 /** Client: ship a query to a running server, print the response
-  * (reference client mode, `arrow_flight_client/mod.rs`). */
+  * (reference client mode, `arrow_flight_client/mod.rs`). `--arrow`
+  * requests Arrow IPC framing and prints the decoded batch as TSV. */
 object QueryClient {
   def main(args: Array[String]): Unit = {
-    val (hostPort, query) = args match {
-      case Array(hp, q) => (hp, q)
+    val (hostPort, query, arrow) = args match {
+      case Array(hp, q)            => (hp, q, false)
+      case Array(hp, q, "--arrow") => (hp, q, true)
       case _ =>
-        System.err.println("usage: QueryClient host:port \"query\"")
+        System.err.println("usage: QueryClient host:port \"query\" [--arrow]")
         sys.exit(2)
     }
     val Array(host, p) = hostPort.split(":")
     val sock = new Socket(host, p.toInt)
-    val out = new PrintWriter(sock.getOutputStream, true)
-    val in  = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
-    out.println(query.replace("\n", " "))
-    println(in.readLine())
-    sock.close()
+    try {
+      val out = new PrintWriter(sock.getOutputStream, true)
+      if (arrow) {
+        val escaped = query.replace("\n", " ")
+          .flatMap { case '\\' => "\\\\"; case '"' => "\\\""; case c => c.toString }
+        out.println(s"""{"query": "$escaped", "format": "arrow"}""")
+        val (header, bytes) = ArrowFraming.readFrame(sock.getInputStream)
+        if (bytes.isEmpty) println(header)
+        else {
+          val (names, rows) = ArrowFraming.fromIpcStream(bytes)
+          println(names.mkString("\t"))
+          rows.foreach(r => println(r.map(String.valueOf).mkString("\t")))
+        }
+      } else {
+        val in = new BufferedReader(
+          new InputStreamReader(sock.getInputStream, "UTF-8"))
+        out.println(query.replace("\n", " "))
+        println(in.readLine())
+      }
+    } finally sock.close()
   }
 }

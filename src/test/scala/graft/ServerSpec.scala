@@ -50,6 +50,42 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("arrow-framed responses decode to the same values") {
+    import graft.server.ArrowFraming
+    val srv = new QueryServer(new Engine(spark, dbDir))
+    val port = srv.start()
+    try {
+      val sock = new Socket("127.0.0.1", port)
+      try {
+        val out = new PrintWriter(sock.getOutputStream, true)
+        out.println("""{"query": "with format_datetime = false select * """ +
+          """from m where ts >= '2022-01-01'", "format": "arrow"}""")
+        val (header, bytes) = ArrowFraming.readFrame(sock.getInputStream)
+        assert(header.contains("\"ok\":true"), header)
+        assert(header.contains("\"rows\":5"), header)
+        // the payload is a STANDARD Arrow IPC stream: decode with the stock
+        // Arrow reader, no graft code in the loop
+        val (names, rows) = ArrowFraming.fromIpcStream(bytes)
+        assert(names == Seq("ts", "v"))
+        assert(rows.map(_(1)) == Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+        assert(rows.map(_(0)) ==
+          (1L to 5L).map(1650000000L * 1000000000L + _))
+        // an error stays one plain JSON line — no binary follows, and the
+        // connection remains usable
+        out.println("""{"query": "select * from m", "format": "arrow"}""")
+        val (errHeader, errBytes) = ArrowFraming.readFrame(sock.getInputStream)
+        assert(errHeader.contains("\"ok\":false"), errHeader)
+        assert(errBytes.isEmpty)
+        // meta query over the same still-open connection
+        out.println("""{"query": "select * from .metrics", "format": "arrow"}""")
+        val (h2, b2) = ArrowFraming.readFrame(sock.getInputStream)
+        assert(h2.contains("\"ok\":true"), h2)
+        val (n2, r2) = ArrowFraming.fromIpcStream(b2)
+        assert(n2 == Seq("metrics") && r2.map(_(0)) == Seq("m"))
+      } finally sock.close()
+    } finally srv.stop()
+  }
+
   test("concurrent clients get independent answers") {
     val srv = new QueryServer(new Engine(spark, dbDir))
     val port = srv.start()
