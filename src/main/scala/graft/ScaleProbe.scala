@@ -99,6 +99,35 @@ object ScaleProbe {
     report("pipeline_curate", 4,
       Pipelines.curate(docs, "doc_id", "text").count(),
       Pipelines.curate(doc4, "doc_id", "text").count())
+
+    // ---- hot-key sessionize: plain (per-key window) vs chunked ---------
+    // one user owns ~30% of the 10x events table — the plain window
+    // serializes those rows into a single task; the chunked variant keys
+    // the heavy window on (user, day) and must stay flat
+    def reportPair(name: String, a: => Long, b: => Long): Unit = {
+      a; b // warm both code paths
+      val ta = time(a); val tb = time(b)
+      println(f"[scale] $name%-22s plain=$ta%6.2fs  chunked=$tb%6.2fs  " +
+        f"speedup=${ta / tb}%5.2f")
+    }
+    val gap = 3600L * 1000000000L
+    val hot = ev10.withColumn("user_id",
+        when(pmod(col("event_id"), lit(10L)) < 3, lit(0L))
+          .otherwise(col("user_id")))
+      .select("user_id", "ts")
+    reportPair("sessionize_hot30_10x",
+      TsOps.sessionize(hot, gap, Seq("user_id")).count(),
+      TsOps.sessionizeChunked(hot, gap, Seq("user_id")).count())
+    val uniform = ev10.select("user_id", "ts")
+    reportPair("sessionize_uniform_10x",
+      TsOps.sessionize(uniform, gap, Seq("user_id")).count(),
+      TsOps.sessionizeChunked(uniform, gap, Seq("user_id")).count())
+    // fully degenerate: ONE key owns the whole 10x table — the plain window
+    // is a single-task sort of everything; chunked splits it by day
+    val oneKey = ev10.select(lit(0L).as("user_id"), col("ts"))
+    reportPair("sessionize_1key_10x",
+      TsOps.sessionize(oneKey, gap, Seq("user_id")).count(),
+      TsOps.sessionizeChunked(oneKey, gap, Seq("user_id")).count())
     spark.stop()
   }
 }

@@ -355,6 +355,18 @@ object SparkEntry {
           max("ts").as("session_end"))
         .orderBy("user_id", "session_idx")
     }),
+    "sessionize_chunked_stats" -> ((s, d) => {
+      // the hot-key-safe sessionize variant (heavy window keyed on
+      // (user, day-chunk), per-key sequential work only over chunk
+      // summaries) — row-identical to sessionize_stats, so it shares that
+      // value oracle; TsOpsSpec proves equality on a planted 30%-hot key
+      val ev = tsUs(t(s, d, "events")).select("user_id", "ts")
+      TsOps.sessionizeChunked(ev, 3600L * 1000000000L, Seq("user_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+          max("ts").as("session_end"))
+        .orderBy("user_id", "session_idx")
+    }),
     "text_top_tokens" -> ((s, d) =>
       t(s, d, "documents")
         .select(explode(graft.pipeline.Text.tokens(col("text"))).as("tok"))
@@ -1245,7 +1257,10 @@ object SparkEntry {
     val base = qlOracles ++ analyticsOracles ++ pipelineOracles ++ pipelineOracles2
     // the stored-index probe computes the same result as knn_ivf (identical
     // centroids/queries/ranking — only the corpus goes through the
-    // partitionBy(cid) layout on disk), so it shares the value oracle
-    base + ("knn_ivf_stored" -> base("knn_ivf"))
+    // partitionBy(cid) layout on disk), so it shares the value oracle;
+    // likewise the chunked sessionize is row-identical to the plain one
+    base +
+      ("knn_ivf_stored" -> base("knn_ivf")) +
+      ("sessionize_chunked_stats" -> base("sessionize_stats"))
   }
 }

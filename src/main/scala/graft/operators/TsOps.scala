@@ -173,6 +173,61 @@ object TsOps {
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** [[sessionize]] with bounded per-key sequential work — the hot-key
+    * variant. The plain form's gap/cumsum window is a sequential scan per
+    * key: one pathological key owning 30% of the events serializes 30% of
+    * the table into a single task, and AQE's skew handling splits joins,
+    * not window partitions. Here the event-level window runs per
+    * (key, time-chunk):
+    *   1. gap flags and a running flag count local to each chunk;
+    *   2. one summary row per (key, chunk) — first/last ts, local flag
+    *      total; a per-key window over these TINY rows decides the
+    *      chunk-boundary session starts and the per-chunk session-index
+    *      offsets, so the per-key-sequential work is O(chunks), not
+    *      O(events);
+    *   3. offsets joined back on (key, chunk) — co-partitioned with the
+    *      flagged events, so no extra exchange on the big side.
+    * Output is row-identical to [[sessionize]] (tested, including a
+    * planted 30%-hot key). `chunkNanos` trades split granularity against
+    * summary count; default 1 day.
+    */
+  def sessionizeChunked(df: DataFrame, gapNanos: Long, keyCols: Seq[String],
+      tsCol: String = "ts",
+      chunkNanos: Long = 86400L * 1000000000L): DataFrame = {
+    require(chunkNanos > 0, "chunkNanos must be positive")
+    val keyC = keyCols.map(col)
+    // integral floor-div: long/long `/` goes through double (loses > 2^53)
+    val chunkExpr =
+      expr(s"($tsCol - pmod($tsCol, ${chunkNanos}L)) div ${chunkNanos}L")
+    val withChunk = df.withColumn("__chunk", chunkExpr)
+    val wLoc = Window.partitionBy(keyC :+ col("__chunk"): _*)
+      .orderBy(col(tsCol).asc)
+    val lagTs = lag(col(tsCol), 1).over(wLoc)
+    val flagged = withChunk
+      .withColumn("__ln",
+        when(lagTs.isNotNull && (col(tsCol) - lagTs) > gapNanos, 1L)
+          .otherwise(0L))
+      .withColumn("__lc",
+        sum(col("__ln")).over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val summaries = flagged.groupBy(keyC :+ col("__chunk"): _*)
+      .agg(min(col(tsCol)).as("__first"), max(col(tsCol)).as("__last"),
+        sum(col("__ln")).as("__total"))
+    val wKey = Window.partitionBy(keyC: _*).orderBy(col("__chunk").asc)
+    val prevLast = lag(col("__last"), 1).over(wKey)
+    val offsets = summaries
+      .withColumn("__b",
+        when(prevLast.isNull || (col("__first") - prevLast) > gapNanos, 1L)
+          .otherwise(0L))
+      .withColumn("__base",
+        coalesce(sum(col("__total") + col("__b"))
+          .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("__b"))
+      .select(keyC :+ col("__chunk") :+ col("__base"): _*)
+    flagged.join(offsets, keyCols :+ "__chunk")
+      .withColumn("session_idx", col("__base") + col("__lc"))
+      .select(df.columns.map(col) :+ col("session_idx"): _*)
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` (within `toleranceNanos` if >= 0), per matching
     * `keyCols`. Composed from a union + one running `last` window over a

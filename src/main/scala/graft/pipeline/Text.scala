@@ -89,16 +89,25 @@ object Text {
   def shingleSetUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((text: String) => shinglesScala(tokensScala(text), n))
 
-  /** Repartition up to the session default parallelism when the scan came
-    * in with too few partitions (a single small parquet file = 1 partition
-    * = 1 core for every narrow stage above it). No-op when the input is
-    * already wide — at real scale file splits provide the parallelism.
+  /** Repartition up to the session default parallelism when the input is
+    * small enough that its scan yields too few partitions (a single small
+    * parquet file = 1 partition = 1 core for every narrow stage above it).
+    * The decision reads Catalyst's size estimate — `df.rdd` would force RDD
+    * lineage materialization of the analyzed plan as a side channel — and
+    * is a no-op at real scale, where file splits provide the parallelism.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(FanOutBytesPerCore) * target) df.repartition(target)
     else df
   }
+
+  /** Inputs estimated below `target-parallelism × this` get fanned out:
+    * roughly the bytes one core chews comfortably in a narrow text stage.
+    * Well under one 128 MB scan split, so any input wide enough to split
+    * never repartitions. */
+  val FanOutBytesPerCore: Long = 8L * 1024 * 1024
 
   /** Quality-score features (length / punctuation / stopword / digit
     * ratios) — the standard cheap heuristics a pretraining pipeline filters

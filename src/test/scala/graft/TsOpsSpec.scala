@@ -423,6 +423,38 @@ class TsOpsSpec extends AnyFunSuite {
     assert(replayed == (0 until WritableStore.JournalCompactFiles + 5).map(_.toLong))
   }
 
+  test("chunked sessionize is row-identical to plain, incl. a 30%-hot key") {
+    import spark.implicits._
+    val tenMin = 600L * 1000000000L
+    val twoH = 7200L * 1000000000L
+    // hot user 99: ~3000 events (≈30% of the table) with a 2h gap every 50
+    // events → many sessions crossing day-chunk boundaries; 20 normal users
+    val hot = (0 until 3000).map { i =>
+      (99L, i.toLong * tenMin + (i / 50).toLong * twoH)
+    }
+    val rest = for (u <- 0 until 20; i <- 0 until 350) yield
+      (u.toLong, i.toLong * tenMin * 3 + u * 77L + (i / 40).toLong * twoH)
+    val df = (hot ++ rest).toDF("user_id", "ts")
+    val gap = 3600L * 1000000000L
+    val plain = TsOps.sessionize(df, gap, Seq("user_id"))
+      .select("user_id", "ts", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val chunked = TsOps.sessionizeChunked(df, gap, Seq("user_id"))
+      .select("user_id", "ts", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chunked == plain,
+      s"diff: ${(plain diff chunked).take(5)} / ${(chunked diff plain).take(5)}")
+    // the heavy event-level window is keyed on (user, chunk), never on the
+    // bare user — the hot key splits across its chunks
+    val out = TsOps.sessionizeChunked(df, gap, Seq("user_id"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"), plan)
+    val eventWindowPartitioned = plan.linesIterator.exists(l =>
+      l.contains("hashpartitioning(user_id") && l.contains("__chunk"))
+    assert(eventWindowPartitioned, plan)
+  }
+
   test("metrics catalog works through a non-file filesystem scheme") {
     // object-store path hygiene: every catalog operation (list, read,
     // describe, block_list, range read, dialect engine) must survive a
