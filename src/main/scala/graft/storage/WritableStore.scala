@@ -37,9 +37,14 @@ final case class DataPoint(tsNanos: Long, fields: Seq[Any])
   * it exceeds [[WritableStore.JournalCompactFiles]] the journal is
   * rewritten to a single file.
   *
+  * Cross-process safety: each persist/compact holds the reference's writer
+  * lockfile (`storage/api/write.rs:184-202`, path scheme
+  * `api/mod.rs:114-116` — `<metrics>.lock` in the db dir, writer id
+  * inside): atomic create-or-fail, released after the operation, stale
+  * takeover when the holder crashed (lock older than GRAFT_LOCK_STALE_MS,
+  * default 10 min). Disable with `locking = false` for single-process use.
+  *
   * Deliberate divergences, documented:
-  *  - single-writer per metrics assumed (the reference's lockfiles,
-  *    `storage/api/write.rs:184-202`, are out of scope for immutable files);
   *  - blocks are date-bucket partitioned (`__day=YYYY-MM-DD/`) so directory
   *    pruning kicks in before row-group stats at scale.
   */
@@ -50,7 +55,8 @@ final class WritableStore(
     fieldSchema: Seq[StructField],
     validate: Boolean = true,
     partitionByDay: Boolean = false,
-    journaled: Boolean = false
+    journaled: Boolean = false,
+    locking: Boolean = true
 ) {
   import WritableStore._
 
@@ -252,6 +258,42 @@ final class WritableStore(
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  private val writerId = java.util.UUID.randomUUID().toString
+  private def lockFile = new java.io.File(dbDir, s"$metrics.lock")
+
+  /** Run `body` holding the cross-process writer lock for this metrics
+    * (reference `write_datas_to_local`, `storage/api/write.rs:191-203`):
+    * atomic lockfile create, writer id written in, deleted on release. A
+    * live foreign lock fails fast; a stale one (holder crashed — older
+    * than GRAFT_LOCK_STALE_MS) is taken over. */
+  private def withWriterLock[T](body: => T): T = {
+    if (!locking) body
+    else {
+      val f = lockFile
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val staleMs = sys.env.get("GRAFT_LOCK_STALE_MS").map(_.toLong)
+        .getOrElse(600000L)
+      def tryAcquire(): Boolean =
+        try { java.nio.file.Files.createFile(f.toPath); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      var acquired = tryAcquire()
+      if (!acquired && f.lastModified() > 0 &&
+          System.currentTimeMillis() - f.lastModified() > staleMs) {
+        f.delete()
+        acquired = tryAcquire()
+      }
+      if (!acquired)
+        throw new IllegalStateException(
+          s"metrics '$metrics' is write-locked by another writer " +
+            s"(${f.getPath}) — remove the lockfile if its holder crashed")
+      try {
+        val out = new java.io.FileOutputStream(f)
+        try out.write(writerId.getBytes("UTF-8")) finally out.close()
+        body
+      } finally { f.delete(); () }
+    }
+  }
+
   /** Sort the dirty suffix and merge — stable, so equal timestamps keep
     * arrival order (reference sorts dirty datapoints then merge-inserts,
     * `writable_store/mod.rs:167-208`). */
@@ -305,7 +347,7 @@ final class WritableStore(
     val inRange = buffer.toSeq.filter { dp =>
       since.forall(dp.tsNanos >= _) && until.forall(dp.tsNanos < _)
     }
-    if (inRange.nonEmpty) {
+    if (inRange.nonEmpty) withWriterLock {
       val df = toDf(inRange).sortWithinPartitions("ts")
       val w0 = df.coalesce(math.max(1, inRange.length / 2000000))
       val target = new java.io.File(dbDir, metrics).getPath
@@ -375,28 +417,30 @@ final class WritableStore(
     val rows = df.count()
     if (rows == 0) return 0L
     val nBlocks = math.max(1L, (rows + targetRowsPerBlock - 1) / targetRowsPerBlock).toInt
-    val tmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
-    val old = new java.io.File(dbDir, s".compact-$metrics-old")
-    rmTree(tmp); rmTree(old)
-    val sorted =
-      if (df.columns.contains(PartitionCol))
-        // keep date bucketing: sort within each day dir
-        df.repartition(nBlocks, col(PartitionCol))
-          .sortWithinPartitions(PartitionCol, "ts")
-          .write.partitionBy(PartitionCol)
-      else
-        // global range sort → files are disjoint ts ranges (tight footers)
-        df.repartitionByRange(nBlocks, col("ts")).sortWithinPartitions("ts")
-          .write
-    sorted.parquet(tmp.getPath)
-    // recoverable swap: at every crash point either the live dir exists or
-    // a complete copy (tmp has _SUCCESS, old is the original) is promoted
-    // back on the next store open
-    require(dir.renameTo(old), s"compact swap (live→old) failed for $metrics")
-    require(tmp.renameTo(dir), s"compact swap (tmp→live) failed for $metrics")
-    rmTree(old)
-    spark.catalog.refreshByPath(dir.getPath)
-    rows
+    withWriterLock {
+      val tmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
+      val old = new java.io.File(dbDir, s".compact-$metrics-old")
+      rmTree(tmp); rmTree(old)
+      val sorted =
+        if (df.columns.contains(PartitionCol))
+          // keep date bucketing: sort within each day dir
+          df.repartition(nBlocks, col(PartitionCol))
+            .sortWithinPartitions(PartitionCol, "ts")
+            .write.partitionBy(PartitionCol)
+        else
+          // global range sort → files are disjoint ts ranges (tight footers)
+          df.repartitionByRange(nBlocks, col("ts")).sortWithinPartitions("ts")
+            .write
+      sorted.parquet(tmp.getPath)
+      // recoverable swap: at every crash point either the live dir exists or
+      // a complete copy (tmp has _SUCCESS, old is the original) is promoted
+      // back on the next store open
+      require(dir.renameTo(old), s"compact swap (live→old) failed for $metrics")
+      require(tmp.renameTo(dir), s"compact swap (tmp→live) failed for $metrics")
+      rmTree(old)
+      spark.catalog.refreshByPath(dir.getPath)
+      rows
+    }
   }
 
   def shutdown(): Unit = synchronized {

@@ -423,6 +423,27 @@ class TsOpsSpec extends AnyFunSuite {
     assert(replayed == (0 until WritableStore.JournalCompactFiles + 5).map(_.toLong))
   }
 
+  test("writer lockfile: live foreign lock blocks persist, stale is stolen") {
+    val dir = SparkTestBase.tempDir("graft-lock")
+    val store = new WritableStore(spark, dir, "lk",
+      Seq(StructField("v", DoubleType)))
+    store.push(DataPoint(1L, Seq(1.0)))
+    // a live lock held by another writer (reference lockfile path scheme:
+    // <metrics>.lock in the db dir) must fail the flush fast
+    val lock = new java.io.File(dir, "lk.lock")
+    assert(lock.createNewFile())
+    val e = intercept[IllegalStateException] { store.persist() }
+    assert(e.getMessage.contains("write-locked"), e.getMessage)
+    assert(store.bufferedCount == 1) // nothing flushed, nothing lost
+    // a stale lock (holder crashed long ago) is taken over
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    assert(store.persist() == 1L)
+    assert(!lock.exists) // released after the operation
+    assert(Tables.read(spark, dir, "lk").count() == 1)
+    // the lockfile never shows up as a metrics
+    assert(Tables.listMetrics(dir) == Seq("lk"))
+  }
+
   test("chunked sessionize is row-identical to plain, incl. a 30%-hot key") {
     import spark.implicits._
     val tenMin = 600L * 1000000000L
