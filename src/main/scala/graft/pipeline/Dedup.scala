@@ -194,10 +194,8 @@ object Dedup {
       textCol: String, shingleSize: Int = 3,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
-    e.select(col("__id").as("id1"), col("__n").as("n1"), col("__tok"))
-      .join(e.select(col("__id").as("id2"), col("__n").as("n2"), col("__tok")),
-        Seq("__tok"))
-      .filter(col("id1") < col("id2"))
+    // identical-children self-join → exchange reuse (see jaccardPairs)
+    selfJoinOnTok(e)
       .join(pairs, Seq("id1", "id2"), "left_semi")
       .groupBy("id1", "id2", "n1", "n2").agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
@@ -229,10 +227,11 @@ object Dedup {
       threshold: Double, shingleSize: Int = 3,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
-    val l = e.select(col("__id").as("id1"), col("__n").as("n1"), col("__tok"))
-    val r = e.select(col("__id").as("id2"), col("__n").as("n2"), col("__tok"))
-    l.join(r, Seq("__tok"))
-      .filter(col("id1") < col("id2"))
+    // self-join with BYTE-IDENTICAL children (columns renamed after the
+    // join, not before): both sides canonicalize to the same plan, so
+    // ReuseExchange materializes the shingle+df-cap pipeline ONCE — with
+    // per-side aliases it would execute twice
+    selfJoinOnTok(e)
       .groupBy("id1", "id2", "n1", "n2")
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
@@ -240,6 +239,17 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
   }
+
+  /** Inverted-index self-join of an exploded-shingle frame on `__tok`,
+    * keeping ordered pairs: (id1, n1, id2, n2) rows, one per shared
+    * shingle. Both join children are the SAME plan (aliases applied after
+    * the join) so the exchange — and everything below it — is computed
+    * once and reused. */
+  private def selfJoinOnTok(e: DataFrame): DataFrame =
+    e.alias("l").join(e.alias("r"), col("l.__tok") === col("r.__tok"))
+      .filter(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("l.__n").as("n1"),
+        col("r.__id").as("id2"), col("r.__n").as("n2"))
 
   /** Embedding-cosine near-duplicates: all pairs with cosine >= threshold.
     *

@@ -76,6 +76,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("jaccard self-join children are identical — exchange computed once") {
+    // the shingle+df-cap pipeline feeds BOTH sides of the inverted-index
+    // self-join; identical canonical children let ReuseExchange materialize
+    // it once (aliasing per side before the join would run it twice)
+    val df = SparkEntry.queries("dedup_jaccard_pairs")(spark, d)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("StageReuse"), p)
+  }
+
   test("grouped head threshold avoids a global-window plan") {
     val df = SparkEntry.queries("ql_head_limit")(spark, d)
     val p = df.queryExecution.executedPlan.toString
