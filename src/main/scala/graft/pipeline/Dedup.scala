@@ -101,12 +101,19 @@ object Dedup {
             count(lit(1)).over(Window.partitionBy("band", "bucket")))
           .filter(col("__bn") <= maxBucketDocs).drop("__bn")
       }
-    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
+    selfJoinOnBuckets(b, idCol, Seq("band", "bucket"))
   }
+
+  /** Bucket-keyed self-join emitting ordered (id1, id2) pairs, with BOTH
+    * children the same canonical plan (aliases applied after the join) so
+    * ReuseExchange computes the bucket pipeline — signatures included —
+    * once instead of once per side (see [[selfJoinOnTok]]). */
+  private def selfJoinOnBuckets(b: DataFrame, idCol: String,
+      keys: Seq[String]): DataFrame =
+    b.alias("l").join(b.alias("r"),
+        keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"))
 
   /** Default document-frequency cap for shingle-based similarity. Shingles
     * appearing in more documents than this are boilerplate ("terms of
@@ -178,11 +185,7 @@ object Dedup {
     val bk = withSig
       .select(col(idCol), explode(array(bandRows: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val l = bk.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = bk.select(col("band"), col("bucket"), col(idCol).as("id2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    selfJoinOnBuckets(bk, idCol, Seq("band", "bucket")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, verified via
@@ -357,12 +360,13 @@ object Dedup {
             count(lit(1)).over(Window.partitionBy("blk", "key")))
           .filter(col("__bn") <= maxBucketDocs).drop("__bn")
       }
-    val l = bucketed.select(col("blk"), col("key"), col(idCol).as("id1"),
-      col("simhash").as("sh1"))
-    val r = bucketed.select(col("blk"), col("key"), col(idCol).as("id2"),
-      col("simhash").as("sh2"))
-    l.join(r, Seq("blk", "key")).filter(col("id1") < col("id2"))
-      .select("id1", "id2", "sh1", "sh2").distinct()
+    // identical children → the simhash aggregation + bucketing runs once
+    // and its exchange is reused on the other side (see selfJoinOnBuckets)
+    bucketed.alias("l").join(bucketed.alias("r"),
+        col("l.blk") === col("r.blk") && col("l.key") === col("r.key"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"),
+        col("l.simhash").as("sh1"), col("r.simhash").as("sh2")).distinct()
       .withColumn("hamming", hamming(col("sh1"), col("sh2")))
       .filter(col("hamming") <= maxHamming)
   }
