@@ -708,8 +708,10 @@ object SparkEntry {
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // unique path per invocation: a shared name would let two concurrent
+      // driver/verify processes overwrite each other's cell dirs mid-scan
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-ivf-" + Integer.toHexString(d.hashCode)).getPath
+        "graft-ivf-" + java.util.UUID.randomUUID()).getPath
       Similarity.writeIvf(Similarity.ivfAssign(emb, cents), path)
       Similarity.ivfKnnStored(s, path, cents, q, k = 5, nprobe = 3)
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))

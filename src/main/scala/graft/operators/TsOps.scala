@@ -222,8 +222,14 @@ object TsOps {
         coalesce(sum(col("__total") + col("__b"))
           .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
           col("__b"))
-      .select(keyC :+ col("__chunk") :+ col("__base"): _*)
-    flagged.join(offsets, keyCols :+ "__chunk")
+      .select(keyCols.map(k => col(k).as(s"__o_$k")) :+
+        col("__chunk").as("__o_chunk") :+ col("__base"): _*)
+    // null-SAFE key equality: windows group NULL keys into one partition,
+    // so a plain equi-join here would silently drop every NULL-key row and
+    // break the row-identical contract with sessionize
+    val joinCond = (keyCols.map(k => col(k) <=> col(s"__o_$k")) :+
+      (col("__chunk") === col("__o_chunk"))).reduce(_ && _)
+    flagged.join(offsets, joinCond)
       .withColumn("session_idx", col("__base") + col("__lc"))
       .select(df.columns.map(col) :+ col("session_idx"): _*)
   }

@@ -236,10 +236,15 @@ object Similarity {
       cidCol: String = "cid", cvecCol: String = "cvec",
       qidCol: String = "qid", qvecCol: String = "qvec",
       excludeSelf: Boolean = true): DataFrame = {
-    val qCells = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
+    val qCellsPlan = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
       qidCol, qvecCol)
-    val cellIds: Array[Any] =
-      qCells.select(cidCol).distinct().collect().map(_.get(0))
+    // resolve the probe cells ONCE: the collected rows feed both the static
+    // partition filter and (as a local relation) the broadcast join —
+    // without this the queries×centroids ranking would run as two jobs
+    val qRows = qCellsPlan.collect()
+    val qCells = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qCellsPlan.schema)
+    val cellIds: Array[Any] = qRows.map(_.getAs[Any](cidCol)).distinct
     val assigned = spark.read.parquet(path)
       .filter(col(cidCol).isin(cellIds.toIndexedSeq: _*))
     val cands = assigned.join(broadcast(qCells), Seq(cidCol))

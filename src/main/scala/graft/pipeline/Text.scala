@@ -99,15 +99,18 @@ object Text {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(FanOutBytesPerCore) * target) df.repartition(target)
+    val maxPartBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    // below target × split-size the scan CANNOT yield `target` partitions,
+    // so the repartition buys cores for (at most) that many cheap bytes;
+    // above it, file splits already provide the parallelism. Sources with
+    // no real estimate (RDD-backed, local relations — est = the
+    // Long.MaxValue default) have no file splits behind them either:
+    // repartition those too, mirroring the old partition-count check
+    // without its df.rdd lineage-materialization side channel.
+    val unknown = est >= BigInt(Long.MaxValue)
+    if (unknown || est < BigInt(maxPartBytes) * target) df.repartition(target)
     else df
   }
-
-  /** Inputs estimated below `target-parallelism × this` get fanned out:
-    * roughly the bytes one core chews comfortably in a narrow text stage.
-    * Well under one 128 MB scan split, so any input wide enough to split
-    * never repartitions. */
-  val FanOutBytesPerCore: Long = 8L * 1024 * 1024
 
   /** Quality-score features (length / punctuation / stopword / digit
     * ratios) — the standard cheap heuristics a pretraining pipeline filters

@@ -44,9 +44,11 @@ object ArrowFraming {
   }
 
   /** Encode (up to `maxRows` of) `df` as an Arrow IPC stream; returns the
-    * stream bytes and the row count encoded. */
+    * stream bytes, the row count encoded, and whether rows were dropped at
+    * the cap (a truncated result must be distinguishable — same contract
+    * as the JSON path's `__truncated__`). */
   def toIpcStream(df: DataFrame, maxRows: Int,
-      batchRows: Int = 4096): (Array[Byte], Long) = {
+      batchRows: Int = 4096): (Array[Byte], Long, Boolean) = {
     val fields = df.schema.fields.map(f =>
       new Field(f.name, FieldType.nullable(arrowType(f.dataType)), null))
     val schema = new Schema(java.util.Arrays.asList(fields: _*))
@@ -55,6 +57,7 @@ object ArrowFraming {
     val bos = new ByteArrayOutputStream()
     val writer = new ArrowStreamWriter(root, null, bos)
     var total = 0L
+    var truncated = false
     try {
       writer.start()
       val it = df.toLocalIterator()
@@ -74,11 +77,12 @@ object ArrowFraming {
         root.setRowCount(n)
         writer.writeBatch()
       }
+      truncated = it.hasNext
       writer.end()
     } finally {
       writer.close(); root.close(); alloc.close()
     }
-    (bos.toByteArray, total)
+    (bos.toByteArray, total, truncated)
   }
 
   private def setValue(v: FieldVector, i: Int, value: Any): Unit =

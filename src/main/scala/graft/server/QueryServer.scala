@@ -82,9 +82,15 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     } finally sock.close()
   }
 
-  /** `"format": "arrow"` in the request frame selects Arrow IPC framing. */
-  private[server] def wantsArrow(line: String): Boolean =
-    """"format"\s*:\s*"arrow"""".r.findFirstIn(line).isDefined
+  /** `"format": "arrow"` in a JSON request frame selects Arrow IPC framing.
+    * Raw (non-JSON) query lines never do — a query whose TEXT contains the
+    * literal must not flip a line-oriented client into binary mode. (Inside
+    * a JSON frame the query value has its quotes escaped, so the unescaped
+    * pattern can't match embedded text there.) */
+  private[server] def wantsArrow(line: String): Boolean = {
+    val t = line.trim
+    t.startsWith("{") && """"format"\s*:\s*"arrow"""".r.findFirstIn(t).isDefined
+  }
 
   /** Accept `{"query": "..."}` or a raw query line. */
   private[server] def parseRequest(line: String): String = {
@@ -152,12 +158,25 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     }
 
   /** Arrow-framed answer: header line + IPC stream bytes (empty on error —
-    * an error is a plain JSON line, no binary follows). */
+    * an error is a plain JSON line, no binary follows). Honors the query's
+    * tz/format_datetime exactly like the JSON path (ts becomes a rendered
+    * string column), and flags truncation at the render cap. */
   private[server] def runQueryArrow(query: String): (String, Array[Byte]) =
     try {
-      val df = engine.frame(engine.interpret(query))
-      val (bytes, rows) = ArrowFraming.toIpcStream(df, Output.maxRenderRows)
-      (s"""{"ok":true,"format":"arrow","rows":$rows,"bytes":${bytes.length}}""",
+      val iq = engine.interpret(query)
+      val df0 = engine.frame(iq)
+      val df = iq match {
+        case s: Interpreter.SearchMetrics
+            if s.formatDatetime && df0.columns.contains("ts") =>
+          df0.withColumn("ts",
+            graft.functions.FormatNanos.format_ns(
+              org.apache.spark.sql.functions.col("ts"), s.tz.getId))
+        case _ => df0
+      }
+      val (bytes, rows, truncated) =
+        ArrowFraming.toIpcStream(df, Output.maxRenderRows)
+      val truncField = if (truncated) ""","truncated":true""" else ""
+      (s"""{"ok":true,"format":"arrow","rows":$rows$truncField,"bytes":${bytes.length}}""",
         bytes)
     } catch {
       case e: Exception =>

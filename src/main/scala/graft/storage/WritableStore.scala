@@ -92,32 +92,36 @@ final class WritableStore(
     }
     candidates.foreach(c => if (target.exists) rmTree(c))
   }
+  // recovery + replay hold the writer lock: a second process opening the
+  // same metrics must not sweep a LIVE writer's in-progress append or
+  // rmTree a live compactor's tmp dir — only genuinely orphaned state
   locally {
-    val dataDir = new java.io.File(dbDir, metrics)
-    val cTmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
-    val cOld = new java.io.File(dbDir, s".compact-$metrics-old")
-    promoteIfOrphan(dataDir, Seq(cTmp, cOld), needSuccess = true)
-    if (journaled) {
-      promoteIfOrphan(journalDir,
-        Seq(new java.io.File(journalDir.getPath + ".tmp"),
-            new java.io.File(journalDir.getPath + ".old")), needSuccess = true)
-      // a crashed direct append leaves a hidden in-progress file — drop it
-      // (its rows never ack'd; the rename into *.parquet is the commit point)
-      Option(journalDir.listFiles())
-        .foreach(_.filter(_.getName.startsWith(InProgressPrefix)).foreach(_.delete()))
+    withWriterLock {
+      val dataDir = new java.io.File(dbDir, metrics)
+      val cTmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
+      val cOld = new java.io.File(dbDir, s".compact-$metrics-old")
+      promoteIfOrphan(dataDir, Seq(cTmp, cOld), needSuccess = true)
+      if (journaled) {
+        promoteIfOrphan(journalDir,
+          Seq(new java.io.File(journalDir.getPath + ".tmp"),
+              new java.io.File(journalDir.getPath + ".old")), needSuccess = true)
+        // a crashed direct append leaves a hidden in-progress file — drop it
+        // (its rows never ack'd; the rename into *.parquet is the commit point)
+        Option(journalDir.listFiles())
+          .foreach(_.filter(_.getName.startsWith(InProgressPrefix)).foreach(_.delete()))
+      }
+      // WAL replay on open: fold surviving journal rows (in arrival order)
+      // back into the dirty buffer, exactly like the reference replays wal.dat
+      if (journaled && journalDir.isDirectory &&
+          Option(journalDir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))) {
+        val rows = spark.read.schema(journalSchema)
+          .parquet(journalDir.getPath).orderBy("__seq").collect()
+        buffer ++= rows.map { r =>
+          DataPoint(r.getLong(0), (1 until schema.length).map(r.get))
+        }
+        journalSeq = rows.lastOption.map(_.getLong(schema.length) + 1).getOrElse(0L)
+      }
     }
-  }
-
-  // WAL replay on open: fold surviving journal rows (in arrival order) back
-  // into the dirty buffer, exactly like the reference replays wal.dat
-  if (journaled && journalDir.isDirectory &&
-      Option(journalDir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))) {
-    val rows = spark.read.schema(journalSchema)
-      .parquet(journalDir.getPath).orderBy("__seq").collect()
-    buffer ++= rows.map { r =>
-      DataPoint(r.getLong(0), (1 until schema.length).map(r.get))
-    }
-    journalSeq = rows.lastOption.map(_.getLong(schema.length) + 1).getOrElse(0L)
   }
 
   def push(dp: DataPoint): Unit = pushMulti(Seq(dp))
@@ -127,11 +131,12 @@ final class WritableStore(
       require(dp.fields.length == fieldSchema.length,
         s"field count ${dp.fields.length} != schema ${fieldSchema.length}")
     }
-    if (journaled && dps.nonEmpty) appendJournal(dps)
+    if (journaled && dps.nonEmpty) withWriterLock(appendJournal(dps))
     buffer ++= dps
     // bound the append-file count: small frequent pushes otherwise grow the
     // journal dir (and replay cost) linearly until the next persist
-    if (journaled && journalFileCount > JournalCompactFiles) rewriteJournal()
+    if (journaled && journalFileCount > JournalCompactFiles)
+      withWriterLock(rewriteJournal())
   }
 
   private def journalFileCount: Int =
@@ -202,9 +207,12 @@ final class WritableStore(
       }
       writer.write(g)
     } finally writer.close()
+    // nanoTime suffix: seq ranges can repeat if two stores ever replayed the
+    // same journal — a colliding name must never silently replace a file
     val committed = new java.io.File(dir,
-      s"part-${rows.head._2}-${rows.last._2}.parquet")
-    require(inProgress.renameTo(committed), s"journal append commit failed for $metrics")
+      s"part-${rows.head._2}-${rows.last._2}-${System.nanoTime()}.parquet")
+    require(!committed.exists && inProgress.renameTo(committed),
+      s"journal append commit failed for $metrics")
   }
 
   private def addGroupValue(g: org.apache.parquet.example.data.Group, idx: Int,
@@ -258,39 +266,54 @@ final class WritableStore(
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
-  private val writerId = java.util.UUID.randomUUID().toString
+  // lazy: the constructor's recovery block takes the lock before vals
+  // declared here would otherwise be initialized
+  private lazy val writerId = java.util.UUID.randomUUID().toString
   private def lockFile = new java.io.File(dbDir, s"$metrics.lock")
+  private var lockDepth = 0 // re-entrancy (all lock users run synchronized)
 
   /** Run `body` holding the cross-process writer lock for this metrics
     * (reference `write_datas_to_local`, `storage/api/write.rs:191-203`):
     * atomic lockfile create, writer id written in, deleted on release. A
-    * live foreign lock fails fast; a stale one (holder crashed — older
-    * than GRAFT_LOCK_STALE_MS) is taken over. */
-  private def withWriterLock[T](body: => T): T = {
+    * live foreign lock fails fast. A stale one (holder crashed — mtime
+    * older than GRAFT_LOCK_STALE_MS, default 30 min) is taken over via an
+    * atomic rename, so concurrent stealers can't both win. The staleness
+    * window must exceed the longest expected persist/compact: the lock
+    * mtime is written once at acquire, not refreshed mid-operation.
+    */
+  private def withWriterLock[T](body: => T): T = synchronized {
     if (!locking) body
-    else {
+    else if (lockDepth > 0) {
+      lockDepth += 1
+      try body finally lockDepth -= 1
+    } else {
       val f = lockFile
       Option(f.getParentFile).foreach(_.mkdirs())
       val staleMs = sys.env.get("GRAFT_LOCK_STALE_MS").map(_.toLong)
-        .getOrElse(600000L)
+        .getOrElse(1800000L)
       def tryAcquire(): Boolean =
         try { java.nio.file.Files.createFile(f.toPath); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       var acquired = tryAcquire()
       if (!acquired && f.lastModified() > 0 &&
           System.currentTimeMillis() - f.lastModified() > staleMs) {
-        f.delete()
-        acquired = tryAcquire()
+        // atomic steal: only one contender wins the rename of the stale lock
+        val steal = new java.io.File(f.getPath + s".steal-$writerId")
+        if (f.renameTo(steal)) {
+          steal.delete()
+          acquired = tryAcquire()
+        }
       }
       if (!acquired)
         throw new IllegalStateException(
           s"metrics '$metrics' is write-locked by another writer " +
             s"(${f.getPath}) — remove the lockfile if its holder crashed")
+      lockDepth = 1
       try {
         val out = new java.io.FileOutputStream(f)
         try out.write(writerId.getBytes("UTF-8")) finally out.close()
         body
-      } finally { f.delete(); () }
+      } finally { lockDepth = 0; f.delete(); () }
     }
   }
 
@@ -384,7 +407,8 @@ final class WritableStore(
     applyDirties()
     val keep = buffer.toSeq.filterNot(dp => dp.tsNanos >= since && dp.tsNanos < until)
     buffer.clear(); buffer ++= keep; sortedUpTo = buffer.length
-    if (journaled) rewriteJournal() // replay must not resurrect purged rows
+    // replay must not resurrect purged rows
+    if (journaled) withWriterLock(rewriteJournal())
   }
 
   /** Periodic persistence daemon

@@ -82,8 +82,24 @@ class ServerSpec extends AnyFunSuite {
         assert(h2.contains("\"ok\":true"), h2)
         val (n2, r2) = ArrowFraming.fromIpcStream(b2)
         assert(n2 == Seq("metrics") && r2.map(_(0)) == Seq("m"))
+        // a RAW query line whose TEXT contains the arrow literal must stay
+        // on the line protocol — never flip the client into binary mode
+        out.println("""select * from m where x = '{"format": "arrow"}'""")
+        val (h3, b3) = ArrowFraming.readFrame(sock.getInputStream)
+        assert(h3.startsWith("{\"ok\":false"), h3)
+        assert(!h3.contains("\"format\":\"arrow\"") && b3.isEmpty, h3)
       } finally sock.close()
     } finally srv.stop()
+  }
+
+  test("arrow stream flags truncation at the render cap") {
+    import graft.server.ArrowFraming
+    val df = spark.range(10).toDF("n")
+    val (bytes, rows, truncated) = ArrowFraming.toIpcStream(df, maxRows = 3)
+    assert(rows == 3 && truncated)
+    assert(ArrowFraming.fromIpcStream(bytes)._2.length == 3)
+    val (_, allRows, notTrunc) = ArrowFraming.toIpcStream(df, maxRows = 100)
+    assert(allRows == 10 && !notTrunc)
   }
 
   test("concurrent clients get independent answers") {

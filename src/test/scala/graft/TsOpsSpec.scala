@@ -455,14 +455,21 @@ class TsOpsSpec extends AnyFunSuite {
     }
     val rest = for (u <- 0 until 20; i <- 0 until 350) yield
       (u.toLong, i.toLong * tenMin * 3 + u * 77L + (i / 40).toLong * twoH)
-    val df = (hot ++ rest).toDF("user_id", "ts")
+    // NULL keys form their own session group in a window partition — the
+    // chunked variant must keep them (its offset join is null-safe)
+    val nulls = (0 until 40).map(i =>
+      (null.asInstanceOf[java.lang.Long], i.toLong * tenMin + (i / 15).toLong * twoH))
+    val df = ((hot ++ rest).map { case (u, t) =>
+      (java.lang.Long.valueOf(u), t)
+    } ++ nulls).toDF("user_id", "ts")
     val gap = 3600L * 1000000000L
+    def key(r: org.apache.spark.sql.Row): (Any, Long, Long) =
+      (if (r.isNullAt(0)) null else r.getLong(0), r.getLong(1), r.getLong(2))
     val plain = TsOps.sessionize(df, gap, Seq("user_id"))
-      .select("user_id", "ts", "session_idx").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select("user_id", "ts", "session_idx").collect().map(key).toSet
     val chunked = TsOps.sessionizeChunked(df, gap, Seq("user_id"))
-      .select("user_id", "ts", "session_idx").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select("user_id", "ts", "session_idx").collect().map(key).toSet
+    assert(plain.count(_._1 == null) == 40) // null group survived in both
     assert(chunked == plain,
       s"diff: ${(plain diff chunked).take(5)} / ${(chunked diff plain).take(5)}")
     // the heavy event-level window is keyed on (user, chunk), never on the
