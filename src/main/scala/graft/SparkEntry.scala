@@ -820,6 +820,38 @@ object SparkEntry {
         .select(((col("fast_only") === 0) && (col("md5_only") === 0))
           .cast("long").as("match_ok"))
     }),
+    "embed_quantize" -> ((s, d) => {
+      // per-vector symmetric int8 quantization — exact arithmetic (floor,
+      // raw max_abs), so DuckDB reproduces every byte
+      val emb = t(s, d, "embeddings")
+      emb.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"), col("qs.q").as("q"),
+          col("qs.max_abs").as("max_abs"))
+        .orderBy("vec_id")
+    }),
+    "stream_dedup" -> ((s, d) => {
+      // streaming exact dedup driven to completion (AvailableNow):
+      // dropDuplicatesWithinWatermark keeps an ARBITRARY representative
+      // row per fingerprint, so only the deterministic fingerprint set is
+      // emitted and compared — it must equal the batch distinct set
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      // +1 day: doc_id 0 would land exactly on the initial watermark
+      // (epoch 0) and be discarded as late before any state exists
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .withColumn("__ns", ((col("doc_id") + 86400L) * 1000000000L).cast("long"))
+      val deduped = graft.streaming.StreamIngest.streamingDedup(
+        src, "text", "__ns", "1 hour")
+      val name = "stream_dedup_out"
+      val q = deduped.select("fp").writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(name).select("fp").orderBy("fp")
+    }),
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id", "text"), 4)
@@ -1017,6 +1049,24 @@ object SparkEntry {
          |ORDER BY p.id1, p.id2""".stripMargin
 
   private val pipelineOracles2: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma
+        |  FROM c
+        |)
+        |SELECT vec_id,
+        |  CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+        |       ELSE list_transform(v, x -> CAST(greatest(-127.0,
+        |         least(127.0, floor(x * 127.0 / ma + 0.5))) AS TINYINT)) END AS q,
+        |  ma AS max_abs
+        |FROM m ORDER BY vec_id""".stripMargin,
+    // streaming dedup emits one arbitrary row per fingerprint — the
+    // deterministic fact is the fingerprint SET, = batch distinct
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
     "dedup_simhash" -> {
       // 60-bit md5 token hashes: per-bit sign-sums, assemble bits 0-59
       // (bits 60-63 sign-sum to -n → 0), all-pairs hamming <= 3. Matches

@@ -263,6 +263,43 @@ object Similarity {
       .select(col(qidCol), col(qvecCol), col(cidCol))
   }
 
+  /** Per-vector symmetric int8 quantization of a float-array embedding:
+    * q_i = clamp(floor(x_i · 127 / maxAbs + 0.5), -127, 127), stored with
+    * the vector's `max_abs` (scale = max_abs / 127). 4× smaller at rest
+    * than float32 — at corpus scale the quantized column is the one that
+    * gets scanned; cosine ranking is scale-invariant, so quantized dot
+    * products rank without dequantizing. Every step is exact double
+    * arithmetic (floor, not round), so an SQL oracle reproduces the bytes;
+    * `max_abs` is emitted raw (a float-derived double, bit-exact) rather
+    * than the divided scale, which would round differently per engine.
+    * Returns struct(q: array<tinyint>, max_abs: double); null vector →
+    * null, zero vector → zeros with max_abs 0.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val f = udf((v: Array[Float]) => {
+      if (v == null) null
+      else {
+        var ma = 0.0
+        v.foreach(x => ma = math.max(ma, math.abs(x.toDouble)))
+        // Seq[Byte], not Array[Byte]: the latter encodes as BINARY, this
+        // as array<tinyint> — the column type the quantized corpus stores
+        val q: Seq[Byte] =
+          if (ma == 0.0) v.toSeq.map(_ => 0.toByte)
+          else v.toSeq.map { x =>
+            val r = math.floor(x.toDouble * 127.0 / ma + 0.5)
+            math.max(-127.0, math.min(127.0, r)).toByte
+          }
+        (q, ma)
+      }
+    })
+    f(vec).cast("struct<q:array<tinyint>,max_abs:double>")
+  }
+
+  /** Inverse of [[quantizeInt8]]: approximate float vector from (q,
+    * max_abs). */
+  def dequantizeInt8(q: Column, maxAbs: Column): Column =
+    transform(q, x => (x.cast("double") * maxAbs / lit(127.0)).cast("float"))
+
   /** Score candidates and keep each query's top-k by cosine. */
   private def rankTopK(cands: DataFrame, k: Int, idCol: String, vecCol: String,
       qidCol: String, qvecCol: String, excludeSelf: Boolean): DataFrame = {

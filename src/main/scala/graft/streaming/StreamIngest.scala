@@ -39,6 +39,22 @@ object StreamIngest {
         col("n"), col("min_v"), col("max_v"), col("sum_v"))
   }
 
+  /** Streaming exact dedup for a document stream: normalized-content
+    * fingerprint + `dropDuplicatesWithinWatermark` — the continuous-ingest
+    * analog of [[graft.pipeline.Dedup.exact]]. State holds one fingerprint
+    * per distinct document seen within the watermark horizon, then ages
+    * out: `lateness` is the dedup window at scale (a duplicate arriving
+    * later than that re-emits — the standard bounded-state trade; widen
+    * the horizon to widen the guarantee). `eventTimeCol` is an epoch-nano
+    * long, as everywhere in the engine.
+    */
+  def streamingDedup(df: DataFrame, textCol: String,
+      eventTimeCol: String, lateness: String): DataFrame =
+    withEventTime(df, eventTimeCol)
+      .withColumn("fp", graft.pipeline.Text.fingerprint(col(textCol)))
+      .withWatermark("__event_time", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Input row for [[statefulSessionize]]: ns event time + key + value.
     * Carries the derived µs event-time column too — the watermark attribute
     * must flow into the stateful operator for EventTimeTimeout. */

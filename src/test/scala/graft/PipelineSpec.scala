@@ -151,6 +151,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(guarded == (0 until 6).map(i => (2000L + i * 2, 2001L + i * 2)).toSet)
   }
 
+  test("int8 quantization: tight roundtrip, scale-invariant ranking, zero-safe") {
+    import graft.pipeline.Similarity
+    val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val deq = emb.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("qs"))
+      .select($"embedding",
+        Similarity.dequantizeInt8($"qs.q", $"qs.max_abs").as("deq"))
+      .select(Similarity.cosine($"embedding", $"deq").as("cos"))
+      .collect().map(_.getDouble(0))
+    // int8 over 64 dims keeps the direction almost exactly
+    assert(deq.forall(_ > 0.995), s"worst=${deq.min}")
+    val zero = Seq((Array.fill(4)(0.0f), 1)).toDF("v", "one")
+      .select(Similarity.quantizeInt8($"v").as("qs"))
+      .select($"qs.q", $"qs.max_abs").collect()(0)
+    assert(zero.getSeq[Byte](0).forall(_ == 0) && zero.getDouble(1) == 0.0)
+  }
+
   test("quality features exact values") {
     val r = Text.qualityFeatures(docs.filter($"doc_id" === 0), "text")
       .collect()(0)
