@@ -103,13 +103,21 @@ object Text {
     // below target × split-size the scan CANNOT yield `target` partitions,
     // so the repartition buys cores for (at most) that many cheap bytes;
     // above it, file splits already provide the parallelism. Sources with
-    // no real estimate (RDD-backed, local relations — est = the
-    // Long.MaxValue default) have no file splits behind them either:
-    // repartition those too, mirroring the old partition-count check
-    // without its df.rdd lineage-materialization side channel.
+    // no real estimate (est saturates at the Long.MaxValue default, or a
+    // join product overflows it): probe an RDD-backed leaf's EXISTING
+    // partition count — free, the RDD already exists, unlike df.rdd which
+    // materializes new lineage — and fan out only when it is genuinely
+    // narrow; unknown without such a leaf is left alone (repartitioning
+    // an unbounded input on a guess could shuffle terabytes or SHRINK a
+    // wide RDD to core count).
     val unknown = est >= BigInt(Long.MaxValue)
-    if (unknown || est < BigInt(maxPartBytes) * target) df.repartition(target)
-    else df
+    val needed =
+      if (!unknown) est < BigInt(maxPartBytes) * target
+      else df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.getNumPartitions < math.max(2, target / 2)
+      }.getOrElse(false)
+    if (needed) df.repartition(target) else df
   }
 
   /** Quality-score features (length / punctuation / stopword / digit

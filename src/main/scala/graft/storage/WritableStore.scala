@@ -37,12 +37,15 @@ final case class DataPoint(tsNanos: Long, fields: Seq[Any])
   * it exceeds [[WritableStore.JournalCompactFiles]] the journal is
   * rewritten to a single file.
   *
-  * Cross-process safety: each persist/compact holds the reference's writer
-  * lockfile (`storage/api/write.rs:184-202`, path scheme
-  * `api/mod.rs:114-116` — `<metrics>.lock` in the db dir, writer id
-  * inside): atomic create-or-fail, released after the operation, stale
-  * takeover when the holder crashed (lock older than GRAFT_LOCK_STALE_MS,
-  * default 10 min). Disable with `locking = false` for single-process use.
+  * Cross-process safety: persist/compact, journal writes, and open-time
+  * recovery hold the reference's writer lockfile
+  * (`storage/api/write.rs:184-202`, path scheme `api/mod.rs:114-116` —
+  * `<metrics>.lock` in the db dir, writer id inside): atomic
+  * create-or-fail with a bounded wait on live contention
+  * (GRAFT_LOCK_WAIT_MS, default 10 s), heartbeat-refreshed mtime while
+  * held, stale takeover when the holder died (lock untouched longer than
+  * GRAFT_LOCK_STALE_MS, default 30 min), ownership-checked release.
+  * Disable with `locking = false` for single-process use.
   *
   * Deliberate divergences, documented:
   *  - blocks are date-bucket partitioned (`__day=YYYY-MM-DD/`) so directory
@@ -274,12 +277,18 @@ final class WritableStore(
 
   /** Run `body` holding the cross-process writer lock for this metrics
     * (reference `write_datas_to_local`, `storage/api/write.rs:191-203`):
-    * atomic lockfile create, writer id written in, deleted on release. A
-    * live foreign lock fails fast. A stale one (holder crashed — mtime
-    * older than GRAFT_LOCK_STALE_MS, default 30 min) is taken over via an
-    * atomic rename, so concurrent stealers can't both win. The staleness
-    * window must exceed the longest expected persist/compact: the lock
-    * mtime is written once at acquire, not refreshed mid-operation.
+    * atomic lockfile create, writer id written in, released only if still
+    * ours. A live foreign lock is waited on (poll up to
+    * GRAFT_LOCK_WAIT_MS, default 10 s — contention from a concurrent
+    * persist is transient, not an error), then fails. A stale one (holder
+    * crashed — mtime older than GRAFT_LOCK_STALE_MS, default 30 min) is
+    * taken over via an atomic rename, so concurrent stealers can't both
+    * win. While held, a shared daemon heartbeat refreshes the lock mtime
+    * every staleMs/3, so an operation of ANY length (a multi-hour
+    * compact) never looks stale to contenders — only a genuinely dead (or
+    * long-suspended) holder's lock ages out; release therefore re-checks
+    * the writer id and never deletes a lock a contender legitimately
+    * stole while this JVM was suspended.
     */
   private def withWriterLock[T](body: => T): T = synchronized {
     if (!locking) body
@@ -289,31 +298,52 @@ final class WritableStore(
     } else {
       val f = lockFile
       Option(f.getParentFile).foreach(_.mkdirs())
-      val staleMs = sys.env.get("GRAFT_LOCK_STALE_MS").map(_.toLong)
-        .getOrElse(1800000L)
+      def cfgMs(prop: String, env: String, dflt: Long): Long =
+        sys.props.get(prop).orElse(sys.env.get(env)).map(_.toLong).getOrElse(dflt)
+      val staleMs = cfgMs("graft.lockStaleMs", "GRAFT_LOCK_STALE_MS", 1800000L)
+      val waitMs  = cfgMs("graft.lockWaitMs", "GRAFT_LOCK_WAIT_MS", 10000L)
       def tryAcquire(): Boolean =
         try { java.nio.file.Files.createFile(f.toPath); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      var acquired = tryAcquire()
-      if (!acquired && f.lastModified() > 0 &&
-          System.currentTimeMillis() - f.lastModified() > staleMs) {
-        // atomic steal: only one contender wins the rename of the stale lock
-        val steal = new java.io.File(f.getPath + s".steal-$writerId")
-        if (f.renameTo(steal)) {
-          steal.delete()
-          acquired = tryAcquire()
-        }
+      def tryStealStale(): Boolean =
+        f.lastModified() > 0 &&
+          System.currentTimeMillis() - f.lastModified() > staleMs && {
+            // atomic steal: only one contender wins the rename
+            val steal = new java.io.File(f.getPath + s".steal-$writerId")
+            f.renameTo(steal) && { steal.delete(); true }
+          }
+      val deadline = System.currentTimeMillis() + waitMs
+      var acquired = tryAcquire() || (tryStealStale() && tryAcquire())
+      while (!acquired && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        acquired = tryAcquire() || (tryStealStale() && tryAcquire())
       }
       if (!acquired)
         throw new IllegalStateException(
           s"metrics '$metrics' is write-locked by another writer " +
             s"(${f.getPath}) — remove the lockfile if its holder crashed")
+      // everything past the acquire runs under try: a failure in setup
+      // (heartbeat schedule, id write) must still release depth + file
       lockDepth = 1
+      var heartbeat: Option[java.util.concurrent.ScheduledFuture[_]] = None
       try {
+        val periodMs = math.max(1000L, staleMs / 3)
+        heartbeat = Some(WritableStore.lockToucher.scheduleAtFixedRate(
+          () => { f.setLastModified(System.currentTimeMillis()); () },
+          periodMs, periodMs, TimeUnit.MILLISECONDS))
         val out = new java.io.FileOutputStream(f)
         try out.write(writerId.getBytes("UTF-8")) finally out.close()
         body
-      } finally { lockDepth = 0; f.delete(); () }
+      } finally {
+        heartbeat.foreach(_.cancel(false))
+        lockDepth = 0
+        // release only if the lock is still ours: a contender that stole a
+        // genuinely-stale lock (this JVM suspended past staleMs) now owns it
+        val holder =
+          try new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          catch { case _: Exception => "" }
+        if (holder.isEmpty || holder == writerId) { f.delete(); () }
+      }
     }
   }
 
@@ -493,4 +523,12 @@ object WritableStore {
   /** Max journal append files before the journal is rewritten to one file —
     * bounds replay cost and directory growth under small frequent pushes. */
   val JournalCompactFiles = 64
+
+  /** Shared daemon scheduler refreshing held lockfiles' mtimes (one thread
+    * for the whole JVM; per-acquisition tasks are scheduled and
+    * cancelled). */
+  private lazy val lockToucher: ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lock-heartbeat"); t.setDaemon(true); t
+    })
 }

@@ -424,24 +424,30 @@ class TsOpsSpec extends AnyFunSuite {
   }
 
   test("writer lockfile: live foreign lock blocks persist, stale is stolen") {
-    val dir = SparkTestBase.tempDir("graft-lock")
-    val store = new WritableStore(spark, dir, "lk",
-      Seq(StructField("v", DoubleType)))
-    store.push(DataPoint(1L, Seq(1.0)))
-    // a live lock held by another writer (reference lockfile path scheme:
-    // <metrics>.lock in the db dir) must fail the flush fast
-    val lock = new java.io.File(dir, "lk.lock")
-    assert(lock.createNewFile())
-    val e = intercept[IllegalStateException] { store.persist() }
-    assert(e.getMessage.contains("write-locked"), e.getMessage)
-    assert(store.bufferedCount == 1) // nothing flushed, nothing lost
-    // a stale lock (holder crashed long ago) is taken over
-    assert(lock.setLastModified(System.currentTimeMillis() - 3600L * 1000))
-    assert(store.persist() == 1L)
-    assert(!lock.exists) // released after the operation
-    assert(Tables.read(spark, dir, "lk").count() == 1)
-    // the lockfile never shows up as a metrics
-    assert(Tables.listMetrics(dir) == Seq("lk"))
+    sys.props("graft.lockWaitMs") = "300" // keep the contention wait short
+    try {
+      val dir = SparkTestBase.tempDir("graft-lock")
+      val store = new WritableStore(spark, dir, "lk",
+        Seq(StructField("v", DoubleType)))
+      store.push(DataPoint(1L, Seq(1.0)))
+      // a live lock held by another writer (reference lockfile path scheme:
+      // <metrics>.lock in the db dir) blocks the flush after the wait
+      val lock = new java.io.File(dir, "lk.lock")
+      assert(lock.createNewFile())
+      val foreign = new java.io.FileOutputStream(lock)
+      try foreign.write("someone-else".getBytes("UTF-8")) finally foreign.close()
+      val e = intercept[IllegalStateException] { store.persist() }
+      assert(e.getMessage.contains("write-locked"), e.getMessage)
+      assert(store.bufferedCount == 1) // nothing flushed, nothing lost
+      assert(lock.exists) // a failed contender never deletes a foreign lock
+      // a stale lock (holder crashed long ago, no heartbeat) is taken over
+      assert(lock.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+      assert(store.persist() == 1L)
+      assert(!lock.exists) // released after the operation
+      assert(Tables.read(spark, dir, "lk").count() == 1)
+      // the lockfile never shows up as a metrics
+      assert(Tables.listMetrics(dir) == Seq("lk"))
+    } finally { sys.props.remove("graft.lockWaitMs"); () }
   }
 
   test("chunked sessionize is row-identical to plain, incl. a 30%-hot key") {
