@@ -763,6 +763,23 @@ object SparkEntry {
       brute.join(approx, Seq("qid", "vec_id"), "left_semi")
         .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok")) // 45/50 = 0.9
     }),
+    "knn_quantized_recall" -> ((s, d) => {
+      // the int8-quantized corpus (4× smaller at rest) must still recover
+      // the float corpus's neighbors: brute top-5 over dequantized vectors
+      // vs brute top-5 over the originals, float queries both times — the
+      // serving shape where only the CORPUS is stored quantized
+      val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val brute = Similarity.knnBrute(corpus, q, k = 5).select("qid", "vec_id")
+      val qCorpus = corpus.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"),
+          Similarity.dequantizeInt8(col("qs.q"), col("qs.max_abs")).as("embedding"))
+      val viaQuant = Similarity.knnBrute(qCorpus, q, k = 5).select("qid", "vec_id")
+      brute.join(viaQuant, Seq("qid", "vec_id"), "left_semi")
+        .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok"))
+    }),
     "knn_ivf_recall" -> ((s, d) => {
       val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
       val cents = t(s, d, "embeddings").filter(col("vec_id") < 5)
@@ -1238,6 +1255,7 @@ object SparkEntry {
     // queries for why the approximations can't have value oracles)
     "knn_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_minhash_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     // match gate: fast-path (xxhash64) verified pair set ≡ md5-twin set —
