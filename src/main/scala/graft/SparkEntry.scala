@@ -765,18 +765,18 @@ object SparkEntry {
     }),
     "knn_quantized_recall" -> ((s, d) => {
       // the int8-quantized corpus (4× smaller at rest) must still recover
-      // the float corpus's neighbors: brute top-5 over dequantized vectors
-      // vs brute top-5 over the originals, float queries both times — the
-      // serving shape where only the CORPUS is stored quantized
+      // the float corpus's neighbors — scored on the REAL fast path: the
+      // stored bytes rank directly through the integer codegen cosine
+      // (no dequantize), queries quantized on the fly
       val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
       val q = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val brute = Similarity.knnBrute(corpus, q, k = 5).select("qid", "vec_id")
       val qCorpus = corpus.select(col("vec_id"),
           Similarity.quantizeInt8(col("embedding")).as("qs"))
-        .select(col("vec_id"),
-          Similarity.dequantizeInt8(col("qs.q"), col("qs.max_abs")).as("embedding"))
-      val viaQuant = Similarity.knnBrute(qCorpus, q, k = 5).select("qid", "vec_id")
+        .select(col("vec_id"), col("qs.q").as("q"))
+      val viaQuant = Similarity.knnBruteQuantized(qCorpus, q, k = 5)
+        .select("qid", "vec_id")
       brute.join(viaQuant, Seq("qid", "vec_id"), "left_semi")
         .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok"))
     }),

@@ -65,7 +65,82 @@ case class CosineSim(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** `cosine_sim_i8(a, b)` — cosine similarity of two int8-quantized
+  * embedding columns (`array<tinyint>`, see
+  * [[graft.pipeline.Similarity.quantizeInt8]]) scored WITHOUT
+  * dequantizing: per-vector quantization scales cancel out of the cosine,
+  * so the whole ranking runs on integer dot products inside whole-stage
+  * codegen — the serving fast path over a 4×-smaller stored corpus.
+  * Same null contract as [[CosineSim]]: length mismatch or zero-norm →
+  * NULL.
+  */
+case class CosineSimInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _                                                 => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim_i8 needs two array<tinyint> columns, got " +
+        s"${left.dataType} and ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      val v = CosineSim.cosineInt8(x, y)
+      if (java.lang.Double.isNaN(v)) null else v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.CosineSim.cosineInt8($a, $b);
+        if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+      }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimInt8 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_sim_i8"
+}
+
 object CosineSim {
+
+  /** Integer-accumulated cosine over int8 arrays (shared by interpreted
+    * eval and generated code): dot and norms fit a long far beyond any
+    * realistic dims (127² × dims). */
+  def cosineInt8(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toLong
+      val y = b.getByte(i).toLong
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** Column-level API for [[CosineSimInt8]]. */
+  def cosine_sim_i8(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      CosineSimInt8(org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** Static entry point shared by interpreted eval and generated code.
     * Accumulation order matches the HOF fold and DuckDB exactly. */

@@ -300,6 +300,27 @@ object Similarity {
   def dequantizeInt8(q: Column, maxAbs: Column): Column =
     transform(q, x => (x.cast("double") * maxAbs / lit(127.0)).cast("float"))
 
+  /** Exact top-k over an int8-quantized corpus (`q: array<tinyint>` from
+    * [[quantizeInt8]]), scored WITHOUT dequantizing via the integer
+    * codegen expression [[graft.functions.CosineSimInt8]] — per-vector
+    * scales cancel out of cosine, so the stored bytes rank directly.
+    * Float queries are quantized on the fly (a small broadcast set). */
+  def knnBruteQuantized(corpusQ: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", qCol: String = "q",
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      excludeSelf: Boolean = true): DataFrame = {
+    val qQ = queries.select(col(qidCol),
+      quantizeInt8(col(qvecCol)).getField("q").as("__qq"))
+    val scored = corpusQ.crossJoin(broadcast(qQ))
+      .withColumn("cos",
+        graft.functions.CosineSim.cosine_sim_i8(col("__qq"), col(qCol)))
+      .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
   /** Score candidates and keep each query's top-k by cosine. */
   private def rankTopK(cands: DataFrame, k: Int, idCol: String, vecCol: String,
       qidCol: String, qvecCol: String, excludeSelf: Boolean): DataFrame = {

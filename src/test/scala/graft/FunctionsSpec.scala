@@ -78,6 +78,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(gen.forall(_.isNullAt(0)))
   }
 
+  test("cosine_sim_i8: codegen, exact integer math, null contract") {
+    import graft.functions.CosineSim.cosine_sim_i8
+    import graft.pipeline.Similarity
+    // hand-computable case: dot=11, |a|²=5, |b|²=25 → 11/(√5·√25)
+    val hand = Seq((Seq(1.toByte, 2.toByte), Seq(3.toByte, 4.toByte)))
+      .toDF("a", "b").select(cosine_sim_i8($"a", $"b").as("c")).collect()(0)
+    assert(math.abs(hand.getDouble(0) - 11.0 / (math.sqrt(5) * 5)) < 1e-15)
+    // over the real embeddings: quantized-int8 cosine stays close to the
+    // float cosine of the same quantized values (same ranking signal), and
+    // the expression participates in whole-stage codegen on a parquet scan
+    val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val qq = emb.select($"vec_id",
+        Similarity.quantizeInt8($"embedding").as("qs"))
+      .select($"vec_id", $"qs.q".as("q"), $"qs.max_abs".as("ma"))
+    val pairs = qq.select($"vec_id".as("id1"), $"q".as("q1"), $"ma".as("ma1"))
+      .join(qq.select($"vec_id".as("id2"), $"q".as("q2"), $"ma".as("ma2")),
+        $"id1" === $"id2" - 1)
+    val both = pairs.select(
+      cosine_sim_i8($"q1", $"q2").as("i8"),
+      Similarity.cosine(
+        Similarity.dequantizeInt8($"q1", $"ma1"),
+        Similarity.dequantizeInt8($"q2", $"ma2")).as("deq"))
+    both.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6,
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim_i8"), plan)
+    // null contract: length mismatch and zero vector → null
+    val edge = Seq((Seq(1.toByte, 2.toByte), Seq(3.toByte),
+        Seq(0.toByte, 0.toByte)))
+      .toDF("a", "short", "zero")
+      .select(cosine_sim_i8($"a", $"short").as("m"),
+        cosine_sim_i8($"a", $"zero").as("z")).collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("SQL-registered functions reject wrong arity with a clear error") {
     val eng = new graft.ql.Engine(spark, "/root/testdata/sf0.001")
     val e1 = intercept[Exception] {
