@@ -104,10 +104,11 @@ object ScaleProbe {
     // one user owns ~30% of the 10x events table — the plain window
     // serializes those rows into a single task; the chunked variant keys
     // the heavy window on (user, day) and must stay flat
-    def reportPair(name: String, a: => Long, b: => Long): Unit = {
+    def reportPair(name: String, a: => Long, b: => Long,
+        la: String = "plain", lb: String = "chunked"): Unit = {
       a; b // warm both code paths
       val ta = time(a); val tb = time(b)
-      println(f"[scale] $name%-22s plain=$ta%6.2fs  chunked=$tb%6.2fs  " +
+      println(f"[scale] $name%-22s $la=$ta%6.2fs  $lb=$tb%6.2fs  " +
         f"speedup=${ta / tb}%5.2f")
     }
     val gap = 3600L * 1000000000L
@@ -128,6 +129,23 @@ object ScaleProbe {
     reportPair("sessionize_1key_10x",
       TsOps.sessionize(oneKey, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(oneKey, gap, Seq("user_id")).count())
+
+    // ---- float vs int8 brute scoring over the stored corpus -------------
+    // same ranking work (200 queries × full corpus), float vectors vs the
+    // 4×-smaller quantized bytes through the integer codegen cosine
+    import graft.pipeline.Similarity
+    val embT = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qset = embT.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qCorpusPath = s"$work/emb_q.parquet"
+    embT.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qs"))
+      .select(col("vec_id"), col("qs.q").as("q"))
+      .write.mode("overwrite").parquet(qCorpusPath)
+    val qCorpus = spark.read.parquet(qCorpusPath)
+    reportPair("knn_brute_200q",
+      Similarity.knnBrute(embT, qset, 5).count(),
+      Similarity.knnBruteQuantized(qCorpus, qset, 5).count(),
+      la = "float", lb = "int8")
     spark.stop()
   }
 }
