@@ -130,6 +130,39 @@ class FunctionsSpec extends AnyFunSuite {
       e2.getMessage)
   }
 
+  test("GraftExtensions injects the native functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    // getOrCreate returns the default session, so extensions would be
+    // skipped — clear it, build a sibling session on the SAME context with
+    // the extensions config, restore after
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // .withExtensions rather than the spark.sql.extensions conf: the
+      // conf is static and only read when the CONTEXT is created, and this
+      // test reuses the shared test context
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT cosine_sim(CAST(array(3.0, 4.0) AS array<float>), " +
+          "CAST(array(3.0, 4.0) AS array<float>)) AS c, " +
+          "format_ns(CAST(0 AS BIGINT)) AS f, " +
+          "cosine_sim_i8(CAST(array(1, 2) AS array<tinyint>), " +
+          "CAST(array(1, 2) AS array<tinyint>)) AS i").collect()(0)
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getString(1) == "1970-01-01T00:00:00.000000000+00:00")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+      val e = intercept[Exception] { s2.sql("SELECT format_ns(1, 2)").collect() }
+      assert(e.getMessage.contains("format_ns requires exactly 1 argument"),
+        e.getMessage)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("format_ns stays inside whole-stage codegen and handles nulls") {
     // parquet-backed so the projection isn't constant-folded away
     val ev = graft.storage.Tables.read(spark, "/root/testdata/sf0.001", "events")
