@@ -685,6 +685,21 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    "text_nfc" -> ((s, d) => {
+      // NFC on the raw text, plus a marker proving a REAL composition:
+      // appending decomposed e+combining-acute (U+0065 U+0301) must
+      // normalize to composed U+00E9 (the corpus itself may already be
+      // NFC, which would make the text column alone a weak check)
+      val decomposed = "e\u0301"
+      val composed = "\u00e9"
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.normalizeNfc(col("text")).as("nfc_text"),
+          (Text.normalizeNfc(concat(col("text"), lit(decomposed))) ===
+            concat(Text.normalizeNfc(col("text")), lit(composed)))
+            .cast("long").as("composed_ok"))
+        .orderBy("doc_id")
+    }),
     "text_shingle_fp" -> ((s, d) =>
       // md5-derived 60-bit hashes so the DuckDB oracle reproduces the folds
       // exactly; the xxhash64 fast path is covered by PipelineSpec
@@ -1110,6 +1125,11 @@ object SparkEntry {
         |         least(127.0, floor(x * 127.0 / ma + 0.5))) AS TINYINT)) END AS q,
         |  ma AS max_abs
         |FROM m ORDER BY vec_id""".stripMargin,
+    "text_nfc" ->
+      """SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  CAST(nfc_normalize(text || 'e' || chr(769)) =
+        |       nfc_normalize(text) || chr(233) AS BIGINT) AS composed_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // streaming dedup emits one arbitrary row per fingerprint — the
     // deterministic fact is the fingerprint SET, = batch distinct
     "stream_dedup" ->

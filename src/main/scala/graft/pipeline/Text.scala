@@ -190,6 +190,18 @@ object Text {
       when(best.getField("s") > 0, best.getField("lang")).otherwise(lit("und")))
   }
 
+  /** Unicode NFC normalization — the canonical pre-dedup text transform:
+    * composed and decomposed spellings of the same grapheme ("é" vs
+    * "é") must fingerprint identically before any hashing. JDK
+    * `java.text.Normalizer` NFC; DuckDB's `nfc_normalize` computes the
+    * same mapping, so the op is value-oracled. */
+  def normalizeNfc(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    f(text)
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text —
     * canonical exact-dup key. (DuckDB has `md5`, so the oracle matches.) */
   def fingerprint(text: Column): Column =

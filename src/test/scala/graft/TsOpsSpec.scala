@@ -489,6 +489,36 @@ class TsOpsSpec extends AnyFunSuite {
     assert(eventWindowPartitioned, plan)
   }
 
+  test("chunked sessionize property: identical to plain over random inputs") {
+    import spark.implicits._
+    // seeded-random sweep: random event times (bursts + long gaps), random
+    // gap thresholds, and chunk widths down to tiny (maximizing chunk
+    // boundaries, where the offset math lives)
+    val rnd = new scala.util.Random(20260812)
+    for (round <- 0 until 4) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val events = (0 until 800).map { _ =>
+        val key = rnd.nextInt(nKeys).toLong
+        // mixture: mostly short steps, occasionally huge jumps
+        val t = math.abs(rnd.nextLong() % (30L * 86400 * 1000000000L))
+        (key, t)
+      }
+      val df = events.toDF("user_id", "ts")
+      val gap = (1L + rnd.nextInt(48)) * 1800L * 1000000000L // 0.5h..24h
+      val chunk = (1L + rnd.nextInt(12)) * 7200L * 1000000000L // 2h..24h
+      val plain = TsOps.sessionize(df, gap, Seq("user_id"))
+        .select("user_id", "ts", "session_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val chunked = TsOps.sessionizeChunked(df, gap, Seq("user_id"),
+          chunkNanos = chunk)
+        .select("user_id", "ts", "session_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(chunked == plain,
+        s"round=$round gap=$gap chunk=$chunk " +
+          s"diff=${(plain.toSet diff chunked.toSet).take(3)}")
+    }
+  }
+
   test("metrics catalog works through a non-file filesystem scheme") {
     // object-store path hygiene: every catalog operation (list, read,
     // describe, block_list, range read, dialect engine) must survive a
