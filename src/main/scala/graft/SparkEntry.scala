@@ -692,11 +692,14 @@ object SparkEntry {
       // NFC, which would make the text column alone a weak check)
       val decomposed = "e\u0301"
       val composed = "\u00e9"
+      // NFC(text) computed ONCE and reused by both output columns; only
+      // the text+decomposed probe needs a second normalization pass
       t(s, d, "documents")
-        .select(col("doc_id"),
-          Text.normalizeNfc(col("text")).as("nfc_text"),
+        .select(col("doc_id"), col("text"),
+          Text.normalizeNfc(col("text")).as("nfc_text"))
+        .select(col("doc_id"), col("nfc_text"),
           (Text.normalizeNfc(concat(col("text"), lit(decomposed))) ===
-            concat(Text.normalizeNfc(col("text")), lit(composed)))
+            concat(col("nfc_text"), lit(composed)))
             .cast("long").as("composed_ok"))
         .orderBy("doc_id")
     }),

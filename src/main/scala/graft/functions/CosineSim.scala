@@ -22,6 +22,12 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL can arise from NON-null inputs (length mismatch, zero-norm):
+  // without this override, non-nullable children would make nullSafeCodeGen
+  // emit an assignment to an undeclared isNull variable (codegen fallback)
+  // and let the optimizer fold IsNull(...) to false
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType, _) => true
@@ -78,6 +84,10 @@ case class CosineSimInt8(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL from non-null inputs (length mismatch, zero-norm) — see the
+  // identical override on [[CosineSim]]
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {

@@ -57,16 +57,9 @@ object Similarity {
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec",
-      excludeSelf: Boolean = true): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
-      .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
-  }
+      excludeSelf: Boolean = true): DataFrame =
+    rankTopK(corpus.crossJoin(broadcast(queries)), k, idCol, qidCol,
+      excludeSelf, cosine(col(qvecCol), col(vecCol)))
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * hash-derived value in [-0.5, 0.5). Seeded — stable across runs and
@@ -141,14 +134,9 @@ object Similarity {
       .select(col(qidCol), col(qvecCol),
         col("__p.tbl").as("__tbl"), col("__p.sig").as("__sig"))
     val cands = bucketedCorpus.join(broadcast(qProbed), Seq("__tbl", "__sig"))
-      .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
       .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol)).distinct()
-      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
-    val w = Window.partitionBy(qidCol)
-      .orderBy(col("cos").desc, col(idCol).asc)
-    cands.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+    rankTopK(cands, k, idCol, qidCol, excludeSelf,
+      cosine(col(qvecCol), col(vecCol)))
   }
 
   /** IVF-style coarse quantization: assign every corpus vector to its nearest
@@ -212,7 +200,8 @@ object Similarity {
     val qCells = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
       qidCol, qvecCol)
     val cands = assigned.join(broadcast(qCells), Seq(cidCol))
-    rankTopK(cands, k, idCol, vecCol, qidCol, qvecCol, excludeSelf)
+    rankTopK(cands, k, idCol, qidCol, excludeSelf,
+      cosine(col(qvecCol), col(vecCol)))
   }
 
   /** Persist an [[ivfAssign]]ed corpus with the cell id as the storage
@@ -248,7 +237,8 @@ object Similarity {
     val assigned = spark.read.parquet(path)
       .filter(col(cidCol).isin(cellIds.toIndexedSeq: _*))
     val cands = assigned.join(broadcast(qCells), Seq(cidCol))
-    rankTopK(cands, k, idCol, vecCol, qidCol, qvecCol, excludeSelf)
+    rankTopK(cands, k, idCol, qidCol, excludeSelf,
+      cosine(col(qvecCol), col(vecCol)))
   }
 
   /** Each query's `nprobe` nearest cells: (qid, qvec, cid). */
@@ -311,22 +301,19 @@ object Similarity {
       excludeSelf: Boolean = true): DataFrame = {
     val qQ = queries.select(col(qidCol),
       quantizeInt8(col(qvecCol)).getField("q").as("__qq"))
-    val scored = corpusQ.crossJoin(broadcast(qQ))
-      .withColumn("cos",
-        graft.functions.CosineSim.cosine_sim_i8(col("__qq"), col(qCol)))
-      .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
-    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+    rankTopK(corpusQ.crossJoin(broadcast(qQ)), k, idCol, qidCol, excludeSelf,
+      graft.functions.CosineSim.cosine_sim_i8(col("__qq"), col(qCol)))
   }
 
-  /** Score candidates and keep each query's top-k by cosine. */
-  private def rankTopK(cands: DataFrame, k: Int, idCol: String, vecCol: String,
-      qidCol: String, qvecCol: String, excludeSelf: Boolean): DataFrame = {
+  /** Shared top-k tail for every kNN variant: self-filter, score with the
+    * given expression, per-query window rank, keep k. One definition so
+    * the tie-break contract (cos desc, id asc) can never diverge between
+    * the brute/LSH/IVF/quantized paths. */
+  private def rankTopK(cands: DataFrame, k: Int, idCol: String,
+      qidCol: String, excludeSelf: Boolean, score: Column): DataFrame = {
     val scored = cands
       .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
-      .withColumn("cos", cosine(col(qvecCol), col(vecCol)))
+      .withColumn("cos", score)
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

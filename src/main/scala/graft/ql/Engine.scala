@@ -35,20 +35,12 @@ final class Engine(val spark: SparkSession, val dbDir: String,
     Tables.listMetrics(dbDir).foreach { m =>
       Tables.read(spark, dbDir, m).createOrReplaceTempView(m)
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "format_ns",
-      exprs => {
-        require(exprs.length == 1,
-          s"format_ns requires exactly 1 argument, got ${exprs.length}")
-        graft.functions.FormatNanos(exprs.head, "UTC")
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => {
-        require(exprs.length == 2,
-          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
-        graft.functions.CosineSim(exprs.head, exprs(1))
-      }, "scala_udf")
+    // same descriptors as the session-extensions surface — one source of
+    // truth for name/arity/builder (graft.GraftExtensions.functions)
+    graft.GraftExtensions.functions.foreach { f =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        f.name, f.builder, "scala_udf")
+    }
     spark.sql(query)
   }
 

@@ -162,8 +162,11 @@ class EngineSpec extends AnyFunSuite {
     val e = new Engine(spark, dbDir)
     val r = e.sql(
       "SELECT cosine_sim(CAST(array(3.0, 4.0) AS array<float>), " +
-        "CAST(array(3.0, 4.0) AS array<float>)) AS c").collect()
+        "CAST(array(3.0, 4.0) AS array<float>)) AS c, " +
+        "cosine_sim_i8(CAST(array(3, 4) AS array<tinyint>), " +
+        "CAST(array(3, 4) AS array<tinyint>)) AS i").collect()
     assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r(0).getDouble(1) - 1.0) < 1e-12)
   }
 
   test("db= with-clause resolves a database subdirectory") {
