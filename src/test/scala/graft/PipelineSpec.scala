@@ -169,6 +169,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(zero.getSeq[Byte](0).forall(_ == 0) && zero.getDouble(1) == 0.0)
   }
 
+  test("int8 quantization property: per-component error within half a step") {
+    import graft.pipeline.Similarity
+    // random vectors across 8 orders of magnitude, signed — the invariant
+    // is |x - dequant(x)| <= (max_abs/127)/2 plus float-cast slack
+    val rnd = new scala.util.Random(44)
+    val vecs = Seq.fill(60) {
+      val scale = math.pow(10, rnd.nextInt(8) - 4).toFloat
+      Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f * scale)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val rows = df.select($"v",
+        Similarity.quantizeInt8($"v").as("qs"))
+      .select($"v", $"qs.max_abs".as("ma"),
+        Similarity.dequantizeInt8($"qs.q", $"qs.max_abs").as("deq"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val ma = r.getDouble(1)
+      val deq = r.getSeq[Float](2)
+      val bound = ma / 127.0 * 0.5 + ma * 1e-6
+      v.zip(deq).foreach { case (x, y) =>
+        assert(math.abs(x.toDouble - y.toDouble) <= bound,
+          s"x=$x deq=$y max_abs=$ma bound=$bound")
+      }
+    }
+  }
+
   test("quality features exact values") {
     val r = Text.qualityFeatures(docs.filter($"doc_id" === 0), "text")
       .collect()(0)
