@@ -890,6 +890,23 @@ object SparkEntry {
           col("qs.max_abs").as("max_abs"))
         .orderBy("vec_id")
     }),
+    "knn_quantized" -> ((s, d) => {
+      // top-5 over the int8-quantized corpus via integer codegen cosine —
+      // VALUE-oracled, not just recall-gated: quantization is exact floor
+      // arithmetic and the integer dot products (≤ 64×127² per vector,
+      // far under 2^53) are bit-reproducible in DuckDB doubles, so the
+      // whole ANN scoring path hash-matches SQL
+      val emb = t(s, d, "embeddings")
+      val corpusQ = emb.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"), col("qs.q").as("q"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.knnBruteQuantized(corpusQ, q, k = 5)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
     "stream_dedup" -> ((s, d) => {
       // streaming exact dedup driven to completion (AvailableNow):
       // dropDuplicatesWithinWatermark keeps an ARBITRARY representative
@@ -1128,6 +1145,34 @@ object SparkEntry {
         |         least(127.0, floor(x * 127.0 / ma + 0.5))) AS TINYINT)) END AS q,
         |  ma AS max_abs
         |FROM m ORDER BY vec_id""".stripMargin,
+    "knn_quantized" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma
+        |  FROM c
+        |), qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+        |         ELSE list_transform(v, x -> CAST(greatest(-127.0,
+        |           least(127.0, floor(x * 127.0 / ma + 0.5))) AS DOUBLE)) END AS q
+        |  FROM m
+        |), qs AS (
+        |  SELECT vec_id AS qid, q AS qq FROM qz WHERE vec_id < 10
+        |), sc AS (
+        |  SELECT qs.qid, qz.vec_id,
+        |    list_dot_product(qs.qq, qz.q) /
+        |      (sqrt(list_dot_product(qs.qq, qs.qq)) *
+        |       sqrt(list_dot_product(qz.q, qz.q))) AS cos
+        |  FROM qs CROSS JOIN qz WHERE qs.qid <> qz.vec_id
+        |), r AS (
+        |  SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC)
+        |      AS rank
+        |  FROM sc
+        |)
+        |SELECT qid, rank, vec_id, round(cos, 6) AS cos FROM r
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "text_nfc" ->
       """SELECT doc_id, nfc_normalize(text) AS nfc_text,
         |  CAST(nfc_normalize(text || 'e' || chr(769)) =
