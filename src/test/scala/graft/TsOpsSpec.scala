@@ -489,6 +489,27 @@ class TsOpsSpec extends AnyFunSuite {
     assert(eventWindowPartitioned, plan)
   }
 
+  test("writer lock serializes concurrent persists from two stores") {
+    // two store instances on the SAME metrics, racing persists from two
+    // threads: the lockfile's wait-retry path must serialize the parquet
+    // appends (concurrent Spark writes to one dir would collide on
+    // _temporary) and lose nothing
+    val dir = SparkTestBase.tempDir("graft-lock-race")
+    val mkStore = () => new WritableStore(spark, dir, "race",
+      Seq(StructField("v", DoubleType)))
+    val s1 = mkStore(); val s2 = mkStore()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future { (0 until 4).foreach { i =>
+      s1.push(DataPoint(1000L + i, Seq(i.toDouble))); s1.persist() } }
+    val f2 = Future { (0 until 4).foreach { i =>
+      s2.push(DataPoint(2000L + i, Seq(i.toDouble))); s2.persist() } }
+    Await.result(Future.sequence(Seq(f1, f2)), 120.seconds)
+    assert(Tables.read(spark, dir, "race").count() == 8)
+    assert(!new java.io.File(dir, "race.lock").exists) // fully released
+  }
+
   test("chunked sessionize property: identical to plain over random inputs") {
     import spark.implicits._
     // seeded-random sweep: random event times (bursts + long gaps), random
