@@ -935,6 +935,38 @@ object SparkEntry {
       }
       s.table(name).select("fp").orderBy("fp")
     }),
+    "stream_asof" -> ((s, d) => {
+      // streaming as-of enrichment driven to completion: purchases emit
+      // once the watermark strictly passes their event-time ms, joined to
+      // the latest view at-or-before their ts. Oracle = batch ASOF LEFT
+      // JOIN restricted to watermark-complete purchases (max purchase/view
+      // event ms - 10 min lateness; the type filter precedes the watermark
+      // node, so only joined types drive completeness). ts is µs-truncated at the source so DuckDB (µs
+      // timestamps) agrees on every boundary; values pass through with no
+      // accumulation, so doubles are oracle-stable.
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val joined = graft.streaming.StreamIngest.streamingAsof(
+        src, leftType = "purchase", rightType = "view")
+      val name = "stream_asof_out"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // a timeout means the memory table is PARTIAL: stop the query (else
+      // the next run's identical queryName throws) and fail loudly rather
+      // than hand an incomplete result to the oracle compare
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"streaming query did not finish: $name")
+      }
+      s.table(name)
+        .select("event_id", "user_id", "ts", "value", "r_ts", "r_value")
+        .orderBy("event_id")
+    }),
     "multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(
         Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id", "text"), 4)
@@ -1178,6 +1210,26 @@ object SparkEntry {
         |  CAST(nfc_normalize(text || 'e' || chr(769)) =
         |       nfc_normalize(text) || chr(233) AS BIGINT) AS composed_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the emitted subset of the streaming as-of join is the batch ASOF
+    // LEFT JOIN over purchases whose event-time ms is strictly below the
+    // final watermark (max event ms - 10 min lateness)
+    "stream_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, value
+        |  FROM events WHERE event_type = 'view'
+        |), j AS (
+        |  SELECT l.event_id, l.user_id, l.ts, l.value,
+        |         r.ts AS r_ts, r.value AS r_value
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts
+        |), mx AS (SELECT max(epoch_ns(ts)) AS m FROM events
+        |          WHERE event_type IN ('purchase', 'view'))
+        |SELECT event_id, user_id, ts, value, r_ts, r_value FROM j, mx
+        |WHERE ts // 1000000 < m // 1000000 - 600000
+        |ORDER BY event_id""".stripMargin,
     // streaming dedup emits one arbitrary row per fingerprint — the
     // deterministic fact is the fingerprint SET, = batch distinct
     "stream_dedup" ->

@@ -121,6 +121,107 @@ object StreamIngest {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Input row for [[streamingAsof]]: ns event time + key + payload; `side`
+    * is 1 for left (enrich-me) rows, 0 for right (reference) rows. */
+  final case class AsofIn(user_id: Long, ts: Long, event_id: Long,
+      value: Double, side: Int, __event_time: java.sql.Timestamp)
+
+  final case class AsofRight(ts: Long, value: Double)
+  final case class AsofPending(event_id: Long, ts: Long, value: Double)
+
+  /** Per-key state for [[streamingAsof]]: lefts not yet watermark-complete,
+    * rights at-or-above the emit horizon, and `carry` — the single latest
+    * right BELOW the horizon (every earlier right is dominated for any
+    * still-possible left, so the below-horizon tail collapses to one row;
+    * that collapse is what bounds the state). */
+  final case class AsofJoinState(pending: List[AsofPending],
+      rights: List[AsofRight], carry: Option[AsofRight])
+
+  final case class AsofOut(event_id: Long, user_id: Long, ts: Long,
+      value: Double, r_ts: Option[Long], r_value: Option[Double])
+
+  /** Streaming as-of join over a single interleaved event stream: each
+    * `leftType` row is emitted exactly once, enriched with the latest
+    * `rightType` row of the same user at-or-before its ts — the streaming
+    * analog of [[graft.operators.TsOps.asofJoin]].
+    *
+    * Emission is watermark-gated: a left emits only when the watermark
+    * strictly passes its event-time ms, at which point any right that could
+    * still match it (ts <= left.ts) has either been ingested or dropped as
+    * late — so the emitted subset equals the batch as-of join restricted to
+    * watermark-complete lefts. State per key is bounded: pendings and
+    * rights live only inside the watermark horizon, and the below-horizon
+    * right history collapses to the one `carry` row (which persists per
+    * active key, like a session state).
+    *
+    * The watermark is driven by the joined types only (the type filter
+    * precedes the watermark node; Catalyst would push it there regardless),
+    * and — because Spark does NOT late-filter flatMapGroupsWithState input
+    * the way it does aggregations — rows below the watermark are dropped
+    * explicitly at ingest, which is what makes emitted matches final.
+    */
+  def streamingAsof(df: DataFrame, leftType: String, rightType: String,
+      lateness: String = "10 minutes"): Dataset[AsofOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = withEventTime(df.filter(col("event_type").isin(leftType, rightType)))
+      .withWatermark("__event_time", lateness)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === leftType, 1).otherwise(0).as("side"),
+        col("__event_time"))
+      .as[AsofIn]
+
+    def fn(userId: Long, events: Iterator[AsofIn],
+        state: GroupState[AsofJoinState]): Iterator[AsofOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      var st = state.getOption.getOrElse(AsofJoinState(Nil, Nil, None))
+      if (!state.hasTimedOut) {
+        // drop late rows (below the watermark) ourselves: emitted matches
+        // are only final if no already-emittable right can still arrive
+        events.filter(_.ts / 1000000L >= wm).foreach { e =>
+          if (e.side == 1)
+            st = st.copy(pending = AsofPending(e.event_id, e.ts, e.value) :: st.pending)
+          else st = st.copy(rights = AsofRight(e.ts, e.value) :: st.rights)
+        }
+      }
+      // emit lefts strictly below the watermark: anything that could still
+      // arrive has event time >= wm ms, hence ts > any emitted left's ts
+      val (emit, keep) = st.pending.partition(_.ts / 1000000L < wm)
+      val rightsSorted = (st.carry.toList ++ st.rights).sortBy(_.ts).toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      var i = 0
+      var best: AsofRight = null
+      emit.sortBy(_.ts).foreach { l =>
+        while (i < rightsSorted.length && rightsSorted(i).ts <= l.ts) {
+          best = rightsSorted(i); i += 1
+        }
+        out += AsofOut(l.event_id, userId, l.ts, l.value,
+          Option(best).map(_.ts), Option(best).map(_.value))
+      }
+      // collapse rights below the horizon to the single latest one: every
+      // remaining or future left has ts >= wm ms, so only the max survives
+      val (old, fresh) = rightsSorted.partition(_.ts / 1000000L < wm)
+      val carry = old.lastOption
+      if (keep.isEmpty && fresh.isEmpty && carry.isEmpty) state.remove()
+      else {
+        state.update(AsofJoinState(keep, fresh.toList, carry))
+        if (keep.nonEmpty) {
+          // fire once the watermark strictly passes the earliest pending
+          // left (timeouts fire iff timeout_ts < watermark); must also be
+          // strictly above the current watermark or Spark rejects it
+          val t = math.max(keep.map(_.ts / 1000000L).min, wm + 1L)
+          state.setTimeoutTimestamp(t)
+        }
+      }
+      out.iterator
+    }
+
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Persist a stream to a metrics dir as sorted parquet blocks: one block
     * per micro-batch (the streaming analog of the reference's periodic
     * persist). Returns the running query; caller stops it.

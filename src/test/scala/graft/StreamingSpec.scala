@@ -74,6 +74,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2) == (2L, 1L, 4.0))
   }
 
+  test("streaming as-of join across micro-batches: late drop + carry match") {
+    import spark.implicits._
+    val srcDir = new java.io.File(SparkTestBase.tempDir("graft-asof-in"))
+    val t0 = 1700000000L * 1000000000L
+    val sec = 1000000000L
+    def writeDrop(name: String, modTime: Long,
+        rows: Seq[(Long, Long, Long, Double, String)]): Unit = {
+      val stage = SparkTestBase.tempDir("graft-asof-stage")
+      rows.toDF("ts", "user_id", "event_id", "value", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(modTime))
+    }
+    // batch A: u1 views at t0/t0+20s around purchases at +10s/+1000s;
+    // u2 views only; a far-future u9 view at +100000s drives the
+    // watermark (only joined types advance it)
+    writeDrop("a.parquet", 1000000L, Seq(
+      (t0, 1L, 100L, 1.0, "view"),
+      (t0 + 10 * sec, 1L, 1L, 10.0, "purchase"),
+      (t0 + 20 * sec, 1L, 101L, 2.0, "view"),
+      (t0 + 1000 * sec, 1L, 2L, 20.0, "purchase"),
+      (t0, 2L, 102L, 3.0, "view"),
+      (t0 + 5 * sec, 2L, 103L, 4.0, "view"),
+      (t0 + 100000 * sec, 9L, 900L, 0.0, "view")))
+    // batch B: a LATE u1 view (below the batch-A watermark — must be
+    // dropped, so purchase 1 still matches the view at t0, not this one);
+    // a u2 purchase that must match the batch-A carry (view at +5s); a
+    // further u9 view so the final watermark passes that purchase
+    writeDrop("b.parquet", 2000000L, Seq(
+      (t0 + 5 * sec, 1L, 104L, 9.9, "view"),
+      (t0 + 99500 * sec, 2L, 3L, 30.0, "purchase"),
+      (t0 + 200000 * sec, 9L, 901L, 0.0, "view")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType),
+      StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.getPath)
+    val joined = StreamIngest.streamingAsof(src, "purchase", "view")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("asof_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val out = spark.table("asof_out").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Any]("r_ts"), r.getAs[Any]("r_value")))
+    assert(out.length == 3, out.mkString(","))
+    assert(out(0) == (1L, t0, 1.0))                  // late view 104 dropped
+    assert(out(1) == (2L, t0 + 20 * sec, 2.0))
+    assert(out(2) == (3L, t0 + 5 * sec, 4.0))        // matched via carry
+  }
+
   test("persistStream writes sorted parquet blocks per micro-batch") {
     val inDir = SparkTestBase.tempDir("graft-stream-in2")
     val outDir = SparkTestBase.tempDir("graft-stream-out")
