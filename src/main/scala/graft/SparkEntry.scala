@@ -935,6 +935,31 @@ object SparkEntry {
       }
       s.table(name).select("fp").orderBy("fp")
     }),
+    "stream_quantize" -> ((s, d) => {
+      // stateless streaming feature extraction: the exact-arithmetic int8
+      // quantizer runs unchanged inside a micro-batch pipeline — no
+      // watermark, every row emits, and the batch quantization value
+      // oracle applies to the streamed output as-is
+      Tables.configure(s)
+      val schema = t(s, d, "embeddings").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      val qdf = graft.streaming.StreamIngest.quantizedIngest(
+        src, "vec_id", "embedding")
+      val name = "stream_quantize_out"
+      val q = qdf.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // a timeout means the memory table is PARTIAL: stop the query (else
+      // the next run's identical queryName throws) and fail loudly rather
+      // than hand an incomplete result to the oracle compare
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"streaming query did not finish: $name")
+      }
+      s.table(name).select("vec_id", "q", "max_abs").orderBy("vec_id")
+    }),
     "stream_asof" -> ((s, d) => {
       // streaming as-of enrichment driven to completion: purchases emit
       // once the watermark strictly passes their event-time ms, joined to
@@ -1482,6 +1507,9 @@ object SparkEntry {
     // likewise the chunked sessionize is row-identical to the plain one
     base +
       ("knn_ivf_stored" -> base("knn_ivf")) +
-      ("sessionize_chunked_stats" -> base("sessionize_stats"))
+      ("sessionize_chunked_stats" -> base("sessionize_stats")) +
+      // stateless streaming quantization emits every row with the exact
+      // batch arithmetic, so it shares embed_quantize's value oracle
+      ("stream_quantize" -> base("embed_quantize"))
   }
 }

@@ -222,6 +222,17 @@ object StreamIngest {
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming int8 quantization: map each embedding batch through
+    * [[graft.pipeline.Similarity.quantizeInt8]] — stateless, so it needs no
+    * watermark and emits every row; compose with [[persistStream]] for a
+    * continuously-built quantized corpus (4× scan bandwidth at rest). The
+    * arithmetic is the exact batch quantizer, so the batch value oracle
+    * applies to the streamed output unchanged. */
+  def quantizedIngest(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.pipeline.Similarity.quantizeInt8(col(vecCol)).as("qs"))
+      .select(col(idCol), col("qs.q").as("q"), col("qs.max_abs").as("max_abs"))
+
   /** Persist a stream to a metrics dir as sorted parquet blocks: one block
     * per micro-batch (the streaming analog of the reference's periodic
     * persist). Returns the running query; caller stops it.
