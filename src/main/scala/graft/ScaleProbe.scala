@@ -49,12 +49,16 @@ object ScaleProbe {
           .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
           .withColumn("text", translate(lower(col("text")), alpha, shifted))
       }.reduce(_.unionByName(_))
+    // growth factors are env-tunable so the same probe runs the 10x/4x
+    // default and bigger sweeps (e.g. 20x/8x) unchanged
+    val evK  = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "10").toInt
+    val docK = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4").toInt
     // always regenerate: a cached copy can be stale (different SF dir) or
     // half-written (prior crash) and would silently skew every ratio
-    val ev10Path = s"$work/events10.parquet"
-    val doc4Path = s"$work/documents4.parquet"
-    scaledEvents(10).repartition(32).write.mode("overwrite").parquet(ev10Path)
-    scaledDocs(4).repartition(32).write.mode("overwrite").parquet(doc4Path)
+    val ev10Path = s"$work/events$evK.parquet"
+    val doc4Path = s"$work/documents$docK.parquet"
+    scaledEvents(evK).repartition(32).write.mode("overwrite").parquet(ev10Path)
+    scaledDocs(docK).repartition(32).write.mode("overwrite").parquet(doc4Path)
     val ev10 = spark.read.parquet(ev10Path)
     val doc4 = spark.read.parquet(doc4Path)
 
@@ -68,35 +72,35 @@ object ScaleProbe {
         f"ratio=${ts / tb}%5.2f (linear would be <= $factor)")
     }
 
-    report("range_filter", 10,
+    report("range_filter", evK,
       TsOps.rangeFilter(events, Some(1704067200L * 1000000000L), None).count(),
       TsOps.rangeFilter(ev10, Some(1704067200L * 1000000000L), None).count())
-    report("downsample_1h", 10,
+    report("downsample_1h", evK,
       TsOps.downsample(events, 3600L * 1000000000L, "value").count(),
       TsOps.downsample(ev10, 3600L * 1000000000L, "value").count())
-    report("sessionize", 10,
+    report("sessionize", evK,
       TsOps.sessionize(events.select("user_id", "ts"), 3600L * 1000000000L,
         Seq("user_id")).count(),
       TsOps.sessionize(ev10.select("user_id", "ts"), 3600L * 1000000000L,
         Seq("user_id")).count())
-    report("rolling_24h", 10,
+    report("rolling_24h", evK,
       TsOps.rollingAgg(events.select("user_id", "ts", "value"),
         24L * 3600 * 1000000000L, "value", Seq("user_id")).count(),
       TsOps.rollingAgg(ev10.select("user_id", "ts", "value"),
         24L * 3600 * 1000000000L, "value", Seq("user_id")).count())
-    report("grouped_head_50", 10,
+    report("grouped_head_50", evK,
       TsOps.groupedHead(events, 50).count(),
       TsOps.groupedHead(ev10, 50).count())
-    report("dedup_exact", 4,
+    report("dedup_exact", docK,
       Dedup.exact(docs, "doc_id", "text").count(),
       Dedup.exact(doc4, "doc_id", "text").count())
-    report("jaccard_pairs", 4,
+    report("jaccard_pairs", docK,
       Dedup.jaccardPairs(docs, "doc_id", "text", 0.3).count(),
       Dedup.jaccardPairs(doc4, "doc_id", "text", 0.3).count())
-    report("minhash_lsh", 4,
+    report("minhash_lsh", docK,
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3).count(),
       Dedup.nearDuplicates(doc4, "doc_id", "text", 0.3).count())
-    report("pipeline_curate", 4,
+    report("pipeline_curate", docK,
       Pipelines.curate(docs, "doc_id", "text").count(),
       Pipelines.curate(doc4, "doc_id", "text").count())
 
@@ -116,17 +120,17 @@ object ScaleProbe {
         when(pmod(col("event_id"), lit(10L)) < 3, lit(0L))
           .otherwise(col("user_id")))
       .select("user_id", "ts")
-    reportPair("sessionize_hot30_10x",
+    reportPair(s"sessionize_hot30_${evK}x",
       TsOps.sessionize(hot, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(hot, gap, Seq("user_id")).count())
     val uniform = ev10.select("user_id", "ts")
-    reportPair("sessionize_uniform_10x",
+    reportPair(s"sessionize_uniform_${evK}x",
       TsOps.sessionize(uniform, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(uniform, gap, Seq("user_id")).count())
     // fully degenerate: ONE key owns the whole 10x table — the plain window
     // is a single-task sort of everything; chunked splits it by day
     val oneKey = ev10.select(lit(0L).as("user_id"), col("ts"))
-    reportPair("sessionize_1key_10x",
+    reportPair(s"sessionize_1key_${evK}x",
       TsOps.sessionize(oneKey, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(oneKey, gap, Seq("user_id")).count())
 
