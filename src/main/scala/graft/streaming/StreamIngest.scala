@@ -212,6 +212,12 @@ object StreamIngest {
           // strictly above the current watermark or Spark rejects it
           val t = math.max(keep.map(_.ts / 1000000L).min, wm + 1L)
           state.setTimeoutTimestamp(t)
+        } else {
+          // no pending left needs a wake-up, but a previously-armed (now
+          // stale, already-fired) timestamp would otherwise persist in the
+          // state store and re-fire a no-op invocation every batch — park
+          // it far ahead; new data re-arms the real one
+          state.setTimeoutTimestamp(wm + 100L * 365 * 86400 * 1000)
         }
       }
       out.iterator
