@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev harness: measure how the headline plans scale when the data grows
-  * 10× (events) / 4× (documents, quadratic-risk ops). Builds the scaled
+  * N× (events; default 10) / M× (documents, quadratic-risk ops; default 4). Builds the scaled
   * tables in /tmp by unioning shifted copies of sf0.1 (disjoint time ranges
   * and user/doc id spaces — same distribution, bigger), then times the same
   * operator code at 1× and N×. Near-linear ratios are the evidence that the
@@ -55,12 +55,12 @@ object ScaleProbe {
     val docK = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4").toInt
     // always regenerate: a cached copy can be stale (different SF dir) or
     // half-written (prior crash) and would silently skew every ratio
-    val ev10Path = s"$work/events$evK.parquet"
-    val doc4Path = s"$work/documents$docK.parquet"
-    scaledEvents(evK).repartition(32).write.mode("overwrite").parquet(ev10Path)
-    scaledDocs(docK).repartition(32).write.mode("overwrite").parquet(doc4Path)
-    val ev10 = spark.read.parquet(ev10Path)
-    val doc4 = spark.read.parquet(doc4Path)
+    val evScaledPath = s"$work/events$evK.parquet"
+    val docScaledPath = s"$work/documents$docK.parquet"
+    scaledEvents(evK).repartition(32).write.mode("overwrite").parquet(evScaledPath)
+    scaledDocs(docK).repartition(32).write.mode("overwrite").parquet(docScaledPath)
+    val evScaled = spark.read.parquet(evScaledPath)
+    val docScaled = spark.read.parquet(docScaledPath)
 
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -74,38 +74,38 @@ object ScaleProbe {
 
     report("range_filter", evK,
       TsOps.rangeFilter(events, Some(1704067200L * 1000000000L), None).count(),
-      TsOps.rangeFilter(ev10, Some(1704067200L * 1000000000L), None).count())
+      TsOps.rangeFilter(evScaled, Some(1704067200L * 1000000000L), None).count())
     report("downsample_1h", evK,
       TsOps.downsample(events, 3600L * 1000000000L, "value").count(),
-      TsOps.downsample(ev10, 3600L * 1000000000L, "value").count())
+      TsOps.downsample(evScaled, 3600L * 1000000000L, "value").count())
     report("sessionize", evK,
       TsOps.sessionize(events.select("user_id", "ts"), 3600L * 1000000000L,
         Seq("user_id")).count(),
-      TsOps.sessionize(ev10.select("user_id", "ts"), 3600L * 1000000000L,
+      TsOps.sessionize(evScaled.select("user_id", "ts"), 3600L * 1000000000L,
         Seq("user_id")).count())
     report("rolling_24h", evK,
       TsOps.rollingAgg(events.select("user_id", "ts", "value"),
         24L * 3600 * 1000000000L, "value", Seq("user_id")).count(),
-      TsOps.rollingAgg(ev10.select("user_id", "ts", "value"),
+      TsOps.rollingAgg(evScaled.select("user_id", "ts", "value"),
         24L * 3600 * 1000000000L, "value", Seq("user_id")).count())
     report("grouped_head_50", evK,
       TsOps.groupedHead(events, 50).count(),
-      TsOps.groupedHead(ev10, 50).count())
+      TsOps.groupedHead(evScaled, 50).count())
     report("dedup_exact", docK,
       Dedup.exact(docs, "doc_id", "text").count(),
-      Dedup.exact(doc4, "doc_id", "text").count())
+      Dedup.exact(docScaled, "doc_id", "text").count())
     report("jaccard_pairs", docK,
       Dedup.jaccardPairs(docs, "doc_id", "text", 0.3).count(),
-      Dedup.jaccardPairs(doc4, "doc_id", "text", 0.3).count())
+      Dedup.jaccardPairs(docScaled, "doc_id", "text", 0.3).count())
     report("minhash_lsh", docK,
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3).count(),
-      Dedup.nearDuplicates(doc4, "doc_id", "text", 0.3).count())
+      Dedup.nearDuplicates(docScaled, "doc_id", "text", 0.3).count())
     report("pipeline_curate", docK,
       Pipelines.curate(docs, "doc_id", "text").count(),
-      Pipelines.curate(doc4, "doc_id", "text").count())
+      Pipelines.curate(docScaled, "doc_id", "text").count())
 
     // ---- hot-key sessionize: plain (per-key window) vs chunked ---------
-    // one user owns ~30% of the 10x events table — the plain window
+    // one user owns ~30% of the scaled events table — the plain window
     // serializes those rows into a single task; the chunked variant keys
     // the heavy window on (user, day) and must stay flat
     def reportPair(name: String, a: => Long, b: => Long,
@@ -116,20 +116,20 @@ object ScaleProbe {
         f"speedup=${ta / tb}%5.2f")
     }
     val gap = 3600L * 1000000000L
-    val hot = ev10.withColumn("user_id",
+    val hot = evScaled.withColumn("user_id",
         when(pmod(col("event_id"), lit(10L)) < 3, lit(0L))
           .otherwise(col("user_id")))
       .select("user_id", "ts")
     reportPair(s"sessionize_hot30_${evK}x",
       TsOps.sessionize(hot, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(hot, gap, Seq("user_id")).count())
-    val uniform = ev10.select("user_id", "ts")
+    val uniform = evScaled.select("user_id", "ts")
     reportPair(s"sessionize_uniform_${evK}x",
       TsOps.sessionize(uniform, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(uniform, gap, Seq("user_id")).count())
-    // fully degenerate: ONE key owns the whole 10x table — the plain window
+    // fully degenerate: ONE key owns the whole scaled table — the plain window
     // is a single-task sort of everything; chunked splits it by day
-    val oneKey = ev10.select(lit(0L).as("user_id"), col("ts"))
+    val oneKey = evScaled.select(lit(0L).as("user_id"), col("ts"))
     reportPair(s"sessionize_1key_${evK}x",
       TsOps.sessionize(oneKey, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(oneKey, gap, Seq("user_id")).count())

@@ -73,6 +73,24 @@ object SparkEntry {
   private def tsUs(df: DataFrame): DataFrame =
     df.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
 
+  /** Drive a streaming frame to completion (AvailableNow) into a memory
+    * sink and return the materialized table. A timeout means the table is
+    * PARTIAL: stop the query (else the next run's identical queryName
+    * throws) and fail loudly rather than hand an incomplete result to the
+    * oracle compare. */
+  private def runStreamToTable(s: SparkSession, df: DataFrame,
+      name: String): DataFrame = {
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException(s"streaming query did not finish: $name")
+    }
+    s.table(name)
+  }
+
   /** Flagship: dialect query end-to-end on sf0.001 (SURVEY §7.3). */
   def entry(spark: SparkSession): DataFrame = {
     val e = engine(spark, "/root/testdata/sf0.001")
@@ -254,19 +272,7 @@ object SparkEntry {
         .withColumn("value", col("value").cast("decimal(18,2)"))
       val agg = graft.streaming.StreamIngest.windowedDownsample(
         src, "value", "1 hour", "2 hours")
-      val name = "stream_ds_out"
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // a timeout means the memory table is PARTIAL: stop the query (else
-      // the next run's identical queryName throws) and fail loudly rather
-      // than hand an incomplete result to the oracle compare
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"streaming query did not finish: $name")
-      }
-      s.table(name)
+      runStreamToTable(s, agg, "stream_ds_out")
         .select(col("bucket_start_us"), col("n"),
           col("min_v").cast("double").as("min_v"),
           col("max_v").cast("double").as("max_v"),
@@ -323,25 +329,12 @@ object SparkEntry {
       // oracle-stable — counts/extrema are).
       Tables.configure(s)
       val schema = t(s, d, "events").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
       val sess = graft.streaming.StreamIngest.statefulSessionize(
         src.select("user_id", "ts", "value"),
         gapNanos = 3600L * 1000000000L, lateness = "10 minutes")
-      val name = "stream_sess_out"
-      val q = sess.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // a timeout means the memory table is PARTIAL: stop the query (else
-      // the next run's identical queryName throws) and fail loudly rather
-      // than hand an incomplete result to the oracle compare
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"streaming query did not finish: $name")
-      }
-      s.table(name)
+      runStreamToTable(s, sess.toDF(), "stream_sess_out")
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     }),
@@ -921,19 +914,8 @@ object SparkEntry {
         .withColumn("__ns", ((col("doc_id") + 86400L) * 1000000000L).cast("long"))
       val deduped = graft.streaming.StreamIngest.streamingDedup(
         src, "text", "__ns", "1 hour")
-      val name = "stream_dedup_out"
-      val q = deduped.select("fp").writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // a timeout means the memory table is PARTIAL: stop the query (else
-      // the next run's identical queryName throws) and fail loudly rather
-      // than hand an incomplete result to the oracle compare
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"streaming query did not finish: $name")
-      }
-      s.table(name).select("fp").orderBy("fp")
+      runStreamToTable(s, deduped.select("fp"), "stream_dedup_out")
+        .select("fp").orderBy("fp")
     }),
     "stream_quantize" -> ((s, d) => {
       // stateless streaming feature extraction: the exact-arithmetic int8
@@ -946,19 +928,8 @@ object SparkEntry {
         .option("pathGlobFilter", "embeddings.parquet").parquet(d)
       val qdf = graft.streaming.StreamIngest.quantizedIngest(
         src, "vec_id", "embedding")
-      val name = "stream_quantize_out"
-      val q = qdf.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // a timeout means the memory table is PARTIAL: stop the query (else
-      // the next run's identical queryName throws) and fail loudly rather
-      // than hand an incomplete result to the oracle compare
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"streaming query did not finish: $name")
-      }
-      s.table(name).select("vec_id", "q", "max_abs").orderBy("vec_id")
+      runStreamToTable(s, qdf, "stream_quantize_out")
+        .select("vec_id", "q", "max_abs").orderBy("vec_id")
     }),
     "stream_asof" -> ((s, d) => {
       // streaming as-of enrichment driven to completion: purchases emit
@@ -971,24 +942,11 @@ object SparkEntry {
       // accumulation, so doubles are oracle-stable.
       Tables.configure(s)
       val schema = t(s, d, "events").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
       val joined = graft.streaming.StreamIngest.streamingAsof(
         src, leftType = "purchase", rightType = "view")
-      val name = "stream_asof_out"
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      // a timeout means the memory table is PARTIAL: stop the query (else
-      // the next run's identical queryName throws) and fail loudly rather
-      // than hand an incomplete result to the oracle compare
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"streaming query did not finish: $name")
-      }
-      s.table(name)
+      runStreamToTable(s, joined.toDF(), "stream_asof_out")
         .select("event_id", "user_id", "ts", "value", "r_ts", "r_value")
         .orderBy("event_id")
     }),

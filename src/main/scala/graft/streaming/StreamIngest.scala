@@ -21,8 +21,13 @@ object StreamIngest {
     spark.readStream.schema(schema).parquet(dir)
 
   def withEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    // integer `div`, NOT `/`: long/long division goes through double, and
+    // epoch-ns magnitudes (~1.7e18) round to the nearest 256 ns before
+    // dividing — the truncated µs could come out one low, skewing the
+    // watermark and window bucketing off the exact arithmetic the oracles
+    // use
     df.withColumn("__event_time",
-      timestamp_micros((col(tsCol) / 1000L).cast("long")))
+      timestamp_micros(expr(s"`$tsCol` div 1000")))
 
   /** Watermarked fixed-window downsample — the streaming rollup: late data
     * beyond `lateness` dropped, append-mode emission on window close. */
@@ -141,18 +146,21 @@ object StreamIngest {
       value: Double, r_ts: Option[Long], r_value: Option[Double])
 
   /** Streaming as-of join over a single interleaved event stream: each
-    * `leftType` row is emitted exactly once, enriched with the latest
-    * `rightType` row of the same user at-or-before its ts — the streaming
-    * analog of [[graft.operators.TsOps.asofJoin]].
+    * non-late `leftType` row is emitted exactly once, enriched with the
+    * latest `rightType` row of the same user at-or-before its ts — the
+    * streaming analog of [[graft.operators.TsOps.asofJoin]].
     *
     * Emission is watermark-gated: a left emits only when the watermark
     * strictly passes its event-time ms, at which point any right that could
     * still match it (ts <= left.ts) has either been ingested or dropped as
     * late — so the emitted subset equals the batch as-of join restricted to
-    * watermark-complete lefts. State per key is bounded: pendings and
-    * rights live only inside the watermark horizon, and the below-horizon
-    * right history collapses to the one `carry` row (which persists per
-    * active key, like a session state).
+    * watermark-complete lefts, PROVIDED no left itself arrived late (a
+    * late left cannot be matched correctly — the right history at-or-below
+    * its ts has already collapsed — so it is dropped like any late row;
+    * widen `lateness` to widen that guarantee). State per key is bounded:
+    * pendings and rights live only inside the watermark horizon, and the
+    * below-horizon right history collapses to the one `carry` row (which
+    * persists per active key, like a session state).
     *
     * The watermark is driven by the joined types only (the type filter
     * precedes the watermark node; Catalyst would push it there regardless),
@@ -209,7 +217,11 @@ object StreamIngest {
         if (keep.nonEmpty) {
           // fire once the watermark strictly passes the earliest pending
           // left (timeouts fire iff timeout_ts < watermark); must also be
-          // strictly above the current watermark or Spark rejects it
+          // strictly above the current watermark or Spark rejects it.
+          // When the earliest left sits exactly AT the watermark the +1
+          // loses a 1 ms window (final watermark landing exactly at
+          // ts_ms+1 would not fire) — inherent to Spark's strict timeout
+          // inequality, and unreachable in practice
           val t = math.max(keep.map(_.ts / 1000000L).min, wm + 1L)
           state.setTimeoutTimestamp(t)
         } else {

@@ -88,6 +88,16 @@ class ConnectSpec extends AnyFunSuite {
       // a graft NATIVE expression resolving inside the connect session
       val fnOut = probe("SELECT format_ns(1700000000000000000) AS t")
       assert(fnOut.contains("2023-11-14T22:13:20"), fnOut)
-    } finally ConnectServe.stop()
+    } finally {
+      ConnectServe.stop()
+      // the shared session outlives this suite: undo the conf mutations
+      // and the global temp views so later suites see the same world
+      // regardless of execution order (the extensions injection itself
+      // only affects future newSession() derivations and is idempotent)
+      liveConf.remove("spark.sql.extensions")
+      liveConf.remove("spark.connect.grpc.binding.port")
+      graft.storage.Tables.listMetrics("/root/testdata/sf0.001")
+        .foreach(spark.catalog.dropGlobalTempView)
+    }
   }
 }
