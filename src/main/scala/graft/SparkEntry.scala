@@ -891,7 +891,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       emb.select(col("vec_id"),
           Similarity.quantizeInt8(col("embedding")).as("qs"))
-        .select(col("vec_id"), col("qs.q").as("q"),
+        // serialize the int8 array to a CSV string: the driver's pandas
+        // compare cannot sort raw array columns, and byte-joined string
+        // equality is equivalent to array equality
+        .select(col("vec_id"),
+          concat_ws(",", col("qs.q").cast("array<string>")).as("q"),
           col("qs.max_abs").as("max_abs"))
         .orderBy("vec_id")
     }),
@@ -941,7 +945,11 @@ object SparkEntry {
       val qdf = graft.streaming.StreamIngest.quantizedIngest(
         src, "vec_id", "embedding")
       runStreamToTable(s, qdf, "stream_quantize_out")
-        .select("vec_id", "q", "max_abs").orderBy("vec_id")
+        // same compare-safe CSV serialization as embed_quantize (shared oracle)
+        .select(col("vec_id"),
+          concat_ws(",", col("q").cast("array<string>")).as("q"),
+          col("max_abs"))
+        .orderBy("vec_id")
     }),
     "stream_asof" -> ((s, d) => {
       // streaming as-of enrichment driven to completion: purchases emit
@@ -1191,9 +1199,11 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT vec_id,
-        |  CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
-        |       ELSE list_transform(v, x -> CAST(greatest(-127.0,
-        |         least(127.0, floor(x * 127.0 / ma + 0.5))) AS TINYINT)) END AS q,
+        |  array_to_string(
+        |    CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+        |         ELSE list_transform(v, x -> CAST(greatest(-127.0,
+        |           least(127.0, floor(x * 127.0 / ma + 0.5))) AS TINYINT)) END,
+        |    ',') AS q,
         |  ma AS max_abs
         |FROM m ORDER BY vec_id""".stripMargin,
     "knn_quantized" ->
