@@ -979,6 +979,14 @@ object SparkEntry {
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(t(s, d, "documents"), "doc_id", "text"))
         .select("media_id", "modality", "n_bytes")
+        .orderBy("media_id")),
+    "multimodal_decode" -> ((s, d) =>
+      // REAL decode: PNG bytes synthesized from a pure (id,x,y) pixel
+      // function, decoded back with JDK ImageIO; the oracle recomputes the
+      // channel sums arithmetically, so a green row proves a genuine
+      // lossless encode→decode roundtrip, not plumbing alone
+      Multimodal.decodeImages(
+        Multimodal.syntheticImages(t(s, d, "documents"), "doc_id"))
         .orderBy("media_id"))
   )
 
@@ -1399,6 +1407,23 @@ object SparkEntry {
         |       doc_id || ':' || i AS frame_key
         |FROM documents, generate_series(0, 3) AS t(i)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // mirrors Multimodal.pxR/pxG/pxB + imgW/imgH: the decoded channel sums
+    // must equal the closed-form pixel function summed over the image area
+    "multimodal_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         doc_id % 256 AS base
+        |  FROM documents
+        |)
+        |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum((base + 3*x + 5*y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*base + x + 7*y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((base + x*y) % 256) AS BIGINT) AS sum_b
+        |FROM p, generate_series(0, 16) AS tx(x), generate_series(0, 13) AS ty(y)
+        |WHERE x < w AND y < h
+        |GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin,
     // recall gates: the Spark side computes recall-vs-exact and emits 1 iff
     // it clears the threshold; the oracle pins the constant (see the gate
     // queries for why the approximations can't have value oracles)

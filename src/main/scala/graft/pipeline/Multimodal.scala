@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libs): [[decodeStub]] derives a deterministic fake feature vector from the
-  * bytes. Everything around it — schema, partition-batched iteration,
-  * column pruning (metadata reads never touch the blob), output shape — is
-  * the real Spark plumbing a production decode (JNI/FFmpeg/Pandas-UDF
-  * equivalent) would drop into.
+  * Image decode is REAL: [[decodeImages]] runs JDK ImageIO (PNG) inside the
+  * batched `mapPartitions`, and [[syntheticImages]] encodes genuine PNGs
+  * whose pixels are a pure arithmetic function of (id, x, y) — so the
+  * encode→decode roundtrip is verifiable against a SQL oracle computing the
+  * same channel sums directly. Audio/video decode stays STUBBED (this
+  * container has no codec libs): [[decodeStub]] derives a deterministic fake
+  * feature vector from the bytes. Everything around both — schema,
+  * partition-batched iteration, column pruning (metadata reads never touch
+  * the blob), output shape — is the real Spark plumbing a production decoder
+  * (JNI/FFmpeg/Pandas-UDF equivalent) drops into.
   */
 object Multimodal {
 
@@ -131,6 +135,108 @@ object Multimodal {
           }
           Row(row.getLong(idIdx), row.getString(modIdx), out,
             Row(width, height, null, "application/x-resized"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---- real image decode (JDK ImageIO — no extra deps) --------------------
+
+  /** Deterministic pixel function shared by the PNG synthesizer and the SQL
+    * oracle: channel values are pure arithmetic over (id, x, y), so the
+    * decoded channel sums are provable without re-encoding in SQL. */
+  private[pipeline] def pxR(base: Int, x: Int, y: Int): Int = (base + 3 * x + 5 * y) % 256
+  private[pipeline] def pxG(base: Int, x: Int, y: Int): Int = (2 * base + x + 7 * y) % 256
+  private[pipeline] def pxB(base: Int, x: Int, y: Int): Int = (base + x * y) % 256
+  private[pipeline] def imgW(id: Long): Int = (8 + id % 9).toInt
+  private[pipeline] def imgH(id: Long): Int = (8 + id % 7).toInt
+
+  /** Synthesize a REAL PNG per row (dimensions and pixels derived from the
+    * id): `java.awt.BufferedImage` → `javax.imageio` PNG bytes, batched per
+    * partition like any media transcode. PNG is lossless, so downstream
+    * [[decodeImages]] recovers the exact pixel function. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType),
+      StructField("content", BinaryType),
+      StructField("meta", mediaSchema("meta").dataType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = row.get(idIdx) match {
+            case l: Long => l
+            case i: Int  => i.toLong
+            case other   => other.toString.toLong
+          }
+          val (w, h) = (imgW(id), imgH(id))
+          val base = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (pxR(base, x, y) << 16) | (pxG(base, x, y) << 8) | pxB(base, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, "image", bos.toByteArray, Row(w, h, null, "image/png"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL image decode over the binary column: `ImageIO.read` per blob inside
+    * the batched per-partition loop, emitting decoded dimensions and exact
+    * per-channel pixel sums (integer math — oracle-stable). Undecodable or
+    * null blobs yield null dims/sums rather than failing the partition, the
+    * posture a 100 TB media scan needs (corrupt files are data, not errors).
+    */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex("media_id")
+    val cIdx = df.schema.fieldIndex("content")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val img =
+            if (row.isNullAt(cIdx)) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
+              catch { case _: java.io.IOException => null }
+          if (img == null) Row(id, null, null, null, null, null)
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, img.getWidth, img.getHeight, sr, sg, sb)
+          }
         }
       }
     }

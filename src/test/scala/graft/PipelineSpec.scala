@@ -346,6 +346,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() == docs.count() * 4)
   }
 
+  test("real image decode: PNG roundtrip recovers the exact pixel function") {
+    val imgs = Multimodal.syntheticImages(docs, "doc_id")
+    // the content really is a PNG (magic bytes), not a byte-fold stub
+    val first = imgs.orderBy("media_id").collect()(0)
+    val bytes = first.getAs[Array[Byte]]("content")
+    assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val decoded = Multimodal.decodeImages(imgs).orderBy("media_id").collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+      val base = (id % 256).toInt
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (base + 3 * x + 5 * y) % 256
+        sg += (2 * base + x + 7 * y) % 256
+        sb += (base + x * y) % 256
+      }
+      assert(r.getLong(3) == sr && r.getLong(4) == sg && r.getLong(5) == sb,
+        s"channel sums mismatch for id=$id")
+    }
+    // a corrupt blob decodes to nulls, not a task failure
+    val corrupt = Multimodal.decodeImages(
+      imgs.withColumn("content",
+        org.apache.spark.sql.functions.expr("CAST('nope' AS BINARY)")))
+      .collect()
+    assert(corrupt.forall(_.isNullAt(1)))
+  }
+
   test("resize stub: deterministic payloads, updated metadata, size scaling") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val r1 = Multimodal.resizeStub(media, 64, 48).orderBy("media_id").collect()
