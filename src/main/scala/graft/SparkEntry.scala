@@ -816,6 +816,24 @@ object SparkEntry {
       brute.join(ivf, Seq("qid", "vec_id"), "left_semi")
         .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok"))
     }),
+    "knn_ivf_trained" -> ((s, d) => {
+      // the TRAINED index: centroids come from distributed k-means over the
+      // corpus itself (knn_ivf_recall seeds cells from arbitrary sample
+      // vectors) — proves the Lloyd loop converges to cell representatives
+      // good enough that a 2-of-5-cell probe still recovers >= 90% of the
+      // exact neighbors. Deterministic end to end: seeded fixture, ordered
+      // init, exact float means
+      val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
+      val cents = Similarity.kmeans(corpus, k = 5, iters = 3)
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val brute = Similarity.knnBrute(corpus, q, k = 5).select("qid", "vec_id")
+      val assigned = Similarity.ivfAssign(corpus, cents)
+      val ivf = Similarity.ivfKnn(assigned, cents, q, k = 5, nprobe = 2)
+        .select("qid", "vec_id")
+      brute.join(ivf, Seq("qid", "vec_id"), "left_semi")
+        .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok"))
+    }),
     "dedup_embedding_lsh_recall" -> ((s, d) => {
       // plant near-duplicates: each vector re-emitted with ±1% per-component
       // scaling (cos ≈ 0.9999) — the LSH tier must find >= 90% of the exact
@@ -1429,6 +1447,7 @@ object SparkEntry {
     // queries for why the approximations can't have value oracles)
     "knn_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "knn_ivf_trained" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_minhash_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
