@@ -625,6 +625,18 @@ object SparkEntry {
           (col("id") === col("comp")).cast("long").as("is_rep"))
         .orderBy("doc_id")
     }),
+    "dedup_clusters_logstar" -> ((s, d) => {
+      // the same transitive clusters through the alternating
+      // large-star/small-star algorithm — O(log n) rounds on ANY graph
+      // shape (min-label propagation needs diameter rounds). Identical
+      // output contract, so it shares dedup_clusters' recursive-CTE oracle
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.3, shingleSize = 3)
+      Dedup.componentsLogRounds(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"),
+          (col("id") === col("comp")).cast("long").as("is_rep"))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.3, bands = 16, rowsPerBand = 4, shingleSize = 3)
@@ -1555,6 +1567,9 @@ object SparkEntry {
     // likewise the chunked sessionize is row-identical to the plain one
     base +
       ("knn_ivf_stored" -> base("knn_ivf")) +
+      // log-round star contraction labels the same connected components
+      // as min-label propagation, so it shares the recursive-CTE oracle
+      ("dedup_clusters_logstar" -> base("dedup_clusters")) +
       ("sessionize_chunked_stats" -> base("sessionize_stats")) +
       // stateless streaming quantization emits every row with the exact
       // batch arithmetic, so it shares embed_quantize's value oracle

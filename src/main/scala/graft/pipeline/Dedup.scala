@@ -294,6 +294,94 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log n) rounds via alternating
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): each round contracts every node toward the
+    * minimum of its neighborhood, halving component DIAMETER — where
+    * [[components]]'s min-label propagation needs diameter rounds (fine
+    * for dense near-dup clusters, hopeless on a million-node chain), this
+    * converges on ANY graph shape in logarithmically many rounds.
+    *
+    * large-star: hang every neighbor larger than `u` off the minimum of
+    * `u`'s closed neighborhood. small-star: hang `u` and its
+    * smaller-or-equal neighbors off that minimum. Both are one keyed
+    * shuffle (min-agg + join back); at the fixpoint the edge set is a
+    * disjoint union of stars rooted at each component's minimum id.
+    * Convergence check is a single-row signature agg (count + id sums),
+    * not a set diff — cheap enough to run every round.
+    *
+    * Same contract as [[components]]: input is an undirected pair list,
+    * output is (id, comp) with `comp` = the component's minimum id, one
+    * row per node that appears in at least one pair.
+    */
+  def componentsLogRounds(pairs: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 30): DataFrame = {
+    // canonical (larger u, smaller v) edges; self-pairs contribute nothing
+    var edges = pairs
+      .select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // one-row convergence signature: star-contraction strictly decreases
+    // (edges, sum-of-endpoints) until the fixpoint, so an unchanged
+    // signature == an unchanged edge set — no except() set diff needed
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(hash(col("u")).cast("long")),
+        sum(hash(col("v")).cast("long"))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    // large-star over the symmetrized graph: for each node, every STRICTLY
+    // LARGER neighbor re-attaches to min(closed neighborhood). Emitted as
+    // (larger, smaller) since the new parent is a neighborhood minimum.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("__m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star over the (u > v)-oriented edges: u and all its smaller
+    // neighbors re-attach to the minimum among them
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.join(
+        e.groupBy("u").agg(min(col("v")).as("__m")), Seq("u"))
+      withM.select(col("v").as("u"), col("__m").as("v"))
+        .union(withM.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var sig = signature(edges)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      // localCheckpoint per round: bounds plan depth and re-execution
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      done = nextSig == sig
+      sig = nextSig
+      edges = next
+      i += 1
+    }
+    // fixpoint is a star forest: u-side nodes are members, v-side their
+    // component minimum; roots label themselves
+    edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
   /** Inverted-index self-join of an exploded-shingle frame on `__tok`,
     * keeping ordered pairs: (id1, n1, id2, n2) rows, one per shared
     * shingle. Both join children are the SAME plan (aliases applied after

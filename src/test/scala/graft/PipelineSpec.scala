@@ -51,6 +51,24 @@ class PipelineSpec extends AnyFunSuite {
       5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("componentsLogRounds matches min-label components and handles chains") {
+    // same fixture as the components test: identical labels expected
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (11L, 10L))
+      .toDF("id1", "id2")
+    val viaStar = Dedup.componentsLogRounds(edges).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaStar.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // the adversarial shape min-label can't finish: a 1000-node chain
+    // (diameter 999) must fully converge inside the O(log n) round budget
+    val chain = spark.range(999)
+      .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+    val labels = Dedup.componentsLogRounds(chain, maxIter = 15)
+    assert(labels.count() == 1000L)
+    assert(labels.filter(col("comp") =!= 0L).count() == 0L)
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
