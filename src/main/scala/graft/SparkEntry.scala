@@ -25,6 +25,26 @@ object SparkEntry {
   private val ivfStorePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dataset cache of the bucketed orders/customer catalog tables
+    * backing `join_bucketed` (one bucketed write per process per dataset;
+    * files go to scratch via the external-path form of
+    * [[graft.storage.Tables.writeBucketed]]). Returns the table names. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) =
+    bucketedTables.computeIfAbsent(d, dir => {
+      val tag = s"${processId}_${Integer.toHexString(dir.hashCode)}"
+      val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bkt-$tag")
+      val ot = s"graft_bkt_orders_$tag"
+      val ct = s"graft_bkt_customer_$tag"
+      Tables.writeBucketed(t(s, dir, "orders"), ot, Seq("o_custkey"), 16,
+        Seq("o_custkey"), Some(new java.io.File(base, "orders").getPath))
+      Tables.writeBucketed(t(s, dir, "customer"), ct, Seq("c_custkey"), 16,
+        Seq("c_custkey"), Some(new java.io.File(base, "customer").getPath))
+      (ot, ct)
+    })
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(spark, dir, name)
 
@@ -306,6 +326,26 @@ object SparkEntry {
       val nation = t(s, d, "nation")
       graft.operators.Skew.saltedJoin(orders, customer, Seq("custkey"))
         .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("n_name")
+    }),
+    "join_bucketed" -> ((s, d) => {
+      // the CO-LOCATED form of join_revenue_by_nation: orders and customer
+      // are hash-bucketed (and sorted) on the join key at WRITE time, so
+      // the fact-fact join reads matching buckets directly — no Exchange
+      // on either side (PlanAuditSpec pins the plan). This is the layout
+      // for fact tables that outlive one query: pay the bucketed write
+      // once, join shuffle-free forever after. Identical result to the
+      // shuffle join, so it shares join_revenue_by_nation's value oracle.
+      val (ot, ct) = bucketedOrdersCustomer(s, d)
+      val orders = s.table(ot)
+      val customer = s.table(ct)
+      orders
+        .join(customer.hint("merge"),
+          orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy("n_name")
@@ -1567,6 +1607,9 @@ object SparkEntry {
     // likewise the chunked sessionize is row-identical to the plain one
     base +
       ("knn_ivf_stored" -> base("knn_ivf")) +
+      // the bucketed co-located join computes the same aggregate as the
+      // shuffle join — only the storage layout differs
+      ("join_bucketed" -> base("join_revenue_by_nation")) +
       // log-round star contraction labels the same connected components
       // as min-label propagation, so it shares the recursive-CTE oracle
       ("dedup_clusters_logstar" -> base("dedup_clusters")) +

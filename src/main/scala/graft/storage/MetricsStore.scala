@@ -97,14 +97,19 @@ object Tables {
     * no place in a bare parquet directory.)
     */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+      numBuckets: Int, sortCols: Seq[String] = Nil,
+      path: Option[String] = None): Unit = {
     require(bucketCols.nonEmpty, "bucketed write needs at least one column")
     val w0 = df.write.mode("overwrite")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     val w1 =
       if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*)
       else w0
-    w1.format("parquet").saveAsTable(table)
+    // an explicit path makes the table EXTERNAL: bucket metadata lives in
+    // the session catalog, the files wherever the caller wants them
+    // (scratch dir, object store) instead of the default warehouse dir
+    val w2 = path.fold(w1)(p => w1.option("path", p))
+    w2.format("parquet").saveAsTable(table)
   }
 
   /** All metrics names in the database dir (`.metrics` meta-table —

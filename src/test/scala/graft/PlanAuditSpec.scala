@@ -45,6 +45,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_bucketed: bucket-pruned scans, no Exchange below the join") {
+    val p = plan("join_bucketed")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+    // the plan tree prints children BELOW their parent: everything after
+    // the SortMergeJoin line is its join legs (plus the nation dim's
+    // BroadcastExchange), which must read the pre-bucketed files directly —
+    // shuffle Exchanges are only allowed ABOVE the join (final agg/sort)
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange hashpartitioning"), p)
+  }
+
   test("agg queries use two-phase hash aggregation (map-side partial)") {
     for (q <- Seq("agg_downsample_1h", "agg_event_type_stats", "tpch_q1")) {
       val p = plan(q)
