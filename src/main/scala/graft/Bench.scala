@@ -12,8 +12,10 @@ import org.apache.spark.sql.SparkSession
   * (page-cache state, first-heavy-shuffle effects, GC pauses).
   */
 object Bench {
-  /** Timed iterations per query; the reported figure is the median. */
-  val Iterations = 3
+  /** Timed iterations per query (env-overridable for variance hunts);
+    * the reported figure is the median. */
+  def Iterations: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
   val headline: Seq[String] = Seq(
     "ql_range", "ql_head_limit", "agg_downsample_1h", "agg_event_type_stats",
     "sessionize_stats", "asof_purchase_view", "rolling_24h_stats",
@@ -36,9 +38,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional regex filter for local iteration on one query's variance;
+    // the driver never sets it, so the headline set is what it measures
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val picked = headline.filter(n =>
+      only.forall(_.findFirstIn(n).isDefined))
+
     // untimed warm-up pass: run every headline query once so JIT, codegen
     // compilation, and first-touch file scans are paid before timing
-    headline.foreach { name =>
+    picked.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -46,7 +54,7 @@ object Bench {
       }
     }
 
-    val results = headline.flatMap { name =>
+    val results = picked.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val samples = (1 to Iterations).map { _ =>
           val t0 = System.nanoTime()

@@ -134,6 +134,31 @@ object ScaleProbe {
       TsOps.sessionize(oneKey, gap, Seq("user_id")).count(),
       TsOps.sessionizeChunked(oneKey, gap, Seq("user_id")).count())
 
+    // ---- hot-key fact-dim join: plain (AQE skew split) vs salted --------
+    // the same 30%-hot fixture joined to a per-user dim too big to
+    // broadcast (threshold forced off): AQE's skew-join split is the
+    // engine default; saltedJoin is the explicit fallback. Measured
+    // head-to-head so SCALE.md can state when each wins.
+    import graft.operators.Skew
+    val dim = evScaled.select("user_id").distinct()
+      .withColumn("seg", pmod(col("user_id"), lit(100L)))
+      .localCheckpoint()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    reportPair(s"join_hot30_${evK}x",
+      hot.join(dim, Seq("user_id")).count(),
+      Skew.saltedJoin(hot, dim, Seq("user_id")).count(),
+      la = "plain", lb = "salted")
+    // AQE skew split OFF: what the salted join buys on engines/configs
+    // without runtime skew handling (and a check that our default config
+    // is actually doing the splitting above)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    reportPair(s"join_hot30_noaqe_${evK}x",
+      hot.join(dim, Seq("user_id")).count(),
+      Skew.saltedJoin(hot, dim, Seq("user_id")).count(),
+      la = "plain", lb = "salted")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     // ---- float vs int8 brute scoring over the stored corpus -------------
     // same ranking work (200 queries × full corpus), float vectors vs the
     // 4×-smaller quantized bytes through the integer codegen cosine

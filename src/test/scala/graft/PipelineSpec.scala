@@ -67,6 +67,19 @@ class PipelineSpec extends AnyFunSuite {
     val labels = Dedup.componentsLogRounds(chain, maxIter = 15)
     assert(labels.count() == 1000L)
     assert(labels.filter(col("comp") =!= 0L).count() == 0L)
+
+    // seeded random graphs: both algorithms must label identically
+    // (sparse graphs keep component diameters small enough for min-label)
+    val rnd = new scala.util.Random(4242)
+    val randomEdges = Seq.fill(120)(
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id1", "id2")
+    val viaMinLabel = Dedup.components(randomEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLogStar = Dedup.componentsLogRounds(randomEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLogStar == viaMinLabel)
   }
 
   test("jaccard pairs find the planted near-duplicate") {
