@@ -1057,6 +1057,14 @@ object SparkEntry {
       // lossless encode→decode roundtrip, not plumbing alone
       Multimodal.decodeImages(
         Multimodal.syntheticImages(t(s, d, "documents"), "doc_id"))
+        .orderBy("media_id")),
+    "multimodal_audio" -> ((s, d) =>
+      // the audio twin of multimodal_decode: 16-bit PCM synthesized from a
+      // pure (id, i) sample function, wrapped in a REAL RIFF/WAV container
+      // and decoded back through javax.sound.sampled — the oracle
+      // recomputes sample count, duration, and integer sample sums
+      Multimodal.decodeAudio(
+        Multimodal.syntheticAudio(t(s, d, "documents"), "doc_id"))
         .orderBy("media_id"))
   )
 
@@ -1493,6 +1501,27 @@ object SparkEntry {
         |FROM p, generate_series(0, 16) AS tx(x), generate_series(0, 13) AS ty(y)
         |WHERE x < w AND y < h
         |GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin,
+    // mirrors Multimodal.pcmSample/audioSamples: 16-bit samples are pure
+    // integer arithmetic over (id, i), so the WAV encode→decode roundtrip
+    // is provable sum-exactly (bounded series + filter: DuckDB 1.0 has no
+    // lateral generate_series)
+    "multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 200 + doc_id % 101 AS n FROM documents
+        |), s AS (
+        |  SELECT media_id, n,
+        |    ((media_id*31 + 7*i*i + 13*i) % 65536) - 32768 AS v
+        |  FROM d, generate_series(0, 300) AS t(i)
+        |  WHERE i < n
+        |)
+        |SELECT media_id,
+        |  CAST(any_value(n) AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(any_value(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(sum(v) AS BIGINT) AS sum_s,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
     // recall gates: the Spark side computes recall-vs-exact and emits 1 iff
     // it clears the threshold; the oracle pins the constant (see the gate

@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * batched `mapPartitions`, and [[syntheticImages]] encodes genuine PNGs
   * whose pixels are a pure arithmetic function of (id, x, y) — so the
   * encode→decode roundtrip is verifiable against a SQL oracle computing the
-  * same channel sums directly. Audio/video decode stays STUBBED (this
-  * container has no codec libs): [[decodeStub]] derives a deterministic fake
-  * feature vector from the bytes. Everything around both — schema,
-  * partition-batched iteration, column pruning (metadata reads never touch
-  * the blob), output shape — is the real Spark plumbing a production decoder
-  * (JNI/FFmpeg/Pandas-UDF equivalent) drops into.
+  * same channel sums directly. Audio decode is REAL too:
+  * [[syntheticAudio]]/[[decodeAudio]] round-trip 16-bit PCM through the
+  * RIFF/WAV container via JDK `javax.sound.sampled`, with the sample
+  * function mirrored in SQL the same way. Only VIDEO decode stays STUBBED
+  * (no codec libs exist in this container): [[decodeStub]] derives a
+  * deterministic fake feature vector from the bytes. Everything around all
+  * three — schema, partition-batched iteration, column pruning (metadata
+  * reads never touch the blob), output shape — is the real Spark plumbing a
+  * production decoder (JNI/FFmpeg/Pandas-UDF equivalent) drops into.
   */
 object Multimodal {
 
@@ -236,6 +239,124 @@ object Multimodal {
               y += 1
             }
             Row(id, img.getWidth, img.getHeight, sr, sg, sb)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---- real audio decode (JDK javax.sound.sampled — no extra deps) --------
+
+  /** Deterministic 16-bit PCM sample function shared by the WAV synthesizer
+    * and the SQL oracle: pure integer arithmetic over (id, sample index),
+    * so decoded sample sums are provable in SQL. All operands stay
+    * non-negative before the shift, keeping Scala `%` and DuckDB `%`
+    * aligned. */
+  private[pipeline] def pcmSample(id: Long, i: Int): Int =
+    (((id * 31 + 7L * i * i + 13L * i) % 65536) - 32768).toInt
+  private[pipeline] def audioSamples(id: Long): Int = (200 + id % 101).toInt
+  private[pipeline] val AudioRateHz = 8000
+
+  /** Synthesize a REAL RIFF/WAV blob per row (16-bit signed mono PCM at
+    * [[AudioRateHz]]; length and samples derived from the id) via
+    * `javax.sound.sampled` — the audio twin of [[syntheticImages]]. WAV is
+    * lossless PCM, so [[decodeAudio]] recovers the exact sample function. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType),
+      StructField("content", BinaryType),
+      StructField("meta", mediaSchema("meta").dataType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = row.get(idIdx) match {
+            case l: Long => l
+            case i: Int  => i.toLong
+            case other   => other.toString.toLong
+          }
+          val n = audioSamples(id)
+          val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
+          var i = 0
+          while (i < n) {
+            val s = pcmSample(id, i)
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            AudioRateHz.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          Row(id, "audio", bos.toByteArray,
+            Row(null, null, n.toLong * 1000L / AudioRateHz, "audio/wav"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio decode over the binary column: `AudioSystem` parses the WAV
+    * header (format, rate, frame count) and streams the PCM frames inside
+    * the batched per-partition loop, emitting integer-exact sample sums.
+    * Like [[decodeImages]], undecodable or null blobs yield null fields —
+    * corrupt media is data, not an error, at scan scale.
+    */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex("media_id")
+    val cIdx = df.schema.fieldIndex("content")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("sum_s", LongType),
+      StructField("sum_abs", LongType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val decoded =
+            if (row.isNullAt(cIdx)) None
+            else
+              try {
+                val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
+                val fmt = ais.getFormat
+                val bytes = ais.readAllBytes()
+                if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+                else {
+                  val n = bytes.length / 2
+                  var (sum, sumAbs) = (0L, 0L)
+                  var i = 0
+                  while (i < n) {
+                    // respect the header's declared endianness
+                    val s =
+                      if (fmt.isBigEndian)
+                        ((bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+                      else
+                        ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+                    sum += s; sumAbs += math.abs(s.toLong)
+                    i += 1
+                  }
+                  val rate = fmt.getSampleRate.toInt
+                  Some((n.toLong, rate, n.toLong * 1000L / rate, sum, sumAbs))
+                }
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException => None
+                case _: java.io.IOException => None
+              }
+          decoded match {
+            case Some((n, rate, durMs, sum, sumAbs)) =>
+              Row(id, n, rate, durMs, sum, sumAbs)
+            case None => Row(id, null, null, null, null, null)
           }
         }
       }

@@ -406,6 +406,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(corrupt.forall(_.isNullAt(1)))
   }
 
+  test("audio WAV roundtrip recovers the exact PCM sample function") {
+    val wavs = Multimodal.syntheticAudio(docs, "doc_id")
+    // the blobs are genuine RIFF/WAV containers
+    val firstBytes = wavs.orderBy("media_id").limit(1)
+      .collect()(0).getAs[Array[Byte]]("content")
+    assert(new String(firstBytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(firstBytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val decoded = Multimodal.decodeAudio(wavs).orderBy("media_id").collect()
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val n = (200 + id % 101).toInt
+      assert(r.getLong(1) == n.toLong && r.getInt(2) == 8000)
+      assert(r.getLong(3) == n.toLong * 1000 / 8000)
+      var (sum, sumAbs) = (0L, 0L)
+      for (i <- 0 until n) {
+        val s = ((id * 31 + 7L * i * i + 13L * i) % 65536) - 32768
+        sum += s; sumAbs += math.abs(s)
+      }
+      assert(r.getLong(4) == sum && r.getLong(5) == sumAbs,
+        s"sample sums mismatch for id=$id")
+    }
+    // a corrupt blob decodes to nulls, not a task failure
+    val corrupt = Multimodal.decodeAudio(
+      wavs.withColumn("content",
+        org.apache.spark.sql.functions.expr("CAST('nope' AS BINARY)")))
+      .collect()
+    assert(corrupt.forall(_.isNullAt(1)))
+  }
+
   test("resize stub: deterministic payloads, updated metadata, size scaling") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val r1 = Multimodal.resizeStub(media, 64, 48).orderBy("media_id").collect()
