@@ -1065,7 +1065,15 @@ object SparkEntry {
       // recomputes sample count, duration, and integer sample sums
       Multimodal.decodeAudio(
         Multimodal.syntheticAudio(t(s, d, "documents"), "doc_id"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    "multimodal_video" -> ((s, d) =>
+      // REAL video-container frame sampling: packed PNG frames (MJPEG
+      // shape) parsed and every 2nd frame ImageIO-decoded; the oracle
+      // recomputes the sampled frames' channel sums from the shared pixel
+      // function with the per-frame base shift
+      Multimodal.decodeVideoFrames(
+        Multimodal.syntheticVideo(t(s, d, "documents"), "doc_id"), stride = 2)
+        .orderBy("media_id", "frame_idx"))
   )
 
   private def langScoreSql(words: Seq[String]): String =
@@ -1523,6 +1531,28 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs
         |FROM s GROUP BY media_id
         |ORDER BY media_id""".stripMargin,
+    // mirrors Multimodal.syntheticVideo/decodeVideoFrames: sampled frames
+    // (k % 2 = 0 of 2 + id % 4) share the image pixel functions with a
+    // per-frame base shift (id + 131k) % 256
+    "multimodal_video" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         2 + doc_id % 4 AS nf
+        |  FROM documents
+        |), f AS (
+        |  SELECT media_id, w, h, k, (media_id + 131*k) % 256 AS base
+        |  FROM d, generate_series(0, 5) AS t(k)
+        |  WHERE k < nf AND k % 2 = 0
+        |)
+        |SELECT media_id, CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(sum((base + 3*x + 5*y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*base + x + 7*y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((base + x*y) % 256) AS BIGINT) AS sum_b
+        |FROM f, generate_series(0, 16) AS tx(x), generate_series(0, 13) AS ty(y)
+        |WHERE x < w AND y < h
+        |GROUP BY media_id, k, w, h
+        |ORDER BY media_id, frame_idx""".stripMargin,
     // recall gates: the Spark side computes recall-vs-exact and emits 1 iff
     // it clears the threshold; the oracle pins the constant (see the gate
     // queries for why the approximations can't have value oracles)

@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * same channel sums directly. Audio decode is REAL too:
   * [[syntheticAudio]]/[[decodeAudio]] round-trip 16-bit PCM through the
   * RIFF/WAV container via JDK `javax.sound.sampled`, with the sample
-  * function mirrored in SQL the same way. Only VIDEO decode stays STUBBED
-  * (no codec libs exist in this container): [[decodeStub]] derives a
-  * deterministic fake feature vector from the bytes. Everything around all
-  * three — schema, partition-batched iteration, column pruning (metadata
-  * reads never touch the blob), output shape — is the real Spark plumbing a
-  * production decoder (JNI/FFmpeg/Pandas-UDF equivalent) drops into.
+  * function mirrored in SQL the same way. Video is a REAL container parse +
+  * per-frame PNG decode ([[syntheticVideo]]/[[decodeVideoFrames]], the
+  * simplified MJPEG shape); only an inter-frame CODEC (H.264 etc.) stays
+  * out of scope — no codec libs exist in this container — with
+  * [[decodeStub]] as the deterministic stand-in where a codec would sit.
+  * Everything around all three — schema, partition-batched iteration,
+  * column pruning (metadata reads never touch the blob), output shape — is
+  * the real Spark plumbing a production decoder (JNI/FFmpeg/Pandas-UDF
+  * equivalent) drops into.
   */
 object Multimodal {
 
@@ -358,6 +361,141 @@ object Multimodal {
               Row(id, n, rate, durMs, sum, sumAbs)
             case None => Row(id, null, null, null, null, null)
           }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---- real video-container frame decode (PNG frames, MJPEG-style) --------
+
+  /** Frames per synthetic video — small fan-out, varies per id so the
+    * sampler's stride logic is exercised. */
+  private[pipeline] def videoFrames(id: Long): Int = (2 + id % 4).toInt
+  private[pipeline] val VideoMagic = 0x47465631 // "GFV1"
+
+  /** Synthesize a REAL multi-frame video container per row: `GFV1` magic +
+    * frame count, then length-prefixed PNG frames (the simplified
+    * MJPEG-in-AVI shape: video as a packed sequence of intra-coded
+    * images). Every frame is a genuine PNG of the shared (id, x, y) pixel
+    * function with a per-frame base shift, so sampled-frame channel sums
+    * are SQL-provable. An inter-frame codec (H.264) stays out of scope —
+    * no codec libs in this container — but the container parse, frame
+    * indexing, and per-frame decode below are real.
+    */
+  def syntheticVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType),
+      StructField("content", BinaryType),
+      StructField("meta", mediaSchema("meta").dataType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = row.get(idIdx) match {
+            case l: Long => l
+            case i: Int  => i.toLong
+            case other   => other.toString.toLong
+          }
+          val (w, h) = (imgW(id), imgH(id))
+          val nf = videoFrames(id)
+          val bos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          dos.writeInt(VideoMagic)
+          dos.writeInt(nf)
+          var k = 0
+          while (k < nf) {
+            val base = ((id + 131L * k) % 256).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y,
+                  (pxR(base, x, y) << 16) | (pxG(base, x, y) << 8) | pxB(base, x, y))
+                x += 1
+              }
+              y += 1
+            }
+            val frame = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", frame)
+            val fb = frame.toByteArray
+            dos.writeInt(fb.length)
+            dos.write(fb)
+            k += 1
+          }
+          dos.flush()
+          Row(id, "video", bos.toByteArray,
+            Row(w, h, nf.toLong * 40L, "video/x-graft-frames")) // 25 fps
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL frame sampling over the video-container column: parse the packed
+    * container, decode every `stride`-th PNG frame with ImageIO, and emit
+    * one row per sampled frame with its decoded dimensions and exact
+    * channel sums — the row-explodes-to-frames shape of production frame
+    * sampling, with the blob read once per video. Containers that fail the
+    * magic check (or frames that fail to decode) yield a single null row,
+    * keeping corrupt media data rather than a task failure.
+    */
+  def decodeVideoFrames(df: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex("media_id")
+    val cIdx = df.schema.fieldIndex("content")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val nullRow = (id: Long) => Seq(Row(id, null, null, null, null, null, null))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.flatMap { row =>
+          val id = row.getLong(idIdx)
+          if (row.isNullAt(cIdx)) nullRow(id)
+          else try {
+            val dis = new java.io.DataInputStream(
+              new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
+            if (dis.readInt() != VideoMagic) nullRow(id)
+            else {
+              val nf = dis.readInt()
+              (0 until nf).flatMap { k =>
+                val len = dis.readInt()
+                val fb = new Array[Byte](len)
+                dis.readFully(fb)
+                if (k % stride != 0) None // skipped frames are never decoded
+                else {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(fb))
+                  if (img == null) Some(Row(id, k, null, null, null, null, null))
+                  else {
+                    var (sr, sg, sb) = (0L, 0L, 0L)
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        val rgb = img.getRGB(x, y)
+                        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                        sb += rgb & 0xff
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    Some(Row(id, k, img.getWidth, img.getHeight, sr, sg, sb))
+                  }
+                }
+              }
+            }
+          } catch { case _: java.io.IOException => nullRow(id) }
         }
       }
     }

@@ -435,6 +435,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(corrupt.forall(_.isNullAt(1)))
   }
 
+  test("video container roundtrip decodes exactly the sampled frames") {
+    val vids = Multimodal.syntheticVideo(docs, "doc_id")
+    val decoded = Multimodal.decodeVideoFrames(vids, stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    // sampled set: frames 0,2,4 of nf = 2 + id % 4 per video
+    val expectedRows = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (0 until (2 + id % 4).toInt).count(_ % 2 == 0)).sum
+    assert(decoded.length == expectedRows)
+    decoded.foreach { r =>
+      val (id, k) = (r.getLong(0), r.getInt(1))
+      assert(k % 2 == 0)
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      assert(r.getInt(2) == w && r.getInt(3) == h)
+      val base = ((id + 131L * k) % 256).toInt
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (base + 3 * x + 5 * y) % 256
+        sg += (2 * base + x + 7 * y) % 256
+        sb += (base + x * y) % 256
+      }
+      assert(r.getLong(4) == sr && r.getLong(5) == sg && r.getLong(6) == sb,
+        s"frame sums mismatch for id=$id k=$k")
+    }
+    // a blob failing the magic check yields one null row per video
+    val corrupt = Multimodal.decodeVideoFrames(
+      vids.withColumn("content",
+        org.apache.spark.sql.functions.expr("CAST('nope-not-a-video' AS BINARY)")))
+      .collect()
+    assert(corrupt.length == docs.count() && corrupt.forall(_.isNullAt(1)))
+  }
+
   test("resize stub: deterministic payloads, updated metadata, size scaling") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val r1 = Multimodal.resizeStub(media, 64, 48).orderBy("media_id").collect()
