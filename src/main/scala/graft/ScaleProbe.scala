@@ -143,6 +143,10 @@ object ScaleProbe {
     val dim = evScaled.select("user_id").distinct()
       .withColumn("seg", pmod(col("user_id"), lit(100L)))
       .localCheckpoint()
+    // capture the session's values so the experiment restores what was
+    // actually configured, not hardcoded defaults
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevSkewJoin = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     reportPair(s"join_hot30_${evK}x",
       hot.join(dim, Seq("user_id")).count(),
@@ -156,8 +160,8 @@ object ScaleProbe {
       hot.join(dim, Seq("user_id")).count(),
       Skew.saltedJoin(hot, dim, Seq("user_id")).count(),
       la = "plain", lb = "salted")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkewJoin)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
     // ---- float vs int8 brute scoring over the stored corpus -------------
     // same ranking work (200 queries × full corpus), float vectors vs the

@@ -25,6 +25,13 @@ object SparkEntry {
   private val ivfStorePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Collision-free dataset-dir discriminator for scratch paths/table names
+    * (32-bit hashCode collisions are easy to hit across many dirs). */
+  private def dirTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+
   /** Per-dataset cache of the bucketed orders/customer catalog tables
     * backing `join_bucketed` (one bucketed write per process per dataset;
     * files go to scratch via the external-path form of
@@ -34,7 +41,7 @@ object SparkEntry {
 
   private def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) =
     bucketedTables.computeIfAbsent(d, dir => {
-      val tag = s"${processId}_${Integer.toHexString(dir.hashCode)}"
+      val tag = s"${processId}_${dirTag(dir)}"
       val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft-bkt-$tag")
       val ot = s"graft_bkt_orders_$tag"
       val ct = s"graft_bkt_customer_$tag"
@@ -809,7 +816,7 @@ object SparkEntry {
       // already-written index instead of leaking a corpus copy per call
       val path = ivfStorePaths.computeIfAbsent(d, dir => {
         val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-ivf-$processId-${Integer.toHexString(dir.hashCode)}").getPath
+          s"graft-ivf-$processId-${dirTag(dir)}").getPath
         Similarity.writeIvf(Similarity.ivfAssign(emb, cents), p)
         p
       })

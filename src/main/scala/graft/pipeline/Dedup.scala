@@ -316,6 +316,13 @@ object Dedup {
     */
   def componentsLogRounds(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 30): DataFrame = {
+    // every node in the pair list, kept aside so nodes appearing ONLY in
+    // self-pairs (no real edges) still come back as their own singleton
+    // component — same contract as [[components]]
+    val nodes = pairs.select(col(idCol1).as("id"))
+      .union(pairs.select(col(idCol2).as("id")))
+      .distinct()
+      .localCheckpoint()
     // canonical (larger u, smaller v) edges; self-pairs contribute nothing
     var edges = pairs
       .select(col(idCol1).as("a"), col(idCol2).as("b"))
@@ -376,10 +383,19 @@ object Dedup {
       i += 1
     }
     // fixpoint is a star forest: u-side nodes are members, v-side their
-    // component minimum; roots label themselves
-    edges.select(col("u").as("id"), col("v").as("comp"))
+    // component minimum; roots label themselves. If maxIter ran out before
+    // the fixpoint, a node can still carry several candidate parents — the
+    // min-agg collapses that to ONE (possibly non-minimal, like an
+    // unconverged [[components]] run) label per node rather than emitting
+    // structurally invalid duplicate rows.
+    val member = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")))
-      .distinct()
+    val labels =
+      if (done) member.distinct()
+      else member.groupBy("id").agg(min("comp").as("comp"))
+    // re-attach self-pair-only singletons (left anti = nodes with no label)
+    labels.unionByName(
+      nodes.join(labels, Seq("id"), "left_anti").withColumn("comp", col("id")))
   }
 
   /** Inverted-index self-join of an exploded-shingle frame on `__tok`,

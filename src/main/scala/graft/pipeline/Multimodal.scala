@@ -158,6 +158,53 @@ object Multimodal {
   private[pipeline] def imgW(id: Long): Int = (8 + id % 9).toInt
   private[pipeline] def imgH(id: Long): Int = (8 + id % 7).toInt
 
+  /** The id column coerced to long, shared by every synthesizer. */
+  private def idAsLong(row: Row, idIdx: Int): Long = row.get(idIdx) match {
+    case l: Long => l
+    case i: Int  => i.toLong
+    case other   => other.toString.toLong
+  }
+
+  /** One rendered frame of the shared pixel function — the single source the
+    * image and video synthesizers (and through them the SQL oracles) share. */
+  private def renderFrame(base: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pxR(base, x, y) << 16) | (pxG(base, x, y) << 8) | pxB(base, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Exact per-channel pixel sums — the decode-side twin of [[renderFrame]]. */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** Synthesize a REAL PNG per row (dimensions and pixels derived from the
     * id): `java.awt.BufferedImage` → `javax.imageio` PNG bytes, batched per
     * partition like any media transcode. PNG is lossless, so downstream
@@ -173,28 +220,10 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(256).flatMap { batch =>
         batch.map { row =>
-          val id = row.get(idIdx) match {
-            case l: Long => l
-            case i: Int  => i.toLong
-            case other   => other.toString.toLong
-          }
+          val id = idAsLong(row, idIdx)
           val (w, h) = (imgW(id), imgH(id))
-          val base = (id % 256).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              img.setRGB(x, y,
-                (pxR(base, x, y) << 16) | (pxG(base, x, y) << 8) | pxB(base, x, y))
-              x += 1
-            }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
-          Row(id, "image", bos.toByteArray, Row(w, h, null, "image/png"))
+          val png = pngBytes(renderFrame((id % 256).toInt, w, h))
+          Row(id, "image", png, Row(w, h, null, "image/png"))
         }
       }
     }
@@ -230,17 +259,7 @@ object Multimodal {
               catch { case _: java.io.IOException => null }
           if (img == null) Row(id, null, null, null, null, null)
           else {
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
-            }
+            val (sr, sg, sb) = channelSums(img)
             Row(id, img.getWidth, img.getHeight, sr, sg, sb)
           }
         }
@@ -276,11 +295,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(256).flatMap { batch =>
         batch.map { row =>
-          val id = row.get(idIdx) match {
-            case l: Long => l
-            case i: Int  => i.toLong
-            case other   => other.toString.toLong
-          }
+          val id = idAsLong(row, idIdx)
           val n = audioSamples(id)
           val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
           var i = 0
@@ -334,7 +349,10 @@ object Multimodal {
                   new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
                 val fmt = ais.getFormat
                 val bytes = ais.readAllBytes()
-                if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+                // a parseable header can still declare a zero/negative rate
+                // (crafted fmt chunk) — corrupt, not a division crash
+                if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                    fmt.getSampleRate <= 0f) None
                 else {
                   val n = bytes.length / 2
                   var (sum, sumAbs) = (0L, 0L)
@@ -394,11 +412,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { it =>
       it.grouped(256).flatMap { batch =>
         batch.map { row =>
-          val id = row.get(idIdx) match {
-            case l: Long => l
-            case i: Int  => i.toLong
-            case other   => other.toString.toLong
-          }
+          val id = idAsLong(row, idIdx)
           val (w, h) = (imgW(id), imgH(id))
           val nf = videoFrames(id)
           val bos = new java.io.ByteArrayOutputStream()
@@ -408,21 +422,7 @@ object Multimodal {
           var k = 0
           while (k < nf) {
             val base = ((id + 131L * k) % 256).toInt
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                img.setRGB(x, y,
-                  (pxR(base, x, y) << 16) | (pxG(base, x, y) << 8) | pxB(base, x, y))
-                x += 1
-              }
-              y += 1
-            }
-            val frame = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", frame)
-            val fb = frame.toByteArray
+            val fb = pngBytes(renderFrame(base, w, h))
             dos.writeInt(fb.length)
             dos.write(fb)
             k += 1
@@ -445,6 +445,7 @@ object Multimodal {
     * keeping corrupt media data rather than a task failure.
     */
   def decodeVideoFrames(df: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex("media_id")
     val cIdx = df.schema.fieldIndex("content")
@@ -467,29 +468,24 @@ object Multimodal {
               new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
             if (dis.readInt() != VideoMagic) nullRow(id)
             else {
+              // a negative count/length word means a corrupt container —
+              // emit the null marker row, never a crash or a silent drop
               val nf = dis.readInt()
-              (0 until nf).flatMap { k =>
+              if (nf < 0) nullRow(id)
+              else (0 until nf).flatMap { k =>
                 val len = dis.readInt()
-                val fb = new Array[Byte](len)
-                dis.readFully(fb)
-                if (k % stride != 0) None // skipped frames are never decoded
-                else {
+                if (len < 0) throw new java.io.IOException(s"bad frame len $len")
+                if (k % stride != 0) {
+                  dis.skipNBytes(len.toLong) // skipped frames: no alloc/copy
+                  None
+                } else {
+                  val fb = new Array[Byte](len)
+                  dis.readFully(fb)
                   val img = javax.imageio.ImageIO.read(
                     new java.io.ByteArrayInputStream(fb))
                   if (img == null) Some(Row(id, k, null, null, null, null, null))
                   else {
-                    var (sr, sg, sb) = (0L, 0L, 0L)
-                    var y = 0
-                    while (y < img.getHeight) {
-                      var x = 0
-                      while (x < img.getWidth) {
-                        val rgb = img.getRGB(x, y)
-                        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
-                        sb += rgb & 0xff
-                        x += 1
-                      }
-                      y += 1
-                    }
+                    val (sr, sg, sb) = channelSums(img)
                     Some(Row(id, k, img.getWidth, img.getHeight, sr, sg, sb))
                   }
                 }

@@ -80,6 +80,21 @@ class PipelineSpec extends AnyFunSuite {
     val viaLogStar = Dedup.componentsLogRounds(randomEdges)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLogStar == viaMinLabel)
+
+    // a node appearing ONLY in a self-pair is a singleton, like components
+    val withSelf = Seq((1L, 2L), (7L, 7L)).toDF("id1", "id2")
+    assert(Dedup.componentsLogRounds(withSelf).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq(1L -> 1L, 2L -> 1L, 7L -> 7L))
+
+    // exhausted maxIter: labels may be non-minimal but must stay UNIQUE
+    // per node (never conflicting duplicate rows)
+    val longChain = spark.range(499)
+      .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+    val truncated = Dedup.componentsLogRounds(longChain, maxIter = 2)
+    assert(truncated.groupBy("id").count()
+      .filter(col("count") > 1L).count() == 0L)
+    assert(truncated.count() == 500L)
   }
 
   test("jaccard pairs find the planted near-duplicate") {
@@ -464,6 +479,23 @@ class PipelineSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.expr("CAST('nope-not-a-video' AS BINARY)")))
       .collect()
     assert(corrupt.length == docs.count() && corrupt.forall(_.isNullAt(1)))
+    // valid magic but garbage after it (negative count / length words, or
+    // truncation) must also yield the null marker row, never a crash or a
+    // silent drop
+    val magicOnly = Array[Byte](0x47, 0x46, 0x56, 0x31)
+    for (garbage <- Seq(
+        magicOnly ++ Array[Byte](-1, -1, -1, -1),             // nf = -1
+        magicOnly ++ Array[Byte](0, 0, 0, 2, -1, -1, -1, -1), // len = -1
+        magicOnly ++ Array[Byte](0, 0, 0, 2, 0, 0, 0, 99))) { // truncated
+      val bad = Multimodal.decodeVideoFrames(
+        vids.limit(3).withColumn("content",
+          org.apache.spark.sql.functions.lit(garbage))).collect()
+      assert(bad.length == 3 && bad.forall(_.isNullAt(1)),
+        s"garbage container ${garbage.toSeq} not null-rowed")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideoFrames(vids, stride = 0)
+    }
   }
 
   test("resize stub: deterministic payloads, updated metadata, size scaling") {
