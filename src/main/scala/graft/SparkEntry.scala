@@ -767,6 +767,32 @@ object SparkEntry {
             .cast("long").as("composed_ok"))
         .orderBy("doc_id")
     }),
+    "text_repetition" -> ((s, d) =>
+      // Gopher-style within-doc repetition signals (duplicate tokens /
+      // 3-grams, top-token dominance) as integer counts — the boilerplate
+      // and degenerate-loop filter of a pretraining pipeline
+      Text.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_pii_scrub" -> ((s, d) => {
+      // PII redaction proof: plant deterministic emails/phones into the
+      // fixture text (base corpus has none), scrub, and count — the oracle
+      // recomputes both the planted text and the regex scrub
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(lit(" call +1 555 "),
+              lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("t"))
+      planted.select(col("doc_id"),
+          Text.scrubPii(col("t")).as("scrubbed"),
+          Text.piiEmailCount(col("t")).as("n_emails"),
+          Text.piiPhoneCount(col("t")).as("n_phones"))
+        .orderBy("doc_id")
+    }),
     "text_shingle_fp" -> ((s, d) =>
       // md5-derived 60-bit hashes so the DuckDB oracle reproduces the folds
       // exactly; the xxhash64 fast path is covered by PipelineSpec
@@ -1469,6 +1495,60 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors Text.repetitionStats: per-token frequency table for the
+    // token stats, list-comprehension 3-gram construction for the shingle
+    // stats (docs shorter than 3 tokens join as 0-count rows)
+    "text_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), f AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |  GROUP BY doc_id, tok
+         |), a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+         |    CAST(max(c) AS BIGINT) AS max_token_freq
+         |  FROM f GROUP BY doc_id
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_shingles3,
+         |    CAST(len(list_distinct(
+         |      [array_to_string(toks[i:i+2], ' ')
+         |       for i in generate_series(1, greatest(len(toks)-2, 0))]))
+         |      AS BIGINT) AS n_distinct_shingles3
+         |  FROM t
+         |)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_distinct_tokens, 0) AS n_distinct_tokens,
+         |  coalesce(a.max_token_freq, 0) AS max_token_freq,
+         |  s.n_shingles3, s.n_distinct_shingles3
+         |FROM documents d
+         |LEFT JOIN a USING (doc_id) JOIN s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // mirrors Text.scrubPii/pii*Count incl. the planted suffixes; RE2 and
+    // Java regex agree on these patterns, 'g' makes DuckDB replace all
+    "text_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9][0-9 -]{6,}[0-9]')) AS BIGINT)
+        |    AS n_phones
+        |FROM p ORDER BY doc_id""".stripMargin,
     "text_shingle_fp" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

@@ -153,6 +153,55 @@ object Text {
       .drop("__toks")
   }
 
+  /** Within-document repetition statistics — the Gopher-style signals a
+    * pretraining filter cuts boilerplate and degenerate (looping) text on:
+    * duplicate-token and duplicate-3-gram fractions plus top-token
+    * dominance. Emitted as raw INTEGER counts (ratios are one division
+    * away) so the SQL oracle compares bit-exactly. One pass per document in
+    * a compact JVM UDF — per-doc HashMap beats exploding the token stream
+    * into two groupBy shuffles, and stays a narrow map at any corpus size.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = udf((s: String) => {
+      val toks = tokensScala(if (s == null) "" else s)
+      val counts = new scala.collection.mutable.HashMap[String, Int]()
+      toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
+      val n = toks.length
+      val maxFreq = if (counts.isEmpty) 0 else counts.valuesIterator.max
+      // total 3-gram count is positional (n-2); shinglesScala returns the
+      // DISTINCT set
+      (n.toLong, counts.size.toLong, maxFreq.toLong,
+        math.max(n - 2, 0).toLong, shinglesScala(toks, 3).length.toLong)
+    })
+    fanOut(df).select(col(idCol), f(col(textCol)).as("__r"))
+      .select(col(idCol),
+        col("__r._1").as("n_tokens"),
+        col("__r._2").as("n_distinct_tokens"),
+        col("__r._3").as("max_token_freq"),
+        col("__r._4").as("n_shingles3"),
+        col("__r._5").as("n_distinct_shingles3"))
+  }
+
+  /** Email/phone patterns shared by [[scrubPii]] and the count expressions.
+    * Deliberately simple constructs (classes, bounded repeats) that behave
+    * identically under Java regex (Spark) and RE2 (DuckDB), keeping the
+    * scrub oracle-exact. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+[0-9][0-9 -]{6,}[0-9]"
+
+  /** PII scrub: mask emails and international-format phone numbers — the
+    * redaction pass a training-data pipeline runs before anything else
+    * sees the text. Pure `regexp_replace` chain: codegen'd, no UDF. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Match counts on the UNSCRUBBED text (audit trail for the scrub). */
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long")
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long")
+
   val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it", "that", "for", "on", "with", "as", "was", "at", "by")
   val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "oder", "von",

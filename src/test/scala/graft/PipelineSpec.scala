@@ -263,6 +263,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.0)
   }
 
+  test("repetition stats count duplicate tokens and shingles exactly") {
+    val fx = Seq(
+      (1L, "a b c a b c a b c"), // 9 toks, 3 distinct; 7 shingles, 3 distinct
+      (2L, "x y"),               // shorter than a 3-gram
+      (3L, "")                   // degenerate
+    ).toDF("doc_id", "text")
+    val out = Text.repetitionStats(fx, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, 9L, 3L, 3L, 7L, 3L),
+      (2L, 2L, 2L, 1L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("pii scrub masks emails and phones, leaves clean text alone") {
+    val fx = Seq(
+      (1L, "write to bob.smith+x@mail.example.org today"),
+      (2L, "call +1 555 123-4567 or +44 20 7946 0958 now"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = fx.select($"doc_id", Text.scrubPii($"text").as("s"),
+        Text.piiEmailCount($"text").as("e"), Text.piiPhoneCount($"text").as("p"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "write to <EMAIL> today")
+    assert(out(0).getLong(2) == 1L && out(0).getLong(3) == 0L)
+    assert(out(1).getString(1) == "call <PHONE> or <PHONE> now")
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 2L)
+    assert(out(2).getString(1) == "no pii here at all")
+    assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 0L)
+  }
+
   test("langid picks the language with most stopword hits") {
     val out = Text.langId(docs, "text").select("doc_id", "lang_pred")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
