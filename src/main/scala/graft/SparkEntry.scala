@@ -1036,6 +1036,23 @@ object SparkEntry {
       runStreamToTable(s, deduped.select("fp"), "stream_dedup_out")
         .select("fp").orderBy("fp")
     }),
+    "stream_neardup" -> ((s, d) => {
+      // incremental-ingest near-dup: the documents table streamed against
+      // ITSELF as the static reference index — LSH band-key probe
+      // (stream-static join) + capped-vocabulary exact verify. Streaming
+      // the same corpus the index holds makes the emitted pair set equal
+      // the batch md5 near-dup pipeline, so it shares that value oracle
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .withColumn("__ns", ((col("doc_id") + 86400L) * 1000000000L).cast("long"))
+      val matches = graft.streaming.StreamIngest.streamingNearDup(
+        src, t(s, d, "documents"), "doc_id", "text", "__ns", "1 hour",
+        threshold = 0.3)
+      runStreamToTable(s, matches, "stream_neardup_out")
+        .orderBy("id1", "id2")
+    }),
     "stream_quantize" -> ((s, d) => {
       // stateless streaming feature extraction: the exact-arithmetic int8
       // quantizer runs unchanged inside a micro-batch pipeline — no
@@ -1273,6 +1290,9 @@ object SparkEntry {
     // stage, which is hash-independent — so the md5 reconstruction is a
     // valid value oracle for the fast path the driver runs
     "dedup_minhash_lsh" -> minhashMd5Sql,
+    // streaming the corpus against its own static index emits exactly the
+    // batch near-dup pair set (same banding, same capped verify)
+    "stream_neardup" -> minhashMd5Sql,
   )
 
   private lazy val minhashMd5Sql: String =

@@ -141,27 +141,45 @@ object Dedup {
     * from the set size BEFORE exploding, so the only shuffles in the whole
     * cap are the map-side-combinable df count and nothing else.
     */
-  private def cappedExploded(df: DataFrame, idCol: String, textCol: String,
+  /** (`__id`, `__kept`, `__n`): each document's df-capped shingle set and
+    * its size — the verify-stage vocabulary. Public so other tiers (e.g.
+    * the streaming near-dup probe) verify over the SAME capped vocabulary
+    * as the batch pipeline. */
+  def cappedSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxDf: Int): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleSize)
     val kept =
       if (maxDf <= 0) sets.withColumn("__kept", col("__set"))
-      else {
-        // effective threshold = max(maxDf, nDocs × DfCapPerMille ‰),
-        // computed in-plan (1-row agg, broadcast) — no driver action
-        val nDocs = sets.agg(count(lit(1)).as("__ndocs"))
-        val stopArr = sets.select(explode(col("__set")).as("__tok"))
-          .groupBy("__tok").agg(count(lit(1)).as("__df"))
-          .crossJoin(broadcast(nDocs))
-          .filter(col("__df") > greatest(lit(maxDf.toLong),
-            expr(s"(__ndocs * $DfCapPerMille) div 1000")))
-          .agg(collect_list(col("__tok")).as("__stop"))
-        sets.crossJoin(broadcast(stopArr))
+      else
+        sets.crossJoin(broadcast(stopShingles(df, idCol, textCol,
+            shingleSize, maxDf)))
           .withColumn("__kept", array_except(col("__set"), col("__stop")))
-      }
-    kept.withColumn("__n", size(col("__kept")))
-      .select(col("__id"), col("__n"), explode(col("__kept")).as("__tok"))
+    kept.select(col("__id"), col("__kept"), size(col("__kept")).as("__n"))
   }
+
+  /** One-row frame holding the corpus's stop-shingle ARRAY (`__stop`) under
+    * the df cap — tiny by contract (only boilerplate qualifies), so it is
+    * broadcastable or even collectable as index metadata (the streaming
+    * probe embeds it as a literal so incoming docs verify over the same
+    * capped vocabulary as the batch pipeline). */
+  def stopShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxDf: Int): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+    // effective threshold = max(maxDf, nDocs × DfCapPerMille ‰),
+    // computed in-plan (1-row agg, broadcast) — no driver action
+    val nDocs = sets.agg(count(lit(1)).as("__ndocs"))
+    sets.select(explode(col("__set")).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") > greatest(lit(maxDf.toLong),
+        expr(s"(__ndocs * $DfCapPerMille) div 1000")))
+      .agg(collect_list(col("__tok")).as("__stop"))
+  }
+
+  private def cappedExploded(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxDf: Int): DataFrame =
+    cappedSets(df, idCol, textCol, shingleSize, maxDf)
+      .select(col("__id"), col("__n"), explode(col("__kept")).as("__tok"))
 
   /** MinHash-LSH candidate pairs with oracle-reproducible hashing: md5-60bit
     * seeded signatures ([[MinHash.signatureMd5Udf]]) and band buckets keyed
@@ -172,20 +190,47 @@ object Dedup {
     */
   def minhashCandidatesMd5(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame = {
+    val bk = md5BandKeys(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+    selfJoinOnBuckets(bk, idCol, Seq("band", "bucket")).distinct()
+  }
+
+  /** (`idCol`, band, bucket) LSH band keys with the oracle-reproducible md5
+    * hashing — one row per (doc, band). Works on batch AND streaming frames
+    * (stateless narrow maps only), so a streaming probe can key into a
+    * static corpus index built by the same function. */
+  def md5BandKeys(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 4, shingleSize: Int = 3,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    // fanOut reads batch plan statistics — skip it for streaming frames
+    // (their parallelism comes from the source)
+    val src = if (df.isStreaming) df else Text.fanOut(df)
+    md5BandKeysFromSets(
+      src.select((extraCols.map(col) :+ col(idCol) :+
+        Text.shingleSetUdf(shingleSize)(col(textCol)).as("__set")): _*),
+      idCol, "__set", bands, rowsPerBand, extraCols)
+      .drop("__set") // band-key-only callers must not shuffle the sets
+  }
+
+  /** [[md5BandKeys]] over an already-computed shingle-set column — lets a
+    * caller compute the set once and keep it alongside the band keys (the
+    * streaming probe carries it into the verify stage). */
+  def md5BandKeysFromSets(df: DataFrame, idCol: String, setCol: String,
+      bands: Int, rowsPerBand: Int, extraCols: Seq[String] = Nil): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = shingleSets(df, idCol, textCol, shingleSize)
-      .select(col("__id").as(idCol),
-        MinHash.signatureMd5Udf(numHashes)(col("__set")).as("sig"))
+    val withSig = df
+      .select((extraCols.map(col) :+ col(idCol) :+ col(setCol) :+
+        MinHash.signatureMd5Udf(numHashes)(col(setCol)).as("sig")): _*)
       .filter(col("sig").isNotNull)
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))
     }
-    val bk = withSig
-      .select(col(idCol), explode(array(bandRows: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    selfJoinOnBuckets(bk, idCol, Seq("band", "bucket")).distinct()
+    withSig
+      .select((extraCols.map(col) :+ col(idCol) :+ col(setCol) :+
+        explode(array(bandRows: _*)).as("bb")): _*)
+      .select((extraCols.map(col) :+ col(idCol) :+ col(setCol) :+
+        col("bb.band") :+ col("bb.bucket")): _*)
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs, verified via

@@ -251,6 +251,88 @@ object StreamIngest {
         graft.pipeline.Similarity.quantizeInt8(col(vecCol)).as("qs"))
       .select(col(idCol), col("qs.q").as("q"), col("qs.max_abs").as("max_abs"))
 
+  /** Streaming near-duplicate detection against a static reference corpus —
+    * the incremental-ingest dedup shape: incoming documents are LSH-probed
+    * into a prebuilt band-bucket index of the existing training set, and
+    * only bucket-colliding candidates get the exact capped-vocabulary
+    * Jaccard verify. Everything on the stream side is a stateless narrow
+    * map (shingle set → md5 minhash signature → band keys) except one
+    * `dropDuplicatesWithinWatermark` that collapses multi-band hits of the
+    * same pair; candidate lookup and verify are stream-static joins
+    * (broadcastable index, no stream-stream state).
+    *
+    * Emits one (id1, id2, shared, n1, n2, jaccard) row per detected pair
+    * with jaccard >= `threshold`, ids ordered. When the streamed corpus IS
+    * the reference corpus, the emitted set equals the batch
+    * [[graft.pipeline.Dedup.nearDuplicates]] md5 pipeline — which is what
+    * the driver oracle pins.
+    *
+    * At 100 TB: the reference index is (docs × bands) small keys + the
+    * capped shingle sets; both partition by their join keys, and stream
+    * work stays proportional to incoming volume, not corpus size.
+    */
+  def streamingNearDup(stream: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, eventTimeCol: String, lateness: String,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      maxShingleDf: Int = graft.pipeline.Dedup.DefaultMaxShingleDf): DataFrame = {
+    import graft.pipeline.{Dedup, Text}
+    // static side, built once: band-key index + capped verify vocabulary
+    // of the existing corpus
+    val refKeys = Dedup.md5BandKeys(ref, idCol, textCol, bands, rowsPerBand,
+      shingleSize).select(col(idCol).as("__rid"), col("band"), col("bucket"))
+    val refKept = Dedup.cappedSets(ref, idCol, textCol, shingleSize,
+        maxShingleDf)
+      .select(col("__id").as("__rid"), col("__kept").as("__rk"),
+        col("__n").cast("long").as("__rn"))
+    // the ref corpus's stop-shingle list, embedded as a literal: tiny by
+    // the df-cap contract (boilerplate only), it is index metadata — the
+    // incoming doc's verify vocabulary must be capped by the SAME list
+    val stop: Seq[String] =
+      if (maxShingleDf <= 0) Seq.empty
+      else Dedup.stopShingles(ref, idCol, textCol, shingleSize, maxShingleDf)
+        .collect().headOption
+        .map(_.getSeq[String](0)).getOrElse(Seq.empty)
+    val stopLit =
+      if (stop.isEmpty) array().cast("array<string>")
+      else array(stop.map(lit): _*)
+    // stream side: stateless shingle set + band keys, watermark carried
+    val ss = withEventTime(stream, eventTimeCol)
+      .withWatermark("__event_time", lateness)
+      .select(col("__event_time"), col(idCol),
+        Text.shingleSetUdf(shingleSize)(col(textCol)).as("__sset"))
+    val sk = Dedup.md5BandKeysFromSets(ss, idCol, "__sset", bands,
+      rowsPerBand, extraCols = Seq("__event_time"))
+    // dedup on the SORTED pair: collapses multi-band hits, and — when the
+    // streamed corpus overlaps the reference — the two probe directions of
+    // the same pair (verify is symmetric, either representative is valid)
+    val cand = sk.join(refKeys, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__rid"))
+      .select(col("__event_time"), col(idCol).as("__sid"), col("__sset"),
+        col("__rid"),
+        least(col(idCol), col("__rid")).as("__p1"),
+        greatest(col(idCol), col("__rid")).as("__p2"))
+      .dropDuplicatesWithinWatermark("__p1", "__p2")
+    // verify: stream doc's capped set vs the ref doc's capped set — the
+    // ref side resolves via one stream-static join on the candidate id
+    val sidLtRid = col("__sid") < col("__rid")
+    cand.join(refKept, Seq("__rid"))
+      .withColumn("__sk", array_except(col("__sset"), stopLit))
+      .withColumn("__sn", size(col("__sk")).cast("long"))
+      .withColumn("shared",
+        size(array_intersect(col("__sk"), col("__rk"))).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("__sn") + col("__rn") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(
+        when(sidLtRid, col("__sid")).otherwise(col("__rid")).as("id1"),
+        when(sidLtRid, col("__rid")).otherwise(col("__sid")).as("id2"),
+        col("shared"),
+        when(sidLtRid, col("__sn")).otherwise(col("__rn")).as("n1"),
+        when(sidLtRid, col("__rn")).otherwise(col("__sn")).as("n2"),
+        col("jaccard"))
+  }
+
   /** Persist a stream to a metrics dir as sorted parquet blocks: one block
     * per micro-batch (the streaming analog of the reference's periodic
     * persist). Returns the running query; caller stops it.

@@ -129,6 +129,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2) == (3L, t0 + 5 * sec, 4.0))        // matched via carry
   }
 
+  test("streaming near-dup flags incoming docs against a static ref index") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-neardup-in")
+    // existing corpus: two distinct docs
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    // incoming stream: doc 10 is a near-copy of ref doc 1 (one token
+    // changed), doc 11 is novel
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy cat again and again"),
+      (11L, "yet another unrelated document with its own vocabulary here")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "in").getPath)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(new java.io.File(dir, "in").getPath)
+      .withColumn("__ns", ((col("doc_id") + 86400L) * 1000000000L).cast("long"))
+    // 32×2 banding: the planted pair's jaccard is ~0.54, and 16×4 bands
+    // would miss its bucket collision ~24% of the time — wider/shallower
+    // bands make the collision near-certain (miss prob ~2e-5)
+    val matches = StreamIngest.streamingNearDup(
+      src, ref, "doc_id", "text", "__ns", "1 hour",
+      threshold = 0.5, bands = 32, rowsPerBand = 2, maxShingleDf = 0)
+    val q = StreamIngest.runToMemory(matches, "neardup_out")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("neardup_out").orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(out.length == 1)
+    assert(out(0)._1 == 1L && out(0)._2 == 10L && out(0)._3 > 0.5)
+  }
+
   test("persistStream writes sorted parquet blocks per micro-batch") {
     val inDir = SparkTestBase.tempDir("graft-stream-in2")
     val outDir = SparkTestBase.tempDir("graft-stream-out")
