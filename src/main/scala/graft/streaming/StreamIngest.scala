@@ -277,14 +277,6 @@ object StreamIngest {
       shingleSize: Int = 3,
       maxShingleDf: Int = graft.pipeline.Dedup.DefaultMaxShingleDf): DataFrame = {
     import graft.pipeline.{Dedup, Text}
-    // static side, built once: band-key index + capped verify vocabulary
-    // of the existing corpus
-    val refKeys = Dedup.md5BandKeys(ref, idCol, textCol, bands, rowsPerBand,
-      shingleSize).select(col(idCol).as("__rid"), col("band"), col("bucket"))
-    val refKept = Dedup.cappedSets(ref, idCol, textCol, shingleSize,
-        maxShingleDf)
-      .select(col("__id").as("__rid"), col("__kept").as("__rk"),
-        col("__n").cast("long").as("__rn"))
     // the ref corpus's stop-shingle list, embedded as a literal: tiny by
     // the df-cap contract (boilerplate only), it is index metadata — the
     // incoming doc's verify vocabulary must be capped by the SAME list
@@ -296,6 +288,20 @@ object StreamIngest {
     val stopLit =
       if (stop.isEmpty) array().cast("array<string>")
       else array(stop.map(lit): _*)
+    // the static index: ONE shingle pass over the reference corpus feeds
+    // both the band keys and the capped verify sets (the collected stop
+    // list caps in-plan), and both frames persist — stream-static joins
+    // re-evaluate the static plan every micro-batch otherwise, making
+    // per-batch work proportional to corpus size instead of batch size
+    val refSets = ref.select(col(idCol).as("__rid"),
+      Text.shingleSetUdf(shingleSize)(col(textCol)).as("__rset"))
+    val refKeys = Dedup.md5BandKeysFromSets(refSets, "__rid", "__rset",
+        bands, rowsPerBand)
+      .select(col("__rid"), col("band"), col("bucket")).persist()
+    val refKept = refSets
+      .withColumn("__rk", array_except(col("__rset"), stopLit))
+      .select(col("__rid"), col("__rk"), size(col("__rk")).cast("long").as("__rn"))
+      .persist()
     // stream side: stateless shingle set + band keys, watermark carried
     val ss = withEventTime(stream, eventTimeCol)
       .withWatermark("__event_time", lateness)
@@ -314,19 +320,24 @@ object StreamIngest {
         greatest(col(idCol), col("__rid")).as("__p2"))
       .dropDuplicatesWithinWatermark("__p1", "__p2")
     // verify: stream doc's capped set vs the ref doc's capped set — the
-    // ref side resolves via one stream-static join on the candidate id
+    // ref side resolves via one stream-static join on the candidate id.
+    // An all-boilerplate pair (both capped sets empty) has an undefined
+    // jaccard and is filtered BEFORE the division — under ANSI mode the
+    // 0/0 would otherwise kill the query; the batch pipeline can never
+    // emit such a pair (its verify join requires a shared kept shingle)
     val sidLtRid = col("__sid") < col("__rid")
     cand.join(refKept, Seq("__rid"))
       .withColumn("__sk", array_except(col("__sset"), stopLit))
       .withColumn("__sn", size(col("__sk")).cast("long"))
       .withColumn("shared",
         size(array_intersect(col("__sk"), col("__rk"))).cast("long"))
+      .filter(col("__sn") + col("__rn") - col("shared") > 0)
       .withColumn("jaccard", col("shared").cast("double") /
         (col("__sn") + col("__rn") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select(
-        when(sidLtRid, col("__sid")).otherwise(col("__rid")).as("id1"),
-        when(sidLtRid, col("__rid")).otherwise(col("__sid")).as("id2"),
+        col("__p1").as("id1"),
+        col("__p2").as("id2"),
         col("shared"),
         when(sidLtRid, col("__sn")).otherwise(col("__rn")).as("n1"),
         when(sidLtRid, col("__rn")).otherwise(col("__sn")).as("n2"),
