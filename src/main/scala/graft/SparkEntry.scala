@@ -767,6 +767,12 @@ object SparkEntry {
             .cast("long").as("composed_ok"))
         .orderBy("doc_id")
     }),
+    "text_tfidf" -> ((s, d) =>
+      // integer TF-IDF components, top-3 terms per doc (tf desc, token
+      // asc): the raw counts the weighting formula is computed from —
+      // emitted unweighted so the oracle is exact
+      Text.tfIdfTopK(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")),
     "text_repetition" -> ((s, d) =>
       // Gopher-style within-doc repetition signals (duplicate tokens /
       // 3-grams, top-token dominance) as integer counts — the boilerplate
@@ -1515,6 +1521,27 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors Text.tfIdfTopK: tf per (doc, token), df per token over the
+    // tf table, deterministic top-3 window
+    "text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($DuckToks) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+         |), dfreq AS (
+         |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+         |), r AS (
+         |  SELECT doc_id, token, tf, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tf DESC, token ASC) AS rank
+         |  FROM tf
+         |)
+         |SELECT r.doc_id, r.token, CAST(r.tf AS BIGINT) AS tf,
+         |  CAST(dfreq.df AS BIGINT) AS df,
+         |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+         |  CAST(r.rank AS BIGINT) AS rank
+         |FROM r JOIN dfreq USING (token)
+         |WHERE r.rank <= 3
+         |ORDER BY r.doc_id, r.rank""".stripMargin,
     // mirrors Text.repetitionStats: per-token frequency table for the
     // token stats, list-comprehension 3-gram construction for the shingle
     // stats (docs shorter than 3 tokens join as 0-count rows)

@@ -182,6 +182,33 @@ object Text {
         col("__r._5").as("n_distinct_shingles3"))
   }
 
+  /** Top-`k` terms per document by term frequency, carrying the corpus
+    * document frequency and corpus size — the INTEGER components of
+    * TF-IDF, emitted raw so the oracle compares exactly (the weighting
+    * formula is one float expression away and a caller choice: ln, log10,
+    * smoothed, BM25...). Ties break on the token for determinism.
+    *
+    * Scale shape: two map-side-combinable aggregations (tf keyed on
+    * (doc, token), df keyed on token), one token-keyed join, and a per-doc
+    * top-k window — no global sort, no driver data.
+    */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = fanOut(df).select(col(idCol),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("token").asc)
+    tf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .join(idf, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("n_docs"), col("rank"))
+  }
+
   /** Email/phone patterns shared by [[scrubPii]] and the count expressions.
     * Deliberately simple constructs (classes, bounded repeats) that behave
     * identically under Java regex (Spark) and RE2 (DuckDB), keeping the
