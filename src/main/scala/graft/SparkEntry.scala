@@ -767,6 +767,12 @@ object SparkEntry {
             .cast("long").as("composed_ok"))
         .orderBy("doc_id")
     }),
+    "text_pack" -> ((s, d) =>
+      // training sequence packing: concat-then-cut-every-256-tokens over 8
+      // deterministic streams; per doc its offset and spanned packs
+      Text.packSequences(t(s, d, "documents"), "doc_id", "text",
+        contextLen = 256, numBuckets = 8)
+        .orderBy("doc_id")),
     "text_tfidf" -> ((s, d) =>
       // integer TF-IDF components, top-3 terms per doc (tf desc, token
       // asc): the raw counts the weighting formula is computed from —
@@ -1521,6 +1527,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors Text.packSequences: per-bucket running token offset ordered
+    // by id, integer-divided into context windows
+    "text_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS bucket,
+         |    CAST(len($DuckToks) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS "offset"
+         |  FROM t
+         |)
+         |SELECT doc_id, bucket, n_tokens, "offset",
+         |  "offset" // 256 AS pack_first,
+         |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 256
+         |       ELSE "offset" // 256 END AS pack_last
+         |FROM o ORDER BY doc_id""".stripMargin,
     // mirrors Text.tfIdfTopK: tf per (doc, token), df per token over the
     // tf table, deterministic top-3 window
     "text_tfidf" ->

@@ -209,6 +209,36 @@ object Text {
         col("n_docs"), col("rank"))
   }
 
+  /** Training sequence packing: assign each document a token OFFSET in a
+    * deterministic concatenated stream, then cut the stream every
+    * `contextLen` tokens — the concat-then-chunk packing an autoregressive
+    * training job feeds its context windows with. Emits per doc: its
+    * stream bucket, token count, offset, and the first/last pack (context
+    * window) it lands in; a doc spanning a boundary is split by the cut,
+    * exactly like the real layout.
+    *
+    * Parallel + deterministic: docs hash into `numBuckets` independent
+    * streams (bucket = id % numBuckets), and the running offset is a
+    * per-bucket window cumsum ordered by id — no global sequential scan,
+    * each bucket packs independently at any corpus size.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      contextLen: Int, numBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fanOut(df)
+      .select(col(idCol), pmod(col(idCol), lit(numBuckets.toLong)).as("bucket"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      // SQL `div` = exact integer division (Column./ on longs is double)
+      .withColumn("pack_first", expr(s"offset div $contextLen"))
+      .withColumn("pack_last",
+        when(col("n_tokens") > 0,
+          expr(s"(offset + n_tokens - 1) div $contextLen"))
+          .otherwise(expr(s"offset div $contextLen")))
+  }
+
   /** Email/phone patterns shared by [[scrubPii]] and the count expressions.
     * Deliberately simple constructs (classes, bounded repeats) that behave
     * identically under Java regex (Spark) and RE2 (DuckDB), keeping the

@@ -295,6 +295,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getLong(2) == 0L && out(2).getLong(3) == 0L)
   }
 
+  test("sequence packing: per-bucket offsets, boundary-spanning docs split") {
+    // one bucket (ids all ≡ 0 mod 8), context 10: docs of 4/8/3 tokens →
+    // offsets 0/4/12; the 8-token doc spans the pack-0|pack-1 cut
+    val fx = Seq(
+      (0L, "a b c d"),
+      (8L, "a b c d e f g h"),
+      (16L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Text.packSequences(fx, "doc_id", "text",
+      contextLen = 10, numBuckets = 8).orderBy("doc_id")
+      .select("doc_id", "bucket", "n_tokens", "offset", "pack_first", "pack_last")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L, 0L, 0L, 0L),
+      (8L, 0L, 8L, 4L, 0L, 1L), // spans the boundary at token 10
+      (16L, 0L, 3L, 12L, 1L, 1L)))
+  }
+
   test("langid picks the language with most stopword hits") {
     val out = Text.langId(docs, "text").select("doc_id", "lang_pred")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
