@@ -767,6 +767,19 @@ object SparkEntry {
             .cast("long").as("composed_ok"))
         .orderBy("doc_id")
     }),
+    "text_length_quantiles" -> ((s, d) =>
+      // EXACT per-language token-count quantiles (percentile, not the
+      // approx sketch): both engines define the continuous quantile as
+      // linear interpolation at p*(n-1), and with integer inputs and
+      // dyadic p the arithmetic is bit-identical
+      t(s, d, "documents")
+        .select(col("lang"), Text.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n, 0.25)").as("p25"),
+          expr("percentile(n, 0.5)").as("p50"),
+          expr("percentile(n, 0.75)").as("p75"))
+        .orderBy("lang")),
     "text_pack" -> ((s, d) =>
       // training sequence packing: concat-then-cut-every-256-tokens over 8
       // deterministic streams; per doc its offset and spanned packs
@@ -1527,6 +1540,12 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_length_quantiles" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  quantile_cont(len($DuckToks), 0.25) AS p25,
+         |  quantile_cont(len($DuckToks), 0.5) AS p50,
+         |  quantile_cont(len($DuckToks), 0.75) AS p75
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // mirrors Text.packSequences: per-bucket running token offset ordered
     // by id, integer-divided into context windows
     "text_pack" ->
