@@ -727,6 +727,19 @@ object SparkEntry {
       Dedup.simhashCandidates(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text", hash = "md5"),
         "doc_id", maxHamming = 3).orderBy("id1", "id2")),
+    "text_contamination" -> ((s, d) => {
+      // decontamination probe: eval set = every 97th doc (stands in for a
+      // held-out benchmark suite), train = the rest; a train doc is flagged
+      // when any of its 3-gram shingles appears anywhere in the eval set.
+      // The eval shingle set broadcasts — the 100 TB shape (benchmark
+      // suites are tiny next to a pretraining corpus)
+      val docs = t(s, d, "documents")
+      Dedup.contamination(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0),
+        "doc_id", "text", shingleSize = 3)
+        .orderBy("doc_id")
+    }),
     "text_chunks" -> ((s, d) =>
       Text.chunk(t(s, d, "documents"), "doc_id", "text",
         size = 32, overlap = 8)
@@ -1231,6 +1244,26 @@ object SparkEntry {
     "dedup_jaccard_pairs" ->
       s"""$JaccardPairsSqlCore
          |ORDER BY id1, id2""".stripMargin,
+    "text_contamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM t
+         |), ev AS (
+         |  SELECT DISTINCT unnest(sh) AS tok FROM s WHERE doc_id % 97 = 0
+         |), tr AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |         unnest(sh) AS tok
+         |  FROM s WHERE doc_id % 97 <> 0
+         |)
+         |SELECT doc_id, n_shingles, count(*) AS n_hits,
+         |       CAST(count(*) AS DOUBLE) / n_shingles AS contamination
+         |FROM tr JOIN ev USING (tok)
+         |GROUP BY doc_id, n_shingles
+         |ORDER BY doc_id""".stripMargin,
     // transitive closure over the same pair list: reach = every (node,
     // reachable-node) via the recursive CTE, component = min reachable id
     "dedup_clusters" ->

@@ -571,6 +571,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark contamination detection: flag training documents that share
+    * word n-gram shingles with an evaluation corpus — the standard
+    * decontamination test a pretraining pipeline runs so benchmark answers
+    * don't leak into the training set (the reference engine has no analog;
+    * this is pure pipeline surface). Emits one row per CONTAMINATED train
+    * doc: its distinct-shingle count, the number of those shingles that
+    * also occur anywhere in the eval corpus, and the overlap ratio.
+    *
+    * Scale shape: the eval side is a benchmark suite — thousands of docs
+    * against a 100 TB train corpus — so its distinct shingle set broadcasts
+    * (`broadcastEval=true`, the default) and the probe is a broadcast hash
+    * join in the train scan stage: no shuffle of train shingles at all, and
+    * the per-doc counts are one map-side-combinable aggregation keyed on
+    * doc id. With `broadcastEval=false` the same plan shuffles both sides
+    * on the shingle — the fallback when the eval corpus is genuinely large.
+    * Docs with fewer than `shingleSize` tokens have no shingles and cannot
+    * be flagged.
+    */
+  def contamination(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3,
+      broadcastEval: Boolean = true): DataFrame = {
+    val evalSh = shingleSets(evalDf, idCol, textCol, shingleSize)
+      .select(explode(col("__set")).as("__tok")).distinct()
+    val probe = if (broadcastEval) broadcast(evalSh) else evalSh
+    shingleSets(train, idCol, textCol, shingleSize)
+      .select(col("__id"), size(col("__set")).cast("long").as("n_shingles"),
+        explode(col("__set")).as("__tok"))
+      .join(probe, Seq("__tok"))
+      .groupBy("__id", "n_shingles")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** SimHash sign-sum aggregator: +1/-1 per bit per token hash. */
   object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     override def zero: Array[Int] = new Array[Int](64)

@@ -97,6 +97,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(truncated.count() == 500L)
   }
 
+  test("contamination flags train docs sharing eval shingles, exact counts") {
+    // eval doc 100 == train doc 0 verbatim → doc 0 fully contaminated
+    // (7/7 trigrams); near-dup doc 3 shares the 6 trigrams not touching
+    // the last token; docs 4 and 5 share nothing and must not appear
+    val evalDf = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = docs.filter($"doc_id".isin(0L, 3L, 4L, 5L))
+    val out = Dedup.contamination(train, evalDf, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_shingles")))).toMap
+    assert(out.keySet == Set(0L, 3L))
+    assert(out(0L) == ((7L, 7L)))
+    assert(out(3L) == ((6L, 7L)))
+    // non-broadcast fallback computes the identical result
+    val shuffled = Dedup.contamination(train, evalDf, "doc_id", "text",
+      broadcastEval = false).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(shuffled == Map(0L -> 7L, 3L -> 6L))
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
