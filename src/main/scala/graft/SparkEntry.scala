@@ -748,6 +748,14 @@ object SparkEntry {
       Text.hashSplit(t(s, d, "documents").select("doc_id"), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
+    "mix_sample" -> ((s, d) =>
+      // data mixing: per-language token budgets (en-heavy, zh excluded);
+      // deterministic md5-ordered fill so the oracle reproduces the exact
+      // survivor set. Budgets are absolute tokens — at sf0.01 they keep
+      // roughly half of en and a third of de/es/fr
+      Text.mixSample(t(s, d, "documents"), "doc_id", "text", "lang",
+        Map("en" -> 4000L, "de" -> 1000L, "es" -> 1000L, "fr" -> 800L))
+        .orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       Text.qualityFeatures(t(s, d, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio",
@@ -1524,6 +1532,27 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split FROM documents
         |) GROUP BY split ORDER BY split""".stripMargin,
+    // single-window definition of the mixture sample — the Spark side
+    // computes the same cumulative sums through the bucketed prefix sum
+    "mix_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS key
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY key, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum_tokens,
+         |         CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1000
+         |                   WHEN 'es' THEN 1000 WHEN 'fr' THEN 800
+         |                   ELSE 0 END AS b
+         |  FROM d
+         |)
+         |SELECT doc_id, lang, n_tokens, cum_tokens
+         |FROM c WHERE b > 0 AND cum_tokens <= b
+         |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars_m,

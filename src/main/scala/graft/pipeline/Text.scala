@@ -239,6 +239,57 @@ object Text {
           .otherwise(expr(s"offset div $contextLen")))
   }
 
+  /** Domain-weighted mixture sampling to a token budget — the data-mixing
+    * step of a pretraining pipeline: from each domain, take documents in a
+    * deterministic pseudo-random order (md5 of the id) until that domain's
+    * token budget is spent. A doc is kept iff its domain has a budget and
+    * the running token total through the doc stays within it; domains
+    * absent from `budgets` are dropped entirely.
+    *
+    * Scale shape — a distributed prefix sum, NOT a per-domain window (a
+    * `partitionBy(domain)` running sum would put each domain's entire
+    * corpus in one partition, serializing terabytes through single tasks):
+    *   1. bucket = first 2 hex chars of the md5 key, so the 256 buckets are
+    *      CONTIGUOUS RANGES of the per-domain sample order;
+    *   2. per-(domain, bucket) token sums — one map-side-combinable
+    *      aggregation, ≤ |domains|×256 rows of metadata;
+    *   3. each bucket's starting offset = running sum over that tiny frame;
+    *      buckets that start past their domain's budget are pruned HERE,
+    *      before any wide shuffle — at 100 TB with a fixed budget that
+    *      eliminates almost all of the corpus in the metadata join;
+    *   4. surviving rows join the broadcast offsets and finish with a
+    *      within-(domain, bucket) cumulative sum — parallelism is
+    *      |domains|×256 and each window holds ~1/256 of a domain.
+    * The result is byte-identical to the single-window definition the SQL
+    * oracle uses (the bucket boundaries respect the md5 sort order).
+    */
+  def mixSample(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(domainCol) === lit(k), lit(v)).otherwise(acc) }
+    val base = fanOut(df).select(col(idCol), col(domainCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("__key"))
+      .withColumn("__bucket", substring(col("__key"), 1, 2))
+    val wOff = Window.partitionBy(domainCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // <= keeps zero-token docs sitting exactly at the boundary comparable
+    // with the oracle's single-window definition
+    val offsets = base.groupBy(domainCol, "__bucket")
+      .agg(sum("n_tokens").as("__bsum"))
+      .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
+      .filter(col("__off") <= budget)
+      .select(col(domainCol), col("__bucket"), col("__off"))
+    val wCum = Window.partitionBy(domainCol, "__bucket")
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsets), Seq(domainCol, "__bucket"))
+      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wCum))
+      .filter(budget > lit(0L) && col("cum_tokens") <= budget)
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Email/phone patterns shared by [[scrubPii]] and the count expressions.
     * Deliberately simple constructs (classes, bounded repeats) that behave
     * identically under Java regex (Spark) and RE2 (DuckDB), keeping the

@@ -118,6 +118,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(shuffled == Map(0L -> 7L, 3L -> 6L))
   }
 
+  test("mixSample matches the single-window reference, drops no-budget domains") {
+    // two domains; "a" budget covers some docs in md5 order, "b" has no
+    // budget entry and must vanish. A zero-token doc (id 7) costs nothing
+    // and is kept whenever its cum stays within budget.
+    val rows = Seq(
+      (0L, "one two three", "a"), (1L, "four five", "a"),
+      (2L, "six seven eight nine", "a"), (7L, "", "a"),
+      (3L, "anything at all", "b"))
+    val df = rows.toDF("doc_id", "text", "dom")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // reference: per-domain md5 order, inclusive running sum, keep <= budget
+    val budget = 5L
+    val ref = rows.filter(_._3 == "a")
+      .map { case (id, text, _) =>
+        (id, Text.tokensScala(text).length.toLong, md5hex(id.toString)) }
+      .sortBy { case (id, _, k) => (k, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n, _)) =>
+        (id, n, cum + n) }.drop(1)
+      .filter(_._3 <= budget).map { case (id, n, cum) => id -> ((n, cum)) }
+      .toMap
+    val out = Text.mixSample(df, "doc_id", "text", "dom", Map("a" -> budget))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))).toMap
+    assert(out == ref)
+    assert(ref.nonEmpty) // the fixture must actually keep something
+    assert(!out.contains(3L))
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
