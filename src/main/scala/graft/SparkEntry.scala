@@ -756,6 +756,10 @@ object SparkEntry {
       Text.mixSample(t(s, d, "documents"), "doc_id", "text", "lang",
         Map("en" -> 4000L, "de" -> 1000L, "es" -> 1000L, "fr" -> 800L))
         .orderBy("doc_id")),
+    "sample_stratified" -> ((s, d) =>
+      // fixed-size per-language eval carve-out, deterministic md5 order
+      Text.sampleStratified(t(s, d, "documents"), "doc_id", "lang", k = 10)
+        .orderBy("doc_id")),
     "text_quality" -> ((s, d) =>
       Text.qualityFeatures(t(s, d, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio",
@@ -1553,6 +1557,13 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, cum_tokens
          |FROM c WHERE b > 0 AND cum_tokens <= b
          |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, rank FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents
+        |) WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars_m,

@@ -265,19 +265,49 @@ object Text {
     */
   def mixSample(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, budgets: Map[String, Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = budgets.foldLeft(lit(0L)) { case (acc, (k, v)) =>
       when(col(domainCol) === lit(k), lit(v)).otherwise(acc) }
     val base = fanOut(df).select(col(idCol), col(domainCol),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"),
-        md5(col(idCol).cast("string")).as("__key"))
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    budgetedTake(base, idCol, domainCol, "n_tokens", budget, "cum_tokens")
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Deterministic stratified sampling: the first `k` documents of every
+    * stratum in md5-of-id order — a reservoir-sample equivalent that is
+    * exactly reproducible (and therefore SQL-oracle-able), for carving
+    * fixed-size eval/calibration sets out of each domain. Same distributed
+    * prefix-sum shape as [[mixSample]] with per-doc cost 1: no per-stratum
+    * single-partition window, and strata buckets past `k` are pruned before
+    * the wide shuffle. Emits the sampled rows with their 1-based `rank`.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, domainCol: String,
+      k: Int): DataFrame = {
+    val base = fanOut(df)
+      .select(col(idCol), col(domainCol), lit(1L).as("__one"))
+    budgetedTake(base, idCol, domainCol, "__one", lit(k.toLong), "rank")
+      .select(col(idCol), col(domainCol), col("rank"))
+  }
+
+  /** Shared distributed-prefix-sum core of [[mixSample]] /
+    * [[sampleStratified]]: keep each domain's md5-ordered prefix whose
+    * running `costCol` total stays within `budget` (see the mixSample
+    * Scaladoc for the bucket/offset/prune mechanics). `base` must carry
+    * (`idCol`, `domainCol`, `costCol`); emits surviving rows plus the
+    * inclusive running total as `cumName`.
+    */
+  private def budgetedTake(base0: DataFrame, idCol: String, domainCol: String,
+      costCol: String, budget: Column, cumName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = base0
+      .withColumn("__key", md5(col(idCol).cast("string")))
       .withColumn("__bucket", substring(col("__key"), 1, 2))
     val wOff = Window.partitionBy(domainCol).orderBy("__bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // <= keeps zero-token docs sitting exactly at the boundary comparable
+    // <= keeps zero-cost docs sitting exactly at the boundary comparable
     // with the oracle's single-window definition
     val offsets = base.groupBy(domainCol, "__bucket")
-      .agg(sum("n_tokens").as("__bsum"))
+      .agg(sum(costCol).as("__bsum"))
       .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
       .filter(col("__off") <= budget)
       .select(col(domainCol), col("__bucket"), col("__off"))
@@ -285,9 +315,8 @@ object Text {
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     base.join(broadcast(offsets), Seq(domainCol, "__bucket"))
-      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wCum))
-      .filter(budget > lit(0L) && col("cum_tokens") <= budget)
-      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
+      .withColumn(cumName, col("__off") + sum(costCol).over(wCum))
+      .filter(budget > lit(0L) && col(cumName) <= budget)
   }
 
   /** Email/phone patterns shared by [[scrubPii]] and the count expressions.

@@ -148,6 +148,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("sampleStratified takes exactly k per stratum in md5 order") {
+    val df = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "dom")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val out = Text.sampleStratified(df, "doc_id", "dom", k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("dom"),
+        r.getAs[Long]("rank")))
+    assert(out.count(_._2 == "a") == 5 && out.count(_._2 == "b") == 5)
+    // ranks are 1..5 within each stratum and follow the md5 order
+    for (dom <- Seq("a", "b")) {
+      val got = out.filter(_._2 == dom).sortBy(_._3)
+      val expect = (0L until 40L)
+        .filter(i => (if (i % 2 == 0) "a" else "b") == dom)
+        .sortBy(i => (md5hex(i.toString), i)).take(5)
+      assert(got.map(_._1).toSeq == expect)
+      assert(got.map(_._3).toSeq == (1L to 5L))
+    }
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
