@@ -740,6 +740,11 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3)
         .orderBy("doc_id")
     }),
+    "text_dup_ngrams" -> ((s, d) =>
+      // most-duplicated 5-token spans with doc frequency — the
+      // substring-dedup signal (Lee et al. 2022) at fixed span length
+      Dedup.dupNgrams(t(s, d, "documents"), "doc_id", "text",
+        n = 5, minDf = 2, topK = 50)),
     "text_chunks" -> ((s, d) =>
       Text.chunk(t(s, d, "documents"), "doc_id", "text",
         size = 32, overlap = 8)
@@ -1276,6 +1281,19 @@ object SparkEntry {
          |FROM tr JOIN ev USING (tok)
          |GROUP BY doc_id, n_shingles
          |ORDER BY doc_id""".stripMargin,
+    "text_dup_ngrams" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+4], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-4, 0))]) AS sh
+         |  FROM t
+         |)
+         |SELECT tok AS ngram, count(*) AS df, min(doc_id) AS first_doc
+         |FROM (SELECT doc_id, unnest(sh) AS tok FROM s)
+         |GROUP BY tok HAVING count(*) >= 2
+         |ORDER BY df DESC, ngram LIMIT 50""".stripMargin,
     // transitive closure over the same pair list: reach = every (node,
     // reachable-node) via the recursive CTE, component = min reachable id
     "dedup_clusters" ->

@@ -571,6 +571,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicated n-gram span mining: the most-repeated word n-grams across
+    * the corpus with their document frequency and first-occurrence doc —
+    * the substring-level duplication signal behind suffix-array training-
+    * data dedup (long spans repeated verbatim across documents are
+    * boilerplate or leaked templates; reference: Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — approximated
+    * here at fixed span length n, which is the scalable variant). Counts
+    * are per-document (a span repeated within one doc counts once), so
+    * `df` reads directly as "how many documents carry this span".
+    *
+    * Scale shape: shingle sets are built in the scan stage, the df count is
+    * one map-side-combinable aggregation keyed on the n-gram, and the
+    * global top-k is Spark's distributed TakeOrdered — no full sort is
+    * materialized. The (df DESC, ngram) order is total, so the cut is
+    * deterministic at any k.
+    */
+  def dupNgrams(df: DataFrame, idCol: String, textCol: String, n: Int = 5,
+      minDf: Int = 2, topK: Int = 50): DataFrame =
+    shingleSets(df, idCol, textCol, n)
+      .select(col("__id"), explode(col("__set")).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("df"), min(col("__id")).as("first_doc"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(topK)
+
   /** Benchmark contamination detection: flag training documents that share
     * word n-gram shingles with an evaluation corpus — the standard
     * decontamination test a pretraining pipeline runs so benchmark answers

@@ -168,6 +168,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dupNgrams surfaces cross-doc spans with per-doc counting") {
+    // docs 0,1,2 normalize to the same text → every 5-gram of doc 0 has
+    // df=3 (within-doc repeats would not inflate: sets are distinct);
+    // doc 3 shares the 5-grams not touching the changed last token (df 4)
+    val out = Dedup.dupNgrams(docs, "doc_id", "text", n = 5, minDf = 2)
+      .collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("df"),
+        r.getAs[Long]("first_doc")))
+    assert(out.nonEmpty)
+    // 9 tokens → 5 five-grams; the first 4 avoid the dog/cat suffix → df=4
+    assert(out.count(_._2 == 4L) == 4)
+    assert(out.count(_._2 == 3L) == 1) // "jumps over the lazy dog"
+    assert(out.forall(_._3 == 0L))     // doc 0 is first everywhere
+    // ordered by (df desc, ngram)
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
