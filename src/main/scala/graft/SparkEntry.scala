@@ -765,6 +765,33 @@ object SparkEntry {
       // fixed-size per-language eval carve-out, deterministic md5 order
       Text.sampleStratified(t(s, d, "documents"), "doc_id", "lang", k = 10)
         .orderBy("doc_id")),
+    "approx_distinct_tokens" -> ((s, d) => {
+      // HLL sketch distinct-token counts: the exact per-group counts are
+      // VALUE-oracled; est_ok gates the sketch estimate within 5% of exact
+      // AND (on the '*' row) that the union of per-language sketches
+      // estimates identically to one sketch over all tokens — the
+      // mergeability that makes sketches the 100 TB distinct-count path
+      val docs = t(s, d, "documents")
+      val sk = Text.distinctTokenSketch(docs, "text", "lang")
+      val tok = docs.select(col("lang"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val perOut = sk.join(tok.groupBy("lang")
+          .agg(count_distinct(col("token")).as("n_exact")), Seq("lang"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact")) <= col("n_exact") * 0.05)
+            .cast("long").as("est_ok"))
+      val gOut = tok.agg(count_distinct(col("token")).as("n_exact"))
+        .crossJoin(Text.distinctTokenSketch(
+            docs.withColumn("__g", lit(1)), "text", "__g")
+          .select(col("estimate").as("est_direct")))
+        .crossJoin(Text.mergeSketchEstimate(sk.select("sketch"))
+          .select(col("estimate").as("est_merged")))
+        .select(lit("*").as("lang"), col("n_exact"),
+          ((abs(col("est_direct") - col("n_exact")) <= col("n_exact") * 0.05)
+            && col("est_direct") === col("est_merged"))
+            .cast("long").as("est_ok"))
+      perOut.unionByName(gOut).orderBy("lang")
+    }),
     "text_quality" -> ((s, d) =>
       Text.qualityFeatures(t(s, d, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "punct_ratio",
@@ -1582,6 +1609,19 @@ object SparkEntry {
         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
         |  FROM documents
         |) WHERE rank <= 10 ORDER BY doc_id""".stripMargin,
+    // exact distinct counts are the oracle-checked values; the sketch-
+    // accuracy and merge gates are pinned to 1 (see the gate comment above
+    // the recall oracles)
+    "approx_distinct_tokens" ->
+      s"""SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
+         |       CAST(1 AS BIGINT) AS est_ok
+         |FROM (SELECT lang, unnest($DuckToks) AS tok FROM documents)
+         |GROUP BY lang
+         |UNION ALL
+         |SELECT '*', CAST(count(DISTINCT tok) AS BIGINT),
+         |       CAST(1 AS BIGINT)
+         |FROM (SELECT unnest($DuckToks) AS tok FROM documents)
+         |ORDER BY lang""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars_m,

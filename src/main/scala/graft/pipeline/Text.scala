@@ -319,6 +319,30 @@ object Text {
       .filter(budget > lit(0L) && col(cumName) <= budget)
   }
 
+  /** Per-group HLL distinct-token sketches (Apache DataSketches via Spark's
+    * `hll_sketch_agg`) with their estimates — the scale path for "how many
+    * distinct tokens/users/urls per domain" questions where exact
+    * `count_distinct` would shuffle the full key set: sketch state is a few
+    * KB per group regardless of cardinality, partial-aggregates map-side,
+    * and sketches MERGE, so per-partition/per-day/per-domain sketches roll
+    * up without touching raw data again ([[mergeSketchEstimate]]).
+    * `lgK`=12 ⇒ ~1.6% standard error.
+    */
+  def distinctTokenSketch(df: DataFrame, textCol: String, groupCol: String,
+      lgK: Int = 12): DataFrame =
+    fanOut(df)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__token"))
+      .groupBy(groupCol)
+      .agg(expr(s"hll_sketch_agg(__token, $lgK)").as("sketch"))
+      .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
+
+  /** Merge a frame of HLL sketches into one global (sketch, estimate) row —
+    * the roll-up step proving sketch mergeability. */
+  def mergeSketchEstimate(sketches: DataFrame,
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(expr(s"hll_union_agg($sketchCol, true)").as("sketch"))
+      .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
+
   /** Email/phone patterns shared by [[scrubPii]] and the count expressions.
     * Deliberately simple constructs (classes, bounded repeats) that behave
     * identically under Java regex (Spark) and RE2 (DuckDB), keeping the

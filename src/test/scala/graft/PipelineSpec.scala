@@ -185,6 +185,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
   }
 
+  test("HLL token sketches: exact at small cardinality, merge == direct") {
+    val df = docs.withColumn("dom",
+      when($"doc_id" < 3, lit("x")).otherwise(lit("y")))
+    val sk = Text.distinctTokenSketch(df, "text", "dom")
+    val est = sk.collect()
+      .map(r => r.getAs[String]("dom") -> r.getAs[Long]("estimate")).toMap
+    // HLL is exact far below sketch capacity: estimates equal true counts
+    val exact = df.select($"dom", explode(Text.tokens($"text")).as("t"))
+      .groupBy("dom").agg(count_distinct($"t").as("n")).collect()
+      .map(r => r.getAs[String]("dom") -> r.getAs[Long]("n")).toMap
+    assert(est == exact)
+    // union of the two domain sketches == one sketch over everything
+    val merged = Text.mergeSketchEstimate(sk.select("sketch"))
+      .collect()(0).getAs[Long]("estimate")
+    val direct = Text.distinctTokenSketch(
+      df.withColumn("g", lit(1)), "text", "g")
+      .collect()(0).getAs[Long]("estimate")
+    assert(merged == direct)
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
