@@ -1031,6 +1031,37 @@ object SparkEntry {
         .crossJoin(exactP.agg(count(lit(1)).as("total")))
         .select((col("hits") >= col("total") * 0.9).cast("long").as("recall_ok"))
     }),
+    "semdedup_recall" -> ((s, d) => {
+      // SemDeDup tier: kmeans cells as the candidate buckets. Planted ±1%
+      // twins (cos ≈ 0.9999) must be recovered through TRAINED cells —
+      // >= 90% of the exact >= 0.99-cosine pairs (the pair stage verifies
+      // cosine exactly, so precision is 1 by construction; only a twin
+      // straddling a cell boundary can be missed)
+      val base = t(s, d, "embeddings").filter(col("vec_id") < 500)
+        .select("vec_id", "embedding")
+      val pert = udf((v: Seq[Float], id: Long) => {
+        val out = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          val h = scala.util.hashing.MurmurHash3.productHash((id, i, 777))
+          out(i) = v(i) *
+            (1.0f + 0.02f * ((h & 0xffffff).toFloat / 0x1000000.toFloat - 0.5f))
+          i += 1
+        }
+        out
+      })
+      val dups = base.select((col("vec_id") + 100000L).as("vec_id"),
+        pert(col("embedding"), col("vec_id")).as("embedding"))
+      val both = base.unionByName(dups)
+      val exactP = Dedup.embeddingNearDups(both, "vec_id", "embedding",
+        threshold = 0.99, dims = 64, exact = true).select("id1", "id2")
+      val semP = Similarity.semDedupPairs(both, k = 8, iters = 2, tau = 0.99)
+        .select("id1", "id2")
+      exactP.join(semP, Seq("id1", "id2"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(exactP.agg(count(lit(1)).as("total")))
+        .select((col("hits") >= col("total") * 0.9).cast("long").as("recall_ok"))
+    }),
     "dedup_minhash_lsh_recall" -> ((s, d) => {
       // MinHash-LSH + verify vs the exact inverted-index path on the real
       // documents table — candidate generation must surface >= 90% of true
@@ -1871,6 +1902,7 @@ object SparkEntry {
     "knn_ivf_trained" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "semdedup_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_minhash_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     // match gate: fast-path (xxhash64) verified pair set ≡ md5-twin set —
     // with dedup_minhash_oracle hash-proving the md5 set itself, this

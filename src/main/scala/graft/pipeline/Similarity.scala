@@ -204,6 +204,40 @@ object Similarity {
       cosine(col(qvecCol), col(vecCol)))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): k-means-cluster the embedding space, then emit
+    * within-cluster pairs whose cosine clears `tau` — semantically
+    * near-identical documents that survive text-level dedup (paraphrases,
+    * re-encodes, translations of boilerplate). Keep-one policy: drop every
+    * id appearing as the larger member of a pair ([[semDeduped]]).
+    *
+    * Scale shape: the cluster plays the LSH-bucket role — pairs are only
+    * scored within a cell, so the self-join shuffles on `cid` and costs
+    * sum(cell²), never corpus². k grows with the corpus (SemDeDup uses
+    * ~√n clusters) to hold cells at a bounded size; cells are independent,
+    * so the verify stage parallelizes across them. Identical join children
+    * → ReuseExchange runs the kmeans assignment once, not per side.
+    */
+  def semDedupPairs(corpus: DataFrame, k: Int, iters: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeans(corpus, k, iters, idCol, vecCol)
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+    assigned.alias("l").join(assigned.alias("r"), col("l.cid") === col("r.cid"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id1"), col(s"r.$idCol").as("id2"),
+        cosine(col(s"l.$vecCol"), col(s"r.$vecCol")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** Rows surviving [[semDedupPairs]] under keep-the-smaller-id. */
+  def semDeduped(corpus: DataFrame, k: Int, iters: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val drops = semDedupPairs(corpus, k, iters, tau, idCol, vecCol)
+      .select(col("id2").as(idCol)).distinct()
+    corpus.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Persist an [[ivfAssign]]ed corpus with the cell id as the storage
     * partition key — the IVF index at rest. Each cell is a directory, so a
     * probe filtering on `cid` prunes at file-listing time (PartitionFilters)

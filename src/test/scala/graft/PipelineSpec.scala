@@ -515,6 +515,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("semDedup finds planted twins inside kmeans cells, keeps min ids") {
+    // clustered base vectors plus a near-identical twin of each (twin id =
+    // base id + 1000): every (base, twin) pair must surface, and dedup
+    // keeps exactly the base ids
+    val dims = 16
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val base = (0L until 40L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    val twins = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 1.001f)) }
+    val all = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = Similarity.semDedupPairs(all, k = 4, iters = 2, tau = 0.999)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val twinPairs = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    assert(twinPairs.subsetOf(pairs.toSet)) // every twin pair found
+    val kept = Similarity.semDeduped(all, k = 4, iters = 2, tau = 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 40L).forall(kept.contains)) // min ids survive
+    assert(base.map(_._1 + 1000L).forall(i => !kept.contains(i)))
+  }
+
   test("multi-table LSH lifts recall over a single table") {
     val dims = 16
     val rnd = new scala.util.Random(21)
