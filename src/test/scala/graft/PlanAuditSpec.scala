@@ -105,6 +105,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window ["), p) // threshold impl: filter, not window
   }
 
+  test("text_contamination: eval shingle probe broadcasts, no cartesian") {
+    val p = plan("text_contamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // per-doc hit counts combine map-side
+  }
+
+  test("sampling prefix-sums: windows bucketed, offsets broadcast") {
+    for (q <- Seq("mix_sample", "sample_stratified")) {
+      val p = plan(q)
+      // the wide window must be partitioned on (domain, bucket) — a
+      // per-domain-only window would serialize each domain's corpus
+      // through one task
+      assert(p.matches(
+        "(?s).*windowspecdefinition\\(lang#\\d+, __bucket#\\d+.*"),
+        s"$q wide window not (domain, bucket)-partitioned:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p") // offsets join
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("text_dup_ngrams: distributed top-k, map-side-combined df count") {
+    val p = plan("text_dup_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p) // no global sort
+    assert(p.contains("partial_"), p)
+  }
+
+  test("approx_distinct_tokens: sketch aggregation is two-phase") {
+    val p = plan("approx_distinct_tokens")
+    assert(p.contains("partial_hll_sketch_agg") ||
+      (p.contains("partial_") && p.contains("hll_sketch_agg")), p)
+  }
+
   test("knn_ivf_stored: probe prunes the cell-partitioned index scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
