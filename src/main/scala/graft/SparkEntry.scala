@@ -1166,6 +1166,21 @@ object SparkEntry {
       runStreamToTable(s, matches, "stream_neardup_out")
         .orderBy("id1", "id2")
     }),
+    "stream_contamination" -> ((s, d) => {
+      // the decontamination gate on the ingest stream: train docs streamed,
+      // eval shingle set static — stateless probe, so the emitted rows are
+      // exactly the batch contamination result (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      val evalDf = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(97L)) === 0)
+      val out = graft.streaming.StreamIngest.streamingContamination(
+        src, evalDf, "doc_id", "text")
+      runStreamToTable(s, out, "stream_contamination_out").orderBy("doc_id")
+    }),
     "stream_quantize" -> ((s, d) => {
       // stateless streaming feature extraction: the exact-arithmetic int8
       // quantizer runs unchanged inside a micro-batch pipeline — no
@@ -2017,6 +2032,9 @@ object SparkEntry {
       ("sessionize_chunked_stats" -> base("sessionize_stats")) +
       // stateless streaming quantization emits every row with the exact
       // batch arithmetic, so it shares embed_quantize's value oracle
-      ("stream_quantize" -> base("embed_quantize"))
+      ("stream_quantize" -> base("embed_quantize")) +
+      // the stateless streaming contamination probe emits exactly the
+      // batch result (literal eval set, same shingle arithmetic)
+      ("stream_contamination" -> base("text_contamination"))
   }
 }

@@ -251,6 +251,39 @@ object StreamIngest {
         graft.pipeline.Similarity.quantizeInt8(col(vecCol)).as("qs"))
       .select(col(idCol), col("qs.q").as("q"), col("qs.max_abs").as("max_abs"))
 
+  /** Streaming benchmark-contamination probe: flag incoming documents that
+    * share word n-gram shingles with a static eval corpus — the
+    * decontamination gate an incremental-ingest pipeline runs before a doc
+    * reaches the training set. The eval shingle set is index metadata (a
+    * benchmark suite is bounded by contract), so it embeds in the plan as a
+    * literal array and the probe is a STATELESS narrow map
+    * (`array_intersect` against each doc's shingle set): no watermark, no
+    * state store, no stream-side shuffle — per-batch work proportional to
+    * batch size alone at any corpus scale. Same output contract as the
+    * batch [[graft.pipeline.Dedup.contamination]], whose oracle it shares
+    * when the streamed corpus is the train side.
+    */
+  def streamingContamination(stream: DataFrame, evalDf: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
+    import graft.pipeline.Text
+    val evalSh: Seq[String] = evalDf
+      .select(explode(Text.shingleSetUdf(shingleSize)(col(textCol))).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val evalLit =
+      if (evalSh.isEmpty) array().cast("array<string>")
+      else array(evalSh.map(lit): _*)
+    stream
+      .select(col(idCol),
+        Text.shingleSetUdf(shingleSize)(col(textCol)).as("__set"))
+      .withColumn("n_shingles", size(col("__set")).cast("long"))
+      .withColumn("n_hits",
+        size(array_intersect(col("__set"), evalLit)).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_shingles"))
+          .as("contamination"))
+  }
+
   /** Streaming near-duplicate detection against a static reference corpus —
     * the incremental-ingest dedup shape: incoming documents are LSH-probed
     * into a prebuilt band-bucket index of the existing training set, and

@@ -164,6 +164,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0)._1 == 1L && out(0)._2 == 10L && out(0)._3 > 0.5)
   }
 
+  test("streaming contamination probes incoming docs against a literal eval set") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-contam-in")
+    val evalDf = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    // doc 10 = verbatim eval leak (7/7 trigrams), doc 11 clean
+    Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "yet another unrelated document with its own vocabulary here")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "in").getPath)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(new java.io.File(dir, "in").getPath)
+    val flagged = StreamIngest.streamingContamination(
+      src, evalDf, "doc_id", "text")
+    val q = StreamIngest.runToMemory(flagged, "contam_out")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("contam_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 7L, 7L)))
+  }
+
   test("persistStream writes sorted parquet blocks per micro-batch") {
     val inDir = SparkTestBase.tempDir("graft-stream-in2")
     val outDir = SparkTestBase.tempDir("graft-stream-out")
