@@ -843,6 +843,21 @@ object SparkEntry {
       Text.packSequences(t(s, d, "documents"), "doc_id", "text",
         contextLen = 256, numBuckets = 8)
         .orderBy("doc_id")),
+    "text_length_filter" -> ((s, d) =>
+      // relative outlier cut: keep docs inside their language's exact
+      // [12.5%, 87.5%] token-count band (dyadic p → bit-exact interpolation
+      // in both engines)
+      Text.filterByLengthQuantiles(t(s, d, "documents"), "doc_id", "text",
+        "lang", pLo = 0.125, pHi = 0.875)
+        .select("doc_id", "lang", "n_tokens", "p_lo", "p_hi")
+        .orderBy("doc_id")),
+    "text_pack_manifest" -> ((s, d) =>
+      // the dataloader-facing index of the packed layout: per context
+      // window, its contributing docs and exact fill (256 everywhere but
+      // each bucket's final pack)
+      Text.packManifest(t(s, d, "documents"), "doc_id", "text",
+        contextLen = 256, numBuckets = 8)
+        .orderBy("bucket", "pack")),
     "text_tfidf" -> ((s, d) =>
       // integer TF-IDF components, top-3 terms per doc (tf desc, token
       // asc): the raw counts the weighting formula is computed from —
@@ -1743,6 +1758,43 @@ object SparkEntry {
          |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 256
          |       ELSE "offset" // 256 END AS pack_last
          |FROM o ORDER BY doc_id""".stripMargin,
+    "text_length_filter" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, CAST(len($DuckToks) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), b AS (
+         |  SELECT lang, quantile_cont(n_tokens, 0.125) AS p_lo,
+         |         quantile_cont(n_tokens, 0.875) AS p_hi
+         |  FROM tk GROUP BY lang
+         |)
+         |SELECT doc_id, tk.lang, n_tokens, p_lo, p_hi
+         |FROM tk JOIN b USING (lang)
+         |WHERE n_tokens >= p_lo AND n_tokens <= p_hi
+         |ORDER BY doc_id""".stripMargin,
+    "text_pack_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS bucket,
+         |    CAST(len($DuckToks) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS "offset"
+         |  FROM t
+         |), p AS (
+         |  SELECT doc_id, bucket, n_tokens, "offset",
+         |    unnest(generate_series("offset" // 256,
+         |      ("offset" + n_tokens - 1) // 256)) AS pack
+         |  FROM o WHERE n_tokens > 0
+         |)
+         |SELECT bucket, pack, count(*) AS n_docs, min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc,
+         |  sum(least("offset" + n_tokens, (pack + 1) * 256) -
+         |      greatest("offset", pack * 256)) AS n_tokens
+         |FROM p GROUP BY bucket, pack
+         |ORDER BY bucket, pack""".stripMargin,
     // mirrors Text.tfIdfTopK: tf per (doc, token), df per token over the
     // tf table, deterministic top-3 window
     "text_tfidf" ->

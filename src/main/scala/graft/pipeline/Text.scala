@@ -343,6 +343,53 @@ object Text {
     sketches.agg(expr(s"hll_union_agg($sketchCol, true)").as("sketch"))
       .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
 
+  /** Percentile-band length filter: keep documents whose token count lies
+    * within the exact [`pLo`, `pHi`] quantiles of their group's length
+    * distribution — the RELATIVE outlier cut (too short/long for their
+    * domain) a quality pipeline applies after absolute thresholds, so one
+    * rule serves domains with very different natural lengths. Exact
+    * interpolating `percentile` (bit-identical to DuckDB `quantile_cont`
+    * on integer inputs with dyadic p — see `text_length_quantiles`); the
+    * per-group bound table is tiny and broadcasts back onto the corpus.
+    * At extreme group cardinality swap in `approx_percentile` — the plan
+    * shape (agg + broadcast join + filter) is unchanged.
+    */
+  def filterByLengthQuantiles(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, pLo: Double, pHi: Double): DataFrame = {
+    val toks = fanOut(df).select(col(idCol), col(groupCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val bounds = toks.groupBy(groupCol).agg(
+      expr(s"percentile(n_tokens, $pLo)").as("p_lo"),
+      expr(s"percentile(n_tokens, $pHi)").as("p_hi"))
+    toks.join(broadcast(bounds), Seq(groupCol))
+      .filter(col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi"))
+  }
+
+  /** Pack manifest: the per-context-window index a training dataloader
+    * reads — for every (stream bucket, pack) of [[packSequences]]' layout,
+    * the documents contributing tokens to that window, with the exact
+    * token count each window holds. Every pack is exactly `contextLen`
+    * full except the last one per bucket (the invariant the spec pins).
+    * One explode over the docs' spanned-pack ranges + one
+    * map-side-combinable aggregation keyed on (bucket, pack); a doc spans
+    * `1 + n_tokens/contextLen` packs at most, so the explode fan-out is
+    * bounded by corpus tokens / contextLen.
+    */
+  def packManifest(df: DataFrame, idCol: String, textCol: String,
+      contextLen: Int, numBuckets: Int = 8): DataFrame = {
+    val c = lit(contextLen.toLong)
+    packSequences(df, idCol, textCol, contextLen, numBuckets)
+      .filter(col("n_tokens") > 0)
+      .withColumn("pack", explode(sequence(col("pack_first"), col("pack_last"))))
+      .withColumn("__tip",
+        least(col("offset") + col("n_tokens"), (col("pack") + 1) * c) -
+          greatest(col("offset"), col("pack") * c))
+      .groupBy("bucket", "pack")
+      .agg(count(lit(1)).as("n_docs"),
+        min(idCol).as("first_doc"), max(idCol).as("last_doc"),
+        sum("__tip").as("n_tokens"))
+  }
+
   /** Email/phone patterns shared by [[scrubPii]] and the count expressions.
     * Deliberately simple constructs (classes, bounded repeats) that behave
     * identically under Java regex (Spark) and RE2 (DuckDB), keeping the

@@ -205,6 +205,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("length-quantile filter keeps the inner band per group") {
+    // group g: lengths 1..8 tokens; p=[0.125, 0.875] → bounds 1.875/7.125
+    // → keep lengths 2..7. Group h is untouched by g's bounds.
+    val df = ((1 to 8).map(n => (n.toLong, ("w " * n).trim, "g")) ++
+      Seq((100L, "a", "h"))).toDF("doc_id", "text", "grp")
+    val out = Text.filterByLengthQuantiles(df, "doc_id", "text", "grp",
+      pLo = 0.125, pHi = 0.875).collect()
+    val gKept = out.filter(_.getAs[String]("grp") == "g")
+      .map(_.getAs[Long]("n_tokens")).sorted
+    assert(gKept.toSeq == (2L to 7L))
+    // a single-doc group is its own p_lo == p_hi == length → kept
+    assert(out.exists(r => r.getAs[String]("grp") == "h" &&
+      r.getAs[Long]("n_tokens") == 1L))
+  }
+
+  test("pack manifest: every pack full except each bucket's last") {
+    val ctx = 16
+    val df = (0L until 30L)
+      .map(i => (i, ("tok " * (3 + (i % 7)).toInt).trim))
+      .toDF("doc_id", "text")
+    val m = Text.packManifest(df, "doc_id", "text", ctx, numBuckets = 4)
+      .collect()
+      .map(r => ((r.getAs[Long]("bucket"), r.getAs[Long]("pack")),
+        r.getAs[Long]("n_tokens"))).toMap
+    val lastPack = m.keys.groupBy(_._1).map { case (b, ks) =>
+      b -> ks.map(_._2).max }
+    m.foreach { case ((b, p), n) =>
+      if (p == lastPack(b)) assert(n <= ctx && n > 0, s"bucket $b last pack $n")
+      else assert(n == ctx, s"bucket $b pack $p holds $n, want $ctx")
+    }
+    // token conservation: manifest totals == per-doc totals
+    val total = df.select(Text.tokenCount($"text").cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(m.values.sum == total)
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
