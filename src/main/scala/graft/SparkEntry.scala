@@ -719,6 +719,19 @@ object SparkEntry {
       graft.pipeline.Pipelines.curate(t(s, d, "documents"), "doc_id", "text")
         .select("doc_id", "lang_pred", "n_tokens")
         .orderBy("doc_id")),
+    "pipeline_train_prep" -> ((s, d) => {
+      // the WHOLE prep job end to end: scrub → quality/langid/dedup curate
+      // → benchmark decontamination → per-language token-budget mixing →
+      // sequence packing. One call from raw docs to the trainer-facing
+      // packed layout, every stage an individually-oracled operator
+      val docs = t(s, d, "documents")
+      graft.pipeline.Pipelines.trainPrep(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0), "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0),
+        Map("en" -> 2000L, "de" -> 600L, "es" -> 600L, "fr" -> 500L),
+        contextLen = 128, numBuckets = 4)
+        .orderBy("doc_id")
+    }),
     "dedup_simhash" -> ((s, d) =>
       // maxHamming=3 → 4×16-bit pigeonhole blocks: complete recall with
       // wide buckets (64-bit-key joins), the scale-safe operating point.
@@ -1286,6 +1299,59 @@ object SparkEntry {
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** DuckDB-side PII scrub (must mirror [[Text.scrubPii]]). */
+  private def duckScrubSql(textExpr: String): String =
+    s"""regexp_replace(regexp_replace($textExpr,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')""".stripMargin
+
+  /** The curate oracle's CTE chain (feat → … → drops), parameterized on the
+    * source relation (must expose doc_id, text) so compositions
+    * (pipeline_train_prep) reuse it over a pre-scrubbed/filtered source.
+    * Survivors = `SELECT … FROM ex WHERE doc_id NOT IN (SELECT id2 FROM
+    * drops)`. */
+  private def curateCtesSql(src: String): String =
+    s"""feat AS (
+       |  SELECT doc_id, text, CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+       |    ${langScoreSql(Text.StopwordsDe)} AS s_de,
+       |    ${langScoreSql(Text.StopwordsEn)} AS s_en,
+       |    ${langScoreSql(Text.StopwordsEs)} AS s_es,
+       |    ${langScoreSql(Text.StopwordsFr)} AS s_fr
+       |  FROM $src
+       |), kept AS (
+       |  SELECT doc_id, text, n_tokens, $langCaseSql AS lang_pred
+       |  FROM feat WHERE n_tokens BETWEEN 20 AND 70
+       |), fp AS (
+       |  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
+       |  FROM kept
+       |), ex AS (
+       |  SELECT * FROM fp
+       |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
+       |), t2 AS (
+       |  SELECT doc_id, $DuckToks AS toks FROM ex
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ')
+       |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS s
+       |  FROM t2
+       |), e0 AS (
+       |  SELECT doc_id, unnest(s) AS tok FROM sh
+       |), stop AS (
+       |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) >
+       |    greatest(20, ((SELECT count(*) FROM ex) * 5) // 1000)
+       |), e AS (
+       |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
+       |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
+       |), p AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
+       |         count(*) AS shared
+       |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |), drops AS (
+       |  SELECT DISTINCT id2 FROM p
+       |  WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3
+       |)""".stripMargin
+
   /** The exact shingle-Jaccard pair query (mirrors [[Dedup.jaccardPairs]]
     * incl. the corpus-relative df cap), WITHOUT an ORDER BY so it can serve
     * both as the `dedup_jaccard_pairs` oracle and as the edge-list CTE of
@@ -1400,49 +1466,67 @@ object SparkEntry {
          |         AS is_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "pipeline_curate" ->
-      s"""WITH feat AS (
-         |  SELECT doc_id, text, CAST(len($DuckToks) AS BIGINT) AS n_tokens,
-         |    ${langScoreSql(Text.StopwordsDe)} AS s_de,
-         |    ${langScoreSql(Text.StopwordsEn)} AS s_en,
-         |    ${langScoreSql(Text.StopwordsEs)} AS s_es,
-         |    ${langScoreSql(Text.StopwordsFr)} AS s_fr
-         |  FROM documents
-         |), kept AS (
-         |  SELECT doc_id, text, n_tokens, $langCaseSql AS lang_pred
-         |  FROM feat WHERE n_tokens BETWEEN 20 AND 70
-         |), fp AS (
-         |  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS f
-         |  FROM kept
-         |), ex AS (
-         |  SELECT * FROM fp
-         |  WHERE doc_id IN (SELECT min(doc_id) FROM fp GROUP BY f)
-         |), t2 AS (
-         |  SELECT doc_id, $DuckToks AS toks FROM ex
-         |), sh AS (
-         |  SELECT doc_id, list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ')
-         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS s
-         |  FROM t2
-         |), e0 AS (
-         |  SELECT doc_id, unnest(s) AS tok FROM sh
-         |), stop AS (
-         |  SELECT tok FROM e0 GROUP BY tok HAVING count(*) >
-         |    greatest(20, ((SELECT count(*) FROM ex) * 5) // 1000)
-         |), e AS (
-         |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
-         |  FROM e0 WHERE tok NOT IN (SELECT tok FROM stop)
-         |), p AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2,
-         |         count(*) AS shared
-         |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4
-         |), drops AS (
-         |  SELECT DISTINCT id2 FROM p
-         |  WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.3
-         |)
+      s"""WITH ${curateCtesSql("documents")}
          |SELECT doc_id, lang_pred, n_tokens FROM ex
          |WHERE doc_id NOT IN (SELECT id2 FROM drops)
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_train_prep" ->
+      s"""WITH scr AS (
+         |  SELECT doc_id, ${duckScrubSql("text")} AS text
+         |  FROM documents WHERE doc_id % 97 <> 0
+         |), ${curateCtesSql("scr")}, cur AS (
+         |  SELECT doc_id, text, lang_pred, n_tokens FROM ex
+         |  WHERE doc_id NOT IN (SELECT id2 FROM drops)
+         |), escr AS (
+         |  SELECT doc_id, ${duckScrubSql("text")} AS text
+         |  FROM documents WHERE doc_id % 97 = 0
+         |), et AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM escr
+         |), esh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM et
+         |), ev AS (
+         |  SELECT DISTINCT unnest(sh) AS tok FROM esh
+         |), ct AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM cur
+         |), csh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM ct
+         |), contam AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM csh) JOIN ev USING (tok)
+         |), cln AS (
+         |  SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+         |), mx0 AS (
+         |  SELECT doc_id, lang_pred, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang_pred
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         |    CASE lang_pred WHEN 'en' THEN 2000 WHEN 'de' THEN 600
+         |                   WHEN 'es' THEN 600 WHEN 'fr' THEN 500
+         |                   ELSE 0 END AS b
+         |  FROM cln
+         |), mx AS (
+         |  SELECT doc_id, lang_pred, n_tokens, cum_tokens FROM mx0
+         |  WHERE b > 0 AND cum_tokens <= b
+         |), o AS (
+         |  SELECT doc_id, lang_pred, n_tokens, cum_tokens,
+         |    doc_id % 4 AS bucket,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 4
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS "offset"
+         |  FROM mx
+         |)
+         |SELECT doc_id, lang_pred, n_tokens, cum_tokens, bucket, "offset",
+         |  "offset" // 128 AS pack_first,
+         |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // 128
+         |       ELSE "offset" // 128 END AS pack_last
+         |FROM o ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -42,4 +42,45 @@ object Pipelines {
       .select(col("id2").as(idCol)).distinct()
     exactKept.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  /** The full training-data preparation job — [[curate]] extended with the
+    * ingest-side and packaging stages, one call from raw corpus to the
+    * packed layout a trainer consumes:
+    *
+    *   PII scrub → quality/length filter + language ID → exact dedup →
+    *   near-dup removal → benchmark decontamination → domain mixing to
+    *   per-language token budgets → sequence packing.
+    *
+    * Stage order follows practice: scrub BEFORE anything hashes text (PII
+    * must not reach fingerprints or shingles), decontaminate AFTER dedup
+    * (fewer docs to probe), mix after cleaning (budgets buy clean tokens),
+    * pack last (the layout covers exactly the final corpus). Emits one row
+    * per packed doc: language, token count, its domain's running total,
+    * and its (bucket, offset, pack span) in the packed layout.
+    *
+    * Every stage is an individually-oracled operator; the composition adds
+    * no new shuffle shapes — see each operator's Scaladoc for its 100 TB
+    * story.
+    */
+  def trainPrep(df: DataFrame, idCol: String, textCol: String,
+      evalDf: DataFrame, budgets: Map[String, Long],
+      minTokens: Int = 20, maxTokens: Int = 70,
+      nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
+      contextLen: Int = 256, numBuckets: Int = 8): DataFrame = {
+    def scrub(f: DataFrame) =
+      f.withColumn(textCol, Text.scrubPii(col(textCol)))
+    val curated = curate(scrub(df), idCol, textCol, minTokens, maxTokens,
+      nearDupThreshold, shingleSize)
+    val contam = Dedup.contamination(curated, scrub(evalDf), idCol, textCol,
+      shingleSize).select(col(idCol))
+    val clean = curated.join(contam, Seq(idCol), "left_anti")
+    val mixed = Text.mixSample(clean, idCol, textCol, "lang_pred", budgets)
+    val docs = clean.select(col(idCol), col(textCol), col("lang_pred"))
+      .join(mixed.select(col(idCol), col("cum_tokens")), Seq(idCol))
+    Text.packSequences(docs, idCol, textCol, contextLen, numBuckets)
+      .join(docs.drop(textCol), Seq(idCol))
+      .select(col(idCol), col("lang_pred"), col("n_tokens"),
+        col("cum_tokens"), col("bucket"), col("offset"),
+        col("pack_first"), col("pack_last"))
+  }
 }

@@ -241,6 +241,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.values.sum == total)
   }
 
+  test("trainPrep end-to-end invariants on the real corpus") {
+    val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val budgets = Map("en" -> 2000L, "de" -> 600L, "es" -> 600L, "fr" -> 500L)
+    val out = graft.pipeline.Pipelines.trainPrep(
+      docs.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      docs.filter($"doc_id" % 97 === 0), budgets,
+      contextLen = 128, numBuckets = 4).collect()
+    assert(out.nonEmpty)
+    // no eval doc reaches the training layout
+    assert(out.forall(_.getAs[Long]("doc_id") % 97 != 0))
+    // no contaminated doc: recompute overlap for the survivors
+    val survivors = out.map(_.getAs[Long]("doc_id")).toSet
+    val evalSh = docs.filter($"doc_id" % 97 === 0)
+      .select(explode(Text.shingles($"text", 3)).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val overlapping = docs
+      .filter($"doc_id".isInCollection(survivors))
+      .select($"doc_id", Text.shingles($"text", 3).as("sh")).collect()
+      .filter(_.getSeq[String](1).exists(evalSh.contains))
+    assert(overlapping.isEmpty,
+      s"contaminated survivors: ${overlapping.map(_.getLong(0)).toSeq}")
+    // domain budgets respected, packs laid out consistently per bucket
+    out.groupBy(_.getAs[String]("lang_pred")).foreach { case (l, rows) =>
+      assert(rows.map(_.getAs[Long]("cum_tokens")).max <= budgets(l))
+    }
+    out.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("offset") == off)
+        off += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
