@@ -163,6 +163,41 @@ object ScaleProbe {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkewJoin)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
+    // ---- mixture sampling: bucketed prefix sum vs naive domain window ---
+    // worst case for the naive shape: ONE domain owns the whole corpus, so
+    // Window.partitionBy(domain) serializes every row through a single
+    // task; the bucketed prefix sum spreads the same cumsum over 256
+    // buckets. Budget keeps ~half the corpus so both paths do comparable
+    // output work. (At this local scale the narrow tokenize stage
+    // dominates both plans — the honest expectation is parity-to-modest
+    // speedup here, with the single-task sort/memory wall being the real
+    // 100 TB failure mode the bucketed shape removes.)
+    {
+      import graft.pipeline.Text
+      import org.apache.spark.sql.expressions.Window
+      val oneDomain = docScaled.select(col("doc_id"),
+        lit("all").as("lang"), col("text"))
+      val halfTokens = oneDomain
+        .select(sum(Text.tokenCount(col("text")).cast("long"))).collect()(0)
+        .getLong(0) / 2
+      val budgets = Map("all" -> halfTokens)
+      def naive(): Long = {
+        val budget = lit(halfTokens)
+        val w = Window.partitionBy("lang")
+          .orderBy(col("__key"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        oneDomain.select(col("doc_id"), col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("__key"))
+          .withColumn("cum_tokens", sum("n_tokens").over(w))
+          .filter(col("cum_tokens") <= budget).count()
+      }
+      reportPair(s"mix_sample_1dom_${docK}x",
+        naive(),
+        Text.mixSample(oneDomain, "doc_id", "text", "lang", budgets).count(),
+        la = "window", lb = "bucketed")
+    }
+
     // ---- float vs int8 brute scoring over the stored corpus -------------
     // same ranking work (200 queries × full corpus), float vectors vs the
     // 4×-smaller quantized bytes through the integer codegen cosine
