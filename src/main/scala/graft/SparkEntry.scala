@@ -24,6 +24,10 @@ object SparkEntry {
     java.util.UUID.randomUUID().toString.take(8)
   private val ivfStorePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-dataset cache for the stream-maintained IVF index (base write +
+    * one streaming ingest per process per dataset). */
+  private val streamIvfPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Collision-free dataset-dir discriminator for scratch paths/table names
     * (32-bit hashCode collisions are easy to hit across many dirs). */
@@ -958,6 +962,40 @@ object SparkEntry {
       })
       Similarity.ivfKnnStored(s, path, cents, q, k = 5, nprobe = 3)
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    }),
+    "stream_ivf_ingest" -> ((s, d) => {
+      // index freshness: the corpus's first 400 vectors are written at rest,
+      // the remainder arrive THROUGH THE STREAM (per-batch assign + cell-dir
+      // append), and the stored probe over the merged index must equal the
+      // batch knn_ivf over the full corpus — so it shares that value oracle
+      Tables.configure(s)
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val path = streamIvfPaths.computeIfAbsent(d, dir => {
+        val base = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-sivf-$processId-${dirTag(dir)}")
+        val p = new java.io.File(base, "idx").getPath
+        Similarity.writeIvf(
+          Similarity.ivfAssign(emb.filter(col("vec_id") < 400), cents), p)
+        val schema = emb.schema
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") >= 400)
+        val qy = graft.streaming.StreamIngest.ivfIngest(src, cents, p,
+          new java.io.File(base, "ck").getPath)
+        if (!qy.awaitTermination(300000)) {
+          qy.stop()
+          throw new IllegalStateException("ivf ingest stream did not finish")
+        }
+        p
+      })
+      Similarity.ivfKnnStored(s, path, cents, q, k = 5, nprobe = 3)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
     }),
     // ---- recall gates: approximation quality as oracle-checkable facts ----
@@ -2171,6 +2209,10 @@ object SparkEntry {
       ("stream_quantize" -> base("embed_quantize")) +
       // the stateless streaming contamination probe emits exactly the
       // batch result (literal eval set, same shingle arithmetic)
-      ("stream_contamination" -> base("text_contamination"))
+      ("stream_contamination" -> base("text_contamination")) +
+      // the stream-maintained index holds exactly the batch assignment
+      // (same centroids, same arithmetic, only arrival path differs), so
+      // the stored probe shares knn_ivf's value oracle
+      ("stream_ivf_ingest" -> base("knn_ivf"))
   }
 }

@@ -377,6 +377,32 @@ object StreamIngest {
         col("jaccard"))
   }
 
+  /** Streaming IVF index maintenance — the freshness path of the ANN-at-
+    * rest story: each incoming vector is assigned to its nearest (static)
+    * centroid and APPENDED into the cell-partitioned index that
+    * [[graft.pipeline.Similarity.writeIvf]] laid down. New vectors land as
+    * new parquet files inside their cell directory, so probes
+    * ([[graft.pipeline.Similarity.ivfKnnStored]]) see them on the next
+    * scan — no index rebuild, no rewrite of existing files, and the
+    * partition-pruned probe shape is unchanged. Per micro-batch: one
+    * broadcast-centroid assignment (narrow) + a `partitionBy(cid)` append;
+    * the accumulation of small per-batch files is the same compaction
+    * story as the metrics store's blocks. Centroids stay fixed between
+    * retrainings, exactly like a production IVF serving index.
+    */
+  def ivfIngest(stream: DataFrame, centroids: DataFrame, path: String,
+      checkpointDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Similarity.ivfAssign(batch, centroids, idCol, vecCol)
+          .write.mode("append").partitionBy("cid").parquet(path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Persist a stream to a metrics dir as sorted parquet blocks: one block
     * per micro-batch (the streaming analog of the reference's periodic
     * persist). Returns the running query; caller stops it.

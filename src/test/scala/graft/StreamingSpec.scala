@@ -190,6 +190,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 7L, 7L)))
   }
 
+  test("streaming IVF ingest makes new vectors probe-visible, no rebuild") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val base = SparkTestBase.tempDir("graft-ivf-ingest")
+    val idx = new java.io.File(base, "idx").getPath
+    // two well-separated cells; base corpus holds one vector per cell
+    val cents = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("cid", "cvec")
+    val corpus = Seq((10L, Array(0.9f, 0.1f, 0f)), (11L, Array(0.1f, 0.9f, 0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvf(Similarity.ivfAssign(corpus, cents), idx)
+    val q = Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
+    def top(): Seq[Long] =
+      Similarity.ivfKnnStored(spark, idx, cents, q, k = 2, nprobe = 1,
+          excludeSelf = false)
+        .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(top() == Seq(10L)) // cell 0 holds one vector pre-ingest
+    // stream two new vectors in: 20 lands in cell 0 closer than 10
+    Seq((20L, Array(0.99f, 0.01f, 0f)), (21L, Array(0f, 0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(new java.io.File(base, "in").getPath)
+    val src = spark.readStream.schema(corpus.schema)
+      .parquet(new java.io.File(base, "in").getPath)
+    val qy = StreamIngest.ivfIngest(src, cents, idx,
+      new java.io.File(base, "ck").getPath)
+    qy.processAllAvailable(); qy.stop()
+    assert(top() == Seq(20L, 10L)) // streamed vector visible and ranked first
+    // the base files were appended to, never rewritten: both cells exist
+    val files = new java.io.File(idx).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("cid=")) == 2, files.toSeq)
+  }
+
   test("persistStream writes sorted parquet blocks per micro-batch") {
     val inDir = SparkTestBase.tempDir("graft-stream-in2")
     val outDir = SparkTestBase.tempDir("graft-stream-out")
