@@ -661,6 +661,12 @@ object SparkEntry {
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text").orderBy("fp")),
+    "dedup_keep_best" -> ((s, d) =>
+      // survivor policy: keep the LONGEST raw variant of each duplicate
+      // group (members share normalized text but differ in ws/case, so
+      // raw length discriminates); argmax fold, no window
+      Dedup.exactKeepBest(t(s, d, "documents"), "doc_id", "text",
+        length(col("text")).cast("long")).orderBy("fp")),
     "dedup_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.3, shingleSize = 3).orderBy("id1", "id2")),
@@ -1450,6 +1456,21 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(length(text) AS BIGINT) AS s
+        |  FROM documents
+        |), r AS (
+        |  SELECT fp, doc_id, s,
+        |    count(*) OVER (PARTITION BY fp) AS dup_count,
+        |    row_number() OVER (PARTITION BY fp ORDER BY s DESC, doc_id ASC)
+        |      AS rn
+        |  FROM f
+        |)
+        |SELECT fp, doc_id AS keep_id, s AS score, dup_count
+        |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""$JaccardPairsSqlCore
          |ORDER BY id1, id2""".stripMargin,

@@ -29,6 +29,24 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Exact dedup keeping the BEST representative per duplicate group
+    * rather than the smallest id — the policy real pipelines want (keep
+    * the longest / highest-quality copy; near-identical variants differ in
+    * whitespace, casing, truncation). One map-side-combinable aggregation:
+    * argmax as a `max(struct(score, -id))` fold, no per-group window.
+    * Ties break to the higher score, then the smaller id.
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      score: Column): DataFrame =
+    df.withColumn("fp", Text.fingerprint(col(textCol)))
+      .withColumn("__s", score)
+      .groupBy("fp")
+      .agg(max(struct(col("__s").as("s"),
+          (-col(idCol)).as("negid"))).as("__best"),
+        count(lit(1)).as("dup_count"))
+      .select(col("fp"), (-col("__best.negid")).as("keep_id"),
+        col("__best.s").as("score"), col("dup_count"))
+
   /** Rows surviving exact dedup (representatives only). */
   def exactDeduped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = exact(df, idCol, textCol).select(col("keep_id").as(idCol))

@@ -39,6 +39,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors.toSeq == Seq(0L, 3L, 4L, 5L))
   }
 
+  test("exactKeepBest keeps the highest-scoring variant, min id on ties") {
+    // docs 0,1,2 share a fingerprint; doc 2 has extra whitespace (longest
+    // raw text) → it wins under the length score. 0 vs 1 are identical
+    // (tie) so without 2 the tie-break keeps the smaller id.
+    val out = Dedup.exactKeepBest(docs, "doc_id", "text",
+      length($"text").cast("long")).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(out(2L) == 3L)
+    assert(!out.contains(0L) && !out.contains(1L))
+    val tieOnly = Dedup.exactKeepBest(docs.filter($"doc_id" < 2),
+      "doc_id", "text", length($"text").cast("long")).collect()
+    assert(tieOnly.length == 1 && tieOnly(0).getAs[Long]("keep_id") == 0L)
+  }
+
   test("components labels transitive chains with the min reachable id") {
     // chain 1-2-3-4-5 (diameter 4, needs several propagation rounds),
     // a separate pair {10,11}, and an A<->B edge given in "reversed"
