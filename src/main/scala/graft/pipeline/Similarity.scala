@@ -247,6 +247,37 @@ object Similarity {
       cidCol: String = "cid"): Unit =
     assigned.write.mode("overwrite").partitionBy(cidCol).parquet(path)
 
+  /** Compact an IVF index directory in place: streaming appends
+    * ([[graft.streaming.StreamIngest.ivfIngest]]) accumulate one small
+    * file per (cell, micro-batch), and file-listing cost eventually drags
+    * probe latency — the same small-files story as the metrics store's
+    * blocks. One cid-keyed shuffle rewrites every cell to a single file,
+    * then a two-rename swap (live → .old, .tmp → live) publishes the
+    * compacted tree atomically-enough that a crash leaves a complete copy
+    * under one of the names; readers re-list on next access.
+    */
+  def compactIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      cidCol: String = "cid"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".compact-tmp")
+    val old = new Path(path + ".compact-old")
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .repartition(col(cidCol))
+      .write.mode("overwrite").partitionBy(cidCol).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compactIvf: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back — the original tree is intact
+      throw new java.io.IOException(s"compactIvf: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** IVF probe against a [[writeIvf]]-stored corpus. The query set's probe
     * cells are resolved first and applied as a static `isin` partition
     * filter — the scan lists only those cell directories. The collected

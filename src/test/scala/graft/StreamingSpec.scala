@@ -220,6 +220,14 @@ class StreamingSpec extends AnyFunSuite {
     // the base files were appended to, never rewritten: both cells exist
     val files = new java.io.File(idx).listFiles().map(_.getName).sorted
     assert(files.count(_.startsWith("cid=")) == 2, files.toSeq)
+    // cell 0 now holds base + streamed files; compaction folds each cell
+    // to one file and the probe result is unchanged
+    def cellFiles(c: Long): Int = new java.io.File(idx, s"cid=$c")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(cellFiles(0L) >= 2)
+    Similarity.compactIvf(spark, idx)
+    assert(cellFiles(0L) == 1 && cellFiles(1L) == 1)
+    assert(top() == Seq(20L, 10L))
   }
 
   test("persistStream writes sorted parquet blocks per micro-batch") {
