@@ -997,6 +997,10 @@ object SparkEntry {
           qy.stop()
           throw new IllegalStateException("ivf ingest stream did not finish")
         }
+        // fold the per-batch cell files back to one per cell — the probe
+        // below runs over the COMPACTED tree, gating the whole lifecycle
+        // (write → stream-append → compact → probe) on the value oracle
+        Similarity.compactIvf(s, p)
         p
       })
       Similarity.ivfKnnStored(s, path, cents, q, k = 5, nprobe = 3)
