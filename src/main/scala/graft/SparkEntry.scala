@@ -946,6 +946,21 @@ object SparkEntry {
         .select(col("qid"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("qid", "rank")
     }),
+    "embed_cluster_stats" -> ((s, d) => {
+      // corpus composition by cluster: every vector assigned to its
+      // nearest sampled centroid, per-cell count + id range — the coverage
+      // report IVF/SemDeDup capacity planning reads (cell sizes bound
+      // probe and verify cost). Full value oracle: DuckDB recomputes the
+      // argmax-cosine assignment from the same sampled centroids
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfAssign(emb, cents)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"),
+          max("vec_id").as("max_id"))
+        .orderBy("cid")
+    }),
     "knn_ivf_stored" -> ((s, d) => {
       // knn_ivf probed AT REST: the assignment is persisted with cid as the
       // storage partition key and the probe prunes the scan to the probed
@@ -2159,6 +2174,22 @@ object SparkEntry {
          |)
          |SELECT qid, rank, vec_id, round(cos, 6) AS cos FROM r
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "embed_cluster_stats" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), ct AS (
+         |  SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 0
+         |), asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT c.vec_id, ct.cid,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("ct.cv", "c.v")} DESC, ct.cid ASC) AS rn
+         |    FROM c CROSS JOIN ct
+         |  ) WHERE rn = 1
+         |)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |       min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
     "knn_ivf" ->
       s"""WITH c AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
