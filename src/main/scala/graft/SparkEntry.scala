@@ -887,6 +887,10 @@ object SparkEntry {
       // emitted unweighted so the oracle is exact
       Text.tfIdfTopK(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
+    "text_gopher_filter" -> ((s, d) =>
+      // the composite drop decision (Gopher rules, integer-exact flags)
+      Text.gopherFilter(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "text_repetition" -> ((s, d) =>
       // Gopher-style within-doc repetition signals (duplicate tokens /
       // 3-grams, top-token dominance) as integer counts — the boilerplate
@@ -1981,6 +1985,51 @@ object SparkEntry {
     // mirrors Text.repetitionStats: per-token frequency table for the
     // token stats, list-comprehension 3-gram construction for the shingle
     // stats (docs shorter than 3 tokens join as 0-count rows)
+    "text_gopher_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), f AS (
+         |  SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |  GROUP BY doc_id, tok
+         |), a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    CAST(max(c) AS BIGINT) AS max_freq,
+         |    CAST(sum(c * len(tok)) AS BIGINT) AS sum_len
+         |  FROM f GROUP BY doc_id
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(greatest(len(toks) - 2, 0) AS BIGINT) AS n_3grams,
+         |    CAST(len(list_distinct(
+         |      [array_to_string(toks[i:i+2], ' ')
+         |       for i in generate_series(1, greatest(len(toks)-2, 0))]))
+         |      AS BIGINT) AS n_distinct_3grams
+         |  FROM t
+         |), m AS (
+         |  SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |    coalesce(a.n_distinct, 0) AS n_distinct,
+         |    coalesce(a.max_freq, 0) AS max_freq,
+         |    s.n_3grams, s.n_distinct_3grams,
+         |    coalesce(a.sum_len, 0) AS sum_len
+         |  FROM documents d
+         |  LEFT JOIN a ON d.doc_id = a.doc_id
+         |  JOIN s ON d.doc_id = s.doc_id
+         |), r AS (
+         |  SELECT *,
+         |    CAST(n_tokens BETWEEN 10 AND 200 AS BIGINT) AS len_ok,
+         |    CAST((n_tokens - n_distinct) * 10 <= n_tokens * 3 AS BIGINT)
+         |      AS dup_tok_ok,
+         |    CAST((n_3grams - n_distinct_3grams) * 10 <= n_3grams * 3
+         |      AS BIGINT) AS dup_3gram_ok,
+         |    CAST(max_freq * 5 <= n_tokens AS BIGINT) AS top_tok_ok,
+         |    CAST(n_tokens * 2 <= sum_len AND sum_len <= n_tokens * 12
+         |      AS BIGINT) AS tok_len_ok
+         |  FROM m
+         |)
+         |SELECT *, CAST(len_ok + dup_tok_ok + dup_3gram_ok + top_tok_ok +
+         |    tok_len_ok = 5 AS BIGINT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

@@ -182,6 +182,52 @@ object Text {
         col("__r._5").as("n_distinct_shingles3"))
   }
 
+  /** Gopher-style composite quality filter (Rae et al. 2021, Appendix A —
+    * adapted thresholds): the rule set a pretraining pipeline actually
+    * DROPS on, combining length, duplicate-token/3-gram fractions,
+    * top-token dominance, and mean token length. Every rule is evaluated
+    * as an INTEGER cross-multiplication (e.g. dup-fraction <= 3/10 checked
+    * as `(n - distinct) * 10 <= n * 3`), so the SQL oracle reproduces each
+    * flag bit-exactly — no float thresholds. Emits the raw counters, one
+    * 0/1 flag per rule, and the final `keep`. One narrow UDF pass per doc
+    * (same engine-choice rationale as [[repetitionStats]]).
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, maxTokens: Int = 200): DataFrame = {
+    val f = udf((s: String) => {
+      val toks = tokensScala(if (s == null) "" else s)
+      val counts = new scala.collection.mutable.HashMap[String, Int]()
+      var sumLen = 0L
+      toks.foreach { t =>
+        counts.update(t, counts.getOrElse(t, 0) + 1); sumLen += t.length }
+      val n = toks.length.toLong
+      val nd = counts.size.toLong
+      val mf = if (counts.isEmpty) 0L else counts.valuesIterator.max.toLong
+      val s3 = math.max(n - 2, 0L)
+      val s3d = shinglesScala(toks, 3).length.toLong
+      (n, nd, mf, s3, s3d, sumLen)
+    })
+    val c = fanOut(df).select(col(idCol), f(col(textCol)).as("__c"))
+      .select(col(idCol),
+        col("__c._1").as("n_tokens"), col("__c._2").as("n_distinct"),
+        col("__c._3").as("max_freq"), col("__c._4").as("n_3grams"),
+        col("__c._5").as("n_distinct_3grams"), col("__c._6").as("sum_len"))
+    val n = col("n_tokens")
+    c.withColumn("len_ok",
+        n.between(minTokens.toLong, maxTokens.toLong).cast("long"))
+      .withColumn("dup_tok_ok",
+        ((n - col("n_distinct")) * 10 <= n * 3).cast("long"))
+      .withColumn("dup_3gram_ok",
+        ((col("n_3grams") - col("n_distinct_3grams")) * 10 <=
+          col("n_3grams") * 3).cast("long"))
+      .withColumn("top_tok_ok", (col("max_freq") * 5 <= n).cast("long"))
+      .withColumn("tok_len_ok",
+        (n * 2 <= col("sum_len") && col("sum_len") <= n * 12).cast("long"))
+      .withColumn("keep",
+        (col("len_ok") + col("dup_tok_ok") + col("dup_3gram_ok") +
+          col("top_tok_ok") + col("tok_len_ok") === 5L).cast("long"))
+  }
+
   /** Top-`k` terms per document by term frequency, carrying the corpus
     * document frequency and corpus size — the INTEGER components of
     * TF-IDF, emitted raw so the oracle compares exactly (the weighting

@@ -39,6 +39,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors.toSeq == Seq(0L, 3L, 4L, 5L))
   }
 
+  test("gopherFilter flags each degenerate pattern, keeps clean text") {
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ")     // all rules pass
+    val short = "just five words right here"                    // len_ok = 0
+    val looped = (1 to 15).map(_ => "spam spam").mkString(" ")  // dup/top fail
+    val longtok = (1 to 20)
+      .map(i => "x" * 20 + i).mkString(" ")                     // tok_len_ok = 0
+    val df = Seq((0L, clean), (1L, short), (2L, looped), (3L, longtok))
+      .toDF("doc_id", "text")
+    val out = Text.gopherFilter(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keep"), r.getAs[Long]("len_ok"),
+          r.getAs[Long]("dup_tok_ok"), r.getAs[Long]("top_tok_ok"),
+          r.getAs[Long]("tok_len_ok")))).toMap
+    assert(out(0L)._1 == 1L)
+    assert(out(1L) == ((0L, 0L, 1L, 1L, 1L)))
+    assert(out(2L)._1 == 0L && out(2L)._3 == 0L && out(2L)._4 == 0L)
+    assert(out(3L)._1 == 0L && out(3L)._5 == 0L)
+  }
+
   test("exactKeepBest keeps the highest-scoring variant, min id on ties") {
     // docs 0,1,2 share a fingerprint; doc 2 has extra whitespace (longest
     // raw text) → it wins under the length score. 0 vs 1 are identical
