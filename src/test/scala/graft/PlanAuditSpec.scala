@@ -138,6 +138,25 @@ class PlanAuditSpec extends AnyFunSuite {
       (p.contains("partial_") && p.contains("hll_sketch_agg")), p)
   }
 
+  test("keep-best dedup is one two-phase agg — no per-group window") {
+    val p = plan("dedup_keep_best")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p) // argmax fold, not row_number
+  }
+
+  test("length filter: quantile bounds broadcast back onto the corpus") {
+    val p = plan("text_length_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cluster stats: broadcast centroid fan-out, partial count") {
+    val p = plan("embed_cluster_stats")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // centroids broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("knn_ivf_stored: probe prunes the cell-partitioned index scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
