@@ -1003,6 +1003,12 @@ object SparkEntry {
       val path = streamIvfPaths.computeIfAbsent(d, dir => {
         val base = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-sivf-$processId-${dirTag(dir)}")
+        // a retry after a failed first attempt must start from scratch:
+        // the base rewrite below wipes appended cell files, so a SURVIVING
+        // stream checkpoint would mark those batches committed and the
+        // re-run would silently ingest nothing
+        if (base.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(base)
         val p = new java.io.File(base, "idx").getPath
         Similarity.writeIvf(
           Similarity.ivfAssign(emb.filter(col("vec_id") < 400), cents), p)

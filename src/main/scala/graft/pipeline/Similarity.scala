@@ -257,14 +257,20 @@ object Similarity {
     * under one of the names; readers re-list on next access.
     */
   def compactIvf(spark: org.apache.spark.sql.SparkSession, path: String,
-      cidCol: String = "cid"): Unit = {
+      cidCol: String = "cid", idCol: String = "vec_id"): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(path + ".compact-tmp")
     val old = new Path(path + ".compact-old")
+    recoverCompact(fs, live) // heal a crash between a prior swap's renames
     fs.delete(tmp, true)
+    // dropDuplicates doubles as the ingest repair: foreachBatch appends
+    // are at-least-once (a crash between a batch's files landing and its
+    // checkpoint commit replays the batch), so compaction is where any
+    // replayed vectors collapse back to one row
     spark.read.parquet(path)
+      .dropDuplicates(idCol)
       .repartition(col(cidCol))
       .write.mode("overwrite").partitionBy(cidCol).parquet(tmp.toString)
     fs.delete(old, true)
@@ -276,6 +282,17 @@ object Similarity {
     }
     fs.delete(old, true)
     spark.catalog.refreshByPath(path)
+  }
+
+  /** Crash recovery for [[compactIvf]]'s swap window: a kill between
+    * `live → old` and `tmp → live` leaves the only complete copy at
+    * `.compact-old` — promote it back. Called by [[compactIvf]] and
+    * [[ivfKnnStored]] so the next access self-heals. */
+  private[graft] def recoverCompact(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(live.toString + ".compact-old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(s"compactIvf recovery: cannot restore $old")
   }
 
   /** IVF probe against a [[writeIvf]]-stored corpus. The query set's probe
@@ -290,6 +307,9 @@ object Similarity {
       cidCol: String = "cid", cvecCol: String = "cvec",
       qidCol: String = "qid", qvecCol: String = "qvec",
       excludeSelf: Boolean = true): DataFrame = {
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    recoverCompact(
+      livePath.getFileSystem(spark.sessionState.newHadoopConf()), livePath)
     val qCellsPlan = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
       qidCol, qvecCol)
     // resolve the probe cells ONCE: the collected rows feed both the static

@@ -161,18 +161,28 @@ object Text {
     * a compact JVM UDF — per-doc HashMap beats exploding the token stream
     * into two groupBy shuffles, and stays a narrow map at any corpus size.
     */
+  /** One-pass per-doc counters shared by [[repetitionStats]] and
+    * [[gopherFilter]] — ONE implementation of the counting semantics the
+    * DuckDB oracles mirror: (token count, distinct tokens, max token
+    * frequency, positional 3-grams, distinct 3-grams, total token chars).
+    * Total 3-gram count is positional (n-2); shinglesScala returns the
+    * DISTINCT set. */
+  private def docCountersScala(s: String)
+      : (Long, Long, Long, Long, Long, Long) = {
+    val toks = tokensScala(if (s == null) "" else s)
+    val counts = new scala.collection.mutable.HashMap[String, Int]()
+    var sumLen = 0L
+    toks.foreach { t =>
+      counts.update(t, counts.getOrElse(t, 0) + 1); sumLen += t.length }
+    val n = toks.length
+    val maxFreq = if (counts.isEmpty) 0 else counts.valuesIterator.max
+    (n.toLong, counts.size.toLong, maxFreq.toLong,
+      math.max(n - 2, 0).toLong, shinglesScala(toks, 3).length.toLong,
+      sumLen)
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val f = udf((s: String) => {
-      val toks = tokensScala(if (s == null) "" else s)
-      val counts = new scala.collection.mutable.HashMap[String, Int]()
-      toks.foreach(t => counts.update(t, counts.getOrElse(t, 0) + 1))
-      val n = toks.length
-      val maxFreq = if (counts.isEmpty) 0 else counts.valuesIterator.max
-      // total 3-gram count is positional (n-2); shinglesScala returns the
-      // DISTINCT set
-      (n.toLong, counts.size.toLong, maxFreq.toLong,
-        math.max(n - 2, 0).toLong, shinglesScala(toks, 3).length.toLong)
-    })
+    val f = udf((s: String) => docCountersScala(s))
     fanOut(df).select(col(idCol), f(col(textCol)).as("__r"))
       .select(col(idCol),
         col("__r._1").as("n_tokens"),
@@ -194,19 +204,7 @@ object Text {
     */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 10, maxTokens: Int = 200): DataFrame = {
-    val f = udf((s: String) => {
-      val toks = tokensScala(if (s == null) "" else s)
-      val counts = new scala.collection.mutable.HashMap[String, Int]()
-      var sumLen = 0L
-      toks.foreach { t =>
-        counts.update(t, counts.getOrElse(t, 0) + 1); sumLen += t.length }
-      val n = toks.length.toLong
-      val nd = counts.size.toLong
-      val mf = if (counts.isEmpty) 0L else counts.valuesIterator.max.toLong
-      val s3 = math.max(n - 2, 0L)
-      val s3d = shinglesScala(toks, 3).length.toLong
-      (n, nd, mf, s3, s3d, sumLen)
-    })
+    val f = udf((s: String) => docCountersScala(s))
     val c = fanOut(df).select(col(idCol), f(col(textCol)).as("__c"))
       .select(col(idCol),
         col("__c._1").as("n_tokens"), col("__c._2").as("n_distinct"),

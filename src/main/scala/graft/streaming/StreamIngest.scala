@@ -266,18 +266,19 @@ object StreamIngest {
   def streamingContamination(stream: DataFrame, evalDf: DataFrame,
       idCol: String, textCol: String, shingleSize: Int = 3): DataFrame = {
     import graft.pipeline.Text
-    val evalSh: Seq[String] = evalDf
+    val evalSh: Set[String] = evalDf
       .select(explode(Text.shingleSetUdf(shingleSize)(col(textCol))).as("t"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    val evalLit =
-      if (evalSh.isEmpty) array().cast("array<string>")
-      else array(evalSh.map(lit): _*)
+      .distinct().collect().map(_.getString(0)).toSet
+    // probe via a UDF closing over ONE prebuilt hash set: Catalyst's
+    // ArrayIntersect against a literal would rebuild the eval-set hash
+    // per ROW — O(|eval|) each — where this pays O(|doc shingles|)
+    val hits = udf((set: Seq[String]) =>
+      if (set == null) 0L else set.count(evalSh.contains).toLong)
     stream
       .select(col(idCol),
         Text.shingleSetUdf(shingleSize)(col(textCol)).as("__set"))
       .withColumn("n_shingles", size(col("__set")).cast("long"))
-      .withColumn("n_hits",
-        size(array_intersect(col("__set"), evalLit)).cast("long"))
+      .withColumn("n_hits", hits(col("__set")))
       .filter(col("n_hits") > 0)
       .select(col(idCol), col("n_shingles"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_shingles"))
@@ -389,6 +390,15 @@ object StreamIngest {
     * the accumulation of small per-batch files is the same compaction
     * story as the metrics store's blocks. Centroids stay fixed between
     * retrainings, exactly like a production IVF serving index.
+    *
+    * Delivery is AT-LEAST-ONCE: a crash between a batch's files landing
+    * and its checkpoint commit replays the batch on restart, briefly
+    * duplicating those vectors in the index (a duplicate can shadow one
+    * true neighbor in a top-k until repaired). [[graft.pipeline.Similarity
+    * .compactIvf]] is the repair — it drops duplicate ids while folding
+    * the small files, so run it on the same cadence as block compaction.
+    * Exactly-once would need a transactional table format, out of scope
+    * for plain parquet.
     */
   def ivfIngest(stream: DataFrame, centroids: DataFrame, path: String,
       checkpointDir: String, idCol: String = "vec_id",

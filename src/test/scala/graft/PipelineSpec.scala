@@ -285,14 +285,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     // no eval doc reaches the training layout
     assert(out.forall(_.getAs[Long]("doc_id") % 97 != 0))
-    // no contaminated doc: recompute overlap for the survivors
+    // no contaminated doc: recompute overlap for the survivors on the
+    // SCRUBBED text — the pipeline shingles after PII scrub, and raw-text
+    // shingles could disagree around masked spans
     val survivors = out.map(_.getAs[Long]("doc_id")).toSet
     val evalSh = docs.filter($"doc_id" % 97 === 0)
-      .select(explode(Text.shingles($"text", 3)).as("t"))
+      .select(explode(Text.shingles(Text.scrubPii($"text"), 3)).as("t"))
       .distinct().collect().map(_.getString(0)).toSet
     val overlapping = docs
       .filter($"doc_id".isInCollection(survivors))
-      .select($"doc_id", Text.shingles($"text", 3).as("sh")).collect()
+      .select($"doc_id", Text.shingles(Text.scrubPii($"text"), 3).as("sh"))
+      .collect()
       .filter(_.getSeq[String](1).exists(evalSh.contains))
     assert(overlapping.isEmpty,
       s"contaminated survivors: ${overlapping.map(_.getLong(0)).toSeq}")

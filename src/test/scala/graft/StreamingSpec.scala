@@ -230,6 +230,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(top() == Seq(20L, 10L))
   }
 
+  test("compactIvf repairs replayed batches and heals a crashed swap") {
+    import spark.implicits._
+    import graft.pipeline.Similarity
+    val base = SparkTestBase.tempDir("graft-ivf-repair")
+    val idx = new java.io.File(base, "idx").getPath
+    val cents = Seq((0L, Array(1f, 0f, 0f))).toDF("cid", "cvec")
+    val corpus = Seq((10L, Array(0.9f, 0.1f, 0f)), (11L, Array(0.8f, 0.2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, cents)
+    Similarity.writeIvf(assigned, idx)
+    // at-least-once replay: the same batch appends a second time
+    assigned.write.mode("append").partitionBy("cid").parquet(idx)
+    assert(spark.read.parquet(idx).count() == 4) // duplicated rows visible
+    val q = Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
+    def top(): Seq[Long] =
+      Similarity.ivfKnnStored(spark, idx, cents, q, k = 2, nprobe = 1,
+          excludeSelf = false)
+        .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    Similarity.compactIvf(spark, idx) // repair: duplicates collapse
+    assert(spark.read.parquet(idx).count() == 2)
+    assert(top() == Seq(10L, 11L))
+    // crashed swap: live moved aside, nothing at the live path — the next
+    // probe must self-heal by promoting the .compact-old copy back
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(idx + ".compact-old")))
+    assert(top() == Seq(10L, 11L))
+  }
+
   test("persistStream writes sorted parquet blocks per micro-batch") {
     val inDir = SparkTestBase.tempDir("graft-stream-in2")
     val outDir = SparkTestBase.tempDir("graft-stream-out")
