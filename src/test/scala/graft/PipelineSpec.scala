@@ -181,6 +181,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("mixSample property: equals the naive window reference on random corpora") {
+    // the bucketed prefix sum must be byte-identical to the one-window
+    // definition for ANY corpus: random domains, empty docs, budget-0 and
+    // oversized budgets, sparse/duplicate-free ids
+    val rnd = new scala.util.Random(20260813)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (round <- 1 to 5) {
+      val nDocs = 30 + rnd.nextInt(120)
+      val doms = Seq("a", "b", "c").take(1 + rnd.nextInt(3))
+      var nextId = 0L
+      val rows = (0 until nDocs).map { _ =>
+        nextId += 1 + rnd.nextInt(7) // sparse, strictly increasing, UNIQUE
+        (nextId, ("w " * rnd.nextInt(12)).trim, doms(rnd.nextInt(doms.length)))
+      }
+      val budgets = doms.map(d => d -> (rnd.nextInt(4) match {
+        case 0 => 0L                      // excluded domain
+        case 1 => 1L + rnd.nextInt(20)    // tight budget
+        case _ => 1000000L                // everything fits
+      })).toMap.filter(_._2 > 0)
+      val ref = rows.groupBy(_._3).flatMap { case (dom, ds) =>
+        val b = budgets.getOrElse(dom, 0L)
+        ds.map { case (id, text, _) =>
+          (id, Text.tokensScala(text).length.toLong, md5hex(id.toString)) }
+          .sortBy { case (id, _, k) => (k, id) }
+          .scanLeft((0L, 0L, 0L)) { case ((_, _, c), (id, n, _)) =>
+            (id, n, c + n) }.drop(1)
+          .filter { case (_, _, cum) => b > 0 && cum <= b }
+          .map { case (id, n, cum) => id -> ((n, cum)) }
+      }
+      val got = Text.mixSample(rows.toDF("doc_id", "text", "dom"),
+          "doc_id", "text", "dom", budgets).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens")))).toMap
+      assert(got == ref, s"round $round: budgets=$budgets")
+    }
+  }
+
   test("sampleStratified takes exactly k per stratum in md5 order") {
     val df = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "dom")
