@@ -1282,6 +1282,23 @@ object SparkEntry {
         src, evalDf, "doc_id", "text")
       runStreamToTable(s, out, "stream_contamination_out").orderBy("doc_id")
     }),
+    "stream_embed_neardup" -> ((s, d) => {
+      // incremental-ingest SEMANTIC dedup: the embeddings table streamed
+      // against its own static RHP signature index — bucket collision is
+      // symmetric, so the emitted ordered pair set equals the batch LSH
+      // path and shares dedup_embedding_lsh's literal-planes value oracle
+      Tables.configure(s)
+      val schema = t(s, d, "embeddings").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        .withColumn("__ns", ((col("vec_id") + 86400L) * 1000000000L).cast("long"))
+      val pairs = graft.streaming.StreamIngest.streamingEmbedNearDup(
+        src, t(s, d, "embeddings"), "vec_id", "embedding", "__ns", "1 hour",
+        threshold = 0.4, dims = 64, numPlanes = 8)
+      runStreamToTable(s, pairs, "stream_embed_neardup_out")
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2")
+    }),
     "stream_quantize" -> ((s, d) => {
       // stateless streaming feature extraction: the exact-arithmetic int8
       // quantizer runs unchanged inside a micro-batch pipeline — no
@@ -2324,6 +2341,9 @@ object SparkEntry {
       // the stream-maintained index holds exactly the batch assignment
       // (same centroids, same arithmetic, only arrival path differs), so
       // the stored probe shares knn_ivf's value oracle
-      ("stream_ivf_ingest" -> base("knn_ivf"))
+      ("stream_ivf_ingest" -> base("knn_ivf")) +
+      // symmetric bucket collision: streaming the corpus against its own
+      // signature index emits the batch LSH pair set
+      ("stream_embed_neardup" -> base("dedup_embedding_lsh"))
   }
 }

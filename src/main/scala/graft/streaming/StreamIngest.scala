@@ -378,6 +378,53 @@ object StreamIngest {
         col("jaccard"))
   }
 
+  /** Streaming embedding near-dup against a static reference corpus — the
+    * vector analog of [[streamingNearDup]] (incremental-ingest semantic
+    * dedup): incoming embeddings are RHP-signed statelessly and
+    * multiprobed (exact bucket + every 1-bit flip) into the prebuilt
+    * signature index of the existing corpus; only bucket collisions get
+    * the exact cosine, and multi-probe hits of the same pair collapse
+    * through one `dropDuplicatesWithinWatermark`. Bucket collision is
+    * SYMMETRIC (a flip-probe hits iff the two signatures differ by <= 1
+    * bit), so when the streamed corpus is the reference itself the ordered
+    * emitted set equals the batch
+    * [[graft.pipeline.Dedup.embeddingNearDups]] LSH path — which is what
+    * the driver oracle pins, literal planes and all.
+    *
+    * At scale the index is (id, signature, vector) partitioned by
+    * signature for the join; stream-side work is numPlanes+1 probe rows
+    * per incoming vector — proportional to batch size, not corpus size.
+    */
+  def streamingEmbedNearDup(stream: DataFrame, ref: DataFrame, idCol: String,
+      vecCol: String, eventTimeCol: String, lateness: String,
+      threshold: Double, dims: Int, numPlanes: Int = 8,
+      seed: Int = 42): DataFrame = {
+    import graft.pipeline.Similarity
+    val refIdx = ref.select(col(idCol).as("__rid"), col(vecCol).as("__rv"))
+      .withColumn("__sig",
+        Similarity.rhpSignature(col("__rv"), dims, numPlanes, seed))
+      .persist()
+    val probed = withEventTime(stream, eventTimeCol)
+      .withWatermark("__event_time", lateness)
+      .select(col("__event_time"), col(idCol).as("__sid"),
+        col(vecCol).as("__sv"))
+      .withColumn("__sig0",
+        Similarity.rhpSignature(col("__sv"), dims, numPlanes, seed))
+      .select(col("__event_time"), col("__sid"), col("__sv"),
+        explode(array((col("__sig0") +: (0 until numPlanes).map(p =>
+          col("__sig0").bitwiseXOR(lit(1 << p)))): _*)).as("__sig"))
+    probed.join(refIdx, Seq("__sig"))
+      .filter(col("__sid") =!= col("__rid"))
+      .withColumn("cos", Similarity.cosine(col("__sv"), col("__rv")))
+      .filter(col("cos") >= threshold)
+      .select(col("__event_time"),
+        least(col("__sid"), col("__rid")).as("id1"),
+        greatest(col("__sid"), col("__rid")).as("id2"),
+        col("cos"))
+      .dropDuplicatesWithinWatermark(Seq("id1", "id2"))
+      .select("id1", "id2", "cos")
+  }
+
   /** Streaming IVF index maintenance — the freshness path of the ANN-at-
     * rest story: each incoming vector is assigned to its nearest (static)
     * centroid and APPENDED into the cell-partitioned index that

@@ -230,6 +230,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(top() == Seq(20L, 10L))
   }
 
+  test("streaming embed near-dup flags an incoming twin, skips novel vectors") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-embneardup-in")
+    // reference corpus: two well-separated vectors
+    val ref = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // stream: doc 10 is a near-twin of ref 1 (cos ~ 0.9997), 11 is novel
+    Seq((10L, Array(0.99f, 0.02f, 0f, 0f)), (11L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "in").getPath)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(new java.io.File(dir, "in").getPath)
+      .withColumn("__ns", ((col("vec_id") + 86400L) * 1000000000L).cast("long"))
+    val pairs = StreamIngest.streamingEmbedNearDup(
+      src, ref, "vec_id", "embedding", "__ns", "1 hour",
+      threshold = 0.9, dims = 4, numPlanes = 6)
+    val q = StreamIngest.runToMemory(pairs, "embnd_out")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("embnd_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert(out(0)._1 == 1L && out(0)._2 == 10L && out(0)._3 > 0.99)
+  }
+
   test("compactIvf repairs replayed batches and heals a crashed swap") {
     import spark.implicits._
     import graft.pipeline.Similarity
