@@ -97,6 +97,10 @@ object Text {
     * is a no-op at real scale, where file splits provide the parallelism.
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames get their parallelism from the source; their plan
+    // stats are not meaningful to read (and a blanket repartition would
+    // add a shuffle to every micro-batch)
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val maxPartBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
