@@ -1282,6 +1282,21 @@ object SparkEntry {
         src, evalDf, "doc_id", "text")
       runStreamToTable(s, out, "stream_contamination_out").orderBy("doc_id")
     }),
+    "stream_mix_sample" -> ((s, d) => {
+      // ingest-side budget admission: one AvailableNow pass over the
+      // corpus admits exactly the batch mixSample survivor set (md5 order
+      // within the batch, prefix rule over all arrivals) — shared oracle
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val admitted = graft.streaming.StreamIngest.streamingBudgetAdmit(
+        src, "doc_id", "text", "lang",
+        Map("en" -> 4000L, "de" -> 1000L, "es" -> 1000L, "fr" -> 800L))
+      runStreamToTable(s, admitted, "stream_mix_sample_out")
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+        .orderBy("doc_id")
+    }),
     "stream_embed_neardup" -> ((s, d) => {
       // incremental-ingest SEMANTIC dedup: the embeddings table streamed
       // against its own static RHP signature index — bucket collision is
@@ -2344,6 +2359,8 @@ object SparkEntry {
       ("stream_ivf_ingest" -> base("knn_ivf")) +
       // symmetric bucket collision: streaming the corpus against its own
       // signature index emits the batch LSH pair set
-      ("stream_embed_neardup" -> base("dedup_embedding_lsh"))
+      ("stream_embed_neardup" -> base("dedup_embedding_lsh")) +
+      // one AvailableNow batch in md5 order admits the batch survivor set
+      ("stream_mix_sample" -> base("mix_sample"))
   }
 }

@@ -378,6 +378,54 @@ object StreamIngest {
         col("jaccard"))
   }
 
+  final case class AdmitIn(dom: String, id: Long, n_tokens: Long, key: String)
+  final case class AdmitOut(doc_id: Long, dom: String, n_tokens: Long,
+      cum_tokens: Long)
+
+  /** Streaming token-budget admission — the ingest-side half of
+    * [[graft.pipeline.Text.mixSample]]: each domain admits documents until
+    * its token budget is spent, with per-domain state = ONE long (the
+    * running token total, counted over every arriving doc, admitted or
+    * not, exactly like the batch prefix rule). Within a micro-batch, docs
+    * are processed in the batch sampler's md5 order, so a single-batch
+    * stream reproduces the batch `mixSample` survivor set byte-for-byte
+    * (the driver oracle pins that); across batches, admission follows
+    * arrival order — the honest semantics of an admission gate that
+    * cannot see the future. Domains absent from `budgets` admit nothing.
+    * No watermark: the budget is for the stream's lifetime, and the
+    * per-domain state cannot grow.
+    */
+  def streamingBudgetAdmit(stream: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.pipeline.Text
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ds = stream.select(
+        col(domainCol).cast("string").as("dom"),
+        col(idCol).cast("long").as("id"),
+        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("key"))
+      .as[AdmitIn]
+    def fn(dom: String, rows: Iterator[AdmitIn],
+        state: GroupState[Long]): Iterator[AdmitOut] = {
+      val budget = budgets.getOrElse(dom, 0L)
+      var spent = state.getOption.getOrElse(0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AdmitOut]
+      for (r <- rows.toSeq.sortBy(r => (r.key, r.id))) {
+        spent += r.n_tokens // prefix rule: rejected docs still consume
+        if (budget > 0L && spent <= budget)
+          out += AdmitOut(r.id, dom, r.n_tokens, spent)
+      }
+      state.update(spent)
+      out.iterator
+    }
+    ds.groupByKey(_.dom)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .withColumnRenamed("dom", domainCol)
+  }
+
   /** Streaming embedding near-dup against a static reference corpus — the
     * vector analog of [[streamingNearDup]] (incremental-ingest semantic
     * dedup): incoming embeddings are RHP-signed statelessly and

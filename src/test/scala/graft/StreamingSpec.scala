@@ -257,6 +257,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0)._1 == 1L && out(0)._2 == 10L && out(0)._3 > 0.99)
   }
 
+  test("streaming budget admission: prefix rule within batch, state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = SparkTestBase.tempDir("graft-admit-in")
+    val in = new java.io.File(dir, "in").getPath
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // batch 1: three docs in domain a (2 tokens each), budget 5 → the two
+    // earliest in md5 order are admitted (prefix rule: 2, 4; third hits 6)
+    val b1 = Seq((1L, "t1 t2", "a"), (2L, "t1 t2", "a"), (3L, "t1 t2", "a"))
+    b1.toDF("doc_id", "text", "dom").write.parquet(s"$in/b1")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("dom", StringType))))
+      .parquet(s"$in/*")
+    val admitted = StreamIngest.streamingBudgetAdmit(
+      src, "doc_id", "text", "dom", Map("a" -> 5L))
+    val ck = SparkTestBase.tempDir("graft-admit-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-admit-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      // memory sinks cannot recover from a checkpoint; foreachBatch can —
+      // and the restart across drains is exactly what this test exercises
+      val q = admitted.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    def admittedIds(): Seq[Long] = spark.read.parquet(outDir)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    drain()
+    val expect1 = b1.map(t => (t._1, md5hex(t._1.toString)))
+      .sortBy(p => (p._2, p._1)).take(2).map(_._1).sorted
+    assert(admittedIds() == expect1)
+    // batch 2: the spent total carried over (4 of 5) — a 2-token doc is
+    // rejected even though the batch alone would fit it
+    Seq((10L, "t1 t2", "a")).toDF("doc_id", "text", "dom")
+      .write.parquet(s"$in/b2")
+    drain()
+    assert(admittedIds() == expect1,
+      s"budget must stay spent across batches: ${admittedIds()}")
+  }
+
   test("compactIvf repairs replayed batches and heals a crashed swap") {
     import spark.implicits._
     import graft.pipeline.Similarity
