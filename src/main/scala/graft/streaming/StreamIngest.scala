@@ -391,9 +391,13 @@ object StreamIngest {
     * stream reproduces the batch `mixSample` survivor set byte-for-byte
     * (the driver oracle pins that); across batches, admission follows
     * arrival order — the honest semantics of an admission gate that
-    * cannot see the future. Domains absent from `budgets` admit nothing.
-    * No watermark: the budget is for the stream's lifetime, and the
-    * per-domain state cannot grow.
+    * cannot see the future. Rows of domains absent from `budgets` are
+    * filtered out BEFORE the shuffle (the batch rule admits none of them
+    * anyway), so state is bounded by |budgets| longs regardless of the
+    * domain column's cardinality, and rejected domains pay no shuffle.
+    * No watermark: the budget is for the stream's lifetime. A null or
+    * uncastable id (nothing to admit) is dropped; a null text counts 0
+    * tokens — one malformed row must not kill a continuous ingest gate.
     */
   def streamingBudgetAdmit(stream: DataFrame, idCol: String, textCol: String,
       domainCol: String, budgets: Map[String, Long]): DataFrame = {
@@ -401,10 +405,14 @@ object StreamIngest {
     import graft.pipeline.Text
     val spark = stream.sparkSession
     import spark.implicits._
-    val ds = stream.select(
+    val ds = stream
+      .filter(col(domainCol).isin(budgets.keys.toSeq: _*))
+      .filter(col(idCol).cast("long").isNotNull)
+      .select(
         col(domainCol).cast("string").as("dom"),
         col(idCol).cast("long").as("id"),
-        Text.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        coalesce(Text.tokenCount(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"),
         md5(col(idCol).cast("string")).as("key"))
       .as[AdmitIn]
     def fn(dom: String, rows: Iterator[AdmitIn],
@@ -424,6 +432,7 @@ object StreamIngest {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
       .withColumnRenamed("dom", domainCol)
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** Streaming embedding near-dup against a static reference corpus — the
@@ -432,16 +441,23 @@ object StreamIngest {
     * multiprobed (exact bucket + every 1-bit flip) into the prebuilt
     * signature index of the existing corpus; only bucket collisions get
     * the exact cosine, and multi-probe hits of the same pair collapse
-    * through one `dropDuplicatesWithinWatermark`. Bucket collision is
-    * SYMMETRIC (a flip-probe hits iff the two signatures differ by <= 1
-    * bit), so when the streamed corpus is the reference itself the ordered
-    * emitted set equals the batch
-    * [[graft.pipeline.Dedup.embeddingNearDups]] LSH path — which is what
-    * the driver oracle pins, literal planes and all.
+    * through one `dropDuplicatesWithinWatermark` — so the per-pair dedup
+    * GUARANTEE is the watermark horizon (the same bounded-state trade as
+    * [[streamingDedup]]): two probe directions of one pair arriving in
+    * micro-batches further apart than `lateness` re-emit it. Bucket
+    * collision is SYMMETRIC (a flip-probe hits iff the two signatures
+    * differ by <= 1 bit), so when the streamed corpus is the reference
+    * itself AND the stream drains within the horizon (one AvailableNow
+    * pass, as the driver query runs it) the ordered emitted set equals
+    * the batch [[graft.pipeline.Dedup.embeddingNearDups]] LSH path —
+    * which is what the driver oracle pins, literal planes and all.
     *
     * At scale the index is (id, signature, vector) partitioned by
     * signature for the join; stream-side work is numPlanes+1 probe rows
     * per incoming vector — proportional to batch size, not corpus size.
+    * The signature index stays cached for the query's lifetime (same
+    * pattern as [[streamingNearDup]]); release it with
+    * `spark.catalog.clearCache()` after stopping the stream.
     */
   def streamingEmbedNearDup(stream: DataFrame, ref: DataFrame, idCol: String,
       vecCol: String, eventTimeCol: String, lateness: String,

@@ -160,13 +160,11 @@ class PipelineSpec extends AnyFunSuite {
       (2L, "six seven eight nine", "a"), (7L, "", "a"),
       (3L, "anything at all", "b"))
     val df = rows.toDF("doc_id", "text", "dom")
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     // reference: per-domain md5 order, inclusive running sum, keep <= budget
     val budget = 5L
     val ref = rows.filter(_._3 == "a")
       .map { case (id, text, _) =>
-        (id, Text.tokensScala(text).length.toLong, md5hex(id.toString)) }
+        (id, Text.tokensScala(text).length.toLong, SparkTestBase.md5hex(id.toString)) }
       .sortBy { case (id, _, k) => (k, id) }
       .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n, _)) =>
         (id, n, cum + n) }.drop(1)
@@ -186,8 +184,6 @@ class PipelineSpec extends AnyFunSuite {
     // definition for ANY corpus: random domains, empty docs, budget-0 and
     // oversized budgets, sparse/duplicate-free ids
     val rnd = new scala.util.Random(20260813)
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     for (round <- 1 to 5) {
       val nDocs = 30 + rnd.nextInt(120)
       val doms = Seq("a", "b", "c").take(1 + rnd.nextInt(3))
@@ -204,7 +200,7 @@ class PipelineSpec extends AnyFunSuite {
       val ref = rows.groupBy(_._3).flatMap { case (dom, ds) =>
         val b = budgets.getOrElse(dom, 0L)
         ds.map { case (id, text, _) =>
-          (id, Text.tokensScala(text).length.toLong, md5hex(id.toString)) }
+          (id, Text.tokensScala(text).length.toLong, SparkTestBase.md5hex(id.toString)) }
           .sortBy { case (id, _, k) => (k, id) }
           .scanLeft((0L, 0L, 0L)) { case ((_, _, c), (id, n, _)) =>
             (id, n, c + n) }.drop(1)
@@ -222,8 +218,6 @@ class PipelineSpec extends AnyFunSuite {
   test("sampleStratified takes exactly k per stratum in md5 order") {
     val df = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "dom")
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     val out = Text.sampleStratified(df, "doc_id", "dom", k = 5).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("dom"),
         r.getAs[Long]("rank")))
@@ -233,7 +227,7 @@ class PipelineSpec extends AnyFunSuite {
       val got = out.filter(_._2 == dom).sortBy(_._3)
       val expect = (0L until 40L)
         .filter(i => (if (i % 2 == 0) "a" else "b") == dom)
-        .sortBy(i => (md5hex(i.toString), i)).take(5)
+        .sortBy(i => (SparkTestBase.md5hex(i.toString), i)).take(5)
       assert(got.map(_._1).toSeq == expect)
       assert(got.map(_._3).toSeq == (1L to 5L))
     }

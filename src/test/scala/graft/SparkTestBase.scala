@@ -22,4 +22,11 @@ object SparkTestBase {
     d.toFile.deleteOnExit()
     d.toString
   }
+
+  /** Lowercase hex md5 — the reference implementation of the md5-of-id
+    * sample-ordering contract the sampling/admission specs pin (must match
+    * Spark's `md5` and DuckDB's `md5`). */
+  def md5hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8"))
+    .map(b => f"$b%02x").mkString
 }

@@ -262,8 +262,6 @@ class StreamingSpec extends AnyFunSuite {
     import org.apache.spark.sql.streaming.Trigger
     val dir = SparkTestBase.tempDir("graft-admit-in")
     val in = new java.io.File(dir, "in").getPath
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     // batch 1: three docs in domain a (2 tokens each), budget 5 → the two
     // earliest in md5 order are admitted (prefix rule: 2, 4; third hits 6)
     val b1 = Seq((1L, "t1 t2", "a"), (2L, "t1 t2", "a"), (3L, "t1 t2", "a"))
@@ -291,11 +289,12 @@ class StreamingSpec extends AnyFunSuite {
     def admittedIds(): Seq[Long] = spark.read.parquet(outDir)
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     drain()
-    val expect1 = b1.map(t => (t._1, md5hex(t._1.toString)))
+    val expect1 = b1.map(t => (t._1, SparkTestBase.md5hex(t._1.toString)))
       .sortBy(p => (p._2, p._1)).take(2).map(_._1).sorted
     assert(admittedIds() == expect1)
-    // batch 2: the spent total carried over (4 of 5) — a 2-token doc is
-    // rejected even though the batch alone would fit it
+    // batch 2: the spent total carried over is 6 of 5 (the REJECTED third
+    // doc also consumed, per the prefix rule) — a 2-token doc is rejected
+    // even though the batch alone would fit it
     Seq((10L, "t1 t2", "a")).toDF("doc_id", "text", "dom")
       .write.parquet(s"$in/b2")
     drain()
