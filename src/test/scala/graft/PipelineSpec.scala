@@ -345,6 +345,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pack manifest property: conservation, fullness, offset consistency") {
+    val rnd = new scala.util.Random(20260814)
+    for (round <- 1 to 3) {
+      val ctx = 8 + rnd.nextInt(56)
+      val nBuckets = 1 + rnd.nextInt(6)
+      var nextId = 0L
+      val rows = (0 until 40 + rnd.nextInt(80)).map { _ =>
+        nextId += 1 + rnd.nextInt(5)
+        (nextId, ("t " * rnd.nextInt(3 * ctx)).trim) // incl. empty + >ctx docs
+      }
+      val df = rows.toDF("doc_id", "text")
+      val m = Text.packManifest(df, "doc_id", "text", ctx, nBuckets).collect()
+        .map(r => ((r.getAs[Long]("bucket"), r.getAs[Long]("pack")),
+          r.getAs[Long]("n_tokens"))).toMap
+      // token conservation against the raw corpus
+      val total = rows.map(r => Text.tokensScala(r._2).length.toLong).sum
+      assert(m.values.sum == total, s"round $round conservation")
+      // per bucket: packs are contiguous 0..last, all full except the last
+      m.keys.groupBy(_._1).foreach { case (b, ks) =>
+        val packs = ks.map(_._2).toSeq.sorted
+        assert(packs == (0L to packs.max), s"round $round bucket $b gaps")
+        packs.foreach { p =>
+          if (p < packs.max) assert(m((b, p)) == ctx.toLong,
+            s"round $round bucket $b pack $p not full")
+          else assert(m((b, p)) > 0 && m((b, p)) <= ctx.toLong)
+        }
+      }
+      // bucket totals match the per-bucket token sums of the input
+      val perBucket = rows.groupBy(_._1 % nBuckets).map { case (b, rs) =>
+        b -> rs.map(r => Text.tokensScala(r._2).length.toLong).sum }
+      m.keys.groupBy(_._1).foreach { case (b, ks) =>
+        // ks is a Set — map through toSeq so equal-sized packs don't dedup
+        assert(ks.toSeq.map(m).sum == perBucket(b),
+          s"round $round bucket $b total")
+      }
+    }
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
