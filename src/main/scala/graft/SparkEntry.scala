@@ -750,6 +750,16 @@ object SparkEntry {
       Dedup.simhashCandidates(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text", hash = "md5"),
         "doc_id", maxHamming = 3).orderBy("id1", "id2")),
+    "dedup_cross_corpus" -> ((s, d) => {
+      // dedupe the "new dump" (2/3 of docs) against the "training set"
+      // (every 3rd doc); the reference side owns the capped vocabulary
+      val docs = t(s, d, "documents")
+      Dedup.crossCorpusNearDups(
+        docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+        "doc_id", "text", threshold = 0.3)
+        .orderBy("new_id", "ref_id")
+    }),
     "text_contamination" -> ((s, d) => {
       // decontamination probe: eval set = every 97th doc (stands in for a
       // held-out benchmark suite), train = the rest; a train doc is flagged
@@ -1535,6 +1545,42 @@ object SparkEntry {
     "dedup_jaccard_pairs" ->
       s"""$JaccardPairsSqlCore
          |ORDER BY id1, id2""".stripMargin,
+    "dedup_cross_corpus" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM t
+         |), refd AS (
+         |  SELECT * FROM s WHERE doc_id % 3 = 0
+         |), newd AS (
+         |  SELECT * FROM s WHERE doc_id % 3 <> 0
+         |), e0r AS (
+         |  SELECT doc_id, unnest(sh) AS tok FROM refd
+         |), stop AS (
+         |  SELECT tok FROM e0r GROUP BY tok HAVING count(*) >
+         |    greatest(20, ((SELECT count(*) FROM refd) * 5) // 1000)
+         |), er AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
+         |  FROM e0r WHERE tok NOT IN (SELECT tok FROM stop)
+         |), e0n AS (
+         |  SELECT doc_id, unnest(sh) AS tok FROM newd
+         |), en AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, tok
+         |  FROM e0n WHERE tok NOT IN (SELECT tok FROM stop)
+         |), p AS (
+         |  SELECT en.doc_id AS new_id, er.doc_id AS ref_id,
+         |         en.n AS n_new, er.n AS n_ref, count(*) AS shared
+         |  FROM en JOIN er ON en.tok = er.tok
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT new_id, ref_id, shared, n_new, n_ref,
+         |       CAST(shared AS DOUBLE) / (n_new + n_ref - shared) AS jaccard
+         |FROM p
+         |WHERE CAST(shared AS DOUBLE) / (n_new + n_ref - shared) >= 0.3
+         |ORDER BY new_id, ref_id""".stripMargin,
     "text_contamination" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

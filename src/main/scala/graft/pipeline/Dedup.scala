@@ -615,6 +615,49 @@ object Dedup {
       .orderBy(col("df").desc, col("ngram"))
       .limit(topK)
 
+  /** Cross-corpus exact near-duplicates: every (new doc, reference doc)
+    * pair with shingle-Jaccard >= `threshold` — the batch "dedupe the new
+    * crawl against the existing training set" job (the streaming analog is
+    * [[graft.streaming.StreamIngest.streamingNearDup]]; within-corpus is
+    * [[jaccardPairs]]). The REFERENCE corpus owns the capped vocabulary:
+    * its stop-shingle list (df cap + corpus-relative floor) is applied to
+    * BOTH sides, exactly like the streaming probe, so results don't shift
+    * with the new dump's composition.
+    *
+    * Scale shape: inverted-index join keyed on the shingle across the two
+    * corpora — never an all-pairs product; the stop list bounds hot keys
+    * and broadcasts. Pair verify cost is proportional to true cross-corpus
+    * overlap.
+    */
+  def crossCorpusNearDups(newDf: DataFrame, refDf: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleSize: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val stop =
+      if (maxShingleDf <= 0) None
+      else Some(stopShingles(refDf, idCol, textCol, shingleSize, maxShingleDf))
+    def kept(df: DataFrame): DataFrame = {
+      val sets = shingleSets(df, idCol, textCol, shingleSize)
+      val k = stop match {
+        case None => sets.withColumn("__kept", col("__set"))
+        case Some(st) => sets.crossJoin(broadcast(st))
+          .withColumn("__kept", array_except(col("__set"), col("__stop")))
+      }
+      k.select(col("__id"), size(col("__kept")).as("__n"),
+        explode(col("__kept")).as("__tok"))
+    }
+    kept(newDf)
+      .select(col("__id").as("new_id"), col("__n").as("n_new"), col("__tok"))
+      .join(kept(refDf)
+        .select(col("__id").as("ref_id"), col("__n").as("n_ref"),
+          col("__tok")), Seq("__tok"))
+      .groupBy("new_id", "ref_id", "n_new", "n_ref")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_new") + col("n_ref") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "shared", "n_new", "n_ref", "jaccard")
+  }
+
   /** Benchmark contamination detection: flag training documents that share
     * word n-gram shingles with an evaluation corpus — the standard
     * decontamination test a pretraining pipeline runs so benchmark answers

@@ -383,6 +383,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-corpus near-dups pair new docs with ref twins only") {
+    // ref: docs 0 (fox/dog) and 5 (german); new: 3 is a near-dup of 0,
+    // 4 is novel — only the (3, 0) pair must surface, as (new_id, ref_id)
+    val ref = docs.filter($"doc_id".isin(0L, 5L))
+    val fresh = docs.filter($"doc_id".isin(3L, 4L))
+    val out = Dedup.crossCorpusNearDups(fresh, ref, "doc_id", "text",
+      threshold = 0.3, shingleSize = 1, maxShingleDf = 0).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"),
+        r.getAs[Double]("jaccard")))
+    assert(out.length == 1)
+    assert(out(0)._1 == 3L && out(0)._2 == 0L)
+    // distinct unigrams: 8 per doc ("the" repeats), 7 shared (dog vs cat)
+    // → jaccard 7 / (8 + 8 - 7) = 7/9
+    assert(math.abs(out(0)._3 - 7.0 / 9.0) < 1e-9)
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
