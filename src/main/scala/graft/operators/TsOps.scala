@@ -231,7 +231,7 @@ object TsOps {
       (col("__chunk") === col("__o_chunk"))).reduce(_ && _)
     flagged.join(offsets, joinCond)
       .withColumn("session_idx", col("__base") + col("__lc"))
-      .select(df.columns.map(col) :+ col("session_idx"): _*)
+      .select((df.columns.map(col) :+ col("session_idx")).toIndexedSeq: _*)
   }
 
   /** As-of join: for each left row, the latest right row with
@@ -258,7 +258,7 @@ object TsOps {
       .withColumn("__side", lit(1))
     val rAligned = leftVals.foldLeft(rPacked) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lPacked.columns.map(col): _*)
+    }.select(lPacked.columns.map(col).toIndexedSeq: _*)
     val unioned = lPacked.unionByName(rAligned)
     // order (ts, side): right rows precede left rows at equal ts, so a
     // right row at exactly left.ts is visible (<= semantics)
@@ -274,9 +274,9 @@ object TsOps {
         col("__last_r").isNotNull && (col(tsCol) - rTs) <= toleranceNanos
       else col("__last_r").isNotNull
     val out = withLast.withColumn("__keep", keep)
-    out.select(left.columns.map(col) ++
+    out.select((left.columns.map(col) ++
       (tsCol +: rightVals).map(c =>
         when(col("__keep"), col("__last_r").getField(c))
-          .as(rightPrefix + c)): _*)
+          .as(rightPrefix + c))).toIndexedSeq: _*)
   }
 }
