@@ -21,6 +21,13 @@ class ContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query carries an oracle — nothing degrades to rows-only") {
+    // the driver records a weaker rows-only check for oracle-less queries;
+    // the repo's bar is a VALUE oracle (or pinned gate) for every entry
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+  }
+
   test("typed Dataset facade works over a metrics table") {
     // Dataset[T] path (case-class encoders where type safety helps)
     val ds = graft.storage.Tables

@@ -138,6 +138,14 @@ class PlanAuditSpec extends AnyFunSuite {
       (p.contains("partial_") && p.contains("hll_sketch_agg")), p)
   }
 
+  test("cross-corpus near-dup: inverted-index join, broadcast stop list") {
+    val p = plan("dedup_cross_corpus")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p) // the tiny stop-list cross join
+    assert(p.contains("partial_"), p)    // shared-shingle counts combine
+  }
+
   test("keep-best dedup is one two-phase agg — no per-group window") {
     val p = plan("dedup_keep_best")
     assert(p.contains("partial_"), p)
