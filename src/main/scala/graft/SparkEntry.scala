@@ -1379,6 +1379,16 @@ object SparkEntry {
       Multimodal.decodeImages(
         Multimodal.syntheticImages(t(s, d, "documents"), "doc_id"))
         .orderBy("media_id")),
+    "multimodal_resize" -> ((s, d) =>
+      // REAL resize: synthesize PNGs → ImageIO decode → nearest-neighbor
+      // resample (integer source coords) → PNG re-encode → decode AGAIN;
+      // the oracle recomputes the resampled channel sums arithmetically,
+      // proving the full decode→transform→re-encode chain on real pixels
+      Multimodal.decodeImages(
+        Multimodal.resizeImages(
+          Multimodal.syntheticImages(t(s, d, "documents"), "doc_id"),
+          width = 12, height = 10))
+        .orderBy("media_id")),
     "multimodal_audio" -> ((s, d) =>
       // the audio twin of multimodal_decode: 16-bit PCM synthesized from a
       // pure (id, i) sample function, wrapped in a REAL RIFF/WAV container
@@ -2212,6 +2222,25 @@ object SparkEntry {
         |FROM p, generate_series(0, 16) AS tx(x), generate_series(0, 13) AS ty(y)
         |WHERE x < w AND y < h
         |GROUP BY 1, 2, 3
+        |ORDER BY media_id""".stripMargin,
+    // nearest-neighbor source coords are integer floor division, so the
+    // resized pixels stay arithmetic functions of (id, x, y)
+    "multimodal_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         doc_id % 256 AS base
+        |  FROM documents
+        |), g AS (
+        |  SELECT media_id, base, (x * w) // 12 AS sx, (y * h) // 10 AS sy
+        |  FROM p, generate_series(0, 11) AS tx(x), generate_series(0, 9) AS ty(y)
+        |)
+        |SELECT media_id, CAST(12 AS INTEGER) AS width,
+        |  CAST(10 AS INTEGER) AS height,
+        |  CAST(sum((base + 3*sx + 5*sy) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*base + sx + 7*sy) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((base + sx*sy) % 256) AS BIGINT) AS sum_b
+        |FROM g GROUP BY 1, 2, 3
         |ORDER BY media_id""".stripMargin,
     // mirrors Multimodal.pcmSample/audioSamples: 16-bit samples are pure
     // integer arithmetic over (id, i), so the WAV encode→decode roundtrip

@@ -147,6 +147,62 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL image resize: ImageIO decode → nearest-neighbor resample →
+    * PNG re-encode, batched per partition — the full decode → transform →
+    * re-encode media pipeline on genuine pixels (the codec-less
+    * [[resizeStub]] keeps only the plumbing shape for modalities whose
+    * codecs don't exist in this container). Nearest-neighbor uses pure
+    * integer source coordinates (`srcX = x·srcW / dstW`), so the resized
+    * pixels of a [[syntheticImages]] input remain arithmetic functions of
+    * (id, x, y) and the whole decode→resize→re-encode→decode chain is
+    * provable by a SQL oracle. Undecodable/null blobs emit null content
+    * (corrupt files are data, not errors); blobs are read once and never
+    * shuffled — output carries the re-encoded payload + new meta only.
+    */
+  def resizeImages(df: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"bad target ${width}x$height")
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex("media_id")
+    val cIdx = df.schema.fieldIndex("content")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType),
+      StructField("meta", mediaSchema("meta").dataType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val resized: Array[Byte] =
+            if (row.isNullAt(cIdx)) null
+            else try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
+              if (img == null) null
+              else {
+                val out = new java.awt.image.BufferedImage(
+                  width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < height) {
+                  var x = 0
+                  while (x < width) {
+                    out.setRGB(x, y, img.getRGB(
+                      x * img.getWidth / width, y * img.getHeight / height))
+                    x += 1
+                  }
+                  y += 1
+                }
+                pngBytes(out)
+              }
+            } catch { case _: Exception => null }
+          Row(id, resized,
+            if (resized == null) null
+            else Row(width, height, null, "image/png"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ---- real image decode (JDK ImageIO — no extra deps) --------------------
 
   /** Deterministic pixel function shared by the PNG synthesizer and the SQL

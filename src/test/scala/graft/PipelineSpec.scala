@@ -383,6 +383,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("real resize: nearest-neighbor sums match direct computation") {
+    val ids = Seq(3L, 17L).toDF("doc_id")
+    val resized = Multimodal.resizeImages(
+      Multimodal.syntheticImages(ids, "doc_id"), width = 5, height = 4)
+    val out = Multimodal.decodeImages(resized).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Long]("sum_r")))).toMap
+    for (id <- Seq(3L, 17L)) {
+      // the shared pixel/dims arithmetic, restated like the decode test
+      val (w, h) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      val base = (id % 256).toInt
+      var expR = 0L
+      for (y <- 0 until 4; x <- 0 until 5)
+        expR += (base + 3 * (x * w / 5) + 5 * (y * h / 4)) % 256
+      assert(out(id) == ((5, 4, expR)), s"id $id")
+    }
+    // corrupt blob → null content, no crash
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(99L, "image",
+          Array[Byte](1, 2, 3), null)),
+      Multimodal.mediaSchema)
+    val j = Multimodal.resizeImages(junk, 5, 4).collect()(0)
+    assert(j.isNullAt(j.fieldIndex("content")))
+  }
+
   test("cross-corpus near-dups pair new docs with ref twins only") {
     // ref: docs 0 (fox/dog) and 5 (german); new: 3 is a near-dup of 0,
     // 4 is novel — only the (3, 0) pair must surface, as (new_id, ref_id)
