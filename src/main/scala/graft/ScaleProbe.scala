@@ -163,6 +163,18 @@ object ScaleProbe {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkewJoin)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
 
+    // ---- jaccard pair generation: self-join vs adjacency lists ----------
+    // identical output (shared oracle); measures whether skipping the
+    // join machinery beats the ReuseExchange self-join at this scale
+    reportPair(s"jaccard_pairs_1x",
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.3).count(),
+      Dedup.jaccardPairsGrouped(docs, "doc_id", "text", 0.3).count(),
+      la = "selfjoin", lb = "grouped")
+    reportPair(s"jaccard_pairs_${docK}x",
+      Dedup.jaccardPairs(docScaled, "doc_id", "text", 0.3).count(),
+      Dedup.jaccardPairsGrouped(docScaled, "doc_id", "text", 0.3).count(),
+      la = "selfjoin", lb = "grouped")
+
     // ---- mixture sampling: bucketed prefix sum vs naive domain window ---
     // worst case for the naive shape: ONE domain owns the whole corpus, so
     // Window.partitionBy(domain) serializes every row through a single

@@ -750,6 +750,11 @@ object SparkEntry {
       Dedup.simhashCandidates(
         Dedup.simhash(t(s, d, "documents"), "doc_id", "text", hash = "md5"),
         "doc_id", maxHamming = 3).orderBy("id1", "id2")),
+    "dedup_jaccard_grouped" -> ((s, d) =>
+      // adjacency-list variant of dedup_jaccard_pairs — identical output
+      // (shares its oracle); see Dedup.jaccardPairsGrouped for the trade
+      Dedup.jaccardPairsGrouped(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.3, shingleSize = 3).orderBy("id1", "id2")),
     "dedup_cross_corpus" -> ((s, d) => {
       // dedupe the "new dump" (2/3 of docs) against the "training set"
       // (every 3rd doc); the reference side owns the capped vocabulary
@@ -2436,6 +2441,9 @@ object SparkEntry {
       // signature index emits the batch LSH pair set
       ("stream_embed_neardup" -> base("dedup_embedding_lsh")) +
       // one AvailableNow batch in md5 order admits the batch survivor set
-      ("stream_mix_sample" -> base("mix_sample"))
+      ("stream_mix_sample" -> base("mix_sample")) +
+      // the adjacency-list pair generator emits exactly the self-join's
+      // pair multiset, so the whole pipeline shares the same SQL
+      ("dedup_jaccard_grouped" -> base("dedup_jaccard_pairs"))
   }
 }

@@ -306,6 +306,44 @@ object Dedup {
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
   }
 
+  /** [[jaccardPairs]] through per-shingle adjacency lists instead of a
+    * self-join: group the capped inverted index by shingle, emit each
+    * posting list's ordered pairs with a flatMap, then count shared
+    * shingles per pair. EXACTLY the same output — the df cap bounds every
+    * posting list (a capped shingle appears in at most
+    * `max(maxShingleDf, nDocs·5‰)` docs), so the per-shingle pair fan-out
+    * is bounded and the collect_list state is small by construction.
+    * Trades the self-join's second exchange + join machinery for one
+    * grouped aggregation + narrow flatMap; [[jaccardPairs]] keeps the
+    * ReuseExchange self-join shape. Both are driver-oracled against the
+    * same SQL; the measured winner at bench scale is recorded in SCALE.md.
+    */
+  def jaccardPairsGrouped(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val posting = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+      .groupBy("__tok")
+      .agg(collect_list(struct(col("__id").as("_1"), col("__n").as("_2")))
+        .as("__docs"))
+      .select(col("__docs"))
+      .as[Seq[(Long, Int)]]
+    posting.flatMap { docs =>
+      val s = docs.sortBy(_._1)
+      for {
+        i <- s.indices.iterator
+        j <- (i + 1) until s.length
+      } yield (s(i)._1, s(j)._1, s(i)._2, s(j)._2)
+    }.toDF("id1", "id2", "n1", "n2")
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "shared", "n1", "n2", "jaccard")
+  }
+
   /** Connected components over an undirected near-dup pair list, by
     * iterative min-label propagation: each round, every node adopts the
     * smallest component label among itself and its neighbors, so labels

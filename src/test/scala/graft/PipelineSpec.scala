@@ -426,6 +426,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(out(0)._3 - 7.0 / 9.0) < 1e-9)
   }
 
+  test("grouped jaccard variant is row-identical to the self-join path") {
+    val a = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.1, shingleSize = 2, maxShingleDf = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("shared"),
+        r.getAs[Double]("jaccard"))).toSet
+    val b = Dedup.jaccardPairsGrouped(docs, "doc_id", "text",
+      threshold = 0.1, shingleSize = 2, maxShingleDf = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("shared"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("jaccard pairs find the planted near-duplicate") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.5, shingleSize = 1)
