@@ -1684,9 +1684,9 @@ object SparkEntry {
          |  SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM contam)
          |), mx0 AS (
          |  SELECT doc_id, lang_pred, n_tokens,
-         |    sum(n_tokens) OVER (PARTITION BY lang_pred
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
          |    CASE lang_pred WHEN 'en' THEN 2000 WHEN 'de' THEN 600
          |                   WHEN 'es' THEN 600 WHEN 'fr' THEN 500
          |                   ELSE 0 END AS b
@@ -1917,9 +1917,9 @@ object SparkEntry {
          |  FROM documents
          |), c AS (
          |  SELECT doc_id, lang, n_tokens,
-         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY key, doc_id
+         |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY key, doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |           AS cum_tokens,
+         |           AS BIGINT) AS cum_tokens,
          |         CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1000
          |                   WHEN 'es' THEN 1000 WHEN 'fr' THEN 800
          |                   ELSE 0 END AS b
@@ -2056,8 +2056,8 @@ object SparkEntry {
          |)
          |SELECT bucket, pack, count(*) AS n_docs, min(doc_id) AS first_doc,
          |  max(doc_id) AS last_doc,
-         |  sum(least("offset" + n_tokens, (pack + 1) * 256) -
-         |      greatest("offset", pack * 256)) AS n_tokens
+         |  CAST(sum(least("offset" + n_tokens, (pack + 1) * 256) -
+         |      greatest("offset", pack * 256)) AS BIGINT) AS n_tokens
          |FROM p GROUP BY bucket, pack
          |ORDER BY bucket, pack""".stripMargin,
     // mirrors Text.tfIdfTopK: tf per (doc, token), df per token over the
