@@ -210,6 +210,43 @@ object ScaleProbe {
         la = "window", lb = "bucketed")
     }
 
+    // ---- sequence packing: bucket count vs wall time --------------------
+    // each bucket's offset cumsum is ONE window task, so the bucket count
+    // is the parallelism knob: too few buckets = long single-task windows
+    // (the 100 TB failure mode), enough buckets = flat. The auto default
+    // derives buckets from plan-stats input size (packBucketsFor).
+    {
+      import graft.pipeline.Text
+      val auto = Text.packBucketsFor(docScaled)
+      def pack(b: Int): Long =
+        Text.packSequences(docScaled, "doc_id", "text", 256, b).count()
+      pack(1) // warm
+      for (b <- Seq(1, 8, auto, 256)) {
+        val t = time(pack(b))
+        println(f"[scale] pack_buckets_${docK}x   buckets=$b%-6d " +
+          f"t=$t%6.2fs${if (b == auto) "  (auto-derived)" else ""}")
+      }
+    }
+
+    // ---- trainPrep: lineage (exchange reuse) vs materialize -------------
+    // the curate diamond + the clean/docs double-references either ride
+    // exchange reuse in one job (materialize=false) or get pinned via
+    // localCheckpoint (true); measured so SCALE.md can state the default's
+    // rationale rather than guess
+    {
+      import graft.pipeline.Pipelines
+      val evalDf = docScaled.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      val train = docScaled.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      val budgets = Map("en" -> 8000L, "de" -> 2400L, "es" -> 2400L,
+        "fr" -> 2000L)
+      reportPair(s"train_prep_${docK}x",
+        Pipelines.trainPrep(train, "doc_id", "text", evalDf, budgets,
+          contextLen = 128, numBuckets = 32).count(),
+        Pipelines.trainPrep(train, "doc_id", "text", evalDf, budgets,
+          contextLen = 128, numBuckets = 32, materialize = true).count(),
+        la = "lineage", lb = "matrlzd")
+    }
+
     // ---- float vs int8 brute scoring over the stored corpus -------------
     // same ranking work (200 queries × full corpus), float vectors vs the
     // 4×-smaller quantized bytes through the integer codegen cosine

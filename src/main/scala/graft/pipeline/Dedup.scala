@@ -309,14 +309,23 @@ object Dedup {
   /** [[jaccardPairs]] through per-shingle adjacency lists instead of a
     * self-join: group the capped inverted index by shingle, emit each
     * posting list's ordered pairs with a flatMap, then count shared
-    * shingles per pair. EXACTLY the same output — the df cap bounds every
-    * posting list (a capped shingle appears in at most
-    * `max(maxShingleDf, nDocs·5‰)` docs), so the per-shingle pair fan-out
-    * is bounded and the collect_list state is small by construction.
-    * Trades the self-join's second exchange + join machinery for one
-    * grouped aggregation + narrow flatMap; [[jaccardPairs]] keeps the
-    * ReuseExchange self-join shape. Both are driver-oracled against the
-    * same SQL; the measured winner at bench scale is recorded in SCALE.md.
+    * shingles per pair. EXACTLY the same output. Trades the self-join's
+    * second exchange + join machinery for one grouped aggregation + narrow
+    * flatMap; [[jaccardPairs]] keeps the ReuseExchange self-join shape.
+    * Both are driver-oracled against the same SQL; the measured winner at
+    * bench scale is recorded in SCALE.md.
+    *
+    * Memory bound — read before picking this variant at scale: each
+    * posting list is ONE `collect_list` buffer of up to the effective df
+    * cap `max(maxShingleDf, nDocs·5‰)` entries, held in executor memory,
+    * and its pair fan-out is O(cap²). Because the cap's floor is
+    * corpus-RELATIVE, a billion-doc corpus admits 5M-entry buffers with
+    * 10¹³-pair fan-outs per near-cap shingle — the self-join streams the
+    * same work through the shuffle machinery instead of buffering it.
+    * Use this variant only when the effective cap is absolute (small
+    * `maxShingleDf` dominating `nDocs·5‰`, i.e. corpora under
+    * `maxShingleDf / 0.005` docs); default to [[jaccardPairs]] otherwise.
+    * The trade is recorded in SCALE.md ("jaccard pair generation").
     */
   def jaccardPairsGrouped(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3,

@@ -66,17 +66,28 @@ object Pipelines {
       evalDf: DataFrame, budgets: Map[String, Long],
       minTokens: Int = 20, maxTokens: Int = 70,
       nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
-      contextLen: Int = 256, numBuckets: Int = 8): DataFrame = {
+      contextLen: Int = 256, numBuckets: Int = 0,
+      materialize: Boolean = true): DataFrame = {
     def scrub(f: DataFrame) =
       f.withColumn(textCol, Text.scrubPii(col(textCol)))
+    // `clean` and `docs` each feed two downstream branches; with pure
+    // lineage Spark's exchange reuse would have to dedup the shared
+    // subtrees, but the branches reshape the plan (mixSample's bucketing,
+    // packSequences' windows) enough that reuse does NOT cover the curate
+    // chain and it re-executes per branch. Measured at 4× corpus scale
+    // (ScaleProbe `train_prep_4x`, SCALE.md): materialize 6.5s vs pure
+    // lineage 22.8s — so pinning the reused frames via localCheckpoint is
+    // the default; `false` is for memory-starved clusters where holding
+    // the curated corpus in block storage is worse than recompute.
+    def pin(f: DataFrame) = if (materialize) f.localCheckpoint(false) else f
     val curated = curate(scrub(df), idCol, textCol, minTokens, maxTokens,
-      nearDupThreshold, shingleSize)
+      nearDupThreshold, shingleSize, materialize = materialize)
     val contam = Dedup.contamination(curated, scrub(evalDf), idCol, textCol,
       shingleSize).select(col(idCol))
-    val clean = curated.join(contam, Seq(idCol), "left_anti")
+    val clean = pin(curated.join(contam, Seq(idCol), "left_anti"))
     val mixed = Text.mixSample(clean, idCol, textCol, "lang_pred", budgets)
-    val docs = clean.select(col(idCol), col(textCol), col("lang_pred"))
-      .join(mixed.select(col(idCol), col("cum_tokens")), Seq(idCol))
+    val docs = pin(clean.select(col(idCol), col(textCol), col("lang_pred"))
+      .join(mixed.select(col(idCol), col("cum_tokens")), Seq(idCol)))
     Text.packSequences(docs, idCol, textCol, contextLen, numBuckets)
       .join(docs.drop(textCol), Seq(idCol))
       .select(col(idCol), col("lang_pred"), col("n_tokens"),

@@ -267,16 +267,23 @@ object Text {
     *
     * Parallel + deterministic: docs hash into `numBuckets` independent
     * streams (bucket = id % numBuckets), and the running offset is a
-    * per-bucket window cumsum ordered by id — no global sequential scan,
-    * each bucket packs independently at any corpus size.
+    * per-bucket window cumsum ordered by id — no global sequential scan.
+    * Each bucket is still ONE window task, so the bucket count must grow
+    * with the corpus: `numBuckets <= 0` (the default) derives it from the
+    * input's plan statistics via [[packBucketsFor]] (≈ one bucket per
+    * 128 MiB of scan input, metadata-only). A fixed count is only
+    * appropriate when the layout must be reproducible across inputs of
+    * different sizes (as the oracle queries require) — 8 buckets over a
+    * 100 TB corpus would mean 12.5 TB single-task windows.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      contextLen: Int, numBuckets: Int = 8): DataFrame = {
+      contextLen: Int, numBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val buckets = if (numBuckets > 0) numBuckets else packBucketsFor(df)
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     fanOut(df)
-      .select(col(idCol), pmod(col(idCol), lit(numBuckets.toLong)).as("bucket"),
+      .select(col(idCol), pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
       // SQL `div` = exact integer division (Column./ on longs is double)
@@ -285,6 +292,20 @@ object Text {
         when(col("n_tokens") > 0,
           expr(s"(offset + n_tokens - 1) div $contextLen"))
           .otherwise(expr(s"offset div $contextLen")))
+  }
+
+  /** Sizing rule for [[packSequences]]' stream-bucket count: one bucket
+    * per `bytesPerBucket` of estimated scan input, read from the plan's
+    * statistics (file-size metadata — no extra Spark job). Keeps every
+    * per-bucket window cumsum a bounded single-task slice regardless of
+    * corpus size: 100 TB / 128 MiB ≈ 800k buckets, each a sub-second
+    * window. Floor of 8 preserves useful parallelism on tiny inputs; cap
+    * of 2^20 bounds the shuffle's key space.
+    */
+  def packBucketsFor(df: DataFrame, bytesPerBucket: Long = 128L << 20): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / BigInt(math.max(bytesPerBucket, 1L)) + 1)
+      .max(BigInt(8)).min(BigInt(1 << 20)).toInt
   }
 
   /** Domain-weighted mixture sampling to a token budget — the data-mixing
@@ -424,7 +445,7 @@ object Text {
     * bounded by corpus tokens / contextLen.
     */
   def packManifest(df: DataFrame, idCol: String, textCol: String,
-      contextLen: Int, numBuckets: Int = 8): DataFrame = {
+      contextLen: Int, numBuckets: Int = 0): DataFrame = {
     val c = lit(contextLen.toLong)
     packSequences(df, idCol, textCol, contextLen, numBuckets)
       .filter(col("n_tokens") > 0)

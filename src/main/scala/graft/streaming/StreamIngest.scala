@@ -15,6 +15,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamIngest {
 
+  /** Static-side index frames persisted by the streaming near-dup builders,
+    * keyed by the stream frame each call returned — so a caller can release
+    * exactly those cached blocks when its query stops, instead of
+    * `spark.catalog.clearCache()` which drops unrelated caches too.
+    * Identity keys: two calls with equal arguments are distinct entries. */
+  private val indexCaches = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, Seq[DataFrame]]())
+
+  private def registerIndex(out: DataFrame, idx: DataFrame*): DataFrame = {
+    indexCaches.put(out, idx.toSeq)
+    out
+  }
+
+  /** Unpersist the static index frames backing `out` (a frame returned by
+    * [[streamingNearDup]] or [[streamingEmbedNearDup]]). Call after the
+    * query consuming `out` stops; no-op for frames without a registered
+    * index. */
+  def releaseIndex(out: DataFrame): Unit =
+    Option(indexCaches.remove(out)).getOrElse(Nil)
+      .foreach(_.unpersist(blocking = false))
+
   /** File-source stream over a directory of Parquet drops (a "WAL directory"
     * shape: producers drop sorted files, the stream folds them in). */
   def fromParquetDir(spark: SparkSession, dir: String, schema: StructType): DataFrame =
@@ -360,7 +381,7 @@ object StreamIngest {
     // 0/0 would otherwise kill the query; the batch pipeline can never
     // emit such a pair (its verify join requires a shared kept shingle)
     val sidLtRid = col("__sid") < col("__rid")
-    cand.join(refKept, Seq("__rid"))
+    registerIndex(cand.join(refKept, Seq("__rid"))
       .withColumn("__sk", array_except(col("__sset"), stopLit))
       .withColumn("__sn", size(col("__sk")).cast("long"))
       .withColumn("shared",
@@ -375,7 +396,7 @@ object StreamIngest {
         col("shared"),
         when(sidLtRid, col("__sn")).otherwise(col("__rn")).as("n1"),
         when(sidLtRid, col("__rn")).otherwise(col("__sn")).as("n2"),
-        col("jaccard"))
+        col("jaccard")), refKeys, refKept)
   }
 
   final case class AdmitIn(dom: String, id: Long, n_tokens: Long, key: String)
@@ -456,8 +477,8 @@ object StreamIngest {
     * signature for the join; stream-side work is numPlanes+1 probe rows
     * per incoming vector — proportional to batch size, not corpus size.
     * The signature index stays cached for the query's lifetime (same
-    * pattern as [[streamingNearDup]]); release it with
-    * `spark.catalog.clearCache()` after stopping the stream.
+    * pattern as [[streamingNearDup]]); release exactly it with
+    * [[releaseIndex]] on the returned frame after stopping the stream.
     */
   def streamingEmbedNearDup(stream: DataFrame, ref: DataFrame, idCol: String,
       vecCol: String, eventTimeCol: String, lateness: String,
@@ -477,7 +498,7 @@ object StreamIngest {
       .select(col("__event_time"), col("__sid"), col("__sv"),
         explode(array((col("__sig0") +: (0 until numPlanes).map(p =>
           col("__sig0").bitwiseXOR(lit(1 << p)))): _*)).as("__sig"))
-    probed.join(refIdx, Seq("__sig"))
+    registerIndex(probed.join(refIdx, Seq("__sig"))
       .filter(col("__sid") =!= col("__rid"))
       .withColumn("cos", Similarity.cosine(col("__sv"), col("__rv")))
       .filter(col("cos") >= threshold)
@@ -486,7 +507,7 @@ object StreamIngest {
         greatest(col("__sid"), col("__rid")).as("id2"),
         col("cos"))
       .dropDuplicatesWithinWatermark(Seq("id1", "id2"))
-      .select("id1", "id2", "cos")
+      .select("id1", "id2", "cos"), refIdx)
   }
 
   /** Streaming IVF index maintenance — the freshness path of the ANN-at-

@@ -345,6 +345,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trainPrep materialize=true is row-identical to pure lineage") {
+    val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val budgets = Map("en" -> 2000L, "de" -> 600L, "es" -> 600L, "fr" -> 500L)
+    def run(m: Boolean) = graft.pipeline.Pipelines.trainPrep(
+      docs.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      docs.filter($"doc_id" % 97 === 0), budgets,
+      contextLen = 128, numBuckets = 4, materialize = m)
+      .orderBy("doc_id").collect().toSeq
+    assert(run(false) == run(true))
+  }
+
+  test("packBucketsFor: floor on tiny input, grows with bytes, auto path") {
+    val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    // sf0.001 documents is ~100 KB — the floor of 8 applies
+    assert(Text.packBucketsFor(docs) == 8)
+    // shrinking bytesPerBucket grows the count ∝ input size
+    val fine = Text.packBucketsFor(docs, bytesPerBucket = 4096)
+    assert(fine > 8, s"expected > 8 buckets at 4 KiB/bucket, got $fine")
+    // numBuckets <= 0 derives the same count as passing it explicitly
+    val auto = Text.packSequences(docs, "doc_id", "text", 256)
+      .orderBy("doc_id").collect().toSeq
+    val explicit = Text.packSequences(docs, "doc_id", "text", 256,
+      numBuckets = Text.packBucketsFor(docs)).orderBy("doc_id").collect().toSeq
+    assert(auto == explicit)
+  }
+
   test("pack manifest property: conservation, fullness, offset consistency") {
     val rnd = new scala.util.Random(20260814)
     for (round <- 1 to 3) {

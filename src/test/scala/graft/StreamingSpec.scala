@@ -255,6 +255,13 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.length == 1)
     assert(out(0)._1 == 1L && out(0)._2 == 10L && out(0)._3 > 0.99)
+    // the signature index persisted for the query's lifetime; releaseIndex
+    // drops exactly those blocks (and only once — second call is a no-op)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedBefore > 0)
+    StreamIngest.releaseIndex(pairs)
+    assert(spark.sparkContext.getPersistentRDDs.size < persistedBefore)
+    StreamIngest.releaseIndex(pairs) // idempotent
   }
 
   test("streaming budget admission: prefix rule within batch, state across batches") {
