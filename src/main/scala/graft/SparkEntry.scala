@@ -778,6 +778,41 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3)
         .orderBy("doc_id")
     }),
+    "contamination_report" -> ((s, d) => {
+      // eval-side leakage report: per eval doc (every 97th), how many of
+      // its shingles the train corpus contains — including zero-leak rows
+      val docs = t(s, d, "documents")
+      Dedup.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97L)) === 0),
+        "doc_id", "text", shingleSize = 3)
+        .orderBy("doc_id")
+    }),
+    "dedup_bloom" -> ((s, d) => {
+      // cross-corpus exact dedup, bloom-prescreened: incoming docs whose
+      // fingerprint exists in the reference third of the corpus. Output
+      // is the exact semi-join result (bloom is the prescreen layer)
+      val docs = t(s, d, "documents")
+      Dedup.bloomDedup(docs,
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "text_novelty" -> ((s, d) =>
+      // per-doc unique-content metric: distinct shingles with corpus
+      // df == 1 — the inverse signal of the dup-ngram miner
+      Text.noveltyCounts(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3)
+        .orderBy("doc_id")),
+    "source_stats" -> ((s, d) =>
+      // per-source corpus composition: volume, language spread, distinct
+      // content — the curation report a crawl pipeline publishes
+      Text.sourceStats(t(s, d, "documents"), "text", "source")
+        .orderBy("source")),
+    "text_length_hist" -> ((s, d) =>
+      // token-length distribution per language, width-10 buckets
+      Text.lengthHistogram(t(s, d, "documents"), "text", "lang", 10)
+        .orderBy("lang", "bucket")),
     "text_dup_ngrams" -> ((s, d) =>
       // most-duplicated 5-token spans with doc frequency — the
       // substring-dedup signal (Lee et al. 2022) at fixed span length
@@ -1616,6 +1651,95 @@ object SparkEntry {
          |FROM tr JOIN ev USING (tok)
          |GROUP BY doc_id, n_shingles
          |ORDER BY doc_id""".stripMargin,
+    "contamination_report" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM t
+         |), ev AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |         unnest(sh) AS tok
+         |  FROM s WHERE doc_id % 97 = 0
+         |), tr AS (
+         |  SELECT DISTINCT unnest(sh) AS tok FROM s WHERE doc_id % 97 <> 0
+         |), j AS (
+         |  SELECT ev.doc_id, ev.n_shingles,
+         |         CASE WHEN tr.tok IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM ev LEFT JOIN tr ON ev.tok = tr.tok
+         |)
+         |SELECT doc_id, n_shingles,
+         |  CAST(sum(hit) AS BIGINT) AS n_shared,
+         |  CAST(sum(hit) AS DOUBLE) / n_shingles AS leakage
+         |FROM j GROUP BY doc_id, n_shingles
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_bloom" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp FROM fp
+        |WHERE fp IN (SELECT fp FROM fp WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "text_novelty" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+2], ' ')
+         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+         |  FROM t
+         |), e AS (
+         |  SELECT doc_id, unnest(sh) AS tok FROM s
+         |), d AS (
+         |  SELECT tok, count(*) AS df FROM e GROUP BY tok
+         |)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         |    AS novelty
+         |FROM e JOIN d USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "source_stats" -> {
+      def score(words: Seq[String]): String =
+        s"CAST(len(list_filter($DuckToks, x -> list_contains([" +
+          words.map(w => s"'$w'").mkString(",") + s"], x))) AS BIGINT)"
+      s"""WITH l AS (
+         |  SELECT source, text,
+         |    ${score(Text.StopwordsDe)} AS score_de,
+         |    ${score(Text.StopwordsEn)} AS score_en,
+         |    ${score(Text.StopwordsEs)} AS score_es,
+         |    ${score(Text.StopwordsFr)} AS score_fr
+         |  FROM documents
+         |), p AS (
+         |  SELECT source, text,
+         |    CAST(len($DuckToks) AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         |    CASE
+         |      WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+         |      WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         |      WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+         |      WHEN score_fr > 0 THEN 'fr'
+         |      ELSE 'und'
+         |    END AS lang_pred
+         |  FROM l
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+         |FROM p GROUP BY source ORDER BY source""".stripMargin
+    },
+    "text_length_hist" ->
+      s"""SELECT lang, CAST(len($DuckToks) // 10 AS BIGINT) AS bucket,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2
+         |ORDER BY lang, bucket""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

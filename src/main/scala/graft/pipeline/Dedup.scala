@@ -740,6 +740,70 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Eval-side leakage report — the inverse direction of [[contamination]]:
+    * for each EVAL document, how much of it the training corpus already
+    * contains (the number a benchmark owner reads before trusting a
+    * score). Emits one row per eval doc — including zero-leak docs —
+    * with its distinct-shingle count, the count of those shingles found
+    * anywhere in train, and their ratio.
+    *
+    * Scale shape mirrors [[contamination]] with the broadcast direction
+    * kept on the small side throughout: the eval shingle vocabulary
+    * broadcasts into a semi-join that the train scan probes (one pass,
+    * no wide shuffle), and the matched-vocabulary result — bounded by
+    * the eval vocabulary, not the corpus — broadcasts back into the
+    * per-eval-doc count. Train is read once; nothing corpus-sized ever
+    * shuffles.
+    */
+  def contaminationReport(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    val evalSh = shingleSets(evalDf, idCol, textCol, shingleSize)
+      .select(col("__id"), explode(col("__set")).as("__tok"))
+    val evalVocab = evalSh.select("__tok").distinct()
+    val matched = shingleSets(train, idCol, textCol, shingleSize)
+      .select(explode(col("__set")).as("__tok"))
+      .join(broadcast(evalVocab), Seq("__tok"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    evalSh.join(broadcast(matched), Seq("__tok"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("leakage"))
+  }
+
+  /** Cross-corpus exact dedup with a Bloom-filter prescreen: emit the
+    * incoming documents whose content fingerprint already exists in the
+    * reference corpus. The output is EXACT (a semi-join on the
+    * fingerprint verifies every candidate, so Bloom false positives
+    * never escape) — the filter is purely the scale layer: it is built
+    * once over the reference fingerprints (one tree-aggregated job),
+    * broadcast, and applied as a narrow filter on the incoming scan, so
+    * only the tiny might-match fraction reaches the join. With a 1% fpp
+    * the filter costs ~1.2 bytes per reference doc — ~1.2 GB broadcast
+    * at 10⁹ refs; beyond that raise `fpp` or shard the reference and
+    * union the per-shard results.
+    *
+    * `expectedItems <= 0` sizes the filter from an exact count of the
+    * reference (one cheap aggregate); pass the known corpus size to skip
+    * that job.
+    */
+  def bloomDedup(newDf: DataFrame, refDf: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.01,
+      expectedItems: Long = 0L): DataFrame = {
+    val refFps = refDf.select(Text.fingerprint(col(textCol)).as("fp"))
+    val n = if (expectedItems > 0L) expectedItems
+      else math.max(refFps.count(), 1L)
+    val bloom = refFps.stat.bloomFilter("fp", n, fpp)
+    val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    newDf.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .filter(might(col("fp")))
+      .join(refFps.distinct(), Seq("fp"), "left_semi")
+      .select(col(idCol), col("fp"))
+  }
+
   /** SimHash sign-sum aggregator: +1/-1 per bit per token hash. */
   object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     override def zero: Array[Int] = new Array[Int](64)

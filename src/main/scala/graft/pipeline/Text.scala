@@ -294,6 +294,68 @@ object Text {
           .otherwise(expr(s"offset div $contextLen")))
   }
 
+  /** Per-document novelty — the memorization-risk / content-uniqueness
+    * metric: of a doc's distinct shingles, how many appear in NO other
+    * document (corpus df == 1). High-novelty docs carry unique content;
+    * near-zero novelty marks boilerplate assembled from shared spans.
+    * Emits (id, n_shingles, n_novel, novelty).
+    *
+    * Scale shape: explode distinct shingles once, df by one
+    * map-side-combinable count keyed on shingle, then join the exploded
+    * rows back on the same shingle key — the df frame and the exploded
+    * frame hash-partition identically, so the join reuses the df
+    * aggregation's exchange — and finish with a doc-keyed count. Two
+    * keyed shuffles total (vocabulary, then docs); nothing quadratic,
+    * no broadcast of corpus-sized state.
+    */
+  def noveltyCounts(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val ex = fanOut(df).select(col(idCol).as("__id"),
+        explode(shingleSetUdf(shingleSize)(col(textCol))).as("__tok"))
+    val dfreq = ex.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    ex.join(dfreq, Seq("__tok"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
+  /** Per-source curation report — the corpus-composition summary a data
+    * pipeline publishes per crawl/source: document and token volume,
+    * character volume, language spread, and distinct-content count
+    * (n_docs − n_unique = exact duplicates within the source). One
+    * groupBy over the scan; the two distincts expand map-side and
+    * partial-aggregate, so per-source state stays bounded by the
+    * source's distinct languages + fingerprints, never its row count.
+    */
+  def sourceStats(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    langId(fanOut(df), textCol)
+      .select(col(sourceCol), col(textCol), col("lang_pred"),
+        tokenCount(col(textCol)).cast("long").as("__nt"),
+        length(col(textCol)).cast("long").as("__nc"),
+        fingerprint(col(textCol)).as("__fp"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__nc")).as("n_chars"),
+        countDistinct(col("lang_pred")).as("n_langs"),
+        countDistinct(col("__fp")).as("n_unique"))
+
+  /** Token-length histogram per group: docs bucketed by
+    * `n_tokens div width` — the length-distribution profile used to pick
+    * truncation/packing context sizes. One map-side-combinable groupBy;
+    * output is |groups| × |buckets| metadata rows at any corpus size. */
+  def lengthHistogram(df: DataFrame, textCol: String, groupCol: String,
+      width: Int): DataFrame =
+    fanOut(df)
+      .select(col(groupCol),
+        tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("bucket", expr(s"__nt div $width"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Sizing rule for [[packSequences]]' stream-bucket count: one bucket
     * per `bytesPerBucket` of estimated scan input, read from the plan's
     * statistics (file-size metadata — no extra Spark job). Keeps every

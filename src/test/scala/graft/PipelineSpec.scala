@@ -151,6 +151,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(shuffled == Map(0L -> 7L, 3L -> 6L))
   }
 
+  test("contaminationReport: per-eval-doc leakage, zero-leak rows included") {
+    // eval 100 == train doc 0 verbatim → 7/7 shared; eval 101 shares
+    // nothing and must still appear with n_shared = 0
+    val evalDf = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "unrelated eval material with fresh tokens only present here"))
+      .toDF("doc_id", "text")
+    val train = docs.filter($"doc_id".isin(0L, 4L))
+    val out = Dedup.contaminationReport(train, evalDf, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_shingles"),
+          r.getAs[Double]("leakage")))).toMap
+    assert(out.keySet == Set(100L, 101L))
+    assert(out(100L) == ((7L, 7L, 1.0)))
+    assert(out(101L)._1 == 0L && out(101L)._3 == 0.0)
+  }
+
+  test("bloomDedup equals the exact semi-join (no false positives escape)") {
+    // ref = docs 0 and 4; incoming 1 (exact dup) and 2 (ws/case dup)
+    // match 0's fingerprint, 3 (near dup) and 5 do not
+    val ref = docs.filter($"doc_id".isin(0L, 4L))
+    val out = Dedup.bloomDedup(docs, ref, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(0L, 1L, 2L, 4L))
+    // a deliberately high-fpp filter still yields the exact result —
+    // the verify join owns correctness, the bloom only prunes
+    val noisy = Dedup.bloomDedup(docs, ref, "doc_id", "text", fpp = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(noisy == out)
+  }
+
+  test("noveltyCounts: shared shingles lower novelty, unique text maxes it") {
+    // docs 0 and 1 are identical → every shingle has df >= 2 → novelty 0;
+    // doc 4 shares nothing → all 8 of its trigrams are df == 1
+    val out = Text.noveltyCounts(
+      docs.filter($"doc_id".isin(0L, 1L, 4L)), "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_novel"), r.getAs[Long]("n_shingles")))).toMap
+    assert(out(0L) == ((0L, 7L)))
+    assert(out(1L) == ((0L, 7L)))
+    assert(out(4L)._1 == out(4L)._2 && out(4L)._1 > 0)
+  }
+
+  test("sourceStats: volumes, language spread, distinct content per source") {
+    val fx = Seq(
+      (0L, "the and is with that this for from", "s1"),
+      (1L, "the and is with that this for from", "s1"), // exact dup in s1
+      (2L, "der die und ist nicht das ein mit", "s1"),
+      (3L, "el la es de que en un por", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Text.sourceStats(fx, "text", "source")
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_langs"), r.getAs[Long]("n_unique")))).toMap
+    assert(out("s1") == ((3L, 24L, 2L, 2L))) // en + de, one dup collapsed
+    assert(out("s2") == ((1L, 8L, 1L, 1L)))
+  }
+
+  test("lengthHistogram buckets by integer division of token count") {
+    val fx = Seq(
+      (0L, "a b c", "en"),         // 3 tokens  → bucket 0
+      (1L, "a b c d e f g h i j k l", "en"), // 12 → bucket 1
+      (2L, "a b", "de"))            // 2 → bucket 0
+      .toDF("doc_id", "text", "lang")
+    val out = Text.lengthHistogram(fx, "text", "lang", 10)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(("en", 0L) -> 1L, ("en", 1L) -> 1L, ("de", 0L) -> 1L))
+  }
+
   test("mixSample matches the single-window reference, drops no-budget domains") {
     // two domains; "a" budget covers some docs in md5 order, "b" has no
     // budget entry and must vanish. A zero-token doc (id 7) costs nothing

@@ -206,4 +206,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no pruning: read $readCells of $totalCells cells")
     assert(readCells > 0)
   }
+
+  test("text_novelty: df joined back on the shingle key, no cartesian") {
+    val p = plan("text_novelty")
+    assert(!p.contains("Cartesian"), p)
+    // df count partial-aggregates map-side before the vocabulary shuffle
+    assert(p.contains("partial_count"), p)
+    // equi-join on the shingle key; at probe scale the vocabulary-sized df
+    // frame broadcasts (correct — it IS small), at corpus scale its stats
+    // exceed the threshold and the same plan shuffles on __tok, reusing
+    // the df aggregation's partitioning
+    assert(p.contains("HashJoin [__tok") || p.contains("SortMergeJoin [__tok")
+      || p.contains("BroadcastHashJoin [__tok"), p)
+  }
+
+  test("contamination_report: both probe frames broadcast (eval-sized)") {
+    val p = plan("contamination_report")
+    assert(!p.contains("Cartesian"), p)
+    // eval vocabulary into the train scan, matched set back onto eval rows
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dedup_bloom: bloom prescreen filters the scan before the verify join") {
+    val df = SparkEntry.queries("dedup_bloom")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian"), p)
+    // the mightContain UDF sits in a Filter on the incoming side, below
+    // the fingerprint semi-join — candidates, not the corpus, reach it
+    assert(p.contains("LeftSemi"), p)
+    val filterIdx = p.indexOf("UDF")
+    assert(filterIdx >= 0, p)
+  }
 }
