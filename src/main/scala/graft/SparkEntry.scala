@@ -28,6 +28,10 @@ object SparkEntry {
     * one streaming ingest per process per dataset). */
   private val streamIvfPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-dataset cache for the at-rest near-dup index (one write per
+    * process per dataset; probes reuse it). */
+  private val nearDupIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Collision-free dataset-dir discriminator for scratch paths/table names
     * (32-bit hashCode collisions are easy to hit across many dirs). */
@@ -762,6 +766,26 @@ object SparkEntry {
       Dedup.crossCorpusNearDups(
         docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+        "doc_id", "text", threshold = 0.3)
+        .orderBy("new_id", "ref_id")
+    }),
+    "dedup_index_probe" -> ((s, d) => {
+      // dedup_cross_corpus probed AT REST: the reference side's stop
+      // list + capped inverted index persist once (writeNearDupIndex),
+      // then the new dump joins against the stored index — no
+      // reference-corpus shingle recompute per dump. Same result as the
+      // recompute path, so it shares dedup_cross_corpus's oracle
+      val docs = t(s, d, "documents")
+      val path = nearDupIndexPaths.computeIfAbsent(d, dir => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ndidx-$processId-${dirTag(dir)}").getPath
+        Dedup.writeNearDupIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0),
+          "doc_id", "text", p)
+        p
+      })
+      Dedup.probeNearDupIndex(s, path,
+        docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
         "doc_id", "text", threshold = 0.3)
         .orderBy("new_id", "ref_id")
     }),
@@ -2568,6 +2592,10 @@ object SparkEntry {
       ("stream_mix_sample" -> base("mix_sample")) +
       // the adjacency-list pair generator emits exactly the self-join's
       // pair multiset, so the whole pipeline shares the same SQL
-      ("dedup_jaccard_grouped" -> base("dedup_jaccard_pairs"))
+      ("dedup_jaccard_grouped" -> base("dedup_jaccard_pairs")) +
+      // probing the persisted reference index runs the identical
+      // keptExploded/crossVerify computation — only the ref frame's
+      // provenance (parquet index vs recompute) differs
+      ("dedup_index_probe" -> base("dedup_cross_corpus"))
   }
 }

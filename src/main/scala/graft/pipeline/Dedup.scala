@@ -682,19 +682,33 @@ object Dedup {
     val stop =
       if (maxShingleDf <= 0) None
       else Some(stopShingles(refDf, idCol, textCol, shingleSize, maxShingleDf))
-    def kept(df: DataFrame): DataFrame = {
-      val sets = shingleSets(df, idCol, textCol, shingleSize)
-      val k = stop match {
-        case None => sets.withColumn("__kept", col("__set"))
-        case Some(st) => sets.crossJoin(broadcast(st))
-          .withColumn("__kept", array_except(col("__set"), col("__stop")))
-      }
-      k.select(col("__id"), size(col("__kept")).as("__n"),
-        explode(col("__kept")).as("__tok"))
+    crossVerify(
+      keptExploded(newDf, idCol, textCol, shingleSize, stop),
+      keptExploded(refDf, idCol, textCol, shingleSize, stop),
+      threshold)
+  }
+
+  /** Capped inverted-index rows (`__id`, `__n`, `__tok`) of `df` under an
+    * externally-supplied stop list (or none). */
+  private def keptExploded(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, stop: Option[DataFrame]): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleSize)
+    val k = stop match {
+      case None => sets.withColumn("__kept", col("__set"))
+      case Some(st) => sets.crossJoin(broadcast(st))
+        .withColumn("__kept", array_except(col("__set"), col("__stop")))
     }
-    kept(newDf)
+    k.select(col("__id"), size(col("__kept")).as("__n"),
+      explode(col("__kept")).as("__tok"))
+  }
+
+  /** Shared verify tail of the cross-corpus paths: inverted-index join on
+    * the shingle, per-pair co-count, Jaccard threshold. */
+  private def crossVerify(newKept: DataFrame, refKept: DataFrame,
+      threshold: Double): DataFrame =
+    newKept
       .select(col("__id").as("new_id"), col("__n").as("n_new"), col("__tok"))
-      .join(kept(refDf)
+      .join(refKept
         .select(col("__id").as("ref_id"), col("__n").as("n_ref"),
           col("__tok")), Seq("__tok"))
       .groupBy("new_id", "ref_id", "n_new", "n_ref")
@@ -703,6 +717,65 @@ object Dedup {
         (col("n_new") + col("n_ref") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "ref_id", "shared", "n_new", "n_ref", "jaccard")
+
+  /** Persist the reference side of [[crossCorpusNearDups]] — the near-dup
+    * index at rest, so each new dump dedups against a 100 TB training set
+    * WITHOUT recomputing its shingles, stop list, or df profile (the
+    * dominant cost: shingle/tokenize compute over the full corpus).
+    * Artifacts under `path`:
+    *   - `meta.parquet`  — (shingle_size, max_shingle_df), read back by
+    *     the probe so both sides always shingle identically;
+    *   - `stop.parquet`  — the ref-owned stop-shingle list (one array
+    *     row; empty array when the cap is off);
+    *   - `index.parquet` — the capped inverted index (`ref_id`, `n_ref`,
+    *     `tok`), repartitioned on `tok` so probe joins read
+    *     shingle-clustered files.
+    * The probe ([[probeNearDupIndex]]) is byte-identical to running
+    * [[crossCorpusNearDups]] against the original reference corpus — the
+    * two paths share `keptExploded`/`crossVerify`, only the ref frame's
+    * provenance differs (tested, and the driver query shares the
+    * cross-corpus oracle). Same at-rest pattern as
+    * [[graft.pipeline.Similarity.writeIvf]] for vectors.
+    */
+  def writeNearDupIndex(refDf: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): Unit = {
+    val spark = refDf.sparkSession
+    import spark.implicits._
+    Seq((shingleSize, maxShingleDf)).toDF("shingle_size", "max_shingle_df")
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+    val stop =
+      if (maxShingleDf <= 0)
+        Seq(Seq.empty[String]).toDF("__stop")
+      else stopShingles(refDf, idCol, textCol, shingleSize, maxShingleDf)
+    stop.write.mode("overwrite").parquet(s"$path/stop.parquet")
+    val stopRead = spark.read.parquet(s"$path/stop.parquet")
+    keptExploded(refDf, idCol, textCol, shingleSize, Some(stopRead))
+      .select(col("__id").as("ref_id"), col("__n").as("n_ref"),
+        col("__tok").as("tok"))
+      .repartition(col("tok"))
+      .write.mode("overwrite").parquet(s"$path/index.parquet")
+  }
+
+  /** Dedup a new dump against a stored [[writeNearDupIndex]] index: the
+    * new side is shingled under the STORED stop list (so results don't
+    * shift with the dump's composition — same contract as the recompute
+    * path), then joined against the stored inverted index. Per probe,
+    * compute is proportional to the NEW dump; the reference corpus
+    * contributes only a parquet scan of its index rows.
+    */
+  def probeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newDf: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val stop = spark.read.parquet(s"$path/stop.parquet")
+    val idx = spark.read.parquet(s"$path/index.parquet")
+      .select(col("ref_id").as("__id"), col("n_ref").as("__n"),
+        col("tok").as("__tok"))
+    crossVerify(
+      keptExploded(newDf, idCol, textCol, shingleSize, Some(stop)),
+      idx, threshold)
   }
 
   /** Benchmark contamination detection: flag training documents that share

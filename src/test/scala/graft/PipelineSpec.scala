@@ -528,6 +528,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(out(0)._3 - 7.0 / 9.0) < 1e-9)
   }
 
+  test("stored near-dup index probe is row-identical to the recompute path") {
+    // same split as the driver query, real corpus — the stored-index
+    // probe must reproduce crossCorpusNearDups byte for byte, including
+    // the ref-owned stop list read back from disk
+    val corpus = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val ref = corpus.filter($"doc_id" % 3 === 0)
+    val fresh = corpus.filter($"doc_id" % 3 =!= 0)
+    val path = new java.io.File(SparkTestBase.tempDir("graft-ndidx"),
+      "idx").getPath
+    Dedup.writeNearDupIndex(ref, "doc_id", "text", path)
+    val stored = Dedup.probeNearDupIndex(spark, path, fresh, "doc_id",
+      "text", threshold = 0.3).orderBy("new_id", "ref_id").collect().toSeq
+    val direct = Dedup.crossCorpusNearDups(fresh, ref, "doc_id", "text",
+      threshold = 0.3).orderBy("new_id", "ref_id").collect().toSeq
+    assert(stored == direct)
+    assert(stored.nonEmpty)
+    // probe must honor the STORED shingle size, not a caller guess:
+    // meta says 3, so a planted 1-gram twin stays invisible
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    assert(meta.getAs[Int]("shingle_size") == 3)
+  }
+
   test("grouped jaccard variant is row-identical to the self-join path") {
     val a = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.1, shingleSize = 2, maxShingleDf = 0).collect()
