@@ -221,10 +221,10 @@ object ScaleProbe {
       def pack(b: Int): Long =
         Text.packSequences(docScaled, "doc_id", "text", 256, b).count()
       pack(1) // warm
-      for (b <- Seq(1, 8, auto, 256)) {
+      for (b <- Seq(1, 8, auto, 256).distinct) {
         val t = time(pack(b))
         println(f"[scale] pack_buckets_${docK}x   buckets=$b%-6d " +
-          f"t=$t%6.2fs${if (b == auto) "  (auto-derived)" else ""}")
+          f"t=$t%6.2fs${if (b == auto) "  (= auto-derived)" else ""}")
       }
     }
 

@@ -1683,21 +1683,26 @@ object SparkEntry {
          |    [array_to_string(toks[i:i+2], ' ')
          |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
          |  FROM t
-         |), ev AS (
-         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
-         |         unnest(sh) AS tok
+         |), ev0 AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles, sh
          |  FROM s WHERE doc_id % 97 = 0
+         |), ev AS (
+         |  SELECT doc_id, unnest(sh) AS tok FROM ev0
          |), tr AS (
          |  SELECT DISTINCT unnest(sh) AS tok FROM s WHERE doc_id % 97 <> 0
-         |), j AS (
-         |  SELECT ev.doc_id, ev.n_shingles,
-         |         CASE WHEN tr.tok IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |), agg AS (
+         |  SELECT ev.doc_id,
+         |    CAST(sum(CASE WHEN tr.tok IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_shared
          |  FROM ev LEFT JOIN tr ON ev.tok = tr.tok
+         |  GROUP BY ev.doc_id
          |)
-         |SELECT doc_id, n_shingles,
-         |  CAST(sum(hit) AS BIGINT) AS n_shared,
-         |  CAST(sum(hit) AS DOUBLE) / n_shingles AS leakage
-         |FROM j GROUP BY doc_id, n_shingles
+         |SELECT ev0.doc_id, ev0.n_shingles,
+         |  coalesce(agg.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         |  CASE WHEN ev0.n_shingles > 0
+         |       THEN CAST(coalesce(agg.n_shared, 0) AS DOUBLE) / ev0.n_shingles
+         |       ELSE 0.0 END AS leakage
+         |FROM ev0 LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
     "dedup_bloom" ->
       """WITH fp AS (
@@ -1727,29 +1732,20 @@ object SparkEntry {
          |    AS novelty
          |FROM e JOIN d USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "source_stats" -> {
-      def score(words: Seq[String]): String =
-        s"CAST(len(list_filter($DuckToks, x -> list_contains([" +
-          words.map(w => s"'$w'").mkString(",") + s"], x))) AS BIGINT)"
+    "source_stats" ->
       s"""WITH l AS (
          |  SELECT source, text,
-         |    ${score(Text.StopwordsDe)} AS score_de,
-         |    ${score(Text.StopwordsEn)} AS score_en,
-         |    ${score(Text.StopwordsEs)} AS score_es,
-         |    ${score(Text.StopwordsFr)} AS score_fr
+         |    ${langScoreSql(Text.StopwordsDe)} AS s_de,
+         |    ${langScoreSql(Text.StopwordsEn)} AS s_en,
+         |    ${langScoreSql(Text.StopwordsEs)} AS s_es,
+         |    ${langScoreSql(Text.StopwordsFr)} AS s_fr
          |  FROM documents
          |), p AS (
-         |  SELECT source, text,
+         |  SELECT source,
          |    CAST(len($DuckToks) AS BIGINT) AS nt,
          |    CAST(length(text) AS BIGINT) AS nc,
          |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
-         |    CASE
-         |      WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
-         |      WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
-         |      WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
-         |      WHEN score_fr > 0 THEN 'fr'
-         |      ELSE 'und'
-         |    END AS lang_pred
+         |    $langCaseSql AS lang_pred
          |  FROM l
          |)
          |SELECT source, count(*) AS n_docs,
@@ -1757,8 +1753,7 @@ object SparkEntry {
          |  CAST(sum(nc) AS BIGINT) AS n_chars,
          |  CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
          |  CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
-         |FROM p GROUP BY source ORDER BY source""".stripMargin
-    },
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "text_length_hist" ->
       s"""SELECT lang, CAST(len($DuckToks) // 10 AS BIGINT) AS bucket,
          |  count(*) AS n_docs

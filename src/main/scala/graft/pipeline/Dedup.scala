@@ -742,19 +742,52 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): Unit = {
     val spark = refDf.sparkSession
     import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    // build into a sibling dir, then two-rename swap the WHOLE index —
+    // meta/stop/index must change together or a concurrent (or
+    // post-crash) probe reads a new stop list against an old index. Same
+    // protocol as Similarity.compactIvf; recoverNearDupIndex heals the
+    // between-renames crash window.
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverNearDupIndex(fs, live)
+    val tmp = new Path(path + ".build-tmp")
+    val old = new Path(path + ".build-old")
+    fs.delete(tmp, true)
     Seq((shingleSize, maxShingleDf)).toDF("shingle_size", "max_shingle_df")
-      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
     val stop =
       if (maxShingleDf <= 0)
         Seq(Seq.empty[String]).toDF("__stop")
       else stopShingles(refDf, idCol, textCol, shingleSize, maxShingleDf)
-    stop.write.mode("overwrite").parquet(s"$path/stop.parquet")
-    val stopRead = spark.read.parquet(s"$path/stop.parquet")
+    stop.write.mode("overwrite").parquet(s"$tmp/stop.parquet")
+    val stopRead = spark.read.parquet(s"$tmp/stop.parquet")
     keptExploded(refDf, idCol, textCol, shingleSize, Some(stopRead))
       .select(col("__id").as("ref_id"), col("__n").as("n_ref"),
         col("__tok").as("tok"))
       .repartition(col("tok"))
-      .write.mode("overwrite").parquet(s"$path/index.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/index.parquet")
+    fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"writeNearDupIndex: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      if (fs.exists(old)) fs.rename(old, live) // roll back, original intact
+      throw new java.io.IOException(s"writeNearDupIndex: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Crash recovery for [[writeNearDupIndex]]'s swap window: a kill between
+    * `live → old` and `tmp → live` leaves the only complete index at
+    * `.build-old` — promote it back. Called by both the writer and the
+    * probe so the next access self-heals. */
+  private[graft] def recoverNearDupIndex(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(live.toString + ".build-old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"writeNearDupIndex recovery: cannot restore $old")
   }
 
   /** Dedup a new dump against a stored [[writeNearDupIndex]] index: the
@@ -767,6 +800,9 @@ object Dedup {
   def probeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, newDf: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    recoverNearDupIndex(
+      live.getFileSystem(spark.sessionState.newHadoopConf()), live)
     val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
     val shingleSize = meta.getAs[Int]("shingle_size")
     val stop = spark.read.parquet(s"$path/stop.parquet")
@@ -816,9 +852,11 @@ object Dedup {
   /** Eval-side leakage report — the inverse direction of [[contamination]]:
     * for each EVAL document, how much of it the training corpus already
     * contains (the number a benchmark owner reads before trusting a
-    * score). Emits one row per eval doc — including zero-leak docs —
-    * with its distinct-shingle count, the count of those shingles found
-    * anywhere in train, and their ratio.
+    * score). Emits one row per eval doc — including zero-leak docs AND
+    * docs too short to shingle (n_shingles 0, leakage 0), so the report
+    * certifies every doc as checked — with its distinct-shingle count,
+    * the count of those shingles found anywhere in train, and their
+    * ratio.
     *
     * Scale shape mirrors [[contamination]] with the broadcast direction
     * kept on the small side throughout: the eval shingle vocabulary
@@ -830,20 +868,27 @@ object Dedup {
     */
   def contaminationReport(train: DataFrame, evalDf: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    val evalSh = shingleSets(evalDf, idCol, textCol, shingleSize)
-      .select(col("__id"), explode(col("__set")).as("__tok"))
+    val sets = shingleSets(evalDf, idCol, textCol, shingleSize)
+    val evalSh = sets.select(col("__id"), explode(col("__set")).as("__tok"))
     val evalVocab = evalSh.select("__tok").distinct()
     val matched = shingleSets(train, idCol, textCol, shingleSize)
       .select(explode(col("__set")).as("__tok"))
       .join(broadcast(evalVocab), Seq("__tok"), "left_semi")
       .distinct()
       .withColumn("__hit", lit(1L))
-    evalSh.join(broadcast(matched), Seq("__tok"), "left")
+    val hits = evalSh.join(broadcast(matched), Seq("__tok"), "left")
       .groupBy("__id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
-      .select(col("__id").as(idCol), col("n_shingles"), col("n_shared"),
-        (col("n_shared").cast("double") / col("n_shingles")).as("leakage"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+    // rejoin onto the full eval doc list: a doc with fewer than
+    // shingleSize tokens has no shingles (and no explode rows) but must
+    // still certify as checked — n_shingles 0, leakage 0
+    sets.select(col("__id"), size(col("__set")).cast("long").as("n_shingles"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_shingles")).otherwise(lit(0.0)).as("leakage"))
   }
 
   /** Cross-corpus exact dedup with a Bloom-filter prescreen: emit the
@@ -873,7 +918,9 @@ object Dedup {
     val might = udf((s: String) => s != null && bc.value.mightContainString(s))
     newDf.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
       .filter(might(col("fp")))
-      .join(refFps.distinct(), Seq("fp"), "left_semi")
+      // left-semi ignores build-side multiplicity — no distinct needed,
+      // which saves a corpus-sized exchange+aggregate over the ref side
+      .join(refFps, Seq("fp"), "left_semi")
       .select(col(idCol), col("fp"))
   }
 

@@ -279,7 +279,9 @@ object Text {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       contextLen: Int, numBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val buckets = if (numBuckets > 0) numBuckets else packBucketsFor(df)
+    val buckets =
+      if (numBuckets > 0) numBuckets
+      else packBucketsFor(df, textCol = Some(textCol))
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     fanOut(df)
@@ -364,8 +366,30 @@ object Text {
     * window. Floor of 8 preserves useful parallelism on tiny inputs; cap
     * of 2^20 bounds the shuffle's key space.
     */
-  def packBucketsFor(df: DataFrame, bytesPerBucket: Long = 128L << 20): Int = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+  def packBucketsFor(df: DataFrame, bytesPerBucket: Long = 128L << 20,
+      textCol: Option[String] = None): Int = {
+    val plan = df.queryExecution.optimizedPlan
+    val est = plan.stats.sizeInBytes
+    // Scan-backed frames report real file bytes, but Catalyst's
+    // size-only visitor estimates a join as the PRODUCT of its children
+    // and a stats-less relation (e.g. a localCheckpoint) saturates
+    // toward Long.MaxValue — the same pitfall fanOut guards. So the
+    // estimate is trusted only when the plan is join-free and the number
+    // is physically plausible; otherwise, given the text column, fall
+    // back to ONE exact byte-count aggregate (a narrow map-side-combined
+    // pass — real work at 100 TB, but the price of a correct layout on
+    // exactly the frames whose stats are unusable).
+    val joinFree = plan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty
+    val bytes: BigInt =
+      if (joinFree && est > 0 && est < BigInt(1L << 60)) est
+      else textCol match {
+        case Some(c) =>
+          val r = df.agg(sum(octet_length(col(c)).cast("long"))).collect()(0)
+          BigInt(if (r.isNullAt(0)) 0L else r.getLong(0))
+        case None => BigInt(0) // the floor of 8 applies
+      }
     (bytes / BigInt(math.max(bytesPerBucket, 1L)) + 1)
       .max(BigInt(8)).min(BigInt(1 << 20)).toInt
   }

@@ -19,9 +19,13 @@ object StreamIngest {
     * keyed by the stream frame each call returned — so a caller can release
     * exactly those cached blocks when its query stops, instead of
     * `spark.catalog.clearCache()` which drops unrelated caches too.
-    * Identity keys: two calls with equal arguments are distinct entries. */
+    * Keys are weak (DataFrame has identity equals/hashCode): a caller that
+    * simply drops the returned frame loses the registry entry with it, so
+    * ContextCleaner's GC-driven unpersist keeps working and the map cannot
+    * grow without bound across many builder calls. The index frames don't
+    * reference the output frame, so an entry never pins its own key. */
   private val indexCaches = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[DataFrame, Seq[DataFrame]]())
+    new java.util.WeakHashMap[DataFrame, Seq[DataFrame]]())
 
   private def registerIndex(out: DataFrame, idx: DataFrame*): DataFrame = {
     indexCaches.put(out, idx.toSeq)

@@ -153,10 +153,12 @@ class PipelineSpec extends AnyFunSuite {
 
   test("contaminationReport: per-eval-doc leakage, zero-leak rows included") {
     // eval 100 == train doc 0 verbatim → 7/7 shared; eval 101 shares
-    // nothing and must still appear with n_shared = 0
+    // nothing and must still appear with n_shared = 0; eval 102 is too
+    // short to shingle and must STILL certify as checked (0, 0, 0.0)
     val evalDf = Seq(
       (100L, "the quick brown fox jumps over the lazy dog"),
-      (101L, "unrelated eval material with fresh tokens only present here"))
+      (101L, "unrelated eval material with fresh tokens only present here"),
+      (102L, "hi there"))
       .toDF("doc_id", "text")
     val train = docs.filter($"doc_id".isin(0L, 4L))
     val out = Dedup.contaminationReport(train, evalDf, "doc_id", "text")
@@ -164,9 +166,10 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_shingles"),
           r.getAs[Double]("leakage")))).toMap
-    assert(out.keySet == Set(100L, 101L))
+    assert(out.keySet == Set(100L, 101L, 102L))
     assert(out(100L) == ((7L, 7L, 1.0)))
     assert(out(101L)._1 == 0L && out(101L)._3 == 0.0)
+    assert(out(102L) == ((0L, 0L, 0.0)))
   }
 
   test("bloomDedup equals the exact semi-join (no false positives escape)") {
@@ -445,6 +448,15 @@ class PipelineSpec extends AnyFunSuite {
     val explicit = Text.packSequences(docs, "doc_id", "text", 256,
       numBuckets = Text.packBucketsFor(docs)).orderBy("doc_id").collect().toSeq
     assert(auto == explicit)
+    // a join-product frame has saturated/overflowed plan stats (Catalyst
+    // multiplies child sizes); the derivation must fall back to the exact
+    // byte count, NOT the 2^20 cap — the trainPrep auto path is exactly
+    // this shape
+    val joined = docs.join(
+      docs.select($"doc_id", $"lang".as("l2")), Seq("doc_id"))
+    assert(Text.packBucketsFor(joined, textCol = Some("text")) == 8)
+    // and without a text column the floor applies rather than the cap
+    assert(Text.packBucketsFor(joined) == 8)
   }
 
   test("pack manifest property: conservation, fullness, offset consistency") {

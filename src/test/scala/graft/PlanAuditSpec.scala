@@ -231,10 +231,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val df = SparkEntry.queries("dedup_bloom")(spark, d)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Cartesian"), p)
-    // the mightContain UDF sits in a Filter on the incoming side, below
-    // the fingerprint semi-join — candidates, not the corpus, reach it
+    // the mightContain UDF sits in a Filter on the incoming side, BELOW
+    // the fingerprint semi-join (deeper in the printed tree = larger
+    // index) — candidates, not the corpus, reach the join
     assert(p.contains("LeftSemi"), p)
-    val filterIdx = p.indexOf("UDF")
-    assert(filterIdx >= 0, p)
+    assert(p.indexOf("UDF") > p.indexOf("LeftSemi"), p)
   }
 }
