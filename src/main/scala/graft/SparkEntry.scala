@@ -1324,6 +1324,21 @@ object SparkEntry {
       runStreamToTable(s, deduped.select("fp"), "stream_dedup_out")
         .select("fp").orderBy("fp")
     }),
+    "stream_bloom_admit" -> ((s, d) => {
+      // ingest admission gate: stream the corpus against the reference
+      // third; admitted = docs whose fingerprint is NOT in the reference
+      // (exact — bloom false positives are re-admitted by the anti-join)
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val admitted = graft.streaming.StreamIngest.streamingBloomAdmit(
+        src, t(s, d, "documents")
+          .filter(pmod(col("doc_id"), lit(3L)) === 0),
+        "doc_id", "text")
+      runStreamToTable(s, admitted, "stream_bloom_admit_out")
+        .select("doc_id", "fp").orderBy("doc_id")
+    }),
     "stream_neardup" -> ((s, d) => {
       // incremental-ingest near-dup: the documents table streamed against
       // ITSELF as the static reference index — LSH band-key probe
@@ -1712,6 +1727,16 @@ object SparkEntry {
         |)
         |SELECT doc_id, fp FROM fp
         |WHERE fp IN (SELECT fp FROM fp WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    // the admitted set is the exact complement of dedup_bloom's dup set
+    "stream_bloom_admit" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |)
+        |SELECT doc_id, fp FROM fp
+        |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 3 = 0)
         |ORDER BY doc_id""".stripMargin,
     "text_novelty" ->
       s"""WITH t AS (

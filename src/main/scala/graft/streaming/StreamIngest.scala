@@ -403,6 +403,43 @@ object StreamIngest {
         col("jaccard")), refKeys, refKept)
   }
 
+  /** Streaming corpus-admission dedup — the ingest side of
+    * [[graft.pipeline.Dedup.bloomDedup]]: admit only incoming documents
+    * whose content fingerprint is NOT already in the reference corpus
+    * (the "don't re-ingest pages the corpus already has" gate). Fully
+    * stateless: bloom-NEGATIVE rows are definitely novel and admit on
+    * the narrow path — no join at all, which at a typical low dup rate
+    * is almost every row — while bloom-POSITIVE rows take a
+    * stream-static LEFT ANTI join against the reference fingerprints, so
+    * Bloom false positives get re-admitted and the admitted set is
+    * EXACT. No watermark, no state: the reference is static for the
+    * query's lifetime (self-dups within the stream are
+    * [[streamingDedup]]'s job; refresh the reference by restarting the
+    * query against a rebuilt index). The fingerprint frame persists for
+    * the query's lifetime — release it with [[releaseIndex]] on the
+    * returned frame; the broadcast Bloom filter costs ~1.2 B per
+    * reference doc at the default 1% fpp.
+    */
+  def streamingBloomAdmit(stream: DataFrame, refDf: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.01,
+      expectedItems: Long = 0L): DataFrame = {
+    import graft.pipeline.Text
+    val refFps = refDf.select(Text.fingerprint(col(textCol)).as("fp"))
+      .persist()
+    val n = if (expectedItems > 0L) expectedItems
+      else math.max(refFps.count(), 1L)
+    val bloom = refFps.stat.bloomFilter("fp", n, fpp)
+    val bc = stream.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val withFp = stream.select(col(idCol),
+      Text.fingerprint(col(textCol)).as("fp"))
+    val novel = withFp.filter(!might(col("fp")))
+    val verified = withFp.filter(might(col("fp")))
+      .join(refFps, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+    registerIndex(novel.unionByName(verified), refFps)
+  }
+
   final case class AdmitIn(dom: String, id: Long, n_tokens: Long, key: String)
   final case class AdmitOut(doc_id: Long, dom: String, n_tokens: Long,
       cum_tokens: Long)

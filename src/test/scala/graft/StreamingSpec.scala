@@ -264,6 +264,35 @@ class StreamingSpec extends AnyFunSuite {
     StreamIngest.releaseIndex(pairs) // idempotent
   }
 
+  test("streaming bloom admission: novel docs pass, corpus dups rejected, FP-safe") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-bloomadm")
+    val ref = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "der schnelle braune fuchs springt und die katze ist da"))
+      .toDF("doc_id", "text")
+    Seq(
+      (1L, "the quick  BROWN fox jumps over the lazy dog"), // ws/case dup → reject
+      (2L, "a genuinely novel document unseen in the reference"),
+      (3L, "another fresh document with its own content"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "in").getPath)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(new java.io.File(dir, "in").getPath)
+    // fpp 0.5 forces bloom false positives through the verify anti-join
+    val admitted = StreamIngest.streamingBloomAdmit(
+      src, ref, "doc_id", "text", fpp = 0.5)
+    val q = StreamIngest.runToMemory(admitted, "bloomadm_out")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("bloomadm_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(2L, 3L))
+    StreamIngest.releaseIndex(admitted)
+  }
+
   test("streaming budget admission: prefix rule within batch, state across batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
