@@ -1039,6 +1039,17 @@ object SparkEntry {
           max("vec_id").as("max_id"))
         .orderBy("cid")
     }),
+    "embed_outliers" -> ((s, d) => {
+      // embedding-quality gate: vectors whose best cosine to every
+      // sampled centroid stays under 0.1 — off-manifold junk that would
+      // pollute cells; full value oracle via the same argmax-cosine SQL
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.embeddingOutliers(emb, cents, threshold = 0.1)
+        .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id")
+    }),
     "knn_ivf_stored" -> ((s, d) => {
       // knn_ivf probed AT REST: the assignment is persisted with cid as the
       // storage partition key and the probe prunes the scan to the probed
@@ -2525,6 +2536,21 @@ object SparkEntry {
          |SELECT cid, CAST(count(*) AS BIGINT) AS n,
          |       min(vec_id) AS min_id, max(vec_id) AS max_id
          |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
+    "embed_outliers" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |), ct AS (
+         |  SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % 50 = 0
+         |), best AS (
+         |  SELECT vec_id, cid, cos FROM (
+         |    SELECT c.vec_id, ct.cid, ${cosSql("ct.cv", "c.v")} AS cos,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${cosSql("ct.cv", "c.v")} DESC, ct.cid ASC) AS rn
+         |    FROM c CROSS JOIN ct
+         |  ) WHERE rn = 1
+         |)
+         |SELECT vec_id, cid, round(cos, 6) AS cos
+         |FROM best WHERE cos < 0.1 ORDER BY vec_id""".stripMargin,
     "knn_ivf" ->
       s"""WITH c AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

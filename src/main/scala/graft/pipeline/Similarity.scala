@@ -154,6 +154,27 @@ object Similarity {
       .select(col(idCol), col(vecCol), col(cidCol))
   }
 
+  /** Embedding-quality outlier filter: vectors whose best cosine to ANY
+    * centroid falls below `threshold` — the off-manifold rows (corrupt
+    * encodes, wrong-modality junk, garbage embeddings) that pollute ANN
+    * cells and SemDeDup clusters if admitted. Same broadcast-centroid
+    * argmax scan as [[ivfAssign]], keeping the winning cosine; emits
+    * (id, nearest cid, cos) per outlier. One corpus scan, k×dims
+    * broadcast, per-id window over k rows — nothing corpus², no extra
+    * shuffle beyond the per-id argmax.
+    */
+  def embeddingOutliers(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", cidCol: String = "cid",
+      cvecCol: String = "cvec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col(cvecCol), col(vecCol)))
+    val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col(cidCol).asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .filter(col("cos") < threshold)
+      .select(col(idCol), col(cidCol), col("cos"))
+  }
+
   /** Distributed k-means (Lloyd) for IVF centroid training: seeded
     * deterministic init (first `k` corpus vectors by id), then `iters`
     * rounds of assign (broadcast centroids, one corpus scan) + recompute

@@ -835,6 +835,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(fps(0L) != fps(3L))
   }
 
+  test("embeddingOutliers flags off-manifold vectors, keeps on-cluster ones") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // = centroid → cos 1
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // near centroid 0
+      (2L, Array(0.0f, 0.0f, 0.0f, 1.0f)),   // orthogonal to both → outlier
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))   // orthogonal too → outlier
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val out = Similarity.embeddingOutliers(corpus, cents, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cid"), r.getAs[Double]("cos")))).toMap
+    assert(out.keySet == Set(2L, 3L))
+    // ties on cos (both centroids score 0) break to the smaller cid
+    assert(out(2L) == ((0L, 0.0)))
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
   test("knn brute: nearest neighbor of a duplicated vector is its twin") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
