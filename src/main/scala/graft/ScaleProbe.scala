@@ -247,6 +247,24 @@ object ScaleProbe {
         la = "lineage", lb = "matrlzd")
     }
 
+    // ---- cross-corpus exact dedup: plain semi-join vs bloom prescreen ---
+    // identical output (the bloom only prunes the join input); measures
+    // what the broadcast filter buys when most incoming docs are novel
+    {
+      val ref = docScaled.filter(pmod(col("doc_id"), lit(3L)) === 0)
+      def plain(): Long = {
+        val fps = ref.select(
+          graft.pipeline.Text.fingerprint(col("text")).as("fp"))
+        docScaled.select(col("doc_id"),
+            graft.pipeline.Text.fingerprint(col("text")).as("fp"))
+          .join(fps, Seq("fp"), "left_semi").count()
+      }
+      reportPair(s"bloom_dedup_${docK}x",
+        plain(),
+        Dedup.bloomDedup(docScaled, ref, "doc_id", "text").count(),
+        la = "semijoin", lb = "bloomed")
+    }
+
     // ---- float vs int8 brute scoring over the stored corpus -------------
     // same ranking work (200 queries × full corpus), float vectors vs the
     // 4×-smaller quantized bytes through the integer codegen cosine

@@ -249,6 +249,17 @@ object SparkEntry {
       TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
         .orderBy("bucket_ts")
     }),
+    "ts_zscore_anomaly" -> ((s, d) => {
+      // alerting: points > 2σ from their user's trailing-7d mean over
+      // windows of ≥ 10 points; the z-test is an exact integer
+      // comparison on cents, so the flag set hash-matches SQL
+      val ev = tsUs(t(s, d, "events"))
+        .select("event_id", "ts", "user_id", "value")
+      TsOps.zscoreAnomalies(ev, 7L * 86400 * 1000000000L, "value",
+        Seq("user_id"), k = 2, minN = 10)
+        .select("event_id", "ts", "user_id", "value", "roll_n", "lhs", "rhs")
+        .orderBy("event_id")
+    }),
     "rolling_24h_stats" -> ((s, d) => {
       // rolling window on µs-truncated ts so the oracle sees identical gaps
       val ev = tsUs(t(s, d, "events")).select("event_id", "ts", "user_id", "value")
@@ -470,6 +481,27 @@ object SparkEntry {
          |FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
          |ORDER BY b.bucket_ts""".stripMargin
     },
+    "ts_zscore_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, epoch_ns(ts) AS ts, user_id, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, ts, user_id, value, c,
+        |    count(*) OVER win AS roll_n,
+        |    CAST(sum(c) OVER win AS BIGINT) AS s,
+        |    CAST(sum(c*c) OVER win AS BIGINT) AS sq
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN 604800000000000 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, ts, user_id, value, roll_n,
+        |  (roll_n*c - s)*(roll_n*c - s) AS lhs,
+        |  4*(roll_n*sq - s*s) AS rhs
+        |FROM w
+        |WHERE roll_n >= 10
+        |  AND (roll_n*c - s)*(roll_n*c - s) > 4*(roll_n*sq - s*s)
+        |ORDER BY event_id""".stripMargin,
     "rolling_24h_stats" ->
       """SELECT event_id, epoch_ns(ts) AS ts, user_id, value,
         |  count(*) OVER w AS roll_n,

@@ -121,6 +121,41 @@ object TsOps {
       .withColumn("roll_max", max(valueCol).over(w))
   }
 
+  /** Rolling z-score anomaly detection with EXACT integer arithmetic —
+    * the alerting query of a metrics store: flag each point whose
+    * deviation from its key's trailing-window mean exceeds `k` standard
+    * deviations, over windows with at least `minN` points. The z-test is
+    * evaluated as a cross-multiplied integer comparison on value CENTS
+    * (`(n·c − S)² > k²·(n·Σc² − S²)`, all BIGINT), so the decision is
+    * bit-identical across engines — no float threshold anywhere. Bounds:
+    * exact while `n · maxCents < ~3·10⁹` per window (10⁵ points of
+    * ≤ 10⁴ cents leaves an order of magnitude under Long.Max after
+    * squaring); for wider windows, shrink the window or pre-aggregate.
+    * Emits the flagged rows with the window stats and the exact
+    * comparison terms (`lhs`/`rhs`). One per-key range window — the same
+    * shape (and scale story) as [[rollingAgg]].
+    */
+  def zscoreAnomalies(df: DataFrame, windowNanos: Long, valueCol: String,
+      keyCols: Seq[String], k: Int = 2, minN: Long = 10,
+      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rangeBetween(-windowNanos, 0)
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    df.withColumn("__c", cents)
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__c")).over(w))
+      .withColumn("__sq", sum(col("__c") * col("__c")).over(w))
+      .filter(col("roll_n") >= minN)
+      .withColumn("lhs",
+        (col("roll_n") * col("__c") - col("__s")) *
+          (col("roll_n") * col("__c") - col("__s")))
+      .withColumn("rhs",
+        lit(k.toLong * k) * (col("roll_n") * col("__sq") -
+          col("__s") * col("__s")))
+      .filter(col("lhs") > col("rhs"))
+      .drop("__c", "__s", "__sq")
+  }
+
   /** Forward-fill nulls in `valueCols` over bucket order (LOCF — the
     * standard resample fill). Global bucket order uses a single-partition
     * window over the (small) bucket axis when `keyCols` is empty; pass key

@@ -626,4 +626,27 @@ class TsOpsSpec extends AnyFunSuite {
     val bl = Tables.blockListDf(spark, dir, Some("m")).collect()
     assert(bl.length == 2)
   }
+
+  test("zscore anomalies: planted spike flagged, steady points are not") {
+    // one user, 12 steady points at 50.00 then a 99.00 spike, 1s apart —
+    // only the spike deviates > 2σ from its trailing window
+    val rows = (0 until 12).map(i =>
+      (i.toLong, i * 1000000000L, 7L, 50.0)) :+
+      (12L, 12L * 1000000000L, 7L, 99.0)
+    val ev = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = TsOps.zscoreAnomalies(ev, 60L * 1000000000L, "value",
+      Seq("user_id"), k = 2, minN = 10).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(12L))
+    val r = out(0)
+    // exact integer terms: n=13, c=9900, S=12*5000+9900
+    val (n, s) = (13L, 12L * 5000L + 9900L)
+    assert(r.getAs[Long]("roll_n") == n)
+    assert(r.getAs[Long]("lhs") == (n * 9900L - s) * (n * 9900L - s))
+    // a window still under minN points flags nothing even on a spike
+    val few = (0 until 5).map(i =>
+      (i.toLong, i * 1000000000L, 8L, 50.0)) :+
+      (5L, 5L * 1000000000L, 8L, 99.0)
+    assert(TsOps.zscoreAnomalies(few.toDF("event_id", "ts", "user_id",
+      "value"), 60L * 1000000000L, "value", Seq("user_id")).count() == 0)
+  }
 }
