@@ -1367,6 +1367,23 @@ object SparkEntry {
       runStreamToTable(s, deduped.select("fp"), "stream_dedup_out")
         .select("fp").orderBy("fp")
     }),
+    "stream_embed_outliers" -> ((s, d) => {
+      // stateless ingest-side twin of embed_outliers: broadcast-centroid
+      // argmax in one UDF, same cosine arithmetic — a drained stream
+      // emits exactly the batch outlier set, so it shares that oracle
+      Tables.configure(s)
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val schema = emb.schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      val flagged = graft.streaming.StreamIngest.streamingEmbedOutliers(
+        src, cents, threshold = 0.1)
+      runStreamToTable(s, flagged, "stream_embed_outliers_out")
+        .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id")
+    }),
     "stream_bloom_admit" -> ((s, d) => {
       // ingest admission gate: stream the corpus against the reference
       // third; admitted = docs whose fingerprint is NOT in the reference
@@ -2674,6 +2691,9 @@ object SparkEntry {
       // probing the persisted reference index runs the identical
       // keptExploded/crossVerify computation — only the ref frame's
       // provenance (parquet index vs recompute) differs
-      ("dedup_index_probe" -> base("dedup_cross_corpus"))
+      ("dedup_index_probe" -> base("dedup_cross_corpus")) +
+      // the stateless UDF argmax reproduces the batch window argmax
+      // bit-for-bit (same cosine accumulation, same tie-break)
+      ("stream_embed_outliers" -> base("embed_outliers"))
   }
 }

@@ -152,6 +152,25 @@ object CosineSim {
       CosineSimInt8(org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Plain-array twin of [[cosine]] for driver/UDF-side use: identical
+    * accumulation order and zero-norm behavior, so values are bit-equal
+    * to the codegen expression (length mismatch → NaN, mirroring the
+    * expression's null). */
+  def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    if (a == null || b == null || a.length != b.length) return Double.NaN
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Static entry point shared by interpreted eval and generated code.
     * Accumulation order matches the HOF fold and DuckDB exactly. */
   def cosine(a: ArrayData, b: ArrayData): Double = {

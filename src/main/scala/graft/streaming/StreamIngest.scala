@@ -403,6 +403,46 @@ object StreamIngest {
         col("jaccard")), refKeys, refKept)
   }
 
+  /** Streaming embedding-quality gate — the ingest side of
+    * [[graft.pipeline.Similarity.embeddingOutliers]]: flag incoming
+    * vectors whose best cosine to EVERY centroid stays under
+    * `threshold`, before they pollute cells or clusters. Fully stateless
+    * and join-free: the k×dims centroid matrix rides a broadcast into
+    * one UDF that computes the argmax per row (ascending-cid iteration
+    * with a strict improvement test = the batch window's
+    * (cos DESC, cid ASC) tie-break), using the SAME accumulation-order
+    * cosine as the codegen expression — so a drained stream emits
+    * exactly the batch outlier set. Per-row cost is k dot products;
+    * nothing shuffles.
+    */
+  def streamingEmbedOutliers(stream: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", cidCol: String = "cid",
+      cvecCol: String = "cvec"): DataFrame = {
+    val cents = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = stream.sparkSession.sparkContext.broadcast(cents)
+    val best = udf((v: Seq[Float]) => {
+      if (v == null) None
+      else {
+        val arr = v.toArray
+        var bid = -1L
+        var bcos = Double.NegativeInfinity
+        for ((cid, cv) <- bc.value) {
+          val c = graft.functions.CosineSim.cosineArrays(cv, arr)
+          if (!c.isNaN && c > bcos) { bid = cid; bcos = c }
+        }
+        if (bid < 0L) None else Some((bid, bcos))
+      }
+    })
+    stream.select(col(idCol), best(col(vecCol)).as("__b"))
+      .filter(col("__b").isNotNull && col("__b._2") < threshold)
+      .select(col(idCol), col("__b._1").as(cidCol), col("__b._2").as("cos"))
+  }
+
   /** Streaming corpus-admission dedup — the ingest side of
     * [[graft.pipeline.Dedup.bloomDedup]]: admit only incoming documents
     * whose content fingerprint is NOT already in the reference corpus

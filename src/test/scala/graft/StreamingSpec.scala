@@ -264,6 +264,39 @@ class StreamingSpec extends AnyFunSuite {
     StreamIngest.releaseIndex(pairs) // idempotent
   }
 
+  test("streaming embed outliers equal the batch outlier set, ties to min cid") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-embout")
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // on-centroid → kept
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)),  // orthogonal → outlier
+      (2L, Array(0.0f, 0.0f, 0.0f, 1.0f)))  // orthogonal → outlier
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "in").getPath)
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f, 0.0f))).toDF("cid", "cvec")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .parquet(new java.io.File(dir, "in").getPath)
+    val q = StreamIngest.runToMemory(
+      StreamIngest.streamingEmbedOutliers(src, cents, threshold = 0.5),
+      "embout_out")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("embout_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // both orthogonal vectors tie at cos 0 on every centroid → cid 0
+    assert(out == Seq((1L, 0L, 0.0), (2L, 0L, 0.0)))
+    // equality with the batch operator on the same frames
+    val batch = graft.pipeline.Similarity.embeddingOutliers(
+      vecs.toDF("vec_id", "embedding"), cents, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Double]("cos"))).sorted.toSeq
+    assert(out == batch)
+  }
+
   test("streaming bloom admission: novel docs pass, corpus dups rejected, FP-safe") {
     import spark.implicits._
     val dir = SparkTestBase.tempDir("graft-bloomadm")
