@@ -1367,6 +1367,22 @@ object SparkEntry {
       runStreamToTable(s, deduped.select("fp"), "stream_dedup_out")
         .select("fp").orderBy("fp")
     }),
+    "stream_zscore" -> ((s, d) => {
+      // streaming alerting: the exact integer z-test over per-user
+      // trailing windows, state = one bounded deque per user; a drained
+      // single batch flags exactly the batch set (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+        .select("event_id", "ts", "user_id", "value")
+      val flagged = graft.streaming.StreamIngest.streamingZscoreAnomalies(
+        src, 7L * 86400 * 1000000000L, k = 2, minN = 10)
+      runStreamToTable(s, flagged, "stream_zscore_out")
+        .select("event_id", "ts", "user_id", "value", "roll_n", "lhs", "rhs")
+        .orderBy("event_id")
+    }),
     "stream_embed_outliers" -> ((s, d) => {
       // stateless ingest-side twin of embed_outliers: broadcast-centroid
       // argmax in one UDF, same cosine arithmetic — a drained stream
@@ -2694,6 +2710,9 @@ object SparkEntry {
       ("dedup_index_probe" -> base("dedup_cross_corpus")) +
       // the stateless UDF argmax reproduces the batch window argmax
       // bit-for-bit (same cosine accumulation, same tie-break)
-      ("stream_embed_outliers" -> base("embed_outliers"))
+      ("stream_embed_outliers" -> base("embed_outliers")) +
+      // one drained batch processes each user's rows in event-time order
+      // through the same integer z-test → exactly the batch flag set
+      ("stream_zscore" -> base("ts_zscore_anomaly"))
   }
 }

@@ -537,6 +537,79 @@ object StreamIngest {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  final case class ZIn(key: Long, event_id: Long, ts: Long, value: Double,
+      c: Long)
+  final case class ZOut(event_id: Long, ts: Long, user_id: Long,
+      value: Double, roll_n: Long, lhs: Long, rhs: Long)
+
+  /** Streaming rolling z-score anomaly detection — the alerting twin of
+    * [[graft.operators.TsOps.zscoreAnomalies]], with the identical exact
+    * integer z-test on value cents. Per-key state is the trailing
+    * window's (ts, cents) deque plus incremental sums — bounded by the
+    * window span, regardless of stream length. Rows are processed in
+    * event-time order within a batch, and all rows sharing a timestamp
+    * enter the window together before any of them is tested (RANGE-frame
+    * semantics, so a drained single batch flags exactly the batch
+    * operator's set — the driver oracle pins that). Across batches the
+    * window advances with arrival order, the honest semantics of an
+    * unwatermarked alerting gate: a row arriving after its window's
+    * successors re-tests against whatever the deque then holds. Null
+    * values are dropped (one malformed point must not kill alerting).
+    */
+  def streamingZscoreAnomalies(stream: DataFrame, windowNanos: Long,
+      k: Int = 2, minN: Long = 10, idCol: String = "event_id",
+      tsCol: String = "ts", keyCol: String = "user_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ds = stream
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(keyCol).cast("long").as("key"),
+        col(idCol).cast("long").as("event_id"),
+        col(tsCol).cast("long").as("ts"),
+        col(valueCol).cast("double").as("value"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .as[ZIn]
+    val k2 = k.toLong * k
+    def fn(key: Long, rows: Iterator[ZIn],
+        state: GroupState[Seq[(Long, Long)]]): Iterator[ZOut] = {
+      var deque = state.getOption.getOrElse(Seq.empty).toVector
+      var s = deque.iterator.map(_._2).sum
+      var sq = deque.iterator.map(p => p._2 * p._2).sum
+      val out = scala.collection.mutable.ArrayBuffer.empty[ZOut]
+      // ts groups in order; equal-ts rows join the window together
+      for (group <- rows.toSeq.sortBy(r => (r.ts, r.event_id))
+          .groupBy(_.ts).toSeq.sortBy(_._1).map(_._2)) {
+        val t = group.head.ts
+        val cut = t - windowNanos // [t-win, t] inclusive, like rangeBetween
+        while (deque.nonEmpty && deque.head._1 < cut) {
+          val c0 = deque.head._2
+          s -= c0; sq -= c0 * c0
+          deque = deque.tail
+        }
+        for (r <- group) {
+          deque = deque :+ ((r.ts, r.c)); s += r.c; sq += r.c * r.c
+        }
+        val n = deque.size.toLong
+        if (n >= minN) for (r <- group) {
+          val d = n * r.c - s
+          val lhs = d * d
+          val rhs = k2 * (n * sq - s * s)
+          if (lhs > rhs)
+            out += ZOut(r.event_id, r.ts, key, r.value, n, lhs, rhs)
+        }
+      }
+      state.update(deque)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .withColumnRenamed("user_id", keyCol)
+  }
+
   /** Streaming embedding near-dup against a static reference corpus — the
     * vector analog of [[streamingNearDup]] (incremental-ingest semantic
     * dedup): incoming embeddings are RHP-signed statelessly and

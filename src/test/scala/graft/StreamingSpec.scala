@@ -264,6 +264,35 @@ class StreamingSpec extends AnyFunSuite {
     StreamIngest.releaseIndex(pairs) // idempotent
   }
 
+  test("streaming zscore anomalies equal the batch flag set on a drained stream") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-zsc")
+    val ev = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+        "events")
+      .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      .select("event_id", "ts", "user_id", "value")
+    ev.write.mode("overwrite").parquet(new java.io.File(dir, "in").getPath)
+    val src = spark.readStream.schema(ev.schema)
+      .parquet(new java.io.File(dir, "in").getPath)
+    val win = 7L * 86400 * 1000000000L
+    val q = StreamIngest.runToMemory(
+      StreamIngest.streamingZscoreAnomalies(src, win, k = 2, minN = 5),
+      "zsc_out")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("zsc_out")
+      .select("event_id", "roll_n", "lhs", "rhs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val batch = graft.operators.TsOps.zscoreAnomalies(ev, win, "value",
+        Seq("user_id"), k = 2, minN = 5)
+      .select("event_id", "roll_n", "lhs", "rhs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming embed outliers equal the batch outlier set, ties to min cid") {
     import spark.implicits._
     val dir = SparkTestBase.tempDir("graft-embout")
