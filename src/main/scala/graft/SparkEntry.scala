@@ -801,6 +801,16 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.3)
         .orderBy("new_id", "ref_id")
     }),
+    "corpus_diff" -> ((s, d) => {
+      // release audit between two snapshot versions (overlapping halves
+      // of the corpus): per language, distinct contents added/removed/kept
+      val docs = t(s, d, "documents")
+      Dedup.corpusDiff(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+        "text", "lang")
+        .orderBy("lang")
+    }),
     "dedup_index_probe" -> ((s, d) => {
       // dedup_cross_corpus probed AT REST: the reference side's stop
       // list + capped inverted index persist once (writeNearDupIndex),
@@ -894,6 +904,15 @@ object SparkEntry {
       // fixed-size per-language eval carve-out, deterministic md5 order
       Text.sampleStratified(t(s, d, "documents"), "doc_id", "lang", k = 10)
         .orderBy("doc_id")),
+    "quantile_sketch" -> ((s, d) =>
+      // mergeable-sketch median per language: exact p50 VALUE-oracled
+      // (dyadic p → bit-equal to quantile_cont), est_ok gates the
+      // percentile_approx sketch within one element of exact
+      Text.lengthQuantileSketch(t(s, d, "documents"), "text", "lang")
+        .select(col("lang"), col("n_docs"), col("p_exact"),
+          (abs(col("p_approx") - col("p_exact")) <= 1.0)
+            .cast("long").as("est_ok"))
+        .orderBy("lang")),
     "approx_distinct_tokens" -> ((s, d) => {
       // HLL sketch distinct-token counts: the exact per-group counts are
       // VALUE-oracled; est_ok gates the sketch estimate within 5% of exact
@@ -2182,6 +2201,31 @@ object SparkEntry {
     // exact distinct counts are the oracle-checked values; the sketch-
     // accuracy and merge gates are pinned to 1 (see the gate comment above
     // the recall oracles)
+    "corpus_diff" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), o AS (
+        |  SELECT DISTINCT lang, fp, 1 AS in_o FROM d WHERE doc_id % 2 = 0
+        |), n AS (
+        |  SELECT DISTINCT lang, fp, 1 AS in_n FROM d WHERE doc_id % 3 <> 0
+        |), j AS (
+        |  SELECT lang, in_o, in_n FROM o FULL OUTER JOIN n USING (lang, fp)
+        |)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN in_o IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN in_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN in_o IS NOT NULL AND in_n IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    "quantile_sketch" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  quantile_cont(len($DuckToks), 0.5) AS p_exact,
+         |  CAST(1 AS BIGINT) AS est_ok
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "approx_distinct_tokens" ->
       s"""SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact,
          |       CAST(1 AS BIGINT) AS est_ok

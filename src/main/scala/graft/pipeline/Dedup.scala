@@ -924,6 +924,30 @@ object Dedup {
       .select(col(idCol), col("fp"))
   }
 
+  /** Snapshot diff by content fingerprint — the release-audit report
+    * between two corpus versions: per group, how many distinct contents
+    * were added, removed, and kept. Keys on (group, fingerprint), so
+    * content that moved between groups counts as removed from one and
+    * added to the other. One distinct per side + a full-outer join on
+    * the same key both sides already shuffled on; output is
+    * metadata-sized (|groups| rows) at any corpus size.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    def fps(df: DataFrame, marker: String) =
+      df.select(col(groupCol), Text.fingerprint(col(textCol)).as("__fp"))
+        .distinct()
+        .withColumn(marker, lit(1L))
+    fps(oldDf, "__o")
+      .join(fps(newDf, "__n"), Seq(groupCol, "__fp"), "full_outer")
+      .groupBy(groupCol)
+      .agg(
+        sum(when(col("__o").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__n").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__o").isNotNull && col("__n").isNotNull, 1L)
+          .otherwise(0L)).as("n_kept"))
+  }
+
   /** SimHash sign-sum aggregator: +1/-1 per bit per token hash. */
   object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     override def zero: Array[Int] = new Array[Int](64)

@@ -491,6 +491,23 @@ object Text {
       .agg(expr(s"hll_sketch_agg(__token, $lgK)").as("sketch"))
       .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
 
+  /** Mergeable approximate quantiles per group: `percentile_approx` is a
+    * partial-aggregating sketch (KB of state per group, merges across
+    * partitions/days), the 100 TB quantile path beside the exact
+    * `percentile` the length filter uses — exact quantiles shuffle the
+    * full value column, the sketch never does. Emits the exact value
+    * next to the estimate so callers (and the driver gate) can bound the
+    * sketch error against truth.
+    */
+  def lengthQuantileSketch(df: DataFrame, textCol: String, groupCol: String,
+      p: Double = 0.5, accuracy: Int = 10000): DataFrame =
+    fanOut(df)
+      .select(col(groupCol), tokenCount(col(textCol)).cast("long").as("__nt"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile(__nt, $p)").as("p_exact"),
+        expr(s"percentile_approx(__nt, $p, $accuracy)").as("p_approx"))
+
   /** Merge a frame of HLL sketches into one global (sketch, estimate) row —
     * the roll-up step proving sketch mergeability. */
   def mergeSketchEstimate(sketches: DataFrame,

@@ -228,6 +228,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Map(("en", 0L) -> 1L, ("en", 1L) -> 1L, ("de", 0L) -> 1L))
   }
 
+  test("corpusDiff counts added/removed/kept distinct contents per group") {
+    val oldSnap = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "a document that will be removed next release", "en"),
+      (2L, "der schnelle braune fuchs springt", "de"))
+      .toDF("doc_id", "text", "lang")
+    val newSnap = Seq(
+      (10L, "the quick  BROWN fox jumps over the lazy dog", "en"), // kept (ws/case dup)
+      (11L, "a brand new document in this release", "en"),         // added
+      (12L, "der schnelle braune fuchs springt", "de"))            // kept
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.corpusDiff(oldSnap, newSnap, "text", "lang")
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_kept")))).toMap
+    assert(out("en") == ((1L, 1L, 1L)))
+    assert(out("de") == ((0L, 0L, 1L)))
+  }
+
+  test("lengthQuantileSketch: exact dyadic median + sketch within one element") {
+    val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val out = Text.lengthQuantileSketch(docs, "text", "lang").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val exact = r.getAs[Double]("p_exact")
+      val approx = r.getAs[Long]("p_approx").toDouble
+      assert(math.abs(approx - exact) <= 1.0, s"${r.getAs[String]("lang")}")
+    }
+  }
+
   test("mixSample matches the single-window reference, drops no-budget domains") {
     // two domains; "a" budget covers some docs in md5 order, "b" has no
     // budget entry and must vanish. A zero-token doc (id 7) costs nothing
