@@ -488,7 +488,7 @@ object SparkEntry {
         |  FROM events
         |), w AS (
         |  SELECT event_id, ts, user_id, value, c,
-        |    count(*) OVER win AS roll_n,
+        |    count(c) OVER win AS roll_n,
         |    CAST(sum(c) OVER win AS BIGINT) AS s,
         |    CAST(sum(c*c) OVER win AS BIGINT) AS sq
         |  FROM b
@@ -1830,9 +1830,10 @@ object SparkEntry {
         |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents
         |)
-        |SELECT doc_id, fp FROM fp
-        |WHERE fp NOT IN (SELECT fp FROM fp WHERE doc_id % 3 = 0)
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT f.doc_id, f.fp FROM fp f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM fp r WHERE r.doc_id % 3 = 0 AND r.fp = f.fp)
+        |ORDER BY f.doc_id""".stripMargin,
     "text_novelty" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

@@ -141,8 +141,12 @@ object TsOps {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
       .rangeBetween(-windowNanos, 0)
     val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    // count CASTABLE values, not rows: a null/NaN value contributes
+    // nothing to the sums, so it must not inflate n either (and the
+    // streaming twin, which drops such rows before its state function,
+    // then agrees with this window exactly)
     df.withColumn("__c", cents)
-      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_n", count(col("__c")).over(w))
       .withColumn("__s", sum(col("__c")).over(w))
       .withColumn("__sq", sum(col("__c") * col("__c")).over(w))
       .filter(col("roll_n") >= minN)

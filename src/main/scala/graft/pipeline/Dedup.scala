@@ -910,18 +910,31 @@ object Dedup {
   def bloomDedup(newDf: DataFrame, refDf: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.01,
       expectedItems: Long = 0L): DataFrame = {
-    val refFps = refDf.select(Text.fingerprint(col(textCol)).as("fp"))
-    val n = if (expectedItems > 0L) expectedItems
-      else math.max(refFps.count(), 1L)
-    val bloom = refFps.stat.bloomFilter("fp", n, fpp)
-    val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val (refFps, might) = fingerprintBloom(refDf, textCol, fpp, expectedItems)
     newDf.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
       .filter(might(col("fp")))
       // left-semi ignores build-side multiplicity — no distinct needed,
       // which saves a corpus-sized exchange+aggregate over the ref side
       .join(refFps, Seq("fp"), "left_semi")
       .select(col(idCol), col("fp"))
+  }
+
+  /** Shared build step of the bloom-prescreened dedup paths (batch
+    * [[bloomDedup]], streaming
+    * [[graft.streaming.StreamIngest.streamingBloomAdmit]]): the reference
+    * fingerprint frame plus a broadcast might-contain predicate over it.
+    * `expectedItems <= 0` sizes the filter from an exact count (one
+    * cheap aggregate). A null fingerprint is never "might contain". */
+  private[graft] def fingerprintBloom(refDf: DataFrame, textCol: String,
+      fpp: Double, expectedItems: Long)
+      : (DataFrame, org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val refFps = refDf.select(Text.fingerprint(col(textCol)).as("fp"))
+    val n = if (expectedItems > 0L) expectedItems
+      else math.max(refFps.count(), 1L)
+    val bloom = refFps.stat.bloomFilter("fp", n, fpp)
+    val bc = refDf.sparkSession.sparkContext.broadcast(bloom)
+    (refFps,
+      udf((s: String) => s != null && bc.value.mightContainString(s)))
   }
 
   /** Snapshot diff by content fingerprint — the release-audit report

@@ -421,6 +421,7 @@ object StreamIngest {
       cvecCol: String = "cvec"): DataFrame = {
     val cents = centroids
       .select(col(cidCol).cast("long"), col(cvecCol))
+      .filter(col(cidCol).isNotNull && col(cvecCol).isNotNull)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -463,18 +464,19 @@ object StreamIngest {
   def streamingBloomAdmit(stream: DataFrame, refDf: DataFrame, idCol: String,
       textCol: String, fpp: Double = 0.01,
       expectedItems: Long = 0L): DataFrame = {
-    import graft.pipeline.Text
-    val refFps = refDf.select(Text.fingerprint(col(textCol)).as("fp"))
-      .persist()
-    val n = if (expectedItems > 0L) expectedItems
-      else math.max(refFps.count(), 1L)
-    val bloom = refFps.stat.bloomFilter("fp", n, fpp)
-    val bc = stream.sparkSession.sparkContext.broadcast(bloom)
-    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    import graft.pipeline.{Dedup, Text}
+    val (refFps0, might) =
+      Dedup.fingerprintBloom(refDf, textCol, fpp, expectedItems)
+    val refFps = refFps0.persist()
+    // fingerprint + bloom probe computed ONCE per row; the two branches
+    // split on the precomputed flag (the union still plans the source
+    // per branch — the price of skipping the anti-join for the
+    // overwhelmingly-common novel case)
     val withFp = stream.select(col(idCol),
-      Text.fingerprint(col(textCol)).as("fp"))
-    val novel = withFp.filter(!might(col("fp")))
-    val verified = withFp.filter(might(col("fp")))
+        Text.fingerprint(col(textCol)).as("fp"))
+      .withColumn("__might", might(col("fp")))
+    val novel = withFp.filter(!col("__might")).select(col(idCol), col("fp"))
+    val verified = withFp.filter(col("__might"))
       .join(refFps, Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))
     registerIndex(novel.unionByName(verified), refFps)
@@ -545,68 +547,120 @@ object StreamIngest {
   /** Streaming rolling z-score anomaly detection — the alerting twin of
     * [[graft.operators.TsOps.zscoreAnomalies]], with the identical exact
     * integer z-test on value cents. Per-key state is the trailing
-    * window's (ts, cents) deque plus incremental sums — bounded by the
-    * window span, regardless of stream length. Rows are processed in
-    * event-time order within a batch, and all rows sharing a timestamp
-    * enter the window together before any of them is tested (RANGE-frame
-    * semantics, so a drained single batch flags exactly the batch
-    * operator's set — the driver oracle pins that). Across batches the
-    * window advances with arrival order, the honest semantics of an
-    * unwatermarked alerting gate: a row arriving after its window's
-    * successors re-tests against whatever the deque then holds. Null
-    * values are dropped (one malformed point must not kill alerting).
+    * window's ts-SORTED (ts, cents) deque plus incremental sums. Rows
+    * are processed in event-time order within a batch, and all rows
+    * sharing a timestamp enter the window together before any of them is
+    * tested (RANGE-frame semantics, so a drained single batch flags
+    * exactly the batch operator's set — the driver oracle pins that).
+    * Across batches, a straggler inserts into its sorted position and
+    * tests against only the entries in ITS [t−win, t] window (the sorted
+    * suffix past t is subtracted), and a clock-skewed far-future row
+    * cannot block eviction — it waits at the tail while older entries
+    * age out normally, so state stays bounded by the active window's
+    * span (plus any strays ahead of it). Rows whose value doesn't cast
+    * to cents (null/NaN/overflow) or with null key/id/ts are dropped
+    * BEFORE the state function — one malformed point must not kill
+    * alerting — matching the batch op, where a non-castable value
+    * neither counts toward `roll_n` nor can flag. Keys silent longer
+    * than `stateTtl` have their state dropped (pass empty to keep state
+    * forever, the oracle-drain configuration).
+    *
+    * Clock-skew containment (`maxSkew`): by default event time is fully
+    * trusted — a genuine quiet period correctly ages the whole window
+    * out, and so would one bogus far-future timestamp. Sources that can
+    * emit skewed clocks should set `maxSkew`: a timestamp jumping more
+    * than that past the key's high-water mark is held back as a
+    * CANDIDATE — tested against its own window but not admitted into
+    * state and not advancing eviction — until a second point lands
+    * within `maxSkew` of it (one point is a spike, two are a step).
+    * Confirmation restarts the window at the new region; the candidate
+    * point itself is not retroactively counted.
     */
   def streamingZscoreAnomalies(stream: DataFrame, windowNanos: Long,
       k: Int = 2, minN: Long = 10, idCol: String = "event_id",
       tsCol: String = "ts", keyCol: String = "user_id",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value", stateTtl: String = "",
+      maxSkew: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
     val ds = stream
-      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(
         col(keyCol).cast("long").as("key"),
         col(idCol).cast("long").as("event_id"),
         col(tsCol).cast("long").as("ts"),
         col(valueCol).cast("double").as("value"),
         (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .filter(col("key").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull && col("c").isNotNull)
       .as[ZIn]
     val k2 = k.toLong * k
+    // state: (window deque sorted by ts, high-water ts, candidate-step ts)
     def fn(key: Long, rows: Iterator[ZIn],
-        state: GroupState[Seq[(Long, Long)]]): Iterator[ZOut] = {
-      var deque = state.getOption.getOrElse(Seq.empty).toVector
+        state: GroupState[(Seq[(Long, Long)], Long, Long)])
+        : Iterator[ZOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      var (deque0, hw, cand) =
+        state.getOption.getOrElse((Seq.empty[(Long, Long)], Long.MinValue,
+          Long.MinValue))
+      var deque = deque0.toVector
       var s = deque.iterator.map(_._2).sum
       var sq = deque.iterator.map(p => p._2 * p._2).sum
       val out = scala.collection.mutable.ArrayBuffer.empty[ZOut]
-      // ts groups in order; equal-ts rows join the window together
+      def skewOk(base: Long, t: Long): Boolean =
+        base == Long.MinValue || t - base <= maxSkew || t <= base
+      // ts groups in ascending order; equal-ts rows join the window
+      // together before any is tested
       for (group <- rows.toSeq.sortBy(r => (r.ts, r.event_id))
           .groupBy(_.ts).toSeq.sortBy(_._1).map(_._2)) {
         val t = group.head.ts
-        val cut = t - windowNanos // [t-win, t] inclusive, like rangeBetween
-        while (deque.nonEmpty && deque.head._1 < cut) {
-          val c0 = deque.head._2
-          s -= c0; sq -= c0 * c0
-          deque = deque.tail
-        }
-        for (r <- group) {
-          deque = deque :+ ((r.ts, r.c)); s += r.c; sq += r.c * r.c
-        }
-        val n = deque.size.toLong
-        if (n >= minN) for (r <- group) {
-          val d = n * r.c - s
-          val lhs = d * d
-          val rhs = k2 * (n * sq - s * s)
-          if (lhs > rhs)
-            out += ZOut(r.event_id, r.ts, key, r.value, n, lhs, rhs)
+        val admit =
+          if (skewOk(hw, t)) { if (t > hw) hw = t; cand = Long.MinValue; true }
+          else if (cand != Long.MinValue && math.abs(t - cand) <= maxSkew) {
+            hw = t; cand = Long.MinValue; true // second point confirms a step
+          } else { cand = t; false }  // lone far-future point: hold back
+        if (admit) {
+          val cut = t - windowNanos // [t-win, t] incl., like rangeBetween
+          while (deque.nonEmpty && deque.head._1 < hw - windowNanos) {
+            val c0 = deque.head._2
+            s -= c0; sq -= c0 * c0
+            deque = deque.tail
+          }
+          // sorted insert keeps head-eviction correct under stragglers
+          // (in-order streams append at the tail)
+          val (before, after) = deque.span(_._1 <= t)
+          deque = (before ++ group.map(r => (r.ts, r.c))) ++ after
+          for (r <- group) { s += r.c; sq += r.c * r.c }
+          // the row's window excludes entries AHEAD of t and (for a
+          // straggler) entries already aged past its own cut
+          var exN = 0L; var exS = 0L; var exSq = 0L
+          for (p <- after) { exN += 1; exS += p._2; exSq += p._2 * p._2 }
+          for (p <- deque if p._1 < cut) {
+            exN += 1; exS += p._2; exSq += p._2 * p._2
+          }
+          val n = deque.size.toLong - exN
+          val (ws, wsq) = (s - exS, sq - exSq)
+          if (n >= minN) for (r <- group) {
+            val d = n * r.c - ws
+            val lhs = d * d
+            val rhs = k2 * (n * wsq - ws * ws)
+            if (lhs > rhs)
+              out += ZOut(r.event_id, r.ts, key, r.value, n, lhs, rhs)
+          }
         }
       }
-      state.update(deque)
+      state.update((deque, hw, cand))
+      ttl.foreach(state.setTimeoutDuration)
       out.iterator
     }
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
       .withColumnRenamed("user_id", keyCol)
   }
 

@@ -293,6 +293,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming zscore: future-skewed row cannot block eviction; NaN dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = SparkTestBase.tempDir("graft-zsc2")
+    val in = new java.io.File(dir, "in").getPath
+    // batch 1: 12 steady points + one clock-skewed far-future row
+    val b1 = (0 until 12).map(i =>
+      (i.toLong, i * 1000000000L, 7L, 50.0)) :+
+      (99L, 1000000000000000000L, 7L, 50.0)
+    b1.toDF("event_id", "ts", "user_id", "value").write.parquet(s"$in/b1")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val flagged = StreamIngest.streamingZscoreAnomalies(
+      src, 60L * 1000000000L, k = 2, minN = 10,
+      maxSkew = 30L * 86400 * 1000000000L)
+    val ck = SparkTestBase.tempDir("graft-zsc2-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-zsc2-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      val q = flagged.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    // batch 2: a spike (must be flagged against the 12 steady points +
+    // itself — NOT the future straggler, which sits outside its window)
+    // and a NaN row (must be dropped, not kill the query)
+    Seq((12L, 12L * 1000000000L, 7L, 99.0),
+        (13L, 13L * 1000000000L, 7L, Double.NaN))
+      .toDF("event_id", "ts", "user_id", "value").write.parquet(s"$in/b2")
+    drain()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("roll_n"),
+        r.getAs[Long]("lhs"))).sorted.toSeq
+    // n = 13: the 12 steady points + the spike; the future row excluded
+    val (n, s) = (13L, 12L * 5000L + 9900L)
+    assert(out == Seq((12L, n, (n * 9900L - s) * (n * 9900L - s))),
+      out.toString)
+  }
+
   test("streaming embed outliers equal the batch outlier set, ties to min cid") {
     import spark.implicits._
     val dir = SparkTestBase.tempDir("graft-embout")
