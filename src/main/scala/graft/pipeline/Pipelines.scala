@@ -80,6 +80,13 @@ object Pipelines {
     // the default; `false` is for memory-starved clusters where holding
     // the curated corpus in block storage is worse than recompute.
     def pin(f: DataFrame) = if (materialize) f.localCheckpoint(false) else f
+    // curated also feeds two branches, but pinning IT measured no
+    // improvement (slightly worse, within host variance, at sf0.1):
+    // with exactKept already checkpointed inside curate, the branches'
+    // curated subtrees canonicalize identically and ride exchange
+    // reuse — a third checkpoint only adds materialization. clean/docs
+    // do not reuse (their branches reshape the plan), hence exactly
+    // those two pins.
     val curated = curate(scrub(df), idCol, textCol, minTokens, maxTokens,
       nearDupThreshold, shingleSize, materialize = materialize)
     val contam = Dedup.contamination(curated, scrub(evalDf), idCol, textCol,
