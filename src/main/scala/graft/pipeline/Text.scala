@@ -428,6 +428,57 @@ object Text {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Epoch-repeat mixture planning — the data-constrained companion of
+    * [[mixSample]]: when a domain's token budget EXCEEDS its corpus, the
+    * mix repeats the domain (multiple epochs) rather than truncating.
+    * Emits every doc of every budgeted domain with its repeat count:
+    * `budget div domain_tokens` full epochs for all docs, plus one extra
+    * for the md5-order prefix whose cumulative tokens fit the remainder
+    * (exactly [[mixSample]]'s fill rule). Σ(repeats·n_tokens) per domain
+    * approaches the budget from below, overshooting by at most the last
+    * prefix doc. Domains absent from `budgets` are dropped.
+    *
+    * Scale shape: the same bucketed distributed prefix sum as
+    * [[mixSample]] (per-domain totals and bucket offsets are
+    * metadata-sized broadcasts; the cumsum runs per (domain, md5-prefix
+    * bucket)); unlike the sampler, no bucket is pruned — every doc emits
+    * a row, so the full scan is inherent to the report.
+    */
+  def mixEpochs(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (key, v)) =>
+      when(col(domainCol) === lit(key), lit(v)).otherwise(acc) }
+    val base = fanOut(df)
+      .select(col(idCol), col(domainCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__b", budget).filter(col("__b") > 0)
+      .withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("__bucket", substring(col("__key"), 1, 2))
+    val totals = base.groupBy(domainCol)
+      .agg(sum("n_tokens").as("__t"), first("__b").as("__bb"))
+      .withColumn("full_epochs",
+        expr("CASE WHEN __t > 0 THEN __bb div __t ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("__rem", col("__bb") - col("full_epochs") * col("__t"))
+      .select(col(domainCol), col("full_epochs"), col("__rem"))
+    val wOff = Window.partitionBy(domainCol).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(domainCol, "__bucket")
+      .agg(sum("n_tokens").as("__bsum"))
+      .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
+      .select(col(domainCol), col("__bucket"), col("__off"))
+    val wCum = Window.partitionBy(domainCol, "__bucket")
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsets), Seq(domainCol, "__bucket"))
+      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wCum))
+      .join(broadcast(totals), Seq(domainCol))
+      .withColumn("repeats", col("full_epochs") +
+        when(col("cum_tokens") <= col("__rem"), 1L).otherwise(0L))
+      .select(col(idCol), col(domainCol), col("n_tokens"),
+        col("cum_tokens"), col("full_epochs"), col("repeats"))
+  }
+
   /** Deterministic stratified sampling: the first `k` documents of every
     * stratum in md5-of-id order — a reservoir-sample equivalent that is
     * exactly reproducible (and therefore SQL-oracle-able), for carving

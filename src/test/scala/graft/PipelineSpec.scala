@@ -323,6 +323,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixEpochs: full epochs by division, remainder prefix = mixSample set") {
+    val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val budgets = Map("en" -> 30000L, "de" -> 1000L)
+    val out = Text.mixEpochs(docs, "doc_id", "text", "lang", budgets)
+      .collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == Set("en", "de"))
+    for ((lang, rows) <- byLang) {
+      val t = rows.map(_.getAs[Long]("n_tokens")).sum
+      val full = budgets(lang) / t
+      assert(rows.forall(_.getAs[Long]("full_epochs") == full), lang)
+      // total emitted tokens approaches the budget from below, overshoot
+      // bounded by the last prefix doc
+      val emitted = rows.map(r =>
+        r.getAs[Long]("repeats") * r.getAs[Long]("n_tokens")).sum
+      val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+      assert(emitted <= budgets(lang) + maxDoc, lang)
+      assert(emitted >= budgets(lang) - maxDoc, lang)
+    }
+    // the +1 remainder set IS mixSample's survivor set at budget = rem
+    for ((lang, rows) <- byLang) {
+      val t = rows.map(_.getAs[Long]("n_tokens")).sum
+      val rem = budgets(lang) - (budgets(lang) / t) * t
+      val plusOne = rows.filter(r =>
+          r.getAs[Long]("repeats") == r.getAs[Long]("full_epochs") + 1)
+        .map(_.getAs[Long]("doc_id")).toSet
+      val sampled = Text.mixSample(docs.filter($"lang" === lang), "doc_id",
+          "text", "lang", Map(lang -> rem))
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(plusOne == sampled, lang)
+    }
+  }
+
   test("sampleStratified takes exactly k per stratum in md5 order") {
     val df = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "dom")
