@@ -906,6 +906,12 @@ object SparkEntry {
       Text.mixEpochs(t(s, d, "documents"), "doc_id", "text", "lang",
         Map("en" -> 30000L, "de" -> 1000L, "fr" -> 800L))
         .orderBy("doc_id")),
+    "mix_schedule" -> ((s, d) =>
+      // the trainer-facing order: one row per (doc, epoch) occurrence
+      // with the per-epoch reshuffle key; sort by (epoch, order_key)
+      Text.mixSchedule(t(s, d, "documents"), "doc_id", "text", "lang",
+        Map("en" -> 30000L, "de" -> 1000L, "fr" -> 800L))
+        .orderBy("doc_id", "epoch")),
     "sample_stratified" -> ((s, d) =>
       // fixed-size per-language eval carve-out, deterministic md5 order
       Text.sampleStratified(t(s, d, "documents"), "doc_id", "lang", k = 10)
@@ -2231,6 +2237,47 @@ object SparkEntry {
          |  CAST(full_epochs + CASE WHEN cum_tokens <= rem THEN 1 ELSE 0 END
          |    AS BIGINT) AS repeats
          |FROM c ORDER BY doc_id""".stripMargin,
+    // mix_epochs' repeats exploded to (doc, epoch) occurrences with the
+    // per-epoch reshuffle key
+    "mix_schedule" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS key,
+         |         CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 1000
+         |                   WHEN 'fr' THEN 800 ELSE 0 END AS bb
+         |  FROM documents
+         |), f AS (
+         |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+         |  FROM d WHERE bb > 0 GROUP BY lang
+         |), e AS (
+         |  SELECT lang, t,
+         |    CASE WHEN t > 0 THEN CAST((SELECT max(bb) FROM d x
+         |      WHERE x.lang = f.lang) // t AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS full_epochs
+         |  FROM f
+         |), c AS (
+         |  SELECT doc_id, d.lang, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY d.lang
+         |           ORDER BY key, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_tokens,
+         |         bb, e.full_epochs, bb - e.full_epochs * e.t AS rem
+         |  FROM d JOIN e ON d.lang = e.lang
+         |  WHERE bb > 0
+         |), r AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(full_epochs + CASE WHEN cum_tokens <= rem THEN 1 ELSE 0 END
+         |      AS BIGINT) AS repeats
+         |  FROM c
+         |)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(unnest(generate_series(1, repeats)) AS BIGINT) AS epoch,
+         |  md5(CAST(doc_id AS VARCHAR) || ':' ||
+         |      CAST(unnest(generate_series(1, repeats)) AS VARCHAR))
+         |    AS order_key
+         |FROM r WHERE repeats > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, rank FROM (
         |  SELECT doc_id, lang,

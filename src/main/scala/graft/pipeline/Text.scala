@@ -479,6 +479,25 @@ object Text {
         col("cum_tokens"), col("full_epochs"), col("repeats"))
   }
 
+  /** Deterministic training schedule from [[mixEpochs]]' repeat counts:
+    * one row per (doc, epoch) occurrence with a reshuffle key — the
+    * order a trainer reads is the sort by (epoch, order_key), giving an
+    * independent deterministic shuffle per epoch (the key is
+    * md5(doc:epoch), so the same doc lands at a different position each
+    * epoch, reproducibly). No global rank is materialized — that would
+    * be a single-partition window; consumers sort/range-partition by
+    * (epoch, order_key), which Spark distributes.
+    */
+  def mixSchedule(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgets: Map[String, Long]): DataFrame =
+    mixEpochs(df, idCol, textCol, domainCol, budgets)
+      .filter(col("repeats") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("repeats"))))
+      .withColumn("order_key", md5(concat(col(idCol).cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("epoch"),
+        col("order_key"))
+
   /** Deterministic stratified sampling: the first `k` documents of every
     * stratum in md5-of-id order — a reservoir-sample equivalent that is
     * exactly reproducible (and therefore SQL-oracle-able), for carving

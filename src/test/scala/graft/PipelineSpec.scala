@@ -357,6 +357,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixSchedule explodes exactly repeats occurrences with per-epoch keys") {
+    val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val budgets = Map("en" -> 30000L, "de" -> 1000L)
+    val reps = Text.mixEpochs(docs, "doc_id", "text", "lang", budgets)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("repeats")).toMap
+    val sched = Text.mixSchedule(docs, "doc_id", "text", "lang", budgets)
+      .collect()
+    val counts = sched.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) => id -> rows.length.toLong }
+    assert(counts == reps.filter(_._2 > 0))
+    // a doc's key differs per epoch (independent reshuffle each epoch)
+    val multi = sched.groupBy(_.getAs[Long]("doc_id"))
+      .filter(_._2.length > 1)
+    assert(multi.nonEmpty)
+    for ((_, rows) <- multi)
+      assert(rows.map(_.getAs[String]("order_key")).distinct.length ==
+        rows.length)
+  }
+
   test("sampleStratified takes exactly k per stratum in md5 order") {
     val df = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("doc_id", "dom")
