@@ -1610,6 +1610,38 @@ object SparkEntry {
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared CTE prefix of the epoch-plan oracles (`mix_epochs`,
+    * `mix_schedule`): tokenized docs with per-language budgets, domain
+    * totals, integer-division full epochs, md5-order cumulative sums and
+    * the remainder — one definition so the two oracles cannot drift. */
+  private def DuckEpochPlanCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS key,
+       |         CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 1000
+       |                   WHEN 'fr' THEN 800 ELSE 0 END AS bb
+       |  FROM documents
+       |), f AS (
+       |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
+       |  FROM d WHERE bb > 0 GROUP BY lang
+       |), e AS (
+       |  SELECT lang, t,
+       |    CASE WHEN t > 0 THEN CAST((SELECT max(bb) FROM d x
+       |      WHERE x.lang = f.lang) // t AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS full_epochs
+       |  FROM f
+       |), c AS (
+       |  SELECT doc_id, d.lang, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY d.lang
+       |           ORDER BY key, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           AS BIGINT) AS cum_tokens,
+       |         bb, e.full_epochs, bb - e.full_epochs * e.t AS rem
+       |  FROM d JOIN e ON d.lang = e.lang
+       |  WHERE bb > 0
+       |)""".stripMargin
+
   /** DuckDB-side PII scrub (must mirror [[Text.scrubPii]]). */
   private def duckScrubSql(textExpr: String): String =
     s"""regexp_replace(regexp_replace($textExpr,
@@ -2207,32 +2239,7 @@ object SparkEntry {
     // single-window mirror of the epoch-repeat plan: per-domain totals,
     // full epochs by integer division, remainder filled in md5 order
     "mix_epochs" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, lang,
-         |         CAST(len($DuckToks) AS BIGINT) AS n_tokens,
-         |         md5(CAST(doc_id AS VARCHAR)) AS key,
-         |         CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 1000
-         |                   WHEN 'fr' THEN 800 ELSE 0 END AS bb
-         |  FROM documents
-         |), f AS (
-         |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
-         |  FROM d WHERE bb > 0 GROUP BY lang
-         |), e AS (
-         |  SELECT lang, t,
-         |    CASE WHEN t > 0 THEN CAST((SELECT max(bb) FROM d x
-         |      WHERE x.lang = f.lang) // t AS BIGINT)
-         |         ELSE CAST(0 AS BIGINT) END AS full_epochs
-         |  FROM f
-         |), c AS (
-         |  SELECT doc_id, d.lang, n_tokens,
-         |         CAST(sum(n_tokens) OVER (PARTITION BY d.lang
-         |           ORDER BY key, doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |           AS BIGINT) AS cum_tokens,
-         |         bb, e.full_epochs, bb - e.full_epochs * e.t AS rem
-         |  FROM d JOIN e ON d.lang = e.lang
-         |  WHERE bb > 0
-         |)
+      s"""WITH $DuckEpochPlanCtes
          |SELECT doc_id, lang, n_tokens, cum_tokens, full_epochs,
          |  CAST(full_epochs + CASE WHEN cum_tokens <= rem THEN 1 ELSE 0 END
          |    AS BIGINT) AS repeats
@@ -2240,32 +2247,7 @@ object SparkEntry {
     // mix_epochs' repeats exploded to (doc, epoch) occurrences with the
     // per-epoch reshuffle key
     "mix_schedule" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, lang,
-         |         CAST(len($DuckToks) AS BIGINT) AS n_tokens,
-         |         md5(CAST(doc_id AS VARCHAR)) AS key,
-         |         CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 1000
-         |                   WHEN 'fr' THEN 800 ELSE 0 END AS bb
-         |  FROM documents
-         |), f AS (
-         |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t
-         |  FROM d WHERE bb > 0 GROUP BY lang
-         |), e AS (
-         |  SELECT lang, t,
-         |    CASE WHEN t > 0 THEN CAST((SELECT max(bb) FROM d x
-         |      WHERE x.lang = f.lang) // t AS BIGINT)
-         |         ELSE CAST(0 AS BIGINT) END AS full_epochs
-         |  FROM f
-         |), c AS (
-         |  SELECT doc_id, d.lang, n_tokens,
-         |         CAST(sum(n_tokens) OVER (PARTITION BY d.lang
-         |           ORDER BY key, doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |           AS BIGINT) AS cum_tokens,
-         |         bb, e.full_epochs, bb - e.full_epochs * e.t AS rem
-         |  FROM d JOIN e ON d.lang = e.lang
-         |  WHERE bb > 0
-         |), r AS (
+      s"""WITH $DuckEpochPlanCtes, r AS (
          |  SELECT doc_id, lang, n_tokens,
          |    CAST(full_epochs + CASE WHEN cum_tokens <= rem THEN 1 ELSE 0 END
          |      AS BIGINT) AS repeats

@@ -435,8 +435,9 @@ object Text {
     * `budget div domain_tokens` full epochs for all docs, plus one extra
     * for the md5-order prefix whose cumulative tokens fit the remainder
     * (exactly [[mixSample]]'s fill rule). Σ(repeats·n_tokens) per domain
-    * approaches the budget from below, overshooting by at most the last
-    * prefix doc. Domains absent from `budgets` are dropped.
+    * never exceeds the budget (the prefix rule admits only whole docs
+    * that fit); the slack is an undershoot bounded by the first excluded
+    * doc. Domains absent from `budgets` are dropped.
     *
     * Scale shape: the same bucketed distributed prefix sum as
     * [[mixSample]] (per-domain totals and bucket offsets are
@@ -446,32 +447,19 @@ object Text {
     */
   def mixEpochs(df: DataFrame, idCol: String, textCol: String,
       domainCol: String, budgets: Map[String, Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val budget = budgets.foldLeft(lit(0L)) { case (acc, (key, v)) =>
       when(col(domainCol) === lit(key), lit(v)).otherwise(acc) }
     val base = fanOut(df)
       .select(col(idCol), col(domainCol),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("__b", budget).filter(col("__b") > 0)
-      .withColumn("__key", md5(col(idCol).cast("string")))
-      .withColumn("__bucket", substring(col("__key"), 1, 2))
     val totals = base.groupBy(domainCol)
       .agg(sum("n_tokens").as("__t"), first("__b").as("__bb"))
       .withColumn("full_epochs",
         expr("CASE WHEN __t > 0 THEN __bb div __t ELSE CAST(0 AS BIGINT) END"))
       .withColumn("__rem", col("__bb") - col("full_epochs") * col("__t"))
       .select(col(domainCol), col("full_epochs"), col("__rem"))
-    val wOff = Window.partitionBy(domainCol).orderBy("__bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(domainCol, "__bucket")
-      .agg(sum("n_tokens").as("__bsum"))
-      .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
-      .select(col(domainCol), col("__bucket"), col("__off"))
-    val wCum = Window.partitionBy(domainCol, "__bucket")
-      .orderBy(col("__key"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    base.join(broadcast(offsets), Seq(domainCol, "__bucket"))
-      .withColumn("cum_tokens", col("__off") + sum("n_tokens").over(wCum))
+    bucketedCumsum(base, idCol, domainCol, "n_tokens", "cum_tokens")
       .join(broadcast(totals), Seq(domainCol))
       .withColumn("repeats", col("full_epochs") +
         when(col("cum_tokens") <= col("__rem"), 1L).otherwise(0L))
@@ -521,28 +509,41 @@ object Text {
     * (`idCol`, `domainCol`, `costCol`); emits surviving rows plus the
     * inclusive running total as `cumName`.
     */
-  private def budgetedTake(base0: DataFrame, idCol: String, domainCol: String,
-      costCol: String, budget: Column, cumName: String): DataFrame = {
+  /** Shared core of the md5-order distributed prefix sums
+    * ([[budgetedTake]], [[mixEpochs]]): adds `__key`/`__bucket` and
+    * `cumName` = the running `costCol` total per domain in (md5, id)
+    * order — per-(domain, bucket) sums, broadcast bucket offsets,
+    * within-bucket windows. `offsetKeep` prunes offset rows (a
+    * metadata-sized frame) BEFORE the wide join — the sampler drops
+    * out-of-budget buckets there. */
+  private def bucketedCumsum(base0: DataFrame, idCol: String,
+      domainCol: String, costCol: String, cumName: String,
+      offsetKeep: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = base0
       .withColumn("__key", md5(col(idCol).cast("string")))
       .withColumn("__bucket", substring(col("__key"), 1, 2))
     val wOff = Window.partitionBy(domainCol).orderBy("__bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // <= keeps zero-cost docs sitting exactly at the boundary comparable
-    // with the oracle's single-window definition
-    val offsets = base.groupBy(domainCol, "__bucket")
+    val offsets0 = base.groupBy(domainCol, "__bucket")
       .agg(sum(costCol).as("__bsum"))
       .withColumn("__off", coalesce(sum("__bsum").over(wOff), lit(0L)))
-      .filter(col("__off") <= budget)
+    val offsets = offsetKeep.fold(offsets0)(offsets0.filter)
       .select(col(domainCol), col("__bucket"), col("__off"))
     val wCum = Window.partitionBy(domainCol, "__bucket")
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     base.join(broadcast(offsets), Seq(domainCol, "__bucket"))
       .withColumn(cumName, col("__off") + sum(costCol).over(wCum))
-      .filter(budget > lit(0L) && col(cumName) <= budget)
   }
+
+  private def budgetedTake(base0: DataFrame, idCol: String, domainCol: String,
+      costCol: String, budget: Column, cumName: String): DataFrame =
+    // <= keeps zero-cost docs sitting exactly at the boundary comparable
+    // with the oracle's single-window definition
+    bucketedCumsum(base0, idCol, domainCol, costCol, cumName,
+      offsetKeep = Some(col("__off") <= budget))
+      .filter(budget > lit(0L) && col(cumName) <= budget)
 
   /** Per-group HLL distinct-token sketches (Apache DataSketches via Spark's
     * `hll_sketch_agg`) with their estimates — the scale path for "how many

@@ -335,12 +335,12 @@ class PipelineSpec extends AnyFunSuite {
       val t = rows.map(_.getAs[Long]("n_tokens")).sum
       val full = budgets(lang) / t
       assert(rows.forall(_.getAs[Long]("full_epochs") == full), lang)
-      // total emitted tokens approaches the budget from below, overshoot
-      // bounded by the last prefix doc
+      // total emitted tokens NEVER exceed the budget (whole-doc prefix
+      // rule); undershoot is bounded by the first excluded doc
       val emitted = rows.map(r =>
         r.getAs[Long]("repeats") * r.getAs[Long]("n_tokens")).sum
       val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
-      assert(emitted <= budgets(lang) + maxDoc, lang)
+      assert(emitted <= budgets(lang), lang)
       assert(emitted >= budgets(lang) - maxDoc, lang)
     }
     // the +1 remainder set IS mixSample's survivor set at budget = rem
