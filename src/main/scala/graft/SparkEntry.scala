@@ -879,6 +879,10 @@ object SparkEntry {
       // token-length distribution per language, width-10 buckets
       Text.lengthHistogram(t(s, d, "documents"), "text", "lang", 10)
         .orderBy("lang", "bucket")),
+    "text_bpe_pairs" -> ((s, d) =>
+      // tokenizer-training statistics: top within-word character pairs
+      // by occurrence — the table BPE's first merge rule comes from
+      Text.bpePairCounts(t(s, d, "documents"), "text", topK = 50)),
     "text_dup_ngrams" -> ((s, d) =>
       // most-duplicated 5-token spans with doc frequency — the
       // substring-dedup signal (Lee et al. 2022) at fixed span length
@@ -1924,6 +1928,16 @@ object SparkEntry {
          |  count(*) AS n_docs
          |FROM documents GROUP BY 1, 2
          |ORDER BY lang, bucket""".stripMargin,
+    "text_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT unnest($DuckToks) AS w FROM documents
+         |), p AS (
+         |  SELECT unnest([substr(w, i, 2)
+         |    for i in generate_series(1, len(w) - 1)]) AS pair
+         |  FROM w
+         |)
+         |SELECT pair, count(*) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

@@ -396,6 +396,14 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpePairCounts counts within-word adjacent char pairs per occurrence") {
+    val fx = Seq((0L, "abc abc ab"), (1L, "x yz")).toDF("doc_id", "text")
+    // words: abc, abc, ab, x, yz → pairs ab×3, bc×2, yz×1 (x yields none)
+    val out = Text.bpePairCounts(fx, "text").collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toSeq
+    assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
+  }
+
   test("dupNgrams surfaces cross-doc spans with per-doc counting") {
     // docs 0,1,2 normalize to the same text → every 5-gram of doc 0 has
     // df=3 (within-doc repeats would not inflate: sets are distinct);
