@@ -718,6 +718,18 @@ object SparkEntry {
           (col("id") === col("comp")).cast("long").as("is_rep"))
         .orderBy("doc_id")
     }),
+    "dedup_cluster_keepbest" -> ((s, d) => {
+      // keep-the-BEST-per-near-dup-cluster: components over the exact
+      // pair list, survivor = highest token count (min id on ties)
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.3, shingleSize = 3)
+      Dedup.clusterKeepBest(pairs,
+        docs.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("quality")),
+        "doc_id", "quality")
+        .orderBy("component")
+    }),
     "dedup_clusters_logstar" -> ((s, d) => {
       // the same transitive clusters through the alternating
       // large-star/small-star algorithm — O(log n) rounds on ANY graph
@@ -1968,6 +1980,30 @@ object SparkEntry {
          |       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS BIGINT)
          |         AS is_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_keepbest" ->
+      s"""WITH RECURSIVE pr AS (
+         |$JaccardPairsSqlCore
+         |), und AS (
+         |  SELECT id1 AS a, id2 AS b FROM pr
+         |  UNION SELECT id2, id1 FROM pr
+         |), reach(id, r) AS (
+         |  SELECT a, a FROM und
+         |  UNION
+         |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id
+         |), comp AS (
+         |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+         |), sc AS (
+         |  SELECT doc_id, CAST(len($DuckToks) AS BIGINT) AS s FROM documents
+         |), r AS (
+         |  SELECT component, comp.doc_id, s,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY s DESC, comp.doc_id ASC) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+         |      AS cluster_size
+         |  FROM comp JOIN sc ON comp.doc_id = sc.doc_id
+         |)
+         |SELECT component, doc_id AS keep_id, s AS score, cluster_size
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
     "pipeline_curate" ->
       s"""WITH ${curateCtesSql("documents")}
          |SELECT doc_id, lang_pred, n_tokens FROM ex

@@ -937,6 +937,33 @@ object Dedup {
       udf((s: String) => s != null && bc.value.mightContainString(s)))
   }
 
+  /** Cluster-representative dedup with a QUALITY policy: connected
+    * components over the near-dup pair list, then per cluster keep the
+    * highest-scoring member (min id on ties) — the production variant
+    * of keep-one-per-cluster where the survivor is chosen by quality
+    * rather than smallest id (the near-dup analog of
+    * [[exactKeepBest]]). Emits one row per cluster: its label, the
+    * kept doc, its score, and the member count.
+    *
+    * Scale shape: labeling is [[components]] (edges materialize once,
+    * rounds = cluster diameter); survivor selection is ONE
+    * two-phase argmax aggregation keyed on the component — max over a
+    * (score, -id) struct, no per-cluster window, map-side partials.
+    */
+  def clusterKeepBest(pairs: DataFrame, scores: DataFrame, idCol: String,
+      scoreCol: String): DataFrame =
+    components(pairs)
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")),
+        Seq("id"))
+      .groupBy("comp")
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("negid")))
+          .as("__best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("comp").as("component"),
+        (-col("__best.negid")).as("keep_id"),
+        col("__best.s").as("score"),
+        col("cluster_size"))
+
   /** Snapshot diff by content fingerprint — the release-audit report
     * between two corpus versions: per group, how many distinct contents
     * were added, removed, and kept. Keys on (group, fingerprint), so

@@ -72,6 +72,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(tieOnly.length == 1 && tieOnly(0).getAs[Long]("keep_id") == 0L)
   }
 
+  test("clusterKeepBest keeps the highest-quality member per component") {
+    import spark.implicits._
+    // chain 1-2-3 is one component; 8-9 another
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id1", "id2")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (8L, 4L), (9L, 2L))
+      .toDF("doc_id", "q")
+    val out = Dedup.clusterKeepBest(pairs, scores, "doc_id", "q")
+      .collect().map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("score"),
+          r.getAs[Long]("cluster_size")))).toMap
+    // tie between 2 and 3 at quality 9 → smaller id wins
+    assert(out == Map(1L -> ((2L, 9L, 3L)), 8L -> ((8L, 4L, 2L))))
+  }
+
   test("components labels transitive chains with the min reachable id") {
     // chain 1-2-3-4-5 (diameter 4, needs several propagation rounds),
     // a separate pair {10,11}, and an A<->B edge given in "reversed"
