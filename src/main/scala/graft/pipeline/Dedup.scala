@@ -41,11 +41,18 @@ object Dedup {
     df.withColumn("fp", Text.fingerprint(col(textCol)))
       .withColumn("__s", score)
       .groupBy("fp")
-      .agg(max(struct(col("__s").as("s"),
-          (-col(idCol)).as("negid"))).as("__best"),
+      .agg(argmaxStruct(col("__s"), col(idCol)).as("__best"),
         count(lit(1)).as("dup_count"))
       .select(col("fp"), (-col("__best.negid")).as("keep_id"),
         col("__best.s").as("score"), col("dup_count"))
+
+  /** The survivor-selection aggregate shared by the keep-best policies
+    * ([[exactKeepBest]], [[clusterKeepBest]]): max over a
+    * (score, −id) struct = highest score, smallest id on ties, as ONE
+    * two-phase aggregation. Read the winner back as `__best.s` /
+    * `-__best.negid`. */
+  private def argmaxStruct(score: Column, id: Column): Column =
+    max(struct(score.as("s"), (-id).as("negid")))
 
   /** Rows surviving exact dedup (representatives only). */
   def exactDeduped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -943,12 +950,15 @@ object Dedup {
     * of keep-one-per-cluster where the survivor is chosen by quality
     * rather than smallest id (the near-dup analog of
     * [[exactKeepBest]]). Emits one row per cluster: its label, the
-    * kept doc, its score, and the member count.
+    * kept doc, its score, and the member count. `scores` must cover
+    * every doc appearing in `pairs` (score the corpus the pairs came
+    * from): the membership join is inner, so an unscored member would
+    * silently lose election and leave the count.
     *
     * Scale shape: labeling is [[components]] (edges materialize once,
     * rounds = cluster diameter); survivor selection is ONE
-    * two-phase argmax aggregation keyed on the component — max over a
-    * (score, -id) struct, no per-cluster window, map-side partials.
+    * two-phase argmax aggregation keyed on the component
+    * ([[argmaxStruct]]) — no per-cluster window, map-side partials.
     */
   def clusterKeepBest(pairs: DataFrame, scores: DataFrame, idCol: String,
       scoreCol: String): DataFrame =
@@ -956,8 +966,7 @@ object Dedup {
       .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")),
         Seq("id"))
       .groupBy("comp")
-      .agg(max(struct(col("__s").as("s"), (-col("id")).as("negid")))
-          .as("__best"),
+      .agg(argmaxStruct(col("__s"), col("id")).as("__best"),
         count(lit(1)).as("cluster_size"))
       .select(col("comp").as("component"),
         (-col("__best.negid")).as("keep_id"),

@@ -558,12 +558,14 @@ object Text {
     */
   def bpePairCounts(df: DataFrame, textCol: String, topK: Int = 50)
       : DataFrame = {
-    val pairsUdf = udf((toks: Seq[String]) =>
-      if (toks == null) Seq.empty[String]
-      else toks.flatMap(w =>
-        (0 until w.length - 1).map(i => w.substring(i, i + 2))))
+    // one compiled text→pairs pass (the shingleSetUdf pattern) — routing
+    // through the tokens() HOF would put the interpreted lambda this
+    // comment's own rationale warns about back on the hot path
+    val pairsUdf = udf((text: String) =>
+      tokensScala(text).flatMap(w =>
+        (0 until w.length - 1).map(i => w.substring(i, i + 2))).toSeq)
     fanOut(df)
-      .select(explode(pairsUdf(tokens(col(textCol)))).as("pair"))
+      .select(explode(pairsUdf(col(textCol))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
