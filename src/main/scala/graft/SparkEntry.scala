@@ -249,6 +249,15 @@ object SparkEntry {
       TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
         .orderBy("bucket_ts")
     }),
+    "ts_funnel" -> ((s, d) => {
+      // conversion funnel view→click→purchase per user, closing within
+      // 7 days of the first view; greedy earliest-first stage matching
+      val ev = tsUs(t(s, d, "events"))
+        .select("user_id", "ts", "event_type")
+      TsOps.funnel(ev, Seq("user_id"), Seq("view", "click", "purchase"),
+        withinNanos = 7L * 86400 * 1000000000L)
+        .orderBy("user_id")
+    }),
     "ts_zscore_anomaly" -> ((s, d) => {
       // alerting: points > 2σ from their user's trailing-7d mean over
       // windows of ≥ 10 points; the z-test is an exact integer
@@ -481,6 +490,27 @@ object SparkEntry {
          |FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
          |ORDER BY b.bucket_ts""".stripMargin
     },
+    // stagewise min-aggregation mirror of the greedy funnel
+    "ts_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND epoch_ns(e.ts) > t1
+        |    AND epoch_ns(e.ts) <= t1 + 604800000000000
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+        |  FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND epoch_ns(e.ts) > t2
+        |    AND epoch_ns(e.ts) <= t1 + 604800000000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT user_id, t1, t2, t3
+        |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "ts_zscore_anomaly" ->
       """WITH b AS (
         |  SELECT event_id, epoch_ns(ts) AS ts, user_id, value,

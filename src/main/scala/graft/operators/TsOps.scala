@@ -280,6 +280,42 @@ object TsOps {
     * needed, and overlapping left/right column names are fine (right values
     * are emitted with `rightPrefix`).
     */
+  /** Ordered-funnel analysis — the conversion query of an event store:
+    * per key, the earliest completion of `stages` in order, where each
+    * stage's event must follow the previous stage's chosen event and the
+    * whole funnel closes within `withinNanos` of stage one. Greedy
+    * earliest-first matching (stage k = min ts after stage k−1), the
+    * common funnel semantics — note its standard caveat: the funnel
+    * anchors at the key's EARLIEST stage-one event, so a completion
+    * reachable only from a later anchor is not searched. Emits one row
+    * per key that completes ALL stages, with each stage's timestamp
+    * (`t1`..`tN`).
+    *
+    * Scale shape: one key-partitioned min-aggregation per stage — k
+    * stages = k map-side-combinable shuffles on the key, each over only
+    * that stage's events (the type filter pushes to the scan); no
+    * windows, no per-key event buffering, so a hot key costs its event
+    * count, not memory.
+    */
+  def funnel(df: DataFrame, keyCols: Seq[String], stages: Seq[String],
+      withinNanos: Long, tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val keys = keyCols.map(col)
+    val first = df.filter(col(typeCol) === lit(stages.head))
+      .groupBy(keys: _*).agg(min(col(tsCol)).as("t1"))
+    stages.zipWithIndex.drop(1).foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      df.filter(col(typeCol) === lit(st))
+        .join(acc, keyCols)
+        .filter(col(tsCol) > col(prev) &&
+          col(tsCol) <= col("t1") + lit(withinNanos))
+        .groupBy((keys ++ (1 to i).map(j => col(s"t$j"))): _*)
+        .agg(min(col(tsCol)).as(cur))
+    }
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       toleranceNanos: Long = -1L, tsCol: String = "ts",
       rightPrefix: String = "r_"): DataFrame = {

@@ -627,6 +627,26 @@ class TsOpsSpec extends AnyFunSuite {
     assert(bl.length == 2)
   }
 
+  test("funnel: ordered stages within window, greedy anchor, dropouts excluded") {
+    val ev = Seq(
+      // user 1 completes in order: view@10, click@20, purchase@30
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE click → no completion
+      (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // user 3: click outside the window of the first view
+      (3L, 10L, "view"), (3L, 200L, "click"), (3L, 210L, "purchase"),
+      // user 4: two views; greedy anchors at the FIRST (t1 = 5)
+      (4L, 5L, "view"), (4L, 8L, "view"), (4L, 9L, "click"),
+      (4L, 12L, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = TsOps.funnel(ev, Seq("user_id"),
+      Seq("view", "click", "purchase"), withinNanos = 50L)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("t1"), r.getAs[Long]("t2"), r.getAs[Long]("t3"))))
+      .toMap
+    assert(out == Map(1L -> ((10L, 20L, 30L)), 4L -> ((5L, 9L, 12L))))
+  }
+
   test("zscore anomalies: planted spike flagged, steady points are not") {
     // one user, 12 steady points at 50.00 then a 99.00 spike, 1s apart —
     // only the spike deviates > 2σ from its trailing window
