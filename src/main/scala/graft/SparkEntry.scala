@@ -1444,6 +1444,23 @@ object SparkEntry {
       runStreamToTable(s, deduped.select("fp"), "stream_dedup_out")
         .select("fp").orderBy("fp")
     }),
+    "stream_funnel" -> ((s, d) => {
+      // live funnel tracking: same greedy stage matching as ts_funnel,
+      // per-key state = stage progress; a drained stream emits exactly
+      // the batch completion set (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val done = graft.streaming.StreamIngest.streamingFunnel(
+        src, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 7L * 86400 * 1000000000L)
+      runStreamToTable(s, done, "stream_funnel_out")
+        .select(col("user_id"), col("ts_list")(0).as("t1"),
+          col("ts_list")(1).as("t2"), col("ts_list")(2).as("t3"))
+        .orderBy("user_id")
+    }),
     "stream_zscore" -> ((s, d) => {
       // streaming alerting: the exact integer z-test over per-user
       // trailing windows, state = one bounded deque per user; a drained
@@ -2906,6 +2923,9 @@ object SparkEntry {
       ("stream_embed_outliers" -> base("embed_outliers")) +
       // one drained batch processes each user's rows in event-time order
       // through the same integer z-test → exactly the batch flag set
-      ("stream_zscore" -> base("ts_zscore_anomaly"))
+      ("stream_zscore" -> base("ts_zscore_anomaly")) +
+      // the sequential greedy stage pointer over ts-ordered events IS
+      // the batch funnel's earliest-first matching
+      ("stream_funnel" -> base("ts_funnel"))
   }
 }

@@ -539,6 +539,62 @@ object StreamIngest {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  final case class FIn(key: Long, ts: Long, etype: String)
+  final case class FOut(user_id: Long, ts_list: Seq[Long])
+
+  /** Streaming conversion funnel — the live twin of
+    * [[graft.operators.TsOps.funnel]] with the same greedy
+    * earliest-first semantics: per-key state is the stage progress (at
+    * most |stages| timestamps, a completed funnel keeps its full list as
+    * the done marker), events are replayed in event-time order within a
+    * batch, and a key emits exactly once, in the micro-batch its final
+    * stage arrives. A drained single batch therefore emits exactly the
+    * batch operator's completion set (the driver oracle pins that);
+    * across batches the greedy pointer advances with arrival, the
+    * honest semantics of a live funnel. Null key/ts/type rows are
+    * dropped. Returns (key, ts_list) — callers project the stage
+    * timestamps out of the list.
+    */
+  def streamingFunnel(stream: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String],
+      withinNanos: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ds = stream
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("long").as("ts"),
+        col(typeCol).cast("string").as("etype"))
+      .filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("etype").isNotNull)
+      .as[FIn]
+    val n = stages.length
+    def fn(key: Long, rows: Iterator[FIn],
+        state: GroupState[Seq[Long]]): Iterator[FOut] = {
+      var prog = state.getOption.getOrElse(Seq.empty).toVector
+      val out = scala.collection.mutable.ArrayBuffer.empty[FOut]
+      if (prog.length < n) {
+        for (r <- rows.toSeq.sortBy(r => (r.ts, r.etype))
+            if prog.length < n) {
+          val fits = r.etype == stages(prog.length) &&
+            (prog.isEmpty ||
+              (r.ts > prog.last && r.ts <= prog.head + withinNanos))
+          if (fits) {
+            prog = prog :+ r.ts
+            if (prog.length == n) out += FOut(key, prog)
+          }
+        }
+        state.update(prog)
+      }
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .withColumnRenamed("user_id", keyCol)
+  }
+
   final case class ZIn(key: Long, event_id: Long, ts: Long, value: Double,
       c: Long)
   final case class ZOut(event_id: Long, ts: Long, user_id: Long,

@@ -264,6 +264,50 @@ class StreamingSpec extends AnyFunSuite {
     StreamIngest.releaseIndex(pairs) // idempotent
   }
 
+  test("streaming funnel completes across batches, emits once per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = SparkTestBase.tempDir("graft-funnel")
+    val in = new java.io.File(dir, "in").getPath
+    // batch 1: user 1 views and clicks; user 2 views only
+    Seq((1L, 10L, "view"), (1L, 20L, "click"), (2L, 15L, "view"))
+      .toDF("user_id", "ts", "event_type").write.parquet(s"$in/b1")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", LongType), StructField("event_type", StringType)))
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val done = StreamIngest.streamingFunnel(src, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), withinNanos = 100L)
+    val ck = SparkTestBase.tempDir("graft-funnel-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-funnel-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      val q = done.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    assert(!new java.io.File(outDir).exists() ||
+      spark.read.parquet(outDir).isEmpty) // nobody finished yet
+    // batch 2: user 1 purchases (completes, state carried); user 2's
+    // purchase precedes any click → still incomplete
+    Seq((1L, 30L, "purchase"), (2L, 25L, "purchase"))
+      .toDF("user_id", "ts", "event_type").write.parquet(s"$in/b2")
+    drain()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Seq[Long]]("ts_list").toList))
+    assert(out.toSeq == Seq((1L, List(10L, 20L, 30L))))
+    // batch 3: a second purchase must NOT re-emit user 1
+    Seq((1L, 40L, "purchase"))
+      .toDF("user_id", "ts", "event_type").write.parquet(s"$in/b3")
+    drain()
+    assert(spark.read.parquet(outDir).count() == 1)
+  }
+
   test("streaming zscore anomalies equal the batch flag set on a drained stream") {
     import spark.implicits._
     val dir = SparkTestBase.tempDir("graft-zsc")
