@@ -1450,9 +1450,8 @@ object SparkEntry {
       // the batch completion set (shared oracle)
       Tables.configure(s)
       val schema = t(s, d, "events").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
       val done = graft.streaming.StreamIngest.streamingFunnel(
         src, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), 7L * 86400 * 1000000000L)
@@ -1467,9 +1466,8 @@ object SparkEntry {
       // single batch flags exactly the batch set (shared oracle)
       Tables.configure(s)
       val schema = t(s, d, "events").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
         .select("event_id", "ts", "user_id", "value")
       val flagged = graft.streaming.StreamIngest.streamingZscoreAnomalies(
         src, 7L * 86400 * 1000000000L, k = 2, minN = 10)

@@ -273,13 +273,6 @@ object TsOps {
       .select((df.columns.map(col) :+ col("session_idx")).toIndexedSeq: _*)
   }
 
-  /** As-of join: for each left row, the latest right row with
-    * `right.ts <= left.ts` (within `toleranceNanos` if >= 0), per matching
-    * `keyCols`. Composed from a union + one running `last` window over a
-    * packed struct — a single shuffle on (key), no custom physical operator
-    * needed, and overlapping left/right column names are fine (right values
-    * are emitted with `rightPrefix`).
-    */
   /** Ordered-funnel analysis — the conversion query of an event store:
     * per key, the earliest completion of `stages` in order, where each
     * stage's event must follow the previous stage's chosen event and the
@@ -316,6 +309,13 @@ object TsOps {
     }
   }
 
+  /** As-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` (within `toleranceNanos` if >= 0), per matching
+    * `keyCols`. Composed from a union + one running `last` window over a
+    * packed struct — a single shuffle on (key), no custom physical operator
+    * needed, and overlapping left/right column names are fine (right values
+    * are emitted with `rightPrefix`).
+    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       toleranceNanos: Long = -1L, tsCol: String = "ts",
       rightPrefix: String = "r_"): DataFrame = {

@@ -551,18 +551,26 @@ object StreamIngest {
     * stage arrives. A drained single batch therefore emits exactly the
     * batch operator's completion set (the driver oracle pins that);
     * across batches the greedy pointer advances with arrival, the
-    * honest semantics of a live funnel. Null key/ts/type rows are
-    * dropped. Returns (key, ts_list) — callers project the stage
-    * timestamps out of the list.
+    * honest semantics of a live funnel. Only stage-set events reach the
+    * shuffle (other types can never advance a funnel, and keys emitting
+    * none keep no state); null key/ts/type rows are dropped. The key
+    * must cast to long (unlike the batch twin's arbitrary multi-column
+    * keys — a streaming state key needs one encodable column). Keys
+    * silent longer than `stateTtl` drop their progress (pass empty to
+    * keep state forever, the oracle-drain configuration). Returns
+    * (key, ts_list) — callers project the stage timestamps out of the
+    * list.
     */
   def streamingFunnel(stream: DataFrame, keyCol: String, tsCol: String,
-      typeCol: String, stages: Seq[String],
-      withinNanos: Long): DataFrame = {
+      typeCol: String, stages: Seq[String], withinNanos: Long,
+      stateTtl: String = ""): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
     val ds = stream
+      .filter(col(typeCol).isin(stages: _*))
       .select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("long").as("ts"),
         col(typeCol).cast("string").as("etype"))
@@ -572,7 +580,12 @@ object StreamIngest {
     val n = stages.length
     def fn(key: Long, rows: Iterator[FIn],
         state: GroupState[Seq[Long]]): Iterator[FOut] = {
-      var prog = state.getOption.getOrElse(Seq.empty).toVector
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val prog0 = state.getOption.getOrElse(Seq.empty).toVector
+      var prog = prog0
       val out = scala.collection.mutable.ArrayBuffer.empty[FOut]
       if (prog.length < n) {
         for (r <- rows.toSeq.sortBy(r => (r.ts, r.etype))
@@ -585,13 +598,15 @@ object StreamIngest {
             if (prog.length == n) out += FOut(key, prog)
           }
         }
-        state.update(prog)
+        if (prog != prog0) state.update(prog)
       }
+      if (state.exists) ttl.foreach(state.setTimeoutDuration)
       out.iterator
     }
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
       .withColumnRenamed("user_id", keyCol)
   }
 
