@@ -91,6 +91,27 @@ object ScaleProbe {
     report("grouped_head_50", evK,
       TsOps.groupedHead(events, 50).count(),
       TsOps.groupedHead(evScaled, 50).count())
+    report("zscore_anomalies", evK,
+      TsOps.zscoreAnomalies(events.select("event_id", "ts", "user_id",
+        "value"), 7L * 86400 * 1000000000L, "value", Seq("user_id")).count(),
+      TsOps.zscoreAnomalies(evScaled.select("event_id", "ts", "user_id",
+        "value"), 7L * 86400 * 1000000000L, "value", Seq("user_id")).count())
+    report("funnel_3stage", evK,
+      TsOps.funnel(events.select("user_id", "ts", "event_type"),
+        Seq("user_id"), Seq("view", "click", "purchase"),
+        7L * 86400 * 1000000000L).count(),
+      TsOps.funnel(evScaled.select("user_id", "ts", "event_type"),
+        Seq("user_id"), Seq("view", "click", "purchase"),
+        7L * 86400 * 1000000000L).count())
+    report("retention", evK,
+      TsOps.retention(events, "user_id", 86400L * 1000000000L).count(),
+      TsOps.retention(evScaled, "user_id", 86400L * 1000000000L).count())
+    report("novelty", docK,
+      graft.pipeline.Text.noveltyCounts(docs, "doc_id", "text").count(),
+      graft.pipeline.Text.noveltyCounts(docScaled, "doc_id", "text").count())
+    report("bpe_pairs", docK,
+      graft.pipeline.Text.bpePairCounts(docs, "text").count(),
+      graft.pipeline.Text.bpePairCounts(docScaled, "text").count())
     report("dedup_exact", docK,
       Dedup.exact(docs, "doc_id", "text").count(),
       Dedup.exact(docScaled, "doc_id", "text").count())

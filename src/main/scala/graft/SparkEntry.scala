@@ -249,6 +249,12 @@ object SparkEntry {
       TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
         .orderBy("bucket_ts")
     }),
+    "ts_retention" -> ((s, d) =>
+      // cohort retention matrix: users grouped by first-activity day,
+      // distinct actives per (cohort day, day offset)
+      TsOps.retention(tsUs(t(s, d, "events")), "user_id",
+        dayNanos = 86400L * 1000000000L)
+        .orderBy("cohort_day", "day_offset")),
     "ts_funnel" -> ((s, d) => {
       // conversion funnel view→click→purchase per user, closing within
       // 7 days of the first view; greedy earliest-first stage matching
@@ -490,6 +496,19 @@ object SparkEntry {
          |FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
          |ORDER BY b.bucket_ts""".stripMargin
     },
+    "ts_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id
+        |)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     // stagewise min-aggregation mirror of the greedy funnel
     "ts_funnel" ->
       """WITH s1 AS (

@@ -309,6 +309,28 @@ object TsOps {
     }
   }
 
+  /** Cohort retention — the second classic event-store report beside
+    * [[funnel]]: users cohorted by their first-activity day, then for
+    * each (cohort day, day offset) the count of distinct cohort members
+    * active that day. Two keyed shuffles: a per-user min-day aggregation
+    * (map-side combinable) and a (cohort, offset)-keyed distinct count
+    * over the deduplicated (user, day) activity pairs — row volume after
+    * dedup is active-user-days, far below event count. Offset 0 row =
+    * cohort size.
+    */
+  def retention(df: DataFrame, userCol: String, dayNanos: Long,
+      tsCol: String = "ts"): DataFrame = {
+    val activity = df
+      .select(col(userCol), expr(s"$tsCol div $dayNanos").as("__day"))
+      .distinct()
+    val cohorts = activity.groupBy(userCol)
+      .agg(min(col("__day")).as("cohort_day"))
+    activity.join(cohorts, Seq(userCol))
+      .withColumn("day_offset", col("__day") - col("cohort_day"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` (within `toleranceNanos` if >= 0), per matching
     * `keyCols`. Composed from a union + one running `last` window over a

@@ -627,6 +627,17 @@ class TsOpsSpec extends AnyFunSuite {
     assert(bl.length == 2)
   }
 
+  test("retention: first-day cohorts, distinct actives per offset") {
+    // day = ts div 10; user 1 first on day 0, active days 0 and 2 (two
+    // events on day 2 count once); user 2 first on day 1, active day 1
+    val ev = Seq((1L, 1L), (1L, 21L), (1L, 25L), (2L, 12L))
+      .toDF("user_id", "ts")
+    val out = TsOps.retention(ev, "user_id", dayNanos = 10L)
+      .collect().map(r => (r.getAs[Long]("cohort_day"),
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(out == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("funnel: ordered stages within window, greedy anchor, dropouts excluded") {
     val ev = Seq(
       // user 1 completes in order: view@10, click@20, purchase@30
