@@ -255,6 +255,30 @@ object SparkEntry {
       TsOps.retention(tsUs(t(s, d, "events")), "user_id",
         dayNanos = 86400L * 1000000000L)
         .orderBy("cohort_day", "day_offset")),
+    "ts_interval_join" -> ((s, d) => {
+      // attribute purchases to 1h-gap sessions via the binned range join;
+      // bin = 1h ≈ typical session length, so explode factor stays ~1-2
+      val ev = tsUs(t(s, d, "events"))
+      val sessions = TsOps.sessionize(ev.select("user_id", "ts"),
+          3600L * 1000000000L, Seq("user_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      TsOps.intervalJoin(purchases, sessions, Seq("user_id"),
+          "session_start", "session_end", binNanos = 3600L * 1000000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("purchase_value"))
+        .orderBy("user_id", "session_idx")
+    }),
+    "ts_heatmap" -> ((s, d) =>
+      // dow × hour activity matrix (UTC, integer epoch arithmetic)
+      TsOps.heatmap(tsUs(t(s, d, "events"))).orderBy("dow", "hour")),
+    "ts_gaps" -> ((s, d) =>
+      // per-user inter-event gap stats (ingest-cadence profiling)
+      TsOps.gapStats(tsUs(t(s, d, "events")).select("user_id", "ts"),
+        Seq("user_id")).orderBy("user_id")),
     "ts_funnel" -> ((s, d) => {
       // conversion funnel view→click→purchase per user, closing within
       // 7 days of the first view; greedy earliest-first stage matching
@@ -509,6 +533,48 @@ object SparkEntry {
         |FROM a JOIN c USING (user_id)
         |GROUP BY cohort_day, day_offset
         |ORDER BY cohort_day, day_offset""".stripMargin,
+    "ts_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type, value FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > 3600000000000 THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), c AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM s
+        |), g AS (
+        |  SELECT user_id, session_idx, min(ts) AS session_start,
+        |         max(ts) AS session_end
+        |  FROM c GROUP BY user_id, session_idx
+        |)
+        |SELECT g.user_id, g.session_idx, count(*) AS n_purchases,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+        |FROM g JOIN e p ON p.user_id = g.user_id
+        |  AND p.ts BETWEEN g.session_start AND g.session_end
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY g.user_id, g.session_idx
+        |ORDER BY g.user_id, g.session_idx""".stripMargin,
+    "ts_heatmap" ->
+      """SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+        |  (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hour,
+        |  count(*) AS n
+        |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+    "ts_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_gaps, min(gap) AS min_gap,
+        |  max(gap) AS max_gap, CAST(sum(gap) AS BIGINT) AS sum_gap
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     // stagewise min-aggregation mirror of the greedy funnel
     "ts_funnel" ->
       """WITH s1 AS (

@@ -331,6 +331,64 @@ object TsOps {
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
 
+  /** Interval (range) join: each `points` row is matched to every
+    * `intervals` row of the same key with
+    * `startCol <= ts <= endCol`. Spark has no range-join optimizer rule, so
+    * the naive formulation is a conditional join that degenerates to
+    * per-key nested loops; instead the time axis is discretized at
+    * `binNanos`: an interval explodes to the bins it spans, a point maps to
+    * exactly one bin, and the join becomes an equi-join on
+    * (key, bin) + a residual range predicate — shuffle-partitioned,
+    * broadcast-free, no duplicate pairs (each interval covers a point's bin
+    * at most once). Pick `binNanos` near the typical interval length: the
+    * per-interval explode factor is `len/binNanos + 1`, so too-fine bins
+    * inflate the build side, too-coarse bins inflate the residual-filter
+    * fan-in (bin cohabitants that don't overlap). Skewed bins (one hot day)
+    * are AQE-split like any other shuffle skew.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      keyCols: Seq[String], startCol: String, endCol: String,
+      binNanos: Long, tsCol: String = "ts"): DataFrame = {
+    require(binNanos > 0, "binNanos must be positive")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        expr(s"$startCol div ${binNanos}L"), expr(s"$endCol div ${binNanos}L"))))
+    points.withColumn("__bin", expr(s"$tsCol div ${binNanos}L"))
+      .join(binned, keyCols :+ "__bin")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin")
+  }
+
+  /** Day-of-week × hour-of-day activity matrix — pure integer arithmetic on
+    * the epoch-nano axis (UTC; epoch day 0 = Thursday, hence the +4 shift),
+    * so the result is engine-portable without timezone library calls. One
+    * map-side-combinable aggregation over at most 168 groups.
+    */
+  def heatmap(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val day = 86400L * 1000000000L
+    val hour = 3600L * 1000000000L
+    df.select(
+        expr(s"pmod(($tsCol div ${day}L) + 4, 7)").as("dow"),
+        expr(s"pmod($tsCol, ${day}L) div ${hour}L").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-key inter-event gap statistics: count / min / max / sum of the
+    * deltas between consecutive timestamps. The lag window is a per-key
+    * sequential scan (same shape as [[sessionize]] — the chunked variant's
+    * trick applies if a key is pathologically hot); the aggregation on top
+    * is map-side combinable.
+    */
+  def gapStats(df: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+    df.withColumn("__gap", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_gaps"), min("__gap").as("min_gap"),
+        max("__gap").as("max_gap"), sum("__gap").as("sum_gap"))
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` (within `toleranceNanos` if >= 0), per matching
     * `keyCols`. Composed from a union + one running `last` window over a

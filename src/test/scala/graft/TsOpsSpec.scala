@@ -638,6 +638,46 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("intervalJoin: bin-spanning intervals, overlaps, residual filter") {
+    // bin = 10; interval A [5, 25] spans bins 0-2, B [22, 24] inside bin 2,
+    // C other key. Point 23 (bin 2) hits BOTH A and B exactly once each;
+    // point 7 hits A only; point 40 (bin 4) and key-2 point 23 hit nothing
+    // except C where applicable.
+    val iv = Seq((1L, 5L, 25L, "A"), (1L, 22L, 24L, "B"), (2L, 30L, 45L, "C"))
+      .toDF("k", "s", "e", "name")
+    val pts = Seq((1L, 7L), (1L, 23L), (1L, 40L), (2L, 23L), (2L, 31L))
+      .toDF("k", "ts")
+    val out = TsOps.intervalJoin(pts, iv, Seq("k"), "s", "e", binNanos = 10L)
+      .select("k", "ts", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set((1L, 7L, "A"), (1L, 23L, "A"), (1L, 23L, "B"),
+      (2L, 31L, "C")))
+    // no duplicate pairs even though A spans 3 bins
+    val n = TsOps.intervalJoin(pts, iv, Seq("k"), "s", "e", binNanos = 10L)
+      .count()
+    assert(n == 4)
+  }
+
+  test("heatmap: epoch day 0 is Thursday, hour buckets from pure arithmetic") {
+    val day = 86400L * 1000000000L
+    val hour = 3600L * 1000000000L
+    // ts=0 → Thursday (dow 4) hour 0; ts=day+2.5h → Friday (dow 5) hour 2
+    val ev = Seq(0L, day + 2L * hour + hour / 2, day + 2L * hour).toDF("ts")
+    val out = TsOps.heatmap(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((4L, 0L) -> 1L, (5L, 2L) -> 2L))
+  }
+
+  test("gapStats: consecutive deltas per key, dup-ts gap is zero") {
+    val ev = Seq((1L, 10L), (1L, 30L), (1L, 30L), (1L, 70L), (2L, 5L))
+      .toDF("k", "ts")
+    val out = TsOps.gapStats(ev, Seq("k")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // user 2 has a single event → no gaps → no row
+    assert(out == Map(1L -> ((3L, 0L, 40L, 60L))))
+  }
+
   test("funnel: ordered stages within window, greedy anchor, dropouts excluded") {
     val ev = Seq(
       // user 1 completes in order: view@10, click@20, purchase@30
