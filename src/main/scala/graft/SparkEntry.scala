@@ -1010,6 +1010,11 @@ object SparkEntry {
       // tokenizer-training statistics: top within-word character pairs
       // by occurrence — the table BPE's first merge rule comes from
       Text.bpePairCounts(t(s, d, "documents"), "text", topK = 50)),
+    "text_cooccur" -> ((s, d) =>
+      // doc-level co-occurrence counts over the top-100 vocabulary —
+      // integer PMI substrate; pair fan-out bounded by the vocab cap
+      Text.cooccurrence(t(s, d, "documents"), "doc_id", "text", topK = 100)
+        .orderBy("tok_a", "tok_b")),
     "text_dup_ngrams" -> ((s, d) =>
       // most-duplicated 5-token spans with doc frequency — the
       // substring-dedup signal (Lee et al. 2022) at fixed span length
@@ -2080,6 +2085,20 @@ object SparkEntry {
          |)
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "text_cooccur" ->
+      s"""WITH td AS (
+         |  SELECT doc_id, unnest(list_distinct($DuckToks)) AS tok
+         |  FROM documents
+         |), v AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS df FROM td GROUP BY tok
+         |    ORDER BY df DESC, tok LIMIT 100
+         |  )
+         |), f AS (SELECT doc_id, tok FROM td JOIN v USING (tok))
+         |SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+         |FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |GROUP BY tok_a, tok_b
+         |ORDER BY tok_a, tok_b""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

@@ -571,6 +571,37 @@ object Text {
       .limit(topK)
   }
 
+  /** Doc-level token co-occurrence counts over a capped vocabulary — the
+    * raw-count substrate for PMI / association mining (consumers divide by
+    * doc totals; counts stay integer here so the result is engine-exact).
+    * The vocabulary cap is the scale control: only the global top-`topK`
+    * tokens by document frequency participate, so the per-document pair
+    * fan-out is bounded by `topK²/2` regardless of corpus size, and the
+    * per-doc token buffer by `topK` entries. Two shuffles after the
+    * (small, broadcast) vocabulary is built: one groupBy doc to assemble
+    * the capped token list, one on the pair key to count. The all-pairs
+    * self-join alternative would shuffle the token-doc frame twice and
+    * re-filter; this posting-list form is strictly bounded because the
+    * list is capped by construction (unlike a raw df-capped posting list,
+    * which grows with the corpus).
+    */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 100): DataFrame = {
+    val tokDoc = fanOut(df)
+      .select(col(idCol), explode(tokenSet(col(textCol))).as("tok"))
+    val vocab = tokDoc.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(topK)
+      .select("tok")
+    val pairsUdf = udf((toks: Seq[String]) =>
+      for { i <- toks.indices; j <- i + 1 until toks.size }
+        yield (toks(i), toks(j)))
+    tokDoc.join(broadcast(vocab), "tok")
+      .groupBy(idCol).agg(sort_array(collect_list("tok")).as("__toks"))
+      .select(explode(pairsUdf(col("__toks"))).as("__p"))
+      .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-group HLL distinct-token sketches (Apache DataSketches via Spark's
     * `hll_sketch_agg`) with their estimates — the scale path for "how many
     * distinct tokens/users/urls per domain" questions where exact

@@ -418,6 +418,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
   }
 
+  test("cooccurrence: doc-level distinct pairs over the capped vocabulary") {
+    // dfs: a=3, b=2, c=2, z=1 → top-3 vocab {a, b, c}; z excluded.
+    // doc 0 {a,b,c} → (a,b),(a,c),(b,c); doc 1 {a,b} → (a,b);
+    // doc 2 {a,c} → (a,c); duplicate token in doc 0 counts once.
+    val fx = Seq((0L, "a b c a"), (1L, "b a z"), (2L, "c a"))
+      .toDF("doc_id", "text")
+    val out = Text.cooccurrence(fx, "doc_id", "text", topK = 3).collect()
+      .map(r => (r.getAs[String]("tok_a"), r.getAs[String]("tok_b")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(out == Map(("a", "b") -> 2L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+  }
+
   test("dupNgrams surfaces cross-doc spans with per-doc counting") {
     // docs 0,1,2 normalize to the same text → every 5-gram of doc 0 has
     // df=3 (within-doc repeats would not inflate: sets are distinct);
