@@ -114,8 +114,8 @@ object SparkEntry {
     * throws) and fail loudly rather than hand an incomplete result to the
     * oracle compare. */
   private def runStreamToTable(s: SparkSession, df: DataFrame,
-      name: String): DataFrame = {
-    val q = df.writeStream.outputMode("append")
+      name: String, mode: String = "append"): DataFrame = {
+    val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1597,6 +1597,19 @@ object SparkEntry {
       runStreamToTable(s, admitted, "stream_bloom_admit_out")
         .select("doc_id", "fp").orderBy("doc_id")
     }),
+    "stream_top_tokens" -> ((s, d) => {
+      // live token leaderboard: complete-mode running counts + top-50;
+      // a drained stream's final emission is the batch counts exactly,
+      // so it shares text_top_tokens' oracle
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val top = graft.streaming.StreamIngest.streamingTopTokens(
+        src, "text", topK = 50)
+      runStreamToTable(s, top, "stream_top_tokens_out", mode = "complete")
+        .orderBy(col("n").desc, col("tok").asc)
+    }),
     "stream_neardup" -> ((s, d) => {
       // incremental-ingest near-dup: the documents table streamed against
       // ITSELF as the static reference index — LSH band-key probe
@@ -3028,6 +3041,9 @@ object SparkEntry {
       ("stream_zscore" -> base("ts_zscore_anomaly")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
-      ("stream_funnel" -> base("ts_funnel"))
+      ("stream_funnel" -> base("ts_funnel")) +
+      // a drained complete-mode count aggregation holds exactly the batch
+      // token counts — same tokenizer, same tie-break, same top-50
+      ("stream_top_tokens" -> base("text_top_tokens"))
   }
 }

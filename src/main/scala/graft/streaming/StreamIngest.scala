@@ -839,6 +839,22 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Live token leaderboard: running token counts with complete-mode top-k
+    * emission. State is the (token, count) aggregation map — bounded by
+    * VOCABULARY size, not stream length, so it holds for unbounded streams
+    * over natural language (vocabularies plateau in the millions while the
+    * corpus grows without bound; partial aggregation combines map-side
+    * before the state store sees rows). Sort + limit ride on top of the
+    * stateful aggregation, which Structured Streaming permits exactly in
+    * complete mode — run this through a complete-mode sink.
+    */
+  def streamingTopTokens(src: DataFrame, textCol: String,
+      topK: Int = 50): DataFrame =
+    src.select(explode(graft.pipeline.Text.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(topK)
+
   /** Memory-sink runner for tests: drains all available input synchronously
     * and returns the sink table name. */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {

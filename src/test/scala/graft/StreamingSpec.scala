@@ -190,6 +190,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 7L, 7L)))
   }
 
+  test("streaming top tokens: complete-mode leaderboard equals batch counts") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-toptok-in")
+    Seq((0L, "a b b c"), (1L, "b c c z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "in").getPath)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(new java.io.File(dir, "in").getPath)
+    val top = StreamIngest.streamingTopTokens(src, "text", topK = 3)
+    val q = top.writeStream.outputMode("complete")
+      .format("memory").queryName("toptok_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("toptok_out")
+      .orderBy(col("n").desc, col("tok").asc).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("n"))
+    // b=3, c=3 (tie → lexical), a/z=1 → top-3 keeps the lexically-first 1
+    assert(out.toSeq == Seq("b" -> 3L, "c" -> 3L, "a" -> 1L))
+  }
+
   test("streaming IVF ingest makes new vectors probe-visible, no rebuild") {
     import spark.implicits._
     import graft.pipeline.Similarity
