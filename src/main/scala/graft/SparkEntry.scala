@@ -372,6 +372,47 @@ object SparkEntry {
           dsum(col("l_extendedprice")).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    "tpch_q3" -> ((s, d) => {
+      // shipping-priority shape (TPC-H Q3 on the synthetic star): segment
+      // semi-join prunes orders early, both date filters push to the scans,
+      // revenue aggregates per order, distributed top-10 finishes it. No
+      // explicit broadcast hint: the filtered dims are auto-broadcast when
+      // small and shuffle-joined when not — the honest cluster-scale plan.
+      val cutoff = to_timestamp(lit("1998-06-01"))
+      val cust = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "ts_active_users" -> ((s, d) => {
+      // DAU + trailing-7d WAU per day. Deduplicated (user, day) activity
+      // explodes to the ≤7 target days it serves — a bounded 7× fan-out of
+      // the SMALL post-dedup frame, then one combinable distinct count;
+      // no per-day self-join, no window over user sets
+      val day = 86400L * 1000000000L
+      val act = tsUs(t(s, d, "events"))
+        .select(col("user_id"), expr(s"ts div ${day}L").as("day"))
+        .distinct()
+      val dau = act.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val wau = act
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day")
+        .agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day")).orderBy("day")
+    }),
     "join_revenue_by_nation" -> ((s, d) => {
       val orders   = t(s, d, "orders")
       val customer = t(s, d, "customer")
@@ -679,6 +720,34 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey
+        |                AND c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "ts_active_users" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM a GROUP BY day
+        |), w AS (
+        |  SELECT user_id, unnest(range(day, day + 7)) AS day FROM a
+        |), wau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM w GROUP BY day
+        |)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     "join_revenue_by_nation" ->
       """SELECT n_name, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
