@@ -1407,6 +1407,25 @@ object SparkEntry {
       brute.join(approx, Seq("qid", "vec_id"), "left_semi")
         .agg((count(lit(1)) >= lit(45L)).cast("long").as("recall_ok")) // 45/50 = 0.9
     }),
+    "text_heavy_hitters" -> ((s, d) => {
+      // Misra-Gries gate: never overestimates, misses nothing above N/m,
+      // and every estimate is within N/m of truth — checked against exact
+      // counts entirely in-plan (the N aggregate broadcasts as one row)
+      val m = 64
+      val exact = t(s, d, "documents")
+        .select(explode(graft.pipeline.Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val hh = graft.pipeline.Text.heavyHitters(
+        t(s, d, "documents"), "text", m)
+      val tot = exact.agg(sum("cnt").as("N"))
+      val viol =
+        (col("cnt") * m > col("N") && col("est").isNull) ||
+          (col("est").isNotNull &&
+            (col("est") > col("cnt") ||
+              col("est") * m < col("cnt") * m - col("N")))
+      exact.join(hh, Seq("tok"), "left").crossJoin(broadcast(tot))
+        .agg((sum(viol.cast("long")) === 0).cast("long").as("recall_ok"))
+    }),
     "knn_quantized_recall" -> ((s, d) => {
       // the int8-quantized corpus (4× smaller at rest) must still recover
       // the float corpus's neighbors — scored on the REAL fast path: the
@@ -2932,6 +2951,7 @@ object SparkEntry {
     // it clears the threshold; the oracle pins the constant (see the gate
     // queries for why the approximations can't have value oracles)
     "knn_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "text_heavy_hitters" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_trained" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

@@ -602,6 +602,70 @@ object Text {
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Mergeable Misra-Gries heavy-hitter sketch over the token stream.
+    * Guarantees (capacity `m`, stream length N): never overestimates,
+    * underestimates by at most N/m, and therefore every token with true
+    * frequency > N/m is present — all preserved under MERGE (Agarwal et
+    * al. 2012: sum counters, then subtract the (m+1)-th largest and drop
+    * non-positives), so partial sketches combine map-side and roll up
+    * across partitions/days exactly like the HLL sketches above. State is
+    * ≤ m counters regardless of vocabulary size — the answer when even the
+    * vocabulary-bounded exact count (streamingTopTokens) is too big, e.g.
+    * url/user-id domains. Runs as a typed Aggregator → Spark plans it as
+    * an ObjectHashAggregate with a real partial/merge split.
+    */
+  private class MisraGriesAgg(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, scala.collection.mutable.HashMap[String, Long],
+        Seq[(String, Long)]] {
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+    def zero: Buf = scala.collection.mutable.HashMap.empty
+    def reduce(b: Buf, tok: String): Buf = {
+      b.get(tok) match {
+        case Some(c) => b(tok) = c + 1
+        case None if b.size < m => b(tok) = 1L
+        case None => // classic MG step: decrement all, evict zeros
+          val dead = List.newBuilder[String]
+          b.foreachEntry { (k, c) =>
+            if (c == 1L) dead += k else b(k) = c - 1
+          }
+          dead.result().foreach(b.remove)
+      }
+      b
+    }
+    def merge(a: Buf, c: Buf): Buf = {
+      c.foreachEntry { (k, v) => a(k) = a.getOrElse(k, 0L) + v }
+      if (a.size > m) {
+        val cut = a.values.toArray.sortInPlace()
+          .apply(a.size - m - 1) // (m+1)-th largest
+        val dead = List.newBuilder[String]
+        a.foreachEntry { (k, v) =>
+          if (v <= cut) dead += k else a(k) = v - cut
+        }
+        dead.result().foreach(a.remove)
+      }
+      a
+    }
+    def finish(b: Buf): Seq[(String, Long)] =
+      b.toSeq.sortBy { case (t, c) => (-c, t) }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** [[MisraGriesAgg]] over a text column's tokens → (tok, est) frame. */
+  def heavyHitters(df: DataFrame, textCol: String, m: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    fanOut(df)
+      .select(explode(tokens(col(textCol))).as("tok")).as[String]
+      .select(new MisraGriesAgg(m).toColumn)
+      .toDF("hh")
+      .select(explode(col("hh")).as("p"))
+      .select(col("p._1").as("tok"), col("p._2").as("est"))
+  }
+
   /** Per-group HLL distinct-token sketches (Apache DataSketches via Spark's
     * `hll_sketch_agg`) with their estimates — the scale path for "how many
     * distinct tokens/users/urls per domain" questions where exact

@@ -418,6 +418,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
   }
 
+  test("heavyHitters: MG bounds hold — no overestimate, heavy keys survive") {
+    // skewed stream: token h0 appears 300x, h1 150x, 200 singletons
+    val words = (Seq.fill(300)("h0") ++ Seq.fill(150)("h1") ++
+      (0 until 200).map(i => s"rare$i"))
+    // split across many docs so multiple partitions/merges are exercised
+    val docs = words.grouped(7).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(8)
+    val m = 16
+    val n = words.size.toLong
+    val est = Text.heavyHitters(docs, "text", m).collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("est")).toMap
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong)
+    // never overestimates; estimates within N/m of truth
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t), s"$t overestimated")
+      assert(e * m >= exact(t) * m - n, s"$t under bound")
+    }
+    // every token with true count > N/m is present (h0: 300*16 > 650)
+    assert(est.contains("h0") && est.contains("h1"))
+    assert(est.size <= m)
+  }
+
   test("cooccurrence: doc-level distinct pairs over the capped vocabulary") {
     // dfs: a=3, b=2, c=2, z=1 → top-3 vocab {a, b, c}; z excluded.
     // doc 0 {a,b,c} → (a,b),(a,c),(b,c); doc 1 {a,b} → (a,b);
