@@ -1307,6 +1307,12 @@ object SparkEntry {
           max("vec_id").as("max_id"))
         .orderBy("cid")
     }),
+    "embed_label_centroids" -> ((s, d) =>
+      // per-label centroid sufficient statistics (decimal-exact, shuffle-
+      // order independent); consumers divide sum_v/n for the mean vector
+      graft.pipeline.Similarity.labelCentroidSums(
+        t(s, d, "embeddings"), "label")
+        .orderBy("label", "pos")),
     "embed_outliers" -> ((s, d) => {
       // embedding-quality gate: vectors whose best cosine to every
       // sampled centroid stays under 0.1 — off-manifold junk that would
@@ -3015,6 +3021,17 @@ object SparkEntry {
          |SELECT cid, CAST(count(*) AS BIGINT) AS n,
          |       min(vec_id) AS min_id, max(vec_id) AS max_id
          |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
+    "embed_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |         unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings
+        |)
+        |SELECT label, pos,
+        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1099511627776) AS BIGINT))
+        |    AS BIGINT) AS sum_q,
+        |  count(*) AS n
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "embed_outliers" ->
       s"""WITH c AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

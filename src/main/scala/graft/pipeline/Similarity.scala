@@ -175,6 +175,28 @@ object Similarity {
       .select(col(idCol), col(cidCol), col("cos"))
   }
 
+  /** Exact per-label centroid SUMS: element-wise fixed-point sums + counts
+    * per (label, dimension) — callers divide `sum_q / 2^40 / n` for the
+    * mean. Elements quantize by `floor(v * 2^40)`: the power-of-two scale
+    * is EXACT double arithmetic (mantissa shift, no rounding) and floor is
+    * engine-identical, so the integer sum is associative-commutative-exact
+    * and independent of partitioning/merge order — a float/double sum
+    * would drift with shuffle order, and even decimal casts of floats
+    * round-tie differently across engines. Worst-case quantization error
+    * per element is 2^-40 ≈ 9e-13. posexplode fans each vector into dim
+    * rows that partial-aggregate map-side before one (label, pos) shuffle
+    * of k×dims accumulator rows — vectors never move whole, the driver
+    * sees nothing. Headroom: |v| ≤ 4e6 for 2^20 rows per group before the
+    * BIGINT accumulator could wrap.
+    */
+  def labelCentroidSums(df: DataFrame, labelCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)))
+      .select(col(labelCol), (col("pos") + 1).cast("long").as("pos"),
+        floor(col("col").cast("double") * lit(1099511627776.0)).as("__q"))
+      .groupBy(labelCol, "pos")
+      .agg(sum("__q").as("sum_q"), count(lit(1)).as("n"))
+
   /** Distributed k-means (Lloyd) for IVF centroid training: seeded
     * deterministic init (first `k` corpus vectors by id), then `iters`
     * rounds of assign (broadcast centroids, one corpus scan) + recompute

@@ -418,6 +418,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
   }
 
+  test("labelCentroidSums: exact fixed-point element sums per (label, pos)") {
+    val fx = Seq((0, Seq(1.5f, -0.25f)), (0, Seq(0.5f, 0.75f)),
+      (1, Seq(2.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.labelCentroidSums(fx, "label").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val s = 1099511627776L // 2^40; all fixtures are exact binary fractions
+    assert(out == Map(
+      (0, 1L) -> (2L * s, 2L), (0, 2L) -> (s / 2, 2L),
+      (1, 1L) -> (2L * s, 1L), (1, 2L) -> (0L, 1L)))
+  }
+
   test("heavyHitters: MG bounds hold — no overestimate, heavy keys survive") {
     // skewed stream: token h0 appears 300x, h1 150x, 200 singletons
     val words = (Seq.fill(300)("h0") ++ Seq.fill(150)("h1") ++
