@@ -238,4 +238,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     assert(p.indexOf("UDF") > p.indexOf("LeftSemi"), p)
   }
+
+  test("ts_interval_join: bin equi-join, never a nested-loop range join") {
+    val p = plan("ts_interval_join")
+    // the whole point of binning: the range predicate must ride an
+    // equi-join (hash or sort-merge), not BroadcastNestedLoop/Cartesian
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch_q3: date filters reach both scans, semi-join prunes orders") {
+    val p = plan("tpch_q3")
+    assert(p.contains("LeftSemi"), p)
+    // pushed-down date predicates on both fact scans
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    // revenue agg is partial before the final top-10
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_cooccur: capped vocabulary broadcasts onto the token stream") {
+    val p = plan("text_cooccur")
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("heavy hitters: object-hash agg with a real partial/merge split") {
+    val df = SparkEntry.queries("text_heavy_hitters")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // typed MG Aggregator plans as ObjectHashAggregate twice (partial +
+    // final) — the mergeable-sketch shape, not a single-node fold
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("embed_label_centroids: partial aggregation under the posexplode") {
+    val p = plan("embed_label_centroids")
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
 }
