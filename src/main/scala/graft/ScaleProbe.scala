@@ -106,6 +106,35 @@ object ScaleProbe {
     report("retention", evK,
       TsOps.retention(events, "user_id", 86400L * 1000000000L).count(),
       TsOps.retention(evScaled, "user_id", 86400L * 1000000000L).count())
+    def intervalJoinCount(ev: DataFrame): Long = {
+      val gapNs = 3600L * 1000000000L
+      val sess = TsOps.sessionize(ev.select("user_id", "ts"), gapNs,
+          Seq("user_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts").as("s"), max("ts").as("e"))
+      TsOps.intervalJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts"),
+        sess, Seq("user_id"), "s", "e", gapNs).count()
+    }
+    report("interval_join", evK,
+      intervalJoinCount(events), intervalJoinCount(evScaled))
+    def activeUsersCount(ev: DataFrame): Long = {
+      val day = 86400L * 1000000000L
+      val act = ev.select(col("user_id"), expr(s"ts div ${day}L").as("day"))
+        .distinct()
+      act.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day").agg(count_distinct(col("user_id"))).count()
+    }
+    report("active_users_wau", evK,
+      activeUsersCount(events), activeUsersCount(evScaled))
+    report("cooccur_top100", docK,
+      graft.pipeline.Text.cooccurrence(docs, "doc_id", "text").count(),
+      graft.pipeline.Text.cooccurrence(docScaled, "doc_id", "text").count())
+    report("heavy_hitters_mg64", docK,
+      graft.pipeline.Text.heavyHitters(docs, "text").count(),
+      graft.pipeline.Text.heavyHitters(docScaled, "text").count())
     report("novelty", docK,
       graft.pipeline.Text.noveltyCounts(docs, "doc_id", "text").count(),
       graft.pipeline.Text.noveltyCounts(docScaled, "doc_id", "text").count())
