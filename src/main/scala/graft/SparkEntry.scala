@@ -275,6 +275,14 @@ object SparkEntry {
     "ts_heatmap" -> ((s, d) =>
       // dow × hour activity matrix (UTC, integer epoch arithmetic)
       TsOps.heatmap(tsUs(t(s, d, "events"))).orderBy("dow", "hour")),
+    "ts_transitions" -> ((s, d) =>
+      // event-type transition matrix per user sequence ((ts, event_id)
+      // total order) — the session-flow Markov substrate
+      TsOps.transitions(
+        tsUs(t(s, d, "events"))
+          .select("user_id", "ts", "event_id", "event_type"),
+        Seq("user_id"), "event_type", Seq("ts", "event_id"))
+        .orderBy("from_type", "to_type")),
     "ts_gaps" -> ((s, d) =>
       // per-user inter-event gap stats (ingest-cadence profiling)
       TsOps.gapStats(tsUs(t(s, d, "events")).select("user_id", "ts"),
@@ -605,6 +613,20 @@ object SparkEntry {
         |  (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hour,
         |  count(*) AS n
         |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+    "ts_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "ts_gaps" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
         |g AS (
@@ -1105,6 +1127,16 @@ object SparkEntry {
       Text.mixSample(t(s, d, "documents"), "doc_id", "text", "lang",
         Map("en" -> 4000L, "de" -> 1000L, "es" -> 1000L, "fr" -> 800L))
         .orderBy("doc_id")),
+    "mix_temperature" -> ((s, d) => {
+      // α=1/2 temperature mixing: budgets derived from the corpus itself
+      // (∝ sqrt of per-lang tokens), then the standard md5-ordered fill;
+      // integer-exact weights so the oracle derives identical budgets
+      val docs = t(s, d, "documents")
+      val budgets = Text.temperatureBudgets(docs, "text", "lang",
+        totalBudget = 6000L)
+      Text.mixSample(docs, "doc_id", "text", "lang", budgets)
+        .orderBy("doc_id")
+    }),
     "mix_epochs" -> ((s, d) =>
       // data-constrained mixing: en budget > its corpus → 2 full epochs
       // + remainder prefix; de/fr fractional; es/zh excluded
@@ -2541,6 +2573,34 @@ object SparkEntry {
          |)
          |SELECT doc_id, lang, n_tokens, cum_tokens
          |FROM c WHERE b > 0 AND cum_tokens <= b
+         |ORDER BY doc_id""".stripMargin,
+    // the sqrt-weight derivation mirrored in SQL: integer weights →
+    // integer share division → the same single-window fill as mix_sample
+    "mix_temperature" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len($DuckToks) AS BIGINT) AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS key
+         |  FROM documents
+         |), t AS (
+         |  SELECT lang,
+         |    CAST(floor(sqrt(CAST(sum(n_tokens) AS DOUBLE))) AS BIGINT) AS w
+         |  FROM d GROUP BY lang
+         |), b AS (
+         |  SELECT lang,
+         |    CAST(6000 * w // (SELECT CAST(sum(w) AS BIGINT) FROM t)
+         |      AS BIGINT) AS b
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY key, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_tokens
+         |  FROM d
+         |)
+         |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens
+         |FROM c JOIN b USING (lang)
+         |WHERE b.b > 0 AND c.cum_tokens <= b.b
          |ORDER BY doc_id""".stripMargin,
     // single-window mirror of the epoch-repeat plan: per-domain totals,
     // full epochs by integer division, remainder filled in md5 order

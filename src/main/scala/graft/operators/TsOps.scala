@@ -389,6 +389,24 @@ object TsOps {
         max("__gap").as("max_gap"), sum("__gap").as("sum_gap"))
   }
 
+  /** Per-key event-type transition counts — the Markov-chain substrate for
+    * session-flow analysis: for each key's event sequence (total order by
+    * `orderCols` — pass a tie-breaking id alongside ts so the sequence is
+    * deterministic), count (from, to) adjacent pairs. One per-key lead
+    * window (sessionizeChunked's trick applies to hot keys) + one
+    * map-side-combinable count over a |types|²-bounded key space.
+    */
+  def transitions(df: DataFrame, keyCols: Seq[String], typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .select(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` (within `toleranceNanos` if >= 0), per matching
     * `keyCols`. Composed from a union + one running `last` window over a

@@ -428,6 +428,28 @@ object Text {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Temperature-scaled (α = 1/2) mixture budgets — the multilingual
+    * up/down-sampling rule (budget_d ∝ n_d^α flattens the domain
+    * distribution toward uniform as α → 0). Integer-exact by
+    * construction: weights are `floor(sqrt(n_d))` (IEEE sqrt and floor
+    * are correctly rounded, so every engine computes the same longs) and
+    * shares come from long division — no float sum whose accumulation
+    * order could drift. The per-domain count frame is |domains|-sized
+    * (metadata), so the collect is a scalar fetch, not a data move; feed
+    * the result to [[mixSample]] / [[mixEpochs]].
+    */
+  def temperatureBudgets(df: DataFrame, textCol: String, domainCol: String,
+      totalBudget: Long): Map[String, Long] = {
+    val counts = fanOut(df)
+      .groupBy(domainCol)
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val w = counts.map { case (dom, n) =>
+      dom -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val sumW = w.map(_._2).sum
+    w.map { case (dom, wd) => dom -> totalBudget * wd / sumW }.toMap
+  }
+
   /** Epoch-repeat mixture planning — the data-constrained companion of
     * [[mixSample]]: when a domain's token budget EXCEEDS its corpus, the
     * mix repeats the domain (multiple epochs) rather than truncating.

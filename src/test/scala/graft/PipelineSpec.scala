@@ -418,6 +418,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
   }
 
+  test("temperatureBudgets: sqrt-weight shares, integer-exact, sum <= total") {
+    // tokens: a=16 (w=4), b=4 (w=2), c=1 (w=1) → sumW=7;
+    // budgets of 700: a=400, b=200, c=100
+    val fx = Seq((0L, "a", ("x " * 16).trim), (1L, "b", "x x x x"),
+      (2L, "c", "x")).toDF("doc_id", "lang", "text")
+    val b = Text.temperatureBudgets(fx, "text", "lang", totalBudget = 700L)
+    assert(b == Map("a" -> 400L, "b" -> 200L, "c" -> 100L))
+  }
+
   test("labelCentroidSums: exact fixed-point element sums per (label, pos)") {
     val fx = Seq((0, Seq(1.5f, -0.25f)), (0, Seq(0.5f, 0.75f)),
       (1, Seq(2.0f, 0.0f)))

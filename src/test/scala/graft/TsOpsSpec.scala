@@ -678,6 +678,17 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((3L, 0L, 40L, 60L))))
   }
 
+  test("transitions: adjacent pairs per key in total order, last row dropped") {
+    // user 1: a@1 → b@2 → a@3; user 2: b@5 → b@6; singleton user 3 emits none
+    val ev = Seq((1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (1L, 3L, 12L, "a"),
+      (2L, 5L, 13L, "b"), (2L, 6L, 14L, "b"), (3L, 9L, 15L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TsOps.transitions(ev, Seq("user_id"), "event_type",
+      Seq("ts", "event_id")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("b", "a") -> 1L, ("b", "b") -> 1L))
+  }
+
   test("funnel: ordered stages within window, greedy anchor, dropouts excluded") {
     val ev = Seq(
       // user 1 completes in order: view@10, click@20, purchase@30
