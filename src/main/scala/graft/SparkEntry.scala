@@ -1723,6 +1723,20 @@ object SparkEntry {
       runStreamToTable(s, admitted, "stream_bloom_admit_out")
         .select("doc_id", "fp").orderBy("doc_id")
     }),
+    "stream_transitions" -> ((s, d) => {
+      // live transition feed: pair rows stream out append-mode; the
+      // count rollup runs on the drained sink table, which then equals
+      // the batch transition matrix (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val pairs = graft.streaming.StreamIngest.streamingTransitions(
+        src, "user_id", "ts", "event_id", "event_type")
+      runStreamToTable(s, pairs, "stream_transitions_out")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
     "stream_top_tokens" -> ((s, d) => {
       // live token leaderboard: complete-mode running counts + top-50;
       // a drained stream's final emission is the batch counts exactly,
@@ -3210,6 +3224,10 @@ object SparkEntry {
       ("stream_funnel" -> base("ts_funnel")) +
       // a drained complete-mode count aggregation holds exactly the batch
       // token counts — same tokenizer, same tie-break, same top-50
-      ("stream_top_tokens" -> base("text_top_tokens"))
+      ("stream_top_tokens" -> base("text_top_tokens")) +
+      // one drained batch replays each key in (ts, id) order through the
+      // last-event state — the emitted pair multiset IS the batch lead
+      // window's, so the counted sink equals the batch matrix
+      ("stream_transitions" -> base("ts_transitions"))
   }
 }

@@ -610,6 +610,58 @@ object StreamIngest {
       .withColumnRenamed("user_id", keyCol)
   }
 
+  final case class TrIn(key: Long, ts: Long, eid: Long, etype: String)
+  final case class TrOut(from_type: String, to_type: String)
+
+  /** Streaming event-type transition pairs — the live twin of
+    * [[graft.operators.TsOps.transitions]]: per-key state is ONE tuple
+    * (last ts, id, type); each arriving event after a key's first emits
+    * one (from, to) pair row. Within a batch, events replay in
+    * (ts, id) order — a drained single batch therefore emits exactly the
+    * batch operator's pair multiset (the shared oracle pins that, with
+    * the count aggregation applied on the sink table). Across batches a
+    * straggler pairs at its ARRIVAL position (live semantics: emitted
+    * pairs are never retracted), the inherent trade of an incremental
+    * transition feed. Null key/ts/id/type rows drop before the state
+    * function; keys silent past `stateTtl` drop their tuple.
+    */
+  def streamingTransitions(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, stateTtl: String = ""): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
+    val ds = stream
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("eid"),
+        col(typeCol).cast("string").as("etype"))
+      .filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("eid").isNotNull && col("etype").isNotNull)
+      .as[TrIn]
+    def fn(key: Long, rows: Iterator[TrIn],
+        state: GroupState[(Long, Long, String)]): Iterator[TrOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      var last = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[TrOut]
+      for (r <- rows.toSeq.sortBy(r => (r.ts, r.eid))) {
+        last.foreach { case (_, _, t) => out += TrOut(t, r.etype) }
+        last = Some((r.ts, r.eid, r.etype))
+      }
+      last.foreach(state.update)
+      ttl.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, String), TrOut](OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   final case class ZIn(key: Long, event_id: Long, ts: Long, value: Double,
       c: Long)
   final case class ZOut(event_id: Long, ts: Long, user_id: Long,

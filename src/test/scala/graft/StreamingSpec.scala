@@ -190,6 +190,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 7L, 7L)))
   }
 
+  test("streaming transitions: cross-batch carry via last-event state") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-trans-in")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    import org.apache.spark.sql.streaming.Trigger
+    val in = new java.io.File(dir, "in").getPath
+    // batch 1: user 1 a@1, b@2 → pair (a,b); user 2 single x@5 → none yet
+    Seq((1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (2L, 5L, 12L, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .write.parquet(s"$in/b1")
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val pairs = StreamIngest.streamingTransitions(
+      src, "user_id", "ts", "event_id", "event_type")
+    val ck = SparkTestBase.tempDir("graft-trans-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-trans-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      val q = pairs.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    // batch 2: user 2's next event pairs against the CARRIED x@5
+    Seq((2L, 7L, 13L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .write.parquet(s"$in/b2")
+    drain()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(out.toSeq == Seq(("a", "b"), ("x", "y")))
+  }
+
   test("streaming top tokens: complete-mode leaderboard equals batch counts") {
     import spark.implicits._
     val dir = SparkTestBase.tempDir("graft-toptok-in")
