@@ -421,6 +421,47 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("wau"))
       dau.join(wau, Seq("day")).orderBy("day")
     }),
+    "agg_rollup_revenue" -> ((s, d) => {
+      // hierarchy subtotals (nation → segment) in ONE pass: rollup emits
+      // the detail + per-nation + grand-total grouping sets from a single
+      // shuffle, where naive per-level queries would re-scan per level.
+      // NULL grouping markers coalesce to 'ALL' so the total order (and
+      // the oracle's) is engine-independent
+      // SQL formulation: the DataFrame rollup's Expand duplicates the
+      // grouping attributes and a following select trips the ambiguous-
+      // self-join checker (same plan through the SQL parser resolves
+      // cleanly). nation still auto-broadcasts — it's 25 rows.
+      t(s, d, "orders").createOrReplaceTempView("gr_orders")
+      t(s, d, "customer").createOrReplaceTempView("gr_customer")
+      t(s, d, "nation").createOrReplaceTempView("gr_nation")
+      s.sql("""
+        SELECT coalesce(n_name, 'ALL') AS n_name,
+               coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM gr_orders
+        JOIN gr_customer ON o_custkey = c_custkey
+        JOIN gr_nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, c_mktsegment)
+        ORDER BY n_name, c_mktsegment""")
+    }),
+    "agg_pivot_types" -> ((s, d) => {
+      // day × event-type count matrix via pivot with an EXPLICIT type
+      // list — the plan stays a single two-phase agg (no distinct-values
+      // pre-scan, deterministic schema at any scale)
+      val day = 86400L * 1000000000L
+      t(s, d, "events")
+        .groupBy(expr(s"ts div ${day}L").as("day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup"))
+        .agg(count(lit(1)))
+        .select(col("day"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"))
+        .orderBy("day")
+    }),
     "join_revenue_by_nation" -> ((s, d) => {
       val orders   = t(s, d, "orders")
       val customer = t(s, d, "customer")
@@ -770,6 +811,26 @@ object SparkEntry {
         |)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
+    "agg_rollup_revenue" ->
+      """SELECT coalesce(n_name, 'ALL') AS n_name,
+        |  coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name, c_mktsegment""".stripMargin,
+    "agg_pivot_types" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_signup
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
     "join_revenue_by_nation" ->
       """SELECT n_name, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
