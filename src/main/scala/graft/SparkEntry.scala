@@ -249,6 +249,11 @@ object SparkEntry {
       TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
         .orderBy("bucket_ts")
     }),
+    "agg_hopping_24h_6h" -> ((s, d) =>
+      // sliding 24h windows every 6h (4× overlap fan-out, combinable agg)
+      TsOps.hoppingDownsample(t(s, d, "events"),
+        24L * 3600 * 1000000000L, 6L * 3600 * 1000000000L, "value")
+        .orderBy("window_start")),
     "ts_retention" -> ((s, d) =>
       // cohort retention matrix: users grouped by first-activity day,
       // distinct actives per (cohort day, day offset)
@@ -610,6 +615,18 @@ object SparkEntry {
          |FROM buckets b LEFT JOIN a ON a.bucket_ts = b.bucket_ts
          |ORDER BY b.bucket_ts""".stripMargin
     },
+    "agg_hopping_24h_6h" ->
+      """WITH w AS (
+        |  SELECT unnest(range(
+        |      (epoch_ns(ts) // 21600000000000 - 3) * 21600000000000,
+        |      (epoch_ns(ts) // 21600000000000) * 21600000000000 + 1,
+        |      21600000000000)) AS window_start,
+        |    value
+        |  FROM events
+        |)
+        |SELECT window_start, count(*) AS n, min(value) AS min_v,
+        |  max(value) AS max_v
+        |FROM w GROUP BY window_start ORDER BY window_start""".stripMargin,
     "ts_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
@@ -1797,6 +1814,23 @@ object SparkEntry {
       runStreamToTable(s, pairs, "stream_transitions_out")
         .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
         .orderBy("from_type", "to_type")
+    }),
+    "stream_pivot_types" -> ((s, d) => {
+      // live day × type matrix: streaming frames can't pivot(), but the
+      // explicit-list pivot IS conditional sums — which stream fine as a
+      // complete-mode agg; state = one row per day (bounded by calendar)
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val schema = t(s, d, "events").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      def cnt(tpe: String) = sum(when(col("event_type") === tpe, 1L)
+        .otherwise(0L))
+      val agg = src.groupBy(expr(s"ts div ${day}L").as("day"))
+        .agg(cnt("view").as("n_view"), cnt("click").as("n_click"),
+          cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"))
+      runStreamToTable(s, agg, "stream_pivot_types_out", mode = "complete")
+        .orderBy("day")
     }),
     "stream_top_tokens" -> ((s, d) => {
       // live token leaderboard: complete-mode running counts + top-50;
@@ -3289,6 +3323,9 @@ object SparkEntry {
       // one drained batch replays each key in (ts, id) order through the
       // last-event state — the emitted pair multiset IS the batch lead
       // window's, so the counted sink equals the batch matrix
-      ("stream_transitions" -> base("ts_transitions"))
+      ("stream_transitions" -> base("ts_transitions")) +
+      // a drained complete-mode conditional-sum agg holds exactly the
+      // batch pivot's counts (same day buckets, same type list)
+      ("stream_pivot_types" -> base("agg_pivot_types"))
   }
 }

@@ -389,6 +389,29 @@ object TsOps {
         max("__gap").as("max_gap"), sum("__gap").as("sum_gap"))
   }
 
+  /** Hopping (sliding) window aggregation: fixed `windowNanos` windows
+    * advancing every `slideNanos` (must divide evenly). Each row explodes
+    * to the `window/slide` windows containing it — Spark's own
+    * `window(ts, w, s)` does exactly this under the hood for timestamp
+    * columns; this mirror works on the engine's epoch-nano longs with
+    * pure integer arithmetic so results are engine-exact. The fan-out
+    * factor is the overlap count (bounded, typically 2-8); the
+    * aggregation stays map-side combinable.
+    */
+  def hoppingDownsample(df: DataFrame, windowNanos: Long, slideNanos: Long,
+      valueCol: String, tsCol: String = "ts"): DataFrame = {
+    require(slideNanos > 0 && windowNanos % slideNanos == 0,
+      "windowNanos must be a positive multiple of slideNanos")
+    val k = windowNanos / slideNanos
+    df.withColumn("window_start", explode(sequence(
+        expr(s"(($tsCol div ${slideNanos}L) - ${k - 1}L) * ${slideNanos}L"),
+        expr(s"($tsCol div ${slideNanos}L) * ${slideNanos}L"),
+        lit(slideNanos))))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n"), min(valueCol).as("min_v"),
+        max(valueCol).as("max_v"))
+  }
+
   /** Per-key event-type transition counts — the Markov-chain substrate for
     * session-flow analysis: for each key's event sequence (total order by
     * `orderCols` — pass a tie-breaking id alongside ts so the sequence is

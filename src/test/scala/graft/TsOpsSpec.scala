@@ -678,6 +678,15 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((3L, 0L, 40L, 60L))))
   }
 
+  test("hoppingDownsample: each row lands in window/slide windows") {
+    // window=20, slide=10 → k=2; ts=25 lands in starts {10, 20};
+    // ts=5 in {-10, 0}; counts per start reflect the overlap
+    val ev = Seq((25L, 1.0), (5L, 2.0)).toDF("ts", "value")
+    val out = TsOps.hoppingDownsample(ev, 20L, 10L, "value").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(-10L -> 1L, 0L -> 1L, 10L -> 1L, 20L -> 1L))
+  }
+
   test("transitions: adjacent pairs per key in total order, last row dropped") {
     // user 1: a@1 → b@2 → a@3; user 2: b@5 → b@6; singleton user 3 emits none
     val ev = Seq((1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (1L, 3L, 12L, "a"),
