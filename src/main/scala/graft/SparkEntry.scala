@@ -312,6 +312,15 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "value", "roll_n", "lhs", "rhs")
         .orderBy("event_id")
     }),
+    "ts_mad_anomaly" -> ((s, d) =>
+      // robust outliers: |x − median| > 3·MAD per user, decided by the
+      // exact integer comparison on doubled/quadrupled cent units
+      TsOps.madAnomalies(
+        tsUs(t(s, d, "events"))
+          .select("event_id", "ts", "user_id", "value"),
+        "value", Seq("user_id"), k = 3, minN = 10)
+        .select("event_id", "ts", "user_id", "value", "med2", "dev2", "mad4")
+        .orderBy("event_id")),
     "rolling_24h_stats" -> ((s, d) => {
       // rolling window on µs-truncated ts so the oracle sees identical gaps
       val ev = tsUs(t(s, d, "events")).select("event_id", "ts", "user_id", "value")
@@ -717,6 +726,29 @@ object SparkEntry {
         |SELECT user_id, t1, t2, t3
         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "ts_mad_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_id, epoch_ns(ts) AS ts, user_id, value,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_pts,
+        |    CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+        |  FROM c GROUP BY user_id
+        |), d AS (
+        |  SELECT c.event_id, c.ts, c.user_id, c.value, m.med2,
+        |    abs(c.c * 2 - m.med2) AS dev2
+        |  FROM c JOIN m USING (user_id) WHERE m.n_pts >= 10
+        |), md AS (
+        |  SELECT user_id, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT)
+        |    AS mad4
+        |  FROM d GROUP BY user_id
+        |)
+        |SELECT d.event_id, d.ts, d.user_id, d.value, d.med2, d.dev2,
+        |  md.mad4
+        |FROM d JOIN md USING (user_id)
+        |WHERE d.dev2 * 2 > 3 * md.mad4
+        |ORDER BY d.event_id""".stripMargin,
     "ts_zscore_anomaly" ->
       """WITH b AS (
         |  SELECT event_id, epoch_ns(ts) AS ts, user_id, value,

@@ -160,6 +160,37 @@ object TsOps {
       .drop("__c", "__s", "__sq")
   }
 
+  /** MAD (median-absolute-deviation) anomaly detection — the robust
+    * sibling of [[zscoreAnomalies]]: flag points with
+    * `|x − median| > k · MAD` per key. Immune to the contamination that
+    * drags a mean/stddev toward the outliers being hunted. EXACT like the
+    * z-test: medians of integer cents are half-integers, so `2·median`
+    * and the doubled deviations are integers and the decision is the
+    * integer comparison `2·dev2 > k·mad4` (dev2 = 2·|x−med|,
+    * mad4 = 4·MAD) — no float threshold. Exact `percentile` at the dyadic
+    * p=0.5 shuffles each key's column once per stage (the price of
+    * exactness; `percentile_approx` is the sketch path when that's too
+    * much); the median/MAD frames are per-key (small) and join back
+    * broadcast-style.
+    */
+  def madAnomalies(df: DataFrame, valueCol: String, keyCols: Seq[String],
+      k: Int = 3, minN: Long = 10): DataFrame = {
+    val keyC = keyCols.map(col)
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val d0 = df.withColumn("__c", cents).filter(col("__c").isNotNull)
+    val med = d0.groupBy(keyC: _*)
+      .agg(count(lit(1)).as("n_pts"),
+        (expr("percentile(__c, 0.5)") * 2).cast("long").as("med2"))
+    val dev = d0.join(med, keyCols)
+      .filter(col("n_pts") >= minN)
+      .withColumn("dev2", abs(col("__c") * 2 - col("med2")))
+    val mad = dev.groupBy(keyC: _*)
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+    dev.join(mad, keyCols)
+      .filter(col("dev2") * 2 > lit(k.toLong) * col("mad4"))
+      .drop("__c", "n_pts")
+  }
+
   /** Forward-fill nulls in `valueCols` over bucket order (LOCF — the
     * standard resample fill). Global bucket order uses a single-partition
     * window over the (small) bucket axis when `keyCols` is empty; pass key

@@ -678,6 +678,18 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((3L, 0L, 40L, 60L))))
   }
 
+  test("madAnomalies: integer MAD rule flags the planted spike, minN gates") {
+    // user 1: ten 1.00s and one 50.00 → med=100c, MAD=0 → spike flagged
+    // (dev2=9800·2 > 3·0); the 1.00 points have dev2=0 → clean.
+    // user 2: < 10 points → gated out entirely.
+    val ev = ((1 to 10).map(i => (i.toLong, 1L, i.toLong * 10, 1.0)) :+
+      (11L, 1L, 110L, 50.0)) ++ Seq((20L, 2L, 5L, 999.0))
+    val df = ev.toDF("event_id", "user_id", "ts", "value")
+    val out = TsOps.madAnomalies(df, "value", Seq("user_id")).collect()
+      .map(_.getAs[Long]("event_id"))
+    assert(out.toSeq == Seq(11L))
+  }
+
   test("hoppingDownsample: each row lands in window/slide windows") {
     // window=20, slide=10 → k=2; ts=25 lands in starts {10, 20};
     // ts=5 in {-10, 0}; counts per start reflect the overlap
