@@ -1996,6 +1996,36 @@ object SparkEntry {
       Multimodal.decodeImages(
         Multimodal.syntheticImages(t(s, d, "documents"), "doc_id"))
         .orderBy("media_id")),
+    "multimodal_phash" -> ((s, d) => {
+      // image near-dup via aHash on REAL pixels: exact re-renders (id +
+      // 16128 preserves base/width/height) must collide, one-pixel noise
+      // must stay within hamming 2, and the 50 distinct images must not
+      // degenerate to a handful of hashes
+      val ids = t(s, d, "documents").select("doc_id")
+        .filter(col("doc_id") < 50)
+      val orig = Multimodal.syntheticImages(ids, "doc_id")
+      val twins = Multimodal.syntheticImages(
+        ids.withColumn("doc_id", col("doc_id") + 16128L), "doc_id")
+      val noisy = Multimodal.syntheticImagesPerturbed(ids, "doc_id")
+      val h = Multimodal.imageHashes(
+        orig.unionByName(twins).unionByName(noisy))
+      val o = h.filter(col("media_id") < 50)
+        .select(col("media_id").as("id"), col("phash").as("h0"))
+      val tw = h.filter(col("media_id") >= 16128L &&
+          col("media_id") < 16128L + 50)
+        .select((col("media_id") - 16128L).as("id"), col("phash").as("ht"))
+      val nz = h.filter(col("media_id") >= Multimodal.PerturbOffset)
+        .select((col("media_id") - Multimodal.PerturbOffset).as("id"),
+          col("phash").as("hn"))
+      o.join(tw, "id").join(nz, "id")
+        .agg(
+          sum(when(col("h0") === col("ht"), 1L).otherwise(0L)).as("twin_eq"),
+          sum(when(expr("bit_count(h0 ^ hn)") <= 2, 1L).otherwise(0L))
+            .as("noise_close"),
+          count_distinct(col("h0")).as("n_distinct"))
+        .select((col("twin_eq") === 50L && col("noise_close") === 50L &&
+          col("n_distinct") >= 20L).cast("long").as("phash_ok"))
+    }),
     "multimodal_resize" -> ((s, d) =>
       // REAL resize: synthesize PNGs → ImageIO decode → nearest-neighbor
       // resample (integer source coords) → PNG re-encode → decode AGAIN;
@@ -3160,6 +3190,7 @@ object SparkEntry {
     "knn_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "text_heavy_hitters" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "multimodal_phash" -> "SELECT CAST(1 AS BIGINT) AS phash_ok",
     "knn_ivf_trained" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

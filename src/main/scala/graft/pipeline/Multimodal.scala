@@ -324,6 +324,94 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** [[syntheticImages]] with one perturbed pixel (lowest blue bit of
+    * (0,0) flipped) and ids offset by [[PerturbOffset]] — the planted
+    * "near-duplicate under noise" fixture for the perceptual-hash gate. */
+  val PerturbOffset = 100000L
+  def syntheticImagesPerturbed(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType),
+      StructField("content", BinaryType),
+      StructField("meta", mediaSchema("meta").dataType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = idAsLong(row, idIdx)
+          val (w, h) = (imgW(id), imgH(id))
+          val img = renderFrame((id % 256).toInt, w, h)
+          img.setRGB(0, 0, img.getRGB(0, 0) ^ 1)
+          Row(id + PerturbOffset, "image", pngBytes(img),
+            Row(w, h, null, "image/png"))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Average-hash (aHash) perceptual image fingerprint — the image
+    * near-dup signal: decode, partition the frame into an 8×8 grid by
+    * floor boundaries, and set bit (8j+i) when cell (i,j)'s mean
+    * gray (r+g+b) exceeds the whole-image mean. The comparison is the
+    * integer cross-multiplication `cellSum · totalCount > totalSum ·
+    * cellCount` — no float, so the 64-bit hash is bit-deterministic.
+    * Re-encodes, crops, and single-pixel noise move cell means only
+    * marginally → small hamming distance; exact re-renders hash
+    * identically. Candidate generation at corpus scale rides the same
+    * pigeonhole machinery as SimHash (16-bit quarters → bucket join);
+    * undecodable blobs yield a null hash (corrupt files are data).
+    */
+  def imageHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex("media_id")
+    val cIdx = df.schema.fieldIndex("content")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.grouped(256).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(idIdx)
+          val img =
+            if (row.isNullAt(cIdx)) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
+              catch { case _: java.io.IOException => null }
+          if (img == null || img.getWidth < 8 || img.getHeight < 8)
+            Row(id, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val cs = new Array[Long](64)
+            val cn = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                val cell = (y * 8 / h) * 8 + (x * 8 / w)
+                cs(cell) += gray; cn(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val totS = cs.sum; val totN = cn.sum
+            var hash = 0L; var i = 0
+            while (i < 64) {
+              if (cs(i) * totN > totS * cn(i)) hash |= (1L << i)
+              i += 1
+            }
+            Row(id, hash)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ---- real audio decode (JDK javax.sound.sampled — no extra deps) --------
 
   /** Deterministic 16-bit PCM sample function shared by the WAV synthesizer

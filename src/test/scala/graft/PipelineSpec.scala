@@ -418,6 +418,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
   }
 
+  test("imageHashes: exact re-render collides, one-pixel noise hamming <= 2") {
+    val ids = (0L until 10L).toSeq.toDF("doc_id")
+    val orig = Multimodal.syntheticImages(ids, "doc_id")
+    val twins = Multimodal.syntheticImages(
+      ids.withColumn("doc_id", col("doc_id") + 16128L), "doc_id")
+    val noisy = Multimodal.syntheticImagesPerturbed(ids, "doc_id")
+    val h = Multimodal.imageHashes(orig.unionByName(twins).unionByName(noisy))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { id =>
+      assert(h(id) == h(id + 16128L), s"twin of $id must collide")
+      assert(java.lang.Long.bitCount(h(id) ^ h(id + Multimodal.PerturbOffset))
+        <= 2, s"noisy $id drifted")
+    }
+    // structured gradients still separate into several buckets
+    assert(h.filterKeys(_ < 10).values.toSet.size >= 4)
+  }
+
   test("temperatureBudgets: sqrt-weight shares, integer-exact, sum <= total") {
     // tokens: a=16 (w=4), b=4 (w=2), c=1 (w=1) → sumW=7;
     // budgets of 700: a=400, b=200, c=100
