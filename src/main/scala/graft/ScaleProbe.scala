@@ -119,16 +119,9 @@ object ScaleProbe {
     }
     report("interval_join", evK,
       intervalJoinCount(events), intervalJoinCount(evScaled))
-    def activeUsersCount(ev: DataFrame): Long = {
-      val day = 86400L * 1000000000L
-      val act = ev.select(col("user_id"), expr(s"ts div ${day}L").as("day"))
-        .distinct()
-      act.select(col("user_id"),
-          explode(sequence(col("day"), col("day") + 6)).as("day"))
-        .groupBy("day").agg(count_distinct(col("user_id"))).count()
-    }
     report("active_users_wau", evK,
-      activeUsersCount(events), activeUsersCount(evScaled))
+      TsOps.activeUsers(events, "user_id", 86400L * 1000000000L).count(),
+      TsOps.activeUsers(evScaled, "user_id", 86400L * 1000000000L).count())
     report("cooccur_top100", docK,
       graft.pipeline.Text.cooccurrence(docs, "doc_id", "text").count(),
       graft.pipeline.Text.cooccurrence(docScaled, "doc_id", "text").count())

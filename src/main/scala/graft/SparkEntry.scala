@@ -417,24 +417,11 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
-    "ts_active_users" -> ((s, d) => {
-      // DAU + trailing-7d WAU per day. Deduplicated (user, day) activity
-      // explodes to the ≤7 target days it serves — a bounded 7× fan-out of
-      // the SMALL post-dedup frame, then one combinable distinct count;
-      // no per-day self-join, no window over user sets
-      val day = 86400L * 1000000000L
-      val act = tsUs(t(s, d, "events"))
-        .select(col("user_id"), expr(s"ts div ${day}L").as("day"))
-        .distinct()
-      val dau = act.groupBy("day")
-        .agg(count_distinct(col("user_id")).as("dau"))
-      val wau = act
-        .select(col("user_id"),
-          explode(sequence(col("day"), col("day") + 6)).as("day"))
-        .groupBy("day")
-        .agg(count_distinct(col("user_id")).as("wau"))
-      dau.join(wau, Seq("day")).orderBy("day")
-    }),
+    "ts_active_users" -> ((s, d) =>
+      // DAU + trailing-7d WAU: bounded explode over the deduplicated
+      // (user, day) frame, no per-day self-join (see TsOps.activeUsers)
+      TsOps.activeUsers(tsUs(t(s, d, "events")), "user_id",
+        dayNanos = 86400L * 1000000000L).orderBy("day")),
     "agg_rollup_revenue" -> ((s, d) => {
       // hierarchy subtotals (nation → segment) in ONE pass: rollup emits
       // the detail + per-nation + grand-total grouping sets from a single
@@ -732,7 +719,7 @@ object SparkEntry {
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         |  FROM events
         |), m AS (
-        |  SELECT user_id, count(*) AS n_pts,
+        |  SELECT user_id, count(c) AS n_pts,
         |    CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
         |  FROM c GROUP BY user_id
         |), d AS (

@@ -381,8 +381,11 @@ object TsOps {
       keyCols: Seq[String], startCol: String, endCol: String,
       binNanos: Long, tsCol: String = "ts"): DataFrame = {
     require(binNanos > 0, "binNanos must be positive")
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(
+    // inverted intervals (end < start) can never match the residual
+    // predicate, but sequence() would explode them DESCENDING into
+    // end-start spurious bins — drop them before the explode
+    val binned = intervals.filter(col(endCol) >= col(startCol))
+      .withColumn("__bin", explode(sequence(
         expr(s"$startCol div ${binNanos}L"), expr(s"$endCol div ${binNanos}L"))))
     points.withColumn("__bin", expr(s"$tsCol div ${binNanos}L"))
       .join(binned, keyCols :+ "__bin")
@@ -441,6 +444,29 @@ object TsOps {
       .groupBy("window_start")
       .agg(count(lit(1)).as("n"), min(valueCol).as("min_v"),
         max(valueCol).as("max_v"))
+  }
+
+  /** DAU + trailing-`windowDays` active users per day. Runs on the
+    * DEDUPLICATED (user, day) activity frame (active-user-days, far below
+    * event count); the windowed count avoids a per-day self-join: each
+    * activity pair explodes to the ≤ `windowDays` trailing days it serves
+    * — a bounded fan-out of the small frame — then one combinable
+    * distinct count. Output rows exist for days with ≥ 1 direct active.
+    */
+  def activeUsers(df: DataFrame, userCol: String, dayNanos: Long,
+      windowDays: Int = 7, tsCol: String = "ts"): DataFrame = {
+    val act = df
+      .select(col(userCol), expr(s"$tsCol div ${dayNanos}L").as("day"))
+      .distinct()
+    val dau = act.groupBy("day")
+      .agg(count_distinct(col(userCol)).as("dau"))
+    val wau = act
+      .select(col(userCol),
+        explode(sequence(col("day"), col("day") + (windowDays - 1)))
+          .as("day"))
+      .groupBy("day")
+      .agg(count_distinct(col(userCol)).as("wau"))
+    dau.join(wau, Seq("day"))
   }
 
   /** Per-key event-type transition counts — the Markov-chain substrate for

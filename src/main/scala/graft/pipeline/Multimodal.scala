@@ -261,11 +261,11 @@ object Multimodal {
     (sr, sg, sb)
   }
 
-  /** Synthesize a REAL PNG per row (dimensions and pixels derived from the
-    * id): `java.awt.BufferedImage` → `javax.imageio` PNG bytes, batched per
-    * partition like any media transcode. PNG is lossless, so downstream
-    * [[decodeImages]] recovers the exact pixel function. */
-  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+  /** Shared PNG-synthesizer core: one row per id, optional in-place
+    * perturbation of the rendered frame before encoding, ids shifted by
+    * `idOffset` in the output. */
+  private def synthImages(df: DataFrame, idCol: String, idOffset: Long,
+      perturb: java.awt.image.BufferedImage => Unit): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)
     val outSchema = StructType(Seq(
@@ -278,13 +278,22 @@ object Multimodal {
         batch.map { row =>
           val id = idAsLong(row, idIdx)
           val (w, h) = (imgW(id), imgH(id))
-          val png = pngBytes(renderFrame((id % 256).toInt, w, h))
-          Row(id, "image", png, Row(w, h, null, "image/png"))
+          val img = renderFrame((id % 256).toInt, w, h)
+          perturb(img)
+          Row(id + idOffset, "image", pngBytes(img),
+            Row(w, h, null, "image/png"))
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Synthesize a REAL PNG per row (dimensions and pixels derived from the
+    * id): `java.awt.BufferedImage` → `javax.imageio` PNG bytes, batched per
+    * partition like any media transcode. PNG is lossless, so downstream
+    * [[decodeImages]] recovers the exact pixel function. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame =
+    synthImages(df, idCol, idOffset = 0L, perturb = _ => ())
 
   /** REAL image decode over the binary column: `ImageIO.read` per blob inside
     * the batched per-partition loop, emitting decoded dimensions and exact
@@ -328,28 +337,9 @@ object Multimodal {
     * (0,0) flipped) and ids offset by [[PerturbOffset]] — the planted
     * "near-duplicate under noise" fixture for the perceptual-hash gate. */
   val PerturbOffset = 100000L
-  def syntheticImagesPerturbed(df: DataFrame, idCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val idIdx = df.schema.fieldIndex(idCol)
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("modality", StringType),
-      StructField("content", BinaryType),
-      StructField("meta", mediaSchema("meta").dataType)))
-    val rdd = df.rdd.mapPartitions { it =>
-      it.grouped(256).flatMap { batch =>
-        batch.map { row =>
-          val id = idAsLong(row, idIdx)
-          val (w, h) = (imgW(id), imgH(id))
-          val img = renderFrame((id % 256).toInt, w, h)
-          img.setRGB(0, 0, img.getRGB(0, 0) ^ 1)
-          Row(id + PerturbOffset, "image", pngBytes(img),
-            Row(w, h, null, "image/png"))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
+  def syntheticImagesPerturbed(df: DataFrame, idCol: String): DataFrame =
+    synthImages(df, idCol, idOffset = PerturbOffset,
+      perturb = img => img.setRGB(0, 0, img.getRGB(0, 0) ^ 1))
 
   /** Average-hash (aHash) perceptual image fingerprint — the image
     * near-dup signal: decode, partition the frame into an 8×8 grid by

@@ -622,8 +622,11 @@ object StreamIngest {
     * the count aggregation applied on the sink table). Across batches a
     * straggler pairs at its ARRIVAL position (live semantics: emitted
     * pairs are never retracted), the inherent trade of an incremental
-    * transition feed. Null key/ts/id/type rows drop before the state
-    * function; keys silent past `stateTtl` drop their tuple.
+    * transition feed. Null key/ts/id rows drop before the state function;
+    * a null TYPE advances the pointer without emitting (the batch lead
+    * window drops null-successor pairs but keeps null as a from-type —
+    * matched here so the drained equality holds on null-typed data too).
+    * Keys silent past `stateTtl` drop their tuple.
     */
   def streamingTransitions(stream: DataFrame, keyCol: String, tsCol: String,
       idCol: String, typeCol: String, stateTtl: String = ""): DataFrame = {
@@ -637,7 +640,7 @@ object StreamIngest {
         col(idCol).cast("long").as("eid"),
         col(typeCol).cast("string").as("etype"))
       .filter(col("key").isNotNull && col("ts").isNotNull &&
-        col("eid").isNotNull && col("etype").isNotNull)
+        col("eid").isNotNull)
       .as[TrIn]
     def fn(key: Long, rows: Iterator[TrIn],
         state: GroupState[(Long, Long, String)]): Iterator[TrOut] = {
@@ -648,7 +651,8 @@ object StreamIngest {
       var last = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[TrOut]
       for (r <- rows.toSeq.sortBy(r => (r.ts, r.eid))) {
-        last.foreach { case (_, _, t) => out += TrOut(t, r.etype) }
+        if (r.etype != null)
+          last.foreach { case (_, _, t) => out += TrOut(t, r.etype) }
         last = Some((r.ts, r.eid, r.etype))
       }
       last.foreach(state.update)

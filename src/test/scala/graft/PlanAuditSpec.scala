@@ -252,8 +252,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("tpch_q3")
     assert(p.contains("LeftSemi"), p)
     // pushed-down date predicates on both fact scans
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
-      p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
     assert(p.contains("GreaterThan(l_shipdate"), p)
     // revenue agg is partial before the final top-10
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)

@@ -218,14 +218,15 @@ class StreamingSpec extends AnyFunSuite {
       q.awaitTermination(120000); q.stop()
     }
     drain()
-    // batch 2: user 2's next event pairs against the CARRIED x@5
-    Seq((2L, 7L, 13L, "y"))
+    // batch 2: user 2's null-typed event advances the pointer without
+    // emitting (batch lead semantics), then y pairs against IT
+    Seq((2L, 6L, 13L, null: String), (2L, 7L, 14L, "y"))
       .toDF("user_id", "ts", "event_id", "event_type")
       .write.parquet(s"$in/b2")
     drain()
     val out = spark.read.parquet(outDir).collect()
-      .map(r => (r.getString(0), r.getString(1))).sorted
-    assert(out.toSeq == Seq(("a", "b"), ("x", "y")))
+      .map(r => (Option(r.getString(0)), r.getString(1))).sorted
+    assert(out.toSeq == Seq((None, "y"), (Some("a"), "b")))
   }
 
   test("streaming top tokens: complete-mode leaderboard equals batch counts") {
