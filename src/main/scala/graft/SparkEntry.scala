@@ -1561,6 +1561,25 @@ object SparkEntry {
       exact.join(hh, Seq("tok"), "left").crossJoin(broadcast(tot))
         .agg((sum(viol.cast("long")) === 0).cast("long").as("recall_ok"))
     }),
+    "knn_pq_recall" -> ((s, d) => {
+      // product quantization end-to-end: sample-trained codebooks (m=4
+      // subspaces × k=16 centroids), corpus encoded to 4 bytes + a float
+      // (64× smaller than the 64-dim float vectors), ADC table scoring.
+      // Gate is CLUSTER recall: quantization error exceeds intra-cluster
+      // distances by design (all of a tight cluster's members share
+      // codes), so exact-neighbor identity is not PQ's contract —
+      // returning members of the right cluster is
+      val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val books = Similarity.pqTrain(corpus, m = 4, k = 16)
+      val enc = Similarity.pqEncode(corpus, books)
+      val viaPq = Similarity.pqKnn(enc, books, q, k = 5).select("qid", "vec_id")
+      viaPq
+        .agg((sum(when(pmod(col("vec_id"), lit(5L)) ===
+          pmod(col("qid"), lit(5L)), 1L).otherwise(0L)) >= lit(45L))
+          .cast("long").as("recall_ok")) // >= 45/50 in-cluster
+    }),
     "knn_quantized_recall" -> ((s, d) => {
       // the int8-quantized corpus (4× smaller at rest) must still recover
       // the float corpus's neighbors — scored on the REAL fast path: the
@@ -3178,6 +3197,7 @@ object SparkEntry {
     "text_heavy_hitters" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "multimodal_phash" -> "SELECT CAST(1 AS BIGINT) AS phash_ok",
+    "knn_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_trained" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

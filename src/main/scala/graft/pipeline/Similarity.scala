@@ -247,6 +247,143 @@ object Similarity {
       cosine(col(qvecCol), col(vecCol)))
   }
 
+  // ---- product quantization (PQ) ----------------------------------------
+
+  /** Train PQ codebooks: split the space into `m` subspaces and Lloyd-
+    * cluster each to `k` centroids — on a deterministic SAMPLE, driver-
+    * side. That is the honest cluster shape, not a shortcut: PQ codebooks
+    * are universally trained on a corpus sample (m·k·subdim floats of
+    * state, seconds of CPU) while ENCODING — the data-sized work — stays
+    * distributed ([[pqEncode]]). Returns `[sub][cid][subdim]` arrays.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int = 10,
+      sampleN: Int = 2000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
+    val sd = dims / m
+    (0 until m).toArray.map { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * sd, (s + 1) * sd))
+      // deterministic init: first k distinct subvectors
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Float]]
+      for (v <- sub)
+        if (init.length < k && seen.add(v.toSeq)) init += v
+      var cents = init.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length, sd)(0.0)
+        val cnts = new Array[Long](cents.length)
+        for (v <- sub) {
+          val c = nearestL2(v, cents)
+          cnts(c) += 1
+          var j = 0
+          while (j < sd) { sums(c)(j) += v(j); j += 1 }
+        }
+        cents = cents.indices.toArray.map { c =>
+          if (cnts(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(x => (x / cnts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+  }
+
+  private def nearestL2(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var j = 0
+      while (j < v.length) {
+        val t = v(j).toDouble - cents(c)(j); d += t * t; j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode the corpus against trained codebooks: one UDF pass emits the
+    * `m` byte-sized codes (L2-argmin per subspace) plus the reconstructed
+    * norm — a `dims·4`-byte vector compresses to `m` bytes + one float,
+    * a 32-64× reduction at rest. Distributed over the corpus; the
+    * codebooks ride the closure (m·k·subdim floats, broadcast-sized).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sd = codebooks(0)(0).length
+    val enc = udf((vec: Seq[Float]) => {
+      val v = vec.toArray
+      val codes = new Array[Int](m)
+      var rn2 = 0.0
+      var s = 0
+      while (s < m) {
+        val sub = java.util.Arrays.copyOfRange(v, s * sd, (s + 1) * sd)
+        val c = nearestL2(sub, codebooks(s))
+        codes(s) = c
+        val cv = codebooks(s)(c)
+        var j = 0
+        while (j < sd) { rn2 += cv(j).toDouble * cv(j); j += 1 }
+        s += 1
+      }
+      (codes.toSeq, math.sqrt(rn2))
+    })
+    corpus.select(col(idCol), enc(col(vecCol)).as("__e"))
+      .select(col(idCol), col("__e._1").as("codes"), col("__e._2").as("rnorm"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k: per query, the
+    * `m × k` dot-product table is precomputed ONCE (the query set is
+    * small/broadcast by definition — the same posture as [[knnBrute]]'s
+    * query fan-out), so scoring an encoded vector is `m` table lookups
+    * instead of a `dims`-length dot — the PQ fast path. Ranking metric is
+    * the approximate cosine `table-dot / rnorm` (the query's own norm is
+    * constant per query and cannot reorder its ranking).
+    */
+  def pqKnn(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
+      queries: DataFrame, k: Int, idCol: String = "vec_id",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val m = codebooks.length
+    val sd = codebooks(0)(0).length
+    val qRows = queries.select(col(qidCol), col(qvecCol)).collect()
+    val tables: Map[Long, Array[Array[Double]]] = qRows.map { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      val t = Array.ofDim[Double](m, codebooks(0).length)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < codebooks(s).length) {
+          var d = 0.0; var j = 0
+          while (j < sd) { d += q(s * sd + j).toDouble * codebooks(s)(c)(j); j += 1 }
+          t(s)(c) = d; c += 1
+        }
+        s += 1
+      }
+      qid -> t
+    }.toMap
+    val score = udf((qid: Long, codes: Seq[Int], rnorm: Double) => {
+      val t = tables(qid)
+      var d = 0.0; var s = 0
+      while (s < m) { d += t(s)(codes(s)); s += 1 }
+      if (rnorm == 0.0) Double.NegativeInfinity else d / rnorm
+    })
+    val qids = queries.select(col(qidCol))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("__sc").desc, col(idCol).asc)
+    encoded.crossJoin(broadcast(qids))
+      .withColumn("__sc", score(col(qidCol), col("codes"), col("rnorm")))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("__sc").as("score"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication",
     * arXiv:2303.09540): k-means-cluster the embedding space, then emit

@@ -418,6 +418,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
   }
 
+  test("pq: codes are m bytes wide, deterministic, and recover the cluster") {
+    val n = 500
+    val vecs = (0 until n).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(16)(j => math.sin(c * 16 + j).toFloat)
+      val r = new scala.util.Random(i)
+      (i.toLong, base.map(x => x + (r.nextFloat() - 0.5f) * 0.05f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, m = 4, k = 8)
+    assert(books.length == 4 && books.forall(_.head.length == 4))
+    val enc = Similarity.pqEncode(vecs, books)
+    val rows = enc.collect()
+    assert(rows.forall(_.getSeq[Int](1).length == 4))
+    // same vector → same codes (deterministic train + encode)
+    val enc2 = Similarity.pqEncode(vecs, Similarity.pqTrain(vecs, m = 4, k = 8))
+    assert(enc.orderBy("vec_id").collect().map(_.getSeq[Int](1))
+      .sameElements(enc2.orderBy("vec_id").collect().map(_.getSeq[Int](1))))
+    // ADC top-3 stays inside the query's cluster (i % 4)
+    val q = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.pqKnn(enc, books, q, k = 3).collect()
+    assert(top.length == 12)
+    top.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 4 == r.getAs[Long]("qid") % 4,
+        s"out-of-cluster: $r")
+    }
+  }
+
   test("imageHashes: exact re-render collides, one-pixel noise hamming <= 2") {
     val ids = (0L until 10L).toSeq.toDF("doc_id")
     val orig = Multimodal.syntheticImages(ids, "doc_id")
