@@ -1580,6 +1580,24 @@ object SparkEntry {
           pmod(col("qid"), lit(5L)), 1L).otherwise(0L)) >= lit(45L))
           .cast("long").as("recall_ok")) // >= 45/50 in-cluster
     }),
+    "knn_ivfpq_recall" -> ((s, d) => {
+      // IVF-PQ composition: kmeans cells prune to nprobe=2 of 5, PQ codes
+      // score the survivors via ADC — the FAISS-standard shape; gated on
+      // cluster recall like knn_pq_recall
+      val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.kmeans(corpus, k = 5)
+      val assigned = Similarity.ivfAssign(corpus, cents)
+        .select("vec_id", "cid")
+      val books = Similarity.pqTrain(corpus, m = 4, k = 16)
+      val enc = Similarity.pqEncode(corpus, books).join(assigned, "vec_id")
+      val top = Similarity.ivfPqKnn(enc, cents, books, q, k = 5)
+        .select("qid", "vec_id")
+      top.agg((sum(when(pmod(col("vec_id"), lit(5L)) ===
+        pmod(col("qid"), lit(5L)), 1L).otherwise(0L)) >= lit(45L))
+        .cast("long").as("recall_ok"))
+    }),
     "knn_quantized_recall" -> ((s, d) => {
       // the int8-quantized corpus (4× smaller at rest) must still recover
       // the float corpus's neighbors — scored on the REAL fast path: the
@@ -3198,6 +3216,7 @@ object SparkEntry {
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "multimodal_phash" -> "SELECT CAST(1 AS BIGINT) AS phash_ok",
     "knn_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "knn_ivfpq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_trained" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

@@ -348,6 +348,40 @@ object Similarity {
   def pqKnn(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
       queries: DataFrame, k: Int, idCol: String = "vec_id",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val qids = queries.select(col(qidCol))
+    adcRank(encoded.crossJoin(broadcast(qids)), codebooks, queries, k,
+      idCol, qidCol, qvecCol)
+  }
+
+  /** IVF-PQ — the standard large-scale ANN pairing: IVF cells prune the
+    * candidate set (only `nprobe` cells' vectors are touched), PQ codes
+    * make scoring those candidates `m` table lookups over `m`-byte rows.
+    * `assignedEnc` carries (id, cid, codes, rnorm) — [[ivfAssign]] joined
+    * with [[pqEncode]]; at rest, partition it by `cid` like [[writeIvf]]
+    * and the probe prunes at file-listing time over rows 64× smaller
+    * than the float corpus.
+    */
+  def ivfPqKnn(assignedEnc: DataFrame, centroids: DataFrame,
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame, k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id", cidCol: String = "cid",
+      cvecCol: String = "cvec", qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val qCells = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
+      qidCol, qvecCol)
+    adcRank(assignedEnc.join(broadcast(qCells), Seq(cidCol)), codebooks,
+      queries, k, idCol, qidCol, qvecCol)
+  }
+
+  /** Shared ADC scorer: per-query `m × k` dot tables precomputed once
+    * (the query set is small/broadcast by definition — [[knnBrute]]'s
+    * posture), so scoring a candidate row is `m` lookups. `cands` must
+    * carry (`qidCol`, `codes`, `rnorm`, `idCol`). Ranking metric is the
+    * approximate cosine `table-dot / rnorm` (the query's own norm is
+    * constant per query and cannot reorder its ranking).
+    */
+  private def adcRank(cands: DataFrame,
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame, k: Int,
+      idCol: String, qidCol: String, qvecCol: String): DataFrame = {
     val m = codebooks.length
     val sd = codebooks(0)(0).length
     val qRows = queries.select(col(qidCol), col(qvecCol)).collect()
@@ -373,10 +407,9 @@ object Similarity {
       while (s < m) { d += t(s)(codes(s)); s += 1 }
       if (rnorm == 0.0) Double.NegativeInfinity else d / rnorm
     })
-    val qids = queries.select(col(qidCol))
     val w = Window.partitionBy(qidCol)
       .orderBy(col("__sc").desc, col(idCol).asc)
-    encoded.crossJoin(broadcast(qids))
+    cands
       .withColumn("__sc", score(col(qidCol), col("codes"), col("rnorm")))
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("rank", row_number().over(w))
