@@ -1857,6 +1857,32 @@ object SparkEntry {
       runStreamToTable(s, admitted, "stream_bloom_admit_out")
         .select("doc_id", "fp").orderBy("doc_id")
     }),
+    "stream_interval_join" -> ((s, d) => {
+      // live purchase-to-session attribution: the SAME intervalJoin code
+      // runs with a streaming points side — binning keeps it a stateless
+      // stream-static equi-join (a streaming theta-join would be
+      // unsupported); the rollup is a complete-mode agg. A drained
+      // stream equals the batch ts_interval_join (shared oracle)
+      Tables.configure(s)
+      val ev = tsUs(t(s, d, "events"))
+      val sessions = TsOps.sessionize(ev.select("user_id", "ts"),
+          3600L * 1000000000L, Seq("user_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"))
+      val schema = t(s, d, "events").schema
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      val joined = TsOps.intervalJoin(src, sessions, Seq("user_id"),
+          "session_start", "session_end", binNanos = 3600L * 1000000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("purchase_value"))
+      runStreamToTable(s, joined, "stream_interval_join_out",
+        mode = "complete")
+        .orderBy("user_id", "session_idx")
+    }),
     "stream_transitions" -> ((s, d) => {
       // live transition feed: pair rows stream out append-mode; the
       // count rollup runs on the drained sink table, which then equals
@@ -3415,6 +3441,9 @@ object SparkEntry {
       ("stream_transitions" -> base("ts_transitions")) +
       // a drained complete-mode conditional-sum agg holds exactly the
       // batch pivot's counts (same day buckets, same type list)
-      ("stream_pivot_types" -> base("agg_pivot_types"))
+      ("stream_pivot_types" -> base("agg_pivot_types")) +
+      // the identical intervalJoin plan with a streaming points side —
+      // a drained stream rolls up exactly the batch attribution
+      ("stream_interval_join" -> base("ts_interval_join"))
   }
 }
