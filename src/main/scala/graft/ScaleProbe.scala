@@ -122,6 +122,23 @@ object ScaleProbe {
     report("active_users_wau", evK,
       TsOps.activeUsers(events, "user_id", 86400L * 1000000000L).count(),
       TsOps.activeUsers(evScaled, "user_id", 86400L * 1000000000L).count())
+    report("transitions", evK,
+      TsOps.transitions(events.select("user_id", "ts", "event_id",
+        "event_type"), Seq("user_id"), "event_type",
+        Seq("ts", "event_id")).count(),
+      TsOps.transitions(evScaled.select("user_id", "ts", "event_id",
+        "event_type"), Seq("user_id"), "event_type",
+        Seq("ts", "event_id")).count())
+    report("mad_anomalies", evK,
+      TsOps.madAnomalies(events.select("event_id", "ts", "user_id",
+        "value"), "value", Seq("user_id")).count(),
+      TsOps.madAnomalies(evScaled.select("event_id", "ts", "user_id",
+        "value"), "value", Seq("user_id")).count())
+    report("hopping_24h_6h", evK,
+      TsOps.hoppingDownsample(events, 24L * 3600 * 1000000000L,
+        6L * 3600 * 1000000000L, "value").count(),
+      TsOps.hoppingDownsample(evScaled, 24L * 3600 * 1000000000L,
+        6L * 3600 * 1000000000L, "value").count())
     report("cooccur_top100", docK,
       graft.pipeline.Text.cooccurrence(docs, "doc_id", "text").count(),
       graft.pipeline.Text.cooccurrence(docScaled, "doc_id", "text").count())
