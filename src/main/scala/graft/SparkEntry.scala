@@ -1883,6 +1883,38 @@ object SparkEntry {
         mode = "complete")
         .orderBy("user_id", "session_idx")
     }),
+    "stream_retention" -> ((s, d) => {
+      // live cohort retention: the user-day ledger emits each (user, day)
+      // once with its cohort tag; the rollup on the drained sink equals
+      // the batch retention matrix (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val ledger = graft.streaming.StreamIngest.streamingUserDays(
+        src, "user_id", "ts", dayNanos = 86400L * 1000000000L)
+      runStreamToTable(s, ledger, "stream_retention_out")
+        .groupBy("cohort_day", "day_offset")
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+    "stream_active_users" -> ((s, d) => {
+      // live DAU/WAU off the same drained user-day ledger (the batch
+      // explode-and-count shape applied to the sink; shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val ledger = graft.streaming.StreamIngest.streamingUserDays(
+        src, "user_id", "ts", dayNanos = 86400L * 1000000000L)
+      val tbl = runStreamToTable(s, ledger, "stream_active_users_out")
+      val dau = tbl.groupBy("day")
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val wau = tbl.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day")).orderBy("day")
+    }),
     "stream_transitions" -> ((s, d) => {
       // live transition feed: pair rows stream out append-mode; the
       // count rollup runs on the drained sink table, which then equals
@@ -3444,6 +3476,10 @@ object SparkEntry {
       ("stream_pivot_types" -> base("agg_pivot_types")) +
       // the identical intervalJoin plan with a streaming points side —
       // a drained stream rolls up exactly the batch attribution
-      ("stream_interval_join" -> base("ts_interval_join"))
+      ("stream_interval_join" -> base("ts_interval_join")) +
+      // the drained user-day ledger IS the batch distinct (user, day)
+      // frame with cohort tags — both rollups equal their batch twins
+      ("stream_retention" -> base("ts_retention")) +
+      ("stream_active_users" -> base("ts_active_users"))
   }
 }

@@ -610,6 +610,58 @@ object StreamIngest {
       .withColumnRenamed("user_id", keyCol)
   }
 
+  final case class UDIn(key: Long, day: Long)
+  final case class UDOut(user_id: Long, day: Long, cohort_day: Long,
+      day_offset: Long)
+
+  /** Streaming user-day activity ledger — the live substrate for cohort
+    * retention and DAU/WAU: per-key state is (cohort day, seen-day set;
+    * bounded by the calendar), and each (user, day) pair emits EXACTLY
+    * once, tagged with the user's cohort day and offset. Within a batch,
+    * days replay in ascending order, so a drained single batch pins the
+    * cohort to the user's true first day and the emitted ledger equals
+    * the batch `distinct (user, day)` frame — retention and active-user
+    * rollups computed on the drained sink match the batch operators
+    * (their shared oracles pin that). Across batches the cohort is
+    * whatever day arrived first (live semantics: emitted rows are never
+    * retracted, so a late earlier day cannot rewrite history).
+    */
+  def streamingUserDays(stream: DataFrame, keyCol: String, tsCol: String,
+      dayNanos: Long, stateTtl: String = ""): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
+    val ds = stream
+      .select(col(keyCol).cast("long").as("key"),
+        expr(s"`$tsCol` div ${dayNanos}L").as("day"))
+      .filter(col("key").isNotNull && col("day").isNotNull)
+      .as[UDIn]
+    def fn(key: Long, rows: Iterator[UDIn],
+        state: GroupState[(Long, Seq[Long])]): Iterator[UDOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      var (cohort, seen0) = state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long]))
+      val seen = scala.collection.mutable.HashSet(seen0: _*)
+      val out = scala.collection.mutable.ArrayBuffer.empty[UDOut]
+      for (r <- rows.toSeq.sortBy(_.day)) {
+        if (cohort == Long.MaxValue) cohort = r.day
+        if (seen.add(r.day))
+          out += UDOut(key, r.day, cohort, r.day - cohort)
+      }
+      if (out.nonEmpty) state.update((cohort, seen.toSeq))
+      if (state.exists) ttl.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Seq[Long]), UDOut](OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+  }
+
   final case class TrIn(key: Long, ts: Long, eid: Long, etype: String)
   final case class TrOut(from_type: String, to_type: String)
 

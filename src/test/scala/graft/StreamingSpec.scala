@@ -190,6 +190,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 7L, 7L)))
   }
 
+  test("streaming user-day ledger: once-only emission, cohort carried") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = SparkTestBase.tempDir("graft-udays-in")
+    val in = new java.io.File(dir, "in").getPath
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", LongType)))
+    // batch 1 (day = ts div 10): user 1 active days 0 and 2 (dup event on
+    // day 2 emits once); user 2 day 1
+    Seq((1L, 1L), (1L, 21L), (1L, 25L), (2L, 12L)).toDF("user_id", "ts")
+      .write.parquet(s"$in/b1")
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val ledger = StreamIngest.streamingUserDays(src, "user_id", "ts",
+      dayNanos = 10L)
+    val ck = SparkTestBase.tempDir("graft-udays-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-udays-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      val q = ledger.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    // batch 2: user 1 re-seen on day 2 (no emission) and new on day 3
+    // (cohort 0 carried → offset 3)
+    Seq((1L, 27L), (1L, 35L)).toDF("user_id", "ts").write.parquet(s"$in/b2")
+    drain()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(out.toSeq == Seq((1L, 0L, 0L, 0L), (1L, 2L, 0L, 2L),
+      (1L, 3L, 0L, 3L), (2L, 1L, 1L, 0L)))
+  }
+
   test("streaming transitions: cross-batch carry via last-event state") {
     import spark.implicits._
     val dir = SparkTestBase.tempDir("graft-trans-in")
