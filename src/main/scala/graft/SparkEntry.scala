@@ -1208,6 +1208,11 @@ object SparkEntry {
       // substring-dedup signal (Lee et al. 2022) at fixed span length
       Dedup.dupNgrams(t(s, d, "documents"), "doc_id", "text",
         n = 5, minDf = 2, topK = 50)),
+    "text_dup_chunks" -> ((s, d) =>
+      // paragraph-dedup signal: per doc, how many fixed 32-token chunks
+      // are duplicated anywhere in the corpus
+      Text.dupChunkStats(t(s, d, "documents"), "doc_id", "text", size = 32)
+        .orderBy("doc_id")),
     "text_chunks" -> ((s, d) =>
       Text.chunk(t(s, d, "documents"), "doc_id", "text",
         size = 32, overlap = 8)
@@ -1883,6 +1888,17 @@ object SparkEntry {
         mode = "complete")
         .orderBy("user_id", "session_idx")
     }),
+    "stream_heatmap" -> ((s, d) => {
+      // live dow×hour activity matrix: complete-mode agg whose state is
+      // at most 168 counters — the cheapest possible live dashboard
+      Tables.configure(s)
+      val schema = t(s, d, "events").schema
+      val src = tsUs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val agg = TsOps.heatmap(src)
+      runStreamToTable(s, agg, "stream_heatmap_out", mode = "complete")
+        .orderBy("dow", "hour")
+    }),
     "stream_retention" -> ((s, d) => {
       // live cohort retention: the user-day ledger emits each (user, day)
       // once with its cohort tag; the rollup on the drained sink equals
@@ -2477,6 +2493,30 @@ object SparkEntry {
          |)
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "text_dup_chunks" -> {
+      val size = 32
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    CASE WHEN len(toks) = 0 THEN 0
+         |         ELSE greatest(1, (len(toks) + $size - 1) // $size)
+         |    END AS nc
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(toks[i * $size + 1 : i * $size + $size], ' '))
+         |      AS fp
+         |  FROM m CROSS JOIN (
+         |    SELECT unnest(generate_series(0, 999)) AS i
+         |  ) WHERE i < nc
+         |), f AS (SELECT fp, count(*) AS df FROM c GROUP BY fp)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks
+         |FROM c JOIN f USING (fp)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "text_cooccur" ->
       s"""WITH td AS (
          |  SELECT doc_id, unnest(list_distinct($DuckToks)) AS tok
@@ -3480,6 +3520,9 @@ object SparkEntry {
       // the drained user-day ledger IS the batch distinct (user, day)
       // frame with cohort tags — both rollups equal their batch twins
       ("stream_retention" -> base("ts_retention")) +
-      ("stream_active_users" -> base("ts_active_users"))
+      ("stream_active_users" -> base("ts_active_users")) +
+      // a drained complete-mode heatmap agg holds exactly the batch
+      // dow×hour counts (same integer arithmetic)
+      ("stream_heatmap" -> base("ts_heatmap"))
   }
 }

@@ -850,6 +850,25 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Chunk-granularity duplication stats — the paragraph-dedup signal
+    * (CCNet/RefinedWeb shape at fixed token spans): non-overlapping
+    * [[chunk]]s fingerprint with md5, the corpus-wide occurrence
+    * frequency joins back, and each doc reports how many of its chunks
+    * are duplicated ANYWHERE (including within itself — repeated
+    * boilerplate is the point). Two keyed shuffles on the fingerprint
+    * and the doc id; chunking itself is a narrow map + explode.
+    */
+  def dupChunkStats(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 32): DataFrame = {
+    val chunks = chunk(df, idCol, textCol, size, overlap = 0)
+      .select(col(idCol), md5(col("chunk_text")).as("__fp"))
+    val freq = chunks.groupBy("__fp").agg(count(lit(1)).as("__df"))
+    chunks.join(freq, "__fp")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
   /** Sliding token-window chunking — the context-window prep step of a
     * training pipeline: overlapping chunks of `size` tokens with `overlap`
     * tokens shared between neighbors. Chunk i covers tokens

@@ -418,6 +418,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq("ab" -> 3L, "bc" -> 2L, "yz" -> 1L))
   }
 
+  test("dupChunkStats: duplicated chunks counted, within-doc repeats too") {
+    // size=2, no overlap: doc 0 = [a b][a b] (self-dup), doc 1 = [a b][c]
+    // → doc 0: 2/2 dup; doc 1: chunk "a b" dup (df=3), tail "c" unique
+    val fx = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = Text.dupChunkStats(fx, "doc_id", "text", size = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(0L -> ((2L, 2L)), 1L -> ((2L, 1L))))
+  }
+
   test("pq: codes are m bytes wide, deterministic, and recover the cluster") {
     val n = 500
     val vecs = (0 until n).map { i =>
