@@ -280,6 +280,23 @@ object SparkEntry {
     "ts_heatmap" -> ((s, d) =>
       // dow × hour activity matrix (UTC, integer epoch arithmetic)
       TsOps.heatmap(tsUs(t(s, d, "events"))).orderBy("dow", "hour")),
+    "ts_concurrency" -> ((s, d) => {
+      // concurrent-session load curve: sessions sampled at hour ticks —
+      // the intervalJoin reused keyless (grid has no user), with a
+      // distributed spark.range grid, never a driver-side tick array
+      val hour = 3600L * 1000000000L
+      val ev = tsUs(t(s, d, "events"))
+      val sess = TsOps.sessionize(ev.select("user_id", "ts"), hour,
+          Seq("user_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts").as("s"), max("ts").as("e"))
+        .select("s", "e")
+      val grid = s.range(ns("2023-12-25") / hour, ns("2024-02-05") / hour)
+        .select((col("id") * hour).as("ts"))
+      TsOps.intervalJoin(grid, sess, Nil, "s", "e", binNanos = hour)
+        .groupBy("ts").agg(count(lit(1)).as("n_active"))
+        .orderBy("ts")
+    }),
     "ts_transitions" -> ((s, d) =>
       // event-type transition matrix per user sequence ((ts, event_id)
       // total order) — the session-flow Markov substrate
@@ -667,6 +684,32 @@ object SparkEntry {
         |  (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hour,
         |  count(*) AS n
         |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
+    "ts_concurrency" -> {
+      val hour = 3600L * 1000000000L
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ns(ts) AS ts FROM events
+         |), s AS (
+         |  SELECT user_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w > $hour THEN 1
+         |         ELSE 0 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), c AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM s
+         |), g AS (
+         |  SELECT min(ts) AS s, max(ts) AS e
+         |  FROM c GROUP BY user_id, session_idx
+         |), grid AS (
+         |  SELECT generate_series AS ts FROM generate_series(
+         |    ${ns("2023-12-25")}, ${ns("2024-02-05") - 1}, $hour)
+         |)
+         |SELECT grid.ts, count(*) AS n_active
+         |FROM grid JOIN g ON grid.ts BETWEEN g.s AND g.e
+         |GROUP BY grid.ts ORDER BY grid.ts""".stripMargin
+    },
     "ts_transitions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
