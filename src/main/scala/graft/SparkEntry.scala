@@ -1344,6 +1344,15 @@ object SparkEntry {
         .select("doc_id", "score_de", "score_en", "score_es", "score_fr",
           "lang_pred")
         .orderBy("doc_id")),
+    "text_lang_confusion" -> ((s, d) =>
+      // label-quality audit: predicted vs recorded language confusion
+      // matrix — the standard check before trusting either column as the
+      // mixing/filter key; metadata-sized output (|langs|² cells)
+      Text.langId(t(s, d, "documents"), "text")
+        .groupBy(col("lang").as("lang_true"),
+          col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_true", "lang_pred")),
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -3051,6 +3060,32 @@ object SparkEntry {
          |    ELSE 'und'
          |  END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_lang_confusion" -> {
+      def score(words: Seq[String]): String =
+        s"CAST(len(list_filter($DuckToks, x -> list_contains([" +
+          words.map(w => s"'$w'").mkString(",") + s"], x))) AS BIGINT)"
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    ${score(Text.StopwordsDe)} AS score_de,
+         |    ${score(Text.StopwordsEn)} AS score_en,
+         |    ${score(Text.StopwordsEs)} AS score_es,
+         |    ${score(Text.StopwordsFr)} AS score_fr
+         |  FROM documents
+         |), p AS (
+         |  SELECT lang AS lang_true,
+         |    CASE
+         |      WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+         |      WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         |      WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+         |      WHEN score_fr > 0 THEN 'fr'
+         |      ELSE 'und'
+         |    END AS lang_pred
+         |  FROM s
+         |)
+         |SELECT lang_true, lang_pred, count(*) AS n
+         |FROM p GROUP BY lang_true, lang_pred
+         |ORDER BY lang_true, lang_pred""".stripMargin
     },
     "text_fingerprint" ->
       """SELECT doc_id,
