@@ -114,10 +114,17 @@ object SparkEntry {
     * throws) and fail loudly rather than hand an incomplete result to the
     * oracle compare. */
   private def runStreamToTable(s: SparkSession, df: DataFrame,
-      name: String, mode: String = "append"): DataFrame = {
+      name: String, mode: String = "append",
+      singleBatch: Boolean = false): DataFrame = {
+    // singleBatch (Trigger.Once) is for operators whose batch-oracle
+    // equivalence depends on ALL input arriving in one micro-batch
+    // (e.g. the user-day ledger's cohort pinning) — AvailableNow may
+    // split a multi-file source and silently break that precondition
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(name)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(
+        if (singleBatch) org.apache.spark.sql.streaming.Trigger.Once()
+        else org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     if (!q.awaitTermination(300000)) {
       q.stop()
@@ -1961,7 +1968,8 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(d))
       val ledger = graft.streaming.StreamIngest.streamingUserDays(
         src, "user_id", "ts", dayNanos = 86400L * 1000000000L)
-      runStreamToTable(s, ledger, "stream_retention_out")
+      runStreamToTable(s, ledger, "stream_retention_out",
+        singleBatch = true)
         .groupBy("cohort_day", "day_offset")
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy("cohort_day", "day_offset")
@@ -1975,13 +1983,12 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(d))
       val ledger = graft.streaming.StreamIngest.streamingUserDays(
         src, "user_id", "ts", dayNanos = 86400L * 1000000000L)
-      val tbl = runStreamToTable(s, ledger, "stream_active_users_out")
-      val dau = tbl.groupBy("day")
-        .agg(count_distinct(col("user_id")).as("dau"))
-      val wau = tbl.select(col("user_id"),
-          explode(sequence(col("day"), col("day") + 6)).as("day"))
-        .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
-      dau.join(wau, Seq("day")).orderBy("day")
+      val tbl = runStreamToTable(s, ledger, "stream_active_users_out",
+        singleBatch = true)
+      // the BATCH operator runs on the drained ledger (day is already a
+      // day index, so dayNanos = 1), keeping the twins one code path
+      TsOps.activeUsers(tbl, "user_id", dayNanos = 1L, tsCol = "day")
+        .orderBy("day")
     }),
     "stream_transitions" -> ((s, d) => {
       // live transition feed: pair rows stream out append-mode; the
@@ -3061,32 +3068,20 @@ object SparkEntry {
          |  END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
     },
-    "text_lang_confusion" -> {
-      def score(words: Seq[String]): String =
-        s"CAST(len(list_filter($DuckToks, x -> list_contains([" +
-          words.map(w => s"'$w'").mkString(",") + s"], x))) AS BIGINT)"
+    "text_lang_confusion" ->
       s"""WITH s AS (
          |  SELECT lang,
-         |    ${score(Text.StopwordsDe)} AS score_de,
-         |    ${score(Text.StopwordsEn)} AS score_en,
-         |    ${score(Text.StopwordsEs)} AS score_es,
-         |    ${score(Text.StopwordsFr)} AS score_fr
+         |    ${langScoreSql(Text.StopwordsDe)} AS s_de,
+         |    ${langScoreSql(Text.StopwordsEn)} AS s_en,
+         |    ${langScoreSql(Text.StopwordsEs)} AS s_es,
+         |    ${langScoreSql(Text.StopwordsFr)} AS s_fr
          |  FROM documents
          |), p AS (
-         |  SELECT lang AS lang_true,
-         |    CASE
-         |      WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
-         |      WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
-         |      WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
-         |      WHEN score_fr > 0 THEN 'fr'
-         |      ELSE 'und'
-         |    END AS lang_pred
-         |  FROM s
+         |  SELECT lang AS lang_true, $langCaseSql AS lang_pred FROM s
          |)
          |SELECT lang_true, lang_pred, count(*) AS n
          |FROM p GROUP BY lang_true, lang_pred
-         |ORDER BY lang_true, lang_pred""".stripMargin
-    },
+         |ORDER BY lang_true, lang_pred""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp

@@ -308,30 +308,39 @@ object Similarity {
   }
 
   /** Encode the corpus against trained codebooks: one UDF pass emits the
-    * `m` byte-sized codes (L2-argmin per subspace) plus the reconstructed
-    * norm — a `dims·4`-byte vector compresses to `m` bytes + one float,
-    * a 32-64× reduction at rest. Distributed over the corpus; the
-    * codebooks ride the closure (m·k·subdim floats, broadcast-sized).
+    * `m` single-BYTE codes (`array<tinyint>` at rest — hence the k ≤ 127
+    * bound; L2-argmin per subspace) plus the reconstructed norm. The code
+    * column is `dims·4/m`× smaller than the float vector (64× for 64-dim
+    * m=4); the full row, with the 8-byte norm, lands ~20×. Null or
+    * wrong-dimension vectors encode to a null code row (corrupt vectors
+    * are data, not errors — [[decodeImages]]' posture); [[pqKnn]] skips
+    * them. Distributed over the corpus; the codebooks ride the closure
+    * (m·k·subdim floats, broadcast-sized).
     */
   def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
     val sd = codebooks(0)(0).length
+    require(codebooks.forall(_.length <= 127),
+      "PQ codes are stored as bytes — use k <= 127 centroids per subspace")
     val enc = udf((vec: Seq[Float]) => {
-      val v = vec.toArray
-      val codes = new Array[Int](m)
-      var rn2 = 0.0
-      var s = 0
-      while (s < m) {
-        val sub = java.util.Arrays.copyOfRange(v, s * sd, (s + 1) * sd)
-        val c = nearestL2(sub, codebooks(s))
-        codes(s) = c
-        val cv = codebooks(s)(c)
-        var j = 0
-        while (j < sd) { rn2 += cv(j).toDouble * cv(j); j += 1 }
-        s += 1
+      if (vec == null || vec.length != m * sd) null
+      else {
+        val v = vec.toArray
+        val codes = new Array[Byte](m)
+        var rn2 = 0.0
+        var s = 0
+        while (s < m) {
+          val sub = java.util.Arrays.copyOfRange(v, s * sd, (s + 1) * sd)
+          val c = nearestL2(sub, codebooks(s))
+          codes(s) = c.toByte
+          val cv = codebooks(s)(c)
+          var j = 0
+          while (j < sd) { rn2 += cv(j).toDouble * cv(j); j += 1 }
+          s += 1
+        }
+        (codes.toSeq, math.sqrt(rn2))
       }
-      (codes.toSeq, math.sqrt(rn2))
     })
     corpus.select(col(idCol), enc(col(vecCol)).as("__e"))
       .select(col(idCol), col("__e._1").as("codes"), col("__e._2").as("rnorm"))
@@ -347,10 +356,11 @@ object Similarity {
     */
   def pqKnn(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
       queries: DataFrame, k: Int, idCol: String = "vec_id",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      excludeSelf: Boolean = true): DataFrame = {
     val qids = queries.select(col(qidCol))
     adcRank(encoded.crossJoin(broadcast(qids)), codebooks, queries, k,
-      idCol, qidCol, qvecCol)
+      idCol, qidCol, qvecCol, excludeSelf)
   }
 
   /** IVF-PQ — the standard large-scale ANN pairing: IVF cells prune the
@@ -365,11 +375,11 @@ object Similarity {
       codebooks: Array[Array[Array[Float]]], queries: DataFrame, k: Int,
       nprobe: Int = 2, idCol: String = "vec_id", cidCol: String = "cid",
       cvecCol: String = "cvec", qidCol: String = "qid",
-      qvecCol: String = "qvec"): DataFrame = {
+      qvecCol: String = "qvec", excludeSelf: Boolean = true): DataFrame = {
     val qCells = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
       qidCol, qvecCol)
     adcRank(assignedEnc.join(broadcast(qCells), Seq(cidCol)), codebooks,
-      queries, k, idCol, qidCol, qvecCol)
+      queries, k, idCol, qidCol, qvecCol, excludeSelf)
   }
 
   /** Shared ADC scorer: per-query `m × k` dot tables precomputed once
@@ -381,7 +391,8 @@ object Similarity {
     */
   private def adcRank(cands: DataFrame,
       codebooks: Array[Array[Array[Float]]], queries: DataFrame, k: Int,
-      idCol: String, qidCol: String, qvecCol: String): DataFrame = {
+      idCol: String, qidCol: String, qvecCol: String,
+      excludeSelf: Boolean): DataFrame = {
     val m = codebooks.length
     val sd = codebooks(0)(0).length
     val qRows = queries.select(col(qidCol), col(qvecCol)).collect()
@@ -401,17 +412,18 @@ object Similarity {
       }
       qid -> t
     }.toMap
-    val score = udf((qid: Long, codes: Seq[Int], rnorm: Double) => {
+    val score = udf((qid: Long, codes: Seq[Byte], rnorm: Double) => {
       val t = tables(qid)
       var d = 0.0; var s = 0
-      while (s < m) { d += t(s)(codes(s)); s += 1 }
+      while (s < m) { d += t(s)(codes(s).toInt); s += 1 }
       if (rnorm == 0.0) Double.NegativeInfinity else d / rnorm
     })
     val w = Window.partitionBy(qidCol)
       .orderBy(col("__sc").desc, col(idCol).asc)
-    cands
+    val scored = cands
+      .filter(col("codes").isNotNull) // undecodable vectors carry no codes
       .withColumn("__sc", score(col(qidCol), col("codes"), col("rnorm")))
-      .filter(col(qidCol) =!= col(idCol))
+    (if (excludeSelf) scored.filter(col(qidCol) =!= col(idCol)) else scored)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), col("__sc").as("score"))

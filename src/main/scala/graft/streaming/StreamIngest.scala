@@ -622,9 +622,13 @@ object StreamIngest {
     * cohort to the user's true first day and the emitted ledger equals
     * the batch `distinct (user, day)` frame — retention and active-user
     * rollups computed on the drained sink match the batch operators
-    * (their shared oracles pin that). Across batches the cohort is
-    * whatever day arrived first (live semantics: emitted rows are never
-    * retracted, so a late earlier day cannot rewrite history).
+    * (their shared oracles pin that; the driver queries enforce the
+    * one-batch precondition with `Trigger.Once`, since AvailableNow may
+    * split a multi-file source). Across batches the cohort is whatever
+    * day arrived first (live semantics: emitted rows are never
+    * retracted, so a late earlier day cannot rewrite history — a later
+    * earlier-day arrival emits with a negative offset against the
+    * pinned cohort).
     */
   def streamingUserDays(stream: DataFrame, keyCol: String, tsCol: String,
       dayNanos: Long, stateTtl: String = ""): DataFrame = {

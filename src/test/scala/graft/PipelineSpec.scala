@@ -439,11 +439,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(books.length == 4 && books.forall(_.head.length == 4))
     val enc = Similarity.pqEncode(vecs, books)
     val rows = enc.collect()
-    assert(rows.forall(_.getSeq[Int](1).length == 4))
+    assert(rows.forall(_.getSeq[Byte](1).length == 4))
     // same vector → same codes (deterministic train + encode)
     val enc2 = Similarity.pqEncode(vecs, Similarity.pqTrain(vecs, m = 4, k = 8))
-    assert(enc.orderBy("vec_id").collect().map(_.getSeq[Int](1))
-      .sameElements(enc2.orderBy("vec_id").collect().map(_.getSeq[Int](1))))
+    assert(enc.orderBy("vec_id").collect().map(_.getSeq[Byte](1))
+      .sameElements(enc2.orderBy("vec_id").collect().map(_.getSeq[Byte](1))))
     // ADC top-3 stays inside the query's cluster (i % 4)
     val q = vecs.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
