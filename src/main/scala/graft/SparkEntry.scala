@@ -441,6 +441,34 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
+    "tpch_q5" -> ((s, d) => {
+      // local-supplier-volume shape (TPC-H Q5): five-way join with the
+      // region→nation dim chain broadcast, date filter pushed to the
+      // orders scan, and the c_nationkey = s_nationkey locality
+      // predicate riding the supplier join
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1997-01-01"))
+      val nation = t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
     "ts_active_users" -> ((s, d) =>
       // DAU + trailing-7d WAU: bounded explode over the deduplicated
       // (user, day) frame, no per-day self-join (see TsOps.activeUsers)
@@ -881,6 +909,22 @@ object SparkEntry {
         |                AND c_mktsegment = 'BUILDING')
         |GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "ts_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
