@@ -259,6 +259,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("tpch_q5: dim chain broadcasts, date filter pushed, no cartesian") {
+    val p = plan("tpch_q5")
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("ts_concurrency: keyless interval join stays an equi-join") {
+    val p = plan("ts_concurrency")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
   test("text_cooccur: capped vocabulary broadcasts onto the token stream") {
     val p = plan("text_cooccur")
     assert(!p.contains("Cartesian"), p)
