@@ -678,6 +678,26 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((3L, 0L, 40L, 60L))))
   }
 
+  test("new ops: empty inputs yield empty outputs, no exceptions") {
+    val emptyEv = Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val emptyIv = Seq.empty[(Long, Long, Long)].toDF("k", "s", "e")
+    val emptyPts = Seq.empty[(Long, Long)].toDF("k", "ts")
+    assert(TsOps.retention(emptyEv, "user_id", 10L).isEmpty)
+    assert(TsOps.transitions(emptyEv, Seq("user_id"), "event_type",
+      Seq("ts", "event_id")).isEmpty)
+    assert(TsOps.intervalJoin(emptyPts, emptyIv, Seq("k"), "s", "e", 10L)
+      .isEmpty)
+    assert(TsOps.heatmap(emptyEv).isEmpty)
+    assert(TsOps.gapStats(emptyEv, Seq("user_id")).isEmpty)
+    assert(TsOps.activeUsers(emptyEv, "user_id", 10L).isEmpty)
+    assert(TsOps.hoppingDownsample(emptyEv.withColumn("value", lit(1.0)),
+      20L, 10L, "value").isEmpty)
+    val emptyVal = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(TsOps.madAnomalies(emptyVal, "value", Seq("user_id")).isEmpty)
+  }
+
   test("madAnomalies: integer MAD rule flags the planted spike, minN gates") {
     // user 1: ten 1.00s and one 50.00 → med=100c, MAD=0 → spike flagged
     // (dev2=9800·2 > 3·0); the 1.00 points have dev2=0 → clean.
