@@ -2065,6 +2065,32 @@ object SparkEntry {
       runStreamToTable(s, agg, "stream_pivot_types_out", mode = "complete")
         .orderBy("day")
     }),
+    "stream_cooccur" -> ((s, d) => {
+      // live co-occurrence counts against a FIXED vocabulary (the batch
+      // top-100, embedded as a literal like the eval-shingle probes):
+      // per-doc pair expansion is stateless — the array_intersect
+      // replaces the batch's vocab join — and the only state is the
+      // complete-mode pair-count map, bounded by K²/2 regardless of
+      // stream length. A drained stream equals the batch matrix
+      Tables.configure(s)
+      val docs = t(s, d, "documents")
+      val vocab: Array[String] = docs
+        .select(explode(Text.tokenSet(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok").asc).limit(100)
+        .collect().map(_.getString(0))
+      val schema = docs.schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val pairs = src
+        .select(sort_array(array_intersect(Text.tokenSet(col("text")),
+          typedLit(vocab.toSeq))).as("__toks"))
+        .select(explode(Text.tokenPairsUdf(col("__toks"))).as("__p"))
+        .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_docs"))
+      runStreamToTable(s, pairs, "stream_cooccur_out", mode = "complete")
+        .orderBy("tok_a", "tok_b")
+    }),
     "stream_top_tokens" -> ((s, d) => {
       // live token leaderboard: complete-mode running counts + top-50;
       // a drained stream's final emission is the batch counts exactly,
@@ -3640,6 +3666,9 @@ object SparkEntry {
       ("stream_active_users" -> base("ts_active_users")) +
       // a drained complete-mode heatmap agg holds exactly the batch
       // dow×hour counts (same integer arithmetic)
-      ("stream_heatmap" -> base("ts_heatmap"))
+      ("stream_heatmap" -> base("ts_heatmap")) +
+      // the literal vocabulary equals the batch top-100 (same total
+      // order), so the drained pair counts equal the batch matrix
+      ("stream_cooccur" -> base("text_cooccur"))
   }
 }

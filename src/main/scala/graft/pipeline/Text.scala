@@ -607,6 +607,13 @@ object Text {
     * list is capped by construction (unlike a raw df-capped posting list,
     * which grows with the corpus).
     */
+  /** Ordered-pair expansion of a sorted token array — shared by
+    * [[cooccurrence]] and its streaming twin. */
+  def tokenPairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) =>
+      for { i <- toks.indices; j <- i + 1 until toks.size }
+        yield (toks(i), toks(j)))
+
   def cooccurrence(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val tokDoc = fanOut(df)
@@ -614,12 +621,9 @@ object Text {
     val vocab = tokDoc.groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok").asc).limit(topK)
       .select("tok")
-    val pairsUdf = udf((toks: Seq[String]) =>
-      for { i <- toks.indices; j <- i + 1 until toks.size }
-        yield (toks(i), toks(j)))
     tokDoc.join(broadcast(vocab), "tok")
       .groupBy(idCol).agg(sort_array(collect_list("tok")).as("__toks"))
-      .select(explode(pairsUdf(col("__toks"))).as("__p"))
+      .select(explode(tokenPairsUdf(col("__toks"))).as("__p"))
       .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_docs"))
   }
