@@ -499,6 +499,25 @@ object SparkEntry {
         GROUP BY ROLLUP(n_name, c_mktsegment)
         ORDER BY n_name, c_mktsegment""")
     }),
+    "agg_cube_revenue" -> ((s, d) => {
+      // full cross-dimensional subtotals (nation × segment, both
+      // marginals, grand total) in one shuffle — same SQL-formulation
+      // rationale as agg_rollup_revenue
+      t(s, d, "orders").createOrReplaceTempView("gc_orders")
+      t(s, d, "customer").createOrReplaceTempView("gc_customer")
+      t(s, d, "nation").createOrReplaceTempView("gc_nation")
+      s.sql("""
+        SELECT coalesce(n_name, 'ALL') AS n_name,
+               coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM gc_orders
+        JOIN gc_customer ON o_custkey = c_custkey
+        JOIN gc_nation ON c_nationkey = n_nationkey
+        GROUP BY CUBE(n_name, c_mktsegment)
+        ORDER BY n_name, c_mktsegment""")
+    }),
     "agg_pivot_types" -> ((s, d) => {
       // day × event-type count matrix via pivot with an EXPLICIT type
       // list — the plan stays a single two-phase agg (no distinct-values
@@ -949,6 +968,15 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name, c_mktsegment""".stripMargin,
+    "agg_cube_revenue" ->
+      """SELECT coalesce(n_name, 'ALL') AS n_name,
+        |  coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)
         |ORDER BY n_name, c_mktsegment""".stripMargin,
     "agg_pivot_types" ->
       """SELECT epoch_ns(ts) // 86400000000000 AS day,
