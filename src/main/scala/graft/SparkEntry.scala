@@ -304,6 +304,21 @@ object SparkEntry {
         .groupBy("ts").agg(count(lit(1)).as("n_active"))
         .orderBy("ts")
     }),
+    "ts_event_features" -> ((s, d) => {
+      // ML feature extraction: each event with its sequence context —
+      // previous/next type and gaps, per-user ordinal — one window over
+      // the (ts, event_id) total order, no self-joins
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      tsUs(t(s, d, "events"))
+        .select("event_id", "ts", "user_id", "event_type")
+        .withColumn("seq_idx", row_number().over(w).cast("long"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("gap_prev", col("ts") - lag(col("ts"), 1).over(w))
+        .withColumn("gap_next", lead(col("ts"), 1).over(w) - col("ts"))
+        .orderBy("event_id")
+    }),
     "ts_transitions" -> ((s, d) =>
       // event-type transition matrix per user sequence ((ts, event_id)
       // total order) — the session-flow Markov substrate
@@ -764,6 +779,19 @@ object SparkEntry {
          |FROM grid JOIN g ON grid.ts BETWEEN g.s AND g.e
          |GROUP BY grid.ts ORDER BY grid.ts""".stripMargin
     },
+    "ts_event_features" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type
+        |  FROM events
+        |)
+        |SELECT event_id, ts, user_id, event_type,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq_idx,
+        |  lag(event_type) OVER w AS prev_type,
+        |  lead(event_type) OVER w AS next_type,
+        |  ts - lag(ts) OVER w AS gap_prev,
+        |  lead(ts) OVER w - ts AS gap_next
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "ts_transitions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
