@@ -67,7 +67,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("windowed queries partition their windows (no global window)") {
     for (q <- Seq("window_top_orders", "sessionize_stats",
-        "asof_purchase_view", "ts_zscore_anomaly", "embed_outliers")) {
+        "asof_purchase_view", "ts_zscore_anomaly", "embed_outliers",
+        "ts_transitions", "ts_gaps", "ts_event_features")) {
       val p = plan(q)
       // empty partition spec renders as 'Window [..., ORDER BY ...]' with
       // no partitionBy clause and triggers the WindowExec warning; all our
