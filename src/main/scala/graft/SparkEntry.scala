@@ -72,6 +72,15 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Integer cents of a 2-decimal-generated price column, and discount
+    * percent as an integer — the exact units for revenue products
+    * (`cents × (100 − disc100)`): decimal casts of double PRODUCTS
+    * round-tie differently across engines, raw 2-decimal values don't. */
+  private def epCents =
+    (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+  private def disc100 =
+    (col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+
   private def engine(spark: SparkSession, dir: String) = new Engine(spark, dir)
 
   /** Deterministic clustered vector fixture for the ANN recall gates: `n`
@@ -446,14 +455,17 @@ object SparkEntry {
         .filter(col("o_orderdate") < cutoff)
         .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
         .select("o_orderkey")
+      // revenue in integer cents×(100−d·100): a double PRODUCT cast to
+      // decimal can round-tie differently across engines (the raw
+      // 2-decimal columns are exact, their product is not — measured at
+      // sf0.1), so the multiplication happens in exact integer units
       t(s, d, "lineitem")
         .filter(col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .agg(sum(epCents * (lit(100L) - disc100)).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("l_orderkey").asc)
         .limit(10)
     }),
     "tpch_q5" -> ((s, d) => {
@@ -480,9 +492,9 @@ object SparkEntry {
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name").asc)
+        // same exact integer-cents revenue as tpch_q3 (product round-tie)
+        .agg(sum(epCents * (lit(100L) - disc100)).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("n_name").asc)
     }),
     "ts_active_users" -> ((s, d) =>
       // DAU + trailing-7d WAU: bounded explode over the deduplicated
@@ -946,8 +958,10 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tpch_q3" ->
       """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
-        |    AS DOUBLE) AS revenue
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS revenue_c4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '1998-06-01'
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
@@ -955,11 +969,13 @@ object SparkEntry {
         |              WHERE c_custkey = o_custkey
         |                AND c_mktsegment = 'BUILDING')
         |GROUP BY l_orderkey
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""".stripMargin,
     "tpch_q5" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
-        |    AS DOUBLE) AS revenue
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS revenue_c4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -971,7 +987,7 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin,
+        |ORDER BY revenue_c4 DESC, n_name""".stripMargin,
     "ts_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
@@ -1757,6 +1773,36 @@ object SparkEntry {
       val books = Similarity.pqTrain(corpus, m = 4, k = 16)
       val enc = Similarity.pqEncode(corpus, books).join(assigned, "vec_id")
       val top = Similarity.ivfPqKnn(enc, cents, books, q, k = 5)
+        .select("qid", "vec_id")
+      top.agg((sum(when(pmod(col("vec_id"), lit(5L)) ===
+        pmod(col("qid"), lit(5L)), 1L).otherwise(0L)) >= lit(45L))
+        .cast("long").as("recall_ok"))
+    }),
+    "knn_ivfpq_stored" -> ((s, d) => {
+      // IVF-PQ at rest: encoded corpus partitioned by cid on disk, probe
+      // prunes to the probed cell dirs (PlanAuditSpec asserts the
+      // PartitionFilters) and ADC-ranks rows that carry 4 code bytes
+      // instead of 64 floats; cluster-recall gated like knn_ivfpq_recall
+      val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // vec_ids 0..4 are one member per true cluster — deterministic
+      // centroids, so a cached on-disk index from an earlier invocation
+      // always matches this invocation's probe cells (kmeans float means
+      // could drift between runs)
+      val cents = corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val books = Similarity.pqTrain(corpus, m = 4, k = 16)
+      val path = ivfStorePaths.computeIfAbsent(d + "#pq", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivfpq-$processId-${dirTag(d)}").getPath
+        val assigned = Similarity.ivfAssign(corpus, cents)
+          .select("vec_id", "cid")
+        Similarity.writeIvf(
+          Similarity.pqEncode(corpus, books).join(assigned, "vec_id"), p)
+        p
+      })
+      val top = Similarity.ivfPqKnnStored(s, path, cents, books, q, k = 5)
         .select("qid", "vec_id")
       top.agg((sum(when(pmod(col("vec_id"), lit(5L)) ===
         pmod(col("qid"), lit(5L)), 1L).otherwise(0L)) >= lit(45L))
@@ -3514,6 +3560,7 @@ object SparkEntry {
     "multimodal_phash" -> "SELECT CAST(1 AS BIGINT) AS phash_ok",
     "knn_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivfpq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    "knn_ivfpq_stored" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_ivf_trained" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "knn_quantized_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "dedup_embedding_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

@@ -382,6 +382,32 @@ object Similarity {
       queries, k, idCol, qidCol, qvecCol, excludeSelf)
   }
 
+  /** IVF-PQ probed AT REST: the encoded corpus persisted with `cid` as
+    * the storage partition key ([[writeIvf]] on the joined
+    * [[pqEncode]]+[[ivfAssign]] frame). The probe resolves its cells
+    * once, statically filters the scan to those cell directories
+    * (PartitionFilters at file-listing time — over rows carrying m code
+    * bytes instead of the float vector), and ADC-ranks the survivors.
+    */
+  def ivfPqKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, codebooks: Array[Array[Array[Float]]],
+      queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", cidCol: String = "cid",
+      cvecCol: String = "cvec", qidCol: String = "qid",
+      qvecCol: String = "qvec", excludeSelf: Boolean = true): DataFrame = {
+    val qCellsPlan = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
+      qidCol, qvecCol)
+    val qRows = qCellsPlan.collect() // nprobe × |queries| rows — metadata
+    val qCells = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qCellsPlan.schema)
+      .select(col(qidCol), col(cidCol))
+    val cellIds: Array[Any] = qRows.map(_.getAs[Any](cidCol)).distinct
+    val enc = spark.read.parquet(path)
+      .filter(col(cidCol).isin(cellIds.toIndexedSeq: _*))
+    adcRank(enc.join(broadcast(qCells), Seq(cidCol)), codebooks, queries,
+      k, idCol, qidCol, qvecCol, excludeSelf)
+  }
+
   /** Shared ADC scorer: per-query `m × k` dot tables precomputed once
     * (the query set is small/broadcast by definition — [[knnBrute]]'s
     * posture), so scoring a candidate row is `m` lookups. `cands` must

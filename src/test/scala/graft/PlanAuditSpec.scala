@@ -260,6 +260,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("knn_ivfpq_stored: probe prunes the cell-partitioned encoded scan") {
+    val df = SparkEntry.queries("knn_ivfpq_stored")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    // the static cid filter must reach the parquet scan as a partition
+    // filter — the file-listing-time pruning the at-rest layout buys
+    assert(p.contains("PartitionFilters: [cid"), p)
+  }
+
   test("tpch_q5: dim chain broadcasts, date filter pushed, no cartesian") {
     val p = plan("tpch_q5")
     assert(!p.contains("Cartesian"), p)
