@@ -313,6 +313,20 @@ object SparkEntry {
         .groupBy("ts").agg(count(lit(1)).as("n_active"))
         .orderBy("ts")
     }),
+    "agg_value_quantiles" -> ((s, d) =>
+      // exact dyadic quartiles of value CENTS per event type — integer
+      // inputs + p ∈ {.25, .5, .75} make the interpolation bit-exact
+      // (the text_length_quantiles discipline on the events table)
+      tsUs(t(s, d, "events"))
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(c, 0.25)").as("p25"),
+          expr("percentile(c, 0.5)").as("p50"),
+          expr("percentile(c, 0.75)").as("p75"))
+        .orderBy("event_type")),
     "ts_event_features" -> ((s, d) => {
       // ML feature extraction: each event with its sequence context —
       // previous/next type and gaps, per-user ordinal — one window over
@@ -791,6 +805,17 @@ object SparkEntry {
          |FROM grid JOIN g ON grid.ts BETWEEN g.s AND g.e
          |GROUP BY grid.ts ORDER BY grid.ts""".stripMargin
     },
+    "agg_value_quantiles" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  quantile_cont(c, 0.25) AS p25,
+        |  quantile_cont(c, 0.5) AS p50,
+        |  quantile_cont(c, 0.75) AS p75
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ts_event_features" ->
       """WITH e AS (
         |  SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type
