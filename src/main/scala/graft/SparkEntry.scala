@@ -1389,6 +1389,12 @@ object SparkEntry {
       // tokenizer-training statistics: top within-word character pairs
       // by occurrence — the table BPE's first merge rule comes from
       Text.bpePairCounts(t(s, d, "documents"), "text", topK = 50)),
+    "text_window_cooccur" -> ((s, d) =>
+      // skip-gram statistics: ±2-position pairs over the raw sequence,
+      // top-100 vocabulary — the embedding-training count table
+      Text.windowCooccurrence(t(s, d, "documents"), "text",
+        window = 2, topK = 100)
+        .orderBy("tok_a", "tok_b")),
     "text_cooccur" -> ((s, d) =>
       // doc-level co-occurrence counts over the top-100 vocabulary —
       // integer PMI substrate; pair fan-out bounded by the vocab cap
@@ -2773,6 +2779,27 @@ object SparkEntry {
          |FROM c JOIN f USING (fp)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "text_window_cooccur" ->
+      s"""WITH t AS (
+         |  SELECT $DuckToks AS toks FROM documents
+         |), v AS (
+         |  SELECT tok FROM (
+         |    SELECT unnest(toks) AS tok FROM t
+         |  ) GROUP BY tok
+         |  ORDER BY count(*) DESC, tok LIMIT 100
+         |), pos AS (
+         |  SELECT toks, unnest(generate_series(1, len(toks))) AS i FROM t
+         |), pr AS (
+         |  SELECT least(toks[i], toks[i + o]) AS tok_a,
+         |         greatest(toks[i], toks[i + o]) AS tok_b
+         |  FROM pos CROSS JOIN (SELECT unnest([1, 2]) AS o)
+         |  WHERE i + o <= len(toks)
+         |    AND toks[i] IN (SELECT tok FROM v)
+         |    AND toks[i + o] IN (SELECT tok FROM v)
+         |)
+         |SELECT tok_a, tok_b, count(*) AS n
+         |FROM pr GROUP BY tok_a, tok_b
+         |ORDER BY tok_a, tok_b""".stripMargin,
     "text_cooccur" ->
       s"""WITH td AS (
          |  SELECT doc_id, unnest(list_distinct($DuckToks)) AS tok

@@ -692,6 +692,47 @@ object Text {
       .select(col("p._1").as("tok"), col("p._2").as("est"))
   }
 
+  /** Positional (±`window`) token co-occurrence — the word2vec/skip-gram
+    * statistic, distinct from [[cooccurrence]]'s doc-level co-membership:
+    * a pair counts once per time the two tokens appear within `window`
+    * positions in the raw sequence (gaps are NOT collapsed — tokens
+    * outside the vocabulary still occupy positions). The top-`topK`-by-
+    * occurrence vocabulary bounds the pair key space at K²/2; it is
+    * topK-sized metadata, collected once and closed over the pairing
+    * UDF. Pair fan-out ≤ `window` per token; one count shuffle.
+    */
+  def windowCooccurrence(df: DataFrame, textCol: String, window: Int = 2,
+      topK: Int = 100): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val vocab = fanOut(df)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(topK)
+      .collect().map(_.getString(0)).toSet
+    val pairsUdf = udf((toks: Seq[String]) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < toks.length) {
+        val a = toks(i)
+        if (vocab(a)) {
+          var o = 1
+          while (o <= window && i + o < toks.length) {
+            val b = toks(i + o)
+            if (vocab(b))
+              out += (if (a <= b) (a, b) else (b, a))
+            o += 1
+          }
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    fanOut(df)
+      .select(explode(pairsUdf(tokens(col(textCol)))).as("__p"))
+      .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n"))
+  }
+
   /** Per-group HLL distinct-token sketches (Apache DataSketches via Spark's
     * `hll_sketch_agg`) with their estimates — the scale path for "how many
     * distinct tokens/users/urls per domain" questions where exact

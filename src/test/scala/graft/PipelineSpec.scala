@@ -517,6 +517,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(est.size <= m)
   }
 
+  test("windowCooccurrence: positional pairs, gaps not collapsed") {
+    // window=2 over "a z b a": vocab top-2 = {a (2), b (1)}? counts: a=2,
+    // z=1, b=1 → top-2 by (n desc, tok asc) = {a, b}. Pairs within 2:
+    // (a,z)x, (a,b) [i=0,o=2], (z,b)x, (z,a)x, (b,a) [i=2,o=1] → (a,b)=2
+    val fx = Seq((0L, "a z b a")).toDF("doc_id", "text")
+    val out = Text.windowCooccurrence(fx, "text", window = 2, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("a", "b") -> 2L))
+  }
+
   test("cooccurrence: doc-level distinct pairs over the capped vocabulary") {
     // dfs: a=3, b=2, c=2, z=1 → top-3 vocab {a, b, c}; z excluded.
     // doc 0 {a,b,c} → (a,b),(a,c),(b,c); doc 1 {a,b} → (a,b);
