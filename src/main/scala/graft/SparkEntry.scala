@@ -2198,6 +2198,23 @@ object SparkEntry {
       runStreamToTable(s, agg, "stream_pivot_types_out", mode = "complete")
         .orderBy("day")
     }),
+    "stream_window_cooccur" -> ((s, d) => {
+      // live skip-gram counts: the batch vocabulary closes over the same
+      // pairing UDF; state = complete-mode pair counts (≤ K²/2)
+      Tables.configure(s)
+      val docs = t(s, d, "documents")
+      val vocab = Text.occurrenceVocab(docs, "text", topK = 100)
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val pairs = src
+        .select(explode(Text.windowPairsUdf(vocab, window = 2)(
+          Text.tokens(col("text")))).as("__p"))
+        .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
+        .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n"))
+      runStreamToTable(s, pairs, "stream_window_cooccur_out",
+        mode = "complete")
+        .orderBy("tok_a", "tok_b")
+    }),
     "stream_cooccur" -> ((s, d) => {
       // live co-occurrence counts against a FIXED vocabulary (the batch
       // top-100, embedded as a literal like the eval-shingle probes):
@@ -3824,6 +3841,8 @@ object SparkEntry {
       ("stream_heatmap" -> base("ts_heatmap")) +
       // the literal vocabulary equals the batch top-100 (same total
       // order), so the drained pair counts equal the batch matrix
-      ("stream_cooccur" -> base("text_cooccur"))
+      ("stream_cooccur" -> base("text_cooccur")) +
+      // identical vocabulary + pairing UDF → identical pair multiset
+      ("stream_window_cooccur" -> base("text_window_cooccur"))
   }
 }

@@ -701,15 +701,21 @@ object Text {
     * topK-sized metadata, collected once and closed over the pairing
     * UDF. Pair fan-out ≤ `window` per token; one count shuffle.
     */
-  def windowCooccurrence(df: DataFrame, textCol: String, window: Int = 2,
-      topK: Int = 100): DataFrame = {
-    require(window >= 1, "window must be >= 1")
-    val vocab = fanOut(df)
+  /** Top-`topK` tokens by total occurrence, (count desc, tok asc) order —
+    * the vocabulary for [[windowCooccurrence]] and its streaming twin. */
+  def occurrenceVocab(df: DataFrame, textCol: String,
+      topK: Int): Set[String] =
+    fanOut(df)
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc).limit(topK)
       .collect().map(_.getString(0)).toSet
-    val pairsUdf = udf((toks: Seq[String]) => {
+
+  /** Pairing UDF of [[windowCooccurrence]] — vocab rides the closure. */
+  def windowPairsUdf(vocab: Set[String], window: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(window >= 1, "window must be >= 1")
+    udf((toks: Seq[String]) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var i = 0
       while (i < toks.length) {
@@ -727,6 +733,11 @@ object Text {
       }
       out.toSeq
     })
+  }
+
+  def windowCooccurrence(df: DataFrame, textCol: String, window: Int = 2,
+      topK: Int = 100): DataFrame = {
+    val pairsUdf = windowPairsUdf(occurrenceVocab(df, textCol, topK), window)
     fanOut(df)
       .select(explode(pairsUdf(tokens(col(textCol)))).as("__p"))
       .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
