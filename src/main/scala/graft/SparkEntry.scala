@@ -17,9 +17,10 @@ import graft.storage.Tables
   */
 object SparkEntry {
 
-  /** Per-process discriminator + per-dataset cache for the knn_ivf_stored
-    * scratch index (one write per process per dataset, no cross-process
-    * path sharing). */
+  /** Per-process discriminator + per-dataset cache for the stored scratch
+    * indexes — knn_ivf_stored (key = dataset dir) and knn_ivfpq_stored
+    * (key = dir + "#pq") — one write per process per dataset, no
+    * cross-process path sharing. */
   private lazy val processId: String =
     java.util.UUID.randomUUID().toString.take(8)
   private val ivfStorePaths =
@@ -71,6 +72,27 @@ object SparkEntry {
     * Spark and DuckDB regardless of summation order. */
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Shared builder of the grouping-set revenue queries — one body for
+    * ROLLUP and CUBE so the shape (casts, markers, joins) cannot drift
+    * one-sided; `prefix` keeps the temp-view names per-query. */
+  private def groupingSetRevenue(sets: String, prefix: String)
+      : (SparkSession, String) => DataFrame = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView(s"${prefix}_orders")
+    t(s, d, "customer").createOrReplaceTempView(s"${prefix}_customer")
+    t(s, d, "nation").createOrReplaceTempView(s"${prefix}_nation")
+    s.sql(s"""
+      SELECT coalesce(n_name, 'ALL') AS n_name,
+             coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
+             count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM ${prefix}_orders
+      JOIN ${prefix}_customer ON o_custkey = c_custkey
+      JOIN ${prefix}_nation ON c_nationkey = n_nationkey
+      GROUP BY $sets(n_name, c_mktsegment)
+      ORDER BY n_name, c_mktsegment""")
+  }
 
   /** Integer cents of a 2-decimal-generated price column, and discount
     * percent as an integer — the exact units for revenue products
@@ -515,50 +537,16 @@ object SparkEntry {
       // (user, day) frame, no per-day self-join (see TsOps.activeUsers)
       TsOps.activeUsers(tsUs(t(s, d, "events")), "user_id",
         dayNanos = 86400L * 1000000000L).orderBy("day")),
-    "agg_rollup_revenue" -> ((s, d) => {
-      // hierarchy subtotals (nation → segment) in ONE pass: rollup emits
-      // the detail + per-nation + grand-total grouping sets from a single
-      // shuffle, where naive per-level queries would re-scan per level.
-      // NULL grouping markers coalesce to 'ALL' so the total order (and
-      // the oracle's) is engine-independent
-      // SQL formulation: the DataFrame rollup's Expand duplicates the
-      // grouping attributes and a following select trips the ambiguous-
-      // self-join checker (same plan through the SQL parser resolves
-      // cleanly). nation still auto-broadcasts — it's 25 rows.
-      t(s, d, "orders").createOrReplaceTempView("gr_orders")
-      t(s, d, "customer").createOrReplaceTempView("gr_customer")
-      t(s, d, "nation").createOrReplaceTempView("gr_nation")
-      s.sql("""
-        SELECT coalesce(n_name, 'ALL') AS n_name,
-               coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
-               count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 AS revenue
-        FROM gr_orders
-        JOIN gr_customer ON o_custkey = c_custkey
-        JOIN gr_nation ON c_nationkey = n_nationkey
-        GROUP BY ROLLUP(n_name, c_mktsegment)
-        ORDER BY n_name, c_mktsegment""")
-    }),
-    "agg_cube_revenue" -> ((s, d) => {
-      // full cross-dimensional subtotals (nation × segment, both
-      // marginals, grand total) in one shuffle — same SQL-formulation
-      // rationale as agg_rollup_revenue
-      t(s, d, "orders").createOrReplaceTempView("gc_orders")
-      t(s, d, "customer").createOrReplaceTempView("gc_customer")
-      t(s, d, "nation").createOrReplaceTempView("gc_nation")
-      s.sql("""
-        SELECT coalesce(n_name, 'ALL') AS n_name,
-               coalesce(c_mktsegment, 'ALL') AS c_mktsegment,
-               count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 AS revenue
-        FROM gc_orders
-        JOIN gc_customer ON o_custkey = c_custkey
-        JOIN gc_nation ON c_nationkey = n_nationkey
-        GROUP BY CUBE(n_name, c_mktsegment)
-        ORDER BY n_name, c_mktsegment""")
-    }),
+    // grouping-set subtotals (nation × segment) in ONE pass each: rollup
+    // emits detail + per-nation + grand-total, cube adds the segment
+    // marginal — a single shuffle where naive per-level queries would
+    // re-scan per level. NULL markers coalesce to 'ALL' for an engine-
+    // independent total order. SQL formulation: the DataFrame rollup's
+    // Expand duplicates the grouping attributes and a following select
+    // trips the ambiguous-self-join checker (the same plan through the
+    // SQL parser resolves cleanly); nation auto-broadcasts at 25 rows.
+    "agg_rollup_revenue" -> groupingSetRevenue("ROLLUP", "gr"),
+    "agg_cube_revenue" -> groupingSetRevenue("CUBE", "gc"),
     "agg_pivot_types" -> ((s, d) => {
       // day × event-type count matrix via pivot with an EXPLICIT type
       // list — the plan stays a single two-phase agg (no distinct-values
@@ -2208,7 +2196,7 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val pairs = src
         .select(explode(Text.windowPairsUdf(vocab, window = 2)(
-          Text.tokens(col("text")))).as("__p"))
+          col("text"))).as("__p"))
         .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
         .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n"))
       runStreamToTable(s, pairs, "stream_window_cooccur_out",
@@ -2224,10 +2212,9 @@ object SparkEntry {
       // stream length. A drained stream equals the batch matrix
       Tables.configure(s)
       val docs = t(s, d, "documents")
-      val vocab: Array[String] = docs
-        .select(explode(Text.tokenSet(col("text"))).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("tok").asc).limit(100)
+      // the SAME vocab helper the batch op uses — the shared-oracle
+      // equivalence cannot drift at a rank-100 tie
+      val vocab: Array[String] = Text.docFrequencyVocab(docs, "text", 100)
         .collect().map(_.getString(0))
       val schema = docs.schema
       val src = s.readStream.schema(schema)

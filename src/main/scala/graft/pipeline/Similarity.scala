@@ -395,17 +395,34 @@ object Similarity {
       idCol: String = "vec_id", cidCol: String = "cid",
       cvecCol: String = "cvec", qidCol: String = "qid",
       qvecCol: String = "qvec", excludeSelf: Boolean = true): DataFrame = {
+    val (qCells, pruned) = storedProbeScan(spark, path, centroids, queries,
+      nprobe, cidCol, cvecCol, qidCol, qvecCol)
+    adcRank(pruned.join(broadcast(qCells), Seq(cidCol)), codebooks, queries,
+      k, idCol, qidCol, qvecCol, excludeSelf)
+  }
+
+  /** Shared resolve-cells-once scaffolding of the stored probes
+    * ([[ivfKnnStored]], [[ivfPqKnnStored]]): heal a crashed compaction
+    * swap, resolve the probe cells in ONE job (the collected rows feed
+    * both the static partition filter and, as a local relation, the
+    * broadcast join), and return (qid↔cid cells, cell-pruned scan).
+    */
+  private def storedProbeScan(spark: org.apache.spark.sql.SparkSession,
+      path: String, centroids: DataFrame, queries: DataFrame, nprobe: Int,
+      cidCol: String, cvecCol: String, qidCol: String, qvecCol: String)
+      : (DataFrame, DataFrame) = {
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    recoverCompact(
+      livePath.getFileSystem(spark.sessionState.newHadoopConf()), livePath)
     val qCellsPlan = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
       qidCol, qvecCol)
     val qRows = qCellsPlan.collect() // nprobe × |queries| rows — metadata
     val qCells = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qCellsPlan.schema)
-      .select(col(qidCol), col(cidCol))
     val cellIds: Array[Any] = qRows.map(_.getAs[Any](cidCol)).distinct
-    val enc = spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .filter(col(cidCol).isin(cellIds.toIndexedSeq: _*))
-    adcRank(enc.join(broadcast(qCells), Seq(cidCol)), codebooks, queries,
-      k, idCol, qidCol, qvecCol, excludeSelf)
+    (qCells, pruned)
   }
 
   /** Shared ADC scorer: per-query `m × k` dot tables precomputed once
@@ -558,20 +575,8 @@ object Similarity {
       cidCol: String = "cid", cvecCol: String = "cvec",
       qidCol: String = "qid", qvecCol: String = "qvec",
       excludeSelf: Boolean = true): DataFrame = {
-    val livePath = new org.apache.hadoop.fs.Path(path)
-    recoverCompact(
-      livePath.getFileSystem(spark.sessionState.newHadoopConf()), livePath)
-    val qCellsPlan = probeCells(centroids, queries, nprobe, cidCol, cvecCol,
-      qidCol, qvecCol)
-    // resolve the probe cells ONCE: the collected rows feed both the static
-    // partition filter and (as a local relation) the broadcast join —
-    // without this the queries×centroids ranking would run as two jobs
-    val qRows = qCellsPlan.collect()
-    val qCells = spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), qCellsPlan.schema)
-    val cellIds: Array[Any] = qRows.map(_.getAs[Any](cidCol)).distinct
-    val assigned = spark.read.parquet(path)
-      .filter(col(cidCol).isin(cellIds.toIndexedSeq: _*))
+    val (qCells, assigned) = storedProbeScan(spark, path, centroids,
+      queries, nprobe, cidCol, cvecCol, qidCol, qvecCol)
     val cands = assigned.join(broadcast(qCells), Seq(cidCol))
     rankTopK(cands, k, idCol, qidCol, excludeSelf,
       cosine(col(qvecCol), col(vecCol)))

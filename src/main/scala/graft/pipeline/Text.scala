@@ -593,6 +593,24 @@ object Text {
       .limit(topK)
   }
 
+  /** Ordered-pair expansion of a sorted token array — shared by
+    * [[cooccurrence]] and its streaming twin. */
+  def tokenPairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((toks: Seq[String]) =>
+      for { i <- toks.indices; j <- i + 1 until toks.size }
+        yield (toks(i), toks(j)))
+
+  /** Top-`topK` tokens by DOCUMENT frequency, (df desc, tok asc) order —
+    * [[cooccurrence]]'s vocabulary, shared with its streaming twin so
+    * the two can never drift at a rank-`topK` tie. */
+  def docFrequencyVocab(df: DataFrame, textCol: String,
+      topK: Int): DataFrame =
+    fanOut(df)
+      .select(explode(tokenSet(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(topK)
+      .select("tok")
+
   /** Doc-level token co-occurrence counts over a capped vocabulary — the
     * raw-count substrate for PMI / association mining (consumers divide by
     * doc totals; counts stay integer here so the result is engine-exact).
@@ -607,20 +625,11 @@ object Text {
     * list is capped by construction (unlike a raw df-capped posting list,
     * which grows with the corpus).
     */
-  /** Ordered-pair expansion of a sorted token array — shared by
-    * [[cooccurrence]] and its streaming twin. */
-  def tokenPairsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((toks: Seq[String]) =>
-      for { i <- toks.indices; j <- i + 1 until toks.size }
-        yield (toks(i), toks(j)))
-
   def cooccurrence(df: DataFrame, idCol: String, textCol: String,
       topK: Int = 100): DataFrame = {
     val tokDoc = fanOut(df)
       .select(col(idCol), explode(tokenSet(col(textCol))).as("tok"))
-    val vocab = tokDoc.groupBy("tok").agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("tok").asc).limit(topK)
-      .select("tok")
+    val vocab = docFrequencyVocab(df, textCol, topK)
     tokDoc.join(broadcast(vocab), "tok")
       .groupBy(idCol).agg(sort_array(collect_list("tok")).as("__toks"))
       .select(explode(tokenPairsUdf(col("__toks"))).as("__p"))
@@ -692,15 +701,6 @@ object Text {
       .select(col("p._1").as("tok"), col("p._2").as("est"))
   }
 
-  /** Positional (±`window`) token co-occurrence — the word2vec/skip-gram
-    * statistic, distinct from [[cooccurrence]]'s doc-level co-membership:
-    * a pair counts once per time the two tokens appear within `window`
-    * positions in the raw sequence (gaps are NOT collapsed — tokens
-    * outside the vocabulary still occupy positions). The top-`topK`-by-
-    * occurrence vocabulary bounds the pair key space at K²/2; it is
-    * topK-sized metadata, collected once and closed over the pairing
-    * UDF. Pair fan-out ≤ `window` per token; one count shuffle.
-    */
   /** Top-`topK` tokens by total occurrence, (count desc, tok asc) order —
     * the vocabulary for [[windowCooccurrence]] and its streaming twin. */
   def occurrenceVocab(df: DataFrame, textCol: String,
@@ -711,11 +711,16 @@ object Text {
       .orderBy(col("n").desc, col("tok").asc).limit(topK)
       .collect().map(_.getString(0)).toSet
 
-  /** Pairing UDF of [[windowCooccurrence]] — vocab rides the closure. */
+  /** Text→pairs UDF of [[windowCooccurrence]] — vocab rides the closure,
+    * and tokenization happens INSIDE the compiled UDF ([[tokensScala]]):
+    * routing through the `tokens()` HOF would put the interpreted
+    * CodegenFallback lambda back on the per-doc hot path (the ~20×
+    * measured penalty the bpePairCounts comment records). */
   def windowPairsUdf(vocab: Set[String], window: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(window >= 1, "window must be >= 1")
-    udf((toks: Seq[String]) => {
+    udf((text: String) => {
+      val toks = tokensScala(text)
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var i = 0
       while (i < toks.length) {
@@ -735,11 +740,20 @@ object Text {
     })
   }
 
+  /** Positional (±`window`) token co-occurrence — the word2vec/skip-gram
+    * statistic, distinct from [[cooccurrence]]'s doc-level co-membership:
+    * a pair counts once per time the two tokens appear within `window`
+    * positions in the raw sequence (gaps are NOT collapsed — tokens
+    * outside the vocabulary still occupy positions). The top-`topK`-by-
+    * occurrence vocabulary bounds the pair key space at K²/2; it is
+    * topK-sized metadata, collected once and closed over the pairing
+    * UDF. Pair fan-out ≤ `window` per token; one count shuffle.
+    */
   def windowCooccurrence(df: DataFrame, textCol: String, window: Int = 2,
       topK: Int = 100): DataFrame = {
     val pairsUdf = windowPairsUdf(occurrenceVocab(df, textCol, topK), window)
     fanOut(df)
-      .select(explode(pairsUdf(tokens(col(textCol)))).as("__p"))
+      .select(explode(pairsUdf(col(textCol))).as("__p"))
       .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
       .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n"))
   }
