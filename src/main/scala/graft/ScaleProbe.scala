@@ -139,6 +139,9 @@ object ScaleProbe {
         6L * 3600 * 1000000000L, "value").count(),
       TsOps.hoppingDownsample(evScaled, 24L * 3600 * 1000000000L,
         6L * 3600 * 1000000000L, "value").count())
+    report("window_cooccur", docK,
+      graft.pipeline.Text.windowCooccurrence(docs, "text").count(),
+      graft.pipeline.Text.windowCooccurrence(docScaled, "text").count())
     report("dup_chunks", docK,
       graft.pipeline.Text.dupChunkStats(docs, "doc_id", "text").count(),
       graft.pipeline.Text.dupChunkStats(docScaled, "doc_id", "text").count())
