@@ -16,11 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
+  /** How reused intermediate frames are pinned when `materialize = true`.
+    *
+    *  - [[PinLocal]] — `localCheckpoint`: blocks live on executors with
+    *    lineage truncated. Fastest, but a lost/preempted executor makes its
+    *    blocks unrecoverable — single-machine or non-preemptible only.
+    *  - [[PinReliable]] — `checkpoint` to the configured checkpoint dir
+    *    (HDFS/object store on a cluster): survives any executor loss at the
+    *    cost of one write+read through the reliable store. The right mode
+    *    for long preemptible-fleet jobs. Requires
+    *    `spark.sparkContext.setCheckpointDir(...)`.
+    *  - [[PinDisk]] — `persist(DISK_ONLY_2)`: 2-replica executor-disk
+    *    cache with lineage KEPT, so a lost block recomputes instead of
+    *    failing the job; cheaper than a reliable store but recompute storms
+    *    are still possible under mass preemption.
+    *
+    * See SCALE.md ("Pinning reused frames") for the measured trade.
+    */
+  val PinLocal = "local"
+  val PinReliable = "reliable"
+  val PinDisk = "disk"
+
+  private[pipeline] def pinFrame(f: DataFrame, mode: String): DataFrame =
+    mode match {
+      case PinLocal => f.localCheckpoint(false)
+      case PinReliable =>
+        require(f.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "pinMode=reliable requires sparkContext.setCheckpointDir(...) " +
+            "pointing at storage that survives executor loss")
+        f.checkpoint(false)
+      case PinDisk =>
+        f.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown pinMode '$other' (expected local | reliable | disk)")
+    }
+
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 70,
       nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
       maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
-      materialize: Boolean = false): DataFrame = {
+      materialize: Boolean = false,
+      pinMode: String = PinLocal): DataFrame = {
     val feats = Text.langId(Text.qualityFeatures(df, textCol), textCol)
     val kept = feats.filter(col("n_tokens").between(minTokens, maxTokens))
     // exact dedup: keep the smallest id per normalized fingerprint
@@ -35,7 +72,7 @@ object Pipelines {
     // heavy subtrees), so the pure-lineage plan is the default; flip it on
     // clusters where re-scanning the corpus per branch dominates.
     val exactKept =
-      if (materialize) exactKept0.localCheckpoint(false) else exactKept0
+      if (materialize) pinFrame(exactKept0, pinMode) else exactKept0
     // near-dup removal among survivors: drop the larger id of each pair
     val dropIds = Dedup.jaccardPairs(exactKept, idCol, textCol,
         nearDupThreshold, shingleSize, maxShingleDf)
@@ -67,7 +104,8 @@ object Pipelines {
       minTokens: Int = 20, maxTokens: Int = 70,
       nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
       contextLen: Int = 256, numBuckets: Int = 0,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      pinMode: String = PinLocal): DataFrame = {
     def scrub(f: DataFrame) =
       f.withColumn(textCol, Text.scrubPii(col(textCol)))
     // `clean` and `docs` each feed two downstream branches; with pure
@@ -76,10 +114,12 @@ object Pipelines {
     // packSequences' windows) enough that reuse does NOT cover the curate
     // chain and it re-executes per branch. Measured at 4× corpus scale
     // (ScaleProbe `train_prep_4x`, SCALE.md): materialize 6.5s vs pure
-    // lineage 22.8s — so pinning the reused frames via localCheckpoint is
-    // the default; `false` is for memory-starved clusters where holding
-    // the curated corpus in block storage is worse than recompute.
-    def pin(f: DataFrame) = if (materialize) f.localCheckpoint(false) else f
+    // lineage 22.8s — so pinning the reused frames is the default;
+    // `false` is for memory-starved clusters where holding the curated
+    // corpus in block storage is worse than recompute. `pinMode` picks the
+    // pin mechanism: localCheckpoint for single-machine speed, reliable
+    // checkpoint or DISK_ONLY_2 for preemptible fleets (see [[PinLocal]]).
+    def pin(f: DataFrame) = if (materialize) pinFrame(f, pinMode) else f
     // curated also feeds two branches, but pinning IT measured no
     // improvement (slightly worse, within host variance, at sf0.1):
     // with exactKept already checkpointed inside curate, the branches'
@@ -88,7 +128,8 @@ object Pipelines {
     // do not reuse (their branches reshape the plan), hence exactly
     // those two pins.
     val curated = curate(scrub(df), idCol, textCol, minTokens, maxTokens,
-      nearDupThreshold, shingleSize, materialize = materialize)
+      nearDupThreshold, shingleSize, materialize = materialize,
+      pinMode = pinMode)
     val contam = Dedup.contamination(curated, scrub(evalDf), idCol, textCol,
       shingleSize).select(col(idCol))
     val clean = pin(curated.join(contam, Seq(idCol), "left_anti"))

@@ -664,6 +664,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(false) == run(true))
   }
 
+  test("trainPrep pinMode reliable/disk match localCheckpoint output") {
+    val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val budgets = Map("en" -> 2000L, "de" -> 600L, "es" -> 600L, "fr" -> 500L)
+    def run(mode: String) = graft.pipeline.Pipelines.trainPrep(
+      docs.filter($"doc_id" % 97 =!= 0), "doc_id", "text",
+      docs.filter($"doc_id" % 97 === 0), budgets,
+      contextLen = 128, numBuckets = 4, pinMode = mode)
+      .orderBy("doc_id").collect().toSeq
+    val local = run(graft.pipeline.Pipelines.PinLocal)
+    // reliable mode refuses to run without a checkpoint dir (fail-fast
+    // beats silently writing snapshots to executor-local /tmp)
+    val noDir = intercept[IllegalArgumentException] {
+      run(graft.pipeline.Pipelines.PinReliable)
+    }
+    assert(noDir.getMessage.contains("setCheckpointDir"))
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck")
+    try {
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      assert(run(graft.pipeline.Pipelines.PinReliable) == local)
+      // the reliable snapshots actually landed in the checkpoint dir
+      val wrote = java.nio.file.Files.walk(ckDir).filter(
+        java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable pin wrote nothing to the checkpoint dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(ckDir.toFile)
+    }
+    assert(run(graft.pipeline.Pipelines.PinDisk) == local)
+    intercept[IllegalArgumentException] { run("bogus") }
+  }
+
   test("packBucketsFor: floor on tiny input, grows with bytes, auto path") {
     val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
       "documents")
