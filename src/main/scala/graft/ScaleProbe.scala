@@ -65,7 +65,12 @@ object ScaleProbe {
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_PROBE=<regex> runs only matching probes — a full sweep
+    // is minutes, a single new row is seconds
+    val only = sys.env.get("SPARK_GRAFT_PROBE").map(_.r)
+    def sel(name: String) = only.forall(_.findFirstIn(name).isDefined)
     def report(name: String, factor: Int, base: => Long, scaled: => Long): Unit = {
+      if (!sel(name)) return
       base; scaled // warm both code paths
       val tb = time(base); val ts = time(scaled)
       println(f"[scale] $name%-22s 1x=$tb%6.2fs  ${factor}x=$ts%6.2fs  " +
@@ -176,6 +181,7 @@ object ScaleProbe {
     // the heavy window on (user, day) and must stay flat
     def reportPair(name: String, a: => Long, b: => Long,
         la: String = "plain", lb: String = "chunked"): Unit = {
+      if (!sel(name)) return
       a; b // warm both code paths
       val ta = time(a); val tb = time(b)
       println(f"[scale] $name%-22s $la=$ta%6.2fs  $lb=$tb%6.2fs  " +
@@ -281,7 +287,7 @@ object ScaleProbe {
     // is the parallelism knob: too few buckets = long single-task windows
     // (the 100 TB failure mode), enough buckets = flat. The auto default
     // derives buckets from plan-stats input size (packBucketsFor).
-    {
+    if (sel("pack_buckets")) {
       import graft.pipeline.Text
       val auto = Text.packBucketsFor(docScaled)
       def pack(b: Int): Long =
@@ -347,6 +353,43 @@ object ScaleProbe {
       Similarity.knnBrute(embT, qset, 5).count(),
       Similarity.knnBruteQuantized(qCorpus, qset, 5).count(),
       la = "float", lb = "int8")
+
+    // ---- user-day ledger: state size vs stream LENGTH -------------------
+    // the SAME users kept active 10x longer (ts-shifted copies, ids kept):
+    // the live cohort ledger's per-key state should grow ~1 bit per
+    // calendar day, not 8 bytes per distinct active day like the seen-day
+    // list it replaced. Measured from the state store's own accounting
+    // after an AvailableNow drain.
+    if (sel("user_days_state")) {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val day = 86400L * 1000000000L
+      def stateAfterDrain(k: Int): (Long, Long) = {
+        val base = s"$work/udays_${k}x"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        (0 until k).map(i => events.withColumn("ts", col("ts") + lit(i * span)))
+          .reduce(_.unionByName(_))
+          .select("user_id", "ts").write.mode("overwrite").parquet(s"$base/in")
+        val src = spark.readStream
+          .schema(StructType(Seq(StructField("user_id", LongType),
+            StructField("ts", LongType))))
+          .parquet(s"$base/in")
+        val led = graft.streaming.StreamIngest.streamingUserDays(
+          src, "user_id", "ts", day)
+        val q = led.writeStream.format("noop")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(600000); q.stop()
+        val st = q.recentProgress.flatMap(_.stateOperators).lastOption
+        (st.map(_.numRowsTotal).getOrElse(-1L),
+          st.map(_.memoryUsedBytes).getOrElse(-1L))
+      }
+      val (u1, b1) = stateAfterDrain(1)
+      val (u10, b10) = stateAfterDrain(10)
+      println(f"[scale] user_days_state       1x=${b1 / 1024}%5dKiB/$u1 keys  " +
+        f"10x=${b10 / 1024}%5dKiB/$u10 keys  ratio=${b10.toDouble / b1}%5.2f " +
+        "(distinct-day list would be ~10)")
+    }
     spark.stop()
   }
 }

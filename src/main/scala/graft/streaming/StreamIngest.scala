@@ -629,9 +629,21 @@ object StreamIngest {
     * retracted, so a late earlier day cannot rewrite history — a later
     * earlier-day arrival emits with a negative offset against the
     * pinned cohort).
+    *
+    * State is BOUNDED BY THE CALENDAR, not the stream: per key it holds
+    * (cohort day, anchor day, seen-day bitmap), where bit `i` of the
+    * bitmap marks day `anchor + i` as seen. A user-year costs 46 bytes
+    * (365 bits) regardless of how many events arrive — vs ~8 bytes per
+    * DISTINCT DAY for the naive seen-day list this replaced (ScaleProbe
+    * `user_days_state` pins the measured per-key state byte growth vs
+    * stream length). The anchor only moves (and the bitmap only shifts)
+    * on the rare late-arriving pre-anchor day. `maxSpanDays` (default
+    * 200 years) fail-fasts on garbage timestamps whose day span would
+    * balloon the bitmap — a data-quality guard, not a tuning knob.
     */
   def streamingUserDays(stream: DataFrame, keyCol: String, tsCol: String,
-      dayNanos: Long, stateTtl: String = ""): DataFrame = {
+      dayNanos: Long, stateTtl: String = "",
+      maxSpanDays: Int = 73000): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = stream.sparkSession
     import spark.implicits._
@@ -641,26 +653,68 @@ object StreamIngest {
         expr(s"`$tsCol` div ${dayNanos}L").as("day"))
       .filter(col("key").isNotNull && col("day").isNotNull)
       .as[UDIn]
+    def testBit(bits: Array[Long], i: Long): Boolean = {
+      val w = (i >> 6).toInt
+      w < bits.length && ((bits(w) >>> (i & 63).toInt) & 1L) != 0L
+    }
+    def setBit(bits: Array[Long], i: Long): Array[Long] = {
+      val w = (i >> 6).toInt
+      val arr = if (w < bits.length) bits
+        else java.util.Arrays.copyOf(bits, w + 1)
+      arr(w) |= 1L << (i & 63).toInt
+      arr
+    }
+    // shift every bit up by `shift` positions (a pre-anchor day arrived;
+    // the bitmap re-anchors lower). Word-wise, O(words), rare.
+    def shiftUp(bits: Array[Long], shift: Long): Array[Long] = {
+      val wordShift = (shift >> 6).toInt
+      val bitShift = (shift & 63).toInt
+      val out = new Array[Long](bits.length + wordShift + 1)
+      var i = 0
+      while (i < bits.length) {
+        val v = bits(i)
+        if (v != 0L) {
+          out(i + wordShift) |= v << bitShift
+          if (bitShift != 0) out(i + wordShift + 1) |= v >>> (64 - bitShift)
+        }
+        i += 1
+      }
+      out
+    }
     def fn(key: Long, rows: Iterator[UDIn],
-        state: GroupState[(Long, Seq[Long])]): Iterator[UDOut] = {
+        state: GroupState[(Long, Long, Array[Long])]): Iterator[UDOut] = {
       if (state.hasTimedOut) {
         state.remove()
         return Iterator.empty
       }
-      var (cohort, seen0) = state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long]))
-      val seen = scala.collection.mutable.HashSet(seen0: _*)
+      var (cohort, anchor, bits) = state.getOption
+        .getOrElse((Long.MaxValue, Long.MaxValue, Array.empty[Long]))
+      var changed = false
       val out = scala.collection.mutable.ArrayBuffer.empty[UDOut]
       for (r <- rows.toSeq.sortBy(_.day)) {
-        if (cohort == Long.MaxValue) cohort = r.day
-        if (seen.add(r.day))
+        if (cohort == Long.MaxValue) { cohort = r.day; anchor = r.day }
+        if (r.day < anchor) {
+          bits = shiftUp(bits, anchor - r.day)
+          anchor = r.day
+          changed = true
+        }
+        val off = r.day - anchor
+        require(off < maxSpanDays, s"user-day span $off days for key $key " +
+          s"exceeds maxSpanDays=$maxSpanDays — timestamps are likely " +
+          "garbage (span guard, not a capacity limit)")
+        if (!testBit(bits, off)) {
+          bits = setBit(bits, off)
+          changed = true
           out += UDOut(key, r.day, cohort, r.day - cohort)
+        }
       }
-      if (out.nonEmpty) state.update((cohort, seen.toSeq))
+      if (changed) state.update((cohort, anchor, bits))
       if (state.exists) ttl.foreach(state.setTimeoutDuration)
       out.iterator
     }
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState[(Long, Seq[Long]), UDOut](OutputMode.Append,
+      .flatMapGroupsWithState[(Long, Long, Array[Long]), UDOut](
+        OutputMode.Append,
         if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(fn)
       .toDF()

@@ -221,11 +221,69 @@ class StreamingSpec extends AnyFunSuite {
     // (cohort 0 carried → offset 3)
     Seq((1L, 27L), (1L, 35L)).toDF("user_id", "ts").write.parquet(s"$in/b2")
     drain()
+    // batch 3: user 2 late-arrives PRE-cohort day 0 — the bitmap
+    // re-anchors (shift path) and the row emits with a negative offset
+    // against the pinned cohort day 1
+    Seq((2L, 3L)).toDF("user_id", "ts").write.parquet(s"$in/b3")
+    drain()
+    // batch 4: re-send both of user 2's days — the shifted bitmap must
+    // still know them (no emission), proving re-anchoring kept old bits
+    Seq((2L, 5L), (2L, 14L)).toDF("user_id", "ts").write.parquet(s"$in/b4")
+    drain()
     val out = spark.read.parquet(outDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sorted
     assert(out.toSeq == Seq((1L, 0L, 0L, 0L), (1L, 2L, 0L, 2L),
-      (1L, 3L, 0L, 3L), (2L, 1L, 1L, 0L)))
+      (1L, 3L, 0L, 3L), (2L, 0L, 1L, -1L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("user-day ledger restart: retention rollup equals batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // real corpus split mid-stream: the ledger drains half the events,
+    // restarts from its checkpoint, drains the rest — the cohort rollup
+    // on the accumulated sink must equal the single-shot batch operator
+    // on the full table (cohort state provably survived the restart).
+    val events = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "events").select("user_id", "ts")
+    val dayNs = 86400L * 1000000000L
+    val dir = SparkTestBase.tempDir("graft-udret-in")
+    val in = new java.io.File(dir, "in").getPath
+    // split at the mid-span DAY: batch 1 holds every user's early days,
+    // so the cohorts pinned there must survive the restart for batch-2
+    // offsets to come out right (live semantics pin cohort at first
+    // ARRIVAL — a parity split would legitimately diverge from batch)
+    val dayCol = expr(s"ts div ${dayNs}L")
+    val bounds = events.select(min(dayCol), max(dayCol)).head
+    val midDay = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    events.filter(dayCol < midDay).write.parquet(s"$in/b1")
+    val schema = events.schema
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val ledger = StreamIngest.streamingUserDays(src, "user_id", "ts", dayNs)
+    val ck = SparkTestBase.tempDir("graft-udret-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-udret-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      val q = ledger.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    events.filter(dayCol >= midDay).write.parquet(s"$in/b2")
+    drain()
+    val sink = spark.read.parquet(outDir)
+    // ledger rows are exactly-once → distinct == identity; cohort rollup
+    val streamed = sink.groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset").collect().toSeq
+    val batch = graft.operators.TsOps.retention(events, "user_id", dayNs)
+      .orderBy("cohort_day", "day_offset").collect().toSeq
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
   }
 
   test("streaming transitions: cross-batch carry via last-event state") {
