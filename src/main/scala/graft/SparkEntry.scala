@@ -1762,7 +1762,8 @@ object SparkEntry {
     }),
     "knn_pq_recall" -> ((s, d) => {
       // product quantization end-to-end: sample-trained codebooks (m=4
-      // subspaces × k=16 centroids), corpus encoded to 4 bytes + a float
+      // subspaces × k=256 centroids — the standard full-byte codebook,
+      // offset-encoded into signed tinyints), 4 code bytes + a float
       // (64× smaller than the 64-dim float vectors), ADC table scoring.
       // Gate is CLUSTER recall: quantization error exceeds intra-cluster
       // distances by design (all of a tight cluster's members share
@@ -1771,7 +1772,7 @@ object SparkEntry {
       val corpus = clusteredVecs(s, d, n = 1000, nCenters = 5, noise = 0.05f)
       val q = corpus.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val books = Similarity.pqTrain(corpus, m = 4, k = 16)
+      val books = Similarity.pqTrain(corpus, m = 4, k = 256)
       val enc = Similarity.pqEncode(corpus, books)
       val viaPq = Similarity.pqKnn(enc, books, q, k = 5).select("qid", "vec_id")
       viaPq
@@ -1789,7 +1790,7 @@ object SparkEntry {
       val cents = Similarity.kmeans(corpus, k = 5)
       val assigned = Similarity.ivfAssign(corpus, cents)
         .select("vec_id", "cid")
-      val books = Similarity.pqTrain(corpus, m = 4, k = 16)
+      val books = Similarity.pqTrain(corpus, m = 4, k = 256)
       val enc = Similarity.pqEncode(corpus, books).join(assigned, "vec_id")
       val top = Similarity.ivfPqKnn(enc, cents, books, q, k = 5)
         .select("qid", "vec_id")
@@ -1811,7 +1812,7 @@ object SparkEntry {
       // could drift between runs)
       val cents = corpus.filter(col("vec_id") < 5)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val books = Similarity.pqTrain(corpus, m = 4, k = 16)
+      val books = Similarity.pqTrain(corpus, m = 4, k = 256)
       val path = ivfStorePaths.computeIfAbsent(d + "#pq", _ => {
         val p = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-ivfpq-$processId-${dirTag(d)}").getPath

@@ -308,8 +308,11 @@ object Similarity {
   }
 
   /** Encode the corpus against trained codebooks: one UDF pass emits the
-    * `m` single-BYTE codes (`array<tinyint>` at rest — hence the k ≤ 127
-    * bound; L2-argmin per subspace) plus the reconstructed norm. The code
+    * `m` single-BYTE codes (`array<tinyint>` at rest; L2-argmin per
+    * subspace) plus the reconstructed norm. Centroid index `c ∈ [0, 256)`
+    * is OFFSET-ENCODED as `(c - 128).toByte` so the full standard
+    * 256-centroid codebook fits the signed byte at the same storage cost
+    * ([[adcRank]] adds the 128 back before the table lookup). The code
     * column is `dims·4/m`× smaller than the float vector (64× for 64-dim
     * m=4); the full row, with the 8-byte norm, lands ~20×. Null or
     * wrong-dimension vectors encode to a null code row (corrupt vectors
@@ -321,8 +324,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = codebooks.length
     val sd = codebooks(0)(0).length
-    require(codebooks.forall(_.length <= 127),
-      "PQ codes are stored as bytes — use k <= 127 centroids per subspace")
+    require(codebooks.forall(_.length <= 256),
+      "PQ codes are stored as offset-encoded bytes — " +
+        "use k <= 256 centroids per subspace")
     val enc = udf((vec: Seq[Float]) => {
       if (vec == null || vec.length != m * sd) null
       else {
@@ -333,7 +337,7 @@ object Similarity {
         while (s < m) {
           val sub = java.util.Arrays.copyOfRange(v, s * sd, (s + 1) * sd)
           val c = nearestL2(sub, codebooks(s))
-          codes(s) = c.toByte
+          codes(s) = (c - 128).toByte
           val cv = codebooks(s)(c)
           var j = 0
           while (j < sd) { rn2 += cv(j).toDouble * cv(j); j += 1 }
@@ -458,7 +462,8 @@ object Similarity {
     val score = udf((qid: Long, codes: Seq[Byte], rnorm: Double) => {
       val t = tables(qid)
       var d = 0.0; var s = 0
-      while (s < m) { d += t(s)(codes(s).toInt); s += 1 }
+      // codes are offset-encoded (pqEncode stores c - 128)
+      while (s < m) { d += t(s)(codes(s).toInt + 128); s += 1 }
       if (rnorm == 0.0) Double.NegativeInfinity else d / rnorm
     })
     val w = Window.partitionBy(qidCol)

@@ -453,6 +453,23 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("vec_id") % 4 == r.getAs[Long]("qid") % 4,
         s"out-of-cluster: $r")
     }
+    // full 256-centroid codebook: offset encoding must exercise indices
+    // past the signed-byte midpoint (a non-negative stored byte = index
+    // >= 128) and ADC must still decode them back to the right table row
+    val books256 = Similarity.pqTrain(vecs, m = 4, k = 256)
+    assert(books256.forall(_.length > 127), "train collapsed below 128 cents")
+    val enc256 = Similarity.pqEncode(vecs, books256)
+    assert(enc256.collect().exists(_.getSeq[Byte](1).exists(_ >= 0)),
+      "no code landed past index 127 — 256-centroid codebook unexercised")
+    Similarity.pqKnn(enc256, books256, q, k = 3).collect().foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 4 == r.getAs[Long]("qid") % 4,
+        s"out-of-cluster at k=256: $r")
+    }
+    // past the byte: refuse rather than truncate
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(vecs,
+        Array.fill(4)(Array.fill(257)(Array.fill(4)(0f))))
+    }
   }
 
   test("imageHashes: exact re-render collides, one-pixel noise hamming <= 2") {
