@@ -532,6 +532,33 @@ object SparkEntry {
         .agg(sum(epCents * (lit(100L) - disc100)).as("revenue_c4"))
         .orderBy(col("revenue_c4").desc, col("n_name").asc)
     }),
+    "tpch_q18" -> ((s, d) => {
+      // large-quantity-order customers (TPC-H Q18): the aggregate-filtered
+      // semi-join shape — lineitem pre-aggregates per order (partial aggs
+      // combine map-side), HAVING keeps only the rare >300-qty orders, and
+      // just those orderkeys flow into the customer/orders joins. The
+      // big-order set is ~0.05% of orders, so AQE turns both joins into
+      // broadcasts at runtime; the classic formulation's second
+      // sum(l_quantity) per customer/order group is unnecessary — the join
+      // on orderkey is 1:1 with the pre-aggregate, which already carries
+      // the sum. Quantities are integral-valued doubles → exact BIGINT
+      // sums on both engines; order date renders as a date string (engine-
+      // portable, no timestamp-unit hazard).
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300L)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+    }),
     "ts_active_users" -> ((s, d) =>
       // DAU + trailing-7d WAU: bounded explode over the deduplicated
       // (user, day) frame, no per-day self-join (see TsOps.activeUsers)
@@ -1001,6 +1028,21 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue_c4 DESC, n_name""".stripMargin,
+    "tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "ts_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

@@ -275,6 +275,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("tpch_q18: having pre-agg is partial, joins stay hash, top-100 TOP") {
+    val p = plan("tpch_q18")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // the quantity pre-aggregate combines map-side before its shuffle
+    assert(p.contains("partial_sum"), p)
+    // final ordering is a distributed top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("ts_concurrency: keyless interval join stays an equi-join") {
     val p = plan("ts_concurrency")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
