@@ -147,6 +147,13 @@ object ScaleProbe {
     report("window_cooccur", docK,
       graft.pipeline.Text.windowCooccurrence(docs, "text").count(),
       graft.pipeline.Text.windowCooccurrence(docScaled, "text").count())
+    // vocabulary-scale variant: topK=10k (here: effectively the whole
+    // vocab) — the broadcast path this size requires
+    report("window_cooccur_10k", docK,
+      graft.pipeline.Text.windowCooccurrence(docs, "text",
+        topK = 10000).count(),
+      graft.pipeline.Text.windowCooccurrence(docScaled, "text",
+        topK = 10000).count())
     report("dup_chunks", docK,
       graft.pipeline.Text.dupChunkStats(docs, "doc_id", "text").count(),
       graft.pipeline.Text.dupChunkStats(docScaled, "doc_id", "text").count())

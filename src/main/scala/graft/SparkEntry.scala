@@ -2230,11 +2230,13 @@ object SparkEntry {
         .orderBy("day")
     }),
     "stream_window_cooccur" -> ((s, d) => {
-      // live skip-gram counts: the batch vocabulary closes over the same
-      // pairing UDF; state = complete-mode pair counts (≤ K²/2)
+      // live skip-gram counts: the batch vocabulary rides a broadcast
+      // into the same pairing UDF; state = complete-mode pair counts
+      // (≤ K²/2)
       Tables.configure(s)
       val docs = t(s, d, "documents")
-      val vocab = Text.occurrenceVocab(docs, "text", topK = 100)
+      val vocab = s.sparkContext.broadcast(
+        Text.occurrenceVocab(docs, "text", topK = 100))
       val src = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val pairs = src

@@ -711,25 +711,29 @@ object Text {
       .orderBy(col("n").desc, col("tok").asc).limit(topK)
       .collect().map(_.getString(0)).toSet
 
-  /** Text→pairs UDF of [[windowCooccurrence]] — vocab rides the closure,
-    * and tokenization happens INSIDE the compiled UDF ([[tokensScala]]):
-    * routing through the `tokens()` HOF would put the interpreted
-    * CodegenFallback lambda back on the per-doc hot path (the ~20×
-    * measured penalty the bpePairCounts comment records). */
-  def windowPairsUdf(vocab: Set[String], window: Int)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+  /** Text→pairs UDF of [[windowCooccurrence]] — the vocab arrives as a
+    * BROADCAST variable (shipped once per executor, not serialized into
+    * every task closure — immaterial at topK=100, the difference between
+    * workable and not at real vocabulary sizes), and tokenization happens
+    * INSIDE the compiled UDF ([[tokensScala]]): routing through the
+    * `tokens()` HOF would put the interpreted CodegenFallback lambda back
+    * on the per-doc hot path (the ~20× measured penalty the bpePairCounts
+    * comment records). */
+  def windowPairsUdf(vocab: org.apache.spark.broadcast.Broadcast[Set[String]],
+      window: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(window >= 1, "window must be >= 1")
     udf((text: String) => {
+      val v = vocab.value
       val toks = tokensScala(text)
       val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var i = 0
       while (i < toks.length) {
         val a = toks(i)
-        if (vocab(a)) {
+        if (v(a)) {
           var o = 1
           while (o <= window && i + o < toks.length) {
             val b = toks(i + o)
-            if (vocab(b))
+            if (v(b))
               out += (if (a <= b) (a, b) else (b, a))
             o += 1
           }
@@ -746,12 +750,14 @@ object Text {
     * positions in the raw sequence (gaps are NOT collapsed — tokens
     * outside the vocabulary still occupy positions). The top-`topK`-by-
     * occurrence vocabulary bounds the pair key space at K²/2; it is
-    * topK-sized metadata, collected once and closed over the pairing
+    * topK-sized metadata, collected once and BROADCAST to the pairing
     * UDF. Pair fan-out ≤ `window` per token; one count shuffle.
     */
   def windowCooccurrence(df: DataFrame, textCol: String, window: Int = 2,
       topK: Int = 100): DataFrame = {
-    val pairsUdf = windowPairsUdf(occurrenceVocab(df, textCol, topK), window)
+    val pairsUdf = windowPairsUdf(
+      df.sparkSession.sparkContext.broadcast(
+        occurrenceVocab(df, textCol, topK)), window)
     fanOut(df)
       .select(explode(pairsUdf(col(textCol))).as("__p"))
       .select(col("__p._1").as("tok_a"), col("__p._2").as("tok_b"))
