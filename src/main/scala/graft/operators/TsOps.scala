@@ -18,6 +18,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object TsOps {
 
+  /** SQL text for FLOOR division of a long expression by a positive literal:
+    * `(x - pmod(x, b)) div b`. Two properties the obvious alternatives lack:
+    * integer-exact (a `/` on longs round-trips through double, where epoch-ns
+    * magnitudes lose up to ~256 ns before dividing) and floor semantics on
+    * negatives (`pmod` is non-negative, so the subtraction lands on the floor
+    * multiple; SQL `div` alone truncates toward zero, bucketing pre-epoch
+    * timestamps one high — DuckDB's `//` and Java's `Math.floorDiv` both
+    * floor, and the oracle comparisons ride the former).
+    */
+  def floorDivSql(x: String, b: Long): String =
+    s"(($x - pmod($x, ${b}L)) div ${b}L)"
+
+  /** [[floorDivSql]]'s companion: the floor MULTIPLE `x - pmod(x, b)` —
+    * the start of the width-`b` bucket containing `x`. */
+  def floorBucketSql(x: String, b: Long): String =
+    s"($x - pmod($x, ${b}L))"
+
   /** `[since, until)` — the reference's only WHERE predicate
     * (`time_series_dataframe.rs:355-385`): since inclusive, until exclusive,
     * duplicate timestamps preserved.
@@ -77,8 +94,9 @@ object TsOps {
     */
   def downsample(df: DataFrame, bucketNanos: Long, valueCol: String,
       groupCols: Seq[String] = Nil, tsCol: String = "ts"): DataFrame = {
-    val bucket = (floor(col(tsCol) / lit(bucketNanos)) * lit(bucketNanos))
-      .cast("long").as("bucket_ts")
+    // integer floor bucket (see [[floorBucketSql]]): Column `/` is double
+    // division, losing ~256 ns on epoch-ns magnitudes before the floor
+    val bucket = expr(floorBucketSql(tsCol, bucketNanos)).as("bucket_ts")
     df.groupBy(bucket +: groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
@@ -352,7 +370,7 @@ object TsOps {
   def retention(df: DataFrame, userCol: String, dayNanos: Long,
       tsCol: String = "ts"): DataFrame = {
     val activity = df
-      .select(col(userCol), expr(s"$tsCol div $dayNanos").as("__day"))
+      .select(col(userCol), expr(floorDivSql(tsCol, dayNanos)).as("__day"))
       .distinct()
     val cohorts = activity.groupBy(userCol)
       .agg(min(col("__day")).as("cohort_day"))
@@ -386,8 +404,9 @@ object TsOps {
     // end-start spurious bins — drop them before the explode
     val binned = intervals.filter(col(endCol) >= col(startCol))
       .withColumn("__bin", explode(sequence(
-        expr(s"$startCol div ${binNanos}L"), expr(s"$endCol div ${binNanos}L"))))
-    points.withColumn("__bin", expr(s"$tsCol div ${binNanos}L"))
+        expr(floorDivSql(startCol, binNanos)),
+        expr(floorDivSql(endCol, binNanos)))))
+    points.withColumn("__bin", expr(floorDivSql(tsCol, binNanos)))
       .join(binned, keyCols :+ "__bin")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
@@ -402,7 +421,8 @@ object TsOps {
     val day = 86400L * 1000000000L
     val hour = 3600L * 1000000000L
     df.select(
-        expr(s"pmod(($tsCol div ${day}L) + 4, 7)").as("dow"),
+        expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)").as("dow"),
+        // pmod's result is non-negative, so plain div IS floor div here
         expr(s"pmod($tsCol, ${day}L) div ${hour}L").as("hour"))
       .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
   }
@@ -438,8 +458,8 @@ object TsOps {
       "windowNanos must be a positive multiple of slideNanos")
     val k = windowNanos / slideNanos
     df.withColumn("window_start", explode(sequence(
-        expr(s"(($tsCol div ${slideNanos}L) - ${k - 1}L) * ${slideNanos}L"),
-        expr(s"($tsCol div ${slideNanos}L) * ${slideNanos}L"),
+        expr(s"(${floorDivSql(tsCol, slideNanos)} - ${k - 1}L) * ${slideNanos}L"),
+        expr(s"${floorDivSql(tsCol, slideNanos)} * ${slideNanos}L"),
         lit(slideNanos))))
       .groupBy("window_start")
       .agg(count(lit(1)).as("n"), min(valueCol).as("min_v"),
@@ -456,7 +476,7 @@ object TsOps {
   def activeUsers(df: DataFrame, userCol: String, dayNanos: Long,
       windowDays: Int = 7, tsCol: String = "ts"): DataFrame = {
     val act = df
-      .select(col(userCol), expr(s"$tsCol div ${dayNanos}L").as("day"))
+      .select(col(userCol), expr(floorDivSql(tsCol, dayNanos)).as("day"))
       .distinct()
     val dau = act.groupBy("day")
       .agg(count_distinct(col(userCol)).as("dau"))

@@ -319,9 +319,12 @@ object Multimodal {
           val img =
             if (row.isNullAt(cIdx)) null
             else
+              // NonFatal, not just IOException: javax.imageio plugins throw
+              // RuntimeExceptions (IllegalArgument, CMM, index) on malformed
+              // bytes — corrupt files are data, not task failures
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Row(id, null, null, null, null, null)
           else {
             val (sr, sg, sb) = channelSums(img)
@@ -367,9 +370,11 @@ object Multimodal {
           val img =
             if (row.isNullAt(cIdx)) null
             else
+              // NonFatal for the same reason as [[decodeImages]]: decoder
+              // plugins surface malformed data as RuntimeExceptions too
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](cIdx)))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
           if (img == null || img.getWidth < 8 || img.getHeight < 8)
             Row(id, null)
           else {
@@ -505,8 +510,9 @@ object Multimodal {
                   Some((n.toLong, rate, n.toLong * 1000L / rate, sum, sumAbs))
                 }
               } catch {
-                case _: javax.sound.sampled.UnsupportedAudioFileException => None
-                case _: java.io.IOException => None
+                // UnsupportedAudioFileException is checked, but malformed
+                // headers also surface as RuntimeExceptions from the parser
+                case scala.util.control.NonFatal(_) => None
               }
           decoded match {
             case Some((n, rate, durMs, sum, sumAbs)) =>
@@ -625,7 +631,10 @@ object Multimodal {
                 }
               }
             }
-          } catch { case _: java.io.IOException => nullRow(id) }
+            // NonFatal: truncated containers raise EOF/IOException, but a
+            // corrupt embedded frame can throw RuntimeExceptions from the
+            // PNG plugin — either way the video is data, not a task failure
+          } catch { case scala.util.control.NonFatal(_) => nullRow(id) }
         }
       }
     }

@@ -167,8 +167,14 @@ object Similarity {
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", cidCol: String = "cid",
       cvecCol: String = "cvec"): DataFrame = {
+    // NaN cosines (zero-norm centroid, dim mismatch) are dropped BEFORE
+    // the argmax window: Spark orders NaN greatest, so a single degenerate
+    // centroid would otherwise win every row's argmax and suppress it —
+    // and the streaming twin already skips NaN, so filtering here keeps
+    // the documented drained-stream == batch equality on degenerate vectors
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("cos", cosine(col(cvecCol), col(vecCol)))
+      .filter(!isnan(col("cos")))
     val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col(cidCol).asc)
     scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .filter(col("cos") < threshold)

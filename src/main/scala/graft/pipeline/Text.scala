@@ -447,7 +447,10 @@ object Text {
     val w = counts.map { case (dom, n) =>
       dom -> math.floor(math.sqrt(n.toDouble)).toLong }
     val sumW = w.map(_._2).sum
-    w.map { case (dom, wd) => dom -> totalBudget * wd / sumW }.toMap
+    // every domain empty (floor(sqrt(0)) = 0 each) → zero budgets, not a
+    // divide-by-zero from the share computation
+    if (sumW == 0L) w.map { case (dom, _) => dom -> 0L }.toMap
+    else w.map { case (dom, wd) => dom -> totalBudget * wd / sumW }.toMap
   }
 
   /** Epoch-repeat mixture planning — the data-constrained companion of

@@ -46,13 +46,14 @@ object StreamIngest {
     spark.readStream.schema(schema).parquet(dir)
 
   def withEventTime(df: DataFrame, tsCol: String = "ts"): DataFrame =
-    // integer `div`, NOT `/`: long/long division goes through double, and
-    // epoch-ns magnitudes (~1.7e18) round to the nearest 256 ns before
+    // integer FLOOR div, NOT `/`: long/long division goes through double,
+    // and epoch-ns magnitudes (~1.7e18) round to the nearest 256 ns before
     // dividing — the truncated µs could come out one low, skewing the
     // watermark and window bucketing off the exact arithmetic the oracles
-    // use
+    // use. Floor (not `div`'s truncate-toward-zero) so a pre-epoch ns
+    // timestamp maps to the µs at-or-before it, like Math.floorDiv.
     df.withColumn("__event_time",
-      timestamp_micros(expr(s"`$tsCol` div 1000")))
+      timestamp_micros(expr(graft.operators.TsOps.floorDivSql(s"`$tsCol`", 1000L))))
 
   /** Watermarked fixed-window downsample — the streaming rollup: late data
     * beyond `lateness` dropped, append-mode emission on window close. */
@@ -650,7 +651,8 @@ object StreamIngest {
     val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
     val ds = stream
       .select(col(keyCol).cast("long").as("key"),
-        expr(s"`$tsCol` div ${dayNanos}L").as("day"))
+        expr(graft.operators.TsOps.floorDivSql(s"`$tsCol`", dayNanos))
+          .as("day"))
       .filter(col("key").isNotNull && col("day").isNotNull)
       .as[UDIn]
     def testBit(bits: Array[Long], i: Long): Boolean = {
@@ -860,6 +862,27 @@ object StreamIngest {
           else if (cand != Long.MinValue && math.abs(t - cand) <= maxSkew) {
             hw = t; cand = Long.MinValue; true // second point confirms a step
           } else { cand = t; false }  // lone far-future point: hold back
+        if (!admit) {
+          // held-back candidate: tested against its own [t-win, t] window
+          // (the group plus any retained entries still in range — with
+          // maxSkew < windowNanos the old region can overlap it) but NOT
+          // admitted: state, high-water, and eviction are untouched, so a
+          // genuine anomaly at a clock step still alerts while a bogus
+          // timestamp cannot poison the window
+          val cut = t - windowNanos
+          var n = 0L; var ws = 0L; var wsq = 0L
+          for (p <- deque if p._1 >= cut && p._1 <= t) {
+            n += 1; ws += p._2; wsq += p._2 * p._2
+          }
+          for (r <- group) { n += 1; ws += r.c; wsq += r.c * r.c }
+          if (n >= minN) for (r <- group) {
+            val d = n * r.c - ws
+            val lhs = d * d
+            val rhs = k2 * (n * wsq - ws * ws)
+            if (lhs > rhs)
+              out += ZOut(r.event_id, r.ts, key, r.value, n, lhs, rhs)
+          }
+        }
         if (admit) {
           val cut = t - windowNanos // [t-win, t] incl., like rangeBetween
           while (deque.nonEmpty && deque.head._1 < hw - windowNanos) {

@@ -498,6 +498,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(b == Map("a" -> 400L, "b" -> 200L, "c" -> 100L))
   }
 
+  test("temperatureBudgets: all-empty corpus yields zero budgets, not a crash") {
+    // every domain's token sum is 0 → floor(sqrt(0)) = 0 each → sumW = 0;
+    // the share division must not throw ArithmeticException
+    val fx = Seq((0L, "a", ""), (1L, "b", "")).toDF("doc_id", "lang", "text")
+    val b = Text.temperatureBudgets(fx, "text", "lang", totalBudget = 700L)
+    assert(b == Map("a" -> 0L, "b" -> 0L))
+  }
+
   test("labelCentroidSums: exact fixed-point element sums per (label, pos)") {
     val fx = Seq((0, Seq(1.5f, -0.25f)), (0, Seq(0.5f, 0.75f)),
       (1, Seq(2.0f, 0.0f)))
@@ -1131,6 +1139,25 @@ class PipelineSpec extends AnyFunSuite {
     // ties on cos (both centroids score 0) break to the smaller cid
     assert(out(2L) == ((0L, 0.0)))
     assert(out(3L) == ((0L, 0.0)))
+  }
+
+  test("embeddingOutliers: a zero-norm (NaN-cosine) centroid cannot mask rows") {
+    // Spark windows order NaN GREATEST, so without the pre-window NaN
+    // filter the degenerate centroid would win every argmax and suppress
+    // the whole outlier report (NaN < threshold is false) — and diverge
+    // from the streaming twin, which skips NaN cosines per centroid
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 1.0f)))  // orthogonal → outlier
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero norm → NaN vs everything
+      .toDF("cid", "cvec")
+    val out = Similarity.embeddingOutliers(corpus, cents, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Double]("cos"))).toSeq
+    assert(out == Seq((1L, 0L, 0.0)))
   }
 
   test("knn brute: nearest neighbor of a duplicated vector is its twin") {

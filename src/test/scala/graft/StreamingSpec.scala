@@ -542,6 +542,56 @@ class StreamingSpec extends AnyFunSuite {
       out.toString)
   }
 
+  test("streaming zscore: held-back clock-step candidate still alerts, untested state") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = SparkTestBase.tempDir("graft-zsc3")
+    val in = new java.io.File(dir, "in").getPath
+    val sec = 1000000000L
+    // window 100s, maxSkew 10s: the 30s spike jumps 19s past the 11s
+    // high-water → held back as a candidate, but its OWN window
+    // [-70s, 30s] still contains the 12 steady points, so the doc
+    // contract says it must be tested (and flag) without entering state
+    val b1 = (0 until 12).map(i => (i.toLong, i * sec, 7L, 50.0))
+    b1.toDF("event_id", "ts", "user_id", "value").write.parquet(s"$in/b1")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema).parquet(s"$in/*")
+    val flagged = StreamIngest.streamingZscoreAnomalies(
+      src, 100L * sec, k = 2, minN = 10, maxSkew = 10L * sec)
+    val ck = SparkTestBase.tempDir("graft-zsc3-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-zsc3-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      val q = flagged.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    Seq((90L, 30L * sec, 7L, 99.0)) // candidate spike
+      .toDF("event_id", "ts", "user_id", "value").write.parquet(s"$in/b2")
+    drain()
+    // a confirming second point within maxSkew of the candidate restarts
+    // the window there; the candidate itself is NOT retroactively in
+    // state, so this steady point sees 12 steady + itself = all 50s →
+    // clean. (Were the candidate admitted, hw/eviction bookkeeping would
+    // differ and a re-test here would see the 99.)
+    Seq((13L, 31L * sec, 7L, 50.0))
+      .toDF("event_id", "ts", "user_id", "value").write.parquet(s"$in/b3")
+    drain()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("roll_n"),
+        r.getAs[Long]("lhs"))).sorted.toSeq
+    // n = 13 (12 steady + the candidate itself); integer z-test exact:
+    // s = 12·5000 + 9900, d = 13·9900 − s = 58800
+    assert(out == Seq((90L, 13L, 58800L * 58800L)), out.toString)
+  }
+
   test("streaming embed outliers equal the batch outlier set, ties to min cid") {
     import spark.implicits._
     val dir = SparkTestBase.tempDir("graft-embout")

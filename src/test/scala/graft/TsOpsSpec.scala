@@ -668,6 +668,41 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out == Map((4L, 0L) -> 1L, (5L, 2L) -> 2L))
   }
 
+  test("pre-epoch timestamps bucket with floor semantics (DuckDB `//` parity)") {
+    // SQL `div` truncates toward zero, so a negative epoch-nano ts would
+    // bucket one HIGH (into the window after it); the operators bucket via
+    // (x - pmod(x, b)) div b = floor division, matching DuckDB's `//` and
+    // Math.floorDiv — the semantics every oracle comparison rides
+    // one nano before epoch = Wednesday 1969-12-31 23:59:59.999999999 UTC
+    val hm = TsOps.heatmap(Seq(-1L).toDF("ts")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(hm == Map((3L, 23L) -> 1L))
+    // window=slide=10 → exactly one window per row; ts=-1 belongs to
+    // [-10, 0), not [0, 10) as truncation would have it
+    val hop = TsOps.hoppingDownsample(Seq((-1L, 1.0)).toDF("ts", "value"),
+      10L, 10L, "value").collect().map(_.getLong(0)).toSeq
+    assert(hop == Seq(-10L))
+    val ds = TsOps.downsample(Seq((-1L, 1.0)).toDF("ts", "value"), 10L,
+      "value").collect().map(_.getLong(0)).toSeq
+    assert(ds == Seq(-10L))
+    // activity on days -1 and 0 → cohort -1, offsets 0 and 1
+    val ret = TsOps.retention(Seq((1L, -5L), (1L, 5L)).toDF("user_id", "ts"),
+      "user_id", dayNanos = 10L).collect()
+      .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")) ->
+        r.getAs[Long]("n_users")).toMap
+    assert(ret == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L))
+    // interval [-10,-1] floors to bin -1 only; point -5 floors to bin -1
+    // → one match (truncation would put the point in bin 0, missing it
+    // unless the interval's spurious extra bin 0 caught it)
+    val ij = TsOps.intervalJoin(Seq((1L, -5L)).toDF("k", "ts"),
+      Seq((1L, -10L, -1L)).toDF("k", "s", "e"), Seq("k"), "s", "e",
+      binNanos = 10L)
+    assert(ij.count() == 1)
+    val au = TsOps.activeUsers(Seq((1L, -1L)).toDF("user_id", "ts"),
+      "user_id", 10L).collect().map(_.getLong(0)).toSeq
+    assert(au == Seq(-1L))
+  }
+
   test("gapStats: consecutive deltas per key, dup-ts gap is zero") {
     val ev = Seq((1L, 10L), (1L, 30L), (1L, 30L), (1L, 70L), (2L, 5L))
       .toDF("k", "ts")
