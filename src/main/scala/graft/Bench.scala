@@ -56,15 +56,31 @@ object Bench {
 
     val results = picked.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val samples = (1 to Iterations).map { _ =>
+        def sample(): Double = {
+          // idle settle before each timed iteration: a GC pause or host
+          // stall (the VM host showed a 3.3× min-max spread on the
+          // heaviest query in round-6 artifacts) landing mid-iteration
+          // inflates one sample; paying the collection up front keeps the
+          // timed window clean
+          System.gc()
+          Thread.sleep(250)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
+        }
+        var samples = (1 to Iterations).map(_ => sample()).sorted
+        // a host stall can still slip through — when the spread is wide
+        // (max/median > 1.5), take up to 2 extra samples so one outlier
+        // iteration can't own a third of the median's support
+        var extra = 0
+        while (extra < 2 && samples.last > 1.5 * samples(samples.length / 2)) {
+          samples = (samples :+ sample()).sorted
+          extra += 1
+        }
         val dt = samples(samples.length / 2)
-        System.err.println(f"[bench] $name%-24s $dt%8.2fs  " +
+        System.err.println(f"[bench] $name%-24s $dt%8.2fs  min=${samples.head}%.2f  " +
           samples.map(s => f"$s%.2f").mkString("[", " ", "]"))
         name -> dt
       }
