@@ -273,7 +273,11 @@ object SparkEntry {
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_downsample_1h" -> ((s, d) => {
       val ev = t(s, d, "events")
-      ev.groupBy(((floor(col("ts") / BucketH)) * BucketH).cast("long").as("bucket_ts"))
+      // integer floor bucket, not floor(ts/b): Column `/` is double
+      // division, and epoch-ns magnitudes round to ~256 ns before the
+      // floor — a ts within that of a bucket boundary would bucket
+      // differently than the oracle's integer arithmetic
+      ev.groupBy(expr(TsOps.floorBucketSql("ts", BucketH)).as("bucket_ts"))
         .agg(count(lit(1)).as("n"), min("value").as("min_v"),
           max("value").as("max_v"), dsum(col("value")).as("sum_v"))
         .orderBy("bucket_ts")
@@ -281,7 +285,7 @@ object SparkEntry {
     "agg_downsample_gapfill" -> ((s, d) => {
       val day = 86400L * 1000000000L
       val ev = t(s, d, "events")
-      val agg = ev.groupBy(((floor(col("ts") / day)) * day).cast("long").as("bucket_ts"))
+      val agg = ev.groupBy(expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
         .agg(count(lit(1)).as("n"), min("value").as("min_v"),
           max("value").as("max_v"), dsum(col("value")).as("sum_v"))
       TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
@@ -424,7 +428,7 @@ object SparkEntry {
     "agg_downsample_locf" -> ((s, d) => {
       val day = 86400L * 1000000000L
       val ev = t(s, d, "events")
-      val agg = ev.groupBy(((floor(col("ts") / day)) * day).cast("long").as("bucket_ts"))
+      val agg = ev.groupBy(expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
         .agg(count(lit(1)).as("n"), min("value").as("min_v"),
           max("value").as("max_v"), dsum(col("value")).as("sum_v"))
       val filled = TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
@@ -559,6 +563,59 @@ object SparkEntry {
           col("o_orderkey").asc)
         .limit(100)
     }),
+    "tpch_q4" -> ((s, d) => {
+      // order-priority checking (TPC-H Q4): the EXISTS-semi-join shape —
+      // the one classic join form Q1/Q3/Q5/Q18 don't cover. This dataset
+      // carries no l_commitdate/l_receiptdate, so the "late order"
+      // predicate becomes: some lineitem shipped ≥ 60 days after the
+      // order date — which makes the semi-join CORRELATED beyond the key:
+      // an equi-join on orderkey with the date comparison as a residual
+      // predicate (never a range-join nested loop), and left_semi
+      // guarantees each order counts once no matter how many late items
+      // it has. The quarter filter pushes to the orders scan, so the
+      // probe side is ~1% of orders; lineitem needs only 2 columns.
+      val lo = to_timestamp(lit("1996-07-01"))
+      val hi = to_timestamp(lit("1996-10-01"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val items = t(s, d, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(items,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "tpch_q22" -> ((s, d) => {
+      // global-sales-opportunity shape (TPC-H Q22): scalar-aggregate
+      // threshold + NOT EXISTS — the ANTI-join form Q4's semi join doesn't
+      // cover (this dataset has no c_phone, so nationkey stands in for the
+      // country-code grouping and "no orders since 1999" for dormancy).
+      // The positive-balance average is never divided out: candidates
+      // compare via the integer cross-multiplication bal_c·n_pos > s_c —
+      // engine-exact where a float avg could round-tie (headroom: cents ≤
+      // 1e6 × even 1e10 customers < 2^63). The 1-row aggregate broadcasts
+      // onto customers (a BroadcastNestedLoopJoin over ONE row, not a
+      // collect — stays a single job, no driver sync), and the anti join
+      // is a hash join whose build side is the date-pruned orders slice.
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+          .as("bal_c"))
+      val thr = cust.filter(col("bal_c") > 0L)
+        .agg(sum("bal_c").as("s_c"), count(lit(1)).as("n_pos"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01")))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .filter(col("bal_c") * col("n_pos") > col("s_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
+        .orderBy("c_nationkey")
+    }),
     "ts_active_users" -> ((s, d) =>
       // DAU + trailing-7d WAU: bounded explode over the deduplicated
       // (user, day) frame, no per-day self-join (see TsOps.activeUsers)
@@ -580,7 +637,7 @@ object SparkEntry {
       // pre-scan, deterministic schema at any scale)
       val day = 86400L * 1000000000L
       t(s, d, "events")
-        .groupBy(expr(s"ts div ${day}L").as("day"))
+        .groupBy(expr(TsOps.floorDivSql("ts", day)).as("day"))
         .pivot("event_type", Seq("view", "click", "purchase", "signup"))
         .agg(count(lit(1)))
         .select(col("day"),
@@ -636,7 +693,7 @@ object SparkEntry {
     "agg_downsample_interp" -> ((s, d) => {
       val day = 86400L * 1000000000L
       val ev = t(s, d, "events")
-      val agg = ev.groupBy(((floor(col("ts") / day)) * day).cast("long").as("bucket_ts"))
+      val agg = ev.groupBy(expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
       val filled = TsOps.fillGaps(agg, day, ns("2023-12-25"), ns("2024-02-05"))
       TsOps.interpolate(filled, "sum_v")
@@ -1043,6 +1100,34 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM customer
+        |), t AS (
+        |  SELECT CAST(sum(bal_c) AS BIGINT) AS s_c, count(*) AS n_pos
+        |  FROM c WHERE bal_c > 0
+        |)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM c, t
+        |WHERE bal_c * n_pos > s_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "ts_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
@@ -2223,7 +2308,7 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(d)
       def cnt(tpe: String) = sum(when(col("event_type") === tpe, 1L)
         .otherwise(0L))
-      val agg = src.groupBy(expr(s"ts div ${day}L").as("day"))
+      val agg = src.groupBy(expr(TsOps.floorDivSql("ts", day)).as("day"))
         .agg(cnt("view").as("n_view"), cnt("click").as("n_click"),
           cnt("purchase").as("n_purchase"), cnt("signup").as("n_signup"))
       runStreamToTable(s, agg, "stream_pivot_types_out", mode = "complete")

@@ -284,6 +284,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("tpch_q4: exists is a semi hash join with residual, quarter pushed") {
+    val p = plan("tpch_q4")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // EXISTS compiles to a LeftSemi HASH join on orderkey — the
+    // correlated date comparison rides as a residual condition, never
+    // demoting the join to a nested loop
+    assert(p.contains("LeftSemi"), p)
+    // the quarter filter reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("tpch_q22: anti join stays hash, threshold broadcast, date pushed") {
+    val p = plan("tpch_q22")
+    assert(!p.contains("Cartesian"), p)
+    // NOT EXISTS compiles to a LeftAnti HASH join on custkey — the only
+    // nested loop allowed is the 1-row threshold broadcast
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    // the dormancy cutoff reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("ts_concurrency: keyless interval join stays an equi-join") {
     val p = plan("ts_concurrency")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
