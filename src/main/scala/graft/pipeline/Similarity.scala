@@ -147,8 +147,15 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cidCol: String = "cid", cvecCol: String = "cvec"): DataFrame = {
+    // Degenerate cosines drop before the argmax. [[CosineSim]] yields NULL
+    // on zero-norm/dim-mismatch (sorts last under desc, but a vector whose
+    // cosines are ALL null would still get assigned an arbitrary cell);
+    // NaN (possible via the HOF cosine) sorts FIRST and would capture
+    // EVERY vector into one degenerate cell — same posture as
+    // embeddingOutliers
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("cos", cosine(col(cvecCol), col(vecCol)))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
     val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col(cidCol).asc)
     scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .select(col(idCol), col(vecCol), col(cidCol))
@@ -167,14 +174,16 @@ object Similarity {
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", cidCol: String = "cid",
       cvecCol: String = "cvec"): DataFrame = {
-    // NaN cosines (zero-norm centroid, dim mismatch) are dropped BEFORE
-    // the argmax window: Spark orders NaN greatest, so a single degenerate
-    // centroid would otherwise win every row's argmax and suppress it —
-    // and the streaming twin already skips NaN, so filtering here keeps
-    // the documented drained-stream == batch equality on degenerate vectors
+    // Degenerate cosines (zero-norm centroid, dim mismatch) are dropped
+    // BEFORE the argmax window: NaN (HOF cosine) orders greatest so a
+    // single degenerate centroid would otherwise win every row's argmax
+    // and suppress it; NULL (CosineSim) would win only an all-null row
+    // but then fail `cos < threshold` silently. The streaming twin skips
+    // both, so filtering here keeps the documented drained-stream == batch
+    // equality on degenerate vectors
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("cos", cosine(col(cvecCol), col(vecCol)))
-      .filter(!isnan(col("cos")))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
     val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col(cidCol).asc)
     scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
       .filter(col("cos") < threshold)
@@ -599,6 +608,10 @@ object Similarity {
       qidCol: String, qvecCol: String): DataFrame = {
     val qScored = queries.crossJoin(broadcast(centroids))
       .withColumn("__qc", cosine(col(qvecCol), col(cvecCol)))
+      // degenerate centroids score NULL (CosineSim) or NaN (HOF path) —
+      // NaN would outrank every real cell; null could be probed when
+      // nprobe exceeds the number of comparable cells
+      .filter(col("__qc").isNotNull && !isnan(col("__qc")))
     val wq = Window.partitionBy(qidCol).orderBy(col("__qc").desc, col(cidCol).asc)
     qScored.withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
@@ -666,6 +679,12 @@ object Similarity {
     val scored = cands
       .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
       .withColumn("cos", score)
+      // Zero-norm / dim-mismatched vectors score NULL under [[CosineSim]]
+      // (would surface as trailing garbage "neighbors" whenever k exceeds
+      // the comparable candidates) or NaN under the HOF cosine (ranks
+      // FIRST — Spark puts NaN greatest under desc, outranking every real
+      // neighbor); drop both before the rank window
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
     val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

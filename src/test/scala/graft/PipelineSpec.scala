@@ -1160,6 +1160,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq((1L, 0L, 0.0)))
   }
 
+  test("kNN/IVF: zero-norm (NaN-cosine) vectors never outrank real neighbors") {
+    // NaN ranks greatest under desc windows, so an unfiltered zero-norm
+    // vector would be every query's top neighbor and a degenerate
+    // centroid would capture the whole corpus into one cell
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)))   // zero norm → NaN vs everything
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val nn = Similarity.knnBrute(vecs, q, k = 2).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSeq.sorted
+    assert(nn == Seq((1, 1L))) // the twin — and ONLY the twin — survives
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f)),
+      (9L, Array(0.0f, 0.0f, 0.0f))).toDF("cid", "cvec")
+    val asg = Similarity.ivfAssign(vecs, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    // real vectors land in the real cell; the zero-norm row (NaN to every
+    // centroid) drops from assignment — it is embeddingOutliers' job
+    assert(asg == Map(0L -> 0L, 1L -> 0L))
+  }
+
   test("knn brute: nearest neighbor of a duplicated vector is its twin") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
