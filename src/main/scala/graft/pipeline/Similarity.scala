@@ -670,24 +670,124 @@ object Similarity {
       graft.functions.CosineSim.cosine_sim_i8(col("__qq"), col(qCol)))
   }
 
+  /** Mergeable bounded top-k accumulator over (id, cos) pairs: a k-entry
+    * min-heap ordered worst-first under the kNN contract (better = higher
+    * cos, then smaller id), so `reduce` is O(log k) per candidate and
+    * `merge` folds two partial heaps without ever holding more than k
+    * entries. Spark plans a typed Aggregator as an ObjectHashAggregate
+    * with a REAL partial/merge split — shuffle carries only ≤ k (id, cos)
+    * pairs per (query, partition). NOTE: that shuffle bound does NOT beat
+    * the window formulation on Spark 4 — WindowGroupLimit gives rank
+    * windows the same map-side O(k·partitions) pruning with codegen
+    * sorting, and measured 2× faster (see [[rankTopK]]); this aggregator
+    * is the kept-for-reference alternative behind [[rankTopKAgg]]. */
+  private class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double), scala.collection.mutable.ArrayBuffer[(Double, Long)],
+        Seq[(Long, Double)]] {
+    type Buf = scala.collection.mutable.ArrayBuffer[(Double, Long)]
+    // Explicit array-heap (root = current WORST) instead of
+    // mutable.PriorityQueue: the buffer crosses the partial→merge shuffle
+    // under Kryo, and an ArrayBuffer of tuples roundtrips plainly where a
+    // PriorityQueue drags its captured Ordering lambda into serialization
+    // (the Misra-Gries sketch above picked HashMap for the same reason)
+    private def worse(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    private def offer(b: Buf, e: (Double, Long)): Buf = {
+      if (b.size < k) { // append + sift up toward the worst-at-root
+        b += e
+        var i = b.size - 1
+        while (i > 0 && worse(b(i), b((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val t = b(i); b(i) = b(p); b(p) = t
+          i = p
+        }
+      } else if (worse(b(0), e)) { // beats the worst: replace root, sift down
+        b(0) = e
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var w = i
+          if (l < b.size && worse(b(l), b(w))) w = l
+          if (r < b.size && worse(b(r), b(w))) w = r
+          if (w == i) done = true
+          else { val t = b(i); b(i) = b(w); b(w) = t; i = w }
+        }
+      }
+      b
+    }
+    def reduce(b: Buf, in: (Long, Double)): Buf = offer(b, (in._2, in._1))
+    def merge(a: Buf, c: Buf): Buf = { c.foreach(offer(a, _)); a }
+    def finish(b: Buf): Seq[(Long, Double)] =
+      b.sortWith((x, y) => worse(y, x)).map { case (c, i) => (i, c) }.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Shared top-k tail for every kNN variant: self-filter, score with the
-    * given expression, per-query window rank, keep k. One definition so
+    * given expression, per-query rank window, keep k. One definition so
     * the tie-break contract (cos desc, id asc) can never diverge between
-    * the brute/LSH/IVF/quantized paths. */
+    * the brute/LSH/IVF/quantized paths.
+    *
+    * Why a window and not a mergeable aggregator: Spark 4 plans a
+    * `row_number() <= k` filter as WindowGroupLimit (Partial → Final) —
+    * each map task sorts its partition and forwards only k rows per query
+    * BEFORE the exchange, so shuffle volume is already O(k · partitions)
+    * per query, not O(candidates). The "obvious" improvement — a typed
+    * top-k-heap Aggregator ([[rankTopKAgg]]) with ObjectHashAggregate
+    * partial/merge — was built and measured: 8.71s vs 4.18s window at
+    * 12.8M candidates (ScaleProbe `knn_topk_tail`, sf0.1×32 corpus, 200
+    * queries) — 2× SLOWER, because the aggregator's per-row typed-encoder
+    * hop and JVM-object heap updates cost more than the codegen'd
+    * partial sort they replace. The window stays. */
   private def rankTopK(cands: DataFrame, k: Int, idCol: String,
+      qidCol: String, excludeSelf: Boolean, score: Column): DataFrame =
+    rankTopKWindow(cands, k, idCol, qidCol, excludeSelf, score)
+
+  /** Window formulation of the top-k tail (the default — see [[rankTopK]]
+    * for the measured rationale). */
+  private[graft] def rankTopKWindow(cands: DataFrame, k: Int, idCol: String,
       qidCol: String, excludeSelf: Boolean, score: Column): DataFrame = {
-    val scored = cands
+    val scored = scoredCands(cands, idCol, qidCol, excludeSelf, score)
+    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** Mergeable-aggregator formulation of the top-k tail ([[TopKAgg]] via
+    * ObjectHashAggregate). Identical contract and output; kept NON-default
+    * because it measured 2× slower than [[rankTopKWindow]] (see
+    * [[rankTopK]]) — retained so the ScaleProbe A/B keeps re-measuring the
+    * trade as data/Spark versions move, and as the fallback shape if a
+    * future scoring expression defeats WindowGroupLimit. */
+  private[graft] def rankTopKAgg(cands: DataFrame, k: Int, idCol: String,
+      qidCol: String, excludeSelf: Boolean, score: Column): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scoredCands(cands, idCol, qidCol, excludeSelf, score)
+      .groupBy(qidCol)
+      .agg(topk(col(idCol), col("cos")).as("__tk"))
+      .select(col(qidCol), posexplode(col("__tk")).as(Seq("__pos", "__p")))
+      .select(col(qidCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__p._1").as(idCol), col("__p._2").as("cos"))
+  }
+
+  /** Score + degenerate-filter step shared by [[rankTopK]] and
+    * [[rankTopKWindow]]. */
+  private def scoredCands(cands: DataFrame, idCol: String, qidCol: String,
+      excludeSelf: Boolean, score: Column): DataFrame =
+    cands
       .filter(if (excludeSelf) col(qidCol) =!= col(idCol) else lit(true))
       .withColumn("cos", score)
       // Zero-norm / dim-mismatched vectors score NULL under [[CosineSim]]
       // (would surface as trailing garbage "neighbors" whenever k exceeds
       // the comparable candidates) or NaN under the HOF cosine (ranks
       // FIRST — Spark puts NaN greatest under desc, outranking every real
-      // neighbor); drop both before the rank window
+      // neighbor); drop both before the rank
       .filter(col("cos").isNotNull && !isnan(col("cos")))
-    val w = Window.partitionBy(qidCol).orderBy(col("cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), col("cos"))
-  }
 }

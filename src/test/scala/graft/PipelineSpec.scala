@@ -1183,6 +1183,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(asg == Map(0L -> 0L, 1L -> 0L))
   }
 
+  test("top-k aggregator matches the window formulation, ties included") {
+    // heap path (default rankTopK) vs window path (rankTopKWindow) on a
+    // tie-heavy corpus: duplicated vectors make equal cosines, where the
+    // contract demands id-asc order
+    val base = (0L until 40L).map { i =>
+      val a = (i % 7).toFloat; val b = ((i / 7) % 5).toFloat
+      (i, Array(a + 0.1f, b + 0.1f, 1.0f))
+    }
+    val dups = (40L until 60L).map(i => (i, base((i % 10).toInt)._2))
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val win = Similarity.knnBrute(vecs, q, k = 8).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).sorted
+    val agg = Similarity.rankTopKAgg(
+      vecs.crossJoin(broadcast(q)), 8, "vec_id", "qid",
+      excludeSelf = true,
+      Similarity.cosine($"qvec", $"embedding")).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).sorted
+    assert(agg.length == 24) // 3 queries x k=8
+    assert(agg.toSeq == win.toSeq)
+    // short-group edge: k beyond the candidate count yields every
+    // candidate once, ranks still dense from 1
+    val all = Similarity.knnBrute(vecs, q.limit(1), k = 100).collect()
+    assert(all.length == 59) // corpus minus self
+    assert(all.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 59))
+  }
+
   test("knn brute: nearest neighbor of a duplicated vector is its twin") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -83,6 +83,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("knn top-k windows are group-limit pruned map-side") {
+    // the shared rankTopK tail relies on Spark 4 planning `row_number()
+    // <= k` as WindowGroupLimit Partial → Final: each map task forwards
+    // only k rows per query BEFORE the exchange, so shuffle volume is
+    // O(k · partitions) per query, not O(candidates). If this pin breaks
+    // (plan shape change, a scoring expr defeating the rewrite), the
+    // candidate set starts crossing the wire whole — at brute-force scale
+    // that is the corpus once per query. The measured-slower aggregator
+    // alternative is rankTopKAgg (see the Scaladoc there).
+    for (q <- Seq("knn_brute", "knn_lsh", "knn_ivf", "knn_quantized")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q rank window unpruned:\n$p")
+      assert(p.contains("Partial"), s"$q group-limit not map-side:\n$p")
+    }
+  }
+
   test("dedup_jaccard_pairs: inverted-index joins, no cartesian product") {
     val p = plan("dedup_jaccard_pairs")
     assert(!p.contains("CartesianProduct"), p)
