@@ -163,6 +163,9 @@ object ScaleProbe {
     report("heavy_hitters_mg64", docK,
       graft.pipeline.Text.heavyHitters(docs, "text").count(),
       graft.pipeline.Text.heavyHitters(docScaled, "text").count())
+    report("cms_sketch", docK,
+      graft.pipeline.Text.countMinSketch(docs, "text").count(),
+      graft.pipeline.Text.countMinSketch(docScaled, "text").count())
     report("novelty", docK,
       graft.pipeline.Text.noveltyCounts(docs, "doc_id", "text").count(),
       graft.pipeline.Text.noveltyCounts(docScaled, "doc_id", "text").count())

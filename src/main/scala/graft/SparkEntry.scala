@@ -1887,6 +1887,21 @@ object SparkEntry {
       exact.join(hh, Seq("tok"), "left").crossJoin(broadcast(tot))
         .agg((sum(viol.cast("long")) === 0).cast("long").as("recall_ok"))
     }),
+    "text_cms_counts" -> ((s, d) => {
+      // count-min gate, all in-plan: point estimates never under-count
+      // (hard CMS guarantee — gate at exactly zero), and over-count past
+      // (e/w)·N on at most ~e^−d ≈ 1.8% of tokens (probabilistic bound;
+      // gated at 5% = violators*20 <= tokens for deterministic margin)
+      val dd = 4; val ww = 2048
+      val ve = graft.pipeline.Text.cmsVsExact(
+        t(s, d, "documents"), "text", dd, ww)
+      val tot = ve.agg(sum("cnt").as("N"))
+      ve.crossJoin(broadcast(tot))
+        .agg((sum((col("est") < col("cnt")).cast("long")) === 0 &&
+          sum((col("est") > col("cnt") +
+            ceil(lit(math.E / ww) * col("N"))).cast("long")) * 20
+            <= count(lit(1))).cast("long").as("cms_ok"))
+    }),
     "knn_pq_recall" -> ((s, d) => {
       // product quantization end-to-end: sample-trained codebooks (m=4
       // subspaces × k=256 centroids — the standard full-byte codebook,
@@ -2370,6 +2385,22 @@ object SparkEntry {
         src, "text", topK = 50)
       runStreamToTable(s, top, "stream_top_tokens_out", mode = "complete")
         .orderBy(col("n").desc, col("tok").asc)
+    }),
+    "stream_cms" -> ((s, d) => {
+      // live count-min sketch: merge is elementwise sum, so the drained
+      // complete-mode state is BIT-equal to the batch sketch of the same
+      // rows — compared array-wise in-plan, emitted as a one-row gate
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val sk = graft.streaming.StreamIngest.streamingCms(src, "text")
+      val drained = runStreamToTable(s, sk, "stream_cms_out",
+        mode = "complete")
+      val batch = graft.pipeline.Text.countMinSketch(
+        t(s, d, "documents"), "text").withColumnRenamed("sk", "sk_b")
+      drained.crossJoin(broadcast(batch))
+        .select((col("sk") === col("sk_b")).cast("long").as("cms_ok"))
     }),
     "stream_neardup" -> ((s, d) => {
       // incremental-ingest near-dup: the documents table streamed against
@@ -3742,6 +3773,10 @@ object SparkEntry {
     // queries for why the approximations can't have value oracles)
     "knn_lsh_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "text_heavy_hitters" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+    // CMS gates: Spark checks the sketch's bounds (no under-counts, e^-d
+    // over-count fraction) / batch-vs-drained-stream bit-equality in-plan
+    "text_cms_counts" -> "SELECT CAST(1 AS BIGINT) AS cms_ok",
+    "stream_cms" -> "SELECT CAST(1 AS BIGINT) AS cms_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "multimodal_phash" -> "SELECT CAST(1 AS BIGINT) AS phash_ok",
     "knn_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

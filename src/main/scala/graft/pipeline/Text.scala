@@ -704,6 +704,88 @@ object Text {
       .select(col("p._1").as("tok"), col("p._2").as("est"))
   }
 
+  /** Count-min sketch plumbing shared by the batch and streaming paths.
+    * Row hashes are murmur3 with per-row seeds — deterministic across JVMs
+    * and engines, no RNG state to ship. */
+  private[graft] object Cms {
+    def index(tok: String, row: Int, w: Int): Int =
+      math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(tok, 0x9e3779b9 + row), w)
+    /** Point estimate: min over the d row counters — never BELOW the true
+      * count (every row counter ≥ truth by construction), above it by more
+      * than (e/w)·N with probability ≤ e^−d (Cormode & Muthukrishnan). */
+    def estimate(sk: Array[Long], tok: String, d: Int, w: Int): Long = {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < d) {
+        val c = sk(i * w + index(tok, i, w))
+        if (c < m) m = c
+        i += 1
+      }
+      m
+    }
+  }
+
+  /** Mergeable count-min sketch over the token stream: d rows × w counters
+    * (flat long array), each token incrementing one counter per row.
+    * MERGE is elementwise sum — partial sketches combine map-side and roll
+    * up across partitions/days/corpora exactly, so the sketch of a union
+    * IS the sum of the parts' sketches (the property the spec pins).
+    * Answers point-frequency queries where [[MisraGriesAgg]] answers
+    * top-k membership: state is d·w longs (d=4, w=2048 → 64 KiB)
+    * REGARDLESS of vocabulary — the shape that holds at 100 TB where even
+    * a vocabulary-bounded exact map is too big (url/user-id domains), and
+    * the same state bound a streaming complete-mode agg carries. Runs as
+    * a typed Aggregator → ObjectHashAggregate with a real partial/merge
+    * split. */
+  private[graft] class CountMinAgg(d: Int, w: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](d * w)
+    def reduce(b: Array[Long], tok: String): Array[Long] = {
+      var i = 0
+      while (i < d) { b(i * w + Cms.index(tok, i, w)) += 1; i += 1 }
+      b
+    }
+    def merge(a: Array[Long], c: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += c(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** One-row (sk: array<bigint>) frame: the corpus token stream folded
+    * into a [[CountMinAgg]] sketch. */
+  def countMinSketch(df: DataFrame, textCol: String,
+      d: Int = 4, w: Int = 2048): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    fanOut(df)
+      .select(explode(tokens(col(textCol))).as("tok")).as[String]
+      .select(new CountMinAgg(d, w).toColumn)
+      .toDF("sk")
+  }
+
+  /** (tok, cnt, est) for every distinct token: exact counts joined with
+    * the broadcast one-row sketch, estimates via [[Cms.estimate]]. The
+    * verification surface for the sketch's two bounds — est ≥ cnt always,
+    * est ≤ cnt + (e/w)·N for all but ~e^−d of tokens. */
+  def cmsVsExact(df: DataFrame, textCol: String,
+      d: Int = 4, w: Int = 2048): DataFrame = {
+    val est = udf((sk: Seq[Long], tok: String) =>
+      Cms.estimate(sk.toArray, tok, d, w))
+    val exact = fanOut(df)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(broadcast(countMinSketch(df, textCol, d, w)))
+      .select(col("tok"), col("cnt"), est(col("sk"), col("tok")).as("est"))
+  }
+
   /** Top-`topK` tokens by total occurrence, (count desc, tok asc) order —
     * the vocabulary for [[windowCooccurrence]] and its streaming twin. */
   def occurrenceVocab(df: DataFrame, textCol: String,

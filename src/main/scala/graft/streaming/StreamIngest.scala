@@ -1044,6 +1044,24 @@ object StreamIngest {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(topK)
 
+  /** Live count-min sketch: the streaming twin of
+    * [[graft.pipeline.Text.countMinSketch]] — one complete-mode global
+    * aggregation whose state is the d·w-long counter array itself (64 KiB
+    * at the defaults) REGARDLESS of vocabulary or stream length, where
+    * [[streamingTopTokens]]' exact map grows with vocabulary. Merge is
+    * elementwise sum, so a drained stream's final emission is bit-equal
+    * to the batch sketch of the same rows (the shared-oracle property);
+    * partial aggregation combines map-side before the state store. */
+  def streamingCms(src: DataFrame, textCol: String,
+      d: Int = 4, w: Int = 2048): DataFrame = {
+    val spark = src.sparkSession
+    import spark.implicits._
+    src.select(explode(graft.pipeline.Text.tokens(col(textCol))).as("tok"))
+      .as[String]
+      .select(new graft.pipeline.Text.CountMinAgg(d, w).toColumn)
+      .toDF("sk")
+  }
+
   /** Memory-sink runner for tests: drains all available input synchronously
     * and returns the sink table name. */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {

@@ -542,6 +542,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(est.size <= m)
   }
 
+  test("countMinSketch: never under-counts; union sketch = sum of parts") {
+    // skewed stream across many docs/partitions so partial merges happen
+    val words = (Seq.fill(250)("h0") ++ Seq.fill(90)("h1") ++
+      (0 until 300).map(i => s"rare${i % 150}")) // rares appear twice
+    val docs = words.grouped(5).zipWithIndex
+      .map { case (w, i) => (i.toLong, w.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(8)
+    val (d, w) = (4, 256) // small width → collisions guaranteed, bounds still hold
+    val ve = Text.cmsVsExact(docs, "text", d, w).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("est")))
+    assert(ve.nonEmpty)
+    ve.foreach { case (t, cnt, est) =>
+      assert(est >= cnt, s"$t under-counted: est=$est < cnt=$cnt")
+      assert(est <= words.size, s"$t above stream length")
+    }
+    // mergeability: sketch(A ∪ B) == sketch(A) + sketch(B) elementwise —
+    // the property that lets partial sketches roll up across partitions,
+    // days, and corpora without a recount
+    val (a, b) = (docs.filter($"doc_id" % 2 === 0),
+      docs.filter($"doc_id" % 2 =!= 0))
+    def sk(df: org.apache.spark.sql.DataFrame): List[Long] =
+      Text.countMinSketch(df, "text", d, w)
+        .collect()(0).getAs[scala.collection.Seq[Long]]("sk").toList
+    val whole = sk(docs)
+    val summed = sk(a).zip(sk(b)).map { case (x, y) => x + y }
+    assert(whole == summed)
+  }
+
   test("windowCooccurrence: positional pairs, gaps not collapsed") {
     // window=2 over "a z b a": vocab top-2 = {a (2), b (1)}? counts: a=2,
     // z=1, b=1 → top-2 by (n desc, tok asc) = {a, b}. Pairs within 2:
