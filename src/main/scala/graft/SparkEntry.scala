@@ -616,6 +616,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totacctbal_c"))
         .orderBy("c_nationkey")
     }),
+    "tpch_q10" -> ((s, d) => {
+      // returned-item reporting (TPC-H Q10): the aggregate-then-join
+      // shape — revenue pre-aggregates per CUSTKEY (map-side partials)
+      // BEFORE the customer join, so the join input is one row per
+      // customer-with-returns, not one per return line; customer
+      // attributes ride the equi-join afterwards (custkey determines
+      // them — same result as the spec's wide GROUP BY, half the shuffle),
+      // nation broadcasts at 25 rows, and the top-20 is a TakeOrdered,
+      // never a global sort. Revenue in exact integer cents×(100−d·100)
+      // (the q3/q5 round-tie rule); acctbal as integer cents (q22 rule).
+      val lo = to_timestamp(lit("1996-07-01"))
+      val hi = to_timestamp(lit("1996-10-01"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select("o_orderkey", "o_custkey")
+      val ret = t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val rev = ret.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(epCents * (lit(100L) - disc100)).as("revenue_c4"))
+      rev.join(t(s, d, "customer")
+            .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("bal_c"),
+          col("n_name"), col("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+    "tpch_q12" -> ((s, d) => {
+      // shipping-mode/priority shape (TPC-H Q12): two conditional counts
+      // over the orders⨝lineitem join in ONE pass — adapted to this
+      // dataset like Q4 (no l_shipmode or commit/receipt dates):
+      // l_linestatus stands in for the shipmode grouping and "shipped ≥
+      // 60 days after order" for the late-arrival predicate. The year
+      // filter pushes to the lineitem scan; the date comparison is a
+      // RESIDUAL on the orderkey equi-join (hash, never a range-join
+      // nested loop); both CASE sums fold into one partial aggregate.
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1997-01-01"))
+      val items = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+      val hiPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(items, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hiPri, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hiPri, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
     "ts_active_users" -> ((s, d) =>
       // DAU + trailing-7d WAU: bounded explode over the deduplicated
       // (user, day) frame, no per-day self-join (see TsOps.activeUsers)
@@ -1100,6 +1157,37 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS revenue_c4
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-07-01'
+        |    AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  GROUP BY o_custkey
+        |)
+        |SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+        |  n_name, revenue_c4
+        |FROM rev
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue_c4 DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o

@@ -300,6 +300,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("tpch_q10: revenue pre-aggregated before the customer join, top-20") {
+    val p = plan("tpch_q10")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // per-custkey revenue combines map-side BEFORE the customer join —
+    // the join input is customers-with-returns, not return lines
+    assert(p.contains("partial_sum"), p)
+    // returnflag and the quarter filter reach their scans
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    // top-20 is a distributed TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch_q12: residual date predicate on a hash join, year pushed") {
+    val p = plan("tpch_q12")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // the ship-vs-order date comparison rides the orderkey equi-join as
+    // a residual — never demoting it to a range-join nested loop
+    assert(p.contains("HashJoin"), p)
+    // the year filter reaches the lineitem scan; both CASE sums are one
+    // partial aggregate
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("tpch_q4: exists is a semi hash join with residual, quarter pushed") {
     val p = plan("tpch_q4")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
