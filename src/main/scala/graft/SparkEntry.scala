@@ -1990,6 +1990,35 @@ object SparkEntry {
             ceil(lit(math.E / ww) * col("N"))).cast("long")) * 20
             <= count(lit(1))).cast("long").as("cms_ok"))
     }),
+    "sketch_store_rollup" -> ((s, d) => {
+      // at-rest sketch store gate: write per-source sketch rows, roll up
+      // HALF the sources from DISK (partition-pruned — plan-pinned in
+      // PlanAuditSpec), and check against a direct pass over the selected
+      // raw text: token totals match exactly, the rolled-up CMS is
+      // BIT-equal to the direct sketch (merge is vector addition — the
+      // property that makes stored partials trustworthy), and the HLL
+      // estimate lands within 5% of exact distinct (lgK=12 ⇒ σ≈1.6%)
+      val dd = 4; val ww = 2048
+      val docs = t(s, d, "documents")
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sketch_store"
+      graft.pipeline.Text.writeSketchStore(
+        docs, path, "text", "source", 12, dd, ww)
+      val half = (0 until 10).map(i => s"src$i")
+      val roll = graft.pipeline.Text.sketchRollup(s, path, half)
+      val sub = docs.filter(col("source").isin(half: _*))
+      val truth = sub
+        .select(explode(graft.pipeline.Text.tokens(col("text"))).as("tok"))
+        .agg(count(lit(1)).as("n_exact"),
+          count_distinct(col("tok")).as("d_exact"))
+      val direct = graft.pipeline.Text.countMinSketch(sub, "text", dd, ww)
+        .withColumnRenamed("sk", "cms_direct")
+      roll.crossJoin(broadcast(truth)).crossJoin(broadcast(direct))
+        .select((col("n_tokens") === col("n_exact") &&
+          col("cms") === col("cms_direct") &&
+          abs(col("distinct_est") - col("d_exact")) * 20 <= col("d_exact"))
+          .cast("long").as("store_ok"))
+    }),
     "knn_pq_recall" -> ((s, d) => {
       // product quantization end-to-end: sample-trained codebooks (m=4
       // subspaces × k=256 centroids — the standard full-byte codebook,
@@ -3865,6 +3894,7 @@ object SparkEntry {
     // over-count fraction) / batch-vs-drained-stream bit-equality in-plan
     "text_cms_counts" -> "SELECT CAST(1 AS BIGINT) AS cms_ok",
     "stream_cms" -> "SELECT CAST(1 AS BIGINT) AS cms_ok",
+    "sketch_store_rollup" -> "SELECT CAST(1 AS BIGINT) AS store_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "multimodal_phash" -> "SELECT CAST(1 AS BIGINT) AS phash_ok",
     "knn_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

@@ -890,6 +890,66 @@ object Text {
     sketches.agg(expr(s"hll_union_agg($sketchCol, true)").as("sketch"))
       .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
 
+  /** Elementwise-sum merge of stored [[CountMinAgg]] counter arrays — the
+    * roll-up half of the at-rest sketch store (CMS merge IS vector
+    * addition, so merging stored partials is exact, not approximate-on-
+    * approximate). */
+  private[graft] class CmsMergeAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Long], Array[Long], Array[Long]] {
+    def zero: Array[Long] = Array.empty
+    private def add(b: Array[Long], a: Array[Long]): Array[Long] =
+      if (a == null || a.isEmpty) b
+      else if (b.isEmpty) a.clone()
+      else {
+        require(b.length == a.length,
+          s"CMS geometry mismatch: ${b.length} vs ${a.length}")
+        var i = 0
+        while (i < b.length) { b(i) += a(i); i += 1 }
+        b
+      }
+    def reduce(b: Array[Long], a: Array[Long]): Array[Long] = add(b, a)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = add(x, y)
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** At-rest sketch store: ONE compact row per group (HLL distinct-token
+    * sketch + CMS counter array + exact token total), written partitioned
+    * by the group column. The incremental-statistics workflow a growing
+    * corpus needs: each ingest shard sketches itself once, and every later
+    * "how many distinct tokens / how often does X appear / how big" question
+    * over ANY group subset is answered from the stored KB-sized rows —
+    * [[sketchRollup]] prunes non-selected groups at file-listing time
+    * (PartitionFilters) and never rescans raw text. Both sketches merge
+    * EXACTLY (HLL union; CMS vector addition), so a rollup equals the
+    * sketch a direct pass over the union would build. */
+  def writeSketchStore(df: DataFrame, path: String,
+      textCol: String = "text", groupCol: String = "source",
+      lgK: Int = 12, d: Int = 4, w: Int = 2048): Unit =
+    fanOut(df)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__token"))
+      .groupBy(groupCol)
+      .agg(expr(s"hll_sketch_agg(__token, $lgK)").as("hll"),
+        udaf(new CountMinAgg(d, w)).apply(col("__token")).as("cms"),
+        count(lit(1)).as("n_tokens"))
+      .write.mode("overwrite").partitionBy(groupCol).parquet(path)
+
+  /** Roll a stored sketch subset up to one (hll, cms, n_tokens,
+    * distinct_est) row — reads ONLY the selected groups' partitions
+    * (pruned at file listing), touches no raw text. */
+  def sketchRollup(spark: org.apache.spark.sql.SparkSession, path: String,
+      groups: Seq[String], groupCol: String = "source"): DataFrame =
+    spark.read.parquet(path)
+      .filter(col(groupCol).isin(groups: _*))
+      .agg(expr("hll_union_agg(hll, true)").as("hll"),
+        udaf(new CmsMergeAgg).apply(col("cms")).as("cms"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
+
   /** Percentile-band length filter: keep documents whose token count lies
     * within the exact [`pLo`, `pHi`] quantiles of their group's length
     * distribution — the RELATIVE outlier cut (too short/long for their

@@ -571,6 +571,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(whole == summed)
   }
 
+  test("sketch store: rollup of stored partials equals a direct pass") {
+    // two "shards" with overlapping vocab; the disk roundtrip + rollup
+    // must reproduce the direct whole-subset sketch exactly (CMS) and
+    // the exact token total; HLL estimate is exact at this cardinality
+    // (sparse mode far below 2^lgK)
+    val docs = Seq(
+      (0L, "a b c a", "s0"), (1L, "b c d", "s0"),
+      (2L, "c d e f", "s1"), (3L, "a f", "s1"),
+      (4L, "zz yy", "s2")) // s2 stays OUT of the rollup
+      .toDF("doc_id", "text", "source").repartition(4)
+    val (dd, ww) = (4, 128)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_skstore").toString
+    Text.writeSketchStore(docs, path, "text", "source", 12, dd, ww)
+    val roll = Text.sketchRollup(spark, path, Seq("s0", "s1")).collect()(0)
+    assert(roll.getAs[Long]("n_tokens") == 13L) // 4+3+4+2
+    val direct = Text.countMinSketch(
+      docs.filter($"source" =!= "s2"), "text", dd, ww)
+      .collect()(0).getAs[scala.collection.Seq[Long]]("sk").toList
+    assert(roll.getAs[scala.collection.Seq[Long]]("cms").toList == direct)
+    assert(roll.getAs[Long]("distinct_est") == 6L) // a b c d e f exactly
+  }
+
   test("windowCooccurrence: positional pairs, gaps not collapsed") {
     // window=2 over "a z b a": vocab top-2 = {a (2), b (1)}? counts: a=2,
     // z=1, b=1 → top-2 by (n desc, tok asc) = {a, b}. Pairs within 2:

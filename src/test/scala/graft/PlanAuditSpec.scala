@@ -300,6 +300,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sketch_store_rollup: stored-sketch read prunes non-selected groups") {
+    // the rollup must answer from the selected sources' partitions alone —
+    // file-listing-time pruning, no raw-text rescan
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_sketch_store_audit"
+    graft.pipeline.Text.writeSketchStore(
+      graft.storage.Tables.read(spark, d, "documents"), path)
+    val roll = graft.pipeline.Text.sketchRollup(
+      spark, path, Seq("src0", "src1"))
+    val p = roll.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [source"), p)
+    // and the merge is a real partial/merge aggregate over the store rows
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("tpch_q10: revenue pre-aggregated before the customer join, top-20") {
     val p = plan("tpch_q10")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
