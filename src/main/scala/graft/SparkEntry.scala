@@ -2503,6 +2503,38 @@ object SparkEntry {
       runStreamToTable(s, top, "stream_top_tokens_out", mode = "complete")
         .orderBy(col("n").desc, col("tok").asc)
     }),
+    "stream_sketch_store" -> ((s, d) => {
+      // incremental sketch store: documents arrive THROUGH the stream and
+      // each micro-batch appends per-source sketch partials; a rollup
+      // over the accumulated partials must equal the one-pass batch
+      // store's answers — CMS bit-equal (vector addition is order-free),
+      // token totals exact, HLL estimate equal (register-max union is
+      // order-free over the same hash set)
+      Tables.configure(s)
+      val docs = t(s, d, "documents")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-sksk-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "store").getPath
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val qy = graft.streaming.StreamIngest.sketchIngest(src, p,
+        new java.io.File(base, "ck").getPath)
+      if (!qy.awaitTermination(300000)) qy.stop()
+      val half = (0 until 10).map(i => s"src$i")
+      val bp = new java.io.File(base, "batch").getPath
+      graft.pipeline.Text.writeSketchStore(docs, bp)
+      val batch = graft.pipeline.Text.sketchRollup(s, bp, half)
+        .select(col("cms").as("cms_b"), col("n_tokens").as("n_b"),
+          col("distinct_est").as("de_b"))
+      graft.pipeline.Text.sketchRollup(s, p, half)
+        .crossJoin(broadcast(batch))
+        .select((col("cms") === col("cms_b") &&
+          col("n_tokens") === col("n_b") &&
+          col("distinct_est") === col("de_b"))
+          .cast("long").as("store_ok"))
+    }),
     "stream_cms" -> ((s, d) => {
       // live count-min sketch: merge is elementwise sum, so the drained
       // complete-mode state is BIT-equal to the batch sketch of the same
@@ -3895,6 +3927,7 @@ object SparkEntry {
     "text_cms_counts" -> "SELECT CAST(1 AS BIGINT) AS cms_ok",
     "stream_cms" -> "SELECT CAST(1 AS BIGINT) AS cms_ok",
     "sketch_store_rollup" -> "SELECT CAST(1 AS BIGINT) AS store_ok",
+    "stream_sketch_store" -> "SELECT CAST(1 AS BIGINT) AS store_ok",
     "knn_ivf_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
     "multimodal_phash" -> "SELECT CAST(1 AS BIGINT) AS phash_ok",
     "knn_pq_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

@@ -927,15 +927,20 @@ object Text {
     * (PartitionFilters) and never rescans raw text. Both sketches merge
     * EXACTLY (HLL union; CMS vector addition), so a rollup equals the
     * sketch a direct pass over the union would build. */
-  def writeSketchStore(df: DataFrame, path: String,
-      textCol: String = "text", groupCol: String = "source",
-      lgK: Int = 12, d: Int = 4, w: Int = 2048): Unit =
-    fanOut(df)
-      .select(col(groupCol), explode(tokens(col(textCol))).as("__token"))
+  /** The per-group sketch aggregation both store writers share: (group,
+    * hll, cms, n_tokens) — one compact row per group in `df`. */
+  private[graft] def sketchRows(df: DataFrame, textCol: String,
+      groupCol: String, lgK: Int, d: Int, w: Int): DataFrame =
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("__token"))
       .groupBy(groupCol)
       .agg(expr(s"hll_sketch_agg(__token, $lgK)").as("hll"),
         udaf(new CountMinAgg(d, w)).apply(col("__token")).as("cms"),
         count(lit(1)).as("n_tokens"))
+
+  def writeSketchStore(df: DataFrame, path: String,
+      textCol: String = "text", groupCol: String = "source",
+      lgK: Int = 12, d: Int = 4, w: Int = 2048): Unit =
+    sketchRows(fanOut(df), textCol, groupCol, lgK, d, w)
       .write.mode("overwrite").partitionBy(groupCol).parquet(path)
 
   /** Roll a stored sketch subset up to one (hll, cms, n_tokens,

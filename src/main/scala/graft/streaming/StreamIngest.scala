@@ -1013,6 +1013,39 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Incremental sketch-store ingest: each micro-batch folds its documents
+    * into per-group sketch rows APPENDED to the at-rest store
+    * ([[graft.pipeline.Text.writeSketchStore]] layout, partitioned by
+    * group). Because both sketches merge exactly (HLL register-max union,
+    * CMS vector addition — both order-independent), a
+    * [[graft.pipeline.Text.sketchRollup]] over the accumulated per-batch
+    * partials answers identically to a store built in one batch pass —
+    * compaction of the small files is an IO optimization, never a
+    * semantic need. Per batch the work is one map-side-combined
+    * aggregation producing ≤ |groups| KB-sized rows: the 100 TB ingest
+    * shape where corpus statistics stay queryable WHILE the corpus
+    * arrives, no rescan ever.
+    *
+    * Delivery is AT-LEAST-ONCE (same contract as [[ivfIngest]]): a crash
+    * between a batch's files landing and its checkpoint commit replays
+    * the batch, double-counting its tokens in `cms`/`n_tokens` until the
+    * duplicate batch file is repaired away; `hll` is replay-IMMUNE
+    * (union is idempotent). Exactly-once needs a transactional table
+    * format, out of scope for plain parquet.
+    */
+  def sketchIngest(stream: DataFrame, path: String, checkpointDir: String,
+      textCol: String = "text", groupCol: String = "source",
+      lgK: Int = 12, d: Int = 4, w: Int = 2048,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.pipeline.Text.sketchRows(batch, textCol, groupCol, lgK, d, w)
+          .write.mode("append").partitionBy(groupCol).parquet(path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** Persist a stream to a metrics dir as sorted parquet blocks: one block
     * per micro-batch (the streaming analog of the reference's periodic
     * persist). Returns the running query; caller stops it.

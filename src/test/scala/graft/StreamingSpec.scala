@@ -699,6 +699,44 @@ class StreamingSpec extends AnyFunSuite {
       s"budget must stay spent across batches: ${admittedIds()}")
   }
 
+  test("sketch ingest: two arrival waves accumulate to the batch store") {
+    import spark.implicits._
+    import graft.pipeline.Text
+    val base = SparkTestBase.tempDir("graft-skingest")
+    val in = new java.io.File(base, "in").getPath
+    val store = new java.io.File(base, "store").getPath
+    val ck = new java.io.File(base, "ck").getPath
+    val wave1 = Seq((0L, "a b c a", "s0"), (1L, "b c d", "s1"))
+    val wave2 = Seq((2L, "c d e f", "s0"), (3L, "a f", "s1"))
+    wave1.toDF("doc_id", "text", "source").write.parquet(s"$in/w1")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+      .parquet(s"$in/*")
+    def drain(): Unit = {
+      val q = StreamIngest.sketchIngest(src, store, ck, d = 4, w = 128)
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    // wave 2 lands later; the checkpoint resumes past wave 1's files, so
+    // the store accumulates one partial row per (source, wave)
+    wave2.toDF("doc_id", "text", "source").write.parquet(s"$in/w2")
+    drain()
+    assert(spark.read.parquet(store).count() == 4) // 2 sources x 2 waves
+    val roll = Text.sketchRollup(spark, store, Seq("s0", "s1")).collect()(0)
+    // rollup over the accumulated partials == one-pass batch store rollup
+    val bp = new java.io.File(base, "batch").getPath
+    Text.writeSketchStore(
+      (wave1 ++ wave2).toDF("doc_id", "text", "source"), bp,
+      d = 4, w = 128)
+    val batch = Text.sketchRollup(spark, bp, Seq("s0", "s1")).collect()(0)
+    assert(roll.getAs[Long]("n_tokens") == batch.getAs[Long]("n_tokens"))
+    assert(roll.getAs[scala.collection.Seq[Long]]("cms").toList ==
+      batch.getAs[scala.collection.Seq[Long]]("cms").toList)
+    assert(roll.getAs[Long]("distinct_est") ==
+      batch.getAs[Long]("distinct_est"))
+  }
+
   test("compactIvf repairs replayed batches and heals a crashed swap") {
     import spark.implicits._
     import graft.pipeline.Similarity
