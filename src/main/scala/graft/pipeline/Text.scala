@@ -943,6 +943,43 @@ object Text {
     sketchRows(fanOut(df), textCol, groupCol, lgK, d, w)
       .write.mode("overwrite").partitionBy(groupCol).parquet(path)
 
+  /** Compact an at-rest sketch store in place: streaming ingest
+    * ([[graft.streaming.StreamIngest.sketchIngest]]) appends one partial
+    * row per (group, micro-batch); this folds them back to ONE row per
+    * group — the same per-group merge a rollup performs, made durable.
+    * Pure IO optimization (rollups are exact over any number of partials;
+    * this just caps file-listing cost as batches accumulate), with the
+    * same two-rename publish + crash self-heal discipline as
+    * [[Similarity.compactIvf]]. Unlike compactIvf's dropDuplicates
+    * repair, a replayed batch's partial is NOT detectable post-hoc
+    * (sketch rows carry no identity) — the at-least-once caveat lives at
+    * the ingest contract. */
+  def compactSketchStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, groupCol: String = "source"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".compact-tmp")
+    val old = new Path(path + ".compact-old")
+    Similarity.recoverCompact(fs, live)
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .groupBy(groupCol)
+      .agg(expr("hll_union_agg(hll, true)").as("hll"),
+        udaf(new CmsMergeAgg).apply(col("cms")).as("cms"),
+        sum("n_tokens").as("n_tokens"))
+      .write.mode("overwrite").partitionBy(groupCol).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compactSketchStore: cannot move $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back — the original tree is intact
+      throw new java.io.IOException(s"compactSketchStore: cannot publish")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Roll a stored sketch subset up to one (hll, cms, n_tokens,
     * distinct_est) row — reads ONLY the selected groups' partitions
     * (pruned at file listing), touches no raw text. */

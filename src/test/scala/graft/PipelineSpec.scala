@@ -594,6 +594,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(roll.getAs[Long]("distinct_est") == 6L) // a b c d e f exactly
   }
 
+  test("compactSketchStore folds partials; rollup unchanged") {
+    val (dd, ww) = (4, 128)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_skcompact").toString + "/store"
+    val wave1 = Seq((0L, "a b c a", "s0"), (1L, "b c d", "s1"))
+      .toDF("doc_id", "text", "source")
+    val wave2 = Seq((2L, "c d e f", "s0"), (3L, "a f", "s1"))
+      .toDF("doc_id", "text", "source")
+    Text.writeSketchStore(wave1, path, d = dd, w = ww)
+    Text.sketchRows(wave2, "text", "source", 12, dd, ww)
+      .write.mode("append").partitionBy("source").parquet(path)
+    def roll() = Text.sketchRollup(spark, path, Seq("s0", "s1"))
+      .collect()(0)
+    val before = roll()
+    assert(spark.read.parquet(path).count() == 4) // 2 groups x 2 waves
+    Text.compactSketchStore(spark, path)
+    assert(spark.read.parquet(path).count() == 2) // folded to 1 per group
+    val after = roll()
+    assert(after.getAs[Long]("n_tokens") == before.getAs[Long]("n_tokens"))
+    assert(after.getAs[scala.collection.Seq[Long]]("cms").toList ==
+      before.getAs[scala.collection.Seq[Long]]("cms").toList)
+    assert(after.getAs[Long]("distinct_est") ==
+      before.getAs[Long]("distinct_est"))
+  }
+
   test("windowCooccurrence: positional pairs, gaps not collapsed") {
     // window=2 over "a z b a": vocab top-2 = {a (2), b (1)}? counts: a=2,
     // z=1, b=1 → top-2 by (n desc, tok asc) = {a, b}. Pairs within 2:
