@@ -14,12 +14,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * without it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { f =>
       ext.injectFunction((new FunctionIdentifier(f.name),
         new ExpressionInfo(f.className, null, f.name, f.usage, ""),
         f.builder))
     }
+    // literal predicates over normalized epoch-nano ts fold back to native
+    // timestamp comparisons the parquet scan can prune with; sessions built
+    // without the extension get the same rule via Tables.configure
+    ext.injectOptimizerRule(_ => graft.plans.NanoTsRewrite)
+  }
 }
 
 object GraftExtensions {

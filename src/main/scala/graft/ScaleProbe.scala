@@ -28,7 +28,7 @@ object ScaleProbe {
     import graft.pipeline.{Dedup, Pipelines}
 
     // ---- build scaled tables (idempotent) -------------------------------
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.storage.Tables.read(spark, sfDir, "events")
     val docs   = spark.read.parquet(s"$sfDir/documents.parquet")
     val span = 40L * 86400L * 1000000000L // shift copies by > the data span
     def scaledEvents(k: Int): DataFrame =

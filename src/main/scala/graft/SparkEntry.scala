@@ -139,6 +139,20 @@ object SparkEntry {
   private def tsUs(df: DataFrame): DataFrame =
     df.withColumn("ts", col("ts") - pmod(col("ts"), lit(1000L)))
 
+  /** Streaming scan of the raw events table with `ts` normalized to
+    * epoch-nano longs — the streaming twin of [[Tables.read]]'s
+    * normalization. The file source must be given the RAW physical schema
+    * (`timestamp[us]`, surfacing as TimestampType under
+    * [[Tables.configure]]): handing it the normalized LongType schema would
+    * make the parquet reader emit the raw int64 MICROS as longs — every
+    * ns-based window/filter downstream silently 1000× off. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    Tables.configure(s)
+    val raw = s.read.option("pathGlobFilter", "events.parquet").parquet(d)
+    Tables.normalizeTs(s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d))
+  }
+
   /** Drive a streaming frame to completion (AvailableNow) into a memory
     * sink and return the materialized table. A timeout means the table is
     * PARTIAL: stop the query (else the next run's identical queryName
@@ -459,11 +473,7 @@ object SparkEntry {
       // lateness) — the batch downsample restricted to that subset. The sum
       // rides a decimal cast so partial-aggregation merge order across
       // micro-batch shuffles cannot perturb the double.
-      Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      // file source wants a directory; pick the events file out of sfDir
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = eventStream(s, d)
         .withColumn("value", col("value").cast("decimal(18,2)"))
       val agg = graft.streaming.StreamIngest.windowedDownsample(
         src, "value", "1 hour", "2 hours")
@@ -765,9 +775,7 @@ object SparkEntry {
       // omitted (double accumulation order across state updates is not
       // oracle-stable — counts/extrema are).
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
       val sess = graft.streaming.StreamIngest.statefulSessionize(
         src.select("user_id", "ts", "value"),
         gapNanos = 3600L * 1000000000L, lateness = "10 minutes")
@@ -2288,9 +2296,7 @@ object SparkEntry {
       // per-key state = stage progress; a drained stream emits exactly
       // the batch completion set (shared oracle)
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
       val done = graft.streaming.StreamIngest.streamingFunnel(
         src, "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), 7L * 86400 * 1000000000L)
@@ -2304,9 +2310,7 @@ object SparkEntry {
       // trailing windows, state = one bounded deque per user; a drained
       // single batch flags exactly the batch set (shared oracle)
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
         .select("event_id", "ts", "user_id", "value")
       val flagged = graft.streaming.StreamIngest.streamingZscoreAnomalies(
         src, 7L * 86400 * 1000000000L, k = 2, minN = 10)
@@ -2358,9 +2362,7 @@ object SparkEntry {
           3600L * 1000000000L, Seq("user_id"))
         .groupBy("user_id", "session_idx")
         .agg(min("ts").as("session_start"), max("ts").as("session_end"))
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
         .filter(col("event_type") === "purchase")
         .select("user_id", "ts", "value")
       val joined = TsOps.intervalJoin(src, sessions, Seq("user_id"),
@@ -2376,9 +2378,7 @@ object SparkEntry {
       // live dow×hour activity matrix: complete-mode agg whose state is
       // at most 168 counters — the cheapest possible live dashboard
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
       val agg = TsOps.heatmap(src)
       runStreamToTable(s, agg, "stream_heatmap_out", mode = "complete")
         .orderBy("dow", "hour")
@@ -2388,9 +2388,7 @@ object SparkEntry {
       // once with its cohort tag; the rollup on the drained sink equals
       // the batch retention matrix (shared oracle)
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
       val ledger = graft.streaming.StreamIngest.streamingUserDays(
         src, "user_id", "ts", dayNanos = 86400L * 1000000000L)
       runStreamToTable(s, ledger, "stream_retention_out",
@@ -2403,9 +2401,7 @@ object SparkEntry {
       // live DAU/WAU off the same drained user-day ledger (the batch
       // explode-and-count shape applied to the sink; shared oracle)
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
       val ledger = graft.streaming.StreamIngest.streamingUserDays(
         src, "user_id", "ts", dayNanos = 86400L * 1000000000L)
       val tbl = runStreamToTable(s, ledger, "stream_active_users_out",
@@ -2420,9 +2416,7 @@ object SparkEntry {
       // count rollup runs on the drained sink table, which then equals
       // the batch transition matrix (shared oracle)
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
       val pairs = graft.streaming.StreamIngest.streamingTransitions(
         src, "user_id", "ts", "event_id", "event_type")
       runStreamToTable(s, pairs, "stream_transitions_out")
@@ -2433,11 +2427,8 @@ object SparkEntry {
       // live day × type matrix: streaming frames can't pivot(), but the
       // explicit-list pivot IS conditional sums — which stream fine as a
       // complete-mode agg; state = one row per day (bounded by calendar)
-      Tables.configure(s)
       val day = 86400L * 1000000000L
-      val schema = t(s, d, "events").schema
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = eventStream(s, d)
       def cnt(tpe: String) = sum(when(col("event_type") === tpe, 1L)
         .otherwise(0L))
       val agg = src.groupBy(expr(TsOps.floorDivSql("ts", day)).as("day"))
@@ -2643,9 +2634,7 @@ object SparkEntry {
       // timestamps) agrees on every boundary; values pass through with no
       // accumulation, so doubles are oracle-stable.
       Tables.configure(s)
-      val schema = t(s, d, "events").schema
-      val src = tsUs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+      val src = tsUs(eventStream(s, d))
       val joined = graft.streaming.StreamIngest.streamingAsof(
         src, leftType = "purchase", rightType = "view")
       runStreamToTable(s, joined.toDF(), "stream_asof_out")

@@ -10,8 +10,11 @@ import java.time.temporal.ChronoField
   * (`zikeiretsu/src/tsdb/datetime/timestamp_nano.rs:10-13`). Spark's
   * `TimestampType` is microsecond-precision, so the engine carries `ts` as a
   * `LongType` column of epoch nanos (parquet `timestamp[ns]` columns are read
-  * via `spark.sql.legacy.parquet.nanosAsLong=true`) and only derives µs
-  * timestamps at the edges (display, streaming watermarks).
+  * via `spark.sql.legacy.parquet.nanosAsLong=true`; `timestamp[us]` columns
+  * normalize through `unix_micros * 1000` in [[graft.storage.Tables]], with
+  * [[graft.plans.NanoTsRewrite]] folding literal predicates back onto the
+  * native column for scan pruning) and only derives µs timestamps at the
+  * edges (display, streaming watermarks).
   */
 object TimeNano {
   val NanosPerMicro = 1000L

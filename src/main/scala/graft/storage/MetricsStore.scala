@@ -16,18 +16,30 @@ import org.apache.spark.sql.functions._
   *
   * Timestamps: a metrics table's `ts` column is epoch-nano LongType. Parquet
   * `timestamp[ns]` columns are read as longs via
-  * `spark.sql.legacy.parquet.nanosAsLong` (set in [[Tables.configure]]).
+  * `spark.sql.legacy.parquet.nanosAsLong`; `timestamp[us]` columns (what
+  * external writers typically produce) are read as `TimestampType` and
+  * normalized to epoch-nano longs by [[Tables.normalizeTs]] on the way in —
+  * the session-level [[graft.plans.NanoTsRewrite]] rule then unwraps literal
+  * predicates over the normalized column back to native timestamp
+  * comparisons so row-group pruning still happens at the scan.
   */
 object Tables {
 
   /** Runtime confs every session needs before reading metrics tables. */
   def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // read parquet timestamp[us] isAdjustedToUTC=false as TimestampType
+    // (not TIMESTAMP_NTZ): under the UTC session pin below the instant is
+    // identical, TimestampType comparisons push down to parquet stats, and
+    // normalizeTs needs no per-type cast
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // min/max/count meta-queries answered from parquet footers
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     // the engine's time model is UTC epoch-nanos; pin the session so no
     // date/timestamp rendering ever depends on the host timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // predicates over normalizeTs output fold back to native scan filters
+    graft.plans.NanoTsRewrite.install(spark)
   }
 
   /** Hadoop conf for catalog path operations — from the active session when
@@ -54,9 +66,29 @@ object Tables {
     else throw new IllegalArgumentException(s"unknown metrics '$metrics' in $dbDir")
   }
 
+  /** Normalize a physical `ts` column to the engine's epoch-nano LongType.
+    * Engine-written blocks already carry LongType nanos (untouched);
+    * externally-written tables carry parquet `timestamp[us]`, which arrives
+    * as `TimestampType` (see [[configure]]) and converts via
+    * `unix_micros * 1000` — exact for every representable instant up to
+    * year 2262 (Long ns range), and engine-identical to DuckDB's
+    * `epoch_ns(ts)` on the same file, which is what the oracle compares.
+    * Literal filters the caller stacks on the normalized column are folded
+    * back to native timestamp predicates by [[graft.plans.NanoTsRewrite]],
+    * so block/row-group pruning by time (SURVEY §2 row 2) is preserved.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) |
+           Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts"))
+      case _ => df
+    }
+
   def read(spark: SparkSession, dbDir: String, metrics: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(metricsPath(dbDir, metrics))
+    val df = normalizeTs(spark.read.parquet(metricsPath(dbDir, metrics)))
     // drop writer partition columns (date bucketing) from the logical schema
     if (df.columns.contains(WritableStore.PartitionCol))
       df.drop(WritableStore.PartitionCol)
@@ -71,7 +103,7 @@ object Tables {
   def readRange(spark: SparkSession, dbDir: String, metrics: String,
       since: Option[Long], until: Option[Long]): DataFrame = {
     configure(spark)
-    val raw = spark.read.parquet(metricsPath(dbDir, metrics))
+    val raw = normalizeTs(spark.read.parquet(metricsPath(dbDir, metrics)))
     def dayStr(nanos: Long): String =
       java.time.LocalDate.ofEpochDay(
         Math.floorDiv(nanos, 86400L * 1000000000L)).toString
@@ -182,16 +214,32 @@ object Tables {
         val footer = reader.getFooter
         val blocks = footer.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
-        val hasTs = footer.getFileMetaData.getSchema.getFields.asScala
-          .exists(_.getName == "ts")
+        val tsField = footer.getFileMetaData.getSchema.getFields.asScala
+          .find(_.getName == "ts")
+        // stats carry the column's PHYSICAL int64 in its own unit: engine
+        // blocks store ns longs (scale 1), external timestamp[us]/[ms]
+        // annotations scale to the ns the describe/block_list contract
+        // reports — same normalization as [[Tables.normalizeTs]], footer-side
+        val nsScale: Long = tsField.flatMap { f =>
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          Option(f.asPrimitiveType().getLogicalTypeAnnotation).collect {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MICROS => 1000L
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000000L
+                case _ => 1L
+              }
+          }
+        }.getOrElse(1L)
         val tsStats =
-          if (!hasTs) Nil
+          if (tsField.isEmpty) Nil
           else blocks.flatMap { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == "ts")
               .map(_.getStatistics)
               .filter(st => st != null && st.hasNonNullValue)
-              .map(st => (st.genericGetMin.asInstanceOf[Number].longValue(),
-                st.genericGetMax.asInstanceOf[Number].longValue()))
+              .map(st =>
+                (st.genericGetMin.asInstanceOf[Number].longValue() * nsScale,
+                  st.genericGetMax.asInstanceOf[Number].longValue() * nsScale))
           }
         (f, rows, tsStats.map(_._1).minOption, tsStats.map(_._2).maxOption)
       } finally reader.close()
