@@ -423,6 +423,48 @@ object SparkEntry {
         "value", Seq("user_id"), k = 3, minN = 10)
         .select("event_id", "ts", "user_id", "value", "med2", "dev2", "mad4")
         .orderBy("event_id")),
+    "ts_seasonal_anomaly" -> ((s, d) =>
+      // calendar-shaped alerting: points > 2σ from their OWN seasonal cell
+      // (dow × hour) mean — one 168-row profile agg + broadcast join, no
+      // window; the residual test is exact integer algebra on cents
+      TsOps.seasonalAnomalies(t(s, d, "events"), "value", k = 2, minN = 10)
+        .select("event_id", "ts", "dow", "hour", "cell_n", "value")
+        .orderBy("event_id")),
+    "ts_paa_symbols" -> ((s, d) =>
+      // per-user PAA over 6h segments + quantile-SAX symbol (alphabet 4);
+      // symbols assigned by ntile over IEEE-exact mean ordering, so the
+      // (user, segment) → symbol map is engine-identical
+      TsOps.paaSymbols(t(s, d, "events"), Seq("user_id"),
+          6L * 3600 * 1000000000L, alphabet = 4)
+        .select(col("user_id"), col("seg"), col("seg_n"), col("seg_sum"),
+          col("symbol").cast("long").as("symbol"))
+        .orderBy("user_id", "seg")),
+    "ts_sax_words" -> ((s, d) =>
+      // one SAX word per user: activity-shape fingerprint; equal words
+      // across users = behaviorally similar series, found by GROUP BY —
+      // the SimHash pigeonhole applied to time series
+      TsOps.saxWords(t(s, d, "events"), Seq("user_id"),
+          6L * 3600 * 1000000000L, alphabet = 4)
+        .select("user_id", "word", "n_segments")
+        .orderBy("user_id")),
+    "ts_ewma" -> ((s, d) =>
+      // integer EWMA (α = 1/16) per user in one sorted partition pass;
+      // the floor-division recurrence is engine-defined, so a DuckDB
+      // recursive CTE reproduces every scaled state bit-for-bit
+      graft.operators.RecurrenceOps.ewma(t(s, d, "events"), Seq("user_id"),
+          alphaLog2 = 4)
+        .select(col("user_id"), col("ts"), col("id").as("event_id"),
+          col("cents"), col("ewma_num"), col("ewma_cents"))
+        .orderBy("user_id", "ts", "event_id")),
+    "ts_cusum" -> ((s, d) =>
+      // two-sided integer CUSUM drift detector per user (target 50.00,
+      // slack 5.00, threshold 200.00), sequential state in the same
+      // sorted-fold tier; alarms reset the statistic (page test)
+      graft.operators.RecurrenceOps.cusum(t(s, d, "events"), Seq("user_id"),
+          targetCents = 5000L, slackCents = 500L, thresholdCents = 20000L)
+        .select(col("user_id"), col("ts"), col("id").as("event_id"),
+          col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
+        .orderBy("user_id", "ts", "event_id")),
     "rolling_24h_stats" -> ((s, d) => {
       // rolling window on µs-truncated ts so the oracle sees identical gaps
       val ev = tsUs(t(s, d, "events")).select("event_id", "ts", "user_id", "value")
@@ -1035,6 +1077,114 @@ object SparkEntry {
         |FROM d JOIN md USING (user_id)
         |WHERE d.dev2 * 2 > 3 * md.mad4
         |ORDER BY d.event_id""".stripMargin,
+    "ts_seasonal_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_ns(ts) AS ts, value,
+        |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+        |    (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hour,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), cells AS (
+        |  SELECT dow, hour, count(c) AS cell_n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS sq
+        |  FROM e GROUP BY dow, hour HAVING count(c) >= 10
+        |)
+        |SELECT e.event_id, e.ts, e.dow, e.hour, cells.cell_n, e.value
+        |FROM e JOIN cells USING (dow, hour)
+        |WHERE CAST(cells.cell_n * e.c - cells.s AS HUGEINT)
+        |        * (cells.cell_n * e.c - cells.s)
+        |      > 4 * (CAST(cells.cell_n AS HUGEINT) * cells.sq
+        |        - CAST(cells.s AS HUGEINT) * cells.s)
+        |ORDER BY e.event_id""".stripMargin,
+    "ts_paa_symbols" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS seg,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), segs AS (
+        |  SELECT user_id, seg, count(c) AS seg_n,
+        |    CAST(sum(c) AS BIGINT) AS seg_sum
+        |  FROM e GROUP BY 1, 2 HAVING count(c) > 0
+        |)
+        |SELECT user_id, seg, seg_n, seg_sum,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(seg_sum AS DOUBLE) / seg_n, seg) AS BIGINT)
+        |    AS symbol
+        |FROM segs ORDER BY user_id, seg""".stripMargin,
+    "ts_sax_words" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS seg,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), segs AS (
+        |  SELECT user_id, seg, count(c) AS seg_n,
+        |    CAST(sum(c) AS BIGINT) AS seg_sum
+        |  FROM e GROUP BY 1, 2 HAVING count(c) > 0
+        |), syms AS (
+        |  SELECT user_id, seg,
+        |    ntile(4) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(seg_sum AS DOUBLE) / seg_n, seg) AS symbol
+        |  FROM segs
+        |)
+        |SELECT user_id,
+        |  string_agg(chr(CAST(96 + symbol AS INTEGER)), ''
+        |    ORDER BY seg) AS word,
+        |  count(*) AS n_segments
+        |FROM syms GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_ewma" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, ts, event_id, cents, rn,
+        |    cents * 16 AS ewma_num
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.ts, b.event_id, b.cents, b.rn,
+        |    r.ewma_num - (r.ewma_num // 16) + b.cents
+        |  FROM rec r JOIN base b
+        |    ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        |)
+        |SELECT user_id, ts, event_id, cents, ewma_num,
+        |  ewma_num // 16 AS ewma_cents
+        |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+    "ts_cusum" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, ts, event_id, cents, rn,
+        |    greatest(0, cents - 5000 - 500) AS sp0,
+        |    greatest(0, -(cents - 5000) - 500) AS sn0,
+        |    CASE WHEN greatest(0, cents - 5000 - 500) > 20000
+        |           OR greatest(0, -(cents - 5000) - 500) > 20000
+        |         THEN 1 ELSE 0 END AS alarm
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.ts, b.event_id, b.cents, b.rn,
+        |    greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sp0 END
+        |      + (b.cents - 5000) - 500),
+        |    greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sn0 END
+        |      - (b.cents - 5000) - 500),
+        |    CASE WHEN greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sp0
+        |        END + (b.cents - 5000) - 500) > 20000
+        |      OR greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sn0 END
+        |        - (b.cents - 5000) - 500) > 20000
+        |      THEN 1 ELSE 0 END
+        |  FROM rec r JOIN base b
+        |    ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        |)
+        |SELECT user_id, ts, event_id, cents, sp0 AS s_pos, sn0 AS s_neg,
+        |  CAST(alarm AS BIGINT) AS alarm
+        |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
     "ts_zscore_anomaly" ->
       """WITH b AS (
         |  SELECT event_id, epoch_ns(ts) AS ts, user_id, value,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-series sequential recurrences — smoothing and changepoint state that
+  * window functions cannot express (each output depends on the previous
+  * OUTPUT, not on a frame of inputs): integer EWMA and CUSUM.
+  *
+  * Execution shape: `repartition(keys) → sortWithinPartitions(keys, ts, id)
+  * → mapPartitions` streaming each partition once with O(1) state per
+  * series — the batch analog of `mapGroupsWithState`, and the only tier in
+  * the engine allowed an imperative per-partition loop (SURVEY's
+  * "mapPartitions as a last resort" clause: these recurrences are the
+  * genuine case). Memory is independent of series length — state is a few
+  * longs, rows stream through the sort iterator — so a single 10-year
+  * series costs no more RAM than a 10-minute one; parallelism is across
+  * series (hash partitioning), which is the right axis at 100 TB where
+  * series are many and each is time-ordered anyway.
+  *
+  * All arithmetic is integer (value cents, power-of-two smoothing), so
+  * results are engine-exact and oracle-checkable against a DuckDB
+  * recursive CTE computing the same recurrence.
+  */
+object RecurrenceOps {
+
+  /** Shared prepare: project to (keys..., ts, id, cents), drop rows whose
+    * value does not cast (they must not perturb state — the posture every
+    * anomaly op in the engine takes), co-locate each series on one
+    * partition and sort it by (keys, ts, id) for a deterministic fold. */
+  private def prepared(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    df.select((keyCols.map(c => col(c).cast("long").as(c)) ++
+        Seq(col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),
+          cents.as("c"))): _*)
+      .filter(col("c").isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col("ts").isNotNull && col("id").isNotNull)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ "ts" :+ "id").map(col): _*)
+  }
+
+  /** One streamed pass over the sorted partition: `step` folds each row's
+    * cents through per-series state (reset on key change) and returns the
+    * extra output columns appended after (keys..., ts, id, c). */
+  private def foldPartitions(p: DataFrame, nKeys: Int, extra: Seq[StructField])
+      (init: Long => Array[Long])(step: (Array[Long], Long) => Seq[Long])
+      : DataFrame = {
+    val spark = p.sparkSession
+    val outSchema = StructType(p.schema.fields ++ extra)
+    val rdd = p.rdd.mapPartitions { it =>
+      var key: Seq[Long] = null
+      var state: Array[Long] = null
+      it.map { r =>
+        val k = (0 until nKeys).map(r.getLong)
+        val c = r.getLong(nKeys + 2)
+        if (key != k) { key = k; state = init(c) }
+        val outs = step(state, c)
+        Row.fromSeq(r.toSeq ++ outs)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Integer exponentially-weighted moving average per series, smoothing
+    * factor α = 1/2^`alphaLog2`. State is the 2^a-scaled mean
+    * `m` (init m₁ = c₁·2^a, then mᵢ = mᵢ₋₁ − ⌊mᵢ₋₁/2^a⌋ + cᵢ): the
+    * floor-division recurrence is the engine's DEFINED semantic — exact
+    * integers end to end, a constant series holds exactly steady
+    * (⌊c·2^a/2^a⌋ = c), and per-step rounding drift is bounded by 1 scaled
+    * unit. Emits `ewma_num` (the scaled state, exact) and `ewma_cents`
+    * (⌊m/2^a⌋, display). Power-of-two α keeps every operation a
+    * shift/subtract — no float enters at any point, so a DuckDB recursive
+    * CTE reproduces the sequence bit-for-bit.
+    */
+  def ewma(df: DataFrame, keyCols: Seq[String], alphaLog2: Int = 4,
+      valueCol: String = "value", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(alphaLog2 >= 1 && alphaLog2 <= 20, "alphaLog2 in [1, 20]")
+    val scale = 1L << alphaLog2
+    val p = prepared(df, keyCols, tsCol, idCol, valueCol)
+    foldPartitions(p, keyCols.length, Seq(
+      StructField("ewma_num", LongType, nullable = false),
+      StructField("ewma_cents", LongType, nullable = false))) { c =>
+      Array(c * scale)
+    } { (st, c) =>
+      st(0) = st(0) - Math.floorDiv(st(0), scale) + c
+      Seq(st(0), Math.floorDiv(st(0), scale))
+    }.withColumnRenamed("c", "cents")
+  }
+
+  /** Two-sided integer CUSUM changepoint statistic per series: with
+    * deviation d = c − `targetCents`, the classic recurrences
+    * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + d − `slackCents`) and
+    * S⁻ᵢ = max(0, S⁻ᵢ₋₁ − d − `slackCents`) accumulate sustained drift
+    * above/below target while the slack absorbs noise; `alarm` is 1 when
+    * either side exceeds `thresholdCents`. Pure integer — exact across
+    * engines — and sequential by construction (each S depends on the
+    * previous S after clamping), which is why it lives in this tier and
+    * not in a window. Both statistics reset to 0 on alarm (restart
+    * detection), the standard page-test behavior.
+    */
+  def cusum(df: DataFrame, keyCols: Seq[String], targetCents: Long,
+      slackCents: Long, thresholdCents: Long, valueCol: String = "value",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    val p = prepared(df, keyCols, tsCol, idCol, valueCol)
+    foldPartitions(p, keyCols.length, Seq(
+      StructField("s_pos", LongType, nullable = false),
+      StructField("s_neg", LongType, nullable = false),
+      StructField("alarm", LongType, nullable = false))) { _ =>
+      Array(0L, 0L)
+    } { (st, c) =>
+      val d = c - targetCents
+      st(0) = Math.max(0L, st(0) + d - slackCents)
+      st(1) = Math.max(0L, st(1) - d - slackCents)
+      val alarm = if (st(0) > thresholdCents || st(1) > thresholdCents) 1L else 0L
+      val out = Seq(st(0), st(1), alarm)
+      if (alarm == 1L) { st(0) = 0L; st(1) = 0L }
+      out
+    }.withColumnRenamed("c", "cents")
+  }
+}

@@ -552,4 +552,112 @@ object TsOps {
         when(col("__keep"), col("__last_r").getField(c))
           .as(rightPrefix + c))).toIndexedSeq: _*)
   }
+
+  /** Seasonal-profile residual anomalies: flags rows whose value deviates
+    * from the mean of their OWN seasonal cell (dow × hour-of-day) by more
+    * than `k` standard deviations of that cell — "this Monday 9am is
+    * abnormal vs ALL Monday 9ams", the calendar-shaped complement of
+    * [[zscoreAnomalies]]' trailing window ("abnormal vs the recent past").
+    * Same exact integer algebra on value cents: with per-cell n, s = Σc,
+    * sq = Σc², flag when (n·c − s)² > k²·(n·sq − s²) — that is
+    * |c − s/n| > k·σ_cell — evaluated without division or floats, so the
+    * flag set is engine-exact. Squares ride decimal(38,0): n·c and s reach
+    * ~1e13 at corpus scale and their squares overflow long.
+    *
+    * Scale shape: one map-side-combinable aggregation down to ≤ 168 cells,
+    * broadcast back onto the scan — NO window and no per-key sort (the
+    * trailing z-score pays one), so the whole operator is a partial agg +
+    * broadcast hash join over the event scan: embarrassingly scalable.
+    * Rows with a non-castable value join their cell but neither count in n
+    * nor can flag, matching [[zscoreAnomalies]]' posture.
+    */
+  def seasonalAnomalies(df: DataFrame, valueCol: String, k: Int = 2,
+      minN: Long = 10, tsCol: String = "ts"): DataFrame = {
+    val day = 86400L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val cells = df
+      .select(
+        expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)").as("dow"),
+        expr(s"pmod($tsCol, ${day}L) div ${hour}L").as("hour"),
+        cents.as("__c"))
+      .groupBy("dow", "hour")
+      .agg(count(col("__c")).as("cell_n"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .filter(col("cell_n") >= minN)
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    df.withColumn("dow",
+        expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)"))
+      .withColumn("hour", expr(s"pmod($tsCol, ${day}L) div ${hour}L"))
+      .withColumn("__c", cents)
+      .join(broadcast(cells), Seq("dow", "hour"))
+      .withColumn("lhs",
+        (big(col("cell_n") * col("__c")) - big(col("__s"))) *
+          (big(col("cell_n") * col("__c")) - big(col("__s"))))
+      .withColumn("rhs",
+        big(lit(k.toLong * k)) * (big(col("cell_n")) * big(col("__sq")) -
+          big(col("__s")) * big(col("__s"))))
+      .filter(col("lhs") > col("rhs"))
+      .drop("__c", "__s", "__sq")
+  }
+
+  /** PAA (piecewise aggregate approximation) + data-adaptive SAX
+    * symbolization per series: segment each key's series into fixed
+    * `segmentNanos` chunks, reduce each chunk to (n, Σcents), and assign
+    * each segment one of `alphabet` symbols by `ntile` over the segment
+    * means WITHIN the key — quantile breakpoints rather than the classic
+    * Gaussian ones (a documented engine choice: quantile SAX needs no
+    * z-normalization, so the whole operator stays float-free except the
+    * ordering key, and adapts to each series' own distribution). Segment
+    * means order by IEEE double division — correctly rounded and therefore
+    * engine-identical — with the segment start as tie-breaker, so symbol
+    * assignment is deterministic and oracle-exact.
+    *
+    * Scale shape: one combinable (key, segment) aggregation, then one
+    * window per key over its ~span/segment segments (bounded by calendar,
+    * not by event volume) — the expensive raw scan reduces before any
+    * window runs. The symbol string is the series' SHAPE signature; equal
+    * words across keys = behaviorally similar periods, found by a
+    * GROUP BY on the word ([[saxWords]]) — the SimHash pigeonhole trick
+    * applied to time series, no pairwise comparison anywhere.
+    */
+  def paaSymbols(df: DataFrame, keyCols: Seq[String], segmentNanos: Long,
+      alphabet: Int = 4, valueCol: String = "value", tsCol: String = "ts")
+      : DataFrame = {
+    require(alphabet >= 2, "alphabet must have at least 2 symbols")
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val segs = df
+      .withColumn("seg",
+        expr(s"$tsCol - pmod($tsCol, ${segmentNanos}L)"))
+      .withColumn("__c", cents)
+      .groupBy((keyCols.map(col) :+ col("seg")): _*)
+      .agg(count(col("__c")).as("seg_n"), sum(col("__c")).as("seg_sum"))
+      .filter(col("seg_n") > 0)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("seg_sum").cast("double") / col("seg_n").cast("double"),
+        col("seg"))
+    segs.withColumn("symbol", ntile(alphabet).over(w))
+  }
+
+  /** [[paaSymbols]] folded to one SAX word per key: symbols concatenated in
+    * segment-time order. Keys sharing a word have byte-identical activity
+    * shapes at the chosen resolution — candidate generation for series
+    * similarity via a plain GROUP BY (pigeonhole), the way SimHash buckets
+    * near-dup documents. The word is ≤ span/segment characters (calendar-
+    * bounded); the fold is `array_sort` over (seg, symbol) structs +
+    * `concat`, one combinable agg past the [[paaSymbols]] window.
+    */
+  def saxWords(df: DataFrame, keyCols: Seq[String], segmentNanos: Long,
+      alphabet: Int = 4, valueCol: String = "value", tsCol: String = "ts")
+      : DataFrame = {
+    require(alphabet <= 26, "symbols render a..z")
+    val syms = paaSymbols(df, keyCols, segmentNanos, alphabet, valueCol, tsCol)
+    syms
+      .withColumn("__sym", chr(col("symbol") + lit(96))) // 1 -> 'a'
+      .groupBy(keyCols.map(col): _*)
+      .agg(concat_ws("",
+        expr("transform(array_sort(collect_list(struct(seg, __sym)))," +
+          " p -> p.__sym)")).as("word"),
+        count(lit(1)).as("n_segments"))
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.RecurrenceOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequential-recurrence tier: the sorted-partition fold must reproduce the
+  * defining integer recurrences exactly, reset state across series, and
+  * stay deterministic under any input order (the repartition+sort owns
+  * ordering).
+  */
+class RecurrenceOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("user_id", "ts", "event_id", "value")
+
+  test("ewma: defined recurrence, steady state on a constant series") {
+    // constant series: m = c·2^a is a fixed point, ewma_cents == c forever
+    val const = ev((0 until 8).map(i => (1L, i * 10L, i.toLong, 50.0)))
+    val out = RecurrenceOps.ewma(const, Seq("user_id"), alphaLog2 = 4)
+      .orderBy("ts").collect()
+    assert(out.forall(_.getAs[Long]("ewma_num") == 5000L * 16))
+    assert(out.forall(_.getAs[Long]("ewma_cents") == 5000L))
+    // reference fold: m1 = c1·16, mi = m(i-1) - floor(m(i-1)/16) + ci
+    val vals = Seq(10.0, 90.0, 30.0, 70.0, 50.0)
+    val df = ev(vals.zipWithIndex.map { case (v, i) => (2L, i * 10L, i.toLong, v) })
+    val got = RecurrenceOps.ewma(df, Seq("user_id"), alphaLog2 = 4)
+      .orderBy("ts").collect().map(_.getAs[Long]("ewma_num")).toSeq
+    val cents = vals.map(v => (v * 100).toLong)
+    val expect = cents.tail.scanLeft(cents.head * 16) { (m, c) =>
+      m - Math.floorDiv(m, 16L) + c
+    }
+    assert(got == expect)
+  }
+
+  test("ewma: state resets between series; input order irrelevant") {
+    // interleave two users in scrambled row order — the op's own
+    // repartition+sort must produce each user's time-ordered fold
+    val rows = Seq(
+      (2L, 20L, 21L, 80.0), (1L, 10L, 11L, 40.0), (2L, 10L, 20L, 20.0),
+      (1L, 20L, 12L, 60.0))
+    val out = RecurrenceOps.ewma(ev(rows), Seq("user_id"), alphaLog2 = 2)
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ewma_num"))).toSeq
+    // u1: m1=4000·4=16000; m2=16000−4000+6000=18000
+    // u2: m1=2000·4=8000;  m2=8000−2000+8000=14000  (fresh state)
+    assert(out == Seq((1L, 16000L), (1L, 18000L), (2L, 8000L), (2L, 14000L)))
+  }
+
+  test("ewma: non-castable values are dropped, not folded") {
+    val rows = Seq((1L, 10L, 1L, 50.0), (1L, 20L, 2L, Double.NaN),
+      (1L, 30L, 3L, 50.0))
+    val out = RecurrenceOps.ewma(ev(rows), Seq("user_id"), alphaLog2 = 4)
+      .collect()
+    assert(out.length == 2) // NaN row gone
+    assert(out.forall(_.getAs[Long]("ewma_cents") == 5000L))
+  }
+
+  test("cusum: sustained upward drift alarms then resets") {
+    // target 50.00, slack 5.00, threshold 15.00: five 60.00 points drift
+    // s_pos by 500/step → alarm on the 4th (2000 > 1500), reset after
+    val rows = (0 until 5).map(i => (1L, i * 10L, i.toLong, 60.0))
+    val out = RecurrenceOps.cusum(ev(rows), Seq("user_id"),
+        targetCents = 5000L, slackCents = 500L, thresholdCents = 1500L)
+      .orderBy("ts").collect()
+      .map(r => (r.getAs[Long]("s_pos"), r.getAs[Long]("alarm"))).toSeq
+    assert(out == Seq((500L, 0L), (1000L, 0L), (1500L, 0L), (2000L, 1L),
+      (500L, 0L)))
+  }
+
+  test("cusum: downward drift trips the negative side") {
+    val rows = (0 until 4).map(i => (1L, i * 10L, i.toLong, 40.0))
+    val out = RecurrenceOps.cusum(ev(rows), Seq("user_id"),
+        targetCents = 5000L, slackCents = 500L, thresholdCents = 1200L)
+      .orderBy("ts").collect()
+    assert(out.map(_.getAs[Long]("s_neg")).toSeq == Seq(500L, 1000L, 1500L, 500L))
+    assert(out.map(_.getAs[Long]("alarm")).toSeq == Seq(0L, 0L, 1L, 0L))
+    assert(out.forall(_.getAs[Long]("s_pos") == 0L))
+  }
+}

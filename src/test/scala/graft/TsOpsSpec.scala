@@ -807,4 +807,39 @@ class TsOpsSpec extends AnyFunSuite {
     assert(TsOps.zscoreAnomalies(few.toDF("event_id", "ts", "user_id",
       "value"), 60L * 1000000000L, "value", Seq("user_id")).count() == 0)
   }
+
+  test("seasonal anomalies: spike flagged against its OWN dow×hour cell") {
+    val hour = 3600L * 1000000000L
+    val day = 86400L * 1000000000L
+    // twelve Thursdays (epoch day 0 = Thursday, dow 4) at hour 0, steady
+    // 50.00 plus one 99.00; hour 1 gets a same-value 99.00 crowd so the
+    // spike is only anomalous within its own cell
+    val rows = (0 until 11).map(i =>
+      (i.toLong, i * 7 * day, 99.0 * 0 + 50.0)) ++ Seq((11L, 11 * 7 * day, 99.0)) ++
+      (20 until 32).map(i => (i.toLong, (i - 20) * 7 * day + hour, 99.0))
+    val ev = rows.toDF("event_id", "ts", "value")
+    val out = TsOps.seasonalAnomalies(ev, "value", k = 2, minN = 10)
+      .collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(11L))
+    assert(out(0).getAs[Long]("dow") == 4L && out(0).getAs[Long]("hour") == 0L)
+  }
+
+  test("paa symbols + sax words: quantile symbols in segment order") {
+    // one user, 8 segments of one point each, values in a shuffled order:
+    // quartile symbols must follow the VALUE ranking, the word follows
+    // segment TIME order
+    val seg = 10L
+    val vals = Seq(3.0, 7.0, 1.0, 8.0, 5.0, 2.0, 6.0, 4.0)
+    val ev = vals.zipWithIndex.map { case (v, i) => (1L, i * seg, v) }
+      .toDF("user_id", "ts", "value")
+    val syms = TsOps.paaSymbols(ev, Seq("user_id"), seg, alphabet = 4)
+      .orderBy("seg").collect().map(_.getAs[Int]("symbol")).toSeq
+    // value ranks: 3,7,1,8,5,2,6,4 → quartiles (1=lowest): 2,4,1,4,3,1,3,2
+    assert(syms == Seq(2, 4, 1, 4, 3, 1, 3, 2))
+    val words = TsOps.saxWords(ev, Seq("user_id"), seg, alphabet = 4)
+      .collect()
+    assert(words.length == 1)
+    assert(words(0).getAs[String]("word") == "bdadcaCB".toLowerCase)
+    assert(words(0).getAs[Long]("n_segments") == 8L)
+  }
 }
