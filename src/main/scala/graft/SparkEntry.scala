@@ -465,6 +465,16 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("id").as("event_id"),
           col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
         .orderBy("user_id", "ts", "event_id")),
+    "retrieval_bm25" -> ((s, d) => {
+      // lexical top-10 per query, BM25-shaped with the engine-exact
+      // rational idf; the oracle reproduces every integral division
+      import s.implicits._
+      val q = Seq((1L, "fast vector scan"), (2L, "stream window agg"),
+        (3L, "customer join query")).toDF("query_id", "qtext")
+      graft.pipeline.Retrieval.bm25(t(s, d, "documents"), q, topK = 10)
+        .select("query_id", "doc_id", "score", "n_terms", "rank")
+        .orderBy("query_id", "rank")
+    }),
     "rolling_24h_stats" -> ((s, d) => {
       // rolling window on µs-truncated ts so the oracle sees identical gaps
       val ev = tsUs(t(s, d, "events")).select("event_id", "ts", "user_id", "value")
@@ -1185,6 +1195,44 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, cents, sp0 AS s_pos, sn0 AS s_neg,
         |  CAST(alarm AS BIGINT) AS alarm
         |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+    "retrieval_bm25" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($DuckToks) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl
+        |), dfs AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        |), q AS (
+        |  SELECT * FROM (VALUES (1, 'fast vector scan'),
+        |    (2, 'stream window agg'), (3, 'customer join query'))
+        |    AS v(query_id, text)
+        |), qt AS (
+        |  SELECT DISTINCT query_id, unnest($DuckToks) AS tok FROM q
+        |), scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(
+        |      CAST((1048576 * (s.n - dfs.df + 1)) // (dfs.df + 1)
+        |        AS HUGEINT) * 22 * s.t * tf.tf
+        |      // CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n
+        |        AS HUGEINT)
+        |      AS BIGINT) AS sc
+        |  FROM qt
+        |  JOIN dfs USING (tok) JOIN tf USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+        |), agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS score,
+        |    count(*) AS n_terms
+        |  FROM scored GROUP BY 1, 2
+        |)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+        |  n_terms, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM agg)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ts_zscore_anomaly" ->
       """WITH b AS (
         |  SELECT event_id, epoch_ns(ts) AS ts, user_id, value,

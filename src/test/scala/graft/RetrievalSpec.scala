@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipeline.Retrieval
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple apple apple pie"),      // rare term, high tf
+    (2L, "apple banana cherry pie"),    // rare term, tf 1
+    (3L, "banana banana cherry cherry banana cherry pie pie"), // long, no apple
+    (4L, "the the the the the the the the the the the the")    // stopword soup
+  ).toDF("doc_id", "text")
+
+  private def q(s: String) = Seq((1L, s)).toDF("query_id", "qtext")
+
+  test("tf dominance: more occurrences of the query term rank higher") {
+    val out = Retrieval.bm25(docs, q("apple"), topK = 10).orderBy("rank")
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(out(0).getAs[Long]("score") > out(1).getAs[Long]("score"))
+  }
+
+  test("idf: rare terms outweigh common ones across query terms") {
+    // 'pie' is in 3 docs, 'banana' in 2: doc 3 (banana-heavy) must beat
+    // doc 2 (one banana) and both beat doc 1 (pie only)
+    val out = Retrieval.bm25(docs, q("banana pie"), topK = 10)
+      .orderBy("rank").collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.indexOf(3L) < ids.indexOf(2L))
+    assert(ids.contains(1L)) // pie-only doc still matches via one term
+    assert(out.find(_.getAs[Long]("doc_id") == 3L).get
+      .getAs[Long]("n_terms") == 2L)
+  }
+
+  test("maxDf drops stopword-grade terms from candidate generation") {
+    // 'the' appears in 1 doc here but set maxDf=0 to force the drop path
+    val out = Retrieval.bm25(docs, q("the apple"), topK = 10, maxDf = 2)
+      .collect()
+    // 'the' (df 1 <= 2) kept, 'apple' kept: doc 4 matches only via 'the'
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
+    val none = Retrieval.bm25(docs, q("the"), topK = 10, maxDf = 0)
+    assert(none.count() == 0) // every term capped away -> empty result
+  }
+
+  test("topK bounds per-query output; ranks are 1..k dense") {
+    val out = Retrieval.bm25(docs, q("pie"), topK = 2).orderBy("rank")
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+  }
+}
