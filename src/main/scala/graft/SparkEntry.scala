@@ -2516,6 +2516,30 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "value", "roll_n", "lhs", "rhs")
         .orderBy("event_id")
     }),
+    "stream_ewma" -> ((s, d) => {
+      // live smoothing: one scaled long of state per user, the identical
+      // floor-division recurrence as the batch fold (shared oracle via
+      // the ts_ewma recursive CTE)
+      val src = eventStream(s, d)
+      val sm = graft.streaming.StreamIngest.streamingEwma(src)
+      // Trigger.Once: the oracle equality needs every row of a user in ONE
+      // batch (the recurrence folds in arrival order across batches)
+      runStreamToTable(s, sm, "stream_ewma_out", singleBatch = true)
+        .select("user_id", "ts", "event_id", "cents", "ewma_num",
+          "ewma_cents")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+    "stream_cusum" -> ((s, d) => {
+      // live drift alarms: two longs of state per user, alarm resets —
+      // a drained single batch equals the batch page test (shared oracle)
+      val src = eventStream(s, d)
+      val cu = graft.streaming.StreamIngest.streamingCusum(src,
+        targetCents = 5000L, slackCents = 500L, thresholdCents = 20000L)
+      runStreamToTable(s, cu, "stream_cusum_out", singleBatch = true)
+        .select("user_id", "ts", "event_id", "cents", "s_pos", "s_neg",
+          "alarm")
+        .orderBy("user_id", "ts", "event_id")
+    }),
     "stream_embed_outliers" -> ((s, d) => {
       // stateless ingest-side twin of embed_outliers: broadcast-centroid
       // argmax in one UDF, same cosine arithmetic — a drained stream
@@ -4306,6 +4330,10 @@ object SparkEntry {
       // one drained batch processes each user's rows in event-time order
       // through the same integer z-test → exactly the batch flag set
       ("stream_zscore" -> base("ts_zscore_anomaly")) +
+      // one drained batch replays each user in (ts, id) order — exactly
+      // the batch recurrence folds, so both twins share their oracles
+      ("stream_ewma" -> base("ts_ewma")) +
+      ("stream_cusum" -> base("ts_cusum")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
       ("stream_funnel" -> base("ts_funnel")) +

@@ -778,6 +778,119 @@ object StreamIngest {
       .toDF()
   }
 
+  final case class RcIn(key: Long, ts: Long, eid: Long, c: Long)
+  final case class EwOut(user_id: Long, ts: Long, event_id: Long,
+      cents: Long, ewma_num: Long, ewma_cents: Long)
+  final case class CuOut(user_id: Long, ts: Long, event_id: Long,
+      cents: Long, s_pos: Long, s_neg: Long, alarm: Long)
+
+  /** Shared input prep of the recurrence twins: (key, ts, id, cents),
+    * non-castable values dropped before state — one malformed point must
+    * not perturb a smoothing/drift statistic (same posture as the batch
+    * tier and the z-score twin). */
+  private def recurrenceInput(stream: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, valueCol: String): Dataset[RcIn] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("eid"),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .filter(col("key").isNotNull && col("ts").isNotNull &&
+        col("eid").isNotNull && col("c").isNotNull)
+      .as[RcIn]
+  }
+
+  /** Streaming integer EWMA — the live twin of
+    * [[graft.operators.RecurrenceOps.ewma]] with the identical
+    * floor-division recurrence (α = 1/2^`alphaLog2`): per-key state is ONE
+    * long (the 2^a-scaled mean), initialized m₁ = c₁·2^a at the key's
+    * first point. Within a batch, rows replay in (ts, id) order, so a
+    * drained single batch emits exactly the batch operator's sequence
+    * (the shared oracle pins it). Across batches the recurrence folds in
+    * arrival order — a straggler older than already-folded points smooths
+    * at its arrival position (live semantics: emitted rows are never
+    * retracted), the inherent trade of incremental smoothing. Keys silent
+    * past `stateTtl` drop their long.
+    */
+  def streamingEwma(stream: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value", alphaLog2: Int = 4,
+      stateTtl: String = ""): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alphaLog2 >= 1 && alphaLog2 <= 20, "alphaLog2 in [1, 20]")
+    val scale = 1L << alphaLog2
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
+    val ds = recurrenceInput(stream, keyCol, tsCol, idCol, valueCol)
+    def fn(key: Long, rows: Iterator[RcIn],
+        state: GroupState[Long]): Iterator[EwOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var m = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[EwOut]
+      for (r <- rows.toSeq.sortBy(r => (r.ts, r.eid))) {
+        val next = m match {
+          case None => r.c * scale
+          case Some(prev) => prev - Math.floorDiv(prev, scale) + r.c
+        }
+        m = Some(next)
+        out += EwOut(key, r.ts, r.eid, r.c, next, Math.floorDiv(next, scale))
+      }
+      m.foreach(state.update)
+      ttl.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, EwOut](OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .withColumnRenamed("user_id", keyCol)
+  }
+
+  /** Streaming two-sided integer CUSUM — the live twin of
+    * [[graft.operators.RecurrenceOps.cusum]], same recurrences, same
+    * alarm-resets-state page-test behavior. Per-key state is two longs;
+    * batch-order replay and the arrival-order cross-batch trade are as in
+    * [[streamingEwma]]. This is the op streaming exists for: sustained
+    * drift in a live metric alarms within one micro-batch of crossing the
+    * threshold, with O(1) state per series.
+    */
+  def streamingCusum(stream: DataFrame, targetCents: Long, slackCents: Long,
+      thresholdCents: Long, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value", stateTtl: String = ""): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
+    val ds = recurrenceInput(stream, keyCol, tsCol, idCol, valueCol)
+    def fn(key: Long, rows: Iterator[RcIn],
+        state: GroupState[(Long, Long)]): Iterator[CuOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var (sp, sn) = state.getOption.getOrElse((0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[CuOut]
+      for (r <- rows.toSeq.sortBy(r => (r.ts, r.eid))) {
+        val d = r.c - targetCents
+        sp = Math.max(0L, sp + d - slackCents)
+        sn = Math.max(0L, sn - d - slackCents)
+        val alarm = if (sp > thresholdCents || sn > thresholdCents) 1L else 0L
+        out += CuOut(key, r.ts, r.eid, r.c, sp, sn, alarm)
+        if (alarm == 1L) { sp = 0L; sn = 0L }
+      }
+      state.update((sp, sn))
+      ttl.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), CuOut](OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .withColumnRenamed("user_id", keyCol)
+  }
+
   final case class ZIn(key: Long, event_id: Long, ts: Long, value: Double,
       c: Long)
   final case class ZOut(event_id: Long, ts: Long, user_id: Long,

@@ -767,6 +767,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(top() == Seq(10L, 11L))
   }
 
+  test("streaming ewma+cusum: drained stream equals the batch recurrence; " +
+      "state carries across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "events").select("user_id", "ts", "event_id", "value")
+    val dir = SparkTestBase.tempDir("graft-rec-in")
+    val in = new java.io.File(dir, "in").getPath
+    ev.write.parquet(s"$in/b1")
+    val src = spark.readStream.schema(ev.schema).parquet(s"$in/*")
+    def drained(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = StreamIngest.runToMemory(df, name)
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+    val sEw = drained(StreamIngest.streamingEwma(src), "rec_ew")
+      .select("user_id", "ts", "event_id", "ewma_num")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val bEw = graft.operators.RecurrenceOps.ewma(ev, Seq("user_id"))
+      .select(col("user_id"), col("ts"), col("id"), col("ewma_num"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(sEw.nonEmpty && sEw == bEw)
+    // cross-batch state: user 9000001's second point must fold onto the
+    // first batch's state, not restart the recurrence
+    val dir2 = SparkTestBase.tempDir("graft-rec2-in")
+    val in2 = new java.io.File(dir2, "in").getPath
+    Seq((9000001L, 10L, 1L, 40.0)).toDF("user_id", "ts", "event_id", "value")
+      .write.parquet(s"$in2/b1")
+    val src2 = spark.readStream.schema(ev.schema).parquet(s"$in2/*")
+    val cu = StreamIngest.streamingCusum(src2, targetCents = 5000L,
+      slackCents = 0L, thresholdCents = 100000L)
+    val ck = SparkTestBase.tempDir("graft-rec2-ck")
+    val outDir = new java.io.File(SparkTestBase.tempDir("graft-rec2-out"),
+      "rows").getPath
+    def drain(): Unit = {
+      val q = cu.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    Seq((9000001L, 20L, 2L, 40.0)).toDF("user_id", "ts", "event_id", "value")
+      .write.parquet(s"$in2/b2")
+    drain()
+    val sNeg = spark.read.parquet(outDir).orderBy("ts")
+      .collect().map(_.getAs[Long]("s_neg")).toSeq
+    // d = -1000 per point: s_neg accumulates 1000 then 2000 ONLY if the
+    // second batch started from the first batch's state
+    assert(sNeg == Seq(1000L, 2000L))
+  }
+
   test("persistStream writes sorted parquet blocks per micro-batch") {
     val inDir = SparkTestBase.tempDir("graft-stream-in2")
     val outDir = SparkTestBase.tempDir("graft-stream-out")
