@@ -111,6 +111,17 @@ object ScaleProbe {
     report("retention", evK,
       TsOps.retention(events, "user_id", 86400L * 1000000000L).count(),
       TsOps.retention(evScaled, "user_id", 86400L * 1000000000L).count())
+    report("seasonal_anomaly", evK,
+      TsOps.seasonalAnomalies(events, "value").count(),
+      TsOps.seasonalAnomalies(evScaled, "value").count())
+    report("ewma_fold", evK,
+      graft.operators.RecurrenceOps.ewma(events.select("user_id", "ts",
+        "event_id", "value"), Seq("user_id")).count(),
+      graft.operators.RecurrenceOps.ewma(evScaled.select("user_id", "ts",
+        "event_id", "value"), Seq("user_id")).count())
+    report("sax_words", evK,
+      TsOps.saxWords(events, Seq("user_id"), 6L * 3600 * 1000000000L).count(),
+      TsOps.saxWords(evScaled, Seq("user_id"), 6L * 3600 * 1000000000L).count())
     def intervalJoinCount(ev: DataFrame): Long = {
       val gapNs = 3600L * 1000000000L
       val sess = TsOps.sessionize(ev.select("user_id", "ts"), gapNs,
@@ -157,6 +168,14 @@ object ScaleProbe {
     report("dup_chunks", docK,
       graft.pipeline.Text.dupChunkStats(docs, "doc_id", "text").count(),
       graft.pipeline.Text.dupChunkStats(docScaled, "doc_id", "text").count())
+    locally {
+      import spark.implicits._
+      val bmq = Seq((1L, "fast vector scan"), (2L, "stream window agg"),
+        (3L, "customer join query")).toDF("query_id", "qtext")
+      report("bm25_top10", docK,
+        graft.pipeline.Retrieval.bm25(docs, bmq).count(),
+        graft.pipeline.Retrieval.bm25(docScaled, bmq).count())
+    }
     report("cooccur_top100", docK,
       graft.pipeline.Text.cooccurrence(docs, "doc_id", "text").count(),
       graft.pipeline.Text.cooccurrence(docScaled, "doc_id", "text").count())

@@ -2516,6 +2516,19 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "value", "roll_n", "lhs", "rhs")
         .orderBy("event_id")
     }),
+    "stream_seasonal" -> ((s, d) => {
+      // train-batch/score-stream: the 168-cell profile built from history
+      // broadcasts into a STATELESS stream filter; profile == streamed
+      // data here, so the drained flag set equals the batch op (shared
+      // oracle)
+      val profile = TsOps.seasonalProfile(t(s, d, "events"), "value")
+      val src = eventStream(s, d)
+      val flagged = graft.streaming.StreamIngest
+        .streamingSeasonalAnomalies(src, profile)
+      runStreamToTable(s, flagged, "stream_seasonal_out")
+        .select("event_id", "ts", "dow", "hour", "cell_n", "value")
+        .orderBy("event_id")
+    }),
     "stream_ewma" -> ((s, d) => {
       // live smoothing: one scaled long of state per user, the identical
       // floor-division recurrence as the batch fold (shared oracle via
@@ -4334,6 +4347,8 @@ object SparkEntry {
       // the batch recurrence folds, so both twins share their oracles
       ("stream_ewma" -> base("ts_ewma")) +
       ("stream_cusum" -> base("ts_cusum")) +
+      // profile built from the full history == leave-in batch semantics
+      ("stream_seasonal" -> base("ts_seasonal_anomaly")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
       ("stream_funnel" -> base("ts_funnel")) +

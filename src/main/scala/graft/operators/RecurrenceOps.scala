@@ -29,8 +29,8 @@ object RecurrenceOps {
     * value does not cast (they must not perturb state — the posture every
     * anomaly op in the engine takes), co-locate each series on one
     * partition and sort it by (keys, ts, id) for a deterministic fold. */
-  private def prepared(df: DataFrame, keyCols: Seq[String], tsCol: String,
-      idCol: String, valueCol: String): DataFrame = {
+  private[graft] def prepared(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, idCol: String, valueCol: String): DataFrame = {
     val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
     df.select((keyCols.map(c => col(c).cast("long").as(c)) ++
         Seq(col(tsCol).cast("long").as("ts"), col(idCol).cast("long").as("id"),

@@ -571,13 +571,15 @@ object TsOps {
     * Rows with a non-castable value join their cell but neither count in n
     * nor can flag, matching [[zscoreAnomalies]]' posture.
     */
-  def seasonalAnomalies(df: DataFrame, valueCol: String, k: Int = 2,
-      minN: Long = 10, tsCol: String = "ts"): DataFrame = {
+  /** The ≤ 168-row (dow, hour, cell_n, __s, __sq) seasonal profile both
+    * [[seasonalAnomalies]] and the streaming twin score against — built
+    * once here so the batch and live paths cannot drift. */
+  def seasonalProfile(df: DataFrame, valueCol: String, minN: Long = 10,
+      tsCol: String = "ts"): DataFrame = {
     val day = 86400L * 1000000000L
     val hour = 3600L * 1000000000L
     val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
-    val cells = df
-      .select(
+    df.select(
         expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)").as("dow"),
         expr(s"pmod($tsCol, ${day}L) div ${hour}L").as("hour"),
         cents.as("__c"))
@@ -585,6 +587,14 @@ object TsOps {
       .agg(count(col("__c")).as("cell_n"), sum(col("__c")).as("__s"),
         sum(col("__c") * col("__c")).as("__sq"))
       .filter(col("cell_n") >= minN)
+  }
+
+  def seasonalAnomalies(df: DataFrame, valueCol: String, k: Int = 2,
+      minN: Long = 10, tsCol: String = "ts"): DataFrame = {
+    val day = 86400L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val cells = seasonalProfile(df, valueCol, minN, tsCol)
     val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     df.withColumn("dow",
         expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)"))

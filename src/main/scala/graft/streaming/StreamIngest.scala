@@ -928,6 +928,42 @@ object StreamIngest {
     * Confirmation restarts the window at the new region; the candidate
     * point itself is not retroactively counted.
     */
+  /** Streaming seasonal-residual anomalies — the live twin of
+    * [[graft.operators.TsOps.seasonalAnomalies]]: incoming points are
+    * scored against a STATIC seasonal profile (the ≤ 168-cell dow×hour
+    * frame [[graft.operators.TsOps.seasonalProfile]] builds batch-side
+    * from history) with the identical exact integer
+    * residual test on decimal(38,0). Stateless by design — the profile is
+    * a broadcast lookup, so there is no streaming state at all: this is
+    * the train-batch/score-stream split a live calendar detector actually
+    * wants (the profile refreshes on whatever cadence history is rebuilt,
+    * e.g. nightly, not per event). When the profile is built from exactly
+    * the streamed data, a drained stream flags exactly the batch set
+    * (leave-in semantics both sides — the driver oracle pins that).
+    */
+  def streamingSeasonalAnomalies(stream: DataFrame, profile: DataFrame,
+      valueCol: String = "value", tsCol: String = "ts", k: Int = 2)
+      : DataFrame = {
+    import graft.operators.TsOps.floorDivSql
+    val day = 86400L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    stream
+      .withColumn("dow", expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)"))
+      .withColumn("hour", expr(s"pmod($tsCol, ${day}L) div ${hour}L"))
+      .withColumn("__c", cents)
+      .join(broadcast(profile), Seq("dow", "hour"))
+      .withColumn("lhs",
+        (big(col("cell_n") * col("__c")) - big(col("__s"))) *
+          (big(col("cell_n") * col("__c")) - big(col("__s"))))
+      .withColumn("rhs",
+        big(lit(k.toLong * k)) * (big(col("cell_n")) * big(col("__sq")) -
+          big(col("__s")) * big(col("__s"))))
+      .filter(col("lhs") > col("rhs"))
+      .drop("__c", "__s", "__sq", "lhs", "rhs")
+  }
+
   def streamingZscoreAnomalies(stream: DataFrame, windowNanos: Long,
       k: Int = 2, minN: Long = 10, idCol: String = "event_id",
       tsCol: String = "ts", keyCol: String = "user_id",

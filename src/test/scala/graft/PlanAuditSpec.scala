@@ -387,4 +387,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("Partial"), p)
     assert(!p.contains("Cartesian"), p)
   }
+
+  test("ts_seasonal_anomaly: 168-cell profile broadcast, no window") {
+    val p = plan("ts_seasonal_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p) // the whole point vs the z-score op
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("ts_paa_symbols: window runs per key over pre-aggregated segments") {
+    val p = plan("ts_paa_symbols")
+    // the agg shrinks events -> segments BEFORE the ntile window, and the
+    // window partitions by user (no global sort of raw events)
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.indexOf("Window") < p.lastIndexOf("HashAggregate"), p)
+  }
+
+  test("retrieval_bm25: top-k via WindowGroupLimit, query side broadcast") {
+    val p = plan("retrieval_bm25")
+    assert(p.contains("WindowGroupLimit"), p) // rank-limit pushdown, no sort
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("recurrence fold input: one key shuffle, NON-global sort") {
+    // the fold itself hides behind Scan ExistingRDD in the output plan, so
+    // audit the prepared frame: repartition(user) must be a single hash
+    // exchange and sortWithinPartitions must plan as a local (global=false)
+    // sort — a global sort here would mean a second range shuffle
+    val ev = graft.storage.Tables.read(spark, d, "events")
+    val p = graft.operators.RecurrenceOps
+      .prepared(ev, Seq("user_id"), "ts", "event_id", "value")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+    assert(p.contains("Sort [user_id"), p)
+    assert("Sort \\[[^\\]]*\\], false".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
 }

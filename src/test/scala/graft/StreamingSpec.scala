@@ -823,6 +823,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(sNeg == Seq(1000L, 2000L))
   }
 
+  test("streaming seasonal: stream scored against batch profile equals " +
+      "the batch flag set") {
+    val ev = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
+      "events").select("event_id", "ts", "value")
+    val dir = SparkTestBase.tempDir("graft-seas-in")
+    val in = new java.io.File(dir, "in").getPath
+    ev.write.parquet(s"$in/b1")
+    val profile = graft.operators.TsOps.seasonalProfile(ev, "value")
+    val src = spark.readStream.schema(ev.schema).parquet(s"$in/*")
+    val q = StreamIngest.runToMemory(
+      StreamIngest.streamingSeasonalAnomalies(src, profile), "seas_out")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("seas_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.operators.TsOps.seasonalAnomalies(ev, "value")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("persistStream writes sorted parquet blocks per micro-batch") {
     val inDir = SparkTestBase.tempDir("graft-stream-in2")
     val outDir = SparkTestBase.tempDir("graft-stream-out")
