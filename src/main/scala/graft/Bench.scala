@@ -22,7 +22,10 @@ object Bench {
     "json_props_stats", "pipeline_curate",
     "tpch_q1", "join_revenue_by_nation", "window_top_orders",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_pairs",
-    "text_quality", "knn_brute", "pipeline_train_prep", "ts_interval_join")
+    "text_quality", "knn_brute", "pipeline_train_prep", "ts_interval_join",
+    // round-7 tracked rows (no round-1 baseline — excluded from the
+    // baseline-comparable subset, like ts_interval_join; see BASELINE.md)
+    "ts_seasonal_anomaly", "ts_ewma", "retrieval_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

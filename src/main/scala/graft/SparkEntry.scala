@@ -64,6 +64,20 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(spark, dir, name)
 
+  /** Per-dataset cache of the z-ordered events copy backing `zorder_scan`
+    * (one clustered write per process per dataset; scans reuse it). */
+  private val zOrderPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def zOrderedEvents(s: SparkSession, d: String): String =
+    zOrderPaths.computeIfAbsent(d, dir => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-zord-${processId}_${dirTag(dir)}/events").getPath
+      graft.storage.ZOrder.write(t(s, dir, "events"), path,
+        Seq("user_id", "ts"), numFiles = 16)
+      path
+    })
+
   /** Epoch nanos of a UTC date/datetime literal (plan-time constant). */
   private def ns(s: String): Long =
     TimeNano.toNanos(TimeNano.parseNaive(s), java.time.ZoneOffset.UTC)
@@ -465,6 +479,19 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("id").as("event_id"),
           col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
         .orderBy("user_id", "ts", "event_id")),
+    "zorder_scan" -> ((s, d) => {
+      // the two-dimensional slice the z-ordered layout exists for: a
+      // user band AND a time window together — footer stats prune files
+      // in BOTH dimensions (ZOrderSpec pins the hit fractions); results
+      // are layout-independent, which is what the oracle checks
+      val (tLo, tHi) = (ns("2024-01-10"), ns("2024-01-15"))
+      Tables.configure(s)
+      s.read.parquet(zOrderedEvents(s, d))
+        .filter(col("user_id") >= 100L && col("user_id") < 200L &&
+          col("ts") >= tLo && col("ts") < tHi)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
     "retrieval_bm25" -> ((s, d) => {
       // lexical top-10 per query, BM25-shaped with the engine-exact
       // rational idf; the oracle reproduces every integral division
@@ -1195,6 +1222,13 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, cents, sp0 AS s_pos, sn0 AS s_neg,
         |  CAST(alarm AS BIGINT) AS alarm
         |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+    "zorder_scan" ->
+      s"""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value
+        |FROM events
+        |WHERE user_id >= 100 AND user_id < 200
+        |  AND epoch_ns(ts) >= ${ns("2024-01-10")}
+        |  AND epoch_ns(ts) < ${ns("2024-01-15")}
+        |ORDER BY event_id""".stripMargin,
     "retrieval_bm25" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($DuckToks) AS tok FROM documents
