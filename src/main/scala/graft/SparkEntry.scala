@@ -677,6 +677,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
     }),
+    "tpch_q14" -> ((s, d) => {
+      // promotion-effect shape (TPC-H Q14): one-month lineitem slice
+      // joined to the part dim (broadcast), conditional revenue split by
+      // p_type — emitted as the two exact cent-sums rather than the
+      // classic float percentage, the engine's exact-units convention
+      val lo = to_timestamp(lit("1995-09-01"))
+      val hi = to_timestamp(lit("1995-10-01"))
+      val rev = epCents * (lit(100L) - disc100)
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"), rev.as("__rev"))
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("__rev"))
+            .otherwise(0L)).as("promo_rev_c4"),
+          sum(col("__rev")).as("total_rev_c4"))
+    }),
+    "tpch_q19" -> ((s, d) => {
+      // disjunctive-predicate shape (TPC-H Q19): revenue over an OR of
+      // three (brand, size-range, quantity-range) branches — the
+      // predicate class join reordering and pushdown must survive; the
+      // join stays a broadcast of the part dim with the residual OR on top
+      val rev = epCents * (lit(100L) - disc100)
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), rev.as("__rev"))
+      val pt = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("__rev")).as("revenue_c4"), count(lit(1)).as("n_items"))
+    }),
     "tpch_q22" -> ((s, d) => {
       // global-sales-opportunity shape (TPC-H Q22): scalar-aggregate
       // threshold + NOT EXISTS — the ANTI-join form Q4's semi join doesn't
@@ -1438,6 +1475,34 @@ object SparkEntry {
         |                AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q14" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS promo_rev_c4,
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS total_rev_c4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+    "tpch_q19" ->
+      """SELECT
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS revenue_c4,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 10 AND 30
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "tpch_q22" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey,
