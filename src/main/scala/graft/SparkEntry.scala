@@ -479,6 +479,22 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("id").as("event_id"),
           col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
         .orderBy("user_id", "ts", "event_id")),
+    "graph_pagerank" -> ((s, d) => {
+      // link authority over the bidirectional customer↔supplier trade
+      // graph (node ids disambiguated by parity); 3 integer supersteps,
+      // every arithmetic step a floor division the unrolled SQL oracle
+      // reproduces exactly
+      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.GraphOps.pageRank(edges, iters = 3)
+        .orderBy("node")
+    }),
     "zorder_scan" -> ((s, d) => {
       // the two-dimensional slice the z-ordered layout exists for: a
       // user band AND a time window together — footer stats prune files
@@ -1259,6 +1275,39 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, cents, sp0 AS s_pos, sn0 AS s_neg,
         |  CAST(alarm AS BIGINT) AS alarm
         |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+    "graph_pagerank" -> {
+      // the 3 supersteps unrolled as CTEs it1..it3 — recursive CTEs cannot
+      // aggregate in the recursive term, so the fixed iteration count is
+      // generated here (the Spark side loops the same constant)
+      val s = 1073741824L // 2^30, matching GraphOps.pageRank scaleLog2=30
+      val head =
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |), e AS (
+           |  SELECT src, dst FROM pairs
+           |  UNION ALL SELECT dst, src FROM pairs
+           |), nodes AS (
+           |  SELECT DISTINCT node FROM (
+           |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+           |), nn AS (SELECT count(*) AS n FROM nodes),
+           |deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+           |it0 AS (
+           |  SELECT node, $s // (SELECT n FROM nn) AS pr FROM nodes)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s"""it$i AS (
+           |  SELECT n.node,
+           |    (15 * CAST($s AS BIGINT)) // (100 * (SELECT n FROM nn)) +
+           |      (85 * COALESCE(c.s, 0)) // 100 AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(p.pr // d.od) AS s
+           |    FROM e JOIN it${i - 1} p ON p.node = e.src
+           |    JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      }
+      (head +: steps).mkString(",\n") +
+        "\nSELECT node, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY node"
+    },
     "zorder_scan" ->
       s"""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value
         |FROM events

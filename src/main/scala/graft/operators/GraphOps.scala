@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge frames — the third execution shape
+  * the engine supports beyond one-pass plans and per-series folds:
+  * a driver-side loop of DISTRIBUTED join+aggregate rounds (Pregel-lite).
+  * The loop itself is metadata (a handful of iterations); every round is
+  * one shuffle-join over the edge frame, so the work per round scales like
+  * any other keyed join and rounds are independent of graph size.
+  *
+  * Connected components live in [[graft.pipeline.Dedup]] (large-star /
+  * small-star); this object holds rank-propagation style iterations.
+  */
+object GraphOps {
+
+  /** Integer PageRank: link authority with damping 0.85, all arithmetic in
+    * 2^`scaleLog2`-scaled longs with floor division — bit-identical across
+    * engines (the oracle unrolls the same iterations in SQL), no float
+    * accumulation order anywhere. Per iteration, with S the scale, N the
+    * node count, od(u) the out-degree:
+    *
+    *   contrib(edge u→v) = ⌊pr(u) / od(u)⌋
+    *   pr'(v) = ⌊15·S / (100·N)⌋ + ⌊85·Σ_incoming contrib / 100⌋
+    *
+    * Initial pr = ⌊S/N⌋. Deliberate divergences from textbook PageRank,
+    * documented for the exactness trade: floor-division rounding loses
+    * ≤ 1 scaled unit per term (irrelevant at S = 2^30 for ranking), and
+    * DANGLING-NODE mass is dropped rather than redistributed (total mass
+    * decays slightly; relative ranking — the signal a curation pipeline
+    * uses — is preserved, and the oracle matches exactly).
+    *
+    * Scale shape: the node frame and degree frame build once; each
+    * iteration is edges ⋈ pr (shuffle on src) → groupBy dst (combinable
+    * sum) → left join back to nodes — the classic Pregel superstep as two
+    * keyed shuffles, nothing driver-side except the N-count scalar and the
+    * iteration counter. Lineage grows per round: past ~10 rounds pin the
+    * rank frame (localCheckpoint locally, reliable checkpoint on
+    * preemptible fleets — the Pipelines.pinFrame trade).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 4, scaleLog2: Int = 30,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && scaleLog2 >= 10 && scaleLog2 <= 40)
+    val s = 1L << scaleLog2
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    val base = 15L * s / (100L * n)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    var pr = nodes.withColumn("pr", lit(s / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("pr div od").as("__c"))
+        .groupBy("node")
+        .agg(sum("__c").as("__sum"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr("(85 * coalesce(__sum, 0L)) div 100")).as("pr"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.GraphOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("pagerank: symmetric 2-cycle stays symmetric with exact values") {
+    // a <-> b, S = 2^30, N = 2: init ⌊S/2⌋ = 536870912,
+    // B = ⌊15S/200⌋ = 80530636, one superstep:
+    // pr' = B + ⌊85·536870912/100⌋ = 80530636 + 456340275 = 536870911
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr1 = GraphOps.pageRank(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr1(1L) == pr1(2L))
+    assert(pr1(1L) == 80530636L + (85L * 536870912L) / 100L)
+  }
+
+  test("pagerank: linked nodes outrank base-rank-only leaves") {
+    // leaves 2..5 all point at 1; 1 points back at 2. Leaves 3,4,5 have no
+    // in-edges, so they hold only base rank; 1 (four in-edges) and 2 (the
+    // hub's whole mass — out-degree 1) must both outrank them, and the
+    // symmetric leaves tie exactly
+    val e = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val pr = GraphOps.pageRank(e, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(3L, 4L, 5L).forall(l => pr(1L) > pr(l)))
+    assert(Seq(3L, 4L, 5L).forall(l => pr(2L) > pr(l)))
+    assert(pr(3L) == pr(4L) && pr(4L) == pr(5L)) // symmetric leaves tie
+  }
+
+  test("pagerank: iterations are deterministic under repartitioning") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val a = GraphOps.pageRank(e, iters = 3).orderBy("node").collect().toSeq
+    val b = GraphOps.pageRank(e.repartition(7), iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+}
