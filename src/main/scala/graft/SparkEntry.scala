@@ -479,6 +479,33 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("id").as("event_id"),
           col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
         .orderBy("user_id", "ts", "event_id")),
+    "sketch_overlap" -> ((s, d) => {
+      // cross-source vocabulary overlap from at-rest HLL sketches: exact
+      // per-pair intersections are VALUE-oracled; est_ok gates the
+      // inclusion-exclusion estimate within 8% of the exact union (the
+      // error scale inclusion-exclusion actually has)
+      val docs = t(s, d, "documents")
+      val est = Text.tokenOverlapSketch(docs, "text", "lang")
+      val tok = docs.select(col("lang"),
+        explode(Text.tokens(col("text"))).as("tok")).distinct()
+      val exact = tok.select(col("lang").as("group_a"), col("tok"))
+        .join(tok.select(col("lang").as("group_b"), col("tok")), "tok")
+        .filter(col("group_a") < col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(count(lit(1)).as("n_int"))
+      val perLang = tok.groupBy("lang")
+        .agg(count(lit(1)).as("n_distinct"))
+      est.join(exact, Seq("group_a", "group_b"))
+        .join(perLang.select(col("lang").as("group_a"),
+          col("n_distinct").as("__na")), "group_a")
+        .join(perLang.select(col("lang").as("group_b"),
+          col("n_distinct").as("__nb")), "group_b")
+        .select(col("group_a"), col("group_b"), col("n_int"),
+          (abs(col("est_intersect") - col("n_int")) <=
+            (col("__na") + col("__nb") - col("n_int")) * 0.08)
+            .cast("long").as("est_ok"))
+        .orderBy("group_a", "group_b")
+    }),
     "graph_pagerank" -> ((s, d) => {
       // link authority over the bidirectional customer↔supplier trade
       // graph (node ids disambiguated by parity); 3 integer supersteps,
@@ -1275,6 +1302,15 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, cents, sp0 AS s_pos, sn0 AS s_neg,
         |  CAST(alarm AS BIGINT) AS alarm
         |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+    "sketch_overlap" ->
+      s"""WITH tok AS (
+        |  SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang, unnest($DuckToks) AS tok FROM documents)
+        |)
+        |SELECT a.lang AS group_a, b.lang AS group_b,
+        |  count(*) AS n_int, CAST(1 AS BIGINT) AS est_ok
+        |FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang < b.lang
+        |GROUP BY 1, 2 ORDER BY group_a, group_b""".stripMargin,
     "graph_pagerank" -> {
       // the 3 supersteps unrolled as CTEs it1..it3 — recursive CTEs cannot
       // aggregate in the recursive term, so the fixed iteration count is

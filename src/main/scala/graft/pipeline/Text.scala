@@ -890,6 +890,35 @@ object Text {
     sketches.agg(expr(s"hll_union_agg($sketchCol, true)").as("sketch"))
       .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
 
+  /** Pairwise distinct-token OVERLAP estimates between groups via HLL
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    * union estimated by a scalar `hll_union` of the two stored sketches —
+    * no raw-data rescan. This is the cross-corpus question ("how much
+    * vocabulary do these two sources share?") answered from KB-sized
+    * at-rest state: per-group sketches build once (combinable agg), the
+    * pair table is |groups|² over a broadcast self-join of sketch ROWS,
+    * never a join of token sets. Intersection error compounds the three
+    * estimates' errors, so it is relative to the UNION size (~5% at
+    * lgK=12) — callers gate accordingly; the engine's exactness rule is
+    * deliberately traded here, which is why the driver query emits the
+    * exact intersection BESIDE the estimate and hash-checks only exact
+    * values plus an in-plan error-bound bit.
+    */
+  def tokenOverlapSketch(df: DataFrame, textCol: String, groupCol: String,
+      lgK: Int = 12): DataFrame = {
+    val sk = distinctTokenSketch(df, textCol, groupCol, lgK)
+    val a = sk.select(col(groupCol).as("group_a"), col("sketch").as("__sa"),
+      col("estimate").as("est_a"))
+    val b = sk.select(col(groupCol).as("group_b"), col("sketch").as("__sb"),
+      col("estimate").as("est_b"))
+    a.crossJoin(broadcast(b)).filter(col("group_a") < col("group_b"))
+      .withColumn("est_union",
+        expr("hll_sketch_estimate(hll_union(__sa, __sb, true))"))
+      .withColumn("est_intersect",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .drop("__sa", "__sb")
+  }
+
   /** Elementwise-sum merge of stored [[CountMinAgg]] counter arrays — the
     * roll-up half of the at-rest sketch store (CMS merge IS vector
     * addition, so merging stored partials is exact, not approximate-on-

@@ -679,6 +679,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("HLL overlap: inclusion-exclusion is exact below sketch capacity") {
+    // three corpora: x/y share exactly 'shared common'; z is disjoint
+    val df = Seq(
+      (1L, "shared common alpha beta", "x"),
+      (2L, "shared common gamma delta", "y"),
+      (3L, "unrelated things entirely", "z")).toDF("doc_id", "text", "dom")
+    val out = Text.tokenOverlapSketch(df, "text", "dom").collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) ->
+        r.getAs[Long]("est_intersect")).toMap
+    assert(out(("x", "y")) == 2L) // 'shared', 'common'
+    assert(out(("x", "z")) == 0L && out(("y", "z")) == 0L)
+  }
+
   test("length-quantile filter keeps the inner band per group") {
     // group g: lengths 1..8 tokens; p=[0.125, 0.875] → bounds 1.875/7.125
     // → keep lengths 2..7. Group h is untouched by g's bounds.
