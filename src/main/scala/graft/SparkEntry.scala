@@ -2713,6 +2713,31 @@ object SparkEntry {
         .select("event_id", "ts", "dow", "hour", "cell_n", "value")
         .orderBy("event_id")
     }),
+    "stream_bm25" -> ((s, d) => {
+      // live retrieval: queries stream against the batch-built index with
+      // ZERO streaming state (stream-static joins only); the per-query
+      // top-k rolls up on the drained sink and equals the batch ranker
+      // (shared oracle)
+      import s.implicits._
+      Tables.configure(s)
+      val qdir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bm25q-${processId}_${dirTag(d)}").getPath
+      val qdf = Seq((1L, "fast vector scan"), (2L, "stream window agg"),
+        (3L, "customer join query")).toDF("query_id", "qtext")
+      qdf.write.mode("overwrite").parquet(qdir)
+      val src = s.readStream.schema(qdf.schema).parquet(qdir)
+      val scored = graft.pipeline.Retrieval.streamingBm25(
+        src, t(s, d, "documents"))
+      val sink = runStreamToTable(s, scored, "stream_bm25_out")
+      val agg = sink.groupBy("query_id", "doc_id")
+        .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id").asc)
+      agg.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "doc_id", "score", "n_terms", "rank")
+        .orderBy("query_id", "rank")
+    }),
     "stream_ewma" -> ((s, d) => {
       // live smoothing: one scaled long of state per user, the identical
       // floor-division recurrence as the batch fold (shared oracle via
@@ -4533,6 +4558,8 @@ object SparkEntry {
       ("stream_cusum" -> base("ts_cusum")) +
       // profile built from the full history == leave-in batch semantics
       ("stream_seasonal" -> base("ts_seasonal_anomaly")) +
+      // drained scored-candidate sink rolled up == the batch ranker
+      ("stream_bm25" -> base("retrieval_bm25")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
       ("stream_funnel" -> base("ts_funnel")) +

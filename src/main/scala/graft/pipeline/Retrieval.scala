@@ -42,31 +42,8 @@ object Retrieval {
       maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
       textCol: String = "text", qidCol: String = "query_id",
       qtextCol: String = "qtext"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(Text.tokens(col(textCol))).as("tok"))
-    val tf = toks.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
-    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val qterms = queries
-      .select(col(qidCol), explode(Text.tokens(col(qtextCol))).as("tok"))
-      .distinct()
-    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    val exact = qterms
-      .join(dfs, "tok")
-      .join(tf, "tok")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
-      // idf_s fits long (2^20·N); the num/den products need decimal(38,0)
-      .withColumn("__idf",
-        expr("(1048576 * (n - df + 1)) div (df + 1)"))
-      .withColumn("__num",
-        big(col("__idf")) * lit(22) * big(col("t")) * big(col("tf")))
-      .withColumn("__den",
-        big(lit(10)) * big(col("t")) * big(col("tf")) +
-          big(lit(3)) * big(col("t")) + big(lit(9)) * big(col("dl")) * big(col("n")))
-      .withColumn("__sc", expr("__num div __den"))
+    val exact = termScores(docs, queries, maxDf, idCol, textCol, qidCol,
+      qtextCol)
     val agg = exact.groupBy(col(qidCol), col(idCol))
       .agg(sum("__sc").as("score"), count(lit(1)).as("n_terms"))
     val w = Window.partitionBy(qidCol)
@@ -74,4 +51,63 @@ object Retrieval {
     agg.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
   }
+
+  /** Shared stateless scoring core: one row per (query, matched term, doc)
+    * with the exact per-term score in `__sc`. The query side may be a
+    * STREAMING frame — every step on it is stateless (per-row
+    * `array_distinct` replaces a cross-row distinct; the corpus N/T
+    * scalars fold to plan-time literals; every join is stream-static
+    * against the batch-built index), which is what makes the live serving
+    * twin a pure pass-through. */
+  private[pipeline] def termScores(docs: DataFrame, queries: DataFrame,
+      maxDf: Long, idCol: String, textCol: String, qidCol: String,
+      qtextCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(Text.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val statsRow = dl.agg(count(lit(1)).as("n"), sum("dl").as("t")).head()
+    val (n, t) = (statsRow.getLong(0), statsRow.getLong(1))
+    val dfs = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // per-row array_distinct, NOT .distinct(): identical term set (one row
+    // per query), and it keeps a streaming query side stateless
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(Text.tokens(col(qtextCol)))).as("tok"))
+    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    qterms
+      .join(dfs, "tok")
+      .join(tf, "tok")
+      .join(dl, idCol)
+      // idf_s fits long (2^20·N); the num/den products need decimal(38,0)
+      .withColumn("__idf",
+        expr(s"(1048576 * (${n}L - df + 1)) div (df + 1)"))
+      .withColumn("__num",
+        big(col("__idf")) * lit(22) * big(lit(t)) * big(col("tf")))
+      .withColumn("__den",
+        big(lit(10)) * big(lit(t)) * big(col("tf")) +
+          big(lit(3)) * big(lit(t)) + big(lit(9)) * big(col("dl")) * big(lit(n)))
+      .withColumn("__sc", expr("__num div __den"))
+  }
+
+  /** Live retrieval: a STREAM of queries scored against the batch-built
+    * index — the serving twin of [[bm25]]. The streaming side is entirely
+    * stateless (see [[termScores]]), so each micro-batch emits its
+    * (query, doc, term-score) rows immediately; the per-query top-k
+    * aggregation runs batch-side on the drained sink (rank is not
+    * streamable in append mode, and serving reads want the raw scored
+    * candidates anyway). A drained stream rolled up this way equals
+    * [[bm25]] exactly — the driver oracle pins it.
+    *
+    * Scale shape: the index frames (tf/dl/df) are the static side of
+    * stream-static joins — build them once, persist or store them as
+    * tables, and each arriving query costs Σ_t df(t) joined rows, exactly
+    * the batch candidate volume per query.
+    */
+  def streamingBm25(queryStream: DataFrame, docs: DataFrame,
+      maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text", qidCol: String = "query_id",
+      qtextCol: String = "qtext"): DataFrame =
+    termScores(docs, queryStream, maxDf, idCol, textCol, qidCol, qtextCol)
+      .select(col(qidCol), col(idCol), col("tok"), col("__sc").as("term_score"))
 }
