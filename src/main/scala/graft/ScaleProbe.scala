@@ -122,6 +122,72 @@ object ScaleProbe {
     report("sax_words", evK,
       TsOps.saxWords(events, Seq("user_id"), 6L * 3600 * 1000000000L).count(),
       TsOps.saxWords(evScaled, Seq("user_id"), 6L * 3600 * 1000000000L).count())
+    if (sel("pagerank")) {
+      def edgesOf(ev: DataFrame) = {
+        val p = ev.select((col("user_id") * 2).as("src"),
+          (pmod(col("event_id"), lit(500L)) * 2 + 1).as("dst")).distinct()
+        p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      report("pagerank_3iter", evK,
+        graft.operators.GraphOps.pageRank(edgesOf(events), iters = 3).count(),
+        graft.operators.GraphOps.pageRank(edgesOf(evScaled), iters = 3).count())
+    }
+    if (sel("zorder_slice")) {
+      // A/B at the SAME scaled size: the 2-dim slice on a z-ordered copy
+      // vs a ts-sorted copy — the layout, not the operator, is under test
+      // the 1× table: users are uniform across time there — the scaled
+      // copies shift user AND ts ranges together, which would let a plain
+      // ts-sort accidentally prune user bands too
+      val zd = s"$work/zord_events"
+      val td = s"$work/tsord_events"
+      graft.storage.ZOrder.write(events, zd, Seq("user_id", "ts"),
+        numFiles = 32)
+      events.repartitionByRange(32, col("ts"))
+        .sortWithinPartitions("ts").write.mode("overwrite").parquet(td)
+      val bounds = events.agg(min("user_id"), max("user_id"),
+        min("ts"), max("ts")).head()
+      val (uLo, uHi) = (bounds.getLong(0),
+        bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 10)
+      val (tLo, tHi) = (bounds.getLong(2),
+        bounds.getLong(2) + (bounds.getLong(3) - bounds.getLong(2)) / 10)
+      // the USER-band slice is the differentiating query: a time window
+      // prunes equally well on either layout (both cluster ts), but only
+      // the z-order can skip files for a user predicate
+      def slice(path: String) = spark.read.parquet(path)
+        .filter(col("user_id").between(uLo, uHi)).count()
+      reportPair("zorder_slice", slice(td), slice(zd),
+        la = "ts-sorted", lb = "z-ordered")
+      // wall time at this scale is scan-bound either way; the metric that
+      // predicts 100 TB behavior is the fraction of files whose footer
+      // stats force a read of the 2-dim slice
+      def hitFrac(dir: String): Double = {
+        import scala.jdk.CollectionConverters._
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = spark.sessionState.newHadoopConf()
+        val files = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        val hits = files.count { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath), conf))
+          try {
+            def mm(c: String): (Long, Long) = {
+              val sts = r.getFooter.getBlocks.asScala.flatMap(
+                _.getColumns.asScala.find(_.getPath.toDotString == c)
+                  .map(_.getStatistics))
+              (sts.map(_.genericGetMin.asInstanceOf[Number].longValue()).min,
+                sts.map(_.genericGetMax.asInstanceOf[Number].longValue()).max)
+            }
+            val (umin, umax) = mm("user_id")
+            umax >= uLo && umin <= uHi
+          } finally r.close()
+        }
+        hits.toDouble / files.length
+      }
+      println(f"[scale] zorder_slice_files   ts-sorted-hit=${hitFrac(td)}%5.2f" +
+        f"  z-ordered-hit=${hitFrac(zd)}%5.2f  (fraction of files a 10%%" +
+        " user band must read)")
+    }
     def intervalJoinCount(ev: DataFrame): Long = {
       val gapNs = 3600L * 1000000000L
       val sess = TsOps.sessionize(ev.select("user_id", "ts"), gapNs,
