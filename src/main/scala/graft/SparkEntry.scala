@@ -470,6 +470,14 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("id").as("event_id"),
           col("cents"), col("ewma_num"), col("ewma_cents"))
         .orderBy("user_id", "ts", "event_id")),
+    "ts_holt" -> ((s, d) =>
+      // level+trend smoothing (α=1/8, β=1/16, 2^20 fixed point) with the
+      // one-step forecast — the recurrence tier's forecasting member;
+      // every division floors, so the recursive CTE reproduces all state
+      graft.operators.RecurrenceOps.holt(t(s, d, "events"), Seq("user_id"))
+        .select(col("user_id"), col("ts"), col("id").as("event_id"),
+          col("cents"), col("level_num"), col("trend_num"), col("fc1_cents"))
+        .orderBy("user_id", "ts", "event_id")),
     "ts_cusum" -> ((s, d) =>
       // two-sided integer CUSUM drift detector per user (target 50.00,
       // slack 5.00, threshold 200.00), sequential state in the same
@@ -1262,13 +1270,49 @@ object SparkEntry {
         |    cents * 16 AS ewma_num
         |  FROM base WHERE rn = 1
         |  UNION ALL
+        |  -- floor-division idiom (DuckDB // truncates; engine floors):
+        |  -- harmless on this non-negative data, load-bearing if a corpus
+        |  -- ever carries negative values
         |  SELECT b.user_id, b.ts, b.event_id, b.cents, b.rn,
-        |    r.ewma_num - (r.ewma_num // 16) + b.cents
+        |    r.ewma_num
+        |      - (r.ewma_num - (((r.ewma_num % 16) + 16) % 16)) // 16
+        |      + b.cents
         |  FROM rec r JOIN base b
         |    ON b.user_id = r.user_id AND b.rn = r.rn + 1
         |)
         |SELECT user_id, ts, event_id, cents, ewma_num,
-        |  ewma_num // 16 AS ewma_cents
+        |  (ewma_num - (((ewma_num % 16) + 16) % 16)) // 16 AS ewma_cents
+        |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+    "ts_holt" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, ts, event_id, cents, rn,
+        |    cents * 1048576 AS l, CAST(0 AS BIGINT) AS b
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  -- DuckDB // truncates toward zero; the engine floors. With the
+        |  -- divisor positive, floor(x/d) = (x - ((x % d) + d) % d) // d
+        |  SELECT q.user_id, q.ts, q.event_id, q.cents, q.rn, q.l1,
+        |    q.b0 + (q.l1 - q.drift
+        |      - (((q.l1 - q.drift) % 16) + 16) % 16) // 16
+        |  FROM (
+        |    SELECT q0.*,
+        |      q0.drift + (q0.d1 - (((q0.d1 % 8) + 8) % 8)) // 8 AS l1
+        |    FROM (
+        |      SELECT b2.user_id, b2.ts, b2.event_id, b2.cents, b2.rn,
+        |        r.b AS b0, r.l + r.b AS drift,
+        |        b2.cents * 1048576 - r.l - r.b AS d1
+        |      FROM rec r JOIN base b2
+        |        ON b2.user_id = r.user_id AND b2.rn = r.rn + 1) q0) q
+        |)
+        |SELECT user_id, ts, event_id, cents, l AS level_num, b AS trend_num,
+        |  (l + b - (((l + b) % 1048576) + 1048576) % 1048576) // 1048576
+        |    AS fc1_cents
         |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
     "ts_cusum" ->
       """WITH RECURSIVE base AS (
@@ -2749,6 +2793,16 @@ object SparkEntry {
       runStreamToTable(s, sm, "stream_ewma_out", singleBatch = true)
         .select("user_id", "ts", "event_id", "cents", "ewma_num",
           "ewma_cents")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+    "stream_holt" -> ((s, d) => {
+      // live level+trend forecast feed: two longs per user, identical
+      // recurrence to the batch fold (shared recursive-CTE oracle)
+      val src = eventStream(s, d)
+      val ho = graft.streaming.StreamIngest.streamingHolt(src)
+      runStreamToTable(s, ho, "stream_holt_out", singleBatch = true)
+        .select("user_id", "ts", "event_id", "cents", "level_num",
+          "trend_num", "fc1_cents")
         .orderBy("user_id", "ts", "event_id")
     }),
     "stream_cusum" -> ((s, d) => {
@@ -4556,6 +4610,7 @@ object SparkEntry {
       // the batch recurrence folds, so both twins share their oracles
       ("stream_ewma" -> base("ts_ewma")) +
       ("stream_cusum" -> base("ts_cusum")) +
+      ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics
       ("stream_seasonal" -> base("ts_seasonal_anomaly")) +
       // drained scored-candidate sink rolled up == the batch ranker

@@ -91,6 +91,44 @@ object RecurrenceOps {
     }.withColumnRenamed("c", "cents")
   }
 
+  /** Integer Holt linear-trend smoothing per series — level + trend state
+    * with α = 1/2^`alphaLog2`, β = 1/2^`betaLog2`, both components in
+    * 2^`scaleLog2` fixed point (M). The defined recurrences (floor
+    * division throughout, `Math.floorDiv` so negative trends round the
+    * same way DuckDB's `//` does):
+    *
+    *   l_t = l₋ + b₋ + ⌊(c_t·M − l₋ − b₋) / 2^α⌋
+    *   b_t = b₋ + ⌊(l_t − l₋ − b₋) / 2^β⌋        (l₋,b₋ = previous state)
+    *
+    * init l₁ = c₁·M, b₁ = 0. Emits the scaled state plus the one-step
+    * forecast `fc1_cents = ⌊(l + b) / M⌋` — the "what should the next
+    * point be" signal a drift monitor or gap-filler consumes. A constant
+    * series is a fixed point (l = c·M, b = 0); a perfect linear ramp
+    * converges to b = slope·M. Same sorted-fold execution and
+    * recursive-CTE oracle story as [[ewma]].
+    */
+  def holt(df: DataFrame, keyCols: Seq[String], alphaLog2: Int = 3,
+      betaLog2: Int = 4, scaleLog2: Int = 20, valueCol: String = "value",
+      tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    require(alphaLog2 >= 1 && betaLog2 >= 1 && scaleLog2 <= 30)
+    val m = 1L << scaleLog2
+    val (a, b) = (1L << alphaLog2, 1L << betaLog2)
+    val p = prepared(df, keyCols, tsCol, idCol, valueCol)
+    foldPartitions(p, keyCols.length, Seq(
+      StructField("level_num", LongType, nullable = false),
+      StructField("trend_num", LongType, nullable = false),
+      StructField("fc1_cents", LongType, nullable = false))) { c =>
+      Array(c * m, 0L)
+    } { (st, c) =>
+      val (l0, b0) = (st(0), st(1))
+      val drift = l0 + b0
+      val l1 = drift + Math.floorDiv(c * m - drift, a)
+      val b1 = b0 + Math.floorDiv(l1 - drift, b)
+      st(0) = l1; st(1) = b1
+      Seq(l1, b1, Math.floorDiv(l1 + b1, m))
+    }.withColumnRenamed("c", "cents")
+  }
+
   /** Two-sided integer CUSUM changepoint statistic per series: with
     * deviation d = c − `targetCents`, the classic recurrences
     * S⁺ᵢ = max(0, S⁺ᵢ₋₁ + d − `slackCents`) and

@@ -849,6 +849,53 @@ object StreamIngest {
       .withColumnRenamed("user_id", keyCol)
   }
 
+  final case class HoOut(user_id: Long, ts: Long, event_id: Long,
+      cents: Long, level_num: Long, trend_num: Long, fc1_cents: Long)
+
+  /** Streaming Holt level+trend smoothing — the live twin of
+    * [[graft.operators.RecurrenceOps.holt]] (identical fixed-point
+    * recurrences, two longs of state per key). The one-step forecast makes
+    * this the live "expected next value" feed a gap detector or
+    * freshness monitor consumes; batch-order replay and the arrival-order
+    * cross-batch trade are as in [[streamingEwma]].
+    */
+  def streamingHolt(stream: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      valueCol: String = "value", alphaLog2: Int = 3, betaLog2: Int = 4,
+      scaleLog2: Int = 20, stateTtl: String = ""): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val m = 1L << scaleLog2
+    val (a, bb) = (1L << alphaLog2, 1L << betaLog2)
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
+    val ds = recurrenceInput(stream, keyCol, tsCol, idCol, valueCol)
+    def fn(key: Long, rows: Iterator[RcIn],
+        state: GroupState[(Long, Long)]): Iterator[HoOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var st = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[HoOut]
+      for (r <- rows.toSeq.sortBy(r => (r.ts, r.eid))) {
+        val (l0, b0) = st.getOrElse((r.c * m, 0L))
+        val drift = l0 + b0
+        val l1 = drift + Math.floorDiv(r.c * m - drift, a)
+        val b1 = b0 + Math.floorDiv(l1 - drift, bb)
+        st = Some((l1, b1))
+        out += HoOut(key, r.ts, r.eid, r.c, l1, b1,
+          Math.floorDiv(l1 + b1, m))
+      }
+      st.foreach(state.update)
+      ttl.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long), HoOut](OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .withColumnRenamed("user_id", keyCol)
+  }
+
   /** Streaming two-sided integer CUSUM — the live twin of
     * [[graft.operators.RecurrenceOps.cusum]], same recurrences, same
     * alarm-resets-state page-test behavior. Per-key state is two longs;

@@ -69,6 +69,40 @@ class RecurrenceOpsSpec extends AnyFunSuite {
       (500L, 0L)))
   }
 
+  test("holt: constant series is a fixed point; linear ramp learns the slope") {
+    val m = 1L << 20
+    val const = ev((0 until 6).map(i => (1L, i * 10L, i.toLong, 50.0)))
+    val c = RecurrenceOps.holt(const, Seq("user_id")).orderBy("ts").collect()
+    assert(c.forall(_.getAs[Long]("level_num") == 5000L * m))
+    assert(c.forall(_.getAs[Long]("trend_num") == 0L))
+    assert(c.forall(_.getAs[Long]("fc1_cents") == 5000L))
+    // ramp +1.00/step: the one-step forecast must converge NEAR the true
+    // next value (within 1.00) once the trend is learned
+    val ramp = ev((0 until 60).map(i => (2L, i * 10L, i.toLong, 50.0 + i)))
+    val last = RecurrenceOps.holt(ramp, Seq("user_id")).orderBy("ts")
+      .collect().last
+    val trueNext = 5000L + 60 * 100L
+    assert(Math.abs(last.getAs[Long]("fc1_cents") - trueNext) <= 100L,
+      s"fc=${last.getAs[Long]("fc1_cents")} vs $trueNext")
+  }
+
+  test("holt: reference fold matches the defined recurrence exactly") {
+    val m = 1L << 20
+    val vals = Seq(10.0, 90.0, 30.0, 70.0)
+    val df = ev(vals.zipWithIndex.map { case (v, i) => (3L, i * 10L, i.toLong, v) })
+    val got = RecurrenceOps.holt(df, Seq("user_id")).orderBy("ts").collect()
+      .map(r => (r.getAs[Long]("level_num"), r.getAs[Long]("trend_num"))).toSeq
+    val cents = vals.map(v => (v * 100).toLong)
+    var (l, b) = (cents.head * m, 0L)
+    val expect = cents.map { c =>
+      val drift = l + b
+      l = drift + Math.floorDiv(c * m - drift, 8L)
+      b = b + Math.floorDiv(l - drift, 16L)
+      (l, b)
+    }
+    assert(got == expect)
+  }
+
   test("cusum: downward drift trips the negative side") {
     val rows = (0 until 4).map(i => (1L, i * 10L, i.toLong, 40.0))
     val out = RecurrenceOps.cusum(ev(rows), Seq("user_id"),

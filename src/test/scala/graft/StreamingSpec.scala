@@ -791,6 +791,15 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).sorted.toSeq
     assert(sEw.nonEmpty && sEw == bEw)
+    val sHo = drained(StreamIngest.streamingHolt(src), "rec_ho")
+      .select("user_id", "ts", "level_num", "trend_num")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val bHo = graft.operators.RecurrenceOps.holt(ev, Seq("user_id"))
+      .select(col("user_id"), col("ts"), col("level_num"), col("trend_num"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(sHo.nonEmpty && sHo == bHo)
     // cross-batch state: user 9000001's second point must fold onto the
     // first batch's state, not restart the recurrence
     val dir2 = SparkTestBase.tempDir("graft-rec2-in")
