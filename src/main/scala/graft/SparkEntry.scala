@@ -487,6 +487,13 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("id").as("event_id"),
           col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
         .orderBy("user_id", "ts", "event_id")),
+    "dedup_containment" -> ((s, d) =>
+      // asymmetric quote/subset detection: pairs where >= 60% of EITHER
+      // side's shingles appear in the other — catches the embedded-
+      // paragraph case symmetric jaccard structurally misses
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.6)
+        .orderBy("id1", "id2")),
     "sketch_overlap" -> ((s, d) => {
       // cross-source vocabulary overlap from at-rest HLL sketches: exact
       // per-pair intersections are VALUE-oracled; est_ok gates the
@@ -1346,6 +1353,15 @@ object SparkEntry {
         |SELECT user_id, ts, event_id, cents, sp0 AS s_pos, sn0 AS s_neg,
         |  CAST(alarm AS BIGINT) AS alarm
         |FROM rec ORDER BY user_id, ts, event_id""".stripMargin,
+    "dedup_containment" ->
+      s"""$SharedPairsSqlPrefix
+         |SELECT id1, id2, shared, n1, n2,
+         |       CAST(shared AS DOUBLE) / n1 AS c_ab,
+         |       CAST(shared AS DOUBLE) / n2 AS c_ba
+         |FROM p
+         |WHERE greatest(CAST(shared AS DOUBLE) / n1,
+         |               CAST(shared AS DOUBLE) / n2) >= 0.6
+         |ORDER BY id1, id2""".stripMargin,
     "sketch_overlap" ->
       s"""WITH tok AS (
         |  SELECT DISTINCT lang, tok FROM (
@@ -3321,7 +3337,10 @@ object SparkEntry {
     * incl. the corpus-relative df cap), WITHOUT an ORDER BY so it can serve
     * both as the `dedup_jaccard_pairs` oracle and as the edge-list CTE of
     * the `dedup_clusters` transitive closure. */
-  private def JaccardPairsSqlCore =
+  /** Shared CTE prefix (shingles → df-cap → shared-count pair table `p`)
+    * of the jaccard and containment oracles — one definition so the two
+    * cannot drift. */
+  private def SharedPairsSqlPrefix =
     s"""WITH t AS (
        |  SELECT doc_id, $DuckToks AS toks FROM documents
        |), s AS (
@@ -3342,7 +3361,10 @@ object SparkEntry {
        |         count(*) AS shared
        |  FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4
-       |)
+       |)""".stripMargin
+
+  private def JaccardPairsSqlCore =
+    s"""$SharedPairsSqlPrefix
        |SELECT id1, id2, shared, n1, n2,
        |       CAST(shared AS DOUBLE) / (n1 + n2 - shared) AS jaccard
        |FROM p

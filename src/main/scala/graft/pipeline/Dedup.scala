@@ -313,6 +313,29 @@ object Dedup {
       .select("id1", "id2", "shared", "n1", "n2", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs: fraction of each doc's shingles found
+    * in the other (`c_ab = shared/|A|`, `c_ba = shared/|B|`), kept when
+    * either side exceeds `threshold`. This is the quote/subset detector
+    * symmetric Jaccard structurally misses: a paragraph embedded in a
+    * 100× longer doc has Jaccard ≈ 1%, containment ≈ 100%. Identical
+    * machinery and cost to [[jaccardPairs]] — same capped inverted-index
+    * self-join, same ReuseExchange shape — only the final normalization
+    * differs, so everything in SCALE.md about the jaccard tier (df caps,
+    * grouped variant trade) applies verbatim.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleSize: Int = 3,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+    selfJoinOnTok(e)
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("c_ab", col("shared").cast("double") / col("n1"))
+      .withColumn("c_ba", col("shared").cast("double") / col("n2"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id1", "id2", "shared", "n1", "n2", "c_ab", "c_ba")
+  }
+
   /** [[jaccardPairs]] through per-shingle adjacency lists instead of a
     * self-join: group the capped inverted index by shingle, emit each
     * posting list's ordered pairs with a flatMap, then count shared

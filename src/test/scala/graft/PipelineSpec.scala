@@ -679,6 +679,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("containment catches an embedded quote that jaccard misses") {
+    import graft.pipeline.Dedup
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = quote + " " + (1 to 60).map(i => s"filler$i word$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, host)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.6,
+      maxShingleDf = 10).collect()
+    assert(cont.length == 1)
+    val r = cont(0)
+    assert(r.getAs[Double]("c_ab") == 1.0) // every quote shingle is in host
+    assert(r.getAs[Double]("c_ba") < 0.2)
+    // the same pair is invisible to symmetric jaccard at the same bar
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.6,
+      maxShingleDf = 10).count() == 0)
+  }
+
   test("HLL overlap: inclusion-exclusion is exact below sketch capacity") {
     // three corpora: x/y share exactly 'shared common'; z is disjoint
     val df = Seq(
