@@ -487,6 +487,12 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("id").as("event_id"),
           col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
         .orderBy("user_id", "ts", "event_id")),
+    "text_compress_ratio" -> ((s, d) =>
+      // entropy-class quality signal; deliberately rows-only at the gate
+      // (DEFLATE bytes are zlib-implementation-defined — see Scaladoc);
+      // the ordering property is pinned in ScalaTest
+      Text.compressionRatio(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "dedup_containment" -> ((s, d) =>
       // asymmetric quote/subset detection: pairs where >= 60% of EITHER
       // side's shingles appear in the other — catches the embedded-

@@ -890,6 +890,54 @@ object Text {
     sketches.agg(expr(s"hll_union_agg($sketchCol, true)").as("sketch"))
       .withColumn("estimate", expr("hll_sketch_estimate(sketch)"))
 
+  /** Per-doc DEFLATE compression ratio in basis points
+    * (compressed·10⁴/raw) — the entropy-flavored quality signal of the
+    * Gopher class: boilerplate, keyword stuffing, and template spam
+    * compress far below natural prose, so a low ratio flags low-entropy
+    * docs the token-level filters miss. One reused `Deflater` per
+    * partition (allocation-free inner loop, the same mapPartitions shape
+    * as the multimodal decoders); null/empty text yields null ratio
+    * (absent data is not "maximally compressible"). DEFLATE output bytes
+    * are deterministic for a fixed level but NOT specified across zlib
+    * implementations, so this op is deliberately rows-only at the driver
+    * gate — the ordering property (repetitive ≪ varied) is pinned in
+    * ScalaTest instead, and thresholds consuming the ratio should be
+    * calibrated per deployment, not hardcoded.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("raw_bytes", LongType),
+      StructField("comp_bytes", LongType),
+      StructField("ratio_bps", LongType)))
+    val rdd = df.rdd.mapPartitions { it =>
+      val defl = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](64 * 1024)
+      it.map { row =>
+        val id = row.getLong(idIdx)
+        val text = if (row.isNullAt(txtIdx)) null else row.getString(txtIdx)
+        if (text == null || text.isEmpty)
+          org.apache.spark.sql.Row(id, null, null, null)
+        else {
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var comp = 0L
+          while (!defl.finished()) comp += defl.deflate(buf)
+          org.apache.spark.sql.Row(id, raw.length.toLong, comp,
+            comp * 10000L / raw.length)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Pairwise distinct-token OVERLAP estimates between groups via HLL
     * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
     * union estimated by a scalar `hll_union` of the two stored sketches —

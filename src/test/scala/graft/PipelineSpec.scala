@@ -679,6 +679,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(merged == direct)
   }
 
+  test("compression ratio: repetition compresses far below varied text") {
+    val rep = ("spam " * 200).trim
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}x$i").mkString(" ")
+    val df = Seq((1L, rep), (2L, varied), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = Text.compressionRatio(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out(1L).get < out(2L).get / 3) // repetitive ≪ varied
+    assert(out(3L).isEmpty && out(4L).isEmpty) // empty/null -> null ratio
+  }
+
   test("containment catches an embedded quote that jaccard misses") {
     import graft.pipeline.Dedup
     val quote = "alpha beta gamma delta epsilon zeta eta theta"
