@@ -12,7 +12,8 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val scanOnly = args.contains("--scan")
-    val names = args.drop(1).filterNot(_ == "--scan")
+    val exec = args.contains("--exec") // run first → AQE-final plan
+    val names = args.drop(1).filterNot(a => a == "--scan" || a == "--exec")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -21,8 +22,9 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
-      val p = SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.executedPlan.toString
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) df.count()
+      val p = df.queryExecution.executedPlan.toString
       println(s"==== $n")
       if (scanOnly)
         p.linesIterator

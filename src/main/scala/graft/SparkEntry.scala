@@ -2792,9 +2792,10 @@ object SparkEntry {
         (3L, "customer join query")).toDF("query_id", "qtext")
       qdf.write.mode("overwrite").parquet(qdir)
       val src = s.readStream.schema(qdf.schema).parquet(qdir)
-      val scored = graft.pipeline.Retrieval.streamingBm25(
-        src, t(s, d, "documents"))
+      val idx = graft.pipeline.Retrieval.buildIndex(t(s, d, "documents"))
+      val scored = graft.pipeline.Retrieval.streamingBm25(src, idx)
       val sink = runStreamToTable(s, scored, "stream_bm25_out")
+      idx.release()
       val agg = sink.groupBy("query_id", "doc_id")
         .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms"))
       val w = Window.partitionBy("query_id")
