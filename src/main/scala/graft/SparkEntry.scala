@@ -556,6 +556,31 @@ object SparkEntry {
         .select("event_id", "ts", "user_id", "event_type", "value")
         .orderBy("event_id")
     }),
+    "ts_rate_cusum" -> ((s, d) => {
+      // RATE monitoring: per-user daily event counts, gap-filled with
+      // zeros across each user's active span (a quiet day must drive the
+      // negative side — without the grid it would be invisible), then the
+      // integer CUSUM fold over the count series. Pure composition of
+      // existing tiers: one keyed agg + a calendar-bounded explode + the
+      // sorted-partition recurrence
+      val day = 86400L * 1000000000L
+      val ev = t(s, d, "events")
+      val counts = ev
+        .select(col("user_id"), expr(TsOps.floorDivSql("ts", day)).as("b"))
+        .groupBy("user_id", "b").agg(count(lit(1)).as("n"))
+      val grid = counts.groupBy("user_id")
+        .agg(min("b").as("b0"), max("b").as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("b"))
+      val filled = grid.join(counts, Seq("user_id", "b"), "left")
+        .select(col("user_id"), (col("b") * day).as("ts"), col("b").as("eid"),
+          coalesce(col("n"), lit(0L)).cast("double").as("value"))
+      graft.operators.RecurrenceOps.cusum(filled, Seq("user_id"),
+          targetCents = 300L, slackCents = 100L, thresholdCents = 600L,
+          idCol = "eid")
+        .select(col("user_id"), col("ts"), col("id").as("day_idx"),
+          col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
+        .orderBy("user_id", "ts")
+    }),
     "retrieval_bm25" -> ((s, d) => {
       // lexical top-10 per query, BM25-shaped with the engine-exact
       // rational idf; the oracle reproduces every integral division
@@ -1417,6 +1442,45 @@ object SparkEntry {
         |  AND epoch_ns(ts) >= ${ns("2024-01-10")}
         |  AND epoch_ns(ts) < ${ns("2024-01-15")}
         |ORDER BY event_id""".stripMargin,
+    "ts_rate_cusum" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS b,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(b) AS b0, max(b) AS b1 FROM c GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM span
+        |), base AS (
+        |  SELECT g.user_id, g.b * 86400000000000 AS ts, g.b AS day_idx,
+        |    COALESCE(c.n, 0) * 100 AS cents,
+        |    row_number() OVER (PARTITION BY g.user_id ORDER BY g.b) AS rn
+        |  FROM grid g LEFT JOIN c ON c.user_id = g.user_id AND c.b = g.b
+        |), rec AS (
+        |  SELECT user_id, ts, day_idx, cents, rn,
+        |    greatest(0, cents - 300 - 100) AS sp0,
+        |    greatest(0, -(cents - 300) - 100) AS sn0,
+        |    CASE WHEN greatest(0, cents - 300 - 100) > 600
+        |           OR greatest(0, -(cents - 300) - 100) > 600
+        |         THEN 1 ELSE 0 END AS alarm
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.ts, b.day_idx, b.cents, b.rn,
+        |    greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sp0 END
+        |      + (b.cents - 300) - 100),
+        |    greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sn0 END
+        |      - (b.cents - 300) - 100),
+        |    CASE WHEN greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sp0
+        |        END + (b.cents - 300) - 100) > 600
+        |      OR greatest(0, CASE WHEN r.alarm = 1 THEN 0 ELSE r.sn0 END
+        |        - (b.cents - 300) - 100) > 600
+        |      THEN 1 ELSE 0 END
+        |  FROM rec r JOIN base b
+        |    ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        |)
+        |SELECT user_id, ts, day_idx, cents, sp0 AS s_pos, sn0 AS s_neg,
+        |  CAST(alarm AS BIGINT) AS alarm
+        |FROM rec ORDER BY user_id, ts""".stripMargin,
     "retrieval_bm25" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest($DuckToks) AS tok FROM documents
