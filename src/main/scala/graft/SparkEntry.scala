@@ -488,10 +488,19 @@ object SparkEntry {
           col("cents"), col("s_pos"), col("s_neg"), col("alarm"))
         .orderBy("user_id", "ts", "event_id")),
     "text_compress_ratio" -> ((s, d) =>
-      // entropy-class quality signal; deliberately rows-only at the gate
-      // (DEFLATE bytes are zlib-implementation-defined — see Scaladoc);
-      // the ordering property is pinned in ScalaTest
+      // entropy-class quality signal. raw_bytes (UTF-8 length) is
+      // VALUE-oracled; the DEFLATE output itself is zlib-implementation-
+      // defined (see Scaladoc), so the oracle-facing view carries
+      // ratio_ok — an in-plan bounds gate (compressed within (0,
+      // raw + 64], ratio in sane basis points) — instead of raw zlib
+      // bytes, the approx-sketch convention
       Text.compressionRatio(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("raw_bytes").isNotNull) // empty/null text, like oracle
+        .select(col("doc_id"), col("raw_bytes"),
+          (col("comp_bytes") > 0 &&
+            col("comp_bytes") <= col("raw_bytes") + 64 &&
+            col("ratio_bps").between(1L, 12000L))
+            .cast("long").as("ratio_ok"))
         .orderBy("doc_id")),
     "dedup_containment" -> ((s, d) =>
       // asymmetric quote/subset detection: pairs where >= 60% of EITHER
@@ -1442,6 +1451,12 @@ object SparkEntry {
         |  AND epoch_ns(ts) >= ${ns("2024-01-10")}
         |  AND epoch_ns(ts) < ${ns("2024-01-15")}
         |ORDER BY event_id""".stripMargin,
+    "text_compress_ratio" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+        |  CAST(1 AS BIGINT) AS ratio_ok
+        |FROM documents WHERE text IS NOT NULL AND text <> ''
+        |ORDER BY doc_id""".stripMargin,
     "ts_rate_cusum" ->
       """WITH RECURSIVE c AS (
         |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS b,
