@@ -410,6 +410,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ts_rate_cusum grid: calendar-bounded explode, no cartesian") {
+    // the zero-fill grid comes from a per-user sequence explode over the
+    // (min,max) day span — metadata-sized fan-out, never a day-dim cross
+    // join — and the count agg is map-side combinable before it
+    val df = SparkEntry.queries("ts_rate_cusum")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+  }
+
   test("recurrence fold input: one key shuffle, NON-global sort") {
     // the fold itself hides behind Scan ExistingRDD in the output plan, so
     // audit the prepared frame: repartition(user) must be a single hash
