@@ -131,6 +131,12 @@ object ScaleProbe {
       report("pagerank_3iter", evK,
         graft.operators.GraphOps.pageRank(edgesOf(events), iters = 3).count(),
         graft.operators.GraphOps.pageRank(edgesOf(evScaled), iters = 3).count())
+      // the realistic iteration regime the round-7 verdict flagged: 10
+      // supersteps with the default pin cadence (pin at 8) — probes that
+      // cached nodes/deg + mid-loop pinning keep deep iteration sublinear
+      report("pagerank_10iter", evK,
+        graft.operators.GraphOps.pageRank(edgesOf(events), iters = 10).count(),
+        graft.operators.GraphOps.pageRank(edgesOf(evScaled), iters = 10).count())
     }
     if (sel("zorder_slice")) {
       // A/B at the SAME scaled size: the 2-dim slice on a z-ordered copy

@@ -31,27 +31,42 @@ object GraphOps {
     * decays slightly; relative ranking — the signal a curation pipeline
     * uses — is preserved, and the oracle matches exactly).
     *
-    * Scale shape: the node frame and degree frame build once; each
-    * iteration is edges ⋈ pr (shuffle on src) → groupBy dst (combinable
-    * sum) → left join back to nodes — the classic Pregel superstep as two
-    * keyed shuffles, nothing driver-side except the N-count scalar and the
-    * iteration counter. Lineage grows per round: past ~10 rounds pin the
-    * rank frame (localCheckpoint locally, reliable checkpoint on
-    * preemptible fleets — the Pipelines.pinFrame trade).
+    * Scale shape: the node frame and degree frame are PERSISTED once
+    * before the loop (the `nodes.count()` that fetches N materializes the
+    * cache, so no superstep ever re-runs the union-distinct over edges or
+    * the degree agg); each iteration is edges ⋈ pr (shuffle on src) →
+    * groupBy dst (combinable sum) → left join back to nodes — the classic
+    * Pregel superstep as two keyed shuffles, nothing driver-side except
+    * the N-count scalar and the iteration counter.
+    *
+    * Lineage still grows per round, so every `pinEvery` supersteps the
+    * rank frame is pinned (eagerly materialized with lineage truncated)
+    * via the [[graft.pipeline.Pipelines]] pin modes — `pinMode` picks the
+    * mechanism: localCheckpoint for single-machine speed (default),
+    * reliable checkpoint or DISK_ONLY_2 for preemptible fleets, exactly
+    * the [[graft.pipeline.Pipelines.PinLocal]] trade. At the realistic
+    * 10-20-iteration regime this bounds both the plan size (≤ pinEvery
+    * supersteps of lineage at any point) and the recompute cost of a lost
+    * partition. `pinEvery <= 0` disables pinning (pure lineage).
     */
   def pageRank(edges: DataFrame, iters: Int = 4, scaleLog2: Int = 30,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      pinEvery: Int = 8,
+      pinMode: String = graft.pipeline.Pipelines.PinLocal): DataFrame = {
     require(iters >= 1 && scaleLog2 >= 10 && scaleLog2 <= 40)
     val s = 1L << scaleLog2
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val n = nodes.count()
+      .persist()
+    val n = nodes.count() // materializes the nodes cache
+    require(n > 0, "pageRank needs a non-empty edge frame")
     val base = 15L * s / (100L * n)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od")).persist()
     var pr = nodes.withColumn("pr", lit(s / n))
-    for (_ <- 1 to iters) {
+    var lastPin: DataFrame = null
+    for (i <- 1 to iters) {
       val contrib = e.join(pr.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("node"), expr("pr div od").as("__c"))
@@ -61,6 +76,15 @@ object GraphOps {
         .select(col("node"),
           (lit(base) +
             expr("(85 * coalesce(__sum, 0L)) div 100")).as("pr"))
+      if (pinEvery > 0 && i % pinEvery == 0 && i < iters) {
+        val pinned = graft.pipeline.Pipelines.pinFrame(pr, pinMode)
+        pinned.count() // eager: truncate lineage NOW, not at the final action
+        // a disk-persisted pin holds executor disk until released; the
+        // checkpoint modes own their cleanup (ContextCleaner / ckpt dir)
+        if (lastPin != null) lastPin.unpersist()
+        lastPin = pinned
+        pr = pinned
+      }
     }
     pr
   }

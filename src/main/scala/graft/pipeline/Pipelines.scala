@@ -37,7 +37,7 @@ object Pipelines {
   val PinReliable = "reliable"
   val PinDisk = "disk"
 
-  private[pipeline] def pinFrame(f: DataFrame, mode: String): DataFrame =
+  private[graft] def pinFrame(f: DataFrame, mode: String): DataFrame =
     mode match {
       case PinLocal => f.localCheckpoint(false)
       case PinReliable =>

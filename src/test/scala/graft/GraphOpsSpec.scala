@@ -39,4 +39,24 @@ class GraphOpsSpec extends AnyFunSuite {
       .orderBy("node").collect().toSeq
     assert(a == b)
   }
+
+  test("pagerank: an empty edge frame fails fast with a clear error") {
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(e, iters = 1)
+    }
+    assert(ex.getMessage.contains("non-empty edge frame"))
+  }
+
+  test("pagerank: mid-loop pinning leaves every rank bit unchanged") {
+    // 10 supersteps with a pin every 3 must equal the pure-lineage run —
+    // pinning is a plan-size/recompute control, never a semantic change
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val pinned = GraphOps.pageRank(e, iters = 10, pinEvery = 3)
+      .orderBy("node").collect().toSeq
+    val pure = GraphOps.pageRank(e, iters = 10, pinEvery = 0)
+      .orderBy("node").collect().toSeq
+    assert(pinned == pure)
+  }
 }

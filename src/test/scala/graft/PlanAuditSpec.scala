@@ -419,6 +419,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
   }
 
+  test("pagerank superstep reads cached nodes/deg — no re-derived distinct") {
+    // the loop-invariant frames persist once: superstep k's plan must
+    // reference them as InMemoryTableScan, and the union-distinct that
+    // derives `nodes` (HashAggregate(keys=[node], functions=[])) must NOT
+    // reappear in the outer plan — without the pin it re-runs every round
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val p = graft.operators.GraphOps.pageRank(e, iters = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.matches(
+      "(?s).*HashAggregate\\(keys=\\[node#\\d+L?\\], functions=\\[\\]\\).*"), p)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("recurrence fold input: one key shuffle, NON-global sort") {
     // the fold itself hides behind Scan ExistingRDD in the output plan, so
     // audit the prepared frame: repartition(user) must be a single hash
