@@ -33,6 +33,10 @@ object SparkEntry {
     * process per dataset; probes reuse it). */
   private val nearDupIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-dataset cache for the at-rest BM25 index (one corpus tokenize
+    * pass per process per dataset; stored probes reuse it). */
+  private val bm25IndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Collision-free dataset-dir discriminator for scratch paths/table names
     * (32-bit hashCode collisions are easy to hit across many dirs). */
@@ -597,6 +601,26 @@ object SparkEntry {
       val q = Seq((1L, "fast vector scan"), (2L, "stream window agg"),
         (3L, "customer join query")).toDF("query_id", "qtext")
       graft.pipeline.Retrieval.bm25(t(s, d, "documents"), q, topK = 10)
+        .select("query_id", "doc_id", "score", "n_terms", "rank")
+        .orderBy("query_id", "rank")
+    }),
+    "retrieval_bm25_stored" -> ((s, d) => {
+      // retrieval_bm25 probed AT REST: the index (tf/dl/dfs + corpus
+      // scalars) is persisted term-bucketed once, and the probe prunes the
+      // tf/dfs scans to the query terms' buckets at file-listing time
+      // (PlanAuditSpec asserts the PartitionFilters) — a serving restart
+      // never re-tokenizes the corpus. Same scores as retrieval_bm25, so
+      // it shares that value oracle
+      import s.implicits._
+      val q = Seq((1L, "fast vector scan"), (2L, "stream window agg"),
+        (3L, "customer join query")).toDF("query_id", "qtext")
+      val path = bm25IndexPaths.computeIfAbsent(d, dir => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-bm25-$processId-${dirTag(dir)}").getPath
+        graft.pipeline.Retrieval.writeBm25Index(t(s, dir, "documents"), p)
+        p
+      })
+      graft.pipeline.Retrieval.bm25Stored(s, path, q, topK = 10)
         .select("query_id", "doc_id", "score", "n_terms", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -4723,6 +4747,10 @@ object SparkEntry {
       ("stream_seasonal" -> base("ts_seasonal_anomaly")) +
       // drained scored-candidate sink rolled up == the batch ranker
       ("stream_bm25" -> base("retrieval_bm25")) +
+      // the stored probe reads the identical tf/dl/dfs frames back from
+      // the term-bucketed layout (bucket pruning only skips rows no query
+      // term can join), so it shares retrieval_bm25's value oracle
+      ("retrieval_bm25_stored" -> base("retrieval_bm25")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
       ("stream_funnel" -> base("ts_funnel")) +

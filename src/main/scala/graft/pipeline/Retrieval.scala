@@ -151,4 +151,133 @@ object Retrieval {
       qidCol: String, qtextCol: String): DataFrame =
     streamingBm25(queryStream, buildIndex(docs, maxDf, idCol, textCol),
       qidCol, qtextCol)
+
+  /** The term-bucket storage partition key: `pmod(xxhash64(tok), buckets)`.
+    * A directory PER TOKEN would put vocabulary-many entries in one
+    * object-store listing (millions at corpus scale — the small-files
+    * cliff); hashing into a bounded bucket count keeps listings constant
+    * while a probe still prunes to exactly the query terms' buckets at
+    * file-listing time. xxhash64 is a fixed published function, so write
+    * and probe compute identical buckets across processes and sessions. */
+  private def tokBucket(buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("tok")), lit(buckets.toLong))
+
+  /** Persist a [[Bm25Index]] — the retrieval index AT REST, so serving
+    * restarts and repeated eval-mining runs skip the corpus tokenize pass
+    * (the dominant cost: one full scan + explode of 100 TB of text).
+    * Artifacts under `path`:
+    *   - `meta.parquet` — (n, t, id_col, max_df, buckets): the corpus
+    *     scalars plus the layout parameters the probe must reproduce;
+    *   - `tf.parquet`   — (id, tok, tf) partitioned by `tok_bkt`, rows
+    *     sorted by `tok` within files (row-group stats prune inside a
+    *     bucket too);
+    *   - `dfs.parquet`  — (tok, df) in the same bucketed layout;
+    *   - `dl.parquet`   — (id, dl), per-doc, read whole (it joins on the
+    *     doc key after the candidate fan-out).
+    * Built into a sibling dir and published with the two-rename swap
+    * ([[Dedup.writeNearDupIndex]] protocol): the four artifacts must
+    * change together or a probe scores new term stats against an old tf.
+    * [[recoverBm25Index]] heals the between-renames crash window. */
+  def writeBm25Index(docs: DataFrame, path: String,
+      maxDf: Long = Long.MaxValue, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 256): Unit = {
+    require(buckets > 0, "writeBm25Index needs a positive bucket count")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val idx = buildIndex(docs, maxDf, idCol, textCol)
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverBm25Index(fs, live)
+    val tmp = new Path(path + ".build-tmp")
+    val old = new Path(path + ".build-old")
+    fs.delete(tmp, true)
+    Seq((idx.n, idx.t, idx.idCol, maxDf, buckets))
+      .toDF("n", "t", "id_col", "max_df", "buckets")
+      .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+    def bucketed(f: DataFrame): DataFrame = f
+      .withColumn("tok_bkt", tokBucket(buckets))
+      .repartition(col("tok_bkt"))
+      .sortWithinPartitions("tok_bkt", "tok")
+    bucketed(idx.tf)
+      .write.mode("overwrite").partitionBy("tok_bkt")
+      .parquet(s"$tmp/tf.parquet")
+    bucketed(idx.dfs)
+      .write.mode("overwrite").partitionBy("tok_bkt")
+      .parquet(s"$tmp/dfs.parquet")
+    idx.dl.write.mode("overwrite").parquet(s"$tmp/dl.parquet")
+    idx.release()
+    fs.delete(old, true)
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"writeBm25Index: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      if (fs.exists(old)) fs.rename(old, live) // roll back, original intact
+      throw new java.io.IOException(s"writeBm25Index: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Crash recovery for [[writeBm25Index]]'s swap window: a kill between
+    * `live → old` and `tmp → live` leaves the only complete index at
+    * `.build-old` — promote it back. Called by writer and openers so the
+    * next access self-heals. */
+  private[graft] def recoverBm25Index(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(live.toString + ".build-old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"writeBm25Index recovery: cannot restore $old")
+  }
+
+  /** Open a [[writeBm25Index]]-stored index as a [[Bm25Index]] — API parity
+    * with [[buildIndex]] (the bucket column is internal to the layout), so
+    * every consumer ([[bm25With]], [[streamingBm25]]) runs unchanged
+    * against the stored frames. No corpus pass, no persist: the parquet
+    * files ARE the materialized index. For a term-pruned batch probe use
+    * [[bm25Stored]]; this whole-index form is the streaming-static-side /
+    * many-query-batch handle. */
+  def openBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25Index = {
+    recoverBm25Index(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path))
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    Bm25Index(
+      spark.read.parquet(s"$path/tf.parquet").drop("tok_bkt"),
+      spark.read.parquet(s"$path/dl.parquet"),
+      spark.read.parquet(s"$path/dfs.parquet").drop("tok_bkt"),
+      meta.getAs[Long]("n"), meta.getAs[Long]("t"),
+      meta.getAs[String]("id_col"))
+  }
+
+  /** [[bm25]] against a stored index with TERM-PRUNED scans: the query
+    * set's distinct terms resolve to their storage buckets first and the
+    * tf/dfs reads carry that as a static partition filter — the scan lists
+    * only the probed bucket directories, the [[Similarity.ivfKnnStored]]
+    * discipline applied to text. The collected bucket-id set is index
+    * metadata (≤ distinct query terms longs, small by the serving
+    * contract), not data. Scores are identical to [[bm25]]: tf rows
+    * outside the probed buckets can never join a query term. */
+  def bm25Stored(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, topK: Int = 10, qidCol: String = "query_id",
+      qtextCol: String = "qtext"): DataFrame = {
+    recoverBm25Index(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path))
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val qBkts = queries
+      .select(explode(array_distinct(Text.tokens(col(qtextCol)))).as("tok"))
+      .select(tokBucket(buckets).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub.parquet")
+        .filter(col("tok_bkt").isin(qBkts: _*)).drop("tok_bkt")
+    val idx = Bm25Index(pruned("tf"),
+      spark.read.parquet(s"$path/dl.parquet"), pruned("dfs"),
+      meta.getAs[Long]("n"), meta.getAs[Long]("t"),
+      meta.getAs[String]("id_col"))
+    bm25With(idx, queries, topK, qidCol, qtextCol)
+  }
 }

@@ -225,6 +225,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(readCells > 0)
   }
 
+  test("retrieval_bm25_stored: probe prunes the term-bucketed tf scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec    => Seq(f)
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case s: QueryStageExec        => collectScans(s.plan)
+      case r: ReusedExchangeExec    => collectScans(r.child)
+      case other => (other.children ++ other.subqueries).flatMap(collectScans)
+    }
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.storage.Tables.read(spark, d, "documents")
+    val path = new java.io.File(SparkTestBase.tempDir("graft-bm25-prune"),
+      "idx").getPath
+    graft.pipeline.Retrieval.writeBm25Index(docs, path, buckets = 64)
+    // one-term query: at 64 buckets a single term probes exactly 1
+    val q = Seq((1L, "vector")).toDF("query_id", "qtext")
+    val df = graft.pipeline.Retrieval.bm25Stored(spark, path, q, topK = 5)
+    df.collect() // finalize the adaptive plan before walking it
+    val scans = collectScans(df.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("tok_bkt"))
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    scans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "tok_bkt")),
+        s.toString)
+      val totalBkts = s.relation.location.inputFiles
+        .flatMap(_.split("/").find(_.startsWith("tok_bkt="))).distinct.length
+      val readBkts = s.selectedPartitions.partitionCount
+      assert(readBkts < totalBkts,
+        s"no pruning: read $readBkts of $totalBkts buckets")
+      assert(readBkts > 0)
+    }
+  }
+
   test("text_novelty: df joined back on the shingle key, no cartesian") {
     val p = plan("text_novelty")
     assert(!p.contains("Cartesian"), p)

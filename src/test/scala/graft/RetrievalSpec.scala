@@ -51,4 +51,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
   }
+
+  test("stored index: bm25Stored and openBm25Index equal the direct path") {
+    val path = SparkTestBase.tempDir("bm25idx") + "/idx"
+    Retrieval.writeBm25Index(docs, path, buckets = 8)
+    val queries = Seq((1L, "apple pie"), (2L, "banana cherry"))
+      .toDF("query_id", "qtext")
+    val direct = Retrieval.bm25(docs, queries, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    // the term-pruned stored probe: row-identical, score-identical
+    val stored = Retrieval.bm25Stored(spark, path, queries, topK = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(stored == direct)
+    // the whole-index open: same Bm25Index contract as buildIndex
+    val opened = Retrieval.bm25With(Retrieval.openBm25Index(spark, path),
+      queries, topK = 10).orderBy("query_id", "rank").collect().toSeq
+    assert(opened == direct)
+  }
+
+  test("stored index: a crash between the publish renames self-heals") {
+    val path = SparkTestBase.tempDir("bm25rec") + "/idx"
+    Retrieval.writeBm25Index(docs, path, buckets = 8)
+    // simulate the kill window: live moved aside, tmp never promoted
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".build-old")
+    assert(live.renameTo(old))
+    val out = Retrieval.bm25Stored(spark, path, q("apple"), topK = 10)
+      .collect()
+    assert(out.nonEmpty) // recovered from .build-old transparently
+    assert(live.exists() && !old.exists())
+  }
 }
