@@ -1018,19 +1018,40 @@ object Text {
       textCol: String = "text", groupCol: String = "source",
       lgK: Int = 12, d: Int = 4, w: Int = 2048): Unit =
     sketchRows(fanOut(df), textCol, groupCol, lgK, d, w)
+      // overwrite-mode base write: exactly one "base" row per group can
+      // exist, so the constant key never collides under replay dedup
+      .withColumn("batch_key", lit("base"))
       .write.mode("overwrite").partitionBy(groupCol).parquet(path)
+
+  /** Append one batch's per-group partial rows to a sketch store, stamped
+    * with `batchKey` — the row identity that makes streamed ingest
+    * effectively exactly-once: a replayed micro-batch recomputes the SAME
+    * (deterministic) partial under the SAME key, and [[sketchRollup]] /
+    * [[compactSketchStore]] drop duplicate (group, batch_key) rows before
+    * merging. Callers must make `batchKey` unique per logical batch and
+    * STABLE across retries of that batch —
+    * [[graft.streaming.StreamIngest.sketchIngest]] derives it from
+    * (checkpoint location, micro-batch id). */
+  def appendSketchStore(df: DataFrame, path: String, batchKey: String,
+      textCol: String = "text", groupCol: String = "source",
+      lgK: Int = 12, d: Int = 4, w: Int = 2048): Unit =
+    sketchRows(df, textCol, groupCol, lgK, d, w)
+      .withColumn("batch_key", lit(batchKey))
+      .write.mode("append").partitionBy(groupCol).parquet(path)
 
   /** Compact an at-rest sketch store in place: streaming ingest
     * ([[graft.streaming.StreamIngest.sketchIngest]]) appends one partial
     * row per (group, micro-batch); this folds them back to ONE row per
     * group — the same per-group merge a rollup performs, made durable.
-    * Pure IO optimization (rollups are exact over any number of partials;
-    * this just caps file-listing cost as batches accumulate), with the
-    * same two-rename publish + crash self-heal discipline as
-    * [[Similarity.compactIvf]]. Unlike compactIvf's dropDuplicates
-    * repair, a replayed batch's partial is NOT detectable post-hoc
-    * (sketch rows carry no identity) — the at-least-once caveat lives at
-    * the ingest contract. */
+    * An IO optimization (caps file-listing cost as batches accumulate)
+    * that doubles as the replay repair: duplicate (group, batch_key)
+    * partials from an at-least-once redelivery collapse to one row
+    * before the fold, the [[Similarity.compactIvf]] dropDuplicates
+    * discipline. The folded row gets a fresh unique key, so it can never
+    * be deduped against a later batch. Two-rename publish + crash
+    * self-heal as compactIvf. Run it with the ingest stream stopped or
+    * quiesced: a batch replayed AFTER its original partial was folded is
+    * no longer detectable (the fold erased the row identities). */
   def compactSketchStore(spark: org.apache.spark.sql.SparkSession,
       path: String, groupCol: String = "source"): Unit = {
     import org.apache.hadoop.fs.Path
@@ -1041,10 +1062,13 @@ object Text {
     Similarity.recoverCompact(fs, live)
     fs.delete(tmp, true)
     spark.read.parquet(path)
+      .dropDuplicates(groupCol, "batch_key") // replayed-batch repair
       .groupBy(groupCol)
       .agg(expr("hll_union_agg(hll, true)").as("hll"),
         udaf(new CmsMergeAgg).apply(col("cms")).as("cms"),
         sum("n_tokens").as("n_tokens"))
+      .withColumn("batch_key",
+        lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
       .write.mode("overwrite").partitionBy(groupCol).parquet(tmp.toString)
     fs.delete(old, true)
     if (!fs.rename(live, old))
@@ -1059,11 +1083,15 @@ object Text {
 
   /** Roll a stored sketch subset up to one (hll, cms, n_tokens,
     * distinct_est) row — reads ONLY the selected groups' partitions
-    * (pruned at file listing), touches no raw text. */
+    * (pruned at file listing), touches no raw text. Duplicate
+    * (group, batch_key) partials — an at-least-once replay that landed
+    * between compactions — are dropped before the merge, so a replayed
+    * batch cannot double-count `cms`/`n_tokens`. */
   def sketchRollup(spark: org.apache.spark.sql.SparkSession, path: String,
       groups: Seq[String], groupCol: String = "source"): DataFrame =
     spark.read.parquet(path)
       .filter(col(groupCol).isin(groups: _*))
+      .dropDuplicates(groupCol, "batch_key")
       .agg(expr("hll_union_agg(hll, true)").as("hll"),
         udaf(new CmsMergeAgg).apply(col("cms")).as("cms"),
         sum("n_tokens").as("n_tokens"))

@@ -1222,25 +1222,48 @@ object StreamIngest {
     * shape where corpus statistics stay queryable WHILE the corpus
     * arrives, no rescan ever.
     *
-    * Delivery is AT-LEAST-ONCE (same contract as [[ivfIngest]]): a crash
-    * between a batch's files landing and its checkpoint commit replays
-    * the batch, double-counting its tokens in `cms`/`n_tokens` until the
-    * duplicate batch file is repaired away; `hll` is replay-IMMUNE
-    * (union is idempotent). Exactly-once needs a transactional table
-    * format, out of scope for plain parquet.
+    * Delivery is at-least-once at the FILE level but effectively
+    * EXACTLY-ONCE at the answer level: each batch's partial rows are
+    * stamped with a batch key derived from (checkpoint location,
+    * micro-batch id) — deterministic across a crash-restart, since the
+    * replayed batch reruns under the same checkpoint with the same id —
+    * and [[graft.pipeline.Text.sketchRollup]] /
+    * [[graft.pipeline.Text.compactSketchStore]] drop duplicate
+    * (group, batch_key) rows before merging, so a replayed batch can no
+    * longer double-count `cms`/`n_tokens` (`hll` was always
+    * replay-immune — union is idempotent). The one remaining window:
+    * compacting WHILE a crashed stream still has an uncommitted batch
+    * whose partial already landed — the fold erases row identities, so
+    * run compaction with the stream stopped or committed (its Scaladoc
+    * states the rule).
     */
   def sketchIngest(stream: DataFrame, path: String, checkpointDir: String,
       textCol: String = "text", groupCol: String = "source",
       lgK: Int = 12, d: Int = 4, w: Int = 2048,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.pipeline.Text.sketchRows(batch, textCol, groupCol, lgK, d, w)
-          .write.mode("append").partitionBy(groupCol).parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Text.appendSketchStore(batch, path,
+          sketchBatchKey(checkpointDir, batchId), textCol, groupCol,
+          lgK, d, w)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** The replay-stable identity of one sketch-ingest micro-batch: a hash
+    * of the checkpoint location (md5 prefix — the same verbatim string
+    * must be passed on restart, the standard Structured Streaming
+    * contract) plus the monotone per-checkpoint batch id. Two streams
+    * with different checkpoints ingesting into one store get disjoint
+    * keys; a crash-replay of batch k reproduces key k exactly. */
+  private[graft] def sketchBatchKey(checkpointDir: String,
+      batchId: Long): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    s"$tag#$batchId"
+  }
 
   /** Persist a stream to a metrics dir as sorted parquet blocks: one block
     * per micro-batch (the streaming analog of the reference's periodic

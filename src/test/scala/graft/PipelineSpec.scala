@@ -603,8 +603,7 @@ class PipelineSpec extends AnyFunSuite {
     val wave2 = Seq((2L, "c d e f", "s0"), (3L, "a f", "s1"))
       .toDF("doc_id", "text", "source")
     Text.writeSketchStore(wave1, path, d = dd, w = ww)
-    Text.sketchRows(wave2, "text", "source", 12, dd, ww)
-      .write.mode("append").partitionBy("source").parquet(path)
+    Text.appendSketchStore(wave2, path, "w2", d = dd, w = ww)
     def roll() = Text.sketchRollup(spark, path, Seq("s0", "s1"))
       .collect()(0)
     val before = roll()
@@ -617,6 +616,36 @@ class PipelineSpec extends AnyFunSuite {
       before.getAs[scala.collection.Seq[Long]]("cms").toList)
     assert(after.getAs[Long]("distinct_est") ==
       before.getAs[Long]("distinct_est"))
+  }
+
+  test("sketch store: a replayed batch cannot double-count") {
+    // the at-least-once repair: re-appending a batch under ITS OWN key
+    // (what a crash-replay does) leaves every rollup answer unchanged,
+    // both read live and after compaction folds the duplicates away
+    val (dd, ww) = (4, 128)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_skreplay").toString + "/store"
+    val wave1 = Seq((0L, "a b c a", "s0"), (1L, "b c d", "s1"))
+      .toDF("doc_id", "text", "source")
+    val wave2 = Seq((2L, "c d e f", "s0"), (3L, "a f", "s1"))
+      .toDF("doc_id", "text", "source")
+    Text.writeSketchStore(wave1, path, d = dd, w = ww)
+    Text.appendSketchStore(wave2, path, "ck#1", d = dd, w = ww)
+    def roll() = Text.sketchRollup(spark, path, Seq("s0", "s1"))
+      .collect()(0)
+    val before = roll()
+    Text.appendSketchStore(wave2, path, "ck#1", d = dd, w = ww) // replay!
+    assert(spark.read.parquet(path).count() == 6) // dup rows AT REST
+    val replayed = roll() // ...but never in an answer
+    assert(replayed.getAs[Long]("n_tokens") == before.getAs[Long]("n_tokens"))
+    assert(replayed.getAs[scala.collection.Seq[Long]]("cms").toList ==
+      before.getAs[scala.collection.Seq[Long]]("cms").toList)
+    Text.compactSketchStore(spark, path)
+    assert(spark.read.parquet(path).count() == 2) // dups folded away
+    val after = roll()
+    assert(after.getAs[Long]("n_tokens") == before.getAs[Long]("n_tokens"))
+    assert(after.getAs[scala.collection.Seq[Long]]("cms").toList ==
+      before.getAs[scala.collection.Seq[Long]]("cms").toList)
   }
 
   test("windowCooccurrence: positional pairs, gaps not collapsed") {

@@ -735,6 +735,17 @@ class StreamingSpec extends AnyFunSuite {
       batch.getAs[scala.collection.Seq[Long]]("cms").toList)
     assert(roll.getAs[Long]("distinct_est") ==
       batch.getAs[Long]("distinct_est"))
+    // crash-replay of wave 2's micro-batch: the redelivered partial lands
+    // under the stream's own (checkpoint, batchId) key, so every rollup
+    // answer stays equal to the one-pass batch store
+    Text.appendSketchStore(wave2.toDF("doc_id", "text", "source"), store,
+      StreamIngest.sketchBatchKey(ck, 1L), d = 4, w = 128)
+    assert(spark.read.parquet(store).count() == 6) // dup partials at rest
+    val replayed = Text.sketchRollup(spark, store, Seq("s0", "s1"))
+      .collect()(0)
+    assert(replayed.getAs[Long]("n_tokens") == batch.getAs[Long]("n_tokens"))
+    assert(replayed.getAs[scala.collection.Seq[Long]]("cms").toList ==
+      batch.getAs[scala.collection.Seq[Long]]("cms").toList)
   }
 
   test("compactIvf repairs replayed batches and heals a crashed swap") {
