@@ -817,6 +817,32 @@ object SparkEntry {
             .otherwise(0L)).as("promo_rev_c4"),
           sum(col("__rev")).as("total_rev_c4"))
     }),
+    "tpch_q17" -> ((s, d) => {
+      // small-quantity-order revenue (TPC-H Q17): the correlated
+      // scalar-subquery shape — l_quantity < 0.2 · avg(l_quantity) per
+      // part — decorrelated the way Catalyst itself rewrites it: ONE
+      // per-part aggregate over the (brand, type)-selected parts'
+      // lineitems, rejoined to those same lineitems. The part dim filter
+      // broadcasts, and the per-part avg table is selected-parts-sized so
+      // AQE broadcasts the rejoin too. The 0.2·avg threshold is decided
+      // by integer cross-multiplication (5·qty·cnt < sum_qty — quantities
+      // are integral-valued doubles), never a float division; the classic
+      // "/7.0 avg_yearly" is emitted as the exact floor-divided cents
+      val pt = broadcast(t(s, d, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+        .select("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("__qty"),
+          epCents.as("__price_c"))
+      val avgq = li.groupBy("l_partkey")
+        .agg(sum("__qty").as("__s"), count(lit(1)).as("__n"))
+      li.join(avgq, "l_partkey")
+        .filter(col("__qty") * lit(5L) * col("__n") < col("__s"))
+        .agg(coalesce(sum("__price_c"), lit(0L)).as("small_qty_rev_c"),
+          count(lit(1)).as("n_items"))
+        .withColumn("avg_yearly_c", expr("small_qty_rev_c div 7"))
+    }),
     "tpch_q19" -> ((s, d) => {
       // disjunctive-predicate shape (TPC-H Q19): revenue over an OR of
       // three (brand, size-range, quantity-range) branches — the
@@ -1742,6 +1768,26 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
         |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+    "tpch_q17" ->
+      """WITH pt AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+        |), li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_c
+        |  FROM lineitem JOIN pt ON l_partkey = p_partkey
+        |), a AS (
+        |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS s,
+        |    count(*) AS n
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT
+        |  COALESCE(CAST(sum(li.price_c) AS BIGINT), 0) AS small_qty_rev_c,
+        |  count(*) AS n_items,
+        |  COALESCE(CAST(sum(li.price_c) AS BIGINT), 0) // 7 AS avg_yearly_c
+        |FROM li JOIN a ON li.l_partkey = a.l_partkey
+        |WHERE li.qty * 5 * a.n < a.s""".stripMargin,
     "tpch_q19" ->
       """SELECT
         |  CAST(sum(
