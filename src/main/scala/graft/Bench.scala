@@ -57,6 +57,25 @@ object Bench {
       }
     }
 
+    // fixed-cost host calibration: a constant-work in-memory reduction
+    // (no IO, no data dependence) timed with the same settle+median
+    // discipline as the queries. The code and work never change, so this
+    // number moves ONLY with host condition — a bench artifact captured
+    // in a degraded window carries its own evidence instead of reading
+    // as a uniform code regression (BASELINE.md records the quiesced
+    // reference value and the interpretation threshold).
+    def calibSample(): Double = {
+      System.gc()
+      Thread.sleep(250)
+      val t0 = System.nanoTime()
+      spark.range(1L << 27).selectExpr("sum(id * 3 + 1)").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibSample() // warm the calibration path itself
+    val calib = (1 to Iterations).map(_ => calibSample()).sorted
+      .apply(Iterations / 2)
+    System.err.println(f"[bench] host-calibration         $calib%8.3fs")
+
     val results = picked.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def sample(): Double = {
@@ -91,7 +110,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
