@@ -462,8 +462,20 @@ final class WritableStore(
     * index file, ours benefits directly). Single-writer assumption applies:
     * no readers/writers may hold the table during the swap. Returns the
     * number of rows compacted.
+    *
+    * `zOrderBy` upgrades the layout from the plain ts sort to a Morton
+    * clustering of (ts, those columns) — [[ZOrder]] applied to the store's
+    * own blocks. A ts-only sort prunes time ranges beautifully but is
+    * blind to every other predicate; naming the store's other hot filter
+    * column (a series key, a user id) makes file and row-group stats
+    * prune in BOTH dimensions at once (the measured 31%-vs-100% file-hit
+    * trade of `zorder_scan`, now available to the metrics store without a
+    * side copy). Pure-ts time scans over the z-ordered layout read more
+    * row groups than a pure ts sort would — the standard z-order trade;
+    * pick it when multi-dimension slices dominate the read mix.
     */
-  def compact(targetRowsPerBlock: Long = 4000000L): Long = synchronized {
+  def compact(targetRowsPerBlock: Long = 4000000L,
+      zOrderBy: Seq[String] = Nil): Long = synchronized {
     val dir = new java.io.File(dbDir, metrics)
     if (!dir.isDirectory) return 0L
     Tables.configure(spark)
@@ -475,15 +487,27 @@ final class WritableStore(
       val tmp = new java.io.File(dbDir, s".compact-$metrics-tmp")
       val old = new java.io.File(dbDir, s".compact-$metrics-old")
       rmTree(tmp); rmTree(old)
+      // the rewrite's cluster key: plain ts, or the interleaved z-value
+      // over (ts, zOrderBy) — computed once, dropped before the write so
+      // the block schema is unchanged either way
+      val keyed =
+        if (zOrderBy.isEmpty) (df, "ts")
+        else (df.withColumn("__z",
+          ZOrder.zValue(df, "ts" +: zOrderBy)), "__z")
+      val (kdf, key) = keyed
       val sorted =
         if (df.columns.contains(PartitionCol))
-          // keep date bucketing: sort within each day dir
-          df.repartition(nBlocks, col(PartitionCol))
-            .sortWithinPartitions(PartitionCol, "ts")
+          // keep date bucketing: cluster within each day dir
+          kdf.repartition(nBlocks, col(PartitionCol))
+            .sortWithinPartitions(PartitionCol, key)
+            .drop("__z")
             .write.partitionBy(PartitionCol)
         else
-          // global range sort → files are disjoint ts ranges (tight footers)
-          df.repartitionByRange(nBlocks, col("ts")).sortWithinPartitions("ts")
+          // global range sort on the key → files are disjoint key ranges
+          // (tight footers in every clustered dimension)
+          kdf.repartitionByRange(nBlocks, col(key))
+            .sortWithinPartitions(key)
+            .drop("__z")
             .write
       sorted.parquet(tmp.getPath)
       // recoverable swap: at every crash point either the live dir exists or

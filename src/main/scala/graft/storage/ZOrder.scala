@@ -50,6 +50,29 @@ object ZOrder {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** The interleaved z-value column for `df` over `cols` (long-castable):
+    * one tiny min/max agg drives the range normalization, then pure
+    * codegen'd bit arithmetic per row. Shared by [[write]] and
+    * [[WritableStore.compact]]'s clustered layout. Fails fast with a
+    * clear message on an empty frame or an all-null column — the min/max
+    * aggregates come back null there, and a bare `getLong` would NPE
+    * with no context. */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 16)
+      : Column = {
+    require(cols.nonEmpty && cols.length * bits <= 63,
+      s"${cols.length} cols x $bits bits must fit a long")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val codes = cols.zipWithIndex.map { case (c, i) =>
+      require(!mm.isNullAt(2 * i) && !mm.isNullAt(2 * i + 1),
+        s"ZOrder: column '$c' has no non-null values " +
+          "(empty frame or all-null column) — nothing to cluster")
+      code(col(c), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
+    }
+    interleave(codes, bits)
+  }
+
   /** Write `df` z-ordered on `cols` (long-castable columns). One tiny
     * min/max agg drives the range normalization; rows are then
     * range-partitioned AND sorted by the interleaved key, so both file
@@ -58,19 +81,10 @@ object ZOrder {
     * groups inherit the clustering regardless).
     */
   def write(df: DataFrame, path: String, cols: Seq[String],
-      numFiles: Int = 8, bits: Int = 16): Unit = {
-    require(cols.nonEmpty && cols.length * bits <= 63,
-      s"${cols.length} cols x $bits bits must fit a long")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-    val mm = df.agg(aggs.head, aggs.tail: _*).head()
-    val codes = cols.zipWithIndex.map { case (c, i) =>
-      code(col(c), mm.getLong(2 * i), mm.getLong(2 * i + 1), bits)
-    }
-    df.withColumn("__z", interleave(codes, bits))
+      numFiles: Int = 8, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(df, cols, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
-  }
 }

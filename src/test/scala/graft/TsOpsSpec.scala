@@ -235,6 +235,61 @@ class TsOpsSpec extends AnyFunSuite {
       (0L until 800L).toSeq)
   }
 
+  test("compact(zOrderBy) clusters blocks in ts AND the named key") {
+    val dir = SparkTestBase.tempDir("graft-compact-z")
+    val store = new WritableStore(spark, dir, "zc",
+      Seq(StructField("key", LongType)))
+    // key is a bijective scramble of ts (odd multiplier mod 2^12), so a
+    // ts-sorted layout is maximally blind to key ranges
+    val n = 4096
+    (0 until 4).foreach { f =>
+      store.pushMulti((f * (n / 4) until (f + 1) * (n / 4)).map { i =>
+        DataPoint(i.toLong, Seq((i * 2654435761L) & 4095L))
+      })
+      store.persist()
+    }
+    def fileStats(column: String): Seq[(Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      new java.io.File(dir, "zc").listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath), conf))
+          try {
+            val sts = r.getFooter.getBlocks.asScala
+              .flatMap(_.getColumns.asScala
+                .find(_.getPath.toDotString == column).map(_.getStatistics))
+            (sts.map(_.genericGetMin.asInstanceOf[Number].longValue()).min,
+              sts.map(_.genericGetMax.asInstanceOf[Number].longValue()).max)
+          } finally r.close()
+        }
+    }
+    def hitFraction(column: String, lo: Long, hi: Long): Double = {
+      val stats = fileStats(column)
+      stats.count { case (mn, mx) => mx >= lo && mn <= hi }
+        .toDouble / stats.size
+    }
+    assert(store.compact(targetRowsPerBlock = 256,
+      zOrderBy = Seq("key")) == n.toLong)
+    // data intact through the clustered rewrite
+    val back = Tables.read(spark, dir, "zc")
+    assert(back.count() == n.toLong)
+    assert(back.agg(sum("key")).head().getLong(0) == (0L until 4096L).sum)
+    // ~10% slices in EACH dimension touch a minority of the 16 blocks
+    assert(hitFraction("ts", 0L, 409L) <= 0.5,
+      s"ts slice: ${hitFraction("ts", 0L, 409L)}")
+    assert(hitFraction("key", 0L, 409L) <= 0.5,
+      s"key slice: ${hitFraction("key", 0L, 409L)}")
+    // contrast: the default ts-only compaction prunes ts but is BLIND to
+    // the key dimension — the trade zOrderBy exists to flip
+    assert(store.compact(targetRowsPerBlock = 256) == n.toLong)
+    assert(hitFraction("ts", 0L, 409L) <= 0.5)
+    assert(hitFraction("key", 0L, 409L) == 1.0)
+  }
+
   test("compact preserves __day partitioning and directory pruning") {
     val dir = SparkTestBase.tempDir("graft-compact-day")
     val store = new WritableStore(spark, dir, "cd",

@@ -70,6 +70,22 @@ class ZOrderSpec extends AnyFunSuite {
     assert(hitFraction(fileStats(tsDir, "user_id"), uLo, uHi) == 1.0)
   }
 
+  test("empty frame or all-null column fails fast with a clear error") {
+    import spark.implicits._
+    val out = SparkTestBase.tempDir("graft-zempty") + "/x"
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "ts")
+    val e1 = intercept[IllegalArgumentException] {
+      ZOrder.write(empty, out, Seq("user_id", "ts"))
+    }
+    assert(e1.getMessage.contains("no non-null values"))
+    val allNull = Seq((Some(1L), Option.empty[Long]),
+      (Some(2L), Option.empty[Long])).toDF("user_id", "ts")
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.write(allNull, out, Seq("user_id", "ts"))
+    }
+    assert(e2.getMessage.contains("'ts'"))
+  }
+
   test("predicates on either dimension reach the scan as PushedFilters") {
     val p = spark.read.parquet(zdir)
       .filter(col("user_id") >= 10L && col("user_id") < 20L &&
