@@ -498,12 +498,17 @@ object SparkEntry {
       // ratio_ok — an in-plan bounds gate (compressed within (0,
       // raw + 64], ratio in sane basis points) — instead of raw zlib
       // bytes, the approx-sketch convention
+      // the ratio band only applies past a raw-size floor: DEFLATE's ~8
+      // constant overhead bytes push ratio_bps over any fixed band for
+      // docs shorter than ~9 UTF-8 bytes, so tiny docs are gated on the
+      // absolute comp_bytes bound alone (corpus-independent either way)
       Text.compressionRatio(t(s, d, "documents"), "doc_id", "text")
         .filter(col("raw_bytes").isNotNull) // empty/null text, like oracle
         .select(col("doc_id"), col("raw_bytes"),
           (col("comp_bytes") > 0 &&
             col("comp_bytes") <= col("raw_bytes") + 64 &&
-            col("ratio_bps").between(1L, 12000L))
+            (col("raw_bytes") < 16L ||
+              col("ratio_bps").between(1L, 12000L)))
             .cast("long").as("ratio_ok"))
         .orderBy("doc_id")),
     "dedup_containment" -> ((s, d) =>
@@ -534,9 +539,15 @@ object SparkEntry {
           col("n_distinct").as("__na")), "group_a")
         .join(perLang.select(col("lang").as("group_b"),
           col("n_distinct").as("__nb")), "group_b")
+        // 8% of the exact union, with an absolute floor of 4: at small
+        // unions the relative bound collapses below HLL's integer
+        // discretization and the gate would flip on a ±1 estimate —
+        // corpus-independent where a bare percentage is not
         .select(col("group_a"), col("group_b"), col("n_int"),
           (abs(col("est_intersect") - col("n_int")) <=
-            (col("__na") + col("__nb") - col("n_int")) * 0.08)
+            greatest(
+              (col("__na") + col("__nb") - col("n_int")) * 0.08,
+              lit(4.0)))
             .cast("long").as("est_ok"))
         .orderBy("group_a", "group_b")
     }),
@@ -1300,12 +1311,20 @@ object SparkEntry {
         |WHERE d.dev2 * 2 > 3 * md.mad4
         |ORDER BY d.event_id""".stripMargin,
     "ts_seasonal_anomaly" ->
-      """WITH e AS (
+      // DuckDB %/// truncate toward zero; the engine floors (pmod + div).
+      // tod = floor-mod(ts, day) and (ts - tod)//day = floor-div make the
+      // calendar cells engine-identical even for pre-1970 timestamps
+      """WITH e0 AS (
         |  SELECT event_id, epoch_ns(ts) AS ts, value,
-        |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
-        |    (epoch_ns(ts) % 86400000000000) // 3600000000000 AS hour,
+        |    ((epoch_ns(ts) % 86400000000000) + 86400000000000)
+        |      % 86400000000000 AS tod,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         |  FROM events
+        |), e AS (
+        |  SELECT event_id, ts, value, c,
+        |    (((ts - tod) // 86400000000000 + 4) % 7 + 7) % 7 AS dow,
+        |    tod // 3600000000000 AS hour
+        |  FROM e0
         |), cells AS (
         |  SELECT dow, hour, count(c) AS cell_n,
         |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS sq
@@ -1319,9 +1338,12 @@ object SparkEntry {
         |        - CAST(cells.s AS HUGEINT) * cells.s)
         |ORDER BY e.event_id""".stripMargin,
     "ts_paa_symbols" ->
+      // floor-mod idiom: the engine's seg = ts - pmod(ts, m) floors, so
+      // the oracle must too (DuckDB % truncates — divergent pre-1970)
       """WITH e AS (
         |  SELECT user_id,
-        |    epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS seg,
+        |    epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000)
+        |      + 21600000000000) % 21600000000000 AS seg,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         |  FROM events
         |), segs AS (
@@ -1337,7 +1359,8 @@ object SparkEntry {
     "ts_sax_words" ->
       """WITH e AS (
         |  SELECT user_id,
-        |    epoch_ns(ts) - epoch_ns(ts) % 21600000000000 AS seg,
+        |    epoch_ns(ts) - ((epoch_ns(ts) % 21600000000000)
+        |      + 21600000000000) % 21600000000000 AS seg,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         |  FROM events
         |), segs AS (

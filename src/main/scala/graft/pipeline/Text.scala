@@ -917,6 +917,12 @@ object Text {
       StructField("ratio_bps", LongType)))
     val rdd = df.rdd.mapPartitions { it =>
       val defl = new java.util.zip.Deflater(6)
+      // Deflater holds NATIVE zlib memory until end() — finalization is
+      // too late on long-lived executors running many tasks, so release
+      // deterministically when the task completes (covers both iterator
+      // exhaustion and task failure/cancellation mid-stream)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => defl.end()))
       val buf = new Array[Byte](64 * 1024)
       it.map { row =>
         val id = row.getLong(idIdx)
