@@ -828,6 +828,72 @@ object SparkEntry {
             .otherwise(0L)).as("promo_rev_c4"),
           sum(col("__rev")).as("total_rev_c4"))
     }),
+    "tpch_q6" -> ((s, d) => {
+      // forecast revenue change (TPC-H Q6): the pure scan-filter-agg
+      // shape — no join at all; every predicate pushes to the parquet
+      // scan (date + quantity natively, the discount band as the exact
+      // integer disc100 in [5,7]); revenue = price · discount in exact
+      // cent·basis-point units
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1997-01-01"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+          disc100.between(5L, 7L) && col("l_quantity") < 24)
+        .agg(sum(epCents * disc100).as("revenue_c4"),
+          count(lit(1)).as("n_items"))
+    }),
+    "tpch_q7" -> ((s, d) => {
+      // volume shipping (TPC-H Q7): the nation-pair join shape — both
+      // nation dims filtered to the two trading partners and broadcast
+      // (pruning suppliers/customers before the fact joins), the
+      // disjunctive pair predicate as the residual, revenue grouped by
+      // the derived ship year in exact cents
+      val rev = epCents * (lit(100L) - disc100)
+      val picked = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supN = broadcast(picked.select(col("n_nationkey").as("__snk"),
+        col("n_name").as("supp_nation")))
+      val cusN = broadcast(picked.select(col("n_nationkey").as("__cnk"),
+        col("n_name").as("cust_nation")))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"), rev.as("__rev"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(supN, col("s_nationkey") === col("__snk"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(cusN, col("c_nationkey") === col("__cnk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("__rev").as("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "tpch_q13" -> ((s, d) => {
+      // order-count distribution (TPC-H Q13): the LEFT OUTER join +
+      // double-aggregation shape — zero-order customers must land in the
+      // c_count=0 bucket, which an inner join silently drops; the order
+      // exclusion predicate lives in the join (ON), not a post-filter
+      // (this dataset has no o_comment, so the classic comment-pattern
+      // exclusion becomes a priority-class exclusion — same plan shape)
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      t(s, d, "customer").select("c_custkey")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
     "tpch_q17" -> ((s, d) => {
       // small-quantity-order revenue (TPC-H Q17): the correlated
       // scalar-subquery shape — l_quantity < 0.2 · avg(l_quantity) per
@@ -1791,6 +1857,46 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
         |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+    "tpch_q6" ->
+      """SELECT
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  ) AS BIGINT) AS revenue_c4,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS revenue_c4
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "tpch_q17" ->
       """WITH pt AS (
         |  SELECT p_partkey FROM part

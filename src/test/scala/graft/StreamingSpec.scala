@@ -748,6 +748,34 @@ class StreamingSpec extends AnyFunSuite {
       batch.getAs[scala.collection.Seq[Long]]("cms").toList)
   }
 
+  test("streaming bm25 serves from an opened at-rest index (restart path)") {
+    // the serving-restart story end to end: the corpus is tokenized ONCE
+    // into the stored index; a "restarted" server opens it and scores a
+    // query stream with zero corpus access — drained scores equal batch
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple pie"), (2L, "apple banana"),
+      (3L, "banana cherry pie")).toDF("doc_id", "text")
+    val ipath = SparkTestBase.tempDir("graft-bm25s") + "/idx"
+    graft.pipeline.Retrieval.writeBm25Index(docs, ipath, buckets = 8)
+    val idx = graft.pipeline.Retrieval.openBm25Index(spark, ipath)
+    val qdf = Seq((1L, "apple pie"), (2L, "banana")).toDF("query_id", "qtext")
+    val qdir = SparkTestBase.tempDir("graft-bm25s-q")
+    qdf.write.parquet(s"$qdir/b1")
+    val src = spark.readStream.schema(qdf.schema).parquet(s"$qdir/*")
+    val scored = graft.pipeline.Retrieval.streamingBm25(src, idx)
+    val q = StreamIngest.runToMemory(scored, "bm25_stored_out")
+    q.processAllAvailable(); q.stop()
+    val drained = spark.table("bm25_stored_out")
+      .groupBy("query_id", "doc_id").agg(sum("term_score").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val batch = graft.pipeline.Retrieval.bm25(docs, qdf, topK = 10)
+      .select("query_id", "doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(drained.nonEmpty && drained == batch)
+  }
+
   test("compactIvf repairs replayed batches and heals a crashed swap") {
     import spark.implicits._
     import graft.pipeline.Similarity
