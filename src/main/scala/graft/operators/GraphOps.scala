@@ -48,6 +48,13 @@ object GraphOps {
     * 10-20-iteration regime this bounds both the plan size (≤ pinEvery
     * supersteps of lineage at any point) and the recompute cost of a lost
     * partition. `pinEvery <= 0` disables pinning (pure lineage).
+    *
+    * Cache lifecycle: the returned frame's plan references the cached
+    * nodes/deg (and the last pin), so they stay registered for its
+    * lifetime — Spark's CacheManager dedups by canonicalized plan, so
+    * repeated calls over the SAME edge frame reuse one entry rather than
+    * accumulating; `spark.catalog.clearCache()` releases everything once
+    * the ranks are consumed/written out.
     */
   def pageRank(edges: DataFrame, iters: Int = 4, scaleLog2: Int = 30,
       srcCol: String = "src", dstCol: String = "dst",
