@@ -615,6 +615,34 @@ object SparkEntry {
         .select("query_id", "doc_id", "score", "n_terms", "rank")
         .orderBy("query_id", "rank")
     }),
+    "text_quality_score" -> ((s, d) =>
+      // classifier-scored quality filtering: the fixed linear model over
+      // the engineered features (left-folded sum — IEEE addition order
+      // fixed, so the oracle reproduces the score bit-for-bit) with the
+      // keep decision at 0.5
+      Text.qualityScore(t(s, d, "documents"), "text")
+        .select(col("doc_id"), col("q_score"), col("q_keep"))
+        .orderBy("doc_id")),
+    "retrieval_hybrid_rrf" -> ((s, d) => {
+      // hybrid eval-mining: sparse BM25 top-20 fused with dense cosine
+      // top-20 by integer reciprocal-rank fusion (k=60). Query n's dense
+      // representation is embedding vec_id n — the deterministic stand-in
+      // for a text encoder (the fusion semantics are what is under test);
+      // the doc id space is shared by construction (vec_id = doc_id)
+      import s.implicits._
+      val q = Seq((1L, "fast vector scan"), (2L, "stream window agg"),
+        (3L, "customer join query")).toDF("query_id", "qtext")
+      val sparse = graft.pipeline.Retrieval
+        .bm25(t(s, d, "documents"), q, topK = 20)
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dense = Similarity.knnBrute(emb, qv, k = 20)
+        .select(col("qid").as("query_id"), col("vec_id").as("doc_id"),
+          col("rank"))
+      graft.pipeline.Retrieval.rrfFuse(sparse, dense, topK = 10)
+        .orderBy("query_id", "rrf_rank")
+    }),
     "retrieval_bm25_stored" -> ((s, d) => {
       // retrieval_bm25 probed AT REST: the index (tf/dl/dfs + corpus
       // scalars) is persisted term-bucketed once, and the probe prunes the
@@ -1636,43 +1664,74 @@ object SparkEntry {
         |  CAST(alarm AS BIGINT) AS alarm
         |FROM rec ORDER BY user_id, ts""".stripMargin,
     "retrieval_bm25" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, unnest($DuckToks) AS tok FROM documents
-        |), tf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
-        |), dl AS (
-        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
-        |), stats AS (
-        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl
-        |), dfs AS (
-        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
-        |), q AS (
-        |  SELECT * FROM (VALUES (1, 'fast vector scan'),
-        |    (2, 'stream window agg'), (3, 'customer join query'))
-        |    AS v(query_id, text)
-        |), qt AS (
-        |  SELECT DISTINCT query_id, unnest($DuckToks) AS tok FROM q
-        |), scored AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    CAST(
-        |      CAST((1048576 * (s.n - dfs.df + 1)) // (dfs.df + 1)
-        |        AS HUGEINT) * 22 * s.t * tf.tf
-        |      // CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n
-        |        AS HUGEINT)
-        |      AS BIGINT) AS sc
-        |  FROM qt
-        |  JOIN dfs USING (tok) JOIN tf USING (tok)
-        |  JOIN dl ON dl.doc_id = tf.doc_id, stats s
-        |), agg AS (
-        |  SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS score,
-        |    count(*) AS n_terms
-        |  FROM scored GROUP BY 1, 2
+      s"""${bm25RankedCtes(10)}
+        |SELECT query_id, doc_id, score, n_terms, rank
+        |FROM bm25r ORDER BY query_id, rank""".stripMargin,
+    "retrieval_hybrid_rrf" ->
+      s"""${bm25RankedCtes(20)},
+        |qd AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id IN (1, 2, 3)
+        |), cd AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        |), dsc AS (
+        |  SELECT qid, vec_id,
+        |    list_dot_product(qvec, vec) /
+        |      (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(vec, vec))) AS cos
+        |  FROM qd CROSS JOIN cd WHERE qid <> vec_id
+        |), denser AS (
+        |  SELECT qid AS query_id, vec_id AS doc_id, rank FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, vec_id ASC) AS rank
+        |    FROM dsc) WHERE rank <= 20
+        |), fused AS (
+        |  SELECT COALESCE(b.query_id, d.query_id) AS query_id,
+        |    COALESCE(b.doc_id, d.doc_id) AS doc_id,
+        |    COALESCE(1048576 // (60 + b.rank), 0)
+        |      + COALESCE(1048576 // (60 + d.rank), 0) AS rrf_score
+        |  FROM bm25r b FULL OUTER JOIN denser d
+        |    ON b.query_id = d.query_id AND b.doc_id = d.doc_id
         |)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
-        |  n_terms, rank
+        |SELECT query_id, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+        |  rrf_rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS rank FROM agg)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |    ORDER BY rrf_score DESC, doc_id ASC) AS rrf_rank FROM fused)
+        |WHERE rrf_rank <= 10 ORDER BY query_id, rrf_rank""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) > 0 THEN
+        |      CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN length(text) > 0 THEN
+        |      CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS digit_ratio,
+        |    CASE WHEN length(text) > 0 THEN
+        |      CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS ws_ratio,
+        |    CASE WHEN len($DuckToks) > 0 THEN
+        |      CAST(len(list_filter($DuckToks,
+        |        x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+        |        / len($DuckToks)
+        |    ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN len($DuckToks) > 0 THEN
+        |      CAST(list_sum(list_transform($DuckToks, x -> length(x))) AS DOUBLE)
+        |        / len($DuckToks)
+        |    ELSE 0.0 END AS mean_token_len,
+        |    CAST(least(len($DuckToks), 100) AS DOUBLE) / 100.0 AS len_ramp
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    0.0 + 3.0 * stopword_ratio + -2.0 * punct_ratio
+        |        + -4.0 * digit_ratio + 1.0 * ws_ratio
+        |        + -0.25 * mean_token_len + 2.0 * len_ramp AS q_score
+        |  FROM f
+        |)
+        |SELECT doc_id, q_score,
+        |  CASE WHEN q_score >= 0.5 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS q_keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "ts_zscore_anomaly" ->
       """WITH b AS (
         |  SELECT event_id, epoch_ns(ts) AS ts, user_id, value,
@@ -3532,6 +3591,51 @@ object SparkEntry {
   /** DuckDB-side tokenizer (must mirror [[Text.tokens]]). */
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared CTE prefix of the BM25 oracles (`retrieval_bm25`,
+    * `retrieval_bm25_stored`, `stream_bm25` via sharing, and the sparse
+    * leg of `retrieval_hybrid_rrf`): the full index build + engine-exact
+    * rational-idf scoring, ranked per query and cut at `topK` in the
+    * terminal CTE `bm25r` — one definition so the rankers cannot drift. */
+  private def bm25RankedCtes(topK: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($DuckToks) AS tok FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+       |), stats AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl
+       |), dfs AS (
+       |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+       |), q AS (
+       |  SELECT * FROM (VALUES (1, 'fast vector scan'),
+       |    (2, 'stream window agg'), (3, 'customer join query'))
+       |    AS v(query_id, text)
+       |), qt AS (
+       |  SELECT DISTINCT query_id, unnest($DuckToks) AS tok FROM q
+       |), scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(
+       |      CAST((1048576 * (s.n - dfs.df + 1)) // (dfs.df + 1)
+       |        AS HUGEINT) * 22 * s.t * tf.tf
+       |      // CAST(10 * s.t * tf.tf + 3 * s.t + 9 * dl.dl * s.n
+       |        AS HUGEINT)
+       |      AS BIGINT) AS sc
+       |  FROM qt
+       |  JOIN dfs USING (tok) JOIN tf USING (tok)
+       |  JOIN dl ON dl.doc_id = tf.doc_id, stats s
+       |), agg AS (
+       |  SELECT query_id, doc_id, CAST(sum(sc) AS BIGINT) AS score,
+       |    count(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2
+       |), bm25r AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+       |    n_terms, rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank FROM agg)
+       |  WHERE rank <= $topK
+       |)""".stripMargin
 
   /** Shared CTE prefix of the epoch-plan oracles (`mix_epochs`,
     * `mix_schedule`): tokenized docs with per-language budgets, domain

@@ -152,6 +152,42 @@ object Retrieval {
     streamingBm25(queryStream, buildIndex(docs, maxDf, idCol, textCol),
       qidCol, qtextCol)
 
+  /** Reciprocal-rank fusion of two ranked candidate lists — the standard
+    * hybrid-retrieval combiner (sparse BM25 + dense embedding ranks, the
+    * eval-mining / hard-negative-mining shape): per (query, doc),
+    *
+    *   rrf = ⌊2²⁰ / (k + rank_a)⌋ + ⌊2²⁰ / (k + rank_b)⌋
+    *
+    * — the classic 1/(k+rank) in EXACT integer arithmetic (ranks are
+    * integers, so the scaled floor reproduces bit-identically on any
+    * engine; a float 1/x would hash differently). A doc ranked by only
+    * one side contributes only that side's term (full-outer join, the
+    * standard RRF treatment of missing ranks). k = 60 is the published
+    * default; larger k flattens rank differences.
+    *
+    * Scale shape: both inputs are already top-N-per-query (bounded:
+    * queries × N rows — metadata-scale relative to the corpus), so the
+    * fusion is a join + window over candidate lists, never corpus-sized.
+    * The final top-k plans as WindowGroupLimit like every other ranker
+    * here.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, topK: Int = 10, k: Int = 60,
+      qidCol: String = "query_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1 && topK >= 1)
+    val ra = a.select(col(qidCol), col(idCol), col(rankCol).cast("long").as("__ra"))
+    val rb = b.select(col(qidCol), col(idCol), col(rankCol).cast("long").as("__rb"))
+    val w = Window.partitionBy(qidCol)
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    ra.join(rb, Seq(qidCol, idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1048576 div (${k}L + __ra)"), lit(0L)) +
+          coalesce(expr(s"1048576 div (${k}L + __rb)"), lit(0L)))
+      .withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= topK)
+      .select(col(qidCol), col(idCol), col("rrf_score"), col("rrf_rank"))
+  }
+
   /** The term-bucket storage partition key: `pmod(xxhash64(tok), buckets)`.
     * A directory PER TOKEN would put vocabulary-many entries in one
     * object-store listing (millions at corpus scale — the small-files

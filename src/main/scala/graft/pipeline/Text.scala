@@ -157,6 +157,45 @@ object Text {
       .drop("__toks")
   }
 
+  /** Fixed default weights for [[qualityScore]] — an interpretable linear
+    * model over the engineered features: stopword density and healthy
+    * whitespace vote FOR natural prose, digit/punctuation stuffing and
+    * extreme token lengths vote against, and a capped length ramp rewards
+    * docs long enough to carry signal. Deliberately published constants
+    * (not learned here): the point is the STAGE — classifier-scored
+    * filtering à la CCNet/fastText quality — with a deterministic model
+    * any engine reproduces; a trained linear model drops into the same
+    * (weights, bias, threshold) slots. */
+  val DefaultQualityWeights: Seq[(String, Double)] = Seq(
+    "stopword_ratio" -> 3.0,
+    "punct_ratio" -> -2.0,
+    "digit_ratio" -> -4.0,
+    "ws_ratio" -> 1.0,
+    "mean_token_len" -> -0.25,
+    "len_ramp" -> 2.0)
+
+  /** Classifier-based quality scoring: a linear model over
+    * [[qualityFeatures]] (+ `len_ramp` = min(n_tokens, 100)/100) with a
+    * keep decision at `threshold` — the model-scored filtering stage a
+    * curation pipeline runs after the hard rule filters. The score is a
+    * LEFT-FOLDED sum `bias + Σ wᵢ·fᵢ` in declared weight order: IEEE
+    * double addition is order-sensitive, so fixing the order makes the
+    * score bit-identical across engines (the SQL oracle mirrors the same
+    * association). One narrow map over the scan — no shuffle, no UDF.
+    */
+  def qualityScore(df: DataFrame, textCol: String,
+      weights: Seq[(String, Double)] = DefaultQualityWeights,
+      bias: Double = 0.0, threshold: Double = 0.5): DataFrame = {
+    val feats = qualityFeatures(df, textCol)
+      .withColumn("len_ramp",
+        least(col("n_tokens"), lit(100L)).cast("double") / lit(100.0))
+    val score = weights.foldLeft(lit(bias)) {
+      case (acc, (f, w)) => acc + lit(w) * col(f)
+    }
+    feats.withColumn("q_score", score)
+      .withColumn("q_keep", (col("q_score") >= lit(threshold)).cast("long"))
+  }
+
   /** Within-document repetition statistics — the Gopher-style signals a
     * pretraining filter cuts boilerplate and degenerate (looping) text on:
     * duplicate-token and duplicate-3-gram fractions plus top-token

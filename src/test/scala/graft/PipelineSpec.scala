@@ -1175,6 +1175,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Double]("punct_ratio") == 0.0)
   }
 
+  test("quality score: exact left-folded linear model + keep threshold") {
+    // prose-ish vs digit-stuffed: hand-compute both scores with the SAME
+    // left-to-right association the operator documents
+    val fx = Seq((1L, "the cat sat on the mat"), (2L, "7 12 99 303 4511"))
+      .toDF("doc_id", "text")
+    val out = Text.qualityScore(fx, "text").orderBy("doc_id").collect()
+    def fold(feats: Map[String, Double]): Double =
+      Text.DefaultQualityWeights.foldLeft(0.0) {
+        case (acc, (f, w)) => acc + w * feats(f)
+      }
+    val r1 = out(0)
+    val expected1 = fold(Map(
+      "stopword_ratio" -> r1.getAs[Double]("stopword_ratio"),
+      "punct_ratio" -> r1.getAs[Double]("punct_ratio"),
+      "digit_ratio" -> r1.getAs[Double]("digit_ratio"),
+      "ws_ratio" -> r1.getAs[Double]("ws_ratio"),
+      "mean_token_len" -> r1.getAs[Double]("mean_token_len"),
+      "len_ramp" -> r1.getAs[Double]("len_ramp")))
+    assert(r1.getAs[Double]("q_score") == expected1) // bit-exact
+    assert(r1.getAs[Long]("q_keep") == (if (expected1 >= 0.5) 1L else 0L))
+    // the digit-stuffed doc must score strictly below the prose doc and
+    // below the keep threshold (digits carry weight -4)
+    val r2 = out(1)
+    assert(r2.getAs[Double]("q_score") < r1.getAs[Double]("q_score"))
+    assert(r2.getAs[Long]("q_keep") == 0L)
+  }
+
   test("repetition stats count duplicate tokens and shingles exactly") {
     val fx = Seq(
       (1L, "a b c a b c a b c"), // 9 toks, 3 distinct; 7 shingles, 3 distinct

@@ -69,6 +69,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(opened == direct)
   }
 
+  test("rrfFuse: exact integer fusion, missing side contributes zero") {
+    // doc 10 ranks 1st in both lists; doc 20 only sparse (rank 2);
+    // doc 30 only dense (rank 1). Scores are exact floors of 2^20/(60+r)
+    val sparse = Seq((1L, 10L, 1L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 10L, 2L), (1L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, topK = 10)
+      .orderBy("rrf_rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"),
+        r.getAs[Long]("rrf_rank"))).toSeq
+    val c = (r: Long) => 1048576L / (60L + r)
+    // both-lists doc first (two contributions), then the single-list docs
+    assert(out == Seq((10L, c(1) + c(2), 1L), (30L, c(1), 2L),
+      (20L, c(2), 3L)))
+  }
+
+  test("rrfFuse: ties break on doc id; topK bounds the fused list") {
+    val sparse = Seq((1L, 5L, 1L), (1L, 7L, 2L), (1L, 9L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 7L, 1L), (1L, 5L, 2L), (1L, 11L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    // docs 5 and 7 both score c(1)+c(2) — the tie must break on doc id
+    val out = Retrieval.rrfFuse(sparse, dense, topK = 2)
+      .orderBy("rrf_rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_rank"))).toSeq
+    assert(out == Seq((5L, 1L), (7L, 2L)))
+  }
+
   test("stored index: a crash between the publish renames self-heals") {
     val path = SparkTestBase.tempDir("bm25rec") + "/idx"
     Retrieval.writeBm25Index(docs, path, buckets = 8)
