@@ -3464,6 +3464,21 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2")
     }),
+    "stream_quality_score" -> ((s, d) => {
+      // stateless streaming quality scoring: the linear model runs
+      // unchanged inside a micro-batch pipeline (narrow map, no
+      // watermark, every row emits), so the batch value oracle applies
+      // to the streamed output as-is — score docs for keep/drop WHILE
+      // the corpus arrives
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val scored = Text.qualityScore(src, "text")
+      runStreamToTable(s, scored, "stream_quality_out")
+        .select(col("doc_id"), col("q_score"), col("q_keep"))
+        .orderBy("doc_id")
+    }),
     "stream_quantize" -> ((s, d) => {
       // stateless streaming feature extraction: the exact-arithmetic int8
       // quantizer runs unchanged inside a micro-batch pipeline — no
@@ -4992,6 +5007,9 @@ object SparkEntry {
       // stateless streaming quantization emits every row with the exact
       // batch arithmetic, so it shares embed_quantize's value oracle
       ("stream_quantize" -> base("embed_quantize")) +
+      // the linear quality model is a stateless narrow map — streamed
+      // scores are the batch scores bit-for-bit (shared value oracle)
+      ("stream_quality_score" -> base("text_quality_score")) +
       // the stateless streaming contamination probe emits exactly the
       // batch result (literal eval set, same shingle arithmetic)
       ("stream_contamination" -> base("text_contamination")) +
