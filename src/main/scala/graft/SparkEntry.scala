@@ -2267,6 +2267,14 @@ object SparkEntry {
       graft.pipeline.Pipelines.curate(t(s, d, "documents"), "doc_id", "text")
         .select("doc_id", "lang_pred", "n_tokens")
         .orderBy("doc_id")),
+    "pipeline_funnel" -> ((s, d) =>
+      // the curation audit: per-stage survivor counts through the curate
+      // chain — the report a production run ships with its output; the
+      // oracle recomputes every stage from the same CTE chain that
+      // value-oracles pipeline_curate itself
+      graft.pipeline.Pipelines.curationFunnel(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy("stage_idx")),
     "pipeline_train_prep" -> ((s, d) => {
       // the WHOLE prep job end to end: scrub → quality/langid/dedup curate
       // → benchmark decontamination → per-language token-budget mixing →
@@ -4100,6 +4108,18 @@ object SparkEntry {
          |SELECT doc_id, lang_pred, n_tokens FROM ex
          |WHERE doc_id NOT IN (SELECT id2 FROM drops)
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_funnel" ->
+      s"""WITH ${curateCtesSql("documents")}
+         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM (
+         |  SELECT 1 AS stage_idx, 'input' AS stage,
+         |    (SELECT count(*) FROM feat) AS n_docs
+         |  UNION ALL SELECT 2, 'length_lang', (SELECT count(*) FROM kept)
+         |  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM ex)
+         |  UNION ALL SELECT 4, 'near_dedup',
+         |    (SELECT count(*) FROM ex) - (SELECT count(*) FROM drops)
+         |) ORDER BY stage_idx""".stripMargin,
     "pipeline_train_prep" ->
       s"""WITH scr AS (
          |  SELECT doc_id, ${duckScrubSql("text")} AS text

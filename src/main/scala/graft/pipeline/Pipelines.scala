@@ -80,6 +80,49 @@ object Pipelines {
     exactKept.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Per-stage audit of the [[curate]] chain: one row per stage with the
+    * surviving document count — the funnel report every production
+    * curation run ships alongside its output (a stage suddenly dropping
+    * 40% of the corpus is a data bug you want THIS table to surface, not
+    * a training-loss regression three weeks later). Stages mirror
+    * [[curate]] exactly (same operators, same parameters):
+    * input → length/langid band → exact dedup → near-dup removal.
+    *
+    * Scale shape: four count aggregates over the shared chain — the
+    * expensive prefix (features + exact dedup) is pinned once
+    * (`materialize`, default on, with the [[PinLocal]] trade), so the
+    * audit costs one chain pass plus the near-dup join, the same work
+    * [[curate]] itself does. The report frame is four driver rows —
+    * metadata, not data.
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 70,
+      nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
+      maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
+      materialize: Boolean = true,
+      pinMode: String = PinLocal): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = Text.langId(Text.qualityFeatures(df, textCol), textCol)
+    val kept = feats.filter(col("n_tokens").between(minTokens, maxTokens))
+    val reps = kept.withColumn("__fp", Text.fingerprint(col(textCol)))
+    val keepIds = reps.groupBy("__fp").agg(min(idCol).as(idCol))
+      .select(idCol)
+    val exactKept0 = reps.join(keepIds, Seq(idCol), "left_semi").drop("__fp")
+    val exactKept =
+      if (materialize) pinFrame(exactKept0, pinMode) else exactKept0
+    val dropIds = Dedup.jaccardPairs(exactKept, idCol, textCol,
+        nearDupThreshold, shingleSize, maxShingleDf)
+      .select(col("id2").as(idCol)).distinct()
+    val nExact = exactKept.count()
+    Seq(
+      (1L, "input", df.count()),
+      (2L, "length_lang", kept.count()),
+      (3L, "exact_dedup", nExact),
+      (4L, "near_dedup", nExact - dropIds.count()))
+      .toDF("stage_idx", "stage", "n_docs")
+  }
+
   /** The full training-data preparation job — [[curate]] extended with the
     * ingest-side and packaging stages, one call from raw corpus to the
     * packed layout a trainer consumes:

@@ -1202,6 +1202,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("q_keep") == 0L)
   }
 
+  test("curation funnel: monotone stages, final count equals curate") {
+    val fx = graft.storage.Tables
+      .read(spark, "/root/testdata/sf0.001", "documents")
+    val funnel = graft.pipeline.Pipelines
+      .curationFunnel(fx, "doc_id", "text")
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("n_docs"))).toSeq
+    assert(funnel.map(_._1) ==
+      Seq("input", "length_lang", "exact_dedup", "near_dedup"))
+    // every stage only drops — counts are monotone non-increasing
+    funnel.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, s"stage grew: $funnel"); case _ =>
+    }
+    // the funnel's terminal count IS the curate output count
+    val curated = graft.pipeline.Pipelines
+      .curate(fx, "doc_id", "text").count()
+    assert(funnel.last._2 == curated)
+  }
+
   test("repetition stats count duplicate tokens and shingles exactly") {
     val fx = Seq(
       (1L, "a b c a b c a b c"), // 9 toks, 3 distinct; 7 shingles, 3 distinct
