@@ -2275,6 +2275,20 @@ object SparkEntry {
       graft.pipeline.Pipelines.curationFunnel(
           t(s, d, "documents"), "doc_id", "text")
         .orderBy("stage_idx")),
+    "pipeline_funnel_prep" -> ((s, d) => {
+      // the full trainPrep audit: the curate funnel extended with the
+      // decontamination and token-budget stages, over the same inputs as
+      // pipeline_train_prep — six stages from raw corpus to the budgeted
+      // training set, each count oracled from the shared CTE chain
+      val docs = t(s, d, "documents")
+      graft.pipeline.Pipelines.curationFunnel(
+          docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0), "doc_id", "text",
+          evalDf = Some(docs.filter(pmod(col("doc_id"), lit(97L)) === 0)),
+          budgets = Map("en" -> 2000L, "de" -> 600L, "es" -> 600L,
+            "fr" -> 500L),
+          scrubFirst = true)
+        .orderBy("stage_idx")
+    }),
     "pipeline_train_prep" -> ((s, d) => {
       // the WHOLE prep job end to end: scrub → quality/langid/dedup curate
       // → benchmark decontamination → per-language token-budget mixing →
@@ -3615,6 +3629,55 @@ object SparkEntry {
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Shared CTE chain of the trainPrep oracles (`pipeline_train_prep`,
+    * `pipeline_funnel_prep`): scrub → curate chain → decontamination →
+    * budget mix, terminating in `mx` — one definition so the end-to-end
+    * value oracle and the funnel audit cannot drift. */
+  private def trainPrepCtesSql: String =
+    s"""scr AS (
+       |  SELECT doc_id, ${duckScrubSql("text")} AS text
+       |  FROM documents WHERE doc_id % 97 <> 0
+       |), ${curateCtesSql("scr")}, cur AS (
+       |  SELECT doc_id, text, lang_pred, n_tokens FROM ex
+       |  WHERE doc_id NOT IN (SELECT id2 FROM drops)
+       |), escr AS (
+       |  SELECT doc_id, ${duckScrubSql("text")} AS text
+       |  FROM documents WHERE doc_id % 97 = 0
+       |), et AS (
+       |  SELECT doc_id, $DuckToks AS toks FROM escr
+       |), esh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ')
+       |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+       |  FROM et
+       |), ev AS (
+       |  SELECT DISTINCT unnest(sh) AS tok FROM esh
+       |), ct AS (
+       |  SELECT doc_id, $DuckToks AS toks FROM cur
+       |), csh AS (
+       |  SELECT doc_id, list_distinct(
+       |    [array_to_string(toks[i:i+2], ' ')
+       |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
+       |  FROM ct
+       |), contam AS (
+       |  SELECT DISTINCT doc_id
+       |  FROM (SELECT doc_id, unnest(sh) AS tok FROM csh) JOIN ev USING (tok)
+       |), cln AS (
+       |  SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |), mx0 AS (
+       |  SELECT doc_id, lang_pred, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |    CASE lang_pred WHEN 'en' THEN 2000 WHEN 'de' THEN 600
+       |                   WHEN 'es' THEN 600 WHEN 'fr' THEN 500
+       |                   ELSE 0 END AS b
+       |  FROM cln
+       |), mx AS (
+       |  SELECT doc_id, lang_pred, n_tokens, cum_tokens FROM mx0
+       |  WHERE b > 0 AND cum_tokens <= b
+       |)""".stripMargin
+
   /** Shared CTE prefix of the BM25 oracles (`retrieval_bm25`,
     * `retrieval_bm25_stored`, `stream_bm25` via sharing, and the sparse
     * leg of `retrieval_hybrid_rrf`): the full index build + engine-exact
@@ -4120,50 +4183,21 @@ object SparkEntry {
          |  UNION ALL SELECT 4, 'near_dedup',
          |    (SELECT count(*) FROM ex) - (SELECT count(*) FROM drops)
          |) ORDER BY stage_idx""".stripMargin,
+    "pipeline_funnel_prep" ->
+      s"""WITH $trainPrepCtesSql
+         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+         |  CAST(n_docs AS BIGINT) AS n_docs
+         |FROM (
+         |  SELECT 1 AS stage_idx, 'input' AS stage,
+         |    (SELECT count(*) FROM scr) AS n_docs
+         |  UNION ALL SELECT 2, 'length_lang', (SELECT count(*) FROM kept)
+         |  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM ex)
+         |  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM cur)
+         |  UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM cln)
+         |  UNION ALL SELECT 6, 'budget_mixed', (SELECT count(*) FROM mx)
+         |) ORDER BY stage_idx""".stripMargin,
     "pipeline_train_prep" ->
-      s"""WITH scr AS (
-         |  SELECT doc_id, ${duckScrubSql("text")} AS text
-         |  FROM documents WHERE doc_id % 97 <> 0
-         |), ${curateCtesSql("scr")}, cur AS (
-         |  SELECT doc_id, text, lang_pred, n_tokens FROM ex
-         |  WHERE doc_id NOT IN (SELECT id2 FROM drops)
-         |), escr AS (
-         |  SELECT doc_id, ${duckScrubSql("text")} AS text
-         |  FROM documents WHERE doc_id % 97 = 0
-         |), et AS (
-         |  SELECT doc_id, $DuckToks AS toks FROM escr
-         |), esh AS (
-         |  SELECT doc_id, list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ')
-         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
-         |  FROM et
-         |), ev AS (
-         |  SELECT DISTINCT unnest(sh) AS tok FROM esh
-         |), ct AS (
-         |  SELECT doc_id, $DuckToks AS toks FROM cur
-         |), csh AS (
-         |  SELECT doc_id, list_distinct(
-         |    [array_to_string(toks[i:i+2], ' ')
-         |     for i in generate_series(1, greatest(len(toks)-2, 0))]) AS sh
-         |  FROM ct
-         |), contam AS (
-         |  SELECT DISTINCT doc_id
-         |  FROM (SELECT doc_id, unnest(sh) AS tok FROM csh) JOIN ev USING (tok)
-         |), cln AS (
-         |  SELECT * FROM cur WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-         |), mx0 AS (
-         |  SELECT doc_id, lang_pred, n_tokens,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY lang_pred
-         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
-         |    CASE lang_pred WHEN 'en' THEN 2000 WHEN 'de' THEN 600
-         |                   WHEN 'es' THEN 600 WHEN 'fr' THEN 500
-         |                   ELSE 0 END AS b
-         |  FROM cln
-         |), mx AS (
-         |  SELECT doc_id, lang_pred, n_tokens, cum_tokens FROM mx0
-         |  WHERE b > 0 AND cum_tokens <= b
-         |), o AS (
+      s"""WITH $trainPrepCtesSql, o AS (
          |  SELECT doc_id, lang_pred, n_tokens, cum_tokens,
          |    doc_id % 4 AS bucket,
          |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % 4

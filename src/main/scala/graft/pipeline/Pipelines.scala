@@ -100,10 +100,17 @@ object Pipelines {
       nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
       maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
       materialize: Boolean = true,
-      pinMode: String = PinLocal): DataFrame = {
+      pinMode: String = PinLocal,
+      evalDf: Option[DataFrame] = None,
+      budgets: Map[String, Long] = Map.empty,
+      scrubFirst: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val feats = Text.langId(Text.qualityFeatures(df, textCol), textCol)
+    def scrub(f: DataFrame) =
+      if (scrubFirst) f.withColumn(textCol, Text.scrubPii(col(textCol)))
+      else f
+    val in = scrub(df)
+    val feats = Text.langId(Text.qualityFeatures(in, textCol), textCol)
     val kept = feats.filter(col("n_tokens").between(minTokens, maxTokens))
     val reps = kept.withColumn("__fp", Text.fingerprint(col(textCol)))
     val keepIds = reps.groupBy("__fp").agg(min(idCol).as(idCol))
@@ -115,12 +122,35 @@ object Pipelines {
         nearDupThreshold, shingleSize, maxShingleDf)
       .select(col("id2").as(idCol)).distinct()
     val nExact = exactKept.count()
-    Seq(
+    val base = Seq(
       (1L, "input", df.count()),
       (2L, "length_lang", kept.count()),
       (3L, "exact_dedup", nExact),
       (4L, "near_dedup", nExact - dropIds.count()))
-      .toDF("stage_idx", "stage", "n_docs")
+    // the trainPrep tail, audited only when its inputs are supplied:
+    // decontamination against the (scrubbed) eval set, then the
+    // per-language token-budget cut
+    val withPrep =
+      if (evalDf.isEmpty && budgets.isEmpty) base
+      else {
+        val curated = exactKept.join(dropIds, Seq(idCol), "left_anti")
+        val clean = evalDf.fold(curated) { ev =>
+          curated.join(
+            Dedup.contamination(curated, scrub(ev), idCol, textCol,
+              shingleSize).select(col(idCol)),
+            Seq(idCol), "left_anti")
+        }
+        val afterEval = evalDf.map(_ =>
+          (5L, "decontaminated", clean.count())).toSeq
+        val afterMix =
+          if (budgets.isEmpty) Seq.empty
+          else Seq((base.length.toLong + afterEval.length + 1,
+            "budget_mixed",
+            Text.mixSample(clean, idCol, textCol, "lang_pred", budgets)
+              .count()))
+        base ++ afterEval ++ afterMix
+      }
+    withPrep.toDF("stage_idx", "stage", "n_docs")
   }
 
   /** The full training-data preparation job — [[curate]] extended with the
