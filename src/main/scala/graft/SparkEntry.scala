@@ -1052,6 +1052,249 @@ object SparkEntry {
           sum(when(hiPri, 0L).otherwise(1L)).as("low_line_count"))
         .orderBy("l_linestatus")
     }),
+    "tpch_q2" -> ((s, d) => {
+      // minimum-cost-supplier shape (TPC-H Q2): the groupwise-MIN
+      // correlated subquery — adapted like Q4/Q13/Q22 (no partsupp
+      // table): supply cost per (part, supplier) is the MINIMUM observed
+      // line price in exact cents from lineitem, the scope is EUROPE
+      // suppliers of size-15 STANDARD parts. Decorrelated the way
+      // Catalyst rewrites it: one per-part min over the scoped cost
+      // frame, rejoined (min-sized, AQE broadcasts). The selected-part
+      // dim broadcasts BEFORE the cost aggregation so the groupBy only
+      // shuffles the ~0.3% of lineitem that can matter; ties on min cost
+      // all survive (classic Q2 semantics), order is total.
+      val pt = broadcast(t(s, d, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey"))
+      val eurSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .join(t(s, d, "region").filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          (col("s_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("bal_c"))
+      val cost = t(s, d, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(eurSupp.select("s_suppkey"),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(epCents).as("cost_c"))
+      val minc = cost.groupBy("l_partkey")
+        .agg(min("cost_c").as("__min_c"))
+      cost.join(minc, "l_partkey")
+        .filter(col("cost_c") === col("__min_c"))
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("bal_c"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("cost_c"))
+        .orderBy(col("bal_c").desc, col("n_name").asc, col("s_name").asc,
+          col("p_partkey").asc)
+        .limit(100)
+    }),
+    "tpch_q8" -> ((s, d) => {
+      // national-market-share shape (TPC-H Q8): the 7-table join with a
+      // conditional share per year. Both dim chains (part type filter;
+      // customer nation→AMERICA region) broadcast-prune the fact side
+      // before the orders join; the share is emitted as the two exact
+      // cent·pct sums (numerator = NATION_3-supplied revenue) instead of
+      // the classic float division — the engine's exact-units convention.
+      val lo = to_timestamp(lit("1995-01-01"))
+      val hi = to_timestamp(lit("1997-01-01"))
+      val rev = epCents * (lit(100L) - disc100)
+      val pt = broadcast(t(s, d, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey"))
+      val amerNations = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__cnk")))
+      val supN = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("__snk"), col("n_name")))
+      t(s, d, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), rev.as("__rev"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(supN, col("s_nationkey") === col("__snk"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(amerNations, col("c_nationkey") === col("__cnk"), "left_semi")
+        .groupBy("o_year")
+        .agg(sum(when(col("n_name") === "NATION_3", col("__rev"))
+            .otherwise(0L)).as("nation_rev_c4"),
+          sum(col("__rev")).as("total_rev_c4"))
+        .orderBy("o_year")
+    }),
+    "tpch_q9" -> ((s, d) => {
+      // product-type-profit shape (TPC-H Q9): profit per supplier nation
+      // per order year over name-matched parts. Adapted (no partsupp):
+      // supply cost is 50% of the part's retail price per unit, so
+      // profit_c4 = rev_c4 − qty·retail_cents·50 in exact cent·pct units
+      // (can go negative — BIGINT either way). The LIKE filter broadcasts
+      // with the part dim; orders joins last and only for the year.
+      val pt = broadcast(t(s, d, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("__rp_c")))
+      val profit = epCents * (lit(100L) - disc100) -
+        col("l_quantity").cast("long") * col("__rp_c") * lit(50L)
+      t(s, d, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), profit.as("__profit"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(sum("__profit").as("profit_c4"))
+        .orderBy(col("n_name").asc, col("o_year").desc)
+    }),
+    "tpch_q11" -> ((s, d) => {
+      // important-stock shape (TPC-H Q11): groupwise value + global
+      // scalar-fraction HAVING. Adapted (no partsupp): a part's stocked
+      // value for NATION_7's suppliers is the exact cent sum of their
+      // lineitem prices. The 1-row total broadcasts onto the per-part
+      // aggregate (BroadcastNestedLoopJoin over ONE row, the q22
+      // pattern) and the 0.01% threshold is decided by integer
+      // cross-multiplication — never a float division.
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name") === "NATION_7").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val lines = t(s, d, "lineitem")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"), epCents.as("__price_c"))
+      val perPart = lines.groupBy("l_partkey")
+        .agg(sum("__price_c").as("value_c"))
+      val total = perPart.agg(sum("value_c").as("__total_c"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_c") * lit(10000L) > col("__total_c"))
+        .select(col("l_partkey").as("p_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("p_partkey").asc)
+    }),
+    "tpch_q15" -> ((s, d) => {
+      // top-supplier shape (TPC-H Q15): the revenue view + scalar-MAX
+      // subquery. One quarter's per-supplier revenue aggregates in exact
+      // cent·pct units; the 1-row max broadcasts back onto the same
+      // aggregate (computed once — Spark reuses the shuffle via
+      // ReuseExchange) and ties all survive, classic semantics.
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1996-04-01"))
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy("l_suppkey")
+        .agg(sum(epCents * (lit(100L) - disc100)).as("total_rev_c4"))
+      val mx = rev.agg(max("total_rev_c4").as("__max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_c4") === col("__max_rev"))
+        .join(t(s, d, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c4"))
+        .orderBy("s_suppkey")
+    }),
+    "tpch_q16" -> ((s, d) => {
+      // supplier-count-by-part-attribute shape (TPC-H Q16): DISTINCT
+      // pairs + NOT IN exclusion + count(DISTINCT). Adapted: the
+      // part-supplier relation is the distinct (partkey, suppkey) pairs
+      // observed in lineitem (standing in for partsupp), and "complaint"
+      // suppliers are those with negative balance, excluded via a
+      // broadcast ANTI join (never a NOT IN null-trap). The distinct
+      // runs AFTER the broadcast part-attribute join so partial
+      // aggregation dedups map-side on the already-pruned rows.
+      val pt = broadcast(t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+      val complaints = t(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaints),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)
+    }),
+    "tpch_q20" -> ((s, d) => {
+      // part-promotion shape (TPC-H Q20): the nested IN-subquery chain —
+      // name-matched parts → per-(part, supplier) correlated quantity
+      // threshold → supplier semi-join → nation filter. Adapted (no
+      // partsupp availqty): a pair qualifies when its 1996 shipments
+      // exceed HALF its all-time shipments (the same agg-vs-correlated-
+      // agg comparison, decided by integer cross-multiplication). Both
+      // sums fold into ONE conditional aggregate pass — no self-join of
+      // lineitem against itself.
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1997-01-01"))
+      val pt = broadcast(t(s, d, "part")
+        .filter(col("p_name").like("red%")).select("p_partkey"))
+      val qty = col("l_quantity").cast("long")
+      val in96 = col("l_shipdate") >= lo && col("l_shipdate") < hi
+      val qual = t(s, d, "lineitem")
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(when(in96, qty).otherwise(0L)).as("__q96"),
+          sum(qty).as("__qall"))
+        .filter(col("__q96") * lit(2L) > col("__qall"))
+        .select("l_suppkey").distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+            .filter(col("n_name") === "NATION_4").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+    "tpch_q21" -> ((s, d) => {
+      // waiting-supplier shape (TPC-H Q21): the EXISTS + NOT-EXISTS
+      // double self-correlation on lineitem — decorrelated into ONE
+      // per-order aggregate: count distinct suppliers and distinct LATE
+      // suppliers per finished order ("late" = shipped >90 days after
+      // order date, the Q4/Q12 adaptation), then a supplier's qualifying
+      // lines are its late lines in orders with >1 supplier where it is
+      // the ONLY late one. One lineitem scan feeds both the aggregate
+      // and the probe (ReuseExchange); the classic form would self-join
+      // lineitem twice.
+      val ords = t(s, d, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey", "__late")
+      val perOrd = li.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
+          countDistinct(when(col("__late"), col("l_suppkey")))
+            .as("__n_late"))
+        .filter(col("__n_supp") > 1L && col("__n_late") === 1L)
+        .select(col("l_orderkey").as("__ok"))
+      li.filter(col("__late"))
+        .join(perOrd, col("l_orderkey") === col("__ok"), "left_semi")
+        .join(t(s, d, "supplier")
+            .join(broadcast(t(s, d, "nation")
+                .filter(col("n_name") === "NATION_2")
+                .select("n_nationkey")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(100)
+    }),
     "ts_active_users" -> ((s, d) =>
       // DAU + trailing-7d WAU: bounded explode over the deduplicated
       // (user, day) frame, no per-day self-join (see TsOps.activeUsers)
@@ -2009,6 +2252,146 @@ object SparkEntry {
         |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    "tpch_q2" ->
+      """WITH pt AS (
+        |  SELECT p_partkey FROM part
+        |  WHERE p_size = 15 AND p_type = 'STANDARD'
+        |), eur AS (
+        |  SELECT s_suppkey, s_name, n_name,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), cost AS (
+        |  SELECT l_partkey, l_suppkey, CAST(min(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  ) AS BIGINT) AS cost_c
+        |  FROM lineitem JOIN pt ON l_partkey = p_partkey
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT l_partkey, min(cost_c) AS min_c FROM cost GROUP BY 1
+        |)
+        |SELECT bal_c, s_name, n_name, cost.l_partkey AS p_partkey, cost_c
+        |FROM cost JOIN m ON cost.l_partkey = m.l_partkey
+        |  AND cost_c = min_c
+        |JOIN eur ON l_suppkey = s_suppkey
+        |ORDER BY bal_c DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    ELSE 0 END) AS BIGINT) AS nation_rev_c4,
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS total_rev_c4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tpch_q9" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)) -
+        |    CAST(l_quantity AS BIGINT) *
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 50
+        |  ) AS BIGINT) AS profit_c4
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "tpch_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey, CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  ) AS BIGINT) AS value_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_7')
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM v
+        |)
+        |SELECT l_partkey AS p_partkey, value_c FROM v, t
+        |WHERE value_c * 10000 > total_c
+        |ORDER BY value_c DESC, p_partkey""".stripMargin,
+    "tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, CAST(sum(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) *
+        |    (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |  ) AS BIGINT) AS total_rev_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_rev_c4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_c4 = (SELECT max(total_rev_c4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "tpch_q20" ->
+      """WITH q AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q96,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qall
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_4'
+        |  AND s_suppkey IN (SELECT l_suppkey FROM q WHERE q96 * 2 > qall)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "ts_active_users" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,

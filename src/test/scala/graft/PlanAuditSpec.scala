@@ -470,6 +470,85 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("tpch_q2: groupwise-min rejoin stays hash, part filter pushed") {
+    val p = plan("tpch_q2")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // the EUROPE supplier scope is a semi join; the (size, type) part
+    // filter reaches the part scan and broadcasts onto lineitem BEFORE
+    // the cost aggregation
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("EqualTo(p_size,15)"), p)
+    assert(p.contains("partial_min"), p)
+    // top-100 is a distributed TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch_q8: both dim chains broadcast, date pushed, one agg pass") {
+    val p = plan("tpch_q8")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // customer-region membership is a semi join, never an attribute join
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    // both CASE sums fold into ONE partial aggregate
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("tpch_q9: LIKE filter pushed to the part scan, profit one pass") {
+    val p = plan("tpch_q9")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("tpch_q11: only nested loop is the 1-row threshold broadcast") {
+    val p = plan("tpch_q11")
+    // the global total joins as a BroadcastNestedLoopJoin over ONE row —
+    // and that must be the ONLY nested loop in the plan
+    assert("NestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("EqualTo(n_name,NATION_7)"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("tpch_q15: scalar max broadcasts, quarter filter pushed") {
+    val p = plan("tpch_q15")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_max"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch_q16: complaint exclusion is a broadcast anti join") {
+    val p = plan("tpch_q16")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the size IN-list reaches the part scan (the PushedFilters print
+    // elides long lists — pin the data filter on the scan instead)
+    assert(p.contains("IN (1,4,7,10,13,16,19,23)"), p)
+  }
+
+  test("tpch_q20: both quantity sums in ONE lineitem pass, prefix pushed") {
+    val p = plan("tpch_q20")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // the correlated agg-vs-agg comparison must NOT self-join lineitem:
+    // exactly one lineitem scan in the whole plan
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("StringStartsWith(p_name,red)"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("tpch_q21: exists/not-exists as one per-order agg, top-100 TOP") {
+    val p = plan("tpch_q21")
+    assert(!p.contains("Cartesian") && !p.contains("CartesianProduct"), p)
+    // the only-late-supplier condition rides the decorrelated aggregate,
+    // the probe is a semi join, and the late residual stays on a HASH join
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("HashJoin"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("recurrence fold input: one key shuffle, NON-global sort") {
     // the fold itself hides behind Scan ExistingRDD in the output plan, so
     // audit the prepared frame: repartition(user) must be a single hash
