@@ -2819,6 +2819,20 @@ object SparkEntry {
       Text.hashSplit(t(s, d, "documents").select("doc_id"), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
+    "train_shuffle_shards" -> ((s, d) =>
+      // reproducible global training order: seeded md5 key → shard +
+      // in-shard position, identical on every run and cluster size; one
+      // hash shuffle + per-shard sort, never a global range sort
+      Text.shuffleShards(t(s, d, "documents").select("doc_id"), "doc_id",
+        seed = 7L, nShards = 16)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")),
+    "profile_documents" -> ((s, d) =>
+      // one-pass data-validation profile: per-column null/distinct/range
+      // stats from a single scan + single multi-distinct aggregate
+      Text.profile(t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")),
     "mix_sample" -> ((s, d) =>
       // data mixing: per-language token budgets (en-heavy, zh excluded);
       // deterministic md5-ordered fill so the oracle reproduces the exact
@@ -4793,6 +4807,52 @@ object SparkEntry {
         |    ELSE 'test'
         |  END AS split FROM documents
         |) GROUP BY split ORDER BY split""".stripMargin,
+    "train_shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))
+        |      ::BIGINT AS key
+        |  FROM documents
+        |)
+        |SELECT doc_id, key % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 16
+        |    ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+        |FROM k
+        |ORDER BY shard, pos""".stripMargin,
+    "profile_documents" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS id_nu,
+        |    count(DISTINCT doc_id) AS id_nd,
+        |    CAST(min(doc_id) AS VARCHAR) AS id_mn,
+        |    CAST(max(doc_id) AS VARCHAR) AS id_mx,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS tx_nu,
+        |    count(DISTINCT text) AS tx_nd,
+        |    min(text) AS tx_mn, max(text) AS tx_mx,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lg_nu,
+        |    count(DISTINCT lang) AS lg_nd,
+        |    min(lang) AS lg_mn, max(lang) AS lg_mx,
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS sc_nu,
+        |    count(DISTINCT source) AS sc_nd,
+        |    min(source) AS sc_mn, max(source) AS sc_mx,
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nc_nu,
+        |    count(DISTINCT n_chars) AS nc_nd,
+        |    CAST(min(n_chars) AS VARCHAR) AS nc_mn,
+        |    CAST(max(n_chars) AS VARCHAR) AS nc_mx
+        |  FROM documents
+        |)
+        |SELECT 'doc_id' AS col_name, CAST(n AS BIGINT) AS n,
+        |  CAST(id_nu AS BIGINT) AS n_nulls, CAST(id_nd AS BIGINT)
+        |    AS n_distinct, id_mn AS min_s, id_mx AS max_s FROM a
+        |UNION ALL SELECT 'text', CAST(n AS BIGINT), CAST(tx_nu AS BIGINT),
+        |  CAST(tx_nd AS BIGINT), tx_mn, tx_mx FROM a
+        |UNION ALL SELECT 'lang', CAST(n AS BIGINT), CAST(lg_nu AS BIGINT),
+        |  CAST(lg_nd AS BIGINT), lg_mn, lg_mx FROM a
+        |UNION ALL SELECT 'source', CAST(n AS BIGINT), CAST(sc_nu AS BIGINT),
+        |  CAST(sc_nd AS BIGINT), sc_mn, sc_mx FROM a
+        |UNION ALL SELECT 'n_chars', CAST(n AS BIGINT), CAST(nc_nu AS BIGINT),
+        |  CAST(nc_nd AS BIGINT), nc_mn, nc_mx FROM a
+        |ORDER BY col_name""".stripMargin,
     // single-window definition of the mixture sample — the Spark side
     // computes the same cumulative sums through the bucketed prefix sum
     "mix_sample" ->

@@ -1334,6 +1334,64 @@ object Text {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic global corpus shuffle with shard assignment — the
+    * reproducible-training-order primitive: every run (any cluster size,
+    * any partitioning of the input) produces the SAME permutation and the
+    * same shard files, because the order derives only from data. The key
+    * is the [[hashSplit]] md5-60-bit hash salted with `seed` (so
+    * different seeds give independent permutations, and DuckDB can mirror
+    * it bit-for-bit); `shard = key mod nShards`, `pos` = rank within the
+    * shard by (key, id).
+    *
+    * Scale shape: ONE hash shuffle on `shard` + a per-shard sort — no
+    * global sort, no range exchange. Size `nShards` for the data
+    * (~256 MB of payload per shard → hundreds of thousands of shards at
+    * 100 TB), which simultaneously bounds the per-task sort and matches
+    * the files a training loader wants. The 60-bit key makes collisions
+    * (ties broken by id) astronomically rare but still deterministic.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", pmod(col("__key"), lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__key")
+  }
+
+  /** Single-pass table profile — the data-validation primitive: per-column
+    * row/null/distinct counts and native-ordered min/max, computed in ONE
+    * aggregate over ONE scan (the only honest shape at 100 TB — a
+    * per-column loop would rescan the table N times). Distinct counts are
+    * exact (Spark plans the multi-distinct via Expand — one pass, ×N rows
+    * into the shuffle); for quick approximate profiles at extreme scale
+    * the HLL sketch tier ([[approxDistinct]]) is the alternative. Min/max
+    * compare in the column's native type and render as strings so one
+    * tidy (col_name, n, n_nulls, n_distinct, min_s, max_s) row per column
+    * comes back regardless of schema.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nulls"),
+        countDistinct(col(c)).as(s"__${c}__nd"),
+        min(col(c)).cast("string").as(s"__${c}__min"),
+        max(col(c)).cast("string").as(s"__${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __n, __${c}__nulls, __${c}__nd, __${c}__min, __${c}__max"
+    }.mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, n, n_nulls, n_distinct, min_s, max_s)"))
+  }
+
   /** Rolling-hash document fingerprint: min/max/xor folds over 64-bit hashes
     * of word shingles (winnowing-style content signature; robust to word
     * order at the edges).

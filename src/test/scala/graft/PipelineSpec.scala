@@ -1691,4 +1691,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(assigned.count() == emb.count())
     assert(assigned.select("cid").distinct().count() <= 4)
   }
+
+  test("shuffleShards: permutation is data-derived — partitioning-immune") {
+    val ids = (0L until 200L).toDF("id")
+    def order(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      Text.shuffleShards(df, "id", seed = 42L, nShards = 8)
+        .select("id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val a = order(ids.repartition(1))
+    val b = order(ids.repartition(13))
+    assert(a == b) // same permutation no matter how the input is split
+    // every id appears once; shards in range; positions contiguous from 0
+    assert(a.map(_._1).distinct.size == 200)
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    val byShard = a.groupBy(_._2)
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size.toLong),
+        s"shard $s positions not contiguous")
+    }
+    // a different seed gives a different permutation (same membership)
+    val c = Text.shuffleShards(ids, "id", seed = 43L, nShards = 8)
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(c != a && c.map(_._1) == a.map(_._1))
+  }
+
+  test("profile: per-column nulls/distincts/min-max from one pass") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None),
+      (Some(2L), Some("a")), (None, Some("a"))
+    ).toDF("k", "v")
+    val rows = Text.profile(df, Seq("k", "v"))
+      .orderBy("col_name").collect()
+    val k = rows(0); val v = rows(1)
+    assert(k.getString(0) == "k" && k.getLong(1) == 4 &&
+      k.getLong(2) == 1 && k.getLong(3) == 2 &&
+      k.getString(4) == "1" && k.getString(5) == "2")
+    assert(v.getString(0) == "v" && v.getLong(1) == 4 &&
+      v.getLong(2) == 1 && v.getLong(3) == 2 &&
+      v.getString(4) == "a" && v.getString(5) == "b")
+  }
 }

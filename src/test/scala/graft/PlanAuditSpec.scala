@@ -549,6 +549,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("shuffleShards: one hash shuffle on shard, never a range sort") {
+    // audit the OP (not the gate query, whose display orderBy adds a
+    // legitimate final sort): the window must hash-partition by shard
+    // with a LOCAL sort — a rangepartitioning here would mean the
+    // "deterministic shuffle" is secretly a global sort
+    val docs = graft.storage.Tables.read(spark, d, "documents")
+      .select("doc_id")
+    val p = graft.pipeline.Text.shuffleShards(docs, "doc_id", 7L, 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(shard"), p)
+    assert(!p.contains("rangepartitioning"), p)
+    assert("Sort \\[shard[^\\]]*\\], false".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("profile_documents: all columns profiled in ONE scan") {
+    val p = plan("profile_documents")
+    // a per-column loop would rescan the table N times — the whole point
+    // is one FileScan feeding one Expand-based multi-distinct aggregate
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("recurrence fold input: one key shuffle, NON-global sort") {
     // the fold itself hides behind Scan ExistingRDD in the output plan, so
     // audit the prepared frame: repartition(user) must be a single hash
