@@ -2815,6 +2815,12 @@ object SparkEntry {
       Text.chunk(t(s, d, "documents"), "doc_id", "text",
         size = 32, overlap = 8)
         .orderBy("doc_id", "chunk_idx")),
+    "text_remove_boilerplate" -> ((s, d) =>
+      // corpus cleaning: spans repeated >= 3 times anywhere drop, text
+      // reassembles from the surviving spans — full cleaned-text oracle
+      Text.removeBoilerplate(t(s, d, "documents"), "doc_id", "text",
+        size = 16, minDf = 3)
+        .orderBy("doc_id")),
     "sample_split" -> ((s, d) =>
       Text.hashSplit(t(s, d, "documents").select("doc_id"), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))
@@ -4473,6 +4479,38 @@ object SparkEntry {
          |    AS n_dup_chunks
          |FROM c JOIN f USING (fp)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "text_remove_boilerplate" -> {
+      val size = 16
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) = 0 THEN 0
+         |         ELSE greatest(1, (len(toks) + $size - 1) // $size)
+         |    END AS nc
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id, i AS ci,
+         |    array_to_string(toks[i * $size + 1 : i * $size + $size], ' ')
+         |      AS ct
+         |  FROM m CROSS JOIN (
+         |    SELECT unnest(generate_series(0, 999)) AS i
+         |  ) WHERE i < nc
+         |), f AS (SELECT ct, count(*) AS df FROM c GROUP BY ct
+         |), g AS (
+         |  SELECT doc_id, count(*) AS n_chunks,
+         |    CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped,
+         |    string_agg(CASE WHEN df < 3 THEN ct END, ' ' ORDER BY ci)
+         |      AS clean
+         |  FROM c JOIN f USING (ct) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, COALESCE(clean, '') AS text_clean,
+         |  COALESCE(n_chunks, 0) AS n_chunks,
+         |  COALESCE(n_dropped, 0) AS n_dropped
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "text_window_cooccur" ->
       s"""WITH t AS (

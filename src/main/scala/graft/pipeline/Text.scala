@@ -1282,6 +1282,44 @@ object Text {
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
+  /** Boilerplate removal — the "most common spans" cleaning step
+    * (CCNet/RefinedWeb shape): fixed non-overlapping [[chunk]] spans
+    * fingerprint with md5, spans whose corpus-wide occurrence count
+    * reaches `minDf` (headers, footers, nav text, license blurbs —
+    * anything repeated across the corpus) are DROPPED, and each doc's
+    * text reassembles from its surviving spans in order. Unlike
+    * [[dupChunkStats]] (which only reports the signal) this returns the
+    * cleaned corpus: (id, text_clean, n_chunks, n_dropped); docs whose
+    * every span is boilerplate come back with empty text (n_chunks =
+    * n_dropped), and token-less docs pass through untouched.
+    *
+    * Scale shape: two keyed shuffles (fingerprint df, then doc
+    * reassembly); the per-doc collect is bounded by the doc's own chunk
+    * count, and the df table is the distinct-span set — never all-pairs.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 16, minDf: Long = 3): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would drop every span, got $minDf")
+    val chunks = chunk(df, idCol, textCol, size, overlap = 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("__fp"))
+    val freq = chunks.groupBy("__fp").agg(count(lit(1)).as("__df"))
+    val keep = col("__df") < minDf
+    val agg = chunks.join(freq, "__fp")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(keep,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x.getField("chunk_text")), " ").as("text_clean"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Sliding token-window chunking — the context-window prep step of a
     * training pipeline: overlapping chunks of `size` tokens with `overlap`
     * tokens shared between neighbors. Chunk i covers tokens

@@ -1716,6 +1716,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(c != a && c.map(_._1) == a.map(_._1))
   }
 
+  test("removeBoilerplate: repeated spans drop, text reassembles in order") {
+    // 4-token chunks; "common header text here" is planted in 3 docs →
+    // df=3 boilerplate; each doc's unique tail must survive in order
+    val df = Seq(
+      (0L, "common header text here alpha beta gamma delta"),
+      (1L, "common header text here epsilon zeta eta theta"),
+      (2L, "common header text here iota kappa lambda mu"),
+      (3L, "totally unique document body with eight words here"),
+      (4L, "") // token-less doc passes through untouched
+    ).toDF("doc_id", "text")
+    val out = Text.removeBoilerplate(df, "doc_id", "text",
+        size = 4, minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "alpha beta gamma delta")
+    assert(out(0).getLong(2) == 2 && out(0).getLong(3) == 1)
+    assert(out(1).getString(1) == "epsilon zeta eta theta")
+    assert(out(2).getString(1) == "iota kappa lambda mu")
+    // unique doc: nothing dropped, text intact (2 chunks + 1-word tail)
+    assert(out(3).getString(1) ==
+      "totally unique document body with eight words here")
+    assert(out(3).getLong(3) == 0)
+    // empty doc: present, empty text, zero chunks
+    assert(out(4).getString(1) == "" && out(4).getLong(2) == 0)
+    // all-boilerplate doc comes back EMPTY, not missing
+    val all = Seq(
+      (0L, "same four word span"), (1L, "same four word span"),
+      (2L, "same four word span")).toDF("doc_id", "text")
+    val cleaned = Text.removeBoilerplate(all, "doc_id", "text",
+        size = 4, minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(cleaned.length == 3)
+    assert(cleaned.forall(r => r.getString(1) == "" && r.getLong(3) == 1L))
+  }
+
   test("profile: per-column nulls/distincts/min-max from one pass") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None),
