@@ -275,6 +275,25 @@ object ScaleProbe {
     report("pipeline_curate", docK,
       Pipelines.curate(docs, "doc_id", "text").count(),
       Pipelines.curate(docScaled, "doc_id", "text").count())
+    // filter on pos so ColumnPruning can't drop the window (count alone
+    // would let Catalyst elide the very thing being measured)
+    report("shuffle_shards", docK,
+      graft.pipeline.Text.shuffleShards(docs.select("doc_id"), "doc_id",
+        7L, 64).filter(col("pos") >= 0).count(),
+      graft.pipeline.Text.shuffleShards(docScaled.select("doc_id"),
+        "doc_id", 7L, 64).filter(col("pos") >= 0).count())
+    report("remove_boilerplate", docK,
+      graft.pipeline.Text.removeBoilerplate(docs, "doc_id", "text")
+        .filter(col("n_dropped") >= 0).count(),
+      graft.pipeline.Text.removeBoilerplate(docScaled, "doc_id", "text")
+        .filter(col("n_dropped") >= 0).count())
+    report("profile_5col", docK,
+      graft.pipeline.Text.profile(docs,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().length.toLong,
+      graft.pipeline.Text.profile(docScaled,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().length.toLong)
 
     // ---- hot-key sessionize: plain (per-key window) vs chunked ---------
     // one user owns ~30% of the scaled events table — the plain window
