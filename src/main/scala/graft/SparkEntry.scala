@@ -2821,6 +2821,15 @@ object SparkEntry {
       Text.removeBoilerplate(t(s, d, "documents"), "doc_id", "text",
         size = 16, minDf = 3)
         .orderBy("doc_id")),
+    "quality_length_trim" -> ((s, d) =>
+      // adaptive per-source length band: each source keeps its own
+      // [10th, 90th] percentile lengths; decided on the per-(source, len)
+      // histogram + broadcast semi join — never a per-row window
+      Text.lengthTrimPct(t(s, d, "documents")
+          .select("doc_id", "source", "n_chars"),
+        "n_chars", "source", loPct = 10, hiPct = 90)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
     "sample_split" -> ((s, d) =>
       Text.hashSplit(t(s, d, "documents").select("doc_id"), "doc_id")
         .groupBy("split").agg(count(lit(1)).as("n"))
@@ -4480,6 +4489,24 @@ object SparkEntry {
          |FROM c JOIN f USING (fp)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    "quality_length_trim" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, n_chars, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cle
+        |  FROM h
+        |), tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1
+        |), keep AS (
+        |  SELECT source, n_chars
+        |  FROM cum JOIN tot USING (source)
+        |  WHERE cle * 100 > n * 10 AND (cle - c) * 100 < n * 90
+        |)
+        |SELECT doc_id, source, n_chars
+        |FROM documents JOIN keep USING (source, n_chars)
+        |ORDER BY doc_id""".stripMargin,
     "text_remove_boilerplate" -> {
       val size = 16
       s"""WITH t AS (

@@ -1282,6 +1282,43 @@ object Text {
         sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
+  /** Per-group percentile length trim — the ADAPTIVE quality filter:
+    * instead of one fixed length band for the whole corpus, each group
+    * (language, source) keeps only its own [loPct, hiPct] percentile
+    * band, so a short-form source and a long-form source each lose their
+    * own outliers. Each length value occupies the rank-mass interval
+    * (cnt_lt, cnt_le] of its group; a row survives iff that interval
+    * OVERLAPS the kept band (n·lo/100, n·hi/100] — so a length entirely
+    * inside the bottom loPct or top (100−hiPct) tail drops, while a
+    * constant-length group (whose single value IS the central mass)
+    * keeps everything. Decided by integer cross-multiplication
+    * (cnt·100 vs n·pct), never a float percentile.
+    *
+    * Scale shape: the quantile never runs as a per-row window. The
+    * per-(group, length) HISTOGRAM aggregates first (map-side partials),
+    * the cumulative window runs over that metadata-sized frame, and the
+    * surviving (group, length) pairs broadcast back as a semi join — so
+    * the big table is touched by one aggregate and one broadcast filter,
+    * no matter how skewed the groups are.
+    */
+  def lengthTrimPct(df: DataFrame, lenCol: String, groupCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 <= loPct < hiPct <= 100, got [$loPct, $hiPct]")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCol, lenCol).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCol).orderBy(lenCol)
+    val cum = counts
+      .withColumn("__cum_le", sum("__c").over(w))
+      .withColumn("__cum_lt", col("__cum_le") - col("__c"))
+    val tot = counts.groupBy(groupCol).agg(sum("__c").as("__n"))
+    val keepLens = cum.join(tot, groupCol)
+      .filter(col("__cum_le") * 100 > col("__n") * loPct &&
+        col("__cum_lt") * 100 < col("__n") * hiPct)
+      .select(groupCol, lenCol)
+    df.join(broadcast(keepLens), Seq(groupCol, lenCol), "left_semi")
+  }
+
   /** Boilerplate removal — the "most common spans" cleaning step
     * (CCNet/RefinedWeb shape): fixed non-overlapping [[chunk]] spans
     * fingerprint with md5, spans whose corpus-wide occurrence count

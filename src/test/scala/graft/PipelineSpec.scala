@@ -1750,6 +1750,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.forall(r => r.getString(1) == "" && r.getLong(3) == 1L))
   }
 
+  test("lengthTrimPct: each group keeps its own percentile band") {
+    // group a: lengths 1..10 with [10, 90] → keep 2..9 exactly: len 1
+    // occupies mass (0,1] ⊆ bottom 10% tail, len 10 occupies (9,10] ⊆
+    // top tail; group b: constant length → its one value IS the central
+    // mass, so everything survives (mass-overlap, not strict-band)
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toLong)) ++
+      (1 to 4).map(i => ("b", 7L, 100L + i))).toDF("g", "len", "id")
+    val out = Text.lengthTrimPct(df, "len", "g", 10, 90)
+      .orderBy("id").collect()
+    assert(out.filter(_.getString(0) == "a").map(_.getLong(1)).toSeq ==
+      (2L to 9L))
+    assert(out.count(_.getString(0) == "b") == 4)
+  }
+
   test("profile: per-column nulls/distincts/min-max from one pass") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None),

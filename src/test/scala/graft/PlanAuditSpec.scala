@@ -572,6 +572,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("quality_length_trim: band decided on the histogram, broadcast back") {
+    val p = plan("quality_length_trim")
+    // the percentile window must run over the per-(source, len) histogram
+    // (aggregate BELOW the Window), and the kept lengths come back as a
+    // broadcast semi join — the big table never sees a per-row window
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    val win = p.indexOf("Window")
+    assert(win >= 0, p)
+    val below = p.substring(win)
+    assert(below.indexOf("HashAggregate") >= 0 &&
+      below.indexOf("HashAggregate") < below.indexOf("FileScan"), p)
+  }
+
   test("recurrence fold input: one key shuffle, NON-global sort") {
     // the fold itself hides behind Scan ExistingRDD in the output plan, so
     // audit the prepared frame: repartition(user) must be a single hash
