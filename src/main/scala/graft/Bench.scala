@@ -25,7 +25,10 @@ object Bench {
     "text_quality", "knn_brute", "pipeline_train_prep", "ts_interval_join",
     // round-7 tracked rows (no round-1 baseline — excluded from the
     // baseline-comparable subset, like ts_interval_join; see BASELINE.md)
-    "ts_seasonal_anomaly", "ts_ewma", "retrieval_bm25")
+    "ts_seasonal_anomaly", "ts_ewma", "retrieval_bm25",
+    // round-8 tracked rows: the widest TPC-H join and the deterministic
+    // corpus shuffle (no baseline counterpart either)
+    "tpch_q9", "train_shuffle_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3866,6 +3866,19 @@ object SparkEntry {
         src, evalDf, "doc_id", "text")
       runStreamToTable(s, out, "stream_contamination_out").orderBy("doc_id")
     }),
+    "stream_remove_boilerplate" -> ((s, d) => {
+      // ingest-side boilerplate cleaning: the repeated-span fingerprints
+      // mine once from the static corpus, each arriving doc cleans in
+      // its own row — stateless, so the emitted rows are exactly the
+      // batch removeBoilerplate result (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val out = graft.streaming.StreamIngest.streamingRemoveBoilerplate(
+        src, t(s, d, "documents"), "doc_id", "text")
+      runStreamToTable(s, out, "stream_rm_boiler_out").orderBy("doc_id")
+    }),
     "stream_mix_sample" -> ((s, d) => {
       // ingest-side budget admission: one AvailableNow pass over the
       // corpus admits exactly the batch mixSample survivor set (md5 order
@@ -5575,6 +5588,9 @@ object SparkEntry {
       // the stateless streaming contamination probe emits exactly the
       // batch result (literal eval set, same shingle arithmetic)
       ("stream_contamination" -> base("text_contamination")) +
+      // in-row chunk/probe/reassemble against the static corpus's mined
+      // span set = the batch cleaned text bit-for-bit (JVM md5 == md5())
+      ("stream_remove_boilerplate" -> base("text_remove_boilerplate")) +
       // the stream-maintained index holds exactly the batch assignment
       // (same centroids, same arithmetic, only arrival path differs), so
       // the stored probe shares knn_ivf's value oracle

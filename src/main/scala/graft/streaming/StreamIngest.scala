@@ -311,6 +311,57 @@ object StreamIngest {
           .as("contamination"))
   }
 
+  /** Streaming boilerplate removal against a static corpus — the
+    * ingest-side twin of [[graft.pipeline.Text.removeBoilerplate]]: the
+    * repeated-span fingerprints are mined ONCE from the static corpus
+    * (bounded: only spans with df ≥ `minDf` — the boilerplate set, tiny
+    * relative to the corpus) and each arriving doc is chunked, probed,
+    * and reassembled entirely within its own row — a stateless narrow
+    * map, so the query runs in append mode with no state store and the
+    * emitted rows are exactly the batch result (shared value oracle).
+    *
+    * The probe is a UDF closing over ONE prebuilt hash set (the
+    * [[streamingContamination]] rationale: per-row cost is O(doc
+    * chunks), not O(boilerplate set)); its JVM md5 hex matches Spark's
+    * `md5()` on UTF-8 bytes, so stream and batch agree on every
+    * fingerprint.
+    */
+  def streamingRemoveBoilerplate(stream: DataFrame, staticDf: DataFrame,
+      idCol: String, textCol: String, size: Int = 16,
+      minDf: Long = 3): DataFrame = {
+    import graft.pipeline.Text
+    val boiler: Set[String] = Text.chunk(staticDf, idCol, textCol,
+        size, overlap = 0)
+      .select(md5(col("chunk_text")).as("__fp"))
+      .groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .collect().map(_.getString(0)).toSet
+    val clean = udf((chunks: Seq[String]) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val cs = if (chunks == null) Seq.empty[String] else chunks
+      val flags = cs.map(c => boiler.contains(hex(c)))
+      (cs.zip(flags).collect { case (c, false) => c }.mkString(" "),
+        cs.size.toLong, flags.count(identity).toLong)
+    })
+    val toks = Text.tokens(col(textCol))
+    // `size` param shadows functions.size here
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    val nc = when(n === 0, lit(0))
+      .otherwise(greatest(lit(1), ((n + size - 1) / size).cast("int")))
+    stream
+      .withColumn("__toks", toks)
+      .withColumn("__chunks", transform(
+        when(nc > 0, sequence(lit(0), nc - 1))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ",
+          slice(col("__toks"), i * size + 1, lit(size)))))
+      .withColumn("__r", clean(col("__chunks")))
+      .select(col(idCol), col("__r._1").as("text_clean"),
+        col("__r._2").as("n_chunks"), col("__r._3").as("n_dropped"))
+  }
+
   /** Streaming near-duplicate detection against a static reference corpus —
     * the incremental-ingest dedup shape: incoming documents are LSH-probed
     * into a prebuilt band-bucket index of the existing training set, and

@@ -190,6 +190,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((10L, 7L, 7L)))
   }
 
+  test("streaming boilerplate removal equals the batch cleaned text") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-boiler-in")
+    val corpus = Seq(
+      (0L, "common header text here alpha beta gamma delta"),
+      (1L, "common header text here epsilon zeta eta theta"),
+      (2L, "common header text here iota kappa lambda mu"),
+      (3L, "totally unique document body with eight words here"))
+      .toDF("doc_id", "text")
+    corpus.write.mode("overwrite")
+      .parquet(new java.io.File(dir, "in").getPath)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(new java.io.File(dir, "in").getPath)
+    val cleaned = StreamIngest.streamingRemoveBoilerplate(
+      src, corpus, "doc_id", "text", size = 4, minDf = 3)
+    val q = StreamIngest.runToMemory(cleaned, "boiler_out")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("boiler_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val want = graft.pipeline.Text.removeBoilerplate(
+        corpus, "doc_id", "text", size = 4, minDf = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got(0)._2 == "alpha beta gamma delta") // header stripped
+  }
+
   test("streaming user-day ledger: once-only emission, cohort carried") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
