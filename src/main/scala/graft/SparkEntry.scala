@@ -73,6 +73,11 @@ object SparkEntry {
   private val zOrderPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dataset cache of the persisted boilerplate span index backing
+    * `text_remove_boilerplate_stored` (one write per process per dataset). */
+  private val boilerIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def zOrderedEvents(s: SparkSession, d: String): String =
     zOrderPaths.computeIfAbsent(d, dir => {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
@@ -2821,6 +2826,21 @@ object SparkEntry {
       Text.removeBoilerplate(t(s, d, "documents"), "doc_id", "text",
         size = 16, minDf = 3)
         .orderBy("doc_id")),
+    "text_remove_boilerplate_stored" -> ((s, d) => {
+      // probe the persisted span index: identical cleaning arithmetic,
+      // only the span set's provenance (parquet vs recompute) differs —
+      // shares text_remove_boilerplate's oracle (the knn_ivf_stored
+      // convention). Index written once per process per dataset.
+      val path = boilerIdxPaths.computeIfAbsent(d, dir => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-boiler-${processId}_${dirTag(dir)}/idx").getPath
+        Text.writeBoilerplateIndex(t(s, dir, "documents"), "doc_id",
+          "text", p, size = 16, minDf = 3)
+        p
+      })
+      Text.removeBoilerplateStored(s, t(s, d, "documents"), "doc_id",
+        "text", path).orderBy("doc_id")
+    }),
     "quality_length_trim" -> ((s, d) =>
       // adaptive per-source length band: each source keeps its own
       // [10th, 90th] percentile lengths; decided on the per-(source, len)
@@ -5591,6 +5611,9 @@ object SparkEntry {
       // in-row chunk/probe/reassemble against the static corpus's mined
       // span set = the batch cleaned text bit-for-bit (JVM md5 == md5())
       ("stream_remove_boilerplate" -> base("text_remove_boilerplate")) +
+      // probing the persisted span index runs the identical cleaning —
+      // only the span set's provenance (parquet vs recompute) differs
+      ("text_remove_boilerplate_stored" -> base("text_remove_boilerplate")) +
       // the stream-maintained index holds exactly the batch assignment
       // (same centroids, same arithmetic, only arrival path differs), so
       // the stored probe shares knn_ivf's value oracle

@@ -772,53 +772,33 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): Unit = {
     val spark = refDf.sparkSession
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
     // build into a sibling dir, then two-rename swap the WHOLE index —
     // meta/stop/index must change together or a concurrent (or
-    // post-crash) probe reads a new stop list against an old index. Same
-    // protocol as Similarity.compactIvf; recoverNearDupIndex heals the
-    // between-renames crash window.
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    recoverNearDupIndex(fs, live)
-    val tmp = new Path(path + ".build-tmp")
-    val old = new Path(path + ".build-old")
-    fs.delete(tmp, true)
-    Seq((shingleSize, maxShingleDf)).toDF("shingle_size", "max_shingle_df")
-      .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
-    val stop =
-      if (maxShingleDf <= 0)
-        Seq(Seq.empty[String]).toDF("__stop")
-      else stopShingles(refDf, idCol, textCol, shingleSize, maxShingleDf)
-    stop.write.mode("overwrite").parquet(s"$tmp/stop.parquet")
-    val stopRead = spark.read.parquet(s"$tmp/stop.parquet")
-    keptExploded(refDf, idCol, textCol, shingleSize, Some(stopRead))
-      .select(col("__id").as("ref_id"), col("__n").as("n_ref"),
-        col("__tok").as("tok"))
-      .repartition(col("tok"))
-      .write.mode("overwrite").parquet(s"$tmp/index.parquet")
-    fs.delete(old, true)
-    if (fs.exists(live) && !fs.rename(live, old))
-      throw new java.io.IOException(s"writeNearDupIndex: cannot move $live aside")
-    if (!fs.rename(tmp, live)) {
-      if (fs.exists(old)) fs.rename(old, live) // roll back, original intact
-      throw new java.io.IOException(s"writeNearDupIndex: cannot publish $tmp")
+    // post-crash) probe reads a new stop list against an old index
+    // (shared protocol: graft.storage.AtomicDir)
+    graft.storage.AtomicDir.publish(spark, path, "writeNearDupIndex") { tmp =>
+      Seq((shingleSize, maxShingleDf)).toDF("shingle_size", "max_shingle_df")
+        .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+      val stop =
+        if (maxShingleDf <= 0)
+          Seq(Seq.empty[String]).toDF("__stop")
+        else stopShingles(refDf, idCol, textCol, shingleSize, maxShingleDf)
+      stop.write.mode("overwrite").parquet(s"$tmp/stop.parquet")
+      val stopRead = spark.read.parquet(s"$tmp/stop.parquet")
+      keptExploded(refDf, idCol, textCol, shingleSize, Some(stopRead))
+        .select(col("__id").as("ref_id"), col("__n").as("n_ref"),
+          col("__tok").as("tok"))
+        .repartition(col("tok"))
+        .write.mode("overwrite").parquet(s"$tmp/index.parquet")
     }
-    fs.delete(old, true)
-    spark.catalog.refreshByPath(path)
   }
 
-  /** Crash recovery for [[writeNearDupIndex]]'s swap window: a kill between
-    * `live → old` and `tmp → live` leaves the only complete index at
-    * `.build-old` — promote it back. Called by both the writer and the
-    * probe so the next access self-heals. */
+  /** Crash recovery for [[writeNearDupIndex]]'s swap window — see
+    * [[graft.storage.AtomicDir.recover]]. Called by both the writer and
+    * the probe so the next access self-heals. */
   private[graft] def recoverNearDupIndex(fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path): Unit = {
-    val old = new org.apache.hadoop.fs.Path(live.toString + ".build-old")
-    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
-      throw new java.io.IOException(
-        s"writeNearDupIndex recovery: cannot restore $old")
-  }
+      live: org.apache.hadoop.fs.Path): Unit =
+    graft.storage.AtomicDir.recover(fs, live, "writeNearDupIndex")
 
   /** Dedup a new dump against a stored [[writeNearDupIndex]] index: the
     * new side is shingled under the STORED stop list (so results don't

@@ -220,38 +220,24 @@ object Retrieval {
     require(buckets > 0, "writeBm25Index needs a positive bucket count")
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
     val idx = buildIndex(docs, maxDf, idCol, textCol)
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    recoverBm25Index(fs, live)
-    val tmp = new Path(path + ".build-tmp")
-    val old = new Path(path + ".build-old")
-    fs.delete(tmp, true)
-    Seq((idx.n, idx.t, idx.idCol, maxDf, buckets))
-      .toDF("n", "t", "id_col", "max_df", "buckets")
-      .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
-    def bucketed(f: DataFrame): DataFrame = f
-      .withColumn("tok_bkt", tokBucket(buckets))
-      .repartition(col("tok_bkt"))
-      .sortWithinPartitions("tok_bkt", "tok")
-    bucketed(idx.tf)
-      .write.mode("overwrite").partitionBy("tok_bkt")
-      .parquet(s"$tmp/tf.parquet")
-    bucketed(idx.dfs)
-      .write.mode("overwrite").partitionBy("tok_bkt")
-      .parquet(s"$tmp/dfs.parquet")
-    idx.dl.write.mode("overwrite").parquet(s"$tmp/dl.parquet")
-    idx.release()
-    fs.delete(old, true)
-    if (fs.exists(live) && !fs.rename(live, old))
-      throw new java.io.IOException(s"writeBm25Index: cannot move $live aside")
-    if (!fs.rename(tmp, live)) {
-      if (fs.exists(old)) fs.rename(old, live) // roll back, original intact
-      throw new java.io.IOException(s"writeBm25Index: cannot publish $tmp")
+    graft.storage.AtomicDir.publish(spark, path, "writeBm25Index") { tmp =>
+      Seq((idx.n, idx.t, idx.idCol, maxDf, buckets))
+        .toDF("n", "t", "id_col", "max_df", "buckets")
+        .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+      def bucketed(f: DataFrame): DataFrame = f
+        .withColumn("tok_bkt", tokBucket(buckets))
+        .repartition(col("tok_bkt"))
+        .sortWithinPartitions("tok_bkt", "tok")
+      bucketed(idx.tf)
+        .write.mode("overwrite").partitionBy("tok_bkt")
+        .parquet(s"$tmp/tf.parquet")
+      bucketed(idx.dfs)
+        .write.mode("overwrite").partitionBy("tok_bkt")
+        .parquet(s"$tmp/dfs.parquet")
+      idx.dl.write.mode("overwrite").parquet(s"$tmp/dl.parquet")
+      idx.release()
     }
-    fs.delete(old, true)
-    spark.catalog.refreshByPath(path)
   }
 
   /** Crash recovery for [[writeBm25Index]]'s swap window: a kill between
@@ -259,12 +245,8 @@ object Retrieval {
     * `.build-old` — promote it back. Called by writer and openers so the
     * next access self-heals. */
   private[graft] def recoverBm25Index(fs: org.apache.hadoop.fs.FileSystem,
-      live: org.apache.hadoop.fs.Path): Unit = {
-    val old = new org.apache.hadoop.fs.Path(live.toString + ".build-old")
-    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
-      throw new java.io.IOException(
-        s"writeBm25Index recovery: cannot restore $old")
-  }
+      live: org.apache.hadoop.fs.Path): Unit =
+    graft.storage.AtomicDir.recover(fs, live, "writeBm25Index")
 
   /** Open a [[writeBm25Index]]-stored index as a [[Bm25Index]] — API parity
     * with [[buildIndex]] (the bucket column is internal to the layout), so

@@ -1337,12 +1337,31 @@ object Text {
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       size: Int = 16, minDf: Long = 3): DataFrame = {
     require(minDf >= 2, s"minDf < 2 would drop every span, got $minDf")
+    removeBoilerplateWith(df, idCol, textCol, size,
+      boilerplateSpans(df, idCol, textCol, size, minDf))
+  }
+
+  /** The mined boilerplate span set of a corpus: one (fp, df) row per
+    * span whose corpus-wide occurrence count reaches `minDf`. Small by
+    * construction (only the repeated spans), which is what makes it a
+    * broadcastable at-rest artifact — see [[writeBoilerplateIndex]]. */
+  def boilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 16, minDf: Long = 3): DataFrame =
+    chunk(df, idCol, textCol, size, overlap = 0)
+      .select(md5(col("chunk_text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
+  /** Clean `df` against an already-mined span set (same semantics as
+    * [[removeBoilerplate]]; the span frame broadcasts, so the corpus pays
+    * one chunk pass + one broadcast join + the per-doc reassembly). */
+  def removeBoilerplateWith(df: DataFrame, idCol: String, textCol: String,
+      size: Int, spans: DataFrame): DataFrame = {
     val chunks = chunk(df, idCol, textCol, size, overlap = 0)
-      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
-        md5(col("chunk_text")).as("__fp"))
-    val freq = chunks.groupBy("__fp").agg(count(lit(1)).as("__df"))
-    val keep = col("__df") < minDf
-    val agg = chunks.join(freq, "__fp")
+      .withColumn("__fp", md5(col("chunk_text")))
+    val keep = col("df").isNull // no span row = not boilerplate
+    val agg = chunks.join(broadcast(spans.select(col("fp"), col("df"))),
+        col("__fp") === col("fp"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(keep, 0L).otherwise(1L)).as("n_dropped"),
@@ -1355,6 +1374,41 @@ object Text {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Persist the mined span set ([[boilerplateSpans]]) with its mining
+    * parameters — the at-rest artifact that lets serving restarts, later
+    * corpus dumps, and the streaming cleaner skip the corpus mining pass
+    * (the [[graft.pipeline.Retrieval.writeBm25Index]] convention; same
+    * [[graft.storage.AtomicDir]] crash-safe publish). */
+  def writeBoilerplateIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, size: Int = 16, minDf: Long = 3): Unit = {
+    require(minDf >= 2, s"minDf < 2 would drop every span, got $minDf")
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.storage.AtomicDir.publish(spark, path,
+      "writeBoilerplateIndex") { tmp =>
+      Seq((size, minDf)).toDF("size", "min_df")
+        .write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+      boilerplateSpans(df, idCol, textCol, size, minDf)
+        .coalesce(1) // small by construction — one file serves fastest
+        .write.mode("overwrite").parquet(s"$tmp/spans.parquet")
+    }
+  }
+
+  /** Clean a corpus against a stored [[writeBoilerplateIndex]] — the
+    * chunk size comes from the INDEX meta so a probe can never chunk
+    * differently than the miner did. */
+  def removeBoilerplateStored(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    graft.storage.AtomicDir.recover(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(path), "writeBoilerplateIndex")
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    removeBoilerplateWith(df, idCol, textCol, meta.getInt(0),
+      spark.read.parquet(s"$path/spans.parquet"))
   }
 
   /** Sliding token-window chunking — the context-window prep step of a

@@ -330,12 +330,9 @@ object StreamIngest {
       idCol: String, textCol: String, size: Int = 16,
       minDf: Long = 3): DataFrame = {
     import graft.pipeline.Text
-    val boiler: Set[String] = Text.chunk(staticDf, idCol, textCol,
-        size, overlap = 0)
-      .select(md5(col("chunk_text")).as("__fp"))
-      .groupBy("__fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf)
-      .collect().map(_.getString(0)).toSet
+    val boiler: Set[String] = Text.boilerplateSpans(staticDf, idCol,
+        textCol, size, minDf)
+      .select("fp").collect().map(_.getString(0)).toSet
     val clean = udf((chunks: Seq[String]) => {
       val md = java.security.MessageDigest.getInstance("MD5")
       def hex(s: String): String =

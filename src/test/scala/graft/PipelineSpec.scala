@@ -1764,6 +1764,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count(_.getString(0) == "b") == 4)
   }
 
+  test("boilerplate index at rest: stored probe = direct, crash heals") {
+    val corpus = Seq(
+      (0L, "common header text here alpha beta gamma delta"),
+      (1L, "common header text here epsilon zeta eta theta"),
+      (2L, "common header text here iota kappa lambda mu"),
+      (3L, "totally unique document body with eight words here"))
+      .toDF("doc_id", "text")
+    val path = SparkTestBase.tempDir("graft-boiler-idx") + "/idx"
+    graft.pipeline.Text.writeBoilerplateIndex(corpus, "doc_id", "text",
+      path, size = 4, minDf = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val direct = rows(graft.pipeline.Text.removeBoilerplate(
+      corpus, "doc_id", "text", size = 4, minDf = 3))
+    val stored = rows(graft.pipeline.Text.removeBoilerplateStored(
+      spark, corpus, "doc_id", "text", path))
+    assert(stored == direct)
+    // simulate a crash between the two publish renames: live gone, the
+    // complete tree stranded at .build-old — the next open must heal it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".build-old")))
+    val healed = rows(graft.pipeline.Text.removeBoilerplateStored(
+      spark, corpus, "doc_id", "text", path))
+    assert(healed == direct)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path)))
+  }
+
   test("profile: per-column nulls/distincts/min-max from one pass") {
     val df = Seq(
       (Some(1L), Some("b")), (Some(2L), None),
