@@ -3049,6 +3049,24 @@ object SparkEntry {
           Text.piiPhoneCount(col("t")).as("n_phones"))
         .orderBy("doc_id")
     }),
+    "pipeline_clean" -> ((s, d) => {
+      // the composed cleaning pass: scrub → boilerplate removal → per-
+      // source percentile trim, over a corpus with PLANTED PII (the
+      // text_pii_scrub fixture) so every stage does real work; full-chain
+      // value oracle reproduces the surviving cleaned texts exactly
+      val planted = t(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3L)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5L)) === 0,
+            concat(lit(" call +1 555 "),
+              lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+            .otherwise(lit(""))))
+      graft.pipeline.Pipelines.clean(planted, "doc_id", "text", "source",
+          size = 16, minDf = 3, loPct = 10, hiPct = 90)
+        .orderBy("doc_id")
+    }),
     "text_shingle_fp" -> ((s, d) =>
       // md5-derived 60-bit hashes so the DuckDB oracle reproduces the folds
       // exactly; the xxhash64 fast path is covered by PipelineSpec
@@ -4540,6 +4558,72 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars
         |FROM documents JOIN keep USING (source, n_chars)
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_clean" -> {
+      val size = 16
+      s"""WITH src AS (
+         |  SELECT doc_id, source,
+         |    regexp_replace(regexp_replace(
+         |      text ||
+         |      CASE WHEN doc_id % 3 = 0
+         |        THEN ' contact user' || doc_id || '@example.com'
+         |        ELSE '' END ||
+         |      CASE WHEN doc_id % 5 = 0
+         |        THEN ' call +1 555 ' ||
+         |          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |        ELSE '' END,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g'),
+         |      '\\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g') AS t
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, source,
+         |    list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+         |      x -> x <> '') AS tk
+         |  FROM src
+         |), m AS (
+         |  SELECT doc_id, source, tk,
+         |    CASE WHEN len(tk) = 0 THEN 0
+         |         ELSE greatest(1, (len(tk) + $size - 1) // $size)
+         |    END AS nc
+         |  FROM toks
+         |), c AS (
+         |  SELECT doc_id, i AS ci,
+         |    array_to_string(tk[i * $size + 1 : i * $size + $size], ' ')
+         |      AS ct
+         |  FROM m CROSS JOIN (
+         |    SELECT unnest(generate_series(0, 999)) AS i
+         |  ) WHERE i < nc
+         |), f AS (SELECT ct, count(*) AS df FROM c GROUP BY ct
+         |), g AS (
+         |  SELECT doc_id, count(*) AS n_chunks,
+         |    CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped,
+         |    string_agg(CASE WHEN df < 3 THEN ct END, ' ' ORDER BY ci)
+         |      AS clean
+         |  FROM c JOIN f USING (ct) GROUP BY doc_id
+         |), j AS (
+         |  SELECT m.doc_id, m.source,
+         |    COALESCE(clean, '') AS text_clean,
+         |    COALESCE(n_chunks, 0) AS n_chunks,
+         |    COALESCE(n_dropped, 0) AS n_dropped,
+         |    len(COALESCE(clean, '')) AS l
+         |  FROM m LEFT JOIN g USING (doc_id)
+         |), h AS (
+         |  SELECT source, l, count(*) AS cnt FROM j GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, l, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY l) AS cle
+         |  FROM h
+         |), tot AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1
+         |), keep AS (
+         |  SELECT source, l FROM cum JOIN tot USING (source)
+         |  WHERE cle * 100 > n * 10 AND (cle - cnt) * 100 < n * 90
+         |)
+         |SELECT doc_id, source, text_clean, n_chunks, n_dropped
+         |FROM j JOIN keep USING (source, l)
+         |ORDER BY doc_id""".stripMargin
+    },
     "text_remove_boilerplate" -> {
       val size = 16
       s"""WITH t AS (

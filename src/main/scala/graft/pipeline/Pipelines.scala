@@ -52,6 +52,35 @@ object Pipelines {
           s"unknown pinMode '$other' (expected local | reliable | disk)")
     }
 
+  /** Pre-curation cleaning pass — the transforms that MUTATE text, run
+    * before [[curate]]'s filters ever see it:
+    *
+    *   PII scrub (mask emails/phones — redaction first, so nothing
+    *   downstream persists raw PII) → boilerplate removal (corpus-
+    *   repeated spans drop, text reassembles) → adaptive per-group length
+    *   trim (each source keeps its own [loPct, hiPct] percentile band of
+    *   CLEANED length — trimming after cleaning, so a doc that was all
+    *   boilerplate counts as the empty doc it now is).
+    *
+    * Returns (id, group, text_clean, n_chunks, n_dropped) for the
+    * surviving docs. Scale shape inherits from the stages: the scrub
+    * rides the scan (codegen regexp), boilerplate is two keyed shuffles,
+    * the trim decides on the histogram and broadcasts back.
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, size: Int = 16, minDf: Long = 3,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    val scrubbed = df.withColumn(textCol, Text.scrubPii(col(textCol)))
+    val boiled = Text.removeBoilerplate(scrubbed, idCol, textCol,
+      size, minDf)
+    val withGrp = boiled
+      .join(df.select(col(idCol), col(groupCol)), Seq(idCol))
+      .withColumn("__len", length(col("text_clean")))
+    Text.lengthTrimPct(withGrp, "__len", groupCol, loPct, hiPct)
+      .select(col(idCol), col(groupCol), col("text_clean"),
+        col("n_chunks"), col("n_dropped"))
+  }
+
   def curate(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 70,
       nearDupThreshold: Double = 0.3, shingleSize: Int = 3,
