@@ -930,24 +930,24 @@ object SparkEntry {
     "tpch_q17" -> ((s, d) => {
       // small-quantity-order revenue (TPC-H Q17): the correlated
       // scalar-subquery shape — l_quantity < 0.2 · avg(l_quantity) per
-      // part — decorrelated the way Catalyst itself rewrites it: ONE
-      // per-part aggregate over the (brand, type)-selected parts'
-      // lineitems, rejoined to those same lineitems. The part dim filter
-      // broadcasts, and the per-part avg table is selected-parts-sized so
-      // AQE broadcasts the rejoin too. The 0.2·avg threshold is decided
-      // by integer cross-multiplication (5·qty·cnt < sum_qty — quantities
-      // are integral-valued doubles), never a float division; the classic
+      // part — decorrelated to a per-part WINDOW aggregate over the
+      // (brand, type)-selected parts' lineitems: bounded partitions
+      // (lines per part) and ONE lineitem scan, where the agg+rejoin
+      // form plans two (no exchange reuse across the differing
+      // aggregates). The 0.2·avg threshold is decided by integer
+      // cross-multiplication (5·qty·cnt < sum_qty — quantities are
+      // integral-valued doubles), never a float division; the classic
       // "/7.0 avg_yearly" is emitted as the exact floor-divided cents
       val pt = broadcast(t(s, d, "part")
         .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
         .select("p_partkey"))
-      val li = t(s, d, "lineitem")
+      val w17 = Window.partitionBy("l_partkey")
+      t(s, d, "lineitem")
         .join(pt, col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_quantity").cast("long").as("__qty"),
           epCents.as("__price_c"))
-      val avgq = li.groupBy("l_partkey")
-        .agg(sum("__qty").as("__s"), count(lit(1)).as("__n"))
-      li.join(avgq, "l_partkey")
+        .withColumn("__s", sum("__qty").over(w17))
+        .withColumn("__n", count(lit(1)).over(w17))
         .filter(col("__qty") * lit(5L) * col("__n") < col("__s"))
         .agg(coalesce(sum("__price_c"), lit(0L)).as("small_qty_rev_c"),
           count(lit(1)).as("n_items"))
@@ -1064,10 +1064,13 @@ object SparkEntry {
       // line price in exact cents from lineitem, the scope is EUROPE
       // suppliers of size-15 STANDARD parts. Decorrelated the way
       // Catalyst rewrites it: one per-part min over the scoped cost
-      // frame, rejoined (min-sized, AQE broadcasts). The selected-part
-      // dim broadcasts BEFORE the cost aggregation so the groupBy only
-      // shuffles the ~0.3% of lineitem that can matter; ties on min cost
-      // all survive (classic Q2 semantics), order is total.
+      // frame as a per-part WINDOW MIN (bounded partitions — suppliers
+      // per part — and ONE lineitem scan; the agg+rejoin alternative
+      // plans two full scans because nothing makes the exchanges
+      // reusable). The selected-part dim broadcasts BEFORE the cost
+      // aggregation so the groupBy only shuffles the ~0.3% of lineitem
+      // that can matter; ties on min cost all survive (classic Q2
+      // semantics), order is total.
       val pt = broadcast(t(s, d, "part")
         .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
         .select("p_partkey"))
@@ -1086,9 +1089,8 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(epCents).as("cost_c"))
-      val minc = cost.groupBy("l_partkey")
-        .agg(min("cost_c").as("__min_c"))
-      cost.join(minc, "l_partkey")
+      cost.withColumn("__min_c",
+          min("cost_c").over(Window.partitionBy("l_partkey")))
         .filter(col("cost_c") === col("__min_c"))
         .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
         .select(col("bal_c"), col("s_name"), col("n_name"),
@@ -1179,8 +1181,13 @@ object SparkEntry {
       val lines = t(s, d, "lineitem")
         .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .select(col("l_partkey"), epCents.as("__price_c"))
+      // the per-part aggregate feeds BOTH the total and the output —
+      // persist it so the lineitem scan + shuffle run once, not twice
+      // (no exchange reuse across the differing downstream aggregates);
+      // the frame is per-part metadata, orders smaller than the fact
       val perPart = lines.groupBy("l_partkey")
         .agg(sum("__price_c").as("value_c"))
+        .persist()
       val total = perPart.agg(sum("value_c").as("__total_c"))
       perPart.crossJoin(broadcast(total))
         .filter(col("value_c") * lit(10000L) > col("__total_c"))
@@ -1190,15 +1197,18 @@ object SparkEntry {
     "tpch_q15" -> ((s, d) => {
       // top-supplier shape (TPC-H Q15): the revenue view + scalar-MAX
       // subquery. One quarter's per-supplier revenue aggregates in exact
-      // cent·pct units; the 1-row max broadcasts back onto the same
-      // aggregate (computed once — Spark reuses the shuffle via
-      // ReuseExchange) and ties all survive, classic semantics.
+      // cent·pct units; the view is PERSISTED because the max branch and
+      // the output branch would otherwise each rescan lineitem (the
+      // differing downstream aggregates defeat exchange reuse) — the
+      // frame is per-supplier, orders smaller than the fact. The 1-row
+      // max broadcasts back; ties all survive, classic semantics.
       val lo = to_timestamp(lit("1996-01-01"))
       val hi = to_timestamp(lit("1996-04-01"))
       val rev = t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
         .groupBy("l_suppkey")
         .agg(sum(epCents * (lit(100L) - disc100)).as("total_rev_c4"))
+        .persist()
       val mx = rev.agg(max("total_rev_c4").as("__max_rev"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_rev_c4") === col("__max_rev"))

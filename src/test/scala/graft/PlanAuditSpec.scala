@@ -470,9 +470,14 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("tpch_q2: groupwise-min rejoin stays hash, part filter pushed") {
+  test("tpch_q2: per-part window min, ONE lineitem scan, filter pushed") {
     val p = plan("tpch_q2")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    // the groupwise min is a bounded per-part WINDOW (suppliers per
+    // part), so the whole query reads lineitem exactly once — the
+    // agg+rejoin alternative scans it twice
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
     // the EUROPE supplier scope is a semi join; the (size, type) part
     // filter reaches the part scan and broadcasts onto lineitem BEFORE
     // the cost aggregation
@@ -481,6 +486,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), p)
     // top-100 is a distributed TakeOrdered, not a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch_q17: correlated avg as a per-part window, ONE lineitem scan") {
+    val p = plan("tpch_q17")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+    // the (brand, type) part filter reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#23)"), p)
   }
 
   test("tpch_q8: both dim chains broadcast, date pushed, one agg pass") {
@@ -508,14 +522,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("NestedLoopJoin".r.findAllIn(p).size == 1, p)
     assert(p.contains("EqualTo(n_name,NATION_7)"), p)
     assert(p.contains("partial_sum"), p)
+    // the per-part aggregate is PINNED: both the total branch and the
+    // output branch read the cached frame, so lineitem scans once
+    assert(p.contains("InMemoryRelation"), p)
+    spark.sharedState.cacheManager.clearCache()
   }
 
-  test("tpch_q15: scalar max broadcasts, quarter filter pushed") {
+  test("tpch_q15: scalar max broadcasts, revenue view pinned") {
     val p = plan("tpch_q15")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
     assert(p.contains("partial_max"), p)
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
     assert(p.contains("BroadcastHashJoin"), p)
+    // the per-supplier revenue view is PINNED — the max branch and the
+    // output branch share it instead of each rescanning lineitem
+    assert(p.contains("InMemoryRelation"), p)
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("tpch_q16: complaint exclusion is a broadcast anti join") {
