@@ -3914,6 +3914,22 @@ object SparkEntry {
         src, evalDf, "doc_id", "text")
       runStreamToTable(s, out, "stream_contamination_out").orderBy("doc_id")
     }),
+    "stream_length_trim" -> ((s, d) => {
+      // ingest-side adaptive length gate: band mined from the static
+      // corpus, arrivals pass/drop via a stateless broadcast semi join —
+      // admitted set equals the batch trim exactly (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select("doc_id", "source", "n_chars")
+      val out = graft.streaming.StreamIngest.streamingLengthTrim(
+        src, t(s, d, "documents").select("doc_id", "source", "n_chars"),
+        "n_chars", "source", loPct = 10, hiPct = 90)
+      runStreamToTable(s, out, "stream_len_trim_out")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
     "stream_remove_boilerplate" -> ((s, d) => {
       // ingest-side boilerplate cleaning: the repeated-span fingerprints
       // mine once from the static corpus, each arriving doc cleans in
@@ -5708,6 +5724,8 @@ object SparkEntry {
       // probing the persisted span index runs the identical cleaning —
       // only the span set's provenance (parquet vs recompute) differs
       ("text_remove_boilerplate_stored" -> base("text_remove_boilerplate")) +
+      // the stateless band semi-join admits exactly the batch trim set
+      ("stream_length_trim" -> base("quality_length_trim")) +
       // the stream-maintained index holds exactly the batch assignment
       // (same centroids, same arithmetic, only arrival path differs), so
       // the stored probe shares knn_ivf's value oracle

@@ -1302,6 +1302,16 @@ object Text {
     * no matter how skewed the groups are.
     */
   def lengthTrimPct(df: DataFrame, lenCol: String, groupCol: String,
+      loPct: Int = 5, hiPct: Int = 95): DataFrame =
+    df.join(broadcast(lengthBand(df, lenCol, groupCol, loPct, hiPct)),
+      Seq(groupCol, lenCol), "left_semi")
+
+  /** The kept (group, length) pairs of [[lengthTrimPct]]'s band —
+    * exposed separately so a STREAM can trim against a static corpus's
+    * band (stream-static semi join, stateless) and so a band mined once
+    * can filter later dumps without re-aggregating. Metadata-sized: one
+    * row per surviving distinct (group, length). */
+  def lengthBand(df: DataFrame, lenCol: String, groupCol: String,
       loPct: Int = 5, hiPct: Int = 95): DataFrame = {
     require(0 <= loPct && loPct < hiPct && hiPct <= 100,
       s"need 0 <= loPct < hiPct <= 100, got [$loPct, $hiPct]")
@@ -1312,11 +1322,10 @@ object Text {
       .withColumn("__cum_le", sum("__c").over(w))
       .withColumn("__cum_lt", col("__cum_le") - col("__c"))
     val tot = counts.groupBy(groupCol).agg(sum("__c").as("__n"))
-    val keepLens = cum.join(tot, groupCol)
+    cum.join(tot, groupCol)
       .filter(col("__cum_le") * 100 > col("__n") * loPct &&
         col("__cum_lt") * 100 < col("__n") * hiPct)
       .select(groupCol, lenCol)
-    df.join(broadcast(keepLens), Seq(groupCol, lenCol), "left_semi")
   }
 
   /** Boilerplate removal — the "most common spans" cleaning step

@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   * Reference behavior: zikeiretsu's block-list swap
   * (`zikeiretsu/src/tsdb/storage/local.rs`) — same crash-window contract,
   * re-expressed over Hadoop FS paths so it works on object stores too.
+  *
+  * The in-place compactors (`Similarity.compactIvf`,
+  * `Text.compactSketchStore`) keep their own shared `.compact-*` variant
+  * of this protocol: compaction READS the live tree as its build input
+  * and must fail loudly when it's absent — a precondition this
+  * build-fresh helper deliberately doesn't impose.
   */
 object AtomicDir {
   def recover(fs: FileSystem, live: Path, what: String): Unit = {

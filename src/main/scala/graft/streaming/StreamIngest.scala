@@ -359,6 +359,22 @@ object StreamIngest {
         col("__r._2").as("n_chunks"), col("__r._3").as("n_dropped"))
   }
 
+  /** Streaming length trim against a static corpus's percentile band —
+    * the ingest-side twin of [[graft.pipeline.Text.lengthTrimPct]]: the
+    * kept (group, length) band is mined once from the static corpus
+    * (metadata-sized) and each arriving row passes or drops via a
+    * stream-static broadcast SEMI join — stateless, append mode, no
+    * state store. When the streamed corpus IS the static corpus the
+    * admitted set equals the batch trim exactly (shared oracle).
+    */
+  def streamingLengthTrim(stream: DataFrame, staticDf: DataFrame,
+      lenCol: String, groupCol: String, loPct: Int = 5,
+      hiPct: Int = 95): DataFrame = {
+    val band = graft.pipeline.Text.lengthBand(
+      staticDf, lenCol, groupCol, loPct, hiPct)
+    stream.join(broadcast(band), Seq(groupCol, lenCol), "left_semi")
+  }
+
   /** Streaming near-duplicate detection against a static reference corpus —
     * the incremental-ingest dedup shape: incoming documents are LSH-probed
     * into a prebuilt band-bucket index of the existing training set, and
