@@ -2816,6 +2816,20 @@ object SparkEntry {
       // integer PMI substrate; pair fan-out bounded by the vocab cap
       Text.cooccurrence(t(s, d, "documents"), "doc_id", "text", topK = 100)
         .orderBy("tok_a", "tok_b")),
+    "text_collocations" -> ((s, d) =>
+      // phrase discovery: adjacent bigrams ranked by scaled rational PMI
+      // (integer-exact), min-count 5, global top-50
+      Text.collocations(t(s, d, "documents"), "text",
+        minCount = 5, topK = 50)),
+    "text_lm_score" -> ((s, d) => {
+      // CCNet-shaped LM quality scoring: mean add-one-smoothed bigram
+      // probability under the reference third of the corpus, fixed-point
+      val docs = t(s, d, "documents")
+      Text.lmScore(docs,
+        Text.lmRef(docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "text_dup_ngrams" -> ((s, d) =>
       // most-duplicated 5-token spans with doc frequency — the
       // substring-dedup signal (Lee et al. 2022) at fixed span length
@@ -4717,6 +4731,55 @@ object SparkEntry {
          |FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.tok < b.tok
          |GROUP BY tok_a, tok_b
          |ORDER BY tok_a, tok_b""".stripMargin,
+    "text_collocations" ->
+      s"""WITH t AS (SELECT $DuckToks AS toks FROM documents),
+         |uni AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+         |), n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         |bi AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM (
+         |    SELECT unnest([toks[i] || ' ' || toks[i+1]
+         |      for i in generate_series(1, greatest(len(toks)-1, 0))]) AS bg
+         |    FROM t)
+         |  GROUP BY bg HAVING count(*) >= 5
+         |)
+         |SELECT string_split(bg, ' ')[1] AS tok_a,
+         |  string_split(bg, ' ')[2] AS tok_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+         |  CAST((1048576::HUGEINT * c_ab * (SELECT n FROM n))
+         |    // (ca.c::HUGEINT * cb.c) AS BIGINT) AS pmi_s
+         |FROM bi
+         |JOIN uni ca ON ca.tok = string_split(bg, ' ')[1]
+         |JOIN uni cb ON cb.tok = string_split(bg, ' ')[2]
+         |ORDER BY pmi_s DESC, tok_a, tok_b LIMIT 50""".stripMargin,
+    "text_lm_score" ->
+      s"""WITH rt AS (
+         |  SELECT $DuckToks AS toks FROM documents WHERE doc_id % 3 = 0
+         |), runi AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(toks) AS tok FROM rt) GROUP BY tok
+         |), v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM runi),
+         |rbi AS (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
+         |    SELECT unnest([toks[i] || ' ' || toks[i+1]
+         |      for i in generate_series(1, greatest(len(toks)-1, 0))]) AS bg
+         |    FROM rt)
+         |  GROUP BY bg
+         |), d AS (
+         |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+         |    for i in generate_series(1, greatest(len(toks)-1, 0))]) AS bg
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), p AS (
+         |  SELECT doc_id,
+         |    (1048576::HUGEINT * (coalesce(c12, 0) + 1))
+         |      // (coalesce(c1, 0) + (SELECT v FROM v)) AS p
+         |  FROM d
+         |  LEFT JOIN rbi USING (bg)
+         |  LEFT JOIN runi ON runi.tok = string_split(d.bg, ' ')[1]
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents

@@ -1555,4 +1555,137 @@ object Text {
         aggregate(col("__hashes"), lit(0L), (acc, h) => acc.bitwiseXOR(h)))
       .drop("__toks", "__hashes")
   }
+
+  // --- Adjacent-bigram substrate (collocations, LM scoring) ---------------
+
+  /** Adjacent token bigrams WITH multiplicity, joined by one space — the
+    * positional counterpart of [[shinglesScala]]'s set semantics. A compact
+    * UDF for the same reason the shingle path has one: higher-order Column
+    * functions are CodegenFallback, so per-doc array surgery is faster as
+    * one narrow JVM map (measured rationale at the JVM hot-path section
+    * above). */
+  def bigramsScala(toks: Array[String]): Array[String] = {
+    if (toks.length < 2) return Array.empty
+    val out = new Array[String](toks.length - 1)
+    var i = 0
+    while (i + 1 < toks.length) {
+      out(i) = toks(i) + " " + toks(i + 1)
+      i += 1
+    }
+    out
+  }
+
+  /** text → adjacent-bigram array (with multiplicity), one narrow map. */
+  def bigramsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => bigramsScala(tokensScala(text)))
+
+  /** Collocation mining: adjacent bigrams ranked by a scaled RATIONAL PMI —
+    * the phrase-discovery stage of a corpus pipeline ("new york", "machine
+    * learning") as pure integer arithmetic. For bigram count c_ab, unigram
+    * counts c_a/c_b, corpus token total N, and scale S = 2^`scaleLog2`:
+    *
+    *   pmi_s = ⌊ S · c_ab · N / (c_a · c_b) ⌋
+    *
+    * — exp(PMI) scaled, monotone in true PMI for fixed counts, engine-exact
+    * (a float log would hash differently across libm builds; the BM25 idf
+    * makes the same trade). `minCount` drops rare-pair noise (classic PMI
+    * failure mode: hapax pairs score highest), then the global top-`topK`
+    * by (pmi_s, pair) is emitted.
+    *
+    * Scale shape: two aggregation passes over the tokenized corpus (unigram
+    * counts, bigram counts) — both map-side combinable; N derives from the
+    * unigram frame, never a second corpus scan. The bigram→unigram joins
+    * run AFTER the `minCount` filter, so the joined side is the surviving
+    * candidate set, not the corpus; intermediates ride decimal(38,0)
+    * (c_ab·N overflows long at corpus scale). Output is topK rows —
+    * metadata-sized.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+      topK: Int = 50, scaleLog2: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1 && scaleLog2 >= 10 && scaleLog2 <= 30)
+    val s = 1L << scaleLog2
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val base = fanOut(df)
+    // the unigram frame is read three times (N scalar + two joins): persist
+    // the vocabulary-sized aggregate so the corpus is scanned exactly twice
+    // (once per count pass), not once per consumer
+    val uni = base.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist()
+    val n = uni.agg(sum("c")).head().getLong(0)
+    val bi = base.select(explode(bigramsUdf(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("tok_a", split(col("bg"), " ").getItem(0))
+      .withColumn("tok_b", split(col("bg"), " ").getItem(1))
+    bi
+      .join(uni.withColumnRenamed("tok", "tok_a").withColumnRenamed("c", "c_a"),
+        "tok_a")
+      .join(uni.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "c_b"),
+        "tok_b")
+      .withColumn("__num", big(lit(s)) * big(col("c_ab")) * big(lit(n)))
+      .withColumn("__den", big(col("c_a")) * big(col("c_b")))
+      .withColumn("pmi_s", expr("__num div __den"))
+      .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", "pmi_s")
+      .orderBy(col("pmi_s").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(topK)
+  }
+
+  /** The reference bigram language model [[lmScore]] scores against:
+    * add-one-smoothed conditional counts from a reference corpus. `bi` is
+    * (bg, c12) over adjacent bigrams, `uni` is (tok, c1) over tokens, `v`
+    * the reference vocabulary size — the smoothing denominator. Both frames
+    * are vocabulary-sized (not corpus-sized); `v` is the only scalar. */
+  final case class LmRef(bi: DataFrame, uni: DataFrame, v: Long)
+
+  /** One reference-corpus pass → [[LmRef]]. */
+  def lmRef(refDf: DataFrame, textCol: String): LmRef = {
+    val base = fanOut(refDf)
+    val uni = base.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = base.select(explode(bigramsUdf(col(textCol))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    LmRef(bi, uni, uni.count())
+  }
+
+  /** N-gram LM quality scoring (the CCNet/KenLM-shaped stage): each doc is
+    * scored by its mean add-one-smoothed bigram probability under a
+    * reference-corpus model, in exact integer arithmetic. Per doc bigram
+    * (w1, w2) with reference counts c12 = c(w1 w2), c1 = c(w1 ·), vocab V,
+    * scale S = 2^`scaleLog2`:
+    *
+    *   p_s  = ⌊ S · (c12 + 1) / (c1 + V) ⌋        (≤ S; unseen w1 → c1 = 0)
+    *   lm_score = ⌊ Σ p_s / n_bigrams ⌋
+    *
+    * — the scaled-likelihood surrogate of perplexity: monotone in mean
+    * probability (high = reference-like, low = gibberish/boilerplate), no
+    * float log anywhere, so scores are bit-identical across engines. The
+    * reference corpus plays KenLM's wiki-LM role; swapping a real trained
+    * count table into [[LmRef]] changes nothing downstream. Docs with no
+    * bigram (< 2 tokens) are dropped — they carry no sequence signal.
+    *
+    * Scale shape: one tokenize pass over the scored corpus; the model
+    * frames are vocabulary-sized keyed joins (p_s via decimal(38,0) — at
+    * corpus scale S·c12 exceeds long), never broadcast-forced so AQE picks
+    * broadcast exactly when the model fits. The per-doc reduce is one
+    * map-side-combinable groupBy.
+    */
+  def lmScore(df: DataFrame, ref: LmRef, idCol: String, textCol: String,
+      scaleLog2: Int = 20): DataFrame = {
+    require(scaleLog2 >= 10 && scaleLog2 <= 30)
+    val s = 1L << scaleLog2
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    fanOut(df)
+      .select(col(idCol), explode(bigramsUdf(col(textCol))).as("bg"))
+      .withColumn("__w1", split(col("bg"), " ").getItem(0))
+      .join(ref.bi, Seq("bg"), "left")
+      .join(ref.uni.withColumnRenamed("tok", "__w1"), Seq("__w1"), "left")
+      .withColumn("__pn", big(lit(s)) * big(coalesce(col("c12"), lit(0L)) + 1))
+      .withColumn("__pd", big(coalesce(col("c1"), lit(0L)) + ref.v))
+      .withColumn("__p", expr("__pn div __pd"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__p").as("__sum"))
+      .withColumn("lm_score", expr("__sum div n_bigrams"))
+      .drop("__sum")
+  }
 }
