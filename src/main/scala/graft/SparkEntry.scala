@@ -523,6 +523,13 @@ object SparkEntry {
       Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.6)
         .orderBy("id1", "id2")),
+    "dedup_fuzzy_pairs" -> ((s, d) =>
+      // typo-grade near-dup: pairs whose normalized 40-char prefix keys
+      // are within edit distance 1, via SymSpell deletion-neighborhood
+      // blocking (complete recall, no all-pairs) + levenshtein verify.
+      // The oracle is the INDEPENDENT brute-force all-pairs scan
+      Dedup.fuzzyPairs(t(s, d, "documents"), "doc_id", "text", keyLen = 40)
+        .orderBy("doc_a", "doc_b")),
     "sketch_overlap" -> ((s, d) => {
       // cross-source vocabulary overlap from at-rest HLL sketches: exact
       // per-pair intersections are VALUE-oracled; est_ok gates the
@@ -1827,6 +1834,22 @@ object SparkEntry {
          |WHERE greatest(CAST(shared AS DOUBLE) / n1,
          |               CAST(shared AS DOUBLE) / n2) >= 0.6
          |ORDER BY id1, id2""".stripMargin,
+    // brute-force all-pairs — deliberately NOT the engine's candidate
+    // scheme, so it independently validates SymSpell blocking recall
+    // (the length-band prefilter is implied by ed <= 1, not a heuristic)
+    "dedup_fuzzy_pairs" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+        |           1, 40) AS key
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id
+        |  AND abs(length(a.key) - length(b.key)) <= 1
+        |WHERE levenshtein(a.key, b.key) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "sketch_overlap" ->
       s"""WITH tok AS (
         |  SELECT DISTINCT lang, tok FROM (

@@ -1000,6 +1000,82 @@ object Dedup {
           .otherwise(0L)).as("n_kept"))
   }
 
+  /** All single-character deletions of a string, plus the string itself —
+    * the SymSpell deletion neighborhood at distance 1 (Garbe's published
+    * symmetric-delete scheme). Distinct because repeated characters yield
+    * identical deletions ("aab": dropping either 'a' gives "ab"). */
+  private[graft] def deletionVariants(s: String): Array[String] = {
+    if (s == null || s.isEmpty) return Array("")
+    val out = new Array[String](s.length + 1)
+    out(0) = s
+    var i = 0
+    while (i < s.length) {
+      out(i + 1) = s.substring(0, i) + s.substring(i + 1)
+      i += 1
+    }
+    out.distinct
+  }
+
+  private def deletionVariantsUdf
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => deletionVariants(s))
+
+  /** Edit-distance fuzzy join: all doc pairs whose normalized `keyLen`-char
+    * prefix keys are within Levenshtein distance 1 — typo-grade near-dup
+    * detection (OCR slips, mojibake, off-by-one-character scrapes), the
+    * band of similarity the shingle tiers cannot see (one character edit
+    * barely moves Jaccard on short texts but IS the whole difference).
+    *
+    * Candidates come from SymSpell's symmetric-delete scheme rather than
+    * any all-pairs scan: two strings with ed(a,b) ≤ 1 ALWAYS share a
+    * member of their deletion neighborhoods {s} ∪ del₁(s) — if b inserts
+    * one char into a then a ∈ del₁(b); if it substitutes at i then
+    * delᵢ(a) = delᵢ(b) — so an equi-join on exploded variants has
+    * complete recall by construction (DedupSpec pins it against
+    * brute-force). Each candidate pair then exact-verifies with
+    * `levenshtein` (codegen'd) — the verify step only confirms/annotates,
+    * it cannot add pairs.
+    *
+    * The key is the normalized text capped at `keyLen` chars: caps both
+    * the variant fan-out (≤ keyLen+1 rows per doc) and the verify cost
+    * (levenshtein is O(keyLen²)); the fingerprint normalization
+    * (lower/trim/collapse-whitespace) is [[Text.fingerprint]]'s, so "the
+    * same doc modulo whitespace" keys identically.
+    *
+    * Scale shape: one narrow variant explode, one equi-join on the
+    * variant key (shuffle bounded by docs × (keyLen+1)), distinct on the
+    * pair key, then the O(1)-per-pair verify. Pair output over a group of
+    * g identical keys is g·(g−1)/2 — inherent to pair semantics (the
+    * jaccard tier's contract); `maxBucket` drops variant keys shared by
+    * more rows than the cap, bounding any one join key's fan-out: recall
+    * stays complete for every pair below the cap, and groups above it are
+    * exact-duplicate clusters the cheaper [[exactClusters]] tier already
+    * finds.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      keyLen: Int = 40, maxBucket: Long = 4096): DataFrame = {
+    require(keyLen >= 4 && maxBucket >= 2)
+    val keyed = Text.fanOut(df).select(col(idCol).as("__id"),
+      substring(regexp_replace(trim(lower(col(textCol))), "\\s+", " "),
+        1, keyLen).as("__key"))
+    val variants = keyed
+      .select(col("__id"), col("__key"),
+        explode(deletionVariantsUdf(col("__key"))).as("__v"))
+    val capped = variants.groupBy("__v").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select("__v")
+    val a = variants.join(capped, "__v")
+    val b = a.select(col("__v"), col("__id").as("__id_b"),
+      col("__key").as("__key_b"))
+    a.join(b, "__v")
+      .filter(col("__id") < col("__id_b"))
+      .select(col("__id").as("doc_a"), col("__id_b").as("doc_b"),
+        col("__key"), col("__key_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("__key"), col("__key_b")))
+      .filter(col("dist") <= 1)
+      .select("doc_a", "doc_b", "dist")
+  }
+
   /** SimHash sign-sum aggregator: +1/-1 per bit per token hash. */
   object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
     override def zero: Array[Int] = new Array[Int](64)

@@ -1809,4 +1809,59 @@ class PipelineSpec extends AnyFunSuite {
       v.getLong(2) == 1 && v.getLong(3) == 2 &&
       v.getString(4) == "a" && v.getString(5) == "b")
   }
+
+  test("fuzzyPairs == brute-force levenshtein<=1 pairs (SymSpell recall)") {
+    // planted edit types against doc 0's key: exact (1), whitespace/case
+    // (2, same normalized key), substitution (3), deletion (4), insertion
+    // (5), two edits (6, must NOT match), unrelated (7)
+    val fz = Seq(
+      (0L, "abcdefgh ijkl"),
+      (1L, "abcdefgh ijkl"),
+      (2L, "  Abcdefgh   IJKL "),
+      (3L, "abcXefgh ijkl"),
+      (4L, "abcdegh ijkl"),
+      (5L, "abcdefgh zijkl"),
+      (6L, "abXdefgh iYkl"),
+      (7L, "totally other text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(fz, "doc_id", "text", keyLen = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same normalized keys
+    val keys = fz.select(col("doc_id"),
+      substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "),
+        1, 40).as("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys if ia < ib
+      dist = lev(ka, kb) if dist <= 1
+    } yield (ia, ib, dist)).toSet
+    assert(got == want)
+    assert(want.contains((0L, 3L, 1)) && want.contains((0L, 4L, 1)) &&
+      want.contains((0L, 5L, 1)) && want.contains((0L, 1L, 0)) &&
+      want.contains((0L, 2L, 0)))
+    assert(!want.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("fuzzyPairs maxBucket caps a planted identical-key cluster") {
+    // 20 identical docs (one hot variant bucket) + one honest typo pair;
+    // the cap drops the cluster's pairs, the typo pair survives
+    val rows = (0L until 20L).map(i => (i, "same same same text")) ++
+      Seq((100L, "unique sentence alpha"), (101L, "unique sentence alphb"))
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.fuzzyPairs(df, "doc_id", "text",
+      keyLen = 40, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)))
+    val full = Dedup.fuzzyPairs(df, "doc_id", "text", keyLen = 40)
+      .count()
+    assert(full == 20L * 19L / 2L + 1L)
+  }
 }
