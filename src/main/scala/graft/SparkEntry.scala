@@ -2828,6 +2828,16 @@ object SparkEntry {
       // tokenizer-training statistics: top within-word character pairs
       // by occurrence — the table BPE's first merge rule comes from
       Text.bpePairCounts(t(s, d, "documents"), "text", topK = 50)),
+    "text_bpe_encode" -> ((s, d) => {
+      // the REAL tokenizer loop: train 8 BPE merges on the corpus
+      // vocabulary (greedy top-pair rounds), then encode every doc with
+      // the learned merge chain — exact subword counts, full oracle
+      // (the training rounds unroll into the SQL)
+      val docs = t(s, d, "documents")
+      Text.bpeEncode(docs, "doc_id", "text",
+        Text.bpeTrain(docs, "text", merges = 8))
+        .orderBy("doc_id")
+    }),
     "text_window_cooccur" -> ((s, d) =>
       // skip-gram statistics: ±2-position pairs over the raw sequence,
       // top-100 vocabulary — the embedding-training count table
@@ -4155,6 +4165,46 @@ object SparkEntry {
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** The `text_bpe_encode` oracle, with the greedy training loop UNROLLED:
+    * round k's CTE pair (pK = weighted top adjacent symbol pair of
+    * segmentation w(K-1), wK = that pair merged everywhere via plain
+    * left-to-right replace) reproduces [[Text.bpeTrain]] bit-for-bit —
+    * the pageRank unrolled-iteration oracle pattern applied to tokenizer
+    * training. Precondition (holds on any real corpus): every round finds
+    * at least one pair. */
+  private def bpeEncodeOracleSql(merges: Int): String = {
+    // AS MATERIALIZED on every level: each wK is referenced twice (the
+    // next round's pair count AND the next wK+1) — inlined, the chain
+    // re-evaluates w0 2^merges times; materialized, each level runs once
+    val rounds = (1 to merges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT bg AS pair FROM (
+         |    SELECT bg, sum(cnt) AS c FROM (
+         |      SELECT cnt, unnest([syms[i] || ' ' || syms[i+1]
+         |        for i in generate_series(1, greatest(len(syms)-1, 0))]) AS bg
+         |      FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms
+         |            FROM w${k - 1})
+         |    ) GROUP BY bg ORDER BY c DESC, bg LIMIT 1
+         |  )
+         |), w$k AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    replace(seq, ' ' || (SELECT pair FROM p$k) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM p$k) || ' ') AS seq
+         |  FROM w${k - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+       |  FROM (SELECT unnest($DuckToks) AS w FROM documents) GROUP BY w
+       |), $rounds
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_bpe
+       |FROM (SELECT doc_id, unnest($DuckToks) AS w FROM documents) d
+       |JOIN w$merges USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared CTE chain of the trainPrep oracles (`pipeline_train_prep`,
     * `pipeline_funnel_prep`): scrub → curate chain → decontamination →
     * budget mix, terminating in `mx` — one definition so the end-to-end
@@ -4579,6 +4629,7 @@ object SparkEntry {
          |)
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "text_bpe_encode" -> bpeEncodeOracleSql(8),
     "text_dup_chunks" -> {
       val size = 32
       s"""WITH t AS (

@@ -1688,4 +1688,95 @@ object Text {
       .withColumn("lm_score", expr("__sum div n_bigrams"))
       .drop("__sum")
   }
+
+  // --- BPE tokenizer: train + encode --------------------------------------
+
+  /** A word as its space-separated symbol sequence with boundary spaces —
+    * " c h a r s " — so a merge (a, b) applies as the plain string replace
+    * " a b " → " ab ": the boundary spaces make symbol identity positional
+    * (no symbol is a substring-match of another across a merge), and
+    * left-to-right non-overlapping replace semantics are identical in the
+    * JVM and DuckDB, which is what makes the whole tokenizer
+    * oracle-checkable. */
+  private def bpeSeq0(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "))
+
+  /** Apply an ordered merge list to a symbol sequence — one codegen'd
+    * string replace per merge, composed as a narrow Column chain. */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(bpeSeq0(word)) { case (c, (a, b)) =>
+      replace(c, lit(s" $a $b "), lit(s" $a$b "))
+    }
+
+  private def symBigramsUdf
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => bigramsScala(s.trim.split(" ")))
+
+  /** BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909): the
+    * `merges` highest-count adjacent symbol pairs, learned greedily —
+    * round k counts pairs over the current segmentation, takes the top
+    * pair by (weighted count desc, pair asc), and merges it everywhere
+    * (one left-to-right replace pass) before round k+1.
+    *
+    * Scale shape — the part that matters at 100 TB: training runs over
+    * the WORD-COUNT VOCABULARY, not the corpus. One corpus pass builds
+    * (word, count); every merge round is then one map-side-combinable
+    * aggregation over that vocabulary-sized persisted frame plus a 1-row
+    * collect (the chosen pair — metadata). Corpus size only ever affects
+    * the single word-count pass; 10 merges = 10 small jobs, the pageRank
+    * loop discipline. The returned merge list is tokenizer metadata
+    * (`merges` entries).
+    *
+    * Training stops early only if NO adjacent pair remains (every word
+    * fully merged) — with the fixed-round oracle this is a documented
+    * precondition, not a behavioral branch, on any real corpus.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int)
+      : Seq[(String, String)] = {
+    require(merges >= 1 && merges <= 64)
+    val words = fanOut(df)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val out = Seq.newBuilder[(String, String)]
+      var learned = List.empty[(String, String)]
+      var k = 0
+      var exhausted = false
+      while (k < merges && !exhausted) {
+        val seq = bpeApply(col("w"), learned.reverse)
+        val top = words
+          .select(col("cnt"), explode(symBigramsUdf(seq)).as("bg"))
+          .groupBy("bg").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("bg").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val parts = top(0).getString(0).split(" ")
+          val m = (parts(0), parts(1))
+          out += m
+          learned = m :: learned
+          k += 1
+        }
+      }
+      out.result()
+    } finally words.unpersist()
+  }
+
+  /** BPE ENCODE: per-doc subword token counts under a trained merge list —
+    * the exact-token-budget primitive packing and mixture stages need (the
+    * whitespace proxy [[bpeTokenCount]] bounds; this one is the real
+    * tokenizer's answer). Pure narrow map: explode words, apply the merge
+    * chain (codegen'd replaces — no join against a vocabulary table, so
+    * encoding cost is independent of vocabulary size), count symbols, sum
+    * per doc.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    fanOut(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .withColumn("__n", size(split(trim(bpeApply(col("w"), merges)), " ")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__n").cast("long")).as("n_bpe"))
 }

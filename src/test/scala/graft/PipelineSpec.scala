@@ -1810,6 +1810,34 @@ class PipelineSpec extends AnyFunSuite {
       v.getString(4) == "a" && v.getString(5) == "b")
   }
 
+  test("bpeTrain learns greedy merges with count-then-pair tie-break") {
+    // low×3, lower, lowest: (l,o) and (o,w) tie at 5 → pair asc picks
+    // (l,o); then (lo,w)=5, (low,e)=2, then a 3-way count-1 tie where
+    // "lowe r" < "lowe s" < "s t"
+    val df = Seq((0L, "low lower lowest"), (1L, "low low")).toDF("doc_id", "text")
+    val m = Text.bpeTrain(df, "text", merges = 4)
+    assert(m == Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")))
+    val enc = Text.bpeEncode(df, "doc_id", "text", m)
+      .orderBy("doc_id").collect()
+    // low→[low], lower→[lower], lowest→[lowe,s,t]
+    assert(enc(0).getAs[Long]("n_words") == 3 &&
+      enc(0).getAs[Long]("n_bpe") == 1 + 1 + 3)
+    assert(enc(1).getAs[Long]("n_words") == 2 &&
+      enc(1).getAs[Long]("n_bpe") == 2)
+  }
+
+  test("bpe merge application is left-to-right non-overlapping") {
+    // "aaa" under merge (a,a): " a a a " → " aa a " — the first pair
+    // consumes its separator, the scan resumes after the replacement
+    val df = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val enc = Text.bpeEncode(df, "doc_id", "text", Seq(("a", "a"))).collect()
+    assert(enc(0).getAs[Long]("n_bpe") == 2)
+    // and training counts overlapping pairs (2 for "aaa"), mirroring the
+    // oracle's positional bigram count
+    val m = Text.bpeTrain(df, "text", merges = 1)
+    assert(m == Seq(("a", "a")))
+  }
+
   test("fuzzyPairs == brute-force levenshtein<=1 pairs (SymSpell recall)") {
     // planted edit types against doc 0's key: exact (1), whitespace/case
     // (2, same normalized key), substitution (3), deletion (4), insertion
