@@ -2933,6 +2933,15 @@ object SparkEntry {
       Text.mixSample(t(s, d, "documents"), "doc_id", "text", "lang",
         Map("en" -> 4000L, "de" -> 1000L, "es" -> 1000L, "fr" -> 800L))
         .orderBy("doc_id")),
+    "mix_importance" -> ((s, d) => {
+      // DSIR-shaped selection: reweight the corpus toward the English
+      // slice via hashed-bucket frequency ratios; deterministic
+      // hash-threshold acceptance, integer-exact weights
+      val docs = t(s, d, "documents")
+      Text.importanceSample(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text", buckets = 256)
+        .orderBy("doc_id")
+    }),
     "mix_temperature" -> ((s, d) => {
       // α=1/2 temperature mixing: budgets derived from the corpus itself
       // (∝ sqrt of per-lang tokens), then the standard md5-ordered fill;
@@ -5219,6 +5228,35 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, cum_tokens
          |FROM c WHERE b > 0 AND cum_tokens <= b
          |ORDER BY doc_id""".stripMargin,
+    "mix_importance" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS bkt
+         |  FROM (SELECT doc_id, unnest($DuckToks) AS tok FROM documents)
+         |), raw AS (
+         |  SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY bkt
+         |), nr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM raw),
+         |tgt AS (
+         |  SELECT bkt, CAST(count(*) AS BIGINT) AS tc
+         |  FROM b JOIN documents USING (doc_id)
+         |  WHERE lang = 'en' GROUP BY bkt
+         |), nt AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM tgt),
+         |w AS (
+         |  SELECT r.bkt,
+         |    (1048576::HUGEINT * (coalesce(t.tc, 0) + 1)
+         |       * (SELECT n FROM nr))
+         |      // ((r.c + 1)::HUGEINT * (SELECT n FROM nt)) AS w
+         |  FROM raw r LEFT JOIN tgt t USING (bkt)
+         |), doc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(w) // count(*) AS BIGINT) AS weight
+         |  FROM b JOIN w USING (bkt) GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_toks, weight,
+         |  CAST(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 15))::BIGINT % 1048576 < weight
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM doc ORDER BY doc_id""".stripMargin,
     // the sqrt-weight derivation mirrored in SQL: integer weights →
     // integer share division → the same single-window fill as mix_sample
     "mix_temperature" ->

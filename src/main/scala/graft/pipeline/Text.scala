@@ -1779,4 +1779,84 @@ object Text {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("__n").cast("long")).as("n_bpe"))
+
+  // --- DSIR-style importance resampling -----------------------------------
+
+  /** md5-derived 60-bit hash — the oracle-reproducible hash family used
+    * throughout ([[shingleFingerprint]]'s md5 mode); always non-negative,
+    * so `pmod` and `%` agree across engines. */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-bucket importance weights for [[importanceSample]]: tokens hash
+    * into `buckets` buckets; each bucket's weight is the scaled ratio of
+    * its relative frequency under the TARGET distribution vs the RAW
+    * corpus (add-one smoothed, S = 2^`scaleLog2`):
+    *
+    *   w_b = ⌊ S · (tgt_b + 1) · N_raw  /  ((raw_b + 1) · N_tgt) ⌋
+    *
+    * — w_b ≈ S means the bucket is equally likely under both; > S,
+    * target-enriched. The output is `buckets` rows — tokenizer-metadata
+    * scale, broadcastable by construction. Two corpus passes (one per
+    * distribution), each a narrow hash-map into a `buckets`-key
+    * aggregation; the totals derive from the bucket frames, never a
+    * third scan.
+    */
+  def importanceWeights(raw: DataFrame, tgt: DataFrame, textCol: String,
+      buckets: Int = 256, scaleLog2: Int = 20): DataFrame = {
+    require(buckets >= 2 && scaleLog2 >= 10 && scaleLog2 <= 30)
+    val s = 1L << scaleLog2
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    def bucketCounts(df: DataFrame): DataFrame = fanOut(df)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select(pmod(md5Long(col("tok")), lit(buckets.toLong)).as("bkt"))
+      .groupBy("bkt").agg(count(lit(1)).as("c"))
+    val rawB = bucketCounts(raw)
+    val tgtB = bucketCounts(tgt)
+    val nRaw = rawB.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val nTgt = tgtB.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    require(nTgt > 0, "importanceWeights needs a non-empty target corpus")
+    rawB.join(tgtB.withColumnRenamed("c", "tc"), Seq("bkt"), "left")
+      .withColumn("__wn",
+        big(lit(s)) * big(coalesce(col("tc"), lit(0L)) + 1) * big(lit(nRaw)))
+      .withColumn("__wd", big(col("c") + 1) * big(lit(nTgt)))
+      .withColumn("w", expr("__wn div __wd"))
+      .select("bkt", "w")
+  }
+
+  /** DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169):
+    * deterministic importance resampling of the raw corpus toward a
+    * target distribution, with hashed token buckets as the feature space.
+    * Each doc scores the mean bucket weight of its tokens,
+    *
+    *   weight = ⌊ Σ_tok w_bucket(tok) / n_toks ⌋     (scaled: S ≈ 1.0)
+    *
+    * and is kept iff `md5(doc_id) mod S < weight` — acceptance with
+    * probability min(1, weight/S), proportional to the importance ratio,
+    * reproducible on any engine (DSIR's Gumbel top-k draws an RNG; the
+    * hash-threshold form is the same selection pressure with a
+    * deterministic coin, the [[mixSample]]/[[hashSplit]] discipline).
+    * Docs with zero tokens carry no feature signal and are dropped.
+    *
+    * Scale shape: the weight table is `buckets` rows — broadcast onto one
+    * exploded corpus pass; the per-doc reduce is map-side combinable; the
+    * keep decision is a narrow map. Nothing driver-side beyond the two
+    * total-count scalars.
+    */
+  def importanceSample(df: DataFrame, tgtDf: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256, scaleLog2: Int = 20): DataFrame = {
+    val s = 1L << scaleLog2
+    val w = importanceWeights(df, tgtDf, textCol, buckets, scaleLog2)
+    fanOut(df)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bkt", pmod(md5Long(col("tok")), lit(buckets.toLong)))
+      .join(broadcast(w), "bkt")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"), sum("w").as("__sw"))
+      .withColumn("weight", expr("__sw div n_toks"))
+      .withColumn("kept",
+        (pmod(md5Long(col(idCol).cast("string")), lit(s)) < col("weight"))
+          .cast("long"))
+      .drop("__sw")
+  }
 }

@@ -337,6 +337,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("importanceSample: target-enriched docs kept, off-target dropped") {
+    // Planted two-population corpus: 50 docs of token "aaa", 50 of "bbb";
+    // target = the bbb slice. Hand-derived DSIR weights (S = 2^20,
+    // add-one smoothing, md5 buckets verified collision-free for
+    // aaa→244, bbb→24 at buckets=256):
+    //   w_bbb = ⌊S·(200+1)·400/((200+1)·200)⌋ = 2S  → every bbb doc kept
+    //   w_aaa = ⌊S·(0+1)·400/((200+1)·200)⌋ = 10433 → kept iff
+    //           md5(id) mod S < 10433 (≈1% acceptance)
+    val rows = (0L until 50L).map(i => (i, "aaa aaa aaa aaa")) ++
+      (50L until 100L).map(i => (i, "bbb bbb bbb bbb"))
+    val df = rows.toDF("doc_id", "text")
+    val out = Text.importanceSample(df, df.filter($"doc_id" >= 50L),
+        "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("weight"), r.getAs[Long]("kept")))).toMap
+    assert(out.size == 100)
+    def hash20(id: Long): Long =
+      java.lang.Long.parseLong(SparkTestBase.md5hex(id.toString).take(15), 16) %
+        (1L << 20)
+    for (id <- 0L until 50L) {
+      assert(out(id)._1 == 10433L)
+      assert(out(id)._2 == (if (hash20(id) < 10433L) 1L else 0L))
+    }
+    for (id <- 50L until 100L) assert(out(id) == ((2097152L, 1L)))
+    // the drop path must actually fire on this fixture
+    assert(out.count(_._2._2 == 0L) >= 45)
+    // zero-token docs carry no feature signal and vanish
+    val withEmpty = (rows :+ (100L, "")).toDF("doc_id", "text")
+    assert(!Text.importanceSample(withEmpty,
+        withEmpty.filter($"doc_id" >= 50L && $"doc_id" < 100L),
+        "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).contains(100L))
+  }
+
+  test("importanceWeights: flat corpus gives ≈S weights; empty target rejected") {
+    val df = (0L until 20L).map(i => (i, "x y z")).toDF("doc_id", "text")
+    val w = Text.importanceWeights(df, df, "text").collect()
+      .map(_.getAs[Long]("w"))
+    assert(w.forall(_ == (1L << 20))) // identical distributions → ratio 1
+    intercept[IllegalArgumentException] {
+      Text.importanceWeights(df, df.filter($"doc_id" < 0), "text")
+    }
+  }
+
   test("mixEpochs: full epochs by division, remainder prefix = mixSample set") {
     val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
       "documents")
