@@ -287,6 +287,38 @@ object ScaleProbe {
         .filter(col("n_dropped") >= 0).count(),
       graft.pipeline.Text.removeBoilerplate(docScaled, "doc_id", "text")
         .filter(col("n_dropped") >= 0).count())
+    report("fuzzy_pairs", docK,
+      Dedup.fuzzyPairs(docs, "doc_id", "text").count(),
+      Dedup.fuzzyPairs(docScaled, "doc_id", "text").count())
+    // encode cost must be independent of corpus size per doc: the merge
+    // chain is a fixed codegen'd expression, so the ratio tracks the scan
+    locally {
+      val merges = graft.pipeline.Text.bpeTrain(docs, "text", 16)
+      report("bpe_encode_16", docK,
+        graft.pipeline.Text.bpeEncode(docs, "doc_id", "text", merges)
+          .count(),
+        graft.pipeline.Text.bpeEncode(docScaled, "doc_id", "text", merges)
+          .count())
+    }
+    report("collocations", docK,
+      graft.pipeline.Text.collocations(docs, "text").count(),
+      graft.pipeline.Text.collocations(docScaled, "text").count())
+    // model side fixed (1x reference corpus); the SCORED corpus scales —
+    // the realistic shape: one trained LM, ever-growing data to score
+    locally {
+      val ref = graft.pipeline.Text.lmRef(docs, "text")
+      report("lm_score", docK,
+        graft.pipeline.Text.lmScore(docs, ref, "doc_id", "text").count(),
+        graft.pipeline.Text.lmScore(docScaled, ref, "doc_id", "text")
+          .count())
+    }
+    // raw corpus scales, target slice scales with it (the DSIR shape:
+    // reweight a big crawl toward a curated slice)
+    report("importance_sample", docK,
+      graft.pipeline.Text.importanceSample(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text").count(),
+      graft.pipeline.Text.importanceSample(docScaled,
+        docScaled.filter(col("lang") === "en"), "doc_id", "text").count())
     report("profile_5col", docK,
       graft.pipeline.Text.profile(docs,
         Seq("doc_id", "text", "lang", "source", "n_chars"))

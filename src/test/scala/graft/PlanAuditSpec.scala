@@ -622,4 +622,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Sort \\[[^\\]]*\\], false".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("rangepartitioning"), p)
   }
+
+  test("dedup_fuzzy_pairs: blocked hash join, no all-pairs product") {
+    // SymSpell deletion blocking must plan as equi hash joins on the
+    // variant key — a Cartesian/NestedLoop here is the O(n²) scan the
+    // blocking exists to avoid
+    val p = plan("dedup_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("mix_importance: 256-row weight table broadcasts onto the tokens") {
+    // the bucket-weight frame is metadata-sized by construction — it must
+    // ride a BroadcastHashJoin into the one corpus scoring pass, and the
+    // per-doc reduce must partial-aggregate map-side
+    val p = plan("mix_importance")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("text_lm_score: model joins are hash equi-joins, per-doc partial agg") {
+    val p = plan("text_lm_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("text_bpe_encode: merge chain is codegen'd — zero joins in the plan") {
+    // encoding cost must be independent of vocabulary size: the learned
+    // merges unroll into a fixed expression chain, never a vocab-table join
+    val p = plan("text_bpe_encode")
+    assert(!p.contains("Join"), p)
+    // merges apply as a Column `replace` chain inside a Project — codegen
+    // territory — never a UDF (BatchEval/ScalaUDF) or an RDD seam
+    assert(p.contains("replace("), p)
+    assert(!p.contains("UDF") && !p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("text_collocations: unigram vocabulary pinned — corpus scanned twice") {
+    // the unigram aggregate feeds the N scalar plus two joins; without the
+    // persist the corpus would be tokenized four times
+    val p = plan("text_collocations")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
