@@ -37,6 +37,11 @@ object SparkEntry {
     * pass per process per dataset; stored probes reuse it). */
   private val bm25IndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-dataset cache for the at-rest trained models (BPE tokenizer,
+    * n-gram LM — key = dir + "#tok" / "#lm"): one training pass per
+    * process per dataset; stored probes reuse the artifact. */
+  private val modelStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Collision-free dataset-dir discriminator for scratch paths/table names
     * (32-bit hashCode collisions are easy to hit across many dirs). */
@@ -2836,6 +2841,38 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Text.bpeEncode(docs, "doc_id", "text",
         Text.bpeTrain(docs, "text", merges = 8))
+        .orderBy("doc_id")
+    }),
+    "text_bpe_encode_stored" -> ((s, d) => {
+      // text_bpe_encode with the tokenizer AT REST: the 8 learned merges
+      // are written once (two-rename publish) and every encode run opens
+      // the frozen artifact — token budgets stay reproducible across
+      // serving restarts and corpus growth. Byte-identical encode, so it
+      // shares text_bpe_encode's value oracle
+      val docs = t(s, d, "documents")
+      val path = modelStorePaths.computeIfAbsent(d + "#tok", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-bpetok-$processId-${dirTag(d)}").getPath
+        Text.writeTokenizer(s, Text.bpeTrain(docs, "text", merges = 8), p)
+        p
+      })
+      Text.bpeEncode(docs, "doc_id", "text", Text.openTokenizer(s, path))
+        .orderBy("doc_id")
+    }),
+    "text_lm_score_stored" -> ((s, d) => {
+      // text_lm_score with the LM AT REST: the reference-third count
+      // tables persist once; scoring a fresh corpus never re-counts the
+      // reference and every run scores under the same frozen model (the
+      // CCNet comparability property). Shares text_lm_score's oracle
+      val docs = t(s, d, "documents")
+      val path = modelStorePaths.computeIfAbsent(d + "#lm", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-lm-$processId-${dirTag(d)}").getPath
+        Text.writeLm(Text.lmRef(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text"), p)
+        p
+      })
+      Text.lmScore(docs, Text.openLm(s, path), "doc_id", "text")
         .orderBy("doc_id")
     }),
     "text_window_cooccur" -> ((s, d) =>
@@ -5936,6 +5973,12 @@ object SparkEntry {
       // the term-bucketed layout (bucket pruning only skips rows no query
       // term can join), so it shares retrieval_bm25's value oracle
       ("retrieval_bm25_stored" -> base("retrieval_bm25")) +
+      // the stored tokenizer round-trips the identical rank-ordered merge
+      // list, so encoding is byte-identical to the in-process chain
+      ("text_bpe_encode_stored" -> base("text_bpe_encode")) +
+      // the stored LM round-trips the exact uni/bi counts + V scalar —
+      // same smoothed rationals, same fixed-point scores
+      ("text_lm_score_stored" -> base("text_lm_score")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
       ("stream_funnel" -> base("ts_funnel")) +

@@ -1859,4 +1859,74 @@ object Text {
           .cast("long"))
       .drop("__sw")
   }
+
+  // --- trained-model artifacts at rest ------------------------------------
+
+  /** Persist a [[bpeTrain]]ed merge list. The artifact is tiny (≤64 rows)
+    * but it gates every downstream token budget: packing, mixture fills and
+    * contract checks are only reproducible under the EXACT merge chain that
+    * produced them, so the tokenizer ships as a versioned artifact — never
+    * a recomputation (retraining on a grown corpus yields different merges
+    * and silently shifts every budget). Layout: `merges.parquet`
+    * (rank, lhs, rhs), one file; published with the shared two-rename swap
+    * so readers never observe a half-written list. */
+  def writeTokenizer(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    require(merges.nonEmpty, "writeTokenizer needs at least one merge")
+    import spark.implicits._
+    graft.storage.AtomicDir.publish(spark, path, "writeTokenizer") { tmp =>
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "lhs", "rhs")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merges.parquet")
+    }
+  }
+
+  /** Open a [[writeTokenizer]]-stored merge list, rank-ordered — API parity
+    * with [[bpeTrain]]'s return, so [[bpeEncode]] runs unchanged. The
+    * collect is bounded by the ≤64-merge training cap (metadata-sized). */
+  def openTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.storage.AtomicDir.recover(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      "writeTokenizer")
+    spark.read.parquet(s"$path/merges.parquet")
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+  }
+
+  /** Persist an [[lmRef]] — the n-gram LM AT REST, so quality-scoring a
+    * fresh crawl skips the reference-corpus count pass and every scoring
+    * run holds the model fixed (the CCNet property: scores are only
+    * comparable under one frozen LM). Layout: `meta.parquet` (v),
+    * `uni.parquet` (tok, c1) and `bi.parquet` (bg, c12), both written in a
+    * bounded file count sorted by key (row-group stats serve future point
+    * probes; the full-corpus scoring join reads the whole model either
+    * way, so no bucketing column is imposed). Same two-rename publish:
+    * uni/bi/v must change together or smoothing denominators go stale. */
+  def writeLm(ref: LmRef, path: String): Unit = {
+    val spark = ref.uni.sparkSession
+    import spark.implicits._
+    graft.storage.AtomicDir.publish(spark, path, "writeLm") { tmp =>
+      Seq(ref.v).toDF("v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+      ref.uni.repartition(4).sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(s"$tmp/uni.parquet")
+      ref.bi.repartition(8).sortWithinPartitions("bg")
+        .write.mode("overwrite").parquet(s"$tmp/bi.parquet")
+    }
+  }
+
+  /** Open a [[writeLm]]-stored model as an [[LmRef]] — [[lmScore]] runs
+    * unchanged against the stored frames; no count pass, no persist. */
+  def openLm(spark: org.apache.spark.sql.SparkSession, path: String): LmRef = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.storage.AtomicDir.recover(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p, "writeLm")
+    LmRef(
+      spark.read.parquet(s"$path/bi.parquet"),
+      spark.read.parquet(s"$path/uni.parquet"),
+      spark.read.parquet(s"$path/meta.parquet").head().getAs[Long]("v"))
+  }
 }

@@ -381,6 +381,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer + LM stores round-trip exactly; swap window self-heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-modelstore")
+      .toString
+    val corpus = docs // the planted fixture corpus
+    // tokenizer: stored list == trained list, rank order preserved
+    val merges = Text.bpeTrain(corpus, "text", merges = 6)
+    Text.writeTokenizer(spark, merges, s"$dir/tok")
+    assert(Text.openTokenizer(spark, s"$dir/tok") == merges)
+    // LM: stored scores byte-identical to the in-process model
+    val ref = Text.lmRef(corpus.filter($"doc_id" < 3), "text")
+    Text.writeLm(ref, s"$dir/lm")
+    val direct = Text.lmScore(corpus, ref, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val stored = Text.lmScore(corpus, Text.openLm(spark, s"$dir/lm"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(stored.sameElements(direct) && direct.nonEmpty)
+    // kill between the two renames leaves only .build-old — open recovers
+    val f = java.nio.file.Paths.get(s"$dir/tok")
+    java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$dir/tok.build-old"))
+    assert(Text.openTokenizer(spark, s"$dir/tok") == merges)
+  }
+
   test("mixEpochs: full epochs by division, remainder prefix = mixSample set") {
     val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
       "documents")
