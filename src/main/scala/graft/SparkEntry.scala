@@ -4083,6 +4083,34 @@ object SparkEntry {
         .select(col("doc_id"), col("q_score"), col("q_keep"))
         .orderBy("doc_id")
     }),
+    "stream_lm_score" -> ((s, d) => {
+      // live LM quality scoring with ZERO streaming state: per-bigram
+      // smoothed probabilities via stream-static joins against the
+      // at-rest LM (the same stored artifact text_lm_score_stored
+      // probes — no micro-batch recounts the reference), partial rows
+      // drained to the sink and reduced there. The partials are
+      // associative, so the roll-up equals the batch scorer however the
+      // source splits into micro-batches (shared value oracle)
+      Tables.configure(s)
+      val docs = t(s, d, "documents")
+      val path = modelStorePaths.computeIfAbsent(d + "#lm", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-lm-$processId-${dirTag(d)}").getPath
+        Text.writeLm(Text.lmRef(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0), "text"), p)
+        p
+      })
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val part = Text.streamingLmScore(src, Text.openLm(s, path),
+        "doc_id", "text")
+      runStreamToTable(s, part, "stream_lm_out")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("p").as("__sum"))
+        .withColumn("lm_score", expr("__sum div n_bigrams"))
+        .drop("__sum")
+        .orderBy("doc_id")
+    }),
     "stream_quantize" -> ((s, d) => {
       // stateless streaming feature extraction: the exact-arithmetic int8
       // quantizer runs unchanged inside a micro-batch pipeline — no
@@ -5979,6 +6007,9 @@ object SparkEntry {
       // the stored LM round-trips the exact uni/bi counts + V scalar —
       // same smoothed rationals, same fixed-point scores
       ("text_lm_score_stored" -> base("text_lm_score")) +
+      // stateless partials against the stored LM, reduced on the drained
+      // sink — associative sums reproduce the batch scores exactly
+      ("stream_lm_score" -> base("text_lm_score")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
       ("stream_funnel" -> base("ts_funnel")) +

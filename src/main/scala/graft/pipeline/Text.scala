@@ -1671,23 +1671,12 @@ object Text {
     * map-side-combinable groupBy.
     */
   def lmScore(df: DataFrame, ref: LmRef, idCol: String, textCol: String,
-      scaleLog2: Int = 20): DataFrame = {
-    require(scaleLog2 >= 10 && scaleLog2 <= 30)
-    val s = 1L << scaleLog2
-    val big = (c: Column) => c.cast("decimal(38,0)")
-    fanOut(df)
-      .select(col(idCol), explode(bigramsUdf(col(textCol))).as("bg"))
-      .withColumn("__w1", split(col("bg"), " ").getItem(0))
-      .join(ref.bi, Seq("bg"), "left")
-      .join(ref.uni.withColumnRenamed("tok", "__w1"), Seq("__w1"), "left")
-      .withColumn("__pn", big(lit(s)) * big(coalesce(col("c12"), lit(0L)) + 1))
-      .withColumn("__pd", big(coalesce(col("c1"), lit(0L)) + ref.v))
-      .withColumn("__p", expr("__pn div __pd"))
+      scaleLog2: Int = 20): DataFrame =
+    streamingLmScore(fanOut(df), ref, idCol, textCol, scaleLog2)
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("__p").as("__sum"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("p").as("__sum"))
       .withColumn("lm_score", expr("__sum div n_bigrams"))
       .drop("__sum")
-  }
 
   // --- BPE tokenizer: train + encode --------------------------------------
 
@@ -1894,6 +1883,29 @@ object Text {
     spark.read.parquet(s"$path/merges.parquet")
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+  }
+
+  /** Streaming twin of [[lmScore]]: per-bigram smoothed probabilities as a
+    * STATELESS stream-static join — the model frames are the static side
+    * (typically [[openLm]]'s at-rest parquet, so no micro-batch recounts
+    * anything), no watermark, no state store. The per-doc reduce is left
+    * to the drained sink / downstream aggregation: partial `(id, p)` rows
+    * sum-and-divide to exactly the batch `lm_score` regardless of how the
+    * source splits into micro-batches (the partials are associative — a
+    * doc spanning batches still reduces correctly). */
+  def streamingLmScore(stream: DataFrame, ref: LmRef, idCol: String,
+      textCol: String, scaleLog2: Int = 20): DataFrame = {
+    require(scaleLog2 >= 10 && scaleLog2 <= 30)
+    val s = 1L << scaleLog2
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    stream
+      .select(col(idCol), explode(bigramsUdf(col(textCol))).as("bg"))
+      .withColumn("__w1", split(col("bg"), " ").getItem(0))
+      .join(ref.bi, Seq("bg"), "left")
+      .join(ref.uni.withColumnRenamed("tok", "__w1"), Seq("__w1"), "left")
+      .withColumn("__pn", big(lit(s)) * big(coalesce(col("c12"), lit(0L)) + 1))
+      .withColumn("__pd", big(coalesce(col("c1"), lit(0L)) + ref.v))
+      .select(col(idCol), expr("__pn div __pd").as("p"))
   }
 
   /** Persist an [[lmRef]] — the n-gram LM AT REST, so quality-scoring a
