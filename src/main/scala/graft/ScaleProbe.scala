@@ -287,6 +287,11 @@ object ScaleProbe {
         .filter(col("n_dropped") >= 0).count(),
       graft.pipeline.Text.removeBoilerplate(docScaled, "doc_id", "text")
         .filter(col("n_dropped") >= 0).count())
+    report("counter_increase", evK,
+      TsOps.counterIncrease(events.select("user_id", "ts", "event_id",
+        "value"), Seq("user_id"), 86400L * 1000000000L).count(),
+      TsOps.counterIncrease(evScaled.select("user_id", "ts", "event_id",
+        "value"), Seq("user_id"), 86400L * 1000000000L).count())
     report("fuzzy_pairs", docK,
       Dedup.fuzzyPairs(docs, "doc_id", "text").count(),
       Dedup.fuzzyPairs(docScaled, "doc_id", "text").count())

@@ -418,6 +418,15 @@ object SparkEntry {
           .select("user_id", "ts", "event_id", "event_type"),
         Seq("user_id"), "event_type", Seq("ts", "event_id"))
         .orderBy("from_type", "to_type")),
+    "ts_counter_increase" -> ((s, d) =>
+      // reset-aware counter semantics (PromQL increase()/resets() over
+      // raw samples): per-user daily delta sums in exact cents, a value
+      // drop counts the post-reset value — the monitoring-counter read
+      // of a sampled series
+      TsOps.counterIncrease(
+        tsUs(t(s, d, "events")).select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), 86400L * 1000000000L)
+        .orderBy("user_id", "bucket")),
     "ts_gaps" -> ((s, d) =>
       // per-user inter-event gap stats (ingest-cadence profiling)
       TsOps.gapStats(tsUs(t(s, d, "events")).select("user_id", "ts"),
@@ -1605,6 +1614,30 @@ object SparkEntry {
         |  lead(ts) OVER w - ts AS gap_next
         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+    "ts_counter_increase" ->
+      // same floor-mod day idiom as ts_seasonal_anomaly (DuckDB %//
+      // truncate; the engine floors), same lag/tie total order as ts_gaps
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, ts, c,
+        |    lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  (ts - ((ts % 86400000000000) + 86400000000000) % 86400000000000)
+        |    // 86400000000000 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_deltas,
+        |  CAST(sum(CASE WHEN c >= prev THEN c - prev ELSE c END)
+        |    AS BIGINT) AS inc_cents,
+        |  CAST(sum(CASE WHEN c < prev THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_resets
+        |FROM p WHERE prev IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY user_id, bucket""".stripMargin,
     "ts_transitions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
@@ -3716,6 +3749,21 @@ object SparkEntry {
         .filter(col("rank") <= 10)
         .select("query_id", "doc_id", "score", "n_terms", "rank")
         .orderBy("query_id", "rank")
+    }),
+    "stream_counter_increase" -> ((s, d) => {
+      // live counter monitoring: one long of state per user (the last
+      // sample's cents); per-sample delta partials roll up on the drained
+      // sink to the batch per-day increase/reset counts (shared oracle).
+      // Trigger.Once: exact equality needs each user's rows in ONE batch
+      // (deltas fold in arrival order across batches)
+      val src = eventStream(s, d)
+      val part = graft.streaming.StreamIngest.streamingCounterIncrease(
+        src, 86400L * 1000000000L)
+      runStreamToTable(s, part, "stream_counter_out", singleBatch = true)
+        .groupBy("user_id", "bucket")
+        .agg(count(lit(1)).as("n_deltas"), sum("inc_cents").as("inc_cents"),
+          sum("reset").as("n_resets"))
+        .orderBy("user_id", "bucket")
     }),
     "stream_ewma" -> ((s, d) => {
       // live smoothing: one scaled long of state per user, the identical
@@ -5991,6 +6039,9 @@ object SparkEntry {
       // one drained batch replays each user in (ts, id) order — exactly
       // the batch recurrence folds, so both twins share their oracles
       ("stream_ewma" -> base("ts_ewma")) +
+      // per-sample delta partials are associative — the drained-sink
+      // roll-up equals the batch per-day counter increase exactly
+      ("stream_counter_increase" -> base("ts_counter_increase")) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics

@@ -670,4 +670,40 @@ object TsOps {
           " p -> p.__sym)")).as("word"),
         count(lit(1)).as("n_segments"))
   }
+
+  /** Counter semantics over a sampled series (the PromQL
+    * `increase()`/`resets()` pair over raw samples, no boundary
+    * extrapolation): per key in (ts, tie) total order, each sample's delta
+    * vs its predecessor; a DROP is a counter reset and the post-reset
+    * value itself is the increase. Deltas bucket by the CURRENT sample's
+    * floor-div bucket, so a boundary-crossing delta lands in the bucket
+    * that observed it — every delta counted exactly once, bucket sums
+    * telescope to the full-series increase.
+    *
+    * Exact integer cents throughout ([[zscoreAnomalies]]'s decimal-cast
+    * discipline), so the oracle mirror is bit-identical. One keyed window
+    * (single hash shuffle, local sort) + a map-side-combinable agg; state
+    * per series is one lag row — the monitoring-counter shape at any
+    * cardinality.
+    */
+  def counterIncrease(df: DataFrame, keyCols: Seq[String],
+      bucketNanos: Long, valueCol: String = "value", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    require(bucketNanos > 0, "counterIncrease needs a positive bucket")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df
+      .withColumn("__c",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("__prev", lag(col("__c"), 1).over(w))
+      .filter(col("__prev").isNotNull) // first sample: nothing to diff
+      .withColumn("__inc", when(col("__c") >= col("__prev"),
+        col("__c") - col("__prev")).otherwise(col("__c")))
+      .withColumn("__reset", (col("__c") < col("__prev")).cast("long"))
+      .groupBy(keyCols.map(col) :+
+        expr(floorDivSql(tsCol, bucketNanos)).as("bucket"): _*)
+      .agg(count(lit(1)).as("n_deltas"),
+        sum("__inc").as("inc_cents"),
+        sum("__reset").as("n_resets"))
+  }
 }

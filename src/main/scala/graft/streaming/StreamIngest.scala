@@ -1039,6 +1039,56 @@ object StreamIngest {
     * Confirmation restarts the window at the new region; the candidate
     * point itself is not retroactively counted.
     */
+  final case class CiOut(user_id: Long, bucket: Long, inc_cents: Long,
+    reset: Long)
+
+  /** Streaming reset-aware counter deltas — the live twin of
+    * [[graft.operators.TsOps.counterIncrease]]: per-key state is ONE long
+    * (the last sample's cents), each arriving sample emits its delta
+    * partial (increase, reset flag, current-sample bucket) and the
+    * per-bucket roll-up happens on the drained sink — partials are
+    * associative, so the roll-up equals the batch operator whenever per-key
+    * arrival order matches (within a batch rows replay in (ts, id) order;
+    * the single-drain oracle configuration pins exact equality). The
+    * first sample of a key sets state and emits nothing, as in batch.
+    * Keys silent past `stateTtl` drop their long.
+    */
+  def streamingCounterIncrease(stream: DataFrame, bucketNanos: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value",
+      stateTtl: String = ""): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bucketNanos > 0, "streamingCounterIncrease needs a positive bucket")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
+    val ds = recurrenceInput(stream, keyCol, tsCol, idCol, valueCol)
+    def fn(key: Long, rows: Iterator[RcIn],
+        state: GroupState[Long]): Iterator[CiOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var prev = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[CiOut]
+      for (r <- rows.toSeq.sortBy(r => (r.ts, r.eid))) {
+        prev match {
+          case Some(p) =>
+            out += CiOut(key, Math.floorDiv(r.ts, bucketNanos),
+              if (r.c >= p) r.c - p else r.c, if (r.c < p) 1L else 0L)
+          case None => // first sample: state only, no delta
+        }
+        prev = Some(r.c)
+      }
+      prev.foreach(state.update)
+      ttl.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, CiOut](OutputMode.Append,
+        if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout)(fn)
+      .toDF()
+      .withColumnRenamed("user_id", keyCol)
+  }
+
   /** Streaming seasonal-residual anomalies — the live twin of
     * [[graft.operators.TsOps.seasonalAnomalies]]: incoming points are
     * scored against a STATIC seasonal profile (the ≤ 168-cell dow×hour

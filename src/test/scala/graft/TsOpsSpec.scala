@@ -897,4 +897,27 @@ class TsOpsSpec extends AnyFunSuite {
     assert(words(0).getAs[String]("word") == "bdadcaCB".toLowerCase)
     assert(words(0).getAs[Long]("n_segments") == 8L)
   }
+
+  test("counterIncrease: resets count the post-reset value, day attribution") {
+    val day = 86400L * 1000000000L
+    val g = 1000000000L
+    // user 1: 10.00 → 12.50 (+250) → 3.00 (RESET, +300) in day 0;
+    //         3.00 (+0) → 7.25 (+425) in day 1
+    // user 2: a single sample — no delta, must not appear at all
+    val ev = Seq(
+      (1L, 1 * g, 1L, 10.00), (1L, 2 * g, 2L, 12.50), (1L, 3 * g, 3L, 3.00),
+      (1L, day + 1 * g, 4L, 3.00), (1L, day + 2 * g, 5L, 7.25),
+      (2L, 5 * g, 6L, 99.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TsOps.counterIncrease(ev, Seq("user_id"), day)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n_deltas"), r.getAs[Long]("inc_cents"),
+          r.getAs[Long]("n_resets")))).toMap
+    assert(out == Map(
+      (1L, 0L) -> ((2L, 550L, 1L)),
+      (1L, 1L) -> ((2L, 425L, 0L))))
+    // bucket sums telescope: total increase = Σ per-day increases
+    assert(out.values.map(_._2).sum == 250L + 300L + 0L + 425L)
+  }
 }
