@@ -4131,6 +4131,31 @@ object SparkEntry {
         .select(col("doc_id"), col("q_score"), col("q_keep"))
         .orderBy("doc_id")
     }),
+    "stream_mix_importance" -> ((s, d) => {
+      // live DSIR admission: the trained weight table persists once
+      // (decisions stay frozen while the crawl streams in); arriving
+      // docs score via a stateless broadcast join and the md5-coin
+      // keep decision lands on the drained sink's associative reduce —
+      // exactly the batch sampler (shared value oracle)
+      Tables.configure(s)
+      val docs = t(s, d, "documents")
+      val path = modelStorePaths.computeIfAbsent(d + "#dsir", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-dsir-$processId-${dirTag(d)}").getPath
+        Text.writeImportanceWeights(Text.ImportanceModel(
+          Text.importanceWeights(docs,
+            docs.filter(col("lang") === "en"), "text"), 256, 20), p)
+        p
+      })
+      val model = Text.openImportanceWeights(s, path)
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val part = Text.streamingImportanceScore(src, model, "doc_id", "text")
+      Text.importanceReduce(
+        runStreamToTable(s, part, "stream_dsir_out"), "doc_id",
+        model.scaleLog2)
+        .orderBy("doc_id")
+    }),
     "stream_lm_score" -> ((s, d) => {
       // live LM quality scoring with ZERO streaming state: per-bigram
       // smoothed probabilities via stream-static joins against the
@@ -6061,6 +6086,9 @@ object SparkEntry {
       // stateless partials against the stored LM, reduced on the drained
       // sink — associative sums reproduce the batch scores exactly
       ("stream_lm_score" -> base("text_lm_score")) +
+      // stateless per-token partials against the stored weight table;
+      // the sink reduce + md5 coin reproduce the batch sampler exactly
+      ("stream_mix_importance" -> base("mix_importance")) +
       // the sequential greedy stage pointer over ts-ordered events IS
       // the batch funnel's earliest-first matching
       ("stream_funnel" -> base("ts_funnel")) +

@@ -1833,20 +1833,72 @@ object Text {
     * total-count scalars.
     */
   def importanceSample(df: DataFrame, tgtDf: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 256, scaleLog2: Int = 20): DataFrame = {
-    val s = 1L << scaleLog2
-    val w = importanceWeights(df, tgtDf, textCol, buckets, scaleLog2)
-    fanOut(df)
+      textCol: String, buckets: Int = 256, scaleLog2: Int = 20): DataFrame =
+    importanceReduce(
+      streamingImportanceScore(fanOut(df),
+        ImportanceModel(importanceWeights(df, tgtDf, textCol, buckets,
+          scaleLog2), buckets, scaleLog2), idCol, textCol),
+      idCol, scaleLog2)
+
+  /** A trained DSIR weight table plus the layout parameters scoring must
+    * reproduce (bucket count for the token hash, scale for the coin). */
+  final case class ImportanceModel(w: DataFrame, buckets: Int, scaleLog2: Int)
+
+  /** Per-token weight partials for importance scoring — STATELESS on a
+    * stream (the weight table is `buckets` rows, broadcast; no watermark,
+    * no state store), reduced per doc by [[importanceReduce]] on the
+    * drained sink / downstream. Partials are associative, so the reduce
+    * equals the batch [[importanceSample]] however the source splits. */
+  def streamingImportanceScore(stream: DataFrame, model: ImportanceModel,
+      idCol: String, textCol: String): DataFrame =
+    stream
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("bkt", pmod(md5Long(col("tok")), lit(buckets.toLong)))
-      .join(broadcast(w), "bkt")
+      .withColumn("bkt",
+        pmod(md5Long(col("tok")), lit(model.buckets.toLong)))
+      .join(broadcast(model.w), "bkt")
+      .select(col(idCol), col("w"))
+
+  /** The per-doc reduce over [[streamingImportanceScore]] partials: mean
+    * bucket weight + the deterministic md5-coin keep decision. */
+  def importanceReduce(partials: DataFrame, idCol: String,
+      scaleLog2: Int = 20): DataFrame =
+    partials
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_toks"), sum("w").as("__sw"))
       .withColumn("weight", expr("__sw div n_toks"))
       .withColumn("kept",
-        (pmod(md5Long(col(idCol).cast("string")), lit(s)) < col("weight"))
-          .cast("long"))
+        (pmod(md5Long(col(idCol).cast("string")), lit(1L << scaleLog2)) <
+          col("weight")).cast("long"))
       .drop("__sw")
+
+  /** Persist a trained DSIR weight table — `buckets` rows + the layout
+    * scalars, so admission decisions stay frozen while crawls stream in
+    * (retraining shifts every acceptance threshold; the stored table is
+    * the reproducibility unit, the [[writeTokenizer]] argument). Same
+    * two-rename publish. */
+  def writeImportanceWeights(model: ImportanceModel, path: String): Unit = {
+    val spark = model.w.sparkSession
+    import spark.implicits._
+    graft.storage.AtomicDir.publish(spark, path, "writeImportanceWeights") {
+      tmp =>
+        Seq((model.buckets, model.scaleLog2)).toDF("buckets", "scale_log2")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+        model.w.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/weights.parquet")
+    }
+  }
+
+  /** Open a [[writeImportanceWeights]]-stored model — scoring runs
+    * unchanged against the stored table. */
+  def openImportanceWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String): ImportanceModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.storage.AtomicDir.recover(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      "writeImportanceWeights")
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    ImportanceModel(spark.read.parquet(s"$path/weights.parquet"),
+      meta.getAs[Int]("buckets"), meta.getAs[Int]("scale_log2"))
   }
 
   // --- trained-model artifacts at rest ------------------------------------
