@@ -92,6 +92,21 @@ object SparkEntry {
       path
     })
 
+  /** Per-dataset cache of the at-rest 1h rollup store backing
+    * `rollup_store_daily` (one base write per process per dataset; coarser
+    * rollups read the store, never the raw table). */
+  private val rollupStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def rollupStore1h(s: SparkSession, d: String): String =
+    rollupStorePaths.computeIfAbsent(d, dir => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-roll-${processId}_${dirTag(dir)}/events-1h").getPath
+      graft.storage.RollupStore.write(t(s, dir, "events"), path,
+        bucketNanos = BucketH)
+      path
+    })
+
   /** Epoch nanos of a UTC date/datetime literal (plan-time constant). */
   private def ns(s: String): Long =
     TimeNano.toNanos(TimeNano.parseNaive(s), java.time.ZoneOffset.UTC)
@@ -593,6 +608,41 @@ object SparkEntry {
       graft.operators.GraphOps.pageRank(edges, iters = 3)
         .orderBy("node")
     }),
+    "graph_triangles" -> ((s, d) => {
+      // clustering density of the part co-purchase graph (parts linked
+      // when one order contains both — per-order pair fan-out is bounded
+      // by order size, never corpus²); the oracle counts the same
+      // triangles via the ORDER-INDEPENDENT a<b<c three-join, so it
+      // validates the degree-ordered orientation independently
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      graft.operators.GraphOps.triangles(pairs)
+    }),
+    "rollup_store_daily" -> ((s, d) => {
+      // continuous-aggregate routing: daily stats answered from the
+      // at-rest 1h rollup store alone — the oracle aggregates the RAW
+      // table, so equality proves the store's partials compose exactly
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      graft.storage.RollupStore.rollup(s, rollupStore1h(s, d), day)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
+    "ts_histogram_quantile" -> ((s, d) =>
+      // Prometheus-style p90 latency/value per event type over fixed
+      // cumulative buckets — exact integer interpolation, so the oracle
+      // reproduces every floor division
+      TsOps.histogramQuantile(t(s, d, "events"), Seq("event_type"),
+          boundsCents = Seq(500L, 1000L, 2500L, 5000L, 10000L, 25000L),
+          qNum = 90L, qDen = 100L)
+        .orderBy("event_type")),
     "zorder_scan" -> ((s, d) => {
       // the two-dimensional slice the z-ordered layout exists for: a
       // user band AND a time window together — footer stats prune files
@@ -1488,6 +1538,71 @@ object SparkEntry {
   )
 
   private val analyticsOracles: Map[String, String] = Map(
+    // the oracle aggregates the RAW table at daily grain; the query answers
+    // from the 1h rollup store — equality proves partial composition
+    "rollup_store_daily" ->
+      """SELECT (epoch_ns(ts) // 86400000000000) * 86400000000000
+        |    AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    // mirrors histogramQuantile's integer fixed point exactly: same bucket
+    // assignment off the literal schedule, same cross-multiplied rank
+    // comparison, same floor-divided interpolation
+    "ts_histogram_quantile" -> {
+      val bounds = "[500, 1000, 2500, 5000, 10000, 25000]::BIGINT[]"
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |), b AS (
+         |  SELECT event_type,
+         |    coalesce(list_min(list_filter($bounds, x -> x >= cents)),
+         |      9223372036854775807) AS le
+         |  FROM v
+         |), c AS (
+         |  SELECT event_type, le, count(*) AS cnt FROM b GROUP BY 1, 2
+         |), w AS (
+         |  SELECT event_type, le, cnt,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY le) AS cum,
+         |    coalesce(list_max(list_filter($bounds, x -> x < le)),
+         |      CAST(0 AS BIGINT)) AS prev_le,
+         |    sum(cnt) OVER (PARTITION BY event_type) AS total
+         |  FROM c
+         |), f AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY le)
+         |    AS rn
+         |  FROM w WHERE cum * 100 >= total * 90
+         |)
+         |SELECT event_type, CAST(total AS BIGINT) AS n,
+         |  CAST(CASE WHEN le = 9223372036854775807 THEN 25000
+         |       ELSE prev_le + ((le - prev_le) *
+         |         (90 * total - 100 * (cum - cnt))) // (100 * cnt)
+         |  END AS BIGINT) AS q_cents
+         |FROM f WHERE rn = 1 ORDER BY event_type""".stripMargin
+    },
+    // order-independent a<b<c three-join — counts the same triangles the
+    // degree-ordered orientation does, via a structurally different plan,
+    // so it validates the algorithm rather than mirroring it
+    "graph_triangles" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), nn AS (
+        |  SELECT count(DISTINCT node) AS n_nodes FROM (
+        |    SELECT src AS node FROM pairs UNION ALL SELECT dst FROM pairs)
+        |), m AS (SELECT count(*) AS n_edges FROM pairs),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.dst = e2.src
+        |  JOIN pairs e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        |)
+        |SELECT nn.n_nodes, m.n_edges, tri.n_triangles
+        |FROM nn, m, tri""".stripMargin,
     "agg_downsample_1h" ->
       s"""SELECT (epoch_ns(ts) // $BucketH) * $BucketH AS bucket_ts,
          |  count(*) AS n, min(value) AS min_v, max(value) AS max_v,
@@ -3975,6 +4090,36 @@ object SparkEntry {
       runStreamToTable(s, top, "stream_top_tokens_out", mode = "complete")
         .orderBy(col("n").desc, col("tok").asc)
     }),
+    "stream_rollup_store" -> ((s, d) => {
+      // continuous aggregate maintained BY the stream: micro-batches
+      // append per-bucket partials under replay-stable keys; the daily
+      // rollup over accumulated partials must equal the raw-table oracle
+      // (decimal sums / min / max / counts are associative and
+      // order-free), so this twin shares rollup_store_daily's oracle
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-rlst-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "store").getPath
+      // the RAW parquet schema (timestamp ts) — normalizeTs then converts
+      // in-stream; the normalized batch-read schema would make the source
+      // read raw micros as long and skip the conversion
+      val raw = s.read.option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .transform(graft.storage.Tables.normalizeTs)
+      val qy = graft.streaming.StreamIngest.rollupIngest(src, p,
+        new java.io.File(base, "ck").getPath, bucketNanos = BucketH)
+      if (!qy.awaitTermination(300000)) qy.stop()
+      graft.storage.RollupStore.rollup(s, p, day)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
     "stream_sketch_store" -> ((s, d) => {
       // incremental sketch store: documents arrive THROUGH the stream and
       // each micro-batch appends per-source sketch partials; a rollup
@@ -6067,6 +6212,10 @@ object SparkEntry {
       // per-sample delta partials are associative — the drained-sink
       // roll-up equals the batch per-day counter increase exactly
       ("stream_counter_increase" -> base("ts_counter_increase")) +
+      // per-bucket rollup partials are associative (decimal sums, min/max,
+      // counts), so the stream-maintained store's daily rollup equals the
+      // raw-table aggregate bit-for-bit
+      ("stream_rollup_store" -> base("rollup_store_daily")) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics

@@ -95,4 +95,67 @@ object GraphOps {
     }
     pr
   }
+
+  /** Exact global triangle count by degree-ordered edge orientation — the
+    * clustering-density signal (spam rings, template farms, tight co-link
+    * clusters) a curation pipeline reads off its co-occurrence graphs.
+    *
+    * Input: UNDIRECTED distinct edges as pairs with `src < dst` (one row
+    * per edge, no self-loops — both enforced in-plan by construction
+    * below). Every edge is oriented from its lower-rank endpoint to its
+    * higher-rank endpoint under the total order (degree, node) — the
+    * classic trick that bounds every node's OUT-degree by O(√m) regardless
+    * of how skewed the raw degrees are, so the wedge join below can never
+    * explode on a hub: wedges ≤ Σ od(v)² ≤ m^1.5. Each triangle is then
+    * counted EXACTLY once, as the single wedge (u→v, u→w, rank v < rank w)
+    * whose closing edge v→w exists.
+    *
+    * Plan shape: degree agg (combinable) + two broadcast-or-shuffle hash
+    * equi-joins (wedge build on the shared low-rank corner, left-semi close
+    * check) — no cartesian anywhere (PlanAuditSpec pins it), nothing
+    * driver-side but the final scalar row.
+    */
+  def triangles(pairs: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val p0 = pairs.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // normalize defensively: undirected identity + no self-loops, distinct
+    val p = p0.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    // one row per node; persisted — it feeds both orientation joins plus
+    // the node count, and without the pin each consumer would re-derive
+    // the full pair-distinct (two extra edge scans, plan-audited away)
+    val deg = p.select(col("src").as("node"))
+      .unionAll(p.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist()
+    // orient low rank → high rank under (deg, node); carry the head's rank
+    // so the wedge join can order its two heads without another deg join
+    val withDeg = p
+      .join(deg.withColumnRenamed("node", "src")
+        .withColumnRenamed("deg", "sdeg"), "src")
+      .join(deg.withColumnRenamed("node", "dst")
+        .withColumnRenamed("deg", "ddeg"), "dst")
+    val oriented = withDeg.select(
+      when(col("sdeg") < col("ddeg") ||
+          (col("sdeg") === col("ddeg") && col("src") < col("dst")),
+        struct(col("src").as("lo"), col("dst").as("hi"),
+          col("ddeg").as("hideg")))
+        .otherwise(struct(col("dst").as("lo"), col("src").as("hi"),
+          col("sdeg").as("hideg"))).as("e"))
+      .select(col("e.lo").as("u"), col("e.hi").as("v"),
+        col("e.hideg").as("vdeg"))
+      .persist() // three consumers: two wedge sides + the close check
+    val wedges = oriented.as("a").join(oriented.as("b"), Seq("u"))
+      .filter(col("a.vdeg") < col("b.vdeg") ||
+        (col("a.vdeg") === col("b.vdeg") && col("a.v") < col("b.v")))
+      .select(col("a.v").as("u"), col("b.v").as("v"))
+    val closed = wedges.join(oriented.select("u", "v"), Seq("u", "v"),
+      "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri) // three 1-row frames
+  }
 }

@@ -706,4 +706,58 @@ object TsOps {
         sum("__inc").as("inc_cents"),
         sum("__reset").as("n_resets"))
   }
+
+  /** Prometheus-style `histogram_quantile` over fixed cumulative buckets,
+    * in EXACT integer fixed point (cents). Per key: values land in the
+    * smallest bound `le >= cents` (+Inf sentinel above the last bound),
+    * bucket counts cumulate in `le` order, and the φ = qNum/qDen quantile
+    * is the first bucket whose cumulative count reaches φ·total, linearly
+    * interpolated inside it — all comparisons and the interpolation done by
+    * integer cross-multiplication and floor division, so the oracle mirror
+    * is bit-identical (no float rank anywhere). Prometheus edge semantics
+    * kept: a quantile landing in the +Inf bucket reports the highest finite
+    * bound; the first bucket interpolates from 0.
+    *
+    * Scale shape: one narrow map assigns buckets (array literal of ≤ dozens
+    * of bounds, codegen'd), one combinable groupBy to |keys|·|bounds| rows,
+    * then windows over ≤ |bounds|+1 rows per key — after the first
+    * aggregation everything is metadata-sized per key, the monitoring
+    * histogram shape at any series cardinality.
+    */
+  def histogramQuantile(df: DataFrame, keyCols: Seq[String],
+      boundsCents: Seq[Long], qNum: Long, qDen: Long,
+      valueCol: String = "value"): DataFrame = {
+    require(boundsCents.nonEmpty && boundsCents == boundsCents.sorted &&
+      boundsCents.distinct == boundsCents,
+      "histogramQuantile needs ascending distinct bucket bounds")
+    require(qNum > 0 && qDen > 0 && qNum <= qDen,
+      s"quantile $qNum/$qDen must lie in (0, 1]")
+    val inf = Long.MaxValue
+    val boundsArr = s"array(${boundsCents.map(b => s"${b}L").mkString(", ")})"
+    val wCum = Window.partitionBy(keyCols.map(col): _*).orderBy(col("le"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    df
+      .withColumn("__c",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("le", coalesce(
+        expr(s"array_min(filter($boundsArr, x -> x >= __c))"), lit(inf)))
+      .groupBy(keyCols.map(col) :+ col("le"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      // interpolation lower bound comes from the bucket SCHEDULE, not from
+      // the previous bucket present in the data — the two differ when
+      // intermediate buckets are empty, and Prometheus uses the schedule
+      .withColumn("prev_le", coalesce(
+        expr(s"array_max(filter($boundsArr, x -> x < le))"), lit(0L)))
+      .withColumn("total", sum("cnt").over(wAll))
+      // first bucket reaching rank φ·total: cum/total >= qNum/qDen
+      .filter(col("cum") * qDen >= col("total") * qNum)
+      .withColumn("__rn", row_number().over(wCum))
+      .filter(col("__rn") === 1)
+      .select(keyCols.map(col) :+ col("total").as("n") :+
+        when(col("le") === inf, lit(boundsCents.last)).otherwise(
+          col("prev_le") + expr(
+            s"((le - prev_le) * ($qNum * total - $qDen * (cum - cnt)))" +
+              s" div ($qDen * cnt)")).as("q_cents"): _*)
+  }
 }

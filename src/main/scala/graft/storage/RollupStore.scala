@@ -1,0 +1,171 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-rest downsample rollup store — the continuous-aggregate tier a TSDB
+  * keeps beside its raw blocks so range aggregates over months of history
+  * never rescan raw samples (the reference answers every aggregate from raw
+  * blocks, e.g. `zikeiretsu/src/tsdb/query/executor/mod.rs`; materialized
+  * rollups are the standard at-scale extension of that same engine shape —
+  * see SURVEY.md §2.4's sanctioned-extension note).
+  *
+  * Layout: ONE parquet tree of per-bucket rows
+  * `(bucket_ts, bucket_ns, n, min_c, max_c, sum_c, batch_key)` partitioned by
+  * `__day` (the [[WritableStore]] date-bucket convention, derived from
+  * `bucket_ts` with the same integer floor-div, so [[rollup]]'s range
+  * predicate prunes whole day directories at file listing). All value
+  * aggregates are DECIMAL(18,2)-exact: sum-of-sums, min-of-mins, max-of-maxes
+  * and count-of-counts are associative and order-free, so a rollup over
+  * stored rows equals — bit for bit — the aggregate a direct pass over the
+  * raw table would produce, at ANY coarser bucket that is an integer
+  * multiple of the stored one. `bucket_ns` rides in every row (constant per
+  * store) instead of a side meta file so the compactor and the two-rename
+  * publish never face a multi-file consistency window.
+  *
+  * Ingest follows the sketch-store discipline
+  * ([[graft.pipeline.Text.writeSketchStore]]): the base [[write]] stamps
+  * `batch_key = "base"`; each streamed micro-batch [[append]]s partial
+  * per-bucket rows under a replay-stable key, so an at-least-once
+  * redelivery produces a DUPLICATE (bucket_ts, batch_key) row that
+  * [[rollup]] and [[compact]] drop before merging — effectively
+  * exactly-once without a transactional table format. [[compact]] folds
+  * accumulated partials back to one row per bucket under the shared
+  * `.compact-*` two-rename protocol (crash self-heal via
+  * [[graft.pipeline.Similarity.recoverCompact]]).
+  *
+  * 100 TB shape: the store is ~(raw rows / samples-per-bucket) in size —
+  * KB-to-GB where raw is TB — and every query over it is a partition-pruned
+  * scan + one combinable aggregation; nothing driver-side but scalars.
+  */
+object RollupStore {
+
+  private val DayNs = 86400L * 1000000000L
+
+  /** The per-bucket partial aggregation every writer shares: one row per
+    * `bucketNanos`-wide floor bucket of `tsCol`, value stats in exact
+    * DECIMAL(18,2). */
+  private[graft] def rollupRows(df: DataFrame, bucketNanos: Long,
+      valueCol: String, tsCol: String): DataFrame = {
+    require(bucketNanos > 0, s"bucketNanos must be positive: $bucketNanos")
+    val dec = col(valueCol).cast("decimal(18,2)")
+    df.groupBy(expr(graft.operators.TsOps.floorBucketSql(tsCol, bucketNanos))
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"), min(dec).as("min_c"), max(dec).as("max_c"),
+        sum(dec).as("sum_c"))
+      .withColumn("bucket_ns", lit(bucketNanos))
+  }
+
+  /** `__day` partition value for a bucket row — the exact
+    * [[WritableStore]] integer floor-div derivation, so range pruning and
+    * the raw store's directory convention agree. */
+  private def dayCol = date_from_unix_date(
+    expr(s"(bucket_ts - pmod(bucket_ts, ${DayNs}L)) div ${DayNs}L")
+      .cast("int")).cast("string")
+
+  /** Build a rollup store from a raw frame: one atomic publish of the whole
+    * tree (two-rename, crash leaves a complete store — [[AtomicDir]]). */
+  def write(df: DataFrame, path: String, bucketNanos: Long,
+      valueCol: String = "value", tsCol: String = "ts"): Unit = {
+    val spark = df.sparkSession
+    AtomicDir.publish(spark, path, "rollup store") { tmp =>
+      rollupRows(df, bucketNanos, valueCol, tsCol)
+        .withColumn("batch_key", lit("base"))
+        .withColumn(WritableStore.PartitionCol, dayCol)
+        .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
+    }
+  }
+
+  /** Append one batch's per-bucket partial rows. `batchKey` must be unique
+    * per logical batch and STABLE across retries of that batch —
+    * [[graft.streaming.StreamIngest.rollupIngest]] derives it from
+    * (checkpoint location, micro-batch id). */
+  def append(df: DataFrame, path: String, batchKey: String,
+      bucketNanos: Long, valueCol: String = "value",
+      tsCol: String = "ts"): Unit =
+    rollupRows(df, bucketNanos, valueCol, tsCol)
+      .withColumn("batch_key", lit(batchKey))
+      .withColumn(WritableStore.PartitionCol, dayCol)
+      .write.mode("append").partitionBy(WritableStore.PartitionCol)
+      .parquet(path)
+
+  /** Answer a range aggregate at `coarseNanos` granularity from the store
+    * alone — no raw scan. `coarseNanos` must be a multiple of the stored
+    * bucket width (buckets then nest exactly); `[since, until)` must be
+    * coarse-bucket-aligned so no partially-covered coarse bucket can be
+    * emitted. Duplicate (bucket_ts, batch_key) partials — an at-least-once
+    * replay that landed between compactions — are dropped before the merge.
+    * The `__day` predicate prunes day directories at file listing; the
+    * `bucket_ts` predicate prunes row groups inside surviving files.
+    */
+  def rollup(spark: SparkSession, path: String, coarseNanos: Long,
+      since: Option[Long] = None, until: Option[Long] = None): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    AtomicDir.recover(fs, live, "rollup store")
+    graft.pipeline.Similarity.recoverCompact(fs, live)
+    val raw = spark.read.parquet(path)
+    def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(nanos, DayNs)).toString
+    val conds =
+      since.map(v => col("bucket_ts") >= lit(v)).toSeq ++
+        until.map(v => col("bucket_ts") < lit(v)).toSeq ++
+        since.map(v => col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
+        until.map(v => col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
+    val scoped = conds.reduceOption(_ && _).fold(raw)(raw.filter)
+      .dropDuplicates("bucket_ts", "batch_key")
+    require(coarseNanos > 0, s"coarseNanos must be positive: $coarseNanos")
+    for (v <- since ++ until)
+      require(Math.floorMod(v, coarseNanos) == 0,
+        s"rollup: range bound $v is not aligned to coarseNanos $coarseNanos" +
+          " — a partially-covered coarse bucket would report partial stats")
+    // geometry check rides in-plan THROUGH the kept `n` aggregate (a
+    // dropped side column would be pruned before it could fire): any
+    // stored bucket width that doesn't nest into coarseNanos poisons the
+    // query loudly, not silently
+    val checkedN = when(
+      assert_true(pmod(lit(coarseNanos), col("bucket_ns")) === 0,
+        lit(s"rollup: coarseNanos $coarseNanos is not a multiple of the " +
+          "stored bucket width")).isNull, col("n"))
+    scoped
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("bucket_ts",
+        coarseNanos)).as("bucket_ts"))
+      .agg(sum(checkedN).as("n"), min("min_c").as("min_c"),
+        max("max_c").as("max_c"), sum("sum_c").as("sum_c"))
+  }
+
+  /** Fold accumulated per-batch partials back to one row per bucket — the
+    * IO compaction that caps file-listing cost as streamed batches pile up,
+    * doubling as the durable replay repair (duplicate (bucket_ts,
+    * batch_key) rows collapse before the fold). Shared `.compact-*`
+    * two-rename protocol; run with the ingest stream stopped or quiesced —
+    * a batch replayed AFTER its partial was folded is no longer detectable.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".compact-tmp")
+    val old = new Path(path + ".compact-old")
+    graft.pipeline.Similarity.recoverCompact(fs, live)
+    fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .dropDuplicates("bucket_ts", "batch_key")
+      .groupBy("bucket_ts", "bucket_ns")
+      .agg(sum("n").as("n"), min("min_c").as("min_c"),
+        max("max_c").as("max_c"), sum("sum_c").as("sum_c"))
+      .withColumn("batch_key",
+        lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
+      .withColumn(WritableStore.PartitionCol, dayCol)
+      .write.partitionBy(WritableStore.PartitionCol).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact rollup: cannot move $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back — the original tree is intact
+      throw new java.io.IOException("compact rollup: cannot publish")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
+  }
+}

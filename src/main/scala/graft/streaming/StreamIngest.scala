@@ -1365,6 +1365,31 @@ object StreamIngest {
       .trigger(trigger)
       .start()
 
+  /** Continuous-aggregate maintenance: each micro-batch appends its
+    * per-bucket partial rollup rows to an at-rest
+    * [[graft.storage.RollupStore]] under a replay-stable batch key — the
+    * sketch-ingest discipline applied to the TSDB's own downsample tier.
+    * Partials are associative (decimal sums, min/max, counts), so a rollup
+    * over base + streamed partials equals the one-pass batch store exactly,
+    * and a replayed micro-batch collapses in the (bucket_ts, batch_key)
+    * dedup instead of double-counting. State is ZERO: the store on disk is
+    * the accumulator; each batch is one bounded aggregation of its own
+    * rows. Same compaction rule as sketchIngest: quiesce the stream before
+    * [[graft.storage.RollupStore.compact]].
+    */
+  def rollupIngest(stream: DataFrame, path: String, checkpointDir: String,
+      bucketNanos: Long, valueCol: String = "value", tsCol: String = "ts",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.storage.RollupStore.append(batch, path,
+          sketchBatchKey(checkpointDir, batchId), bucketNanos, valueCol,
+          tsCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** The replay-stable identity of one sketch-ingest micro-batch: a hash
     * of the checkpoint location (md5 prefix — the same verbatim string
     * must be passed on restart, the standard Structured Streaming

@@ -59,4 +59,32 @@ class GraphOpsSpec extends AnyFunSuite {
       .orderBy("node").collect().toSeq
     assert(pinned == pure)
   }
+
+  private def triRow(pairs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = GraphOps.triangles(pairs.toDF("src", "dst")).collect()(0)
+    (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_triangles"))
+  }
+
+  test("triangles: K4 holds exactly its four triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(triRow(k4) == ((4L, 6L, 4L)))
+  }
+
+  test("triangles: a path graph holds none") {
+    assert(triRow(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 0L)))
+  }
+
+  test("triangles: a closed star counts once despite the degree-skew hub") {
+    // hub 1 with leaves 2..6, plus the single closing edge (2,3): the only
+    // triangle is {1,2,3}; orientation must not double- or zero-count it
+    val star = (2L to 6L).map(l => (1L, l)) :+ (2L, 3L)
+    assert(triRow(star) == ((6L, 6L, 1L)))
+  }
+
+  test("triangles: direction, duplicates, and self-loops normalize away") {
+    // same K3 delivered messy: reversed edges, a duplicate, a self-loop
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 3L))
+    assert(triRow(messy) == ((3L, 3L, 1L)))
+  }
 }

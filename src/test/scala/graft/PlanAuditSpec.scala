@@ -666,4 +666,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("graph_triangles: data-sized joins are hash equi-joins, no cartesian") {
+    // the final three 1-ROW count frames combine via BNLJ by design; the
+    // edge/wedge joins — the ones that see data — must never cartesian
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    spark.sharedState.cacheManager.clearCache() // oriented persist
+  }
+
+  test("rollup range scan prunes day directories at file listing") {
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val day = 86400L * 1000000000L
+    val p0 = SparkTestBase.tempDir("graft-rollplan") + "/store"
+    graft.storage.RollupStore.write(
+      Seq((1L * H, 1.0), (25L * H, 2.0), (49L * H, 3.0)).toDF("ts", "value"),
+      p0, H)
+    val pr = graft.storage.RollupStore.rollup(spark, p0, day,
+        since = Some(day), until = Some(2 * day))
+      .queryExecution.executedPlan.toString
+    // the __day predicate must reach the scan as a PartitionFilter — the
+    // file-listing-time pruning the date-bucketed layout exists for
+    assert(pr.contains("PartitionFilters: [") && pr.contains("__day"), pr)
+  }
+
+  test("rollup_store_daily: answered from the store, raw table untouched") {
+    val p = plan("rollup_store_daily")
+    // the only scan is over rollup rows (bucket_ts/n/min_c/...); a raw
+    // events column in the plan would mean the store was bypassed
+    assert(p.contains("bucket_ts"), p)
+    assert(!p.contains("event_type") && !p.contains("user_id"), p)
+  }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.storage.RollupStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RollupStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L
+  private val Day = 86400L * 1000000000L
+
+  /** Three days of samples: two-decimal values so DECIMAL(18,2) is
+    * lossless, spread so hour buckets straddle day boundaries. */
+  private def raw = Seq(
+    (1L * H, 10.25), (2L * H, 3.10), (25L * H, 7.77),
+    (26L * H + 7L, 100.01), (49L * H, 0.02), (49L * H + 9L, 5.55)
+  ).toDF("ts", "value")
+
+  private def directDaily = raw
+    .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+      .as("bucket_ts"))
+    .agg(count(lit(1)).as("n"),
+      min(col("value").cast("decimal(18,2)")).as("min_c"),
+      max(col("value").cast("decimal(18,2)")).as("max_c"),
+      sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+    .orderBy("bucket_ts").collect().toSeq
+
+  test("rollup over the 1h store equals the direct daily aggregate") {
+    val p = SparkTestBase.tempDir("graft-rollup") + "/store"
+    RollupStore.write(raw, p, H)
+    val viaStore = RollupStore.rollup(spark, p, Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(viaStore == directDaily)
+    // the store is day-partitioned with the WritableStore convention
+    val days = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("__day=")).map(_.getName).sorted
+    assert(days.toSeq == Seq("__day=1970-01-01", "__day=1970-01-02",
+      "__day=1970-01-03"))
+  }
+
+  test("range rollup prunes to the requested days and stays exact") {
+    val p = SparkTestBase.tempDir("graft-rollup-r") + "/store"
+    RollupStore.write(raw, p, H)
+    val mid = RollupStore.rollup(spark, p, Day, since = Some(Day),
+        until = Some(2 * Day))
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c").collect().toSeq
+    assert(mid == directDaily.filter(_.getLong(0) == Day))
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.rollup(spark, p, Day, since = Some(Day + 1)).collect()
+    }
+    assert(ex.getMessage.contains("not aligned"))
+  }
+
+  test("a replayed append batch cannot double-count") {
+    val p = SparkTestBase.tempDir("graft-rollup-a") + "/store"
+    val (base, late) = (raw.filter(col("ts") < 2 * Day),
+      raw.filter(col("ts") >= 2 * Day))
+    RollupStore.write(base, p, H)
+    RollupStore.append(late, p, "b#1", H)
+    RollupStore.append(late, p, "b#1", H) // at-least-once redelivery
+    val viaStore = RollupStore.rollup(spark, p, Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(viaStore == directDaily)
+    // compaction folds partials (and the duplicate) to one row per bucket
+    RollupStore.compact(spark, p)
+    val afterCompact = RollupStore.rollup(spark, p, Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(afterCompact == directDaily)
+    assert(spark.read.parquet(p).count() ==
+      spark.read.parquet(p).select("bucket_ts").distinct().count())
+  }
+
+  test("a coarse width that does not nest fails loudly, never silently") {
+    val p = SparkTestBase.tempDir("graft-rollup-g") + "/store"
+    RollupStore.write(raw, p, H)
+    val ex = intercept[Exception] {
+      RollupStore.rollup(spark, p, H + 1).collect() // 1ns off a multiple
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(ex).contains("multiple"))
+  }
+}

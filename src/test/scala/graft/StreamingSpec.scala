@@ -780,6 +780,47 @@ class StreamingSpec extends AnyFunSuite {
       batch.getAs[scala.collection.Seq[Long]]("cms").toList)
   }
 
+  test("rollup ingest: waves + a replayed batch still equal the batch store") {
+    import spark.implicits._
+    import graft.storage.RollupStore
+    val H = 3600L * 1000000000L
+    val day = 86400L * 1000000000L
+    val base = SparkTestBase.tempDir("graft-rlingest")
+    val in = new java.io.File(base, "in").getPath
+    val store = new java.io.File(base, "store").getPath
+    val ck = new java.io.File(base, "ck").getPath
+    val wave1 = Seq((1L * H, 10.25), (2L * H, 3.10), (25L * H, 7.77))
+    val wave2 = Seq((26L * H, 100.01), (49L * H, 0.02))
+    wave1.toDF("ts", "value").write.parquet(s"$in/w1")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("ts", LongType),
+        StructField("value", DoubleType))))
+      .parquet(s"$in/*")
+    def drain(): Unit = {
+      val q = StreamIngest.rollupIngest(src, store, ck, H)
+      q.awaitTermination(120000); q.stop()
+    }
+    drain()
+    wave2.toDF("ts", "value").write.parquet(s"$in/w2")
+    drain()
+    // crash-replay of wave 2's micro-batch lands under the stream's own
+    // (checkpoint, batchId) key → deduped, not double-counted
+    RollupStore.append(wave2.toDF("ts", "value"), store,
+      StreamIngest.sketchBatchKey(ck, 1L), H)
+    val direct = (wave1 ++ wave2).toDF("ts", "value")
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", day))
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value").cast("decimal(18,2)")).as("min_c"),
+        max(col("value").cast("decimal(18,2)")).as("max_c"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+      .orderBy("bucket_ts").collect().toSeq
+    val viaStore = RollupStore.rollup(spark, store, day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(viaStore == direct)
+  }
+
   test("streaming bm25 serves from an opened at-rest index (restart path)") {
     // the serving-restart story end to end: the corpus is tokenized ONCE
     // into the stored index; a "restarted" server opens it and scores a

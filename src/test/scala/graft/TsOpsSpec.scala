@@ -920,4 +920,47 @@ class TsOpsSpec extends AnyFunSuite {
     // bucket sums telescope: total increase = Σ per-day increases
     assert(out.values.map(_._2).sum == 250L + 300L + 0L + 425L)
   }
+
+  private def hq(rows: Seq[(String, Double)], bounds: Seq[Long], qn: Long,
+      qd: Long): Map[String, (Long, Long)] =
+    TsOps.histogramQuantile(rows.toDF("k", "value"), Seq("k"), bounds, qn, qd)
+      .collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("q_cents")))).toMap
+
+  test("histogramQuantile: interpolation skips empty schedule buckets") {
+    // values 50c and 250c against bounds [100, 200, 300]: buckets present
+    // are le=100 (cnt 1) and le=300 (cnt 1); the 200 bucket is EMPTY.
+    // p90: rank condition cum·100 ≥ total·90 first holds at le=300
+    // (cum 2 ≥ 1.8); the interpolation lower bound must be the SCHEDULE
+    // predecessor 200 (not the data predecessor 100):
+    // 200 + ⌊(300−200)·(90·2 − 100·1) / (100·1)⌋ = 200 + 80 = 280
+    val out = hq(Seq(("a", 0.50), ("a", 2.50)), Seq(100L, 200L, 300L),
+      90L, 100L)
+    assert(out == Map("a" -> ((2L, 280L))))
+  }
+
+  test("histogramQuantile: first bucket interpolates from zero") {
+    // one value in the first bucket, median: 0 + ⌊100·(1·1 − 2·0)/(2·1)⌋
+    val out = hq(Seq(("a", 0.50)), Seq(100L, 200L), 1L, 2L)
+    assert(out == Map("a" -> ((1L, 50L))))
+  }
+
+  test("histogramQuantile: +Inf bucket reports the highest finite bound") {
+    // both values above every bound → quantile lands in the +Inf bucket;
+    // Prometheus semantics: report the last finite bound, never infinity
+    val out = hq(Seq(("a", 9.00), ("a", 8.00)), Seq(100L, 200L), 90L, 100L)
+    assert(out == Map("a" -> ((2L, 200L))))
+  }
+
+  test("histogramQuantile: per-key independence and exact bound hit") {
+    // key b: values 1.00 ×9 and 2.00 ×1 with bounds [100, 200]: p90 rank
+    // condition holds at le=100 exactly (cum·100 = 900 = total·90) →
+    // 0 + ⌊100·(90·10 − 100·0)/(100·9)⌋ = 100 — the bucket upper bound
+    // key c: one 40c value, p90 in the first bucket:
+    // 0 + ⌊(100−0)·(90·1 − 100·0)/(100·1)⌋ = 90
+    val rows = Seq.fill(9)(("b", 1.00)) :+ (("b", 2.00)) :+ (("c", 0.40))
+    val out = hq(rows, Seq(100L, 200L), 90L, 100L)
+    assert(out == Map("b" -> ((10L, 100L)), "c" -> ((1L, 90L))))
+  }
 }
