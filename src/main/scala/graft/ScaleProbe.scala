@@ -138,6 +138,38 @@ object ScaleProbe {
         graft.operators.GraphOps.pageRank(edgesOf(events), iters = 10).count(),
         graft.operators.GraphOps.pageRank(edgesOf(evScaled), iters = 10).count())
     }
+    if (sel("triangles")) {
+      // triangle counting over an events-derived co-occurrence graph: the
+      // degree-ordered orientation must keep wedge fan-out bounded as the
+      // node/edge count grows with the event volume
+      def triCount(ev: DataFrame): Long = {
+        val pairs = ev.select(col("user_id").as("src"),
+          (pmod(col("event_id"), lit(500L)) + 1000000L).as("dst")).distinct()
+        val n = graft.operators.GraphOps.triangles(pairs)
+          .head().getAs[Long]("n_edges")
+        spark.catalog.clearCache()
+        n
+      }
+      report("triangles", evK, triCount(events), triCount(evScaled))
+    }
+    report("histogram_quantile", evK,
+      TsOps.histogramQuantile(events, Seq("event_type"),
+        Seq(500L, 1000L, 2500L, 5000L, 10000L, 25000L), 90L, 100L).count(),
+      TsOps.histogramQuantile(evScaled, Seq("event_type"),
+        Seq(500L, 1000L, 2500L, 5000L, 10000L, 25000L), 90L, 100L).count())
+    if (sel("rollup_store")) {
+      // build cost scales with raw rows; the QUERY cost scales with the
+      // store (buckets), which grows with the time span, not sample rate —
+      // both sides of the continuous-aggregate trade, measured
+      val day = 86400L * 1000000000L
+      def storeRoundtrip(ev: DataFrame, tag: String): Long = {
+        val p = s"$work/rollup_$tag"
+        graft.storage.RollupStore.write(ev, p, 3600L * 1000000000L)
+        graft.storage.RollupStore.rollup(spark, p, day).count()
+      }
+      report("rollup_store", evK,
+        storeRoundtrip(events, "1x"), storeRoundtrip(evScaled, s"${evK}x"))
+    }
     if (sel("zorder_slice")) {
       // A/B at the SAME scaled size: the 2-dim slice on a z-ordered copy
       // vs a ts-sorted copy — the layout, not the operator, is under test
