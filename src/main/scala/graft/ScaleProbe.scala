@@ -152,6 +152,12 @@ object ScaleProbe {
       }
       report("triangles", evK, triCount(events), triCount(evScaled))
     }
+    def lttb64(ev: DataFrame): Long =
+      graft.operators.RecurrenceOps.lttb(
+        ev.select(pmod(col("user_id"), lit(64L)).as("sid"), col("ts"),
+          col("event_id"), col("value")),
+        Seq("sid"), 6L * 3600 * 1000000000L).count()
+    report("lttb_downsample", evK, lttb64(events), lttb64(evScaled))
     report("histogram_quantile", evK,
       TsOps.histogramQuantile(events, Seq("event_type"),
         Seq(500L, 1000L, 2500L, 5000L, 10000L, 25000L), 90L, 100L).count(),

@@ -643,6 +643,19 @@ object SparkEntry {
           boundsCents = Seq(500L, 1000L, 2500L, 5000L, 10000L, 25000L),
           qNum = 90L, qDen = 100L)
         .orderBy("event_type")),
+    "ts_lttb" -> ((s, d) => {
+      // visual-fidelity downsampling: 64 series, 6h grid — every kept
+      // point is reproduced by the oracle's transition-table walk of the
+      // same exact-integer triangle-area recurrence
+      val ev = t(s, d, "events").select(
+        pmod(col("user_id"), lit(64L)).as("sid"), col("ts"),
+        col("event_id"), col("value"))
+      graft.operators.RecurrenceOps.lttb(ev, Seq("sid"),
+          bucketNanos = 6L * 3600 * 1000000000L)
+        .select(col("sid"), col("ts"), col("id").as("event_id"),
+          col("cents"))
+        .orderBy("sid", "ts", "event_id")
+    }),
     "zorder_scan" -> ((s, d) => {
       // the two-dimensional slice the z-ordered layout exists for: a
       // user band AND a time window together — footer stats prune files
@@ -1583,6 +1596,81 @@ object SparkEntry {
          |  END AS BIGINT) AS q_cents
          |FROM f WHERE rn = 1 ORDER BY event_type""".stripMargin
     },
+    // the LTTB walk re-derived relationally: a transition table holds, for
+    // every (bucket, possible previous choice), the argmax-area point —
+    // then a recursive CTE walks the actual choice chain. Every floor
+    // division, tie-break, and the first/last-bucket rules mirror
+    // RecurrenceOps.lttb exactly (HUGEINT clears the avg division by
+    // multiplying through by the next bucket's count)
+    "ts_lttb" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT user_id % 64 AS sid, epoch_ns(ts) AS ts, event_id AS id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |), base AS (
+        |  SELECT sid, ts, id, c,
+        |    (ts - min(ts) OVER (PARTITION BY sid)) // 1000000000 AS rel,
+        |    ts // 21600000000000 AS b
+        |  FROM pts
+        |), anch AS (
+        |  SELECT sid, ts, id, c, rel, b FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sid ORDER BY ts, id)
+        |      AS rn FROM base) WHERE rn = 1
+        |), beyond AS (
+        |  SELECT p.sid, p.ts, p.id, p.c, p.rel, p.b,
+        |    dense_rank() OVER (PARTITION BY p.sid ORDER BY p.b) AS bi
+        |  FROM base p JOIN anch a ON p.sid = a.sid AND p.b > a.b
+        |), mm AS (SELECT sid, max(bi) AS m FROM beyond GROUP BY sid),
+        |avgs AS (
+        |  SELECT sid, bi, count(*) AS n, sum(rel) AS sx, sum(c) AS sy
+        |  FROM beyond GROUP BY 1, 2
+        |), t1 AS (
+        |  SELECT sid, ts, id, c FROM (
+        |    SELECT p.sid, p.ts, p.id, p.c,
+        |      row_number() OVER (PARTITION BY p.sid ORDER BY
+        |        abs((CAST(a.rel AS HUGEINT) * v.n - v.sx) * (p.c - a.c)
+        |          - CAST(a.rel - p.rel AS HUGEINT)
+        |            * (v.sy - CAST(a.c AS HUGEINT) * v.n)) DESC,
+        |        p.ts, p.id) AS rn
+        |    FROM beyond p
+        |    JOIN anch a ON a.sid = p.sid
+        |    JOIN avgs v ON v.sid = p.sid AND v.bi = 2
+        |    JOIN mm ON mm.sid = p.sid AND mm.m >= 2
+        |    WHERE p.bi = 1
+        |  ) WHERE rn = 1
+        |), tj AS (
+        |  SELECT sid, bi, prev_ts, prev_id, ts, id, c FROM (
+        |    SELECT p.sid, p.bi, q.ts AS prev_ts, q.id AS prev_id,
+        |      p.ts, p.id, p.c,
+        |      row_number() OVER (PARTITION BY p.sid, p.bi, q.ts, q.id
+        |        ORDER BY
+        |        abs((CAST(q.rel AS HUGEINT) * v.n - v.sx) * (p.c - q.c)
+        |          - CAST(q.rel - p.rel AS HUGEINT)
+        |            * (v.sy - CAST(q.c AS HUGEINT) * v.n)) DESC,
+        |        p.ts, p.id) AS rn
+        |    FROM beyond p
+        |    JOIN beyond q ON q.sid = p.sid AND q.bi = p.bi - 1
+        |    JOIN avgs v ON v.sid = p.sid AND v.bi = p.bi + 1
+        |    JOIN mm ON mm.sid = p.sid AND p.bi < mm.m
+        |    WHERE p.bi >= 2
+        |  ) WHERE rn = 1
+        |), walk AS (
+        |  SELECT sid, CAST(1 AS BIGINT) AS bi, ts, id, c FROM t1
+        |  UNION ALL
+        |  SELECT t.sid, w.bi + 1, t.ts, t.id, t.c
+        |  FROM walk w JOIN tj t ON t.sid = w.sid AND t.bi = w.bi + 1
+        |    AND t.prev_ts = w.ts AND t.prev_id = w.id
+        |), lastp AS (
+        |  SELECT sid, ts, id, c FROM (
+        |    SELECT sid, ts, id, c, row_number() OVER (PARTITION BY sid
+        |      ORDER BY ts DESC, id DESC) AS rn
+        |    FROM base) WHERE rn = 1
+        |)
+        |SELECT DISTINCT sid, ts, id AS event_id, c AS cents FROM (
+        |  SELECT sid, ts, id, c FROM anch
+        |  UNION ALL SELECT sid, ts, id, c FROM walk
+        |  UNION ALL SELECT sid, ts, id, c FROM lastp
+        |) ORDER BY sid, ts, event_id""".stripMargin,
     // order-independent a<b<c three-join — counts the same triangles the
     // degree-ordered orientation does, via a structurally different plan,
     // so it validates the algorithm rather than mirroring it

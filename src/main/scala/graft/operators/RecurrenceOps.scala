@@ -159,4 +159,123 @@ object RecurrenceOps {
       out
     }.withColumnRenamed("c", "cents")
   }
+
+  /** Largest-triangle-three-buckets downsampling (Steinarsson 2013,
+    * "Downsampling Time Series for Visual Representation", University of
+    * Iceland) on a fixed time grid — the visual-fidelity decimation a
+    * dashboard-serving TSDB applies before shipping a dense series to a
+    * renderer: per series keep the FIRST sample, then for every interior
+    * grid bucket the single point forming the largest triangle with the
+    * previously kept point and the NEXT bucket's average point, then the
+    * LAST sample. Spikes and inflections survive where min/max or mean
+    * decimation flattens them.
+    *
+    * Engine-exact semantics (every choice reproducible by the SQL oracle):
+    *  - buckets are the absolute `⌊ts/bucketNanos⌋` grid; the bucket
+    *    holding the first sample contributes ONLY that sample (the
+    *    canonical first-bucket rule, time-gridded);
+    *  - x is whole SECONDS relative to the series' first sample, y is
+    *    value cents; the doubled-triangle-area comparison is cleared of
+    *    the next-bucket average's division by multiplying through by its
+    *    count n — `|(ax·n − Σx)·(py − ay) − (ax − px)·(Σy − ay·n)|`, all
+    *    exact BigInt, no float anywhere;
+    *  - ties take the earliest (ts, id) candidate;
+    *  - the selection recurrence (each choice depends on the previous
+    *    CHOICE) is why this lives in the sequential tier: a window cannot
+    *    express it.
+    *
+    * Execution: the shared sorted-fold layout with TWO-bucket lookahead —
+    * per series the fold holds the bucket awaiting selection plus the
+    * accumulating next bucket (the average the choice needs), so memory is
+    * two buckets of samples + the m selected points, never the series.
+    * Parallelism across series, the downsample output is m+2 points per
+    * series by construction. No streaming twin BY DESIGN: each choice
+    * needs the complete NEXT bucket, so any stream emits at one-bucket
+    * latency — batch recompute over the closed range is the honest shape.
+    */
+  def lttb(df: DataFrame, keyCols: Seq[String], bucketNanos: Long,
+      valueCol: String = "value", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(bucketNanos > 0, "lttb needs a positive bucket width")
+    val p = prepared(df, keyCols, tsCol, idCol, valueCol)
+    val spark = p.sparkSession
+    val nKeys = keyCols.length
+    val outSchema = StructType(p.schema.fields)
+    val rdd = p.rdd.mapPartitions { it =>
+      val bit = it.buffered
+      def keyOf(r: Row): Seq[Long] = (0 until nKeys).map(r.getLong)
+      new Iterator[Row] {
+        private var queue: Iterator[Row] = Iterator.empty
+        override def hasNext: Boolean = queue.hasNext || bit.hasNext
+        override def next(): Row = {
+          while (!queue.hasNext && bit.hasNext) {
+            val key = keyOf(bit.head)
+            queue = lttbSeries(new Iterator[Row] {
+              def hasNext: Boolean = bit.hasNext && keyOf(bit.head) == key
+              def next(): Row = bit.next()
+            }, nKeys, bucketNanos).iterator
+          }
+          queue.next()
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema).withColumnRenamed("c", "cents")
+  }
+
+  /** One series' LTTB walk (rows pre-sorted by (ts, id)). */
+  private def lttbSeries(rows: Iterator[Row], nKeys: Int,
+      w: Long): Seq[Row] = {
+    final case class Pt(row: Row, rel: Long, c: Long, ts: Long, id: Long)
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    var tsMin = 0L
+    var ax = 0L; var ay = 0L // previously KEPT point (x rel-sec, y cents)
+    var b1 = 0L
+    var pending: scala.collection.mutable.ArrayBuffer[Pt] = null
+    var cur: scala.collection.mutable.ArrayBuffer[Pt] = null
+    var curId = 0L
+    var anchorTs = 0L; var anchorId = 0L
+    var last: Pt = null
+    var first = true
+    def select(): Unit = { // choose from `pending` against avg(`cur`)
+      val n = BigInt(cur.length)
+      var sx = BigInt(0); var sy = BigInt(0)
+      cur.foreach { q => sx += q.rel; sy += q.c }
+      var best: Pt = null; var bestScore = BigInt(-1)
+      pending.foreach { q => // sorted (ts, id) ⇒ strict > keeps earliest tie
+        val score = ((BigInt(ax) * n - sx) * BigInt(q.c - ay) -
+          BigInt(ax - q.rel) * (sy - BigInt(ay) * n)).abs
+        if (score > bestScore) { best = q; bestScore = score }
+      }
+      out += best.row
+      ax = best.rel; ay = best.c
+    }
+    while (rows.hasNext) {
+      val r = rows.next()
+      val ts = r.getLong(nKeys); val id = r.getLong(nKeys + 1)
+      val c = r.getLong(nKeys + 2)
+      if (first) {
+        first = false; tsMin = ts; b1 = Math.floorDiv(ts, w)
+        out += r; ax = 0L; ay = c; anchorTs = ts; anchorId = id
+      }
+      val pt = Pt(r, Math.floorDiv(ts - tsMin, 1000000000L), c, ts, id)
+      last = pt
+      val b = Math.floorDiv(ts, w)
+      if (b != b1) { // the anchor bucket's tail never enters the buffers
+        if (cur == null) { cur = scala.collection.mutable.ArrayBuffer(pt); curId = b }
+        else if (b == curId) cur += pt
+        else { // a new bucket opens ⇒ `cur` is complete
+          if (pending != null) select()
+          pending = cur
+          cur = scala.collection.mutable.ArrayBuffer(pt); curId = b
+        }
+      }
+    }
+    if (cur != null) {
+      if (pending != null) select() // second-to-last bucket, vs avg(last)
+      out += cur.last.row           // the series' last sample
+    } else if (last != null && (last.ts != anchorTs || last.id != anchorId)) {
+      out += last.row // single-bucket series: first + last
+    }
+    out.toSeq
+  }
 }

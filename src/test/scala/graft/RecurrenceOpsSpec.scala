@@ -103,6 +103,53 @@ class RecurrenceOpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  private def lttbPoints(rows: Seq[(Long, Long, Long, Double)], w: Long) =
+    RecurrenceOps.lttb(ev(rows), Seq("user_id"), w)
+      .orderBy("ts", "id").collect()
+      .map(r => (r.getAs[Long]("ts"), r.getAs[Long]("cents"))).toSeq
+
+  test("lttb: hand-walked selection — anchor, two interior picks, last") {
+    val g = 1000000000L // 1s; bucket width 10s
+    // b1 [0,10): t=1 c=10.00 (anchor), t=5 c=99.00 (first-bucket tail,
+    //   DISCARDED); b2 [10,20): t=11 c=50.00, t=15 c=10.00; b3: t=21
+    //   c=30.00; b4: t=35 c=70.00 (last)
+    // interior pick in b2, prev=(rel 0, 1000c), next-avg=b3 (n=1, sx=20,
+    //   sy=3000):
+    //   p(11): |(0·1−20)(5000−1000) − (0−10)(3000−1000)| = 60000
+    //   p(15): |(0·1−20)(1000−1000) − (0−14)(3000−1000)| = 28000 → pick 11
+    // interior pick in b3: its only point
+    val rows = Seq((1L, 1 * g, 1L, 10.0), (1L, 5 * g, 2L, 99.0),
+      (1L, 11 * g, 3L, 50.0), (1L, 15 * g, 4L, 10.0),
+      (1L, 21 * g, 5L, 30.0), (1L, 35 * g, 6L, 70.0))
+    assert(lttbPoints(rows, 10 * g) == Seq((1 * g, 1000L), (11 * g, 5000L),
+      (21 * g, 3000L), (35 * g, 7000L)))
+  }
+
+  test("lttb: degenerate series — single bucket keeps first and last") {
+    val g = 1000000000L
+    assert(lttbPoints(Seq((1L, 1 * g, 1L, 5.0), (1L, 2 * g, 2L, 6.0),
+      (1L, 3 * g, 3L, 7.0)), 100 * g) == Seq((1 * g, 500L), (3 * g, 700L)))
+    // a single point appears exactly once, never duplicated as "last"
+    assert(lttbPoints(Seq((1L, 1 * g, 1L, 5.0)), 100 * g) ==
+      Seq((1 * g, 500L)))
+    // two buckets, no interior: anchor + last only
+    assert(lttbPoints(Seq((1L, 1 * g, 1L, 5.0), (1L, 2 * g, 2L, 9.0),
+      (1L, 11 * g, 3L, 6.0), (1L, 12 * g, 4L, 7.0)), 10 * g) ==
+      Seq((1 * g, 500L), (12 * g, 700L)))
+  }
+
+  test("lttb: series are independent and order-insensitive") {
+    val g = 1000000000L
+    val a = Seq((1L, 1 * g, 1L, 10.0), (1L, 11 * g, 2L, 50.0),
+      (1L, 21 * g, 3L, 30.0), (1L, 35 * g, 4L, 70.0))
+    val b = a.map { case (_, ts, id, v) => (2L, ts, id + 10, v + 1) }
+    val out = RecurrenceOps.lttb(
+      ev(scala.util.Random.shuffle(a ++ b)), Seq("user_id"), 10 * g)
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts"))).toSeq
+    assert(out == a.map(x => (1L, x._2)) ++ b.map(x => (2L, x._2)))
+  }
+
   test("cusum: downward drift trips the negative side") {
     val rows = (0 until 4).map(i => (1L, i * 10L, i.toLong, 40.0))
     val out = RecurrenceOps.cusum(ev(rows), Seq("user_id"),
