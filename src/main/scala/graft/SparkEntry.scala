@@ -4058,6 +4058,21 @@ object SparkEntry {
         mode = "complete")
         .orderBy("user_id", "session_idx")
     }),
+    "stream_histogram" -> ((s, d) => {
+      // live SLO quantiles: complete-mode cumulative-bucket counts —
+      // state is the |keys|·(|bounds|+1) counter matrix itself; the
+      // drained counts run the identical exact-integer interpolation
+      // finisher, so the twin shares the batch oracle
+      Tables.configure(s)
+      val bounds = Seq(500L, 1000L, 2500L, 5000L, 10000L, 25000L)
+      val counts = TsOps.histogramBuckets(eventStream(s, d),
+        Seq("event_type"), bounds)
+      val drained = runStreamToTable(s, counts, "stream_histogram_out",
+        mode = "complete")
+      TsOps.histogramQuantileFromCounts(drained, Seq("event_type"), bounds,
+          qNum = 90L, qDen = 100L)
+        .orderBy("event_type")
+    }),
     "stream_heatmap" -> ((s, d) => {
       // live dow×hour activity matrix: complete-mode agg whose state is
       // at most 168 counters — the cheapest possible live dashboard
@@ -6349,6 +6364,9 @@ object SparkEntry {
       // a drained complete-mode heatmap agg holds exactly the batch
       // dow×hour counts (same integer arithmetic)
       ("stream_heatmap" -> base("ts_heatmap")) +
+      // drained complete-mode bucket counts + the same exact finisher ==
+      // the batch histogram quantile bit-for-bit
+      ("stream_histogram" -> base("ts_histogram_quantile")) +
       // the literal vocabulary equals the batch top-100 (same total
       // order), so the drained pair counts equal the batch matrix
       ("stream_cooccur" -> base("text_cooccur")) +

@@ -726,23 +726,43 @@ object TsOps {
     */
   def histogramQuantile(df: DataFrame, keyCols: Seq[String],
       boundsCents: Seq[Long], qNum: Long, qDen: Long,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value"): DataFrame =
+    histogramQuantileFromCounts(
+      histogramBuckets(df, keyCols, boundsCents, valueCol),
+      keyCols, boundsCents, qNum, qDen)
+
+  /** [[histogramQuantile]]'s first half: per-key cumulative-bucket counts
+    * (one narrow bucket-assign map + a combinable count) — ALSO the
+    * streaming twin's complete-mode aggregation, whose state is the
+    * |keys|·(|bounds|+1) counter matrix itself. */
+  def histogramBuckets(df: DataFrame, keyCols: Seq[String],
+      boundsCents: Seq[Long], valueCol: String = "value"): DataFrame = {
     require(boundsCents.nonEmpty && boundsCents == boundsCents.sorted &&
       boundsCents.distinct == boundsCents,
       "histogramQuantile needs ascending distinct bucket bounds")
+    val boundsArr = s"array(${boundsCents.map(b => s"${b}L").mkString(", ")})"
+    df
+      .withColumn("__c",
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("le", coalesce(
+        expr(s"array_min(filter($boundsArr, x -> x >= __c))"),
+        lit(Long.MaxValue)))
+      .groupBy(keyCols.map(col) :+ col("le"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[histogramQuantile]]'s finisher over (keys..., le, cnt) rows — a
+    * metadata-sized frame (≤ |bounds|+1 rows per key) whatever produced
+    * it: the batch aggregation or a drained streaming sink. */
+  def histogramQuantileFromCounts(counts: DataFrame, keyCols: Seq[String],
+      boundsCents: Seq[Long], qNum: Long, qDen: Long): DataFrame = {
     require(qNum > 0 && qDen > 0 && qNum <= qDen,
       s"quantile $qNum/$qDen must lie in (0, 1]")
     val inf = Long.MaxValue
     val boundsArr = s"array(${boundsCents.map(b => s"${b}L").mkString(", ")})"
     val wCum = Window.partitionBy(keyCols.map(col): _*).orderBy(col("le"))
     val wAll = Window.partitionBy(keyCols.map(col): _*)
-    df
-      .withColumn("__c",
-        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
-      .withColumn("le", coalesce(
-        expr(s"array_min(filter($boundsArr, x -> x >= __c))"), lit(inf)))
-      .groupBy(keyCols.map(col) :+ col("le"): _*)
-      .agg(count(lit(1)).as("cnt"))
+    counts
       .withColumn("cum", sum("cnt").over(wCum))
       // interpolation lower bound comes from the bucket SCHEDULE, not from
       // the previous bucket present in the data — the two differ when
