@@ -152,6 +152,18 @@ object ScaleProbe {
       }
       report("triangles", evK, triCount(events), triCount(evScaled))
     }
+    if (sel("kcore")) {
+      // peeling rounds are data-bounded (converges or fails loudly); the
+      // probe pins that per-round cost tracks the edge volume, not worse
+      def coreCount(ev: DataFrame): Long = {
+        val pairs = ev.select(col("user_id").as("src"),
+          (pmod(col("event_id"), lit(500L)) + 1000000L).as("dst")).distinct()
+        val n = graft.operators.GraphOps.kCore(pairs, k = 3).count()
+        spark.catalog.clearCache()
+        n
+      }
+      report("kcore_peel", evK, coreCount(events), coreCount(evScaled))
+    }
     def lttb64(ev: DataFrame): Long =
       graft.operators.RecurrenceOps.lttb(
         ev.select(pmod(col("user_id"), lit(64L)).as("sid"), col("ts"),

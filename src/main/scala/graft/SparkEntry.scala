@@ -622,6 +622,21 @@ object SparkEntry {
         .distinct()
       graft.operators.GraphOps.triangles(pairs)
     }),
+    "graph_kcore" -> ((s, d) => {
+      // the 30-core of the customer↔supplier trade graph: peeling drops
+      // the loosely-attached fringe (few trade links) and keeps the
+      // densely-inter-linked core — convergence is data-verified (the
+      // operator fails loudly if 12 rounds don't reach the fixpoint; the
+      // oracle unrolls 6, rounds past the fixpoint are no-ops)
+      val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          least(col("o_custkey") * 2, col("l_suppkey") * 2 + 1).as("src"),
+          greatest(col("o_custkey") * 2, col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.GraphOps.kCore(pairs, k = 30)
+    }),
     "rollup_store_daily" -> ((s, d) => {
       // continuous-aggregate routing: daily stats answered from the
       // at-rest 1h rollup store alone — the oracle aggregates the RAW
@@ -1551,6 +1566,40 @@ object SparkEntry {
   )
 
   private val analyticsOracles: Map[String, String] = Map(
+    // peeling unrolled: each round re-derives degrees over the previous
+    // round's edge set and re-scopes it to the >= k survivors — rounds
+    // past the fixpoint are identity, so 6 unrolled rounds cover any
+    // converged-within-6 state (the Spark side fails loudly otherwise)
+    "graph_kcore" -> {
+      val k = 30
+      val rounds = 6
+      // AS MATERIALIZED is load-bearing: inlined, each round re-expands
+      // the whole prior chain (4^rounds parquet scans — DuckDB runs out
+      // of file handles before it runs out of patience)
+      val head =
+        """WITH pairs AS MATERIALIZED (
+          |  SELECT DISTINCT least(o_custkey * 2, l_suppkey * 2 + 1) AS src,
+          |                  greatest(o_custkey * 2, l_suppkey * 2 + 1) AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |), e0 AS MATERIALIZED (SELECT src, dst FROM pairs)""".stripMargin
+      val steps = (1 to rounds).map { i =>
+        s""",
+           |keep$i AS MATERIALIZED (SELECT node FROM (
+           |  SELECT node, count(*) AS d FROM (
+           |    SELECT src AS node FROM e${i - 1}
+           |    UNION ALL SELECT dst FROM e${i - 1})
+           |  GROUP BY 1) WHERE d >= $k),
+           |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN keep$i k1 ON e.src = k1.node
+           |  JOIN keep$i k2 ON e.dst = k2.node)""".stripMargin
+      }.mkString
+      head + steps +
+        s"""
+           |SELECT node, count(*) AS deg FROM (
+           |  SELECT src AS node FROM e$rounds
+           |  UNION ALL SELECT dst FROM e$rounds)
+           |GROUP BY 1 ORDER BY node""".stripMargin
+    },
     // the oracle aggregates the RAW table at daily grain; the query answers
     // from the 1h rollup store — equality proves partial composition
     "rollup_store_daily" ->

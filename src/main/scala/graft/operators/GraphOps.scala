@@ -158,4 +158,65 @@ object GraphOps {
     val nTri = closed.agg(count(lit(1)).as("n_triangles"))
     nNodes.crossJoin(nEdges).crossJoin(nTri) // three 1-row frames
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly drop nodes of
+    * degree < k (with their edges) until the survivor set is stable — the
+    * densely-inter-linked core that separates organic clusters from
+    * loosely-attached spam/leaf structure. Returns each surviving node
+    * with its WITHIN-CORE degree (≥ k by the fixpoint property).
+    *
+    * Execution: a driver loop of peeling rounds — degree agg (combinable)
+    * + two left-semi joins re-scoping the edge frame — exactly the
+    * [[pageRank]] superstep shape: per round two keyed shuffles, nothing
+    * driver-side but the survivor count that doubles as the termination
+    * test. The edge frame is pinned every `pinEvery` rounds (the
+    * [[graft.pipeline.Pipelines]] pin modes) so lineage cannot compound
+    * across rounds. Peeling converges in few rounds on natural graphs
+    * (each round must remove ≥ 1 node to continue, and cascades are rare
+    * past the first sweep); `maxRounds` bounds the loop and a
+    * non-converged exit FAILS LOUDLY — a silent partial peel would
+    * misreport non-core nodes as core members.
+    */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12,
+      pinEvery: Int = 4,
+      pinMode: String = graft.pipeline.Pipelines.PinLocal): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val p0 = pairs.select(col("src").cast("long"), col("dst").cast("long"))
+    var e = p0.select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    def degOf(edges: DataFrame): DataFrame =
+      edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var lastPin: DataFrame = null
+    var nNodes = -1L
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val keep = degOf(e).filter(col("deg") >= k).select("node")
+      val n = keep.count() // the termination scalar; also sizes the joins
+      if (n == nNodes) converged = true
+      else {
+        nNodes = n
+        e = e.join(keep.withColumnRenamed("node", "src"), Seq("src"),
+            "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"),
+            "left_semi")
+        if (pinEvery > 0 && round % pinEvery == 0) {
+          val pinned = graft.pipeline.Pipelines.pinFrame(e, pinMode)
+          pinned.count()
+          if (lastPin != null) lastPin.unpersist()
+          lastPin = pinned
+          e = pinned
+        }
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge within $maxRounds peeling rounds — " +
+          "raise maxRounds (the unrolled oracle must match it)")
+    degOf(e).orderBy("node")
+  }
 }

@@ -87,4 +87,30 @@ class GraphOpsSpec extends AnyFunSuite {
     val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 3L))
     assert(triRow(messy) == ((3L, 3L, 1L)))
   }
+
+  private def core(pairs: Seq[(Long, Long)], k: Int, maxRounds: Int = 12) =
+    GraphOps.kCore(pairs.toDF("src", "dst"), k, maxRounds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: pendant peels off, the clique survives with its degrees") {
+    // K4 on 1..4 plus pendant 5—1: the 3-core is exactly the K4
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+
+      ((1L, 5L))
+    assert(core(k4, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: a path cascades from both ends to an empty 2-core") {
+    // each round exposes new endpoints — the multi-round cascade case
+    val path = (1L until 8L).map(i => (i, i + 1))
+    assert(core(path, 2) == Map.empty)
+    // the cycle closes the ends: every node holds degree 2 and survives
+    val cycle = path :+ ((8L, 1L))
+    assert(core(cycle, 2) == (1L to 8L).map(_ -> 2L).toMap)
+  }
+
+  test("kCore: a non-converged peel fails loudly, never partially") {
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] { core(path, 2, maxRounds = 2) }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
