@@ -622,6 +622,39 @@ object SparkEntry {
         .distinct()
       graft.operators.GraphOps.triangles(pairs)
     }),
+    "ts_tolerance_join" -> ((s, d) => {
+      // symmetric temporal correlation: clicks within ±1h of each error
+      // by the same user — planned as a hash equi-join on (user, tol
+      // bucket) with 3× left fan-out, never the nested loop the raw theta
+      // predicate would force
+      val ev = t(s, d, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      TsOps.toleranceJoin(errs, clicks, 3600L * 1000000000L, Seq("user_id"))
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("err_ts"), col("r_event_id").as("clk_id"),
+          col("r_ts").as("clk_ts"),
+          (col("r_ts") - col("ts")).as("delta_ns"))
+        .orderBy("user_id", "err_id", "clk_id")
+    }),
+    "ts_path_trigrams" -> ((s, d) => {
+      // top 3-step behavioral paths: two lead windows in the per-user
+      // (ts, id) total order, then one combinable count over the ≤|types|³
+      // path space — output is metadata-sized at any event volume
+      val w = Window.partitionBy("user_id").orderBy(col("ts"),
+        col("event_id"))
+      t(s, d, "events").select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("t2").as("s2"),
+          col("t3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(20)
+    }),
     "graph_kcore" -> ((s, d) => {
       // the 30-core of the customer↔supplier trade graph: peeling drops
       // the loosely-attached fringe (few trade links) and keeps the
@@ -1566,6 +1599,24 @@ object SparkEntry {
   )
 
   private val analyticsOracles: Map[String, String] = Map(
+    "ts_tolerance_join" ->
+      """SELECT e.user_id, e.event_id AS err_id, epoch_ns(e.ts) AS err_ts,
+        |  c.event_id AS clk_id, epoch_ns(c.ts) AS clk_ts,
+        |  epoch_ns(c.ts) - epoch_ns(e.ts) AS delta_ns
+        |FROM events e JOIN events c ON e.user_id = c.user_id
+        | AND e.event_type = 'error' AND c.event_type = 'click'
+        | AND abs(epoch_ns(c.ts) - epoch_ns(e.ts)) <= 3600000000000
+        |ORDER BY e.user_id, err_id, clk_id""".stripMargin,
+    "ts_path_trigrams" ->
+      """WITH p AS (
+        |  SELECT event_type AS s1,
+        |    lead(event_type, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS s3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT s1, s2, s3, count(*) AS n FROM p WHERE s3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
     // peeling unrolled: each round re-derives degrees over the previous
     // round's edge set and re-scopes it to the >= k survivors — rounds
     // past the fixpoint are identity, so 6 unrolled rounds cover any

@@ -412,6 +412,34 @@ object TsOps {
       .drop("__bin")
   }
 
+  /** Symmetric time-tolerance join: all (left, right) pairs sharing `keyCols`
+    * with `|left.ts − right.ts| <= tolNanos` — the temporal-correlation
+    * probe ("which clicks surround each error?") whose naive form is a
+    * theta join Spark can only plan as a nested loop. Rewritten
+    * scale-correct: both sides bucket by `⌊ts/tol⌋`, the LEFT side expands
+    * to its bucket ±1 (a row within tol of a right row lands in the same
+    * or an adjacent bucket — exactly 3× fan-out, independent of data), the
+    * join runs as a hash EQUI-join on (keys, bucket), and the exact
+    * `abs(diff)` residual trims the corners. Shuffle volume is 3×|left| +
+    * |right|; no plan node ever holds a cross product (PlanAuditSpec pins
+    * it). Right columns surface with the `r_` prefix.
+    */
+  def toleranceJoin(left: DataFrame, right: DataFrame, tolNanos: Long,
+      keyCols: Seq[String], tsCol: String = "ts"): DataFrame = {
+    require(tolNanos > 0, "toleranceJoin needs a positive tolerance")
+    val l = left.withColumn("__b0", expr(floorDivSql(tsCol, tolNanos)))
+      .withColumn("__bin", explode(array(col("__b0") - 1, col("__b0"),
+        col("__b0") + 1)))
+      .drop("__b0")
+    val rCols = right.columns
+    val r = right.select(rCols.map(c =>
+        col(c).as(if (keyCols.contains(c)) c else s"r_$c")): _*)
+      .withColumn("__bin", expr(floorDivSql(s"r_$tsCol", tolNanos)))
+    l.join(r, keyCols :+ "__bin")
+      .filter(abs(col(tsCol) - col(s"r_$tsCol")) <= tolNanos)
+      .drop("__bin")
+  }
+
   /** Day-of-week × hour-of-day activity matrix — pure integer arithmetic on
     * the epoch-nano axis (UTC; epoch day 0 = Thursday, hence the +4 shift),
     * so the result is engine-portable without timezone library calls. One

@@ -693,6 +693,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pr.contains("PartitionFilters: [") && pr.contains("__day"), pr)
   }
 
+  test("ts_tolerance_join: theta predicate planned as a hash equi-join") {
+    // the raw |l.ts - r.ts| <= tol condition alone would plan as a
+    // nested loop; the bucket rewrite must surface as an equi-join
+    val p = plan("ts_tolerance_join")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("rollup_store_daily: answered from the store, raw table untouched") {
     val p = plan("rollup_store_daily")
     // the only scan is over rollup rows (bucket_ts/n/min_c/...); a raw

@@ -921,6 +921,23 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 250L + 300L + 0L + 425L)
   }
 
+  test("toleranceJoin: inclusive bound, adjacent buckets, no duplicates") {
+    import spark.implicits._
+    val tol = 100L
+    val l = Seq((1L, 1000L, 10L), (1L, 5000L, 11L), (2L, 1000L, 12L))
+      .toDF("k", "ts", "lid")
+    // matches for lid=10 (k=1, ts=1000): 900 (tol-exact, PREVIOUS bucket),
+    // 1100 (tol-exact, NEXT bucket), 1050 (same bucket); 1101 is 1ns out;
+    // k=2 r-side rows must not match k=1
+    val r = Seq((1L, 900L, 20L), (1L, 1100L, 21L), (1L, 1050L, 22L),
+      (1L, 1101L, 23L), (2L, 1000L, 24L)).toDF("k", "ts", "rid")
+    val out = graft.operators.TsOps.toleranceJoin(l, r, tol, Seq("k"))
+      .select("k", "lid", "r_rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(out == Seq((1L, 10L, 20L), (1L, 10L, 21L), (1L, 10L, 22L),
+      (2L, 12L, 24L)))
+  }
+
   private def hq(rows: Seq[(String, Double)], bounds: Seq[Long], qn: Long,
       qd: Long): Map[String, (Long, Long)] =
     TsOps.histogramQuantile(rows.toDF("k", "value"), Seq("k"), bounds, qn, qd)
