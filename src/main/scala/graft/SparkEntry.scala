@@ -4134,6 +4134,28 @@ object SparkEntry {
       runStreamToTable(s, admitted, "stream_bloom_admit_out")
         .select("doc_id", "fp").orderBy("doc_id")
     }),
+    "stream_tolerance_join" -> ((s, d) => {
+      // live temporal correlation: errors STREAM in and probe the static
+      // click table through the same bucket-rewritten toleranceJoin — the
+      // ±1-bucket explode keeps it a stateless stream-static equi-join
+      // (the raw theta predicate would be unsupported in streaming), so
+      // drained pairs equal the batch twin exactly (shared oracle)
+      Tables.configure(s)
+      val clicks = t(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errs = eventStream(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val joined = TsOps.toleranceJoin(errs, clicks, 3600L * 1000000000L,
+          Seq("user_id"))
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("err_ts"), col("r_event_id").as("clk_id"),
+          col("r_ts").as("clk_ts"),
+          (col("r_ts") - col("ts")).as("delta_ns"))
+      runStreamToTable(s, joined, "stream_tolerance_join_out")
+        .orderBy("user_id", "err_id", "clk_id")
+    }),
     "stream_interval_join" -> ((s, d) => {
       // live purchase-to-session attribution: the SAME intervalJoin code
       // runs with a streaming points side — binning keeps it a stateless
@@ -6457,6 +6479,9 @@ object SparkEntry {
       // the identical intervalJoin plan with a streaming points side —
       // a drained stream rolls up exactly the batch attribution
       ("stream_interval_join" -> base("ts_interval_join")) +
+      // the bucket-rewritten band join is stateless against the static
+      // right side — drained pairs are the batch pair set bit-for-bit
+      ("stream_tolerance_join" -> base("ts_tolerance_join")) +
       // the drained user-day ledger IS the batch distinct (user, day)
       // frame with cohort tags — both rollups equal their batch twins
       ("stream_retention" -> base("ts_retention")) +
