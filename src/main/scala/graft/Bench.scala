@@ -28,7 +28,11 @@ object Bench {
     "ts_seasonal_anomaly", "ts_ewma", "retrieval_bm25",
     // round-8 tracked rows: the widest TPC-H join and the deterministic
     // corpus shuffle (no baseline counterpart either)
-    "tpch_q9", "train_shuffle_shards")
+    "tpch_q9", "train_shuffle_shards",
+    // round-8 late rows: the continuous-aggregate probe (store build is
+    // per-process-cached, so this times the ROLLUP path) and the
+    // sequential LTTB fold
+    "rollup_store_daily", "ts_lttb")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
