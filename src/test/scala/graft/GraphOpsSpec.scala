@@ -108,6 +108,13 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(core(cycle, 2) == (1L to 8L).map(_ -> 2L).toMap)
   }
 
+  test("triangles and kCore: empty edge frames return empty, not errors") {
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(triRow(Seq.empty[(Long, Long)] :+ ((1L, 1L))) == ((0L, 0L, 0L)))
+    assert(GraphOps.triangles(none).collect()(0).toSeq == Seq(0L, 0L, 0L))
+    assert(GraphOps.kCore(none, 2).collect().isEmpty)
+  }
+
   test("kCore: a non-converged peel fails loudly, never partially") {
     val path = (1L until 12L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] { core(path, 2, maxRounds = 2) }
