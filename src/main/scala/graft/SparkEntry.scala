@@ -103,7 +103,7 @@ object SparkEntry {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-roll-${processId}_${dirTag(dir)}/events-1h").getPath
       graft.storage.RollupStore.write(t(s, dir, "events"), path,
-        bucketNanos = BucketH)
+        bucketNanos = BucketH, distinctCol = Some("user_id"))
       path
     })
 
@@ -681,6 +681,26 @@ object SparkEntry {
           col("min_c").cast("double").as("min_v"),
           col("max_c").cast("double").as("max_v"),
           col("sum_c").cast("double").as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_store_users" -> ((s, d) => {
+      // daily distinct users answered from the at-rest 1h store: 24
+      // hourly register-max sketches union into EXACTLY the sketch a
+      // direct daily pass builds (order-free over the same hash set), so
+      // the estimate equality is a bit-level gate, not a tolerance band;
+      // the day's row count rides beside it, value-oracled
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val st = graft.storage.RollupStore.rollup(s, rollupStore1h(s, d), day)
+        .select(col("bucket_ts"), col("n"), col("distinct_est"))
+      val direct = t(s, d, "events")
+        .groupBy(expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+          .as("de_direct"))
+      st.join(direct, "bucket_ts")
+        .select(col("bucket_ts"), col("n"),
+          (col("distinct_est") === col("de_direct")).cast("long")
+            .as("hll_ok"))
         .orderBy("bucket_ts")
     }),
     "ts_histogram_quantile" -> ((s, d) =>
@@ -1660,6 +1680,13 @@ object SparkEntry {
         |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    // n value-oracled from raw; the sketch equality is JVM-side (DuckDB
+    // has no DataSketches HLL) — the sketch-store gate convention
+    "rollup_store_users" ->
+      """SELECT (epoch_ns(ts) // 86400000000000) * 86400000000000
+        |    AS bucket_ts,
+        |  count(*) AS n, CAST(1 AS BIGINT) AS hll_ok
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
     // mirrors histogramQuantile's integer fixed point exactly: same bucket
     // assignment off the literal schedule, same cross-multiplied rank

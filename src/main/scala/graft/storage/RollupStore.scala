@@ -44,15 +44,22 @@ object RollupStore {
 
   /** The per-bucket partial aggregation every writer shares: one row per
     * `bucketNanos`-wide floor bucket of `tsCol`, value stats in exact
-    * DECIMAL(18,2). */
+    * DECIMAL(18,2). With `distinctCol` set, each row also carries an HLL
+    * sketch of that dimension (KB-sized) — register-max union is
+    * associative and order-free, so any coarser rollup's merged sketch
+    * equals the one a direct pass at that grain would build, and
+    * "distinct users over an arbitrary range" answers from the store. */
   private[graft] def rollupRows(df: DataFrame, bucketNanos: Long,
-      valueCol: String, tsCol: String): DataFrame = {
+      valueCol: String, tsCol: String,
+      distinctCol: Option[String] = None, lgK: Int = 12): DataFrame = {
     require(bucketNanos > 0, s"bucketNanos must be positive: $bucketNanos")
     val dec = col(valueCol).cast("decimal(18,2)")
+    val aggs = Seq(count(lit(1)).as("n"), min(dec).as("min_c"),
+      max(dec).as("max_c"), sum(dec).as("sum_c")) ++
+      distinctCol.map(c => expr(s"hll_sketch_agg($c, $lgK)").as("hll"))
     df.groupBy(expr(graft.operators.TsOps.floorBucketSql(tsCol, bucketNanos))
         .as("bucket_ts"))
-      .agg(count(lit(1)).as("n"), min(dec).as("min_c"), max(dec).as("max_c"),
-        sum(dec).as("sum_c"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_ns", lit(bucketNanos))
   }
 
@@ -66,10 +73,11 @@ object RollupStore {
   /** Build a rollup store from a raw frame: one atomic publish of the whole
     * tree (two-rename, crash leaves a complete store — [[AtomicDir]]). */
   def write(df: DataFrame, path: String, bucketNanos: Long,
-      valueCol: String = "value", tsCol: String = "ts"): Unit = {
+      valueCol: String = "value", tsCol: String = "ts",
+      distinctCol: Option[String] = None, lgK: Int = 12): Unit = {
     val spark = df.sparkSession
     AtomicDir.publish(spark, path, "rollup store") { tmp =>
-      rollupRows(df, bucketNanos, valueCol, tsCol)
+      rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK)
         .withColumn("batch_key", lit("base"))
         .withColumn(WritableStore.PartitionCol, dayCol)
         .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
@@ -82,8 +90,9 @@ object RollupStore {
     * (checkpoint location, micro-batch id). */
   def append(df: DataFrame, path: String, batchKey: String,
       bucketNanos: Long, valueCol: String = "value",
-      tsCol: String = "ts"): Unit =
-    rollupRows(df, bucketNanos, valueCol, tsCol)
+      tsCol: String = "ts", distinctCol: Option[String] = None,
+      lgK: Int = 12): Unit =
+    rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK)
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, dayCol)
       .write.mode("append").partitionBy(WritableStore.PartitionCol)
@@ -127,11 +136,16 @@ object RollupStore {
       assert_true(pmod(lit(coarseNanos), col("bucket_ns")) === 0,
         lit(s"rollup: coarseNanos $coarseNanos is not a multiple of the " +
           "stored bucket width")).isNull, col("n"))
-    scoped
+    val hasHll = scoped.columns.contains("hll")
+    val aggs = Seq(sum(checkedN).as("n"), min("min_c").as("min_c"),
+      max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
+      (if (hasHll) Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil)
+    val out = scoped
       .groupBy(expr(graft.operators.TsOps.floorBucketSql("bucket_ts",
         coarseNanos)).as("bucket_ts"))
-      .agg(sum(checkedN).as("n"), min("min_c").as("min_c"),
-        max("max_c").as("max_c"), sum("sum_c").as("sum_c"))
+      .agg(aggs.head, aggs.tail: _*)
+    if (hasHll) out.withColumn("distinct_est",
+      expr("hll_sketch_estimate(hll)")) else out
   }
 
   /** Fold accumulated per-batch partials back to one row per bucket — the
@@ -149,11 +163,15 @@ object RollupStore {
     val old = new Path(path + ".compact-old")
     graft.pipeline.Similarity.recoverCompact(fs, live)
     fs.delete(tmp, true)
-    spark.read.parquet(path)
+    val live0 = spark.read.parquet(path)
+    val cAggs = Seq(sum("n").as("n"), min("min_c").as("min_c"),
+      max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
+      (if (live0.columns.contains("hll"))
+        Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil)
+    live0
       .dropDuplicates("bucket_ts", "batch_key")
       .groupBy("bucket_ts", "bucket_ns")
-      .agg(sum("n").as("n"), min("min_c").as("min_c"),
-        max("max_c").as("max_c"), sum("sum_c").as("sum_c"))
+      .agg(cAggs.head, cAggs.tail: _*)
       .withColumn("batch_key",
         lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
       .withColumn(WritableStore.PartitionCol, dayCol)

@@ -75,6 +75,34 @@ class RollupStoreSpec extends AnyFunSuite {
       spark.read.parquet(p).select("bucket_ts").distinct().count())
   }
 
+  test("distinct sketch: store-merged union equals the direct daily pass") {
+    import org.apache.spark.sql.DataFrame
+    val rows = Seq((1L * H, 1.0, 10L), (2L * H, 2.0, 11L), (3L * H, 3.0, 10L),
+      (25L * H, 4.0, 12L), (26L * H, 5.0, 10L), (49L * H, 6.0, 13L))
+      .toDF("ts", "value", "uid")
+    val p = SparkTestBase.tempDir("graft-rollup-h") + "/store"
+    RollupStore.write(rows.filter(col("ts") < 2 * Day), p, H,
+      distinctCol = Some("uid"))
+    RollupStore.append(rows.filter(col("ts") >= 2 * Day), p, "b#1", H,
+      distinctCol = Some("uid"))
+    RollupStore.append(rows.filter(col("ts") >= 2 * Day), p, "b#1", H,
+      distinctCol = Some("uid")) // replay must not perturb the union
+    def ests(df: DataFrame) = df.orderBy("bucket_ts").collect()
+      .map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("est"))).toSeq
+    val direct = ests(rows
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+        .as("bucket_ts"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(uid, 12))").as("est")))
+    val viaStore = ests(RollupStore.rollup(spark, p, Day)
+      .select(col("bucket_ts"), col("distinct_est").as("est")))
+    assert(viaStore == direct)
+    // small exact cardinalities: the estimate IS the exact count here
+    assert(direct.map(_._2) == Seq(2L, 2L, 1L))
+    RollupStore.compact(spark, p) // the folded store keeps the sketch
+    assert(ests(RollupStore.rollup(spark, p, Day)
+      .select(col("bucket_ts"), col("distinct_est").as("est"))) == direct)
+  }
+
   test("a coarse width that does not nest fails loudly, never silently") {
     val p = SparkTestBase.tempDir("graft-rollup-g") + "/store"
     RollupStore.write(raw, p, H)
