@@ -658,9 +658,8 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => {
       // the 30-core of the customer↔supplier trade graph: peeling drops
       // the loosely-attached fringe (few trade links) and keeps the
-      // densely-inter-linked core — convergence is data-verified (the
-      // operator fails loudly if 12 rounds don't reach the fixpoint; the
-      // oracle unrolls 6, rounds past the fixpoint are no-ops)
+      // densely-inter-linked core — convergence is data-verified: the
+      // oracle unrolls 6 peel rounds (no-ops past the fixpoint)
       val pairs = t(s, d, "orders").select("o_orderkey", "o_custkey")
         .join(t(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
@@ -668,7 +667,10 @@ object SparkEntry {
           least(col("o_custkey") * 2, col("l_suppkey") * 2 + 1).as("src"),
           greatest(col("o_custkey") * 2, col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      graft.operators.GraphOps.kCore(pairs, k = 30)
+      // maxRounds pinned to the oracle's unroll depth: convergence in
+      // <= 6 rounds is the invariant the oracle equality needs, so a
+      // 7-round graph must fail HERE, not surface as an oracle mismatch
+      graft.operators.GraphOps.kCore(pairs, k = 30, maxRounds = 6)
     }),
     "rollup_store_daily" -> ((s, d) => {
       // continuous-aggregate routing: daily stats answered from the
@@ -4355,16 +4357,16 @@ object SparkEntry {
       if (base.exists())
         org.apache.commons.io.FileUtils.deleteDirectory(base)
       val p = new java.io.File(base, "store").getPath
-      // the RAW parquet schema (timestamp ts) — normalizeTs then converts
-      // in-stream; the normalized batch-read schema would make the source
-      // read raw micros as long and skip the conversion
-      val raw = s.read.option("pathGlobFilter", "events.parquet").parquet(d)
-      val src = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .transform(graft.storage.Tables.normalizeTs)
-      val qy = graft.streaming.StreamIngest.rollupIngest(src, p,
-        new java.io.File(base, "ck").getPath, bucketNanos = BucketH)
-      if (!qy.awaitTermination(300000)) qy.stop()
+      val qy = graft.streaming.StreamIngest.rollupIngest(eventStream(s, d),
+        p, new java.io.File(base, "ck").getPath, bucketNanos = BucketH)
+      if (!qy.awaitTermination(300000)) {
+        // fail loudly: rolling up a partially-ingested store would hand
+        // an incomplete result to the oracle compare (runStreamToTable's
+        // contract)
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_rollup_store: ingest did not finish")
+      }
       graft.storage.RollupStore.rollup(s, p, day)
         .select(col("bucket_ts"), col("n"),
           col("min_c").cast("double").as("min_v"),
@@ -4390,7 +4392,11 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(d)
       val qy = graft.streaming.StreamIngest.sketchIngest(src, p,
         new java.io.File(base, "ck").getPath)
-      if (!qy.awaitTermination(300000)) qy.stop()
+      if (!qy.awaitTermination(300000)) {
+        qy.stop() // then fail loudly — a partial store must not reach
+        throw new IllegalStateException( // the oracle compare
+          "stream_sketch_store: ingest did not finish")
+      }
       val half = (0 until 10).map(i => s"src$i")
       val bp = new java.io.File(base, "batch").getPath
       graft.pipeline.Text.writeSketchStore(docs, bp)

@@ -546,30 +546,19 @@ object Similarity {
     */
   def compactIvf(spark: org.apache.spark.sql.SparkSession, path: String,
       cidCol: String = "cid", idCol: String = "vec_id"): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
+    val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(path + ".compact-tmp")
-    val old = new Path(path + ".compact-old")
     recoverCompact(fs, live) // heal a crash between a prior swap's renames
-    fs.delete(tmp, true)
-    // dropDuplicates doubles as the ingest repair: foreachBatch appends
-    // are at-least-once (a crash between a batch's files landing and its
-    // checkpoint commit replays the batch), so compaction is where any
-    // replayed vectors collapse back to one row
-    spark.read.parquet(path)
-      .dropDuplicates(idCol)
-      .repartition(col(cidCol))
-      .write.mode("overwrite").partitionBy(cidCol).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(s"compactIvf: cannot move $live aside")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // roll back — the original tree is intact
-      throw new java.io.IOException(s"compactIvf: cannot publish $tmp")
+    graft.storage.AtomicDir.compactPublish(spark, path, "compactIvf") { tmp =>
+      // dropDuplicates doubles as the ingest repair: foreachBatch appends
+      // are at-least-once (a crash between a batch's files landing and its
+      // checkpoint commit replays the batch), so compaction is where any
+      // replayed vectors collapse back to one row
+      spark.read.parquet(path)
+        .dropDuplicates(idCol)
+        .repartition(col(cidCol))
+        .write.mode("overwrite").partitionBy(cidCol).parquet(tmp)
     }
-    fs.delete(old, true)
-    spark.catalog.refreshByPath(path)
   }
 
   /** Crash recovery for [[compactIvf]]'s swap window: a kill between

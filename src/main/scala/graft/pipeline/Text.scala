@@ -1099,31 +1099,21 @@ object Text {
     * no longer detectable (the fold erased the row identities). */
   def compactSketchStore(spark: org.apache.spark.sql.SparkSession,
       path: String, groupCol: String = "source"): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
+    val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(path + ".compact-tmp")
-    val old = new Path(path + ".compact-old")
     Similarity.recoverCompact(fs, live)
-    fs.delete(tmp, true)
-    spark.read.parquet(path)
-      .dropDuplicates(groupCol, "batch_key") // replayed-batch repair
-      .groupBy(groupCol)
-      .agg(expr("hll_union_agg(hll, true)").as("hll"),
-        udaf(new CmsMergeAgg).apply(col("cms")).as("cms"),
-        sum("n_tokens").as("n_tokens"))
-      .withColumn("batch_key",
-        lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
-      .write.mode("overwrite").partitionBy(groupCol).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(s"compactSketchStore: cannot move $live")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // roll back — the original tree is intact
-      throw new java.io.IOException(s"compactSketchStore: cannot publish")
+    graft.storage.AtomicDir.compactPublish(spark, path,
+      "compactSketchStore") { tmp =>
+      spark.read.parquet(path)
+        .dropDuplicates(groupCol, "batch_key") // replayed-batch repair
+        .groupBy(groupCol)
+        .agg(expr("hll_union_agg(hll, true)").as("hll"),
+          udaf(new CmsMergeAgg).apply(col("cms")).as("cms"),
+          sum("n_tokens").as("n_tokens"))
+        .withColumn("batch_key",
+          lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
+        .write.mode("overwrite").partitionBy(groupCol).parquet(tmp)
     }
-    fs.delete(old, true)
-    spark.catalog.refreshByPath(path)
   }
 
   /** Roll a stored sketch subset up to one (hll, cms, n_tokens,

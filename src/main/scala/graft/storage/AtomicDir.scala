@@ -18,16 +18,44 @@ import org.apache.spark.sql.SparkSession
   * re-expressed over Hadoop FS paths so it works on object stores too.
   *
   * The in-place compactors (`Similarity.compactIvf`,
-  * `Text.compactSketchStore`) keep their own shared `.compact-*` variant
-  * of this protocol: compaction READS the live tree as its build input
-  * and must fail loudly when it's absent — a precondition this
-  * build-fresh helper deliberately doesn't impose.
+  * `Text.compactSketchStore`, `RollupStore.compact`) share the
+  * `.compact-*` variant below ([[compactPublish]]): compaction READS the
+  * live tree as its build input and must fail loudly when it's absent — a
+  * precondition the build-fresh [[publish]] deliberately doesn't impose.
   */
 object AtomicDir {
   def recover(fs: FileSystem, live: Path, what: String): Unit = {
     val old = new Path(live.toString + ".build-old")
     if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
       throw new java.io.IOException(s"$what recovery: cannot restore $old")
+  }
+
+  /** The shared `.compact-*` variant of the swap: compaction READS the
+    * live tree as its build input (so no pre-recover of `.build-old`, and
+    * a missing live tree must fail loudly inside `build`), writes the
+    * folded tree to `.compact-tmp`, then swaps. One implementation for
+    * every compactor (IVF cells, sketch store, rollup store) — the
+    * crash-window contract lives here, not in three copies. Heal a prior
+    * crash with [[graft.pipeline.Similarity.recoverCompact]] BEFORE
+    * calling (each compactor already does, as do its read paths).
+    */
+  def compactPublish(spark: SparkSession, path: String, what: String)
+      (build: String => Unit): Unit = {
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + ".compact-tmp")
+    val old = new Path(path + ".compact-old")
+    fs.delete(tmp, true)
+    build(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"$what: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back — the original tree is intact
+      throw new java.io.IOException(s"$what: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    spark.catalog.refreshByPath(path)
   }
 
   /** Runs `build` against the tmp dir path, then publishes it at `path`.

@@ -113,7 +113,7 @@ object RollupStore {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, live, "rollup store")
     graft.pipeline.Similarity.recoverCompact(fs, live)
-    val raw = spark.read.parquet(path)
+    val raw = checkedRead(spark, path)
     def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
       Math.floorDiv(nanos, DayNs)).toString
     val conds =
@@ -156,34 +156,39 @@ object RollupStore {
     * a batch replayed AFTER its partial was folded is no longer detectable.
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
+    val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(path + ".compact-tmp")
-    val old = new Path(path + ".compact-old")
     graft.pipeline.Similarity.recoverCompact(fs, live)
-    fs.delete(tmp, true)
-    val live0 = spark.read.parquet(path)
-    val cAggs = Seq(sum("n").as("n"), min("min_c").as("min_c"),
-      max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
-      (if (live0.columns.contains("hll"))
-        Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil)
-    live0
-      .dropDuplicates("bucket_ts", "batch_key")
-      .groupBy("bucket_ts", "bucket_ns")
-      .agg(cAggs.head, cAggs.tail: _*)
-      .withColumn("batch_key",
-        lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
-      .withColumn(WritableStore.PartitionCol, dayCol)
-      .write.partitionBy(WritableStore.PartitionCol).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(live, old))
-      throw new java.io.IOException(s"compact rollup: cannot move $live")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // roll back — the original tree is intact
-      throw new java.io.IOException("compact rollup: cannot publish")
+    AtomicDir.compactPublish(spark, path, "compact rollup") { tmp =>
+      val live0 = checkedRead(spark, path)
+      val cAggs = Seq(sum("n").as("n"), min("min_c").as("min_c"),
+        max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
+        (if (live0.columns.contains("hll"))
+          Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil)
+      live0
+        .dropDuplicates("bucket_ts", "batch_key")
+        .groupBy("bucket_ts", "bucket_ns")
+        .agg(cAggs.head, cAggs.tail: _*)
+        .withColumn("batch_key",
+          lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
+        .withColumn(WritableStore.PartitionCol, dayCol)
+        .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
     }
-    fs.delete(old, true)
-    spark.catalog.refreshByPath(path)
+  }
+
+  /** Read the store with schema merge and, when any file carries the
+    * distinct sketch, an in-plan guard that EVERY row does: a writer that
+    * appended hll-less partials into a sketch-bearing store (or vice
+    * versa) must fail loudly at the next read — a silent null would make
+    * every later distinct estimate undercount the streamed buckets.
+    */
+  private def checkedRead(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    if (df.columns.contains("hll"))
+      df.withColumn("hll", when(assert_true(col("hll").isNotNull,
+        lit("rollup store: mixed sketch-bearing and sketch-less partials" +
+          " — every append must pass the store's distinctCol")).isNull,
+        col("hll")))
+    else df
   }
 }

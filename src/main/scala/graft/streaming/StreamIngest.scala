@@ -1379,12 +1379,13 @@ object StreamIngest {
     */
   def rollupIngest(stream: DataFrame, path: String, checkpointDir: String,
       bucketNanos: Long, valueCol: String = "value", tsCol: String = "ts",
+      distinctCol: Option[String] = None, lgK: Int = 12,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.storage.RollupStore.append(batch, path,
           sketchBatchKey(checkpointDir, batchId), bucketNanos, valueCol,
-          tsCol)
+          tsCol, distinctCol, lgK)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

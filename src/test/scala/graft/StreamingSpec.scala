@@ -797,7 +797,8 @@ class StreamingSpec extends AnyFunSuite {
         StructField("value", DoubleType))))
       .parquet(s"$in/*")
     def drain(): Unit = {
-      val q = StreamIngest.rollupIngest(src, store, ck, H)
+      val q = StreamIngest.rollupIngest(src, store, ck, H,
+        distinctCol = Some("ts"))
       q.awaitTermination(120000); q.stop()
     }
     drain()
@@ -806,7 +807,7 @@ class StreamingSpec extends AnyFunSuite {
     // crash-replay of wave 2's micro-batch lands under the stream's own
     // (checkpoint, batchId) key → deduped, not double-counted
     RollupStore.append(wave2.toDF("ts", "value"), store,
-      StreamIngest.sketchBatchKey(ck, 1L), H)
+      StreamIngest.sketchBatchKey(ck, 1L), H, distinctCol = Some("ts"))
     val direct = (wave1 ++ wave2).toDF("ts", "value")
       .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", day))
         .as("bucket_ts"))
@@ -819,6 +820,21 @@ class StreamingSpec extends AnyFunSuite {
       .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
       .orderBy("bucket_ts").collect().toSeq
     assert(viaStore == direct)
+    // the distinct dimension streams through too: per-day unique ts
+    // (2, 2, 1) — small exact cardinalities, the estimate is exact
+    val de = RollupStore.rollup(spark, store, day)
+      .select("bucket_ts", "distinct_est").orderBy("bucket_ts")
+      .collect().map(_.getLong(1)).toSeq
+    assert(de == Seq(2L, 2L, 1L))
+    // an append that FORGETS the store's distinctCol must fail loudly at
+    // the next read, not silently undercount streamed buckets
+    RollupStore.append(wave2.toDF("ts", "value"), store, "naked#1", H)
+    val ex = intercept[Exception] {
+      RollupStore.rollup(spark, store, day).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(ex).contains("sketch-less"), chain(ex))
   }
 
   test("streaming bm25 serves from an opened at-rest index (restart path)") {
