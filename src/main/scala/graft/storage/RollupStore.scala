@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * never rescan raw samples (the reference answers every aggregate from raw
   * blocks, e.g. `zikeiretsu/src/tsdb/query/executor/mod.rs`; materialized
   * rollups are the standard at-scale extension of that same engine shape —
-  * see SURVEY.md §2.4's sanctioned-extension note).
+  * the beyond-reference tier SURVEY.md §2.4's closing note and §7's
+  * north-star extensions sanction).
   *
   * Layout: ONE parquet tree of per-bucket rows
   * `(bucket_ts, bucket_ns, n, min_c, max_c, sum_c, batch_key)` partitioned by
@@ -146,6 +147,44 @@ object RollupStore {
       .agg(aggs.head, aggs.tail: _*)
     if (hasHll) out.withColumn("distinct_est",
       expr("hll_sketch_estimate(hll)")) else out
+  }
+
+  /** Serving-layer grain router — the maxDataPoints contract a dashboard
+    * backend implements: answer `[since, until)` under a point budget from
+    * the cheapest adequate source. The target grain is
+    * `max(1, ⌈span/maxPoints⌉)`; a target at or above the stored bucket
+    * width rounds UP to the next stored-width multiple and answers from
+    * the STORE (partition-pruned KB rows — at 100 TB this is the
+    * difference between reading kilobytes and terabytes); only a budget
+    * demanding finer-than-stored resolution falls back to the raw table.
+    * Serving bounds widen outward to whole grain buckets (a dashboard
+    * shows complete buckets; the exact-bounds contract stays on
+    * [[rollup]]). Output carries `grain_ns` and `source` so the caller —
+    * and the tests — can see which path answered.
+    */
+  def route(spark: SparkSession, path: String, raw: DataFrame,
+      since: Long, until: Long, maxPoints: Int,
+      valueCol: String = "value", tsCol: String = "ts"): DataFrame = {
+    require(until > since, s"route: empty range [$since, $until)")
+    require(maxPoints >= 1, "route needs a positive point budget")
+    val bucketNs = checkedRead(spark, path).select("bucket_ns")
+      .head().getLong(0)
+    val span = until - since
+    val target = math.max(1L, (span + maxPoints - 1) / maxPoints)
+    if (target >= bucketNs) {
+      val g = ((target + bucketNs - 1) / bucketNs) * bucketNs
+      val lo = Math.floorDiv(since, g) * g
+      val hi = (Math.floorDiv(until - 1, g) + 1) * g
+      rollup(spark, path, g, Some(lo), Some(hi))
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
+    } else {
+      val lo = Math.floorDiv(since, target) * target
+      val hi = (Math.floorDiv(until - 1, target) + 1) * target
+      rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo), Some(hi),
+          tsCol), target, valueCol, tsCol)
+        .drop("bucket_ns")
+        .withColumn("grain_ns", lit(target)).withColumn("source", lit("raw"))
+    }
   }
 
   /** Fold accumulated per-batch partials back to one row per bucket — the

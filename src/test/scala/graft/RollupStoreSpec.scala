@@ -103,6 +103,33 @@ class RollupStoreSpec extends AnyFunSuite {
       .select(col("bucket_ts"), col("distinct_est").as("est"))) == direct)
   }
 
+  test("route: budget-derived grain answers from the store or raw") {
+    val p = SparkTestBase.tempDir("graft-rollup-rt") + "/store"
+    RollupStore.write(raw, p, H)
+    // 3-day span under a 2-point budget → target 36h → store at 36h
+    val wide = RollupStore.route(spark, p, raw, 0L, 3 * Day, maxPoints = 2)
+      .orderBy("bucket_ts").collect()
+    assert(wide.forall(_.getAs[String]("source") == "store"))
+    assert(wide.forall(_.getAs[Long]("grain_ns") == 36L * H))
+    val direct36 = raw
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", 36 * H))
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)"))
+        .as("sum_c"))
+      .orderBy("bucket_ts").collect()
+    assert(wide.map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("n")))
+      .toSeq == direct36.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // a generous budget demands finer-than-stored resolution → raw path
+    val fine = RollupStore.route(spark, p, raw, 0L, 3 * Day,
+      maxPoints = 1000000000)
+    assert(fine.collect().forall(_.getAs[String]("source") == "raw"))
+    // serving bounds widen OUTWARD: an unaligned range still answers in
+    // whole buckets (rollup's exact-bounds require would have thrown)
+    val unaligned = RollupStore.route(spark, p, raw, 1L * H + 7L,
+      2 * Day + 5L, maxPoints = 2)
+    assert(unaligned.count() > 0)
+  }
+
   test("a coarse width that does not nest fails loudly, never silently") {
     val p = SparkTestBase.tempDir("graft-rollup-g") + "/store"
     RollupStore.write(raw, p, H)
