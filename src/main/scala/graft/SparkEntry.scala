@@ -103,7 +103,8 @@ object SparkEntry {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-roll-${processId}_${dirTag(dir)}/events-1h").getPath
       graft.storage.RollupStore.write(t(s, dir, "events"), path,
-        bucketNanos = BucketH, distinctCol = Some("user_id"))
+        bucketNanos = BucketH, distinctCol = Some("user_id"),
+        histBoundsCents = HistBounds)
       path
     })
 
@@ -326,6 +327,11 @@ object SparkEntry {
   // ---- analytics / TPC-H-ish (join, agg, window at scale) ----------------
 
   private val BucketH = 3600L * 1000000000L
+
+  /** The shared histogram bucket schedule (cents): ts_histogram_quantile,
+    * its streaming twin, and the rollup store's stored counters all ride
+    * the same literal bounds so their results compose. */
+  private val HistBounds = Seq(500L, 1000L, 2500L, 5000L, 10000L, 25000L)
 
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_downsample_1h" -> ((s, d) => {
@@ -700,6 +706,20 @@ object SparkEntry {
           col("max_c").cast("double").as("max_v"),
           col("sum_c").cast("double").as("sum_v"),
           col("grain_ns"), col("source"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_store_p90" -> ((s, d) => {
+      // p90 per day from STORED histogram counters: 24 hourly counter
+      // arrays vector-add into exactly the daily counts a direct pass
+      // builds, then the shared exact-integer finisher interpolates —
+      // the Prometheus recording-rule serving shape, fully value-oracled
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val st = graft.storage.RollupStore.rollup(s, rollupStore1h(s, d), day)
+      val counts = graft.storage.RollupStore.histogramCounts(st, HistBounds,
+        Seq("bucket_ts"))
+      TsOps.histogramQuantileFromCounts(counts, Seq("bucket_ts"),
+          HistBounds, qNum = 90L, qDen = 100L)
         .orderBy("bucket_ts")
     }),
     "rollup_store_users" -> ((s, d) => {
@@ -1719,6 +1739,42 @@ object SparkEntry {
         |    AS bucket_ts,
         |  count(*) AS n, CAST(1 AS BIGINT) AS hll_ok
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    // the per-day mirror of ts_histogram_quantile's arithmetic, computed
+    // directly over raw — equality proves the stored hourly counter
+    // arrays compose exactly to the daily histogram
+    "rollup_store_p90" -> {
+      val bounds = "[500, 1000, 2500, 5000, 10000, 25000]::BIGINT[]"
+      val day = 86400L * 1000000000L
+      s"""WITH v AS (
+         |  SELECT (epoch_ns(ts) // $day) * $day AS bucket_ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |), b AS (
+         |  SELECT bucket_ts,
+         |    coalesce(list_min(list_filter($bounds, x -> x >= cents)),
+         |      9223372036854775807) AS le
+         |  FROM v
+         |), c AS (
+         |  SELECT bucket_ts, le, count(*) AS cnt FROM b GROUP BY 1, 2
+         |), w AS (
+         |  SELECT bucket_ts, le, cnt,
+         |    sum(cnt) OVER (PARTITION BY bucket_ts ORDER BY le) AS cum,
+         |    coalesce(list_max(list_filter($bounds, x -> x < le)),
+         |      CAST(0 AS BIGINT)) AS prev_le,
+         |    sum(cnt) OVER (PARTITION BY bucket_ts) AS total
+         |  FROM c
+         |), f AS (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket_ts ORDER BY le)
+         |    AS rn
+         |  FROM w WHERE cum * 100 >= total * 90
+         |)
+         |SELECT bucket_ts, CAST(total AS BIGINT) AS n,
+         |  CAST(CASE WHEN le = 9223372036854775807 THEN 25000
+         |       ELSE prev_le + ((le - prev_le) *
+         |         (90 * total - 100 * (cum - cnt))) // (100 * cnt)
+         |  END AS BIGINT) AS q_cents
+         |FROM f WHERE rn = 1 ORDER BY bucket_ts""".stripMargin
+    },
     // mirrors histogramQuantile's integer fixed point exactly: same bucket
     // assignment off the literal schedule, same cross-multiplied rank
     // comparison, same floor-divided interpolation

@@ -49,19 +49,65 @@ object RollupStore {
     * sketch of that dimension (KB-sized) — register-max union is
     * associative and order-free, so any coarser rollup's merged sketch
     * equals the one a direct pass at that grain would build, and
-    * "distinct users over an arbitrary range" answers from the store. */
+    * "distinct users over an arbitrary range" answers from the store.
+    *
+    * With `histBoundsCents` set, each row additionally carries `hcnt`: the
+    * per-bucket value-histogram counter array over that literal schedule
+    * (+Inf tail slot) — plain longs, EXACTLY mergeable by vector addition,
+    * so any coarser rollup's counters equal a direct pass and
+    * [[graft.operators.TsOps.histogramQuantileFromCounts]] answers "p90
+    * over an arbitrary range" from the store alone: the Prometheus
+    * recording-rule shape (histogram buckets stored as counters). */
   private[graft] def rollupRows(df: DataFrame, bucketNanos: Long,
       valueCol: String, tsCol: String,
-      distinctCol: Option[String] = None, lgK: Int = 12): DataFrame = {
+      distinctCol: Option[String] = None, lgK: Int = 12,
+      histBoundsCents: Seq[Long] = Nil): DataFrame = {
     require(bucketNanos > 0, s"bucketNanos must be positive: $bucketNanos")
     val dec = col(valueCol).cast("decimal(18,2)")
     val aggs = Seq(count(lit(1)).as("n"), min(dec).as("min_c"),
       max(dec).as("max_c"), sum(dec).as("sum_c")) ++
-      distinctCol.map(c => expr(s"hll_sketch_agg($c, $lgK)").as("hll"))
-    df.groupBy(expr(graft.operators.TsOps.floorBucketSql(tsCol, bucketNanos))
+      distinctCol.map(c => expr(s"hll_sketch_agg($c, $lgK)").as("hll")) ++
+      (if (histBoundsCents.isEmpty) Nil else {
+        require(histBoundsCents == histBoundsCents.sorted &&
+          histBoundsCents.distinct == histBoundsCents,
+          "histBoundsCents must be ascending and distinct")
+        val arr =
+          s"array(${histBoundsCents.map(b => s"${b}L").mkString(", ")})"
+        val le = coalesce(expr(s"array_min(filter($arr, x -> x >= " +
+          s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS LONG)))"),
+          lit(Long.MaxValue))
+        (histBoundsCents :+ Long.MaxValue).zipWithIndex.map { case (b, i) =>
+          sum((le === b).cast("long")).as(s"__h$i")
+        }
+      })
+    val grouped = df
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql(tsCol, bucketNanos))
         .as("bucket_ts"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_ns", lit(bucketNanos))
+    if (histBoundsCents.isEmpty) grouped
+    else {
+      val slots = histBoundsCents.size + 1
+      grouped
+        .withColumn("hcnt", array((0 until slots).map(i =>
+          col(s"__h$i")): _*))
+        .drop((0 until slots).map(i => s"__h$i"): _*)
+    }
+  }
+
+  /** Expand stored `hcnt` counter rows to the (keys..., le, cnt) shape
+    * [[graft.operators.TsOps.histogramQuantileFromCounts]] consumes —
+    * bounds must be the schedule the store was built with. */
+  def histogramCounts(stored: DataFrame, histBoundsCents: Seq[Long],
+      keyCols: Seq[String]): DataFrame = {
+    val all = histBoundsCents :+ Long.MaxValue
+    val boundsArr = s"array(${all.map(b => s"${b}L").mkString(", ")})"
+    stored
+      .select(keyCols.map(col) :+ posexplode(col("hcnt")): _*)
+      .select(keyCols.map(col) :+
+        expr(s"element_at($boundsArr, pos + 1)").as("le") :+
+        col("col").as("cnt"): _*)
+      .filter(col("cnt") > 0)
   }
 
   /** `__day` partition value for a bucket row — the exact
@@ -75,10 +121,12 @@ object RollupStore {
     * tree (two-rename, crash leaves a complete store — [[AtomicDir]]). */
   def write(df: DataFrame, path: String, bucketNanos: Long,
       valueCol: String = "value", tsCol: String = "ts",
-      distinctCol: Option[String] = None, lgK: Int = 12): Unit = {
+      distinctCol: Option[String] = None, lgK: Int = 12,
+      histBoundsCents: Seq[Long] = Nil): Unit = {
     val spark = df.sparkSession
     AtomicDir.publish(spark, path, "rollup store") { tmp =>
-      rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK)
+      rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
+        histBoundsCents)
         .withColumn("batch_key", lit("base"))
         .withColumn(WritableStore.PartitionCol, dayCol)
         .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
@@ -92,8 +140,9 @@ object RollupStore {
   def append(df: DataFrame, path: String, batchKey: String,
       bucketNanos: Long, valueCol: String = "value",
       tsCol: String = "ts", distinctCol: Option[String] = None,
-      lgK: Int = 12): Unit =
-    rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK)
+      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil): Unit =
+    rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
+      histBoundsCents)
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, dayCol)
       .write.mode("append").partitionBy(WritableStore.PartitionCol)
@@ -138,9 +187,12 @@ object RollupStore {
         lit(s"rollup: coarseNanos $coarseNanos is not a multiple of the " +
           "stored bucket width")).isNull, col("n"))
     val hasHll = scoped.columns.contains("hll")
+    val hasHist = scoped.columns.contains("hcnt")
     val aggs = Seq(sum(checkedN).as("n"), min("min_c").as("min_c"),
       max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
-      (if (hasHll) Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil)
+      (if (hasHll) Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
+      (if (hasHist) Seq(udaf(new graft.pipeline.Text.CmsMergeAgg)
+        .apply(col("hcnt")).as("hcnt")) else Nil)
     val out = scoped
       .groupBy(expr(graft.operators.TsOps.floorBucketSql("bucket_ts",
         coarseNanos)).as("bucket_ts"))
@@ -203,7 +255,10 @@ object RollupStore {
       val cAggs = Seq(sum("n").as("n"), min("min_c").as("min_c"),
         max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
         (if (live0.columns.contains("hll"))
-          Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil)
+          Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
+        (if (live0.columns.contains("hcnt"))
+          Seq(udaf(new graft.pipeline.Text.CmsMergeAgg)
+            .apply(col("hcnt")).as("hcnt")) else Nil)
       live0
         .dropDuplicates("bucket_ts", "batch_key")
         .groupBy("bucket_ts", "bucket_ns")
@@ -223,11 +278,14 @@ object RollupStore {
     */
   private def checkedRead(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.option("mergeSchema", "true").parquet(path)
-    if (df.columns.contains("hll"))
-      df.withColumn("hll", when(assert_true(col("hll").isNotNull,
-        lit("rollup store: mixed sketch-bearing and sketch-less partials" +
-          " — every append must pass the store's distinctCol")).isNull,
-        col("hll")))
-    else df
+    Seq("hll" -> "distinctCol", "hcnt" -> "histBoundsCents")
+      .foldLeft(df) { case (acc, (c, param)) =>
+        if (acc.columns.contains(c))
+          acc.withColumn(c, when(assert_true(col(c).isNotNull,
+            lit(s"rollup store: mixed $c-bearing and $c-less partials — " +
+              s"every append must pass the store's $param")).isNull,
+            col(c)))
+        else acc
+      }
   }
 }

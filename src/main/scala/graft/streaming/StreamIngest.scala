@@ -1380,12 +1380,13 @@ object StreamIngest {
   def rollupIngest(stream: DataFrame, path: String, checkpointDir: String,
       bucketNanos: Long, valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
+      histBoundsCents: Seq[Long] = Nil,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.storage.RollupStore.append(batch, path,
           sketchBatchKey(checkpointDir, batchId), bucketNanos, valueCol,
-          tsCol, distinctCol, lgK)
+          tsCol, distinctCol, lgK, histBoundsCents)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -834,7 +834,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     def chain(t: Throwable): String =
       if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
-    assert(chain(ex).contains("sketch-less"), chain(ex))
+    assert(chain(ex).contains("hll-less"), chain(ex))
   }
 
   test("streaming bm25 serves from an opened at-rest index (restart path)") {
