@@ -693,14 +693,16 @@ object SparkEntry {
     }),
     "rollup_route" -> ((s, d) => {
       // the dashboard contract: a 30-day range under a 40-point budget
-      // routes to the STORE at the derived 18h grain (smallest stored-
-      // width multiple meeting the budget) — the oracle re-derives the
-      // same grain over raw, so equality proves both the routing
-      // arithmetic and the store's composition at a non-day grain
+      // routes to the STORE at the derived 19h grain (the budget applies
+      // to the outward-WIDENED bounds, so 18h's 41 whole buckets re-derive
+      // to 19h's 39) — the oracle re-derives the same grain over raw, so
+      // equality proves the routing arithmetic, the widened-budget
+      // contract, and the store's composition at a non-day grain
       Tables.configure(s)
       graft.storage.RollupStore.route(s, rollupStore1h(s, d),
           t(s, d, "events"), ns("2024-01-01"), ns("2024-01-31"),
-          maxPoints = 40)
+          maxPoints = 40, distinctCol = Some("user_id"),
+          histBoundsCents = HistBounds)
         .select(col("bucket_ts"), col("n"),
           col("min_c").cast("double").as("min_v"),
           col("max_c").cast("double").as("max_v"),
@@ -1720,16 +1722,17 @@ object SparkEntry {
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
-    // grain re-derived as a literal: span 30d / budget 40 → 18h; the
-    // widened serving bounds cover the whole data span, so no filter
+    // grain re-derived as a literal: span 30d / budget 40 → 18h raw →
+    // 41 widened buckets → 19h (39 buckets); the widened serving bounds
+    // cover the whole data span, so no filter
     "rollup_route" ->
-      """SELECT (epoch_ns(ts) // 64800000000000) * 64800000000000
+      """SELECT (epoch_ns(ts) // 68400000000000) * 68400000000000
         |    AS bucket_ts,
         |  count(*) AS n,
         |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
-        |  CAST(64800000000000 AS BIGINT) AS grain_ns,
+        |  CAST(68400000000000 AS BIGINT) AS grain_ns,
         |  'store' AS source
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
     // n value-oracled from raw; the sketch equality is JVM-side (DuckDB

@@ -759,25 +759,35 @@ object TsOps {
       histogramBuckets(df, keyCols, boundsCents, valueCol),
       keyCols, boundsCents, qNum, qDen)
 
+  /** SQL text of a literal long-array for a bounds schedule. */
+  def boundsArraySql(boundsCents: Seq[Long]): String =
+    s"array(${boundsCents.map(b => s"${b}L").mkString(", ")})"
+
+  /** THE histogram bucket assignment — smallest schedule bound `>=` the
+    * exact cents of `valueCol`, +Inf sentinel above the last. One
+    * definition shared by the direct operator, the streaming twin, and
+    * the rollup store's stored counters: their compose-exactly guarantees
+    * depend on this expression staying bit-identical everywhere. */
+  def histLeExpr(valueCol: String, boundsCents: Seq[Long]): Column = {
+    require(boundsCents.nonEmpty && boundsCents == boundsCents.sorted &&
+      boundsCents.distinct == boundsCents,
+      "histogram bounds must be ascending and distinct")
+    coalesce(
+      expr(s"array_min(filter(${boundsArraySql(boundsCents)}, x -> x >= " +
+        s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS LONG)))"),
+      lit(Long.MaxValue))
+  }
+
   /** [[histogramQuantile]]'s first half: per-key cumulative-bucket counts
     * (one narrow bucket-assign map + a combinable count) — ALSO the
     * streaming twin's complete-mode aggregation, whose state is the
     * |keys|·(|bounds|+1) counter matrix itself. */
   def histogramBuckets(df: DataFrame, keyCols: Seq[String],
-      boundsCents: Seq[Long], valueCol: String = "value"): DataFrame = {
-    require(boundsCents.nonEmpty && boundsCents == boundsCents.sorted &&
-      boundsCents.distinct == boundsCents,
-      "histogramQuantile needs ascending distinct bucket bounds")
-    val boundsArr = s"array(${boundsCents.map(b => s"${b}L").mkString(", ")})"
+      boundsCents: Seq[Long], valueCol: String = "value"): DataFrame =
     df
-      .withColumn("__c",
-        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
-      .withColumn("le", coalesce(
-        expr(s"array_min(filter($boundsArr, x -> x >= __c))"),
-        lit(Long.MaxValue)))
+      .withColumn("le", histLeExpr(valueCol, boundsCents))
       .groupBy(keyCols.map(col) :+ col("le"): _*)
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** [[histogramQuantile]]'s finisher over (keys..., le, cnt) rows — a
     * metadata-sized frame (≤ |bounds|+1 rows per key) whatever produced
@@ -787,7 +797,7 @@ object TsOps {
     require(qNum > 0 && qDen > 0 && qNum <= qDen,
       s"quantile $qNum/$qDen must lie in (0, 1]")
     val inf = Long.MaxValue
-    val boundsArr = s"array(${boundsCents.map(b => s"${b}L").mkString(", ")})"
+    val boundsArr = boundsArraySql(boundsCents)
     val wCum = Window.partitionBy(keyCols.map(col): _*).orderBy(col("le"))
     val wAll = Window.partitionBy(keyCols.map(col): _*)
     counts

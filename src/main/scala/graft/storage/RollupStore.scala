@@ -68,14 +68,9 @@ object RollupStore {
       max(dec).as("max_c"), sum(dec).as("sum_c")) ++
       distinctCol.map(c => expr(s"hll_sketch_agg($c, $lgK)").as("hll")) ++
       (if (histBoundsCents.isEmpty) Nil else {
-        require(histBoundsCents == histBoundsCents.sorted &&
-          histBoundsCents.distinct == histBoundsCents,
-          "histBoundsCents must be ascending and distinct")
-        val arr =
-          s"array(${histBoundsCents.map(b => s"${b}L").mkString(", ")})"
-        val le = coalesce(expr(s"array_min(filter($arr, x -> x >= " +
-          s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS LONG)))"),
-          lit(Long.MaxValue))
+        // THE shared bucket assignment — stored counters must stay
+        // bit-identical to the direct operator's
+        val le = graft.operators.TsOps.histLeExpr(valueCol, histBoundsCents)
         (histBoundsCents :+ Long.MaxValue).zipWithIndex.map { case (b, i) =>
           sum((le === b).cast("long")).as(s"__h$i")
         }
@@ -91,6 +86,10 @@ object RollupStore {
       grouped
         .withColumn("hcnt", array((0 until slots).map(i =>
           col(s"__h$i")): _*))
+        // the schedule rides in every row (the bucket_ns discipline): a
+        // later append or read with a DIFFERENT schedule is detectable
+        .withColumn("hbounds",
+          expr(graft.operators.TsOps.boundsArraySql(histBoundsCents)))
         .drop((0 until slots).map(i => s"__h$i"): _*)
     }
   }
@@ -101,8 +100,16 @@ object RollupStore {
   def histogramCounts(stored: DataFrame, histBoundsCents: Seq[Long],
       keyCols: Seq[String]): DataFrame = {
     val all = histBoundsCents :+ Long.MaxValue
-    val boundsArr = s"array(${all.map(b => s"${b}L").mkString(", ")})"
-    stored
+    val boundsArr =
+      graft.operators.TsOps.boundsArraySql(all)
+    // the caller's schedule must BE the store's — mislabeling counters
+    // would serve silently wrong quantiles
+    val checked = stored.withColumn("hcnt",
+      when(assert_true(col("hbounds") ===
+          expr(graft.operators.TsOps.boundsArraySql(histBoundsCents)),
+        lit("histogramCounts: bounds schedule does not match the store's " +
+          "hbounds")).isNull, col("hcnt")))
+    checked
       .select(keyCols.map(col) :+ posexplode(col("hcnt")): _*)
       .select(keyCols.map(col) :+
         expr(s"element_at($boundsArr, pos + 1)").as("le") :+
@@ -192,11 +199,22 @@ object RollupStore {
       max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
       (if (hasHll) Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
       (if (hasHist) Seq(udaf(new graft.pipeline.Text.CmsMergeAgg)
-        .apply(col("hcnt")).as("hcnt")) else Nil)
-    val out = scoped
+        .apply(col("hcnt")).as("hcnt"),
+        min("hbounds").as("__hbmin"), max("hbounds").as("__hbmax")) else Nil)
+    val out0 = scoped
       .groupBy(expr(graft.operators.TsOps.floorBucketSql("bucket_ts",
         coarseNanos)).as("bucket_ts"))
       .agg(aggs.head, aggs.tail: _*)
+    val out =
+      if (!hasHist) out0
+      else out0 // one schedule per store: mixed-schedule partials (same
+        // slot count, so the vector add would silently mislabel) fail here
+        .withColumn("hbounds", when(assert_true(
+          col("__hbmin") === col("__hbmax"),
+          lit("rollup store: partials carry DIFFERENT histogram bound " +
+            "schedules — every append must use the store's histBoundsCents"))
+          .isNull, col("__hbmin")))
+        .drop("__hbmin", "__hbmax")
     if (hasHll) out.withColumn("distinct_est",
       expr("hll_sketch_estimate(hll)")) else out
   }
@@ -216,26 +234,67 @@ object RollupStore {
     */
   def route(spark: SparkSession, path: String, raw: DataFrame,
       since: Long, until: Long, maxPoints: Int,
-      valueCol: String = "value", tsCol: String = "ts"): DataFrame = {
+      valueCol: String = "value", tsCol: String = "ts",
+      distinctCol: Option[String] = None, lgK: Int = 12,
+      histBoundsCents: Seq[Long] = Nil): DataFrame = {
     require(until > since, s"route: empty range [$since, $until)")
     require(maxPoints >= 1, "route needs a positive point budget")
-    val bucketNs = checkedRead(spark, path).select("bucket_ns")
-      .head().getLong(0)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    AtomicDir.recover(fs, live, "rollup store") // serving must self-heal a
+    graft.pipeline.Similarity.recoverCompact(fs, live) // crashed swap too
+    val stored = checkedRead(spark, path)
+    val head = stored.select("bucket_ns").limit(1).collect()
+    require(head.nonEmpty, s"route: rollup store at $path is empty")
+    val bucketNs = head(0).getLong(0)
+    // the raw fallback must produce the same schema the store serves —
+    // a dashboard that selects distinct_est at a coarse zoom must not
+    // break when a finer zoom routes to raw
+    require(!stored.columns.contains("hll") || distinctCol.nonEmpty,
+      "route: the store carries a distinct sketch — pass distinctCol so " +
+        "the raw fallback serves the same schema")
+    require(!stored.columns.contains("hcnt") || histBoundsCents.nonEmpty,
+      "route: the store carries histogram counters — pass histBoundsCents" +
+        " so the raw fallback serves the same schema")
+    // grain from the WIDENED span: serving bounds round outward to whole
+    // buckets, and the budget is a hard contract — re-derive until the
+    // widened bucket count fits (converges in <= 2 steps: widening adds
+    // at most one bucket per edge, and g only grows)
+    def widened(g: Long): (Long, Long) =
+      (Math.floorDiv(since, g) * g, (Math.floorDiv(until - 1, g) + 1) * g)
+    // re-derive from the widened span until the bucket count fits — JUMP
+    // to the widened span's own ceil-grain each time (a unit step would
+    // crawl); g only grows and widening adds at most one bucket per edge,
+    // so this converges in a couple of rounds
+    def fit(g0: Long, roundUp: Long => Long): Long = {
+      var g = g0
+      var done = false
+      while (!done) {
+        val (lo, hi) = widened(g)
+        if ((hi - lo) / g <= maxPoints) done = true
+        else g = roundUp((hi - lo + maxPoints - 1) / maxPoints)
+      }
+      g
+    }
     val span = until - since
     val target = math.max(1L, (span + maxPoints - 1) / maxPoints)
-    if (target >= bucketNs) {
-      val g = ((target + bucketNs - 1) / bucketNs) * bucketNs
-      val lo = Math.floorDiv(since, g) * g
-      val hi = (Math.floorDiv(until - 1, g) + 1) * g
+    val toMult = (g: Long) => ((g + bucketNs - 1) / bucketNs) * bucketNs
+    val gRaw = fit(target, identity)
+    if (gRaw >= bucketNs) { // the store's resolution satisfies the budget
+      val g = fit(toMult(gRaw), toMult)
+      val (lo, hi) = widened(g)
       rollup(spark, path, g, Some(lo), Some(hi))
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
     } else {
-      val lo = Math.floorDiv(since, target) * target
-      val hi = (Math.floorDiv(until - 1, target) + 1) * target
-      rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo), Some(hi),
-          tsCol), target, valueCol, tsCol)
+      val (lo, hi) = widened(gRaw)
+      val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo),
+          Some(hi), tsCol), gRaw, valueCol, tsCol, distinctCol, lgK,
+          histBoundsCents)
         .drop("bucket_ns")
-        .withColumn("grain_ns", lit(target)).withColumn("source", lit("raw"))
+      (if (distinctCol.nonEmpty) // schema parity with the store path
+        rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
+      else rows)
+        .withColumn("grain_ns", lit(gRaw)).withColumn("source", lit("raw"))
     }
   }
 
@@ -252,17 +311,31 @@ object RollupStore {
     graft.pipeline.Similarity.recoverCompact(fs, live)
     AtomicDir.compactPublish(spark, path, "compact rollup") { tmp =>
       val live0 = checkedRead(spark, path)
+      val hasHist = live0.columns.contains("hcnt")
       val cAggs = Seq(sum("n").as("n"), min("min_c").as("min_c"),
         max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
         (if (live0.columns.contains("hll"))
           Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
-        (if (live0.columns.contains("hcnt"))
+        (if (hasHist)
           Seq(udaf(new graft.pipeline.Text.CmsMergeAgg)
-            .apply(col("hcnt")).as("hcnt")) else Nil)
-      live0
+            .apply(col("hcnt")).as("hcnt"),
+            min("hbounds").as("__hbmin"), max("hbounds").as("__hbmax"))
+        else Nil)
+      val folded0 = live0
         .dropDuplicates("bucket_ts", "batch_key")
         .groupBy("bucket_ts", "bucket_ns")
         .agg(cAggs.head, cAggs.tail: _*)
+      val folded =
+        if (!hasHist) folded0
+        else folded0 // the schedule must survive the fold — and mixed
+          // schedules fail here, not silently mislabel
+          .withColumn("hbounds", when(assert_true(
+            col("__hbmin") === col("__hbmax"),
+            lit("rollup store: partials carry DIFFERENT histogram bound " +
+              "schedules — every append must use the store's " +
+              "histBoundsCents")).isNull, col("__hbmin")))
+          .drop("__hbmin", "__hbmax")
+      folded
         .withColumn("batch_key",
           lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
         .withColumn(WritableStore.PartitionCol, dayCol)

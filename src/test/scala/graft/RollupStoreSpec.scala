@@ -124,10 +124,54 @@ class RollupStoreSpec extends AnyFunSuite {
       maxPoints = 1000000000)
     assert(fine.collect().forall(_.getAs[String]("source") == "raw"))
     // serving bounds widen OUTWARD: an unaligned range still answers in
-    // whole buckets (rollup's exact-bounds require would have thrown)
+    // whole buckets (rollup's exact-bounds require would have thrown) —
+    // and the budget is a HARD cap even after widening adds edge buckets
     val unaligned = RollupStore.route(spark, p, raw, 1L * H + 7L,
       2 * Day + 5L, maxPoints = 2)
-    assert(unaligned.count() > 0)
+    val got = unaligned.count()
+    assert(got > 0 && got <= 2, s"budget overrun: $got buckets for 2")
+  }
+
+  test("histogram counters: store-merged p90 equals the direct operator") {
+    val bounds = Seq(200L, 500L, 800L)
+    val p = SparkTestBase.tempDir("graft-rollup-hc") + "/store"
+    RollupStore.write(raw.filter(col("ts") < 2 * Day), p, H,
+      histBoundsCents = bounds)
+    RollupStore.append(raw.filter(col("ts") >= 2 * Day), p, "b#1", H,
+      histBoundsCents = bounds)
+    RollupStore.append(raw.filter(col("ts") >= 2 * Day), p, "b#1", H,
+      histBoundsCents = bounds) // replay collapses in the dedup
+    def p90(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n"),
+        r.getAs[Long]("q_cents"))).toSeq
+    def viaStore() = p90(graft.operators.TsOps.histogramQuantileFromCounts(
+      RollupStore.histogramCounts(RollupStore.rollup(spark, p, Day),
+        bounds, Seq("bucket_ts")), Seq("bucket_ts"), bounds, 90L, 100L))
+    val direct = p90(graft.operators.TsOps.histogramQuantile(
+      raw.withColumn("bucket_ts",
+        expr(graft.operators.TsOps.floorBucketSql("ts", Day))),
+      Seq("bucket_ts"), bounds, 90L, 100L))
+    assert(viaStore() == direct)
+    RollupStore.compact(spark, p) // the schedule survives the fold
+    assert(viaStore() == direct)
+    // a mismatched schedule must fail loudly, never mislabel counters
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    val wrongRead = intercept[Exception] {
+      graft.operators.TsOps.histogramQuantileFromCounts(
+        RollupStore.histogramCounts(RollupStore.rollup(spark, p, Day),
+          Seq(100L, 300L, 900L), Seq("bucket_ts")),
+        Seq("bucket_ts"), Seq(100L, 300L, 900L), 90L, 100L).collect()
+    }
+    assert(chain(wrongRead).contains("does not match"), chain(wrongRead))
+    RollupStore.append(raw.limit(1), p, "b#2", H,
+      histBoundsCents = Seq(100L, 300L, 900L))
+    val wrongAppend = intercept[Exception] {
+      RollupStore.rollup(spark, p, Day).collect()
+    }
+    assert(chain(wrongAppend).contains("DIFFERENT histogram bound"),
+      chain(wrongAppend))
   }
 
   test("a coarse width that does not nest fails loudly, never silently") {
