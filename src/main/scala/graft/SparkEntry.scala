@@ -98,6 +98,25 @@ object SparkEntry {
   private val rollupStorePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dataset cache of the TIERED events copy backing
+    * `rollup_tiered_scan`: raw events copied to scratch, then samples
+    * before the cutoff tiered off into a 1h rollup store (one tiering per
+    * process per dataset). */
+  private val tieredPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def tieredEvents(s: SparkSession, d: String): (String, String) =
+    tieredPaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-tier-${processId}_${dirTag(dir)}")
+      val rawP = new java.io.File(base, "raw").getPath
+      val stP = new java.io.File(base, "store").getPath
+      t(s, dir, "events").write.parquet(rawP)
+      graft.storage.RollupStore.tierOff(s, rawP, stP,
+        cutoff = ns("2024-01-15"), bucketNanos = BucketH)
+      (rawP, stP)
+    })
+
   private def rollupStore1h(s: SparkSession, d: String): String =
     rollupStorePaths.computeIfAbsent(d, dir => {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
@@ -708,6 +727,21 @@ object SparkEntry {
           col("max_c").cast("double").as("max_v"),
           col("sum_c").cast("double").as("sum_v"),
           col("grain_ns"), col("source"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_tiered_scan" -> ((s, d) => {
+      // the retention-policy read path: half the month was tiered off
+      // (raw trimmed, 1h rollups kept), yet the stitched daily aggregate
+      // equals the raw-table oracle exactly — tier ranges are disjoint
+      // whole buckets, so the merge is the same associative fold
+      Tables.configure(s)
+      val (rawP, stP) = tieredEvents(s, d)
+      graft.storage.RollupStore.tieredRollup(s, rawP, stP,
+          86400L * 1000000000L)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
     "rollup_store_p90" -> ((s, d) => {
@@ -6568,6 +6602,10 @@ object SparkEntry {
       ("stream_seasonal" -> base("ts_seasonal_anomaly")) +
       // drained scored-candidate sink rolled up == the batch ranker
       ("stream_bm25" -> base("retrieval_bm25")) +
+      // disjoint whole-bucket tiers merge with the same associative fold
+      // any rollup uses, so the stitched read equals the raw-table daily
+      // aggregate exactly
+      ("rollup_tiered_scan" -> base("rollup_store_daily")) +
       // the stored probe reads the identical tf/dl/dfs frames back from
       // the term-bucketed layout (bucket pruning only skips rows no query
       // term can join), so it shares retrieval_bm25's value oracle

@@ -298,6 +298,66 @@ object RollupStore {
     }
   }
 
+  /** Age-based downsample tiering — the retention-policy lifecycle a TSDB
+    * runs nightly: samples older than `cutoff` leave the raw table and
+    * survive as rollup-store buckets (full resolution for the recent
+    * window, aggregates forever — at 100 TB this is what makes "keep two
+    * years" affordable). `cutoff` must be bucket-aligned so no bucket
+    * straddles the tier boundary.
+    *
+    * Crash-safe and IDEMPOTENT: the tiered-off partials append under the
+    * deterministic batch key `tier-<cutoff>`, so a retry after a crash
+    * between the store append and the raw rewrite re-appends under the
+    * SAME key and the replay dedup collapses it — the store can never
+    * double-count a tier; the raw rewrite itself is an [[AtomicDir]]
+    * two-rename publish (every crash point leaves a complete raw table,
+    * either pre- or post-trim).
+    */
+  def tierOff(spark: SparkSession, rawPath: String, storePath: String,
+      cutoff: Long, bucketNanos: Long, valueCol: String = "value",
+      tsCol: String = "ts", distinctCol: Option[String] = None,
+      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil): Unit = {
+    require(Math.floorMod(cutoff, bucketNanos) == 0,
+      s"tierOff: cutoff $cutoff is not aligned to the $bucketNanos bucket" +
+        " — a straddling bucket would be half raw, half rolled up")
+    val rawLive = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
+    AtomicDir.recover(fs, rawLive, "tiered raw table")
+    val raw = spark.read.parquet(rawPath)
+    val old = raw.filter(col(tsCol) < cutoff)
+    append(old, storePath, s"tier-$cutoff", bucketNanos, valueCol, tsCol,
+      distinctCol, lgK, histBoundsCents)
+    AtomicDir.publish(spark, rawPath, "tiered raw table") { tmp =>
+      // re-read under the publish so the filter runs against the files
+      // being replaced, not a stale cached plan
+      spark.read.parquet(rawPath).filter(col(tsCol) >= cutoff)
+        .write.parquet(tmp)
+    }
+  }
+
+  /** Stitched read across the tiers: the rolled-up past UNION the raw
+    * recent window, re-aggregated at `coarseNanos` — tier ranges are
+    * disjoint whole buckets (the [[tierOff]] alignment contract), so the
+    * merge is the same associative fold as any rollup and the result
+    * equals a direct pass over the never-tiered table bit for bit.
+    */
+  def tieredRollup(spark: SparkSession, rawPath: String, storePath: String,
+      coarseNanos: Long, valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    val rawLive = new org.apache.hadoop.fs.Path(rawPath)
+    val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
+    AtomicDir.recover(fs, rawLive, "tiered raw table")
+    val fromStore = rollup(spark, storePath, coarseNanos)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+    val fromRaw = rollupRows(spark.read.parquet(rawPath), coarseNanos,
+        valueCol, tsCol)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+    fromStore.unionByName(fromRaw)
+      .groupBy("bucket_ts")
+      .agg(sum("n").as("n"), min("min_c").as("min_c"),
+        max("max_c").as("max_c"), sum("sum_c").as("sum_c"))
+  }
+
   /** Fold accumulated per-batch partials back to one row per bucket — the
     * IO compaction that caps file-listing cost as streamed batches pile up,
     * doubling as the durable replay repair (duplicate (bucket_ts,

@@ -174,6 +174,31 @@ class RollupStoreSpec extends AnyFunSuite {
       chain(wrongAppend))
   }
 
+  test("tiering: stitched read equals the never-tiered table; idempotent") {
+    val base = SparkTestBase.tempDir("graft-rollup-t")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    raw.write.parquet(rawP)
+    def stitched() = RollupStore.tieredRollup(spark, rawP, stP, Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    // crash window: the store append landed but the raw rewrite did not —
+    // pre-seed the EXACT tier partial the retry will also write
+    RollupStore.append(raw.filter(col("ts") < Day), stP, s"tier-$Day", H)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H)
+    assert(stitched() == directDaily) // the duplicate collapsed
+    assert(spark.read.parquet(rawP).agg(min("ts")).head().getLong(0) >= Day)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H)
+    assert(stitched() == directDaily) // full-retry idempotent
+    // tier further: day 2 off too, stitched still exact
+    RollupStore.tierOff(spark, rawP, stP, cutoff = 2 * Day, bucketNanos = H)
+    assert(stitched() == directDaily)
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.tierOff(spark, rawP, stP, cutoff = Day + 1, bucketNanos = H)
+    }
+    assert(ex.getMessage.contains("aligned"))
+  }
+
   test("a coarse width that does not nest fails loudly, never silently") {
     val p = SparkTestBase.tempDir("graft-rollup-g") + "/store"
     RollupStore.write(raw, p, H)
