@@ -759,23 +759,27 @@ object SparkEntry {
         .orderBy("bucket_ts")
     }),
     "rollup_store_users" -> ((s, d) => {
-      // daily distinct users answered from the at-rest 1h store: 24
-      // hourly register-max sketches union into EXACTLY the sketch a
-      // direct daily pass builds (order-free over the same hash set), so
-      // the estimate equality is a bit-level gate, not a tolerance band;
-      // the day's row count rides beside it, value-oracled
+      // daily distinct users answered from the at-rest 1h store. The
+      // merged sketch covers the SAME hash set a direct daily pass does,
+      // but DataSketches estimates from different internal modes
+      // (coupon list / set / dense HLL) at mid cardinalities — merged and
+      // direct ESTIMATES legitimately differ by a few counts (measured
+      // at sf0.1: |est−exact| ≤ ~0.7%), so the gate is the documented
+      // rank-error bound vs the EXACT count (5% with an absolute floor,
+      // the sketch_overlap convention; lgK=12 ⇒ 3σ rse ≈ 4.9%); the
+      // day's row count rides beside it, value-oracled
       Tables.configure(s)
       val day = 86400L * 1000000000L
       val st = graft.storage.RollupStore.rollup(s, rollupStore1h(s, d), day)
         .select(col("bucket_ts"), col("n"), col("distinct_est"))
-      val direct = t(s, d, "events")
+      val exact = t(s, d, "events")
         .groupBy(expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
-          .as("de_direct"))
-      st.join(direct, "bucket_ts")
+        .agg(countDistinct("user_id").as("__exact"))
+      st.join(exact, "bucket_ts")
         .select(col("bucket_ts"), col("n"),
-          (col("distinct_est") === col("de_direct")).cast("long")
-            .as("hll_ok"))
+          (abs(col("distinct_est") - col("__exact")).cast("double") <=
+            greatest(col("__exact") * 0.05, lit(4.0)))
+            .cast("long").as("hll_ok"))
         .orderBy("bucket_ts")
     }),
     "ts_histogram_quantile" -> ((s, d) =>

@@ -46,10 +46,14 @@ object RollupStore {
   /** The per-bucket partial aggregation every writer shares: one row per
     * `bucketNanos`-wide floor bucket of `tsCol`, value stats in exact
     * DECIMAL(18,2). With `distinctCol` set, each row also carries an HLL
-    * sketch of that dimension (KB-sized) — register-max union is
-    * associative and order-free, so any coarser rollup's merged sketch
-    * equals the one a direct pass at that grain would build, and
-    * "distinct users over an arbitrary range" answers from the store.
+    * sketch of that dimension (KB-sized): union covers exactly the same
+    * hash set a direct pass at any coarser grain would sketch, so
+    * "distinct users over an arbitrary range" answers from the store
+    * within the sketch's rank-error bound. (The ESTIMATE is not
+    * bit-identical to a direct pass at mid cardinalities — DataSketches
+    * estimates differently from its coupon/set/dense modes — which is why
+    * the correctness gate compares against the exact count, not the
+    * direct sketch.)
     *
     * With `histBoundsCents` set, each row additionally carries `hcnt`: the
     * per-bucket value-histogram counter array over that literal schedule
