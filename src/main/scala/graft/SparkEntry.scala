@@ -111,7 +111,9 @@ object SparkEntry {
         s"graft-tier-${processId}_${dirTag(dir)}")
       val rawP = new java.io.File(base, "raw").getPath
       val stP = new java.io.File(base, "store").getPath
-      t(s, dir, "events").write.parquet(rawP)
+      // overwrite: a failed prior attempt must rebuild, not die on
+      // "path already exists" forever after
+      t(s, dir, "events").write.mode("overwrite").parquet(rawP)
       graft.storage.RollupStore.tierOff(s, rawP, stP,
         cutoff = ns("2024-01-15"), bucketNanos = BucketH)
       (rawP, stP)

@@ -331,19 +331,60 @@ object RollupStore {
     val old = raw.filter(col(tsCol) < cutoff)
     append(old, storePath, s"tier-$cutoff", bucketNanos, valueCol, tsCol,
       distinctCol, lgK, histBoundsCents)
-    AtomicDir.publish(spark, rawPath, "tiered raw table") { tmp =>
-      // re-read under the publish so the filter runs against the files
-      // being replaced, not a stale cached plan
-      spark.read.parquet(rawPath).filter(col(tsCol) >= cutoff)
-        .write.parquet(tmp)
+    // trim the raw table. Fast path: a `__day=`-partitioned raw tree with
+    // a day-aligned cutoff trims by DELETING whole day directories —
+    // O(days dropped), never a rewrite of the retained window (at 100 TB
+    // the rewrite would dwarf the rollup itself). Each dir delete is
+    // atomic; a crash mid-way leaves extra pre-cutoff dirs that the tier
+    // horizon already excludes from stitched reads. Fallback (flat tree
+    // or sub-day cutoff): atomic two-rename rewrite of the retained rows.
+    val dayDirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      rawPath, s"${WritableStore.PartitionCol}=*"))).getOrElse(Array.empty)
+    if (dayDirs.nonEmpty && Math.floorMod(cutoff, DayNs) == 0) {
+      val cutDay = java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(cutoff, DayNs)).toString
+      dayDirs.filter(_.getPath.getName.stripPrefix(
+          s"${WritableStore.PartitionCol}=") < cutDay)
+        .foreach(d => fs.delete(d.getPath, true))
+      spark.catalog.refreshByPath(rawPath)
+    } else {
+      AtomicDir.publish(spark, rawPath, "tiered raw table") { tmp =>
+        // re-read under the publish so the filter runs against the files
+        // being replaced, not a stale cached plan
+        spark.read.parquet(rawPath).filter(col(tsCol) >= cutoff)
+          .write.parquet(tmp)
+      }
     }
   }
 
+  /** The tier horizon: the highest cutoff any [[tierOff]] has appended —
+    * everything below it is served from the store, whatever raw still
+    * holds. Parsed from the deterministic `tier-<cutoff>` batch keys
+    * (metadata-sized aggregation over KB rows). None if never tiered. */
+  private def tierHorizon(stored: DataFrame): Option[Long] = {
+    val r = stored
+      .filter(col("batch_key").startsWith("tier-"))
+      .agg(max(expr("CAST(substring(batch_key, 6) AS LONG)")))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
   /** Stitched read across the tiers: the rolled-up past UNION the raw
-    * recent window, re-aggregated at `coarseNanos` — tier ranges are
-    * disjoint whole buckets (the [[tierOff]] alignment contract), so the
-    * merge is the same associative fold as any rollup and the result
-    * equals a direct pass over the never-tiered table bit for bit.
+    * rows at-or-after the TIER HORIZON, re-aggregated at `coarseNanos` —
+    * tier ranges are disjoint whole buckets (the [[tierOff]] alignment
+    * contract), so the merge is the same associative fold as any rollup
+    * and the result equals a direct pass over the never-tiered table bit
+    * for bit. The horizon filter (not "whatever raw holds") is
+    * load-bearing twice: during [[tierOff]]'s append-to-trim window — and
+    * after a crash inside it — raw still holds already-tiered samples,
+    * and without the filter the stitched read would double-count them;
+    * and a LATE sample older than the horizon that sneaks into raw is
+    * deliberately invisible here (the out-of-order-beyond-retention
+    * write a TSDB rejects at ingest) rather than sometimes-counted.
+    * A never-tiered table (no store yet) degrades to the plain raw
+    * rollup. Run [[tierOff]] itself with ingest to the affected range
+    * quiesced — a retry's partial must be bit-identical for the
+    * deterministic tier key's dedup to be exact (the compaction rule).
     */
   def tieredRollup(spark: SparkSession, rawPath: String, storePath: String,
       coarseNanos: Long, valueCol: String = "value",
@@ -351,12 +392,18 @@ object RollupStore {
     val rawLive = new org.apache.hadoop.fs.Path(rawPath)
     val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, rawLive, "tiered raw table")
+    val storeLive = new org.apache.hadoop.fs.Path(storePath)
+    AtomicDir.recover(fs, storeLive, "rollup store")
+    graft.pipeline.Similarity.recoverCompact(fs, storeLive)
+    def rawAtOrAfter(h: Option[Long]) = rollupRows(
+      graft.operators.TsOps.rangeFilter(spark.read.parquet(rawPath), h,
+        None, tsCol), coarseNanos, valueCol, tsCol)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+    if (!fs.exists(storeLive)) return rawAtOrAfter(None) // never tiered
+    val horizon = tierHorizon(checkedRead(spark, storePath))
     val fromStore = rollup(spark, storePath, coarseNanos)
       .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
-    val fromRaw = rollupRows(spark.read.parquet(rawPath), coarseNanos,
-        valueCol, tsCol)
-      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
-    fromStore.unionByName(fromRaw)
+    fromStore.unionByName(rawAtOrAfter(horizon))
       .groupBy("bucket_ts")
       .agg(sum("n").as("n"), min("min_c").as("min_c"),
         max("max_c").as("max_c"), sum("sum_c").as("sum_c"))

@@ -182,9 +182,14 @@ class RollupStoreSpec extends AnyFunSuite {
     def stitched() = RollupStore.tieredRollup(spark, rawP, stP, Day)
       .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
       .orderBy("bucket_ts").collect().toSeq
+    // never tiered: the stitched read degrades to the plain raw rollup
+    assert(stitched() == directDaily)
     // crash window: the store append landed but the raw rewrite did not —
     // pre-seed the EXACT tier partial the retry will also write
     RollupStore.append(raw.filter(col("ts") < Day), stP, s"tier-$Day", H)
+    // INSIDE the window the stitched read must already be exact: the tier
+    // horizon excludes raw's not-yet-trimmed pre-cutoff rows
+    assert(stitched() == directDaily)
     RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H)
     assert(stitched() == directDaily) // the duplicate collapsed
     assert(spark.read.parquet(rawP).agg(min("ts")).head().getLong(0) >= Day)
@@ -197,6 +202,26 @@ class RollupStoreSpec extends AnyFunSuite {
       RollupStore.tierOff(spark, rawP, stP, cutoff = Day + 1, bucketNanos = H)
     }
     assert(ex.getMessage.contains("aligned"))
+  }
+
+  test("tiering fast path: a day-partitioned raw trims by directory drop") {
+    val base = SparkTestBase.tempDir("graft-rollup-tf")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    raw.withColumn(graft.storage.WritableStore.PartitionCol,
+        date_from_unix_date(expr(
+          "(ts - pmod(ts, 86400000000000L)) div 86400000000000L")
+          .cast("int")).cast("string"))
+      .write.partitionBy(graft.storage.WritableStore.PartitionCol)
+      .parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = 2 * Day, bucketNanos = H)
+    val dirs = new java.io.File(rawP).listFiles()
+      .filter(_.getName.startsWith("__day=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("__day=1970-01-03")) // days 1-2 dropped whole
+    val viaStore = RollupStore.tieredRollup(spark, rawP, stP, Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(viaStore == directDaily)
   }
 
   test("a coarse width that does not nest fails loudly, never silently") {
