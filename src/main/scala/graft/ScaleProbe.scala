@@ -394,6 +394,41 @@ object ScaleProbe {
       println(f"[scale] $name%-22s $la=$ta%6.2fs  $lb=$tb%6.2fs  " +
         f"speedup=${ta / tb}%5.2f")
     }
+    if (sel("tiering_trim")) {
+      // A/B on the SAME 10x data: retention trim on a day-partitioned raw
+      // tree (whole-directory drop, O(days dropped)) vs a flat tree (full
+      // rewrite of the retained window). Copies are built OUTSIDE the
+      // timer (one file per day on the partitioned side - the 128MB-file
+      // regime a real table lives in); the timed region is tierOff alone,
+      // and the rollup append inside it is identical on both sides.
+      val day = 86400L * 1000000000L
+      val cut0 = evScaled.agg(min("ts")).head().getLong(0)
+      // EARLY cutoff: 2 days tier off, ~400 stay — isolates the trim
+      // (the rollup append is 2 days of work on both sides; the flat side
+      // then rewrites the whole retained window, the partitioned side
+      // drops 2 directories)
+      val cut = (cut0 - Math.floorMod(cut0, day)) + 2 * day
+      def run(partitioned: Boolean): Double = {
+        val p = s"$work/tier_${if (partitioned) "part" else "flat"}"
+        if (partitioned)
+          evScaled.withColumn("__day", date_from_unix_date(
+              expr(s"(ts - pmod(ts, ${day}L)) div ${day}L").cast("int"))
+              .cast("string"))
+            .repartition(col("__day"))
+            .write.mode("overwrite").partitionBy("__day").parquet(p)
+        else evScaled.write.mode("overwrite").parquet(p)
+        val st = s"$work/tier_store_${if (partitioned) "p" else "f"}"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(st))
+        val t0 = System.nanoTime()
+        graft.storage.RollupStore.tierOff(spark, p, st, cut,
+          3600L * 1000000000L)
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(false); run(true) // warm both code paths
+      val tf = run(false); val tp = run(true)
+      println(f"[scale] tiering_trim           flat-rewrite=$tf%6.2fs  " +
+        f"day-dir-drop=$tp%6.2fs  speedup=${tf / tp}%5.2f")
+    }
     val gap = 3600L * 1000000000L
     val hot = evScaled.withColumn("user_id",
         when(pmod(col("event_id"), lit(10L)) < 3, lit(0L))
