@@ -32,7 +32,11 @@ object Bench {
     // round-8 late rows: the continuous-aggregate probe (store build is
     // per-process-cached, so this times the ROLLUP path) and the
     // sequential LTTB fold
-    "rollup_store_daily", "ts_lttb")
+    "rollup_store_daily", "ts_lttb",
+    // round-9 tracked row: the iterative join-loop shape (degree-ordered
+    // wedge count over the part co-purchase graph) — correctness and
+    // ScaleProbe rows existed since round 8, wall-time was untracked
+    "graph_triangles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -115,8 +115,36 @@ object SparkEntry {
       // "path already exists" forever after
       t(s, dir, "events").write.mode("overwrite").parquet(rawP)
       graft.storage.RollupStore.tierOff(s, rawP, stP,
-        cutoff = ns("2024-01-15"), bucketNanos = BucketH)
+        cutoff = ns("2024-01-15"), bucketNanos = BucketH,
+        distinctCol = Some("user_id"), histBoundsCents = HistBounds)
       (rawP, stP)
+    })
+
+  /** Per-dataset cache of the three-tier CASCADE layout backing
+    * `rollup_cascade_*`: raw events → 1h store (days before Jan 20) →
+    * 1d store (days before Jan 10), with the 1h store compacted after
+    * the cascade so the gate also proves the tier horizon survives
+    * compaction's batch-key rewrite. */
+  private val cascadePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  private def cascadeEvents(s: SparkSession, d: String)
+      : (String, String, String) =
+    cascadePaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-cascade-${processId}_${dirTag(dir)}")
+      val rawP = new java.io.File(base, "raw").getPath
+      val stH = new java.io.File(base, "st-1h").getPath
+      val stD = new java.io.File(base, "st-1d").getPath
+      t(s, dir, "events").write.mode("overwrite").parquet(rawP)
+      graft.storage.RollupStore.tierOff(s, rawP, stH,
+        cutoff = ns("2024-01-20"), bucketNanos = BucketH,
+        distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+      graft.storage.RollupStore.tierOffStore(s, stH, stD,
+        cutoff = ns("2024-01-10"),
+        coarseBucketNanos = 86400L * 1000000000L)
+      graft.storage.RollupStore.compact(s, stH)
+      (rawP, stH, stD)
     })
 
   private def rollupStore1h(s: SparkSession, d: String): String =
@@ -739,11 +767,110 @@ object SparkEntry {
       Tables.configure(s)
       val (rawP, stP) = tieredEvents(s, d)
       graft.storage.RollupStore.tieredRollup(s, rawP, stP,
-          86400L * 1000000000L)
+          86400L * 1000000000L, distinctCol = Some("user_id"),
+          histBoundsCents = HistBounds)
         .select(col("bucket_ts"), col("n"),
           col("min_c").cast("double").as("min_v"),
           col("max_c").cast("double").as("max_v"),
           col("sum_c").cast("double").as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_route_tiered" -> ((s, d) => {
+      // the round-8 composition gap, closed: a dashboard zooms into the
+      // whole month at a budget demanding finer-than-stored grain, but
+      // the first half was tiered off — the router CLAMPS to the stored
+      // 1h grain and stitches store+raw instead of silently serving only
+      // the post-horizon raw remnant; the oracle aggregates the
+      // NEVER-tiered table at that grain, so equality proves the routed
+      // answer is complete
+      Tables.configure(s)
+      val (rawP, stP) = tieredEvents(s, d)
+      graft.storage.RollupStore.route(s, stP, s.read.parquet(rawP),
+          ns("2024-01-01"), ns("2024-01-31"), maxPoints = 2000,
+          distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"),
+          col("grain_ns"), col("source"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_tiered_users" -> ((s, d) => {
+      // distinct users per day over the TIERED layout: the store's HLL
+      // sketches (pre-horizon) union with raw-side sketches (post-
+      // horizon) — the same associative union compaction uses — so the
+      // estimate survives tiering; gated against the exact count with
+      // the rollup_store_users rank-error bound (lgK=12 ⇒ 3σ rse ≈ 4.9%)
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stP) = tieredEvents(s, d)
+      val st = graft.storage.RollupStore.tieredRollup(s, rawP, stP, day,
+          distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+        .select(col("bucket_ts"), col("n"), col("distinct_est"))
+      val exact = t(s, d, "events")
+        .groupBy(expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
+        .agg(countDistinct("user_id").as("__exact"))
+      st.join(exact, "bucket_ts")
+        .select(col("bucket_ts"), col("n"),
+          (abs(col("distinct_est") - col("__exact")).cast("double") <=
+            greatest(col("__exact") * 0.05, lit(4.0)))
+            .cast("long").as("hll_ok"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_tiered_p90" -> ((s, d) => {
+      // p90 per day over the TIERED layout: stored hourly counter arrays
+      // (pre-horizon) vector-add with raw-side counters (post-horizon)
+      // into exactly the daily counts a direct pass builds — integer-
+      // exact, so this shares rollup_store_p90's value oracle
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stP) = tieredEvents(s, d)
+      val st = graft.storage.RollupStore.tieredRollup(s, rawP, stP, day,
+        distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+      val counts = graft.storage.RollupStore.histogramCounts(st, HistBounds,
+        Seq("bucket_ts"))
+      TsOps.histogramQuantileFromCounts(counts, Seq("bucket_ts"),
+          HistBounds, qNum = 90L, qDen = 100L)
+        .orderBy("bucket_ts")
+    }),
+    "rollup_cascade_daily" -> ((s, d) => {
+      // three-tier retention cascade (raw → 1h → 1d, the "full resolution
+      // for a week, hourly for a year, daily forever" policy), with the
+      // middle tier COMPACTED after cascading — the stitched daily
+      // aggregate still equals the raw-table oracle, proving the per-tier
+      // horizon windows partition the timeline exactly and the horizon
+      // survives compaction's batch-key rewrite
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stH, stD) = cascadeEvents(s, d)
+      graft.storage.RollupStore.cascadeRollup(s, rawP, Seq(stH, stD), day,
+          distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_cascade_users" -> ((s, d) => {
+      // distinct users per day across THREE tiers: the daily store's
+      // sketches were union-folded twice (tierOff, then tierOffStore) and
+      // still cover exactly the per-day hash sets — same gate as
+      // rollup_store_users
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stH, stD) = cascadeEvents(s, d)
+      val st = graft.storage.RollupStore.cascadeRollup(s, rawP,
+          Seq(stH, stD), day, distinctCol = Some("user_id"),
+          histBoundsCents = HistBounds)
+        .select(col("bucket_ts"), col("n"), col("distinct_est"))
+      val exact = t(s, d, "events")
+        .groupBy(expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
+        .agg(countDistinct("user_id").as("__exact"))
+      st.join(exact, "bucket_ts")
+        .select(col("bucket_ts"), col("n"),
+          (abs(col("distinct_est") - col("__exact")).cast("double") <=
+            greatest(col("__exact") * 0.05, lit(4.0)))
+            .cast("long").as("hll_ok"))
         .orderBy("bucket_ts")
     }),
     "rollup_store_p90" -> ((s, d) => {
@@ -1774,6 +1901,20 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  CAST(68400000000000 AS BIGINT) AS grain_ns,
         |  'store' AS source
+        |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    // the tiered route CLAMPS to the stored 1h grain (2000 points would
+    // demand ~22min buckets, but the pre-horizon samples exist only at
+    // 1h) and stitches store+raw — the oracle is the NEVER-tiered table
+    // at that grain, so equality proves completeness
+    "rollup_route_tiered" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000
+        |    AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(3600000000000 AS BIGINT) AS grain_ns,
+        |  'stitched' AS source
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
     // n value-oracled from raw; the sketch equality is JVM-side (DuckDB
     // has no DataSketches HLL) — the sketch-store gate convention
@@ -6612,6 +6753,16 @@ object SparkEntry {
       // any rollup uses, so the stitched read equals the raw-table daily
       // aggregate exactly
       ("rollup_tiered_scan" -> base("rollup_store_daily")) +
+      // the tiered layout's sketch dims stitch through the same
+      // associative unions (HLL union, counter vector-add) the store's
+      // own rollups use — so they share the untiered store's oracles
+      ("rollup_tiered_users" -> base("rollup_store_users")) +
+      ("rollup_tiered_p90" -> base("rollup_store_p90")) +
+      // three tiers partition the timeline by horizon windows; the
+      // stitched fold is associative, so the cascade shares the
+      // raw-table oracles too
+      ("rollup_cascade_daily" -> base("rollup_store_daily")) +
+      ("rollup_cascade_users" -> base("rollup_store_users")) +
       // the stored probe reads the identical tf/dl/dfs frames back from
       // the term-bucketed layout (bucket pruning only skips rows no query
       // term can join), so it shares retrieval_bm25's value oracle

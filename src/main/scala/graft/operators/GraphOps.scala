@@ -54,12 +54,18 @@ object GraphOps {
     * lifetime — Spark's CacheManager dedups by canonicalized plan, so
     * repeated calls over the SAME edge frame reuse one entry rather than
     * accumulating; `spark.catalog.clearCache()` releases everything once
-    * the ranks are consumed/written out.
+    * the ranks are consumed/written out. A long-lived serving session
+    * ranking MANY different edge frames should pass
+    * `unpersistOnExit = true` instead: the final ranks are pinned (one
+    * eager materialization with lineage truncated) and every
+    * CacheManager entry this call registered is released before return —
+    * the returned frame owes nothing to the call's caches.
     */
   def pageRank(edges: DataFrame, iters: Int = 4, scaleLog2: Int = 30,
       srcCol: String = "src", dstCol: String = "dst",
       pinEvery: Int = 8,
-      pinMode: String = graft.pipeline.Pipelines.PinLocal): DataFrame = {
+      pinMode: String = graft.pipeline.Pipelines.PinLocal,
+      unpersistOnExit: Boolean = false): DataFrame = {
     require(iters >= 1 && scaleLog2 >= 10 && scaleLog2 <= 40)
     val s = 1L << scaleLog2
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -93,7 +99,18 @@ object GraphOps {
         pr = pinned
       }
     }
-    pr
+    if (!unpersistOnExit) pr
+    else {
+      // decouple the result from this call's caches, then release them:
+      // the pin truncates lineage so the returned frame no longer
+      // references nodes/deg/lastPin
+      val out = graft.pipeline.Pipelines.pinFrame(pr, pinMode)
+      out.count()
+      nodes.unpersist()
+      deg.unpersist()
+      if (lastPin != null) lastPin.unpersist()
+      out
+    }
   }
 
   /** Exact global triangle count by degree-ordered edge orientation — the
@@ -113,10 +130,31 @@ object GraphOps {
     * Plan shape: degree agg (combinable) + two broadcast-or-shuffle hash
     * equi-joins (wedge build on the shared low-rank corner, left-semi close
     * check) — no cartesian anywhere (PlanAuditSpec pins it), nothing
-    * driver-side but the final scalar row.
+    * driver-side but the final scalar row. That row materializes INSIDE
+    * the call so the persisted deg/oriented frames release before return
+    * — repeated calls over different edge frames leak no cache entries.
     */
   def triangles(pairs: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    val (out, pins) = trianglesPlan(pairs, srcCol, dstCol)
+    // the result is ONE row of three scalars (metadata-sized by
+    // construction), so it materializes here and the call's cache
+    // entries release unconditionally — a serving session running many
+    // graph calls over different edge frames accumulates nothing
+    try {
+      val r = out.collect()(0)
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("n_nodes", "n_edges", "n_triangles")
+    } finally pins.foreach(_.unpersist())
+  }
+
+  /** The lazy triangle-count plan plus its persisted frames — split out so
+    * the plan audits can pin the join shapes on the UNEXECUTED plan while
+    * [[triangles]] owns materialization and cache release. */
+  private[graft] def trianglesPlan(pairs: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): (DataFrame, Seq[DataFrame]) = {
     val p0 = pairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // normalize defensively: undirected identity + no self-loops, distinct
@@ -156,7 +194,8 @@ object GraphOps {
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
     val nTri = closed.agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nTri) // three 1-row frames
+    (nNodes.crossJoin(nEdges).crossJoin(nTri), // three 1-row frames
+      Seq(deg, oriented))
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes of
@@ -175,11 +214,14 @@ object GraphOps {
     * (each round must remove ≥ 1 node to continue, and cascades are rare
     * past the first sweep); `maxRounds` bounds the loop and a
     * non-converged exit FAILS LOUDLY — a silent partial peel would
-    * misreport non-core nodes as core members.
+    * misreport non-core nodes as core members. `unpersistOnExit` pins the
+    * survivor frame and releases the round pins before return (the
+    * [[pageRank]] serving-session discipline).
     */
   def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 12,
       pinEvery: Int = 4,
-      pinMode: String = graft.pipeline.Pipelines.PinLocal): DataFrame = {
+      pinMode: String = graft.pipeline.Pipelines.PinLocal,
+      unpersistOnExit: Boolean = false): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     val p0 = pairs.select(col("src").cast("long"), col("dst").cast("long"))
     var e = p0.select(least(col("src"), col("dst")).as("src"),
@@ -217,6 +259,13 @@ object GraphOps {
       throw new IllegalStateException(
         s"kCore(k=$k) did not converge within $maxRounds peeling rounds — " +
           "raise maxRounds (the unrolled oracle must match it)")
-    degOf(e).orderBy("node")
+    val res = degOf(e).orderBy("node")
+    if (!unpersistOnExit) res
+    else { // the [[pageRank]] exit discipline: pin, then release the pins
+      val out = graft.pipeline.Pipelines.pinFrame(res, pinMode)
+      out.count()
+      if (lastPin != null) lastPin.unpersist()
+      out
+    }
   }
 }

@@ -1,6 +1,6 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** At-rest downsample rollup store — the continuous-aggregate tier a TSDB
@@ -21,23 +21,35 @@ import org.apache.spark.sql.functions._
   * stored rows equals — bit for bit — the aggregate a direct pass over the
   * raw table would produce, at ANY coarser bucket that is an integer
   * multiple of the stored one. `bucket_ns` rides in every row (constant per
-  * store) instead of a side meta file so the compactor and the two-rename
-  * publish never face a multi-file consistency window.
+  * store — [[append]] validates new partials against it and every reader
+  * dedups and guards on it) instead of a side meta file so the compactor and
+  * the two-rename publish never face a multi-file consistency window.
   *
   * Ingest follows the sketch-store discipline
   * ([[graft.pipeline.Text.writeSketchStore]]): the base [[write]] stamps
   * `batch_key = "base"`; each streamed micro-batch [[append]]s partial
   * per-bucket rows under a replay-stable key, so an at-least-once
-  * redelivery produces a DUPLICATE (bucket_ts, batch_key) row that
-  * [[rollup]] and [[compact]] drop before merging — effectively
+  * redelivery produces a DUPLICATE (bucket_ts, bucket_ns, batch_key) row
+  * that [[rollup]] and [[compact]] drop before merging — effectively
   * exactly-once without a transactional table format. [[compact]] folds
   * accumulated partials back to one row per bucket under the shared
   * `.compact-*` two-rename protocol (crash self-heal via
-  * [[graft.pipeline.Similarity.recoverCompact]]).
+  * [[graft.pipeline.Similarity.recoverCompact]]), preserving the tier
+  * horizon in its batch key so tiered reads survive compaction.
+  *
+  * Tiering: [[tierOff]] moves raw samples below a cutoff into the store;
+  * [[tierOffStore]] cascades a fine store's old buckets into a coarser
+  * store (1m → 1h → 1d: full resolution for a week, hourly for a year,
+  * daily forever); [[cascadeRollup]] / [[tieredRollup]] stitch the tiers
+  * back into one exact aggregate, and [[route]] serves a dashboard's
+  * point-budget contract over the tiered layout without ever producing a
+  * silently partial answer.
   *
   * 100 TB shape: the store is ~(raw rows / samples-per-bucket) in size —
   * KB-to-GB where raw is TB — and every query over it is a partition-pruned
-  * scan + one combinable aggregation; nothing driver-side but scalars.
+  * scan + one combinable aggregation; nothing driver-side but scalars (the
+  * loud metadata guards — bucket-width uniformity, tier horizons — read
+  * single aggregated values off those same KB rows).
   */
 object RollupStore {
 
@@ -68,8 +80,11 @@ object RollupStore {
       histBoundsCents: Seq[Long] = Nil): DataFrame = {
     require(bucketNanos > 0, s"bucketNanos must be positive: $bucketNanos")
     val dec = col(valueCol).cast("decimal(18,2)")
+    // sum_c is pinned to decimal(28,2) — THE at-rest type every writer
+    // (base write, append, compact, tierOffStore) shares, so parquet
+    // schema merge never sees two decimal widths in one tree
     val aggs = Seq(count(lit(1)).as("n"), min(dec).as("min_c"),
-      max(dec).as("max_c"), sum(dec).as("sum_c")) ++
+      max(dec).as("max_c"), sum(dec).cast("decimal(28,2)").as("sum_c")) ++
       distinctCol.map(c => expr(s"hll_sketch_agg($c, $lgK)").as("hll")) ++
       (if (histBoundsCents.isEmpty) Nil else {
         // THE shared bucket assignment — stored counters must stay
@@ -147,29 +162,60 @@ object RollupStore {
   /** Append one batch's per-bucket partial rows. `batchKey` must be unique
     * per logical batch and STABLE across retries of that batch —
     * [[graft.streaming.StreamIngest.rollupIngest]] derives it from
-    * (checkpoint location, micro-batch id). */
+    * (checkpoint location, micro-batch id). An existing store's bucket
+    * width is validated FIRST (a metadata-sized scan of the KB store):
+    * one store holds exactly one grain, and a mismatched append must fail
+    * loudly before it lands — mixed widths under a shared batch key would
+    * otherwise collide in the replay dedup and silently drop a grain. */
   def append(df: DataFrame, path: String, batchKey: String,
       bucketNanos: Long, valueCol: String = "value",
       tsCol: String = "ts", distinctCol: Option[String] = None,
-      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil): Unit =
+      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil): Unit = {
+    val spark = df.sparkSession
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(live))
+      readableStore(spark, path).map(storeWidths).foreach {
+        case Seq() => // an empty (fully-trimmed) store accepts any grain
+        case Seq(bn) => require(bn == bucketNanos,
+          s"append: store at $path holds $bn-ns buckets; appending " +
+            s"$bucketNanos-ns partials would mix grains in one store")
+        case ws => throw new IllegalStateException(
+          s"rollup store at $path holds MIXED bucket widths " +
+            s"${ws.mkString(", ")} — one store holds exactly one grain")
+      }
     rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
       histBoundsCents)
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, dayCol)
       .write.mode("append").partitionBy(WritableStore.PartitionCol)
       .parquet(path)
+  }
 
-  /** Answer a range aggregate at `coarseNanos` granularity from the store
-    * alone — no raw scan. `coarseNanos` must be a multiple of the stored
-    * bucket width (buckets then nest exactly); `[since, until)` must be
-    * coarse-bucket-aligned so no partially-covered coarse bucket can be
-    * emitted. Duplicate (bucket_ts, batch_key) partials — an at-least-once
-    * replay that landed between compactions — are dropped before the merge.
-    * The `__day` predicate prunes day directories at file listing; the
-    * `bucket_ts` predicate prunes row groups inside surviving files.
-    */
-  def rollup(spark: SparkSession, path: String, coarseNanos: Long,
-      since: Option[Long] = None, until: Option[Long] = None): DataFrame = {
+  /** The distinct bucket widths a store holds — a metadata-sized scan of
+    * the KB store, so width drift is caught loudly (an arbitrary-first-row
+    * read would make routing arithmetic nondeterministic under drift). */
+  private def storeWidths(stored: DataFrame): Seq[Long] =
+    stored.select("bucket_ns").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+  /** The one bucket width a store holds; empty or mixed stores fail. */
+  private def storeBucketNs(stored: DataFrame, path: String): Long =
+    storeWidths(stored) match {
+      case Seq(bn) => bn
+      case Seq() => throw new IllegalArgumentException(
+        s"rollup store at $path is empty")
+      case ws => throw new IllegalStateException(
+        s"rollup store at $path holds MIXED bucket widths " +
+          s"${ws.mkString(", ")} — one store holds exactly one grain")
+    }
+
+  /** Self-heal crashed swaps, read, scope to `[since, until)` with `__day`
+    * directory pruning + `bucket_ts` row-group pruning, and drop
+    * at-least-once replay duplicates. The shared front half of every
+    * store read. */
+  private def scopedStore(spark: SparkSession, path: String,
+      since: Option[Long], until: Option[Long]): DataFrame = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, live, "rollup store")
@@ -182,45 +228,87 @@ object RollupStore {
         until.map(v => col("bucket_ts") < lit(v)).toSeq ++
         since.map(v => col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
         until.map(v => col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
-    val scoped = conds.reduceOption(_ && _).fold(raw)(raw.filter)
-      .dropDuplicates("bucket_ts", "batch_key")
+    conds.reduceOption(_ && _).fold(raw)(raw.filter)
+      .dropDuplicates("bucket_ts", "bucket_ns", "batch_key")
+  }
+
+  /** Merge partial per-bucket rows — from one store, several tiers, or a
+    * raw-side [[rollupRows]] pass — into one row per `coarseNanos` bucket.
+    * Input needs (bucket_ts, bucket_ns, n, min_c, max_c, sum_c) and
+    * optionally `hll` / (`hcnt`, `hbounds`). All merges are associative
+    * and order-free (sum/min/max/count, HLL union, counter vector-add), so
+    * the fold equals a direct pass regardless of how partials are split
+    * across tiers. In-plan guards ride THROUGH kept aggregates (a dropped
+    * side column would be pruned before it could fire): every partial's
+    * width must nest into `coarseNanos`; with `uniformWidth`, partials
+    * sharing a coarse bucket must also agree on width (the single-store
+    * invariant — a cascade legitimately mixes widths across tiers and
+    * turns this off); histogram partials must share one bounds schedule.
+    */
+  private def mergeFold(partials: DataFrame, coarseNanos: Long,
+      uniformWidth: Boolean): DataFrame = {
     require(coarseNanos > 0, s"coarseNanos must be positive: $coarseNanos")
-    for (v <- since ++ until)
-      require(Math.floorMod(v, coarseNanos) == 0,
-        s"rollup: range bound $v is not aligned to coarseNanos $coarseNanos" +
-          " — a partially-covered coarse bucket would report partial stats")
-    // geometry check rides in-plan THROUGH the kept `n` aggregate (a
-    // dropped side column would be pruned before it could fire): any
-    // stored bucket width that doesn't nest into coarseNanos poisons the
-    // query loudly, not silently
+    val hasHll = partials.columns.contains("hll")
+    val hasHist = partials.columns.contains("hcnt")
     val checkedN = when(
       assert_true(pmod(lit(coarseNanos), col("bucket_ns")) === 0,
         lit(s"rollup: coarseNanos $coarseNanos is not a multiple of the " +
           "stored bucket width")).isNull, col("n"))
-    val hasHll = scoped.columns.contains("hll")
-    val hasHist = scoped.columns.contains("hcnt")
     val aggs = Seq(sum(checkedN).as("n"), min("min_c").as("min_c"),
       max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
+      (if (uniformWidth) Seq(min("bucket_ns").as("__bnmin"),
+        max("bucket_ns").as("__bnmax")) else Nil) ++
       (if (hasHll) Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
       (if (hasHist) Seq(udaf(new graft.pipeline.Text.CmsMergeAgg)
         .apply(col("hcnt")).as("hcnt"),
         min("hbounds").as("__hbmin"), max("hbounds").as("__hbmax")) else Nil)
-    val out0 = scoped
+    val grouped = partials
       .groupBy(expr(graft.operators.TsOps.floorBucketSql("bucket_ts",
         coarseNanos)).as("bucket_ts"))
       .agg(aggs.head, aggs.tail: _*)
-    val out =
-      if (!hasHist) out0
-      else out0 // one schedule per store: mixed-schedule partials (same
-        // slot count, so the vector add would silently mislabel) fail here
+    val widthChecked =
+      if (!uniformWidth) grouped
+      else grouped // one grain per store: a second width (a writer that
+        // bypassed append's validation) fails here, never double-counts
+        .withColumn("n", when(assert_true(
+          col("__bnmin") === col("__bnmax"),
+          lit("rollup store: partials carry MIXED bucket widths — one " +
+            "store holds exactly one grain")).isNull, col("n")))
+        .drop("__bnmin", "__bnmax")
+    val boundsChecked =
+      if (!hasHist) widthChecked
+      else widthChecked // one schedule per store: mixed-schedule partials
+        // (same slot count, so the vector add would silently mislabel)
+        // fail here, not silently
         .withColumn("hbounds", when(assert_true(
           col("__hbmin") === col("__hbmax"),
           lit("rollup store: partials carry DIFFERENT histogram bound " +
             "schedules — every append must use the store's histBoundsCents"))
           .isNull, col("__hbmin")))
         .drop("__hbmin", "__hbmax")
-    if (hasHll) out.withColumn("distinct_est",
-      expr("hll_sketch_estimate(hll)")) else out
+    if (hasHll) boundsChecked.withColumn("distinct_est",
+      expr("hll_sketch_estimate(hll)")) else boundsChecked
+  }
+
+  /** Answer a range aggregate at `coarseNanos` granularity from the store
+    * alone — no raw scan. `coarseNanos` must be a multiple of the stored
+    * bucket width (buckets then nest exactly); `[since, until)` must be
+    * coarse-bucket-aligned so no partially-covered coarse bucket can be
+    * emitted. Duplicate (bucket_ts, bucket_ns, batch_key) partials — an
+    * at-least-once replay that landed between compactions — are dropped
+    * before the merge. The `__day` predicate prunes day directories at
+    * file listing; the `bucket_ts` predicate prunes row groups inside
+    * surviving files.
+    */
+  def rollup(spark: SparkSession, path: String, coarseNanos: Long,
+      since: Option[Long] = None, until: Option[Long] = None): DataFrame = {
+    require(coarseNanos > 0, s"coarseNanos must be positive: $coarseNanos")
+    for (v <- since ++ until)
+      require(Math.floorMod(v, coarseNanos) == 0,
+        s"rollup: range bound $v is not aligned to coarseNanos $coarseNanos" +
+          " — a partially-covered coarse bucket would report partial stats")
+    mergeFold(scopedStore(spark, path, since, until), coarseNanos,
+      uniformWidth = true)
   }
 
   /** Serving-layer grain router — the maxDataPoints contract a dashboard
@@ -235,6 +323,17 @@ object RollupStore {
     * shows complete buckets; the exact-bounds contract stays on
     * [[rollup]]). Output carries `grain_ns` and `source` so the caller —
     * and the tests — can see which path answered.
+    *
+    * TIER-AWARE: when the store has a [[tierOff]] horizon, raw no longer
+    * holds the pre-horizon samples, so (a) any store-grain answer is
+    * STITCHED — store buckets below the horizon, raw re-aggregated at the
+    * same grain at/after it — and (b) a budget demanding finer-than-stored
+    * resolution over a pre-horizon range CLAMPS to the stored grain (the
+    * finest resolution that still exists) and stitches, labeled
+    * `source="stitched"`. The pre-tiering behavior — serve the raw
+    * remnant and label it "raw" — would be a silently partial answer; it
+    * is now impossible by construction. A range entirely at/after the
+    * horizon still serves raw at the requested fine grain.
     */
   def route(spark: SparkSession, path: String, raw: DataFrame,
       since: Long, until: Long, maxPoints: Int,
@@ -248,9 +347,7 @@ object RollupStore {
     AtomicDir.recover(fs, live, "rollup store") // serving must self-heal a
     graft.pipeline.Similarity.recoverCompact(fs, live) // crashed swap too
     val stored = checkedRead(spark, path)
-    val head = stored.select("bucket_ns").limit(1).collect()
-    require(head.nonEmpty, s"route: rollup store at $path is empty")
-    val bucketNs = head(0).getLong(0)
+    val bucketNs = storeBucketNs(stored, path)
     // the raw fallback must produce the same schema the store serves —
     // a dashboard that selects distinct_est at a coarse zoom must not
     // break when a finer zoom routes to raw
@@ -260,6 +357,7 @@ object RollupStore {
     require(!stored.columns.contains("hcnt") || histBoundsCents.nonEmpty,
       "route: the store carries histogram counters — pass histBoundsCents" +
         " so the raw fallback serves the same schema")
+    val horizon = tierHorizon(stored)
     // grain from the WIDENED span: serving bounds round outward to whole
     // buckets, and the budget is a hard contract — re-derive until the
     // widened bucket count fits (converges in <= 2 steps: widening adds
@@ -284,12 +382,25 @@ object RollupStore {
     val target = math.max(1L, (span + maxPoints - 1) / maxPoints)
     val toMult = (g: Long) => ((g + bucketNs - 1) / bucketNs) * bucketNs
     val gRaw = fit(target, identity)
+    def stitchedAt(g: Long): DataFrame = {
+      val (lo, hi) = widened(g)
+      stitchTiers(spark, raw, Seq(path), g, Some(lo), Some(hi), valueCol,
+        tsCol, distinctCol, lgK, histBoundsCents)
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
+    }
     if (gRaw >= bucketNs) { // the store's resolution satisfies the budget
       val g = fit(toMult(gRaw), toMult)
-      val (lo, hi) = widened(g)
-      rollup(spark, path, g, Some(lo), Some(hi))
-        .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
-    } else {
+      horizon match {
+        case Some(_) => stitchedAt(g) // tiered lifecycle: the store holds
+          // the pre-horizon past, raw the rest — stitch, never partial
+        case None => // untiered: the store is the complete mirror
+          val (lo, hi) = widened(g)
+          rollup(spark, path, g, Some(lo), Some(hi))
+            .withColumn("grain_ns", lit(g))
+            .withColumn("source", lit("store"))
+      }
+    } else if (horizon.forall(_ <= since)) {
+      // finer-than-stored budget over a range raw fully holds
       val (lo, hi) = widened(gRaw)
       val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo),
           Some(hi), tsCol), gRaw, valueCol, tsCol, distinctCol, lgK,
@@ -299,6 +410,12 @@ object RollupStore {
         rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
       else rows)
         .withColumn("grain_ns", lit(gRaw)).withColumn("source", lit("raw"))
+    } else {
+      // the budget demands finer-than-stored resolution over a range
+      // whose pre-horizon samples no longer exist at that resolution:
+      // clamp to the stored grain — a complete answer at the finest
+      // resolution that still exists beats a silently partial fine one
+      stitchedAt(fit(toMult(bucketNs), toMult))
     }
   }
 
@@ -315,7 +432,9 @@ object RollupStore {
     * SAME key and the replay dedup collapses it — the store can never
     * double-count a tier; the raw rewrite itself is an [[AtomicDir]]
     * two-rename publish (every crash point leaves a complete raw table,
-    * either pre- or post-trim).
+    * either pre- or post-trim). Run with ingest to the affected range
+    * quiesced — a retry's partial must be bit-identical for the
+    * deterministic tier key's dedup to be exact (the compaction rule).
     */
   def tierOff(spark: SparkSession, rawPath: String, storePath: String,
       cutoff: Long, bucketNanos: Long, valueCol: String = "value",
@@ -331,90 +450,243 @@ object RollupStore {
     val old = raw.filter(col(tsCol) < cutoff)
     append(old, storePath, s"tier-$cutoff", bucketNanos, valueCol, tsCol,
       distinctCol, lgK, histBoundsCents)
-    // trim the raw table. Fast path: a `__day=`-partitioned raw tree with
-    // a day-aligned cutoff trims by DELETING whole day directories —
-    // O(days dropped), never a rewrite of the retained window (at 100 TB
-    // the rewrite would dwarf the rollup itself). Each dir delete is
-    // atomic; a crash mid-way leaves extra pre-cutoff dirs that the tier
-    // horizon already excludes from stitched reads. Fallback (flat tree
-    // or sub-day cutoff): atomic two-rename rewrite of the retained rows.
+    trimBelow(spark, fs, rawPath, "tiered raw table", cutoff, tsCol)
+  }
+
+  /** Trim a parquet tree to rows with `boundCol >= cutoff`. Fast path: a
+    * `__day=`-partitioned tree with a day-aligned cutoff trims by DELETING
+    * whole day directories — O(days dropped), never a rewrite of the
+    * retained window (at 100 TB the rewrite would dwarf the rollup
+    * itself). Each dir delete is atomic; a crash mid-way leaves extra
+    * pre-cutoff dirs that the tier horizon already excludes from stitched
+    * reads. Fallback (sub-day cutoff): atomic two-rename rewrite of the
+    * retained rows, PRESERVING the `__day` partitioning when the source
+    * tree has it — a flat rewrite would silently demote the tree and lose
+    * both the directory-drop fast path and day-directory pruning forever
+    * after. */
+  private def trimBelow(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      path: String, what: String, cutoff: Long, boundCol: String): Unit = {
     val dayDirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-      rawPath, s"${WritableStore.PartitionCol}=*"))).getOrElse(Array.empty)
+      path, s"${WritableStore.PartitionCol}=*"))).getOrElse(Array.empty)
     if (dayDirs.nonEmpty && Math.floorMod(cutoff, DayNs) == 0) {
       val cutDay = java.time.LocalDate.ofEpochDay(
         Math.floorDiv(cutoff, DayNs)).toString
       dayDirs.filter(_.getPath.getName.stripPrefix(
           s"${WritableStore.PartitionCol}=") < cutDay)
         .foreach(d => fs.delete(d.getPath, true))
-      spark.catalog.refreshByPath(rawPath)
+      spark.catalog.refreshByPath(path)
     } else {
-      AtomicDir.publish(spark, rawPath, "tiered raw table") { tmp =>
+      AtomicDir.publish(spark, path, what) { tmp =>
         // re-read under the publish so the filter runs against the files
         // being replaced, not a stale cached plan
-        spark.read.parquet(rawPath).filter(col(tsCol) >= cutoff)
-          .write.parquet(tmp)
+        val kept = spark.read.parquet(path).filter(col(boundCol) >= cutoff)
+        if (dayDirs.nonEmpty)
+          kept.write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
+        else kept.write.parquet(tmp)
       }
     }
   }
 
-  /** The tier horizon: the highest cutoff any [[tierOff]] has appended —
-    * everything below it is served from the store, whatever raw still
-    * holds. Parsed from the deterministic `tier-<cutoff>` batch keys
-    * (metadata-sized aggregation over KB rows). None if never tiered. */
+  /** Cascade tiering, store → coarser store (1m buckets → 1h → 1d): fold
+    * the fine store's buckets below `cutoff` into `coarseBucketNanos`
+    * buckets appended to the coarse store, then trim the fine store. The
+    * merges are the same associative folds every rollup uses — value
+    * stats, HLL union, counter vector-add — so the cascade loses nothing a
+    * coarse query could see. Same idempotence discipline as [[tierOff]]:
+    * the deterministic `tier-<cutoff>` key dedups a retried append, the
+    * trim is a directory drop or atomic rewrite, and the coarse store's
+    * horizon bounds the fine store in stitched reads during the crash
+    * window. Run with writes to the fine store quiesced. */
+  def tierOffStore(spark: SparkSession, fineStorePath: String,
+      coarseStorePath: String, cutoff: Long,
+      coarseBucketNanos: Long): Unit = {
+    require(Math.floorMod(cutoff, coarseBucketNanos) == 0,
+      s"tierOffStore: cutoff $cutoff is not aligned to the " +
+        s"$coarseBucketNanos coarse bucket — a straddling bucket would be " +
+        "half fine, half coarse")
+    val fine = scopedStore(spark, fineStorePath, None, Some(cutoff))
+    val fineBn = storeBucketNs(checkedRead(spark, fineStorePath),
+      fineStorePath)
+    require(coarseBucketNanos % fineBn == 0,
+      s"tierOffStore: coarse width $coarseBucketNanos does not nest the " +
+        s"fine store's $fineBn buckets")
+    val coarseLive = new org.apache.hadoop.fs.Path(coarseStorePath)
+    val fs = coarseLive.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(coarseLive))
+      readableStore(spark, coarseStorePath).map(storeWidths).foreach {
+        case Seq() => // empty coarse store accepts the first tier
+        case Seq(bn) => require(bn == coarseBucketNanos,
+          s"tierOffStore: coarse store at $coarseStorePath holds $bn-ns " +
+            s"buckets, not $coarseBucketNanos")
+        case ws => throw new IllegalStateException(
+          s"rollup store at $coarseStorePath holds MIXED bucket widths " +
+            s"${ws.mkString(", ")} — one store holds exactly one grain")
+      }
+    mergeFold(fine, coarseBucketNanos, uniformWidth = true)
+      .drop("distinct_est") // a read-side derivation, not a stored column
+      // the fold's sum-of-sums widened to decimal(38,2); the store's
+      // at-rest type is the decimal(28,2) rollupRows writes — cast back
+      // (lossless: 26 integer digits) so parquet schema merge stays clean
+      .withColumn("sum_c", col("sum_c").cast("decimal(28,2)"))
+      .withColumn("bucket_ns", lit(coarseBucketNanos))
+      .withColumn("batch_key", lit(s"tier-$cutoff"))
+      .withColumn(WritableStore.PartitionCol, dayCol)
+      .write.mode("append").partitionBy(WritableStore.PartitionCol)
+      .parquet(coarseStorePath)
+    trimBelow(spark, fs, fineStorePath, "tiered rollup store", cutoff,
+      "bucket_ts")
+  }
+
+  /** The tier horizon: the highest cutoff any [[tierOff]] /
+    * [[tierOffStore]] has appended — everything below it is served from
+    * this store, whatever the finer tier still holds. Parsed from the
+    * deterministic `tier-<cutoff>` batch keys and from the
+    * `compact-<uuid>-h<cutoff>` keys [[compact]] stamps to carry the
+    * horizon THROUGH compaction (metadata-sized aggregation over KB
+    * rows). None if never tiered. */
   private def tierHorizon(stored: DataFrame): Option[Long] = {
-    val r = stored
-      .filter(col("batch_key").startsWith("tier-"))
-      .agg(max(expr("CAST(substring(batch_key, 6) AS LONG)")))
-      .head()
+    val fromTier = when(col("batch_key").startsWith("tier-"),
+      expr("CAST(substring(batch_key, 6) AS LONG)"))
+    val fromCompact = expr(
+      "CAST(nullif(regexp_extract(batch_key, '^compact-[0-9a-f]+-h(-?[0-9]+)$'" +
+        ", 1), '') AS LONG)")
+    val r = stored.agg(max(coalesce(fromTier, fromCompact))).head()
     if (r.isNullAt(0)) None else Some(r.getLong(0))
   }
 
-  /** Stitched read across the tiers: the rolled-up past UNION the raw
-    * rows at-or-after the TIER HORIZON, re-aggregated at `coarseNanos` —
-    * tier ranges are disjoint whole buckets (the [[tierOff]] alignment
-    * contract), so the merge is the same associative fold as any rollup
-    * and the result equals a direct pass over the never-tiered table bit
-    * for bit. The horizon filter (not "whatever raw holds") is
-    * load-bearing twice: during [[tierOff]]'s append-to-trim window — and
-    * after a crash inside it — raw still holds already-tiered samples,
-    * and without the filter the stitched read would double-count them;
-    * and a LATE sample older than the horizon that sneaks into raw is
-    * deliberately invisible here (the out-of-order-beyond-retention
-    * write a TSDB rejects at ingest) rather than sometimes-counted.
-    * A never-tiered table (no store yet) degrades to the plain raw
-    * rollup. Run [[tierOff]] itself with ingest to the affected range
-    * quiesced — a retry's partial must be bit-identical for the
-    * deterministic tier key's dedup to be exact (the compaction rule).
+  /** Stitch raw + tier stores into partial rows and fold at `coarseNanos`
+    * — the shared core of [[tieredRollup]], [[cascadeRollup]] and
+    * [[route]]'s tiered paths. `storePaths` runs fine → coarse; store i
+    * serves `[horizon(store i+1), horizon(store i))` and raw serves
+    * `[horizon(finest), ∞)`, so each sample is counted from exactly one
+    * tier even DURING a tierOff's append-to-trim window (or after a crash
+    * inside it), when the finer tier still holds already-tiered rows. A
+    * store with no horizon record was never tiered into and serves
+    * nothing; a missing or fully-trimmed store tree likewise (trim a tier
+    * fully only after tiering its whole range onward — then its horizon
+    * equals the next store's and the gap is empty). An absent/empty raw
+    * tree — everything tiered off — serves zero raw rows instead of
+    * failing schema inference. */
+  private def stitchTiers(spark: SparkSession, raw: DataFrame,
+      storePaths: Seq[String], coarseNanos: Long,
+      since: Option[Long], until: Option[Long],
+      valueCol: String, tsCol: String, distinctCol: Option[String],
+      lgK: Int, histBoundsCents: Seq[Long]): DataFrame = {
+    // per-store horizons, fine → coarse (absent/unreadable stores skipped)
+    val present: Seq[(String, Long)] = storePaths.flatMap { p =>
+      val live = new org.apache.hadoop.fs.Path(p)
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(live)) None
+      else {
+        AtomicDir.recover(fs, live, "rollup store")
+        graft.pipeline.Similarity.recoverCompact(fs, live)
+        readableStore(spark, p).flatMap(df => tierHorizon(df).map(p -> _))
+      }
+    }
+    require(present.map(_._2).sliding(2).forall(w =>
+        w.length < 2 || w.head >= w.last),
+      s"stitchTiers: tier horizons must run newest (fine) to oldest " +
+        s"(coarse); got ${present.map(_._2).mkString(", ")}")
+    val rawLow = present.map(_._2).maxOption
+    val rawScoped = graft.operators.TsOps.rangeFilter(raw,
+      Seq(rawLow, since).flatten.maxOption, until, tsCol)
+    val anySketch = present.exists { case (p, _) =>
+      checkedRead(spark, p).columns.contains("hll") }
+    val anyHist = present.exists { case (p, _) =>
+      checkedRead(spark, p).columns.contains("hcnt") }
+    require(!anySketch || distinctCol.nonEmpty,
+      "stitchTiers: a tier carries a distinct sketch — pass distinctCol " +
+        "so the raw side serves the same schema")
+    require(!anyHist || histBoundsCents.nonEmpty,
+      "stitchTiers: a tier carries histogram counters — pass " +
+        "histBoundsCents so the raw side serves the same schema")
+    val cols = Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
+      "sum_c") ++ (if (anySketch) Seq("hll") else Nil) ++
+      (if (anyHist) Seq("hcnt", "hbounds") else Nil)
+    val rawPart = rollupRows(rawScoped, coarseNanos, valueCol, tsCol,
+      if (anySketch) distinctCol else None, lgK,
+      if (anyHist) histBoundsCents else Nil)
+      .select(cols.map(col): _*)
+    // store i's window: [next coarser tier's horizon, its own horizon)
+    val storeParts = present.zipWithIndex.map { case ((p, h), i) =>
+      val low = present.drop(i + 1).headOption.map(_._2)
+      val lo = Seq(low, since).flatten.maxOption
+      val hi = Some(Seq(Some(h), until).flatten.min)
+      scopedStore(spark, p, lo, hi).select(cols.map(col): _*)
+    }
+    mergeFold(storeParts.foldLeft(rawPart)(_.unionByName(_)), coarseNanos,
+      uniformWidth = false)
+  }
+
+  /** Stitched read across one raw + one store tier: the rolled-up past
+    * UNION the raw rows at-or-after the TIER HORIZON, re-aggregated at
+    * `coarseNanos` — tier ranges are disjoint whole buckets (the
+    * [[tierOff]] alignment contract), so the merge is the same associative
+    * fold as any rollup and the base aggregates equal a direct pass over
+    * the never-tiered table bit for bit. The horizon filter (not
+    * "whatever raw holds") is load-bearing twice: during [[tierOff]]'s
+    * append-to-trim window — and after a crash inside it — raw still
+    * holds already-tiered samples, and without the filter the stitched
+    * read would double-count them; and a LATE sample older than the
+    * horizon that sneaks into raw is deliberately invisible here (the
+    * out-of-order-beyond-retention write a TSDB rejects at ingest) rather
+    * than sometimes-counted. A never-tiered table (no store yet) degrades
+    * to the plain raw rollup. When the store carries `hll` / `hcnt`
+    * dimensions, pass `distinctCol` / `histBoundsCents` and the stitched
+    * result keeps them — distinct estimates and histogram quantiles
+    * survive tiering through the same associative unions compaction uses.
     */
   def tieredRollup(spark: SparkSession, rawPath: String, storePath: String,
       coarseNanos: Long, valueCol: String = "value",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts", distinctCol: Option[String] = None,
+      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil): DataFrame =
+    cascadeRollup(spark, rawPath, Seq(storePath), coarseNanos, valueCol,
+      tsCol, distinctCol, lgK, histBoundsCents)
+
+  /** Stitched read across a full tier cascade — raw plus stores fine →
+    * coarse ("full resolution for a week, hourly for a year, daily
+    * forever"), re-aggregated at `coarseNanos` (which must nest every
+    * contributing tier's bucket width). Each tier serves exactly its
+    * horizon window, so the base aggregates equal a direct pass over the
+    * never-tiered table bit for bit, and sketch dimensions survive via
+    * their associative unions. */
+  def cascadeRollup(spark: SparkSession, rawPath: String,
+      storePaths: Seq[String], coarseNanos: Long,
+      valueCol: String = "value", tsCol: String = "ts",
+      distinctCol: Option[String] = None, lgK: Int = 12,
+      histBoundsCents: Seq[Long] = Nil): DataFrame = {
+    require(storePaths.nonEmpty, "cascadeRollup needs at least one store")
     val rawLive = new org.apache.hadoop.fs.Path(rawPath)
     val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, rawLive, "tiered raw table")
-    val storeLive = new org.apache.hadoop.fs.Path(storePath)
-    AtomicDir.recover(fs, storeLive, "rollup store")
-    graft.pipeline.Similarity.recoverCompact(fs, storeLive)
-    def rawAtOrAfter(h: Option[Long]) = rollupRows(
-      graft.operators.TsOps.rangeFilter(spark.read.parquet(rawPath), h,
-        None, tsCol), coarseNanos, valueCol, tsCol)
-      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
-    if (!fs.exists(storeLive)) return rawAtOrAfter(None) // never tiered
-    val horizon = tierHorizon(checkedRead(spark, storePath))
-    val fromStore = rollup(spark, storePath, coarseNanos)
-      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
-    fromStore.unionByName(rawAtOrAfter(horizon))
-      .groupBy("bucket_ts")
-      .agg(sum("n").as("n"), min("min_c").as("min_c"),
-        max("max_c").as("max_c"), sum("sum_c").as("sum_c"))
+    // a fully-tiered-off raw tree (only _SUCCESS left) serves zero rows —
+    // reads must degrade to the stores, not die on schema inference
+    val raw = try spark.read.parquet(rawPath) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.toLowerCase.contains("schema") =>
+        val fields = Seq(
+          org.apache.spark.sql.types.StructField(tsCol,
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(valueCol,
+            org.apache.spark.sql.types.DoubleType)) ++
+          distinctCol.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(fields))
+    }
+    stitchTiers(spark, raw, storePaths, coarseNanos, None, None, valueCol,
+      tsCol, distinctCol, lgK, histBoundsCents)
   }
 
   /** Fold accumulated per-batch partials back to one row per bucket — the
     * IO compaction that caps file-listing cost as streamed batches pile up,
     * doubling as the durable replay repair (duplicate (bucket_ts,
-    * batch_key) rows collapse before the fold). Shared `.compact-*`
-    * two-rename protocol; run with the ingest stream stopped or quiesced —
-    * a batch replayed AFTER its partial was folded is no longer detectable.
+    * bucket_ns, batch_key) rows collapse before the fold). The tier
+    * horizon, if any, is re-stamped into the folded rows' batch key
+    * (`compact-<uuid>-h<cutoff>`) so stitched reads survive compaction.
+    * Shared `.compact-*` two-rename protocol; run with the ingest stream
+    * stopped or quiesced — a batch replayed AFTER its partial was folded
+    * is no longer detectable.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
@@ -422,9 +694,15 @@ object RollupStore {
     graft.pipeline.Similarity.recoverCompact(fs, live)
     AtomicDir.compactPublish(spark, path, "compact rollup") { tmp =>
       val live0 = checkedRead(spark, path)
+      storeBucketNs(live0, path) // mixed grains fail loudly, never fold
+      val horizon = tierHorizon(live0)
+      val key = horizon.fold(
+        s"compact-${java.util.UUID.randomUUID().toString.take(8)}")(h =>
+        s"compact-${java.util.UUID.randomUUID().toString.take(8)}-h$h")
       val hasHist = live0.columns.contains("hcnt")
       val cAggs = Seq(sum("n").as("n"), min("min_c").as("min_c"),
-        max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
+        max("max_c").as("max_c"),
+        sum("sum_c").cast("decimal(28,2)").as("sum_c")) ++
         (if (live0.columns.contains("hll"))
           Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
         (if (hasHist)
@@ -433,7 +711,7 @@ object RollupStore {
             min("hbounds").as("__hbmin"), max("hbounds").as("__hbmax"))
         else Nil)
       val folded0 = live0
-        .dropDuplicates("bucket_ts", "batch_key")
+        .dropDuplicates("bucket_ts", "bucket_ns", "batch_key")
         .groupBy("bucket_ts", "bucket_ns")
         .agg(cAggs.head, cAggs.tail: _*)
       val folded =
@@ -447,8 +725,7 @@ object RollupStore {
               "histBoundsCents")).isNull, col("__hbmin")))
           .drop("__hbmin", "__hbmax")
       folded
-        .withColumn("batch_key",
-          lit(s"compact-${java.util.UUID.randomUUID().toString.take(8)}"))
+        .withColumn("batch_key", lit(key))
         .withColumn(WritableStore.PartitionCol, dayCol)
         .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
     }
@@ -472,4 +749,13 @@ object RollupStore {
         else acc
       }
   }
+
+  /** [[checkedRead]], or None for a tree whose schema cannot be inferred
+    * (a created-but-empty or fully-trimmed store). */
+  private def readableStore(spark: SparkSession, path: String)
+      : Option[DataFrame] =
+    try Some(checkedRead(spark, path)) catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.toLowerCase.contains("schema") => None
+    }
 }

@@ -115,6 +115,29 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.kCore(none, 2).collect().isEmpty)
   }
 
+  test("cache hygiene: triangles releases its pins; pageRank/kCore do " +
+      "so under unpersistOnExit") {
+    spark.sharedState.cacheManager.clearCache()
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF(
+      "src", "dst")
+    assert(GraphOps.triangles(k4).collect()(0).getAs[Long]("n_triangles")
+      == 4L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "triangles left cache entries registered")
+    // pageRank/kCore: pin cadence forced every iteration so the exit path
+    // must release a live lastPin too, not just nodes/deg
+    val pr = GraphOps.pageRank(k4, iters = 3, pinEvery = 1,
+      unpersistOnExit = true)
+    assert(pr.count() == 4L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRank(unpersistOnExit) left cache entries registered")
+    val core = GraphOps.kCore(k4, k = 3, pinEvery = 1,
+      unpersistOnExit = true)
+    assert(core.count() == 4L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "kCore(unpersistOnExit) left cache entries registered")
+  }
+
   test("kCore: a non-converged peel fails loudly, never partially") {
     val path = (1L until 12L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] { core(path, 2, maxRounds = 2) }

@@ -669,12 +669,24 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("graph_triangles: data-sized joins are hash equi-joins, no cartesian") {
     // the final three 1-ROW count frames combine via BNLJ by design; the
-    // edge/wedge joins — the ones that see data — must never cartesian
-    val p = plan("graph_triangles")
+    // edge/wedge joins — the ones that see data — must never cartesian.
+    // Audited on the UNEXECUTED plan (trianglesPlan): the public
+    // triangles() materializes its scalars eagerly and releases its
+    // caches, so its returned frame is a local relation by design
+    import org.apache.spark.sql.functions.col
+    val ev = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = ev.as("a").join(ev.as("b"), // the graph_triangles fixture
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val (frame, pins) = graft.operators.GraphOps.trianglesPlan(pairs)
+    val p = frame.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("BroadcastHashJoin"), p)
-    spark.sharedState.cacheManager.clearCache() // oriented persist
+    pins.foreach(_.unpersist())
   }
 
   test("rollup range scan prunes day directories at file listing") {

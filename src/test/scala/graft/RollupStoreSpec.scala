@@ -224,6 +224,160 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(viaStore == directDaily)
   }
 
+  test("route is tier-aware: a pre-horizon range can never serve a " +
+      "silently partial answer") {
+    val base = SparkTestBase.tempDir("graft-rollup-rta")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    raw.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H)
+    val rawNow = spark.read.parquet(rawP) // day 1 is GONE from raw
+    assert(rawNow.count() < raw.count())
+    def hourly(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"))).toSeq
+    val directH = hourly(raw
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", H))
+        .as("bucket_ts")).agg(count(lit(1)).as("n")))
+    // a budget demanding finer-than-stored grain over the tiered range:
+    // pre-fix this served ONLY the post-horizon raw remnant as "raw" —
+    // now it clamps to the stored grain and stitches, complete
+    val fine = RollupStore.route(spark, stP, rawNow, 0L, 3 * Day,
+      maxPoints = 1000000000)
+    assert(fine.collect().forall(_.getAs[String]("source") == "stitched"))
+    assert(fine.collect().forall(_.getAs[Long]("grain_ns") == H))
+    assert(hourly(fine) == directH) // equals the never-tiered answer
+    // the same at a coarse budget: stitched, and equal to the untiered
+    // route at that budget (36h grain)
+    val coarse = RollupStore.route(spark, stP, rawNow, 0L, 3 * Day,
+      maxPoints = 2)
+    assert(coarse.collect().forall(_.getAs[String]("source") == "stitched"))
+    val untieredStore = SparkTestBase.tempDir("graft-rollup-rtb") + "/st"
+    RollupStore.write(raw, untieredStore, H)
+    val want = RollupStore.route(spark, untieredStore, raw, 0L, 3 * Day,
+      maxPoints = 2)
+    assert(hourly(coarse) == hourly(want))
+    // a fine-budget range entirely AT/AFTER the horizon still serves raw
+    // at the requested fine grain
+    val post = RollupStore.route(spark, stP, rawNow, Day, 3 * Day,
+      maxPoints = 1000000000)
+    assert(post.collect().forall(_.getAs[String]("source") == "raw"))
+    assert(post.agg(sum("n")).head().getLong(0) ==
+      raw.filter(col("ts") >= Day).count())
+  }
+
+  test("sketch dimensions survive tiering — and compaction keeps the " +
+      "horizon") {
+    val rows = Seq((1L * H, 1.50, 10L), (2L * H, 2.25, 11L),
+      (3L * H, 9.00, 10L), (25L * H, 4.75, 12L), (26L * H, 5.00, 10L),
+      (49L * H, 6.50, 13L), (50L * H, 0.25, 10L))
+      .toDF("ts", "value", "uid")
+    val bounds = Seq(200L, 500L, 800L)
+    val base = SparkTestBase.tempDir("graft-rollup-sd")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    rows.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H,
+      distinctCol = Some("uid"), histBoundsCents = bounds)
+    def stitched() = RollupStore.tieredRollup(spark, rawP, stP, Day,
+      distinctCol = Some("uid"), histBoundsCents = bounds)
+    val directEst = rows
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+        .as("bucket_ts"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(uid, 12))").as("est"))
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def ests() = stitched().select(col("bucket_ts"),
+        col("distinct_est").as("est"))
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ests() == directEst)
+    def p90(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("q_cents"))).toSeq
+    val directP90 = p90(graft.operators.TsOps.histogramQuantile(
+      rows.withColumn("bucket_ts",
+        expr(graft.operators.TsOps.floorBucketSql("ts", Day))),
+      Seq("bucket_ts"), bounds, 90L, 100L))
+    def storedP90() = p90(graft.operators.TsOps.histogramQuantileFromCounts(
+      RollupStore.histogramCounts(stitched(), bounds, Seq("bucket_ts")),
+      Seq("bucket_ts"), bounds, 90L, 100L))
+    assert(storedP90() == directP90)
+    // compaction folds the tier partials — the horizon must ride through
+    // in the compact batch key, or the stitched read would double-count
+    // raw's not-yet-trimmed rows after the next tierOff crash window
+    RollupStore.compact(spark, stP)
+    assert(ests() == directEst)
+    assert(storedP90() == directP90)
+    // and a post-compact tierOff keeps composing (append after compact:
+    // the at-rest decimal type is pinned, so schema merge stays clean)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = 2 * Day, bucketNanos = H,
+      distinctCol = Some("uid"), histBoundsCents = bounds)
+    assert(ests() == directEst)
+    assert(storedP90() == directP90)
+  }
+
+  test("cascade: raw → 1h → 1d tiers stitch exactly and retries are " +
+      "idempotent at every level") {
+    val rows = Seq((1L * H, 1.50, 10L), (2L * H, 2.25, 11L),
+      (25L * H, 4.75, 12L), (26L * H, 5.00, 10L),
+      (49L * H, 6.50, 13L), (50L * H, 0.25, 10L))
+      .toDF("ts", "value", "uid")
+    val base = SparkTestBase.tempDir("graft-rollup-cc")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st-1h").getPath
+    val stD = new java.io.File(base, "st-1d").getPath
+    rows.write.parquet(rawP)
+    val directDailyD = rows
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_c"),
+        expr("hll_sketch_estimate(hll_sketch_agg(uid, 12))").as("est"))
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).doubleValue(), r.getLong(3))).toSeq
+    def viaCascade() = RollupStore.cascadeRollup(spark, rawP,
+        Seq(stH, stD), Day, distinctCol = Some("uid"))
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("sum_c").doubleValue(),
+        r.getAs[Long]("distinct_est"))).toSeq
+    // level 1: days 0-1 leave raw for the hourly store
+    RollupStore.tierOff(spark, rawP, stH, cutoff = 2 * Day, bucketNanos = H,
+      distinctCol = Some("uid"))
+    assert(viaCascade() == directDailyD)
+    // level 2: day 0 leaves the hourly store for the daily store
+    RollupStore.tierOffStore(spark, stH, stD, cutoff = Day,
+      coarseBucketNanos = Day)
+    assert(viaCascade() == directDailyD)
+    // the hourly store physically dropped its day-0 directory
+    val dirs = new java.io.File(stH).listFiles()
+      .filter(_.getName.startsWith("__day=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("__day=1970-01-02"))
+    // retries at both levels collapse under the deterministic tier keys
+    RollupStore.tierOffStore(spark, stH, stD, cutoff = Day,
+      coarseBucketNanos = Day)
+    assert(viaCascade() == directDailyD)
+    RollupStore.tierOff(spark, rawP, stH, cutoff = 2 * Day, bucketNanos = H,
+      distinctCol = Some("uid"))
+    assert(viaCascade() == directDailyD)
+    // tiering off the ENTIRE raw table: reads degrade to the stores
+    // instead of dying on schema inference over an empty tree
+    RollupStore.tierOff(spark, rawP, stH, cutoff = 3 * Day, bucketNanos = H,
+      distinctCol = Some("uid"))
+    assert(viaCascade() == directDailyD)
+  }
+
+  test("an append with a different bucket width fails loudly") {
+    val p = SparkTestBase.tempDir("graft-rollup-mw") + "/store"
+    RollupStore.write(raw, p, H)
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.append(raw, p, "b#1", H / 2)
+    }
+    assert(ex.getMessage.contains("mix grains"))
+  }
+
   test("a coarse width that does not nest fails loudly, never silently") {
     val p = SparkTestBase.tempDir("graft-rollup-g") + "/store"
     RollupStore.write(raw, p, H)
