@@ -355,6 +355,23 @@ object ScaleProbe {
         graft.pipeline.Text.bpeEncode(docScaled, "doc_id", "text", merges)
           .count())
     }
+    // batch BPE's scale claim is about the MERGE axis, not the data axis:
+    // same corpus, same 4 rounds, 8× the merges (k=8 → k=64, 32 → 256
+    // learned) — rounds drive job count, so the ratio should sit near 1
+    // (the only per-merge cost is the deeper codegen'd replace chain in
+    // later rounds' count passes), where bpeTrain's one-job-per-merge
+    // loop would be pinned at ~8×
+    if (sel("bpe_batch_rounds")) {
+      graft.pipeline.Text.bpeTrainBatch(docs, "text", rounds = 2,
+        pairsPerRound = 8).size // warm the code path (report's discipline)
+      val t8 = time(graft.pipeline.Text.bpeTrainBatch(docs, "text",
+        rounds = 4, pairsPerRound = 8, candidatesPerRound = 256).size.toLong)
+      val t64 = time(graft.pipeline.Text.bpeTrainBatch(docs, "text",
+        rounds = 4, pairsPerRound = 64, candidatesPerRound = 512).size.toLong)
+      println(f"[scale] bpe_batch_rounds       32m=$t8%6.2fs  256m=$t64%6.2fs  " +
+        f"ratio=${t64 / t8}%5.2f (8x merges, same 4 rounds; per-merge " +
+        "training would be ~8)")
+    }
     report("collocations", docK,
       graft.pipeline.Text.collocations(docs, "text").count(),
       graft.pipeline.Text.collocations(docScaled, "text").count())

@@ -851,6 +851,23 @@ object SparkEntry {
           col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
+    "rollup_cascade_route" -> ((s, d) => {
+      // budget routing over the THREE-tier cascade: a fine budget over
+      // the whole month touches the daily tier, so the grain clamps to
+      // 1d — the finest resolution every touched tier can serve — and
+      // the stitched answer equals the never-tiered table at that grain
+      Tables.configure(s)
+      val (rawP, stH, stD) = cascadeEvents(s, d)
+      graft.storage.RollupStore.routeCascade(s, rawP, Seq(stH, stD),
+          ns("2024-01-01"), ns("2024-01-31"), maxPoints = 2000,
+          distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"),
+          col("grain_ns"), col("source"))
+        .orderBy("bucket_ts")
+    }),
     "rollup_cascade_users" -> ((s, d) => {
       // distinct users per day across THREE tiers: the daily store's
       // sketches were union-folded twice (tierOff, then tierOffStore) and
@@ -1914,6 +1931,19 @@ object SparkEntry {
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  CAST(3600000000000 AS BIGINT) AS grain_ns,
+        |  'stitched' AS source
+        |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    // over the cascade the fine budget clamps to the coarsest touched
+    // tier (the 1d store) — the oracle is the never-tiered table at the
+    // daily grain
+    "rollup_cascade_route" ->
+      """SELECT (epoch_ns(ts) // 86400000000000) * 86400000000000
+        |    AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(86400000000000 AS BIGINT) AS grain_ns,
         |  'stitched' AS source
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
     // n value-oracled from raw; the sketch equality is JVM-side (DuckDB
@@ -3493,6 +3523,18 @@ object SparkEntry {
       Text.bpeEncode(docs, "doc_id", "text", Text.openTokenizer(s, path))
         .orderBy("doc_id")
     }),
+    "text_bpe_encode_batch" -> ((s, d) => {
+      // REAL-vocabulary-scale tokenizer training: 8 rounds × up to 32
+      // symbol-disjoint merges per round = a 256-merge tokenizer in 8
+      // vocabulary-sized jobs (rounds, not merges, drive cost — the
+      // ceiling bpeTrain's one-job-per-merge loop could never reach);
+      // the oracle unrolls the same rank-window selection per round
+      val docs = t(s, d, "documents")
+      Text.bpeEncode(docs, "doc_id", "text",
+        Text.bpeTrainBatch(docs, "text", rounds = 8, pairsPerRound = 32,
+          candidatesPerRound = 256))
+        .orderBy("doc_id")
+    }),
     "text_lm_score_stored" -> ((s, d) => {
       // text_lm_score with the LM AT REST: the reference-third count
       // tables persist once; scoring a fresh corpus never re-counts the
@@ -5024,6 +5066,59 @@ object SparkEntry {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** The `text_bpe_encode_batch` oracle: [[Text.bpeTrainBatch]]'s
+    * round-at-a-time learning unrolled — round r ranks the bigram
+    * candidates of segmentation w(r-1) (count desc, pair asc, top
+    * `cands`), keeps those sharing no symbol with ANY higher-ranked
+    * candidate (the rank-window rule — expressible as this NOT EXISTS,
+    * which is exactly why the Spark side uses it), takes the first
+    * `k` survivors, and applies them via k null-guarded replaces
+    * (chr(1) never occurs in a symbol, so an absent slot no-ops).
+    * Selected pairs are symbol-disjoint, so the replace order within a
+    * round cannot matter. */
+  private def bpeBatchEncodeOracleSql(rounds: Int, k: Int,
+      cands: Int): String = {
+    val roundSql = (1 to rounds).map { r =>
+      val applied = (1 to k).foldLeft("seq") { (acc, i) =>
+        s"replace($acc, ' ' || coalesce((SELECT pair FROM sel$r " +
+          s"WHERE sn = $i), chr(1)) || ' ', ' ' || " +
+          s"coalesce((SELECT replace(pair, ' ', '') FROM sel$r " +
+          s"WHERE sn = $i), chr(1)) || ' ')"
+      }
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT bg AS pair, row_number() OVER (ORDER BY c DESC, bg) AS rn
+         |  FROM (
+         |    SELECT bg, sum(cnt) AS c FROM (
+         |      SELECT cnt, unnest([syms[i] || ' ' || syms[i+1]
+         |        for i in generate_series(1, greatest(len(syms)-1, 0))]) AS bg
+         |      FROM (SELECT cnt, string_split(trim(seq), ' ') AS syms
+         |            FROM w${r - 1})
+         |    ) GROUP BY bg ORDER BY c DESC, bg LIMIT $cands
+         |  )
+         |), sel$r AS MATERIALIZED (
+         |  SELECT pair, row_number() OVER (ORDER BY rn) AS sn
+         |  FROM cand$r a
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM cand$r b
+         |    WHERE b.rn < a.rn AND len(list_intersect(
+         |      string_split(a.pair, ' '), string_split(b.pair, ' '))) > 0)
+         |  ORDER BY rn LIMIT $k
+         |), w$r AS MATERIALIZED (
+         |  SELECT w, cnt, $applied AS seq FROM w${r - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
+       |  FROM (SELECT unnest($DuckToks) AS w FROM documents) GROUP BY w
+       |), $roundSql
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_bpe
+       |FROM (SELECT doc_id, unnest($DuckToks) AS w FROM documents) d
+       |JOIN w$rounds USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared CTE chain of the trainPrep oracles (`pipeline_train_prep`,
     * `pipeline_funnel_prep`): scrub → curate chain → decontamination →
     * budget mix, terminating in `mx` — one definition so the end-to-end
@@ -5449,6 +5544,7 @@ object SparkEntry {
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracleSql(8),
+    "text_bpe_encode_batch" -> bpeBatchEncodeOracleSql(8, 32, 256),
     "text_dup_chunks" -> {
       val size = 32
       s"""WITH t AS (

@@ -1709,6 +1709,10 @@ object Text {
     * Training stops early only if NO adjacent pair remains (every word
     * fully merged) — with the fixed-round oracle this is a documented
     * precondition, not a behavioral branch, on any real corpus.
+    *
+    * The one-job-per-merge loop caps this entry at 64 merges; real
+    * vocabularies (32k+ merges) go through [[bpeTrainBatch]], where
+    * rounds — not merges — drive cost.
     */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int)
       : Seq[(String, String)] = {
@@ -1739,6 +1743,76 @@ object Text {
         }
       }
       out.result()
+    } finally words.unpersist()
+  }
+
+  /** Batch BPE training: [[bpeTrain]]'s greedy loop learns ONE merge per
+    * Spark job, capping practical vocabularies at tens of merges; this
+    * variant learns up to `pairsPerRound` merges per round, so ROUNDS —
+    * not merges — drive job count and wall time, and 256+ merge
+    * tokenizers train in single-digit rounds (toward real-vocabulary
+    * scale; the per-round work is still one map-side-combinable
+    * aggregation over the vocabulary-sized word frame plus a bounded
+    * `candidatesPerRound`-row collect).
+    *
+    * Within a round, counts are computed ONCE, so only merges that cannot
+    * interact may land together: candidates rank by (weighted count desc,
+    * pair asc); a candidate is REJECTED when it shares a symbol with ANY
+    * higher-ranked candidate in the window (rejected ones included — the
+    * rule depends only on rank order, which keeps it reproducible as a
+    * rank-window anti-join in the oracle SQL); the first `pairsPerRound`
+    * survivors merge this round. Symbol-disjoint merges touch disjoint
+    * occurrence sets, so every selected pair's count is exact — the trade
+    * vs classic BPE is only that ranks 2..k are chosen under round-start
+    * counts (the standard greedy-batch compromise), and the learned list
+    * replays deterministically through the unchanged [[bpeApply]] /
+    * [[bpeEncode]] / [[writeTokenizer]] chain.
+    */
+  def bpeTrainBatch(df: DataFrame, textCol: String, rounds: Int,
+      pairsPerRound: Int = 32, candidatesPerRound: Int = 256)
+      : Seq[(String, String)] = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds out of range: $rounds")
+    require(pairsPerRound >= 1 && pairsPerRound <= 64 &&
+      candidatesPerRound >= pairsPerRound && candidatesPerRound <= 2048,
+      s"bad batch shape: $pairsPerRound pairs from $candidatesPerRound " +
+        "candidates")
+    val words = fanOut(df)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      var learned = Vector.empty[(String, String)]
+      var r = 0
+      var exhausted = false
+      while (r < rounds && !exhausted) {
+        val seq = bpeApply(col("w"), learned)
+        val cands = words
+          .select(col("cnt"), explode(symBigramsUdf(seq)).as("bg"))
+          .groupBy("bg").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("bg").asc)
+          .limit(candidatesPerRound).collect().map(_.getString(0))
+        if (cands.isEmpty) exhausted = true
+        else {
+          // rank-window selection (the top candidate always survives)
+          val seen = scala.collection.mutable.HashSet[String]()
+          val sel = Vector.newBuilder[(String, String)]
+          var n = 0
+          val it = cands.iterator
+          while (it.hasNext && n < pairsPerRound) {
+            val parts = it.next().split(" ")
+            if (!seen(parts(0)) && !seen(parts(1))) {
+              sel += ((parts(0), parts(1)))
+              n += 1
+            }
+            seen += parts(0)
+            seen += parts(1)
+          }
+          learned ++= sel.result()
+          r += 1
+        }
+      }
+      learned
     } finally words.unpersist()
   }
 
@@ -1893,7 +1967,8 @@ object Text {
 
   // --- trained-model artifacts at rest ------------------------------------
 
-  /** Persist a [[bpeTrain]]ed merge list. The artifact is tiny (≤64 rows)
+  /** Persist a [[bpeTrain]]ed or [[bpeTrainBatch]]-learned merge list.
+    * The artifact is tiny (tokenizer metadata — merge-count rows)
     * but it gates every downstream token budget: packing, mixture fills and
     * contract checks are only reproducible under the EXACT merge chain that
     * produced them, so the tokenizer ships as a versioned artifact — never
@@ -1915,7 +1990,7 @@ object Text {
 
   /** Open a [[writeTokenizer]]-stored merge list, rank-ordered — API parity
     * with [[bpeTrain]]'s return, so [[bpeEncode]] runs unchanged. The
-    * collect is bounded by the ≤64-merge training cap (metadata-sized). */
+    * collect is bounded by the merge-list size (tokenizer metadata). */
   def openTokenizer(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(path)

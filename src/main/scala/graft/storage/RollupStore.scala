@@ -311,6 +311,28 @@ object RollupStore {
       uniformWidth = true)
   }
 
+  /** Serving bounds round OUTWARD to whole `g`-buckets (a dashboard shows
+    * complete buckets; the exact-bounds contract stays on [[rollup]]). */
+  private def widenTo(since: Long, until: Long, g: Long): (Long, Long) =
+    (Math.floorDiv(since, g) * g, (Math.floorDiv(until - 1, g) + 1) * g)
+
+  /** Grain from the WIDENED span: the point budget is a hard contract, so
+    * re-derive until the widened bucket count fits — JUMP to the widened
+    * span's own ceil-grain each time (a unit step would crawl); g only
+    * grows and widening adds at most one bucket per edge, so this
+    * converges in a couple of rounds. */
+  private def fitGrain(since: Long, until: Long, maxPoints: Int, g0: Long,
+      roundUp: Long => Long): Long = {
+    var g = g0
+    var done = false
+    while (!done) {
+      val (lo, hi) = widenTo(since, until, g)
+      if ((hi - lo) / g <= maxPoints) done = true
+      else g = roundUp((hi - lo + maxPoints - 1) / maxPoints)
+    }
+    g
+  }
+
   /** Serving-layer grain router — the maxDataPoints contract a dashboard
     * backend implements: answer `[since, until)` under a point budget from
     * the cheapest adequate source. The target grain is
@@ -358,26 +380,9 @@ object RollupStore {
       "route: the store carries histogram counters — pass histBoundsCents" +
         " so the raw fallback serves the same schema")
     val horizon = tierHorizon(stored)
-    // grain from the WIDENED span: serving bounds round outward to whole
-    // buckets, and the budget is a hard contract — re-derive until the
-    // widened bucket count fits (converges in <= 2 steps: widening adds
-    // at most one bucket per edge, and g only grows)
-    def widened(g: Long): (Long, Long) =
-      (Math.floorDiv(since, g) * g, (Math.floorDiv(until - 1, g) + 1) * g)
-    // re-derive from the widened span until the bucket count fits — JUMP
-    // to the widened span's own ceil-grain each time (a unit step would
-    // crawl); g only grows and widening adds at most one bucket per edge,
-    // so this converges in a couple of rounds
-    def fit(g0: Long, roundUp: Long => Long): Long = {
-      var g = g0
-      var done = false
-      while (!done) {
-        val (lo, hi) = widened(g)
-        if ((hi - lo) / g <= maxPoints) done = true
-        else g = roundUp((hi - lo + maxPoints - 1) / maxPoints)
-      }
-      g
-    }
+    def widened(g: Long): (Long, Long) = widenTo(since, until, g)
+    def fit(g0: Long, roundUp: Long => Long): Long =
+      fitGrain(since, until, maxPoints, g0, roundUp)
     val span = until - since
     val target = math.max(1L, (span + maxPoints - 1) / maxPoints)
     val toMult = (g: Long) => ((g + bucketNs - 1) / bucketNs) * bucketNs
@@ -656,12 +661,21 @@ object RollupStore {
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil): DataFrame = {
     require(storePaths.nonEmpty, "cascadeRollup needs at least one store")
+    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
+    stitchTiers(spark, raw, storePaths, coarseNanos, None, None, valueCol,
+      tsCol, distinctCol, lgK, histBoundsCents)
+  }
+
+  /** Self-heal and read a raw table; a fully-tiered-off tree (only
+    * _SUCCESS left) serves ZERO rows — reads must degrade to the stores,
+    * not die on schema inference. */
+  private def readRawOrEmpty(spark: SparkSession, rawPath: String,
+      tsCol: String, valueCol: String,
+      distinctCol: Option[String]): DataFrame = {
     val rawLive = new org.apache.hadoop.fs.Path(rawPath)
     val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, rawLive, "tiered raw table")
-    // a fully-tiered-off raw tree (only _SUCCESS left) serves zero rows —
-    // reads must degrade to the stores, not die on schema inference
-    val raw = try spark.read.parquet(rawPath) catch {
+    try spark.read.parquet(rawPath) catch {
       case e: org.apache.spark.sql.AnalysisException
           if e.getMessage.toLowerCase.contains("schema") =>
         val fields = Seq(
@@ -671,11 +685,85 @@ object RollupStore {
             org.apache.spark.sql.types.DoubleType)) ++
           distinctCol.map(c => org.apache.spark.sql.types.StructField(c,
             org.apache.spark.sql.types.LongType))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(fields))
     }
-    stitchTiers(spark, raw, storePaths, coarseNanos, None, None, valueCol,
-      tsCol, distinctCol, lgK, histBoundsCents)
+  }
+
+  /** [[route]] generalized over a full tier cascade: serve `[since,
+    * until)` under a point budget from a raw table plus fine → coarse
+    * stores. The finest resolution that still EXISTS varies along the
+    * timeline (sample-level at/after the finest horizon, then each tier's
+    * bucket width down the cascade), so the grain clamps to the WIDEST
+    * bucket width among the tiers the widened range touches — a complete
+    * answer at the finest grain every touched tier can serve, never a
+    * silently partial one. Touch detection and grain fitting iterate to a
+    * fixpoint (a coarser grain widens the bounds, which can touch a
+    * coarser tier; g only grows, so this converges within the tier
+    * count). A range raw fully holds still serves raw at the requested
+    * fine grain, labeled "raw"; everything else stitches, labeled
+    * "stitched". */
+  def routeCascade(spark: SparkSession, rawPath: String,
+      storePaths: Seq[String], since: Long, until: Long, maxPoints: Int,
+      valueCol: String = "value", tsCol: String = "ts",
+      distinctCol: Option[String] = None, lgK: Int = 12,
+      histBoundsCents: Seq[Long] = Nil): DataFrame = {
+    require(until > since, s"routeCascade: empty range [$since, $until)")
+    require(maxPoints >= 1, "routeCascade needs a positive point budget")
+    require(storePaths.nonEmpty, "routeCascade needs at least one store")
+    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
+    // present tiers fine → coarse, each with (bucket width, horizon)
+    val present: Seq[(Long, Long)] = storePaths.flatMap { p =>
+      val live = new org.apache.hadoop.fs.Path(p)
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(live)) None
+      else {
+        AtomicDir.recover(fs, live, "rollup store")
+        graft.pipeline.Similarity.recoverCompact(fs, live)
+        readableStore(spark, p).flatMap(df =>
+          tierHorizon(df).map(h => (storeBucketNs(df, p), h)))
+      }
+    }
+    val target = math.max(1L, (until - since + maxPoints - 1) / maxPoints)
+    val gRaw = fitGrain(since, until, maxPoints, target, identity)
+    // which tiers does the g-widened range touch?
+    def storesTouched(g: Long): Seq[(Long, Long)] = {
+      val (lo, hi) = widenTo(since, until, g)
+      present.zipWithIndex.collect {
+        case ((w, h), i) if lo < h &&
+            hi > present.drop(i + 1).headOption.map(_._2)
+              .getOrElse(Long.MinValue) => (w, h)
+      }
+    }
+    var g = gRaw
+    var stable = false
+    while (!stable) {
+      val widths = storesTouched(g).map(_._1)
+      if (widths.isEmpty) stable = true // raw-only at this grain
+      else {
+        val gMin = widths.max
+        val toMult = (x: Long) => ((x + gMin - 1) / gMin) * gMin
+        val g2 = fitGrain(since, until, maxPoints, toMult(math.max(g, gMin)),
+          toMult)
+        if (g2 == g) stable = true else g = g2
+      }
+    }
+    val (lo, hi) = widenTo(since, until, g)
+    if (storesTouched(g).isEmpty) {
+      // raw holds the whole widened range — serve it at the fine grain
+      val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo),
+          Some(hi), tsCol), g, valueCol, tsCol, distinctCol, lgK,
+          histBoundsCents)
+        .drop("bucket_ns")
+      (if (distinctCol.nonEmpty)
+        rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
+      else rows)
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("raw"))
+    } else
+      stitchTiers(spark, raw, storePaths, g, Some(lo), Some(hi), valueCol,
+        tsCol, distinctCol, lgK, histBoundsCents)
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
   }
 
   /** Fold accumulated per-batch partials back to one row per bucket — the

@@ -1893,6 +1893,26 @@ class PipelineSpec extends AnyFunSuite {
       enc(1).getAs[Long]("n_bpe") == 2)
   }
 
+  test("bpeTrainBatch: k=1 degenerates to classic greedy; a round's " +
+      "merges are symbol-disjoint") {
+    val df = Seq((0L, "low lower lowest"), (1L, "low low"),
+      (2L, "the then there"), (3L, "in inn inner")).toDF("doc_id", "text")
+    // one pair per round == bpeTrain's one merge per job, bit for bit
+    assert(Text.bpeTrainBatch(df, "text", rounds = 4, pairsPerRound = 1)
+      == Text.bpeTrain(df, "text", merges = 4))
+    // the rank-window rule, pinned: counts ab×3, bc×2, cd×2, ef×1 rank
+    // as (a b)=3, (b c)=2, (c d)=2, (e f)=1. Round 1: (a,b) selected;
+    // (b,c) shares b → rejected; (c,d) shares c with the REJECTED (b,c)
+    // — the window rule shadows by rank, not by acceptance — rejected
+    // too; (e,f) selected. Round 2 recounts: (b,c) first, (c,d) shadowed
+    // again. Round 3: (c,d) finally lands.
+    val df2 = Seq((0L, "ab ab ab bc bc"), (1L, "cd cd ef"))
+      .toDF("doc_id", "text")
+    assert(Text.bpeTrainBatch(df2, "text", rounds = 3, pairsPerRound = 4,
+        candidatesPerRound = 32)
+      == Seq(("a", "b"), ("e", "f"), ("b", "c"), ("c", "d")))
+  }
+
   test("bpe merge application is left-to-right non-overlapping") {
     // "aaa" under merge (a,a): " a a a " → " aa a " — the first pair
     // consumes its separator, the scan resumes after the replacement

@@ -369,6 +369,45 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(viaCascade() == directDailyD)
   }
 
+  test("routeCascade: the grain clamps to the coarsest tier the range " +
+      "touches; narrower ranges serve finer") {
+    val rows = Seq((1L * H, 1.50), (2L * H, 2.25), (25L * H, 4.75),
+      (26L * H, 5.00), (49L * H, 6.50), (50L * H, 0.25))
+      .toDF("ts", "value")
+    val base = SparkTestBase.tempDir("graft-rollup-crt")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st-1h").getPath
+    val stD = new java.io.File(base, "st-1d").getPath
+    rows.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stH, cutoff = 2 * Day, bucketNanos = H)
+    RollupStore.tierOffStore(spark, stH, stD, cutoff = Day,
+      coarseBucketNanos = Day)
+    // raw holds day 2 at sample level; the 1h store day 1; the 1d store
+    // day 0. A fine budget over all three days touches the DAILY tier →
+    // clamp to 1d, stitched, equal to the never-tiered daily aggregate
+    def slim(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"))).toSeq
+    val all = RollupStore.routeCascade(spark, rawP, Seq(stH, stD),
+      0L, 3 * Day, maxPoints = 1000000)
+    assert(all.collect().forall(r => r.getAs[String]("source") == "stitched"
+      && r.getAs[Long]("grain_ns") == Day))
+    assert(slim(all) == slim(rows.groupBy(
+        expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+          .as("bucket_ts")).agg(count(lit(1)).as("n"))))
+    // the middle day touches only the 1h tier → hourly grain
+    val mid = RollupStore.routeCascade(spark, rawP, Seq(stH, stD),
+      Day, 2 * Day, maxPoints = 1000000)
+    assert(mid.collect().forall(r => r.getAs[String]("source") == "stitched"
+      && r.getAs[Long]("grain_ns") == H))
+    assert(mid.agg(sum("n")).head().getLong(0) == 2L)
+    // the raw window alone still serves at the requested fine grain
+    val recent = RollupStore.routeCascade(spark, rawP, Seq(stH, stD),
+      2 * Day, 3 * Day, maxPoints = 1000000)
+    assert(recent.collect().forall(_.getAs[String]("source") == "raw"))
+    assert(recent.agg(sum("n")).head().getLong(0) == 2L)
+  }
+
   test("an append with a different bucket width fails loudly") {
     val p = SparkTestBase.tempDir("graft-rollup-mw") + "/store"
     RollupStore.write(raw, p, H)
