@@ -3535,6 +3535,20 @@ object SparkEntry {
           candidatesPerRound = 256))
         .orderBy("doc_id")
     }),
+    "text_pack_bpe" -> ((s, d) => {
+      // the composition batch training exists FOR: sequence packing under
+      // the REAL tokenizer's counts — the 256-merge chain's n_bpe drives
+      // the bucketed offset cumsum, so every context-window boundary sits
+      // at the token budget a training job actually loads (the whitespace
+      // proxy misplaces pack boundaries by the merge compression factor)
+      val docs = t(s, d, "documents")
+      val counts = Text.bpeEncode(docs, "doc_id", "text",
+        Text.bpeTrainBatch(docs, "text", rounds = 8, pairsPerRound = 32,
+          candidatesPerRound = 256))
+      Text.packByCounts(counts, "doc_id", "n_bpe", contextLen = 256,
+          numBuckets = 8)
+        .orderBy("doc_id")
+    }),
     "text_lm_score_stored" -> ((s, d) => {
       // text_lm_score with the LM AT REST: the reference-third count
       // tables persist once; scoring a fresh corpus never re-counts the
@@ -5077,7 +5091,41 @@ object SparkEntry {
     * Selected pairs are symbol-disjoint, so the replace order within a
     * round cannot matter. */
   private def bpeBatchEncodeOracleSql(rounds: Int, k: Int,
-      cands: Int): String = {
+      cands: Int): String =
+    s"""WITH ${bpeBatchCtes(rounds, k, cands)}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_bpe
+       |FROM (SELECT doc_id, unnest($DuckToks) AS w FROM documents) d
+       |JOIN w$rounds USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** `text_pack_bpe`: the packing arithmetic of `text_pack` fed by the
+    * REAL tokenizer's per-doc counts — the batch-trained merge chain's
+    * n_bpe replaces the whitespace proxy, so every pack boundary sits at
+    * the token budget a training job actually loads. */
+  private def bpePackOracleSql(rounds: Int, k: Int, cands: Int,
+      contextLen: Int, buckets: Int): String =
+    s"""WITH ${bpeBatchCtes(rounds, k, cands)}, enc AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_bpe
+       |  FROM (SELECT doc_id, unnest($DuckToks) AS w FROM documents) d
+       |  JOIN w$rounds USING (w)
+       |  GROUP BY doc_id
+       |), o AS (
+       |  SELECT doc_id, doc_id % $buckets AS bucket, n_bpe AS n_tokens,
+       |    CAST(coalesce(sum(n_bpe) OVER (
+       |      PARTITION BY doc_id % $buckets ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS "offset"
+       |  FROM enc
+       |)
+       |SELECT doc_id, bucket, n_tokens, "offset",
+       |  "offset" // $contextLen AS pack_first,
+       |  CASE WHEN n_tokens > 0 THEN ("offset" + n_tokens - 1) // $contextLen
+       |       ELSE "offset" // $contextLen END AS pack_last
+       |FROM o ORDER BY doc_id""".stripMargin
+
+  private def bpeBatchCtes(rounds: Int, k: Int, cands: Int): String = {
     val roundSql = (1 to rounds).map { r =>
       val applied = (1 to k).foldLeft("seq") { (acc, i) =>
         s"replace($acc, ' ' || coalesce((SELECT pair FROM sel$r " +
@@ -5107,16 +5155,11 @@ object SparkEntry {
          |  SELECT w, cnt, $applied AS seq FROM w${r - 1}
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
        |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
        |  FROM (SELECT unnest($DuckToks) AS w FROM documents) GROUP BY w
-       |), $roundSql
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_bpe
-       |FROM (SELECT doc_id, unnest($DuckToks) AS w FROM documents) d
-       |JOIN w$rounds USING (w)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |), $roundSql""".stripMargin
   }
 
   /** Shared CTE chain of the trainPrep oracles (`pipeline_train_prep`,
@@ -5545,6 +5588,7 @@ object SparkEntry {
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracleSql(8),
     "text_bpe_encode_batch" -> bpeBatchEncodeOracleSql(8, 32, 256),
+    "text_pack_bpe" -> bpePackOracleSql(8, 32, 256, 256, 8),
     "text_dup_chunks" -> {
       val size = 32
       s"""WITH t AS (

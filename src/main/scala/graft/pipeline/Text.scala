@@ -317,15 +317,33 @@ object Text {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       contextLen: Int, numBuckets: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val buckets =
       if (numBuckets > 0) numBuckets
       else packBucketsFor(df, textCol = Some(textCol))
+    packByCounts(fanOut(df).select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", contextLen, buckets)
+  }
+
+  /** The packing core over ANY per-doc token-count frame — the same
+    * bucketed offset cumsum and context-window arithmetic, with the count
+    * column supplied by the caller. [[packSequences]] feeds it the
+    * whitespace proxy; feeding it [[bpeEncode]]'s `n_bpe` packs under the
+    * REAL tokenizer's counts (the exact-token-budget layout a training
+    * job actually loads — proxy counts misplace every pack boundary).
+    */
+  def packByCounts(counts: DataFrame, idCol: String, nCol: String,
+      contextLen: Int, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen > 0 && numBuckets > 0,
+      s"packByCounts needs positive contextLen/numBuckets: " +
+        s"$contextLen/$numBuckets")
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    fanOut(df)
-      .select(col(idCol), pmod(col(idCol), lit(buckets.toLong)).as("bucket"),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    counts
+      .select(col(idCol),
+        pmod(col(idCol), lit(numBuckets.toLong)).as("bucket"),
+        col(nCol).cast("long").as("n_tokens"))
       .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
       // SQL `div` = exact integer division (Column./ on longs is double)
       .withColumn("pack_first", expr(s"offset div $contextLen"))

@@ -689,6 +689,18 @@ class PlanAuditSpec extends AnyFunSuite {
     pins.foreach(_.unpersist())
   }
 
+  test("rollup_route_tiered: each tier scans only its horizon window") {
+    // the stitched serving read must stay partition-pruned on BOTH sides:
+    // the store side lists only pre-horizon __day dirs, the raw side
+    // pushes the at-or-after-horizon ts range to the parquet scan — and
+    // the sketch columns the query does not select are pruned entirely
+    val p = plan("rollup_route_tiered")
+    val h = 1705276800000000000L // ns("2024-01-15"), the fixture cutoff
+    assert(p.contains(s"GreaterThanOrEqual(ts,$h)"), p) // raw ≥ horizon
+    assert(p.contains("__day") && p.contains("<= 2024-01-14"), p) // store < horizon
+    assert(!p.contains("hll_sketch_agg"), p) // unselected dims pruned
+  }
+
   test("rollup range scan prunes day directories at file listing") {
     import spark.implicits._
     val H = 3600L * 1000000000L
