@@ -450,8 +450,10 @@ object RollupStore {
         " — a straddling bucket would be half raw, half rolled up")
     val rawLive = new org.apache.hadoop.fs.Path(rawPath)
     val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
-    AtomicDir.recover(fs, rawLive, "tiered raw table")
-    val raw = spark.read.parquet(rawPath)
+    // readRawOrEmpty (not a bare read): a RETRY of an already-completed
+    // full tierOff sees an emptied raw tree and must no-op, not die on
+    // schema inference
+    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
     val old = raw.filter(col(tsCol) < cutoff)
     append(old, storePath, s"tier-$cutoff", bucketNanos, valueCol, tsCol,
       distinctCol, lgK, histBoundsCents)
@@ -480,7 +482,8 @@ object RollupStore {
           s"${WritableStore.PartitionCol}=") < cutDay)
         .foreach(d => fs.delete(d.getPath, true))
       spark.catalog.refreshByPath(path)
-    } else {
+    } else if (Option(fs.globStatus(new org.apache.hadoop.fs.Path(path,
+        "*.parquet"))).exists(_.nonEmpty) || dayDirs.nonEmpty) {
       AtomicDir.publish(spark, path, what) { tmp =>
         // re-read under the publish so the filter runs against the files
         // being replaced, not a stale cached plan
@@ -489,7 +492,7 @@ object RollupStore {
           kept.write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
         else kept.write.parquet(tmp)
       }
-    }
+    } // an already-emptied tree (a completed full trim's retry): no-op
   }
 
   /** Cascade tiering, store → coarser store (1m buckets → 1h → 1d): fold
@@ -538,8 +541,10 @@ object RollupStore {
       .withColumn(WritableStore.PartitionCol, dayCol)
       .write.mode("append").partitionBy(WritableStore.PartitionCol)
       .parquet(coarseStorePath)
-    trimBelow(spark, fs, fineStorePath, "tiered rollup store", cutoff,
-      "bucket_ts")
+    val fineLive = new org.apache.hadoop.fs.Path(fineStorePath)
+    trimBelow(spark,
+      fineLive.getFileSystem(spark.sessionState.newHadoopConf()),
+      fineStorePath, "tiered rollup store", cutoff, "bucket_ts")
   }
 
   /** The tier horizon: the highest cutoff any [[tierOff]] /

@@ -367,6 +367,11 @@ class RollupStoreSpec extends AnyFunSuite {
     RollupStore.tierOff(spark, rawP, stH, cutoff = 3 * Day, bucketNanos = H,
       distinctCol = Some("uid"))
     assert(viaCascade() == directDailyD)
+    // and a RETRY over the now-empty raw tree no-ops instead of dying on
+    // schema inference (the completed-full-trim crash-retry path)
+    RollupStore.tierOff(spark, rawP, stH, cutoff = 3 * Day, bucketNanos = H,
+      distinctCol = Some("uid"))
+    assert(viaCascade() == directDailyD)
   }
 
   test("routeCascade: the grain clamps to the coarsest tier the range " +
