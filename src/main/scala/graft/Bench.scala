@@ -33,10 +33,12 @@ object Bench {
     // per-process-cached, so this times the ROLLUP path) and the
     // sequential LTTB fold
     "rollup_store_daily", "ts_lttb",
-    // round-9 tracked row: the iterative join-loop shape (degree-ordered
-    // wedge count over the part co-purchase graph) — correctness and
-    // ScaleProbe rows existed since round 8, wall-time was untracked
-    "graph_triangles")
+    // round-9 tracked rows: the iterative join-loop shape (degree-ordered
+    // wedge count over the part co-purchase graph; correctness and
+    // ScaleProbe rows existed since round 8, wall-time was untracked) and
+    // the three-tier stitched read (fixture cascade is per-process-cached,
+    // so this times the stitched serving path)
+    "graph_triangles", "rollup_cascade_daily")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

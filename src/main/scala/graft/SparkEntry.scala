@@ -670,11 +670,13 @@ object SparkEntry {
       // triangles via the ORDER-INDEPENDENT a<b<c three-join, so it
       // validates the degree-ordered orientation independently
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      // raw pair fan-out goes in un-distincted: triangles normalizes and
+      // distincts once anyway — a fixture-side distinct would be a
+      // second full shuffle of the same rows
       val pairs = li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
       graft.operators.GraphOps.triangles(pairs)
     }),
     "ts_tolerance_join" -> ((s, d) => {
