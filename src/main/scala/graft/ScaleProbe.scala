@@ -188,6 +188,37 @@ object ScaleProbe {
       report("rollup_store", evK,
         storeRoundtrip(events, "1x"), storeRoundtrip(evScaled, s"${evK}x"))
     }
+    if (sel("cascade_serve")) {
+      // the retention-cascade SERVING claim, measured end to end: build a
+      // three-tier layout (last 2 days raw, hourly for the prior 10 days,
+      // daily below) from each table, then time ONLY the stitched
+      // day-grain read. 10× the history grows the serve by the stores'
+      // bucket count (the time span) plus a fixed-days raw remnant —
+      // never the raw sample count, which is the point of tiering; the
+      // build cost is rollup_store's row and is excluded here
+      val day = 86400L * 1000000000L
+      val hour = 3600L * 1000000000L
+      def buildCascade(ev: DataFrame, tag: String): (String, String, String) = {
+        val base = s"$work/cascade_$tag"
+        val (rawP, stH, stD) = (s"$base/raw", s"$base/st1h", s"$base/st1d")
+        ev.write.mode("overwrite").parquet(rawP)
+        val hi = ev.agg(max("ts")).head().getLong(0)
+        val cutH = (hi / day) * day - 2 * day  // day-aligned ⇒ hour-aligned
+        val cutD = cutH - 10 * day
+        graft.storage.RollupStore.tierOff(spark, rawP, stH,
+          cutoff = cutH, bucketNanos = hour)
+        graft.storage.RollupStore.tierOffStore(spark, stH, stD,
+          cutoff = cutD, coarseBucketNanos = day)
+        (rawP, stH, stD)
+      }
+      val (r1, h1, d1) = buildCascade(events, "1x")
+      val (rK, hK, dK) = buildCascade(evScaled, s"${evK}x")
+      report("cascade_serve", evK,
+        graft.storage.RollupStore.cascadeRollup(spark, r1,
+          Seq(h1, d1), day).count(),
+        graft.storage.RollupStore.cascadeRollup(spark, rK,
+          Seq(hK, dK), day).count())
+    }
     if (sel("zorder_slice")) {
       // A/B at the SAME scaled size: the 2-dim slice on a z-ordered copy
       // vs a ts-sorted copy — the layout, not the operator, is under test

@@ -892,6 +892,23 @@ object SparkEntry {
             .cast("long").as("hll_ok"))
         .orderBy("bucket_ts")
     }),
+    "rollup_cascade_p90" -> ((s, d) => {
+      // p90 per day across THREE tiers: the daily store's counter arrays
+      // were vector-added twice (tierOff, then the store→store tier) and
+      // still hold exactly the per-day counts a direct pass builds —
+      // integer-exact, so this shares rollup_store_p90's value oracle
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stH, stD) = cascadeEvents(s, d)
+      val st = graft.storage.RollupStore.cascadeRollup(s, rawP,
+        Seq(stH, stD), day, distinctCol = Some("user_id"),
+        histBoundsCents = HistBounds)
+      val counts = graft.storage.RollupStore.histogramCounts(st, HistBounds,
+        Seq("bucket_ts"))
+      TsOps.histogramQuantileFromCounts(counts, Seq("bucket_ts"),
+          HistBounds, qNum = 90L, qDen = 100L)
+        .orderBy("bucket_ts")
+    }),
     "rollup_store_p90" -> ((s, d) => {
       // p90 per day from STORED histogram counters: 24 hourly counter
       // arrays vector-add into exactly the daily counts a direct pass
@@ -6905,6 +6922,7 @@ object SparkEntry {
       // raw-table oracles too
       ("rollup_cascade_daily" -> base("rollup_store_daily")) +
       ("rollup_cascade_users" -> base("rollup_store_users")) +
+      ("rollup_cascade_p90" -> base("rollup_store_p90")) +
       // the stored probe reads the identical tf/dl/dfs frames back from
       // the term-bucketed layout (bucket pruning only skips rows no query
       // term can join), so it shares retrieval_bm25's value oracle
