@@ -128,6 +128,42 @@ object SparkEntry {
   private val cascadePaths =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
+  /** Per-dataset cache of the POLICY-driven retention layout backing
+    * `rollup_retention_scan`: the events table arrives in two waves with
+    * a declarative `applyRetention` cycle after each (clock injected), so
+    * the layout is whatever "keep 5 days raw, hourly for 10, daily
+    * forever" produces after two maintenance runs — not hand-placed
+    * cutoffs. */
+  private val retentionPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  private def retentionEvents(s: SparkSession, d: String)
+      : (String, String, String) =
+    retentionPaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-retain-${processId}_${dirTag(dir)}")
+      val rawP = new java.io.File(base, "raw").getPath
+      val stH = new java.io.File(base, "st-1h").getPath
+      val stD = new java.io.File(base, "st-1d").getPath
+      val ev = t(s, dir, "events")
+      val day = 86400L * 1000000000L
+      val tiers = Seq(
+        graft.storage.RollupStore.TierSpec(stH, BucketH,
+          keepNanos = 10 * day),
+        graft.storage.RollupStore.TierSpec(stD, day))
+      def cycle(nowNs: Long): Unit =
+        graft.storage.RollupStore.applyRetention(s, rawP,
+          rawKeepNanos = 5 * day, tiers, nowNs,
+          distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+      ev.filter(col("ts") < ns("2024-01-22")).write.mode("overwrite")
+        .parquet(rawP)
+      cycle(ns("2024-01-20"))
+      ev.filter(col("ts") >= ns("2024-01-22")).write.mode("append")
+        .parquet(rawP)
+      cycle(ns("2024-01-30"))
+      (rawP, stH, stD)
+    })
+
   private def cascadeEvents(s: SparkSession, d: String)
       : (String, String, String) =
     cascadePaths.computeIfAbsent(d, dir => {
@@ -890,6 +926,23 @@ object SparkEntry {
           (abs(col("distinct_est") - col("__exact")).cast("double") <=
             greatest(col("__exact") * 0.05, lit(4.0)))
             .cast("long").as("hll_ok"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_retention_scan" -> ((s, d) => {
+      // the DECLARATIVE retention lifecycle end to end: two applyRetention
+      // cycles (clock injected, samples arriving between them) produce
+      // whatever layout "5 days raw, hourly for 10, daily forever"
+      // implies, and the stitched daily read still equals the raw-table
+      // oracle — policy-computed cutoffs, not hand-placed ones
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stH, stD) = retentionEvents(s, d)
+      graft.storage.RollupStore.cascadeRollup(s, rawP, Seq(stH, stD), day,
+          distinctCol = Some("user_id"), histBoundsCents = HistBounds)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
     "rollup_cascade_p90" -> ((s, d) => {
@@ -6923,6 +6976,9 @@ object SparkEntry {
       ("rollup_cascade_daily" -> base("rollup_store_daily")) +
       ("rollup_cascade_users" -> base("rollup_store_users")) +
       ("rollup_cascade_p90" -> base("rollup_store_p90")) +
+      // the policy-driven layout is a cascade like any other — the
+      // stitched fold is associative, so it shares the raw-table oracle
+      ("rollup_retention_scan" -> base("rollup_store_daily")) +
       // the stored probe reads the identical tf/dl/dfs frames back from
       // the term-bucketed layout (bucket pruning only skips rows no query
       // term can join), so it shares retrieval_bm25's value oracle

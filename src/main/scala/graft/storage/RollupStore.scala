@@ -455,6 +455,12 @@ object RollupStore {
     // schema inference
     val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
     val old = raw.filter(col(tsCol) < cutoff)
+    // nothing below the cutoff — a completed trim's retry, or a policy
+    // cycle where no sample has aged yet: skip BOTH sides, so no
+    // schema-less store dir is created by an empty append and no
+    // unpartitioned raw tree is pointlessly rewritten (the probe is one
+    // limit-1 scan with the ts predicate pushed down)
+    if (old.isEmpty) return
     append(old, storePath, s"tier-$cutoff", bucketNanos, valueCol, tsCol,
       distinctCol, lgK, histBoundsCents)
     trimBelow(spark, fs, rawPath, "tiered raw table", cutoff, tsCol)
@@ -513,6 +519,10 @@ object RollupStore {
         s"$coarseBucketNanos coarse bucket — a straddling bucket would be " +
         "half fine, half coarse")
     val fine = scopedStore(spark, fineStorePath, None, Some(cutoff))
+    // nothing below the cutoff (completed retry / no-op policy cycle):
+    // skip before the width probe — an emptied fine store has no width
+    // to read and an empty append would leave a schema-less coarse dir
+    if (fine.isEmpty) return
     val fineBn = storeBucketNs(checkedRead(spark, fineStorePath),
       fineStorePath)
     require(coarseBucketNanos % fineBn == 0,
@@ -545,6 +555,87 @@ object RollupStore {
     trimBelow(spark,
       fineLive.getFileSystem(spark.sessionState.newHadoopConf()),
       fineStorePath, "tiered rollup store", cutoff, "bucket_ts")
+  }
+
+  /** One tier of a declarative retention policy: its at-rest store, bucket
+    * width, and how long samples stay at this resolution before aging into
+    * the next tier. The LAST tier's `keepNanos` is never read — the
+    * coarsest tier retains forever. */
+  final case class TierSpec(storePath: String, bucketNanos: Long,
+      keepNanos: Long = Long.MaxValue)
+
+  /** Apply a retention policy — "full resolution for a week, hourly for a
+    * year, daily forever" as ONE declarative call a maintenance daemon or
+    * cron issues per cycle, instead of hand-computed [[tierOff]] /
+    * [[tierOffStore]] cutoffs. `nowNs` is injectable (the dialect clock
+    * discipline of `today()`, `QueryParser`'s `clock`): each cutoff
+    * derives as `now − keep` aligned DOWN to the RECEIVING tier's bucket
+    * width — deterministic for a given now, so the `tier-<cutoff>` batch
+    * keys make a crashed or double-run cycle idempotent end to end (the
+    * retried append collapses in the replay dedup; the retried trim
+    * no-ops). Moves run raw → finest first, then down the cascade, so
+    * every displaced bucket reaches its final tier within the SAME cycle
+    * — coarse-first would strand below-coarse-cutoff samples in the fine
+    * store until the next cycle. Keeps must not shrink down the cascade
+    * (each coarser tier retains at least as long as the finer one above
+    * it, checked AFTER bucket alignment) so the resulting horizons
+    * satisfy [[cascadeRollup]]'s fine-to-coarse monotonicity — violations
+    * fail loudly before any data moves. Bucket widths must nest
+    * ([[tierOffStore]]'s guard re-checks per move). A cascade move whose
+    * fine store does not exist yet (nothing has aged that far) is
+    * skipped, not an error. Returns the (storePath, cutoff) pairs of this
+    * cycle for the caller's maintenance log. `compactStores = true` folds
+    * each store's accumulated partials after the moves — only with
+    * ingest quiesced ([[compact]]'s contract).
+    *
+    * 100 TB shape: a cycle's cost is the displaced window's rollup (one
+    * bounded pass over the aged days — at a daily cadence, 1/retention-th
+    * of the raw table) plus metadata-sized store folds; the serving side
+    * stays [[cascadeRollup]]'s store-buckets-plus-raw-remnant scan
+    * (ScaleProbe `cascade_serve`). */
+  def applyRetention(spark: SparkSession, rawPath: String,
+      rawKeepNanos: Long, tiers: Seq[TierSpec], nowNs: Long,
+      valueCol: String = "value", tsCol: String = "ts",
+      distinctCol: Option[String] = None, lgK: Int = 12,
+      histBoundsCents: Seq[Long] = Nil,
+      compactStores: Boolean = false): Seq[(String, Long)] = {
+    require(tiers.nonEmpty, "applyRetention needs at least one tier")
+    val keeps = rawKeepNanos +: tiers.init.map(_.keepNanos)
+    val cutoffs = keeps.zip(tiers).map { case (keep, receiving) =>
+      require(keep >= 0 && keep < Long.MaxValue,
+        s"applyRetention: keep $keep is not a finite non-negative " +
+          "duration — only the LAST tier retains forever")
+      val w = receiving.bucketNanos
+      Math.floorDiv(nowNs - keep, w) * w
+    }
+    cutoffs.sliding(2).foreach {
+      case Seq(fine, coarse) => require(coarse <= fine,
+        s"applyRetention: a coarser tier would cut at $coarse, NEWER " +
+          s"than the finer tier's $fine — keeps must not shrink down " +
+          "the cascade (after bucket alignment)")
+      case _ =>
+    }
+    tierOff(spark, rawPath, tiers.head.storePath, cutoffs.head,
+      tiers.head.bucketNanos, valueCol, tsCol, distinctCol, lgK,
+      histBoundsCents)
+    tiers.sliding(2).toSeq.zip(cutoffs.tail).foreach {
+      case (Seq(fine, coarse), cut) =>
+        val fineLive = new org.apache.hadoop.fs.Path(fine.storePath)
+        val ffs = fineLive.getFileSystem(spark.sessionState.newHadoopConf())
+        // nothing has aged into the fine tier yet (or only a schema-less
+        // artifact dir is there): skip this cascade move, not an error
+        if (ffs.exists(fineLive) &&
+            readableStore(spark, fine.storePath).nonEmpty)
+          tierOffStore(spark, fine.storePath, coarse.storePath, cut,
+            coarse.bucketNanos)
+      case _ =>
+    }
+    if (compactStores) tiers.map(_.storePath).foreach { p =>
+      val live = new org.apache.hadoop.fs.Path(p)
+      if (live.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(live)) compact(spark, p)
+    }
+    tiers.map(_.storePath).zip(cutoffs)
   }
 
   /** The tier horizon: the highest cutoff any [[tierOff]] /

@@ -413,6 +413,91 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(recent.agg(sum("n")).head().getLong(0) == 2L)
   }
 
+  test("applyRetention: one declarative cycle builds the exact layout; " +
+      "reapply and compact are no-ops on the answer") {
+    val base = SparkTestBase.tempDir("graft-rollup-pol")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st1h").getPath
+    val stD = new java.io.File(base, "st1d").getPath
+    raw.write.parquet(rawP)
+    val tiers = Seq(RollupStore.TierSpec(stH, H, keepNanos = 2 * Day),
+      RollupStore.TierSpec(stD, Day))
+    def cascade() = RollupStore.cascadeRollup(spark, rawP, Seq(stH, stD),
+        Day).select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    // now = end of day 3: keep 1 day raw, 1h for 2 days, daily below
+    val applied = RollupStore.applyRetention(spark, rawP,
+      rawKeepNanos = Day, tiers, nowNs = 3 * Day)
+    assert(applied == Seq(stH -> (2 * Day), stD -> Day))
+    // layout: raw holds day 3, the 1h tier day 2, the 1d tier day 1
+    assert(spark.read.parquet(rawP).agg(min("ts")).head()
+      .getLong(0) >= 2 * Day)
+    val hRange = spark.read.parquet(stH)
+      .agg(min("bucket_ts"), max("bucket_ts")).head()
+    assert(hRange.getLong(0) >= Day && hRange.getLong(1) < 2 * Day)
+    assert(spark.read.parquet(stD).agg(max("bucket_ts")).head()
+      .getLong(0) < Day)
+    assert(cascade() == directDaily)
+    // a double-run (crash retry, overlapping cron) changes nothing
+    RollupStore.applyRetention(spark, rawP, Day, tiers, nowNs = 3 * Day)
+    assert(cascade() == directDaily)
+    // the maintenance variant folds partials without changing the answer
+    RollupStore.applyRetention(spark, rawP, Day, tiers, nowNs = 3 * Day,
+      compactStores = true)
+    assert(cascade() == directDaily)
+  }
+
+  test("applyRetention: the clock advances and new samples arrive " +
+      "between cycles; every cycle stays exact") {
+    val base = SparkTestBase.tempDir("graft-rollup-pol2")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st1h").getPath
+    val stD = new java.io.File(base, "st1d").getPath
+    val tiers = Seq(RollupStore.TierSpec(stH, H, keepNanos = 2 * Day),
+      RollupStore.TierSpec(stD, Day))
+    // day 1-2 samples exist when the first cycle runs at end of day 2
+    raw.filter(col("ts") < 2 * Day).write.parquet(rawP)
+    RollupStore.applyRetention(spark, rawP, Day, tiers, nowNs = 2 * Day)
+    // live ingest lands day 3 before the next cycle
+    raw.filter(col("ts") >= 2 * Day).write.mode("append").parquet(rawP)
+    RollupStore.applyRetention(spark, rawP, Day, tiers, nowNs = 3 * Day)
+    val got = RollupStore.cascadeRollup(spark, rawP, Seq(stH, stD), Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(got == directDaily)
+    // day 1 aged through BOTH tiers across the two cycles
+    assert(spark.read.parquet(stD).agg(max("bucket_ts")).head()
+      .getLong(0) < Day)
+  }
+
+  test("applyRetention: nothing old enough yet skips the cascade move; " +
+      "shrinking keeps fail loudly before any data moves") {
+    val base = SparkTestBase.tempDir("graft-rollup-pol3")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st1h").getPath
+    val stD = new java.io.File(base, "st1d").getPath
+    raw.write.parquet(rawP)
+    val tiers = Seq(RollupStore.TierSpec(stH, H, keepNanos = 20 * Day),
+      RollupStore.TierSpec(stD, Day))
+    // keeps exceed the data's age: no move, no phantom store, no error
+    RollupStore.applyRetention(spark, rawP, rawKeepNanos = 10 * Day,
+      tiers, nowNs = 3 * Day)
+    assert(spark.read.parquet(rawP).count() == raw.count())
+    assert(!new java.io.File(stD).exists())
+    assert(RollupStore.cascadeRollup(spark, rawP, Seq(stH, stD), Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq == directDaily)
+    // a coarser tier retaining SHORTER than the finer one above it is a
+    // policy bug: fail before any cutoff is applied
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.applyRetention(spark, rawP, rawKeepNanos = 2 * Day,
+        Seq(RollupStore.TierSpec(stH, H, keepNanos = Day),
+          RollupStore.TierSpec(stD, Day)), nowNs = 3 * Day)
+    }
+    assert(ex.getMessage.contains("shrink"))
+    assert(spark.read.parquet(rawP).count() == raw.count()) // untouched
+  }
+
   test("an append with a different bucket width fails loudly") {
     val p = SparkTestBase.tempDir("graft-rollup-mw") + "/store"
     RollupStore.write(raw, p, H)
