@@ -4771,6 +4771,36 @@ object SparkEntry {
           col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
+    "stream_rollup_cascade" -> ((s, d) => {
+      // the stream-maintained store COMPOSED with store→store tiering:
+      // micro-batches keep a 1h mirror store (replay-keyed appends, no
+      // tier horizon), old buckets age into a daily store, and the
+      // raw-less stitched read still equals the raw-table oracle — the
+      // mirror serves [horizon, ∞), the daily tier everything below
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-rlcas-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val stH = new java.io.File(base, "st-1h").getPath
+      val stD = new java.io.File(base, "st-1d").getPath
+      val qy = graft.streaming.StreamIngest.rollupIngest(eventStream(s, d),
+        stH, new java.io.File(base, "ck").getPath, bucketNanos = BucketH)
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_rollup_cascade: ingest did not finish")
+      }
+      graft.storage.RollupStore.tierOffStore(s, stH, stD,
+        cutoff = ns("2024-01-10"), coarseBucketNanos = day)
+      graft.storage.RollupStore.storeCascadeRollup(s, Seq(stH, stD), day)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
     "stream_sketch_store" -> ((s, d) => {
       // incremental sketch store: documents arrive THROUGH the stream and
       // each micro-batch appends per-source sketch partials; a rollup
@@ -6955,6 +6985,9 @@ object SparkEntry {
       // counts), so the stream-maintained store's daily rollup equals the
       // raw-table aggregate bit-for-bit
       ("stream_rollup_store" -> base("rollup_store_daily")) +
+      // the raw-less stitch (mirror [horizon,∞) ∪ tiers) folds the same
+      // associative partials, so it shares the raw-table oracle too
+      ("stream_rollup_cascade" -> base("rollup_store_daily")) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics

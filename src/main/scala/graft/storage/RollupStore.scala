@@ -762,6 +762,75 @@ object RollupStore {
       tsCol, distinctCol, lgK, histBoundsCents)
   }
 
+  /** Stitched read over a RAW-LESS cascade — the stream-maintained
+    * lifecycle: [[graft.streaming.StreamIngest.rollupIngest]] keeps the
+    * finest store a complete mirror (its batch keys are replay ids, so it
+    * has NO tier horizon of its own), and [[tierOffStore]] ages its old
+    * buckets down the cascade. The mirror serves `[next tier's horizon,
+    * ∞)` — exactly the window raw serves in [[cascadeRollup]] — and each
+    * tiered store its own horizon window, so every bucket is counted from
+    * exactly one tier even inside a tierOffStore's append-to-trim crash
+    * window (the coarse horizon already excludes the fine rows the trim
+    * has not yet removed). Without this read, the two features it
+    * composes — stream-maintained stores and store→store tiering — would
+    * each work alone but lose data when combined: a plain rollup of the
+    * mirror misses everything tiered off, a horizon-gated stitch skips
+    * the horizonless mirror entirely. Tiered stores (all but the first)
+    * must carry horizons; a missing/empty tiered store serves nothing.
+    * Sketch dimensions ride through the same associative merges as every
+    * other stitched read. */
+  def storeCascadeRollup(spark: SparkSession, storePaths: Seq[String],
+      coarseNanos: Long): DataFrame = {
+    require(storePaths.size >= 2,
+      "storeCascadeRollup stitches a mirror store with its tiers — for " +
+        "a single store use rollup()")
+    val horizons: Seq[Option[Long]] = storePaths.zipWithIndex.map {
+      case (p, i) =>
+        val live = new org.apache.hadoop.fs.Path(p)
+        val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(live)) None
+        else {
+          AtomicDir.recover(fs, live, "rollup store")
+          graft.pipeline.Similarity.recoverCompact(fs, live)
+          val h = readableStore(spark, p).flatMap(tierHorizon)
+          require(i == 0 || h.nonEmpty || readableStore(spark, p).isEmpty,
+            s"storeCascadeRollup: tiered store at $p has data but no " +
+              "tier horizon — only the FIRST (mirror) store may be " +
+              "horizonless; stitch order must run mirror, then fine → " +
+              "coarse")
+          h
+        }
+    }
+    val presentHs = horizons.flatten
+    require(presentHs.sliding(2).forall(w => w.length < 2 || w.head >= w.last),
+      s"storeCascadeRollup: tier horizons must run newest (fine) to " +
+        s"oldest (coarse); got ${presentHs.mkString(", ")}")
+    val parts = storePaths.zipWithIndex.flatMap { case (p, i) =>
+      val live = new org.apache.hadoop.fs.Path(p)
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(live) || readableStore(spark, p).isEmpty) None
+      else {
+        val lo = horizons.drop(i + 1).flatten.headOption
+        val hi = horizons(i) // None for the mirror: serves to ∞
+        Some(scopedStore(spark, p, lo, hi))
+      }
+    }
+    require(parts.nonEmpty, "storeCascadeRollup: no readable store")
+    val anySketch = parts.exists(_.columns.contains("hll"))
+    val anyHist = parts.exists(_.columns.contains("hcnt"))
+    require(!anySketch || parts.forall(_.columns.contains("hll")),
+      "storeCascadeRollup: some tiers carry a distinct sketch and some " +
+        "do not — every tier must be written with the same dimensions")
+    require(!anyHist || parts.forall(_.columns.contains("hcnt")),
+      "storeCascadeRollup: some tiers carry histogram counters and some " +
+        "do not — every tier must be written with the same dimensions")
+    val cols = Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
+      "sum_c") ++ (if (anySketch) Seq("hll") else Nil) ++
+      (if (anyHist) Seq("hcnt", "hbounds") else Nil)
+    mergeFold(parts.map(_.select(cols.map(col): _*)).reduce(_.unionByName(_)),
+      coarseNanos, uniformWidth = false)
+  }
+
   /** Self-heal and read a raw table; a fully-tiered-off tree (only
     * _SUCCESS left) serves ZERO rows — reads must degrade to the stores,
     * not die on schema inference. */

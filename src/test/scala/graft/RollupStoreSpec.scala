@@ -413,6 +413,40 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(recent.agg(sum("n")).head().getLong(0) == 2L)
   }
 
+  test("storeCascadeRollup: a stream-maintained mirror stitches with its " +
+      "tiers; late below-horizon replays stay invisible") {
+    val base = SparkTestBase.tempDir("graft-rollup-mir")
+    val stH = new java.io.File(base, "st1h").getPath
+    val stD = new java.io.File(base, "st1d").getPath
+    // the mirror: base write + a replay-keyed append, as rollupIngest
+    // leaves it — batch keys carry NO tier horizon
+    RollupStore.write(raw.filter(col("ts") < 2 * Day), stH, H)
+    RollupStore.append(raw.filter(col("ts") >= 2 * Day), stH, "ab12#1", H)
+    def stitched() = RollupStore.storeCascadeRollup(spark, Seq(stH, stD),
+        Day).select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    // nothing tiered yet: the mirror alone answers
+    assert(stitched() == directDaily)
+    RollupStore.tierOffStore(spark, stH, stD, cutoff = Day,
+      coarseBucketNanos = Day)
+    assert(stitched() == directDaily)
+    // a retried cycle is a no-op (nothing below the cutoff remains)
+    RollupStore.tierOffStore(spark, stH, stD, cutoff = Day,
+      coarseBucketNanos = Day)
+    assert(stitched() == directDaily)
+    // an at-least-once replay of an OLD micro-batch lands below the
+    // horizon after tiering: the horizon scope makes it deterministically
+    // invisible instead of sometimes-double-counted
+    RollupStore.append(raw.filter(col("ts") < Day), stH, "ab12#0", H)
+    assert(stitched() == directDaily)
+    // stitch order is mirror-first: a horizonless store later in the
+    // chain is a wiring bug, not a silent skip
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.storeCascadeRollup(spark, Seq(stD, stH), Day).collect()
+    }
+    assert(ex.getMessage.contains("no tier horizon"))
+  }
+
   test("applyRetention: one declarative cycle builds the exact layout; " +
       "reapply and compact are no-ops on the answer") {
     val base = SparkTestBase.tempDir("graft-rollup-pol")
