@@ -164,6 +164,31 @@ object SparkEntry {
       (rawP, stH, stD)
     })
 
+  /** Per-dataset cache of the RAW-LESS mirror cascade backing
+    * `rollup_route_mirror`: a 1h store kept as a complete mirror (base
+    * write + a replay-keyed append, exactly the state `rollupIngest`
+    * leaves), with days before Jan 10 aged into a 1d store. */
+  private val mirrorPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def mirrorCascadeEvents(s: SparkSession, d: String)
+      : (String, String) =
+    mirrorPaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-mirror-${processId}_${dirTag(dir)}")
+      val stH = new java.io.File(base, "st-1h").getPath
+      val stD = new java.io.File(base, "st-1d").getPath
+      val ev = t(s, dir, "events")
+      graft.storage.RollupStore.write(
+        ev.filter(col("ts") < ns("2024-01-25")), stH, BucketH)
+      graft.storage.RollupStore.append(
+        ev.filter(col("ts") >= ns("2024-01-25")), stH, "ab12#1", BucketH)
+      graft.storage.RollupStore.tierOffStore(s, stH, stD,
+        cutoff = ns("2024-01-10"),
+        coarseBucketNanos = 86400L * 1000000000L)
+      (stH, stD)
+    })
+
   private def cascadeEvents(s: SparkSession, d: String)
       : (String, String, String) =
     cascadePaths.computeIfAbsent(d, dir => {
@@ -926,6 +951,23 @@ object SparkEntry {
           (abs(col("distinct_est") - col("__exact")).cast("double") <=
             greatest(col("__exact") * 0.05, lit(4.0)))
             .cast("long").as("hll_ok"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_route_mirror" -> ((s, d) => {
+      // budget routing when there is NO raw table — the stream-maintained
+      // lifecycle: the whole month at a budget finer than the mirror can
+      // serve clamps first UP to the mirror's 1h buckets, then to the 1d
+      // tier the range touches; the stitched answer equals the raw-table
+      // daily aggregate
+      Tables.configure(s)
+      val (stH, stD) = mirrorCascadeEvents(s, d)
+      graft.storage.RollupStore.routeStoreCascade(s, Seq(stH, stD),
+          ns("2024-01-01"), ns("2024-01-31"), maxPoints = 2000)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"),
+          col("grain_ns"), col("source"))
         .orderBy("bucket_ts")
     }),
     "rollup_retention_scan" -> ((s, d) => {
@@ -2003,6 +2045,18 @@ object SparkEntry {
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  CAST(3600000000000 AS BIGINT) AS grain_ns,
+        |  'stitched' AS source
+        |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    // with no raw table the month-long fine budget clamps to the daily
+    // tier the range touches — the oracle is the raw table at that grain
+    "rollup_route_mirror" ->
+      """SELECT (epoch_ns(ts) // 86400000000000) * 86400000000000
+        |    AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(86400000000000 AS BIGINT) AS grain_ns,
         |  'stitched' AS source
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
     // over the cascade the fine budget clamps to the coarsest touched

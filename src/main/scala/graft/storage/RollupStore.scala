@@ -784,6 +784,16 @@ object RollupStore {
     require(storePaths.size >= 2,
       "storeCascadeRollup stitches a mirror store with its tiers — for " +
         "a single store use rollup()")
+    stitchStores(spark, storePaths, coarseNanos, None, None)
+  }
+
+  /** The raw-less stitching core shared by [[storeCascadeRollup]] and
+    * [[routeStoreCascade]]: the first store is the horizonless mirror
+    * (serves `[next horizon, ∞)`), each tiered store its horizon window,
+    * all scoped to `[since, until)` when given. */
+  private def stitchStores(spark: SparkSession, storePaths: Seq[String],
+      coarseNanos: Long, since: Option[Long],
+      until: Option[Long]): DataFrame = {
     val horizons: Seq[Option[Long]] = storePaths.zipWithIndex.map {
       case (p, i) =>
         val live = new org.apache.hadoop.fs.Path(p)
@@ -812,7 +822,9 @@ object RollupStore {
       else {
         val lo = horizons.drop(i + 1).flatten.headOption
         val hi = horizons(i) // None for the mirror: serves to ∞
-        Some(scopedStore(spark, p, lo, hi))
+        Some(scopedStore(spark, p,
+          Seq(lo, since).flatten.maxOption,
+          Seq(hi, until).flatten.minOption))
       }
     }
     require(parts.nonEmpty, "storeCascadeRollup: no readable store")
@@ -928,6 +940,72 @@ object RollupStore {
     } else
       stitchTiers(spark, raw, storePaths, g, Some(lo), Some(hi), valueCol,
         tsCol, distinctCol, lgK, histBoundsCents)
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
+  }
+
+  /** [[routeCascade]] for the RAW-LESS mirror lifecycle: serve `[since,
+    * until)` under a point budget from a stream-maintained mirror store
+    * plus its coarser tiers. There is no raw table, so the finest
+    * servable resolution is the MIRROR's bucket width — a budget
+    * demanding finer clamps UP to it — and below each tier horizon the
+    * grain further clamps to the widest touched tier, iterated to a
+    * fixpoint exactly as [[routeCascade]] does: a complete answer at the
+    * finest grain every touched tier can serve, never a silently partial
+    * one. Labeled `source="store"` when only the mirror is touched,
+    * `"stitched"` otherwise. */
+  def routeStoreCascade(spark: SparkSession, storePaths: Seq[String],
+      since: Long, until: Long, maxPoints: Int): DataFrame = {
+    require(until > since,
+      s"routeStoreCascade: empty range [$since, $until)")
+    require(maxPoints >= 1,
+      "routeStoreCascade needs a positive point budget")
+    require(storePaths.size >= 2,
+      "routeStoreCascade routes over a mirror plus tiers — for a " +
+        "single store use route()")
+    val mirrorPath = storePaths.head
+    val mirrorW = storeBucketNs(checkedRead(spark, mirrorPath), mirrorPath)
+    // present coarser tiers fine → coarse: (bucket width, horizon)
+    val present: Seq[(Long, Long)] = storePaths.tail.flatMap { p =>
+      val live = new org.apache.hadoop.fs.Path(p)
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(live)) None
+      else {
+        AtomicDir.recover(fs, live, "rollup store")
+        graft.pipeline.Similarity.recoverCompact(fs, live)
+        readableStore(spark, p).flatMap(df =>
+          tierHorizon(df).map(h => (storeBucketNs(df, p), h)))
+      }
+    }
+    val target = math.max(1L, (until - since + maxPoints - 1) / maxPoints)
+    val toMirror = (x: Long) => ((x + mirrorW - 1) / mirrorW) * mirrorW
+    def touched(g: Long): Seq[(Long, Long)] = {
+      val (lo, hi) = widenTo(since, until, g)
+      present.zipWithIndex.collect {
+        case ((w, h), i) if lo < h &&
+            hi > present.drop(i + 1).headOption.map(_._2)
+              .getOrElse(Long.MinValue) => (w, h)
+      }
+    }
+    var g = fitGrain(since, until, maxPoints,
+      toMirror(math.max(target, mirrorW)), toMirror)
+    var stable = false
+    while (!stable) {
+      val widths = touched(g).map(_._1)
+      if (widths.isEmpty) stable = true
+      else {
+        val gMin = math.max(mirrorW, widths.max)
+        val toMult = (x: Long) => ((x + gMin - 1) / gMin) * gMin
+        val g2 = fitGrain(since, until, maxPoints,
+          toMult(math.max(g, gMin)), toMult)
+        if (g2 == g) stable = true else g = g2
+      }
+    }
+    val (lo, hi) = widenTo(since, until, g)
+    if (touched(g).isEmpty)
+      stitchStores(spark, Seq(mirrorPath), g, Some(lo), Some(hi))
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
+    else
+      stitchStores(spark, storePaths, g, Some(lo), Some(hi))
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
   }
 

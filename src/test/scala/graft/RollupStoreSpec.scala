@@ -447,6 +447,31 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no tier horizon"))
   }
 
+  test("routeStoreCascade: budgets clamp up to the mirror's width, then " +
+      "to touched tiers — never a partial answer") {
+    val base = SparkTestBase.tempDir("graft-rollup-rsm")
+    val stH = new java.io.File(base, "st1h").getPath
+    val stD = new java.io.File(base, "st1d").getPath
+    RollupStore.write(raw, stH, H)
+    RollupStore.tierOffStore(spark, stH, stD, cutoff = Day,
+      coarseBucketNanos = Day)
+    // a huge budget over the post-horizon range: no raw exists, so the
+    // finest servable grain is the mirror's 1h buckets
+    val fine = RollupStore.routeStoreCascade(spark, Seq(stH, stD),
+      Day, 3 * Day, maxPoints = 1000000)
+    assert(fine.collect().forall(r => r.getAs[Long]("grain_ns") == H &&
+      r.getAs[String]("source") == "store"))
+    assert(fine.agg(sum("n")).head().getLong(0) == 4L) // days 2-3 samples
+    // the same budget over the whole span touches the daily tier: grain
+    // clamps to 1d and the stitched answer equals the direct daily pass
+    val all = RollupStore.routeStoreCascade(spark, Seq(stH, stD),
+      0L, 3 * Day, maxPoints = 1000000)
+    assert(all.collect().forall(r => r.getAs[Long]("grain_ns") == Day &&
+      r.getAs[String]("source") == "stitched"))
+    assert(all.select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq == directDaily)
+  }
+
   test("applyRetention: one declarative cycle builds the exact layout; " +
       "reapply and compact are no-ops on the answer") {
     val base = SparkTestBase.tempDir("graft-rollup-pol")
