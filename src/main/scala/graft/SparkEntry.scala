@@ -189,6 +189,37 @@ object SparkEntry {
       (stH, stD)
     })
 
+  /** Per-dataset cache of the POLICY-driven mirror cascade backing
+    * `rollup_retention_mirror`: the 1h mirror fills in two waves with an
+    * `applyStoreRetention` cycle after each (clock injected) — "1h for 5
+    * days, daily forever" with no raw table at all. */
+  private val mirrorRetainPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def mirrorRetentionEvents(s: SparkSession, d: String)
+      : (String, String) =
+    mirrorRetainPaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-mretain-${processId}_${dirTag(dir)}")
+      val stH = new java.io.File(base, "st-1h").getPath
+      val stD = new java.io.File(base, "st-1d").getPath
+      val ev = t(s, dir, "events")
+      val day = 86400L * 1000000000L
+      val tiers = Seq(
+        graft.storage.RollupStore.TierSpec(stH, BucketH,
+          keepNanos = 5 * day),
+        graft.storage.RollupStore.TierSpec(stD, day))
+      graft.storage.RollupStore.write(
+        ev.filter(col("ts") < ns("2024-01-22")), stH, BucketH)
+      graft.storage.RollupStore.applyStoreRetention(s, tiers,
+        nowNs = ns("2024-01-20"))
+      graft.storage.RollupStore.append(
+        ev.filter(col("ts") >= ns("2024-01-22")), stH, "ab12#2", BucketH)
+      graft.storage.RollupStore.applyStoreRetention(s, tiers,
+        nowNs = ns("2024-01-30"), compactStores = true)
+      (stH, stD)
+    })
+
   private def cascadeEvents(s: SparkSession, d: String)
       : (String, String, String) =
     cascadePaths.computeIfAbsent(d, dir => {
@@ -968,6 +999,21 @@ object SparkEntry {
           col("max_c").cast("double").as("max_v"),
           col("sum_c").cast("double").as("sum_v"),
           col("grain_ns"), col("source"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_retention_mirror" -> ((s, d) => {
+      // the declarative policy with NO raw table — the stream-maintained
+      // lifecycle's maintenance call: two clock-injected cycles (samples
+      // arriving between, stores compacted after the second) and the
+      // raw-less stitched daily read still equals the raw-table oracle
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (stH, stD) = mirrorRetentionEvents(s, d)
+      graft.storage.RollupStore.storeCascadeRollup(s, Seq(stH, stD), day)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
     "rollup_retention_scan" -> ((s, d) => {
@@ -7066,6 +7112,7 @@ object SparkEntry {
       // the policy-driven layout is a cascade like any other — the
       // stitched fold is associative, so it shares the raw-table oracle
       ("rollup_retention_scan" -> base("rollup_store_daily")) +
+      ("rollup_retention_mirror" -> base("rollup_store_daily")) +
       // the stored probe reads the identical tf/dl/dfs frames back from
       // the term-bucketed layout (bucket pruning only skips rows no query
       // term can join), so it shares retrieval_bm25's value oracle

@@ -638,6 +638,56 @@ object RollupStore {
     tiers.map(_.storePath).zip(cutoffs)
   }
 
+  /** [[applyRetention]] for the RAW-LESS mirror lifecycle: the FIRST
+    * [[TierSpec]] is the stream-maintained mirror ([[rollupIngest]]'s
+    * complete store), its `keepNanos` how long full resolution stays
+    * there before aging down the [[tierOffStore]] cascade; the last
+    * tier retains forever. Same discipline as the raw-headed policy:
+    * clock-injected cutoffs aligned down to each receiving tier's width,
+    * deterministic tier keys absorbing crashed or double-run cycles,
+    * fine-first move order, loud shrinking-keeps guard, no-op moves
+    * skipped. Quiesce (or tolerate replay of) the ingest stream around a
+    * cycle — a mirror append racing the trim is the standard streaming
+    * at-least-once window the batch-key dedup and horizon scoping
+    * already cover. Returns the (receiving storePath, cutoff) pairs. */
+  def applyStoreRetention(spark: SparkSession, tiers: Seq[TierSpec],
+      nowNs: Long, compactStores: Boolean = false): Seq[(String, Long)] = {
+    require(tiers.size >= 2,
+      "applyStoreRetention ages a mirror down a cascade — it needs the " +
+        "mirror plus at least one coarser tier")
+    val cutoffs = tiers.init.map(_.keepNanos).zip(tiers.tail).map {
+      case (keep, receiving) =>
+        require(keep >= 0 && keep < Long.MaxValue,
+          s"applyStoreRetention: keep $keep is not a finite non-negative" +
+            " duration — only the LAST tier retains forever")
+        val w = receiving.bucketNanos
+        Math.floorDiv(nowNs - keep, w) * w
+    }
+    cutoffs.sliding(2).foreach {
+      case Seq(fine, coarse) => require(coarse <= fine,
+        s"applyStoreRetention: a coarser tier would cut at $coarse, " +
+          s"NEWER than the finer tier's $fine — keeps must not shrink " +
+          "down the cascade (after bucket alignment)")
+      case _ =>
+    }
+    tiers.sliding(2).toSeq.zip(cutoffs).foreach {
+      case (Seq(fine, coarse), cut) =>
+        val fineLive = new org.apache.hadoop.fs.Path(fine.storePath)
+        val ffs = fineLive.getFileSystem(spark.sessionState.newHadoopConf())
+        if (ffs.exists(fineLive) &&
+            readableStore(spark, fine.storePath).nonEmpty)
+          tierOffStore(spark, fine.storePath, coarse.storePath, cut,
+            coarse.bucketNanos)
+      case _ =>
+    }
+    if (compactStores) tiers.map(_.storePath).foreach { p =>
+      val live = new org.apache.hadoop.fs.Path(p)
+      if (live.getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(live)) compact(spark, p)
+    }
+    tiers.tail.map(_.storePath).zip(cutoffs)
+  }
+
   /** The tier horizon: the highest cutoff any [[tierOff]] /
     * [[tierOffStore]] has appended — everything below it is served from
     * this store, whatever the finer tier still holds. Parsed from the

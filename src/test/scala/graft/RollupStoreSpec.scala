@@ -557,6 +557,43 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(rawP).count() == raw.count()) // untouched
   }
 
+  test("applyStoreRetention: the mirror ages down its cascade by clock; " +
+      "cycles are exact and idempotent") {
+    val base = SparkTestBase.tempDir("graft-rollup-msr")
+    val stH = new java.io.File(base, "st1h").getPath
+    val stD = new java.io.File(base, "st1d").getPath
+    val tiers = Seq(RollupStore.TierSpec(stH, H, keepNanos = Day),
+      RollupStore.TierSpec(stD, Day))
+    // wave 1 arrives, then a cycle at end of day 2; wave 2, cycle at day 3
+    RollupStore.write(raw.filter(col("ts") < 2 * Day), stH, H)
+    val applied = RollupStore.applyStoreRetention(spark, tiers,
+      nowNs = 2 * Day)
+    assert(applied == Seq(stD -> Day))
+    RollupStore.append(raw.filter(col("ts") >= 2 * Day), stH, "ab12#7", H)
+    RollupStore.applyStoreRetention(spark, tiers, nowNs = 3 * Day,
+      compactStores = true)
+    def stitched() = RollupStore.storeCascadeRollup(spark, Seq(stH, stD),
+        Day).select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(stitched() == directDaily)
+    // day 1 AND day 2 aged out across the two cycles; day 3 still 1h
+    assert(spark.read.parquet(stD).agg(max("bucket_ts")).head()
+      .getLong(0) < 2 * Day)
+    assert(spark.read.parquet(stH).agg(min("bucket_ts")).head()
+      .getLong(0) >= 2 * Day)
+    // a double-run changes nothing
+    RollupStore.applyStoreRetention(spark, tiers, nowNs = 3 * Day)
+    assert(stitched() == directDaily)
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.applyStoreRetention(spark,
+        Seq(RollupStore.TierSpec(stH, H, keepNanos = 10 * Day),
+          RollupStore.TierSpec(stD, Day, keepNanos = Day),
+          RollupStore.TierSpec(new java.io.File(base, "st1w").getPath,
+            7 * Day)), nowNs = 30 * Day)
+    }
+    assert(ex.getMessage.contains("shrink"))
+  }
+
   test("an append with a different bucket width fails loudly") {
     val p = SparkTestBase.tempDir("graft-rollup-mw") + "/store"
     RollupStore.write(raw, p, H)
