@@ -1013,7 +1013,6 @@ object RollupStore {
       "routeStoreCascade routes over a mirror plus tiers — for a " +
         "single store use route()")
     val mirrorPath = storePaths.head
-    val mirrorW = storeBucketNs(checkedRead(spark, mirrorPath), mirrorPath)
     // present coarser tiers fine → coarse: (bucket width, horizon)
     val present: Seq[(Long, Long)] = storePaths.tail.flatMap { p =>
       val live = new org.apache.hadoop.fs.Path(p)
@@ -1026,6 +1025,27 @@ object RollupStore {
           tierHorizon(df).map(h => (storeBucketNs(df, p), h)))
       }
     }
+    // the fine floor: the mirror's width — or, when the mirror is absent
+    // or fully aged out (ingest stopped longer than its keep ago), the
+    // finest PRESENT tier's width, so the router serves the complete
+    // coarser answer instead of dying on an empty store
+    val mirrorOwnW: Option[Long] = {
+      val live = new org.apache.hadoop.fs.Path(mirrorPath)
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(live)) None
+      else readableStore(spark, mirrorPath).flatMap(df =>
+        storeWidths(df) match {
+          case Seq(bn) => Some(bn)
+          case Seq() => None // trimmed empty: no width of its own
+          case ws => throw new IllegalStateException(
+            s"rollup store at $mirrorPath holds MIXED bucket widths " +
+              s"${ws.mkString(", ")} — one store holds exactly one grain")
+        })
+    }
+    val mirrorW: Long =
+      mirrorOwnW.orElse(present.headOption.map(_._1)).getOrElse(
+        throw new IllegalArgumentException(
+          "routeStoreCascade: no readable tier to serve from"))
     val target = math.max(1L, (until - since + maxPoints - 1) / maxPoints)
     val toMirror = (x: Long) => ((x + mirrorW - 1) / mirrorW) * mirrorW
     def touched(g: Long): Seq[(Long, Long)] = {
@@ -1051,10 +1071,11 @@ object RollupStore {
       }
     }
     val (lo, hi) = widenTo(since, until, g)
-    if (touched(g).isEmpty)
+    if (touched(g).isEmpty && mirrorOwnW.nonEmpty)
       stitchStores(spark, Seq(mirrorPath), g, Some(lo), Some(hi))
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
-    else
+    else // an empty mirror over an above-horizon range stitches to the
+      // honest zero-row frame rather than erroring on "no readable store"
       stitchStores(spark, storePaths, g, Some(lo), Some(hi))
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
   }

@@ -470,6 +470,15 @@ class RollupStoreSpec extends AnyFunSuite {
       r.getAs[String]("source") == "stitched"))
     assert(all.select("bucket_ts", "n", "min_c", "max_c", "sum_c")
       .orderBy("bucket_ts").collect().toSeq == directDaily)
+    // ingest stopped and EVERYTHING aged out: the router's fine floor
+    // falls back to the finest present tier and still serves the
+    // complete answer instead of dying on the empty mirror
+    RollupStore.tierOffStore(spark, stH, stD, cutoff = 3 * Day,
+      coarseBucketNanos = Day)
+    val aged = RollupStore.routeStoreCascade(spark, Seq(stH, stD),
+      0L, 3 * Day, maxPoints = 1000000)
+    assert(aged.select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq == directDaily)
   }
 
   test("applyRetention: one declarative cycle builds the exact layout; " +
