@@ -219,6 +219,40 @@ object ScaleProbe {
         graft.storage.RollupStore.cascadeRollup(spark, rK,
           Seq(hK, dK), day).count())
     }
+    if (sel("retention_cycle")) {
+      // a maintenance cycle's cost is the DISPLACED window's rollup, not
+      // the table's history: bring each layout to steady state with a
+      // cycle at now−1d, then time ONLY the incremental cycle at now —
+      // both displace exactly one day of identical per-day volume, so
+      // the ratio should sit near 1 while the histories differ 10×.
+      // report()'s warm-then-time would re-run an idempotent no-op
+      // cycle, so this row times the single real cycle directly.
+      val day = 86400L * 1000000000L
+      val hour = 3600L * 1000000000L
+      def prep(ev: DataFrame, tag: String): (String, Seq[graft.storage.RollupStore.TierSpec], Long) = {
+        val base = s"$work/retain_$tag"
+        val rawP = s"$base/raw"
+        ev.write.mode("overwrite").parquet(rawP)
+        val hi = ev.agg(max("ts")).head().getLong(0)
+        val now = (hi / day) * day + day // end of the last full day
+        val tiers = Seq(
+          graft.storage.RollupStore.TierSpec(s"$base/st1h", hour,
+            keepNanos = 10 * day),
+          graft.storage.RollupStore.TierSpec(s"$base/st1d", day))
+        graft.storage.RollupStore.applyRetention(spark, rawP,
+          rawKeepNanos = 3 * day, tiers, nowNs = now - day) // steady state
+        (rawP, tiers, now)
+      }
+      val (r1, t1s, n1) = prep(events, "1x")
+      val (rK, tKs, nK) = prep(evScaled, s"${evK}x")
+      val c1 = time { graft.storage.RollupStore.applyRetention(spark, r1,
+        3 * day, t1s, nowNs = n1); 1L }
+      val cK = time { graft.storage.RollupStore.applyRetention(spark, rK,
+        3 * day, tKs, nowNs = nK); 1L }
+      println(f"[scale] retention_cycle       1x=$c1%6.2fs  " +
+        f"${evK}x=$cK%6.2fs  ratio=${cK / c1}%5.2f (displaced window " +
+        "pinned at 1 day; only the history is 10x)")
+    }
     if (sel("zorder_slice")) {
       // A/B at the SAME scaled size: the 2-dim slice on a z-ordered copy
       // vs a ts-sorted copy — the layout, not the operator, is under test

@@ -701,6 +701,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hll_sketch_agg"), p) // unselected dims pruned
   }
 
+  test("rollup_route_mirror: mirror and tier each scan only their " +
+      "horizon window of __day dirs") {
+    // the raw-less stitched route must stay partition-pruned on both
+    // store sides: the mirror lists only at-or-after-horizon day dirs,
+    // the daily tier only pre-horizon ones (fixture horizon Jan 10)
+    val p = plan("rollup_route_mirror")
+    assert(p.contains("__day"), p)
+    assert(p.contains(">= 2024-01-10"), p) // mirror: [horizon, ∞)
+    assert(p.contains("<= 2024-01-09"), p) // tier: (-∞, horizon)
+  }
+
   test("rollup range scan prunes day directories at file listing") {
     import spark.implicits._
     val H = 3600L * 1000000000L
