@@ -564,6 +564,21 @@ object RollupStore {
   final case class TierSpec(storePath: String, bucketNanos: Long,
       keepNanos: Long = Long.MaxValue)
 
+  /** A policy cutoff: `now − keep` floored to the receiving tier's bucket
+    * — and further to the DAY boundary whenever that width nests into a
+    * day (day-aligned is then still bucket-aligned). The day floor is a
+    * scale decision, not cosmetics: it keeps every cycle's raw/store trim
+    * on [[trimBelow]]'s `__day` directory-drop fast path; an hour-aligned
+    * cutoff over a day-partitioned 100 TB raw table would atomically
+    * REWRITE the whole retained tree every cron cycle. The cost is up to
+    * one extra day retained at the finer resolution — `keep` is a
+    * minimum, the usual retention contract. */
+  private def policyCutoff(nowNs: Long, keep: Long, bucketNanos: Long)
+      : Long = {
+    val w = if (DayNs % bucketNanos == 0) DayNs else bucketNanos
+    Math.floorDiv(nowNs - keep, w) * w
+  }
+
   /** Apply a retention policy — "full resolution for a week, hourly for a
     * year, daily forever" as ONE declarative call a maintenance daemon or
     * cron issues per cycle, instead of hand-computed [[tierOff]] /
@@ -605,8 +620,7 @@ object RollupStore {
       require(keep >= 0 && keep < Long.MaxValue,
         s"applyRetention: keep $keep is not a finite non-negative " +
           "duration — only the LAST tier retains forever")
-      val w = receiving.bucketNanos
-      Math.floorDiv(nowNs - keep, w) * w
+      policyCutoff(nowNs, keep, receiving.bucketNanos)
     }
     cutoffs.sliding(2).foreach {
       case Seq(fine, coarse) => require(coarse <= fine,
@@ -660,8 +674,7 @@ object RollupStore {
         require(keep >= 0 && keep < Long.MaxValue,
           s"applyStoreRetention: keep $keep is not a finite non-negative" +
             " duration — only the LAST tier retains forever")
-        val w = receiving.bucketNanos
-        Math.floorDiv(nowNs - keep, w) * w
+        policyCutoff(nowNs, keep, receiving.bucketNanos)
     }
     cutoffs.sliding(2).foreach {
       case Seq(fine, coarse) => require(coarse <= fine,

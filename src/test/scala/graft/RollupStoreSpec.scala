@@ -513,6 +513,13 @@ class RollupStoreSpec extends AnyFunSuite {
     RollupStore.applyRetention(spark, rawP, Day, tiers, nowNs = 3 * Day,
       compactStores = true)
     assert(cascade() == directDaily)
+    // a mid-day cron clock still floors cutoffs to the DAY boundary —
+    // the trim stays on the __day directory-drop fast path instead of
+    // rewriting the retained raw tree every cycle
+    val applied2 = RollupStore.applyRetention(spark, rawP, Day, tiers,
+      nowNs = 3 * Day + 5 * H)
+    assert(applied2 == Seq(stH -> (2 * Day), stD -> Day))
+    assert(cascade() == directDaily)
   }
 
   test("applyRetention: the clock advances and new samples arrive " +
