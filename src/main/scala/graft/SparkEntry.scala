@@ -220,6 +220,38 @@ object SparkEntry {
       (stH, stD)
     })
 
+  /** Per-dataset cache of the RETAINED dialect metrics db backing
+    * `ql_retained_metrics` / `rollup_metrics_history`: the events table
+    * written in the WritableStore `__day=` block layout inside a scratch
+    * db, then aged by `applyRetention` ("10 days raw, hourly history") —
+    * the history store lives OUTSIDE the db so `.metrics` listings stay
+    * clean. Cutoff lands on 2024-01-15 (now Jan 25, keep 10d). */
+  private val retainDbPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def retainedMetricsDb(s: SparkSession, d: String)
+      : (String, String) =
+    retainDbPaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-qlret-${processId}_${dirTag(dir)}")
+      val db = new java.io.File(base, "db").getPath
+      val rawP = new java.io.File(db, "events").getPath
+      val stH = new java.io.File(base, "hist-1h").getPath
+      val day = 86400L * 1000000000L
+      t(s, dir, "events")
+        .withColumn(graft.storage.WritableStore.PartitionCol,
+          date_from_unix_date(expr(
+            "(ts - pmod(ts, 86400000000000L)) div 86400000000000L")
+            .cast("int")).cast("string"))
+        .write.partitionBy(graft.storage.WritableStore.PartitionCol)
+        .parquet(rawP)
+      graft.storage.RollupStore.applyRetention(s, rawP,
+        rawKeepNanos = 10 * day,
+        Seq(graft.storage.RollupStore.TierSpec(stH, BucketH)),
+        nowNs = ns("2024-01-25"))
+      (db, stH)
+    })
+
   private def cascadeEvents(s: SparkSession, d: String)
       : (String, String, String) =
     cascadePaths.computeIfAbsent(d, dir => {
@@ -431,6 +463,12 @@ object SparkEntry {
       "ql_gt_delta" ->
         (s"SELECT epoch_ns(ts) AS ts, event_id, user_id, event_type, value, props " +
           s"FROM events WHERE epoch_ns(ts) >= ${ns("2024-01-27 12:00") + 1} " +
+          "ORDER BY ts, event_id"),
+      // the retained-metrics db trims only below the Jan 15 horizon, so
+      // an above-horizon dialect range equals the pristine table
+      "ql_retained_metrics" ->
+        (s"SELECT epoch_ns(ts) AS ts, event_id, user_id, event_type, value, props " +
+          s"FROM events WHERE epoch_ns(ts) >= ${ns("2024-01-20")} " +
           "ORDER BY ts, event_id"),
       "ql_head_limit" ->
         s"""SELECT ts, event_id, user_id, event_type, value, props FROM (
@@ -982,6 +1020,32 @@ object SparkEntry {
           (abs(col("distinct_est") - col("__exact")).cast("double") <=
             greatest(col("__exact") * 0.05, lit(4.0)))
             .cast("long").as("hll_ok"))
+        .orderBy("bucket_ts")
+    }),
+    "ql_retained_metrics" -> ((s, d) => {
+      // the DIALECT surface over a retention-managed metrics table: the
+      // engine queries the day-trimmed block tree exactly as it would the
+      // full one — an above-horizon range answers identically to the
+      // pristine table (the oracle), proving the reference's query
+      // surface composes with the retention tier
+      val (db, _) = retainedMetricsDb(s, d)
+      tsUs(engine(s, db)
+        .frame("select * from events where ts >= '2024-01-20'"))
+        .orderBy("ts", "event_id")
+    }),
+    "rollup_metrics_history" -> ((s, d) => {
+      // ...and the aged-off history is still served: the stitched daily
+      // read over the SAME trimmed metrics table plus its hourly history
+      // store equals the raw-table oracle over the full span
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (db, stH) = retainedMetricsDb(s, d)
+      val rawP = new java.io.File(db, "events").getPath
+      graft.storage.RollupStore.tieredRollup(s, rawP, stH, day)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
     "rollup_route_mirror" -> ((s, d) => {
@@ -7113,6 +7177,9 @@ object SparkEntry {
       // stitched fold is associative, so it shares the raw-table oracle
       ("rollup_retention_scan" -> base("rollup_store_daily")) +
       ("rollup_retention_mirror" -> base("rollup_store_daily")) +
+      // the trimmed metrics table + its history store stitch to the same
+      // daily aggregate the raw table yields
+      ("rollup_metrics_history" -> base("rollup_store_daily")) +
       // the stored probe reads the identical tf/dl/dfs frames back from
       // the term-bucketed layout (bucket pruning only skips rows no query
       // term can join), so it shares retrieval_bm25's value oracle
