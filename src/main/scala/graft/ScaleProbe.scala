@@ -200,6 +200,10 @@ object ScaleProbe {
       val hour = 3600L * 1000000000L
       def buildCascade(ev: DataFrame, tag: String): (String, String, String) = {
         val base = s"$work/cascade_$tag"
+        // stale stores from a prior run (different SF dir or growth
+        // factor) would survive the tier-key dedup and skew the ratio —
+        // same always-regenerate discipline as the scaled tables
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
         val (rawP, stH, stD) = (s"$base/raw", s"$base/st1h", s"$base/st1d")
         ev.write.mode("overwrite").parquet(rawP)
         val hi = ev.agg(max("ts")).head().getLong(0)
@@ -231,6 +235,8 @@ object ScaleProbe {
       val hour = 3600L * 1000000000L
       def prep(ev: DataFrame, tag: String): (String, Seq[graft.storage.RollupStore.TierSpec], Long) = {
         val base = s"$work/retain_$tag"
+        // always regenerate — stale stores would skew the ratio
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
         val rawP = s"$base/raw"
         ev.write.mode("overwrite").parquet(rawP)
         val hi = ev.agg(max("ts")).head().getLong(0)

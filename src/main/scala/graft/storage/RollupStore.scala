@@ -220,7 +220,14 @@ object RollupStore {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, live, "rollup store")
     graft.pipeline.Similarity.recoverCompact(fs, live)
-    val raw = checkedRead(spark, path)
+    scopedFrame(checkedRead(spark, path), since, until)
+  }
+
+  /** The scoping half of [[scopedStore]] over an already-read store frame
+    * — lets a stitched read that listed the store once reuse the frame
+    * instead of re-listing per window. */
+  private def scopedFrame(raw: DataFrame, since: Option[Long],
+      until: Option[Long]): DataFrame = {
     def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
       Math.floorDiv(nanos, DayNs)).toString
     val conds =
@@ -231,6 +238,35 @@ object RollupStore {
     conds.reduceOption(_ && _).fold(raw)(raw.filter)
       .dropDuplicates("bucket_ts", "bucket_ns", "batch_key")
   }
+
+  /** A tier at rest, read ONCE per stitched call: self-healed, listed,
+    * horizon computed. Absent or schema-less trees are None. With
+    * `mirrorFirst`, a data-bearing store past index 0 without a horizon
+    * fails loudly — data landed in a tier path not via tiering is a
+    * wiring bug, and the check must not depend on which range a
+    * dashboard happens to ask for. */
+  private final case class TierAtRest(path: String, df: DataFrame,
+      horizon: Option[Long])
+
+  private def readTiers(spark: SparkSession, storePaths: Seq[String],
+      context: String, mirrorFirst: Boolean): Seq[Option[TierAtRest]] =
+    storePaths.zipWithIndex.map { case (p, i) =>
+      val live = new org.apache.hadoop.fs.Path(p)
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(live)) None
+      else {
+        AtomicDir.recover(fs, live, "rollup store")
+        graft.pipeline.Similarity.recoverCompact(fs, live)
+        readableStore(spark, p).map { df =>
+          val h = tierHorizon(df)
+          if (mirrorFirst) require(i == 0 || h.nonEmpty,
+            s"$context: tiered store at $p has data but no tier horizon" +
+              " — only the FIRST (mirror) store may be horizonless; " +
+              "stitch order must run mirror, then fine → coarse")
+          TierAtRest(p, df, h)
+        }
+      }
+    }
 
   /** Merge partial per-bucket rows — from one store, several tiers, or a
     * raw-side [[rollupRows]] pass — into one row per `coarseNanos` bucket.
@@ -615,41 +651,58 @@ object RollupStore {
       histBoundsCents: Seq[Long] = Nil,
       compactStores: Boolean = false): Seq[(String, Long)] = {
     require(tiers.nonEmpty, "applyRetention needs at least one tier")
-    val keeps = rawKeepNanos +: tiers.init.map(_.keepNanos)
-    val cutoffs = keeps.zip(tiers).map { case (keep, receiving) =>
-      require(keep >= 0 && keep < Long.MaxValue,
-        s"applyRetention: keep $keep is not a finite non-negative " +
-          "duration — only the LAST tier retains forever")
-      policyCutoff(nowNs, keep, receiving.bucketNanos)
-    }
-    cutoffs.sliding(2).foreach {
-      case Seq(fine, coarse) => require(coarse <= fine,
-        s"applyRetention: a coarser tier would cut at $coarse, NEWER " +
-          s"than the finer tier's $fine — keeps must not shrink down " +
-          "the cascade (after bucket alignment)")
-      case _ =>
-    }
+    val cutoffs = policyCutoffs("applyRetention",
+      rawKeepNanos +: tiers.init.map(_.keepNanos), tiers, nowNs)
     tierOff(spark, rawPath, tiers.head.storePath, cutoffs.head,
       tiers.head.bucketNanos, valueCol, tsCol, distinctCol, lgK,
       histBoundsCents)
-    tiers.sliding(2).toSeq.zip(cutoffs.tail).foreach {
+    runPolicyMoves(spark, tiers, cutoffs.tail, compactStores)
+    tiers.map(_.storePath).zip(cutoffs)
+  }
+
+  /** Validated policy cutoffs for one cycle: keep-finiteness per move,
+    * [[policyCutoff]] alignment against each RECEIVING tier, then the
+    * loud shrink guard — all BEFORE any data moves. */
+  private def policyCutoffs(context: String, keeps: Seq[Long],
+      receiving: Seq[TierSpec], nowNs: Long): Seq[Long] = {
+    val cutoffs = keeps.zip(receiving).map { case (keep, r) =>
+      require(keep >= 0 && keep < Long.MaxValue,
+        s"$context: keep $keep is not a finite non-negative duration — " +
+          "only the LAST tier retains forever")
+      policyCutoff(nowNs, keep, r.bucketNanos)
+    }
+    cutoffs.sliding(2).foreach {
+      case Seq(fine, coarse) => require(coarse <= fine,
+        s"$context: a coarser tier would cut at $coarse, NEWER than the " +
+          s"finer tier's $fine — keeps must not shrink down the cascade " +
+          "(after bucket alignment)")
+      case _ =>
+    }
+    cutoffs
+  }
+
+  /** One cycle's store→store moves down the cascade plus the optional
+    * compaction pass, shared by both policy variants. A fine store that
+    * is absent or schema-less (nothing aged that far yet, or fully
+    * drained by an equal-keep pass-through) skips its move — and the
+    * compaction pass skips those trees too, so a cycle never crashes
+    * AFTER its data has already moved. */
+  private def runPolicyMoves(spark: SparkSession, tiers: Seq[TierSpec],
+      moveCutoffs: Seq[Long], compactStores: Boolean): Unit = {
+    def readable(p: String): Boolean = {
+      val live = new org.apache.hadoop.fs.Path(p)
+      live.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(live) && readableStore(spark, p).nonEmpty
+    }
+    tiers.sliding(2).toSeq.zip(moveCutoffs).foreach {
       case (Seq(fine, coarse), cut) =>
-        val fineLive = new org.apache.hadoop.fs.Path(fine.storePath)
-        val ffs = fineLive.getFileSystem(spark.sessionState.newHadoopConf())
-        // nothing has aged into the fine tier yet (or only a schema-less
-        // artifact dir is there): skip this cascade move, not an error
-        if (ffs.exists(fineLive) &&
-            readableStore(spark, fine.storePath).nonEmpty)
+        if (readable(fine.storePath))
           tierOffStore(spark, fine.storePath, coarse.storePath, cut,
             coarse.bucketNanos)
       case _ =>
     }
-    if (compactStores) tiers.map(_.storePath).foreach { p =>
-      val live = new org.apache.hadoop.fs.Path(p)
-      if (live.getFileSystem(spark.sessionState.newHadoopConf())
-          .exists(live)) compact(spark, p)
-    }
-    tiers.map(_.storePath).zip(cutoffs)
+    if (compactStores)
+      tiers.map(_.storePath).filter(readable).foreach(compact(spark, _))
   }
 
   /** [[applyRetention]] for the RAW-LESS mirror lifecycle: the FIRST
@@ -669,35 +722,9 @@ object RollupStore {
     require(tiers.size >= 2,
       "applyStoreRetention ages a mirror down a cascade — it needs the " +
         "mirror plus at least one coarser tier")
-    val cutoffs = tiers.init.map(_.keepNanos).zip(tiers.tail).map {
-      case (keep, receiving) =>
-        require(keep >= 0 && keep < Long.MaxValue,
-          s"applyStoreRetention: keep $keep is not a finite non-negative" +
-            " duration — only the LAST tier retains forever")
-        policyCutoff(nowNs, keep, receiving.bucketNanos)
-    }
-    cutoffs.sliding(2).foreach {
-      case Seq(fine, coarse) => require(coarse <= fine,
-        s"applyStoreRetention: a coarser tier would cut at $coarse, " +
-          s"NEWER than the finer tier's $fine — keeps must not shrink " +
-          "down the cascade (after bucket alignment)")
-      case _ =>
-    }
-    tiers.sliding(2).toSeq.zip(cutoffs).foreach {
-      case (Seq(fine, coarse), cut) =>
-        val fineLive = new org.apache.hadoop.fs.Path(fine.storePath)
-        val ffs = fineLive.getFileSystem(spark.sessionState.newHadoopConf())
-        if (ffs.exists(fineLive) &&
-            readableStore(spark, fine.storePath).nonEmpty)
-          tierOffStore(spark, fine.storePath, coarse.storePath, cut,
-            coarse.bucketNanos)
-      case _ =>
-    }
-    if (compactStores) tiers.map(_.storePath).foreach { p =>
-      val live = new org.apache.hadoop.fs.Path(p)
-      if (live.getFileSystem(spark.sessionState.newHadoopConf())
-          .exists(live)) compact(spark, p)
-    }
+    val cutoffs = policyCutoffs("applyStoreRetention",
+      tiers.init.map(_.keepNanos), tiers.tail, nowNs)
+    runPolicyMoves(spark, tiers, cutoffs, compactStores)
     tiers.tail.map(_.storePath).zip(cutoffs)
   }
 
@@ -736,17 +763,11 @@ object RollupStore {
       since: Option[Long], until: Option[Long],
       valueCol: String, tsCol: String, distinctCol: Option[String],
       lgK: Int, histBoundsCents: Seq[Long]): DataFrame = {
-    // per-store horizons, fine → coarse (absent/unreadable stores skipped)
-    val present: Seq[(String, Long)] = storePaths.flatMap { p =>
-      val live = new org.apache.hadoop.fs.Path(p)
-      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(live)) None
-      else {
-        AtomicDir.recover(fs, live, "rollup store")
-        graft.pipeline.Similarity.recoverCompact(fs, live)
-        readableStore(spark, p).flatMap(df => tierHorizon(df).map(p -> _))
-      }
-    }
+    // per-store horizons, fine → coarse: each store read ONCE; absent,
+    // unreadable, or never-tiered-into (horizonless) stores skipped
+    val present: Seq[(TierAtRest, Long)] = readTiers(spark, storePaths,
+      "stitchTiers", mirrorFirst = false)
+      .flatten.flatMap(t => t.horizon.map(t -> _))
     require(present.map(_._2).sliding(2).forall(w =>
         w.length < 2 || w.head >= w.last),
       s"stitchTiers: tier horizons must run newest (fine) to oldest " +
@@ -754,10 +775,8 @@ object RollupStore {
     val rawLow = present.map(_._2).maxOption
     val rawScoped = graft.operators.TsOps.rangeFilter(raw,
       Seq(rawLow, since).flatten.maxOption, until, tsCol)
-    val anySketch = present.exists { case (p, _) =>
-      checkedRead(spark, p).columns.contains("hll") }
-    val anyHist = present.exists { case (p, _) =>
-      checkedRead(spark, p).columns.contains("hcnt") }
+    val anySketch = present.exists(_._1.df.columns.contains("hll"))
+    val anyHist = present.exists(_._1.df.columns.contains("hcnt"))
     require(!anySketch || distinctCol.nonEmpty,
       "stitchTiers: a tier carries a distinct sketch — pass distinctCol " +
         "so the raw side serves the same schema")
@@ -772,11 +791,11 @@ object RollupStore {
       if (anyHist) histBoundsCents else Nil)
       .select(cols.map(col): _*)
     // store i's window: [next coarser tier's horizon, its own horizon)
-    val storeParts = present.zipWithIndex.map { case ((p, h), i) =>
+    val storeParts = present.zipWithIndex.map { case ((t, h), i) =>
       val low = present.drop(i + 1).headOption.map(_._2)
       val lo = Seq(low, since).flatten.maxOption
       val hi = Some(Seq(Some(h), until).flatten.min)
-      scopedStore(spark, p, lo, hi).select(cols.map(col): _*)
+      scopedFrame(t.df, lo, hi).select(cols.map(col): _*)
     }
     mergeFold(storeParts.foldLeft(rawPart)(_.unionByName(_)), coarseNanos,
       uniformWidth = false)
@@ -847,47 +866,31 @@ object RollupStore {
     require(storePaths.size >= 2,
       "storeCascadeRollup stitches a mirror store with its tiers — for " +
         "a single store use rollup()")
-    stitchStores(spark, storePaths, coarseNanos, None, None)
+    stitchStores(spark, readTiers(spark, storePaths, "storeCascadeRollup",
+      mirrorFirst = true), coarseNanos, None, None)
   }
 
   /** The raw-less stitching core shared by [[storeCascadeRollup]] and
-    * [[routeStoreCascade]]: the first store is the horizonless mirror
+    * [[routeStoreCascade]]: the first tier is the horizonless mirror
     * (serves `[next horizon, ∞)`), each tiered store its horizon window,
-    * all scoped to `[since, until)` when given. */
-  private def stitchStores(spark: SparkSession, storePaths: Seq[String],
-      coarseNanos: Long, since: Option[Long],
-      until: Option[Long]): DataFrame = {
-    val horizons: Seq[Option[Long]] = storePaths.zipWithIndex.map {
-      case (p, i) =>
-        val live = new org.apache.hadoop.fs.Path(p)
-        val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(live)) None
-        else {
-          AtomicDir.recover(fs, live, "rollup store")
-          graft.pipeline.Similarity.recoverCompact(fs, live)
-          val h = readableStore(spark, p).flatMap(tierHorizon)
-          require(i == 0 || h.nonEmpty || readableStore(spark, p).isEmpty,
-            s"storeCascadeRollup: tiered store at $p has data but no " +
-              "tier horizon — only the FIRST (mirror) store may be " +
-              "horizonless; stitch order must run mirror, then fine → " +
-              "coarse")
-          h
-        }
-    }
+    * all scoped to `[since, until)` when given. Takes the [[readTiers]]
+    * result so callers that already listed the stores don't pay the
+    * metadata IO twice. */
+  private def stitchStores(spark: SparkSession,
+      tiers: Seq[Option[TierAtRest]], coarseNanos: Long,
+      since: Option[Long], until: Option[Long]): DataFrame = {
+    val horizons: Seq[Option[Long]] = tiers.map(_.flatMap(_.horizon))
     val presentHs = horizons.flatten
     require(presentHs.sliding(2).forall(w => w.length < 2 || w.head >= w.last),
       s"storeCascadeRollup: tier horizons must run newest (fine) to " +
         s"oldest (coarse); got ${presentHs.mkString(", ")}")
-    val parts = storePaths.zipWithIndex.flatMap { case (p, i) =>
-      val live = new org.apache.hadoop.fs.Path(p)
-      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(live) || readableStore(spark, p).isEmpty) None
-      else {
+    val parts = tiers.zipWithIndex.flatMap { case (t, i) =>
+      t.map { tier =>
         val lo = horizons.drop(i + 1).flatten.headOption
         val hi = horizons(i) // None for the mirror: serves to ∞
-        Some(scopedStore(spark, p,
+        scopedFrame(tier.df,
           Seq(lo, since).flatten.maxOption,
-          Seq(hi, until).flatten.minOption))
+          Seq(hi, until).flatten.minOption)
       }
     }
     require(parts.nonEmpty, "storeCascadeRollup: no readable store")
@@ -965,32 +968,10 @@ object RollupStore {
           tierHorizon(df).map(h => (storeBucketNs(df, p), h)))
       }
     }
-    val target = math.max(1L, (until - since + maxPoints - 1) / maxPoints)
-    val gRaw = fitGrain(since, until, maxPoints, target, identity)
-    // which tiers does the g-widened range touch?
-    def storesTouched(g: Long): Seq[(Long, Long)] = {
-      val (lo, hi) = widenTo(since, until, g)
-      present.zipWithIndex.collect {
-        case ((w, h), i) if lo < h &&
-            hi > present.drop(i + 1).headOption.map(_._2)
-              .getOrElse(Long.MinValue) => (w, h)
-      }
-    }
-    var g = gRaw
-    var stable = false
-    while (!stable) {
-      val widths = storesTouched(g).map(_._1)
-      if (widths.isEmpty) stable = true // raw-only at this grain
-      else {
-        val gMin = widths.max
-        val toMult = (x: Long) => ((x + gMin - 1) / gMin) * gMin
-        val g2 = fitGrain(since, until, maxPoints, toMult(math.max(g, gMin)),
-          toMult)
-        if (g2 == g) stable = true else g = g2
-      }
-    }
+    val (g, touchedAtG) = fitCascadeGrain(present, since, until,
+      maxPoints, floorW = 1L)
     val (lo, hi) = widenTo(since, until, g)
-    if (storesTouched(g).isEmpty) {
+    if (touchedAtG.isEmpty) {
       // raw holds the whole widened range — serve it at the fine grain
       val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo),
           Some(hi), tsCol), g, valueCol, tsCol, distinctCol, lgK,
@@ -1025,42 +1006,54 @@ object RollupStore {
     require(storePaths.size >= 2,
       "routeStoreCascade routes over a mirror plus tiers — for a " +
         "single store use route()")
-    val mirrorPath = storePaths.head
+    // every store read ONCE: frames + horizons for stitching, widths for
+    // routing; the loud horizonless-non-first check fires here too, so
+    // wiring-bug detection never depends on which range a dashboard asks
+    val tiersRead = readTiers(spark, storePaths, "routeStoreCascade",
+      mirrorFirst = true)
     // present coarser tiers fine → coarse: (bucket width, horizon)
-    val present: Seq[(Long, Long)] = storePaths.tail.flatMap { p =>
-      val live = new org.apache.hadoop.fs.Path(p)
-      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(live)) None
-      else {
-        AtomicDir.recover(fs, live, "rollup store")
-        graft.pipeline.Similarity.recoverCompact(fs, live)
-        readableStore(spark, p).flatMap(df =>
-          tierHorizon(df).map(h => (storeBucketNs(df, p), h)))
-      }
-    }
+    val present: Seq[(Long, Long)] = tiersRead.tail.flatten.flatMap(t =>
+      t.horizon.map(h => (storeBucketNs(t.df, t.path), h)))
     // the fine floor: the mirror's width — or, when the mirror is absent
     // or fully aged out (ingest stopped longer than its keep ago), the
     // finest PRESENT tier's width, so the router serves the complete
     // coarser answer instead of dying on an empty store
-    val mirrorOwnW: Option[Long] = {
-      val live = new org.apache.hadoop.fs.Path(mirrorPath)
-      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(live)) None
-      else readableStore(spark, mirrorPath).flatMap(df =>
-        storeWidths(df) match {
-          case Seq(bn) => Some(bn)
-          case Seq() => None // trimmed empty: no width of its own
-          case ws => throw new IllegalStateException(
-            s"rollup store at $mirrorPath holds MIXED bucket widths " +
-              s"${ws.mkString(", ")} — one store holds exactly one grain")
-        })
-    }
+    val mirrorOwnW: Option[Long] =
+      tiersRead.head.flatMap(t => storeWidths(t.df) match {
+        case Seq(bn) => Some(bn)
+        case Seq() => None // trimmed empty: no width of its own
+        case ws => throw new IllegalStateException(
+          s"rollup store at ${t.path} holds MIXED bucket widths " +
+            s"${ws.mkString(", ")} — one store holds exactly one grain")
+      })
     val mirrorW: Long =
       mirrorOwnW.orElse(present.headOption.map(_._1)).getOrElse(
         throw new IllegalArgumentException(
           "routeStoreCascade: no readable tier to serve from"))
+    val (g, touchedAtG) = fitCascadeGrain(present, since, until,
+      maxPoints, floorW = mirrorW)
+    val (lo, hi) = widenTo(since, until, g)
+    if (touchedAtG.isEmpty && mirrorOwnW.nonEmpty)
+      stitchStores(spark, tiersRead.take(1), g, Some(lo), Some(hi))
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
+    else // an empty mirror over an above-horizon range stitches to the
+      // honest zero-row frame rather than erroring on "no readable store"
+      stitchStores(spark, tiersRead, g, Some(lo), Some(hi))
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
+  }
+
+  /** The router's shared grain discipline: clamp a budget-derived grain
+    * to the widest tier the widened range touches, iterated to a
+    * fixpoint (a coarser grain widens the bounds, which can touch a
+    * coarser tier; g only grows, so this converges within the tier
+    * count). `present` is the tier list fine → coarse as (bucket width,
+    * horizon); `floorW` the finest servable width — 1 for raw-backed
+    * routes, the mirror's bucket width for raw-less ones. Returns the
+    * fixpoint grain and the tiers its widened range touches (empty ⇔
+    * the finest source alone holds the whole widened range). */
+  private def fitCascadeGrain(present: Seq[(Long, Long)], since: Long,
+      until: Long, maxPoints: Int, floorW: Long): (Long, Seq[(Long, Long)]) = {
     val target = math.max(1L, (until - since + maxPoints - 1) / maxPoints)
-    val toMirror = (x: Long) => ((x + mirrorW - 1) / mirrorW) * mirrorW
     def touched(g: Long): Seq[(Long, Long)] = {
       val (lo, hi) = widenTo(since, until, g)
       present.zipWithIndex.collect {
@@ -1069,28 +1062,22 @@ object RollupStore {
               .getOrElse(Long.MinValue) => (w, h)
       }
     }
+    val toFloor = (x: Long) => ((x + floorW - 1) / floorW) * floorW
     var g = fitGrain(since, until, maxPoints,
-      toMirror(math.max(target, mirrorW)), toMirror)
+      toFloor(math.max(target, floorW)), toFloor)
     var stable = false
     while (!stable) {
       val widths = touched(g).map(_._1)
-      if (widths.isEmpty) stable = true
+      if (widths.isEmpty) stable = true // finest source alone suffices
       else {
-        val gMin = math.max(mirrorW, widths.max)
+        val gMin = math.max(floorW, widths.max)
         val toMult = (x: Long) => ((x + gMin - 1) / gMin) * gMin
         val g2 = fitGrain(since, until, maxPoints,
           toMult(math.max(g, gMin)), toMult)
         if (g2 == g) stable = true else g = g2
       }
     }
-    val (lo, hi) = widenTo(since, until, g)
-    if (touched(g).isEmpty && mirrorOwnW.nonEmpty)
-      stitchStores(spark, Seq(mirrorPath), g, Some(lo), Some(hi))
-        .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
-    else // an empty mirror over an above-horizon range stitches to the
-      // honest zero-row frame rather than erroring on "no readable store"
-      stitchStores(spark, storePaths, g, Some(lo), Some(hi))
-        .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
+    (g, touched(g))
   }
 
   /** Fold accumulated per-batch partials back to one row per bucket — the

@@ -573,6 +573,30 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(rawP).count() == raw.count()) // untouched
   }
 
+  test("applyRetention: equal keeps drain the middle tier into a " +
+      "pass-through; the compaction pass must not crash on it") {
+    val base = SparkTestBase.tempDir("graft-rollup-pol4")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st1h").getPath
+    val stD = new java.io.File(base, "st1d").getPath
+    raw.write.parquet(rawP)
+    // raw keep == 1h keep: every sample the raw move displaces is
+    // immediately old enough for the daily tier too, so the 1h store is
+    // fully drained within the same cycle — compactStores must skip the
+    // schema-less leftover tree instead of dying after the moves
+    RollupStore.applyRetention(spark, rawP, rawKeepNanos = Day,
+      Seq(RollupStore.TierSpec(stH, H, keepNanos = Day),
+        RollupStore.TierSpec(stD, Day)),
+      nowNs = 3 * Day, compactStores = true)
+    val got = RollupStore.cascadeRollup(spark, rawP, Seq(stH, stD), Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(got == directDaily)
+    // days 1-2 really did pass straight through to the daily tier
+    assert(spark.read.parquet(stD).agg(max("bucket_ts")).head()
+      .getLong(0) < 2 * Day)
+  }
+
   test("applyStoreRetention: the mirror ages down its cascade by clock; " +
       "cycles are exact and idempotent") {
     val base = SparkTestBase.tempDir("graft-rollup-msr")
