@@ -425,8 +425,9 @@ object RollupStore {
     val gRaw = fit(target, identity)
     def stitchedAt(g: Long): DataFrame = {
       val (lo, hi) = widened(g)
-      stitchTiers(spark, raw, Seq(path), g, Some(lo), Some(hi), valueCol,
-        tsCol, distinctCol, lgK, histBoundsCents)
+      stitchTiers(spark, raw,
+        Seq(Some(TierAtRest(path, stored, horizon))), g, Some(lo),
+        Some(hi), valueCol, tsCol, distinctCol, lgK, histBoundsCents)
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
     }
     if (gRaw >= bucketNs) { // the store's resolution satisfies the budget
@@ -759,15 +760,14 @@ object RollupStore {
     * tree — everything tiered off — serves zero raw rows instead of
     * failing schema inference. */
   private def stitchTiers(spark: SparkSession, raw: DataFrame,
-      storePaths: Seq[String], coarseNanos: Long,
+      tiers: Seq[Option[TierAtRest]], coarseNanos: Long,
       since: Option[Long], until: Option[Long],
       valueCol: String, tsCol: String, distinctCol: Option[String],
       lgK: Int, histBoundsCents: Seq[Long]): DataFrame = {
-    // per-store horizons, fine → coarse: each store read ONCE; absent,
-    // unreadable, or never-tiered-into (horizonless) stores skipped
-    val present: Seq[(TierAtRest, Long)] = readTiers(spark, storePaths,
-      "stitchTiers", mirrorFirst = false)
-      .flatten.flatMap(t => t.horizon.map(t -> _))
+    // per-store horizons, fine → coarse: absent, unreadable, or
+    // never-tiered-into (horizonless) stores skipped
+    val present: Seq[(TierAtRest, Long)] =
+      tiers.flatten.flatMap(t => t.horizon.map(t -> _))
     require(present.map(_._2).sliding(2).forall(w =>
         w.length < 2 || w.head >= w.last),
       s"stitchTiers: tier horizons must run newest (fine) to oldest " +
@@ -840,8 +840,10 @@ object RollupStore {
       histBoundsCents: Seq[Long] = Nil): DataFrame = {
     require(storePaths.nonEmpty, "cascadeRollup needs at least one store")
     val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
-    stitchTiers(spark, raw, storePaths, coarseNanos, None, None, valueCol,
-      tsCol, distinctCol, lgK, histBoundsCents)
+    stitchTiers(spark, raw,
+      readTiers(spark, storePaths, "cascadeRollup", mirrorFirst = false),
+      coarseNanos, None, None, valueCol, tsCol, distinctCol, lgK,
+      histBoundsCents)
   }
 
   /** Stitched read over a RAW-LESS cascade — the stream-maintained
@@ -956,18 +958,13 @@ object RollupStore {
     require(maxPoints >= 1, "routeCascade needs a positive point budget")
     require(storePaths.nonEmpty, "routeCascade needs at least one store")
     val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
+    // every store read ONCE: frames + horizons for stitching, widths for
+    // routing (horizonless stores were never tiered into and don't route)
+    val tiersRead = readTiers(spark, storePaths, "routeCascade",
+      mirrorFirst = false)
     // present tiers fine → coarse, each with (bucket width, horizon)
-    val present: Seq[(Long, Long)] = storePaths.flatMap { p =>
-      val live = new org.apache.hadoop.fs.Path(p)
-      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(live)) None
-      else {
-        AtomicDir.recover(fs, live, "rollup store")
-        graft.pipeline.Similarity.recoverCompact(fs, live)
-        readableStore(spark, p).flatMap(df =>
-          tierHorizon(df).map(h => (storeBucketNs(df, p), h)))
-      }
-    }
+    val present: Seq[(Long, Long)] = tiersRead.flatten.flatMap(t =>
+      t.horizon.map(h => (storeBucketNs(t.df, t.path), h)))
     val (g, touchedAtG) = fitCascadeGrain(present, since, until,
       maxPoints, floorW = 1L)
     val (lo, hi) = widenTo(since, until, g)
@@ -982,7 +979,7 @@ object RollupStore {
       else rows)
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("raw"))
     } else
-      stitchTiers(spark, raw, storePaths, g, Some(lo), Some(hi), valueCol,
+      stitchTiers(spark, raw, tiersRead, g, Some(lo), Some(hi), valueCol,
         tsCol, distinctCol, lgK, histBoundsCents)
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
   }
