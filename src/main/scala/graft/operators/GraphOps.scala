@@ -163,48 +163,64 @@ object GraphOps {
     * the plan audits can pin the join shapes on the terminal frame while
     * [[triangles]] owns the final materialization and cache release.
     * The normalized edge frame and degree/oriented frames are persisted
-    * and eagerly materialized here (the edge count doubles as the
+    * and eagerly materialized HERE (the edge count doubles as the
     * broadcast decision), so the caller's single collect pays only the
-    * wedge build + close check. */
+    * adjacency build + intersection pass. If that materialization
+    * throws, the already-registered pins are released before rethrow —
+    * the no-cache-residue guarantee holds on the failure path too. */
   private[graft] def trianglesPlan(pairs: DataFrame, srcCol: String = "src",
       dstCol: String = "dst",
       closeBroadcastMaxEdges: Long = 4000000L): (DataFrame, Seq[DataFrame]) = {
+    val registered = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = { registered += df; df.persist() }
+    try trianglesPlanPinned(pairs, srcCol, dstCol, closeBroadcastMaxEdges,
+      pin, registered)
+    catch { case t: Throwable => // a failed materialization (executor
+      // loss, upstream corruption) must not strand cache entries
+      registered.foreach(_.unpersist()); throw t }
+  }
+
+  private def trianglesPlanPinned(pairs: DataFrame, srcCol: String,
+      dstCol: String, closeBroadcastMaxEdges: Long,
+      pin: DataFrame => DataFrame,
+      registered: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : (DataFrame, Seq[DataFrame]) = {
     val p0 = pairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // normalize defensively: undirected identity + no self-loops,
     // distinct; PERSISTED — it feeds the degree agg and the orientation
     // join, and the upstream (often a fan-out self-join) must not run
     // twice
-    val p = p0.select(least(col("src"), col("dst")).as("src"),
+    val p = pin(p0.select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-      .persist()
+      .filter(col("src") =!= col("dst")).distinct())
     // one row per node; persisted — it feeds both orientation joins plus
     // the node count
-    val deg = p.select(col("src").as("node"))
+    val deg = pin(p.select(col("src").as("node"))
       .unionAll(p.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-      .persist()
+      .groupBy("node").agg(count(lit(1)).as("deg")))
     // orient low rank → high rank under (deg, node)
     val withDeg = p
       .join(deg.withColumnRenamed("node", "src")
         .withColumnRenamed("deg", "sdeg"), "src")
       .join(deg.withColumnRenamed("node", "dst")
         .withColumnRenamed("deg", "ddeg"), "dst")
-    val oriented = withDeg.select(
+    val oriented = pin(withDeg.select(
       when(col("sdeg") < col("ddeg") ||
           (col("sdeg") === col("ddeg") && col("src") < col("dst")),
         struct(col("src").as("lo"), col("dst").as("hi")))
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
         .as("e"))
-      .select(col("e.lo").as("u"), col("e.hi").as("v"))
-      .persist() // three consumers: adjacency build + count pass + n_edges
+      .select(col("e.lo").as("u"), col("e.hi").as("v")))
+      // two consumers: adjacency build + count pass
     // materialize the caches NOW; the edge count also decides whether the
     // adjacency table broadcasts (its total payload is exactly m entries)
     val nE = oriented.count()
-    val adj = oriented.groupBy("u")
-      .agg(collect_list("v").as("nbrs")) // O(√m) entries per row, bounded
-      .persist() // two consumers: both endpoint joins
+    // p's consumers (deg agg, orientation join) are all materialized by
+    // that count — release the largest pin before the counting pass
+    p.unpersist(); registered -= p
+    val adj = pin(oriented.groupBy("u")
+      .agg(collect_list("v").as("nbrs"))) // O(√m) entries/row, bounded
     val maybeBcast = (df: DataFrame) =>
       if (nE <= closeBroadcastMaxEdges) broadcast(df) else df
     val perEdge = oriented
@@ -216,10 +232,11 @@ object GraphOps {
         coalesce(col("__vn"), array().cast("array<long>"))))
         .cast("long").as("__c"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = oriented.agg(count(lit(1)).as("n_edges"))
     val nTri = perEdge.agg(coalesce(sum("__c"), lit(0L)).as("n_triangles"))
-    (nNodes.crossJoin(nEdges).crossJoin(nTri), // three 1-row frames
-      Seq(p, deg, oriented, adj))
+    // the edge count was already materialized on the driver above — ride
+    // it as a literal instead of re-aggregating the cached frame
+    (nNodes.withColumn("n_edges", lit(nE)).crossJoin(nTri),
+      registered.toSeq)
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes of

@@ -525,17 +525,30 @@ object RollupStore {
           s"${WritableStore.PartitionCol}=") < cutDay)
         .foreach(d => fs.delete(d.getPath, true))
       spark.catalog.refreshByPath(path)
-    } else if (Option(fs.globStatus(new org.apache.hadoop.fs.Path(path,
-        "*.parquet"))).exists(_.nonEmpty) || dayDirs.nonEmpty) {
-      AtomicDir.publish(spark, path, what) { tmp =>
+    } else {
+      // any other READABLE layout — flat files, a __day tree with a
+      // sub-day cutoff, or an externally-partitioned tree — rewrites
+      // atomically; skipping one silently would leave the appended rows
+      // in raw and the NEXT cycle's higher cutoff would re-append them
+      // under a different tier key, double-counting forever. Only a
+      // schema-less tree (a completed full trim's retry) is a no-op.
+      val readable =
+        try { spark.read.parquet(path); true } catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.toLowerCase.contains("schema") ||
+                e.getMessage.toLowerCase.contains("path does not exist") =>
+            false
+        }
+      if (readable) AtomicDir.publish(spark, path, what) { tmp =>
         // re-read under the publish so the filter runs against the files
         // being replaced, not a stale cached plan
         val kept = spark.read.parquet(path).filter(col(boundCol) >= cutoff)
         if (dayDirs.nonEmpty)
           kept.write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
-        else kept.write.parquet(tmp)
+        else kept.write.parquet(tmp) // foreign partition trees flatten,
+          // rows intact (partition dirs become data columns on read)
       }
-    } // an already-emptied tree (a completed full trim's retry): no-op
+    }
   }
 
   /** Cascade tiering, store → coarser store (1m buckets → 1h → 1d): fold

@@ -668,11 +668,13 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("graph_triangles: data-sized joins are hash equi-joins, no cartesian") {
-    // the final three 1-ROW count frames combine via BNLJ by design; the
-    // edge/wedge joins — the ones that see data — must never cartesian.
-    // Audited on the UNEXECUTED plan (trianglesPlan): the public
-    // triangles() materializes its scalars eagerly and releases its
-    // caches, so its returned frame is a local relation by design
+    // the 1-ROW count frames combine via BNLJ by design; the edge and
+    // adjacency joins — the ones that see data — must never cartesian.
+    // trianglesPlan materializes the normalize/degree/orientation pins
+    // (its broadcast decision needs the edge count), so this audits the
+    // COUNTING stage's plan as the caller's collect would execute it.
+    // Same raw un-distincted fan-out as the graph_triangles fixture —
+    // the audited plan must not drift from the benchmarked one
     import org.apache.spark.sql.functions.col
     val ev = spark.read.parquet(s"$d/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -680,7 +682,6 @@ class PlanAuditSpec extends AnyFunSuite {
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
     val (frame, pins) = graft.operators.GraphOps.trianglesPlan(pairs)
     val p = frame.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)

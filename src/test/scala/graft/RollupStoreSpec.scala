@@ -204,6 +204,30 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("aligned"))
   }
 
+  test("tierOff trims a foreign-partitioned raw tree instead of leaving " +
+      "rows to double-count next cycle") {
+    val base = SparkTestBase.tempDir("graft-rollup-fp")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    // an externally-written hive layout (not the __day convention): no
+    // top-level *.parquet, no __day= dirs — the trim must still rewrite,
+    // not silently no-op (the next cycle would re-append the same rows
+    // under a different tier key, double-counting forever)
+    raw.withColumn("pday", expr("ts div 86400000000000L").cast("int"))
+      .write.partitionBy("pday").parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H)
+    assert(spark.read.parquet(rawP).agg(min("ts")).head().getLong(0) >= Day)
+    val stitched = RollupStore.tieredRollup(spark, rawP, stP, Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(stitched == directDaily)
+    // a second, higher cutoff keeps the answer exact (no double count)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = 2 * Day, bucketNanos = H)
+    assert(RollupStore.tieredRollup(spark, rawP, stP, Day)
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq == directDaily)
+  }
+
   test("tiering fast path: a day-partitioned raw trims by directory drop") {
     val base = SparkTestBase.tempDir("graft-rollup-tf")
     val rawP = new java.io.File(base, "raw").getPath
