@@ -173,18 +173,7 @@ object GraphOps {
       closeBroadcastMaxEdges: Long = 4000000L): (DataFrame, Seq[DataFrame]) = {
     val registered = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def pin(df: DataFrame): DataFrame = { registered += df; df.persist() }
-    try trianglesPlanPinned(pairs, srcCol, dstCol, closeBroadcastMaxEdges,
-      pin, registered)
-    catch { case t: Throwable => // a failed materialization (executor
-      // loss, upstream corruption) must not strand cache entries
-      registered.foreach(_.unpersist()); throw t }
-  }
-
-  private def trianglesPlanPinned(pairs: DataFrame, srcCol: String,
-      dstCol: String, closeBroadcastMaxEdges: Long,
-      pin: DataFrame => DataFrame,
-      registered: scala.collection.mutable.ArrayBuffer[DataFrame])
-      : (DataFrame, Seq[DataFrame]) = {
+    try {
     val p0 = pairs.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     // normalize defensively: undirected identity + no self-loops,
@@ -237,6 +226,9 @@ object GraphOps {
     // it as a literal instead of re-aggregating the cached frame
     (nNodes.withColumn("n_edges", lit(nE)).crossJoin(nTri),
       registered.toSeq)
+    } catch { case t: Throwable => // a failed materialization (executor
+      // loss, upstream corruption) must not strand cache entries
+      registered.foreach(_.unpersist()); throw t }
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes of

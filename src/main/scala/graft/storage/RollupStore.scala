@@ -503,17 +503,40 @@ object RollupStore {
     trimBelow(spark, fs, rawPath, "tiered raw table", cutoff, tsCol)
   }
 
+  /** The partition-column chain a hive-layout tree encodes in its
+    * directory names (`__day=…`, or a foreign writer's `pday=…/hr=…`),
+    * outermost first — read off ONE root-to-files path, the layout every
+    * partitioned writer produces. Empty for flat trees. A rewrite must
+    * re-partition by exactly these columns: flattening would demote them
+    * to data columns, and the NEXT append by the tree's own writer would
+    * then mix root-level files with partition dirs — a layout Spark's
+    * partition discovery rejects outright. */
+  private def partitionColsOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    @scala.annotation.tailrec
+    def walk(dir: org.apache.hadoop.fs.Path,
+        acc: List[String]): List[String] =
+      Option(fs.listStatus(dir)).getOrElse(Array.empty)
+        .find(s => s.isDirectory && s.getPath.getName.contains("=")) match {
+        case Some(s) =>
+          walk(s.getPath, s.getPath.getName.takeWhile(_ != '=') :: acc)
+        case None => acc.reverse
+      }
+    walk(root, Nil)
+  }
+
   /** Trim a parquet tree to rows with `boundCol >= cutoff`. Fast path: a
     * `__day=`-partitioned tree with a day-aligned cutoff trims by DELETING
     * whole day directories — O(days dropped), never a rewrite of the
     * retained window (at 100 TB the rewrite would dwarf the rollup
     * itself). Each dir delete is atomic; a crash mid-way leaves extra
     * pre-cutoff dirs that the tier horizon already excludes from stitched
-    * reads. Fallback (sub-day cutoff): atomic two-rename rewrite of the
-    * retained rows, PRESERVING the `__day` partitioning when the source
-    * tree has it — a flat rewrite would silently demote the tree and lose
-    * both the directory-drop fast path and day-directory pruning forever
-    * after. */
+    * reads. Fallback (sub-day cutoff, flat tree, or a foreign hive
+    * layout): atomic two-rename rewrite of the retained rows, PRESERVING
+    * whatever partition chain the source tree encodes — a flat rewrite
+    * would silently demote the partition columns and lose directory
+    * pruning (and, for a foreign tree, break the external writer's next
+    * append against partition discovery) forever after. */
   private def trimBelow(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       path: String, what: String, cutoff: Long, boundCol: String): Unit = {
     val dayDirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
@@ -532,21 +555,15 @@ object RollupStore {
       // in raw and the NEXT cycle's higher cutoff would re-append them
       // under a different tier key, double-counting forever. Only a
       // schema-less tree (a completed full trim's retry) is a no-op.
-      val readable =
-        try { spark.read.parquet(path); true } catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getMessage.toLowerCase.contains("schema") ||
-                e.getMessage.toLowerCase.contains("path does not exist") =>
-            false
+      if (readTreeOrNone(spark, path).nonEmpty) {
+        val pcols = partitionColsOf(fs, new org.apache.hadoop.fs.Path(path))
+        AtomicDir.publish(spark, path, what) { tmp =>
+          // re-read under the publish so the filter runs against the files
+          // being replaced, not a stale cached plan
+          val kept = spark.read.parquet(path).filter(col(boundCol) >= cutoff)
+          if (pcols.nonEmpty) kept.write.partitionBy(pcols: _*).parquet(tmp)
+          else kept.write.parquet(tmp)
         }
-      if (readable) AtomicDir.publish(spark, path, what) { tmp =>
-        // re-read under the publish so the filter runs against the files
-        // being replaced, not a stale cached plan
-        val kept = spark.read.parquet(path).filter(col(boundCol) >= cutoff)
-        if (dayDirs.nonEmpty)
-          kept.write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
-        else kept.write.parquet(tmp) // foreign partition trees flatten,
-          // rows intact (partition dirs become data columns on read)
       }
     }
   }
@@ -933,19 +950,17 @@ object RollupStore {
     val rawLive = new org.apache.hadoop.fs.Path(rawPath)
     val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, rawLive, "tiered raw table")
-    try spark.read.parquet(rawPath) catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.toLowerCase.contains("schema") =>
-        val fields = Seq(
-          org.apache.spark.sql.types.StructField(tsCol,
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField(valueCol,
-            org.apache.spark.sql.types.DoubleType)) ++
-          distinctCol.map(c => org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.LongType))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(fields))
+    readTreeOrNone(spark, rawPath).getOrElse {
+      val fields = Seq(
+        org.apache.spark.sql.types.StructField(tsCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(valueCol,
+          org.apache.spark.sql.types.DoubleType)) ++
+        distinctCol.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields))
     }
   }
 
@@ -1149,8 +1164,10 @@ object RollupStore {
     * versa) must fail loudly at the next read — a silent null would make
     * every later distinct estimate undercount the streamed buckets.
     */
-  private def checkedRead(spark: SparkSession, path: String): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
+  private def checkedRead(spark: SparkSession, path: String): DataFrame =
+    guardMixedDims(spark.read.option("mergeSchema", "true").parquet(path))
+
+  private def guardMixedDims(df: DataFrame): DataFrame =
     Seq("hll" -> "distinctCol", "hcnt" -> "histBoundsCents")
       .foldLeft(df) { case (acc, (c, param)) =>
         if (acc.columns.contains(c))
@@ -1160,14 +1177,26 @@ object RollupStore {
             col(c)))
         else acc
       }
-  }
+
+  /** Read a parquet tree, or None when it is absent or its schema cannot
+    * be inferred (a created-but-empty or fully-trimmed tree) — the ONE
+    * place the AnalysisException sniffing lives, so a Spark upgrade that
+    * rewords the error is a one-line fix, not a silent no-op in three. */
+  private def readTreeOrNone(spark: SparkSession, path: String,
+      mergeSchema: Boolean = false): Option[DataFrame] =
+    try {
+      val r = spark.read
+      Some((if (mergeSchema) r.option("mergeSchema", "true") else r)
+        .parquet(path))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.toLowerCase.contains("schema") ||
+            e.getMessage.toLowerCase.contains("path does not exist") => None
+    }
 
   /** [[checkedRead]], or None for a tree whose schema cannot be inferred
     * (a created-but-empty or fully-trimmed store). */
   private def readableStore(spark: SparkSession, path: String)
       : Option[DataFrame] =
-    try Some(checkedRead(spark, path)) catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.toLowerCase.contains("schema") => None
-    }
+    readTreeOrNone(spark, path, mergeSchema = true).map(guardMixedDims)
 }

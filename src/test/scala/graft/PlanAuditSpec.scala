@@ -683,11 +683,13 @@ class PlanAuditSpec extends AnyFunSuite {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
     val (frame, pins) = graft.operators.GraphOps.trianglesPlan(pairs)
-    val p = frame.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
-      p.contains("BroadcastHashJoin"), p)
-    pins.foreach(_.unpersist())
+    try { // a failed assert must not strand the materialized pins in the
+      // shared session's cache for the rest of the suite
+      val p = frame.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("BroadcastHashJoin"), p)
+    } finally pins.foreach(_.unpersist())
   }
 
   test("rollup_route_tiered: each tier scans only its horizon window") {

@@ -217,6 +217,12 @@ class RollupStoreSpec extends AnyFunSuite {
       .write.partitionBy("pday").parquet(rawP)
     RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H)
     assert(spark.read.parquet(rawP).agg(min("ts")).head().getLong(0) >= Day)
+    // the rewrite preserves the foreign layout: pday= dirs survive, no
+    // root-level data files — the external writer's next partitioned
+    // append would otherwise hit conflicting directory structures
+    val entries = new java.io.File(rawP).listFiles().map(_.getName)
+    assert(entries.exists(_.startsWith("pday=")), entries.toSeq)
+    assert(!entries.exists(_.endsWith(".parquet")), entries.toSeq)
     val stitched = RollupStore.tieredRollup(spark, rawP, stP, Day)
       .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
       .orderBy("bucket_ts").collect().toSeq
