@@ -673,15 +673,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // trianglesPlan materializes the normalize/degree/orientation pins
     // (its broadcast decision needs the edge count), so this audits the
     // COUNTING stage's plan as the caller's collect would execute it.
-    // Same raw un-distincted fan-out as the graph_triangles fixture —
-    // the audited plan must not drift from the benchmarked one
-    import org.apache.spark.sql.functions.col
+    // Same per-order array pair enumeration as the graph_triangles
+    // fixture — the audited plan must not drift from the benchmarked one
+    import org.apache.spark.sql.functions.{col, array_sort, collect_set,
+      explode, expr}
     val ev = spark.read.parquet(s"$d/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = ev.as("a").join(ev.as("b"), // the graph_triangles fixture
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val pairs = ev.groupBy("l_orderkey") // the graph_triangles fixture
+      .agg(array_sort(collect_set("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, greatest(size(ps) - i - 1, 0)), " +
+          "y -> struct(x as src, y as dst))))")).as("e"))
+      .select(col("e.src"), col("e.dst"))
     val (frame, pins) = graft.operators.GraphOps.trianglesPlan(pairs)
     try { // a failed assert must not strand the materialized pins in the
       // shared session's cache for the rest of the suite
