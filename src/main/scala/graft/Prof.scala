@@ -23,6 +23,7 @@ object Prof {
     import org.apache.spark.sql.functions._
     import graft.pipeline.Text
     if (args.contains("triangles")) { profTriangles(spark, sfDir); return }
+    if (args.contains("trainprep")) { profTrainPrep(spark, sfDir); return }
     time("warmup count")(docs.count())
     val sets = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
@@ -53,6 +54,68 @@ object Prof {
       Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, 3).count())
     time("nearDuplicates")(
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3, 16, 4, 3).count())
+    spark.stop()
+  }
+
+  /** Stage split of the pipeline_train_prep bench row: curate vs the
+    * contamination/mix/pack tail — same fixture as the bench query. */
+  private def profTrainPrep(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Dedup, Pipelines, Text}
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+    }
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+    val train = docsAll.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+    val eval_ = docsAll.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val budgets = Map("en" -> 2000L, "de" -> 600L, "es" -> 600L,
+      "fr" -> 500L)
+    def scrub(f: org.apache.spark.sql.DataFrame) =
+      f.withColumn("text", Text.scrubPii(col("text")))
+    time("warmup count")(docsAll.count())
+    time("scrub only")(scrub(train).select(length(col("text"))).count())
+    val curated = Pipelines.curate(scrub(train), "doc_id", "text", 20, 70,
+      0.3, 3)
+    time("curate")(curated.count())
+    spark.catalog.clearCache()
+    val curated2 = Pipelines.curate(scrub(train), "doc_id", "text", 20, 70,
+      0.3, 3)
+    time("curate+contam")({
+      val contam = Dedup.contamination(curated2, scrub(eval_), "doc_id",
+        "text", 3).select(col("doc_id"))
+      curated2.join(contam, Seq("doc_id"), "left_anti").count()
+    })
+    spark.catalog.clearCache()
+    time("full trainPrep")(Pipelines.trainPrep(train, "doc_id", "text",
+      eval_, budgets, contextLen = 128, numBuckets = 4).count())
+    spark.catalog.clearCache()
+    time("full trainPrep again")(Pipelines.trainPrep(train, "doc_id",
+      "text", eval_, budgets, contextLen = 128, numBuckets = 4).count())
+    // step-by-step replica of trainPrep's pinned chain. NOTE: the
+    // eager localCheckpoints materialize at CONSTRUCTION (the val
+    // definitions), so each time() below measures only the residual —
+    // read these as "the stage is cheap once its inputs are pinned",
+    // not as a wall-time split of the composed call
+    spark.catalog.clearCache()
+    val curatedM = Pipelines.curate(scrub(train), "doc_id", "text", 20, 70,
+      0.3, 3, materialize = true)
+    time("curate(mat) step")(curatedM.count())
+    val contamIds = Dedup.contamination(curatedM, scrub(eval_), "doc_id",
+      "text", 3).select(col("doc_id"))
+    val cleanStep = curatedM.join(contamIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    time("contam+anti pin step")(cleanStep.count())
+    val mixedStep = Text.mixSample(cleanStep, "doc_id", "text",
+      "lang_pred", budgets)
+    val docsStep = cleanStep.select(col("doc_id"), col("text"),
+        col("lang_pred"))
+      .join(mixedStep.select(col("doc_id"), col("cum_tokens")),
+        Seq("doc_id")).localCheckpoint()
+    time("mix+join pin step")(docsStep.count())
+    time("pack+final join step")(
+      Text.packSequences(docsStep, "doc_id", "text", 128, 4)
+        .join(docsStep.drop("text"), Seq("doc_id")).count())
     spark.stop()
   }
 
