@@ -170,20 +170,10 @@ object RollupStore {
   def append(df: DataFrame, path: String, batchKey: String,
       bucketNanos: Long, valueCol: String = "value",
       tsCol: String = "ts", distinctCol: Option[String] = None,
-      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil): Unit = {
+      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil,
+      validateWidth: Boolean = true): Unit = {
     val spark = df.sparkSession
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(live))
-      readableStore(spark, path).map(storeWidths).foreach {
-        case Seq() => // an empty (fully-trimmed) store accepts any grain
-        case Seq(bn) => require(bn == bucketNanos,
-          s"append: store at $path holds $bn-ns buckets; appending " +
-            s"$bucketNanos-ns partials would mix grains in one store")
-        case ws => throw new IllegalStateException(
-          s"rollup store at $path holds MIXED bucket widths " +
-            s"${ws.mkString(", ")} — one store holds exactly one grain")
-      }
+    if (validateWidth) requireGrain(spark, path, bucketNanos, "append")
     rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
       histBoundsCents)
       .withColumn("batch_key", lit(batchKey))
@@ -199,16 +189,46 @@ object RollupStore {
     stored.select("bucket_ns").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq
 
-  /** The one bucket width a store holds; empty or mixed stores fail. */
-  private def storeBucketNs(stored: DataFrame, path: String): Long =
+  /** The one width a store frame holds, None when it is empty (fully
+    * trimmed) — the shared single-grain probe behind every width guard;
+    * a mixed-width store (a writer that bypassed [[append]]'s
+    * validation) always fails loudly HERE, never feeds arithmetic. */
+  private def widthOf(stored: DataFrame, path: String): Option[Long] =
     storeWidths(stored) match {
-      case Seq(bn) => bn
-      case Seq() => throw new IllegalArgumentException(
-        s"rollup store at $path is empty")
+      case Seq(bn) => Some(bn)
+      case Seq() => None
       case ws => throw new IllegalStateException(
         s"rollup store at $path holds MIXED bucket widths " +
           s"${ws.mkString(", ")} — one store holds exactly one grain")
     }
+
+  /** [[widthOf]] for a store known only by path: absent, schema-less,
+    * or fully-trimmed trees are None. */
+  private def storeWidthOpt(spark: SparkSession, path: String)
+      : Option[Long] = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(live)) None
+    else readableStore(spark, path).flatMap(widthOf(_, path))
+  }
+
+  /** Fail loudly when an existing store's grain differs from
+    * `bucketNanos` (absent/empty stores accept any grain) — the write-
+    * side width guard. A long-lived appender (streaming ingest) may run
+    * this ONCE at stream start instead of per micro-batch: the probe
+    * scans every accumulated partial file, and the read side's
+    * uniform-width assert still catches a concurrent writer that
+    * bypasses it. */
+  private[graft] def requireGrain(spark: SparkSession, path: String,
+      bucketNanos: Long, context: String): Unit =
+    storeWidthOpt(spark, path).foreach(bn => require(bn == bucketNanos,
+      s"$context: store at $path holds $bn-ns buckets; appending " +
+        s"$bucketNanos-ns partials would mix grains in one store"))
+
+  /** The one bucket width a store holds; empty or mixed stores fail. */
+  private def storeBucketNs(stored: DataFrame, path: String): Long =
+    widthOf(stored, path).getOrElse(throw new IllegalArgumentException(
+      s"rollup store at $path is empty"))
 
   /** Self-heal crashed swaps, read, scope to `[since, until)` with `__day`
     * directory pruning + `bucket_ts` row-group pruning, and drop
@@ -435,29 +455,39 @@ object RollupStore {
       horizon match {
         case Some(_) => stitchedAt(g) // tiered lifecycle: the store holds
           // the pre-horizon past, raw the rest — stitch, never partial
-        case None => // untiered: the store is the complete mirror
+        case None => // untiered: the store is the complete mirror —
+          // served from the frame this call already self-healed and
+          // read, not a second rollup() listing of the same tree
           val (lo, hi) = widened(g)
-          rollup(spark, path, g, Some(lo), Some(hi))
+          mergeFold(scopedFrame(stored, Some(lo), Some(hi)), g,
+              uniformWidth = true)
             .withColumn("grain_ns", lit(g))
             .withColumn("source", lit("store"))
       }
-    } else if (horizon.forall(_ <= since)) {
-      // finer-than-stored budget over a range raw fully holds
-      val (lo, hi) = widened(gRaw)
-      val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo),
-          Some(hi), tsCol), gRaw, valueCol, tsCol, distinctCol, lgK,
-          histBoundsCents)
-        .drop("bucket_ns")
-      (if (distinctCol.nonEmpty) // schema parity with the store path
-        rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
-      else rows)
-        .withColumn("grain_ns", lit(gRaw)).withColumn("source", lit("raw"))
     } else {
-      // the budget demands finer-than-stored resolution over a range
-      // whose pre-horizon samples no longer exist at that resolution:
-      // clamp to the stored grain — a complete answer at the finest
-      // resolution that still exists beats a silently partial fine one
-      stitchedAt(fit(toMult(bucketNs), toMult))
+      // the raw-only fast path must test the horizon against the
+      // WIDENED lower bound, not the requested `since`: widening rounds
+      // the first bucket down, and a first bucket dipping below the
+      // horizon would silently miss the tiered-off samples inside it —
+      // exactly the partial answer this router exists to prevent
+      val (lo, hi) = widened(gRaw)
+      if (horizon.forall(_ <= lo)) {
+        // finer-than-stored budget over a range raw fully holds
+        val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw,
+            Some(lo), Some(hi), tsCol), gRaw, valueCol, tsCol, distinctCol,
+            lgK, histBoundsCents)
+          .drop("bucket_ns")
+        (if (distinctCol.nonEmpty) // schema parity with the store path
+          rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
+        else rows)
+          .withColumn("grain_ns", lit(gRaw)).withColumn("source", lit("raw"))
+      } else {
+        // the budget demands finer-than-stored resolution over a range
+        // whose pre-horizon samples no longer exist at that resolution:
+        // clamp to the stored grain — a complete answer at the finest
+        // resolution that still exists beats a silently partial fine one
+        stitchedAt(fit(toMult(bucketNs), toMult))
+      }
     }
   }
 
@@ -595,18 +625,11 @@ object RollupStore {
     require(coarseBucketNanos % fineBn == 0,
       s"tierOffStore: coarse width $coarseBucketNanos does not nest the " +
         s"fine store's $fineBn buckets")
-    val coarseLive = new org.apache.hadoop.fs.Path(coarseStorePath)
-    val fs = coarseLive.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(coarseLive))
-      readableStore(spark, coarseStorePath).map(storeWidths).foreach {
-        case Seq() => // empty coarse store accepts the first tier
-        case Seq(bn) => require(bn == coarseBucketNanos,
-          s"tierOffStore: coarse store at $coarseStorePath holds $bn-ns " +
-            s"buckets, not $coarseBucketNanos")
-        case ws => throw new IllegalStateException(
-          s"rollup store at $coarseStorePath holds MIXED bucket widths " +
-            s"${ws.mkString(", ")} — one store holds exactly one grain")
-      }
+    // an absent or empty coarse store accepts the first tier
+    storeWidthOpt(spark, coarseStorePath).foreach(bn =>
+      require(bn == coarseBucketNanos,
+        s"tierOffStore: coarse store at $coarseStorePath holds $bn-ns " +
+          s"buckets, not $coarseBucketNanos"))
     mergeFold(fine, coarseBucketNanos, uniformWidth = true)
       .drop("distinct_est") // a read-side derivation, not a stored column
       // the fold's sum-of-sums widened to decimal(38,2); the store's
@@ -789,6 +812,28 @@ object RollupStore {
     * equals the next store's and the gap is empty). An absent/empty raw
     * tree — everything tiered off — serves zero raw rows instead of
     * failing schema inference. */
+  /** Serving windows for a fine → coarse chain of stitched sources,
+    * given each source's OWN horizon (None = serves to ∞, i.e. raw or a
+    * mirror store): source i serves `[next present horizon below it ∨
+    * since, own horizon ∧ until)`. This is THE exactly-once-per-sample
+    * window discipline every stitched read shares — one implementation,
+    * so a fix to the arithmetic cannot diverge between the raw-headed
+    * and the raw-less lifecycles. Validates that present horizons run
+    * newest (fine) to oldest (coarse). */
+  private def tierWindows(context: String, horizons: Seq[Option[Long]],
+      since: Option[Long], until: Option[Long])
+      : Seq[(Option[Long], Option[Long])] = {
+    val presentHs = horizons.flatten
+    require(presentHs.sliding(2).forall(w =>
+        w.length < 2 || w.head >= w.last),
+      s"$context: tier horizons must run newest (fine) to oldest " +
+        s"(coarse); got ${presentHs.mkString(", ")}")
+    horizons.zipWithIndex.map { case (h, i) =>
+      (Seq(horizons.drop(i + 1).flatten.headOption, since).flatten.maxOption,
+        Seq(h, until).flatten.minOption)
+    }
+  }
+
   private def stitchTiers(spark: SparkSession, raw: DataFrame,
       tiers: Seq[Option[TierAtRest]], coarseNanos: Long,
       since: Option[Long], until: Option[Long],
@@ -798,13 +843,13 @@ object RollupStore {
     // never-tiered-into (horizonless) stores skipped
     val present: Seq[(TierAtRest, Long)] =
       tiers.flatten.flatMap(t => t.horizon.map(t -> _))
-    require(present.map(_._2).sliding(2).forall(w =>
-        w.length < 2 || w.head >= w.last),
-      s"stitchTiers: tier horizons must run newest (fine) to oldest " +
-        s"(coarse); got ${present.map(_._2).mkString(", ")}")
-    val rawLow = present.map(_._2).maxOption
-    val rawScoped = graft.operators.TsOps.rangeFilter(raw,
-      Seq(rawLow, since).flatten.maxOption, until, tsCol)
+    // raw heads the chain as the horizonless source serving to ∞ — the
+    // same slot the mirror store occupies in the raw-less lifecycle
+    val windows = tierWindows("stitchTiers",
+      None +: present.map(p => Some(p._2)), since, until)
+    val (rawLo, rawHi) = windows.head
+    val rawScoped = graft.operators.TsOps.rangeFilter(raw, rawLo, rawHi,
+      tsCol)
     val anySketch = present.exists(_._1.df.columns.contains("hll"))
     val anyHist = present.exists(_._1.df.columns.contains("hcnt"))
     require(!anySketch || distinctCol.nonEmpty,
@@ -820,11 +865,7 @@ object RollupStore {
       if (anySketch) distinctCol else None, lgK,
       if (anyHist) histBoundsCents else Nil)
       .select(cols.map(col): _*)
-    // store i's window: [next coarser tier's horizon, its own horizon)
-    val storeParts = present.zipWithIndex.map { case ((t, h), i) =>
-      val low = present.drop(i + 1).headOption.map(_._2)
-      val lo = Seq(low, since).flatten.maxOption
-      val hi = Some(Seq(Some(h), until).flatten.min)
+    val storeParts = present.zip(windows.tail).map { case ((t, _), (lo, hi)) =>
       scopedFrame(t.df, lo, hi).select(cols.map(col): _*)
     }
     mergeFold(storeParts.foldLeft(rawPart)(_.unionByName(_)), coarseNanos,
@@ -912,18 +953,11 @@ object RollupStore {
       tiers: Seq[Option[TierAtRest]], coarseNanos: Long,
       since: Option[Long], until: Option[Long]): DataFrame = {
     val horizons: Seq[Option[Long]] = tiers.map(_.flatMap(_.horizon))
-    val presentHs = horizons.flatten
-    require(presentHs.sliding(2).forall(w => w.length < 2 || w.head >= w.last),
-      s"storeCascadeRollup: tier horizons must run newest (fine) to " +
-        s"oldest (coarse); got ${presentHs.mkString(", ")}")
-    val parts = tiers.zipWithIndex.flatMap { case (t, i) =>
-      t.map { tier =>
-        val lo = horizons.drop(i + 1).flatten.headOption
-        val hi = horizons(i) // None for the mirror: serves to ∞
-        scopedFrame(tier.df,
-          Seq(lo, since).flatten.maxOption,
-          Seq(hi, until).flatten.minOption)
-      }
+    // the mirror is the horizonless head serving to ∞ — same window
+    // discipline as raw in stitchTiers, one shared implementation
+    val windows = tierWindows("storeCascadeRollup", horizons, since, until)
+    val parts = tiers.zip(windows).flatMap { case (t, (lo, hi)) =>
+      t.map(tier => scopedFrame(tier.df, lo, hi))
     }
     require(parts.nonEmpty, "storeCascadeRollup: no readable store")
     val anySketch = parts.exists(_.columns.contains("hll"))
@@ -1044,13 +1078,7 @@ object RollupStore {
     // finest PRESENT tier's width, so the router serves the complete
     // coarser answer instead of dying on an empty store
     val mirrorOwnW: Option[Long] =
-      tiersRead.head.flatMap(t => storeWidths(t.df) match {
-        case Seq(bn) => Some(bn)
-        case Seq() => None // trimmed empty: no width of its own
-        case ws => throw new IllegalStateException(
-          s"rollup store at ${t.path} holds MIXED bucket widths " +
-            s"${ws.mkString(", ")} — one store holds exactly one grain")
-      })
+      tiersRead.head.flatMap(t => widthOf(t.df, t.path))
     val mirrorW: Long =
       mirrorOwnW.orElse(present.headOption.map(_._1)).getOrElse(
         throw new IllegalArgumentException(

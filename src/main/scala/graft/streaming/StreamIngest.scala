@@ -1381,16 +1381,25 @@ object StreamIngest {
       bucketNanos: Long, valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // grain validation ONCE at stream start, not per micro-batch: the
+    // probe scans every accumulated partial file, so inside foreachBatch
+    // it would grow with the stream's life between compactions; the
+    // read side's uniform-width assert still backstops a concurrent
+    // writer that lands a different grain mid-stream
+    graft.storage.RollupStore.requireGrain(stream.sparkSession, path,
+      bucketNanos, "rollupIngest")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.storage.RollupStore.append(batch, path,
           sketchBatchKey(checkpointDir, batchId), bucketNanos, valueCol,
-          tsCol, distinctCol, lgK, histBoundsCents)
+          tsCol, distinctCol, lgK, histBoundsCents,
+          validateWidth = false)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** The replay-stable identity of one sketch-ingest micro-batch: a hash
     * of the checkpoint location (md5 prefix — the same verbatim string

@@ -296,6 +296,45 @@ class RollupStoreSpec extends AnyFunSuite {
       raw.filter(col("ts") >= Day).count())
   }
 
+  test("route tests the horizon against the WIDENED lower bound: a " +
+      "first bucket dipping below it stitches instead of serving raw") {
+    // grain fitting here converges to g=3740s: the widened first bucket
+    // starts at 86020s — BELOW the Day horizon even though the requested
+    // since (88200s) is above it. A raw-only serve would emit a first
+    // bucket silently missing the tiered-off 86100s sample it claims to
+    // cover; the router must clamp and stitch instead.
+    val S = 1000000000L
+    val rows = Seq((86100L * S, 1.00), (89000L * S, 2.00),
+      (100000L * S, 3.00), (120000L * S, 4.00)).toDF("ts", "value")
+    val base = SparkTestBase.tempDir("graft-rollup-wlo")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    rows.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H)
+    val rawNow = spark.read.parquet(rawP)
+    assert(rawNow.agg(min("ts")).head().getLong(0) >= Day)
+    val served = RollupStore.route(spark, stP, rawNow,
+      since = 88200L * S, until = 122200L * S, maxPoints = 10)
+    val got = served.select("bucket_ts", "n", "sum_c", "grain_ns", "source")
+      .orderBy("bucket_ts").collect()
+    assert(got.forall(_.getAs[String]("source") == "stitched"), got.toSeq)
+    val g = got.head.getAs[Long]("grain_ns")
+    // the clamped grain's widened window, aggregated over the
+    // NEVER-TIERED table — every served bucket must match it exactly
+    val lo = (88200L * S) / g * g
+    val hi = ((122200L * S - 1) / g + 1) * g
+    val want = rows.filter(col("ts") >= lo && col("ts") < hi)
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", g))
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+      .orderBy("bucket_ts").collect()
+    assert(got.map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq ==
+      want.map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq)
+  }
+
   test("sketch dimensions survive tiering — and compaction keeps the " +
       "horizon") {
     val rows = Seq((1L * H, 1.50, 10L), (2L * H, 2.25, 11L),
