@@ -139,6 +139,59 @@ class RouteOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("route with sketch dimensions: histogram counters and distinct " +
+      "counts stay exact through tiered serving at every probe") {
+    // counters are plain longs merged by vector addition — EXACTLY
+    // reproducible — and at these per-bucket cardinalities the HLL
+    // estimate equals the exact distinct count (the same contract the
+    // rollup_store_users gate relies on)
+    val bounds = Seq(2000L, 5000L, 8000L)
+    val rnd0 = new scala.util.Random(42)
+    val rows = (0 until 200).map { _ =>
+      val ts = (rnd0.nextDouble() * 5 * 86400).toLong * S + rnd0.nextInt(1000)
+      val v = math.rint(rnd0.nextDouble() * 10000) / 100.0
+      (ts, v, (rnd0.nextInt(20) + 1).toLong)
+    }.toDF("ts", "value", "uid")
+    val base = SparkTestBase.tempDir("graft-ro-dims")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    rows.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = 2 * Day, bucketNanos = H,
+      distinctCol = Some("uid"), histBoundsCents = bounds)
+    val rawNow = spark.read.parquet(rawP)
+    val rnd = new scala.util.Random(31)
+    for ((since, until, mp) <- probes(rnd, Seq(2 * Day)).take(15)) {
+      val df = RollupStore.route(spark, stP, rawNow, since, until, mp,
+        distinctCol = Some("uid"), histBoundsCents = bounds)
+      val got = df.select("bucket_ts", "hcnt", "distinct_est")
+        .orderBy("bucket_ts").collect()
+        .map(r => (r.getAs[Long]("bucket_ts"),
+          r.getAs[Seq[Long]]("hcnt").toList,
+          r.getAs[Long]("distinct_est"))).toSeq
+      assert(got.nonEmpty)
+      val g = df.select("grain_ns").head().getLong(0)
+      val (lo, hi) = widen(since, until, g)
+      val windowRows = rows.filter(col("ts") >= lo && col("ts") < hi)
+      // direct counters via the SHARED rollupRows bucket assignment on
+      // the never-tiered window — bit-exact, no tolerance
+      val direct = RollupStore.rollupRows(windowRows, g, "value", "ts",
+          None, 12, bounds)
+        .select("bucket_ts", "hcnt").orderBy("bucket_ts").collect()
+        .map(r => (r.getAs[Long]("bucket_ts"),
+          r.getAs[Seq[Long]]("hcnt").toList)).toSeq
+      val exactDistinct = windowRows
+        .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", g))
+          .as("bucket_ts"))
+        .agg(countDistinct("uid").as("du"))
+        .orderBy("bucket_ts").collect()
+        .map(r => (r.getAs[Long]("bucket_ts"), r.getAs[Long]("du"))).toSeq
+      assert(got.map(x => (x._1, x._2)) == direct,
+        s"counters diverged at probe ($since, $until, $mp), grain=$g")
+      assert(got.map(x => (x._1, x._3)) == exactDistinct,
+        s"distinct diverged at probe ($since, $until, $mp), grain=$g")
+    }
+  }
+
   test("routeStoreCascade over a mirror plus tiers: every probe equals " +
       "the direct aggregate of everything ingested") {
     val base = SparkTestBase.tempDir("graft-ro-mirror")
