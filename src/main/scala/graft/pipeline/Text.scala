@@ -338,6 +338,16 @@ object Text {
     require(contextLen > 0 && numBuckets > 0,
       s"packByCounts needs positive contextLen/numBuckets: " +
         s"$contextLen/$numBuckets")
+    // pmod on a non-numeric id coerces via double → NULL buckets, which
+    // would silently collapse the pack into ONE window partition — the
+    // exact single-task serialization the bucketing exists to avoid
+    require({
+        import org.apache.spark.sql.types._
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(counts.schema(counts.schema.fieldIndex(idCol)).dataType)
+      },
+      s"packByCounts buckets by pmod($idCol, n) — needs an integral id " +
+        "column (string/uuid ids: hash them to a long first)")
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     counts
@@ -357,7 +367,11 @@ object Text {
     * metric: of a doc's distinct shingles, how many appear in NO other
     * document (corpus df == 1). High-novelty docs carry unique content;
     * near-zero novelty marks boilerplate assembled from shared spans.
-    * Emits (id, n_shingles, n_novel, novelty).
+    * Emits (id, n_shingles, n_novel, novelty) — one row per doc WITH AT
+    * LEAST `shingleSize` tokens. Shorter docs have no shingles and no
+    * output row (they'd need an n_shingles=0 row with an undefined
+    * novelty ratio); a consumer averaging novelty per source must
+    * left-join from the corpus if it wants those docs represented.
     *
     * Scale shape: explode distinct shingles once, df by one
     * map-side-combinable count keyed on shingle, then join the exploded
@@ -407,13 +421,17 @@ object Text {
     * truncation/packing context sizes. One map-side-combinable groupBy;
     * output is |groups| × |buckets| metadata rows at any corpus size. */
   def lengthHistogram(df: DataFrame, textCol: String, groupCol: String,
-      width: Int): DataFrame =
+      width: Int): DataFrame = {
+    // div 0 is NULL in Spark SQL — a zero width would yield one
+    // plausible-looking null bucket instead of failing
+    require(width > 0, s"lengthHistogram needs a positive width: $width")
     fanOut(df)
       .select(col(groupCol),
         tokenCount(col(textCol)).cast("long").as("__nt"))
       .withColumn("bucket", expr(s"__nt div $width"))
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Sizing rule for [[packSequences]]' stream-bucket count: one bucket
     * per `bytesPerBucket` of estimated scan input, read from the plan's
@@ -507,7 +525,11 @@ object Text {
     // every domain empty (floor(sqrt(0)) = 0 each) → zero budgets, not a
     // divide-by-zero from the share computation
     if (sumW == 0L) w.map { case (dom, _) => dom -> 0L }.toMap
-    else w.map { case (dom, wd) => dom -> totalBudget * wd / sumW }.toMap
+    // the product routes through BigInt: totalBudget · √(domain tokens)
+    // overflows Long at 100 TB-class corpora (the decimal(38,0)
+    // discipline the in-plan products already follow)
+    else w.map { case (dom, wd) =>
+      dom -> (BigInt(totalBudget) * wd / sumW).toLong }.toMap
   }
 
   /** Epoch-repeat mixture planning — the data-constrained companion of
@@ -966,6 +988,12 @@ object Text {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)
+    // the mapPartitions below reads the id as a Long; any other id type
+    // must fail HERE at plan time, not as per-task ClassCastExceptions
+    // mid-job (string/uuid ids: hash them to a long first — md5Long)
+    require(df.schema(idIdx).dataType == LongType,
+      s"compressionRatio needs a LongType id column; $idCol is " +
+        s"${df.schema(idIdx).dataType.simpleString}")
     val txtIdx = df.schema.fieldIndex(textCol)
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -1442,7 +1470,11 @@ object Text {
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val step = size - overlap
     val toks = col("__toks")
-    val n = Fn.size(toks) // `size` param shadows functions.size here
+    // null-text docs tokenize to a NULL array; without the coalesce the
+    // n===0 guard would not fire (null predicate) and greatest(1, null)
+    // = 1 would emit one phantom empty chunk per null doc
+    val n = coalesce(Fn.size(toks), lit(0)) // `size` param shadows
+      // functions.size here
     val nChunks = when(n === 0, lit(0))
       .otherwise(greatest(lit(1), ((n - overlap + step - 1) / step).cast("int")))
     df.withColumn("__toks", tokens(col(textCol)))
@@ -1610,6 +1642,26 @@ object Text {
     */
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
       topK: Int = 50, scaleLog2: Int = 20): DataFrame = {
+    // the result is ≤ topK rows (metadata-sized by construction), so it
+    // materializes HERE and the unigram pin releases before return — a
+    // long-lived session calling this per source/day accumulates no
+    // cache entries (the [[graft.operators.GraphOps.triangles]]
+    // discipline; plan audits inspect [[collocationsPlan]] instead)
+    val (out, uni) = collocationsPlan(df, textCol, minCount, topK,
+      scaleLog2)
+    try {
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.collect().toSeq, 1), out.schema)
+    } finally uni.unpersist()
+  }
+
+  /** The lazy [[collocations]] plan plus its persisted unigram frame —
+    * split out so plan audits can pin the cache reuse while
+    * [[collocations]] owns the materialization and release. */
+  private[graft] def collocationsPlan(df: DataFrame, textCol: String,
+      minCount: Long = 5, topK: Int = 50, scaleLog2: Int = 20)
+      : (DataFrame, DataFrame) = {
     require(minCount >= 1 && topK >= 1 && scaleLog2 >= 10 && scaleLog2 <= 30)
     val s = 1L << scaleLog2
     val big = (c: Column) => c.cast("decimal(38,0)")
@@ -1620,13 +1672,15 @@ object Text {
     val uni = base.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .persist()
-    val n = uni.agg(sum("c")).head().getLong(0)
+    // coalesce: an empty corpus sums to NULL, which must read as zero
+    // tokens, not a driver NPE
+    val n = uni.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
     val bi = base.select(explode(bigramsUdf(col(textCol))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
       .withColumn("tok_a", split(col("bg"), " ").getItem(0))
       .withColumn("tok_b", split(col("bg"), " ").getItem(1))
-    bi
+    val out = bi
       .join(uni.withColumnRenamed("tok", "tok_a").withColumnRenamed("c", "c_a"),
         "tok_a")
       .join(uni.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "c_b"),
@@ -1637,6 +1691,7 @@ object Text {
       .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", "pmi_s")
       .orderBy(col("pmi_s").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(topK)
+    (out, uni)
   }
 
   /** The reference bigram language model [[lmScore]] scores against:
@@ -1812,7 +1867,13 @@ object Text {
           .limit(candidatesPerRound).collect().map(_.getString(0))
         if (cands.isEmpty) exhausted = true
         else {
-          // rank-window selection (the top candidate always survives)
+          // rank-window selection (the top candidate always survives).
+          // Component-set disjointness is SUFFICIENT for exact counts:
+          // a selected pair's concatenation is not a round-start symbol
+          // (symbols only arise from characters and PRIOR-round merges,
+          // and a prior-round merge's pair can't reappear as a bigram —
+          // bpeApply replaced every adjacency), so no same-round
+          // candidate can contain another's merged output
           val seen = scala.collection.mutable.HashSet[String]()
           val sel = Vector.newBuilder[(String, String)]
           var n = 0
@@ -1887,10 +1948,20 @@ object Text {
     val nRaw = rawB.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
     val nTgt = tgtB.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
     require(nTgt > 0, "importanceWeights needs a non-empty target corpus")
-    rawB.join(tgtB.withColumnRenamed("c", "tc"), Seq("bkt"), "left")
+    // DENSE bucket table — all `buckets` rows, raw-absent buckets at
+    // raw_b = 0. Batch scoring never reads the extra rows (a raw token's
+    // bucket is raw-present by definition), but STREAMING scoring
+    // against a stored table does: a stream token hashing into a bucket
+    // the historical raw corpus never touched must score with the
+    // maximally-target-enriched weight, not silently vanish from the
+    // doc mean in the inner join
+    raw.sparkSession.range(buckets.toLong).select(col("id").as("bkt"))
+      .join(rawB, Seq("bkt"), "left")
+      .join(tgtB.withColumnRenamed("c", "tc"), Seq("bkt"), "left")
       .withColumn("__wn",
         big(lit(s)) * big(coalesce(col("tc"), lit(0L)) + 1) * big(lit(nRaw)))
-      .withColumn("__wd", big(col("c") + 1) * big(lit(nTgt)))
+      .withColumn("__wd",
+        big(coalesce(col("c"), lit(0L)) + 1) * big(lit(nTgt)))
       .withColumn("w", expr("__wn div __wd"))
       .select("bkt", "w")
   }

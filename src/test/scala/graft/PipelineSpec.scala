@@ -1358,6 +1358,58 @@ class PipelineSpec extends AnyFunSuite {
     // empty doc → zero chunks (and no descending-sequence artifact)
     val empty = Seq((9L, "")).toDF("doc_id", "text")
     assert(Text.chunk(empty, "doc_id", "text", 4, 2).count() == 0)
+    // NULL text → zero chunks too (a null token array must not slip the
+    // n===0 guard and emit a phantom empty chunk that dupChunkStats /
+    // boilerplateSpans would then fingerprint as shared content)
+    val nullDoc = Seq((10L, Option.empty[String]), (11L, Some("a b c d")))
+      .toDF("doc_id", "text")
+    val nc = Text.chunk(nullDoc, "doc_id", "text", 4, 2)
+    assert(nc.filter($"doc_id" === 10L).count() == 0)
+    assert(nc.filter($"doc_id" === 11L).count() == 1)
+  }
+
+  test("shape guards fail loudly: zero histogram width, non-integral " +
+      "pack and compression ids") {
+    val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "src")
+    intercept[IllegalArgumentException] {
+      Text.lengthHistogram(docs, "text", "src", width = 0)
+    }
+    val strIds = Seq(("u1", 5L)).toDF("doc_id", "n_tokens")
+    intercept[IllegalArgumentException] {
+      Text.packByCounts(strIds, "doc_id", "n_tokens", 128, 4)
+    }
+    val intIds = Seq((1, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Text.compressionRatio(intIds, "doc_id", "text")
+    }
+  }
+
+  test("importance weight table is dense: every bucket scores, including " +
+      "ones the raw corpus never touched") {
+    // md5 buckets at 16: alpha → 11, delta → 1 — disjoint by design
+    val raw = Seq((1L, "alpha alpha")).toDF("doc_id", "text")
+    val tgt = Seq((2L, "delta delta delta")).toDF("doc_id", "text")
+    val w = Text.importanceWeights(raw, tgt, "text", buckets = 16)
+    assert(w.count() == 16) // the documented `buckets`-rows contract
+    // delta's bucket is raw-absent yet must carry the maximally
+    // target-enriched weight, not be missing from the stored table
+    val betaW = w.collect().map(r =>
+      r.getAs[Long]("bkt") -> r.getAs[Long]("w")).toMap
+    assert(betaW.values.exists(_ > (1L << 20)),
+      betaW.toString) // some bucket scores above S (target-enriched)
+  }
+
+  test("collocations survives an empty corpus and leaves no cache " +
+      "residue") {
+    spark.sharedState.cacheManager.clearCache() // isolate the residue check
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Text.collocations(empty, "text").count() == 0)
+    val docs = Seq((1L, "a b a b a b a b a b a b")).toDF("doc_id", "text")
+    val out = Text.collocations(docs, "text", minCount = 2, topK = 5)
+    assert(out.count() >= 1)
+    // the unigram pin released when the call returned
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "collocations left a cached frame behind")
   }
 
   test("hashSplit is deterministic and respects cut fractions") {

@@ -660,11 +660,19 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("text_collocations: unigram vocabulary pinned — corpus scanned twice") {
     // the unigram aggregate feeds the N scalar plus two joins; without the
-    // persist the corpus would be tokenized four times
-    val p = plan("text_collocations")
-    assert(p.contains("InMemoryTableScan"), p)
-    assert(!p.contains("CartesianProduct"), p)
-    spark.sharedState.cacheManager.clearCache()
+    // persist the corpus would be tokenized four times. collocations()
+    // itself materializes and releases (topK rows), so the pin is
+    // audited on the lazy collocationsPlan frame
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val (frame, uni) = graft.pipeline.Text.collocationsPlan(docs, "text",
+      minCount = 5, topK = 30)
+    try {
+      val p = frame.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    } finally uni.unpersist()
   }
 
   test("graph_triangles: data-sized joins are hash equi-joins, no cartesian") {
