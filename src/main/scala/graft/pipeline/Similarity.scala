@@ -79,19 +79,26 @@ object Similarity {
     * the per-plane projections fold left-to-right like the HOF form did.
     */
   def rhpSignature(vec: Column, dims: Int, numPlanes: Int, seed: Int): Column = {
+    // an Int signature: planes past bit 31 would alias via JVM shift
+    // wrap (1 << 32 == 1) and silently corrupt buckets; 30 leaves the
+    // sign bit alone and matches the documented bound
+    require(numPlanes >= 1 && numPlanes <= 30,
+      s"numPlanes must be in [1, 30]: $numPlanes")
     val planes: Array[Array[Double]] =
       Array.tabulate(numPlanes, dims)((p, d) => planeComponent(p, d, seed))
     val f = udf((v: Array[Float]) => {
-      if (v == null) null.asInstanceOf[java.lang.Integer]
+      // a wrong-length vector must not bucket by a truncated-prefix
+      // projection (the CosineSim posture: corrupt vectors are data,
+      // and they rank nowhere — a null signature joins no bucket)
+      if (v == null || v.length != dims) null.asInstanceOf[java.lang.Integer]
       else {
         var sig = 0
         var p = 0
         while (p < planes.length) {
           val comps = planes(p)
-          val n = math.min(v.length, comps.length)
           var proj = 0.0
           var i = 0
-          while (i < n) { proj += v(i).toDouble * comps(i); i += 1 }
+          while (i < dims) { proj += v(i).toDouble * comps(i); i += 1 }
           if (proj >= 0) sig |= (1 << p)
           p += 1
         }
@@ -133,8 +140,13 @@ object Similarity {
         explode(array(qProbes: _*)).as("__p"))
       .select(col(qidCol), col(qvecCol),
         col("__p.tbl").as("__tbl"), col("__p.sig").as("__sig"))
-    val cands = bucketedCorpus.join(broadcast(qProbed), Seq("__tbl", "__sig"))
-      .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol)).distinct()
+    val joined = bucketedCorpus.join(broadcast(qProbed), Seq("__tbl", "__sig"))
+      .select(col(qidCol), col(qvecCol), col(idCol), col(vecCol))
+    // one table cannot produce duplicate (qid, id) pairs — each corpus
+    // row holds one signature and the probe signatures are pairwise
+    // distinct — so the dedup shuffle (which carries BOTH float vectors)
+    // only runs for the multi-table OR-construction
+    val cands = if (numTables > 1) joined.distinct() else joined
     rankTopK(cands, k, idCol, qidCol, excludeSelf,
       cosine(col(qvecCol), col(vecCol)))
   }
@@ -144,22 +156,33 @@ object Similarity {
     * scale the assignment becomes the storage partition key so probes read
     * only `nprobe` partitions.
     */
+  /** THE broadcast-centroid ranked-cosine scan shared by [[ivfAssign]],
+    * [[embeddingOutliers]] and the probe-cell resolver — one
+    * implementation so the degenerate-cosine filter and the tie-break
+    * cannot silently diverge across the three. Degenerate cosines drop
+    * BEFORE the rank: NaN (the HOF cosine path) sorts FIRST under desc
+    * and would capture every row into one degenerate cell; NULL
+    * ([[graft.functions.CosineSim]] on zero-norm/dim-mismatch) sorts
+    * last but could still be ranked when `keep` exceeds the comparable
+    * cells. Keeps the `keep` best (cos desc, cid asc) centroids per row;
+    * emits the input columns plus (cid, cos). */
+  private def rankedCentroidScan(rows: DataFrame, centroids: DataFrame,
+      rowKey: String, vec: String, cidCol: String, cvecCol: String,
+      keep: Int): DataFrame = {
+    val scored = rows.crossJoin(broadcast(centroids))
+      .withColumn("cos", cosine(col(cvecCol), col(vec)))
+      .filter(col("cos").isNotNull && !isnan(col("cos")))
+    val w = Window.partitionBy(rowKey)
+      .orderBy(col("cos").desc, col(cidCol).asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= keep)
+  }
+
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cidCol: String = "cid", cvecCol: String = "cvec"): DataFrame = {
-    // Degenerate cosines drop before the argmax. [[CosineSim]] yields NULL
-    // on zero-norm/dim-mismatch (sorts last under desc, but a vector whose
-    // cosines are ALL null would still get assigned an arbitrary cell);
-    // NaN (possible via the HOF cosine) sorts FIRST and would capture
-    // EVERY vector into one degenerate cell — same posture as
-    // embeddingOutliers
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col(cvecCol), col(vecCol)))
-      .filter(col("cos").isNotNull && !isnan(col("cos")))
-    val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col(cidCol).asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      cidCol: String = "cid", cvecCol: String = "cvec"): DataFrame =
+    rankedCentroidScan(corpus, centroids, idCol, vecCol, cidCol, cvecCol,
+      keep = 1)
       .select(col(idCol), col(vecCol), col(cidCol))
-  }
 
   /** Embedding-quality outlier filter: vectors whose best cosine to ANY
     * centroid falls below `threshold` — the off-manifold rows (corrupt
@@ -173,22 +196,14 @@ object Similarity {
   def embeddingOutliers(corpus: DataFrame, centroids: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", cidCol: String = "cid",
-      cvecCol: String = "cvec"): DataFrame = {
-    // Degenerate cosines (zero-norm centroid, dim mismatch) are dropped
-    // BEFORE the argmax window: NaN (HOF cosine) orders greatest so a
-    // single degenerate centroid would otherwise win every row's argmax
-    // and suppress it; NULL (CosineSim) would win only an all-null row
-    // but then fail `cos < threshold` silently. The streaming twin skips
-    // both, so filtering here keeps the documented drained-stream == batch
-    // equality on degenerate vectors
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("cos", cosine(col(cvecCol), col(vecCol)))
-      .filter(col("cos").isNotNull && !isnan(col("cos")))
-    val w = Window.partitionBy(idCol).orderBy(col("cos").desc, col(cidCol).asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      cvecCol: String = "cvec"): DataFrame =
+    // the shared scan's degenerate-cosine filter is load-bearing here:
+    // the streaming twin skips degenerate vectors too, keeping the
+    // documented drained-stream == batch equality on them
+    rankedCentroidScan(corpus, centroids, idCol, vecCol, cidCol, cvecCol,
+      keep = 1)
       .filter(col("cos") < threshold)
       .select(col(idCol), col(cidCol), col("cos"))
-  }
 
   /** Exact per-label centroid SUMS: element-wise fixed-point sums + counts
     * per (label, dimension) — callers divide `sum_q / 2^40 / n` for the
@@ -201,16 +216,29 @@ object Similarity {
     * per element is 2^-40 ≈ 9e-13. posexplode fans each vector into dim
     * rows that partial-aggregate map-side before one (label, pos) shuffle
     * of k×dims accumulator rows — vectors never move whole, the driver
-    * sees nothing. Headroom: |v| ≤ 4e6 for 2^20 rows per group before the
-    * BIGINT accumulator could wrap.
+    * sees nothing. The accumulator is decimal(38,0) — a 2^40-scaled
+    * element times any realistic row count stays far inside 38 digits —
+    * and the BIGINT output column carries an in-plan guard: a sum past
+    * Long range (n·|v| > 2^23, e.g. >8.4M unit-norm rows in one label)
+    * FAILS LOUDLY telling the caller to shard the label, instead of the
+    * silent wrap a long accumulator would produce.
     */
   def labelCentroidSums(df: DataFrame, labelCol: String,
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding"): DataFrame = {
+    val lmax = BigDecimal(Long.MaxValue)
     df.select(col(labelCol), posexplode(col(vecCol)))
       .select(col(labelCol), (col("pos") + 1).cast("long").as("pos"),
-        floor(col("col").cast("double") * lit(1099511627776.0)).as("__q"))
+        floor(col("col").cast("double") * lit(1099511627776.0))
+          .cast("decimal(38,0)").as("__q"))
       .groupBy(labelCol, "pos")
-      .agg(sum("__q").as("sum_q"), count(lit(1)).as("n"))
+      .agg(sum("__q").as("__sq"), count(lit(1)).as("n"))
+      .withColumn("sum_q", when(assert_true(
+          col("__sq").between(lit(-lmax), lit(lmax)),
+          lit("labelCentroidSums: a label's quantized sum exceeds BIGINT " +
+            "range — shard the label or reduce the quantization scale"))
+        .isNull, col("__sq").cast("long")))
+      .select(col(labelCol), col("pos"), col("sum_q"), col("n"))
+  }
 
   /** Distributed k-means (Lloyd) for IVF centroid training: seeded
     * deterministic init (first `k` corpus vectors by id), then `iters`
@@ -236,8 +264,17 @@ object Similarity {
         .select(col("cid"),
           transform(col("__pairs"), p => p.getField("__m").cast("float"))
             .as("cvec"))
-      // localCheckpoint truncates the growing lineage across iterations
-      cents = means.localCheckpoint()
+      // a cell that received no vectors this round keeps its previous
+      // centroid — groupBy only emits assigned cids, and dropping the
+      // empty cell would silently shrink k below what the caller asked
+      // for (breaking IVF's nprobe/k pruning ratio and semDedup's
+      // cell-size bound; the pqTrain Lloyd loop keeps empty cells for
+      // the same reason). localCheckpoint truncates the growing lineage
+      // across iterations
+      cents = cents.select(col("cid"), col("cvec").as("__prev"))
+        .join(means.withColumnRenamed("cvec", "__new"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("__new"), col("__prev")).as("cvec"))
+        .localCheckpoint()
       i += 1
     }
     cents
@@ -274,11 +311,23 @@ object Similarity {
   def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int = 10,
       sampleN: Int = 2000, idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
-    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+    val sampled = corpus.orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
+      .map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0).toArray)
+    // the corpus dimensionality is the MAJORITY sample length — a
+    // corrupt short vector that happens to sort first must not define
+    // the dims every real vector then fails
+    val lens = sampled.collect { case v if v != null => v.length }
+    val dims0 =
+      if (lens.isEmpty) 0
+      else lens.groupBy(identity).maxBy { case (l, g) => (g.length, -l) }._1
+    // corrupt vectors are data, not errors (the module posture): null or
+    // wrong-length sample rows are SKIPPED — training codebooks on
+    // zero-padded fabricated values would bias every subspace toward 0,
+    // and pqEncode already handles the same rows gracefully (null codes)
+    val sample = sampled.filter(v => v != null && v.length == dims0)
     require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
-    val dims = sample.head.length
+    val dims = dims0
     require(dims % m == 0, s"dims=$dims must divide into m=$m subspaces")
     val sd = dims / m
     (0 until m).toArray.map { s =>
@@ -457,11 +506,22 @@ object Similarity {
       excludeSelf: Boolean): DataFrame = {
     val m = codebooks.length
     val sd = codebooks(0)(0).length
+    // the ADC score UDF reads the qid as a Long (its broadcast table is
+    // keyed on it) — any other id type must fail HERE, not as per-row
+    // ClassCastExceptions inside the driver map
+    require(queries.schema(queries.schema.fieldIndex(qidCol)).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"PQ ranking needs a LongType query id; $qidCol is " +
+        queries.schema(queries.schema.fieldIndex(qidCol))
+          .dataType.simpleString)
     val qRows = queries.select(col(qidCol), col(qvecCol)).collect()
     val tables: Map[Long, Array[Array[Double]]] = qRows.map { r =>
       val qid = r.getLong(0)
       val q = r.getSeq[Float](1).toArray
-      val t = Array.ofDim[Double](m, codebooks(0).length)
+      // per-subspace table width: pqTrain's distinct-subvector init can
+      // train DIFFERENT centroid counts per subspace — sizing every
+      // table by subspace 0's count would crash on ragged codebooks
+      val t = codebooks.map(cb => new Array[Double](cb.length))
       var s = 0
       while (s < m) {
         var c = 0
@@ -568,7 +628,11 @@ object Similarity {
   private[graft] def recoverCompact(fs: org.apache.hadoop.fs.FileSystem,
       live: org.apache.hadoop.fs.Path): Unit = {
     val old = new org.apache.hadoop.fs.Path(live.toString + ".compact-old")
-    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live)
+        // two readers can race to heal the same crashed swap: the
+        // loser's rename fails AFTER the winner restored the tree —
+        // re-check before declaring the (now healthy) store broken
+        && !fs.exists(live))
       throw new java.io.IOException(s"compactIvf recovery: cannot restore $old")
   }
 
@@ -594,18 +658,10 @@ object Similarity {
   /** Each query's `nprobe` nearest cells: (qid, qvec, cid). */
   private def probeCells(centroids: DataFrame, queries: DataFrame,
       nprobe: Int, cidCol: String, cvecCol: String,
-      qidCol: String, qvecCol: String): DataFrame = {
-    val qScored = queries.crossJoin(broadcast(centroids))
-      .withColumn("__qc", cosine(col(qvecCol), col(cvecCol)))
-      // degenerate centroids score NULL (CosineSim) or NaN (HOF path) —
-      // NaN would outrank every real cell; null could be probed when
-      // nprobe exceeds the number of comparable cells
-      .filter(col("__qc").isNotNull && !isnan(col("__qc")))
-    val wq = Window.partitionBy(qidCol).orderBy(col("__qc").desc, col(cidCol).asc)
-    qScored.withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= nprobe)
+      qidCol: String, qvecCol: String): DataFrame =
+    rankedCentroidScan(queries, centroids, qidCol, qvecCol, cidCol,
+      cvecCol, keep = nprobe)
       .select(col(qidCol), col(qvecCol), col(cidCol))
-  }
 
   /** Per-vector symmetric int8 quantization of a float-array embedding:
     * q_i = clamp(floor(x_i · 127 / maxAbs + 0.5), -127, 127), stored with

@@ -1802,6 +1802,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"kmeans-ivf recall $recall")
   }
 
+  test("kmeans keeps k cells when a duplicate-seeded cell empties") {
+    // the first 3 corpus vectors seed the centroids and two are
+    // IDENTICAL: the cid-asc tie-break starves the duplicate cell in
+    // round 1 — it must keep its previous centroid, not vanish (the
+    // caller's nprobe/k pruning arithmetic reads k cells)
+    val a = Array.fill(8)(1.0f)
+    val b = Array.tabulate(8)(j => if (j < 4) 1.0f else -1.0f)
+    val vecs = (Seq((0L, a.toSeq), (1L, a.toSeq), (2L, b.toSeq)) ++
+      (3L until 40L).map(i => (i, b.map(x =>
+        x + 0.01f * (i % 5)).toSeq))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(vecs, k = 3, iters = 2)
+    assert(cents.count() == 3, "an emptied cell was silently dropped")
+  }
+
+  test("pq training skips corrupt sample vectors; ragged codebooks rank") {
+    // a null and a short vector inside the sample head must be SKIPPED
+    // (training on zero-padded fabrications would bias subspaces), and
+    // a low-diversity first subspace trains fewer centroids than the
+    // second — the ADC tables must size per subspace, not by subspace 0
+    val base = (0 until 60).map { i =>
+      // subspace 0 (dims 0-3) constant; subspace 1 (dims 4-7) diverse
+      (10L + i, (Array.fill(4)(1.0f) ++
+        Array.tabulate(4)(j => math.sin(i * 4 + j).toFloat)).toSeq)
+    }
+    val dirty = Seq((0L, null.asInstanceOf[Seq[Float]]),
+      (1L, Seq(1.0f, 2.0f))) ++ base
+    val vecs = dirty.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, m = 2, k = 8)
+    assert(books(0).length == 1, "constant subspace should train 1 centroid")
+    assert(books(1).length > 1)
+    val enc = Similarity.pqEncode(vecs, books)
+    val q = vecs.filter($"vec_id" === 10L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    // ragged tables: this crashed with ArrayIndexOutOfBounds pre-fix
+    assert(Similarity.pqKnn(enc, books, q, k = 3).count() == 3)
+  }
+
+  test("rhp signatures: out-of-range plane counts fail loudly, " +
+      "wrong-length vectors bucket nowhere") {
+    intercept[IllegalArgumentException] {
+      Similarity.rhpSignature(col("embedding"), dims = 8, numPlanes = 40,
+        seed = 1)
+    }
+    val vecs = Seq((0L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val sigs = vecs.select($"vec_id",
+      Similarity.rhpSignature($"embedding", dims = 4, numPlanes = 4,
+        seed = 1).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!sigs(0L)) // full-length vector buckets
+    assert(sigs(1L)) // truncated vector must NOT bucket by its prefix
+  }
+
+  test("labelCentroidSums fails loudly past BIGINT instead of wrapping") {
+    val big = Seq(("x", Seq(1e9f)), ("x", Seq(1e9f))).toDF("label", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.labelCentroidSums(big, "label").collect()
+    }
+    assert(ex.getMessage.contains("BIGINT") ||
+      Option(ex.getCause).exists(_.getMessage.contains("BIGINT")), ex.toString)
+  }
+
   test("ivf assign maps every vector to exactly one centroid") {
     val emb = graft.storage.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val cents = emb.filter($"vec_id" < 4)
