@@ -37,7 +37,8 @@ object Dedup {
     * Ties break to the higher score, then the smaller id.
     */
   def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
-      score: Column): DataFrame =
+      score: Column): DataFrame = {
+    requireIntegralId(df, idCol, "exactKeepBest")
     df.withColumn("fp", Text.fingerprint(col(textCol)))
       .withColumn("__s", score)
       .groupBy("fp")
@@ -45,6 +46,7 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select(col("fp"), (-col("__best.negid")).as("keep_id"),
         col("__best.s").as("score"), col("dup_count"))
+  }
 
   /** The survivor-selection aggregate shared by the keep-best policies
     * ([[exactKeepBest]], [[clusterKeepBest]]): max over a
@@ -53,6 +55,21 @@ object Dedup {
     * `-__best.negid`. */
   private def argmaxStruct(score: Column, id: Column): Column =
     max(struct(score.as("s"), (-id).as("negid")))
+
+  /** The `(score, −id)` argmax encoding needs an id that NEGATES: a
+    * string id would implicit-cast through double (leading zeros lost,
+    * non-numeric ids null/failing) and corrupt keep_id silently — fail
+    * at plan time instead. */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      fn: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(dt),
+      s"$fn selects survivors via max(struct(score, -id)) — needs an " +
+        s"integral id column, $idCol is ${dt.simpleString} " +
+        "(string/uuid ids: hash them to a long first)")
+  }
 
   /** Rows surviving exact dedup (representatives only). */
   def exactDeduped(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -158,14 +175,6 @@ object Dedup {
     */
   val DfCapPerMille = 5L
 
-  /** Exploded shingle rows (id1-able `__id`, kept-vocabulary size `__n`,
-    * shingle `__tok`) with document-frequency > `maxDf` stop-shingles
-    * removed. The stop list is tiny (only boilerplate qualifies), so it is
-    * folded to a single array row and broadcast: each doc's kept set is
-    * `array_except(set, stop)` computed in the scan stage — `__n` comes
-    * from the set size BEFORE exploding, so the only shuffles in the whole
-    * cap are the map-side-combinable df count and nothing else.
-    */
   /** (`__id`, `__kept`, `__n`): each document's df-capped shingle set and
     * its size — the verify-stage vocabulary. Public so other tiers (e.g.
     * the streaming near-dup probe) verify over the SAME capped vocabulary
@@ -173,13 +182,22 @@ object Dedup {
   def cappedSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxDf: Int): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleSize)
-    val kept =
-      if (maxDf <= 0) sets.withColumn("__kept", col("__set"))
-      else
-        sets.crossJoin(broadcast(stopShingles(df, idCol, textCol,
-            shingleSize, maxDf)))
-          .withColumn("__kept", array_except(col("__set"), col("__stop")))
+    val kept = applyStop(sets,
+      if (maxDf <= 0) None
+      else Some(stopShingles(df, idCol, textCol, shingleSize, maxDf)))
     kept.select(col("__id"), col("__kept"), size(col("__kept")).as("__n"))
+  }
+
+  /** Apply an optional one-row broadcast stop-shingle array to per-doc
+    * shingle sets — THE single implementation the batch df-cap and the
+    * cross-corpus/stored-index probe share, so the "probe verifies over
+    * a byte-identical vocabulary" contract is structural rather than two
+    * hand-synced copies. */
+  private def applyStop(sets: DataFrame,
+      stop: Option[DataFrame]): DataFrame = stop match {
+    case None => sets.withColumn("__kept", col("__set"))
+    case Some(st) => sets.crossJoin(broadcast(st))
+      .withColumn("__kept", array_except(col("__set"), col("__stop")))
   }
 
   /** One-row frame holding the corpus's stop-shingle ARRAY (`__stop`) under
@@ -201,6 +219,10 @@ object Dedup {
       .agg(collect_list(col("__tok")).as("__stop"))
   }
 
+  /** Exploded shingle rows (`__id`, kept-vocabulary size `__n`, shingle
+    * `__tok`) with document-frequency > `maxDf` stop-shingles removed —
+    * `__n` comes from the set size BEFORE exploding, so the only shuffle
+    * in the whole cap is the map-side-combinable df count. */
   private def cappedExploded(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxDf: Int): DataFrame =
     cappedSets(df, idCol, textCol, shingleSize, maxDf)
@@ -362,6 +384,15 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the posting-list flatMap is typed over (Long, Int) pairs — unlike
+    // the id-type-generic self-join variant, this one needs a Long id
+    // and must say so at plan time, not die inside the encoder
+    require(df.schema(df.schema.fieldIndex(idCol)).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"jaccardPairsGrouped's typed posting lists need a LongType id; " +
+        s"$idCol is " +
+        df.schema(df.schema.fieldIndex(idCol)).dataType.simpleString +
+        " — use jaccardPairs (id-type generic) instead")
     val posting = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
       .groupBy("__tok")
       .agg(collect_list(struct(col("__id").as("_1"), col("__n").as("_2")))
@@ -431,6 +462,14 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent truncation would report one transitive cluster as several
+    // components and let duplicates pass dedup — fail loudly instead
+    // (the kCore non-convergence posture); long-chain graphs belong on
+    // [[componentsLogRounds]], which converges in O(log n) rounds
+    if (changed > 0) throw new IllegalStateException(
+      s"components: min-label propagation did not converge in $maxIter " +
+        "rounds — the graph's diameter exceeds the budget; raise maxIter " +
+        "or use componentsLogRounds (O(log n) rounds on any shape)")
     labels
   }
 
@@ -474,14 +513,19 @@ object Dedup {
 
     // one-row convergence signature: star-contraction strictly decreases
     // (edges, sum-of-endpoints) until the fixpoint, so an unchanged
-    // signature == an unchanged edge set — no except() set diff needed
-    def signature(e: DataFrame): (Long, Long, Long) = {
-      val r = e.agg(count(lit(1)), sum(hash(col("u")).cast("long")),
-        sum(hash(col("v")).cast("long"))).collect()(0)
-      (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
-    }
+    // signature == an unchanged edge set — no except() set diff needed.
+    // TWO independent hash families (32-bit murmur + xxhash64) make an
+    // accidental collision ~2^-96; and the label extraction below no
+    // longer TRUSTS convergence, so even a colliding early exit would
+    // only truncate (the documented degraded mode), never corrupt.
+    // decimal sums: exact, and immune to ANSI overflow on huge edge sets
+    def signature(e: DataFrame): Seq[Any] =
+      e.agg(count(lit(1)),
+        sum(hash(col("u")).cast("decimal(38,0)")),
+        sum(hash(col("v")).cast("decimal(38,0)")),
+        sum(xxhash64(col("u")).cast("decimal(38,0)")),
+        sum(xxhash64(col("v")).cast("decimal(38,0)")))
+        .collect()(0).toSeq
 
     // large-star over the symmetrized graph: for each node, every STRICTLY
     // LARGER neighbor re-attaches to min(closed neighborhood). Emitted as
@@ -523,16 +567,17 @@ object Dedup {
       i += 1
     }
     // fixpoint is a star forest: u-side nodes are members, v-side their
-    // component minimum; roots label themselves. If maxIter ran out before
-    // the fixpoint, a node can still carry several candidate parents — the
-    // min-agg collapses that to ONE (possibly non-minimal, like an
-    // unconverged [[components]] run) label per node rather than emitting
-    // structurally invalid duplicate rows.
+    // component minimum; roots label themselves. The min-agg runs
+    // UNCONDITIONALLY — at the fixpoint it equals distinct() (each u has
+    // one parent) at the same one-keyed-shuffle cost, and when maxIter
+    // ran out (or a signature collision exited early) it collapses a
+    // node's candidate parents to ONE (possibly non-minimal, like an
+    // unconverged [[components]] run) label rather than emitting
+    // structurally invalid duplicate rows — correctness never rides on
+    // the convergence fingerprint.
     val member = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")))
-    val labels =
-      if (done) member.distinct()
-      else member.groupBy("id").agg(min("comp").as("comp"))
+    val labels = member.groupBy("id").agg(min("comp").as("comp"))
     // re-attach self-pair-only singletons (left anti = nodes with no label)
     labels.unionByName(
       nodes.join(labels, Seq("id"), "left_anti").withColumn("comp", col("id")))
@@ -721,16 +766,10 @@ object Dedup {
   /** Capped inverted-index rows (`__id`, `__n`, `__tok`) of `df` under an
     * externally-supplied stop list (or none). */
   private def keptExploded(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, stop: Option[DataFrame]): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleSize)
-    val k = stop match {
-      case None => sets.withColumn("__kept", col("__set"))
-      case Some(st) => sets.crossJoin(broadcast(st))
-        .withColumn("__kept", array_except(col("__set"), col("__stop")))
-    }
-    k.select(col("__id"), size(col("__kept")).as("__n"),
-      explode(col("__kept")).as("__tok"))
-  }
+      shingleSize: Int, stop: Option[DataFrame]): DataFrame =
+    applyStop(shingleSets(df, idCol, textCol, shingleSize), stop)
+      .select(col("__id"), size(col("__kept")).as("__n"),
+        explode(col("__kept")).as("__tok"))
 
   /** Shared verify tail of the cross-corpus paths: inverted-index join on
     * the shingle, per-pair co-count, Jaccard threshold. */
@@ -964,8 +1003,14 @@ object Dedup {
     * ([[argmaxStruct]]) — no per-cluster window, map-side partials.
     */
   def clusterKeepBest(pairs: DataFrame, scores: DataFrame, idCol: String,
-      scoreCol: String): DataFrame =
-    components(pairs)
+      scoreCol: String, maxIter: Int = 20,
+      logRounds: Boolean = false): DataFrame = {
+    requireIntegralId(scores, idCol, "clusterKeepBest")
+    // the component pass is pluggable: min-label (loud past maxIter) for
+    // dense near-dup clusters, large-star/small-star for chain-shaped
+    // graphs whose diameter would blow the round budget
+    (if (logRounds) componentsLogRounds(pairs, maxIter = math.max(maxIter, 30))
+     else components(pairs, maxIter = maxIter))
       .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")),
         Seq("id"))
       .groupBy("comp")
@@ -975,6 +1020,7 @@ object Dedup {
         (-col("__best.negid")).as("keep_id"),
         col("__best.s").as("score"),
         col("cluster_size"))
+  }
 
   /** Snapshot diff by content fingerprint — the release-audit report
     * between two corpus versions: per group, how many distinct contents
@@ -986,8 +1032,15 @@ object Dedup {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
+    // null texts fingerprint to NULL, and null join keys never match —
+    // a null-text doc on both sides would count added+removed instead
+    // of kept. The sentinel (not 32 hex chars) cannot collide with a
+    // real md5, and matches exact()'s posture of treating all null
+    // fingerprints as one content group
     def fps(df: DataFrame, marker: String) =
-      df.select(col(groupCol), Text.fingerprint(col(textCol)).as("__fp"))
+      df.select(col(groupCol),
+          coalesce(Text.fingerprint(col(textCol)), lit("__null__"))
+            .as("__fp"))
         .distinct()
         .withColumn(marker, lit(1L))
     fps(oldDf, "__o")
@@ -1049,8 +1102,8 @@ object Dedup {
     * jaccard tier's contract); `maxBucket` drops variant keys shared by
     * more rows than the cap, bounding any one join key's fan-out: recall
     * stays complete for every pair below the cap, and groups above it are
-    * exact-duplicate clusters the cheaper [[exactClusters]] tier already
-    * finds.
+    * exact-duplicate clusters the cheaper [[exact]]/[[exactDeduped]] tier
+    * already finds.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
       keyLen: Int = 40, maxBucket: Long = 4096): DataFrame = {

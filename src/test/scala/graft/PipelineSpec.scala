@@ -144,6 +144,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(truncated.count() == 500L)
   }
 
+  test("components fails loudly past its round budget; keep-best and " +
+      "grouped-jaccard reject non-integral ids at plan time") {
+    // a 60-node chain (diameter 59) cannot converge in 20 min-label
+    // rounds: silent truncation would split one transitive cluster and
+    // let duplicates pass — it must throw, pointing at componentsLogRounds
+    val chain = spark.range(59)
+      .select(col("id").as("id1"), (col("id") + 1L).as("id2"))
+    val ex = intercept[IllegalStateException] { Dedup.components(chain) }
+    assert(ex.getMessage.contains("componentsLogRounds"))
+    // string ids would negate through double inside the argmax struct —
+    // keep_id corruption, so the keep-best policies refuse them loudly
+    val strDocs = Seq(("0012", "same text", 5.0), ("a-9", "same text", 7.0))
+      .toDF("doc_id", "text", "q")
+    intercept[IllegalArgumentException] {
+      Dedup.exactKeepBest(strDocs, "doc_id", "text", col("q"))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.clusterKeepBest(Seq(("a", "b")).toDF("id1", "id2"),
+        strDocs.select(col("doc_id"), col("q")), "doc_id", "q")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsGrouped(strDocs, "doc_id", "text", 0.3)
+    }
+  }
+
+  test("corpusDiff counts null-text content present in both snapshots " +
+      "as kept") {
+    val oldSnap = Seq((1L, "en", "kept doc"), (2L, "en", null))
+      .toDF("doc_id", "lang", "text")
+    val newSnap = Seq((3L, "en", "kept doc"), (4L, "en", null),
+      (5L, "en", "fresh doc")).toDF("doc_id", "lang", "text")
+    val r = Dedup.corpusDiff(oldSnap, newSnap, "text", "lang").head()
+    assert(r.getAs[Long]("n_kept") == 2L, r.toString) // text + null group
+    assert(r.getAs[Long]("n_added") == 1L, r.toString)
+    assert(r.getAs[Long]("n_removed") == 0L, r.toString)
+  }
+
   test("contamination flags train docs sharing eval shingles, exact counts") {
     // eval doc 100 == train doc 0 verbatim → doc 0 fully contaminated
     // (7/7 trigrams); near-dup doc 3 shares the 6 trigrams not touching
