@@ -140,8 +140,16 @@ object StreamIngest {
         }
         cur.foreach { s =>
           state.update(s)
-          // close once the watermark passes the session gap
-          state.setTimeoutTimestamp((s.last + gapNanos) / 1000000L + 1L)
+          // close once the watermark passes the session gap. The clamp
+          // mirrors streamingAsof's: Spark admits late events under the
+          // PREVIOUS batch's watermark but validates timeout timestamps
+          // against the CURRENT one, so a late-but-admitted event whose
+          // gap-close time already passed would otherwise throw and kill
+          // the query — clamped, the (closable) session fires at the
+          // next timeout sweep instead
+          state.setTimeoutTimestamp(math.max(
+            (s.last + gapNanos) / 1000000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
         }
       }
       out.iterator
@@ -329,6 +337,9 @@ object StreamIngest {
   def streamingRemoveBoilerplate(stream: DataFrame, staticDf: DataFrame,
       idCol: String, textCol: String, size: Int = 16,
       minDf: Long = 3): DataFrame = {
+    // the batch twin's guard, mirrored: minDf < 2 marks EVERY distinct
+    // span as boilerplate and silently empties the whole stream
+    require(minDf >= 2, s"minDf=$minDf would drop every span")
     import graft.pipeline.Text
     val boiler: Set[String] = Text.boilerplateSpans(staticDf, idCol,
         textCol, size, minDf)
@@ -343,8 +354,11 @@ object StreamIngest {
         cs.size.toLong, flags.count(identity).toLong)
     })
     val toks = Text.tokens(col(textCol))
-    // `size` param shadows functions.size here
-    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    // `size` param shadows functions.size here; the coalesce mirrors
+    // Text.chunk — a null-text doc's NULL token array must not slip the
+    // n===0 guard and emit a phantom empty chunk (stream==batch parity)
+    val n = coalesce(
+      org.apache.spark.sql.functions.size(col("__toks")), lit(0))
     val nc = when(n === 0, lit(0))
       .otherwise(greatest(lit(1), ((n + size - 1) / size).cast("int")))
     stream
@@ -418,7 +432,10 @@ object StreamIngest {
     // re-evaluate the static plan every micro-batch otherwise, making
     // per-batch work proportional to corpus size instead of batch size
     val refSets = ref.select(col(idCol).as("__rid"),
-      Text.shingleSetUdf(shingleSize)(col(textCol)).as("__rset"))
+        Text.shingleSetUdf(shingleSize)(col(textCol)).as("__rset"))
+      .persist() // the shared shingle pass itself — without this pin the
+      // two derived frames below would each re-shingle the full corpus
+      // on their first materialization
     val refKeys = Dedup.md5BandKeysFromSets(refSets, "__rid", "__rset",
         bands, rowsPerBand)
       .select(col("__rid"), col("band"), col("bucket")).persist()
@@ -465,7 +482,7 @@ object StreamIngest {
         col("shared"),
         when(sidLtRid, col("__sn")).otherwise(col("__rn")).as("n1"),
         when(sidLtRid, col("__rn")).otherwise(col("__sn")).as("n2"),
-        col("jaccard")), refKeys, refKept)
+        col("jaccard")), refKeys, refKept, refSets)
   }
 
   /** Streaming embedding-quality gate — the ingest side of
@@ -760,6 +777,14 @@ object StreamIngest {
       for (r <- rows.toSeq.sortBy(_.day)) {
         if (cohort == Long.MaxValue) { cohort = r.day; anchor = r.day }
         if (r.day < anchor) {
+          // the span guard must run BEFORE the shift: a garbage negative
+          // timestamp re-anchors (its own offset becomes 0, so the post-
+          // shift check below never sees it), and the unchecked shift
+          // would Int-wrap the word offset or allocate a gigabyte bitmap
+          require(anchor - r.day < maxSpanDays,
+            s"user-day span ${anchor - r.day} days for key $key exceeds " +
+              s"maxSpanDays=$maxSpanDays — timestamps are likely garbage " +
+              "(span guard, not a capacity limit)")
           bits = shiftUp(bits, anchor - r.day)
           anchor = r.day
           changed = true
@@ -784,6 +809,10 @@ object StreamIngest {
         if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout)(fn)
       .toDF()
+      // hand the caller's key name back (the sibling stateful operators'
+      // convention) — a caller selecting the keyCol it passed in must
+      // not hit an AnalysisException or join on the wrong column
+      .withColumnRenamed("user_id", keyCol)
   }
 
   final case class TrIn(key: Long, ts: Long, eid: Long, etype: String)
@@ -1260,8 +1289,12 @@ object StreamIngest {
     */
   def streamingEmbedNearDup(stream: DataFrame, ref: DataFrame, idCol: String,
       vecCol: String, eventTimeCol: String, lateness: String,
-      threshold: Double, dims: Int, numPlanes: Int = 8,
+      threshold: Double, dims: Int, numPlanes: Int = 12,
       seed: Int = 42): DataFrame = {
+    // default matches batch embeddingNearDups (12): different plane
+    // counts build different signature matrices, silently breaking the
+    // documented drained-stream == batch pair-set equality for callers
+    // relying on defaults
     import graft.pipeline.Similarity
     val refIdx = ref.select(col(idCol).as("__rid"), col(vecCol).as("__rv"))
       .withColumn("__sig",
@@ -1464,13 +1497,13 @@ object StreamIngest {
       .toDF("sk")
   }
 
-  /** Memory-sink runner for tests: drains all available input synchronously
-    * and returns the sink table name. */
-  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
-    val q = df.writeStream.outputMode("append")
+  /** Memory-sink runner for tests: starts an AvailableNow query into
+    * `spark.table(name)` and returns it STILL RUNNING — await with
+    * `processAllAvailable()` (or `awaitTermination`) before reading the
+    * table, or it may be empty/partial. */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream.outputMode("append")
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q
-  }
 }

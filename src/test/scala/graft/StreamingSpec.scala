@@ -74,6 +74,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(2) == (2L, 1L, 4.0))
   }
 
+  test("sessionize survives a late-but-admitted event whose gap-close " +
+      "time is already below the eviction watermark") {
+    // Spark admits late events under the PREVIOUS batch's watermark but
+    // validates timeout timestamps against the CURRENT one: batch A's
+    // 60min event makes batch B's eviction watermark 50min, and batch
+    // B's 20min event (admitted — the late filter still reads 0) arms a
+    // 25min timeout. Pre-clamp this threw IllegalArgumentException and
+    // killed the query; clamped, the session closes at the next sweep.
+    import spark.implicits._
+    val srcDir = new java.io.File(SparkTestBase.tempDir("graft-sess-late"))
+    val t0 = 1700000000L * 1000000000L
+    val min = 60L * 1000000000L
+    def writeDrop(name: String, modTime: Long,
+        rows: Seq[(Long, Long, Double)]): Unit = {
+      val stage = SparkTestBase.tempDir("graft-sess-stage")
+      rows.toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(modTime))
+    }
+    writeDrop("a.parquet", 1000000L, Seq((9L, t0 + 60 * min, 0.0)))
+    writeDrop("b.parquet", 2000000L, Seq((2L, t0 + 20 * min, 2.0),
+      (9L, t0 + 120 * min, 0.0)))
+    writeDrop("c.parquet", 3000000L, Seq((9L, t0 + 180 * min, 0.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.getPath)
+    val sessions = StreamIngest.statefulSessionize(src, 5L * min)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000)) // pre-fix: StreamingQueryException
+    val u2 = spark.table("sess_late_out").filter($"user_id" === 2L)
+      .collect().map(r => (r.getLong(3), r.getDouble(4)))
+    assert(u2.toSeq == Seq((1L, 2.0)), u2.mkString(","))
+  }
+
   test("streaming as-of join across micro-batches: late drop + carry match") {
     import spark.implicits._
     val srcDir = new java.io.File(SparkTestBase.tempDir("graft-asof-in"))
