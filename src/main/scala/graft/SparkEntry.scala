@@ -2208,7 +2208,7 @@ object SparkEntry {
          |  SELECT bucket_ts,
          |    coalesce(list_min(list_filter($bounds, x -> x >= cents)),
          |      9223372036854775807) AS le
-         |  FROM v
+         |  FROM v WHERE cents IS NOT NULL
          |), c AS (
          |  SELECT bucket_ts, le, count(*) AS cnt FROM b GROUP BY 1, 2
          |), w AS (
@@ -2243,7 +2243,7 @@ object SparkEntry {
          |  SELECT event_type,
          |    coalesce(list_min(list_filter($bounds, x -> x >= cents)),
          |      9223372036854775807) AS le
-         |  FROM v
+         |  FROM v WHERE cents IS NOT NULL
          |), c AS (
          |  SELECT event_type, le, count(*) AS cnt FROM b GROUP BY 1, 2
          |), w AS (
@@ -2497,7 +2497,7 @@ object SparkEntry {
         |  SELECT user_id, ts, c,
         |    lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |      AS prev
-        |  FROM e
+        |  FROM e WHERE c IS NOT NULL
         |)
         |SELECT user_id,
         |  (ts - ((ts % 86400000000000) + 86400000000000) % 86400000000000)
@@ -2568,7 +2568,8 @@ object SparkEntry {
         |), d AS (
         |  SELECT c.event_id, c.ts, c.user_id, c.value, m.med2,
         |    abs(c.c * 2 - m.med2) AS dev2
-        |  FROM c JOIN m USING (user_id) WHERE m.n_pts >= 10
+        |  FROM c JOIN m ON c.user_id IS NOT DISTINCT FROM m.user_id
+        |  WHERE m.n_pts >= 10
         |), md AS (
         |  SELECT user_id, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT)
         |    AS mad4
@@ -2576,7 +2577,7 @@ object SparkEntry {
         |)
         |SELECT d.event_id, d.ts, d.user_id, d.value, d.med2, d.dev2,
         |  md.mad4
-        |FROM d JOIN md USING (user_id)
+        |FROM d JOIN md ON d.user_id IS NOT DISTINCT FROM md.user_id
         |WHERE d.dev2 * 2 > 3 * md.mad4
         |ORDER BY d.event_id""".stripMargin,
     "ts_seasonal_anomaly" ->

@@ -35,6 +35,28 @@ object TsOps {
   def floorBucketSql(x: String, b: Long): String =
     s"($x - pmod($x, ${b}L))"
 
+  /** THE exact fixed point every integer-exact operator scores in: value →
+    * decimal(18,2) (null for null/NaN/non-castable) → CENTS as long. One
+    * definition shared by the anomaly/counter/histogram/PAA operators, the
+    * streaming twins, and the rollup store — their bit-identical contracts
+    * depend on this cast chain never drifting between copies. */
+  def centsExpr(valueCol: String): Column =
+    (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+
+  private val DayNs = 86400L * 1000000000L
+  private val HourNs = 3600L * 1000000000L
+
+  /** UTC day-of-week of an epoch-nano ts (0 = Monday; epoch day 0 was a
+    * Thursday, hence the +4 shift) — pure integer arithmetic, shared by
+    * [[heatmap]], [[seasonalProfile]] and the streaming seasonal twin. */
+  def dowExpr(tsCol: String): Column =
+    expr(s"pmod(${floorDivSql(tsCol, DayNs)} + 4, 7)")
+
+  /** UTC hour-of-day companion of [[dowExpr]] (pmod is non-negative, so
+    * plain `div` IS floor division here). */
+  def hourExpr(tsCol: String): Column =
+    expr(s"pmod($tsCol, ${DayNs}L) div ${HourNs}L")
+
   /** `[since, until)` — the reference's only WHERE predicate
     * (`time_series_dataframe.rs:355-385`): since inclusive, until exclusive,
     * duplicate timestamps preserved.
@@ -94,6 +116,9 @@ object TsOps {
     */
   def downsample(df: DataFrame, bucketNanos: Long, valueCol: String,
       groupCols: Seq[String] = Nil, tsCol: String = "ts"): DataFrame = {
+    // pmod(x, 0) is null, so a zero width would silently collapse every
+    // row into one null bucket instead of failing
+    require(bucketNanos > 0, "downsample needs a positive bucket width")
     // integer floor bucket (see [[floorBucketSql]]): Column `/` is double
     // division, losing ~256 ns on epoch-ns magnitudes before the floor
     val bucket = expr(floorBucketSql(tsCol, bucketNanos)).as("bucket_ts")
@@ -114,6 +139,7 @@ object TsOps {
   def fillGaps(agg: DataFrame, bucketNanos: Long, fromNanos: Long,
       untilNanos: Long, bucketCol: String = "bucket_ts",
       zeroFill: Seq[String] = Seq("n")): DataFrame = {
+    require(bucketNanos > 0, "fillGaps needs a positive bucket width")
     val spark = agg.sparkSession
     val nBuckets = (untilNanos - fromNanos + bucketNanos - 1) / bucketNanos
     val buckets = spark.range(nBuckets)
@@ -131,6 +157,7 @@ object TsOps {
     */
   def rollingAgg(df: DataFrame, windowNanos: Long, valueCol: String,
       keyCols: Seq[String], tsCol: String = "ts"): DataFrame = {
+    require(windowNanos > 0, "rollingAgg needs a positive trailing window")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
       .rangeBetween(-windowNanos, 0)
     df.withColumn("roll_n", count(lit(1)).over(w))
@@ -156,9 +183,10 @@ object TsOps {
   def zscoreAnomalies(df: DataFrame, windowNanos: Long, valueCol: String,
       keyCols: Seq[String], k: Int = 2, minN: Long = 10,
       tsCol: String = "ts"): DataFrame = {
+    require(windowNanos > 0, "zscoreAnomalies needs a positive window")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
       .rangeBetween(-windowNanos, 0)
-    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    val cents = centsExpr(valueCol)
     // count CASTABLE values, not rows: a null/NaN value contributes
     // nothing to the sums, so it must not inflate n either (and the
     // streaming twin, which drops such rows before its state function,
@@ -194,17 +222,29 @@ object TsOps {
   def madAnomalies(df: DataFrame, valueCol: String, keyCols: Seq[String],
       k: Int = 3, minN: Long = 10): DataFrame = {
     val keyC = keyCols.map(col)
-    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
-    val d0 = df.withColumn("__c", cents).filter(col("__c").isNotNull)
+    val d0 = df.withColumn("__c", centsExpr(valueCol))
+      .filter(col("__c").isNotNull)
+    // joins back onto the per-key frames are null-SAFE on the keys:
+    // groupBy puts NULL-key rows in one group like a window partition
+    // would, and a plain equi-join here would silently drop that whole
+    // series — the sessionizeChunked <=> discipline, so this operator
+    // flags the same series zscoreAnomalies (window-based) sees
+    def joinKeyed(big: DataFrame, small: DataFrame): DataFrame = {
+      val renamed = small.select(small.columns.map(c =>
+        if (keyCols.contains(c)) col(c).as(s"__j_$c") else col(c)): _*)
+      val cond = keyCols.map(c => col(c) <=> col(s"__j_$c"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      big.join(renamed, cond).drop(keyCols.map(c => s"__j_$c"): _*)
+    }
     val med = d0.groupBy(keyC: _*)
       .agg(count(lit(1)).as("n_pts"),
         (expr("percentile(__c, 0.5)") * 2).cast("long").as("med2"))
-    val dev = d0.join(med, keyCols)
+    val dev = joinKeyed(d0, med)
       .filter(col("n_pts") >= minN)
       .withColumn("dev2", abs(col("__c") * 2 - col("med2")))
     val mad = dev.groupBy(keyC: _*)
       .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
-    dev.join(mad, keyCols)
+    joinKeyed(dev, mad)
       .filter(col("dev2") * 2 > lit(k.toLong) * col("mad4"))
       .drop("__c", "n_pts")
   }
@@ -253,6 +293,7 @@ object TsOps {
     */
   def sessionize(df: DataFrame, gapNanos: Long, keyCols: Seq[String],
       tsCol: String = "ts"): DataFrame = {
+    require(gapNanos > 0, "sessionize needs a positive gap")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
     val newSession = when(
       lag(col(tsCol), 1).over(w).isNull ||
@@ -283,11 +324,10 @@ object TsOps {
       tsCol: String = "ts",
       chunkNanos: Long = 86400L * 1000000000L): DataFrame = {
     require(chunkNanos > 0, "chunkNanos must be positive")
+    require(gapNanos > 0, "sessionizeChunked needs a positive gap")
     val keyC = keyCols.map(col)
-    // integral floor-div: long/long `/` goes through double (loses > 2^53)
-    val chunkExpr =
-      expr(s"($tsCol - pmod($tsCol, ${chunkNanos}L)) div ${chunkNanos}L")
-    val withChunk = df.withColumn("__chunk", chunkExpr)
+    val withChunk =
+      df.withColumn("__chunk", expr(floorDivSql(tsCol, chunkNanos)))
     val wLoc = Window.partitionBy(keyC :+ col("__chunk"): _*)
       .orderBy(col(tsCol).asc)
     val lagTs = lag(col(tsCol), 1).over(wLoc)
@@ -369,6 +409,7 @@ object TsOps {
     */
   def retention(df: DataFrame, userCol: String, dayNanos: Long,
       tsCol: String = "ts"): DataFrame = {
+    require(dayNanos > 0, "retention needs a positive day width")
     val activity = df
       .select(col(userCol), expr(floorDivSql(tsCol, dayNanos)).as("__day"))
       .distinct()
@@ -399,6 +440,15 @@ object TsOps {
       keyCols: Seq[String], startCol: String, endCol: String,
       binNanos: Long, tsCol: String = "ts"): DataFrame = {
     require(binNanos > 0, "binNanos must be positive")
+    // a shared non-key name would surface downstream as an ambiguous-
+    // reference AnalysisException (or a silent wrong pick) — fail loudly
+    // here instead; rename one side first (toleranceJoin r_-prefixes for
+    // exactly this reason, but this operator's output schema predates it)
+    val overlap =
+      points.columns.toSet.intersect(intervals.columns.toSet) -- keyCols
+    require(overlap.isEmpty,
+      s"intervalJoin: column(s) ${overlap.mkString(", ")} exist on BOTH " +
+        "sides beyond the join keys — rename one side before joining")
     // inverted intervals (end < start) can never match the residual
     // predicate, but sequence() would explode them DESCENDING into
     // end-start spurious bins — drop them before the explode
@@ -445,15 +495,9 @@ object TsOps {
     * so the result is engine-portable without timezone library calls. One
     * map-side-combinable aggregation over at most 168 groups.
     */
-  def heatmap(df: DataFrame, tsCol: String = "ts"): DataFrame = {
-    val day = 86400L * 1000000000L
-    val hour = 3600L * 1000000000L
-    df.select(
-        expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)").as("dow"),
-        // pmod's result is non-negative, so plain div IS floor div here
-        expr(s"pmod($tsCol, ${day}L) div ${hour}L").as("hour"))
+  def heatmap(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.select(dowExpr(tsCol).as("dow"), hourExpr(tsCol).as("hour"))
       .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
-  }
 
   /** Per-key inter-event gap statistics: count / min / max / sum of the
     * deltas between consecutive timestamps. The lag window is a per-key
@@ -503,6 +547,10 @@ object TsOps {
     */
   def activeUsers(df: DataFrame, userCol: String, dayNanos: Long,
       windowDays: Int = 7, tsCol: String = "ts"): DataFrame = {
+    require(dayNanos > 0, "activeUsers needs a positive day width")
+    // windowDays = 0 would build sequence(day, day - 1), which Spark
+    // generates DESCENDING — users silently counted toward the wrong day
+    require(windowDays >= 1, "activeUsers needs a window of at least 1 day")
     val act = df
       .select(col(userCol), expr(floorDivSql(tsCol, dayNanos)).as("day"))
       .distinct()
@@ -526,6 +574,8 @@ object TsOps {
     */
   def transitions(df: DataFrame, keyCols: Seq[String], typeCol: String,
       orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty,
+      "transitions needs a total order — pass ts plus a tie-breaking id")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
     df.withColumn("__next", lead(col(typeCol), 1).over(w))
@@ -561,10 +611,26 @@ object TsOps {
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(lPacked.columns.map(col).toIndexedSeq: _*)
     val unioned = lPacked.unionByName(rAligned)
-    // order (ts, side): right rows precede left rows at equal ts, so a
-    // right row at exactly left.ts is visible (<= semantics)
+    // order (ts, side, payload): right rows precede left rows at equal ts,
+    // so a right row at exactly left.ts is visible (<= semantics); among
+    // right rows sharing (key, ts) the GREATEST payload struct wins — an
+    // explicit tie-break, so the emitted right values are deterministic
+    // across runs and partitionings (the counterIncrease/transitions tie-
+    // column discipline). Skipped only when the payload holds a map
+    // (not orderable) — duplicates are then whichever sorts last.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => orderable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          orderable(a.elementType)
+        case _: org.apache.spark.sql.types.MapType => false
+        case _ => true
+      }
+    val ordCols = Seq(col(tsCol).asc, col("__side").asc) ++
+      (if (orderable(rStructType)) Seq(col("__r").asc) else Nil)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val withLast = unioned
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
@@ -604,34 +670,32 @@ object TsOps {
     * once here so the batch and live paths cannot drift. */
   def seasonalProfile(df: DataFrame, valueCol: String, minN: Long = 10,
       tsCol: String = "ts"): DataFrame = {
-    val day = 86400L * 1000000000L
-    val hour = 3600L * 1000000000L
-    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
-    df.select(
-        expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)").as("dow"),
-        expr(s"pmod($tsCol, ${day}L) div ${hour}L").as("hour"),
-        cents.as("__c"))
+    // Σc² accumulates in decimal(38,0), NOT long: c² alone reaches 1e19
+    // (> Long.Max) at plausible cent magnitudes, and a wrapped long sum
+    // here would silently corrupt every flag decision downstream — the
+    // same decimal(38,0) the residual comparison already rides
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    df.select(dowExpr(tsCol).as("dow"), hourExpr(tsCol).as("hour"),
+        centsExpr(valueCol).as("__c"))
       .groupBy("dow", "hour")
       .agg(count(col("__c")).as("cell_n"), sum(col("__c")).as("__s"),
-        sum(col("__c") * col("__c")).as("__sq"))
+        sum(big(col("__c")) * big(col("__c"))).as("__sq"))
       .filter(col("cell_n") >= minN)
   }
 
   def seasonalAnomalies(df: DataFrame, valueCol: String, k: Int = 2,
       minN: Long = 10, tsCol: String = "ts"): DataFrame = {
-    val day = 86400L * 1000000000L
-    val hour = 3600L * 1000000000L
-    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
     val cells = seasonalProfile(df, valueCol, minN, tsCol)
-    val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    df.withColumn("dow",
-        expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)"))
-      .withColumn("hour", expr(s"pmod($tsCol, ${day}L) div ${hour}L"))
-      .withColumn("__c", cents)
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    df.withColumn("dow", dowExpr(tsCol))
+      .withColumn("hour", hourExpr(tsCol))
+      .withColumn("__c", centsExpr(valueCol))
       .join(broadcast(cells), Seq("dow", "hour"))
+      // every product is decimal×decimal — n·c alone overflows long when
+      // cents run past ~1e12 per cell, so no long multiply survives here
       .withColumn("lhs",
-        (big(col("cell_n") * col("__c")) - big(col("__s"))) *
-          (big(col("cell_n") * col("__c")) - big(col("__s"))))
+        (big(col("cell_n")) * big(col("__c")) - big(col("__s"))) *
+          (big(col("cell_n")) * big(col("__c")) - big(col("__s"))))
       .withColumn("rhs",
         big(lit(k.toLong * k)) * (big(col("cell_n")) * big(col("__sq")) -
           big(col("__s")) * big(col("__s"))))
@@ -663,11 +727,10 @@ object TsOps {
       alphabet: Int = 4, valueCol: String = "value", tsCol: String = "ts")
       : DataFrame = {
     require(alphabet >= 2, "alphabet must have at least 2 symbols")
-    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    require(segmentNanos > 0, "paaSymbols needs a positive segment width")
     val segs = df
-      .withColumn("seg",
-        expr(s"$tsCol - pmod($tsCol, ${segmentNanos}L)"))
-      .withColumn("__c", cents)
+      .withColumn("seg", expr(floorBucketSql(tsCol, segmentNanos)))
+      .withColumn("__c", centsExpr(valueCol))
       .groupBy((keyCols.map(col) :+ col("seg")): _*)
       .agg(count(col("__c")).as("seg_n"), sum(col("__c")).as("seg_sum"))
       .filter(col("seg_n") > 0)
@@ -721,8 +784,13 @@ object TsOps {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     df
-      .withColumn("__c",
-        (col(valueCol).cast("decimal(18,2)") * 100).cast("long"))
+      .withColumn("__c", centsExpr(valueCol))
+      // drop non-castable samples BEFORE the lag: a null mid-series would
+      // otherwise swallow its successor's delta (the successor's lag is
+      // null → filtered) and emit a null inc_cents row — and the streaming
+      // twin, which filters nulls before its state function, would then
+      // disagree with batch on the same drained data
+      .filter(col("__c").isNotNull)
       .withColumn("__prev", lag(col("__c"), 1).over(w))
       .filter(col("__prev").isNotNull) // first sample: nothing to diff
       .withColumn("__inc", when(col("__c") >= col("__prev"),
@@ -772,10 +840,18 @@ object TsOps {
     require(boundsCents.nonEmpty && boundsCents == boundsCents.sorted &&
       boundsCents.distinct == boundsCents,
       "histogram bounds must be ascending and distinct")
-    coalesce(
+    val cents = s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS LONG)"
+    // null/non-castable values get a NULL bucket, not the +Inf sentinel:
+    // filter() over a null cents yields an empty array, and the bare
+    // coalesce would then count every malformed row as a real +Inf
+    // observation — inflating totals and dragging quantiles upward. A
+    // null le drops out of every consumer (histogramBuckets filters it,
+    // the rollup store's counter sums skip it) — the "neither counts nor
+    // flags" posture the other exact operators share.
+    when(expr(cents).isNotNull, coalesce(
       expr(s"array_min(filter(${boundsArraySql(boundsCents)}, x -> x >= " +
-        s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS LONG)))"),
-      lit(Long.MaxValue))
+        s"$cents))"),
+      lit(Long.MaxValue)))
   }
 
   /** [[histogramQuantile]]'s first half: per-key cumulative-bucket counts
@@ -786,6 +862,7 @@ object TsOps {
       boundsCents: Seq[Long], valueCol: String = "value"): DataFrame =
     df
       .withColumn("le", histLeExpr(valueCol, boundsCents))
+      .filter(col("le").isNotNull) // malformed values observe nothing
       .groupBy(keyCols.map(col) :+ col("le"): _*)
       .agg(count(lit(1)).as("cnt"))
 
@@ -805,15 +882,22 @@ object TsOps {
       // interpolation lower bound comes from the bucket SCHEDULE, not from
       // the previous bucket present in the data — the two differ when
       // intermediate buckets are empty, and Prometheus uses the schedule
-      .withColumn("prev_le", coalesce(
-        expr(s"array_max(filter($boundsArr, x -> x < le))"), lit(0L)))
+      .withColumn("__pl", expr(s"array_max(filter($boundsArr, x -> x < le))"))
+      .withColumn("prev_le", coalesce(col("__pl"), lit(0L)))
       .withColumn("total", sum("cnt").over(wAll))
       // first bucket reaching rank φ·total: cum/total >= qNum/qDen
       .filter(col("cum") * qDen >= col("total") * qNum)
       .withColumn("__rn", row_number().over(wCum))
       .filter(col("__rn") === 1)
       .select(keyCols.map(col) :+ col("total").as("n") :+
-        when(col("le") === inf, lit(boundsCents.last)).otherwise(
+        when(col("le") === inf, lit(boundsCents.last))
+          // Prometheus first-bucket rule: interpolate from 0 only when the
+          // schedule's first bound is positive; a non-positive first bound
+          // reports the bound itself (promql's quantile.go) — interpolating
+          // a negative bucket from 0 would emit a value ABOVE every
+          // observation in it
+          .when(col("__pl").isNull && col("le") <= 0, col("le"))
+          .otherwise(
           col("prev_le") + expr(
             s"((le - prev_le) * ($qNum * total - $qDen * (cum - cnt)))" +
               s" div ($qDen * cnt)")).as("q_cents"): _*)

@@ -888,7 +888,7 @@ object StreamIngest {
     stream.select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("long").as("ts"),
         col(idCol).cast("long").as("eid"),
-        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("c"))
+        graft.operators.TsOps.centsExpr(valueCol).as("c"))
       .filter(col("key").isNotNull && col("ts").isNotNull &&
         col("eid").isNotNull && col("c").isNotNull)
       .as[RcIn]
@@ -1134,19 +1134,19 @@ object StreamIngest {
   def streamingSeasonalAnomalies(stream: DataFrame, profile: DataFrame,
       valueCol: String = "value", tsCol: String = "ts", k: Int = 2)
       : DataFrame = {
-    import graft.operators.TsOps.floorDivSql
-    val day = 86400L * 1000000000L
-    val hour = 3600L * 1000000000L
-    val cents = (col(valueCol).cast("decimal(18,2)") * 100).cast("long")
+    // THE batch expressions — calendar cell, cents fixed point, and every
+    // product in decimal (the batch twin's overflow discipline): reused,
+    // not copied, so the score-identical contract cannot drift
+    import graft.operators.TsOps.{centsExpr, dowExpr, hourExpr}
     val big = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     stream
-      .withColumn("dow", expr(s"pmod(${floorDivSql(tsCol, day)} + 4, 7)"))
-      .withColumn("hour", expr(s"pmod($tsCol, ${day}L) div ${hour}L"))
-      .withColumn("__c", cents)
+      .withColumn("dow", dowExpr(tsCol))
+      .withColumn("hour", hourExpr(tsCol))
+      .withColumn("__c", centsExpr(valueCol))
       .join(broadcast(profile), Seq("dow", "hour"))
       .withColumn("lhs",
-        (big(col("cell_n") * col("__c")) - big(col("__s"))) *
-          (big(col("cell_n") * col("__c")) - big(col("__s"))))
+        (big(col("cell_n")) * big(col("__c")) - big(col("__s"))) *
+          (big(col("cell_n")) * big(col("__c")) - big(col("__s"))))
       .withColumn("rhs",
         big(lit(k.toLong * k)) * (big(col("cell_n")) * big(col("__sq")) -
           big(col("__s")) * big(col("__s"))))

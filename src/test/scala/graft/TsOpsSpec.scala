@@ -980,4 +980,102 @@ class TsOpsSpec extends AnyFunSuite {
     val out = hq(rows, Seq(100L, 200L), 90L, 100L)
     assert(out == Map("b" -> ((10L, 100L)), "c" -> ((1L, 90L))))
   }
+
+  test("counterIncrease: a malformed sample neither counts nor swallows") {
+    // [10.00, null, 20.00] per key: the null is dropped BEFORE the lag, so
+    // the 20.00 sample still diffs against 10.00 — without the filter the
+    // null row would emit a null-inc delta and the real 1000c increase
+    // would vanish (and batch would diverge from the streaming twin,
+    // which drops non-castable rows before its state function)
+    val rows = Seq((1L, 1L, 1L, Some(10.00)), (1L, 2L, 2L, None),
+      (1L, 3L, 3L, Some(20.00))).toDF("k", "ts", "event_id", "value")
+    val out = TsOps.counterIncrease(rows, Seq("k"), 1000L)
+      .select("n_deltas", "inc_cents", "n_resets").collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2)) ==
+      ((1L, 1000L, 0L)))
+  }
+
+  test("histogramQuantile: malformed values observe nothing, not +Inf") {
+    // 9 nulls beside one real 50c observation: the nulls must not count
+    // as +Inf observations (they would drag p50 to the top bound)
+    val rows = (Seq(("a", Some(0.50))) ++ Seq.fill(9)(("a", None: Option[Double])))
+      .toDF("k", "value")
+    val out = TsOps.histogramQuantile(rows, Seq("k"), Seq(100L, 200L),
+      1L, 2L).select("n", "q_cents").collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == ((1L, 50L)))
+  }
+
+  test("histogramQuantile: non-positive first bound reports the bound") {
+    // cents −150 lands in the le=−100 bucket; interpolating that bucket
+    // from 0 would report a value ABOVE every observation in it —
+    // Prometheus returns the bucket bound itself when it is ≤ 0
+    val out = hq(Seq(("a", -1.50)), Seq(-100L, 0L, 100L), 1L, 2L)
+    assert(out == Map("a" -> ((1L, -100L))))
+  }
+
+  test("madAnomalies: NULL-key series is processed, not silently dropped") {
+    // groupBy puts null keys in one group (as a window partition would);
+    // the joins back must be null-safe or the whole series vanishes
+    val rows = (Seq.fill(10)((None: Option[Long], 1.00)) :+
+      ((None: Option[Long], 100.00))).zipWithIndex
+      .map { case ((k, v), i) => (k, i.toLong, v) }.toDF("k", "event_id", "value")
+    val flagged = TsOps.madAnomalies(rows, "value", Seq("k")).collect()
+    assert(flagged.length == 1)
+    assert(flagged(0).isNullAt(flagged(0).fieldIndex("k")))
+    assert(flagged(0).getAs[Long]("dev2") == 19800L)
+  }
+
+  test("asof join: duplicate right timestamps resolve deterministically") {
+    // two right rows at the same (key, ts): the GREATEST payload struct
+    // wins — an explicit tie-break, so reruns and repartitionings agree
+    val l = Seq((1L, 150L, 9L)).toDF("k", "ts", "lid")
+    val r = Seq((1L, 100L, 1.0), (1L, 100L, 2.0)).toDF("k", "ts", "v")
+    val out = TsOps.asofJoin(l, r, Seq("k"))
+    assert(out.select("r_v").head.getDouble(0) == 2.0)
+  }
+
+  test("degenerate parameters fail loudly instead of corrupting output") {
+    val d = Seq((1L, 1.0)).toDF("ts", "value")
+    val e = Seq((1L, 1L, "a", 1L)).toDF("ts", "user_id", "event_type", "event_id")
+    intercept[IllegalArgumentException](TsOps.downsample(d, 0L, "value"))
+    intercept[IllegalArgumentException](TsOps.fillGaps(d, 0L, 0L, 10L))
+    intercept[IllegalArgumentException](
+      TsOps.rollingAgg(d, 0L, "value", Seq("ts")))
+    intercept[IllegalArgumentException](
+      TsOps.zscoreAnomalies(d, 0L, "value", Nil))
+    intercept[IllegalArgumentException](TsOps.sessionize(e, 0L, Seq("user_id")))
+    intercept[IllegalArgumentException](
+      TsOps.sessionizeChunked(e, 0L, Seq("user_id")))
+    intercept[IllegalArgumentException](TsOps.retention(e, "user_id", 0L))
+    // windowDays = 0 would sequence() DESCENDING and count users toward
+    // the WRONG day — must throw, not silently misattribute
+    intercept[IllegalArgumentException](
+      TsOps.activeUsers(e, "user_id", 1L, windowDays = 0))
+    intercept[IllegalArgumentException](
+      TsOps.paaSymbols(d, Nil, 0L))
+    intercept[IllegalArgumentException](
+      TsOps.transitions(e, Seq("user_id"), "event_type", Nil))
+  }
+
+  test("intervalJoin: colliding non-key columns are rejected loudly") {
+    // both sides carry `value` beyond the key — downstream references
+    // would be ambiguous; the operator fails with a clear message instead
+    val pts = Seq((1L, 5L, 1.0)).toDF("k", "ts", "value")
+    val ivs = Seq((1L, 0L, 10L, 2.0)).toDF("k", "s", "e", "value")
+    val ex = intercept[IllegalArgumentException](
+      TsOps.intervalJoin(pts, ivs, Seq("k"), "s", "e", 10L))
+    assert(ex.getMessage.contains("value"))
+  }
+
+  test("seasonalProfile: sum of squares rides decimal, not a wrapped long") {
+    // cents 4e9 per sample → c² = 1.6e19 > Long.Max; ten samples in one
+    // cell must yield Σc² = 1.6e20 exactly (a long sum would wrap
+    // negative and poison every flag decision in the cell)
+    val rows = (0 until 10).map(i => (i.toLong, 4.0e7)).toDF("ts", "value")
+    val sq = TsOps.seasonalProfile(rows, "value", minN = 1)
+      .select("__sq").head.getDecimal(0)
+    assert(sq.compareTo(new java.math.BigDecimal("160000000000000000000")) == 0)
+  }
 }
