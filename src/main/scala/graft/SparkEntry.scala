@@ -98,6 +98,44 @@ object SparkEntry {
   private val rollupStorePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dataset cache of the KEYED (dimensional) 1h rollup store backing
+    * `rollup_keyed_*`: one tree holding every event_type series, keyed per
+    * row — the shape a 100 TB store with millions of series needs (one
+    * tree per series would be a file-listing catastrophe). */
+  private val keyedStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def keyedStore1h(s: SparkSession, d: String): String =
+    keyedStorePaths.computeIfAbsent(d, dir => {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-rollk-${processId}_${dirTag(dir)}/events-1h").getPath
+      graft.storage.RollupStore.write(t(s, dir, "events"), path,
+        bucketNanos = BucketH, distinctCol = Some("user_id"),
+        keyCols = Seq("event_type"))
+      path
+    })
+
+  /** Per-dataset cache of the KEYED tiered layout backing
+    * `rollup_keyed_tiered`: raw events copied to scratch, pre-cutoff
+    * samples tiered into the keyed 1h store — retention with the series
+    * dimension intact. */
+  private val keyedTierPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def keyedTieredEvents(s: SparkSession, d: String)
+      : (String, String) =
+    keyedTierPaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-tierk-${processId}_${dirTag(dir)}")
+      val rawP = new java.io.File(base, "raw").getPath
+      val stP = new java.io.File(base, "store").getPath
+      t(s, dir, "events").write.mode("overwrite").parquet(rawP)
+      graft.storage.RollupStore.tierOff(s, rawP, stP,
+        cutoff = ns("2024-01-15"), bucketNanos = BucketH,
+        distinctCol = Some("user_id"), keyCols = Seq("event_type"))
+      (rawP, stP)
+    })
+
   /** Per-dataset cache of the TIERED events copy backing
     * `rollup_tiered_scan`: raw events copied to scratch, then samples
     * before the cutoff tiered off into a 1h rollup store (one tiering per
@@ -1157,6 +1195,74 @@ object SparkEntry {
             .cast("long").as("hll_ok"))
         .orderBy("bucket_ts")
     }),
+    "rollup_keyed_daily" -> ((s, d) => {
+      // the DIMENSIONAL continuous aggregate: one store tree holds every
+      // event_type series (keys ride each row, readers infer them from
+      // the schema) — per-series daily stats answered from the keyed 1h
+      // store alone; the oracle aggregates the raw table grouped the
+      // same way, so equality proves the keyed partials compose exactly
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      graft.storage.RollupStore.rollup(s, keyedStore1h(s, d), day)
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+    "rollup_keyed_fold" -> ((s, d) => {
+      // DROPPING the dimension: keepKeys=Nil folds the keyed store across
+      // event types — the merges are associative across keys exactly as
+      // across time, so the fold equals the UNKEYED daily aggregate bit
+      // for bit (shares rollup_store_daily's oracle)
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      graft.storage.RollupStore.rollup(s, keyedStore1h(s, d), day,
+          keepKeys = Some(Nil))
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("bucket_ts")
+    }),
+    "rollup_keyed_users" -> ((s, d) => {
+      // distinct users PER SERIES per day from the keyed store's HLL
+      // dimension — n value-oracled, the estimate gated by the documented
+      // rank-error bound vs the exact count (rollup_store_users's
+      // convention; per-key cardinalities are smaller, same lgK=12 bound)
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val st = graft.storage.RollupStore.rollup(s, keyedStore1h(s, d), day)
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("distinct_est"))
+      val exact = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
+        .agg(countDistinct("user_id").as("__exact"))
+      st.join(exact, Seq("event_type", "bucket_ts"))
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          (abs(col("distinct_est") - col("__exact")).cast("double") <=
+            greatest(col("__exact") * 0.05, lit(4.0)))
+            .cast("long").as("hll_ok"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+    "rollup_keyed_tiered" -> ((s, d) => {
+      // retention WITH the series dimension: half the month tiered off
+      // into the keyed store, and the stitched per-series daily read
+      // still equals the never-tiered grouped oracle — tier windows are
+      // key-agnostic (the horizon is global), so every series stitches
+      // on the same boundary
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stP) = keyedTieredEvents(s, d)
+      graft.storage.RollupStore.tieredRollup(s, rawP, stP, day,
+          distinctCol = Some("user_id"))
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "ts_histogram_quantile" -> ((s, d) =>
       // Prometheus-style p90 latency/value per event type over fixed
       // cumulative buckets — exact integer interpolation, so the oracle
@@ -2187,6 +2293,26 @@ object SparkEntry {
         |  CAST(86400000000000 AS BIGINT) AS grain_ns,
         |  'stitched' AS source
         |FROM events GROUP BY 1 ORDER BY bucket_ts""".stripMargin,
+    // the keyed (dimensional) store: per-series daily stats — the oracle
+    // groups the raw table by the same key, so equality proves the keyed
+    // partials compose exactly per series
+    "rollup_keyed_daily" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
+    // n value-oracled per series; the per-key sketch estimate gated by
+    // the rank-error bound (rollup_store_users's convention)
+    "rollup_keyed_users" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts) // 86400000000000) * 86400000000000 AS bucket_ts,
+        |  count(*) AS n, CAST(1 AS BIGINT) AS hll_ok
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
     // n value-oracled from raw; the sketch equality is JVM-side (DuckDB
     // has no DataSketches HLL) — the sketch-store gate convention
     "rollup_store_users" ->
@@ -4941,6 +5067,33 @@ object SparkEntry {
           col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
+    "stream_rollup_keyed" -> ((s, d) => {
+      // the stream-maintained KEYED store: each micro-batch appends one
+      // partial row per (event_type, bucket) under its replay-stable
+      // key, and the per-series daily rollup equals the grouped
+      // raw-table oracle — the keyed twin of stream_rollup_store
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-rlkst-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "store").getPath
+      val qy = graft.streaming.StreamIngest.rollupIngest(eventStream(s, d),
+        p, new java.io.File(base, "ck").getPath, bucketNanos = BucketH,
+        keyCols = Seq("event_type"))
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_rollup_keyed: ingest did not finish")
+      }
+      graft.storage.RollupStore.rollup(s, p, day)
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "stream_rollup_cascade" -> ((s, d) => {
       // the stream-maintained store COMPOSED with store→store tiering:
       // micro-batches keep a 1h mirror store (replay-keyed appends, no
@@ -7158,6 +7311,15 @@ object SparkEntry {
       // the raw-less stitch (mirror [horizon,∞) ∪ tiers) folds the same
       // associative partials, so it shares the raw-table oracle too
       ("stream_rollup_cascade" -> base("rollup_store_daily")) +
+      // the keyed stream-maintained store folds the same per-series
+      // partials the batch keyed store does — shared grouped oracle
+      ("stream_rollup_keyed" -> base("rollup_keyed_daily")) +
+      // dropping the dimension folds across keys with the same
+      // associative merges — equals the UNKEYED daily aggregate
+      ("rollup_keyed_fold" -> base("rollup_store_daily")) +
+      // tier windows are key-agnostic (global horizon), so the keyed
+      // stitched read shares the never-tiered grouped oracle
+      ("rollup_keyed_tiered" -> base("rollup_keyed_daily")) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics

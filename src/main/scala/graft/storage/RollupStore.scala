@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * north-star extensions sanction).
   *
   * Layout: ONE parquet tree of per-bucket rows
-  * `(bucket_ts, bucket_ns, n, min_c, max_c, sum_c, batch_key)` partitioned by
+  * `(keys..., bucket_ts, bucket_ns, n, min_c, max_c, sum_c, batch_key)`
+  * partitioned by
   * `__day` (the [[WritableStore]] date-bucket convention, derived from
   * `bucket_ts` with the same integer floor-div, so [[rollup]]'s range
   * predicate prunes whole day directories at file listing). All value
@@ -37,6 +38,17 @@ import org.apache.spark.sql.functions._
   * [[graft.pipeline.Similarity.recoverCompact]]), preserving the tier
   * horizon in its batch key so tiered reads survive compaction.
   *
+  * Dimensions: writers may pass `keyCols` (e.g. metric/host/event type) —
+  * ONE store tree then holds millions of series, keyed per row, instead of
+  * one tree per series (a file-listing catastrophe at 100 TB). Keys are
+  * self-describing (any non-reserved column is a key), so every reader —
+  * rollup, compact, tiering, stitching, routing — infers them from the
+  * schema; [[rollup]]'s `keepKeys` folds ACROSS dropped dimensions (the
+  * merges are associative across keys exactly as across time, so the
+  * cross-key fold is exact). Serving budgets ([[route]] and the cascade
+  * routers) stay on the TIME axis: the grain contract is per series, the
+  * row count is buckets × series.
+  *
   * Tiering: [[tierOff]] moves raw samples below a cutoff into the store;
   * [[tierOffStore]] cascades a fine store's old buckets into a coarser
   * store (1m → 1h → 1d: full resolution for a week, hourly for a year,
@@ -54,6 +66,54 @@ import org.apache.spark.sql.functions._
 object RollupStore {
 
   private val DayNs = 86400L * 1000000000L
+
+  /** The store's own (reserved) column names. Every OTHER column in a
+    * store row is a GROUP KEY — the dimensional continuous-aggregate
+    * shape (one store tree holding millions of series, keyed by
+    * e.g. metric/host/type, instead of one tree per series, which would
+    * be a file-listing catastrophe at 100 TB). Keys are self-describing:
+    * readers infer them from the schema, so rollup/compact/tiering/
+    * stitching/routing all handle keyed stores with no extra reader
+    * parameters, and a reader can DROP dimensions (fold across keys) —
+    * every merge is associative across keys exactly as across time. */
+  private val ReservedCols: Set[String] = Set("bucket_ts", "bucket_ns",
+    "n", "min_c", "max_c", "sum_c", "batch_key", "hll", "hcnt", "hbounds",
+    "distinct_est", WritableStore.PartitionCol)
+
+  /** The group-key columns a store frame carries, in schema order. */
+  private def keyColsOf(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(ReservedCols)
+
+  /** Writer-side key validation: reserved-name collisions and absent
+    * columns must fail loudly before any row lands. */
+  private def requireKeyCols(df: DataFrame, keyCols: Seq[String],
+      context: String): Unit = {
+    val clash = keyCols.filter(ReservedCols)
+    require(clash.isEmpty,
+      s"$context: key column(s) ${clash.mkString(", ")} collide with the " +
+        "store's reserved column names")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"$context: key column(s) ${missing.mkString(", ")} absent from the " +
+        "input frame")
+  }
+
+  /** Fail loudly when an existing store's key set differs from `keyCols`
+    * — a keyless append into a keyed store (or vice versa) would land
+    * null-keyed rows under parquet schema merge and silently split every
+    * later fold. Absent/empty stores accept any key set. */
+  private[graft] def requireKeys(spark: SparkSession, path: String,
+      keyCols: Seq[String], context: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(live)) readableStore(spark, path).foreach { df =>
+      val have = keyColsOf(df)
+      require(have.sorted == keyCols.sorted,
+        s"$context: store at $path is keyed by [${have.mkString(", ")}]; " +
+          s"this writer's keys are [${keyCols.mkString(", ")}] — one " +
+          "store holds exactly one key set")
+    }
+  }
 
   /** The per-bucket partial aggregation every writer shares: one row per
     * `bucketNanos`-wide floor bucket of `tsCol`, value stats in exact
@@ -77,8 +137,10 @@ object RollupStore {
   private[graft] def rollupRows(df: DataFrame, bucketNanos: Long,
       valueCol: String, tsCol: String,
       distinctCol: Option[String] = None, lgK: Int = 12,
-      histBoundsCents: Seq[Long] = Nil): DataFrame = {
+      histBoundsCents: Seq[Long] = Nil,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(bucketNanos > 0, s"bucketNanos must be positive: $bucketNanos")
+    requireKeyCols(df, keyCols, "rollupRows")
     val dec = col(valueCol).cast("decimal(18,2)")
     // sum_c is pinned to decimal(28,2) — THE at-rest type every writer
     // (base write, append, compact, tierOffStore) shares, so parquet
@@ -95,8 +157,9 @@ object RollupStore {
         }
       })
     val grouped = df
-      .groupBy(expr(graft.operators.TsOps.floorBucketSql(tsCol, bucketNanos))
-        .as("bucket_ts"))
+      .groupBy(keyCols.map(col) :+
+        expr(graft.operators.TsOps.floorBucketSql(tsCol, bucketNanos))
+          .as("bucket_ts"): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bucket_ns", lit(bucketNanos))
     if (histBoundsCents.isEmpty) grouped
@@ -148,11 +211,11 @@ object RollupStore {
   def write(df: DataFrame, path: String, bucketNanos: Long,
       valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
-      histBoundsCents: Seq[Long] = Nil): Unit = {
+      histBoundsCents: Seq[Long] = Nil, keyCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     AtomicDir.publish(spark, path, "rollup store") { tmp =>
       rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
-        histBoundsCents)
+        histBoundsCents, keyCols)
         .withColumn("batch_key", lit("base"))
         .withColumn(WritableStore.PartitionCol, dayCol)
         .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
@@ -171,11 +234,14 @@ object RollupStore {
       bucketNanos: Long, valueCol: String = "value",
       tsCol: String = "ts", distinctCol: Option[String] = None,
       lgK: Int = 12, histBoundsCents: Seq[Long] = Nil,
-      validateWidth: Boolean = true): Unit = {
+      validateWidth: Boolean = true, keyCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    if (validateWidth) requireGrain(spark, path, bucketNanos, "append")
+    if (validateWidth) {
+      requireGrain(spark, path, bucketNanos, "append")
+      requireKeys(spark, path, keyCols, "append")
+    }
     rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
-      histBoundsCents)
+      histBoundsCents, keyCols)
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, dayCol)
       .write.mode("append").partitionBy(WritableStore.PartitionCol)
@@ -256,7 +322,10 @@ object RollupStore {
         since.map(v => col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
         until.map(v => col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
     conds.reduceOption(_ && _).fold(raw)(raw.filter)
-      .dropDuplicates("bucket_ts", "bucket_ns", "batch_key")
+      // replay identity includes the group keys: a keyed store's batch
+      // legitimately lands one row PER KEY per bucket under one batch_key
+      .dropDuplicates(keyColsOf(raw) ++
+        Seq("bucket_ts", "bucket_ns", "batch_key"))
   }
 
   /** A tier at rest, read ONCE per stitched call: self-healed, listed,
@@ -302,8 +371,19 @@ object RollupStore {
     * turns this off); histogram partials must share one bounds schedule.
     */
   private def mergeFold(partials: DataFrame, coarseNanos: Long,
-      uniformWidth: Boolean): DataFrame = {
+      uniformWidth: Boolean, keepKeys: Option[Seq[String]] = None)
+      : DataFrame = {
     require(coarseNanos > 0, s"coarseNanos must be positive: $coarseNanos")
+    // group keys ride the schema; keepKeys folds ACROSS the dropped
+    // dimensions (associative merges make the cross-key fold exact)
+    val allKeys = keyColsOf(partials)
+    val keys = keepKeys.fold(allKeys) { ks =>
+      val unknown = ks.filterNot(allKeys.contains)
+      require(unknown.isEmpty,
+        s"rollup: key column(s) ${unknown.mkString(", ")} not among the " +
+          s"store's keys [${allKeys.mkString(", ")}]")
+      ks
+    }
     val hasHll = partials.columns.contains("hll")
     val hasHist = partials.columns.contains("hcnt")
     val checkedN = when(
@@ -319,8 +399,9 @@ object RollupStore {
         .apply(col("hcnt")).as("hcnt"),
         min("hbounds").as("__hbmin"), max("hbounds").as("__hbmax")) else Nil)
     val grouped = partials
-      .groupBy(expr(graft.operators.TsOps.floorBucketSql("bucket_ts",
-        coarseNanos)).as("bucket_ts"))
+      .groupBy(keys.map(col) :+
+        expr(graft.operators.TsOps.floorBucketSql("bucket_ts",
+          coarseNanos)).as("bucket_ts"): _*)
       .agg(aggs.head, aggs.tail: _*)
     val widthChecked =
       if (!uniformWidth) grouped
@@ -357,14 +438,15 @@ object RollupStore {
     * surviving files.
     */
   def rollup(spark: SparkSession, path: String, coarseNanos: Long,
-      since: Option[Long] = None, until: Option[Long] = None): DataFrame = {
+      since: Option[Long] = None, until: Option[Long] = None,
+      keepKeys: Option[Seq[String]] = None): DataFrame = {
     require(coarseNanos > 0, s"coarseNanos must be positive: $coarseNanos")
     for (v <- since ++ until)
       require(Math.floorMod(v, coarseNanos) == 0,
         s"rollup: range bound $v is not aligned to coarseNanos $coarseNanos" +
           " — a partially-covered coarse bucket would report partial stats")
     mergeFold(scopedStore(spark, path, since, until), coarseNanos,
-      uniformWidth = true)
+      uniformWidth = true, keepKeys)
   }
 
   /** Serving bounds round OUTWARD to whole `g`-buckets (a dashboard shows
@@ -472,10 +554,11 @@ object RollupStore {
       // exactly the partial answer this router exists to prevent
       val (lo, hi) = widened(gRaw)
       if (horizon.forall(_ <= lo)) {
-        // finer-than-stored budget over a range raw fully holds
+        // finer-than-stored budget over a range raw fully holds — grouped
+        // by the store's own keys so a fine zoom serves the same series
         val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw,
             Some(lo), Some(hi), tsCol), gRaw, valueCol, tsCol, distinctCol,
-            lgK, histBoundsCents)
+            lgK, histBoundsCents, keyColsOf(stored))
           .drop("bucket_ns")
         (if (distinctCol.nonEmpty) // schema parity with the store path
           rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
@@ -511,7 +594,8 @@ object RollupStore {
   def tierOff(spark: SparkSession, rawPath: String, storePath: String,
       cutoff: Long, bucketNanos: Long, valueCol: String = "value",
       tsCol: String = "ts", distinctCol: Option[String] = None,
-      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil): Unit = {
+      lgK: Int = 12, histBoundsCents: Seq[Long] = Nil,
+      keyCols: Seq[String] = Nil): Unit = {
     require(Math.floorMod(cutoff, bucketNanos) == 0,
       s"tierOff: cutoff $cutoff is not aligned to the $bucketNanos bucket" +
         " — a straddling bucket would be half raw, half rolled up")
@@ -529,7 +613,7 @@ object RollupStore {
     // limit-1 scan with the ts predicate pushed down)
     if (old.isEmpty) return
     append(old, storePath, s"tier-$cutoff", bucketNanos, valueCol, tsCol,
-      distinctCol, lgK, histBoundsCents)
+      distinctCol, lgK, histBoundsCents, keyCols = keyCols)
     trimBelow(spark, fs, rawPath, "tiered raw table", cutoff, tsCol)
   }
 
@@ -630,6 +714,9 @@ object RollupStore {
       require(bn == coarseBucketNanos,
         s"tierOffStore: coarse store at $coarseStorePath holds $bn-ns " +
           s"buckets, not $coarseBucketNanos"))
+    // and the key sets must agree — cascading a host-keyed store into a
+    // type-keyed one would null-key every later fold
+    requireKeys(spark, coarseStorePath, keyColsOf(fine), "tierOffStore")
     mergeFold(fine, coarseBucketNanos, uniformWidth = true)
       .drop("distinct_est") // a read-side derivation, not a stored column
       // the fold's sum-of-sums widened to decimal(38,2); the store's
@@ -703,13 +790,14 @@ object RollupStore {
       valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil,
-      compactStores: Boolean = false): Seq[(String, Long)] = {
+      compactStores: Boolean = false,
+      keyCols: Seq[String] = Nil): Seq[(String, Long)] = {
     require(tiers.nonEmpty, "applyRetention needs at least one tier")
     val cutoffs = policyCutoffs("applyRetention",
       rawKeepNanos +: tiers.init.map(_.keepNanos), tiers, nowNs)
     tierOff(spark, rawPath, tiers.head.storePath, cutoffs.head,
       tiers.head.bucketNanos, valueCol, tsCol, distinctCol, lgK,
-      histBoundsCents)
+      histBoundsCents, keyCols)
     runPolicyMoves(spark, tiers, cutoffs.tail, compactStores)
     tiers.map(_.storePath).zip(cutoffs)
   }
@@ -858,18 +946,40 @@ object RollupStore {
     require(!anyHist || histBoundsCents.nonEmpty,
       "stitchTiers: a tier carries histogram counters — pass " +
         "histBoundsCents so the raw side serves the same schema")
-    val cols = Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
+    val keys = sharedKeys(present.map(p => (p._1.path, p._1.df)),
+      "stitchTiers")
+    val missing = keys.filterNot(rawScoped.columns.contains)
+    require(missing.isEmpty,
+      s"stitchTiers: the tiers are keyed by [${keys.mkString(", ")}] but " +
+        s"the raw side lacks ${missing.mkString(", ")}")
+    val cols = keys ++ Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
       "sum_c") ++ (if (anySketch) Seq("hll") else Nil) ++
       (if (anyHist) Seq("hcnt", "hbounds") else Nil)
     val rawPart = rollupRows(rawScoped, coarseNanos, valueCol, tsCol,
       if (anySketch) distinctCol else None, lgK,
-      if (anyHist) histBoundsCents else Nil)
+      if (anyHist) histBoundsCents else Nil, keys)
       .select(cols.map(col): _*)
     val storeParts = present.zip(windows.tail).map { case ((t, _), (lo, hi)) =>
       scopedFrame(t.df, lo, hi).select(cols.map(col): _*)
     }
     mergeFold(storeParts.foldLeft(rawPart)(_.unionByName(_)), coarseNanos,
       uniformWidth = false)
+  }
+
+  /** The ONE key set a chain of stitched tiers shares — tiers keyed
+    * differently (a wiring bug: someone cascaded a host-keyed store into
+    * a type-keyed one) fail loudly, never fold across mismatched keys. */
+  private def sharedKeys(tiers: Seq[(String, DataFrame)],
+      context: String): Seq[String] = {
+    val keyed = tiers.map { case (p, df) => (p, keyColsOf(df)) }
+    keyed.map(_._2.sorted).distinct match {
+      case Seq() => Nil
+      case Seq(_) => keyed.head._2
+      case _ => throw new IllegalStateException(
+        s"$context: tiers carry DIFFERENT key sets — " +
+          keyed.map { case (p, ks) => s"$p=[${ks.mkString(", ")}]" }
+            .mkString("; "))
+    }
   }
 
   /** Stitched read across one raw + one store tier: the rolled-up past
@@ -910,11 +1020,12 @@ object RollupStore {
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil): DataFrame = {
     require(storePaths.nonEmpty, "cascadeRollup needs at least one store")
-    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
-    stitchTiers(spark, raw,
-      readTiers(spark, storePaths, "cascadeRollup", mirrorFirst = false),
-      coarseNanos, None, None, valueCol, tsCol, distinctCol, lgK,
-      histBoundsCents)
+    val tiersRead = readTiers(spark, storePaths, "cascadeRollup",
+      mirrorFirst = false)
+    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol,
+      keyFieldsOf(tiersRead))
+    stitchTiers(spark, raw, tiersRead, coarseNanos, None, None, valueCol,
+      tsCol, distinctCol, lgK, histBoundsCents)
   }
 
   /** Stitched read over a RAW-LESS cascade — the stream-maintained
@@ -968,7 +1079,9 @@ object RollupStore {
     require(!anyHist || parts.forall(_.columns.contains("hcnt")),
       "storeCascadeRollup: some tiers carry histogram counters and some " +
         "do not — every tier must be written with the same dimensions")
-    val cols = Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
+    val keys = sharedKeys(tiers.flatten.map(t => (t.path, t.df)),
+      "storeCascadeRollup")
+    val cols = keys ++ Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
       "sum_c") ++ (if (anySketch) Seq("hll") else Nil) ++
       (if (anyHist) Seq("hcnt", "hbounds") else Nil)
     mergeFold(parts.map(_.select(cols.map(col): _*)).reduce(_.unionByName(_)),
@@ -979,8 +1092,9 @@ object RollupStore {
     * _SUCCESS left) serves ZERO rows — reads must degrade to the stores,
     * not die on schema inference. */
   private def readRawOrEmpty(spark: SparkSession, rawPath: String,
-      tsCol: String, valueCol: String,
-      distinctCol: Option[String]): DataFrame = {
+      tsCol: String, valueCol: String, distinctCol: Option[String],
+      keyFields: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     val rawLive = new org.apache.hadoop.fs.Path(rawPath)
     val fs = rawLive.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, rawLive, "tiered raw table")
@@ -991,12 +1105,22 @@ object RollupStore {
         org.apache.spark.sql.types.StructField(valueCol,
           org.apache.spark.sql.types.DoubleType)) ++
         distinctCol.map(c => org.apache.spark.sql.types.StructField(c,
-          org.apache.spark.sql.types.LongType))
+          org.apache.spark.sql.types.LongType)) ++
+        // a keyed cascade whose raw tree is fully tiered off still needs
+        // the key columns (typed from the store) in the zero-row frame
+        keyFields
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(fields))
     }
   }
+
+  /** The key columns' StructFields off the first present tier — the types
+    * the synthesized empty raw frame must carry in a keyed cascade. */
+  private def keyFieldsOf(tiers: Seq[Option[TierAtRest]])
+      : Seq[org.apache.spark.sql.types.StructField] =
+    tiers.flatten.headOption.toSeq.flatMap(t =>
+      keyColsOf(t.df).map(k => t.df.schema(k)))
 
   /** [[route]] generalized over a full tier cascade: serve `[since,
     * until)` under a point budget from a raw table plus fine → coarse
@@ -1019,11 +1143,12 @@ object RollupStore {
     require(until > since, s"routeCascade: empty range [$since, $until)")
     require(maxPoints >= 1, "routeCascade needs a positive point budget")
     require(storePaths.nonEmpty, "routeCascade needs at least one store")
-    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol)
     // every store read ONCE: frames + horizons for stitching, widths for
     // routing (horizonless stores were never tiered into and don't route)
     val tiersRead = readTiers(spark, storePaths, "routeCascade",
       mirrorFirst = false)
+    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol,
+      keyFieldsOf(tiersRead))
     // present tiers fine → coarse, each with (bucket width, horizon)
     val present: Seq[(Long, Long)] = tiersRead.flatten.flatMap(t =>
       t.horizon.map(h => (storeBucketNs(t.df, t.path), h)))
@@ -1031,10 +1156,11 @@ object RollupStore {
       maxPoints, floorW = 1L)
     val (lo, hi) = widenTo(since, until, g)
     if (touchedAtG.isEmpty) {
-      // raw holds the whole widened range — serve it at the fine grain
+      // raw holds the whole widened range — serve it at the fine grain,
+      // grouped by the cascade's own keys for schema parity across zooms
       val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo),
           Some(hi), tsCol), g, valueCol, tsCol, distinctCol, lgK,
-          histBoundsCents)
+          histBoundsCents, keyFieldsOf(tiersRead).map(_.name))
         .drop("bucket_ns")
       (if (distinctCol.nonEmpty)
         rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
@@ -1165,9 +1291,10 @@ object RollupStore {
             .apply(col("hcnt")).as("hcnt"),
             min("hbounds").as("__hbmin"), max("hbounds").as("__hbmax"))
         else Nil)
+      val keys = keyColsOf(live0)
       val folded0 = live0
-        .dropDuplicates("bucket_ts", "bucket_ns", "batch_key")
-        .groupBy("bucket_ts", "bucket_ns")
+        .dropDuplicates(keys ++ Seq("bucket_ts", "bucket_ns", "batch_key"))
+        .groupBy((keys ++ Seq("bucket_ts", "bucket_ns")).map(col): _*)
         .agg(cAggs.head, cAggs.tail: _*)
       val folded =
         if (!hasHist) folded0

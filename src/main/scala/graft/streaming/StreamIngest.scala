@@ -1414,20 +1414,23 @@ object StreamIngest {
       bucketNanos: Long, valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // grain validation ONCE at stream start, not per micro-batch: the
-    // probe scans every accumulated partial file, so inside foreachBatch
-    // it would grow with the stream's life between compactions; the
-    // read side's uniform-width assert still backstops a concurrent
-    // writer that lands a different grain mid-stream
+      trigger: Trigger = Trigger.AvailableNow(),
+      keyCols: Seq[String] = Nil): StreamingQuery = {
+    // grain + key-set validation ONCE at stream start, not per
+    // micro-batch: the probe scans every accumulated partial file, so
+    // inside foreachBatch it would grow with the stream's life between
+    // compactions; the read side's uniform-width assert still backstops
+    // a concurrent writer that lands a different grain mid-stream
     graft.storage.RollupStore.requireGrain(stream.sparkSession, path,
       bucketNanos, "rollupIngest")
+    graft.storage.RollupStore.requireKeys(stream.sparkSession, path,
+      keyCols, "rollupIngest")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.storage.RollupStore.append(batch, path,
           sketchBatchKey(checkpointDir, batchId), bucketNanos, valueCol,
           tsCol, distinctCol, lgK, histBoundsCents,
-          validateWidth = false)
+          validateWidth = false, keyCols = keyCols)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -722,4 +722,123 @@ class RollupStoreSpec extends AnyFunSuite {
       if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
     assert(chain(ex).contains("multiple"))
   }
+
+  /** Keyed fixture: two series (hosts) interleaved over three days, with
+    * a per-row user id so the distinct sketch dimension rides too. */
+  private def keyedRaw = Seq(
+    (1L * H, 10.25, "a", 1L), (2L * H, 3.10, "b", 2L),
+    (25L * H, 7.77, "a", 1L), (26L * H + 7L, 100.01, "a", 3L),
+    (49L * H, 0.02, "b", 2L), (49L * H + 9L, 5.55, "a", 4L),
+    (50L * H, 6.25, "b", 5L)
+  ).toDF("ts", "value", "host", "user_id")
+
+  private def directKeyedDaily = keyedRaw
+    .groupBy(col("host"),
+      expr(graft.operators.TsOps.floorBucketSql("ts", Day)).as("bucket_ts"))
+    .agg(count(lit(1)).as("n"),
+      min(col("value").cast("decimal(18,2)")).as("min_c"),
+      max(col("value").cast("decimal(18,2)")).as("max_c"),
+      sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+    .orderBy("host", "bucket_ts").collect().toSeq
+
+  test("keyed store: per-key rollup equals the direct grouped aggregate, " +
+      "and dropping the dimension folds across keys exactly") {
+    val p = SparkTestBase.tempDir("graft-rollup-k") + "/store"
+    RollupStore.write(keyedRaw, p, H, keyCols = Seq("host"))
+    val viaStore = RollupStore.rollup(spark, p, Day)
+      .select("host", "bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(viaStore == directKeyedDaily)
+    // keepKeys = no keys: the cross-key fold equals the UNKEYED daily
+    // aggregate of the same rows — associativity across keys, proven
+    val folded = RollupStore.rollup(spark, p, Day, keepKeys = Some(Nil))
+      .select("bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("bucket_ts").collect().toSeq
+    val direct = keyedRaw
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value").cast("decimal(18,2)")).as("min_c"),
+        max(col("value").cast("decimal(18,2)")).as("max_c"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+      .orderBy("bucket_ts").collect().toSeq
+    assert(folded == direct)
+    // an unknown keepKeys name fails loudly, never silently regroups
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.rollup(spark, p, Day, keepKeys = Some(Seq("nope")))
+    }
+    assert(ex.getMessage.contains("not among the store's keys"))
+  }
+
+  test("keyed store: replayed appends dedup PER KEY and compaction " +
+      "preserves the dimension") {
+    val p = SparkTestBase.tempDir("graft-rollup-kr") + "/store"
+    val (base, late) = (keyedRaw.filter(col("ts") < 2 * Day),
+      keyedRaw.filter(col("ts") >= 2 * Day))
+    RollupStore.write(base, p, H, keyCols = Seq("host"))
+    RollupStore.append(late, p, "b#1", H, keyCols = Seq("host"))
+    RollupStore.append(late, p, "b#1", H, keyCols = Seq("host")) // replay
+    def daily = RollupStore.rollup(spark, p, Day)
+      .select("host", "bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(daily == directKeyedDaily)
+    RollupStore.compact(spark, p)
+    assert(daily == directKeyedDaily)
+    // one folded row per (key, bucket) after compaction
+    val st = spark.read.parquet(p)
+    assert(st.count() ==
+      st.select("host", "bucket_ts").distinct().count())
+  }
+
+  test("keyed store: reserved key names and key-set drift fail loudly") {
+    val p = SparkTestBase.tempDir("graft-rollup-kg") + "/store"
+    val exR = intercept[IllegalArgumentException] {
+      RollupStore.write(keyedRaw.withColumnRenamed("host", "bucket_ns"),
+        p, H, keyCols = Seq("bucket_ns"))
+    }
+    assert(exR.getMessage.contains("reserved"))
+    RollupStore.write(keyedRaw, p, H, keyCols = Seq("host"))
+    // a keyless append into a keyed store must fail, not land null keys
+    val exK = intercept[IllegalArgumentException] {
+      RollupStore.append(keyedRaw, p, "b#2", H)
+    }
+    assert(exK.getMessage.contains("one store holds exactly one key set"))
+  }
+
+  test("keyed store: tiering keeps the dimension and the stitched read " +
+      "equals the never-tiered grouped aggregate — sketch dim included") {
+    val base = SparkTestBase.tempDir("graft-rollup-kt")
+    val rawP = base + "/raw"
+    val stP = base + "/store"
+    keyedRaw.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H,
+      distinctCol = Some("user_id"), keyCols = Seq("host"))
+    val st = RollupStore.tieredRollup(spark, rawP, stP, Day,
+        distinctCol = Some("user_id"))
+      .select("host", "bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(st == directKeyedDaily)
+    // tiny cardinalities: the sketch estimate is exact here
+    val est = RollupStore.tieredRollup(spark, rawP, stP, Day,
+        distinctCol = Some("user_id"))
+      .select(col("host"), col("bucket_ts"),
+        col("distinct_est").cast("long").as("d"))
+      .orderBy("host", "bucket_ts").collect().toSeq
+    val exact = keyedRaw.groupBy(col("host"),
+        expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+          .as("bucket_ts"))
+      .agg(countDistinct("user_id").as("d"))
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(est == exact)
+    // and the tier-aware router stitches the keyed answer completely
+    val routed = RollupStore.route(spark, stP, spark.read.parquet(rawP),
+        0L, 3 * Day, maxPoints = 100000, distinctCol = Some("user_id"))
+      .select("host", "bucket_ts", "n")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    val exactH = keyedRaw.groupBy(col("host"),
+        expr(graft.operators.TsOps.floorBucketSql("ts", H)).as("bucket_ts"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(routed == exactH)
+  }
 }
