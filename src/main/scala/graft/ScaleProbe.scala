@@ -188,6 +188,24 @@ object ScaleProbe {
       report("rollup_store", evK,
         storeRoundtrip(events, "1x"), storeRoundtrip(evScaled, s"${evK}x"))
     }
+    if (sel("rollup_keyed")) {
+      // the DIMENSIONAL store: 640 synthetic series keyed per row in ONE
+      // tree (per-series trees would be a file-listing catastrophe at
+      // scale). The keyed roundtrip should scale like the unkeyed
+      // rollup_store row — the key column rides the same groupBy, so the
+      // dimension costs shuffle width, not an extra pass
+      val day = 86400L * 1000000000L
+      def keyedRoundtrip(ev: DataFrame, tag: String): Long = {
+        val p = s"$work/rollup_keyed_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        graft.storage.RollupStore.write(
+          ev.withColumn("host", pmod(col("user_id"), lit(640L))),
+          p, 3600L * 1000000000L, keyCols = Seq("host"))
+        graft.storage.RollupStore.rollup(spark, p, day).count()
+      }
+      report("rollup_keyed", evK,
+        keyedRoundtrip(events, "1x"), keyedRoundtrip(evScaled, s"${evK}x"))
+    }
     if (sel("cascade_serve")) {
       // the retention-cascade SERVING claim, measured end to end: build a
       // three-tier layout (last 2 days raw, hourly for the prior 10 days,

@@ -1246,6 +1246,22 @@ object SparkEntry {
             .cast("long").as("hll_ok"))
         .orderBy("event_type", "bucket_ts")
     }),
+    "rollup_keyed_route" -> ((s, d) => {
+      // budget routing over the keyed store: the grain contract stays on
+      // the TIME axis (per series), so the same 30-day/40-point budget
+      // that rollup_route resolves to 19h resolves identically here —
+      // every event_type series served at that grain from the store
+      Tables.configure(s)
+      graft.storage.RollupStore.route(s, keyedStore1h(s, d),
+          t(s, d, "events"), ns("2024-01-01"), ns("2024-01-31"),
+          maxPoints = 40, distinctCol = Some("user_id"))
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"),
+          col("grain_ns"), col("source"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "rollup_keyed_tiered" -> ((s, d) => {
       // retention WITH the series dimension: half the month tiered off
       // into the keyed store, and the stitched per-series daily read
@@ -2303,6 +2319,19 @@ object SparkEntry {
         |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
+    // the keyed router: same 19h grain derivation as rollup_route (the
+    // budget is on the time axis), grouped by the store's key
+    "rollup_keyed_route" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts) // 68400000000000) * 68400000000000 AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(68400000000000 AS BIGINT) AS grain_ns,
+        |  'store' AS source
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
     // n value-oracled per series; the per-key sketch estimate gated by
