@@ -87,4 +87,62 @@ class RetentionSweepSpec extends AnyFunSuite {
     assert(spark.read.parquet(rawP).agg(min("ts")).head().getLong(0) >=
       finestCutoff)
   }
+
+  test("KEYED lifecycle: the same random sweep with a series dimension " +
+      "stays exact per key through every cycle and double-run") {
+    val rnd = new scala.util.Random(23)
+    val base = SparkTestBase.tempDir("graft-retsweepk")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st_h").getPath
+    val stD = new java.io.File(base, "st_d").getPath
+    val tiers = Seq(TierSpec(stH, H, keepNanos = 6 * Day),
+      TierSpec(stD, Day))
+    val hosts = Seq("web", "db", "cache")
+    def directKeyed(rows: Seq[(Long, Double, String)])
+        : Seq[(String, Long, Long, Double)] =
+      rows.toDF("ts", "value", "host")
+        .groupBy(col("host"),
+          expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+            .as("bucket_ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+        .orderBy("host", "bucket_ts").collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[Long]("bucket_ts"),
+          r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+    def stitchedKeyed(): Seq[(String, Long, Long, Double)] =
+      RollupStore.cascadeRollup(spark, rawP, Seq(stH, stD), Day)
+        .select("host", "bucket_ts", "n", "sum_c")
+        .orderBy("host", "bucket_ts").collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[Long]("bucket_ts"),
+          r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+    var all = Vector.empty[(Long, Double, String)]
+    var now = 10L * Day
+    var finestCutoff = 0L
+    for (step <- 0 until 5) {
+      val batch = (0 until 30).map { _ =>
+        val ts = finestCutoff + (rnd.nextDouble() *
+          (now - finestCutoff)).toLong / S * S + rnd.nextInt(1000)
+        (ts, math.rint(rnd.nextDouble() * 10000) / 100.0,
+          hosts(rnd.nextInt(hosts.size)))
+      }
+      batch.toDF("ts", "value", "host").write.mode("append").parquet(rawP)
+      all ++= batch
+      now += (6L + rnd.nextInt(55)) * H
+      val cuts = RollupStore.applyRetention(spark, rawP,
+        rawKeepNanos = 2 * Day, tiers, now, keyCols = Seq("host"))
+      if (rnd.nextBoolean())
+        RollupStore.applyRetention(spark, rawP, rawKeepNanos = 2 * Day,
+          tiers, now, keyCols = Seq("host"))
+      finestCutoff = math.max(finestCutoff, cuts.head._2)
+      assert(stitchedKeyed() == directKeyed(all),
+        s"step $step (now=$now, cuts=$cuts): keyed stitched read " +
+          "diverged from the never-tiered truth")
+    }
+    // the dimension survived the full cascade: the daily tier holds
+    // every host that aged into it, keyed per row
+    assert(spark.read.parquet(stD).select("host").distinct().count() > 1,
+      "nothing keyed aged to daily")
+  }
 }

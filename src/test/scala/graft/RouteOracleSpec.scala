@@ -212,4 +212,53 @@ class RouteOracleSpec extends AnyFunSuite {
         s"probe ($since, $until, $mp): grain=$g")
     }
   }
+
+  test("KEYED route over a tiered dimensional store: every probe equals " +
+      "the never-tiered grouped aggregate per series") {
+    val hosts = Seq("web", "db", "cache")
+    val rnd0 = new scala.util.Random(31)
+    val keyed = {
+      val rows = samples.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), hosts(rnd0.nextInt(hosts.size))))
+      rows.toSeq.toDF("ts", "value", "host")
+    }
+    def directKeyed(g: Long, lo: Long, hi: Long)
+        : Seq[(String, Long, Long, Double)] =
+      keyed.filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy(col("host"),
+          expr(graft.operators.TsOps.floorBucketSql("ts", g))
+            .as("bucket_ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+        .orderBy("host", "bucket_ts").collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[Long]("bucket_ts"),
+          r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+    val base = SparkTestBase.tempDir("graft-ro-keyed")
+    val rawP = new java.io.File(base, "raw").getPath
+    val stP = new java.io.File(base, "store").getPath
+    keyed.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = 2 * Day, bucketNanos = H,
+      keyCols = Seq("host"))
+    val rawNow = spark.read.parquet(rawP)
+    val rnd = new scala.util.Random(37)
+    for ((since, until, mp) <- probes(rnd, Seq(2 * Day))) {
+      val df = RollupStore.route(spark, stP, rawNow, since, until, mp)
+      val rows = df.select("host", "bucket_ts", "n", "sum_c", "grain_ns",
+          "source").orderBy("host", "bucket_ts").collect()
+      assert(rows.nonEmpty)
+      val g = rows.map(_.getAs[Long]("grain_ns")).distinct match {
+        case Array(one) => one
+        case gs => fail(s"mixed grains served: ${gs.toSeq}")
+      }
+      val (lo, hi) = widen(since, until, g)
+      // the budget binds the TIME axis (per series), not rows × keys
+      assert((hi - lo) / g <= mp, s"budget violated: $since $until $mp $g")
+      val got = rows.map(r => (r.getAs[String]("host"),
+        r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+      assert(got == directKeyed(g, lo, hi),
+        s"probe ($since, $until, $mp): grain=$g")
+    }
+  }
 }
