@@ -3997,6 +3997,13 @@ object SparkEntry {
       // are duplicated anywhere in the corpus
       Text.dupChunkStats(t(s, d, "documents"), "doc_id", "text", size = 32)
         .orderBy("doc_id")),
+    "text_dup_spans" -> ((s, d) =>
+      // exact duplicated-span COVERAGE per doc (Lee et al. 2022): the
+      // union of all 8-token windows occurring >= 2 times in the corpus,
+      // merged into maximal spans — the token count a span-excision
+      // dedup pass would remove, not just a dup-window tally
+      Text.dupSpanCoverage(t(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
     "text_chunks" -> ((s, d) =>
       Text.chunk(t(s, d, "documents"), "doc_id", "text",
         size = 32, overlap = 8)
@@ -6066,6 +6073,49 @@ object SparkEntry {
          |    AS n_dup_chunks
          |FROM c JOIN f USING (fp)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // exact duplicated-span coverage: the same k-gram windows, occurrence
+    // filter, and gaps-and-islands merge as the operator — pure integer
+    // arithmetic end to end, so equality is bit-exact
+    "text_dup_spans" -> {
+      val k = 8
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1,
+         |      greatest(len(toks) - ${k - 1}, 0))) AS i
+         |  FROM t
+         |), e AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(toks[i : i + ${k - 1}], ' ') AS gram
+         |  FROM g
+         |), dup AS (
+         |  SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2
+         |), p AS (
+         |  SELECT e.doc_id, e.pos FROM e JOIN dup USING (gram)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN coalesce(pos >= max(pos + $k) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      TRUE) THEN 1 ELSE 0 END AS nw
+         |  FROM p
+         |), isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |), cov AS (
+         |  SELECT doc_id, max(pos) + $k - min(pos) AS covered
+         |  FROM isl2 GROUP BY doc_id, island
+         |), per AS (
+         |  SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens
+         |  FROM cov GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(per.dup_tokens, 0) AS dup_tokens
+         |FROM t LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     "quality_length_trim" ->
       """WITH h AS (

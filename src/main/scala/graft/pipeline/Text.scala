@@ -1307,6 +1307,61 @@ object Text {
     * boilerplate is the point). Two keyed shuffles on the fingerprint
     * and the doc id; chunking itself is a narrow map + explode.
     */
+  /** Exact duplicated-SPAN coverage per document — the substring-dedup
+    * signal of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022) as a per-doc measure: how many of a document's
+    * tokens sit inside at least one k-token window whose exact text
+    * occurs ≥ `minCount` times across the corpus (within-doc repeats
+    * count — a self-repeating doc is as memorization-prone as a cross-doc
+    * copy). Overlapping duplicated windows merge into MAXIMAL spans
+    * before measuring, so a token under many windows counts once —
+    * `dup_tokens` is the size of the union of covered positions, the
+    * number a span-excision pass would actually remove.
+    *
+    * Scale shape: one tokenize pass; occurrence counts are one groupBy
+    * over the exploded k-grams (inverted-index shape, map-side combined)
+    * joined back on the gram; span merging is a per-DOC window over that
+    * doc's duplicated positions only — bounded by the doc's own token
+    * count, never a global sort. The gram string is the shuffle key so a
+    * second engine reproduces the result bit for bit; a production run
+    * would xxhash64 it (same equality, 8-byte keys).
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"span length must be positive: $k")
+    require(minCount >= 2L, s"minCount < 2 would cover every token")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol),
+      coalesce(tokens(col(textCol)), array()).as("__toks"))
+    // windows start at 0-based pos; a doc shorter than k has none
+    // (sequence(1,0) would count DOWN in Spark, hence the guard)
+    val grams = base.select(col(idCol), posexplode(expr(
+        s"""CASE WHEN size(__toks) >= $k
+           |THEN transform(sequence(1, size(__toks) - ${k - 1}),
+           |  i -> array_join(slice(__toks, i, $k), ' '))
+           |ELSE array() END""".stripMargin)))
+      .select(col(idCol), col("pos").as("__pos"), col("col").as("__gram"))
+    val dupGrams = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    val dupPos = grams.join(dupGrams, "__gram")
+      .select(col(idCol), col("__pos"))
+    // gaps-and-islands over the doc's own duplicated positions: a new
+    // island starts where a window clears every previous window's end
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+    val covered = dupPos
+      .withColumn("__prev_end", max(col("__pos") + k)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new", when(col("__prev_end").isNull ||
+        col("__pos") >= col("__prev_end"), 1L).otherwise(0L))
+      .withColumn("__isl", sum("__new").over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max(col("__pos")) + k - min(col("__pos"))).as("__covered"))
+      .groupBy(idCol).agg(sum("__covered").as("dup_tokens"))
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+  }
+
   def dupChunkStats(df: DataFrame, idCol: String, textCol: String,
       size: Int = 32): DataFrame = {
     val chunks = chunk(df, idCol, textCol, size, overlap = 0)

@@ -2116,6 +2116,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(!want.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("dupSpanCoverage: overlapping windows merge into maximal spans, " +
+      "within-doc repeats count, sub-k docs report zero") {
+    // k=3: docs 1 and 2 share "a b c d" → windows at pos 0 and 1 in each,
+    // overlapping → ONE maximal span of 4 tokens (not 2×3=6); doc 3
+    // repeats its own trigram at pos 0 and 3 → two disjoint 3-token
+    // islands despite no cross-doc copy; doc 4 has <3 tokens → 0/2
+    val fx = Seq(
+      (1L, "a b c d x y z"),
+      (2L, "p q a b c d"),
+      (3L, "m n o m n o"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val got = Text.dupSpanCoverage(fx, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 7L, 4L), (2L, 6L, 4L), (3L, 6L, 6L),
+      (4L, 2L, 0L)))
+  }
+
   test("fuzzyPairs maxBucket caps a planted identical-key cluster") {
     // 20 identical docs (one hot variant bucket) + one honest typo pair;
     // the cap drops the cluster's pairs, the typo pair survives
