@@ -38,7 +38,11 @@ object Bench {
     // ScaleProbe rows existed since round 8, wall-time was untracked) and
     // the three-tier stitched read (fixture cascade is per-process-cached,
     // so this times the stitched serving path)
-    "graph_triangles", "rollup_cascade_daily")
+    "graph_triangles", "rollup_cascade_daily",
+    // round-9 late rows: the DIMENSIONAL store's per-series rollup (keyed
+    // fixture per-process-cached — times the keyed fold) and the
+    // duplicated-span coverage pass (inverted-index count + island merge)
+    "rollup_keyed_daily", "text_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

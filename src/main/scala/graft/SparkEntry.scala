@@ -98,6 +98,11 @@ object SparkEntry {
   private val rollupStorePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dataset cache of the at-rest dup-gram index backing
+    * `text_dup_spans_stored` (one mine+publish per process per dataset). */
+  private val dupGramIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Per-dataset cache of the KEYED (dimensional) 1h rollup store backing
     * `rollup_keyed_*`: one tree holding every event_type series, keyed per
     * row — the shape a 100 TB store with millions of series needs (one
@@ -4004,6 +4009,31 @@ object SparkEntry {
       // dedup pass would remove, not just a dup-window tally
       Text.dupSpanCoverage(t(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
+    "text_excise_spans" -> ((s, d) =>
+      // the TRANSFORM half of Lee et al. 2022: every token under a
+      // duplicated 8-window leaves, survivors rejoin in order over the
+      // canonical token stream — the dedup a training pipeline actually
+      // applies, not just the metric
+      Text.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id")),
+    "text_dup_spans_stored" -> ((s, d) => {
+      // the dup-gram set AT REST: mined once (index is the duplicated
+      // subset only — tiny), probed by a one-pass scoring join with no
+      // corpus-wide re-count; same corpus + same set ⇒ shares
+      // text_dup_spans' oracle, and the k self-description is validated
+      // on open
+      val docs = t(s, d, "documents")
+      val path = dupGramIndexPaths.computeIfAbsent(d, dir => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-dupgram-$processId-${dirTag(dir)}").getPath
+        Text.writeDupGramIndex(t(s, dir, "documents"), p, "doc_id",
+          "text", k = 8)
+        p
+      })
+      Text.dupSpanCoverageStored(docs, "doc_id", "text",
+        Text.openDupGramIndex(s, path, k = 8), k = 8)
+        .orderBy("doc_id")
+    }),
     "text_chunks" -> ((s, d) =>
       Text.chunk(t(s, d, "documents"), "doc_id", "text",
         size = 32, overlap = 8)
@@ -5244,6 +5274,20 @@ object SparkEntry {
         src, evalDf, "doc_id", "text")
       runStreamToTable(s, out, "stream_contamination_out").orderBy("doc_id")
     }),
+    "stream_dup_spans" -> ((s, d) => {
+      // ingest-side duplicated-span coverage: the dup-gram set mines once
+      // from the static corpus, each arriving doc tokenizes/probes/merges
+      // within its own row (stateless append mode) — streaming the same
+      // corpus against its own set emits exactly the batch coverage
+      // (shared oracle)
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val out = graft.streaming.StreamIngest.streamingDupSpans(
+        src, t(s, d, "documents"), "doc_id", "text", k = 8)
+      runStreamToTable(s, out, "stream_dup_spans_out").orderBy("doc_id")
+    }),
     "stream_length_trim" -> ((s, d) => {
       // ingest-side adaptive length gate: band mined from the static
       // corpus, arrivals pass/drop via a stateless broadcast semi join —
@@ -6115,6 +6159,65 @@ object SparkEntry {
          |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
          |  coalesce(per.dup_tokens, 0) AS dup_tokens
          |FROM t LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // the excision transform: same islands, then survivors rejoin in
+    // token order — list(tok ORDER BY pos) mirrors the sorted fold
+    "text_excise_spans" -> {
+      val k = 8
+      s"""WITH t AS (
+         |  SELECT doc_id, $DuckToks AS toks FROM documents
+         |), g AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(1,
+         |      greatest(len(toks) - ${k - 1}, 0))) AS i
+         |  FROM t
+         |), e AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(toks[i : i + ${k - 1}], ' ') AS gram
+         |  FROM g
+         |), dup AS (
+         |  SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2
+         |), p AS (
+         |  SELECT e.doc_id, e.pos FROM e JOIN dup USING (gram)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN coalesce(pos >= max(pos + $k) OVER (
+         |        PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      TRUE) THEN 1 ELSE 0 END AS nw
+         |  FROM p
+         |), isl2 AS (
+         |  SELECT doc_id, pos,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl
+         |), spans AS (
+         |  SELECT doc_id, min(pos) AS s, max(pos) + $k AS e2
+         |  FROM isl2 GROUP BY doc_id, island
+         |), cov AS (
+         |  SELECT doc_id, CAST(sum(e2 - s) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id
+         |), cut AS (
+         |  SELECT doc_id, unnest(generate_series(s, e2 - 1)) AS pos
+         |  FROM spans
+         |), tok AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS pos,
+         |    toks AS toks
+         |  FROM t
+         |), kept AS (
+         |  SELECT tok.doc_id, tok.pos, tok.toks[tok.pos + 1] AS w
+         |  FROM tok ANTI JOIN cut
+         |    ON tok.doc_id = cut.doc_id AND tok.pos = cut.pos
+         |), clean AS (
+         |  SELECT doc_id,
+         |    array_to_string(list(w ORDER BY pos), ' ') AS text_clean
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+         |  coalesce(clean.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN cov USING (doc_id)
+         |  LEFT JOIN clean USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
     "quality_length_trim" ->
@@ -7347,6 +7450,11 @@ object SparkEntry {
       // the stateless streaming contamination probe emits exactly the
       // batch result (literal eval set, same shingle arithmetic)
       ("stream_contamination" -> base("text_contamination")) +
+      // same corpus, same dup-gram set, same window/island arithmetic —
+      // the stream emits exactly the batch coverage rows
+      ("stream_dup_spans" -> base("text_dup_spans")) +
+      // the stored index IS the batch miner's dup set at rest
+      ("text_dup_spans_stored" -> base("text_dup_spans")) +
       // in-row chunk/probe/reassemble against the static corpus's mined
       // span set = the batch cleaned text bit-for-bit (JVM md5 == md5())
       ("stream_remove_boilerplate" -> base("text_remove_boilerplate")) +

@@ -1328,38 +1328,162 @@ object Text {
     */
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Long = 2L): DataFrame = {
-    require(k >= 1, s"span length must be positive: $k")
     require(minCount >= 2L, s"minCount < 2 would cover every token")
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol),
-      coalesce(tokens(col(textCol)), array()).as("__toks"))
-    // windows start at 0-based pos; a doc shorter than k has none
-    // (sequence(1,0) would count DOWN in Spark, hence the guard)
-    val grams = base.select(col(idCol), posexplode(expr(
+    val base = spanTokens(df, idCol, textCol)
+    val grams = spanGrams(base, idCol, k)
+    val dupGrams = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    spanCoverage(base, grams, dupGrams, idCol, k)
+  }
+
+  private def spanTokens(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), coalesce(tokens(col(textCol)), array())
+      .as("__toks"))
+
+  /** (id, __pos, __gram) — every k-token window of every doc, 0-based
+    * start positions. A doc shorter than k has none (sequence(1,0) would
+    * count DOWN in Spark, hence the guard). */
+  private def spanGrams(base: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"span length must be positive: $k")
+    base.select(col(idCol), posexplode(expr(
         s"""CASE WHEN size(__toks) >= $k
            |THEN transform(sequence(1, size(__toks) - ${k - 1}),
            |  i -> array_join(slice(__toks, i, $k), ' '))
            |ELSE array() END""".stripMargin)))
       .select(col(idCol), col("pos").as("__pos"), col("col").as("__gram"))
-    val dupGrams = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minCount)
-    val dupPos = grams.join(dupGrams, "__gram")
+  }
+
+  /** Merge each doc's duplicated window positions into MAXIMAL spans —
+    * gaps-and-islands over the doc's OWN duplicated positions: a new
+    * island starts where a window clears every previous window's end.
+    * One row per (doc, island) with `[__start, __end)` token bounds. */
+  private def spanIslands(grams: DataFrame, dupGrams: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dupPos = grams.join(dupGrams.select("__gram"), "__gram")
       .select(col(idCol), col("__pos"))
-    // gaps-and-islands over the doc's own duplicated positions: a new
-    // island starts where a window clears every previous window's end
     val w = Window.partitionBy(idCol).orderBy("__pos")
-    val covered = dupPos
+    dupPos
       .withColumn("__prev_end", max(col("__pos") + k)
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new", when(col("__prev_end").isNull ||
         col("__pos") >= col("__prev_end"), 1L).otherwise(0L))
       .withColumn("__isl", sum("__new").over(w))
       .groupBy(col(idCol), col("__isl"))
-      .agg((max(col("__pos")) + k - min(col("__pos"))).as("__covered"))
-      .groupBy(idCol).agg(sum("__covered").as("dup_tokens"))
+      .agg(min(col("__pos")).as("__start"),
+        (max(col("__pos")) + k).as("__end"))
+  }
+
+  /** Join each doc's windows against the duplicated-gram frame and
+    * report the merged-span coverage. */
+  private def spanCoverage(base: DataFrame, grams: DataFrame,
+      dupGrams: DataFrame, idCol: String, k: Int): DataFrame = {
+    val covered = spanIslands(grams, dupGrams, idCol, k)
+      .groupBy(idCol)
+      .agg(sum(col("__end") - col("__start")).as("dup_tokens"))
     base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
       .join(covered, Seq(idCol), "left")
       .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+  }
+
+  /** EXCISE the duplicated spans — the transform half of Lee et al.
+    * 2022 (their dedup deletes the duplicated substring, keeping the
+    * document): every token under a ≥ `minCount`-occurrence k-window
+    * leaves, the survivors rejoin in order. Output text is the CANONICAL
+    * token stream (lowercased, punctuation collapsed to single spaces) —
+    * the same normal form the duplication is defined on, so excision
+    * bounds are exact rather than a byte-offset approximation.
+    *
+    * Scale shape: the island frame is per-doc-bounded as in
+    * [[dupSpanCoverage]]; covered positions explode at most one row per
+    * REMOVED token (never corpus × windows), and the rebuild is one
+    * per-doc sorted fold (`sort_array(collect_list)` of (pos, token)
+    * structs — bounded by the doc's own length). */
+  def exciseDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 2L, s"minCount < 2 would excise every token")
+    val base = spanTokens(df, idCol, textCol)
+    val grams = spanGrams(base, idCol, k)
+    val dupGrams = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+    // ONE island pass feeds both the coverage stats and the excision
+    val islands = spanIslands(grams, dupGrams, idCol, k)
+    val covered = islands.groupBy(idCol)
+      .agg(sum(col("__end") - col("__start")).as("dup_tokens"))
+    val coveredPos = islands.select(col(idCol),
+      explode(expr("sequence(__start, __end - 1)")).as("__pos"))
+    val toks = base.select(col(idCol), posexplode(col("__toks")))
+      .select(col(idCol), col("pos").as("__pos"), col("col").as("__tok"))
+    val rebuilt = toks
+      .join(coveredPos, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(__pos, __tok))), " +
+          "s -> s.__tok)"), " ").as("text_clean"))
+    // docs fully excised (or empty to begin with) keep a row with ''
+    base.select(col(idCol), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
+
+  /** [[dupSpanCoverage]]'s duplicated-gram set AT REST: mine the corpus
+    * once, store `(gram, cnt)` with the span length `k` riding every row
+    * (the bucket_ns self-description discipline — [[openDupGramIndex]]
+    * fails loudly on a k mismatch instead of silently scoring with the
+    * wrong window width). Atomic two-rename publish. The index is the
+    * DUPLICATED subset only — tiny relative to the corpus — so later
+    * dumps, streams, and probes score against it without re-mining. */
+  def writeDupGramIndex(df: DataFrame, path: String, idCol: String,
+      textCol: String, k: Int = 8, minCount: Long = 2L): Unit = {
+    require(minCount >= 2L, s"minCount < 2 would cover every token")
+    val grams = spanGrams(spanTokens(df, idCol, textCol), idCol, k)
+    graft.storage.AtomicDir.publish(df.sparkSession, path,
+      "dup-gram index") { tmp =>
+      grams.groupBy("__gram").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .select(col("__gram").as("gram"), col("cnt"),
+          lit(k).as("k"))
+        .write.parquet(tmp)
+    }
+  }
+
+  /** Read a stored dup-gram index, failing loudly when its span length
+    * differs from the probe's `k`. */
+  def openDupGramIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): DataFrame = {
+    val idx = spark.read.parquet(path)
+    idx.withColumn("gram", when(assert_true(col("k") === k,
+      lit(s"dup-gram index at $path was mined at a different span " +
+        s"length than the probe's k=$k")).isNull, col("gram")))
+  }
+
+  /** The duplicated k-gram STRINGS of a corpus, collected driver-side
+    * for UDF-closure probes ([[graft.streaming.StreamIngest
+    * .streamingDupSpans]]) — bounded by the duplicated subset, the same
+    * budget the boilerplate fingerprint set lives under; an at-rest
+    * probe over an unbounded set uses [[dupSpanCoverageStored]]'s join
+    * path instead. */
+  private[graft] def dupGramStrings(df: DataFrame, idCol: String,
+      textCol: String, k: Int, minCount: Long): Set[String] = {
+    require(minCount >= 2L, s"minCount < 2 would cover every token")
+    spanGrams(spanTokens(df, idCol, textCol), idCol, k)
+      .groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select("__gram").collect().map(_.getString(0)).toSet
+  }
+
+  /** Score documents against a stored (or otherwise pre-mined) dup-gram
+    * frame — the probe half of [[dupSpanCoverage]]: same windows, same
+    * maximal-span merge, but the duplicated set comes from the index, so
+    * a new dump scores in one pass with no corpus-wide re-count. */
+  def dupSpanCoverageStored(df: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, k: Int = 8): DataFrame = {
+    val base = spanTokens(df, idCol, textCol)
+    spanCoverage(base, spanGrams(base, idCol, k),
+      index.select(col("gram").as("__gram")), idCol, k)
   }
 
   def dupChunkStats(df: DataFrame, idCol: String, textCol: String,

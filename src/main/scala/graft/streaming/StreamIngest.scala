@@ -319,6 +319,55 @@ object StreamIngest {
           .as("contamination"))
   }
 
+  /** Streaming duplicated-span coverage against a static corpus's
+    * dup-gram set — the ingest-side twin of
+    * [[graft.pipeline.Text.dupSpanCoverage]]: the ≥ minCount k-gram set
+    * mines ONCE from the static corpus (the DUPLICATED subset only —
+    * tiny relative to the corpus, the boilerplate-set rationale), and
+    * each arriving doc tokenizes, probes, and island-merges entirely
+    * within its own row — a stateless narrow map, so the query runs in
+    * append mode with no state store and emits exactly what the batch
+    * operator reports for the same doc against the same set.
+    *
+    * The probe is a UDF closing over ONE prebuilt hash set (per-row cost
+    * O(doc windows), not O(dup set) — the [[streamingContamination]]
+    * rationale); its tokenizer replicates [[graft.pipeline.Text.tokens]]
+    * exactly (lowercase, split on non-alphanumeric runs, drop empties),
+    * so stream and batch agree on every window. */
+  def streamingDupSpans(stream: DataFrame, staticDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    import graft.pipeline.Text
+    val dupSet: Set[String] = Text.dupGramStrings(staticDf, idCol,
+      textCol, k, minCount)
+    val score = udf((text: String) => {
+      val toks: Array[String] =
+        if (text == null) Array.empty
+        else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val n = toks.length
+      var dup = 0L
+      var islandStart = -1L
+      var islandEnd = -1L
+      var i = 0
+      while (i + k <= n) {
+        if (dupSet.contains(toks.slice(i, i + k).mkString(" "))) {
+          if (islandStart < 0 || i >= islandEnd) { // new island
+            if (islandStart >= 0) dup += islandEnd - islandStart
+            islandStart = i
+          }
+          islandEnd = i + k
+        }
+        i += 1
+      }
+      if (islandStart >= 0) dup += islandEnd - islandStart
+      (n.toLong, dup)
+    })
+    stream
+      .withColumn("__sc", score(col(textCol)))
+      .select(col(idCol), col("__sc._1").as("n_tokens"),
+        col("__sc._2").as("dup_tokens"))
+  }
+
   /** Streaming boilerplate removal against a static corpus — the
     * ingest-side twin of [[graft.pipeline.Text.removeBoilerplate]]: the
     * repeated-span fingerprints are mined ONCE from the static corpus

@@ -2135,6 +2135,46 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 2L, 0L)))
   }
 
+  test("dupSpanCoverage stored index: probe equals the direct pass and " +
+      "a span-length mismatch fails loudly") {
+    val fx = Seq((1L, "a b c d x y z"), (2L, "p q a b c d"),
+      (3L, "m n o m n o"), (4L, "u v")).toDF("doc_id", "text")
+    val p = SparkTestBase.tempDir("graft-dupidx") + "/idx"
+    Text.writeDupGramIndex(fx, p, "doc_id", "text", k = 3)
+    val direct = Text.dupSpanCoverage(fx, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect().toSeq
+    val stored = Text.dupSpanCoverageStored(fx, "doc_id", "text",
+        Text.openDupGramIndex(spark, p, k = 3), k = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(stored == direct)
+    val ex = intercept[Exception] {
+      Text.dupSpanCoverageStored(fx, "doc_id", "text",
+        Text.openDupGramIndex(spark, p, k = 4), k = 4).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(ex).contains("different span length"))
+  }
+
+  test("exciseDupSpans removes exactly the covered tokens and rejoins " +
+      "the survivors in order") {
+    val fx = Seq(
+      (1L, "a b c d x y z"),   // span [0,4) excised → "x y z"
+      (2L, "p q a b c d"),     // span [2,6) excised → "p q"
+      (3L, "m n o m n o"),     // fully covered → ""
+      (4L, "u v")              // sub-k: untouched canonical form
+    ).toDF("doc_id", "text")
+    val got = Text.exciseDupSpans(fx, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 7L, 4L, "x y z"),
+      (2L, 6L, 4L, "p q"),
+      (3L, 6L, 6L, ""),
+      (4L, 2L, 0L, "u v")))
+  }
+
   test("fuzzyPairs maxBucket caps a planted identical-key cluster") {
     // 20 identical docs (one hot variant bucket) + one honest typo pair;
     // the cap drops the cluster's pairs, the typo pair survives
