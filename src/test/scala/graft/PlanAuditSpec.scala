@@ -759,4 +759,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("bucket_ts"), p)
     assert(!p.contains("event_type") && !p.contains("user_id"), p)
   }
+
+  test("rollup_keyed_daily: keyed store serves alone; the key is a data " +
+      "column of the store scan, not a raw-table join") {
+    val p = plan("rollup_keyed_daily")
+    // event_type must appear (it IS the dimension) but only from the
+    // store's own scan — no events-table columns alongside it
+    assert(p.contains("event_type"), p)
+    assert(!p.contains("user_id") || p.contains("hll"),
+      p) // user_id only ever as the sketch input, never a raw scan
+    assert(!p.contains("value#"), p) // raw value column = store bypassed
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("text_dup_spans: occurrence count and probe are hash joins over " +
+      "the gram key — no cartesian, windows partitioned per doc") {
+    val p = plan("text_dup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the island merge runs as a per-doc window, never a global sort:
+    // the Window's partition spec carries doc_id
+    assert(p.matches("(?s).*Window.*doc_id.*"), p)
+  }
+
+  test("text_dup_spans_stored: the probe scans the tiny stored index, " +
+      "not a second corpus-wide gram count") {
+    val p = plan("text_dup_spans_stored")
+    // exactly one aggregation tree feeds the index side: the stored
+    // (gram, cnt) parquet replaces the corpus-wide re-count, so the
+    // gram-count HashAggregate pattern of the direct pass is absent
+    assert(p.contains("gram"), p)
+    assert(!p.contains("__cnt"), p) // the re-count's column name
+  }
 }
