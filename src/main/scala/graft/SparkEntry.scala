@@ -141,6 +141,31 @@ object SparkEntry {
       (rawP, stP)
     })
 
+  /** Per-dataset cache of the KEYED three-tier retention cascade backing
+    * `rollup_keyed_cascade`: a clock-driven `applyRetention` policy over
+    * a keyed raw table — the dimension must survive raw→1h→1d intact. */
+  private val keyedCascadePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  private def keyedCascadeEvents(s: SparkSession, d: String)
+      : (String, String, String) =
+    keyedCascadePaths.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-casck-${processId}_${dirTag(dir)}")
+      val rawP = new java.io.File(base, "raw").getPath
+      val stH = new java.io.File(base, "st-1h").getPath
+      val stD = new java.io.File(base, "st-1d").getPath
+      val day = 86400L * 1000000000L
+      t(s, dir, "events").write.mode("overwrite").parquet(rawP)
+      graft.storage.RollupStore.applyRetention(s, rawP,
+        rawKeepNanos = 5 * day,
+        Seq(graft.storage.RollupStore.TierSpec(stH, BucketH,
+            keepNanos = 15 * day),
+          graft.storage.RollupStore.TierSpec(stD, day)),
+        nowNs = ns("2024-01-30"), keyCols = Seq("event_type"))
+      (rawP, stH, stD)
+    })
+
   /** Per-dataset cache of the TIERED events copy backing
     * `rollup_tiered_scan`: raw events copied to scratch, then samples
     * before the cutoff tiered off into a 1h rollup store (one tiering per
@@ -1265,6 +1290,21 @@ object SparkEntry {
           col("max_c").cast("double").as("max_v"),
           col("sum_c").cast("double").as("sum_v"),
           col("grain_ns"), col("source"))
+        .orderBy("event_type", "bucket_ts")
+    }),
+    "rollup_keyed_cascade" -> ((s, d) => {
+      // the dimension through the FULL policy cascade: one clock-driven
+      // applyRetention cycle tiers a keyed raw table raw→1h→1d, and the
+      // stitched per-series daily read still equals the never-tiered
+      // grouped oracle — keys ride every tier hop and every stitch window
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stH, stD) = keyedCascadeEvents(s, d)
+      graft.storage.RollupStore.cascadeRollup(s, rawP, Seq(stH, stD), day)
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"))
         .orderBy("event_type", "bucket_ts")
     }),
     "rollup_keyed_tiered" -> ((s, d) => {
@@ -7507,6 +7547,8 @@ object SparkEntry {
       // tier windows are key-agnostic (global horizon), so the keyed
       // stitched read shares the never-tiered grouped oracle
       ("rollup_keyed_tiered" -> base("rollup_keyed_daily")) +
+      // same argument through the full raw→1h→1d policy cascade
+      ("rollup_keyed_cascade" -> base("rollup_keyed_daily")) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics
