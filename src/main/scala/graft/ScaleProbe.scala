@@ -408,6 +408,13 @@ object ScaleProbe {
     report("jaccard_pairs", docK,
       Dedup.jaccardPairs(docs, "doc_id", "text", 0.3).count(),
       Dedup.jaccardPairs(docScaled, "doc_id", "text", 0.3).count())
+    // span coverage is one gram groupBy + one join + a per-doc window;
+    // the caesar-scaled corpus keeps dup density per copy, so sublinear
+    // here means the inverted-index shape holds, not shrinking work
+    report("dup_spans", docK,
+      graft.pipeline.Text.dupSpanCoverage(docs, "doc_id", "text").count(),
+      graft.pipeline.Text.dupSpanCoverage(docScaled, "doc_id", "text")
+        .count())
     report("minhash_lsh", docK,
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3).count(),
       Dedup.nearDuplicates(docScaled, "doc_id", "text", 0.3).count())

@@ -116,7 +116,7 @@ object SparkEntry {
         s"graft-rollk-${processId}_${dirTag(dir)}/events-1h").getPath
       graft.storage.RollupStore.write(t(s, dir, "events"), path,
         bucketNanos = BucketH, distinctCol = Some("user_id"),
-        keyCols = Seq("event_type"))
+        histBoundsCents = HistBounds, keyCols = Seq("event_type"))
       path
     })
 
@@ -1284,13 +1284,30 @@ object SparkEntry {
       Tables.configure(s)
       graft.storage.RollupStore.route(s, keyedStore1h(s, d),
           t(s, d, "events"), ns("2024-01-01"), ns("2024-01-31"),
-          maxPoints = 40, distinctCol = Some("user_id"))
+          maxPoints = 40, distinctCol = Some("user_id"),
+          histBoundsCents = HistBounds)
         .select(col("event_type"), col("bucket_ts"), col("n"),
           col("min_c").cast("double").as("min_v"),
           col("max_c").cast("double").as("max_v"),
           col("sum_c").cast("double").as("sum_v"),
           col("grain_ns"), col("source"))
         .orderBy("event_type", "bucket_ts")
+    }),
+    "rollup_keyed_p90" -> ((s, d) => {
+      // the keyed store's histogram dimension closes the loop on the
+      // direct operator: per-(series, day) counter arrays vector-add to
+      // per-series whole-table counts, and the shared integer finisher
+      // reproduces ts_histogram_quantile's p90 EXACTLY (same oracle) —
+      // stored recording rules answer what the raw-table pass answers
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val st = graft.storage.RollupStore.rollup(s, keyedStore1h(s, d), day)
+      val counts = graft.storage.RollupStore.histogramCounts(st,
+          HistBounds, Seq("event_type", "bucket_ts"))
+        .groupBy("event_type", "le").agg(sum("cnt").as("cnt"))
+      TsOps.histogramQuantileFromCounts(counts, Seq("event_type"),
+          HistBounds, qNum = 90L, qDen = 100L)
+        .orderBy("event_type")
     }),
     "rollup_keyed_cascade" -> ((s, d) => {
       // the dimension through the FULL policy cascade: one clock-driven
@@ -7549,6 +7566,9 @@ object SparkEntry {
       ("rollup_keyed_tiered" -> base("rollup_keyed_daily")) +
       // same argument through the full raw→1h→1d policy cascade
       ("rollup_keyed_cascade" -> base("rollup_keyed_daily")) +
+      // per-(series, day) counters vector-add to per-series totals and
+      // the shared integer finisher reproduces the direct operator
+      ("rollup_keyed_p90" -> base("ts_histogram_quantile")) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics
