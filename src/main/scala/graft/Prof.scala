@@ -157,6 +157,38 @@ object Prof {
       graft.operators.GraphOps.triangles(pairsArr).count())
     time("triangles over pairsArr 2")(
       graft.operators.GraphOps.triangles(pairsArr).count())
+    // finer split of the operator's own stages over a PRE-normalized
+    // cached edge frame, isolating orient vs adjacency vs intersect
+    val p = norm.cache(); p.count()
+    val deg = p.select(col("src").as("node"))
+      .unionAll(p.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg")).cache()
+    time("degree agg")(deg.count())
+    val oriented = p
+      .join(deg.withColumnRenamed("node", "src")
+        .withColumnRenamed("deg", "sdeg"), "src")
+      .join(deg.withColumnRenamed("node", "dst")
+        .withColumnRenamed("deg", "ddeg"), "dst")
+      .select(
+        when(col("sdeg") < col("ddeg") ||
+            (col("sdeg") === col("ddeg") && col("src") < col("dst")),
+          struct(col("src").as("lo"), col("dst").as("hi")))
+          .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
+          .as("e"))
+      .select(col("e.lo").as("u"), col("e.hi").as("v")).cache()
+    time("orient (2 joins)")(oriented.count())
+    val adj = oriented.groupBy("u")
+      .agg(collect_list("v").as("nbrs")).cache()
+    time("adjacency build")(adj.count())
+    time("intersect count pass")(oriented
+      .join(broadcast(adj), Seq("u"))
+      .join(broadcast(adj.select(col("u").as("v"),
+        col("nbrs").as("__vn"))), Seq("v"), "left")
+      .select(size(array_intersect(col("nbrs"),
+        coalesce(col("__vn"), array().cast("array<long>"))))
+        .cast("long").as("__c"))
+      .agg(coalesce(sum("__c"), lit(0L))).count())
+    Seq(p, deg, oriented, adj).foreach(_.unpersist())
     spark.stop()
   }
 }

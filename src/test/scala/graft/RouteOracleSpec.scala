@@ -213,6 +213,54 @@ class RouteOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("KEYED raw-less mirror cascade: routeStoreCascade serves the " +
+      "grouped truth per series at every probe") {
+    val hosts = Seq("web", "db", "cache")
+    val rnd0 = new scala.util.Random(41)
+    val keyed = {
+      val rows = samples.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), hosts(rnd0.nextInt(hosts.size))))
+      rows.toSeq.toDF("ts", "value", "host")
+    }
+    val base = SparkTestBase.tempDir("graft-ro-kmirror")
+    val stM = new java.io.File(base, "mirror").getPath
+    val stD = new java.io.File(base, "st_d").getPath
+    RollupStore.write(keyed, stM, H, keyCols = Seq("host"))
+    RollupStore.tierOffStore(spark, stM, stD, cutoff = 2 * Day,
+      coarseBucketNanos = Day)
+    def directKeyed(g: Long, lo: Long, hi: Long)
+        : Seq[(String, Long, Long, Double)] =
+      keyed.filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy(col("host"),
+          expr(graft.operators.TsOps.floorBucketSql("ts", g))
+            .as("bucket_ts"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+        .orderBy("host", "bucket_ts").collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[Long]("bucket_ts"),
+          r.getAs[Long]("n"),
+          r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+    val rnd = new scala.util.Random(43)
+    for ((since, until, mp) <- probes(rnd, Seq(2 * Day))) {
+      val rows = RollupStore.routeStoreCascade(spark, Seq(stM, stD),
+          since, until, mp)
+        .select("host", "bucket_ts", "n", "sum_c", "grain_ns")
+        .orderBy("host", "bucket_ts").collect()
+      assert(rows.nonEmpty)
+      val g = rows.map(_.getAs[Long]("grain_ns")).distinct match {
+        case Array(one) => one
+        case gs => fail(s"mixed grains served: ${gs.toSeq}")
+      }
+      val (lo, hi) = widen(since, until, g)
+      assert((hi - lo) / g <= mp, s"budget violated: $since $until $mp $g")
+      val got = rows.map(r => (r.getAs[String]("host"),
+        r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+      assert(got == directKeyed(g, lo, hi),
+        s"probe ($since, $until, $mp): grain=$g")
+    }
+  }
+
   test("KEYED route over a tiered dimensional store: every probe equals " +
       "the never-tiered grouped aggregate per series") {
     val hosts = Seq("web", "db", "cache")
