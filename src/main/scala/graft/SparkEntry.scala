@@ -103,6 +103,12 @@ object SparkEntry {
   private val dupGramIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dataset cache of the INCREMENTALLY-built maintenance index
+    * backing `text_dup_index_incr` (base + replayed increment +
+    * compaction). */
+  private val dupIncrIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Per-dataset cache of the KEYED (dimensional) 1h rollup store backing
     * `rollup_keyed_*`: one tree holding every event_type series, keyed per
     * row — the shape a 100 TB store with millions of series needs (one
@@ -4073,6 +4079,34 @@ object SparkEntry {
       // applies, not just the metric
       Text.exciseDupSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
         .orderBy("doc_id")),
+    "text_dup_index_incr" -> ((s, d) => {
+      // incremental index maintenance: base dump mined once, a later
+      // dump appended under a replay-stable key (delivered TWICE — the
+      // at-least-once dedup must absorb it), serving set summed from the
+      // partials with minCount on the TOTAL — counts merge by addition,
+      // so scoring the full corpus against the incrementally-built set
+      // equals the one-shot whole-corpus mine (shares text_dup_spans'
+      // oracle); cnt=1 partials are load-bearing across dumps
+      val docs = t(s, d, "documents")
+      val path = dupIncrIndexPaths.computeIfAbsent(d, dir => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-dupincr-$processId-${dirTag(dir)}").getPath
+        val all = t(s, dir, "documents")
+        val baseDocs = all.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+        val incDocs = all.filter(pmod(col("doc_id"), lit(97L)) === 0)
+        Text.appendDupGramIndex(baseDocs, p, "base", "doc_id", "text",
+          k = 8)
+        Text.appendDupGramIndex(incDocs, p, "inc#1", "doc_id", "text",
+          k = 8)
+        Text.appendDupGramIndex(incDocs, p, "inc#1", "doc_id", "text",
+          k = 8) // the at-least-once redelivery
+        Text.compactDupGramIndex(s, p)
+        p
+      })
+      Text.dupSpanCoverageStored(docs, "doc_id", "text",
+        Text.dupGramsFrom(s, path, k = 8), k = 8)
+        .orderBy("doc_id")
+    }),
     "text_dup_spans_stored" -> ((s, d) => {
       // the dup-gram set AT REST: mined once (index is the duplicated
       // subset only — tiny), probed by a one-pass scoring join with no
@@ -7512,6 +7546,9 @@ object SparkEntry {
       ("stream_dup_spans" -> base("text_dup_spans")) +
       // the stored index IS the batch miner's dup set at rest
       ("text_dup_spans_stored" -> base("text_dup_spans")) +
+      // gram counts merge by addition, replay-deduped — base + increment
+      // equals the one-shot whole-corpus mine
+      ("text_dup_index_incr" -> base("text_dup_spans")) +
       // in-row chunk/probe/reassemble against the static corpus's mined
       // span set = the batch cleaned text bit-for-bit (JVM md5 == md5())
       ("stream_remove_boilerplate" -> base("text_remove_boilerplate")) +

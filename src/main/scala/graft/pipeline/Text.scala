@@ -1460,6 +1460,84 @@ object Text {
         s"length than the probe's k=$k")).isNull, col("gram")))
   }
 
+  /** INCREMENTAL dup-gram maintenance — at 100 TB a new dump cannot
+    * trigger a corpus-wide re-mine, so the maintenance index accumulates
+    * per-batch gram COUNTS (counts merge by addition — the one
+    * associative fold this tier needs) under replay-stable batch keys,
+    * exactly the rollup-store append discipline: an at-least-once
+    * redelivery lands a DUPLICATE (gram, batch_key) row that every
+    * reader and [[compactDupGramIndex]] drop before summing. Unlike the
+    * serving index ([[writeDupGramIndex]]), the maintenance index keeps
+    * cnt=1 rows — they are load-bearing: a gram seen once in two
+    * different dumps is duplicated overall, and dropping singletons
+    * would make that cross-dump duplication invisible forever. The span
+    * length is validated against the index FIRST (metadata-sized scan),
+    * the requireGrain posture. */
+  def appendDupGramIndex(df: DataFrame, path: String, batchKey: String,
+      idCol: String, textCol: String, k: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(live))
+      spark.read.parquet(path).select("k").distinct().collect()
+        .map(_.getInt(0)).foreach(k0 => require(k0 == k,
+          s"dup-gram index at $path holds $k0-token grams; appending " +
+            s"$k-token partials would mix span lengths"))
+    spanGrams(spanTokens(df, idCol, textCol), idCol, k)
+      .groupBy("__gram").agg(count(lit(1)).as("cnt"))
+      .select(col("__gram").as("gram"), col("cnt"), lit(k).as("k"),
+        lit(batchKey).as("batch_key"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** The duplicated-gram frame a maintenance index serves: replay
+    * duplicates dropped, per-batch partials summed per gram, `minCount`
+    * applied to the TOTAL — so base + increments equal a one-shot mine
+    * of the union corpus exactly. Feed it to [[dupSpanCoverageStored]],
+    * or publish it as a probe-optimized serving index via
+    * [[writeServingIndex]]. */
+  def dupGramsFrom(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int, minCount: Long = 2L): DataFrame = {
+    require(minCount >= 2L, s"minCount < 2 would cover every token")
+    openDupGramIndex(spark, path, k)
+      .dropDuplicates("gram", "batch_key")
+      .groupBy("gram", "k").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select("gram", "cnt", "k")
+  }
+
+  /** Re-publish the tiny probe-optimized serving index from the
+    * maintenance index — one pass over the INDEX (gram-count rows),
+    * never the corpus. Atomic two-rename publish. */
+  def writeServingIndex(spark: org.apache.spark.sql.SparkSession,
+      maintenancePath: String, servingPath: String, k: Int,
+      minCount: Long = 2L): Unit =
+    graft.storage.AtomicDir.publish(spark, servingPath,
+      "dup-gram serving index") { tmp =>
+      dupGramsFrom(spark, maintenancePath, k, minCount).write.parquet(tmp)
+    }
+
+  /** Fold a maintenance index's accumulated per-batch partials to one
+    * row per gram — the IO compaction that caps file-listing cost as
+    * dumps pile up, doubling as the durable replay repair (the
+    * rollup-store compaction discipline; run with appends quiesced). */
+  def compactDupGramIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.pipeline.Similarity.recoverCompact(fs, live)
+    graft.storage.AtomicDir.compactPublish(spark, path,
+      "compact dup-gram index") { tmp =>
+      val key = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.read.parquet(path)
+        .dropDuplicates("gram", "batch_key")
+        .groupBy("gram", "k").agg(sum("cnt").as("cnt"))
+        .select(col("gram"), col("cnt"), col("k"),
+          lit(key).as("batch_key"))
+        .write.parquet(tmp)
+    }
+  }
+
   /** The duplicated k-gram STRINGS of a corpus, collected driver-side
     * for UDF-closure probes ([[graft.streaming.StreamIngest
     * .streamingDupSpans]]) — bounded by the duplicated subset, the same

@@ -2175,6 +2175,32 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 2L, 0L, "u v")))
   }
 
+  test("incremental dup-gram index: replayed appends dedup, compaction " +
+      "folds, singleton partials carry cross-dump duplication") {
+    // "a b c" occurs once in the base dump and once in the increment —
+    // only an index that KEEPS cnt=1 partials can see the duplication
+    val baseDocs = Seq((1L, "a b c x")).toDF("doc_id", "text")
+    val incDocs = Seq((2L, "y a b c")).toDF("doc_id", "text")
+    val p = SparkTestBase.tempDir("graft-dupincr") + "/idx"
+    Text.appendDupGramIndex(baseDocs, p, "base", "doc_id", "text", k = 3)
+    Text.appendDupGramIndex(incDocs, p, "inc#1", "doc_id", "text", k = 3)
+    Text.appendDupGramIndex(incDocs, p, "inc#1", "doc_id", "text", k = 3)
+    def serving = Text.dupGramsFrom(spark, p, k = 3)
+      .orderBy("gram").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    // the replayed increment collapses: "a b c" totals 2, not 3
+    assert(serving == Seq(("a b c", 2L)))
+    Text.compactDupGramIndex(spark, p)
+    assert(serving == Seq(("a b c", 2L)))
+    // compaction folded to one row per gram ("a b c", "b c x", "y a b")
+    assert(spark.read.parquet(p).count() == 3L)
+    // a different span length must fail before landing
+    val ex = intercept[IllegalArgumentException] {
+      Text.appendDupGramIndex(incDocs, p, "inc#2", "doc_id", "text", k = 4)
+    }
+    assert(ex.getMessage.contains("mix span lengths"))
+  }
+
   test("fuzzyPairs maxBucket caps a planted identical-key cluster") {
     // 20 identical docs (one hot variant bucket) + one honest typo pair;
     // the cap drops the cluster's pairs, the typo pair survives
