@@ -5365,6 +5365,32 @@ object SparkEntry {
         src, evalDf, "doc_id", "text")
       runStreamToTable(s, out, "stream_contamination_out").orderBy("doc_id")
     }),
+    "stream_dup_index" -> ((s, d) => {
+      // the dup-gram index MAINTAINED BY the stream: micro-batches append
+      // gram-count partials under replay-stable keys, and scoring the
+      // corpus against the streamed index equals the one-shot mine
+      // (shares text_dup_spans' oracle) — the rollupIngest discipline on
+      // the dedup tier
+      Tables.configure(s)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-dgst-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "idx").getPath
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val qy = graft.streaming.StreamIngest.dupGramIngest(src, p,
+        new java.io.File(base, "ck").getPath, "doc_id", "text", k = 8)
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_dup_index: ingest did not finish")
+      }
+      Text.dupSpanCoverageStored(t(s, d, "documents"), "doc_id", "text",
+        Text.dupGramsFrom(s, p, k = 8), k = 8)
+        .orderBy("doc_id")
+    }),
     "stream_dup_spans" -> ((s, d) => {
       // ingest-side duplicated-span coverage: the dup-gram set mines once
       // from the static corpus, each arriving doc tokenizes/probes/merges
@@ -7549,6 +7575,8 @@ object SparkEntry {
       // gram counts merge by addition, replay-deduped — base + increment
       // equals the one-shot whole-corpus mine
       ("text_dup_index_incr" -> base("text_dup_spans")) +
+      // the same additive merge under streaming batch keys
+      ("stream_dup_index" -> base("text_dup_spans")) +
       // in-row chunk/probe/reassemble against the static corpus's mined
       // span set = the batch cleaned text bit-for-bit (JVM md5 == md5())
       ("stream_remove_boilerplate" -> base("text_remove_boilerplate")) +

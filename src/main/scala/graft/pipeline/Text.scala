@@ -1474,8 +1474,26 @@ object Text {
     * length is validated against the index FIRST (metadata-sized scan),
     * the requireGrain posture. */
   def appendDupGramIndex(df: DataFrame, path: String, batchKey: String,
-      idCol: String, textCol: String, k: Int = 8): Unit = {
+      idCol: String, textCol: String, k: Int = 8,
+      validateK: Boolean = true): Unit = {
     val spark = df.sparkSession
+    if (validateK) requireIndexK(spark, path, k)
+    spanGrams(spanTokens(df, idCol, textCol), idCol, k)
+      .groupBy("__gram").agg(count(lit(1)).as("cnt"))
+      .select(col("__gram").as("gram"), col("cnt"), lit(k).as("k"),
+        lit(batchKey).as("batch_key"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Fail loudly when an existing maintenance index's span length
+    * differs from `k` — the requireGrain posture. A long-lived appender
+    * ([[graft.streaming.StreamIngest.dupGramIngest]]) runs this ONCE at
+    * stream start instead of per micro-batch (the probe scans every
+    * accumulated partial file); [[openDupGramIndex]]'s in-plan assert
+    * still backstops a writer that bypasses it. */
+  private[graft] def requireIndexK(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(live))
@@ -1483,11 +1501,6 @@ object Text {
         .map(_.getInt(0)).foreach(k0 => require(k0 == k,
           s"dup-gram index at $path holds $k0-token grams; appending " +
             s"$k-token partials would mix span lengths"))
-    spanGrams(spanTokens(df, idCol, textCol), idCol, k)
-      .groupBy("__gram").agg(count(lit(1)).as("cnt"))
-      .select(col("__gram").as("gram"), col("cnt"), lit(k).as("k"),
-        lit(batchKey).as("batch_key"))
-      .write.mode("append").parquet(path)
   }
 
   /** The duplicated-gram frame a maintenance index serves: replay

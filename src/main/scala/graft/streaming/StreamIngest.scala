@@ -319,6 +319,33 @@ object StreamIngest {
           .as("contamination"))
   }
 
+  /** Stream-maintained dup-gram index: each micro-batch appends its gram
+    * counts to the at-rest maintenance index under a replay-stable key —
+    * the [[rollupIngest]] discipline applied to
+    * [[graft.pipeline.Text.appendDupGramIndex]]. State is ZERO (the
+    * index on disk is the accumulator); a replayed batch collapses in
+    * the (gram, batch_key) dedup instead of double-counting, so the
+    * serving set over base + streamed dumps equals a one-shot mine of
+    * everything ingested. Same compaction rule as every at-rest
+    * accumulator: quiesce the stream before
+    * [[graft.pipeline.Text.compactDupGramIndex]]. */
+  def dupGramIngest(stream: DataFrame, path: String, checkpointDir: String,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // span-length validation ONCE at stream start (the rollupIngest
+    // rationale: the probe scans every accumulated partial file)
+    graft.pipeline.Text.requireIndexK(stream.sparkSession, path, k)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Text.appendDupGramIndex(batch, path,
+          sketchBatchKey(checkpointDir, batchId), idCol, textCol, k,
+          validateK = false)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming duplicated-span coverage against a static corpus's
     * dup-gram set — the ingest-side twin of
     * [[graft.pipeline.Text.dupSpanCoverage]]: the ≥ minCount k-gram set
