@@ -109,6 +109,11 @@ object SparkEntry {
   private val dupIncrIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-dataset cache of the hourly counter-increase store backing
+    * `rollup_counter_store`. */
+  private val counterStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Per-dataset cache of the KEYED (dimensional) 1h rollup store backing
     * `rollup_keyed_*`: one tree holding every event_type series, keyed per
     * row — the shape a 100 TB store with millions of series needs (one
@@ -701,6 +706,25 @@ object SparkEntry {
         tsUs(t(s, d, "events")).select("user_id", "ts", "event_id", "value"),
         Seq("user_id"), 86400L * 1000000000L)
         .orderBy("user_id", "bucket")),
+    "rollup_counter_store" -> ((s, d) => {
+      // the counter recording rule AT REST: hourly increase rows stored
+      // once, daily increase summed from the store alone — deltas land
+      // in the observing sample's bucket, so fine rows merge additively
+      // to any coarser grain (shares ts_counter_increase's oracle)
+      val path = counterStorePaths.computeIfAbsent(d, dir => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ctr-$processId-${dirTag(dir)}").getPath
+        TsOps.counterIncrease(
+          tsUs(t(s, dir, "events"))
+            .select("user_id", "ts", "event_id", "value"),
+          Seq("user_id"), 3600L * 1000000000L)
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+      TsOps.counterIncreaseCoarsen(s.read.parquet(path), factor = 24L,
+          Seq("user_id"))
+        .orderBy("user_id", "bucket")
+    }),
     "ts_gaps" -> ((s, d) =>
       // per-user inter-event gap stats (ingest-cadence profiling)
       TsOps.gapStats(tsUs(t(s, d, "events")).select("user_id", "ts"),
@@ -7577,6 +7601,9 @@ object SparkEntry {
       ("text_dup_index_incr" -> base("text_dup_spans")) +
       // the same additive merge under streaming batch keys
       ("stream_dup_index" -> base("text_dup_spans")) +
+      // deltas land in the observing sample's bucket, so stored hourly
+      // increase rows sum to the direct daily pass exactly
+      ("rollup_counter_store" -> base("ts_counter_increase")) +
       // in-row chunk/probe/reassemble against the static corpus's mined
       // span set = the batch cleaned text bit-for-bit (JVM md5 == md5())
       ("stream_remove_boilerplate" -> base("text_remove_boilerplate")) +

@@ -803,6 +803,25 @@ object TsOps {
         sum("__reset").as("n_resets"))
   }
 
+  /** Coarsen stored [[counterIncrease]] rows to a wider bucket — the
+    * counter RECORDING RULE at rest: because each delta lands in the
+    * bucket of the sample that observed it, and a fine bucket nests
+    * inside exactly one coarse bucket, the per-bucket sums are
+    * ADDITIVELY mergeable — a coarse fold over stored fine rows equals
+    * the direct coarse-grain pass bit for bit (no segment summaries, no
+    * boundary bookkeeping). `factor` is the integer bucket ratio
+    * (e.g. 24 for 1h→1d); buckets are floor-div indexes, so
+    * `floorDiv(fineBucket, factor)` IS the coarse index. */
+  def counterIncreaseCoarsen(stored: DataFrame, factor: Long,
+      keyCols: Seq[String]): DataFrame = {
+    require(factor >= 1, s"bucket ratio must be positive: $factor")
+    stored.groupBy(keyCols.map(col) :+
+        expr(s"bucket div ${factor}L").as("bucket"): _*)
+      .agg(sum("n_deltas").as("n_deltas"),
+        sum("inc_cents").as("inc_cents"),
+        sum("n_resets").as("n_resets"))
+  }
+
   /** Prometheus-style `histogram_quantile` over fixed cumulative buckets,
     * in EXACT integer fixed point (cents). Per key: values land in the
     * smallest bound `le >= cents` (+Inf sentinel above the last bound),
