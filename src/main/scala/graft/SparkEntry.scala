@@ -1151,6 +1151,25 @@ object SparkEntry {
           col("sum_c").cast("double").as("sum_v"))
         .orderBy("bucket_ts")
     }),
+    "rollup_metrics_route" -> ((s, d) => {
+      // budget routing over the DIALECT's own retained table: the
+      // __day-block metrics tree (trimmed by applyRetention) plus its
+      // hourly history store serve a month-wide budget — the grain clamps
+      // to the stored hour over the aged range and the answer equals the
+      // pristine table at that grain (the dashboard a TSDB's own tables
+      // get)
+      Tables.configure(s)
+      val (db, stH) = retainedMetricsDb(s, d)
+      val rawP = new java.io.File(db, "events").getPath
+      graft.storage.RollupStore.routeCascade(s, rawP, Seq(stH),
+          ns("2024-01-01"), ns("2024-01-31"), maxPoints = 2000)
+        .select(col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"),
+          col("grain_ns"), col("source"))
+        .orderBy("bucket_ts")
+    }),
     "rollup_route_mirror" -> ((s, d) => {
       // budget routing when there is NO raw table — the stream-maintained
       // lifecycle: the whole month at a budget finer than the mirror can
@@ -7604,6 +7623,9 @@ object SparkEntry {
       // deltas land in the observing sample's bucket, so stored hourly
       // increase rows sum to the direct daily pass exactly
       ("rollup_counter_store" -> base("ts_counter_increase")) +
+      // same clamped-to-1h stitched contract as the tiered route, now
+      // over the dialect's own retained __day-block table
+      ("rollup_metrics_route" -> base("rollup_route_tiered")) +
       // in-row chunk/probe/reassemble against the static corpus's mined
       // span set = the batch cleaned text bit-for-bit (JVM md5 == md5())
       ("stream_remove_boilerplate" -> base("text_remove_boilerplate")) +

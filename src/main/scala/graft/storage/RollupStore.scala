@@ -946,7 +946,11 @@ object RollupStore {
     require(!anyHist || histBoundsCents.nonEmpty,
       "stitchTiers: a tier carries histogram counters — pass " +
         "histBoundsCents so the raw side serves the same schema")
-    val keys = sharedKeys(present.map(p => (p._1.path, p._1.df)),
+    // key inference reads ALL readable tiers, horizonless included: a
+    // keyed store that has not been tiered into yet serves no rows but
+    // still declares the dimension, so the stitched schema cannot flip
+    // from unkeyed to keyed the day the first tierOff runs
+    val keys = sharedKeys(tiers.flatten.map(t => (t.path, t.df)),
       "stitchTiers")
     val missing = keys.filterNot(rawScoped.columns.contains)
     require(missing.isEmpty,

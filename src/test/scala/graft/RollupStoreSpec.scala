@@ -805,6 +805,21 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(exK.getMessage.contains("one store holds exactly one key set"))
   }
 
+  test("keyed store: a stitched read BEFORE the first tierOff already " +
+      "carries the dimension — the schema cannot flip when tiering starts") {
+    val base = SparkTestBase.tempDir("graft-rollup-kn")
+    val rawP = base + "/raw"
+    val stP = base + "/store"
+    keyedRaw.write.parquet(rawP)
+    // the mirror-style store exists (keyed) but was never tiered into:
+    // it serves no rows, yet declares the key schema
+    RollupStore.write(keyedRaw, stP, H, keyCols = Seq("host"))
+    val st = RollupStore.tieredRollup(spark, rawP, stP, Day)
+      .select("host", "bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(st == directKeyedDaily)
+  }
+
   test("keyed store: tiering keeps the dimension and the stitched read " +
       "equals the never-tiered grouped aggregate — sketch dim included") {
     val base = SparkTestBase.tempDir("graft-rollup-kt")
