@@ -415,6 +415,31 @@ object ScaleProbe {
       graft.pipeline.Text.dupSpanCoverage(docs, "doc_id", "text").count(),
       graft.pipeline.Text.dupSpanCoverage(docScaled, "doc_id", "text")
         .count())
+    if (sel("dup_index_append")) {
+      // the incremental-maintenance claim: appending ONE dump to the
+      // at-rest gram index costs the increment, not the accumulated
+      // base — time the same small append against a 1× and a docK×
+      // base index (validateK=false: a long-lived appender validates
+      // once at stream start, the dupGramIngest discipline)
+      val inc = docs.limit(200)
+      def buildBase(base: DataFrame, tag: String): String = {
+        val p = s"$work/dupidx_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        graft.pipeline.Text.appendDupGramIndex(base, p, "base",
+          "doc_id", "text")
+        p
+      }
+      val p1 = buildBase(docs, "1x")
+      val pK = buildBase(docScaled, s"${docK}x")
+      var apN = 0
+      def appendOnce(p: String): Long = {
+        apN += 1 // fresh key per evaluation — report warms then re-times
+        graft.pipeline.Text.appendDupGramIndex(inc, p, s"inc#$apN",
+          "doc_id", "text", validateK = false)
+        inc.count()
+      }
+      report("dup_index_append", docK, appendOnce(p1), appendOnce(pK))
+    }
     report("minhash_lsh", docK,
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3).count(),
       Dedup.nearDuplicates(docScaled, "doc_id", "text", 0.3).count())

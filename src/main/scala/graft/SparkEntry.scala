@@ -5434,6 +5434,18 @@ object SparkEntry {
         Text.dupGramsFrom(s, p, k = 8), k = 8)
         .orderBy("doc_id")
     }),
+    "stream_excise_spans" -> ((s, d) => {
+      // ingest-side excision: each arriving doc loses its duplicated
+      // spans within its own row — the cleaned stream equals the batch
+      // transform (shared oracle, rebuilt text included)
+      Tables.configure(s)
+      val schema = t(s, d, "documents").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val out = graft.streaming.StreamIngest.streamingExciseSpans(
+        src, t(s, d, "documents"), "doc_id", "text", k = 8)
+      runStreamToTable(s, out, "stream_excise_spans_out").orderBy("doc_id")
+    }),
     "stream_dup_spans" -> ((s, d) => {
       // ingest-side duplicated-span coverage: the dup-gram set mines once
       // from the static corpus, each arriving doc tokenizes/probes/merges
@@ -7620,6 +7632,8 @@ object SparkEntry {
       ("text_dup_index_incr" -> base("text_dup_spans")) +
       // the same additive merge under streaming batch keys
       ("stream_dup_index" -> base("text_dup_spans")) +
+      // same set, same islands, same survivor rebuild — per row
+      ("stream_excise_spans" -> base("text_excise_spans")) +
       // deltas land in the observing sample's bucket, so stored hourly
       // increase rows sum to the direct daily pass exactly
       ("rollup_counter_store" -> base("ts_counter_increase")) +

@@ -367,33 +367,70 @@ object StreamIngest {
     import graft.pipeline.Text
     val dupSet: Set[String] = Text.dupGramStrings(staticDf, idCol,
       textCol, k, minCount)
-    val score = udf((text: String) => {
+    stream
+      .withColumn("__sc", dupSpanUdf(dupSet, k)(col(textCol)))
+      .select(col(idCol), col("__sc._1").as("n_tokens"),
+        col("__sc._2").as("dup_tokens"))
+  }
+
+  /** [[streamingDupSpans]] plus the EXCISION transform — the ingest-side
+    * twin of [[graft.pipeline.Text.exciseDupSpans]]: covered tokens
+    * leave, survivors rejoin in order over the canonical token stream,
+    * all within each arriving row (same stateless shape, same shared
+    * batch oracle). */
+  def streamingExciseSpans(stream: DataFrame, staticDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    import graft.pipeline.Text
+    val dupSet: Set[String] = Text.dupGramStrings(staticDf, idCol,
+      textCol, k, minCount)
+    stream
+      .withColumn("__sc", dupSpanUdf(dupSet, k)(col(textCol)))
+      .select(col(idCol), col("__sc._1").as("n_tokens"),
+        col("__sc._2").as("dup_tokens"),
+        col("__sc._3").as("text_clean"))
+  }
+
+  /** The per-row span scorer both streaming twins share: tokenize
+    * (replicating [[graft.pipeline.Text.tokens]] exactly), probe each
+    * k-window against the closed-over dup set, merge islands, and
+    * rebuild the survivor text — one O(doc) pass, no state. */
+  private def dupSpanUdf(dupSet: Set[String], k: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((text: String) => {
       val toks: Array[String] =
         if (text == null) Array.empty
         else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
       val n = toks.length
-      var dup = 0L
-      var islandStart = -1L
-      var islandEnd = -1L
+      // islands as (start, end) spans, built in one left-to-right pass
+      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
       var i = 0
       while (i + k <= n) {
         if (dupSet.contains(toks.slice(i, i + k).mkString(" "))) {
-          if (islandStart < 0 || i >= islandEnd) { // new island
-            if (islandStart >= 0) dup += islandEnd - islandStart
-            islandStart = i
-          }
-          islandEnd = i + k
+          if (spans.nonEmpty && i < spans.last._2)
+            spans(spans.length - 1) = (spans.last._1, i + k)
+          else spans += ((i, i + k))
         }
         i += 1
       }
-      if (islandStart >= 0) dup += islandEnd - islandStart
-      (n.toLong, dup)
+      val dup = spans.iterator.map(s => (s._2 - s._1).toLong).sum
+      val kept = new StringBuilder
+      var p = 0
+      for ((s, e) <- spans) {
+        var j = p
+        while (j < s) {
+          if (kept.nonEmpty) kept += ' '
+          kept ++= toks(j); j += 1
+        }
+        p = e
+      }
+      var j = p
+      while (j < n) {
+        if (kept.nonEmpty) kept += ' '
+        kept ++= toks(j); j += 1
+      }
+      (n.toLong, dup, kept.toString)
     })
-    stream
-      .withColumn("__sc", score(col(textCol)))
-      .select(col(idCol), col("__sc._1").as("n_tokens"),
-        col("__sc._2").as("dup_tokens"))
-  }
 
   /** Streaming boilerplate removal against a static corpus — the
     * ingest-side twin of [[graft.pipeline.Text.removeBoilerplate]]: the
