@@ -181,4 +181,37 @@ class OperatorPropSpec extends AnyFunSuite {
       assert(got == expect, s"trial $trial tol=$tol")
     }
   }
+
+  test("dupSpanCoverage: random corpora match the covered-position union") {
+    // independent reference: mark every position under ANY >= 2-count
+    // window, count marks — the definition, with no island arithmetic
+    val rnd = new scala.util.Random(20260815L)
+    val k = 3
+    for (trial <- 0 until 12) {
+      val syms = "abcdefgh".map(_.toString)
+      val docs = (1L to (8 + rnd.nextInt(10))).map { id =>
+        val len = rnd.nextInt(26) // 0-length docs included
+        (id, (0 until len).map(_ => syms(rnd.nextInt(syms.size)))
+          .mkString(" "))
+      }
+      val toksAll = docs.map { case (id, t) =>
+        id -> t.split(" ").filter(_.nonEmpty).toSeq }
+      val counts = toksAll.flatMap { case (_, ts) =>
+        ts.sliding(k).filter(_.size == k).map(_.mkString(" ")) }
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      val expect = toksAll.map { case (id, ts) =>
+        val n = ts.size
+        val covered = Array.fill(n)(false)
+        for (i <- 0 to n - k
+             if n >= k && counts(ts.slice(i, i + k).mkString(" ")) >= 2;
+             j <- i until i + k) covered(j) = true
+        (id, n.toLong, covered.count(identity).toLong)
+      }.sortBy(_._1)
+      val got = graft.pipeline.Text.dupSpanCoverage(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect, s"trial $trial")
+    }
+  }
 }

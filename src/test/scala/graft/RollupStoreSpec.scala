@@ -805,6 +805,31 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(exK.getMessage.contains("one store holds exactly one key set"))
   }
 
+  test("keyed store: a TWO-key dimension folds to any key subset exactly") {
+    val rows = Seq(
+      (1L * H, 10.25, "a", "east"), (2L * H, 3.10, "b", "west"),
+      (25L * H, 7.77, "a", "west"), (26L * H, 100.01, "a", "east"),
+      (49L * H, 0.02, "b", "east"), (50L * H, 5.55, "a", "west")
+    ).toDF("ts", "value", "host", "dc")
+    val p = SparkTestBase.tempDir("graft-rollup-k2") + "/store"
+    RollupStore.write(rows, p, H, keyCols = Seq("host", "dc"))
+    def direct(ks: Seq[String]) = rows
+      .groupBy(ks.map(col) :+
+        expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+          .as("bucket_ts"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_c"))
+      .orderBy((ks :+ "bucket_ts").map(col): _*).collect().toSeq
+    def viaStore(keep: Option[Seq[String]], ks: Seq[String]) =
+      RollupStore.rollup(spark, p, Day, keepKeys = keep)
+        .select((ks ++ Seq("bucket_ts", "n", "sum_c")).map(col): _*)
+        .orderBy((ks :+ "bucket_ts").map(col): _*).collect().toSeq
+    // full dimension, a strict subset of it, and the empty fold
+    assert(viaStore(None, Seq("host", "dc")) == direct(Seq("host", "dc")))
+    assert(viaStore(Some(Seq("dc")), Seq("dc")) == direct(Seq("dc")))
+    assert(viaStore(Some(Nil), Nil) == direct(Nil))
+  }
+
   test("keyed store: a stitched read BEFORE the first tierOff already " +
       "carries the dimension — the schema cannot flip when tiering starts") {
     val base = SparkTestBase.tempDir("graft-rollup-kn")
