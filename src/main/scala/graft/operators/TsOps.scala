@@ -815,8 +815,11 @@ object TsOps {
   def counterIncreaseCoarsen(stored: DataFrame, factor: Long,
       keyCols: Seq[String]): DataFrame = {
     require(factor >= 1, s"bucket ratio must be positive: $factor")
+    // FLOOR division (not `div`, which truncates toward zero): a
+    // pre-epoch fine bucket must land in the coarse bucket BELOW it,
+    // exactly as the direct pass's floorDivSql would place its samples
     stored.groupBy(keyCols.map(col) :+
-        expr(s"bucket div ${factor}L").as("bucket"): _*)
+        expr(floorDivSql("bucket", factor)).as("bucket"): _*)
       .agg(sum("n_deltas").as("n_deltas"),
         sum("inc_cents").as("inc_cents"),
         sum("n_resets").as("n_resets"))

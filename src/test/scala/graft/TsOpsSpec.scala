@@ -921,6 +921,30 @@ class TsOpsSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == 250L + 300L + 0L + 425L)
   }
 
+  test("counterIncreaseCoarsen: stored fine rows sum to the direct " +
+      "coarse pass — floor semantics across the epoch") {
+    val h = 3600L * 1000000000L
+    val day = 24 * h
+    // samples straddle the epoch: pre-epoch hours must land in coarse
+    // bucket -1 (floor), not 0 (toward-zero truncation)
+    val ev = Seq(
+      (1L, -2 * h + 5L, 1L, 10.00), (1L, -h + 9L, 2L, 12.50),
+      (1L, h + 3L, 3L, 3.00), (1L, 2 * h + 7L, 4L, 7.25),
+      (1L, day + h, 5L, 9.00)
+    ).toDF("user_id", "ts", "event_id", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n_deltas"), r.getAs[Long]("inc_cents"),
+          r.getAs[Long]("n_resets")))).toMap
+    val direct = rows(TsOps.counterIncrease(ev, Seq("user_id"), day))
+    val viaStore = rows(TsOps.counterIncreaseCoarsen(
+      TsOps.counterIncrease(ev, Seq("user_id"), h), factor = 24L,
+      Seq("user_id")))
+    assert(viaStore == direct)
+    assert(direct.keySet.map(_._2).contains(-1L),
+      "fixture must actually exercise a pre-epoch coarse bucket")
+  }
+
   test("toleranceJoin: inclusive bound, adjacent buckets, no duplicates") {
     import spark.implicits._
     val tol = 100L
