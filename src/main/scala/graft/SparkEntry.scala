@@ -1373,6 +1373,22 @@ object SparkEntry {
           col("sum_c").cast("double").as("sum_v"))
         .orderBy("event_type", "bucket_ts")
     }),
+    "rollup_keyed_cascade_route" -> ((s, d) => {
+      // budget routing over the KEYED policy cascade: the month-wide fine
+      // budget touches the daily tier, so the grain clamps to 1d and
+      // every event_type series serves complete stitched daily buckets —
+      // keys ride the router's stitch exactly as they ride the scan's
+      Tables.configure(s)
+      val (rawP, stH, stD) = keyedCascadeEvents(s, d)
+      graft.storage.RollupStore.routeCascade(s, rawP, Seq(stH, stD),
+          ns("2024-01-01"), ns("2024-01-31"), maxPoints = 2000)
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"),
+          col("grain_ns"), col("source"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "rollup_keyed_tiered" -> ((s, d) => {
       // retention WITH the series dimension: half the month tiered off
       // into the keyed store, and the stitched per-series daily read
@@ -7697,6 +7713,20 @@ object SparkEntry {
       // per-(series, day) counters vector-add to per-series totals and
       // the shared integer finisher reproduces the direct operator
       ("rollup_keyed_p90" -> base("ts_histogram_quantile")) +
+      // the keyed router clamps the month budget to the daily tier —
+      // the grouped daily oracle plus the clamped grain/source literals
+      ("rollup_keyed_cascade_route" ->
+        """SELECT event_type,
+          |  (epoch_ns(ts) // 86400000000000) * 86400000000000
+          |    AS bucket_ts,
+          |  count(*) AS n,
+          |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+          |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+          |  CAST(86400000000000 AS BIGINT) AS grain_ns,
+          |  'stitched' AS source
+          |FROM events GROUP BY 1, 2
+          |ORDER BY event_type, bucket_ts""".stripMargin) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics
