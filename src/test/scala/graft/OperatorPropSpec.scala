@@ -212,6 +212,22 @@ class OperatorPropSpec extends AnyFunSuite {
         .orderBy("doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(got == expect, s"trial $trial")
+      // the excision transform against the same definition: survivors
+      // are exactly the unmarked positions, rejoined in order
+      val expectClean = toksAll.map { case (id, ts) =>
+        val n = ts.size
+        val covered = Array.fill(n)(false)
+        for (i <- 0 to n - k
+             if n >= k && counts(ts.slice(i, i + k).mkString(" ")) >= 2;
+             j <- i until i + k) covered(j) = true
+        (id, ts.zipWithIndex.collect {
+          case (t, p) if !covered(p) => t }.mkString(" "))
+      }.sortBy(_._1)
+      val gotClean = graft.pipeline.Text.exciseDupSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("text_clean"))).toSeq
+      assert(gotClean == expectClean, s"trial $trial (excision)")
     }
   }
 }
