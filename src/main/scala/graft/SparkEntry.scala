@@ -1358,6 +1358,29 @@ object SparkEntry {
           HistBounds, qNum = 90L, qDen = 100L)
         .orderBy("event_type")
     }),
+    "rollup_keyed_tiered_users" -> ((s, d) => {
+      // the keyed HLL dimension SURVIVES tiering: per-(series, day)
+      // distinct users from the stitched store+raw read, n value-oracled
+      // and the estimate gated by the rank-error bound — the
+      // rollup_tiered_users proof with the dimension attached
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stP) = keyedTieredEvents(s, d)
+      val st = graft.storage.RollupStore.tieredRollup(s, rawP, stP, day,
+          distinctCol = Some("user_id"))
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("distinct_est"))
+      val exact = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr(TsOps.floorBucketSql("ts", day)).as("bucket_ts"))
+        .agg(countDistinct("user_id").as("__exact"))
+      st.join(exact, Seq("event_type", "bucket_ts"))
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          (abs(col("distinct_est") - col("__exact")).cast("double") <=
+            greatest(col("__exact") * 0.05, lit(4.0)))
+            .cast("long").as("hll_ok"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "rollup_keyed_cascade" -> ((s, d) => {
       // the dimension through the FULL policy cascade: one clock-driven
       // applyRetention cycle tiers a keyed raw table raw→1h→1d, and the
@@ -7708,6 +7731,9 @@ object SparkEntry {
       // tier windows are key-agnostic (global horizon), so the keyed
       // stitched read shares the never-tiered grouped oracle
       ("rollup_keyed_tiered" -> base("rollup_keyed_daily")) +
+      // the per-series sketch unions across the tier boundary under the
+      // same rank-error gate the untiered keyed store uses
+      ("rollup_keyed_tiered_users" -> base("rollup_keyed_users")) +
       // same argument through the full raw→1h→1d policy cascade
       ("rollup_keyed_cascade" -> base("rollup_keyed_daily")) +
       // per-(series, day) counters vector-add to per-series totals and
