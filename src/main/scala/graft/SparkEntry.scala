@@ -1342,6 +1342,26 @@ object SparkEntry {
           col("grain_ns"), col("source"))
         .orderBy("event_type", "bucket_ts")
     }),
+    "rollup_keyed_route_one" -> ((s, d) => {
+      // ONE SERIES, ZOOMED — the most common keyed dashboard query: the
+      // key predicate pushes into the router, pruning the store scan
+      // (parquet pushed filter over the KB rows) and the raw
+      // re-aggregation BEFORE any stitch, instead of stitching every
+      // series and filtering client-side; same 19h grain derivation as
+      // rollup_keyed_route, oracle filtered to the same series
+      Tables.configure(s)
+      graft.storage.RollupStore.route(s, keyedStore1h(s, d),
+          t(s, d, "events"), ns("2024-01-01"), ns("2024-01-31"),
+          maxPoints = 40, distinctCol = Some("user_id"),
+          histBoundsCents = HistBounds,
+          keyFilter = Some(col("event_type") === lit("click")))
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          col("min_c").cast("double").as("min_v"),
+          col("max_c").cast("double").as("max_v"),
+          col("sum_c").cast("double").as("sum_v"),
+          col("grain_ns"), col("source"))
+        .orderBy("bucket_ts")
+    }),
     "rollup_keyed_p90" -> ((s, d) => {
       // the keyed store's histogram dimension closes the loop on the
       // direct operator: per-(series, day) counter arrays vector-add to
@@ -2484,6 +2504,19 @@ object SparkEntry {
         |  'store' AS source
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
+    // one series zoomed: the key predicate pushed into the router — the
+    // oracle is the same 19h grain over the FILTERED raw table
+    "rollup_keyed_route_one" ->
+      """SELECT event_type,
+        |  (epoch_ns(ts) // 68400000000000) * 68400000000000 AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  CAST(68400000000000 AS BIGINT) AS grain_ns,
+        |  'store' AS source
+        |FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        |ORDER BY bucket_ts""".stripMargin,
     // n value-oracled per series; the per-key sketch estimate gated by
     // the rank-error bound (rollup_store_users's convention)
     "rollup_keyed_users" ->

@@ -226,20 +226,25 @@ object RollupStore {
     * per logical batch and STABLE across retries of that batch —
     * [[graft.streaming.StreamIngest.rollupIngest]] derives it from
     * (checkpoint location, micro-batch id). An existing store's bucket
-    * width is validated FIRST (a metadata-sized scan of the KB store):
-    * one store holds exactly one grain, and a mismatched append must fail
-    * loudly before it lands — mixed widths under a shared batch key would
-    * otherwise collide in the replay dedup and silently drop a grain. */
+    * width and key set are validated FIRST (metadata-sized scans of the
+    * KB store): one store holds exactly one grain and one key set, and a
+    * mismatched append must fail loudly before it lands — mixed widths
+    * under a shared batch key would otherwise collide in the replay dedup
+    * and silently drop a grain, and a mis-keyed append would land
+    * null-keyed rows under parquet schema merge. The two gates are
+    * SEPARATE parameters on purpose: a long-lived appender that probed the
+    * grain once at stream start skips the per-batch width probe with
+    * `validateWidth=false`, but that must not silently disable the
+    * independent key-set check too. */
   def append(df: DataFrame, path: String, batchKey: String,
       bucketNanos: Long, valueCol: String = "value",
       tsCol: String = "ts", distinctCol: Option[String] = None,
       lgK: Int = 12, histBoundsCents: Seq[Long] = Nil,
-      validateWidth: Boolean = true, keyCols: Seq[String] = Nil): Unit = {
+      validateWidth: Boolean = true, keyCols: Seq[String] = Nil,
+      validateKeys: Boolean = true): Unit = {
     val spark = df.sparkSession
-    if (validateWidth) {
-      requireGrain(spark, path, bucketNanos, "append")
-      requireKeys(spark, path, keyCols, "append")
-    }
+    if (validateWidth) requireGrain(spark, path, bucketNanos, "append")
+    if (validateKeys) requireKeys(spark, path, keyCols, "append")
     rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
       histBoundsCents, keyCols)
       .withColumn("batch_key", lit(batchKey))
@@ -355,6 +360,51 @@ object RollupStore {
           TierAtRest(p, df, h)
         }
       }
+    }
+
+  /** A router's key predicate must reference ONLY the store's key
+    * columns: a predicate on a value column (`n`, `sum_c`, a bucket stat)
+    * would filter PARTIAL rows before the fold and silently change the
+    * aggregates, not just which series are served. Validated by analyzing
+    * the predicate against a keys-only projection of the store frame —
+    * `col("host") === "x" && col("region").isin(...)` resolves,
+    * `col("sum_c") > 5` fails loudly before any IO. The probe frame is
+    * built FROM SCRATCH with only the key fields (no lineage): a
+    * `select(keys).filter(f)` over the store frame would not do — the
+    * analyzer resolves filter references through the projection to the
+    * child's full schema (ResolveMissingReferences), silently admitting
+    * value-column predicates. (Schema-level analysis, robust to Spark's
+    * Column internals — attribute-walking the unresolved tree would miss
+    * names inside ColumnNode wrappers.) */
+  private def requireKeyPredicate(f: Column, keyed: DataFrame,
+      context: String): Unit = {
+    val keys = keyColsOf(keyed)
+    val spark = keyed.sparkSession
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(keys.map(keyed.schema(_))))
+    try { probe.filter(f); () }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$context: key filter references non-key column(s) — the " +
+            s"store's keys are [${keys.mkString(", ")}]; a predicate on " +
+            "a value column would filter partial rows before the fold " +
+            s"and corrupt the aggregates (${e.getMessage})")
+    }
+  }
+
+  /** Apply a validated key predicate to every readable tier's frame —
+    * widths and horizons stay computed from the UNFILTERED frames (the
+    * filter is a serving concern; a series with no pre-horizon rows must
+    * not make the router believe the store was never tiered). */
+  private def filterTiers(tiers: Seq[Option[TierAtRest]],
+      keyFilter: Option[Column], context: String)
+      : Seq[Option[TierAtRest]] =
+    keyFilter.fold(tiers) { f =>
+      tiers.flatten.headOption.foreach(t =>
+        requireKeyPredicate(f, t.df, context))
+      tiers.map(_.map(t => t.copy(df = t.df.filter(f))))
     }
 
   /** Merge partial per-bucket rows — from one store, several tiers, or a
@@ -494,20 +544,33 @@ object RollupStore {
     * remnant and label it "raw" — would be a silently partial answer; it
     * is now impossible by construction. A range entirely at/after the
     * horizon still serves raw at the requested fine grain.
+    *
+    * KEY PUSHDOWN: `keyFilter` (a predicate over the store's key columns
+    * only — validated loudly) prunes BOTH sides before any stitch: the
+    * store scan (the predicate reaches the parquet reader as a pushed
+    * filter over the KB rows) and the raw re-aggregation (at 100 TB,
+    * "one series, zoomed" — the most common keyed dashboard query — must
+    * never stitch millions of series and filter client-side). The tier
+    * horizon is still read from the UNFILTERED store: the filter selects
+    * which series are served, not whether the store was tiered into.
     */
   def route(spark: SparkSession, path: String, raw: DataFrame,
       since: Long, until: Long, maxPoints: Int,
       valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
-      histBoundsCents: Seq[Long] = Nil): DataFrame = {
+      histBoundsCents: Seq[Long] = Nil,
+      keyFilter: Option[Column] = None): DataFrame = {
     require(until > since, s"route: empty range [$since, $until)")
     require(maxPoints >= 1, "route needs a positive point budget")
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, live, "rollup store") // serving must self-heal a
     graft.pipeline.Similarity.recoverCompact(fs, live) // crashed swap too
-    val stored = checkedRead(spark, path)
-    val bucketNs = storeBucketNs(stored, path)
+    val stored0 = checkedRead(spark, path)
+    val bucketNs = storeBucketNs(stored0, path)
+    keyFilter.foreach(requireKeyPredicate(_, stored0, "route"))
+    val stored = keyFilter.fold(stored0)(stored0.filter)
+    val rawF = keyFilter.fold(raw)(raw.filter)
     // the raw fallback must produce the same schema the store serves —
     // a dashboard that selects distinct_est at a coarse zoom must not
     // break when a finer zoom routes to raw
@@ -517,7 +580,11 @@ object RollupStore {
     require(!stored.columns.contains("hcnt") || histBoundsCents.nonEmpty,
       "route: the store carries histogram counters — pass histBoundsCents" +
         " so the raw fallback serves the same schema")
-    val horizon = tierHorizon(stored)
+    // horizon from the UNFILTERED store: a key slice with no pre-horizon
+    // rows must not flip the router into believing the store is an
+    // untiered complete mirror (it would then serve that series' empty
+    // store slice instead of its raw samples)
+    val horizon = tierHorizon(stored0)
     def widened(g: Long): (Long, Long) = widenTo(since, until, g)
     def fit(g0: Long, roundUp: Long => Long): Long =
       fitGrain(since, until, maxPoints, g0, roundUp)
@@ -527,7 +594,7 @@ object RollupStore {
     val gRaw = fit(target, identity)
     def stitchedAt(g: Long): DataFrame = {
       val (lo, hi) = widened(g)
-      stitchTiers(spark, raw,
+      stitchTiers(spark, rawF,
         Seq(Some(TierAtRest(path, stored, horizon))), g, Some(lo),
         Some(hi), valueCol, tsCol, distinctCol, lgK, histBoundsCents)
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
@@ -556,7 +623,7 @@ object RollupStore {
       if (horizon.forall(_ <= lo)) {
         // finer-than-stored budget over a range raw fully holds — grouped
         // by the store's own keys so a fine zoom serves the same series
-        val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw,
+        val rows = rollupRows(graft.operators.TsOps.rangeFilter(rawF,
             Some(lo), Some(hi), tsCol), gRaw, valueCol, tsCol, distinctCol,
             lgK, histBoundsCents, keyColsOf(stored))
           .drop("bucket_ns")
@@ -1138,12 +1205,17 @@ object RollupStore {
     * coarser tier; g only grows, so this converges within the tier
     * count). A range raw fully holds still serves raw at the requested
     * fine grain, labeled "raw"; everything else stitches, labeled
-    * "stitched". */
+    * "stitched".
+    *
+    * `keyFilter` prunes every tier's scan and the raw re-aggregation
+    * before any stitch ([[route]]'s key-pushdown contract); widths and
+    * horizons stay computed from the unfiltered frames. */
   def routeCascade(spark: SparkSession, rawPath: String,
       storePaths: Seq[String], since: Long, until: Long, maxPoints: Int,
       valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
-      histBoundsCents: Seq[Long] = Nil): DataFrame = {
+      histBoundsCents: Seq[Long] = Nil,
+      keyFilter: Option[Column] = None): DataFrame = {
     require(until > since, s"routeCascade: empty range [$since, $until)")
     require(maxPoints >= 1, "routeCascade needs a positive point budget")
     require(storePaths.nonEmpty, "routeCascade needs at least one store")
@@ -1151,8 +1223,10 @@ object RollupStore {
     // routing (horizonless stores were never tiered into and don't route)
     val tiersRead = readTiers(spark, storePaths, "routeCascade",
       mirrorFirst = false)
-    val raw = readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol,
-      keyFieldsOf(tiersRead))
+    val tiersServe = filterTiers(tiersRead, keyFilter, "routeCascade")
+    val raw = keyFilter.foldLeft(
+      readRawOrEmpty(spark, rawPath, tsCol, valueCol, distinctCol,
+        keyFieldsOf(tiersRead)))(_.filter(_))
     // present tiers fine → coarse, each with (bucket width, horizon)
     val present: Seq[(Long, Long)] = tiersRead.flatten.flatMap(t =>
       t.horizon.map(h => (storeBucketNs(t.df, t.path), h)))
@@ -1171,7 +1245,7 @@ object RollupStore {
       else rows)
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("raw"))
     } else
-      stitchTiers(spark, raw, tiersRead, g, Some(lo), Some(hi), valueCol,
+      stitchTiers(spark, raw, tiersServe, g, Some(lo), Some(hi), valueCol,
         tsCol, distinctCol, lgK, histBoundsCents)
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
   }
@@ -1185,9 +1259,11 @@ object RollupStore {
     * fixpoint exactly as [[routeCascade]] does: a complete answer at the
     * finest grain every touched tier can serve, never a silently partial
     * one. Labeled `source="store"` when only the mirror is touched,
-    * `"stitched"` otherwise. */
+    * `"stitched"` otherwise. `keyFilter` prunes every tier's scan before
+    * the stitch ([[route]]'s key-pushdown contract). */
   def routeStoreCascade(spark: SparkSession, storePaths: Seq[String],
-      since: Long, until: Long, maxPoints: Int): DataFrame = {
+      since: Long, until: Long, maxPoints: Int,
+      keyFilter: Option[Column] = None): DataFrame = {
     require(until > since,
       s"routeStoreCascade: empty range [$since, $until)")
     require(maxPoints >= 1,
@@ -1200,6 +1276,7 @@ object RollupStore {
     // wiring-bug detection never depends on which range a dashboard asks
     val tiersRead = readTiers(spark, storePaths, "routeStoreCascade",
       mirrorFirst = true)
+    val tiersServe = filterTiers(tiersRead, keyFilter, "routeStoreCascade")
     // present coarser tiers fine → coarse: (bucket width, horizon)
     val present: Seq[(Long, Long)] = tiersRead.tail.flatten.flatMap(t =>
       t.horizon.map(h => (storeBucketNs(t.df, t.path), h)))
@@ -1217,11 +1294,11 @@ object RollupStore {
       maxPoints, floorW = mirrorW)
     val (lo, hi) = widenTo(since, until, g)
     if (touchedAtG.isEmpty && mirrorOwnW.nonEmpty)
-      stitchStores(spark, tiersRead.take(1), g, Some(lo), Some(hi))
+      stitchStores(spark, tiersServe.take(1), g, Some(lo), Some(hi))
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
     else // an empty mirror over an above-horizon range stitches to the
       // honest zero-row frame rather than erroring on "no readable store"
-      stitchStores(spark, tiersRead, g, Some(lo), Some(hi))
+      stitchStores(spark, tiersServe, g, Some(lo), Some(hi))
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("stitched"))
   }
 

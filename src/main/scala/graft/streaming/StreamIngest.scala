@@ -1543,7 +1543,7 @@ object StreamIngest {
         graft.storage.RollupStore.append(batch, path,
           sketchBatchKey(checkpointDir, batchId), bucketNanos, valueCol,
           tsCol, distinctCol, lgK, histBoundsCents,
-          validateWidth = false, keyCols = keyCols)
+          validateWidth = false, keyCols = keyCols, validateKeys = false)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

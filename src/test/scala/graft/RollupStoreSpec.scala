@@ -830,6 +830,51 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(viaStore(Some(Nil), Nil) == direct(Nil))
   }
 
+  test("route keyFilter: one series served identically to filtering the " +
+      "full answer — store, stitched, and raw paths; non-key rejected") {
+    val base = SparkTestBase.tempDir("graft-rollup-kf")
+    val rawP = base + "/raw"
+    val stP = base + "/store"
+    keyedRaw.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H,
+      keyCols = Seq("host"))
+    val raw = spark.read.parquet(rawP)
+    def served(maxPoints: Int, f: Option[org.apache.spark.sql.Column]) =
+      RollupStore.route(spark, stP, raw, 0L, 3 * Day, maxPoints,
+          keyFilter = f)
+        .select("host", "bucket_ts", "n", "min_c", "max_c", "sum_c",
+          "grain_ns", "source")
+        .orderBy("host", "bucket_ts").collect().toSeq
+    // coarse budget (stitched) and fine budget (clamped-stitch): the
+    // pushed filter equals filtering the unfiltered answer after the fact
+    for (mp <- Seq(3, 2000)) {
+      val all = served(mp, None)
+      val one = served(mp, Some(col("host") === "a"))
+      assert(one == all.filter(_.getString(0) == "a"), s"maxPoints=$mp")
+    }
+    // a range raw fully holds at a fine budget: the raw path prunes too
+    val rawOnly = RollupStore.route(spark, stP, raw, Day, 3 * Day, 2000,
+        keyFilter = Some(col("host") === "b"))
+      .select("host", "bucket_ts", "n").orderBy("bucket_ts").collect()
+    assert(rawOnly.forall(_.getString(0) == "b") && rawOnly.nonEmpty)
+    // a predicate over a value column must fail loudly before any fold
+    val ex = intercept[IllegalArgumentException] {
+      RollupStore.route(spark, stP, raw, 0L, 3 * Day, 3,
+        keyFilter = Some(col("sum_c") > 5))
+    }
+    assert(ex.getMessage.contains("non-key column"))
+    // cascade router: same one-series contract through the tier chain
+    val oneCascade = RollupStore.routeCascade(spark, rawP, Seq(stP),
+        0L, 3 * Day, 3, keyFilter = Some(col("host") === "a"))
+      .select("host", "bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    val allCascade = RollupStore.routeCascade(spark, rawP, Seq(stP),
+        0L, 3 * Day, 3)
+      .select("host", "bucket_ts", "n", "min_c", "max_c", "sum_c")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(oneCascade == allCascade.filter(_.getString(0) == "a"))
+  }
+
   test("keyed store: a stitched read BEFORE the first tierOff already " +
       "carries the dimension — the schema cannot flip when tiering starts") {
     val base = SparkTestBase.tempDir("graft-rollup-kn")

@@ -308,5 +308,29 @@ class RouteOracleSpec extends AnyFunSuite {
       assert(got == directKeyed(g, lo, hi),
         s"probe ($since, $until, $mp): grain=$g")
     }
+    // KEY PUSHDOWN sweep: the filtered route ("one series, zoomed") must
+    // equal the per-series slice of the never-tiered truth at every
+    // probe shape — store-served, stitched, and raw-served budgets alike
+    val rnd2 = new scala.util.Random(41)
+    for ((since, until, mp) <- probes(rnd2, Seq(2 * Day)).take(12)) {
+      val df = RollupStore.route(spark, stP, rawNow, since, until, mp,
+        keyFilter = Some(col("host") === "db"))
+      val rows = df.select("host", "bucket_ts", "n", "sum_c", "grain_ns")
+        .orderBy("bucket_ts").collect()
+      // the grain choice is filter-independent (range/budget/horizon
+      // arithmetic over the unfiltered store) — derive the expected
+      // grain from the unfiltered route so an EMPTY filtered slice
+      // (a window where this series has no samples) still verifies
+      val gExp = RollupStore.route(spark, stP, rawNow, since, until, mp)
+        .select("grain_ns").head().getLong(0)
+      rows.map(_.getAs[Long]("grain_ns")).distinct.foreach(g =>
+        assert(g == gExp, s"filter changed the grain: $g vs $gExp"))
+      val (lo, hi) = widen(since, until, gExp)
+      val got = rows.map(r => (r.getAs[String]("host"),
+        r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+      assert(got == directKeyed(gExp, lo, hi).filter(_._1 == "db"),
+        s"filtered probe ($since, $until, $mp): grain=$gExp")
+    }
   }
 }
