@@ -440,6 +440,29 @@ object ScaleProbe {
       }
       report("dup_index_append", docK, appendOnce(p1), appendOnce(pK))
     }
+    if (sel("dup_probe_batch")) {
+      // the streaming-twin claim: scoring a FIXED micro-batch against the
+      // at-rest serving index costs the BATCH, not the index — the join
+      // path streamingDupSpans runs per micro-batch. A ratio near 1 as
+      // the index grows docK× is the evidence the foreachBatch probe
+      // replaces the (corpus-proportional, driver-impossible) gram-set
+      // closure without a per-batch cost cliff
+      def buildServing(base: DataFrame, tag: String): String = {
+        val p = s"$work/dupserve_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        graft.pipeline.Text.writeDupGramIndex(base, p, "doc_id", "text")
+        p
+      }
+      val s1 = buildServing(docs, "1x")
+      val sK = buildServing(docScaled, s"${docK}x")
+      val batch = docs.limit(500).cache()
+      batch.count()
+      def probeOnce(p: String): Long =
+        graft.pipeline.Text.dupSpanCoverageStored(batch, "doc_id", "text",
+          graft.pipeline.Text.openDupGramIndex(spark, p, 8), 8).count()
+      report("dup_probe_batch", docK, probeOnce(s1), probeOnce(sK))
+      batch.unpersist()
+    }
     report("minhash_lsh", docK,
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3).count(),
       Dedup.nearDuplicates(docScaled, "doc_id", "text", 0.3).count())

@@ -99,9 +99,19 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Per-dataset cache of the at-rest dup-gram index backing
-    * `text_dup_spans_stored` (one mine+publish per process per dataset). */
+    * `text_dup_spans_stored` and the streaming dup-span twins (one
+    * mine+publish per process per dataset). */
   private val dupGramIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dupGramIdx(s: SparkSession, d: String): String =
+    dupGramIndexPaths.computeIfAbsent(d, dir => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-dupgram-$processId-${dirTag(dir)}").getPath
+      Text.writeDupGramIndex(t(s, dir, "documents"), p, "doc_id",
+        "text", k = 8)
+      p
+    })
 
   /** Per-dataset cache of the INCREMENTALLY-built maintenance index
     * backing `text_dup_index_incr` (base + replayed increment +
@@ -4229,15 +4239,8 @@ object SparkEntry {
       // text_dup_spans' oracle, and the k self-description is validated
       // on open
       val docs = t(s, d, "documents")
-      val path = dupGramIndexPaths.computeIfAbsent(d, dir => {
-        val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-dupgram-$processId-${dirTag(dir)}").getPath
-        Text.writeDupGramIndex(t(s, dir, "documents"), p, "doc_id",
-          "text", k = 8)
-        p
-      })
       Text.dupSpanCoverageStored(docs, "doc_id", "text",
-        Text.openDupGramIndex(s, path, k = 8), k = 8)
+        Text.openDupGramIndex(s, dupGramIdx(s, d), k = 8), k = 8)
         .orderBy("doc_id")
     }),
     "text_chunks" -> ((s, d) =>
@@ -5507,30 +5510,61 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "stream_excise_spans" -> ((s, d) => {
-      // ingest-side excision: each arriving doc loses its duplicated
-      // spans within its own row — the cleaned stream equals the batch
-      // transform (shared oracle, rebuilt text included)
+      // ingest-side excision: each micro-batch loses its duplicated
+      // spans through the SAME index-probing join the at-rest path uses
+      // (no driver-collected gram closure — the set is corpus-sized at
+      // scale); the drained sink equals the batch transform (shared
+      // oracle, rebuilt text included)
       Tables.configure(s)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-sexc-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
       val schema = t(s, d, "documents").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-      val out = graft.streaming.StreamIngest.streamingExciseSpans(
-        src, t(s, d, "documents"), "doc_id", "text", k = 8)
-      runStreamToTable(s, out, "stream_excise_spans_out").orderBy("doc_id")
+      val sink = new java.io.File(base, "sink").getPath
+      val qy = graft.streaming.StreamIngest.streamingExciseSpans(
+        src, Text.openDupGramIndex(s, dupGramIdx(s, d), k = 8), sink,
+        new java.io.File(base, "ck").getPath, "doc_id", "text", k = 8)
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_excise_spans: ingest did not finish")
+      }
+      s.read.parquet(sink)
+        .dropDuplicates("doc_id", "batch_key") // at-least-once replays
+        .select("doc_id", "n_tokens", "dup_tokens", "text_clean")
+        .orderBy("doc_id")
     }),
     "stream_dup_spans" -> ((s, d) => {
-      // ingest-side duplicated-span coverage: the dup-gram set mines once
-      // from the static corpus, each arriving doc tokenizes/probes/merges
-      // within its own row (stateless append mode) — streaming the same
-      // corpus against its own set emits exactly the batch coverage
-      // (shared oracle)
+      // ingest-side duplicated-span coverage: each micro-batch probes
+      // the AT-REST serving index with the distributed scoring join
+      // (broadcast under the size gate, shuffle past it) — never a
+      // driver-collected gram set, which is corpus-proportional and
+      // cannot exist at 100 TB; the drained sink equals the batch
+      // coverage (shared oracle)
       Tables.configure(s)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-sdsp-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
       val schema = t(s, d, "documents").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-      val out = graft.streaming.StreamIngest.streamingDupSpans(
-        src, t(s, d, "documents"), "doc_id", "text", k = 8)
-      runStreamToTable(s, out, "stream_dup_spans_out").orderBy("doc_id")
+      val sink = new java.io.File(base, "sink").getPath
+      val qy = graft.streaming.StreamIngest.streamingDupSpans(
+        src, Text.openDupGramIndex(s, dupGramIdx(s, d), k = 8), sink,
+        new java.io.File(base, "ck").getPath, "doc_id", "text", k = 8)
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_dup_spans: ingest did not finish")
+      }
+      s.read.parquet(sink)
+        .dropDuplicates("doc_id", "batch_key") // at-least-once replays
+        .select("doc_id", "n_tokens", "dup_tokens")
+        .orderBy("doc_id")
     }),
     "stream_length_trim" -> ((s, d) => {
       // ingest-side adaptive length gate: band mined from the static

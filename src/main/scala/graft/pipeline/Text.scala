@@ -1407,6 +1407,27 @@ object Text {
     val grams = spanGrams(base, idCol, k)
     val dupGrams = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
+    exciseWith(base, grams, dupGrams, idCol, k)
+  }
+
+  /** [[exciseDupSpans]] against a stored (or otherwise pre-mined)
+    * dup-gram frame — the transform half of [[dupSpanCoverageStored]]:
+    * same windows, same island merge, same rebuild, but the duplicated
+    * set comes from the index, so a new dump (or a streaming micro-batch
+    * — [[graft.streaming.StreamIngest.streamingExciseSpans]]) excises in
+    * one scoring join with no corpus-wide re-count. */
+  def exciseDupSpansStored(df: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, k: Int = 8): DataFrame = {
+    val base = spanTokens(df, idCol, textCol)
+    exciseWith(base, spanGrams(base, idCol, k),
+      index.select(col("gram").as("__gram")), idCol, k)
+  }
+
+  /** Shared excision core: island merge, coverage stats, covered-position
+    * removal, and the per-doc sorted rebuild — identical whether the
+    * duplicated set was mined inline or read from an index. */
+  private def exciseWith(base: DataFrame, grams: DataFrame,
+      dupGrams: DataFrame, idCol: String, k: Int): DataFrame = {
     // ONE island pass feeds both the coverage stats and the excision
     val islands = spanIslands(grams, dupGrams, idCol, k)
     val covered = islands.groupBy(idCol)
@@ -1549,21 +1570,6 @@ object Text {
           lit(key).as("batch_key"))
         .write.parquet(tmp)
     }
-  }
-
-  /** The duplicated k-gram STRINGS of a corpus, collected driver-side
-    * for UDF-closure probes ([[graft.streaming.StreamIngest
-    * .streamingDupSpans]]) — bounded by the duplicated subset, the same
-    * budget the boilerplate fingerprint set lives under; an at-rest
-    * probe over an unbounded set uses [[dupSpanCoverageStored]]'s join
-    * path instead. */
-  private[graft] def dupGramStrings(df: DataFrame, idCol: String,
-      textCol: String, k: Int, minCount: Long): Set[String] = {
-    require(minCount >= 2L, s"minCount < 2 would cover every token")
-    spanGrams(spanTokens(df, idCol, textCol), idCol, k)
-      .groupBy("__gram").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minCount)
-      .select("__gram").collect().map(_.getString(0)).toSet
   }
 
   /** Score documents against a stored (or otherwise pre-mined) dup-gram

@@ -346,91 +346,75 @@ object StreamIngest {
       .start()
   }
 
-  /** Streaming duplicated-span coverage against a static corpus's
-    * dup-gram set — the ingest-side twin of
-    * [[graft.pipeline.Text.dupSpanCoverage]]: the ≥ minCount k-gram set
-    * mines ONCE from the static corpus (the DUPLICATED subset only —
-    * tiny relative to the corpus, the boilerplate-set rationale), and
-    * each arriving doc tokenizes, probes, and island-merges entirely
-    * within its own row — a stateless narrow map, so the query runs in
-    * append mode with no state store and emits exactly what the batch
-    * operator reports for the same doc against the same set.
+  /** Streaming duplicated-span coverage against an AT-REST dup-gram
+    * index — the ingest-side twin of
+    * [[graft.pipeline.Text.dupSpanCoverageStored]]: each micro-batch
+    * probes the serving index with the SAME distributed scoring join the
+    * at-rest path uses (explode windows → join on the gram → per-doc
+    * island merge) and appends scored rows to the sink under a
+    * replay-stable batch key. The duplicated-gram set is DATA-DERIVED
+    * and corpus-proportional — at 100 TB it is billions of grams — so it
+    * can never be a driver-collected UDF closure; the index stays a
+    * distributed frame and the join broadcasts only when the index is
+    * measurably small ([[sizeGatedIndex]]), falling back to a shuffle
+    * join past the gate. State is ZERO (the index is at rest, the sink
+    * is the accumulator); a replayed batch lands duplicate
+    * (id, batch_key) rows a reader drops, the rollup-store discipline.
     *
-    * The probe is a UDF closing over ONE prebuilt hash set (per-row cost
-    * O(doc windows), not O(dup set) — the [[streamingContamination]]
-    * rationale); its tokenizer replicates [[graft.pipeline.Text.tokens]]
-    * exactly (lowercase, split on non-alphanumeric runs, drop empties),
-    * so stream and batch agree on every window. */
-  def streamingDupSpans(stream: DataFrame, staticDf: DataFrame,
-      idCol: String, textCol: String, k: Int = 8,
-      minCount: Long = 2L): DataFrame = {
-    import graft.pipeline.Text
-    val dupSet: Set[String] = Text.dupGramStrings(staticDf, idCol,
-      textCol, k, minCount)
-    stream
-      .withColumn("__sc", dupSpanUdf(dupSet, k)(col(textCol)))
-      .select(col(idCol), col("__sc._1").as("n_tokens"),
-        col("__sc._2").as("dup_tokens"))
+    * Sink schema: the batch operator's columns plus `batch_key`. */
+  def streamingDupSpans(stream: DataFrame, index: DataFrame,
+      sinkPath: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8,
+      broadcastRowCap: Long = 4000000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val idx = sizeGatedIndex(index, broadcastRowCap)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Text.dupSpanCoverageStored(batch, idCol, textCol,
+            idx, k)
+          .withColumn("batch_key",
+            lit(sketchBatchKey(checkpointDir, batchId)))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
   }
 
   /** [[streamingDupSpans]] plus the EXCISION transform — the ingest-side
-    * twin of [[graft.pipeline.Text.exciseDupSpans]]: covered tokens
-    * leave, survivors rejoin in order over the canonical token stream,
-    * all within each arriving row (same stateless shape, same shared
-    * batch oracle). */
-  def streamingExciseSpans(stream: DataFrame, staticDf: DataFrame,
-      idCol: String, textCol: String, k: Int = 8,
-      minCount: Long = 2L): DataFrame = {
-    import graft.pipeline.Text
-    val dupSet: Set[String] = Text.dupGramStrings(staticDf, idCol,
-      textCol, k, minCount)
-    stream
-      .withColumn("__sc", dupSpanUdf(dupSet, k)(col(textCol)))
-      .select(col(idCol), col("__sc._1").as("n_tokens"),
-        col("__sc._2").as("dup_tokens"),
-        col("__sc._3").as("text_clean"))
+    * twin of [[graft.pipeline.Text.exciseDupSpansStored]]: covered
+    * tokens leave, survivors rejoin in order over the canonical token
+    * stream, per micro-batch through the same index-probing join (same
+    * shared batch oracle, same replay-keyed sink discipline). */
+  def streamingExciseSpans(stream: DataFrame, index: DataFrame,
+      sinkPath: String, checkpointDir: String, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8,
+      broadcastRowCap: Long = 4000000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val idx = sizeGatedIndex(index, broadcastRowCap)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Text.exciseDupSpansStored(batch, idCol, textCol,
+            idx, k)
+          .withColumn("batch_key",
+            lit(sketchBatchKey(checkpointDir, batchId)))
+          .write.mode("append").parquet(sinkPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
   }
 
-  /** The per-row span scorer both streaming twins share: tokenize
-    * (replicating [[graft.pipeline.Text.tokens]] exactly), probe each
-    * k-window against the closed-over dup set, merge islands, and
-    * rebuild the survivor text — one O(doc) pass, no state. */
-  private def dupSpanUdf(dupSet: Set[String], k: Int)
-      : org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((text: String) => {
-      val toks: Array[String] =
-        if (text == null) Array.empty
-        else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-      val n = toks.length
-      // islands as (start, end) spans, built in one left-to-right pass
-      val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-      var i = 0
-      while (i + k <= n) {
-        if (dupSet.contains(toks.slice(i, i + k).mkString(" "))) {
-          if (spans.nonEmpty && i < spans.last._2)
-            spans(spans.length - 1) = (spans.last._1, i + k)
-          else spans += ((i, i + k))
-        }
-        i += 1
-      }
-      val dup = spans.iterator.map(s => (s._2 - s._1).toLong).sum
-      val kept = new StringBuilder
-      var p = 0
-      for ((s, e) <- spans) {
-        var j = p
-        while (j < s) {
-          if (kept.nonEmpty) kept += ' '
-          kept ++= toks(j); j += 1
-        }
-        p = e
-      }
-      var j = p
-      while (j < n) {
-        if (kept.nonEmpty) kept += ' '
-        kept ++= toks(j); j += 1
-      }
-      (n.toLong, dup, kept.toString)
-    })
+  /** The broadcast-or-shuffle gate a long-lived index probe needs: ONE
+    * count of the index at stream start (a scan of the KB-to-GB index,
+    * never the corpus) decides whether every micro-batch's scoring join
+    * broadcasts it or shuffles on the gram key. A guessed broadcast of a
+    * grown index would OOM every executor; an unconditional shuffle
+    * would tax every small-index stream — measure once, then let each
+    * batch plan against the decided shape. */
+  private def sizeGatedIndex(index: DataFrame, broadcastRowCap: Long)
+      : DataFrame =
+    if (index.count() <= broadcastRowCap) broadcast(index) else index
 
   /** Streaming boilerplate removal against a static corpus — the
     * ingest-side twin of [[graft.pipeline.Text.removeBoilerplate]]: the
