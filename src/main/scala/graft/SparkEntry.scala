@@ -119,10 +119,60 @@ object SparkEntry {
   private val dupIncrIndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Per-dataset cache of the hourly counter-increase store backing
-    * `rollup_counter_store`. */
+  /** Per-dataset cache of the hourly counter-increase LIFECYCLE store
+    * backing `rollup_counter_store`: base write + batch-keyed append +
+    * that append replayed (the at-least-once path) + compaction. The
+    * increase rows come from ONE counterIncrease pass — the producer owns
+    * the cross-slice lag — and split by bucket across the appends. */
   private val counterStorePaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def counterStore1h(s: SparkSession, d: String): String =
+    counterStorePaths.computeIfAbsent(d, dir => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ctr-$processId-${dirTag(dir)}/store").getPath
+      val hourNs = 3600L * 1000000000L
+      val inc = TsOps.counterIncrease(
+        tsUs(t(s, dir, "events"))
+          .select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), hourNs)
+      val split = ns("2024-01-15") / hourNs
+      graft.storage.CounterStore.write(
+        inc.filter(col("bucket") < split), p, hourNs)
+      graft.storage.CounterStore.append(
+        inc.filter(col("bucket") >= split), p, "b#1", hourNs)
+      graft.storage.CounterStore.append( // at-least-once redelivery
+        inc.filter(col("bucket") >= split), p, "b#1", hourNs)
+      graft.storage.CounterStore.compact(s, p)
+      p
+    })
+
+  /** Per-dataset cache of the TIERED counter layout backing
+    * `rollup_counter_tiered`: its own fine store (tierOff trims it) plus
+    * the daily coarse tier, the tier cycle run twice to prove the
+    * deterministic-key retry collapses. */
+  private val counterTierPathsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def counterTierPaths(s: SparkSession, d: String)
+      : (String, String) =
+    counterTierPathsMap.computeIfAbsent(d, dir => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ctrt-$processId-${dirTag(dir)}")
+      val fineP = new java.io.File(root, "fine").getPath
+      val coarseP = new java.io.File(root, "coarse").getPath
+      val hourNs = 3600L * 1000000000L
+      val inc = TsOps.counterIncrease(
+        tsUs(t(s, dir, "events"))
+          .select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), hourNs)
+      graft.storage.CounterStore.write(inc, fineP, hourNs)
+      graft.storage.CounterStore.tierOff(s, fineP, coarseP,
+        cutoff = ns("2024-01-10"), factor = 24L)
+      graft.storage.CounterStore.tierOff(s, fineP, coarseP, // retry
+        cutoff = ns("2024-01-10"), factor = 24L)
+      (fineP, coarseP)
+    })
 
   /** Per-dataset cache of the KEYED (dimensional) 1h rollup store backing
     * `rollup_keyed_*`: one tree holding every event_type series, keyed per
@@ -717,22 +767,52 @@ object SparkEntry {
         Seq("user_id"), 86400L * 1000000000L)
         .orderBy("user_id", "bucket")),
     "rollup_counter_store" -> ((s, d) => {
-      // the counter recording rule AT REST: hourly increase rows stored
-      // once, daily increase summed from the store alone — deltas land
-      // in the observing sample's bucket, so fine rows merge additively
-      // to any coarser grain (shares ts_counter_increase's oracle)
-      val path = counterStorePaths.computeIfAbsent(d, dir => {
-        val p = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-ctr-$processId-${dirTag(dir)}").getPath
-        TsOps.counterIncrease(
-          tsUs(t(s, dir, "events"))
-            .select("user_id", "ts", "event_id", "value"),
-          Seq("user_id"), 3600L * 1000000000L)
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      TsOps.counterIncreaseCoarsen(s.read.parquet(path), factor = 24L,
-          Seq("user_id"))
+      // the counter recording rule AT REST with the full store lifecycle:
+      // hourly increase rows land as a base write plus a batch-keyed
+      // append PLUS that append replayed (at-least-once redelivery), and
+      // the daily read still equals the direct pass — replay dedup +
+      // additive partial merges + compaction, the rollup-store discipline
+      // on the monitoring-counter tier (shares ts_counter_increase's
+      // oracle). Deltas land in the observing sample's bucket, so one
+      // counterIncrease pass feeds arbitrary append splits losslessly.
+      graft.storage.CounterStore.read(s, counterStore1h(s, d),
+          factor = 24L)
+        .orderBy("user_id", "bucket")
+    }),
+    "rollup_counter_tiered" -> ((s, d) => {
+      // the cutoff-keyed coarsening tier: pre-Jan-10 hourly buckets fold
+      // 24x into a daily store under the deterministic tier-<cutoff> key
+      // (run TWICE — the retry collapses in the replay dedup), the fine
+      // store trims by whole-day directory drops, and the stitched daily
+      // read equals the never-tiered direct pass (same shared oracle)
+      val (fineP, coarseP) = counterTierPaths(s, d)
+      graft.storage.CounterStore.readTiered(s, fineP, coarseP,
+          factor = 24L)
+        .orderBy("user_id", "bucket")
+    }),
+    "stream_counter_store" -> ((s, d) => {
+      // the counter store MAINTAINED BY the stream: cross-batch lag in
+      // the state store (one long per series), per-batch increase rows
+      // appended under replay-stable keys — the rollupIngest discipline
+      // on the counter tier; the daily read over the streamed store
+      // equals the batch recording rule (shares ts_counter_increase's
+      // oracle)
+      Tables.configure(s)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-sctr-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "store").getPath
+      val src = eventStream(s, d)
+      val qy = graft.streaming.StreamIngest.counterIngest(src, p,
+        new java.io.File(base, "ck").getPath, 3600L * 1000000000L,
+        trigger = org.apache.spark.sql.streaming.Trigger.Once())
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_counter_store: ingest did not finish")
+      }
+      graft.storage.CounterStore.read(s, p, factor = 24L)
         .orderBy("user_id", "bucket")
     }),
     "ts_gaps" -> ((s, d) =>
@@ -7743,6 +7823,12 @@ object SparkEntry {
       // deltas land in the observing sample's bucket, so stored hourly
       // increase rows sum to the direct daily pass exactly
       ("rollup_counter_store" -> base("ts_counter_increase")) +
+      // the coarsening tier: pre-cutoff hourly buckets fold 24x into the
+      // daily store; the stitched read telescopes to the direct pass
+      ("rollup_counter_tiered" -> base("ts_counter_increase")) +
+      // stream-maintained counter store: cross-batch lag in state, per-
+      // batch additive appends — the drained store reads the batch rule
+      ("stream_counter_store" -> base("ts_counter_increase")) +
       // same clamped-to-1h stitched contract as the tiered route, now
       // over the dialect's own retained __day-block table
       ("rollup_metrics_route" -> base("rollup_route_tiered")) +

@@ -1534,6 +1534,45 @@ object StreamIngest {
       .start()
   }
 
+  /** Stream-maintained counter recording rule: [[streamingCounterIncrease]]
+    * carries the cross-batch lag (one long per series in the state
+    * store), each micro-batch folds its per-sample delta partials to
+    * per-bucket increase rows and appends them to an at-rest
+    * [[graft.storage.CounterStore]] under a replay-stable key — the
+    * [[rollupIngest]] discipline on the monitoring-counter tier. The
+    * partials are plain additive longs, so base + streamed appends equal
+    * a one-pass batch [[graft.operators.TsOps.counterIncrease]] over
+    * everything ingested, and a replayed micro-batch collapses in the
+    * (key, bucket, batch_key) dedup instead of double-counting. Grain and
+    * key-set validation run ONCE at stream start (the probe scans every
+    * accumulated partial file); the read side's uniform-width guard
+    * backstops a concurrent mis-grained writer. */
+  def counterIngest(stream: DataFrame, path: String, checkpointDir: String,
+      bucketNanos: Long, keyCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value",
+      stateTtl: String = "",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    graft.storage.CounterStore.requireGrain(stream.sparkSession, path,
+      bucketNanos, "counterIngest")
+    graft.storage.CounterStore.requireKeys(stream.sparkSession, path,
+      Seq(keyCol), "counterIngest")
+    val partials = streamingCounterIncrease(stream, bucketNanos, keyCol,
+      tsCol, idCol, valueCol, stateTtl)
+    partials.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.storage.CounterStore.append(
+          batch.groupBy(col(keyCol), col("bucket"))
+            .agg(count(lit(1)).as("n_deltas"),
+              sum("inc_cents").as("inc_cents"),
+              sum("reset").as("n_resets")),
+          path, sketchBatchKey(checkpointDir, batchId), bucketNanos,
+          validateGrain = false, validateKeys = false)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The replay-stable identity of one sketch-ingest micro-batch: a hash
     * of the checkpoint location (md5 prefix — the same verbatim string
     * must be passed on restart, the standard Structured Streaming

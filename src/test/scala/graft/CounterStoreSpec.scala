@@ -1,0 +1,111 @@
+package graft
+
+import graft.storage.CounterStore
+import graft.operators.TsOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The counter recording rule's at-rest lifecycle: batch-keyed appends
+  * with replay dedup, compaction, the cutoff-keyed coarsening tier, and
+  * every loud guard — all gated against the direct
+  * [[TsOps.counterIncrease]] pass over the never-stored samples. */
+class CounterStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L
+  private val Day = 86400L * 1000000000L
+
+  /** Three days of per-host counter samples with a mid-series reset on
+    * each host (value drops → the post-reset value IS the increase). */
+  private def samples = Seq(
+    ("a", 1L * H, 1L, 10.00), ("a", 2L * H, 2L, 12.50),
+    ("a", 25L * H, 3L, 20.00), ("a", 26L * H, 4L, 3.00), // reset
+    ("a", 49L * H, 5L, 9.00),
+    ("b", 1L * H + 7L, 6L, 5.00), ("b", 24L * H, 7L, 2.00), // reset
+    ("b", 50L * H, 8L, 2.25)
+  ).toDF("host", "ts", "event_id", "value")
+
+  private def inc1h = TsOps.counterIncrease(samples, Seq("host"), H,
+    tieCol = "event_id")
+
+  private def directDaily = TsOps.counterIncrease(samples, Seq("host"),
+      Day, tieCol = "event_id")
+    .orderBy("host", "bucket").collect().toSeq
+
+  private def readDaily(p: String) =
+    CounterStore.read(spark, p, factor = 24L)
+      .orderBy("host", "bucket").collect().toSeq
+
+  test("lifecycle: base + append + REPLAYED append + compact all read " +
+      "back as the direct daily pass; compaction folds to one row each") {
+    val p = SparkTestBase.tempDir("graft-ctr-life") + "/store"
+    val split = 24L // hour-bucket index of day 1
+    CounterStore.write(inc1h.filter(col("bucket") < split), p, H)
+    val late = inc1h.filter(col("bucket") >= split)
+    CounterStore.append(late, p, "b#1", H)
+    assert(readDaily(p) == directDaily)
+    CounterStore.append(late, p, "b#1", H) // at-least-once redelivery
+    assert(readDaily(p) == directDaily, "replayed append double-counted")
+    CounterStore.compact(spark, p)
+    assert(readDaily(p) == directDaily, "compaction changed the answer")
+    val st = spark.read.parquet(p)
+    assert(st.count() == st.select("host", "bucket").distinct().count())
+  }
+
+  test("tierOff: coarsening tier + whole-day trim serve the direct pass; " +
+      "a full retry AND a crash-window retry (append landed, trim did " +
+      "not) both collapse in the deterministic tier key") {
+    val base = SparkTestBase.tempDir("graft-ctr-tier")
+    val fineP = base + "/fine"
+    val coarseP = base + "/coarse"
+    CounterStore.write(inc1h, fineP, H)
+    // crash simulation: the tier append lands, the trim never runs —
+    // exactly the window a nightly job dies in. The REAL tierOff then
+    // retries: its identical tier-keyed append must dedup away and the
+    // stitched read must never double-count the overlap window.
+    CounterStore.append(
+      CounterStore.read(spark, fineP, 24L, until = Some(2 * Day)),
+      coarseP, s"tier-${2 * Day}", Day)
+    CounterStore.tierOff(spark, fineP, coarseP, cutoff = 2 * Day,
+      factor = 24L)
+    assert(CounterStore.readTiered(spark, fineP, coarseP, 24L)
+      .orderBy("host", "bucket").collect().toSeq == directDaily)
+    // the fine store trimmed by directory drop: only day-2 rows remain
+    assert(spark.read.parquet(fineP).agg(min("bucket")).head().getLong(0)
+      >= 48L)
+    CounterStore.tierOff(spark, fineP, coarseP, cutoff = 2 * Day,
+      factor = 24L) // full no-op retry
+    assert(CounterStore.readTiered(spark, fineP, coarseP, 24L)
+      .orderBy("host", "bucket").collect().toSeq == directDaily)
+    // a never-tiered pair degrades to the fine read
+    val lone = base + "/lone"
+    CounterStore.write(inc1h, lone, H)
+    assert(CounterStore.readTiered(spark, lone, base + "/absent", 24L)
+      .orderBy("host", "bucket").collect().toSeq == directDaily)
+  }
+
+  test("loud guards: mixed grain, key-set drift, unaligned cutoff, and " +
+      "raw-sample input all fail before landing") {
+    val p = SparkTestBase.tempDir("graft-ctr-guard") + "/store"
+    CounterStore.write(inc1h, p, H)
+    val exG = intercept[IllegalArgumentException] {
+      CounterStore.append(inc1h, p, "b#2", Day)
+    }
+    assert(exG.getMessage.contains("mix grains"))
+    val exK = intercept[IllegalArgumentException] {
+      CounterStore.append(
+        inc1h.withColumnRenamed("host", "node"), p, "b#2", H)
+    }
+    assert(exK.getMessage.contains("one store holds exactly one key set"))
+    val exC = intercept[IllegalArgumentException] {
+      CounterStore.tierOff(spark, p, p + "_c", cutoff = Day + H,
+        factor = 24L)
+    }
+    assert(exC.getMessage.contains("not aligned"))
+    val exS = intercept[IllegalArgumentException] {
+      CounterStore.write(samples, p + "_raw", H)
+    }
+    assert(exS.getMessage.contains("not raw samples"))
+  }
+}
