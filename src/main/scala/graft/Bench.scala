@@ -93,6 +93,29 @@ object Bench {
       .apply(Iterations / 2)
     System.err.println(f"[bench] host-calibration         $calib%8.3fs")
 
+    // IO-side calibration: a fixed full-column parquet re-read (the text
+    // column forces real page reads — count() alone would answer from
+    // footer metadata under aggregatePushdown), same settle+median
+    // discipline. CPU calib is blind to page-cache state — r8→r9's
+    // doc-heavy rows swung ±35% with byte-identical code right after a
+    // 100-GB sweep churned the cache — so the artifact carries BOTH
+    // dimensions: calib (CPU/scheduling) and calib_io (page cache /
+    // storage). BASELINE.md records the quiesced reference values and
+    // the interpretation thresholds.
+    def calibIoSample(): Double = {
+      System.gc()
+      Thread.sleep(250)
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("sum(length(text))").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibIoSample() // warm the plan; the PAGES stay whatever state the
+    // host is in — that state is exactly what is being measured
+    val calibIo = (1 to Iterations).map(_ => calibIoSample()).sorted
+      .apply(Iterations / 2)
+    System.err.println(f"[bench] io-calibration           $calibIo%8.3fs")
+
     val results = picked.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def sample(): Double = {
@@ -127,7 +150,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,7 +67,13 @@ final class QueryServer(engine: Engine, port: Int = 0) {
         // a malformed frame must produce an error response, never kill the
         // connection thread
         try {
-          if (wantsArrow(line)) {
+          if (isRouteRequest(line)) {
+            if (wantsArrow(line)) {
+              val (header, bytes) = runRouteArrow(line)
+              writeLine(header)
+              if (bytes.nonEmpty) { out.write(bytes); out.flush() }
+            } else writeLine(runRoute(line))
+          } else if (wantsArrow(line)) {
             val (header, bytes) = runQueryArrow(parseRequest(line))
             writeLine(header)
             if (bytes.nonEmpty) { out.write(bytes); out.flush() }
@@ -137,6 +143,94 @@ final class QueryServer(engine: Engine, port: Int = 0) {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+
+  /** A routed-serving request: a JSON frame carrying `maxPoints` — the
+    * dashboard point-budget contract ([[graft.storage.RollupStore]]'s
+    * routers) served over the same wire as dialect queries. The dialect
+    * surface itself stays reference-parity; this is the serving tier's
+    * remote face. */
+  private[server] def isRouteRequest(line: String): Boolean = {
+    val t = line.trim
+    t.startsWith("{") && """"maxPoints"\s*:""".r.findFirstIn(t).isDefined
+  }
+
+  /** Parse and dispatch a routed request:
+    * `{"maxPoints":n, "since":ns, "until":ns,
+    *   "stores":["/fine","/coarse",...] | "store":"/p",
+    *   "raw":"/rawParquet" (optional),
+    *   "where":"host = 'web'" (optional key predicate, pushed down),
+    *   "distinctCol":"uid", "histBoundsCents":[...], "tsCol", "valueCol"
+    *   (optional)}`.
+    * raw + 1 store → route; raw + N stores → routeCascade; N ≥ 2 stores
+    * without raw → routeStoreCascade (the raw-less mirror lifecycle).
+    * The response carries `grain_ns` and `source` like the in-process
+    * routers — a dashboard sees which tier answered. */
+  private def routeFrame(line: String): org.apache.spark.sql.DataFrame = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(line)
+    def optStr(f: String): Option[String] =
+      Option(node.get(f)).filterNot(_.isNull).map(_.asText())
+    def reqLong(f: String): Long = Option(node.get(f)).filterNot(_.isNull)
+      .map(_.asLong()).getOrElse(
+        throw new IllegalArgumentException(s"route request needs '$f'"))
+    val stores: Seq[String] =
+      Option(node.get("stores")).filterNot(_.isNull).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }.getOrElse(optStr("store").toSeq)
+    require(stores.nonEmpty, "route request needs 'store' or 'stores'")
+    val raw = optStr("raw")
+    val since = reqLong("since")
+    val until = reqLong("until")
+    val maxPoints = reqLong("maxPoints").toInt
+    val distinctCol = optStr("distinctCol")
+    val hist: Seq[Long] = Option(node.get("histBoundsCents"))
+      .filterNot(_.isNull).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asLong()).toSeq
+      }.getOrElse(Nil)
+    val keyFilter = optStr("where")
+      .map(org.apache.spark.sql.functions.expr)
+    val tsCol = optStr("tsCol").getOrElse("ts")
+    val valueCol = optStr("valueCol").getOrElse("value")
+    val spark = engine.spark
+    import graft.storage.RollupStore
+    (raw, stores) match {
+      case (Some(r), Seq(one)) =>
+        RollupStore.route(spark, one, spark.read.parquet(r), since, until,
+          maxPoints, valueCol, tsCol, distinctCol, 12, hist, keyFilter)
+      case (Some(r), many) =>
+        RollupStore.routeCascade(spark, r, many, since, until, maxPoints,
+          valueCol, tsCol, distinctCol, 12, hist, keyFilter)
+      case (None, many) if many.size >= 2 =>
+        RollupStore.routeStoreCascade(spark, many, since, until,
+          maxPoints, keyFilter)
+      case _ => throw new IllegalArgumentException(
+        "a single store without 'raw' cannot route — pass 'raw' for the " +
+          "tiered lifecycle or two-plus 'stores' for the raw-less mirror")
+    }
+  }
+
+  private[server] def runRoute(line: String): String =
+    try {
+      val cols = Output.columnJson(routeFrame(line),
+        java.time.ZoneOffset.UTC, false)
+      s"""{"ok":true,"columns":$cols}"""
+    } catch {
+      case e: Exception =>
+        s"""{"ok":false,"error":${jsonStr(String.valueOf(e.getMessage))}}"""
+    }
+
+  private[server] def runRouteArrow(line: String): (String, Array[Byte]) =
+    try {
+      val (bytes, rows, truncated) =
+        ArrowFraming.toIpcStream(routeFrame(line), Output.maxRenderRows)
+      val truncField = if (truncated) ""","truncated":true""" else ""
+      (s"""{"ok":true,"format":"arrow","rows":$rows$truncField,"bytes":${bytes.length}}""",
+        bytes)
+    } catch {
+      case e: Exception =>
+        (s"""{"ok":false,"error":${jsonStr(String.valueOf(e.getMessage))}}""",
+          Array.empty[Byte])
+    }
 
   private[server] def runQuery(query: String): String =
     try {

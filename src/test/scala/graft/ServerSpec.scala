@@ -50,6 +50,54 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("budget routing over the wire: a maxPoints frame serves the " +
+      "tiered store with grain_ns/source, key predicate pushed, and a " +
+      "malformed frame errors without killing the connection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val Day = 86400L * 1000000000L
+    val base = SparkTestBase.tempDir("graft-srv-route")
+    val rawP = base + "/raw"
+    val stP = base + "/store"
+    Seq((1L * H, 10.25, "web"), (2L * H, 3.10, "db"),
+      (25L * H, 7.77, "web"), (26L * H, 100.01, "db"),
+      (49L * H, 0.02, "web"), (50L * H, 5.55, "db"))
+      .toDF("ts", "value", "host").write.parquet(rawP)
+    graft.storage.RollupStore.tierOff(spark, rawP, stP, cutoff = Day,
+      bucketNanos = H, keyCols = Seq("host"))
+    val srv = new QueryServer(new Engine(spark, dbDir))
+    val port = srv.start()
+    try {
+      val resp = roundtrip(port,
+        s"""{"maxPoints": 3, "since": 0, "until": ${3 * Day}, """ +
+          s""""store": "$stP", "raw": "$rawP"}""")
+      assert(resp.startsWith("""{"ok":true,"""), resp)
+      assert(resp.contains("\"grain_ns\"") && resp.contains("\"source\""),
+        resp)
+      assert(resp.contains("stitched"), resp) // tiered: must stitch
+      assert(resp.contains("\"web\"") && resp.contains("\"db\""), resp)
+      // one series, zoomed: the key predicate prunes before the stitch
+      val one = roundtrip(port,
+        s"""{"maxPoints": 3, "since": 0, "until": ${3 * Day}, """ +
+          s""""store": "$stP", "raw": "$rawP", "where": "host = 'db'"}""")
+      assert(one.startsWith("""{"ok":true,"""), one)
+      assert(one.contains("\"db\"") && !one.contains("\"web\""), one)
+      // a value-column predicate is rejected loudly, connection survives
+      val bad = roundtrip(port,
+        s"""{"maxPoints": 3, "since": 0, "until": ${3 * Day}, """ +
+          s""""store": "$stP", "raw": "$rawP", "where": "sum_c > 5"}""")
+      assert(bad.startsWith("""{"ok":false,"""), bad)
+      assert(bad.contains("non-key column"), bad)
+      val missing = roundtrip(port, """{"maxPoints": 3}""")
+      assert(missing.startsWith("""{"ok":false,"""), missing)
+      // the dialect surface still answers on the same connection/port
+      val still = roundtrip(port,
+        "with format_datetime = false select * from m where ts >= '2022-01-01'")
+      assert(still.startsWith("""{"ok":true,"""), still)
+    } finally srv.stop()
+  }
+
   test("arrow-framed responses decode to the same values") {
     import graft.server.ArrowFraming
     val srv = new QueryServer(new Engine(spark, dbDir))
