@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(f.className, null, f.name, f.usage, ""),
         f.builder))
     }
+    // the serving routers as a TABLE-VALUED function: any SQL surface —
+    // plain spark.sql, a stock Spark Connect client over gRPC — can ask
+    // `SELECT * FROM graft_route('/store', '/raw', since, until, budget)`
+    // and get the budget-routed, tier-stitched answer with grain_ns and
+    // source riding the columns
+    ext.injectTableFunction((new FunctionIdentifier(GraftExtensions.RouteTvf),
+      GraftExtensions.routeTvfInfo, GraftExtensions.routeTvfBuilder))
     // literal predicates over normalized epoch-nano ts fold back to native
     // timestamp comparisons the parquet scan can prune with; sessions built
     // without the extension get the same rule via Tables.configure
@@ -42,6 +49,77 @@ object GraftExtensions {
       build(exprs)
     }
   }
+
+  val RouteTvf = "graft_route"
+
+  val routeTvfInfo = new ExpressionInfo(GraftExtensions.getClass.getName,
+    null, RouteTvf,
+    "graft_route(stores, raw, since, until, maxPoints[, where]) - serve " +
+      "[since, until) epoch-nanos under a point budget from a rollup-" +
+      "store layout: `stores` is one path or a comma-separated fine-to-" +
+      "coarse cascade, `raw` the raw parquet path ('' for the raw-less " +
+      "mirror lifecycle), `where` an optional key predicate pushed into " +
+      "every tier scan. Emits the routed buckets with grain_ns and " +
+      "source columns.", "")
+
+  /** The TVF builder: literal args → the routed DataFrame's logical plan
+    * (the analyzer then resolves it like an expanded view). Dispatch
+    * mirrors the TCP serving frame: raw + one store → route, raw + a
+    * cascade → routeCascade, two-plus stores without raw →
+    * routeStoreCascade. Sketch-bearing stores need distinctCol /
+    * histBoundsCents and stay on the programmatic/TCP surfaces. */
+  val routeTvfBuilder: Seq[Expression] =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = exprs => {
+    require(exprs.length == 5 || exprs.length == 6,
+      s"$RouteTvf(stores, raw, since, until, maxPoints[, where]) — got " +
+        s"${exprs.length} arguments")
+    def const(i: Int, what: String): Any = {
+      require(exprs(i).foldable, s"$RouteTvf: $what must be a literal")
+      exprs(i).eval()
+    }
+    def str(i: Int, what: String): String =
+      Option(const(i, what)).map(String.valueOf).getOrElse("")
+    def num(i: Int, what: String): Long = const(i, what) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$RouteTvf: $what must be numeric, got $other")
+    }
+    val stores = str(0, "stores").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(stores.nonEmpty, s"$RouteTvf: needs at least one store path")
+    val raw = str(1, "raw").trim
+    val since = num(2, "since")
+    val until = num(3, "until")
+    val maxPoints = num(4, "maxPoints").toInt
+    val keyFilter =
+      if (exprs.length == 6)
+        Some(org.apache.spark.sql.functions.expr(str(5, "where")))
+      else None
+    val spark = org.apache.spark.sql.SparkSession.active
+    import graft.storage.RollupStore
+    val df = (raw.nonEmpty, stores) match {
+      case (true, Seq(one)) =>
+        RollupStore.route(spark, one, spark.read.parquet(raw), since,
+          until, maxPoints, keyFilter = keyFilter)
+      case (true, many) =>
+        RollupStore.routeCascade(spark, raw, many, since, until,
+          maxPoints, keyFilter = keyFilter)
+      case (false, many) if many.size >= 2 =>
+        RollupStore.routeStoreCascade(spark, many, since, until,
+          maxPoints, keyFilter)
+      case _ => throw new IllegalArgumentException(
+        s"$RouteTvf: a single store without raw cannot route — pass raw " +
+          "for the tiered lifecycle or a two-plus store cascade for the " +
+          "raw-less mirror")
+    }
+    df.queryExecution.logical
+  }
+
+  /** Post-hoc TVF registration for sessions built without the extension
+    * (the registry upserts, so double registration is harmless). */
+  def registerRouteTvf(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark,
+      RouteTvf, routeTvfInfo, routeTvfBuilder)
 
   val functions: Seq[NativeFn] = Seq(
     NativeFn("format_ns", 1,

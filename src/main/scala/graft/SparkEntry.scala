@@ -1522,6 +1522,27 @@ object SparkEntry {
           col("grain_ns"), col("source"))
         .orderBy("event_type", "bucket_ts")
     }),
+    "rollup_route_sql" -> ((s, d) => {
+      // the serving routers in PLAIN SQL: graft_route is a table-valued
+      // function (SparkSessionExtensions.injectTableFunction, registered
+      // post-hoc here for extension-less sessions), so ANY SQL surface —
+      // including a stock Spark Connect client over gRPC — gets the
+      // budget-routed, key-pruned, tier-stitched answer with grain_ns and
+      // source riding the columns (the keyed cascade route's oracle,
+      // filtered to the one requested series)
+      Tables.configure(s)
+      val (rawP, stH, stD) = keyedCascadeEvents(s, d)
+      GraftExtensions.registerRouteTvf(s)
+      s.sql(
+        s"""SELECT event_type, bucket_ts, n,
+           |  CAST(min_c AS DOUBLE) AS min_v,
+           |  CAST(max_c AS DOUBLE) AS max_v,
+           |  CAST(sum_c AS DOUBLE) AS sum_v, grain_ns, source
+           |FROM graft_route('$stH,$stD', '$rawP',
+           |  ${ns("2024-01-01")}L, ${ns("2024-01-31")}L, 2000,
+           |  "event_type = 'click'")
+           |ORDER BY bucket_ts""".stripMargin)
+    }),
     "rollup_keyed_tiered" -> ((s, d) => {
       // retention WITH the series dimension: half the month tiered off
       // into the keyed store, and the stitched per-series daily read
@@ -7906,6 +7927,19 @@ object SparkEntry {
           |  'stitched' AS source
           |FROM events GROUP BY 1, 2
           |ORDER BY event_type, bucket_ts""".stripMargin) +
+      // the same routed answer through the SQL table function, one series
+      ("rollup_route_sql" ->
+        """SELECT event_type,
+          |  (epoch_ns(ts) // 86400000000000) * 86400000000000
+          |    AS bucket_ts,
+          |  count(*) AS n,
+          |  CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+          |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+          |  CAST(86400000000000 AS BIGINT) AS grain_ns,
+          |  'stitched' AS source
+          |FROM events WHERE event_type = 'click' GROUP BY 1, 2
+          |ORDER BY bucket_ts""".stripMargin) +
       ("stream_cusum" -> base("ts_cusum")) +
       ("stream_holt" -> base("ts_holt")) +
       // profile built from the full history == leave-in batch semantics

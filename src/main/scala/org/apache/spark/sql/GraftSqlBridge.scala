@@ -11,6 +11,20 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Register a table-valued function on an ALREADY-BUILT session's
+    * registry (private[sql]) — the post-hoc analog of
+    * `SparkSessionExtensions.injectTableFunction`, which only applies to
+    * SessionStates built after injection. Idempotent: the registry
+    * upserts by name. */
+  def registerTableFunction(s: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    s.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), info,
+        builder)
+
   /** The session's `SparkSessionExtensions` instance (private[sql]).
     * Sessions derived via `newSession()` — e.g. Spark Connect's isolated
     * per-client sessions — build their SessionState from this same object,

@@ -179,4 +179,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0).getString(0).startsWith("2022-04-26"))
     assert(rows(1).isNullAt(0))
   }
+
+  test("graft_route TVF: budget routing in plain SQL equals the " +
+      "programmatic router, key predicate included; bad args loud") {
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val Day = 86400L * 1000000000L
+    val base = SparkTestBase.tempDir("graft-tvf")
+    val rawP = base + "/raw"
+    val stP = base + "/store"
+    Seq((1L * H, 10.25, "web"), (25L * H, 7.77, "db"),
+      (26L * H, 100.01, "web"), (49L * H, 0.02, "db"))
+      .toDF("ts", "value", "host").write.parquet(rawP)
+    graft.storage.RollupStore.tierOff(spark, rawP, stP, cutoff = Day,
+      bucketNanos = H, keyCols = Seq("host"))
+    GraftExtensions.registerRouteTvf(spark)
+    def viaSql(extra: String) = spark.sql(
+      s"SELECT host, bucket_ts, n, sum_c, grain_ns, source FROM " +
+        s"graft_route('$stP', '$rawP', 0, ${3 * Day}, 3$extra) " +
+        "ORDER BY host, bucket_ts").collect().toSeq
+    val direct = graft.storage.RollupStore.route(spark, stP,
+        spark.read.parquet(rawP), 0L, 3 * Day, 3)
+      .select("host", "bucket_ts", "n", "sum_c", "grain_ns", "source")
+      .orderBy("host", "bucket_ts").collect().toSeq
+    assert(viaSql("") == direct)
+    assert(viaSql(", \"host = 'db'\"") ==
+      direct.filter(_.getString(0) == "db"))
+    // a stock-SQL-only surface still fails loudly on a non-key predicate
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_route('$stP', '$rawP', 0, " +
+        s"${3 * Day}, 3, 'sum_c > 5')").collect()
+    }
+    assert(ex.getMessage.contains("non-key column"), ex.getMessage)
+    // raw-less single store: rejected with the dispatch contract
+    val ex2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_route('$stP', '', 0, " +
+        s"${3 * Day}, 3)").collect()
+    }
+    assert(ex2.getMessage.contains("cannot route"), ex2.getMessage)
+  }
 }

@@ -259,6 +259,26 @@ class RouteOracleSpec extends AnyFunSuite {
       assert(got == directKeyed(g, lo, hi),
         s"probe ($since, $until, $mp): grain=$g")
     }
+    // key pushdown through the raw-less cascade: one series served
+    // equals the per-series slice of the unfiltered truth; an empty
+    // slice verifies at the unfiltered route's (filter-independent) grain
+    val rnd3 = new scala.util.Random(47)
+    for ((since, until, mp) <- probes(rnd3, Seq(2 * Day)).take(10)) {
+      val df = RollupStore.routeStoreCascade(spark, Seq(stM, stD),
+        since, until, mp, keyFilter = Some(col("host") === "cache"))
+      val rows = df.select("host", "bucket_ts", "n", "sum_c", "grain_ns")
+        .orderBy("bucket_ts").collect()
+      val gExp = RollupStore.routeStoreCascade(spark, Seq(stM, stD),
+        since, until, mp).select("grain_ns").head().getLong(0)
+      rows.map(_.getAs[Long]("grain_ns")).distinct.foreach(g =>
+        assert(g == gExp, s"filter changed the grain: $g vs $gExp"))
+      val (lo, hi) = widen(since, until, gExp)
+      val got = rows.map(r => (r.getAs[String]("host"),
+        r.getAs[Long]("bucket_ts"), r.getAs[Long]("n"),
+        r.getAs[java.math.BigDecimal]("sum_c").doubleValue())).toSeq
+      assert(got == directKeyed(gExp, lo, hi).filter(_._1 == "cache"),
+        s"filtered probe ($since, $until, $mp): grain=$gExp")
+    }
   }
 
   test("KEYED route over a tiered dimensional store: every probe equals " +
