@@ -206,6 +206,48 @@ object ScaleProbe {
       report("rollup_keyed", evK,
         keyedRoundtrip(events, "1x"), keyedRoundtrip(evScaled, s"${evK}x"))
     }
+    if (sel("counter_store")) {
+      // the counter recording rule's lifecycle claims, both sides:
+      // counter_store  — BUILD (one keyed window over samples) + daily
+      //                  read; build scales with samples, the read with
+      //                  the KB store
+      // counter_append — appending one fixed increase batch to a 1× vs
+      //                  evK× accumulated store costs the INCREMENT, not
+      //                  the base (the incremental-maintenance claim,
+      //                  dup_index_append's twin on the counter tier)
+      val hr = 3600L * 1000000000L
+      def inc(ev: DataFrame) = TsOps.counterIncrease(
+        ev.select("user_id", "ts", "event_id", "value"), Seq("user_id"), hr)
+      report("counter_inc", evK,
+        inc(events).count(), inc(evScaled).count())
+      def counterBuild(ev: DataFrame, tag: String): Long = {
+        val p = s"$work/ctr_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        graft.storage.CounterStore.write(inc(ev), p, hr)
+        1L
+      }
+      report("counter_build", evK,
+        counterBuild(events, "1x"), counterBuild(evScaled, s"${evK}x"))
+      report("counter_read", evK,
+        graft.storage.CounterStore.read(spark, s"$work/ctr_1x",
+          factor = 24L).count(),
+        graft.storage.CounterStore.read(spark, s"$work/ctr_${evK}x",
+          factor = 24L).count())
+      val incFixed = TsOps.counterIncrease(events.limit(50000)
+        .select("user_id", "ts", "event_id", "value"), Seq("user_id"), hr)
+        .cache()
+      incFixed.count()
+      var apN = 0
+      def appendOnce(p: String): Long = {
+        apN += 1 // fresh key per evaluation — report warms then re-times
+        graft.storage.CounterStore.append(incFixed, p, s"inc#$apN", hr,
+          validateGrain = false, validateKeys = false)
+        incFixed.count()
+      }
+      report("counter_append", evK,
+        appendOnce(s"$work/ctr_1x"), appendOnce(s"$work/ctr_${evK}x"))
+      incFixed.unpersist()
+    }
     if (sel("cascade_serve")) {
       // the retention-cascade SERVING claim, measured end to end: build a
       // three-tier layout (last 2 days raw, hourly for the prior 10 days,

@@ -72,7 +72,15 @@ object CounterStore {
   /** One batch's rows, folded to one row per (keys, bucket) and stamped
     * with the store's self-description. The fold makes the append shape
     * canonical whether the producer handed per-bucket rows (batch
-    * counterIncrease) or finer partials. */
+    * counterIncrease) or finer partials.
+    *
+    * ALIGNED WRITES: the frame repartitions on `__day` before the
+    * partitioned write, so each day directory receives ONE file instead
+    * of one per (task × day). Without it, a store spanning D days written
+    * from P tasks opens up to D×P writers and lands D×P near-empty
+    * parquet files — measured 25× (not 10×) build cost at 10× the span,
+    * with every later read paying the listing. The extra shuffle moves
+    * only the KB-per-day folded rows. */
   private def canonical(df: DataFrame, batchKey: String,
       bucketNanos: Long): DataFrame = {
     val keys = requireShape(df, "CounterStore")
@@ -83,6 +91,7 @@ object CounterStore {
       .withColumn("bucket_ns", lit(bucketNanos))
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, dayCol(bucketNanos))
+      .repartition(col(WritableStore.PartitionCol))
   }
 
   /** Build a counter store from increase rows: one atomic publish of the
@@ -235,6 +244,7 @@ object CounterStore {
         .withColumn("bucket_ns", lit(bn))
         .withColumn("batch_key", lit(key))
         .withColumn(WritableStore.PartitionCol, dayCol(bn))
+        .repartition(col(WritableStore.PartitionCol)) // one file per day
         .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
     }
   }
