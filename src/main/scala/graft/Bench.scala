@@ -42,7 +42,11 @@ object Bench {
     // round-9 late rows: the DIMENSIONAL store's per-series rollup (keyed
     // fixture per-process-cached — times the keyed fold) and the
     // duplicated-span coverage pass (inverted-index count + island merge)
-    "rollup_keyed_daily", "text_dup_spans")
+    "rollup_keyed_daily", "text_dup_spans",
+    // round-10 tracked rows: the counter recording rule's lifecycle store
+    // (fixture per-process-cached — times the replay-deduped daily read)
+    // and the key-pruned "one series, zoomed" route
+    "rollup_counter_store", "rollup_keyed_route_one")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -88,6 +88,26 @@ class ConnectSpec extends AnyFunSuite {
       // a graft NATIVE expression resolving inside the connect session
       val fnOut = probe("SELECT format_ns(1700000000000000000) AS t")
       assert(fnOut.contains("2023-11-14T22:13:20"), fnOut)
+      // the serving ROUTER as a table function over gRPC: a stock client
+      // asks for a budget-routed range over a tiered store and sees the
+      // stitched answer with its source label — the dashboard contract
+      // with zero graft code client-side
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val H = 3600L * 1000000000L
+      val Day = 86400L * 1000000000L
+      val base = graft.SparkTestBase.tempDir("graft-connect-route")
+      val rawP = base + "/raw"
+      val stP = base + "/store"
+      Seq((1L * H, 10.25), (25L * H, 7.77), (49L * H, 0.02))
+        .toDF("ts", "value").write.parquet(rawP)
+      graft.storage.RollupStore.tierOff(spark, rawP, stP, cutoff = Day,
+        bucketNanos = H)
+      val routeOut = probe(
+        s"SELECT source, grain_ns, n FROM graft_route('$stP', '$rawP', " +
+          s"0, ${3 * Day}, 3) ORDER BY bucket_ts")
+      assert(routeOut.contains("stitched"), routeOut)
+      assert(routeOut.contains(s"$Day"), routeOut) // day-grain clamp
     } finally {
       ConnectServe.stop()
       // the shared session outlives this suite: undo the conf mutations
