@@ -85,6 +85,22 @@ class CounterStoreSpec extends AnyFunSuite {
       .orderBy("host", "bucket").collect().toSeq == directDaily)
   }
 
+  test("aligned writes: every day directory holds ONE parquet file after " +
+      "write, append, and compact — never one per task x day") {
+    val p = SparkTestBase.tempDir("graft-ctr-files") + "/store"
+    // force the hazard shape: many input partitions spanning several days
+    CounterStore.write(inc1h.filter(col("bucket") < 24L).repartition(8),
+      p, H)
+    CounterStore.append(inc1h.filter(col("bucket") >= 24L).repartition(8),
+      p, "b#1", H)
+    CounterStore.compact(spark, p)
+    def filesPerDay: Seq[Int] = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("__day=")).toSeq
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerDay.nonEmpty && filesPerDay.forall(_ == 1), filesPerDay)
+    assert(readDaily(p) == directDaily)
+  }
+
   test("loud guards: mixed grain, key-set drift, unaligned cutoff, and " +
       "raw-sample input all fail before landing") {
     val p = SparkTestBase.tempDir("graft-ctr-guard") + "/store"

@@ -54,6 +54,21 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not aligned"))
   }
 
+  test("aligned writes: each day directory holds one file per write " +
+      "operation — never one per task x day") {
+    val p = SparkTestBase.tempDir("graft-rollup-files") + "/store"
+    // force the hazard shape: many input partitions spanning several days
+    RollupStore.write(raw.repartition(8), p, H)
+    RollupStore.append(raw.repartition(8), p, "b#1", H)
+    RollupStore.compact(spark, p)
+    def filesPerDay: Seq[Int] = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("__day=")).toSeq
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    // compact folds to ONE file per day; pre-compact it is one per
+    // write operation (base + append = 2), one per task x day never
+    assert(filesPerDay.nonEmpty && filesPerDay.forall(_ == 1), filesPerDay)
+  }
+
   test("a replayed append batch cannot double-count") {
     val p = SparkTestBase.tempDir("graft-rollup-a") + "/store"
     val (base, late) = (raw.filter(col("ts") < 2 * Day),
