@@ -790,6 +790,17 @@ object SparkEntry {
           factor = 24L)
         .orderBy("user_id", "bucket")
     }),
+    "rollup_counter_route" -> ((s, d) => {
+      // budget routing on the counter tier: the month-wide 40-point
+      // budget clamps to the daily coarse tier below its horizon, the
+      // hourly fine store folds 24x above it, and the stitched indexes
+      // telescope to the direct daily pass (shares ts_counter_increase's
+      // oracle plus the grain/source contract)
+      val (fineP, coarseP) = counterTierPaths(s, d)
+      graft.storage.CounterStore.route(s, fineP, Some(coarseP),
+          ns("2024-01-01"), ns("2024-01-31"), maxPoints = 40)
+        .orderBy("user_id", "bucket")
+    }),
     "stream_counter_store" -> ((s, d) => {
       // the counter store MAINTAINED BY the stream: cross-batch lag in
       // the state store (one long per series), per-batch increase rows
@@ -7850,6 +7861,33 @@ object SparkEntry {
       // stream-maintained counter store: cross-batch lag in state, per-
       // batch additive appends — the drained store reads the batch rule
       ("stream_counter_store" -> base("ts_counter_increase")) +
+      // the budget router on the counter tier: the month/40-point budget
+      // clamps to the daily tier — the oracle is the direct daily pass
+      // with the routing contract columns attached
+      ("rollup_counter_route" ->
+        """WITH e AS (
+          |  SELECT user_id, epoch_ns(ts) AS ts, event_id,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |  FROM events
+          |), p AS (
+          |  SELECT user_id, ts, c,
+          |    lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS prev
+          |  FROM e WHERE c IS NOT NULL
+          |)
+          |SELECT user_id,
+          |  (ts - ((ts % 86400000000000) + 86400000000000) % 86400000000000)
+          |    // 86400000000000 AS bucket,
+          |  CAST(count(*) AS BIGINT) AS n_deltas,
+          |  CAST(sum(CASE WHEN c >= prev THEN c - prev ELSE c END)
+          |    AS BIGINT) AS inc_cents,
+          |  CAST(sum(CASE WHEN c < prev THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_resets,
+          |  CAST(86400000000000 AS BIGINT) AS grain_ns,
+          |  'stitched' AS source
+          |FROM p WHERE prev IS NOT NULL
+          |GROUP BY 1, 2
+          |ORDER BY user_id, bucket""".stripMargin) +
       // same clamped-to-1h stitched contract as the tiered route, now
       // over the dialect's own retained __day-block table
       ("rollup_metrics_route" -> base("rollup_route_tiered")) +

@@ -301,6 +301,59 @@ object CounterStore {
     }
   }
 
+  /** Budget routing over the counter tier — [[RollupStore.route]]'s
+    * maxDataPoints contract on the recording rule: answer `[since,
+    * until)` under a point budget at the finest grain every touched tier
+    * can serve, never a silently partial answer. The grain fits the
+    * widened span (shared [[RollupStore.fitCascadeGrain]] arithmetic:
+    * the fine store's width is the floor; a range dipping below the
+    * coarse tier's horizon clamps to the coarse width), buckets are
+    * floor-div indexes AT the chosen grain, and `grain_ns`/`source` ride
+    * the columns so a dashboard sees which tier answered. Counter
+    * partials merge by addition at any nesting grain, so every routed
+    * answer equals the direct pass over never-stored samples. */
+  def route(spark: SparkSession, finePath: String,
+      coarsePath: Option[String], since: Long, until: Long,
+      maxPoints: Int): DataFrame = {
+    require(until > since, s"route: empty range [$since, $until)")
+    require(maxPoints >= 1, "route needs a positive point budget")
+    val fineBn = storeWidthOpt(spark, finePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"counter store at $finePath is absent or empty"))
+    val coarse = coarsePath.flatMap(p =>
+      readable(spark, p).map(df => (p, df,
+        storeWidthOpt(spark, p), tierHorizon(df))))
+    // present tiers (width, horizon) — a coarse store never tiered into
+    // (or fully trimmed) does not route
+    val present: Seq[(Long, Long)] = coarse.toSeq.flatMap {
+      case (_, _, Some(w), Some(h)) => Seq((w, h))
+      case _ => Nil
+    }
+    val (g, touched) = RollupStore.fitCascadeGrain(present, since, until,
+      maxPoints, floorW = fineBn)
+    require(g % fineBn == 0, s"route: grain $g does not nest $fineBn")
+    val (lo, hi) = RollupStore.widenTo(since, until, g)
+    if (touched.isEmpty)
+      read(spark, finePath, g / fineBn, Some(lo), Some(hi))
+        .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
+    else {
+      // stitch: the coarse tier serves its pre-horizon window, the fine
+      // store the rest — disjoint whole g-buckets (g is a multiple of
+      // the coarse width, which is a multiple of the fine width and of
+      // the horizon's alignment), merged by one more additive fold
+      val (cPath, _, cwOpt, hOpt) = coarse.get
+      val (cw, h) = (cwOpt.get, hOpt.get)
+      require(g % cw == 0, s"route: grain $g does not nest $cw")
+      val old = read(spark, cPath, g / cw, Some(lo), Some(math.min(h, hi)))
+      val recent = read(spark, finePath, g / fineBn,
+        Some(math.max(h, lo)), Some(hi))
+      graft.operators.TsOps.counterIncreaseCoarsen(
+          old.unionByName(recent), 1L, keyColsOf(old))
+        .withColumn("grain_ns", lit(g))
+        .withColumn("source", lit("stitched"))
+    }
+  }
+
   /** Stitched read across the fine + coarse pair at the COARSE grain:
     * the coarse store serves its pre-horizon buckets, the fine store its
     * at-or-after-horizon ones folded `factor`× — disjoint whole coarse

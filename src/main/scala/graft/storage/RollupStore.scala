@@ -507,8 +507,9 @@ object RollupStore {
   }
 
   /** Serving bounds round OUTWARD to whole `g`-buckets (a dashboard shows
-    * complete buckets; the exact-bounds contract stays on [[rollup]]). */
-  private def widenTo(since: Long, until: Long, g: Long): (Long, Long) =
+    * complete buckets; the exact-bounds contract stays on [[rollup]]).
+    * `private[storage]`: [[CounterStore.route]] shares the arithmetic. */
+  private[storage] def widenTo(since: Long, until: Long, g: Long): (Long, Long) =
     (Math.floorDiv(since, g) * g, (Math.floorDiv(until - 1, g) + 1) * g)
 
   /** Grain from the WIDENED span: the point budget is a hard contract, so
@@ -1318,8 +1319,9 @@ object RollupStore {
     * routes, the mirror's bucket width for raw-less ones. Returns the
     * fixpoint grain and the tiers its widened range touches (empty ⇔
     * the finest source alone holds the whole widened range). */
-  private def fitCascadeGrain(present: Seq[(Long, Long)], since: Long,
-      until: Long, maxPoints: Int, floorW: Long): (Long, Seq[(Long, Long)]) = {
+  private[storage] def fitCascadeGrain(present: Seq[(Long, Long)],
+      since: Long, until: Long, maxPoints: Int, floorW: Long)
+      : (Long, Seq[(Long, Long)]) = {
     val target = math.max(1L, (until - since + maxPoints - 1) / maxPoints)
     def touched(g: Long): Seq[(Long, Long)] = {
       val (lo, hi) = widenTo(since, until, g)

@@ -85,6 +85,53 @@ class CounterStoreSpec extends AnyFunSuite {
       .orderBy("host", "bucket").collect().toSeq == directDaily)
   }
 
+  test("route: budget-fitted grains over the tiered pair equal the " +
+      "direct pass at every probe; pre-horizon budgets clamp to the " +
+      "coarse width, post-horizon ranges serve fine") {
+    val base = SparkTestBase.tempDir("graft-ctr-route")
+    val fineP = base + "/fine"
+    val coarseP = base + "/coarse"
+    CounterStore.write(inc1h, fineP, H)
+    CounterStore.tierOff(spark, fineP, coarseP, cutoff = 2 * Day,
+      factor = 24L)
+    def direct(g: Long, lo: Long, hi: Long) =
+      TsOps.counterIncrease(
+          samples.filter(col("ts") >= lo && col("ts") < hi),
+          Seq("host"), g, tieCol = "event_id")
+        .orderBy("host", "bucket").collect().toSeq
+    // NOTE the fixture property making direct() a fair oracle at window
+    // edges: every delta and its observing sample sit in the same g
+    // bucket as its predecessor's bucket boundary allows — true here
+    // because windows are whole g buckets and the series' first sample
+    // in each window emits nothing on both sides only when the
+    // PREDECESSOR is also inside the window. Probes therefore use
+    // [0, ...) ranges so no cross-window lag is lost on either side.
+    for ((mp, expG, expSrc) <- Seq(
+        (2, Day * 2, "stitched"), // 3-day span / 2 pts → 2-day grain
+        (3, Day, "stitched"),     // clamps to the daily tier
+        (3000, Day, "stitched"))) { // fine budget BELOW horizon: clamps
+      val df = CounterStore.route(spark, fineP, Some(coarseP), 0L,
+        3 * Day, mp)
+      val rows = df.select("host", "bucket", "n_deltas", "inc_cents",
+        "n_resets").orderBy("host", "bucket").collect().toSeq
+      val meta = df.select("grain_ns", "source").distinct().collect()
+      assert(meta.length == 1 && meta.head.getLong(0) == expG &&
+        meta.head.getString(1) == expSrc, s"mp=$mp: ${meta.toSeq}")
+      assert(rows == direct(expG, 0L, 3 * Day), s"mp=$mp")
+    }
+    // a range fine fully holds serves at the budget's own fine grain
+    val fineDf = CounterStore.route(spark, fineP, Some(coarseP),
+      2 * Day, 3 * Day, 3000)
+    assert(fineDf.select("grain_ns", "source").distinct().collect()
+      .toSeq.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((H, "store")))
+    assert(fineDf.select("host", "bucket", "n_deltas", "inc_cents",
+        "n_resets").orderBy("host", "bucket").collect().toSeq ==
+      TsOps.counterIncrease(samples, Seq("host"), H, tieCol = "event_id")
+        .filter(col("bucket") >= 48L).orderBy("host", "bucket")
+        .collect().toSeq)
+  }
+
   test("aligned writes: every day directory holds ONE parquet file after " +
       "write, append, and compact — never one per task x day") {
     val p = SparkTestBase.tempDir("graft-ctr-files") + "/store"
