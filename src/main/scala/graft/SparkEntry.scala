@@ -237,6 +237,27 @@ object SparkEntry {
       (rawP, stH, stD)
     })
 
+  /** Per-dataset cache of the VARIANCE-dimension tiered layout backing
+    * `rollup_store_stddev`: a keyed 1h store written withVariance, half
+    * the month tiered off — so the gate proves (n, sum, sumsq) survive
+    * tiering and stitch to the direct pass exactly. */
+  private val varianceTierPathsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def varianceTieredEvents(s: SparkSession, d: String)
+      : (String, String) =
+    varianceTierPathsMap.computeIfAbsent(d, dir => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-vartier-${processId}_${dirTag(dir)}")
+      val rawP = new java.io.File(base, "raw").getPath
+      val stP = new java.io.File(base, "store").getPath
+      t(s, dir, "events").write.mode("overwrite").parquet(rawP)
+      graft.storage.RollupStore.tierOff(s, rawP, stP,
+        cutoff = ns("2024-01-15"), bucketNanos = BucketH,
+        keyCols = Seq("event_type"), withVariance = true)
+      (rawP, stP)
+    })
+
   /** Per-dataset cache of the TIERED events copy backing
     * `rollup_tiered_scan`: raw events copied to scratch, then samples
     * before the cutoff tiered off into a 1h rollup store (one tiering per
@@ -1533,6 +1554,23 @@ object SparkEntry {
           col("grain_ns"), col("source"))
         .orderBy("event_type", "bucket_ts")
     }),
+    "rollup_store_stddev" -> ((s, d) => {
+      // the VARIANCE recording rule: per-(series, day) n/sum/sum-of-
+      // squares served from a tiered keyed store — the sums of squares
+      // merge by the same associative fold as everything else, so the
+      // stitched stats equal the direct pass and mean/stddev over any
+      // range become stored recording rules. var_num = n·Σv² − (Σv)² is
+      // compared as the EXACT integer-valued rational both engines
+      // compute in decimal before one double cast
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val (rawP, stP) = varianceTieredEvents(s, d)
+      graft.storage.RollupStore.tieredRollup(s, rawP, stP, day)
+        .select(col("event_type"), col("bucket_ts"), col("n"),
+          (col("sumsq_c") * col("n") - col("sum_c") * col("sum_c"))
+            .cast("double").as("var_num"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "rollup_route_sql" -> ((s, d) => {
       // the serving routers in PLAIN SQL: graft_route is a table-valued
       // function (SparkSessionExtensions.injectTableFunction, registered
@@ -2612,6 +2650,22 @@ object SparkEntry {
         |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
         |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ts""".stripMargin,
+    // the variance recording rule: the store's (n, Σv, Σv²) stitched
+    // across the tier boundary equal the direct per-(series, day) pass —
+    // var_num is the exact integer-valued rational both engines compute
+    // in decimal before one double cast
+    "rollup_store_stddev" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) AS ts,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  (ts // 86400000000000) * 86400000000000 AS bucket_ts,
+        |  count(*) AS n,
+        |  CAST(count(*) * sum(v*v) - sum(v)*sum(v) AS DOUBLE) AS var_num
+        |FROM e GROUP BY 1, 2
         |ORDER BY event_type, bucket_ts""".stripMargin,
     // the keyed router: same 19h grain derivation as rollup_route (the
     // budget is on the time axis), grouped by the store's key

@@ -77,8 +77,8 @@ object RollupStore {
     * parameters, and a reader can DROP dimensions (fold across keys) —
     * every merge is associative across keys exactly as across time. */
   private val ReservedCols: Set[String] = Set("bucket_ts", "bucket_ns",
-    "n", "min_c", "max_c", "sum_c", "batch_key", "hll", "hcnt", "hbounds",
-    "distinct_est", WritableStore.PartitionCol)
+    "n", "min_c", "max_c", "sum_c", "sumsq_c", "batch_key", "hll", "hcnt",
+    "hbounds", "distinct_est", WritableStore.PartitionCol)
 
   /** The group-key columns a store frame carries, in schema order. */
   private def keyColsOf(df: DataFrame): Seq[String] =
@@ -138,7 +138,7 @@ object RollupStore {
       valueCol: String, tsCol: String,
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil, withVariance: Boolean = false): DataFrame = {
     require(bucketNanos > 0, s"bucketNanos must be positive: $bucketNanos")
     requireKeyCols(df, keyCols, "rollupRows")
     val dec = col(valueCol).cast("decimal(18,2)")
@@ -147,6 +147,14 @@ object RollupStore {
     // schema merge never sees two decimal widths in one tree
     val aggs = Seq(count(lit(1)).as("n"), min(dec).as("min_c"),
       max(dec).as("max_c"), sum(dec).cast("decimal(28,2)").as("sum_c")) ++
+      // variance dimension: the per-bucket sum of squares in EXACT
+      // decimal — (n, sum, sumsq) make mean/variance/stddev over ANY
+      // range a stored recording rule (sums of sums of squares are the
+      // same associative fold as everything else). decimal(38,4) is the
+      // pinned at-rest type: sum over it stays (38,4), so fold results
+      // and stored rows never differ in width under schema merge
+      (if (withVariance)
+        Seq(sum(dec * dec).cast("decimal(38,4)").as("sumsq_c")) else Nil) ++
       distinctCol.map(c => expr(s"hll_sketch_agg($c, $lgK)").as("hll")) ++
       (if (histBoundsCents.isEmpty) Nil else {
         // THE shared bucket assignment — stored counters must stay
@@ -174,6 +182,25 @@ object RollupStore {
           expr(graft.operators.TsOps.boundsArraySql(histBoundsCents)))
         .drop((0 until slots).map(i => s"__h$i"): _*)
     }
+  }
+
+  /** Read-time finisher for the variance dimension: mean, population
+    * variance, and stddev derived from a stats frame carrying
+    * (n, sum_c, sumsq_c). The variance numerator n·sumsq − sum² is
+    * computed in decimal and divided by n² before the one double cast —
+    * the exactness bound is the decimal precision cap (38 digits), far
+    * past any per-bucket magnitude; tests gate the derivation against
+    * Spark's own var_pop. */
+  def varianceStats(stats: DataFrame): DataFrame = {
+    require(stats.columns.contains("sumsq_c"),
+      "varianceStats: the frame carries no sumsq_c — write the store " +
+        "with withVariance = true")
+    val varNum = col("sumsq_c") * col("n") - col("sum_c") * col("sum_c")
+    stats
+      .withColumn("mean", (col("sum_c") / col("n")).cast("double"))
+      .withColumn("var_pop",
+        (varNum / (col("n") * col("n"))).cast("double"))
+      .withColumn("stddev_pop", sqrt(col("var_pop")))
   }
 
   /** Expand stored `hcnt` counter rows to the (keys..., le, cnt) shape
@@ -211,11 +238,12 @@ object RollupStore {
   def write(df: DataFrame, path: String, bucketNanos: Long,
       valueCol: String = "value", tsCol: String = "ts",
       distinctCol: Option[String] = None, lgK: Int = 12,
-      histBoundsCents: Seq[Long] = Nil, keyCols: Seq[String] = Nil): Unit = {
+      histBoundsCents: Seq[Long] = Nil, keyCols: Seq[String] = Nil,
+      withVariance: Boolean = false): Unit = {
     val spark = df.sparkSession
     AtomicDir.publish(spark, path, "rollup store") { tmp =>
       rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
-        histBoundsCents, keyCols)
+        histBoundsCents, keyCols, withVariance)
         .withColumn("batch_key", lit("base"))
         .withColumn(WritableStore.PartitionCol, dayCol)
         // aligned write: one file per day directory, not one per
@@ -247,12 +275,12 @@ object RollupStore {
       tsCol: String = "ts", distinctCol: Option[String] = None,
       lgK: Int = 12, histBoundsCents: Seq[Long] = Nil,
       validateWidth: Boolean = true, keyCols: Seq[String] = Nil,
-      validateKeys: Boolean = true): Unit = {
+      validateKeys: Boolean = true, withVariance: Boolean = false): Unit = {
     val spark = df.sparkSession
     if (validateWidth) requireGrain(spark, path, bucketNanos, "append")
     if (validateKeys) requireKeys(spark, path, keyCols, "append")
     rollupRows(df, bucketNanos, valueCol, tsCol, distinctCol, lgK,
-      histBoundsCents, keyCols)
+      histBoundsCents, keyCols, withVariance)
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, dayCol)
       .repartition(col(WritableStore.PartitionCol)) // one file per day
@@ -443,12 +471,15 @@ object RollupStore {
     }
     val hasHll = partials.columns.contains("hll")
     val hasHist = partials.columns.contains("hcnt")
+    val hasVar = partials.columns.contains("sumsq_c")
     val checkedN = when(
       assert_true(pmod(lit(coarseNanos), col("bucket_ns")) === 0,
         lit(s"rollup: coarseNanos $coarseNanos is not a multiple of the " +
           "stored bucket width")).isNull, col("n"))
     val aggs = Seq(sum(checkedN).as("n"), min("min_c").as("min_c"),
       max("max_c").as("max_c"), sum("sum_c").as("sum_c")) ++
+      (if (hasVar)
+        Seq(sum("sumsq_c").cast("decimal(38,4)").as("sumsq_c")) else Nil) ++
       (if (uniformWidth) Seq(min("bucket_ns").as("__bnmin"),
         max("bucket_ns").as("__bnmax")) else Nil) ++
       (if (hasHll) Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
@@ -630,10 +661,12 @@ object RollupStore {
       val (lo, hi) = widened(gRaw)
       if (horizon.forall(_ <= lo)) {
         // finer-than-stored budget over a range raw fully holds — grouped
-        // by the store's own keys so a fine zoom serves the same series
+        // by the store's own keys (and dims) so a fine zoom serves the
+        // same series and the same schema
         val rows = rollupRows(graft.operators.TsOps.rangeFilter(rawF,
             Some(lo), Some(hi), tsCol), gRaw, valueCol, tsCol, distinctCol,
-            lgK, histBoundsCents, keyColsOf(stored))
+            lgK, histBoundsCents, keyColsOf(stored),
+            withVariance = stored0.columns.contains("sumsq_c"))
           .drop("bucket_ns")
         (if (distinctCol.nonEmpty) // schema parity with the store path
           rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
@@ -670,7 +703,7 @@ object RollupStore {
       cutoff: Long, bucketNanos: Long, valueCol: String = "value",
       tsCol: String = "ts", distinctCol: Option[String] = None,
       lgK: Int = 12, histBoundsCents: Seq[Long] = Nil,
-      keyCols: Seq[String] = Nil): Unit = {
+      keyCols: Seq[String] = Nil, withVariance: Boolean = false): Unit = {
     require(Math.floorMod(cutoff, bucketNanos) == 0,
       s"tierOff: cutoff $cutoff is not aligned to the $bucketNanos bucket" +
         " — a straddling bucket would be half raw, half rolled up")
@@ -688,7 +721,8 @@ object RollupStore {
     // limit-1 scan with the ts predicate pushed down)
     if (old.isEmpty) return
     append(old, storePath, s"tier-$cutoff", bucketNanos, valueCol, tsCol,
-      distinctCol, lgK, histBoundsCents, keyCols = keyCols)
+      distinctCol, lgK, histBoundsCents, keyCols = keyCols,
+      withVariance = withVariance)
     trimBelow(spark, fs, rawPath, "tiered raw table", cutoff, tsCol)
   }
 
@@ -801,6 +835,7 @@ object RollupStore {
       .withColumn("bucket_ns", lit(coarseBucketNanos))
       .withColumn("batch_key", lit(s"tier-$cutoff"))
       .withColumn(WritableStore.PartitionCol, dayCol)
+      .repartition(col(WritableStore.PartitionCol)) // one file per day
       .write.mode("append").partitionBy(WritableStore.PartitionCol)
       .parquet(coarseStorePath)
     val fineLive = new org.apache.hadoop.fs.Path(fineStorePath)
@@ -1015,6 +1050,10 @@ object RollupStore {
       tsCol)
     val anySketch = present.exists(_._1.df.columns.contains("hll"))
     val anyHist = present.exists(_._1.df.columns.contains("hcnt"))
+    // the variance dimension needs nothing from the caller (no column
+    // name, no schedule) — the raw side simply mirrors whatever the
+    // tiers carry, so stitched reads serve it with zero new parameters
+    val anyVar = present.exists(_._1.df.columns.contains("sumsq_c"))
     require(!anySketch || distinctCol.nonEmpty,
       "stitchTiers: a tier carries a distinct sketch — pass distinctCol " +
         "so the raw side serves the same schema")
@@ -1032,11 +1071,12 @@ object RollupStore {
       s"stitchTiers: the tiers are keyed by [${keys.mkString(", ")}] but " +
         s"the raw side lacks ${missing.mkString(", ")}")
     val cols = keys ++ Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
-      "sum_c") ++ (if (anySketch) Seq("hll") else Nil) ++
+      "sum_c") ++ (if (anyVar) Seq("sumsq_c") else Nil) ++
+      (if (anySketch) Seq("hll") else Nil) ++
       (if (anyHist) Seq("hcnt", "hbounds") else Nil)
     val rawPart = rollupRows(rawScoped, coarseNanos, valueCol, tsCol,
       if (anySketch) distinctCol else None, lgK,
-      if (anyHist) histBoundsCents else Nil, keys)
+      if (anyHist) histBoundsCents else Nil, keys, withVariance = anyVar)
       .select(cols.map(col): _*)
     val storeParts = present.zip(windows.tail).map { case ((t, _), (lo, hi)) =>
       scopedFrame(t.df, lo, hi).select(cols.map(col): _*)
@@ -1152,16 +1192,21 @@ object RollupStore {
     require(parts.nonEmpty, "storeCascadeRollup: no readable store")
     val anySketch = parts.exists(_.columns.contains("hll"))
     val anyHist = parts.exists(_.columns.contains("hcnt"))
+    val anyVar = parts.exists(_.columns.contains("sumsq_c"))
     require(!anySketch || parts.forall(_.columns.contains("hll")),
       "storeCascadeRollup: some tiers carry a distinct sketch and some " +
         "do not — every tier must be written with the same dimensions")
     require(!anyHist || parts.forall(_.columns.contains("hcnt")),
       "storeCascadeRollup: some tiers carry histogram counters and some " +
         "do not — every tier must be written with the same dimensions")
+    require(!anyVar || parts.forall(_.columns.contains("sumsq_c")),
+      "storeCascadeRollup: some tiers carry the variance dimension and " +
+        "some do not — every tier must be written with the same dimensions")
     val keys = sharedKeys(tiers.flatten.map(t => (t.path, t.df)),
       "storeCascadeRollup")
     val cols = keys ++ Seq("bucket_ts", "bucket_ns", "n", "min_c", "max_c",
-      "sum_c") ++ (if (anySketch) Seq("hll") else Nil) ++
+      "sum_c") ++ (if (anyVar) Seq("sumsq_c") else Nil) ++
+      (if (anySketch) Seq("hll") else Nil) ++
       (if (anyHist) Seq("hcnt", "hbounds") else Nil)
     mergeFold(parts.map(_.select(cols.map(col): _*)).reduce(_.unionByName(_)),
       coarseNanos, uniformWidth = false)
@@ -1246,7 +1291,9 @@ object RollupStore {
       // grouped by the cascade's own keys for schema parity across zooms
       val rows = rollupRows(graft.operators.TsOps.rangeFilter(raw, Some(lo),
           Some(hi), tsCol), g, valueCol, tsCol, distinctCol, lgK,
-          histBoundsCents, keyFieldsOf(tiersRead).map(_.name))
+          histBoundsCents, keyFieldsOf(tiersRead).map(_.name),
+          withVariance = tiersRead.flatten
+            .exists(_.df.columns.contains("sumsq_c")))
         .drop("bucket_ns")
       (if (distinctCol.nonEmpty)
         rows.withColumn("distinct_est", expr("hll_sketch_estimate(hll)"))
@@ -1374,6 +1421,8 @@ object RollupStore {
       val cAggs = Seq(sum("n").as("n"), min("min_c").as("min_c"),
         max("max_c").as("max_c"),
         sum("sum_c").cast("decimal(28,2)").as("sum_c")) ++
+        (if (live0.columns.contains("sumsq_c"))
+          Seq(sum("sumsq_c").cast("decimal(38,4)").as("sumsq_c")) else Nil) ++
         (if (live0.columns.contains("hll"))
           Seq(expr("hll_union_agg(hll, true)").as("hll")) else Nil) ++
         (if (hasHist)
@@ -1414,7 +1463,8 @@ object RollupStore {
     guardMixedDims(spark.read.option("mergeSchema", "true").parquet(path))
 
   private def guardMixedDims(df: DataFrame): DataFrame =
-    Seq("hll" -> "distinctCol", "hcnt" -> "histBoundsCents")
+    Seq("hll" -> "distinctCol", "hcnt" -> "histBoundsCents",
+        "sumsq_c" -> "withVariance")
       .foldLeft(df) { case (acc, (c, param)) =>
         if (acc.columns.contains(c))
           acc.withColumn(c, when(assert_true(col(c).isNotNull,

@@ -772,6 +772,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("counter store range read prunes day directories at file listing") {
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val day = 86400L * 1000000000L
+    val p = SparkTestBase.tempDir("graft-ctrplan") + "/store"
+    graft.storage.CounterStore.write(
+      graft.operators.TsOps.counterIncrease(
+        Seq((1L, 1L * H, 1L, 1.0), (1L, 25L * H, 2L, 2.0),
+          (1L, 49L * H, 3L, 3.0)).toDF("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), H), p, H)
+    val pr = graft.storage.CounterStore.read(spark, p, factor = 24L,
+        since = Some(day), until = Some(2 * day))
+      .queryExecution.executedPlan.toString
+    // the __day predicate must reach the scan as a PartitionFilter — the
+    // file-listing-time pruning the date-bucketed layout exists for
+    assert(pr.contains("PartitionFilters: [") && pr.contains("__day"), pr)
+  }
+
   test("rollup_keyed_route_one: the key predicate lands in the store " +
       "scan's pushed filters — one series served, not all-filter-later") {
     val p = plan("rollup_keyed_route_one")

@@ -845,6 +845,63 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(viaStore(Some(Nil), Nil) == direct(Nil))
   }
 
+  test("variance dimension: (n, sum, sumsq) survive replayed appends, " +
+      "compaction, tiering, and the router's raw fallback — and the " +
+      "derived stats match Spark's own var_pop") {
+    val base = SparkTestBase.tempDir("graft-rollup-var")
+    val p = base + "/store"
+    val (early, late) = (raw.filter(col("ts") < 2 * Day),
+      raw.filter(col("ts") >= 2 * Day))
+    RollupStore.write(early, p, H, withVariance = true)
+    RollupStore.append(late, p, "b#1", H, withVariance = true)
+    RollupStore.append(late, p, "b#1", H, withVariance = true) // replay
+    def direct(g: Long) = raw
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", g))
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("decimal(38,4)")
+          .as("sumsq_c"))
+      .orderBy("bucket_ts").collect().toSeq
+    def viaStore = RollupStore.rollup(spark, p, Day)
+      .select("bucket_ts", "n", "sumsq_c")
+      .orderBy("bucket_ts").collect().toSeq
+    assert(viaStore == direct(Day))
+    RollupStore.compact(spark, p)
+    assert(viaStore == direct(Day), "compaction changed the sums")
+    // the derived stats equal Spark's own population variance
+    val derived = RollupStore.varianceStats(RollupStore.rollup(spark, p,
+        Day)).select("bucket_ts", "var_pop").orderBy("bucket_ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val expect = raw.groupBy(expr(graft.operators.TsOps
+        .floorBucketSql("ts", Day)).as("bucket_ts"))
+      .agg(var_pop("value").as("v")).orderBy("bucket_ts")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    derived.zip(expect).foreach { case ((b1, v1), (b2, v2)) =>
+      assert(b1 == b2 && math.abs(v1 - v2) <= 1e-9 * math.max(1.0, v2),
+        s"bucket $b1: $v1 vs $v2")
+    }
+    // tiering: the dimension rides tierOff and the stitched read
+    val rawP = base + "/raw"
+    val stP = base + "/tiered"
+    raw.write.parquet(rawP)
+    RollupStore.tierOff(spark, rawP, stP, cutoff = Day, bucketNanos = H,
+      withVariance = true)
+    assert(RollupStore.tieredRollup(spark, rawP, stP, Day)
+      .select("bucket_ts", "n", "sumsq_c")
+      .orderBy("bucket_ts").collect().toSeq == direct(Day))
+    // the router's raw fast path serves the same schema (sumsq included)
+    val fine = RollupStore.route(spark, stP, spark.read.parquet(rawP),
+      Day, 3 * Day, 2000)
+    assert(fine.columns.contains("sumsq_c"), fine.columns.mkString(","))
+    // a dimension-less append into a variance store fails loudly on read
+    RollupStore.append(late, p, "b#2", H)
+    val ex = intercept[Exception] {
+      RollupStore.rollup(spark, p, Day).collect()
+    }
+    assert(ex.getMessage.contains("withVariance"), ex.getMessage)
+  }
+
   test("route keyFilter: one series served identically to filtering the " +
       "full answer — store, stitched, and raw paths; non-key rejected") {
     val base = SparkTestBase.tempDir("graft-rollup-kf")
