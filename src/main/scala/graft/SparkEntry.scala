@@ -5478,6 +5478,32 @@ object SparkEntry {
       runStreamToTable(s, top, "stream_top_tokens_out", mode = "complete")
         .orderBy(col("n").desc, col("tok").asc)
     }),
+    "stream_rollup_stddev" -> ((s, d) => {
+      // the VARIANCE dimension maintained by the stream: each micro-batch
+      // appends (n, sum, sumsq) partials under replay-stable keys, and
+      // the daily fold over the streamed store equals the direct pass —
+      // sums of squares are the same associative merge as everything else
+      Tables.configure(s)
+      val day = 86400L * 1000000000L
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-rlsv-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "store").getPath
+      val qy = graft.streaming.StreamIngest.rollupIngest(eventStream(s, d),
+        p, new java.io.File(base, "ck").getPath, bucketNanos = BucketH,
+        withVariance = true)
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_rollup_stddev: ingest did not finish")
+      }
+      graft.storage.RollupStore.rollup(s, p, day)
+        .select(col("bucket_ts"), col("n"),
+          (col("sumsq_c") * col("n") - col("sum_c") * col("sum_c"))
+            .cast("double").as("var_num"))
+        .orderBy("bucket_ts")
+    }),
     "stream_rollup_store" -> ((s, d) => {
       // continuous aggregate maintained BY the stream: micro-batches
       // append per-bucket partials under replay-stable keys; the daily
@@ -7985,6 +8011,18 @@ object SparkEntry {
       // counts), so the stream-maintained store's daily rollup equals the
       // raw-table aggregate bit-for-bit
       ("stream_rollup_store" -> base("rollup_store_daily")) +
+      // streamed (n, Σv, Σv²) partials fold to the direct variance
+      // numerator exactly — the unkeyed twin of rollup_store_stddev
+      ("stream_rollup_stddev" ->
+        """WITH e AS (
+          |  SELECT epoch_ns(ts) AS ts, CAST(value AS DECIMAL(18,2)) AS v
+          |  FROM events
+          |)
+          |SELECT (ts // 86400000000000) * 86400000000000 AS bucket_ts,
+          |  count(*) AS n,
+          |  CAST(count(*) * sum(v*v) - sum(v)*sum(v) AS DOUBLE) AS var_num
+          |FROM e GROUP BY 1
+          |ORDER BY bucket_ts""".stripMargin) +
       // the raw-less stitch (mirror [horizon,∞) ∪ tiers) folds the same
       // associative partials, so it shares the raw-table oracle too
       ("stream_rollup_cascade" -> base("rollup_store_daily")) +

@@ -901,13 +901,14 @@ object RollupStore {
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil,
       compactStores: Boolean = false,
-      keyCols: Seq[String] = Nil): Seq[(String, Long)] = {
+      keyCols: Seq[String] = Nil,
+      withVariance: Boolean = false): Seq[(String, Long)] = {
     require(tiers.nonEmpty, "applyRetention needs at least one tier")
     val cutoffs = policyCutoffs("applyRetention",
       rawKeepNanos +: tiers.init.map(_.keepNanos), tiers, nowNs)
     tierOff(spark, rawPath, tiers.head.storePath, cutoffs.head,
       tiers.head.bucketNanos, valueCol, tsCol, distinctCol, lgK,
-      histBoundsCents, keyCols)
+      histBoundsCents, keyCols, withVariance)
     runPolicyMoves(spark, tiers, cutoffs.tail, compactStores)
     tiers.map(_.storePath).zip(cutoffs)
   }

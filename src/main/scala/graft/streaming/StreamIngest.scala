@@ -1512,7 +1512,8 @@ object StreamIngest {
       distinctCol: Option[String] = None, lgK: Int = 12,
       histBoundsCents: Seq[Long] = Nil,
       trigger: Trigger = Trigger.AvailableNow(),
-      keyCols: Seq[String] = Nil): StreamingQuery = {
+      keyCols: Seq[String] = Nil,
+      withVariance: Boolean = false): StreamingQuery = {
     // grain + key-set validation ONCE at stream start, not per
     // micro-batch: the probe scans every accumulated partial file, so
     // inside foreachBatch it would grow with the stream's life between
@@ -1527,7 +1528,8 @@ object StreamIngest {
         graft.storage.RollupStore.append(batch, path,
           sketchBatchKey(checkpointDir, batchId), bucketNanos, valueCol,
           tsCol, distinctCol, lgK, histBoundsCents,
-          validateWidth = false, keyCols = keyCols, validateKeys = false)
+          validateWidth = false, keyCols = keyCols, validateKeys = false,
+          withVariance = withVariance)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
