@@ -209,9 +209,17 @@ object CounterStore {
     * merge proven equal to the direct coarse pass. `factor = 1` reads
     * the stored grain itself. */
   def read(spark: SparkSession, path: String, factor: Long = 1L,
-      since: Option[Long] = None, until: Option[Long] = None): DataFrame = {
+      since: Option[Long] = None, until: Option[Long] = None,
+      keyFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(factor >= 1, s"bucket ratio must be positive: $factor")
-    val part = scoped(spark, path, since, until)
+    val part0 = scoped(spark, path, since, until)
+    // key pushdown, RollupStore.route's contract: validated against the
+    // key schema (a value-column predicate would filter partial rows
+    // before the fold), applied before the fold so the predicate reaches
+    // the store scan
+    keyFilter.foreach(RollupStore.requireKeyPredicate(_, part0,
+      "CounterStore.read", keyColsOf(part0)))
+    val part = keyFilter.fold(part0)(part0.filter)
     graft.operators.TsOps.counterIncreaseCoarsen(
       part.drop("bucket_ns", "batch_key", WritableStore.PartitionCol),
       factor, keyColsOf(part))
@@ -314,7 +322,8 @@ object CounterStore {
     * answer equals the direct pass over never-stored samples. */
   def route(spark: SparkSession, finePath: String,
       coarsePath: Option[String], since: Long, until: Long,
-      maxPoints: Int): DataFrame = {
+      maxPoints: Int,
+      keyFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(until > since, s"route: empty range [$since, $until)")
     require(maxPoints >= 1, "route needs a positive point budget")
     val fineBn = storeWidthOpt(spark, finePath).getOrElse(
@@ -334,7 +343,7 @@ object CounterStore {
     require(g % fineBn == 0, s"route: grain $g does not nest $fineBn")
     val (lo, hi) = RollupStore.widenTo(since, until, g)
     if (touched.isEmpty)
-      read(spark, finePath, g / fineBn, Some(lo), Some(hi))
+      read(spark, finePath, g / fineBn, Some(lo), Some(hi), keyFilter)
         .withColumn("grain_ns", lit(g)).withColumn("source", lit("store"))
     else {
       // stitch: the coarse tier serves its pre-horizon window, the fine
@@ -344,9 +353,10 @@ object CounterStore {
       val (cPath, _, cwOpt, hOpt) = coarse.get
       val (cw, h) = (cwOpt.get, hOpt.get)
       require(g % cw == 0, s"route: grain $g does not nest $cw")
-      val old = read(spark, cPath, g / cw, Some(lo), Some(math.min(h, hi)))
+      val old = read(spark, cPath, g / cw, Some(lo),
+        Some(math.min(h, hi)), keyFilter)
       val recent = read(spark, finePath, g / fineBn,
-        Some(math.max(h, lo)), Some(hi))
+        Some(math.max(h, lo)), Some(hi), keyFilter)
       graft.operators.TsOps.counterIncreaseCoarsen(
           old.unionByName(recent), 1L, keyColsOf(old))
         .withColumn("grain_ns", lit(g))

@@ -411,9 +411,9 @@ object RollupStore {
     * value-column predicates. (Schema-level analysis, robust to Spark's
     * Column internals — attribute-walking the unresolved tree would miss
     * names inside ColumnNode wrappers.) */
-  private def requireKeyPredicate(f: Column, keyed: DataFrame,
-      context: String): Unit = {
-    val keys = keyColsOf(keyed)
+  private[storage] def requireKeyPredicate(f: Column, keyed: DataFrame,
+      context: String, keyCols: Seq[String] = Nil): Unit = {
+    val keys = if (keyCols.nonEmpty) keyCols else keyColsOf(keyed)
     val spark = keyed.sparkSession
     val probe = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

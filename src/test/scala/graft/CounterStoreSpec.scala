@@ -119,6 +119,18 @@ class CounterStoreSpec extends AnyFunSuite {
         meta.head.getString(1) == expSrc, s"mp=$mp: ${meta.toSeq}")
       assert(rows == direct(expG, 0L, 3 * Day), s"mp=$mp")
     }
+    // key pushdown: one series routed equals the per-series slice of the
+    // unfiltered answer; a value-column predicate is rejected loudly
+    val one = CounterStore.route(spark, fineP, Some(coarseP), 0L,
+        3 * Day, 3, keyFilter = Some(col("host") === "a"))
+      .select("host", "bucket", "n_deltas", "inc_cents", "n_resets")
+      .orderBy("host", "bucket").collect().toSeq
+    assert(one == direct(Day, 0L, 3 * Day).filter(_.getString(0) == "a"))
+    val exK = intercept[IllegalArgumentException] {
+      CounterStore.route(spark, fineP, Some(coarseP), 0L, 3 * Day, 3,
+        keyFilter = Some(col("inc_cents") > 5))
+    }
+    assert(exK.getMessage.contains("non-key column"), exK.getMessage)
     // a range fine fully holds serves at the budget's own fine grain
     val fineDf = CounterStore.route(spark, fineP, Some(coarseP),
       2 * Day, 3 * Day, 3000)
