@@ -206,6 +206,22 @@ object ScaleProbe {
       report("rollup_keyed", evK,
         keyedRoundtrip(events, "1x"), keyedRoundtrip(evScaled, s"${evK}x"))
     }
+    if (sel("rollup_var")) {
+      // the variance dimension's cost claim: (n, sum, sumsq) ride the
+      // same groupBy as the base stats — the extra decimal column costs
+      // shuffle width, not an extra pass, so the roundtrip should scale
+      // like the plain rollup_store row
+      val day = 86400L * 1000000000L
+      def varRoundtrip(ev: DataFrame, tag: String): Long = {
+        val p = s"$work/rollup_var_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        graft.storage.RollupStore.write(ev, p, 3600L * 1000000000L,
+          withVariance = true)
+        graft.storage.RollupStore.rollup(spark, p, day).count()
+      }
+      report("rollup_var", evK,
+        varRoundtrip(events, "1x"), varRoundtrip(evScaled, s"${evK}x"))
+    }
     if (sel("counter_store")) {
       // the counter recording rule's lifecycle claims, both sides:
       // counter_store  — BUILD (one keyed window over samples) + daily
