@@ -4346,6 +4346,61 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "text_classifier_score" -> ((s, d) => {
+      // TRAINED quality filter (the DCLM/fastText shape): token-ratio
+      // weights counted from the labeled 4/5 train split (positive = the
+      // English reference distribution, negative = the rest), every doc
+      // scored by its mean scaled token likelihood ratio. Training is
+      // counting, so model and scores hash-match the DuckDB mirror
+      val docs = t(s, d, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+      Text.classifierScore(docs,
+        Text.classifierTrain(train.filter(col("lang") === "en"),
+          train.filter(col("lang") =!= "en"), "text"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "text_classifier_stored" -> ((s, d) => {
+      // text_classifier_score with the model AT REST: weights + scalars
+      // persist once (the quality filter is trained once, applied to
+      // every fresh dump under one frozen model); scoring never recounts
+      // the training corpora. Shares text_classifier_score's oracle
+      val docs = t(s, d, "documents")
+      val path = modelStorePaths.computeIfAbsent(d + "#clf", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-clf-$processId-${dirTag(d)}").getPath
+        val train = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+        Text.writeClassifier(
+          Text.classifierTrain(train.filter(col("lang") === "en"),
+            train.filter(col("lang") =!= "en"), "text"), p)
+        p
+      })
+      Text.classifierScore(docs, Text.openClassifier(s, path),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "text_classifier_eval" -> ((s, d) => {
+      // the classifier's HELD-OUT confusion matrix (the 1/5 split the
+      // trainer never saw): truth = reference-language membership,
+      // prediction = mean-ratio threshold — the evaluation artifact a
+      // filter must produce before gating a 100 TB crawl, exactly
+      // mirrored. NOTE the synthetic corpus draws every lang label from
+      // ONE token pool, so the matrix here is ~chance BY CONSTRUCTION —
+      // the gate is the exact mirror of the evaluation computation;
+      // label RECOVERY on a separable corpus is pinned by
+      // PipelineSpec's planted-fixture classifier test
+      val docs = t(s, d, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+      val ref = Text.classifierTrain(train.filter(col("lang") === "en"),
+        train.filter(col("lang") =!= "en"), "text")
+      Text.classifierScore(docs.filter(pmod(col("doc_id"), lit(5L)) === 4),
+          ref, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy((col("lang") === "en").cast("long").as("is_pos"),
+          col("pred_pos"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("is_pos", "pred_pos")
+    }),
     "text_dup_ngrams" -> ((s, d) =>
       // most-duplicated 5-token spans with doc frequency — the
       // substring-dedup signal (Lee et al. 2022) at fixed span length
@@ -5887,6 +5942,37 @@ object SparkEntry {
         .drop("__sum")
         .orderBy("doc_id")
     }),
+    "stream_classifier" -> ((s, d) => {
+      // live quality filtering with ZERO streaming state: per-token
+      // weight lookups via a stream-static join against the at-rest
+      // model (the same stored artifact text_classifier_stored probes),
+      // partials drained to the sink and reduced there — associative, so
+      // the roll-up equals the batch scorer however the source splits
+      // into micro-batches (shared value oracle)
+      Tables.configure(s)
+      val docs = t(s, d, "documents")
+      val path = modelStorePaths.computeIfAbsent(d + "#clf", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-clf-$processId-${dirTag(d)}").getPath
+        val train = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+        Text.writeClassifier(
+          Text.classifierTrain(train.filter(col("lang") === "en"),
+            train.filter(col("lang") =!= "en"), "text"), p)
+        p
+      })
+      val ref = Text.openClassifier(s, path)
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val part = Text.streamingClassifierScore(src, ref, "doc_id", "text")
+      runStreamToTable(s, part, "stream_clf_out")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("w").cast("decimal(38,0)")).as("__sum"))
+        .withColumn("clf_score", expr("__sum div n_toks"))
+        .withColumn("pred_pos", (col("clf_score") >= ref.s).cast("long"))
+        .drop("__sum")
+        .orderBy("doc_id")
+    }),
     "stream_quantize" -> ((s, d) => {
       // stateless streaming feature extraction: the exact-arithmetic int8
       // quantizer runs unchanged inside a micro-batch pipeline — no
@@ -6014,6 +6100,40 @@ object SparkEntry {
   /** DuckDB-side tokenizer (must mirror [[Text.tokens]]). */
   private def DuckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared CTE body of the classifier oracles: trains the token-ratio
+    * model on the 4/5 split exactly as [[Text.classifierTrain]] does
+    * (counting + HUGEINT cross-multiplication, S = 2^20), ending with
+    * `w` (tok → weight) and `m` (class totals + vocab scalar). */
+  private def classifierOracleCore: String =
+    s"""tr AS (
+       |  SELECT lang, $DuckToks AS toks FROM documents WHERE doc_id % 5 < 4
+       |), cpos AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cp
+       |  FROM (SELECT unnest(toks) AS tok FROM tr WHERE lang = 'en')
+       |  GROUP BY tok
+       |), cneg AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cn
+       |  FROM (SELECT unnest(toks) AS tok FROM tr WHERE lang <> 'en')
+       |  GROUP BY tok
+       |), vocab AS (
+       |  SELECT coalesce(cpos.tok, cneg.tok) AS tok,
+       |    coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+       |  FROM cpos FULL JOIN cneg ON cpos.tok = cneg.tok
+       |), m AS (
+       |  SELECT CAST(sum(cp) AS BIGINT) AS npos,
+       |    CAST(sum(cn) AS BIGINT) AS nneg,
+       |    CAST(count(*) AS BIGINT) AS v FROM vocab
+       |), w AS (
+       |  SELECT tok, CAST((1048576::HUGEINT * (cp + 1)
+       |      * ((SELECT nneg FROM m) + (SELECT v FROM m)))
+       |    // ((cn + 1)::HUGEINT
+       |      * ((SELECT npos FROM m) + (SELECT v FROM m))) AS BIGINT) AS w
+       |  FROM vocab
+       |), w0 AS (
+       |  SELECT CAST((1048576::HUGEINT * (nneg + v)) // (npos + v)
+       |    AS BIGINT) AS w0 FROM m
+       |)""".stripMargin
 
   /** The `text_bpe_encode` oracle, with the greedy training loop UNROLLED:
     * round k's CTE pair (pK = weighted top adjacent symbol pair of
@@ -6890,6 +7010,39 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(sum(p) // count(*) AS BIGINT) AS lm_score
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_classifier_score" ->
+      s"""WITH $classifierOracleCore, d AS (
+         |  SELECT doc_id, unnest(toks) AS tok
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+         |), p AS (
+         |  SELECT doc_id, coalesce(w, (SELECT w0 FROM w0)) AS w
+         |  FROM d LEFT JOIN w USING (tok)
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(w::HUGEINT) // count(*) AS BIGINT) AS clf_score,
+         |  CAST(CASE WHEN sum(w::HUGEINT) // count(*) >= 1048576
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pred_pos
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_classifier_eval" ->
+      s"""WITH $classifierOracleCore, d AS (
+         |  SELECT doc_id, unnest(toks) AS tok
+         |  FROM (SELECT doc_id, $DuckToks AS toks FROM documents
+         |        WHERE doc_id % 5 = 4)
+         |), p AS (
+         |  SELECT doc_id, coalesce(w, (SELECT w0 FROM w0)) AS w
+         |  FROM d LEFT JOIN w USING (tok)
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN sum(w::HUGEINT) // count(*) >= 1048576
+         |      THEN 1 ELSE 0 END AS pred_pos
+         |  FROM p GROUP BY doc_id
+         |)
+         |SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_pos,
+         |  CAST(pred_pos AS BIGINT) AS pred_pos,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sc JOIN documents USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY is_pos, pred_pos""".stripMargin,
     "text_dup_ngrams" ->
       s"""WITH t AS (
          |  SELECT doc_id, $DuckToks AS toks FROM documents
@@ -8111,6 +8264,13 @@ object SparkEntry {
       // stateless partials against the stored LM, reduced on the drained
       // sink — associative sums reproduce the batch scores exactly
       ("stream_lm_score" -> base("text_lm_score")) +
+      // the stored classifier round-trips the exact weight table + the
+      // (w0, s) scalars — same ratio weights, same fixed-point scores
+      ("text_classifier_stored" -> base("text_classifier_score")) +
+      // stateless per-token weight lookups against the stored model,
+      // reduced on the drained sink — associative sums reproduce the
+      // batch scores exactly
+      ("stream_classifier" -> base("text_classifier_score")) +
       // stateless per-token partials against the stored weight table;
       // the sink reduce + md5 coin reproduce the batch sampler exactly
       ("stream_mix_importance" -> base("mix_importance")) +

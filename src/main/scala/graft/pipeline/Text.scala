@@ -2423,4 +2423,131 @@ object Text {
       spark.read.parquet(s"$path/uni.parquet"),
       spark.read.parquet(s"$path/meta.parquet").head().getAs[Long]("v"))
   }
+
+  // --- Trained quality classifier (counting-trained token ratios) ---------
+
+  /** A TRAINED document classifier at the shape of the fastText/DCLM
+    * quality filter: `w` maps every token of the joint training vocabulary
+    * to a scaled add-one-smoothed class-likelihood ratio
+    * ⌊S·p̂(tok|pos)/p̂(tok|neg)⌋, `w0` is the weight of a token unseen in
+    * training (both class counts zero — the same formula at cp = cn = 0),
+    * `s` the fixed-point scale. Training is COUNTING (the multinomial
+    * Naive Bayes estimator), so the whole model is reproducible by a
+    * second engine bit for bit — the same reason [[LmRef]] carries counts,
+    * not floats. The frame is vocabulary-sized; the scalars fold in at
+    * weight-build time. */
+  final case class ClassifierRef(w: DataFrame, w0: Long, s: Long)
+
+  /** Train a [[ClassifierRef]] from a labeled positive/negative corpus
+    * pair — the DCLM/CCNet setup where "positive" is a curated reference
+    * distribution and "negative" the raw crawl. Per joint-vocabulary token
+    * with class counts cp, cn, class token totals nPos, nNeg, vocab V,
+    * scale S = 2^`scaleLog2`:
+    *
+    *   w_s(tok) = ⌊ S · (cp+1) · (nNeg+V) / ((cn+1) · (nPos+V)) ⌋
+    *
+    * — the add-one-smoothed likelihood ratio p̂(tok|pos)/p̂(tok|neg): > S
+    * means the token prefers the positive class. No float log anywhere
+    * (decimal(38,0) cross-multiplication), so weights are bit-identical
+    * across engines; the monotone-score deviation from log-space Naive
+    * Bayes is deliberate and documented at [[classifierScore]].
+    *
+    * Scale shape: two count passes (one per class, each a narrow
+    * tokenize + combinable groupBy), a vocabulary-sized full outer join,
+    * and three scalars. Nothing is corpus-sized past the first
+    * aggregation — training a quality filter over a 100 TB crawl is two
+    * scans and a vocab-sized shuffle. */
+  def classifierTrain(pos: DataFrame, neg: DataFrame, textCol: String,
+      scaleLog2: Int = 20): ClassifierRef = {
+    require(scaleLog2 >= 10 && scaleLog2 <= 30)
+    val s = 1L << scaleLog2
+    def classCounts(df: DataFrame, name: String) = fanOut(df)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(name))
+    val vocab = classCounts(pos, "__cp")
+      .join(classCounts(neg, "__cn"), Seq("tok"), "full")
+      .select(col("tok"), coalesce(col("__cp"), lit(0L)).as("cp"),
+        coalesce(col("__cn"), lit(0L)).as("cn"))
+    val m = vocab.agg(coalesce(sum("cp"), lit(0L)),
+      coalesce(sum("cn"), lit(0L)), count(lit(1))).head()
+    val (nPos, nNeg, v) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    require(nPos > 0 && nNeg > 0,
+      "classifierTrain needs non-empty positive AND negative corpora")
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val w = vocab
+      .withColumn("__num", big(lit(s)) * big(col("cp") + 1) *
+        big(lit(nNeg + v)))
+      .withColumn("__den", big(col("cn") + 1) * big(lit(nPos + v)))
+      .select(col("tok"), expr("__num div __den").as("w"))
+    val w0 = (BigInt(s) * BigInt(nNeg + v) / BigInt(nPos + v)).toLong
+    ClassifierRef(w, w0, s)
+  }
+
+  /** Score documents under a trained [[ClassifierRef]]: per doc,
+    * `clf_score` = ⌊ Σ w_s(tok) / n_toks ⌋ — the MEAN scaled token
+    * likelihood ratio — and `pred_pos` = 1 iff clf_score ≥ S (the mean
+    * token prefers the positive class). Deliberate deviation from
+    * log-space Naive Bayes: the mean of ratios replaces the sum of
+    * log-ratios, trading the probabilistic calibration for exact integer
+    * arithmetic (the [[lmScore]] surrogate argument: monotone in per-token
+    * class preference, no transcendental anywhere, oracle-checkable bit
+    * for bit). Zero-token docs are dropped — no lexical evidence.
+    *
+    * Scale shape: one tokenize pass over the scored corpus, a
+    * vocabulary-sized left join (never broadcast-forced; AQE broadcasts
+    * exactly when the model fits), one map-side-combinable per-doc
+    * reduce. The sum rides decimal(38,0): a billion-token document times
+    * a 2^40-scale ratio weight must not wrap a long. */
+  def classifierScore(df: DataFrame, ref: ClassifierRef, idCol: String,
+      textCol: String): DataFrame =
+    streamingClassifierScore(fanOut(df), ref, idCol, textCol)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("w").cast("decimal(38,0)")).as("__sum"))
+      .withColumn("clf_score", expr("__sum div n_toks"))
+      .withColumn("pred_pos", (col("clf_score") >= ref.s).cast("long"))
+      .drop("__sum")
+
+  /** Streaming twin of [[classifierScore]]'s per-token half: weight
+    * lookups as a STATELESS stream-static join against the (typically
+    * [[openClassifier]]-stored) model — no state store, no watermark, and
+    * the `(id, w)` partials are associative, so the sink-side reduce
+    * equals the batch scorer however the source splits into
+    * micro-batches (the [[streamingLmScore]] contract). */
+  def streamingClassifierScore(stream: DataFrame, ref: ClassifierRef,
+      idCol: String, textCol: String): DataFrame =
+    stream
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(ref.w, Seq("tok"), "left")
+      .select(col(idCol), coalesce(col("w"), lit(ref.w0)).as("w"))
+
+  /** Persist a [[ClassifierRef]] — the quality filter AT REST, trained
+    * once and applied to every fresh dump (scores are only comparable
+    * under one frozen model). Layout: `meta.parquet` (w0, s) +
+    * `w.parquet` (tok, w) sorted by token in a bounded file count; the
+    * same two-rename publish as [[writeLm]] — weights and scalars must
+    * change together or unseen-token scoring goes stale. */
+  def writeClassifier(ref: ClassifierRef, path: String): Unit = {
+    val spark = ref.w.sparkSession
+    import spark.implicits._
+    graft.storage.AtomicDir.publish(spark, path, "writeClassifier") { tmp =>
+      Seq((ref.w0, ref.s)).toDF("w0", "s")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta.parquet")
+      ref.w.repartition(4).sortWithinPartitions("tok")
+        .write.mode("overwrite").parquet(s"$tmp/w.parquet")
+    }
+  }
+
+  /** Open a [[writeClassifier]]-stored model — [[classifierScore]] runs
+    * unchanged against the stored frame; no count pass. */
+  def openClassifier(spark: org.apache.spark.sql.SparkSession,
+      path: String): ClassifierRef = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.storage.AtomicDir.recover(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      "writeClassifier")
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    ClassifierRef(spark.read.parquet(s"$path/w.parquet"),
+      meta.getAs[Long]("w0"), meta.getAs[Long]("s"))
+  }
 }

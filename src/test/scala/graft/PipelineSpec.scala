@@ -441,6 +441,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(Text.openTokenizer(spark, s"$dir/tok") == merges)
   }
 
+  test("classifier: counting-trained ratio weights match brute force; " +
+      "store round-trips; empty class rejected") {
+    val pos = Seq((0L, "the cat sat"), (1L, "the dog ran the"))
+      .toDF("doc_id", "text")
+    val neg = Seq((2L, "le chat noir"), (3L, "der hund le"))
+      .toDF("doc_id", "text")
+    val ref = Text.classifierTrain(pos, neg, "text")
+    // brute-force twin in BigInt: per-token smoothed ratio weights
+    val ptoks = Seq("the", "cat", "sat", "the", "dog", "ran", "the")
+    val ntoks = Seq("le", "chat", "noir", "der", "hund", "le")
+    val cp = ptoks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cn = ntoks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = cp.keySet ++ cn.keySet
+    val (nPos, nNeg, v) =
+      (ptoks.size.toLong, ntoks.size.toLong, vocab.size.toLong)
+    val s = 1L << 20
+    def wOf(t: String): Long =
+      (BigInt(s) * BigInt(cp.getOrElse(t, 0L) + 1) * BigInt(nNeg + v) /
+        (BigInt(cn.getOrElse(t, 0L) + 1) * BigInt(nPos + v))).toLong
+    val got = ref.w.collect()
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("w")).toMap
+    assert(got.keySet == vocab)
+    for (t <- vocab) assert(got(t) == wOf(t), t)
+    assert(ref.w0 == (BigInt(s) * BigInt(nNeg + v) / BigInt(nPos + v)).toLong)
+    // scoring: mean ratio, unseen token takes w0, threshold at S;
+    // zero-token docs drop
+    val scoreMe = Seq((10L, "the the zzz"), (11L, "le le le"), (12L, "!!"))
+      .toDF("doc_id", "text")
+    def rows(r: graft.pipeline.Text.ClassifierRef) =
+      Text.classifierScore(scoreMe, r, "doc_id", "text").collect()
+        .map(x => x.getAs[Long]("doc_id") -> ((x.getAs[Long]("n_toks"),
+          x.getAs[Long]("clf_score"), x.getAs[Long]("pred_pos")))).toMap
+    val direct = rows(ref)
+    val exp10 = (wOf("the") * 2 + ref.w0) / 3
+    assert(direct(10L) == ((3L, exp10, if (exp10 >= s) 1L else 0L)))
+    assert(direct(11L) == ((3L, wOf("le"), 0L))) // negative-class token < S
+    assert(!direct.contains(12L)) // no lexical evidence
+    assert(exp10 >= s) // "the" is a strong positive signal on this fixture
+    // at-rest model: identical scores through write → open
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    Text.writeClassifier(ref, s"$dir/clf")
+    val reopened = Text.openClassifier(spark, s"$dir/clf")
+    assert(reopened.w0 == ref.w0 && reopened.s == ref.s)
+    assert(rows(reopened) == direct)
+    intercept[IllegalArgumentException] {
+      Text.classifierTrain(pos, neg.filter($"doc_id" < 0), "text")
+    }
+  }
+
   test("mixEpochs: full epochs by division, remainder prefix = mixSample set") {
     val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
       "documents")
