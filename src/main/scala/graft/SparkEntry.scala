@@ -4379,6 +4379,36 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy("doc_id")
     }),
+    "text_classifier_incr" -> ((s, d) => {
+      // INCREMENTAL training: the even half of the train split builds
+      // the count store, the odd half arrives later as an appended
+      // batch, and the append is then REPLAYED under the same batch key
+      // (at-least-once redelivery) — the derived weights must equal the
+      // one-shot train over the whole split, so this shares
+      // text_classifier_score's oracle: counts merge by addition,
+      // replays collapse before the sum
+      val docs = t(s, d, "documents")
+      val path = modelStorePaths.computeIfAbsent(d + "#clfcnt", _ => {
+        val p = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-clfcnt-$processId-${dirTag(d)}").getPath
+        val train = docs.filter(pmod(col("doc_id"), lit(5L)) < 4)
+        val even = train.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        val odd = train.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        def pos(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("lang") === "en")
+        def neg(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("lang") =!= "en")
+        Text.writeClassifierCounts(pos(even), neg(even), "text", p)
+        Text.appendClassifierCounts(pos(odd), neg(odd), "text", p,
+          batchKey = "dump-1")
+        Text.appendClassifierCounts(pos(odd), neg(odd), "text", p,
+          batchKey = "dump-1") // redelivery: must be a no-op on read
+        p
+      })
+      Text.classifierScore(docs, Text.openClassifierCounts(s, path),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "text_classifier_eval" -> ((s, d) => {
       // the classifier's HELD-OUT confusion matrix (the 1/5 split the
       // trainer never saw): truth = reference-language membership,
@@ -8267,6 +8297,9 @@ object SparkEntry {
       // the stored classifier round-trips the exact weight table + the
       // (w0, s) scalars — same ratio weights, same fixed-point scores
       ("text_classifier_stored" -> base("text_classifier_score")) +
+      // base + appended + replayed count batches merge by addition to
+      // the one-shot train's totals — same weights, same scores
+      ("text_classifier_incr" -> base("text_classifier_score")) +
       // stateless per-token weight lookups against the stored model,
       // reduced on the drained sink — associative sums reproduce the
       // batch scores exactly

@@ -2458,21 +2458,34 @@ object Text {
     * aggregation — training a quality filter over a 100 TB crawl is two
     * scans and a vocab-sized shuffle. */
   def classifierTrain(pos: DataFrame, neg: DataFrame, textCol: String,
-      scaleLog2: Int = 20): ClassifierRef = {
-    require(scaleLog2 >= 10 && scaleLog2 <= 30)
-    val s = 1L << scaleLog2
+      scaleLog2: Int = 20): ClassifierRef =
+    classifierFromVocab(classVocab(pos, neg, textCol), scaleLog2)
+
+  /** One labeled corpus pair → joint-vocabulary `(tok, cp, cn)` counts —
+    * the classifier's mergeable substrate (counts add; weights do not). */
+  private def classVocab(pos: DataFrame, neg: DataFrame,
+      textCol: String): DataFrame = {
     def classCounts(df: DataFrame, name: String) = fanOut(df)
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as(name))
-    val vocab = classCounts(pos, "__cp")
+    classCounts(pos, "__cp")
       .join(classCounts(neg, "__cn"), Seq("tok"), "full")
       .select(col("tok"), coalesce(col("__cp"), lit(0L)).as("cp"),
         coalesce(col("__cn"), lit(0L)).as("cn"))
+  }
+
+  /** Weight derivation shared by [[classifierTrain]] and
+    * [[openClassifierCounts]]: merged `(tok, cp, cn)` counts →
+    * [[ClassifierRef]], scalars folded in at build time. */
+  private def classifierFromVocab(vocab: DataFrame,
+      scaleLog2: Int): ClassifierRef = {
+    require(scaleLog2 >= 10 && scaleLog2 <= 30)
+    val s = 1L << scaleLog2
     val m = vocab.agg(coalesce(sum("cp"), lit(0L)),
       coalesce(sum("cn"), lit(0L)), count(lit(1))).head()
     val (nPos, nNeg, v) = (m.getLong(0), m.getLong(1), m.getLong(2))
     require(nPos > 0 && nNeg > 0,
-      "classifierTrain needs non-empty positive AND negative corpora")
+      "classifier needs non-empty positive AND negative token counts")
     val big = (c: Column) => c.cast("decimal(38,0)")
     val w = vocab
       .withColumn("__num", big(lit(s)) * big(col("cp") + 1) *
@@ -2549,5 +2562,74 @@ object Text {
     val meta = spark.read.parquet(s"$path/meta.parquet").head()
     ClassifierRef(spark.read.parquet(s"$path/w.parquet"),
       meta.getAs[Long]("w0"), meta.getAs[Long]("s"))
+  }
+
+  /** One labeled batch → its `(tok, cp, cn, batch_key)` count partial. */
+  private def classBatchCounts(pos: DataFrame, neg: DataFrame,
+      textCol: String, batchKey: String): DataFrame =
+    classVocab(pos, neg, textCol).withColumn("batch_key", lit(batchKey))
+
+  /** The classifier's count substrate AT REST — INCREMENTAL training: at
+    * 100 TB a fresh labeled dump cannot trigger a re-tokenize of every
+    * corpus ever labeled, so the count store accumulates per-batch class
+    * token counts under replay-stable batch keys (the
+    * [[appendDupGramIndex]] discipline: counts merge by ADDITION, the one
+    * associative fold this tier needs; an at-least-once redelivery lands
+    * a duplicate `(tok, batch_key)` row every reader drops before
+    * summing). Weights are NOT stored — they are a per-token function of
+    * the GLOBAL totals, so any cached weight goes stale on every append;
+    * [[openClassifierCounts]] derives them from the merged counts, making
+    * an incrementally-grown model equal the from-scratch train bit for
+    * bit. Serve-time freeze still goes through [[writeClassifier]]. */
+  def writeClassifierCounts(pos: DataFrame, neg: DataFrame,
+      textCol: String, path: String, batchKey: String = "base"): Unit =
+    graft.storage.AtomicDir.publish(pos.sparkSession, path,
+      "classifier counts") { tmp =>
+      classBatchCounts(pos, neg, textCol, batchKey)
+        .coalesce(4).write.parquet(tmp)
+    }
+
+  /** Append one labeled batch's count partial under a replay-stable key. */
+  def appendClassifierCounts(pos: DataFrame, neg: DataFrame,
+      textCol: String, path: String, batchKey: String): Unit =
+    classBatchCounts(pos, neg, textCol, batchKey)
+      .coalesce(4).write.mode("append").parquet(path)
+
+  /** Derive the serving [[ClassifierRef]] from an accumulated count
+    * store: replay duplicates dropped, per-batch partials summed per
+    * token, then the [[classifierTrain]] weight formula over the merged
+    * totals — base + increments ≡ a one-shot train over the union
+    * corpus. */
+  def openClassifierCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String, scaleLog2: Int = 20): ClassifierRef = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    graft.storage.AtomicDir.recover(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p,
+      "classifier counts")
+    classifierFromVocab(
+      spark.read.parquet(path)
+        .dropDuplicates("tok", "batch_key")
+        .groupBy("tok").agg(sum("cp").as("cp"), sum("cn").as("cn")),
+      scaleLog2)
+  }
+
+  /** Fold accumulated per-batch count partials to one row per token —
+    * the IO compaction that caps file-listing cost as labeled dumps pile
+    * up, doubling as the durable replay repair (run with appends
+    * quiesced — the rollup-store compaction rule). */
+  def compactClassifierCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.pipeline.Similarity.recoverCompact(fs, live)
+    graft.storage.AtomicDir.compactPublish(spark, path,
+      "compact classifier counts") { tmp =>
+      val key = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.read.parquet(path)
+        .dropDuplicates("tok", "batch_key")
+        .groupBy("tok").agg(sum("cp").as("cp"), sum("cn").as("cn"))
+        .withColumn("batch_key", lit(key))
+        .coalesce(4).write.parquet(tmp)
+    }
   }
 }

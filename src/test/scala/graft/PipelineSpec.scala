@@ -490,6 +490,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("classifier count store: incremental == one-shot; replay no-op; " +
+      "compaction preserves") {
+    val pos = Seq((0L, "the cat sat"), (1L, "the dog ran the"))
+      .toDF("doc_id", "text")
+    val neg = Seq((2L, "le chat noir"), (3L, "der hund le"))
+      .toDF("doc_id", "text")
+    val oneShot = Text.classifierTrain(pos, neg, "text")
+    def wmap(r: graft.pipeline.Text.ClassifierRef) = r.w.collect()
+      .map(x => x.getAs[String]("tok") -> x.getAs[Long]("w")).toMap
+    val expect = wmap(oneShot)
+    val dir = java.nio.file.Files.createTempDirectory("graft-clfcnt")
+      .toString + "/cnt"
+    // base = first doc of each class; increment = the second
+    Text.writeClassifierCounts(pos.filter($"doc_id" === 0),
+      neg.filter($"doc_id" === 2), "text", dir)
+    Text.appendClassifierCounts(pos.filter($"doc_id" === 1),
+      neg.filter($"doc_id" === 3), "text", dir, "d1")
+    val incr = Text.openClassifierCounts(spark, dir)
+    assert(wmap(incr) == expect && incr.w0 == oneShot.w0)
+    // at-least-once redelivery of d1: readers drop the duplicate partial
+    Text.appendClassifierCounts(pos.filter($"doc_id" === 1),
+      neg.filter($"doc_id" === 3), "text", dir, "d1")
+    assert(wmap(Text.openClassifierCounts(spark, dir)) == expect)
+    // compaction folds partials, weights unchanged
+    Text.compactClassifierCounts(spark, dir)
+    val compacted = Text.openClassifierCounts(spark, dir)
+    assert(wmap(compacted) == expect && compacted.w0 == oneShot.w0)
+    // a batch with one class absent is fine (counts are zero, not null);
+    // only the MERGED totals must cover both classes
+    Text.appendClassifierCounts(pos.filter($"doc_id" < 0),
+      neg.filter($"doc_id" === 2), "text", dir, "d2")
+    val grown = Text.openClassifierCounts(spark, dir)
+    assert(wmap(grown)("le") < expect("le")) // more negative evidence
+  }
+
   test("mixEpochs: full epochs by division, remainder prefix = mixSample set") {
     val docs = graft.storage.Tables.read(spark, "/root/testdata/sf0.001",
       "documents")
