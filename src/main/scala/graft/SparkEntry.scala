@@ -147,6 +147,30 @@ object SparkEntry {
       p
     })
 
+  /** Per-dataset cache of the AQP sample-tier LIFECYCLE store backing
+    * `aqp_*`: base build (first half-month) + batch-keyed append (the
+    * rest) + that append replayed (at-least-once redelivery) +
+    * compaction — estimates must see each sampled row exactly once
+    * through the whole lifecycle. */
+  private val aqpStorePaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def aqpStorePath(s: SparkSession, d: String): String =
+    aqpStorePaths.computeIfAbsent(d, dir => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-aqp-$processId-${dirTag(dir)}/store").getPath
+      val ev = t(s, dir, "events")
+      val split = ns("2024-01-16")
+      graft.storage.SampleStore.build(
+        ev.filter(col("ts") < split), p, idCol = "event_id")
+      graft.storage.SampleStore.append(
+        ev.filter(col("ts") >= split), p, "b#1", idCol = "event_id")
+      graft.storage.SampleStore.append( // at-least-once redelivery
+        ev.filter(col("ts") >= split), p, "b#1", idCol = "event_id")
+      graft.storage.SampleStore.compact(s, p)
+      p
+    })
+
   /** Per-dataset cache of the TIERED counter layout backing
     * `rollup_counter_tiered`: its own fine store (tierOff trims it) plus
     * the daily coarse tier, the tier cycle run twice to prove the
@@ -846,6 +870,57 @@ object SparkEntry {
       }
       graft.storage.CounterStore.read(s, p, factor = 24L)
         .orderBy("user_id", "bucket")
+    }),
+    "aqp_event_stats" -> ((s, d) => {
+      // approximate query processing from the deterministic at-rest
+      // sample tier (1/16 by md5-prefix membership): grouped counts and
+      // cents sums estimated as sample-aggregate × 16 — an exact integer
+      // scale-up of a reproducible sample, so the ESTIMATES themselves
+      // hash-match the DuckDB mirror (which re-derives the same sample
+      // from raw). The store behind it is built + appended +
+      // REPLAY-appended + compacted: the estimate sees each sampled row
+      // exactly once through the whole lifecycle
+      graft.storage.SampleStore.estimate(s, aqpStorePath(s, d),
+          Seq("event_type"), "value")
+        .orderBy("event_type")
+    }),
+    "aqp_error_report" -> ((s, d) => {
+      // the honesty artifact an AQP surface must show beside every
+      // estimate: per group, sampled estimate vs exact count and the
+      // integer-permille error — both engines compute both sides, so the
+      // report itself is exactly mirrored (at 100 TB the exact side is
+      // the once-a-day audit; the estimate is the interactive path)
+      val exact = t(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n_exact"))
+      graft.storage.SampleStore.estimate(s, aqpStorePath(s, d),
+          Seq("event_type"), "value")
+        .select("event_type", "est_count")
+        .join(exact, "event_type")
+        .withColumn("err_permille",
+          expr("abs(est_count - n_exact) * 1000 div n_exact"))
+        .orderBy("event_type")
+    }),
+    "stream_aqp_ingest" -> ((s, d) => {
+      // the sample tier MAINTAINED BY the stream: membership is a pure
+      // function of the row id (zero state), micro-batches append their
+      // survivors under replay-stable keys, and estimates from the
+      // streamed store equal the one-shot batch build (shared
+      // aqp_event_stats oracle)
+      Tables.configure(s)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-saqp-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "store").getPath
+      val qy = graft.streaming.StreamIngest.sampleIngest(eventStream(s, d),
+        p, new java.io.File(base, "ck").getPath, idCol = "event_id")
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_aqp_ingest: ingest did not finish")
+      }
+      graft.storage.SampleStore.estimate(s, p, Seq("event_type"), "value")
+        .orderBy("event_type")
     }),
     "ts_gaps" -> ((s, d) =>
       // per-user inter-event gap stats (ingest-cadence profiling)
@@ -3508,6 +3583,35 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle re-derives the SAME deterministic sample from raw (the
+    // md5-prefix membership is engine-portable) and applies the same
+    // integer scale-up — the estimates hash-match exactly
+    "aqp_event_stats" ->
+      """WITH sm AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events
+        |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+        |)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+        |  CAST(count(*) * 16 AS BIGINT) AS est_count,
+        |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents
+        |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "aqp_error_report" ->
+      """WITH est AS (
+        |  SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS est_count
+        |  FROM events
+        |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+        |  GROUP BY event_type
+        |), ex AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n_exact, est_count,
+        |  CAST(abs(est_count - n_exact) * 1000 // n_exact AS BIGINT)
+        |    AS err_permille
+        |FROM est JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -8118,6 +8222,9 @@ object SparkEntry {
       // deltas land in the observing sample's bucket, so stored hourly
       // increase rows sum to the direct daily pass exactly
       ("rollup_counter_store" -> base("ts_counter_increase")) +
+      // stateless membership + replay-keyed appends: the streamed sample
+      // store holds exactly the batch build's rows, so estimates match
+      ("stream_aqp_ingest" -> base("aqp_event_stats")) +
       // the coarsening tier: pre-cutoff hourly buckets fold 24x into the
       // daily store; the stitched read telescopes to the direct pass
       ("rollup_counter_tiered" -> base("ts_counter_increase")) +

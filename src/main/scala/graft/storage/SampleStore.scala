@@ -1,0 +1,203 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-rest DETERMINISTIC sample tier — approximate query processing the
+  * BlinkDB way, minus the nondeterminism: membership is a pure function
+  * of the row's id (`md5(id)` hex prefix all-zero at `prefixLen` chars →
+  * kept, rate 1/16^prefixLen), so the sample is reproducible by any
+  * engine from the same raw table, every estimate is EXACTLY
+  * `sample-aggregate × rate_den` (integer cents, no float scale-up
+  * drift), and re-sampling a replayed batch yields byte-identical rows.
+  * The reference answers every aggregate from raw samples
+  * (`zikeiretsu/src/tsdb/query/executor/mod.rs`); a sampled serving tier
+  * is the standard at-scale extension SURVEY.md §2.4 sanctions — at
+  * 100 TB an exploratory GROUP BY reads the GB-sized sample, not the
+  * table, and the error is the textbook √(1/n_sample) of a uniform
+  * hash sample.
+  *
+  * Layout: ONE parquet tree of sampled RAW rows + self-description
+  * (`rate_den`, `sample_col` — the [[CounterStore]] `bucket_ns`
+  * discipline: readers fail loudly on a mixed-rate or mixed-id store
+  * instead of silently mis-scaling) + `batch_key`, partitioned by
+  * `__day` from the row's ts (aligned write: repartition on `__day`
+  * first, one file per day directory). Ingest follows the store
+  * discipline everywhere else: [[build]] publishes atomically under
+  * `batch_key = "base"`; [[append]] lands one producer batch under a
+  * replay-stable key — an at-least-once redelivery re-samples the SAME
+  * rows (membership is deterministic), and readers drop duplicate
+  * `(id, batch_key)` rows before aggregating. [[compact]] folds the
+  * accumulated per-batch files, capping listing cost.
+  */
+object SampleStore {
+
+  private val DayNs = 86400L * 1000000000L
+
+  /** Reserved self-description / lifecycle columns. */
+  private val ReservedCols: Set[String] =
+    Set("rate_den", "sample_col", "batch_key", WritableStore.PartitionCol)
+
+  /** The membership predicate: first `prefixLen` hex chars of
+    * `md5(cast(id as string))` all '0' — rate 1/16^prefixLen. Engine-
+    * portable (DuckDB: `substr(md5(CAST(id AS VARCHAR)), 1, p) = '0…0'`),
+    * deterministic, and uncorrelated with any data column. */
+  def memberExpr(idCol: String, prefixLen: Int): Column = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen $prefixLen out of range: rates below 16^-8 keep nothing")
+    substring(md5(col(idCol).cast("string")), 1, prefixLen) ===
+      lit("0" * prefixLen)
+  }
+
+  /** The scale-up factor 16^prefixLen. */
+  def rateDen(prefixLen: Int): Long = {
+    require(prefixLen >= 1 && prefixLen <= 8)
+    (1 to prefixLen).foldLeft(1L)((a, _) => a * 16L)
+  }
+
+  private def canonical(df: DataFrame, idCol: String, tsCol: String,
+      prefixLen: Int, batchKey: String): DataFrame = {
+    require(df.columns.contains(idCol) && df.columns.contains(tsCol),
+      s"sample source lacks $idCol/$tsCol")
+    df.filter(memberExpr(idCol, prefixLen))
+      .withColumn("rate_den", lit(rateDen(prefixLen)))
+      .withColumn("sample_col", lit(idCol))
+      .withColumn("batch_key", lit(batchKey))
+      .withColumn(WritableStore.PartitionCol, date_from_unix_date(
+        expr(s"(($tsCol) - pmod($tsCol, ${DayNs}L)) div ${DayNs}L")
+          .cast("int")).cast("string"))
+      .repartition(col(WritableStore.PartitionCol))
+  }
+
+  /** Build a sample store in one atomic publish (two-rename; a crash
+    * leaves a complete store). */
+  def build(df: DataFrame, path: String, idCol: String,
+      tsCol: String = "ts", prefixLen: Int = 1): Unit =
+    AtomicDir.publish(df.sparkSession, path, "sample store") { tmp =>
+      canonical(df, idCol, tsCol, prefixLen, "base")
+        .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
+    }
+
+  /** Append one producer batch's rows under a replay-stable key. Rate
+    * and id-column validation mirror [[CounterStore.append]]'s SEPARATE
+    * grain/key gates; a long-lived streaming appender probes once at
+    * stream start ([[graft.streaming.StreamIngest.sampleIngest]]).
+    * Producer contract (every at-rest tier here shares it): batches
+    * PARTITION the source — the same row redelivered under the same key
+    * collapses in the read-side dedup, but the same row sent under TWO
+    * keys is a producer bug this store cannot repair (raw rows have no
+    * additive fold to absorb it). */
+  def append(df: DataFrame, path: String, batchKey: String, idCol: String,
+      tsCol: String = "ts", prefixLen: Int = 1,
+      validateRate: Boolean = true): Unit = {
+    if (validateRate) requireRate(df.sparkSession, path, prefixLen, idCol,
+      "append")
+    canonical(df, idCol, tsCol, prefixLen, batchKey)
+      .write.mode("append").partitionBy(WritableStore.PartitionCol)
+      .parquet(path)
+  }
+
+  /** Fail loudly when an existing store's rate or sampled-id column
+    * differs — appending a different rate would silently mis-scale every
+    * later estimate. */
+  private[graft] def requireRate(spark: SparkSession, path: String,
+      prefixLen: Int, idCol: String, context: String): Unit =
+    readable(spark, path).foreach { df =>
+      df.select("rate_den", "sample_col").distinct().collect()
+        .foreach { r =>
+          require(r.getLong(0) == rateDen(prefixLen),
+            s"$context: sample store at $path holds 1/${r.getLong(0)} " +
+              s"rows; appending 1/${rateDen(prefixLen)} rows would mix " +
+              "rates in one store")
+          require(r.getString(1) == idCol,
+            s"$context: sample store at $path sampled on " +
+              s"${r.getString(1)}; this writer samples on $idCol — one " +
+              "store holds exactly one membership function")
+        }
+    }
+
+  private def readable(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(live)) None
+    else {
+      AtomicDir.recover(fs, live, "sample store")
+      graft.pipeline.Similarity.recoverCompact(fs, live)
+      try Some(spark.read.parquet(path))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
+  }
+
+  /** Replay-deduped sampled rows scoped to `[since, until)` ts nanos
+    * with `__day` directory pruning — the shared front half of every
+    * read. Returns (rows, rate_den). */
+  private def scoped(spark: SparkSession, path: String, tsCol: String,
+      since: Option[Long], until: Option[Long]): (DataFrame, Long) = {
+    val df = readable(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"sample store at $path is absent or empty"))
+    val rates = df.select("rate_den").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val rd = rates match {
+      case Seq(r) => r
+      case Seq() => throw new IllegalArgumentException(
+        s"sample store at $path is empty")
+      case rs => throw new IllegalStateException(
+        s"sample store at $path holds MIXED rates ${rs.mkString(", ")} — " +
+          "one store holds exactly one rate")
+    }
+    def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(nanos, DayNs)).toString
+    val conds =
+      since.map(v => col(tsCol) >= lit(v)).toSeq ++
+        until.map(v => col(tsCol) < lit(v)).toSeq ++
+        since.map(v =>
+          col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
+        until.map(v =>
+          col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
+    val idCol = df.select("sample_col").head().getString(0)
+    (conds.reduceOption(_ && _).fold(df)(df.filter)
+      .dropDuplicates(idCol, "batch_key"), rd)
+  }
+
+  /** Grouped estimates from the sample alone: per group,
+    * `n_sample` (the evidence), `est_count = n_sample × rate_den`, and
+    * `est_sum_cents = Σcents × rate_den` — exact integer scale-up of a
+    * deterministic sample, so a second engine reproduces every estimate
+    * bit for bit. One partition-pruned scan of 1/rate_den of the data +
+    * one combinable aggregation — the exploratory-dashboard read path
+    * at 100 TB. */
+  def estimate(spark: SparkSession, path: String, groupCols: Seq[String],
+      valueCol: String, tsCol: String = "ts",
+      since: Option[Long] = None, until: Option[Long] = None): DataFrame = {
+    require(groupCols.nonEmpty, "estimate needs at least one group column")
+    val (rows, rd) = scoped(spark, path, tsCol, since, until)
+    rows
+      .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_sample"), sum("__c").as("__sc"))
+      .withColumn("est_count", col("n_sample") * lit(rd))
+      .withColumn("est_sum_cents", col("__sc") * lit(rd))
+      .drop("__sc")
+  }
+
+  /** Rewrite accumulated per-batch files into one file per day — the IO
+    * compaction that caps file-listing cost, doubling as the durable
+    * replay repair (quiesce appends first). Batch keys are PRESERVED as
+    * data (dictionary-encoded, near-free): unlike the additive stores
+    * there is no fold to hide them behind, and rewriting them would
+    * change what the read-side `(id, batch_key)` dedup sees. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.pipeline.Similarity.recoverCompact(fs, live)
+    AtomicDir.compactPublish(spark, path, "compact sample store") { tmp =>
+      val df = spark.read.parquet(path)
+      val idCol = df.select("sample_col").head().getString(0)
+      df.dropDuplicates(idCol, "batch_key")
+        .repartition(col(WritableStore.PartitionCol))
+        .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
+    }
+  }
+}

@@ -1575,6 +1575,32 @@ object StreamIngest {
       .start()
   }
 
+  /** Stream-maintained sample tier: each micro-batch filters itself
+    * through [[graft.storage.SampleStore]]'s deterministic membership
+    * predicate (stateless — membership is a pure function of the row id)
+    * and appends the survivors under a replay-stable key. A crash-replay
+    * re-samples the SAME rows, which collapse in the read-side
+    * `(id, batch_key)` dedup, so estimates from a streamed store equal
+    * the one-shot batch [[graft.storage.SampleStore.build]] exactly.
+    * Rate/id validation runs ONCE at stream start (the probe scans every
+    * accumulated file); the read side's uniform-rate guard backstops a
+    * concurrent mis-rated writer. */
+  def sampleIngest(stream: DataFrame, path: String, checkpointDir: String,
+      idCol: String, tsCol: String = "ts", prefixLen: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    graft.storage.SampleStore.requireRate(stream.sparkSession, path,
+      prefixLen, idCol, "sampleIngest")
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.storage.SampleStore.append(batch, path,
+          sketchBatchKey(checkpointDir, batchId), idCol, tsCol, prefixLen,
+          validateRate = false)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
   /** The replay-stable identity of one sketch-ingest micro-batch: a hash
     * of the checkpoint location (md5 prefix — the same verbatim string
     * must be passed on restart, the standard Structured Streaming

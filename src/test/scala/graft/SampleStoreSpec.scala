@@ -1,0 +1,84 @@
+package graft
+
+import graft.storage.SampleStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The deterministic AQP sample tier: membership is a pure function of
+  * the id, estimates are exact integer scale-ups, and the lifecycle
+  * (build / batch-keyed append / replay / compact) never double-counts
+  * a sampled row — all gated against a brute-force Scala re-derivation
+  * of the same sample. */
+class SampleStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val Day = 86400L * 1000000000L
+
+  /** Two days of events; ids chosen densely so the 1/16 md5 sample is
+    * non-empty and split across both days. */
+  private def events = (0L until 400L).map { i =>
+    (i, (i % 48) * Day / 24 , if (i % 2 == 0) "a" else "b",
+      (i % 7).toDouble + 0.25)
+  }.toDF("event_id", "ts", "etype", "value")
+
+  /** Brute-force twin: the same md5-prefix membership in plain Scala. */
+  private def memberIds: Set[Long] =
+    (0L until 400L).filter(i =>
+      SparkTestBase.md5hex(i.toString).startsWith("0")).toSet
+
+  private def expected: Seq[(String, Long, Long, Long)] = {
+    val rows = (0L until 400L).filter(memberIds).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        math.round(((i % 7).toDouble + 0.25) * 100))
+    }
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+      (g, rs.size.toLong, rs.size.toLong * 16L, rs.map(_._2).sum * 16L)
+    }
+  }
+
+  private def estRows(p: String) =
+    SampleStore.estimate(spark, p, Seq("etype"), "value")
+      .orderBy("etype").collect()
+      .map(r => (r.getAs[String]("etype"), r.getAs[Long]("n_sample"),
+        r.getAs[Long]("est_count"), r.getAs[Long]("est_sum_cents"))).toSeq
+
+  test("lifecycle: build + append + REPLAYED append + compact estimate " +
+      "exactly the brute-force sample; day scoping prunes") {
+    val p = SparkTestBase.tempDir("graft-aqp-life") + "/store"
+    val early = events.filter(col("ts") < Day)
+    val late = events.filter(col("ts") >= Day)
+    SampleStore.build(early, p, idCol = "event_id")
+    SampleStore.append(late, p, "b#1", idCol = "event_id")
+    assert(estRows(p) == expected)
+    SampleStore.append(late, p, "b#1", idCol = "event_id") // redelivery
+    assert(estRows(p) == expected, "replayed append double-counted")
+    SampleStore.compact(spark, p)
+    assert(estRows(p) == expected, "compaction changed the answer")
+    // day-2 scope: only day-2 sampled rows contribute
+    val d2 = SampleStore.estimate(spark, p, Seq("etype"), "value",
+        since = Some(Day)).agg(sum("n_sample")).head().getLong(0)
+    val d2exp = memberIds.count(i => (i % 48) * Day / 24 >= Day).toLong
+    assert(d2 == d2exp)
+    // membership is uncorrelated sanity: sample is non-trivial
+    assert(expected.map(_._2).sum > 0)
+  }
+
+  test("guards: mixed rate, mixed id column, absent store all fail loudly") {
+    val p = SparkTestBase.tempDir("graft-aqp-guard") + "/store"
+    SampleStore.build(events, p, idCol = "event_id", prefixLen = 1)
+    val eRate = intercept[IllegalArgumentException] {
+      SampleStore.append(events, p, "b#2", idCol = "event_id",
+        prefixLen = 2)
+    }
+    assert(eRate.getMessage.contains("mix rates"))
+    val eCol = intercept[IllegalArgumentException] {
+      SampleStore.append(events.withColumnRenamed("event_id", "eid")
+        .withColumn("event_id", col("eid")), p, "b#3", idCol = "eid")
+    }
+    assert(eCol.getMessage.contains("membership function"))
+    intercept[IllegalArgumentException] {
+      SampleStore.estimate(spark, p + "-absent", Seq("etype"), "value")
+    }
+  }
+}
