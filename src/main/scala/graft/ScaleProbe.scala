@@ -521,6 +521,43 @@ object ScaleProbe {
       report("dup_probe_batch", docK, probeOnce(s1), probeOnce(sK))
       batch.unpersist()
     }
+    if (sel("clf_train")) {
+      // classifier training is two count passes + a vocabulary-sized
+      // join — the BUILD side, near-linear in the corpus by construction
+      // (the caesar-shifted copies also grow the vocab docK×, so the
+      // join side scales too)
+      def train(c: DataFrame): Long =
+        graft.pipeline.Text.classifierTrain(
+          c.filter(col("lang") === "en"), c.filter(col("lang") =!= "en"),
+          "text").w.count()
+      report("clf_train", docK, train(docs), train(docScaled))
+    }
+    if (sel("clf_probe_batch")) {
+      // the serving claim: scoring a FIXED batch costs the BATCH — the
+      // weight join is vocabulary-sized however big the training corpus
+      // was (and AQE still broadcasts the model when it fits), so a
+      // model trained on docK× the data scores the same 500 docs at the
+      // same cost
+      def buildModel(c: DataFrame, tag: String): String = {
+        val p = s"$work/clf_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+        graft.pipeline.Text.writeClassifier(
+          graft.pipeline.Text.classifierTrain(
+            c.filter(col("lang") === "en"),
+            c.filter(col("lang") =!= "en"), "text"), p)
+        p
+      }
+      val m1 = buildModel(docs, "1x")
+      val mK = buildModel(docScaled, s"${docK}x")
+      val batch = docs.limit(500).cache()
+      batch.count()
+      def score(p: String): Long =
+        graft.pipeline.Text.classifierScore(batch,
+          graft.pipeline.Text.openClassifier(spark, p), "doc_id", "text")
+          .count()
+      report("clf_probe_batch", docK, score(m1), score(mK))
+      batch.unpersist()
+    }
     report("minhash_lsh", docK,
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3).count(),
       Dedup.nearDuplicates(docScaled, "doc_id", "text", 0.3).count())
@@ -612,6 +649,26 @@ object ScaleProbe {
       val ta = time(a); val tb = time(b)
       println(f"[scale] $name%-22s $la=$ta%6.2fs  $lb=$tb%6.2fs  " +
         f"speedup=${ta / tb}%5.2f")
+    }
+    if (sel("aqp_vs_exact")) {
+      // the AQP read-path claim as an A/B on the SAME evK× data: exact
+      // grouped aggregate over raw vs an estimate from the OPENED sample
+      // store — the serving shape is open-once/estimate-many (metadata
+      // validation + replay dedup price in at open; the pinned sample is
+      // 1/16 the rows, sized to fit where raw cannot), so the per-query
+      // cost under comparison is one aggregation over 1/16 the data
+      val p = s"$work/aqp_${evK}x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      graft.storage.SampleStore.build(evScaled, p, idCol = "event_id")
+      val h = graft.storage.SampleStore.open(spark, p, pin = true)
+      def exact(): Long = evScaled
+        .withColumn("__c", graft.operators.TsOps.centsExpr("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("__c").as("sc")).count()
+      def est(): Long =
+        h.estimate(Seq("event_type"), "value").count()
+      reportPair("aqp_vs_exact", exact(), est(), "exact", "sample")
+      h.close()
     }
     if (sel("tiering_trim")) {
       // A/B on the SAME 10x data: retention trim on a day-partitioned raw

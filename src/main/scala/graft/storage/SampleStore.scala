@@ -129,58 +129,80 @@ object SampleStore {
     }
   }
 
-  /** Replay-deduped sampled rows scoped to `[since, until)` ts nanos
-    * with `__day` directory pruning — the shared front half of every
-    * read. Returns (rows, rate_den). */
-  private def scoped(spark: SparkSession, path: String, tsCol: String,
-      since: Option[Long], until: Option[Long]): (DataFrame, Long) = {
+  /** An opened sample store: replay-deduped rows + the validated scale
+    * factor. The serving shape is OPEN ONCE, ESTIMATE MANY — a dashboard
+    * issues thousands of estimates against one open, so the metadata
+    * validation and replay dedup price in once, and `pin = true`
+    * persists the deduped sample (the BlinkDB posture: the sample is
+    * sized to fit where raw cannot — 100 TB raw at 1/256 is cluster-
+    * cache-sized, and every estimate then reads memory, not the lake). */
+  final case class SampleHandle(rows: DataFrame, rateDen: Long,
+      idCol: String) {
+
+    /** Grouped estimates from the sample alone: per group, `n_sample`
+      * (the evidence), `est_count = n_sample × rate_den`, and
+      * `est_sum_cents = Σcents × rate_den` — exact integer scale-up of
+      * a deterministic sample, so a second engine reproduces every
+      * estimate bit for bit. `[since, until)` scoping rides `__day`
+      * directory pruning on cold reads (the scope predicate pushes
+      * through the dedup aggregate — every filter column is a grouping
+      * column) and a plain filter on pinned ones. */
+    def estimate(groupCols: Seq[String], valueCol: String,
+        tsCol: String = "ts", since: Option[Long] = None,
+        until: Option[Long] = None): DataFrame = {
+      require(groupCols.nonEmpty,
+        "estimate needs at least one group column")
+      def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(nanos, DayNs)).toString
+      val conds =
+        since.map(v => col(tsCol) >= lit(v)).toSeq ++
+          until.map(v => col(tsCol) < lit(v)).toSeq ++
+          since.map(v =>
+            col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
+          until.map(v =>
+            col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
+      conds.reduceOption(_ && _).fold(rows)(rows.filter)
+        .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_sample"), sum("__c").as("__sc"))
+        .withColumn("est_count", col("n_sample") * lit(rateDen))
+        .withColumn("est_sum_cents", col("__sc") * lit(rateDen))
+        .drop("__sc")
+    }
+
+    /** Release a pinned sample (no-op if never pinned). */
+    def close(): Unit = { rows.unpersist(); () }
+  }
+
+  /** Open a sample store: ONE metadata pass validates the rate and the
+    * sampled-id column (uniform-width guard — a mis-rated concurrent
+    * writer fails the read, never mis-scales it), the replay dedup is
+    * bound once, and `pin = true` persists the deduped rows for
+    * estimate-many serving. */
+  def open(spark: SparkSession, path: String,
+      pin: Boolean = false): SampleHandle = {
     val df = readable(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"sample store at $path is absent or empty"))
-    val rates = df.select("rate_den").distinct().collect()
-      .map(_.getLong(0)).sorted.toSeq
-    val rd = rates match {
-      case Seq(r) => r
-      case Seq() => throw new IllegalArgumentException(
-        s"sample store at $path is empty")
-      case rs => throw new IllegalStateException(
-        s"sample store at $path holds MIXED rates ${rs.mkString(", ")} — " +
-          "one store holds exactly one rate")
-    }
-    def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
-      Math.floorDiv(nanos, DayNs)).toString
-    val conds =
-      since.map(v => col(tsCol) >= lit(v)).toSeq ++
-        until.map(v => col(tsCol) < lit(v)).toSeq ++
-        since.map(v =>
-          col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
-        until.map(v =>
-          col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
-    val idCol = df.select("sample_col").head().getString(0)
-    (conds.reduceOption(_ && _).fold(df)(df.filter)
-      .dropDuplicates(idCol, "batch_key"), rd)
+    val meta = df.select("rate_den", "sample_col").distinct().collect()
+    require(meta.nonEmpty, s"sample store at $path is empty")
+    if (meta.length > 1) throw new IllegalStateException(
+      s"sample store at $path holds MIXED rates/id columns " +
+        s"${meta.map(r => s"(1/${r.getLong(0)} on ${r.getString(1)})")
+          .mkString(", ")} — one store holds exactly one membership " +
+        "function")
+    val idCol = meta(0).getString(1)
+    val rows0 = df.dropDuplicates(idCol, "batch_key")
+    SampleHandle(if (pin) rows0.persist() else rows0,
+      meta(0).getLong(0), idCol)
   }
 
-  /** Grouped estimates from the sample alone: per group,
-    * `n_sample` (the evidence), `est_count = n_sample × rate_den`, and
-    * `est_sum_cents = Σcents × rate_den` — exact integer scale-up of a
-    * deterministic sample, so a second engine reproduces every estimate
-    * bit for bit. One partition-pruned scan of 1/rate_den of the data +
-    * one combinable aggregation — the exploratory-dashboard read path
-    * at 100 TB. */
+  /** One-shot convenience: open cold, estimate once. Serving layers
+    * should [[open]] once (pinned) and estimate many. */
   def estimate(spark: SparkSession, path: String, groupCols: Seq[String],
       valueCol: String, tsCol: String = "ts",
-      since: Option[Long] = None, until: Option[Long] = None): DataFrame = {
-    require(groupCols.nonEmpty, "estimate needs at least one group column")
-    val (rows, rd) = scoped(spark, path, tsCol, since, until)
-    rows
-      .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_sample"), sum("__c").as("__sc"))
-      .withColumn("est_count", col("n_sample") * lit(rd))
-      .withColumn("est_sum_cents", col("__sc") * lit(rd))
-      .drop("__sc")
-  }
+      since: Option[Long] = None, until: Option[Long] = None): DataFrame =
+    open(spark, path).estimate(groupCols, valueCol, tsCol, since, until)
 
   /** Rewrite accumulated per-batch files into one file per day — the IO
     * compaction that caps file-listing cost, doubling as the durable
