@@ -884,6 +884,17 @@ object SparkEntry {
           Seq("event_type"), "value")
         .orderBy("event_type")
     }),
+    "aqp_window" -> ((s, d) => {
+      // time-scoped estimates: the [since, until) scope prunes whole
+      // __day directories off the sample scan before the aggregate
+      // (PlanAuditSpec pins the PartitionFilters) — at 100 TB a
+      // ten-day-window estimate reads ten days of the 1/16 sample,
+      // not the store
+      graft.storage.SampleStore.open(s, aqpStorePath(s, d))
+        .estimate(Seq("event_type"), "value",
+          since = Some(ns("2024-01-10")), until = Some(ns("2024-01-20")))
+        .orderBy("event_type")
+    }),
     "aqp_error_report" -> ((s, d) => {
       // the honesty artifact an AQP surface must show beside every
       // estimate: per group, sampled estimate vs exact count and the
@@ -3597,6 +3608,19 @@ object SparkEntry {
         |  CAST(count(*) * 16 AS BIGINT) AS est_count,
         |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents
         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "aqp_window" ->
+      s"""WITH sm AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events
+         |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+         |    AND epoch_ns(ts) >= ${ns("2024-01-10")}
+         |    AND epoch_ns(ts) < ${ns("2024-01-20")}
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         |  CAST(count(*) * 16 AS BIGINT) AS est_count,
+         |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents
+         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
     "aqp_error_report" ->
       """WITH est AS (
         |  SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS est_count

@@ -129,13 +129,13 @@ object SampleStore {
     }
   }
 
-  /** An opened sample store: replay-deduped rows + the validated scale
-    * factor. The serving shape is OPEN ONCE, ESTIMATE MANY — a dashboard
-    * issues thousands of estimates against one open, so the metadata
-    * validation and replay dedup price in once, and `pin = true`
-    * persists the deduped sample (the BlinkDB posture: the sample is
-    * sized to fit where raw cannot — 100 TB raw at 1/256 is cluster-
-    * cache-sized, and every estimate then reads memory, not the lake). */
+  /** An opened sample store: validated sampled rows + the scale factor.
+    * The serving shape is OPEN ONCE, ESTIMATE MANY — a dashboard issues
+    * thousands of estimates against one open, so the metadata validation
+    * prices in once, and `pin = true` persists the sampled rows (the
+    * BlinkDB posture: the sample is sized to fit where raw cannot —
+    * 100 TB raw at 1/256 is cluster-cache-sized, and every estimate then
+    * reads memory, not the lake). */
   final case class SampleHandle(rows: DataFrame, rateDen: Long,
       idCol: String) {
 
@@ -143,10 +143,12 @@ object SampleStore {
       * (the evidence), `est_count = n_sample × rate_den`, and
       * `est_sum_cents = Σcents × rate_den` — exact integer scale-up of
       * a deterministic sample, so a second engine reproduces every
-      * estimate bit for bit. `[since, until)` scoping rides `__day`
-      * directory pruning on cold reads (the scope predicate pushes
-      * through the dedup aggregate — every filter column is a grouping
-      * column) and a plain filter on pinned ones. */
+      * estimate bit for bit. The `[since, until)` scope applies BEFORE
+      * the replay dedup — duplicates are byte-identical rows, so the
+      * order is free, and the scope then lands as `__day` directory
+      * pruning on the store scan instead of dying above the dedup
+      * (dropDuplicates compiles to first()-aggregates whose outputs
+      * block pushdown; PlanAuditSpec pins the PartitionFilters). */
     def estimate(groupCols: Seq[String], valueCol: String,
         tsCol: String = "ts", since: Option[Long] = None,
         until: Option[Long] = None): DataFrame = {
@@ -162,6 +164,7 @@ object SampleStore {
           until.map(v =>
             col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
       conds.reduceOption(_ && _).fold(rows)(rows.filter)
+        .dropDuplicates(idCol, "batch_key")
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
         .groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_sample"), sum("__c").as("__sc"))
@@ -176,9 +179,10 @@ object SampleStore {
 
   /** Open a sample store: ONE metadata pass validates the rate and the
     * sampled-id column (uniform-width guard — a mis-rated concurrent
-    * writer fails the read, never mis-scales it), the replay dedup is
-    * bound once, and `pin = true` persists the deduped rows for
-    * estimate-many serving. */
+    * writer fails the read, never mis-scales it); `pin = true` persists
+    * the sampled rows for estimate-many serving. The replay dedup runs
+    * per estimate AFTER the time scope (see [[SampleHandle.estimate]]) —
+    * over sample-sized rows it is the cheap half of the aggregation. */
   def open(spark: SparkSession, path: String,
       pin: Boolean = false): SampleHandle = {
     val df = readable(spark, path).getOrElse(
@@ -191,10 +195,8 @@ object SampleStore {
         s"${meta.map(r => s"(1/${r.getLong(0)} on ${r.getString(1)})")
           .mkString(", ")} — one store holds exactly one membership " +
         "function")
-    val idCol = meta(0).getString(1)
-    val rows0 = df.dropDuplicates(idCol, "batch_key")
-    SampleHandle(if (pin) rows0.persist() else rows0,
-      meta(0).getLong(0), idCol)
+    SampleHandle(if (pin) df.persist() else df,
+      meta(0).getLong(0), meta(0).getString(1))
   }
 
   /** One-shot convenience: open cold, estimate once. Serving layers

@@ -820,4 +820,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("gram"), p)
     assert(!p.contains("__cnt"), p) // the re-count's column name
   }
+
+  test("text_classifier_score: class filters pushed to the train scans, " +
+      "counts two-phase, no cartesian") {
+    val p = plan("text_classifier_score")
+    // the train-split class predicates reach the parquet readers — each
+    // count pass scans only its class's rows
+    assert(p.contains("EqualTo(lang,en)"), p)
+    assert(p.contains("Not(EqualTo(lang,en))"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("aqp_window: the time scope prunes __day directories off the " +
+      "sample scan THROUGH the replay dedup") {
+    val p = plan("aqp_window")
+    // the [since, until) predicate must land as PartitionFilters on the
+    // store's FileScan (every scope column is a grouping column of the
+    // dedup aggregate, so Catalyst pushes it below) — a ten-day window
+    // reads ten day directories, not the store
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*__day[^\\]]*\\].*"),
+      p)
+    assert(p.contains("partial_count"), p)
+  }
 }
