@@ -895,6 +895,28 @@ object SparkEntry {
           since = Some(ns("2024-01-10")), until = Some(ns("2024-01-20")))
         .orderBy("event_type")
     }),
+    "aqp_stratified" -> ((s, d) => {
+      // STRATIFIED AQP (the BlinkDB observation): the exponential
+      // value-band strata (~8.7k/1.1k/150/22/1 at sf0.01) keep almost no
+      // tail evidence at a uniform 1/16 — per-stratum rates freeze at
+      // build so every band keeps >= minRows expected rows (rare bands
+      // keep ALL), and the Horvitz-Thompson estimate stays exact
+      // integer: the oracle re-derives the identical rate map from the
+      // same raw counts and hash-matches every estimate
+      val p = modelStorePaths.computeIfAbsent(d + "#aqps", _ => {
+        val sp = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-aqps-$processId-${dirTag(d)}").getPath
+        val ev = t(s, d, "events")
+          .withColumn("band", expr("cast(floor(value / 100) as long)"))
+        graft.storage.SampleStore.buildStratified(ev, sp,
+          idCol = "event_id", stratumCol = "band", minRows = 50L,
+          maxPrefixLen = 2)
+        sp
+      })
+      graft.storage.SampleStore.open(s, p)
+        .estimate(Seq("band"), "value")
+        .orderBy("band")
+    }),
     "aqp_error_report" -> ((s, d) => {
       // the honesty artifact an AQP surface must show beside every
       // estimate: per group, sampled estimate vs exact count and the
@@ -3621,6 +3643,28 @@ object SparkEntry {
          |  CAST(count(*) * 16 AS BIGINT) AS est_count,
          |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents
          |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "aqp_stratified" ->
+      """WITH e AS (
+        |  SELECT event_id, value,
+        |    CAST(floor(value / 100) AS BIGINT) AS band
+        |  FROM events
+        |), pm AS (
+        |  SELECT band,
+        |    CASE WHEN count(*) >= 50 * 256 THEN 2
+        |         WHEN count(*) >= 50 * 16 THEN 1 ELSE 0 END AS p
+        |  FROM e GROUP BY band
+        |), sm AS (
+        |  SELECT e.band,
+        |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CASE pm.p WHEN 2 THEN 256 WHEN 1 THEN 16 ELSE 1 END AS rd
+        |  FROM e JOIN pm USING (band)
+        |  WHERE substr(md5(CAST(e.event_id AS VARCHAR)), 1, pm.p) =
+        |        substr('00000000', 1, pm.p)
+        |)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_sample,
+        |  CAST(sum(rd) AS BIGINT) AS est_count,
+        |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents
+        |FROM sm GROUP BY band ORDER BY band""".stripMargin,
     "aqp_error_report" ->
       """WITH est AS (
         |  SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS est_count

@@ -34,9 +34,12 @@ object SampleStore {
 
   private val DayNs = 86400L * 1000000000L
 
-  /** Reserved self-description / lifecycle columns. */
+  /** Reserved self-description / lifecycle columns. `stratum_col` names
+    * the stratification column for stratified stores and is the empty
+    * string for uniform ones. */
   private val ReservedCols: Set[String] =
-    Set("rate_den", "sample_col", "batch_key", WritableStore.PartitionCol)
+    Set("rate_den", "sample_col", "stratum_col", "batch_key",
+      WritableStore.PartitionCol)
 
   /** The membership predicate: first `prefixLen` hex chars of
     * `md5(cast(id as string))` all '0' — rate 1/16^prefixLen. Engine-
@@ -49,24 +52,43 @@ object SampleStore {
       lit("0" * prefixLen)
   }
 
+  /** [[memberExpr]] with a PER-ROW prefix length column (the stratified
+    * path; `p = 0` keeps everything — `substr(x, 1, 0) = ''` in both
+    * engines). */
+  private def memberExprVar(idCol: String, pCol: String): Column =
+    expr(s"substr(md5(cast($idCol as string)), 1, $pCol) = " +
+      s"substr('00000000', 1, $pCol)")
+
   /** The scale-up factor 16^prefixLen. */
   def rateDen(prefixLen: Int): Long = {
-    require(prefixLen >= 1 && prefixLen <= 8)
+    require(prefixLen >= 0 && prefixLen <= 8)
     (1 to prefixLen).foldLeft(1L)((a, _) => a * 16L)
   }
 
-  private def canonical(df: DataFrame, idCol: String, tsCol: String,
-      prefixLen: Int, batchKey: String): DataFrame = {
-    require(df.columns.contains(idCol) && df.columns.contains(tsCol),
-      s"sample source lacks $idCol/$tsCol")
-    df.filter(memberExpr(idCol, prefixLen))
-      .withColumn("rate_den", lit(rateDen(prefixLen)))
+  /** 16^p as a Column over a per-row prefix-length column. */
+  private def rateDenCol(pCol: String): Column =
+    (0 to 8).foldLeft(lit(null).cast("long")) { (acc, p) =>
+      when(col(pCol) === p, lit(rateDen(p))).otherwise(acc)
+    }
+
+  private def stamp(df: DataFrame, idCol: String, tsCol: String,
+      batchKey: String, stratumCol: String): DataFrame =
+    df
       .withColumn("sample_col", lit(idCol))
+      .withColumn("stratum_col", lit(stratumCol))
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, date_from_unix_date(
         expr(s"(($tsCol) - pmod($tsCol, ${DayNs}L)) div ${DayNs}L")
           .cast("int")).cast("string"))
       .repartition(col(WritableStore.PartitionCol))
+
+  private def canonical(df: DataFrame, idCol: String, tsCol: String,
+      prefixLen: Int, batchKey: String): DataFrame = {
+    require(df.columns.contains(idCol) && df.columns.contains(tsCol),
+      s"sample source lacks $idCol/$tsCol")
+    stamp(df.filter(memberExpr(idCol, prefixLen))
+        .withColumn("rate_den", lit(rateDen(prefixLen))),
+      idCol, tsCol, batchKey, stratumCol = "")
   }
 
   /** Build a sample store in one atomic publish (two-rename; a crash
@@ -97,14 +119,99 @@ object SampleStore {
       .parquet(path)
   }
 
-  /** Fail loudly when an existing store's rate or sampled-id column
-    * differs — appending a different rate would silently mis-scale every
-    * later estimate. */
+  /** Per-stratum prefix length: the largest `p ≤ maxPrefixLen` with
+    * `count(stratum) ≥ minRows × 16^p` — every stratum keeps an expected
+    * `minRows`-plus sample however small it is (p = 0 keeps ALL rows of
+    * a rare stratum), while huge strata thin 16^p×. Pure integer CASE
+    * over the stratum counts, so a second engine derives the identical
+    * rate map from the same raw table. */
+  private def prefixLenCol(nCol: String, minRows: Long,
+      maxPrefixLen: Int): Column =
+    // ascending fold: the LAST-folded (largest) p becomes the OUTERMOST
+    // when(), so the biggest qualifying prefix wins
+    (1 to maxPrefixLen).foldLeft(lit(0)) { (acc, p) =>
+      when(col(nCol) >= lit(minRows) * lit(rateDen(p)), lit(p))
+        .otherwise(acc)
+    }
+
+  /** Build a STRATIFIED sample store — the BlinkDB observation: a
+    * uniform rate starves rare strata exactly where per-group answers
+    * need evidence most. Rates derive from the stratum counts at build
+    * time ([[prefixLenCol]]) and ride every row as `rate_den`, so the
+    * Horvitz-Thompson estimate in [[SampleHandle.estimate]] stays exact
+    * integer. The stratum→rate map FREEZES at build (the BlinkDB offline
+    * sample-planning posture): [[appendStratified]] reuses the stored
+    * map, never re-derives it from a batch's own counts. */
+  def buildStratified(df: DataFrame, path: String, idCol: String,
+      stratumCol: String, minRows: Long, maxPrefixLen: Int = 2,
+      tsCol: String = "ts"): Unit = {
+    require(df.columns.contains(stratumCol),
+      s"sample source lacks stratum column $stratumCol")
+    require(minRows >= 1 && maxPrefixLen >= 1 && maxPrefixLen <= 8)
+    val rates = df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("__n"))
+      .select(col(stratumCol),
+        prefixLenCol("__n", minRows, maxPrefixLen).as("__p"))
+    AtomicDir.publish(df.sparkSession, path, "sample store") { tmp =>
+      stamp(df.join(rates, stratumCol)
+          .filter(memberExprVar(idCol, "__p"))
+          .withColumn("rate_den", rateDenCol("__p"))
+          .drop("__p"),
+        idCol, tsCol, "base", stratumCol)
+        .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
+    }
+  }
+
+  /** Append one producer batch to a STRATIFIED store under the FROZEN
+    * stratum→rate map mined from the stored rows (one metadata-sized
+    * distinct) — re-deriving rates from the batch's own counts would
+    * mis-scale every mixed read. Strata the map has never seen keep ALL
+    * their rows (p = 0, the `minRows` intent for brand-new rare strata);
+    * re-plan the store offline when a new stratum grows large. */
+  def appendStratified(df: DataFrame, path: String, batchKey: String,
+      idCol: String, tsCol: String = "ts"): Unit = {
+    val spark = df.sparkSession
+    val stored = readable(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"appendStratified: no stratified store at $path (build first)"))
+    val meta = stored.select("sample_col", "stratum_col").distinct()
+      .collect()
+    require(meta.length == 1 && meta(0).getString(1).nonEmpty,
+      s"appendStratified: store at $path is not a stratified store")
+    require(meta(0).getString(0) == idCol,
+      s"appendStratified: store at $path sampled on " +
+        s"${meta(0).getString(0)}; this writer samples on $idCol")
+    val stratumCol = meta(0).getString(1)
+    val rateMap = stored.select(col(stratumCol), col("rate_den"))
+      .distinct()
+    require(rateMap.groupBy(stratumCol).count()
+        .filter(col("count") > 1).isEmpty,
+      s"sample store at $path holds mixed per-stratum rates")
+    // invert rate_den → prefix length by explicit CASE (never float log)
+    val pFromRate = (0 to 8).foldLeft(lit(null).cast("int")) { (acc, p) =>
+      when(col("rate_den") === rateDen(p), lit(p)).otherwise(acc)
+    }
+    stamp(df.join(rateMap, Seq(stratumCol), "left")
+        .withColumn("rate_den", coalesce(col("rate_den"), lit(1L)))
+        .withColumn("__p", pFromRate)
+        .filter(memberExprVar(idCol, "__p"))
+        .drop("__p"),
+      idCol, tsCol, batchKey, stratumCol)
+      .write.mode("append").partitionBy(WritableStore.PartitionCol)
+      .parquet(path)
+  }
+
+  /** Fail loudly when an existing store's rate, sampled-id column, or
+    * stratification differs — appending a different membership function
+    * would silently mis-scale every later estimate. */
   private[graft] def requireRate(spark: SparkSession, path: String,
       prefixLen: Int, idCol: String, context: String): Unit =
     readable(spark, path).foreach { df =>
-      df.select("rate_den", "sample_col").distinct().collect()
-        .foreach { r =>
+      df.select("rate_den", "sample_col", "stratum_col").distinct()
+        .collect().foreach { r =>
+          require(r.getString(2).isEmpty,
+            s"$context: sample store at $path is STRATIFIED on " +
+              s"${r.getString(2)}; use appendStratified")
           require(r.getLong(0) == rateDen(prefixLen),
             s"$context: sample store at $path holds 1/${r.getLong(0)} " +
               s"rows; appending 1/${rateDen(prefixLen)} rows would mix " +
@@ -129,21 +236,23 @@ object SampleStore {
     }
   }
 
-  /** An opened sample store: validated sampled rows + the scale factor.
-    * The serving shape is OPEN ONCE, ESTIMATE MANY — a dashboard issues
-    * thousands of estimates against one open, so the metadata validation
-    * prices in once, and `pin = true` persists the sampled rows (the
-    * BlinkDB posture: the sample is sized to fit where raw cannot —
-    * 100 TB raw at 1/256 is cluster-cache-sized, and every estimate then
-    * reads memory, not the lake). */
-  final case class SampleHandle(rows: DataFrame, rateDen: Long,
-      idCol: String) {
+  /** An opened sample store: validated sampled rows. The serving shape
+    * is OPEN ONCE, ESTIMATE MANY — a dashboard issues thousands of
+    * estimates against one open, so the metadata validation prices in
+    * once, and `pin = true` persists the sampled rows (the BlinkDB
+    * posture: the sample is sized to fit where raw cannot — 100 TB raw
+    * at 1/256 is cluster-cache-sized, and every estimate then reads
+    * memory, not the lake). */
+  final case class SampleHandle(rows: DataFrame, idCol: String) {
 
-    /** Grouped estimates from the sample alone: per group, `n_sample`
-      * (the evidence), `est_count = n_sample × rate_den`, and
-      * `est_sum_cents = Σcents × rate_den` — exact integer scale-up of
-      * a deterministic sample, so a second engine reproduces every
-      * estimate bit for bit. The `[since, until)` scope applies BEFORE
+    /** Grouped estimates from the sample alone, in Horvitz-Thompson
+      * form: per group, `n_sample` (the evidence),
+      * `est_count = Σ rate_den` and `est_sum_cents = Σ cents × rate_den`
+      * — each row stands in for exactly its inverse inclusion
+      * probability, so ONE estimator serves uniform stores (where it
+      * telescopes to `n × rate_den`) and stratified ones (where rates
+      * vary by stratum), in exact integer arithmetic a second engine
+      * reproduces bit for bit. The `[since, until)` scope applies BEFORE
       * the replay dedup — duplicates are byte-identical rows, so the
       * order is free, and the scope then lands as `__day` directory
       * pruning on the store scan instead of dying above the dedup
@@ -167,36 +276,43 @@ object SampleStore {
         .dropDuplicates(idCol, "batch_key")
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
         .groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("n_sample"), sum("__c").as("__sc"))
-        .withColumn("est_count", col("n_sample") * lit(rateDen))
-        .withColumn("est_sum_cents", col("__sc") * lit(rateDen))
-        .drop("__sc")
+        .agg(count(lit(1)).as("n_sample"),
+          sum("rate_den").as("est_count"),
+          sum(col("__c") * col("rate_den")).as("est_sum_cents"))
     }
 
     /** Release a pinned sample (no-op if never pinned). */
     def close(): Unit = { rows.unpersist(); () }
   }
 
-  /** Open a sample store: ONE metadata pass validates the rate and the
-    * sampled-id column (uniform-width guard — a mis-rated concurrent
-    * writer fails the read, never mis-scales it); `pin = true` persists
-    * the sampled rows for estimate-many serving. The replay dedup runs
-    * per estimate AFTER the time scope (see [[SampleHandle.estimate]]) —
-    * over sample-sized rows it is the cheap half of the aggregation. */
+  /** Open a sample store: ONE metadata pass validates the membership
+    * self-description — exactly one (sampled-id, stratum) pair, and for
+    * uniform stores exactly one rate (a mis-rated concurrent writer
+    * fails the read, never mis-scales it; stratified stores carry
+    * per-stratum rates by design, validated per-stratum at build).
+    * `pin = true` persists the sampled rows for estimate-many serving.
+    * The replay dedup runs per estimate AFTER the time scope (see
+    * [[SampleHandle.estimate]]) — over sample-sized rows it is the cheap
+    * half of the aggregation. */
   def open(spark: SparkSession, path: String,
       pin: Boolean = false): SampleHandle = {
     val df = readable(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"sample store at $path is absent or empty"))
-    val meta = df.select("rate_den", "sample_col").distinct().collect()
+    val meta = df.select("sample_col", "stratum_col").distinct().collect()
     require(meta.nonEmpty, s"sample store at $path is empty")
     if (meta.length > 1) throw new IllegalStateException(
-      s"sample store at $path holds MIXED rates/id columns " +
-        s"${meta.map(r => s"(1/${r.getLong(0)} on ${r.getString(1)})")
-          .mkString(", ")} — one store holds exactly one membership " +
-        "function")
-    SampleHandle(if (pin) df.persist() else df,
-      meta(0).getLong(0), meta(0).getString(1))
+      s"sample store at $path holds MIXED membership functions " +
+        s"${meta.map(r => s"(${r.getString(0)}/${r.getString(1)})")
+          .mkString(", ")} — one store holds exactly one")
+    if (meta(0).getString(1).isEmpty) {
+      val rates = df.select("rate_den").distinct().collect()
+      if (rates.length > 1) throw new IllegalStateException(
+        s"sample store at $path holds MIXED rates " +
+          s"${rates.map(r => s"1/${r.getLong(0)}").mkString(", ")} — a " +
+          "uniform store holds exactly one")
+    }
+    SampleHandle(if (pin) df.persist() else df, meta(0).getString(0))
   }
 
   /** One-shot convenience: open cold, estimate once. Serving layers

@@ -64,6 +64,49 @@ class SampleStoreSpec extends AnyFunSuite {
     assert(expected.map(_._2).sum > 0)
   }
 
+  test("stratified: rare strata kept whole, big ones thinned; frozen " +
+      "rate map on append; HT estimate matches brute force") {
+    val df = ((0L until 600L).map(i => (i, (i % 2) * Day / 2, "big", 1.0))
+      ++ (1000L until 1020L).map(i => (i, Day / 2, "small", 2.0)))
+      .toDF("event_id", "ts", "g", "value")
+    val p = SparkTestBase.tempDir("graft-aqp-strat") + "/store"
+    SampleStore.buildStratified(df, p, "event_id", "g", minRows = 30,
+      maxPrefixLen = 2)
+    // big: 600 >= 30*16 -> p=1 (1/16); small: 20 < 480 -> p=0 (keep ALL)
+    val rows = spark.read.parquet(p)
+    val rates = rows.select("g", "rate_den").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("big" -> 16L, "small" -> 1L))
+    assert(rows.filter($"g" === "small").count() == 20)
+    val bigKept = (0L until 600L).filter(i =>
+      SparkTestBase.md5hex(i.toString).startsWith("0"))
+    val est = SampleStore.open(spark, p).estimate(Seq("g"), "value")
+      .orderBy("g").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_sample"),
+        r.getAs[Long]("est_count"), r.getAs[Long]("est_sum_cents")))
+    assert(est.toSeq == Seq(
+      ("big", bigKept.size.toLong, bigKept.size * 16L,
+        bigKept.size * 100L * 16L),
+      ("small", 20L, 20L, 20L * 200L)))
+    // append under the FROZEN map: stored 1/16 for big, keep-all for a
+    // stratum the map never saw
+    val batch = ((2000L until 2100L).map(i => (i, Day, "big", 1.0))
+      ++ (3000L until 3005L).map(i => (i, Day, "new", 3.0)))
+      .toDF("event_id", "ts", "g", "value")
+    SampleStore.appendStratified(batch, p, "b1", "event_id")
+    val rows2 = spark.read.parquet(p)
+    assert(rows2.filter($"g" === "new").count() == 5)
+    val bigKept2 = (2000L until 2100L).filter(i =>
+      SparkTestBase.md5hex(i.toString).startsWith("0"))
+    assert(rows2.filter($"g" === "big").count() ==
+      bigKept.size + bigKept2.size)
+    // a uniform append into a stratified store fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.append(batch, p, "b2", idCol = "event_id")
+    }
+    assert(e.getMessage.contains("STRATIFIED"))
+  }
+
   test("guards: mixed rate, mixed id column, absent store all fail loudly") {
     val p = SparkTestBase.tempDir("graft-aqp-guard") + "/store"
     SampleStore.build(events, p, idCol = "event_id", prefixLen = 1)
