@@ -46,7 +46,12 @@ object Bench {
     // round-10 tracked rows: the counter recording rule's lifecycle store
     // (fixture per-process-cached — times the replay-deduped daily read)
     // and the key-pruned "one series, zoomed" route
-    "rollup_counter_store", "rollup_keyed_route_one")
+    "rollup_counter_store", "rollup_keyed_route_one",
+    // round-10 late rows: the trained quality filter's full train+score
+    // path (two count passes + vocab join + scoring join) and the AQP
+    // sample-tier estimate (store per-process-cached — times the
+    // cold open + Horvitz-Thompson read)
+    "text_classifier_score", "aqp_event_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

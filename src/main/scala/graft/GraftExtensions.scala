@@ -27,6 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // source riding the columns
     ext.injectTableFunction((new FunctionIdentifier(GraftExtensions.RouteTvf),
       GraftExtensions.routeTvfInfo, GraftExtensions.routeTvfBuilder))
+    // the AQP sample tier as a TABLE-VALUED function: any SQL surface can
+    // ask `SELECT * FROM graft_aqp('/sample', 'event_type', 'value')` and
+    // get exact-integer Horvitz-Thompson estimates from the at-rest
+    // sample instead of scanning raw
+    ext.injectTableFunction((new FunctionIdentifier(GraftExtensions.AqpTvf),
+      GraftExtensions.aqpTvfInfo, GraftExtensions.aqpTvfBuilder))
     // literal predicates over normalized epoch-nano ts fold back to native
     // timestamp comparisons the parquet scan can prune with; sessions built
     // without the extension get the same rule via Tables.configure
@@ -120,6 +126,57 @@ object GraftExtensions {
   def registerRouteTvf(spark: org.apache.spark.sql.SparkSession): Unit =
     org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark,
       RouteTvf, routeTvfInfo, routeTvfBuilder)
+
+  val AqpTvf = "graft_aqp"
+
+  val aqpTvfInfo = new ExpressionInfo(GraftExtensions.getClass.getName,
+    null, AqpTvf,
+    "graft_aqp(store, groupCols, valueCol[, since, until]) - grouped " +
+      "Horvitz-Thompson estimates (n_sample, est_count, est_sum_cents) " +
+      "from an at-rest SampleStore: `groupCols` is a comma-separated " +
+      "column list, `since`/`until` optional [since, until) epoch-nanos " +
+      "that prune whole day directories off the sample scan.", "")
+
+  /** The AQP TVF builder: literal args → the estimate DataFrame's
+    * logical plan (expanded like a view, exactly [[routeTvfBuilder]]'s
+    * contract). Opens cold per query — a SQL surface has no handle
+    * lifecycle; serving layers that estimate many should hold a pinned
+    * [[graft.storage.SampleStore.open]] instead. */
+  val aqpTvfBuilder: Seq[Expression] =>
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = exprs => {
+    require(exprs.length == 3 || exprs.length == 5,
+      s"$AqpTvf(store, groupCols, valueCol[, since, until]) — got " +
+        s"${exprs.length} arguments")
+    def const(i: Int, what: String): Any = {
+      require(exprs(i).foldable, s"$AqpTvf: $what must be a literal")
+      exprs(i).eval()
+    }
+    def str(i: Int, what: String): String =
+      Option(const(i, what)).map(String.valueOf).getOrElse("")
+    def num(i: Int, what: String): Long = const(i, what) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$AqpTvf: $what must be numeric, got $other")
+    }
+    val store = str(0, "store").trim
+    require(store.nonEmpty, s"$AqpTvf: needs a store path")
+    val groupCols = str(1, "groupCols").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    val valueCol = str(2, "valueCol").trim
+    val (since, until) =
+      if (exprs.length == 5)
+        (Some(num(3, "since")), Some(num(4, "until")))
+      else (None, None)
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.storage.SampleStore.open(spark, store)
+      .estimate(groupCols, valueCol, since = since, until = until)
+      .queryExecution.logical
+  }
+
+  /** Post-hoc registration twin of [[registerRouteTvf]]. */
+  def registerAqpTvf(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark,
+      AqpTvf, aqpTvfInfo, aqpTvfBuilder)
 
   val functions: Seq[NativeFn] = Seq(
     NativeFn("format_ns", 1,

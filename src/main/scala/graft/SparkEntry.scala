@@ -1700,6 +1700,20 @@ object SparkEntry {
            |  "event_type = 'click'")
            |ORDER BY bucket_ts""".stripMargin)
     }),
+    "aqp_sql" -> ((s, d) => {
+      // the sample tier in PLAIN SQL: graft_aqp is a table-valued
+      // function, so any SQL surface — including a stock Spark Connect
+      // client over gRPC — gets exact-integer Horvitz-Thompson estimates
+      // from the at-rest sample instead of scanning raw (shares
+      // aqp_event_stats' oracle: same store, same estimator)
+      Tables.configure(s)
+      val p = aqpStorePath(s, d)
+      GraftExtensions.registerAqpTvf(s)
+      s.sql(
+        s"""SELECT event_type, n_sample, est_count, est_sum_cents
+           |FROM graft_aqp('$p', 'event_type', 'value')
+           |ORDER BY event_type""".stripMargin)
+    }),
     "rollup_keyed_tiered" -> ((s, d) => {
       // retention WITH the series dimension: half the month tiered off
       // into the keyed store, and the stitched per-series daily read
@@ -8293,6 +8307,9 @@ object SparkEntry {
       // stateless membership + replay-keyed appends: the streamed sample
       // store holds exactly the batch build's rows, so estimates match
       ("stream_aqp_ingest" -> base("aqp_event_stats")) +
+      // the TVF expands to the identical estimate plan over the same
+      // store — same sample, same Horvitz-Thompson integers
+      ("aqp_sql" -> base("aqp_event_stats")) +
       // the coarsening tier: pre-cutoff hourly buckets fold 24x into the
       // daily store; the stitched read telescopes to the direct pass
       ("rollup_counter_tiered" -> base("ts_counter_increase")) +

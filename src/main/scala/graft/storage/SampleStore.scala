@@ -152,6 +152,12 @@ object SampleStore {
       .agg(count(lit(1)).as("__n"))
       .select(col(stratumCol),
         prefixLenCol("__n", minRows, maxPrefixLen).as("__p"))
+    // a null stratum would silently vanish (null keys never equi-join,
+    // identically in both engines) — make the caller derive a non-null
+    // stratum column instead of losing rows
+    require(rates.filter(col(stratumCol).isNull).isEmpty,
+      s"buildStratified: $stratumCol holds nulls — derive a non-null " +
+        "stratum column (e.g. coalesce a sentinel) before stratifying")
     AtomicDir.publish(df.sparkSession, path, "sample store") { tmp =>
       stamp(df.join(rates, stratumCol)
           .filter(memberExprVar(idCol, "__p"))

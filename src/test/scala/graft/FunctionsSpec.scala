@@ -218,4 +218,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("cannot route"), ex2.getMessage)
   }
+
+  test("graft_aqp TVF: estimates in plain SQL equal the programmatic " +
+      "handle, windowed variant scopes; bad args loud") {
+    import spark.implicits._
+    val Day = 86400L * 1000000000L
+    val p = SparkTestBase.tempDir("graft-aqp-tvf") + "/store"
+    val ev = (0L until 400L).map(i =>
+      (i, (i % 2) * Day, if (i % 3 == 0) "x" else "y",
+        (i % 5).toDouble)).toDF("event_id", "ts", "etype", "value")
+    graft.storage.SampleStore.build(ev, p, idCol = "event_id")
+    GraftExtensions.registerAqpTvf(spark)
+    def cols(df: org.apache.spark.sql.DataFrame) = df
+      .select("etype", "n_sample", "est_count", "est_sum_cents")
+      .orderBy("etype").collect().toSeq
+    val direct = cols(graft.storage.SampleStore.open(spark, p)
+      .estimate(Seq("etype"), "value"))
+    assert(cols(spark.sql(
+      s"SELECT * FROM graft_aqp('$p', 'etype', 'value')")) == direct)
+    val windowed = cols(graft.storage.SampleStore.open(spark, p)
+      .estimate(Seq("etype"), "value", since = Some(Day)))
+    assert(cols(spark.sql(s"SELECT * FROM graft_aqp('$p', 'etype', " +
+      s"'value', ${Day}L, ${2 * Day}L)")) == windowed)
+    assert(windowed != direct) // the scope really bites
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_aqp('$p', 'etype')").collect()
+    }
+    assert(ex.getMessage.contains("got 2 arguments"), ex.getMessage)
+    val ex2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_aqp('/nope-absent', 'a', 'v')")
+        .collect()
+    }
+    assert(ex2.getMessage.contains("absent or empty"), ex2.getMessage)
+  }
 }
