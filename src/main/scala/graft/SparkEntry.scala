@@ -1710,7 +1710,8 @@ object SparkEntry {
       val p = aqpStorePath(s, d)
       GraftExtensions.registerAqpTvf(s)
       s.sql(
-        s"""SELECT event_type, n_sample, est_count, est_sum_cents
+        s"""SELECT event_type, n_sample, est_count, est_sum_cents,
+           |  est_var_cents2
            |FROM graft_aqp('$p', 'event_type', 'value')
            |ORDER BY event_type""".stripMargin)
     }),
@@ -3642,7 +3643,8 @@ object SparkEntry {
         |)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
         |  CAST(count(*) * 16 AS BIGINT) AS est_count,
-        |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents
+        |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents,
+        |  CAST(sum(c * c) * 16 * 15 AS BIGINT) AS est_var_cents2
         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
     "aqp_window" ->
       s"""WITH sm AS (
@@ -3655,7 +3657,8 @@ object SparkEntry {
          |)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
          |  CAST(count(*) * 16 AS BIGINT) AS est_count,
-         |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents
+         |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c) * 16 * 15 AS BIGINT) AS est_var_cents2
          |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
     "aqp_stratified" ->
       """WITH e AS (
@@ -3677,7 +3680,8 @@ object SparkEntry {
         |)
         |SELECT band, CAST(count(*) AS BIGINT) AS n_sample,
         |  CAST(sum(rd) AS BIGINT) AS est_count,
-        |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents
+        |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents,
+        |  CAST(sum(c * c * rd * (rd - 1)) AS BIGINT) AS est_var_cents2
         |FROM sm GROUP BY band ORDER BY band""".stripMargin,
     "aqp_error_report" ->
       """WITH est AS (

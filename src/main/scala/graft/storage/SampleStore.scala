@@ -34,12 +34,9 @@ object SampleStore {
 
   private val DayNs = 86400L * 1000000000L
 
-  /** Reserved self-description / lifecycle columns. `stratum_col` names
-    * the stratification column for stratified stores and is the empty
-    * string for uniform ones. */
-  private val ReservedCols: Set[String] =
-    Set("rate_den", "sample_col", "stratum_col", "batch_key",
-      WritableStore.PartitionCol)
+  // Reserved self-description / lifecycle columns riding every row:
+  // rate_den, sample_col, stratum_col (the stratification column's name;
+  // empty string for uniform stores), batch_key, __day.
 
   /** The membership predicate: first `prefixLen` hex chars of
     * `md5(cast(id as string))` all '0' — rate 1/16^prefixLen. Engine-
@@ -253,17 +250,24 @@ object SampleStore {
 
     /** Grouped estimates from the sample alone, in Horvitz-Thompson
       * form: per group, `n_sample` (the evidence),
-      * `est_count = Σ rate_den` and `est_sum_cents = Σ cents × rate_den`
-      * — each row stands in for exactly its inverse inclusion
-      * probability, so ONE estimator serves uniform stores (where it
-      * telescopes to `n × rate_den`) and stratified ones (where rates
-      * vary by stratum), in exact integer arithmetic a second engine
-      * reproduces bit for bit. The `[since, until)` scope applies BEFORE
-      * the replay dedup — duplicates are byte-identical rows, so the
-      * order is free, and the scope then lands as `__day` directory
-      * pruning on the store scan instead of dying above the dedup
-      * (dropDuplicates compiles to first()-aggregates whose outputs
-      * block pushdown; PlanAuditSpec pins the PartitionFilters). */
+      * `est_count = Σ rate_den`, `est_sum_cents = Σ cents × rate_den` —
+      * each row stands in for exactly its inverse inclusion probability,
+      * so ONE estimator serves uniform stores (where it telescopes to
+      * `n × rate_den`) and stratified ones (where rates vary by
+      * stratum) — plus `est_var_cents2 = Σ cents² × rd × (rd−1)`, the
+      * unbiased HT variance estimator of the sum under Bernoulli
+      * inclusion (σ of the estimate ≈ √var: the error bar a dashboard
+      * prints beside the number; EXACTLY ZERO for keep-all strata,
+      * which hold no sampling randomness). All exact integer arithmetic
+      * a second engine reproduces bit for bit; at extreme widths
+      * (cents² × rd² nearing 2^63) swap the emission to decimal — the
+      * estimator, not the width, is the contract here. The
+      * `[since, until)` scope applies BEFORE the replay dedup —
+      * duplicates are byte-identical rows, so the order is free, and
+      * the scope then lands as `__day` directory pruning on the store
+      * scan instead of dying above the dedup (dropDuplicates compiles
+      * to first()-aggregates whose outputs block pushdown; PlanAuditSpec
+      * pins the PartitionFilters). */
     def estimate(groupCols: Seq[String], valueCol: String,
         tsCol: String = "ts", since: Option[Long] = None,
         until: Option[Long] = None): DataFrame = {
@@ -284,7 +288,9 @@ object SampleStore {
         .groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_sample"),
           sum("rate_den").as("est_count"),
-          sum(col("__c") * col("rate_den")).as("est_sum_cents"))
+          sum(col("__c") * col("rate_den")).as("est_sum_cents"),
+          sum(col("__c") * col("__c") * col("rate_den") *
+            (col("rate_den") - 1)).as("est_var_cents2"))
     }
 
     /** Release a pinned sample (no-op if never pinned). */

@@ -27,13 +27,14 @@ class SampleStoreSpec extends AnyFunSuite {
     (0L until 400L).filter(i =>
       SparkTestBase.md5hex(i.toString).startsWith("0")).toSet
 
-  private def expected: Seq[(String, Long, Long, Long)] = {
+  private def expected: Seq[(String, Long, Long, Long, Long)] = {
     val rows = (0L until 400L).filter(memberIds).map { i =>
       (if (i % 2 == 0) "a" else "b",
         math.round(((i % 7).toDouble + 0.25) * 100))
     }
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
-      (g, rs.size.toLong, rs.size.toLong * 16L, rs.map(_._2).sum * 16L)
+      (g, rs.size.toLong, rs.size.toLong * 16L, rs.map(_._2).sum * 16L,
+        rs.map(x => x._2 * x._2).sum * 16L * 15L)
     }
   }
 
@@ -41,7 +42,8 @@ class SampleStoreSpec extends AnyFunSuite {
     SampleStore.estimate(spark, p, Seq("etype"), "value")
       .orderBy("etype").collect()
       .map(r => (r.getAs[String]("etype"), r.getAs[Long]("n_sample"),
-        r.getAs[Long]("est_count"), r.getAs[Long]("est_sum_cents"))).toSeq
+        r.getAs[Long]("est_count"), r.getAs[Long]("est_sum_cents"),
+        r.getAs[Long]("est_var_cents2"))).toSeq
 
   test("lifecycle: build + append + REPLAYED append + compact estimate " +
       "exactly the brute-force sample; day scoping prunes") {
@@ -83,11 +85,14 @@ class SampleStoreSpec extends AnyFunSuite {
     val est = SampleStore.open(spark, p).estimate(Seq("g"), "value")
       .orderBy("g").collect()
       .map(r => (r.getAs[String]("g"), r.getAs[Long]("n_sample"),
-        r.getAs[Long]("est_count"), r.getAs[Long]("est_sum_cents")))
+        r.getAs[Long]("est_count"), r.getAs[Long]("est_sum_cents"),
+        r.getAs[Long]("est_var_cents2")))
     assert(est.toSeq == Seq(
+      // keep-all strata carry ZERO sampling variance — the error bar
+      // says so exactly
       ("big", bigKept.size.toLong, bigKept.size * 16L,
-        bigKept.size * 100L * 16L),
-      ("small", 20L, 20L, 20L * 200L)))
+        bigKept.size * 100L * 16L, bigKept.size * 100L * 100L * 16L * 15L),
+      ("small", 20L, 20L, 20L * 200L, 0L)))
     // append under the FROZEN map: stored 1/16 for big, keep-all for a
     // stratum the map never saw
     val batch = ((2000L until 2100L).map(i => (i, Day, "big", 1.0))
