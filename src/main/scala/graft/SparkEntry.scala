@@ -171,6 +171,21 @@ object SparkEntry {
       p
     })
 
+  /** Per-dataset cache of the STRATIFIED sample store backing
+    * `aqp_stratified`/`aqp_quantiles`: exponential value-band strata, so
+    * per-stratum rates genuinely differ (rare bands keep all rows). */
+  private def aqpStratifiedPath(s: SparkSession, d: String): String =
+    modelStorePaths.computeIfAbsent(d + "#aqps", _ => {
+      val sp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-aqps-$processId-${dirTag(d)}").getPath
+      val ev = t(s, d, "events")
+        .withColumn("band", expr("cast(floor(value / 100) as long)"))
+      graft.storage.SampleStore.buildStratified(ev, sp,
+        idCol = "event_id", stratumCol = "band", minRows = 50L,
+        maxPrefixLen = 2)
+      sp
+    })
+
   /** Per-dataset cache of the TIERED counter layout backing
     * `rollup_counter_tiered`: its own fine store (tierOff trims it) plus
     * the daily coarse tier, the tier cycle run twice to prove the
@@ -903,19 +918,21 @@ object SparkEntry {
       // keep ALL), and the Horvitz-Thompson estimate stays exact
       // integer: the oracle re-derives the identical rate map from the
       // same raw counts and hash-matches every estimate
-      val p = modelStorePaths.computeIfAbsent(d + "#aqps", _ => {
-        val sp = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft-aqps-$processId-${dirTag(d)}").getPath
-        val ev = t(s, d, "events")
-          .withColumn("band", expr("cast(floor(value / 100) as long)"))
-        graft.storage.SampleStore.buildStratified(ev, sp,
-          idCol = "event_id", stratumCol = "band", minRows = 50L,
-          maxPrefixLen = 2)
-        sp
-      })
-      graft.storage.SampleStore.open(s, p)
+      graft.storage.SampleStore.open(s, aqpStratifiedPath(s, d))
         .estimate(Seq("band"), "value")
         .orderBy("band")
+    }),
+    "aqp_quantiles" -> ((s, d) => {
+      // quantile ESTIMATES from the stratified sample, grouped by a
+      // DIFFERENT axis than the strata — each event_type group spans
+      // value bands with different rates, so the Horvitz-Thompson
+      // weighting genuinely bites: percentile(c, p, rate_den) is the
+      // exact percentile of the multiset where each row repeats its
+      // inverse inclusion probability, and the oracle reproduces it by
+      // literally replicating the sampled rows
+      graft.storage.SampleStore.open(s, aqpStratifiedPath(s, d))
+        .estimateQuantile(Seq("event_type"), "value")
+        .orderBy("event_type")
     }),
     "aqp_error_report" -> ((s, d) => {
       // the honesty artifact an AQP surface must show beside every
@@ -3683,6 +3700,40 @@ object SparkEntry {
         |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents,
         |  CAST(sum(c * c * rd * (rd - 1)) AS BIGINT) AS est_var_cents2
         |FROM sm GROUP BY band ORDER BY band""".stripMargin,
+    // the weighted-quantile mirror: each sampled row REPLICATES rate_den
+    // times (unnest over range), then plain quantile_cont — exactly the
+    // multiset Spark's percentile(c, p, frequency) interpolates over
+    "aqp_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(floor(value / 100) AS BIGINT) AS band
+        |  FROM events
+        |), pm AS (
+        |  SELECT band,
+        |    CASE WHEN count(*) >= 50 * 256 THEN 2
+        |         WHEN count(*) >= 50 * 16 THEN 1 ELSE 0 END AS p
+        |  FROM e GROUP BY band
+        |), sm AS (
+        |  SELECT e.event_type,
+        |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    CASE pm.p WHEN 2 THEN 256 WHEN 1 THEN 16 ELSE 1 END AS rd
+        |  FROM e JOIN pm USING (band)
+        |  WHERE substr(md5(CAST(e.event_id AS VARCHAR)), 1, pm.p) =
+        |        substr('00000000', 1, pm.p)
+        |    AND CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |        IS NOT NULL
+        |), rep AS (
+        |  SELECT event_type, c
+        |  FROM (SELECT event_type, c, unnest(range(rd)) AS __i FROM sm)
+        |)
+        |SELECT event_type, n_sample, q25, q50, q75
+        |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample
+        |      FROM sm GROUP BY event_type)
+        |JOIN (SELECT event_type, quantile_cont(c, 0.25) AS q25,
+        |        quantile_cont(c, 0.5) AS q50,
+        |        quantile_cont(c, 0.75) AS q75
+        |      FROM rep GROUP BY event_type) USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "aqp_error_report" ->
       """WITH est AS (
         |  SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS est_count

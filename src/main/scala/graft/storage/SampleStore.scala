@@ -293,6 +293,48 @@ object SampleStore {
             (col("rate_den") - 1)).as("est_var_cents2"))
     }
 
+    /** Grouped QUANTILE estimates from the sample: the exact percentile
+      * of the multiset in which each sampled row repeats `rate_den`
+      * times — the Horvitz-Thompson-weighted empirical CDF, so one
+      * estimator serves uniform stores (where the constant weight
+      * cancels and it is the plain sample quantile) and stratified ones
+      * (where a group spanning strata weights each row by its inverse
+      * inclusion probability). Spark's `percentile(c, p, frequency)`
+      * computes exactly that replicated-multiset percentile; integer
+      * cents + dyadic `probs` keep the interpolation bit-exact, so a
+      * second engine reproduces every estimate by literally replicating
+      * the sample rows (the [[estimate]] exactness discipline on the
+      * quantile axis). Same scope-before-dedup contract as
+      * [[estimate]]. */
+    def estimateQuantile(groupCols: Seq[String], valueCol: String,
+        probs: Seq[Double] = Seq(0.25, 0.5, 0.75), tsCol: String = "ts",
+        since: Option[Long] = None, until: Option[Long] = None)
+        : DataFrame = {
+      require(groupCols.nonEmpty,
+        "estimateQuantile needs at least one group column")
+      require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1))
+      def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(nanos, DayNs)).toString
+      val conds =
+        since.map(v => col(tsCol) >= lit(v)).toSeq ++
+          until.map(v => col(tsCol) < lit(v)).toSeq ++
+          since.map(v =>
+            col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
+          until.map(v =>
+            col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
+      val qCols = probs.map { p =>
+        expr(s"percentile(__c, ${p}D, rate_den)")
+          .as(s"q${(p * 100).round}")
+      }
+      conds.reduceOption(_ && _).fold(rows)(rows.filter)
+        .dropDuplicates(idCol, "batch_key")
+        .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
+        .filter(col("__c").isNotNull)
+        .groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_sample"),
+          qCols: _*)
+    }
+
     /** Release a pinned sample (no-op if never pinned). */
     def close(): Unit = { rows.unpersist(); () }
   }

@@ -112,6 +112,39 @@ class SampleStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("STRATIFIED"))
   }
 
+  test("estimateQuantile: HT-weighted quantile equals the replicated " +
+      "brute-force multiset across strata") {
+    // ONE group spanning two strata with different rates — the weighting
+    // must bite: each kept big-stratum row stands in for 16 copies
+    val df = ((0L until 600L).map(i => (i, 0L, "big", 1.0))
+      ++ (1000L until 1020L).map(i => (i, 0L, "small", 9.0)))
+      .toDF("event_id", "ts", "g", "value")
+      .withColumn("grp", lit("all"))
+    val p = SparkTestBase.tempDir("graft-aqp-q") + "/store"
+    SampleStore.buildStratified(df, p, "event_id", "g", minRows = 30,
+      maxPrefixLen = 2)
+    val bigKept = (0L until 600L).count(i =>
+      SparkTestBase.md5hex(i.toString).startsWith("0"))
+    val multiset = Seq.fill(bigKept * 16)(100L) ++ Seq.fill(20)(900L)
+    def qCont(xs: Seq[Long], prob: Double): Double = {
+      val s = xs.sorted
+      val pos = prob * (s.size - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < s.size) s(lo) * (1 - frac) + s(lo + 1) * frac
+      else s(lo).toDouble
+    }
+    val r = SampleStore.open(spark, p)
+      .estimateQuantile(Seq("grp"), "value", probs = Seq(0.5, 0.75, 0.99))
+      .collect()(0)
+    assert(r.getAs[Long]("n_sample") == bigKept + 20)
+    assert(r.getAs[Double]("q50") == qCont(multiset, 0.5))
+    assert(r.getAs[Double]("q75") == qCont(multiset, 0.75))
+    // the tail quantile reaches the rare stratum's (fully kept) values
+    assert(r.getAs[Double]("q99") == qCont(multiset, 0.99))
+    assert(qCont(multiset, 0.99) > 100.0)
+  }
+
   test("guards: mixed rate, mixed id column, absent store all fail loudly") {
     val p = SparkTestBase.tempDir("graft-aqp-guard") + "/store"
     SampleStore.build(events, p, idCol = "event_id", prefixLen = 1)
