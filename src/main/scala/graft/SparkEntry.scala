@@ -922,6 +922,26 @@ object SparkEntry {
         .estimate(Seq("band"), "value")
         .orderBy("band")
     }),
+    "aqp_retained" -> ((s, d) => {
+      // retention on the sample tier: the trim drops whole day
+      // directories below the cutoff (run TWICE — idempotent), and
+      // estimates over the retained window equal the windowed oracle —
+      // a sample outliving the raw table's retention estimates nothing
+      // a query may legally read
+      val cutoff = ns("2024-01-10")
+      val p = modelStorePaths.computeIfAbsent(d + "#aqpr", _ => {
+        val sp = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-aqpr-$processId-${dirTag(d)}").getPath
+        graft.storage.SampleStore.build(t(s, d, "events"), sp,
+          idCol = "event_id")
+        graft.storage.SampleStore.trimBelow(s, sp, cutoff)
+        graft.storage.SampleStore.trimBelow(s, sp, cutoff) // retry: no-op
+        sp
+      })
+      graft.storage.SampleStore.open(s, p)
+        .estimate(Seq("event_type"), "value", since = Some(cutoff))
+        .orderBy("event_type")
+    }),
     "aqp_quantiles" -> ((s, d) => {
       // quantile ESTIMATES from the stratified sample, grouped by a
       // DIFFERENT axis than the strata — each event_type group spans
@@ -3700,6 +3720,19 @@ object SparkEntry {
         |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents,
         |  CAST(sum(c * c * rd * (rd - 1)) AS BIGINT) AS est_var_cents2
         |FROM sm GROUP BY band ORDER BY band""".stripMargin,
+    "aqp_retained" ->
+      s"""WITH sm AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events
+         |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+         |    AND epoch_ns(ts) >= ${ns("2024-01-10")}
+         |)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+         |  CAST(count(*) * 16 AS BIGINT) AS est_count,
+         |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c) * 16 * 15 AS BIGINT) AS est_var_cents2
+         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the weighted-quantile mirror: each sampled row REPLICATES rate_den
     // times (unnest over range), then plain quantile_cont — exactly the
     // multiset Spark's percentile(c, p, frequency) interpolates over

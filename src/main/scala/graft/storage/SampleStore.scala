@@ -376,6 +376,32 @@ object SampleStore {
       since: Option[Long] = None, until: Option[Long] = None): DataFrame =
     open(spark, path).estimate(groupCols, valueCol, tsCol, since, until)
 
+  /** Drop sampled days strictly below `cutoff` ts-nanos — the retention
+    * trim on the sample tier (a sample outliving the raw table's own
+    * retention estimates nothing a query may legally read). Cutoffs must
+    * be day-aligned so every trim is a whole-`__day` directory drop
+    * (O(days dropped), never a rewrite of the retained window) — the
+    * same day-floored-cutoff rule [[RollupStore.applyRetention]] keeps
+    * its trims on the fast path with; the store does not carry the ts
+    * column's NAME, so a sub-day trim has nothing exact to filter on and
+    * is rejected rather than approximated. Idempotent: a retried trim
+    * finds the days already gone. */
+  def trimBelow(spark: SparkSession, path: String, cutoff: Long): Unit = {
+    require(Math.floorMod(cutoff, DayNs) == 0,
+      "sample-store trims are whole-day directory drops — day-floor the " +
+        "cutoff (the applyRetention discipline)")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val dayDirs = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+      path, s"${WritableStore.PartitionCol}=*"))).getOrElse(Array.empty)
+    val cutDay = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(cutoff, DayNs)).toString
+    dayDirs.filter(_.getPath.getName.stripPrefix(
+        s"${WritableStore.PartitionCol}=") < cutDay)
+      .foreach(d => fs.delete(d.getPath, true))
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Rewrite accumulated per-batch files into one file per day — the IO
     * compaction that caps file-listing cost, doubling as the durable
     * replay repair (quiesce appends first). Batch keys are PRESERVED as

@@ -145,6 +145,28 @@ class SampleStoreSpec extends AnyFunSuite {
     assert(qCont(multiset, 0.99) > 100.0)
   }
 
+  test("trimBelow: whole-day directory drops, idempotent, retained-window " +
+      "estimates unchanged; sub-day cutoff rejected") {
+    val p = SparkTestBase.tempDir("graft-aqp-trim") + "/store"
+    SampleStore.build(events, p, idCol = "event_id") // spans 2 days
+    def dayDirs = new java.io.File(p).listFiles()
+      .count(_.getName.startsWith("__day="))
+    def d2est = SampleStore.open(spark, p)
+      .estimate(Seq("etype"), "value", since = Some(Day))
+      .orderBy("etype").collect().toSeq
+    assert(dayDirs == 2)
+    val before = d2est
+    SampleStore.trimBelow(spark, p, Day)
+    assert(dayDirs == 1, "day-0 directory should be gone")
+    assert(d2est == before, "retained-window estimate changed")
+    SampleStore.trimBelow(spark, p, Day) // retry: idempotent no-op
+    assert(dayDirs == 1 && d2est == before)
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.trimBelow(spark, p, Day + 1)
+    }
+    assert(e.getMessage.contains("day-floor"))
+  }
+
   test("guards: mixed rate, mixed id column, absent store all fail loudly") {
     val p = SparkTestBase.tempDir("graft-aqp-guard") + "/store"
     SampleStore.build(events, p, idCol = "event_id", prefixLen = 1)
