@@ -651,23 +651,29 @@ object ScaleProbe {
         f"speedup=${ta / tb}%5.2f")
     }
     if (sel("aqp_vs_exact")) {
-      // the AQP read-path claim as an A/B on the SAME evK× data: exact
-      // grouped aggregate over raw vs an estimate from the OPENED sample
-      // store — the serving shape is open-once/estimate-many (metadata
-      // validation + replay dedup price in at open; the pinned sample is
-      // 1/16 the rows, sized to fit where raw cannot), so the per-query
-      // cost under comparison is one aggregation over 1/16 the data
+      // the AQP SERVING claim as an A/B on the SAME evK× data: a burst
+      // of 20 grouped aggregates answered exactly from raw vs estimated
+      // from ONE pinned open of the 1/16 sample (the
+      // open-once/estimate-many dashboard shape — metadata validation
+      // prices in once, every estimate reads the in-memory sample).
+      // Single-shot wall times flip with page-cache state at this toy
+      // scale (bytes are KB either way; at 100 TB the 1/rate byte ratio
+      // IS the claim); the burst amortizes the noise and measures the
+      // serving pattern a dashboard actually issues
       val p = s"$work/aqp_${evK}x"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
       graft.storage.SampleStore.build(evScaled, p, idCol = "event_id")
       val h = graft.storage.SampleStore.open(spark, p, pin = true)
-      def exact(): Long = evScaled
-        .withColumn("__c", graft.operators.TsOps.centsExpr("value"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("__c").as("sc")).count()
-      def est(): Long =
+      def exact(): Long = (1 to 20).map { _ =>
+        evScaled
+          .withColumn("__c", graft.operators.TsOps.centsExpr("value"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("__c").as("sc")).count()
+      }.sum
+      def est(): Long = (1 to 20).map { _ =>
         h.estimate(Seq("event_type"), "value").count()
-      reportPair("aqp_vs_exact", exact(), est(), "exact", "sample")
+      }.sum
+      reportPair("aqp_vs_exact", exact(), est(), "exact20", "sample20")
       h.close()
     }
     if (sel("tiering_trim")) {

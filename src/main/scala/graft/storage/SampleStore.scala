@@ -246,7 +246,8 @@ object SampleStore {
     * posture: the sample is sized to fit where raw cannot — 100 TB raw
     * at 1/256 is cluster-cache-sized, and every estimate then reads
     * memory, not the lake). */
-  final case class SampleHandle(rows: DataFrame, idCol: String) {
+  final case class SampleHandle(rows: DataFrame, idCol: String,
+      preDeduped: Boolean = false) {
 
     /** Grouped estimates from the sample alone, in Horvitz-Thompson
       * form: per group, `n_sample` (the evidence),
@@ -268,11 +269,12 @@ object SampleStore {
       * scan instead of dying above the dedup (dropDuplicates compiles
       * to first()-aggregates whose outputs block pushdown; PlanAuditSpec
       * pins the PartitionFilters). */
-    def estimate(groupCols: Seq[String], valueCol: String,
-        tsCol: String = "ts", since: Option[Long] = None,
-        until: Option[Long] = None): DataFrame = {
-      require(groupCols.nonEmpty,
-        "estimate needs at least one group column")
+    /** Scoped, replay-deduped rows — the shared front half. A
+      * `preDeduped` (pinned) handle already collapsed replays at open,
+      * so each estimate is ONE aggregation with no dedup shuffle: at
+      * dashboard burst rates the per-query stage count is the cost. */
+    private def scoped(tsCol: String, since: Option[Long],
+        until: Option[Long]): DataFrame = {
       def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
         Math.floorDiv(nanos, DayNs)).toString
       val conds =
@@ -282,8 +284,16 @@ object SampleStore {
             col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
           until.map(v =>
             col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
-      conds.reduceOption(_ && _).fold(rows)(rows.filter)
-        .dropDuplicates(idCol, "batch_key")
+      val sc = conds.reduceOption(_ && _).fold(rows)(rows.filter)
+      if (preDeduped) sc else sc.dropDuplicates(idCol, "batch_key")
+    }
+
+    def estimate(groupCols: Seq[String], valueCol: String,
+        tsCol: String = "ts", since: Option[Long] = None,
+        until: Option[Long] = None): DataFrame = {
+      require(groupCols.nonEmpty,
+        "estimate needs at least one group column")
+      scoped(tsCol, since, until)
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
         .groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_sample"),
@@ -313,21 +323,11 @@ object SampleStore {
       require(groupCols.nonEmpty,
         "estimateQuantile needs at least one group column")
       require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1))
-      def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
-        Math.floorDiv(nanos, DayNs)).toString
-      val conds =
-        since.map(v => col(tsCol) >= lit(v)).toSeq ++
-          until.map(v => col(tsCol) < lit(v)).toSeq ++
-          since.map(v =>
-            col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
-          until.map(v =>
-            col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
       val qCols = probs.map { p =>
         expr(s"percentile(__c, ${p}D, rate_den)")
           .as(s"q${(p * 100).round}")
       }
-      conds.reduceOption(_ && _).fold(rows)(rows.filter)
-        .dropDuplicates(idCol, "batch_key")
+      scoped(tsCol, since, until)
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
         .filter(col("__c").isNotNull)
         .groupBy(groupCols.map(col): _*)
@@ -366,7 +366,22 @@ object SampleStore {
           s"${rates.map(r => s"1/${r.getLong(0)}").mkString(", ")} — a " +
           "uniform store holds exactly one")
     }
-    SampleHandle(if (pin) df.persist() else df, meta(0).getString(0))
+    // the pinned serving copy pays the replay dedup ONCE and compacts to
+    // core-count partitions: a day-partitioned store tree reads as one
+    // micro-partition per day file and the dedup is a whole shuffle
+    // stage, so an un-prepared pin would charge a dashboard burst
+    // hundreds of near-empty task launches PLUS a dedup stage per
+    // estimate — one open-time pass buys every later estimate a single
+    // core-sized aggregation (the dedup-before-scope swap is exact:
+    // replays are byte-identical rows, so scoping the deduped frame
+    // equals deduping the scoped one)
+    val idCol = meta(0).getString(0)
+    SampleHandle(
+      if (pin) df.dropDuplicates(idCol, "batch_key")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .persist()
+      else df,
+      idCol, preDeduped = pin)
   }
 
   /** One-shot convenience: open cold, estimate once. Serving layers
