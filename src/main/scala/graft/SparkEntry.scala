@@ -942,6 +942,40 @@ object SparkEntry {
         .estimate(Seq("event_type"), "value", since = Some(cutoff))
         .orderBy("event_type")
     }),
+    "stream_aqp_stratified" -> ((s, d) => {
+      // the STRATIFIED sample tier maintained by the stream: rates
+      // freeze on the seed half-month at build (the BlinkDB offline
+      // plan), micro-batches of the second half sample themselves under
+      // the FROZEN map — strata the seed never saw keep ALL their rows
+      // (the rare-band tail at sf0.01 exercises exactly that path) —
+      // and the oracle re-derives the seed-frozen map + keep-all
+      // fallback from raw, hash-matching every estimate
+      Tables.configure(s)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-saqps-$processId-${dirTag(d)}")
+      if (base.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(base)
+      val p = new java.io.File(base, "store").getPath
+      val split = ns("2024-01-16")
+      val bandExpr = expr("cast(floor(value / 100) as long)")
+      val ev = t(s, d, "events").withColumn("band", bandExpr)
+      graft.storage.SampleStore.buildStratified(
+        ev.filter(col("ts") < split), p, idCol = "event_id",
+        stratumCol = "band", minRows = 50L, maxPrefixLen = 2)
+      val src = eventStream(s, d)
+        .withColumn("band", bandExpr)
+        .filter(col("ts") >= split) // batches PARTITION the source
+      val qy = graft.streaming.StreamIngest.sampleIngestStratified(src,
+        p, new java.io.File(base, "ck").getPath, idCol = "event_id")
+      if (!qy.awaitTermination(300000)) {
+        qy.stop()
+        throw new IllegalStateException(
+          "stream_aqp_stratified: ingest did not finish")
+      }
+      graft.storage.SampleStore.open(s, p)
+        .estimate(Seq("band"), "value")
+        .orderBy("band")
+    }),
     "aqp_quantiles" -> ((s, d) => {
       // quantile ESTIMATES from the stratified sample, grouped by a
       // DIFFERENT axis than the strata — each event_type group spans
@@ -3733,6 +3767,35 @@ object SparkEntry {
          |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents,
          |  CAST(sum(c * c) * 16 * 15 AS BIGINT) AS est_var_cents2
          |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the seed-frozen stratified mirror: rates derive from the FIRST
+    // half-month's counts only (the map freezes at build), every event
+    // row samples under that map, and strata absent from the seed fall
+    // back to keep-all (p = 0) — the appendStratified contract
+    "stream_aqp_stratified" ->
+      s"""WITH e AS (
+         |  SELECT event_id, value, epoch_ns(ts) AS tsn,
+         |    CAST(floor(value / 100) AS BIGINT) AS band
+         |  FROM events
+         |), pm AS (
+         |  SELECT band,
+         |    CASE WHEN count(*) >= 50 * 256 THEN 2
+         |         WHEN count(*) >= 50 * 16 THEN 1 ELSE 0 END AS p
+         |  FROM e WHERE tsn < ${ns("2024-01-16")} GROUP BY band
+         |), sm AS (
+         |  SELECT e.band,
+         |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    CASE coalesce(pm.p, 0) WHEN 2 THEN 256 WHEN 1 THEN 16
+         |      ELSE 1 END AS rd
+         |  FROM e LEFT JOIN pm USING (band)
+         |  WHERE substr(md5(CAST(e.event_id AS VARCHAR)), 1,
+         |          coalesce(pm.p, 0)) =
+         |        substr('00000000', 1, coalesce(pm.p, 0))
+         |)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_sample,
+         |  CAST(sum(rd) AS BIGINT) AS est_count,
+         |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c * rd * (rd - 1)) AS BIGINT) AS est_var_cents2
+         |FROM sm GROUP BY band ORDER BY band""".stripMargin,
     // the weighted-quantile mirror: each sampled row REPLICATES rate_den
     // times (unnest over range), then plain quantile_cont — exactly the
     // multiset Spark's percentile(c, p, frequency) interpolates over

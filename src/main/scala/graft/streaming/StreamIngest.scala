@@ -1601,6 +1601,28 @@ object StreamIngest {
       .start()
   }
 
+  /** Stream-maintained STRATIFIED sample tier: each micro-batch samples
+    * itself under the store's FROZEN stratum→rate map
+    * ([[graft.storage.SampleStore.appendStratified]] mines it from the
+    * stored rows per batch — metadata-sized; strata the map never saw
+    * keep ALL their rows) and appends under a replay-stable key. Same
+    * exactness argument as [[sampleIngest]]: membership is a pure
+    * function of (id, frozen rate), so a crash-replay re-samples
+    * byte-identical rows that collapse in the read-side dedup, and
+    * estimates from the streamed store equal the batch build + batch
+    * appends over the same rows. */
+  def sampleIngestStratified(stream: DataFrame, path: String,
+      checkpointDir: String, idCol: String, tsCol: String = "ts",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.storage.SampleStore.appendStratified(batch, path,
+          sketchBatchKey(checkpointDir, batchId), idCol, tsCol)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
   /** The replay-stable identity of one sketch-ingest micro-batch: a hash
     * of the checkpoint location (md5 prefix — the same verbatim string
     * must be passed on restart, the standard Structured Streaming
