@@ -161,12 +161,17 @@ object SparkEntry {
         s"graft-aqp-$processId-${dirTag(dir)}/store").getPath
       val ev = t(s, dir, "events")
       val split = ns("2024-01-16")
+      // bits = 5 → rate 1/32: deliberately NOT a power of 16, pinning
+      // the bit-level ladder (the old hex-char ladder could only jump
+      // 1/16 → 1/256) through the whole lifecycle + oracle mirror
       graft.storage.SampleStore.build(
-        ev.filter(col("ts") < split), p, idCol = "event_id")
+        ev.filter(col("ts") < split), p, idCol = "event_id", bits = 5)
       graft.storage.SampleStore.append(
-        ev.filter(col("ts") >= split), p, "b#1", idCol = "event_id")
+        ev.filter(col("ts") >= split), p, "b#1", idCol = "event_id",
+        bits = 5)
       graft.storage.SampleStore.append( // at-least-once redelivery
-        ev.filter(col("ts") >= split), p, "b#1", idCol = "event_id")
+        ev.filter(col("ts") >= split), p, "b#1", idCol = "event_id",
+        bits = 5)
       graft.storage.SampleStore.compact(s, p)
       p
     })
@@ -182,7 +187,7 @@ object SparkEntry {
         .withColumn("band", expr("cast(floor(value / 100) as long)"))
       graft.storage.SampleStore.buildStratified(ev, sp,
         idCol = "event_id", stratumCol = "band", minRows = 50L,
-        maxPrefixLen = 2)
+        maxBits = 8)
       sp
     })
 
@@ -488,6 +493,14 @@ object SparkEntry {
     * Spark and DuckDB regardless of summation order. */
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** The stratified sample tier's bits ladder (minRows = 50, maxBits = 8)
+    * as DuckDB SQL — the largest b with count ≥ 50·2^b, the exact mirror
+    * of [[graft.storage.SampleStore]]'s integer CASE. */
+  private val DuckBitsLadder: String =
+    "CASE " + (8 to 1 by -1).map(b =>
+      s"WHEN count(*) >= 50 * ${1L << b} THEN $b ").mkString +
+      "ELSE 0 END"
 
   /** Shared builder of the grouping-set revenue queries — one body for
     * ROLLUP and CUBE so the shape (casts, markers, joins) cannot drift
@@ -888,13 +901,14 @@ object SparkEntry {
     }),
     "aqp_event_stats" -> ((s, d) => {
       // approximate query processing from the deterministic at-rest
-      // sample tier (1/16 by md5-prefix membership): grouped counts and
-      // cents sums estimated as sample-aggregate × 16 — an exact integer
-      // scale-up of a reproducible sample, so the ESTIMATES themselves
-      // hash-match the DuckDB mirror (which re-derives the same sample
-      // from raw). The store behind it is built + appended +
-      // REPLAY-appended + compacted: the estimate sees each sampled row
-      // exactly once through the whole lifecycle
+      // sample tier (1/32 by md5 bit-prefix membership — a rate the old
+      // hex ladder could not express): grouped counts and cents sums
+      // estimated as sample-aggregate × 32 — an exact integer scale-up
+      // of a reproducible sample, so the ESTIMATES themselves hash-match
+      // the DuckDB mirror (which re-derives the same sample from raw).
+      // The store behind it is built + appended + REPLAY-appended +
+      // compacted: the estimate sees each sampled row exactly once
+      // through the whole lifecycle
       graft.storage.SampleStore.estimate(s, aqpStorePath(s, d),
           Seq("event_type"), "value")
         .orderBy("event_type")
@@ -961,7 +975,7 @@ object SparkEntry {
       val ev = t(s, d, "events").withColumn("band", bandExpr)
       graft.storage.SampleStore.buildStratified(
         ev.filter(col("ts") < split), p, idCol = "event_id",
-        stratumCol = "band", minRows = 50L, maxPrefixLen = 2)
+        stratumCol = "band", minRows = 50L, maxBits = 8)
       val src = eventStream(s, d)
         .withColumn("band", bandExpr)
         .filter(col("ts") >= split) // batches PARTITION the source
@@ -1017,7 +1031,8 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteDirectory(base)
       val p = new java.io.File(base, "store").getPath
       val qy = graft.streaming.StreamIngest.sampleIngest(eventStream(s, d),
-        p, new java.io.File(base, "ck").getPath, idCol = "event_id")
+        p, new java.io.File(base, "ck").getPath, idCol = "event_id",
+        bits = 5)
       if (!qy.awaitTermination(300000)) {
         qy.stop()
         throw new IllegalStateException(
@@ -3703,63 +3718,66 @@ object SparkEntry {
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the oracle re-derives the SAME deterministic sample from raw (the
-    // md5-prefix membership is engine-portable) and applies the same
-    // integer scale-up — the estimates hash-match exactly
+    // md5 bit-prefix membership — the first-8-hex-chars value below
+    // 2^(32-bits) — is engine-portable) and applies the same integer
+    // scale-up — the estimates hash-match exactly. bits = 5 → rate 1/32,
+    // deliberately not a power of 16 (the bit ladder's whole point)
     "aqp_event_stats" ->
       """WITH sm AS (
         |  SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
         |  FROM events
-        |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+        |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT < (CAST(1 AS BIGINT) << 27)
         |)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
-        |  CAST(count(*) * 16 AS BIGINT) AS est_count,
-        |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents,
-        |  CAST(sum(c * c) * 16 * 15 AS BIGINT) AS est_var_cents2
+        |  CAST(count(*) * 32 AS BIGINT) AS est_count,
+        |  CAST(sum(c) * 32 AS BIGINT) AS est_sum_cents,
+        |  CAST(sum(c * c) * 32 * 31 AS BIGINT) AS est_var_cents2
         |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
     "aqp_window" ->
       s"""WITH sm AS (
          |  SELECT event_type,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
          |  FROM events
-         |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+         |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT < (CAST(1 AS BIGINT) << 27)
          |    AND epoch_ns(ts) >= ${ns("2024-01-10")}
          |    AND epoch_ns(ts) < ${ns("2024-01-20")}
          |)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
-         |  CAST(count(*) * 16 AS BIGINT) AS est_count,
-         |  CAST(sum(c) * 16 AS BIGINT) AS est_sum_cents,
-         |  CAST(sum(c * c) * 16 * 15 AS BIGINT) AS est_var_cents2
+         |  CAST(count(*) * 32 AS BIGINT) AS est_count,
+         |  CAST(sum(c) * 32 AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c) * 32 * 31 AS BIGINT) AS est_var_cents2
          |FROM sm GROUP BY event_type ORDER BY event_type""".stripMargin,
     "aqp_stratified" ->
-      """WITH e AS (
-        |  SELECT event_id, value,
-        |    CAST(floor(value / 100) AS BIGINT) AS band
-        |  FROM events
-        |), pm AS (
-        |  SELECT band,
-        |    CASE WHEN count(*) >= 50 * 256 THEN 2
-        |         WHEN count(*) >= 50 * 16 THEN 1 ELSE 0 END AS p
-        |  FROM e GROUP BY band
-        |), sm AS (
-        |  SELECT e.band,
-        |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
-        |    CASE pm.p WHEN 2 THEN 256 WHEN 1 THEN 16 ELSE 1 END AS rd
-        |  FROM e JOIN pm USING (band)
-        |  WHERE substr(md5(CAST(e.event_id AS VARCHAR)), 1, pm.p) =
-        |        substr('00000000', 1, pm.p)
-        |)
-        |SELECT band, CAST(count(*) AS BIGINT) AS n_sample,
-        |  CAST(sum(rd) AS BIGINT) AS est_count,
-        |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents,
-        |  CAST(sum(c * c * rd * (rd - 1)) AS BIGINT) AS est_var_cents2
-        |FROM sm GROUP BY band ORDER BY band""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT event_id, value,
+         |    CAST(floor(value / 100) AS BIGINT) AS band
+         |  FROM events
+         |), pm AS (
+         |  SELECT band, $DuckBitsLadder AS p
+         |  FROM e GROUP BY band
+         |), sm AS (
+         |  SELECT e.band,
+         |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    (CAST(1 AS BIGINT) << pm.p) AS rd
+         |  FROM e JOIN pm USING (band)
+         |  WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT < (CAST(1 AS BIGINT) << (32 - pm.p))
+         |)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_sample,
+         |  CAST(sum(rd) AS BIGINT) AS est_count,
+         |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c * rd * (rd - 1)) AS BIGINT) AS est_var_cents2
+         |FROM sm GROUP BY band ORDER BY band""".stripMargin,
     "aqp_retained" ->
       s"""WITH sm AS (
          |  SELECT event_type,
          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
          |  FROM events
-         |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+         |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT < (CAST(1 AS BIGINT) << 28)
          |    AND epoch_ns(ts) >= ${ns("2024-01-10")}
          |)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
@@ -3777,19 +3795,16 @@ object SparkEntry {
          |    CAST(floor(value / 100) AS BIGINT) AS band
          |  FROM events
          |), pm AS (
-         |  SELECT band,
-         |    CASE WHEN count(*) >= 50 * 256 THEN 2
-         |         WHEN count(*) >= 50 * 16 THEN 1 ELSE 0 END AS p
+         |  SELECT band, $DuckBitsLadder AS p
          |  FROM e WHERE tsn < ${ns("2024-01-16")} GROUP BY band
          |), sm AS (
          |  SELECT e.band,
          |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
-         |    CASE coalesce(pm.p, 0) WHEN 2 THEN 256 WHEN 1 THEN 16
-         |      ELSE 1 END AS rd
+         |    (CAST(1 AS BIGINT) << coalesce(pm.p, 0)) AS rd
          |  FROM e LEFT JOIN pm USING (band)
-         |  WHERE substr(md5(CAST(e.event_id AS VARCHAR)), 1,
-         |          coalesce(pm.p, 0)) =
-         |        substr('00000000', 1, coalesce(pm.p, 0))
+         |  WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT <
+         |        (CAST(1 AS BIGINT) << (32 - coalesce(pm.p, 0)))
          |)
          |SELECT band, CAST(count(*) AS BIGINT) AS n_sample,
          |  CAST(sum(rd) AS BIGINT) AS est_count,
@@ -3800,25 +3815,23 @@ object SparkEntry {
     // times (unnest over range), then plain quantile_cont — exactly the
     // multiset Spark's percentile(c, p, frequency) interpolates over
     "aqp_quantiles" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type, value,
-        |    CAST(floor(value / 100) AS BIGINT) AS band
-        |  FROM events
-        |), pm AS (
-        |  SELECT band,
-        |    CASE WHEN count(*) >= 50 * 256 THEN 2
-        |         WHEN count(*) >= 50 * 16 THEN 1 ELSE 0 END AS p
-        |  FROM e GROUP BY band
-        |), sm AS (
-        |  SELECT e.event_type,
-        |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
-        |    CASE pm.p WHEN 2 THEN 256 WHEN 1 THEN 16 ELSE 1 END AS rd
-        |  FROM e JOIN pm USING (band)
-        |  WHERE substr(md5(CAST(e.event_id AS VARCHAR)), 1, pm.p) =
-        |        substr('00000000', 1, pm.p)
-        |    AND CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |        IS NOT NULL
-        |), rep AS (
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, value,
+         |    CAST(floor(value / 100) AS BIGINT) AS band
+         |  FROM events
+         |), pm AS (
+         |  SELECT band, $DuckBitsLadder AS p
+         |  FROM e GROUP BY band
+         |), sm AS (
+         |  SELECT e.event_type,
+         |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    (CAST(1 AS BIGINT) << pm.p) AS rd
+         |  FROM e JOIN pm USING (band)
+         |  WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT < (CAST(1 AS BIGINT) << (32 - pm.p))
+         |    AND CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |        IS NOT NULL
+         |), rep AS (
         |  SELECT event_type, c
         |  FROM (SELECT event_type, c, unnest(range(rd)) AS __i FROM sm)
         |)
@@ -3832,9 +3845,10 @@ object SparkEntry {
         |ORDER BY event_type""".stripMargin,
     "aqp_error_report" ->
       """WITH est AS (
-        |  SELECT event_type, CAST(count(*) * 16 AS BIGINT) AS est_count
+        |  SELECT event_type, CAST(count(*) * 32 AS BIGINT) AS est_count
         |  FROM events
-        |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) = '0'
+        |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT < (CAST(1 AS BIGINT) << 27)
         |  GROUP BY event_type
         |), ex AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact

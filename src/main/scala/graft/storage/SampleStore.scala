@@ -5,150 +5,167 @@ import org.apache.spark.sql.functions._
 
 /** At-rest DETERMINISTIC sample tier — approximate query processing the
   * BlinkDB way, minus the nondeterminism: membership is a pure function
-  * of the row's id (`md5(id)` hex prefix all-zero at `prefixLen` chars →
-  * kept, rate 1/16^prefixLen), so the sample is reproducible by any
-  * engine from the same raw table, every estimate is EXACTLY
-  * `sample-aggregate × rate_den` (integer cents, no float scale-up
-  * drift), and re-sampling a replayed batch yields byte-identical rows.
-  * The reference answers every aggregate from raw samples
-  * (`zikeiretsu/src/tsdb/query/executor/mod.rs`); a sampled serving tier
-  * is the standard at-scale extension SURVEY.md §2.4 sanctions — at
-  * 100 TB an exploratory GROUP BY reads the GB-sized sample, not the
-  * table, and the error is the textbook √(1/n_sample) of a uniform
-  * hash sample.
+  * of the row's id (the first `bits` BITS of `md5(id)` all zero → kept,
+  * rate 1/2^bits), so the sample is reproducible by any engine from the
+  * same raw table, every estimate is EXACTLY `sample-aggregate ×
+  * rate_den` (integer cents, no float scale-up drift), and re-sampling a
+  * replayed batch yields byte-identical rows. The bit ladder (1/2, 1/4,
+  * 1/8, …) replaces the round-10 hex-char ladder (1/16, 1/256) whose 16×
+  * jumps forced a 1%-target sample to be 6× too big or 2.5× too thin;
+  * every old rate (16^p = 2^4p) is still expressible, so the semantics
+  * strictly refine. The reference answers every aggregate from raw
+  * samples (`zikeiretsu/src/tsdb/query/executor/mod.rs`); a sampled
+  * serving tier is the standard at-scale extension SURVEY.md §2.4
+  * sanctions — at 100 TB an exploratory GROUP BY reads the GB-sized
+  * sample, not the table, and the error is the textbook √(1/n_sample) of
+  * a uniform hash sample.
   *
   * Layout: ONE parquet tree of sampled RAW rows + self-description
-  * (`rate_den`, `sample_col` — the [[CounterStore]] `bucket_ns`
-  * discipline: readers fail loudly on a mixed-rate or mixed-id store
-  * instead of silently mis-scaling) + `batch_key`, partitioned by
-  * `__day` from the row's ts (aligned write: repartition on `__day`
-  * first, one file per day directory). Ingest follows the store
-  * discipline everywhere else: [[build]] publishes atomically under
-  * `batch_key = "base"`; [[append]] lands one producer batch under a
-  * replay-stable key — an at-least-once redelivery re-samples the SAME
-  * rows (membership is deterministic), and readers drop duplicate
-  * `(id, batch_key)` rows before aggregating. [[compact]] folds the
-  * accumulated per-batch files, capping listing cost.
+  * (`rate_den`, `sample_col`, `ts_col` — the [[CounterStore]]
+  * `bucket_ns` discipline: readers fail loudly on a mixed-rate or
+  * mixed-id store instead of silently mis-scaling, and the time scope
+  * always reads the column the `__day` partitions were DERIVED from) +
+  * `batch_key`, partitioned by `__day` from the row's ts (aligned
+  * write: repartition on `__day` first, one file per day directory).
+  * Ingest follows the store discipline everywhere else: [[build]]
+  * publishes atomically under `batch_key = "base"`; [[append]] lands
+  * one producer batch under a replay-stable key — an at-least-once
+  * redelivery re-samples the SAME rows (membership is deterministic),
+  * and readers drop duplicate `(id, batch_key)` rows before
+  * aggregating. [[compact]] folds the accumulated per-batch files,
+  * capping listing cost.
   */
 object SampleStore {
 
   private val DayNs = 86400L * 1000000000L
 
   // Reserved self-description / lifecycle columns riding every row:
-  // rate_den, sample_col, stratum_col (the stratification column's name;
-  // empty string for uniform stores), batch_key, __day.
+  // rate_den, sample_col (the sampled-id column's name), ts_col (the
+  // time column the __day partitions derive from), stratum_col (the
+  // stratification column's name; empty string for uniform stores),
+  // batch_key, __day.
 
-  /** The membership predicate: first `prefixLen` hex chars of
-    * `md5(cast(id as string))` all '0' — rate 1/16^prefixLen. Engine-
-    * portable (DuckDB: `substr(md5(CAST(id AS VARCHAR)), 1, p) = '0…0'`),
-    * deterministic, and uncorrelated with any data column. */
-  def memberExpr(idCol: String, prefixLen: Int): Column = {
-    require(prefixLen >= 1 && prefixLen <= 8,
-      s"prefixLen $prefixLen out of range: rates below 16^-8 keep nothing")
-    substring(md5(col(idCol).cast("string")), 1, prefixLen) ===
-      lit("0" * prefixLen)
+  /** The first 32 bits of `md5(cast(id as string))` as an unsigned long
+    * — the shared membership hash. Engine-portable: DuckDB spells it
+    * `('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT`. */
+  private def hash32(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** The membership predicate: first `bits` BITS of `md5(id)` all zero
+    * ⇔ the first-8-hex-chars value sits below `2^(32-bits)` — rate
+    * 1/2^bits. Deterministic, engine-portable (hex compare needs no bit
+    * ops DuckDB lacks), and uncorrelated with any data column. */
+  def memberExpr(idCol: String, bits: Int): Column = {
+    require(bits >= 1 && bits <= 32,
+      s"sample bits $bits out of range [1, 32]")
+    hash32(idCol) < lit(1L << (32 - bits))
   }
 
-  /** [[memberExpr]] with a PER-ROW prefix length column (the stratified
-    * path; `p = 0` keeps everything — `substr(x, 1, 0) = ''` in both
-    * engines). */
-  private def memberExprVar(idCol: String, pCol: String): Column =
-    expr(s"substr(md5(cast($idCol as string)), 1, $pCol) = " +
-      s"substr('00000000', 1, $pCol)")
+  /** [[memberExpr]] with a PER-ROW bits column (the stratified path;
+    * `bits = 0` keeps everything). Built from Column expressions — a
+    * sampled-id column needing quoting (dot, dash, space) resolves like
+    * any other reference instead of breaking SQL-string parsing. */
+  private def memberExprVar(idCol: String, bitsCol: String): Column =
+    hash32(idCol) < call_function("shiftleft", lit(1L),
+      lit(32) - col(bitsCol))
 
-  /** The scale-up factor 16^prefixLen. */
-  def rateDen(prefixLen: Int): Long = {
-    require(prefixLen >= 0 && prefixLen <= 8)
-    (1 to prefixLen).foldLeft(1L)((a, _) => a * 16L)
+  /** The scale-up factor 2^bits. */
+  def rateDen(bits: Int): Long = {
+    require(bits >= 0 && bits <= 32)
+    1L << bits
   }
 
-  /** 16^p as a Column over a per-row prefix-length column. */
-  private def rateDenCol(pCol: String): Column =
-    (0 to 8).foldLeft(lit(null).cast("long")) { (acc, p) =>
-      when(col(pCol) === p, lit(rateDen(p))).otherwise(acc)
-    }
+  /** 2^bits as a Column over a per-row bits column. */
+  private def rateDenCol(bitsCol: String): Column =
+    call_function("shiftleft", lit(1L), col(bitsCol)).cast("long")
 
   private def stamp(df: DataFrame, idCol: String, tsCol: String,
       batchKey: String, stratumCol: String): DataFrame =
     df
       .withColumn("sample_col", lit(idCol))
+      .withColumn("ts_col", lit(tsCol))
       .withColumn("stratum_col", lit(stratumCol))
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, date_from_unix_date(
-        expr(s"(($tsCol) - pmod($tsCol, ${DayNs}L)) div ${DayNs}L")
+        // backticked: a ts column named e.g. `event.ts` must resolve,
+        // not parse as a field access
+        expr(s"((`$tsCol`) - pmod(`$tsCol`, ${DayNs}L)) div ${DayNs}L")
           .cast("int")).cast("string"))
       .repartition(col(WritableStore.PartitionCol))
 
   private def canonical(df: DataFrame, idCol: String, tsCol: String,
-      prefixLen: Int, batchKey: String): DataFrame = {
+      bits: Int, batchKey: String): DataFrame = {
     require(df.columns.contains(idCol) && df.columns.contains(tsCol),
       s"sample source lacks $idCol/$tsCol")
-    stamp(df.filter(memberExpr(idCol, prefixLen))
-        .withColumn("rate_den", lit(rateDen(prefixLen))),
+    stamp(df.filter(memberExpr(idCol, bits))
+        .withColumn("rate_den", lit(rateDen(bits))),
       idCol, tsCol, batchKey, stratumCol = "")
   }
 
   /** Build a sample store in one atomic publish (two-rename; a crash
-    * leaves a complete store). */
+    * leaves a complete store). `bits = 4` keeps 1/16. */
   def build(df: DataFrame, path: String, idCol: String,
-      tsCol: String = "ts", prefixLen: Int = 1): Unit =
+      tsCol: String = "ts", bits: Int = 4): Unit =
     AtomicDir.publish(df.sparkSession, path, "sample store") { tmp =>
-      canonical(df, idCol, tsCol, prefixLen, "base")
+      canonical(df, idCol, tsCol, bits, "base")
         .write.partitionBy(WritableStore.PartitionCol).parquet(tmp)
     }
 
-  /** Append one producer batch's rows under a replay-stable key. Rate
-    * and id-column validation mirror [[CounterStore.append]]'s SEPARATE
-    * grain/key gates; a long-lived streaming appender probes once at
-    * stream start ([[graft.streaming.StreamIngest.sampleIngest]]).
+  /** Append one producer batch's rows under a replay-stable key. Rate,
+    * id-column, and ts-column validation mirror [[CounterStore.append]]'s
+    * SEPARATE grain/key gates; a long-lived streaming appender probes
+    * once at stream start ([[graft.streaming.StreamIngest.sampleIngest]]).
     * Producer contract (every at-rest tier here shares it): batches
     * PARTITION the source — the same row redelivered under the same key
     * collapses in the read-side dedup, but the same row sent under TWO
     * keys is a producer bug this store cannot repair (raw rows have no
     * additive fold to absorb it). */
   def append(df: DataFrame, path: String, batchKey: String, idCol: String,
-      tsCol: String = "ts", prefixLen: Int = 1,
+      tsCol: String = "ts", bits: Int = 4,
       validateRate: Boolean = true): Unit = {
-    if (validateRate) requireRate(df.sparkSession, path, prefixLen, idCol,
-      "append")
-    canonical(df, idCol, tsCol, prefixLen, batchKey)
+    if (validateRate) requireRate(df.sparkSession, path, bits, idCol,
+      tsCol, "append")
+    canonical(df, idCol, tsCol, bits, batchKey)
       .write.mode("append").partitionBy(WritableStore.PartitionCol)
       .parquet(path)
   }
 
-  /** Per-stratum prefix length: the largest `p ≤ maxPrefixLen` with
-    * `count(stratum) ≥ minRows × 16^p` — every stratum keeps an expected
-    * `minRows`-plus sample however small it is (p = 0 keeps ALL rows of
-    * a rare stratum), while huge strata thin 16^p×. Pure integer CASE
+  /** Per-stratum bits: the largest `b ≤ maxBits` with
+    * `count(stratum) ≥ minRows × 2^b` — every stratum keeps an expected
+    * `minRows`-plus sample however small it is (b = 0 keeps ALL rows of
+    * a rare stratum), while huge strata thin 2^b×. Pure integer CASE
     * over the stratum counts, so a second engine derives the identical
     * rate map from the same raw table. */
-  private def prefixLenCol(nCol: String, minRows: Long,
-      maxPrefixLen: Int): Column =
-    // ascending fold: the LAST-folded (largest) p becomes the OUTERMOST
-    // when(), so the biggest qualifying prefix wins
-    (1 to maxPrefixLen).foldLeft(lit(0)) { (acc, p) =>
-      when(col(nCol) >= lit(minRows) * lit(rateDen(p)), lit(p))
+  private def bitsLadderCol(nCol: String, minRows: Long,
+      maxBits: Int): Column =
+    // ascending fold: the LAST-folded (largest) b becomes the OUTERMOST
+    // when(), so the biggest qualifying bits wins
+    (1 to maxBits).foldLeft(lit(0)) { (acc, b) =>
+      when(col(nCol) >= lit(minRows) * lit(rateDen(b)), lit(b))
         .otherwise(acc)
     }
 
   /** Build a STRATIFIED sample store — the BlinkDB observation: a
     * uniform rate starves rare strata exactly where per-group answers
     * need evidence most. Rates derive from the stratum counts at build
-    * time ([[prefixLenCol]]) and ride every row as `rate_den`, so the
-    * Horvitz-Thompson estimate in [[SampleHandle.estimate]] stays exact
-    * integer. The stratum→rate map FREEZES at build (the BlinkDB offline
-    * sample-planning posture): [[appendStratified]] reuses the stored
-    * map, never re-derives it from a batch's own counts. */
+    * time ([[bitsLadderCol]], a 2× ladder — a stratum lands within 2×
+    * of its `minRows` evidence target instead of the old ladder's 16×)
+    * and ride every row as `rate_den`, so the Horvitz-Thompson estimate
+    * in [[SampleHandle.estimate]] stays exact integer. The stratum→rate
+    * map FREEZES at build (the BlinkDB offline sample-planning posture):
+    * [[appendStratified]] reuses the stored map, never re-derives it
+    * from a batch's own counts. */
   def buildStratified(df: DataFrame, path: String, idCol: String,
-      stratumCol: String, minRows: Long, maxPrefixLen: Int = 2,
+      stratumCol: String, minRows: Long, maxBits: Int = 8,
       tsCol: String = "ts"): Unit = {
     require(df.columns.contains(stratumCol),
       s"sample source lacks stratum column $stratumCol")
-    require(minRows >= 1 && maxPrefixLen >= 1 && maxPrefixLen <= 8)
+    require(minRows >= 1 && maxBits >= 1 && maxBits <= 32)
     val rates = df.groupBy(stratumCol)
       .agg(count(lit(1)).as("__n"))
       .select(col(stratumCol),
-        prefixLenCol("__n", minRows, maxPrefixLen).as("__p"))
+        bitsLadderCol("__n", minRows, maxBits).as("__p"))
     // a null stratum would silently vanish (null keys never equi-join,
     // identically in both engines) — make the caller derive a non-null
     // stratum column instead of losing rows
@@ -169,30 +186,41 @@ object SampleStore {
     * stratum→rate map mined from the stored rows (one metadata-sized
     * distinct) — re-deriving rates from the batch's own counts would
     * mis-scale every mixed read. Strata the map has never seen keep ALL
-    * their rows (p = 0, the `minRows` intent for brand-new rare strata);
-    * re-plan the store offline when a new stratum grows large. */
+    * their rows (bits = 0, the `minRows` intent for brand-new rare
+    * strata); re-plan the store offline when a new stratum grows
+    * large. */
   def appendStratified(df: DataFrame, path: String, batchKey: String,
       idCol: String, tsCol: String = "ts"): Unit = {
     val spark = df.sparkSession
     val stored = readable(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"appendStratified: no stratified store at $path (build first)"))
-    val meta = stored.select("sample_col", "stratum_col").distinct()
-      .collect()
+    val meta = stored.select("sample_col", "stratum_col", "ts_col")
+      .distinct().collect()
     require(meta.length == 1 && meta(0).getString(1).nonEmpty,
       s"appendStratified: store at $path is not a stratified store")
     require(meta(0).getString(0) == idCol,
       s"appendStratified: store at $path sampled on " +
         s"${meta(0).getString(0)}; this writer samples on $idCol")
+    require(meta(0).getString(2) == tsCol,
+      s"appendStratified: store at $path partitions time on " +
+        s"${meta(0).getString(2)}; this writer stamps $tsCol — one " +
+        "store holds exactly one time column")
     val stratumCol = meta(0).getString(1)
+    // the same producer mistake buildStratified rejects loudly must not
+    // degrade to a silent keep-all here (null never joins the rate map,
+    // coalesce→1 would admit every null-stratum row at rate 1)
+    require(df.filter(col(stratumCol).isNull).isEmpty,
+      s"appendStratified: batch holds null $stratumCol rows — derive a " +
+        "non-null stratum column before appending")
     val rateMap = stored.select(col(stratumCol), col("rate_den"))
       .distinct()
     require(rateMap.groupBy(stratumCol).count()
         .filter(col("count") > 1).isEmpty,
       s"sample store at $path holds mixed per-stratum rates")
-    // invert rate_den → prefix length by explicit CASE (never float log)
-    val pFromRate = (0 to 8).foldLeft(lit(null).cast("int")) { (acc, p) =>
-      when(col("rate_den") === rateDen(p), lit(p)).otherwise(acc)
+    // invert rate_den → bits by explicit CASE (never float log)
+    val pFromRate = (0 to 32).foldLeft(lit(null).cast("int")) { (acc, b) =>
+      when(col("rate_den") === rateDen(b), lit(b)).otherwise(acc)
     }
     stamp(df.join(rateMap, Seq(stratumCol), "left")
         .withColumn("rate_den", coalesce(col("rate_den"), lit(1L)))
@@ -204,25 +232,30 @@ object SampleStore {
       .parquet(path)
   }
 
-  /** Fail loudly when an existing store's rate, sampled-id column, or
-    * stratification differs — appending a different membership function
-    * would silently mis-scale every later estimate. */
+  /** Fail loudly when an existing store's rate, sampled-id column, time
+    * column, or stratification differs — appending a different
+    * membership function would silently mis-scale every later estimate,
+    * and a different time column would mis-partition it. */
   private[graft] def requireRate(spark: SparkSession, path: String,
-      prefixLen: Int, idCol: String, context: String): Unit =
+      bits: Int, idCol: String, tsCol: String, context: String): Unit =
     readable(spark, path).foreach { df =>
-      df.select("rate_den", "sample_col", "stratum_col").distinct()
-        .collect().foreach { r =>
+      df.select("rate_den", "sample_col", "stratum_col", "ts_col")
+        .distinct().collect().foreach { r =>
           require(r.getString(2).isEmpty,
             s"$context: sample store at $path is STRATIFIED on " +
               s"${r.getString(2)}; use appendStratified")
-          require(r.getLong(0) == rateDen(prefixLen),
+          require(r.getLong(0) == rateDen(bits),
             s"$context: sample store at $path holds 1/${r.getLong(0)} " +
-              s"rows; appending 1/${rateDen(prefixLen)} rows would mix " +
+              s"rows; appending 1/${rateDen(bits)} rows would mix " +
               "rates in one store")
           require(r.getString(1) == idCol,
             s"$context: sample store at $path sampled on " +
               s"${r.getString(1)}; this writer samples on $idCol — one " +
               "store holds exactly one membership function")
+          require(r.getString(3) == tsCol,
+            s"$context: sample store at $path partitions time on " +
+              s"${r.getString(3)}; this writer stamps $tsCol — one " +
+              "store holds exactly one time column")
         }
     }
 
@@ -245,9 +278,11 @@ object SampleStore {
     * once, and `pin = true` persists the sampled rows (the BlinkDB
     * posture: the sample is sized to fit where raw cannot — 100 TB raw
     * at 1/256 is cluster-cache-sized, and every estimate then reads
-    * memory, not the lake). */
+    * memory, not the lake). `tsCol` is the store's own self-described
+    * time column — the one the `__day` partitions derive from, so a
+    * time scope can never silently prune against a different column. */
   final case class SampleHandle(rows: DataFrame, idCol: String,
-      preDeduped: Boolean = false) {
+      tsCol: String, preDeduped: Boolean = false) {
 
     /** Grouped estimates from the sample alone, in Horvitz-Thompson
       * form: per group, `n_sample` (the evidence),
@@ -273,7 +308,7 @@ object SampleStore {
       * `preDeduped` (pinned) handle already collapsed replays at open,
       * so each estimate is ONE aggregation with no dedup shuffle: at
       * dashboard burst rates the per-query stage count is the cost. */
-    private def scoped(tsCol: String, since: Option[Long],
+    private def scoped(since: Option[Long],
         until: Option[Long]): DataFrame = {
       def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
         Math.floorDiv(nanos, DayNs)).toString
@@ -289,11 +324,11 @@ object SampleStore {
     }
 
     def estimate(groupCols: Seq[String], valueCol: String,
-        tsCol: String = "ts", since: Option[Long] = None,
+        since: Option[Long] = None,
         until: Option[Long] = None): DataFrame = {
       require(groupCols.nonEmpty,
         "estimate needs at least one group column")
-      scoped(tsCol, since, until)
+      scoped(since, until)
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
         .groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_sample"),
@@ -317,17 +352,23 @@ object SampleStore {
       * quantile axis). Same scope-before-dedup contract as
       * [[estimate]]. */
     def estimateQuantile(groupCols: Seq[String], valueCol: String,
-        probs: Seq[Double] = Seq(0.25, 0.5, 0.75), tsCol: String = "ts",
+        probs: Seq[Double] = Seq(0.25, 0.5, 0.75),
         since: Option[Long] = None, until: Option[Long] = None)
         : DataFrame = {
       require(groupCols.nonEmpty,
         "estimateQuantile needs at least one group column")
       require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1))
-      val qCols = probs.map { p =>
-        expr(s"percentile(__c, ${p}D, rate_den)")
-          .as(s"q${(p * 100).round}")
+      val labels = probs.map(p => s"q${(p * 100).round}")
+      // two probs rounding to the same percent would emit duplicate
+      // column names in one aggregate — ambiguous to select from
+      require(labels.distinct.length == labels.length,
+        s"estimateQuantile: probs ${probs.mkString(", ")} collide on " +
+          s"rounded labels ${labels.mkString(", ")} — keep probs at " +
+          "least a percent apart (or aggregate twice)")
+      val qCols = probs.zip(labels).map { case (p, l) =>
+        expr(s"percentile(__c, ${p}D, rate_den)").as(l)
       }
-      scoped(tsCol, since, until)
+      scoped(since, until)
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
         .filter(col("__c").isNotNull)
         .groupBy(groupCols.map(col): _*)
@@ -340,31 +381,46 @@ object SampleStore {
   }
 
   /** Open a sample store: ONE metadata pass validates the membership
-    * self-description — exactly one (sampled-id, stratum) pair, and for
-    * uniform stores exactly one rate (a mis-rated concurrent writer
-    * fails the read, never mis-scales it; stratified stores carry
-    * per-stratum rates by design, validated per-stratum at build).
-    * `pin = true` persists the sampled rows for estimate-many serving.
-    * The replay dedup runs per estimate AFTER the time scope (see
-    * [[SampleHandle.estimate]]) — over sample-sized rows it is the cheap
-    * half of the aggregation. */
+    * self-description — exactly one (sampled-id, stratum, ts) triple;
+    * for uniform stores exactly one rate, for stratified ones exactly
+    * one rate PER STRATUM (a mis-rated concurrent writer fails the
+    * read, never mis-scales it). `pin = true` persists the sampled rows
+    * for estimate-many serving. The replay dedup runs per estimate
+    * AFTER the time scope (see [[SampleHandle.estimate]]) — over
+    * sample-sized rows it is the cheap half of the aggregation. */
   def open(spark: SparkSession, path: String,
       pin: Boolean = false): SampleHandle = {
     val df = readable(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"sample store at $path is absent or empty"))
-    val meta = df.select("sample_col", "stratum_col").distinct().collect()
+    val meta = df.select("sample_col", "stratum_col", "ts_col")
+      .distinct().collect()
     require(meta.nonEmpty, s"sample store at $path is empty")
     if (meta.length > 1) throw new IllegalStateException(
       s"sample store at $path holds MIXED membership functions " +
-        s"${meta.map(r => s"(${r.getString(0)}/${r.getString(1)})")
-          .mkString(", ")} — one store holds exactly one")
-    if (meta(0).getString(1).isEmpty) {
+        s"${meta.map(r => s"(${r.getString(0)}/${r.getString(1)}/" +
+          s"${r.getString(2)})").mkString(", ")} — one store holds " +
+        "exactly one")
+    val stratumCol = meta(0).getString(1)
+    if (stratumCol.isEmpty) {
       val rates = df.select("rate_den").distinct().collect()
       if (rates.length > 1) throw new IllegalStateException(
         s"sample store at $path holds MIXED rates " +
           s"${rates.map(r => s"1/${r.getLong(0)}").mkString(", ")} — a " +
           "uniform store holds exactly one")
+    } else {
+      // per-stratum single rate at READ time, mirroring
+      // appendStratified's write-side guard — a mis-rated concurrent
+      // writer (or manual parquet append) fails the open, never
+      // mis-scales an estimate
+      val perStratum = df.select(col(stratumCol), col("rate_den"))
+        .distinct().collect()
+      val dupes = perStratum.groupBy(_.get(0)).filter(_._2.length > 1)
+      if (dupes.nonEmpty) throw new IllegalStateException(
+        s"sample store at $path holds MIXED rates within " +
+          s"strat${if (dupes.size == 1) "um" else "a"} " +
+          s"${dupes.keys.mkString(", ")} — each stratum holds exactly " +
+          "one rate")
     }
     // the pinned serving copy pays the replay dedup ONCE and compacts to
     // core-count partitions: a day-partitioned store tree reads as one
@@ -381,15 +437,15 @@ object SampleStore {
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .persist()
       else df,
-      idCol, preDeduped = pin)
+      idCol, meta(0).getString(2), preDeduped = pin)
   }
 
   /** One-shot convenience: open cold, estimate once. Serving layers
     * should [[open]] once (pinned) and estimate many. */
   def estimate(spark: SparkSession, path: String, groupCols: Seq[String],
-      valueCol: String, tsCol: String = "ts",
+      valueCol: String,
       since: Option[Long] = None, until: Option[Long] = None): DataFrame =
-    open(spark, path).estimate(groupCols, valueCol, tsCol, since, until)
+    open(spark, path).estimate(groupCols, valueCol, since, until)
 
   /** Drop sampled days strictly below `cutoff` ts-nanos — the retention
     * trim on the sample tier (a sample outliving the raw table's own
@@ -397,10 +453,10 @@ object SampleStore {
     * be day-aligned so every trim is a whole-`__day` directory drop
     * (O(days dropped), never a rewrite of the retained window) — the
     * same day-floored-cutoff rule [[RollupStore.applyRetention]] keeps
-    * its trims on the fast path with; the store does not carry the ts
-    * column's NAME, so a sub-day trim has nothing exact to filter on and
-    * is rejected rather than approximated. Idempotent: a retried trim
-    * finds the days already gone. */
+    * its trims on the fast path with; a sub-day trim would have to
+    * filter on `ts_col` inside the retained edge day and is rejected
+    * rather than approximated. Idempotent: a retried trim finds the
+    * days already gone. */
   def trimBelow(spark: SparkSession, path: String, cutoff: Long): Unit = {
     require(Math.floorMod(cutoff, DayNs) == 0,
       "sample-store trims are whole-day directory drops — day-floor the " +

@@ -1586,14 +1586,14 @@ object StreamIngest {
     * accumulated file); the read side's uniform-rate guard backstops a
     * concurrent mis-rated writer. */
   def sampleIngest(stream: DataFrame, path: String, checkpointDir: String,
-      idCol: String, tsCol: String = "ts", prefixLen: Int = 1,
+      idCol: String, tsCol: String = "ts", bits: Int = 4,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     graft.storage.SampleStore.requireRate(stream.sparkSession, path,
-      prefixLen, idCol, "sampleIngest")
+      bits, idCol, tsCol, "sampleIngest")
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.storage.SampleStore.append(batch, path,
-          sketchBatchKey(checkpointDir, batchId), idCol, tsCol, prefixLen,
+          sketchBatchKey(checkpointDir, batchId), idCol, tsCol, bits,
           validateRate = false)
       }
       .option("checkpointLocation", checkpointDir)

@@ -73,8 +73,9 @@ class SampleStoreSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "g", "value")
     val p = SparkTestBase.tempDir("graft-aqp-strat") + "/store"
     SampleStore.buildStratified(df, p, "event_id", "g", minRows = 30,
-      maxPrefixLen = 2)
-    // big: 600 >= 30*16 -> p=1 (1/16); small: 20 < 480 -> p=0 (keep ALL)
+      maxBits = 8)
+    // big: 600 >= 30*2^4 -> bits=4 (1/16), and 600 < 30*2^5 stops the
+    // ladder there; small: 20 < 60 -> bits=0 (keep ALL)
     val rows = spark.read.parquet(p)
     val rates = rows.select("g", "rate_den").distinct().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -122,7 +123,7 @@ class SampleStoreSpec extends AnyFunSuite {
       .withColumn("grp", lit("all"))
     val p = SparkTestBase.tempDir("graft-aqp-q") + "/store"
     SampleStore.buildStratified(df, p, "event_id", "g", minRows = 30,
-      maxPrefixLen = 2)
+      maxBits = 8)
     val bigKept = (0L until 600L).count(i =>
       SparkTestBase.md5hex(i.toString).startsWith("0"))
     val multiset = Seq.fill(bigKept * 16)(100L) ++ Seq.fill(20)(900L)
@@ -167,12 +168,13 @@ class SampleStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("day-floor"))
   }
 
-  test("guards: mixed rate, mixed id column, absent store all fail loudly") {
+  test("guards: mixed rate, mixed id column, mixed ts column, absent " +
+      "store all fail loudly") {
     val p = SparkTestBase.tempDir("graft-aqp-guard") + "/store"
-    SampleStore.build(events, p, idCol = "event_id", prefixLen = 1)
+    SampleStore.build(events, p, idCol = "event_id", bits = 4)
     val eRate = intercept[IllegalArgumentException] {
       SampleStore.append(events, p, "b#2", idCol = "event_id",
-        prefixLen = 2)
+        bits = 8)
     }
     assert(eRate.getMessage.contains("mix rates"))
     val eCol = intercept[IllegalArgumentException] {
@@ -180,8 +182,88 @@ class SampleStoreSpec extends AnyFunSuite {
         .withColumn("event_id", col("eid")), p, "b#3", idCol = "eid")
     }
     assert(eCol.getMessage.contains("membership function"))
+    val eTs = intercept[IllegalArgumentException] {
+      SampleStore.append(events.withColumn("ts2", col("ts")), p, "b#4",
+        idCol = "event_id", tsCol = "ts2", bits = 4)
+    }
+    assert(eTs.getMessage.contains("time column"))
     intercept[IllegalArgumentException] {
       SampleStore.estimate(spark, p + "-absent", Seq("etype"), "value")
     }
+  }
+
+  test("bit-level rates: a 1/8 store (bits = 3, not a power of 16) " +
+      "matches the brute-force bit-prefix membership exactly") {
+    val p = SparkTestBase.tempDir("graft-aqp-bits") + "/store"
+    SampleStore.build(events, p, idCol = "event_id", bits = 3)
+    // first 3 bits of md5 zero <=> first-8-hex-chars value < 2^29
+    val kept = (0L until 400L).filter { i =>
+      java.lang.Long.parseLong(
+        SparkTestBase.md5hex(i.toString).substring(0, 8), 16) < (1L << 29)
+    }
+    val rows = spark.read.parquet(p)
+    assert(rows.select("event_id").collect().map(_.getLong(0)).toSet ==
+      kept.toSet)
+    assert(rows.select("rate_den").distinct().head().getLong(0) == 8L)
+    val total = SampleStore.estimate(spark, p, Seq("etype"), "value")
+      .agg(sum("n_sample"), sum("est_count")).head()
+    assert(total.getLong(0) == kept.size.toLong)
+    assert(total.getLong(1) == kept.size * 8L)
+  }
+
+  test("stratified bit ladder: strata land within 2x of the minRows " +
+      "evidence target instead of the hex ladder's 16x") {
+    // 30*2^3=240 <= 250 < 480=30*2^4 -> bits=3 (rate 1/8): a rate the
+    // hex-char ladder (16^p) could never pick
+    val df = (0L until 250L).map(i => (i, 0L, "mid", 1.0))
+      .toDF("event_id", "ts", "g", "value")
+    val p = SparkTestBase.tempDir("graft-aqp-ladder") + "/store"
+    SampleStore.buildStratified(df, p, "event_id", "g", minRows = 30,
+      maxBits = 8)
+    val rates = spark.read.parquet(p).select("rate_den").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(rates == Seq(8L))
+  }
+
+  test("null-stratum batches are rejected at append, mirroring build") {
+    val df = (0L until 100L).map(i => (i, 0L, "g1", 1.0))
+      .toDF("event_id", "ts", "g", "value")
+    val p = SparkTestBase.tempDir("graft-aqp-nullstrat") + "/store"
+    SampleStore.buildStratified(df, p, "event_id", "g", minRows = 10,
+      maxBits = 4)
+    val bad = Seq((9000L, 0L, null.asInstanceOf[String], 1.0))
+      .toDF("event_id", "ts", "g", "value")
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.appendStratified(bad, p, "b1", "event_id")
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("open() rejects a stratified store with mixed per-stratum rates " +
+      "(a mis-rated writer fails the read, never mis-scales it)") {
+    val df = (0L until 200L).map(i => (i, 0L, "g1", 1.0))
+      .toDF("event_id", "ts", "g", "value")
+    val p = SparkTestBase.tempDir("graft-aqp-misrate") + "/store"
+    SampleStore.buildStratified(df, p, "event_id", "g", minRows = 10,
+      maxBits = 4)
+    // simulate a mis-rated writer: rewrite one stored row's rate_den
+    val rows = spark.read.parquet(p)
+    rows.limit(1).withColumn("rate_den", lit(2L))
+      .write.mode("append").partitionBy("__day").parquet(p)
+    val e = intercept[IllegalStateException] {
+      SampleStore.open(spark, p)
+    }
+    assert(e.getMessage.contains("MIXED rates within"))
+  }
+
+  test("estimateQuantile rejects probs colliding on rounded labels") {
+    val p = SparkTestBase.tempDir("graft-aqp-qlabel") + "/store"
+    SampleStore.build(events, p, idCol = "event_id")
+    val e = intercept[IllegalArgumentException] {
+      SampleStore.open(spark, p)
+        .estimateQuantile(Seq("etype"), "value",
+          probs = Seq(0.251, 0.2549))
+    }
+    assert(e.getMessage.contains("collide"))
   }
 }
