@@ -1018,6 +1018,22 @@ object SparkEntry {
           expr("abs(est_count - n_exact) * 1000 div n_exact"))
         .orderBy("event_type")
     }),
+    "rollup_route_aqp" -> ((s, d) => {
+      // the two serving tiers COMPOSED — the actual dashboard contract
+      // at 100 TB (coarse-first, error-bounded drill-in): a 1440-point
+      // budget over one day fits a 1-minute grain, finer than the
+      // stored 1h buckets, so the budget beats every exact tier and the
+      // router answers from the 1/32 sample store with source="sample",
+      // rate_den, and the HT variance bar riding the columns — where
+      // route() would have re-aggregated the raw table. The oracle
+      // re-derives the same sample and buckets it identically, so the
+      // routed ESTIMATES hash-match
+      Tables.configure(s)
+      graft.storage.RollupStore.routeSampled(s, rollupStore1h(s, d),
+          aqpStorePath(s, d), ns("2024-01-05"), ns("2024-01-06"),
+          maxPoints = 1440)
+        .orderBy("bucket_ts")
+    }),
     "stream_aqp_ingest" -> ((s, d) => {
       // the sample tier MAINTAINED BY the stream: membership is a pure
       // function of the row id (zero state), micro-batches append their
@@ -3859,6 +3875,29 @@ object SparkEntry {
         |    AS err_permille
         |FROM est JOIN ex USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // the routed fine zoom: 1-minute buckets of the 1/32 sample over
+    // one day — grain and bounds are the router's own arithmetic
+    // (span 86400e9 / 1440 points = 60e9, day-aligned so widening is
+    // the identity), mirrored here as literals
+    "rollup_route_aqp" ->
+      s"""WITH sm AS (
+         |  SELECT (epoch_ns(ts) - epoch_ns(ts) % 60000000000)
+         |      AS bucket_ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events
+         |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT < (CAST(1 AS BIGINT) << 27)
+         |    AND epoch_ns(ts) >= ${ns("2024-01-05")}
+         |    AND epoch_ns(ts) < ${ns("2024-01-06")}
+         |)
+         |SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n_sample,
+         |  CAST(count(*) * 32 AS BIGINT) AS est_count,
+         |  CAST(sum(c) * 32 AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c) * 32 * 31 AS BIGINT) AS est_var_cents2,
+         |  CAST(32 AS BIGINT) AS rate_den,
+         |  CAST(60000000000 AS BIGINT) AS grain_ns,
+         |  'sample' AS source
+         |FROM sm GROUP BY bucket_ts ORDER BY bucket_ts""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -162,9 +162,12 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     *   "distinctCol":"uid", "histBoundsCents":[...], "tsCol", "valueCol"
     *   (optional)}`.
     * raw + 1 store → route; raw + N stores → routeCascade; N ≥ 2 stores
-    * without raw → routeStoreCascade (the raw-less mirror lifecycle).
-    * The response carries `grain_ns` and `source` like the in-process
-    * routers — a dashboard sees which tier answered. */
+    * without raw → routeStoreCascade (the raw-less mirror lifecycle);
+    * `"sample":"/sampleStore"` + 1 store without raw → routeSampled (the
+    * AQP composition: fine zooms answer from the deterministic sample
+    * with `rate_den` and the `est_var_cents2` error bar riding the
+    * columns). The response carries `grain_ns` and `source` like the
+    * in-process routers — a dashboard sees which tier answered. */
   private def routeFrame(line: String): org.apache.spark.sql.DataFrame = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
@@ -193,14 +196,21 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     val valueCol = optStr("valueCol").getOrElse("value")
     val spark = engine.spark
     import graft.storage.RollupStore
-    (raw, stores) match {
-      case (Some(r), Seq(one)) =>
+    val sample = optStr("sample")
+    (sample, raw, stores) match {
+      case (Some(sm), None, Seq(one)) =>
+        RollupStore.routeSampled(spark, one, sm, since, until,
+          maxPoints, valueCol)
+      case (Some(_), _, _) => throw new IllegalArgumentException(
+        "a 'sample' route takes exactly one store and no 'raw' — the " +
+          "sample tier IS the fine-zoom source")
+      case (None, Some(r), Seq(one)) =>
         RollupStore.route(spark, one, spark.read.parquet(r), since, until,
           maxPoints, valueCol, tsCol, distinctCol, 12, hist, keyFilter)
-      case (Some(r), many) =>
+      case (None, Some(r), many) =>
         RollupStore.routeCascade(spark, r, many, since, until, maxPoints,
           valueCol, tsCol, distinctCol, 12, hist, keyFilter)
-      case (None, many) if many.size >= 2 =>
+      case (None, None, many) if many.size >= 2 =>
         RollupStore.routeStoreCascade(spark, many, since, until,
           maxPoints, keyFilter)
       case _ => throw new IllegalArgumentException(

@@ -682,6 +682,70 @@ object RollupStore {
     }
   }
 
+  /** Budget router with the AQP SAMPLE tier as the fine-zoom source —
+    * the composition of the two serving tiers: a budget the exact store
+    * can satisfy (target grain at or above the stored bucket width)
+    * answers EXACTLY from the store's partition-pruned KB rows; a budget
+    * demanding finer-than-stored resolution — where [[route]] would fall
+    * back to re-aggregating the raw table — answers from the
+    * deterministic [[SampleStore]] instead, reading 1/rate_den of the
+    * bytes (at 100 TB: the dashboard drill-in that would otherwise scan
+    * terabytes reads the GB-sized sample). ONE schema across every zoom
+    * so a dashboard never re-binds columns: `(bucket_ts, n_sample,
+    * est_count, est_sum_cents, est_var_cents2, rate_den, grain_ns,
+    * source)` — exact answers carry `rate_den = 1` and a ZERO variance
+    * bar (an exact count has no sampling randomness), sampled answers
+    * carry the store's rate and the unbiased Horvitz-Thompson variance
+    * of the sum (σ ≈ √var: the error bar printed beside the number).
+    * Serves the complete-mirror lifecycle: a tiered (horizon-bearing)
+    * store fails loudly — its post-horizon range lives in raw, which
+    * this router deliberately does not read; route/routeCascade own the
+    * tiered lifecycles. Keyed stores likewise route through [[route]]
+    * (the sample tier holds raw rows, not series partials). */
+  def routeSampled(spark: SparkSession, storePath: String,
+      samplePath: String, since: Long, until: Long, maxPoints: Int,
+      valueCol: String = "value"): DataFrame = {
+    require(until > since, s"routeSampled: empty range [$since, $until)")
+    require(maxPoints >= 1, "routeSampled needs a positive point budget")
+    val live = new org.apache.hadoop.fs.Path(storePath)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    AtomicDir.recover(fs, live, "rollup store")
+    graft.pipeline.Similarity.recoverCompact(fs, live)
+    val stored = checkedRead(spark, storePath)
+    val bucketNs = storeBucketNs(stored, storePath)
+    require(keyColsOf(stored).isEmpty,
+      "routeSampled serves unkeyed stores — keyed dashboards route " +
+        "through route()'s key pushdown; slice the sample by group " +
+        "columns via SampleHandle.estimate instead")
+    require(tierHorizon(stored).isEmpty,
+      "routeSampled serves a complete-mirror store — this store has a " +
+        "tier horizon, so its post-horizon samples live in raw, which " +
+        "this router does not read; use route()/routeCascade() for the " +
+        "tiered lifecycle")
+    val span = until - since
+    val target = math.max(1L, (span + maxPoints - 1) / maxPoints)
+    val gRaw = fitGrain(since, until, maxPoints, target, identity)
+    if (gRaw >= bucketNs) {
+      val toMult = (g: Long) => ((g + bucketNs - 1) / bucketNs) * bucketNs
+      val g = fitGrain(since, until, maxPoints, toMult(gRaw), toMult)
+      val (lo, hi) = widenTo(since, until, g)
+      mergeFold(scopedFrame(stored, Some(lo), Some(hi)), g,
+          uniformWidth = true)
+        .select(col("bucket_ts"), col("n").as("n_sample"),
+          col("n").as("est_count"),
+          (col("sum_c") * 100).cast("long").as("est_sum_cents"),
+          lit(0L).as("est_var_cents2"), lit(1L).as("rate_den"))
+        .withColumn("grain_ns", lit(g))
+        .withColumn("source", lit("store"))
+    } else {
+      val (lo, hi) = widenTo(since, until, gRaw)
+      SampleStore.open(spark, samplePath)
+        .estimateTimeBuckets(gRaw, valueCol, Some(lo), Some(hi))
+        .withColumn("grain_ns", lit(gRaw))
+        .withColumn("source", lit("sample"))
+    }
+  }
+
   /** Age-based downsample tiering — the retention-policy lifecycle a TSDB
     * runs nightly: samples older than `cutoff` leave the raw table and
     * survive as rollup-store buckets (full resolution for the recent

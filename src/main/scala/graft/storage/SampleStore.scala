@@ -376,6 +376,30 @@ object SampleStore {
           qCols: _*)
     }
 
+    /** TIME-BUCKETED Horvitz-Thompson estimates — the budget-router
+      * serving shape ([[RollupStore.routeSampled]]): one estimate row
+      * per `bucketNanos` bucket of the store's own ts column, with the
+      * same exact-integer estimator columns as [[estimate]] plus the
+      * store's `rate_den` (max over contributing rows — single-valued
+      * for uniform stores). Buckets with no sampled rows are absent,
+      * exactly as in the raw-side mirror. */
+    def estimateTimeBuckets(bucketNanos: Long, valueCol: String,
+        since: Option[Long] = None, until: Option[Long] = None)
+        : DataFrame = {
+      require(bucketNanos > 0,
+        s"bucketNanos must be positive: $bucketNanos")
+      scoped(since, until)
+        .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
+        .groupBy(expr(graft.operators.TsOps.floorBucketSql(
+          s"`$tsCol`", bucketNanos)).as("bucket_ts"))
+        .agg(count(lit(1)).as("n_sample"),
+          sum("rate_den").as("est_count"),
+          sum(col("__c") * col("rate_den")).as("est_sum_cents"),
+          sum(col("__c") * col("__c") * col("rate_den") *
+            (col("rate_den") - 1)).as("est_var_cents2"),
+          max("rate_den").as("rate_den"))
+    }
+
     /** Release a pinned sample (no-op if never pinned). */
     def close(): Unit = { rows.unpersist(); () }
   }

@@ -998,4 +998,79 @@ class RollupStoreSpec extends AnyFunSuite {
       .orderBy("host", "bucket_ts").collect().toSeq
     assert(routed == exactH)
   }
+
+  test("routeSampled: coarse budgets serve the exact store with a zero " +
+      "variance bar; fine budgets serve HT estimates from the sample; " +
+      "keyed and tiered stores are rejected loudly") {
+    val Min = 60L * 1000000000L
+    val base = SparkTestBase.tempDir("graft-route-aqp")
+    val rawP = base + "/raw"
+    val stP = base + "/store"
+    val smP = base + "/sample"
+    // two days, ids dense enough that a 1/2 sample is non-trivial
+    val ev = (0L until 200L).map(i =>
+      (i, (i % 48) * H, ((i % 7) + 1).toDouble + 0.25))
+      .toDF("event_id", "ts", "value")
+    ev.write.parquet(rawP)
+    RollupStore.write(ev, stP, H)
+    graft.storage.SampleStore.build(ev, smP, idCol = "event_id",
+      bits = 1) // rate 1/2
+    // coarse: 2 points over 2 days -> 1-day grain >= 1h -> exact store
+    val coarse = RollupStore.routeSampled(spark, stP, smP, 0L, 2 * Day,
+        maxPoints = 2).orderBy("bucket_ts").collect()
+    assert(coarse.map(_.getAs[String]("source")).toSeq ==
+      Seq("store", "store"))
+    assert(coarse.map(_.getAs[Long]("rate_den")).toSeq == Seq(1L, 1L))
+    assert(coarse.map(_.getAs[Long]("est_var_cents2")).toSeq ==
+      Seq(0L, 0L))
+    val exactDaily = ev
+      .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", Day))
+        .as("b")).agg(count(lit(1)).as("n"),
+        sum(graft.operators.TsOps.centsExpr("value")).as("sc"))
+      .orderBy("b").collect()
+    assert(coarse.map(r => (r.getAs[Long]("bucket_ts"),
+        r.getAs[Long]("est_count"), r.getAs[Long]("est_sum_cents"))).toSeq
+      == exactDaily.map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2))).toSeq)
+    // fine: 120 points over 2h -> 1-minute grain < 1h -> the SAMPLE
+    // serves, with the rate and a positive variance bar riding along
+    val fine = RollupStore.routeSampled(spark, stP, smP, 0L, 2 * H,
+        maxPoints = 120).orderBy("bucket_ts").collect()
+    assert(fine.nonEmpty)
+    assert(fine.forall(_.getAs[String]("source") == "sample"))
+    assert(fine.forall(_.getAs[Long]("rate_den") == 2L))
+    assert(fine.forall(_.getAs[Long]("grain_ns") == Min))
+    assert(fine.forall(_.getAs[Long]("est_var_cents2") > 0L))
+    // brute-force HT twin over the deterministic 1-bit membership
+    val kept = (0L until 200L).filter { i =>
+      java.lang.Long.parseLong(
+        SparkTestBase.md5hex(i.toString).substring(0, 8), 16) < (1L << 31)
+    }.filter(i => (i % 48) * H < 2 * H)
+    val expected = kept.groupBy(i => ((i % 48) * H / Min) * Min)
+      .map { case (b, is) =>
+        (b, is.size.toLong, is.size * 2L,
+          is.map(i => ((i % 7) + 1) * 100L + 25L).sum * 2L)
+      }.toSeq.sortBy(_._1)
+    assert(fine.map(r => (r.getAs[Long]("bucket_ts"),
+        r.getAs[Long]("n_sample"), r.getAs[Long]("est_count"),
+        r.getAs[Long]("est_sum_cents"))).toSeq == expected)
+    // a keyed store routes through route()'s key pushdown, not here
+    val stK = base + "/store-keyed"
+    RollupStore.write(ev.withColumn("host", lit("web")), stK, H,
+      keyCols = Seq("host"))
+    val eKey = intercept[IllegalArgumentException] {
+      RollupStore.routeSampled(spark, stK, smP, 0L, 2 * Day, 2)
+    }
+    assert(eKey.getMessage.contains("unkeyed"))
+    // a tiered store's post-horizon range lives in raw — loud, never
+    // silently partial
+    val stT = base + "/store-tiered"
+    val rawT = base + "/raw-tiered"
+    ev.write.parquet(rawT)
+    RollupStore.tierOff(spark, rawT, stT, cutoff = Day, bucketNanos = H)
+    val eTier = intercept[IllegalArgumentException] {
+      RollupStore.routeSampled(spark, stT, smP, 0L, 2 * Day, 2)
+    }
+    assert(eTier.getMessage.contains("tier horizon"))
+  }
 }

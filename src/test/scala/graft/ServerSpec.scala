@@ -98,6 +98,49 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("AQP routing over the wire: a sample frame's fine zoom answers " +
+      "from the sample store with rate_den and the variance bar riding " +
+      "the columns; sample+raw is rejected loudly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val H = 3600L * 1000000000L
+    val base = SparkTestBase.tempDir("graft-srv-aqp")
+    val stP = base + "/store"
+    val smP = base + "/sample"
+    val ev = (0L until 200L).map(i =>
+      (i, (i % 4) * H, ((i % 7) + 1).toDouble + 0.25))
+      .toDF("event_id", "ts", "value")
+    graft.storage.RollupStore.write(ev, stP, H)
+    graft.storage.SampleStore.build(ev, smP, idCol = "event_id",
+      bits = 1)
+    val srv = new QueryServer(new Engine(spark, dbDir))
+    val port = srv.start()
+    try {
+      // 120-point budget over 2h -> minute grain < stored 1h: the
+      // sample answers, the error columns arrive over the wire
+      val resp = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP"}""")
+      assert(resp.startsWith("""{"ok":true,"""), resp)
+      assert(resp.contains("\"est_var_cents2\"") &&
+        resp.contains("\"rate_den\"") &&
+        resp.contains("\"n_sample\""), resp)
+      assert(resp.contains("\"sample\""), resp)
+      // coarse budget: the exact store answers on the SAME frame shape
+      val coarse = roundtrip(port,
+        s"""{"maxPoints": 2, "since": 0, "until": ${4 * H}, """ +
+          s""""store": "$stP", "sample": "$smP"}""")
+      assert(coarse.startsWith("""{"ok":true,"""), coarse)
+      assert(coarse.contains("\"store\""), coarse)
+      // sample + raw is a contradiction — loud, connection survives
+      val bad = roundtrip(port,
+        s"""{"maxPoints": 2, "since": 0, "until": ${4 * H}, """ +
+          s""""store": "$stP", "sample": "$smP", "raw": "$stP"}""")
+      assert(bad.startsWith("""{"ok":false,"""), bad)
+      assert(bad.contains("sample"), bad)
+    } finally srv.stop()
+  }
+
   test("arrow-framed responses decode to the same values") {
     import graft.server.ArrowFraming
     val srv = new QueryServer(new Engine(spark, dbDir))
