@@ -611,6 +611,42 @@ object ScaleProbe {
         f"ratio=${t64 / t8}%5.2f (8x merges, same 4 rounds; per-merge " +
         "training would be ~8)")
     }
+    // REAL-VOCABULARY train on the SCALED corpus: 8k merges (the round-10
+    // cap lift — the reference tokenizer scale is 32k; 8k proves the
+    // curve) vs 1k, same batch shape, so rounds scale 8×. Incremental
+    // segmentation makes per-round cost constant — the ratio should sit
+    // near the 8× round count (linear in merges), where the old
+    // full-list replay grew quadratically and its 8k-deep replace chain
+    // broke codegen outright. The synthetic corpus draws from a 31-word
+    // list (its word vocabulary exhausts BPE at ~335 merges), so the
+    // probe trains over word TRIGRAMS glued with an alphanumeric
+    // separator — a 16k-type population with realistic word-piece
+    // lengths, which is what an 8k-merge vocabulary needs to exist
+    if (sel("bpe_train_8k")) {
+      val triDocs = docScaled
+        .withColumn("__ws", split(lower(col("text")), "[^a-z0-9]+"))
+        .filter(size(col("__ws")) >= 3)
+        .withColumn("text", expr(
+          "array_join(transform(sequence(0, size(__ws) - 3), " +
+            "i -> concat(__ws[i], '000', __ws[i + 1], '000', " +
+            "__ws[i + 2])), ' ')"))
+        .drop("__ws")
+        .localCheckpoint()
+      graft.pipeline.Text.bpeTrainBatch(triDocs, "text", rounds = 4,
+        pairsPerRound = 32).size // warm the code path
+      var n1k = 0L
+      var n8k = 0L
+      val m1k = time { n1k = graft.pipeline.Text.bpeTrainBatch(triDocs,
+        "text", rounds = 48, pairsPerRound = 32,
+        candidatesPerRound = 512).size.toLong; n1k }
+      val m8k = time { n8k = graft.pipeline.Text.bpeTrainBatch(triDocs,
+        "text", rounds = 384, pairsPerRound = 32,
+        candidatesPerRound = 512).size.toLong; n8k }
+      println(f"[scale] bpe_train_8k           1k=$m1k%6.2fs ($n1k merges)" +
+        f"  8k=$m8k%6.2fs ($n8k merges)  ratio=${m8k / m1k}%5.2f " +
+        "(8x rounds at 4x docs; linear-in-rounds would be ~8, the old " +
+        "replay quadratic ~64)")
+    }
     report("collocations", docK,
       graft.pipeline.Text.collocations(docs, "text").count(),
       graft.pipeline.Text.collocations(docScaled, "text").count())

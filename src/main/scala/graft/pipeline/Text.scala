@@ -2116,28 +2116,50 @@ object Text {
     * counts (the standard greedy-batch compromise), and the learned list
     * replays deterministically through the unchanged [[bpeApply]] /
     * [[bpeEncode]] / [[writeTokenizer]] chain.
+    *
+    * REAL-VOCABULARY shape (the round-10 cap lift): the vocabulary is
+    * segmented INCREMENTALLY — round r applies only ITS OWN ≤
+    * `pairsPerRound` merges to the already-segmented persisted frame,
+    * never replays the whole learned list (replaces compose:
+    * `apply(learned ++ sel) = apply(sel) ∘ apply(learned)`, so the
+    * incremental frame is bit-identical to a from-scratch replay). That
+    * turns the old quadratic learned-list replay — and its
+    * rounds×pairs-deep expression tree, which breaks codegen near a
+    * thousand merges — into constant per-round work: one cached-vocab
+    * aggregation + one ≤64-replace projection. Lineage is pinned every
+    * `pinEvery` rounds (the [[graft.operators.GraphOps.pageRank]] loop
+    * discipline), bounding plan depth however many rounds run. 8k+
+    * merges train in `merges / pairsPerRound` small jobs; wall time is
+    * measured near-linear in merges (SCALE.md `bpe_train_8k`).
     */
   def bpeTrainBatch(df: DataFrame, textCol: String, rounds: Int,
-      pairsPerRound: Int = 32, candidatesPerRound: Int = 256)
+      pairsPerRound: Int = 32, candidatesPerRound: Int = 256,
+      pinEvery: Int = 8,
+      pinMode: String = graft.pipeline.Pipelines.PinLocal)
       : Seq[(String, String)] = {
-    require(rounds >= 1 && rounds <= 64,
+    require(rounds >= 1 && rounds <= 4096,
       s"rounds out of range: $rounds")
     require(pairsPerRound >= 1 && pairsPerRound <= 64 &&
-      candidatesPerRound >= pairsPerRound && candidatesPerRound <= 2048,
+      candidatesPerRound >= pairsPerRound && candidatesPerRound <= 8192,
       s"bad batch shape: $pairsPerRound pairs from $candidatesPerRound " +
         "candidates")
-    val words = fanOut(df)
+    require(pinEvery >= 1, s"pinEvery must be positive: $pinEvery")
+    // the incrementally segmented vocabulary: (current symbol sequence,
+    // corpus count) — the ONE corpus pass; every round after is
+    // vocabulary-sized
+    var seg = fanOut(df)
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(bpeSeq0(col("w")).as("w"), col("cnt"))
       .persist()
+    var lastPin: DataFrame = null
     try {
       var learned = Vector.empty[(String, String)]
       var r = 0
       var exhausted = false
       while (r < rounds && !exhausted) {
-        val seq = bpeApply(col("w"), learned)
-        val cands = words
-          .select(col("cnt"), explode(symBigramsUdf(seq)).as("bg"))
+        val cands = seg
+          .select(col("cnt"), explode(symBigramsUdf(col("w"))).as("bg"))
           .groupBy("bg").agg(sum("cnt").as("c"))
           .orderBy(col("c").desc, col("bg").asc)
           .limit(candidatesPerRound).collect().map(_.getString(0))
@@ -2148,7 +2170,7 @@ object Text {
           // a selected pair's concatenation is not a round-start symbol
           // (symbols only arise from characters and PRIOR-round merges,
           // and a prior-round merge's pair can't reappear as a bigram —
-          // bpeApply replaced every adjacency), so no same-round
+          // the merge replaced every adjacency), so no same-round
           // candidate can contain another's merged output
           val seen = scala.collection.mutable.HashSet[String]()
           val sel = Vector.newBuilder[(String, String)]
@@ -2163,12 +2185,40 @@ object Text {
             seen += parts(0)
             seen += parts(1)
           }
-          learned ++= sel.result()
+          val picked = sel.result()
+          learned ++= picked
           r += 1
+          if (r < rounds) {
+            // re-segment with ONLY this round's merges; materialize from
+            // the still-persisted parent before releasing it so the next
+            // round never recomputes the corpus pass
+            val applied = picked.foldLeft(col("w")) { case (c, (a, b)) =>
+              replace(c, lit(s" $a $b "), lit(s" $a$b "))
+            }
+            val next0 = seg.select(applied.as("w"), col("cnt"))
+            val next =
+              if (r % pinEvery == 0) {
+                val pinned = graft.pipeline.Pipelines.pinFrame(next0,
+                  pinMode)
+                pinned.count() // eager: truncate lineage NOW
+                if (lastPin != null) lastPin.unpersist()
+                lastPin = pinned
+                pinned
+              } else {
+                val p = next0.persist()
+                p.count()
+                p
+              }
+            seg.unpersist()
+            seg = next
+          }
         }
       }
       learned
-    } finally words.unpersist()
+    } finally {
+      seg.unpersist()
+      if (lastPin != null && !(lastPin eq seg)) lastPin.unpersist()
+    }
   }
 
   /** BPE ENCODE: per-doc subword token counts under a trained merge list —
