@@ -13,6 +13,8 @@ object Prof {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -24,6 +26,7 @@ object Prof {
     import graft.pipeline.Text
     if (args.contains("triangles")) { profTriangles(spark, sfDir); return }
     if (args.contains("trainprep")) { profTrainPrep(spark, sfDir); return }
+    if (args.contains("cascade")) { profCascade(spark, sfDir); return }
     time("warmup count")(docs.count())
     val sets = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
@@ -116,6 +119,75 @@ object Prof {
     time("pack+final join step")(
       Text.packSequences(docsStep, "doc_id", "text", 128, 4)
         .join(docsStep.drop("text"), Seq("doc_id")).count())
+    spark.stop()
+  }
+
+  /** Stage split of the rollup_cascade_daily bench row (the round-10
+    * +0.35s min question): raw-side re-aggregation vs store-side scoped
+    * reads vs the full stitched serve, then the same serve over a
+    * NON-aligned store layout (32 files per day directory instead of
+    * one) — attributing the aligned-write layout's serve-side cost, if
+    * any, separately from host variance. */
+  private def profCascade(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.storage.RollupStore
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+    }
+    val day = 86400L * 1000000000L
+    val hour = 3600L * 1000000000L
+    val bounds = Seq(100L, 500L, 1000L, 5000L, 10000L, 50000L)
+    def ns(s: String): Long = graft.model.TimeNano.toNanos(
+      graft.model.TimeNano.parseNaive(s), java.time.ZoneOffset.UTC)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-prof-cascade-${ProcessHandle.current().pid()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val rawP = new java.io.File(base, "raw").getPath
+    val stH = new java.io.File(base, "st-1h").getPath
+    val stD = new java.io.File(base, "st-1d").getPath
+    val ev = graft.storage.Tables.read(spark, sfDir, "events")
+    ev.write.mode("overwrite").parquet(rawP)
+    time("fixture tierOff 1h") {
+      RollupStore.tierOff(spark, rawP, stH, cutoff = ns("2024-01-20"),
+        bucketNanos = hour, distinctCol = Some("user_id"),
+        histBoundsCents = bounds); 0L
+    }
+    time("fixture tierOff 1d + compact") {
+      RollupStore.tierOffStore(spark, stH, stD, cutoff = ns("2024-01-10"),
+        coarseBucketNanos = day)
+      RollupStore.compact(spark, stH); 0L
+    }
+    def serve(h: String, d: String): Long =
+      RollupStore.cascadeRollup(spark, rawP, Seq(h, d), day,
+        distinctCol = Some("user_id"), histBoundsCents = bounds).count()
+    (1 to 2).foreach(_ => serve(stH, stD)) // warm
+    (1 to 5).foreach(i => time(s"cascade serve #$i")(serve(stH, stD)))
+    // stage split: the raw remnant's re-aggregation vs the store scans
+    val raw = spark.read.parquet(rawP)
+    time("raw-side agg only")(
+      graft.operators.TsOps.rangeFilter(raw, Some(ns("2024-01-20")), None)
+        .groupBy(expr(graft.operators.TsOps.floorBucketSql("ts", day))
+          .as("b"))
+        .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")),
+          expr("hll_sketch_agg(user_id, 12)"))
+        .count())
+    time("store scans only")(
+      spark.read.parquet(stH).count() + spark.read.parquet(stD).count())
+    time("store fold 1h->1d")(
+      RollupStore.rollup(spark, stD, day).count())
+    // layout A/B: copy both stores MULTI-file-per-day (the pre-aligned
+    // write shape) and serve the same stitched read over the copies
+    val stH2 = new java.io.File(base, "st-1h-multi").getPath
+    val stD2 = new java.io.File(base, "st-1d-multi").getPath
+    spark.read.parquet(stH).repartition(32)
+      .write.partitionBy("__day").parquet(stH2)
+    spark.read.parquet(stD).repartition(32)
+      .write.partitionBy("__day").parquet(stD2)
+    (1 to 2).foreach(_ => serve(stH2, stD2)) // warm
+    (1 to 5).foreach(i =>
+      time(s"serve multi-file/day #$i")(serve(stH2, stD2)))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
     spark.stop()
   }
 

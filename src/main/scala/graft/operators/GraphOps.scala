@@ -212,18 +212,25 @@ object GraphOps {
     // p's consumers (deg agg, orientation join) are all materialized by
     // that count — release the largest pin before the counting pass
     p.unpersist(); registered -= p
+    // adjacency SORTED at build: the per-edge intersection is then a
+    // zero-allocation merge walk ([[graft.functions.SortedIntersectCount]])
+    // instead of array_intersect's per-row OpenHashSet + result array —
+    // the humongous-allocation churn behind this query's documented GC
+    // variance (BASELINE.md round 10); one sort per node at build buys
+    // allocation-free scoring on every edge
     val adj = pin(oriented.groupBy("u")
-      .agg(collect_list("v").as("nbrs"))) // O(√m) entries/row, bounded
+      .agg(sort_array(collect_list("v")).as("nbrs"))) // O(√m)/row, bounded
     val maybeBcast = (df: DataFrame) =>
       if (nE <= closeBroadcastMaxEdges) broadcast(df) else df
     val perEdge = oriented
       .join(maybeBcast(adj), Seq("u"))
       .join(maybeBcast(adj.select(col("u").as("v"),
         col("nbrs").as("__vn"))), Seq("v"), "left")
-      // v may have no out-edges — its adjacency is empty, not null
-      .select(size(array_intersect(col("nbrs"),
-        coalesce(col("__vn"), array().cast("array<long>"))))
-        .cast("long").as("__c"))
+      // v may have no out-edges — its adjacency is empty, not null; the
+      // coalesce target is a foldable constant, not a per-row allocation
+      .select(graft.functions.SortedIntersectCount.sorted_intersect_count(
+        col("nbrs"),
+        coalesce(col("__vn"), array().cast("array<long>"))).as("__c"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nTri = perEdge.agg(coalesce(sum("__c"), lit(0L)).as("n_triangles"))
     // the edge count was already materialized on the driver above — ride
