@@ -51,7 +51,11 @@ object Bench {
     // path (two count passes + vocab join + scoring join) and the AQP
     // sample-tier estimate (store per-process-cached — times the
     // cold open + Horvitz-Thompson read)
-    "text_classifier_score", "aqp_event_stats")
+    "text_classifier_score", "aqp_event_stats",
+    // round-11 tracked row: the composed serving tiers — a fine-zoom
+    // budget routed to the sample store's HT estimates (stores
+    // per-process-cached — times the routed sampled serve)
+    "rollup_route_aqp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
