@@ -844,4 +844,18 @@ class PlanAuditSpec extends AnyFunSuite {
       p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("rollup_route_aqp: the routed fine zoom reads the SAMPLE store " +
+      "with the widened bounds day-pruned, never the raw table") {
+    val p = plan("rollup_route_aqp")
+    // the one-day window lands as __day PartitionFilters on the sample
+    // scan — the routed drill-in reads one day of the 1/32 sample
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*__day[^\\]]*\\].*"),
+      p)
+    // the sampled serve must not touch the raw events table: the only
+    // FileScan is the sample store (rate_den rides its schema)
+    assert(p.contains("rate_den"), p)
+    assert(!p.contains("events.parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
