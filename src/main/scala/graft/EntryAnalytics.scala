@@ -324,6 +324,23 @@ private[graft] object EntryAnalytics {
           maxPoints = 1440)
         .orderBy("bucket_ts")
     }),
+    "rollup_route_aqp_keyed" -> ((s, d) => {
+      // the KEYED router composed with the sample tier: "one series,
+      // zoomed" at a finer-than-stored grain — the key predicate prunes
+      // the sampled scan BEFORE the aggregate (route()'s key-pushdown
+      // contract on the sampled path) and the fine zoom serves
+      // per-series HT estimates carrying the same key columns the exact
+      // keyed store path emits
+      Tables.configure(s)
+      // month span / 1488 points = exactly a 30-minute grain, finer
+      // than the stored hour — the sampled path, with enough sampled
+      // click evidence at every test scale
+      graft.storage.RollupStore.routeSampled(s, keyedStore1h(s, d),
+          aqpStorePath(s, d), ns("2024-01-01"), ns("2024-02-01"),
+          maxPoints = 1488,
+          keyFilter = Some(col("event_type") === "click"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "stream_aqp_ingest" -> ((s, d) => {
       // the sample tier MAINTAINED BY the stream: membership is a pure
       // function of the row id (zero state), micro-batches append their

@@ -1163,6 +1163,32 @@ private[graft] object EntryAnalyticsOracles {
          |  CAST(60000000000 AS BIGINT) AS grain_ns,
          |  'sample' AS source
          |FROM sm GROUP BY bucket_ts ORDER BY bucket_ts""".stripMargin,
+    // the keyed routed fine zoom: the same sample + grain arithmetic as
+    // rollup_route_aqp, sliced to one series by the pushed key predicate
+    // and grouped by the store's key dimension
+    "rollup_route_aqp_keyed" ->
+      s"""WITH sm AS (
+         |  SELECT event_type,
+         |    (epoch_ns(ts) - epoch_ns(ts) % 1800000000000)
+         |      AS bucket_ts,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM events
+         |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT < (CAST(1 AS BIGINT) << 27)
+         |    AND epoch_ns(ts) >= ${ns("2024-01-01")}
+         |    AND epoch_ns(ts) < ${ns("2024-02-01")}
+         |    AND event_type = 'click'
+         |)
+         |SELECT event_type, bucket_ts,
+         |  CAST(count(*) AS BIGINT) AS n_sample,
+         |  CAST(count(*) * 32 AS BIGINT) AS est_count,
+         |  CAST(sum(c) * 32 AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c) * 32 * 31 AS BIGINT) AS est_var_cents2,
+         |  CAST(32 AS BIGINT) AS rate_den,
+         |  CAST(1800000000000 AS BIGINT) AS grain_ns,
+         |  'sample' AS source
+         |FROM sm GROUP BY event_type, bucket_ts
+         |ORDER BY event_type, bucket_ts""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -200,7 +200,7 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     (sample, raw, stores) match {
       case (Some(sm), None, Seq(one)) =>
         RollupStore.routeSampled(spark, one, sm, since, until,
-          maxPoints, valueCol)
+          maxPoints, valueCol, keyFilter)
       case (Some(_), _, _) => throw new IllegalArgumentException(
         "a 'sample' route takes exactly one store and no 'raw' — the " +
           "sample tier IS the fine-zoom source")

@@ -700,24 +700,34 @@ object RollupStore {
     * Serves the complete-mirror lifecycle: a tiered (horizon-bearing)
     * store fails loudly — its post-horizon range lives in raw, which
     * this router deliberately does not read; route/routeCascade own the
-    * tiered lifecycles. Keyed stores likewise route through [[route]]
-    * (the sample tier holds raw rows, not series partials). */
+    * tiered lifecycles.
+    *
+    * KEYED stores serve their dimensions through both zooms: the exact
+    * path folds per series as any keyed rollup; the sampled path groups
+    * the sampled RAW rows by the store's own key columns (they ride
+    * every sampled row — the sample came from the same raw table), so a
+    * fine zoom serves the same series the exact tiers do. `keyFilter`
+    * (a predicate over the key columns only — validated loudly) prunes
+    * both the store scan and the sampled scan before any aggregate, the
+    * [[route]] key-pushdown contract: "one series, zoomed" never
+    * estimates every series and filters client-side. */
   def routeSampled(spark: SparkSession, storePath: String,
       samplePath: String, since: Long, until: Long, maxPoints: Int,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value",
+      keyFilter: Option[Column] = None): DataFrame = {
     require(until > since, s"routeSampled: empty range [$since, $until)")
     require(maxPoints >= 1, "routeSampled needs a positive point budget")
     val live = new org.apache.hadoop.fs.Path(storePath)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, live, "rollup store")
     graft.pipeline.Similarity.recoverCompact(fs, live)
-    val stored = checkedRead(spark, storePath)
-    val bucketNs = storeBucketNs(stored, storePath)
-    require(keyColsOf(stored).isEmpty,
-      "routeSampled serves unkeyed stores — keyed dashboards route " +
-        "through route()'s key pushdown; slice the sample by group " +
-        "columns via SampleHandle.estimate instead")
-    require(tierHorizon(stored).isEmpty,
+    val stored0 = checkedRead(spark, storePath)
+    val bucketNs = storeBucketNs(stored0, storePath)
+    val keys = keyColsOf(stored0)
+    keyFilter.foreach(requireKeyPredicate(_, stored0, "routeSampled",
+      keys))
+    val stored = keyFilter.fold(stored0)(stored0.filter)
+    require(tierHorizon(stored0).isEmpty,
       "routeSampled serves a complete-mirror store — this store has a " +
         "tier horizon, so its post-horizon samples live in raw, which " +
         "this router does not read; use route()/routeCascade() for the " +
@@ -731,16 +741,23 @@ object RollupStore {
       val (lo, hi) = widenTo(since, until, g)
       mergeFold(scopedFrame(stored, Some(lo), Some(hi)), g,
           uniformWidth = true)
-        .select(col("bucket_ts"), col("n").as("n_sample"),
-          col("n").as("est_count"),
+        .select(keys.map(col) ++ Seq(col("bucket_ts"),
+          col("n").as("n_sample"), col("n").as("est_count"),
           (col("sum_c") * 100).cast("long").as("est_sum_cents"),
-          lit(0L).as("est_var_cents2"), lit(1L).as("rate_den"))
+          lit(0L).as("est_var_cents2"), lit(1L).as("rate_den")): _*)
         .withColumn("grain_ns", lit(g))
         .withColumn("source", lit("store"))
     } else {
       val (lo, hi) = widenTo(since, until, gRaw)
-      SampleStore.open(spark, samplePath)
-        .estimateTimeBuckets(gRaw, valueCol, Some(lo), Some(hi))
+      val handle = SampleStore.open(spark, samplePath)
+      val missing = keys.filterNot(handle.rows.columns.contains)
+      require(missing.isEmpty,
+        s"routeSampled: the store is keyed by [${keys.mkString(", ")}] " +
+          s"but the sample rows lack ${missing.mkString(", ")} — sample " +
+          "the same raw table the store rolls up")
+      handle
+        .estimateTimeBuckets(gRaw, valueCol, Some(lo), Some(hi),
+          groupCols = keys, keyFilter = keyFilter)
         .withColumn("grain_ns", lit(gRaw))
         .withColumn("source", lit("sample"))
     }

@@ -378,20 +378,31 @@ object SampleStore {
 
     /** TIME-BUCKETED Horvitz-Thompson estimates — the budget-router
       * serving shape ([[RollupStore.routeSampled]]): one estimate row
-      * per `bucketNanos` bucket of the store's own ts column, with the
-      * same exact-integer estimator columns as [[estimate]] plus the
-      * store's `rate_den` (max over contributing rows — single-valued
-      * for uniform stores). Buckets with no sampled rows are absent,
+      * per (`groupCols`…, `bucketNanos` bucket of the store's own ts
+      * column), with the same exact-integer estimator columns as
+      * [[estimate]] plus the store's `rate_den` (max over contributing
+      * rows — single-valued for uniform stores; for stratified stores
+      * the coarsest contributing rate, the honest per-bucket label
+      * while `est_var_cents2` carries the exact per-row weighting).
+      * `groupCols` is the keyed-router shape: a dimensional store's key
+      * columns ride the raw sampled rows, so the sampled fine zoom
+      * serves the same series the exact tiers do. `keyFilter` prunes
+      * the sampled scan before the aggregate (the [[RollupStore.route]]
+      * key-pushdown contract). Buckets with no sampled rows are absent,
       * exactly as in the raw-side mirror. */
     def estimateTimeBuckets(bucketNanos: Long, valueCol: String,
-        since: Option[Long] = None, until: Option[Long] = None)
-        : DataFrame = {
+        since: Option[Long] = None, until: Option[Long] = None,
+        groupCols: Seq[String] = Nil,
+        keyFilter: Option[Column] = None): DataFrame = {
       require(bucketNanos > 0,
         s"bucketNanos must be positive: $bucketNanos")
-      scoped(since, until)
+      val sc = keyFilter.fold(scoped(since, until))(
+        scoped(since, until).filter)
+      sc
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
-        .groupBy(expr(graft.operators.TsOps.floorBucketSql(
-          s"`$tsCol`", bucketNanos)).as("bucket_ts"))
+        .groupBy(groupCols.map(col) :+
+          expr(graft.operators.TsOps.floorBucketSql(
+            s"`$tsCol`", bucketNanos)).as("bucket_ts"): _*)
         .agg(count(lit(1)).as("n_sample"),
           sum("rate_den").as("est_count"),
           sum(col("__c") * col("rate_den")).as("est_sum_cents"),

@@ -1001,7 +1001,7 @@ class RollupStoreSpec extends AnyFunSuite {
 
   test("routeSampled: coarse budgets serve the exact store with a zero " +
       "variance bar; fine budgets serve HT estimates from the sample; " +
-      "keyed and tiered stores are rejected loudly") {
+      "tiered stores are rejected loudly") {
     val Min = 60L * 1000000000L
     val base = SparkTestBase.tempDir("graft-route-aqp")
     val rawP = base + "/raw"
@@ -1054,14 +1054,6 @@ class RollupStoreSpec extends AnyFunSuite {
     assert(fine.map(r => (r.getAs[Long]("bucket_ts"),
         r.getAs[Long]("n_sample"), r.getAs[Long]("est_count"),
         r.getAs[Long]("est_sum_cents"))).toSeq == expected)
-    // a keyed store routes through route()'s key pushdown, not here
-    val stK = base + "/store-keyed"
-    RollupStore.write(ev.withColumn("host", lit("web")), stK, H,
-      keyCols = Seq("host"))
-    val eKey = intercept[IllegalArgumentException] {
-      RollupStore.routeSampled(spark, stK, smP, 0L, 2 * Day, 2)
-    }
-    assert(eKey.getMessage.contains("unkeyed"))
     // a tiered store's post-horizon range lives in raw — loud, never
     // silently partial
     val stT = base + "/store-tiered"
@@ -1072,5 +1064,66 @@ class RollupStoreSpec extends AnyFunSuite {
       RollupStore.routeSampled(spark, stT, smP, 0L, 2 * Day, 2)
     }
     assert(eTier.getMessage.contains("tier horizon"))
+  }
+
+  test("routeSampled keyed: both zooms carry the key dimension, the key " +
+      "predicate prunes the sampled scan, value-column predicates loud; " +
+      "stratified sample stores serve with per-row rates") {
+    val Min = 60L * 1000000000L
+    val base = SparkTestBase.tempDir("graft-route-aqp-k")
+    val stP = base + "/store"
+    val smP = base + "/sample"
+    val ev = (0L until 400L).map(i =>
+      (i, (i % 4) * H, if (i % 2 == 0) "web" else "db",
+        ((i % 7) + 1).toDouble + 0.25))
+      .toDF("event_id", "ts", "host", "value")
+    RollupStore.write(ev, stP, H, keyCols = Seq("host"))
+    graft.storage.SampleStore.build(ev, smP, idCol = "event_id",
+      bits = 1)
+    // coarse keyed: per-host daily EXACT rows, key column riding
+    val coarse = RollupStore.routeSampled(spark, stP, smP, 0L, Day,
+        maxPoints = 1).orderBy("host").collect()
+    assert(coarse.map(_.getAs[String]("host")).toSeq == Seq("db", "web"))
+    assert(coarse.forall(_.getAs[String]("source") == "store"))
+    assert(coarse.map(_.getAs[Long]("est_count")).sum == 400L)
+    // fine keyed + pushdown: only the filtered series, per-minute HT
+    val fine = RollupStore.routeSampled(spark, stP, smP, 0L, 2 * H,
+        maxPoints = 120,
+        keyFilter = Some(col("host") === "web"))
+      .orderBy("bucket_ts").collect()
+    assert(fine.nonEmpty)
+    assert(fine.forall(_.getAs[String]("host") == "web"))
+    assert(fine.forall(_.getAs[String]("source") == "sample"))
+    val kept = (0L until 400L).filter { i =>
+      java.lang.Long.parseLong(
+        SparkTestBase.md5hex(i.toString).substring(0, 8), 16) < (1L << 31)
+    }.filter(i => i % 2 == 0 && (i % 4) * H < 2 * H)
+    val expected = kept.groupBy(i => (i % 4) * H)
+      .map { case (b, is) => (b, is.size.toLong, is.size * 2L) }
+      .toSeq.sortBy(_._1)
+    assert(fine.map(r => (r.getAs[Long]("bucket_ts"),
+      r.getAs[Long]("n_sample"), r.getAs[Long]("est_count"))).toSeq
+      == expected)
+    // a value-column predicate is rejected loudly before any IO
+    val eVal = intercept[IllegalArgumentException] {
+      RollupStore.routeSampled(spark, stP, smP, 0L, Day, 1,
+        keyFilter = Some(col("value") > 1.0))
+    }
+    assert(eVal.getMessage.contains("non-key"))
+    // a STRATIFIED sample store serves the fine zoom with per-row rates
+    // (rate_den = the coarsest contributing rate; the variance column
+    // carries the exact per-row weighting)
+    val smS = base + "/sample-strat"
+    graft.storage.SampleStore.buildStratified(ev, smS,
+      idCol = "event_id", stratumCol = "host", minRows = 30,
+      maxBits = 8)
+    val stU = base + "/store-unkeyed"
+    RollupStore.write(ev, stU, H)
+    val fineS = RollupStore.routeSampled(spark, stU, smS, 0L, 2 * H,
+        maxPoints = 120).orderBy("bucket_ts").collect()
+    assert(fineS.nonEmpty)
+    assert(fineS.forall(_.getAs[String]("source") == "sample"))
+    // 200 rows per host: largest b with 200 >= 30*2^b -> b=2 (rate 4)
+    assert(fineS.forall(_.getAs[Long]("rate_den") == 4L))
   }
 }
