@@ -712,6 +712,45 @@ object ScaleProbe {
       reportPair("aqp_vs_exact", exact(), est(), "exact20", "sample20")
       h.close()
     }
+    if (sel("route_aqp_fine")) {
+      // the ROUTED fine zoom's serving claim at evK×: ten day drill-ins
+      // at a finer-than-stored grain answered by a PREPARED
+      // SampledRouter (the open-once dashboard shape — cold
+      // routeSampled measured 2.4s/call here, all repeated metadata
+      // jobs, which is exactly why prepareSampled exists) vs the same
+      // buckets re-aggregated exactly from raw, i.e. the route() raw
+      // fallback this composition replaces. Toy-scale wall times are
+      // plan-overhead-bound both ways (the 1/rate byte ratio is the
+      // 100 TB claim); the burst measures the dashboard pattern.
+      val day = 86400L * 1000000000L
+      val minNs = 60L * 1000000000L
+      val stP = s"$work/aqp_rt_store_${evK}x"
+      val smP = s"$work/aqp_rt_sample_${evK}x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stP))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(smP))
+      graft.storage.RollupStore.write(evScaled, stP,
+        3600L * 1000000000L)
+      graft.storage.SampleStore.build(evScaled, smP, idCol = "event_id",
+        bits = 5)
+      val t0 = evScaled.agg(min("ts")).head().getLong(0)
+      val lo0 = t0 - Math.floorMod(t0, day) + day
+      val router = graft.storage.RollupStore.prepareSampled(spark, stP,
+        smP)
+      def routed(): Long = (0 until 10).map { i =>
+        router.route(lo0 + i * day, lo0 + (i + 1) * day,
+          maxPoints = 1440).count()
+      }.sum
+      def exactFine(): Long = (0 until 10).map { i =>
+        TsOps.rangeFilter(evScaled, Some(lo0 + i * day),
+            Some(lo0 + (i + 1) * day))
+          .withColumn("__c", TsOps.centsExpr("value"))
+          .groupBy(expr(TsOps.floorBucketSql("ts", minNs)).as("b"))
+          .agg(count(lit(1)).as("n"), sum("__c").as("sc")).count()
+      }.sum
+      reportPair("route_aqp_fine", exactFine(), routed(),
+        "exact10", "routed10")
+      router.close()
+    }
     if (sel("tiering_trim")) {
       // A/B on the SAME 10x data: retention trim on a day-partitioned raw
       // tree (whole-directory drop, O(days dropped)) vs a flat tree (full

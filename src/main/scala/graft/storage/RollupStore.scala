@@ -714,53 +714,88 @@ object RollupStore {
   def routeSampled(spark: SparkSession, storePath: String,
       samplePath: String, since: Long, until: Long, maxPoints: Int,
       valueCol: String = "value",
-      keyFilter: Option[Column] = None): DataFrame = {
-    require(until > since, s"routeSampled: empty range [$since, $until)")
-    require(maxPoints >= 1, "routeSampled needs a positive point budget")
+      keyFilter: Option[Column] = None): DataFrame =
+    prepareSampled(spark, storePath, samplePath, valueCol,
+      pinSample = false).route(since, until, maxPoints, keyFilter)
+
+  /** The OPEN-ONCE face of [[routeSampled]] — a dashboard backend routes
+    * thousands of zooms against one prepared pair of tiers, so the
+    * per-store metadata work (self-heal, schema merge across the day
+    * files, grain probe, horizon check, key inference, sample-store
+    * validation) prices in once instead of per request: the ScaleProbe
+    * `route_aqp_fine` burst showed the cold path 4× the exact raw
+    * aggregation at 10× events purely on repeated metadata jobs, and
+    * the prepared path is what a serving layer should hold (the
+    * [[SampleStore.open]] open-once/estimate-many posture extended to
+    * the router). `pinSample` persists the replay-deduped sample rows —
+    * the BlinkDB serving stance; [[SampledRouter.close]] releases the
+    * pin. */
+  def prepareSampled(spark: SparkSession, storePath: String,
+      samplePath: String, valueCol: String = "value",
+      pinSample: Boolean = true): SampledRouter = {
     val live = new org.apache.hadoop.fs.Path(storePath)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     AtomicDir.recover(fs, live, "rollup store")
     graft.pipeline.Similarity.recoverCompact(fs, live)
-    val stored0 = checkedRead(spark, storePath)
-    val bucketNs = storeBucketNs(stored0, storePath)
-    val keys = keyColsOf(stored0)
-    keyFilter.foreach(requireKeyPredicate(_, stored0, "routeSampled",
-      keys))
-    val stored = keyFilter.fold(stored0)(stored0.filter)
-    require(tierHorizon(stored0).isEmpty,
+    val stored = checkedRead(spark, storePath)
+    val bucketNs = storeBucketNs(stored, storePath)
+    val keys = keyColsOf(stored)
+    require(tierHorizon(stored).isEmpty,
       "routeSampled serves a complete-mirror store — this store has a " +
         "tier horizon, so its post-horizon samples live in raw, which " +
         "this router does not read; use route()/routeCascade() for the " +
         "tiered lifecycle")
-    val span = until - since
-    val target = math.max(1L, (span + maxPoints - 1) / maxPoints)
-    val gRaw = fitGrain(since, until, maxPoints, target, identity)
-    if (gRaw >= bucketNs) {
-      val toMult = (g: Long) => ((g + bucketNs - 1) / bucketNs) * bucketNs
-      val g = fitGrain(since, until, maxPoints, toMult(gRaw), toMult)
-      val (lo, hi) = widenTo(since, until, g)
-      mergeFold(scopedFrame(stored, Some(lo), Some(hi)), g,
-          uniformWidth = true)
-        .select(keys.map(col) ++ Seq(col("bucket_ts"),
-          col("n").as("n_sample"), col("n").as("est_count"),
-          (col("sum_c") * 100).cast("long").as("est_sum_cents"),
-          lit(0L).as("est_var_cents2"), lit(1L).as("rate_den")): _*)
-        .withColumn("grain_ns", lit(g))
-        .withColumn("source", lit("store"))
-    } else {
-      val (lo, hi) = widenTo(since, until, gRaw)
-      val handle = SampleStore.open(spark, samplePath)
-      val missing = keys.filterNot(handle.rows.columns.contains)
-      require(missing.isEmpty,
-        s"routeSampled: the store is keyed by [${keys.mkString(", ")}] " +
-          s"but the sample rows lack ${missing.mkString(", ")} — sample " +
-          "the same raw table the store rolls up")
-      handle
-        .estimateTimeBuckets(gRaw, valueCol, Some(lo), Some(hi),
-          groupCols = keys, keyFilter = keyFilter)
-        .withColumn("grain_ns", lit(gRaw))
-        .withColumn("source", lit("sample"))
+    val handle = SampleStore.open(spark, samplePath, pin = pinSample)
+    val missing = keys.filterNot(handle.rows.columns.contains)
+    require(missing.isEmpty,
+      s"routeSampled: the store is keyed by [${keys.mkString(", ")}] " +
+        s"but the sample rows lack ${missing.mkString(", ")} — sample " +
+        "the same raw table the store rolls up")
+    SampledRouter(stored, bucketNs, keys, handle, valueCol)
+  }
+
+  /** A prepared store+sample serving pair (see [[prepareSampled]]):
+    * every [[route]] call is pure plan construction over the already-
+    * validated frames — no metadata jobs, no re-listing. */
+  final case class SampledRouter private[storage] (stored: DataFrame,
+      bucketNs: Long, keys: Seq[String],
+      handle: SampleStore.SampleHandle, valueCol: String) {
+
+    def route(since: Long, until: Long, maxPoints: Int,
+        keyFilter: Option[Column] = None): DataFrame = {
+      require(until > since, s"routeSampled: empty range [$since, $until)")
+      require(maxPoints >= 1, "routeSampled needs a positive point budget")
+      keyFilter.foreach(requireKeyPredicate(_, stored, "routeSampled",
+        keys))
+      val storedF = keyFilter.fold(stored)(stored.filter)
+      val span = until - since
+      val target = math.max(1L, (span + maxPoints - 1) / maxPoints)
+      val gRaw = fitGrain(since, until, maxPoints, target, identity)
+      if (gRaw >= bucketNs) {
+        val toMult = (g: Long) =>
+          ((g + bucketNs - 1) / bucketNs) * bucketNs
+        val g = fitGrain(since, until, maxPoints, toMult(gRaw), toMult)
+        val (lo, hi) = widenTo(since, until, g)
+        mergeFold(scopedFrame(storedF, Some(lo), Some(hi)), g,
+            uniformWidth = true)
+          .select(keys.map(col) ++ Seq(col("bucket_ts"),
+            col("n").as("n_sample"), col("n").as("est_count"),
+            (col("sum_c") * 100).cast("long").as("est_sum_cents"),
+            lit(0L).as("est_var_cents2"), lit(1L).as("rate_den")): _*)
+          .withColumn("grain_ns", lit(g))
+          .withColumn("source", lit("store"))
+      } else {
+        val (lo, hi) = widenTo(since, until, gRaw)
+        handle
+          .estimateTimeBuckets(gRaw, valueCol, Some(lo), Some(hi),
+            groupCols = keys, keyFilter = keyFilter)
+          .withColumn("grain_ns", lit(gRaw))
+          .withColumn("source", lit("sample"))
+      }
     }
+
+    /** Release the pinned sample (no-op for an unpinned prepare). */
+    def close(): Unit = handle.close()
   }
 
   /** Age-based downsample tiering — the retention-policy lifecycle a TSDB
