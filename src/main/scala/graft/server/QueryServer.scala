@@ -31,6 +31,11 @@ final class QueryServer(engine: Engine, port: Int = 0) {
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-server-conn"); t.setDaemon(true); t
   })
+  /** Prepared sampled routers for `"pin": true` frames, one per
+    * (store, sample, valueCol) — the server IS the long-lived serving
+    * layer, so it owns the open-once lifecycle; released on [[stop]]. */
+  private val preparedRouters = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), graft.storage.RollupStore.SampledRouter]()
 
   def start(): Int = {
     val ss = new ServerSocket(port)
@@ -51,6 +56,8 @@ final class QueryServer(engine: Engine, port: Int = 0) {
   def stop(): Unit = {
     server.foreach(_.close())
     pool.shutdown()
+    preparedRouters.values().forEach(_.close())
+    preparedRouters.clear()
   }
 
   private def handle(sock: Socket): Unit = {
@@ -166,8 +173,15 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     * `"sample":"/sampleStore"` + 1 store without raw → routeSampled (the
     * AQP composition: fine zooms answer from the deterministic sample
     * with `rate_den` and the `est_var_cents2` error bar riding the
-    * columns). The response carries `grain_ns` and `source` like the
-    * in-process routers — a dashboard sees which tier answered. */
+    * columns). A sample frame may add `"pin": true` to opt into this
+    * server's PREPARED router for the (store, sample) pair —
+    * [[graft.storage.RollupStore.prepareSampled]] runs once per pair
+    * (sample rows pinned) and every later pinned frame is pure plan
+    * construction, the open-once dashboard-burst shape; the trade is
+    * staleness (the prepared pair does not see later appends — omit
+    * `pin` for read-latest semantics). The response carries `grain_ns`
+    * and `source` like the in-process routers — a dashboard sees which
+    * tier answered. */
   private def routeFrame(line: String): org.apache.spark.sql.DataFrame = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(line)
@@ -197,7 +211,13 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     val spark = engine.spark
     import graft.storage.RollupStore
     val sample = optStr("sample")
+    val pin = Option(node.get("pin")).exists(_.asBoolean(false))
     (sample, raw, stores) match {
+      case (Some(sm), None, Seq(one)) if pin =>
+        preparedRouters
+          .computeIfAbsent((one, sm, valueCol),
+            _ => RollupStore.prepareSampled(spark, one, sm, valueCol))
+          .route(since, until, maxPoints, keyFilter)
       case (Some(sm), None, Seq(one)) =>
         RollupStore.routeSampled(spark, one, sm, since, until,
           maxPoints, valueCol, keyFilter)

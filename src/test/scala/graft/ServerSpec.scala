@@ -138,6 +138,31 @@ class ServerSpec extends AnyFunSuite {
           s""""store": "$stP", "sample": "$smP", "raw": "$stP"}""")
       assert(bad.startsWith("""{"ok":false,"""), bad)
       assert(bad.contains("sample"), bad)
+      // "pin": true opts into the server's PREPARED router — same
+      // answer as the cold frame (rows compared as a keyed map; the
+      // aggregate emits no inter-row order), served from the one-open
+      // lifecycle across repeated frames
+      def rows(resp: String): Map[Long, (Long, Long)] = {
+        def longs(f: String): Seq[Long] =
+          (s""""$f":\\[([^\\]]*)\\]""".r.findFirstMatchIn(resp).get
+            .group(1)).split(",").map(_.trim.toLong).toSeq
+        longs("bucket_ts").lazyZip(longs("n_sample"))
+          .lazyZip(longs("est_sum_cents"))
+          .map((b, n, s) => b -> ((n, s))).toMap
+      }
+      val resp0 = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP"}""")
+      val pinned1 = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP", "pin": true}""")
+      val pinned2 = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP", "pin": true}""")
+      assert(pinned1.startsWith("""{"ok":true,"""), pinned1)
+      assert(rows(pinned1) == rows(resp0),
+        s"$pinned1 vs $resp0")
+      assert(rows(pinned2) == rows(resp0))
     } finally srv.stop()
   }
 
