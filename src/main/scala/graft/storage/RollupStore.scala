@@ -780,6 +780,12 @@ object RollupStore {
             uniformWidth = true)
           .select(keys.map(col) ++ Seq(col("bucket_ts"),
             col("n").as("n_sample"), col("n").as("est_count"),
+            // sum_c is decimal(28,2); at extreme widths (cents nearing
+            // 2^63) this non-ANSI cast nulls rather than fails — the
+            // SAME width limit the sampled path's integer-cents
+            // estimator acknowledges. Swap both emissions to decimal if
+            // a store's per-bucket sums approach the long edge; the
+            // estimator, not the width, is the schema contract here.
             (col("sum_c") * 100).cast("long").as("est_sum_cents"),
             lit(0L).as("est_var_cents2"), lit(1L).as("rate_den")): _*)
           .withColumn("grain_ns", lit(g))

@@ -104,7 +104,15 @@ object SampleStore {
   }
 
   /** Build a sample store in one atomic publish (two-rename; a crash
-    * leaves a complete store). `bits = 4` keeps 1/16. */
+    * leaves a complete store). `bits = 4` keeps 1/16.
+    *
+    * MIGRATION HAZARD (bit-ladder change): this parameter was
+    * `prefixLen` (hex chars, rate 1/16^p) and is now `bits`
+    * (rate 1/2^b) in the same position — an old positional value
+    * converts as `bits = 4 × prefixLen` (the defaults coincide:
+    * prefixLen = 1 ≡ bits = 4 ≡ 1/16). [[requireRate]] catches the
+    * mismatch on appends to EXISTING stores; a fresh build has nothing
+    * to check against, so audit call sites passing literals. */
   def build(df: DataFrame, path: String, idCol: String,
       tsCol: String = "ts", bits: Int = 4): Unit =
     AtomicDir.publish(df.sparkSession, path, "sample store") { tmp =>
@@ -267,7 +275,16 @@ object SampleStore {
     else {
       AtomicDir.recover(fs, live, "sample store")
       graft.pipeline.Similarity.recoverCompact(fs, live)
-      try Some(spark.read.parquet(path))
+      try {
+        val df = spark.read.parquet(path)
+        // layout v2 added the `ts_col` self-description column (one time
+        // column per store); a v1 store predating it always partitioned
+        // on "ts" — read it under that default instead of dying with an
+        // unresolved-column error three calls later (no rewrite needed;
+        // the next compact() persists the column)
+        Some(if (df.columns.contains("ts_col")) df
+        else df.withColumn("ts_col", lit("ts")))
+      }
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
   }
@@ -519,7 +536,11 @@ object SampleStore {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     graft.pipeline.Similarity.recoverCompact(fs, live)
     AtomicDir.compactPublish(spark, path, "compact sample store") { tmp =>
-      val df = spark.read.parquet(path)
+      // read through the v1 fallback so compacting a legacy store
+      // backfills the ts_col self-description column (layout v2)
+      val df = readable(spark, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"compact: sample store at $path is absent or empty"))
       val idCol = df.select("sample_col").head().getString(0)
       df.dropDuplicates(idCol, "batch_key")
         .repartition(col(WritableStore.PartitionCol))

@@ -1584,7 +1584,17 @@ object StreamIngest {
     * the one-shot batch [[graft.storage.SampleStore.build]] exactly.
     * Rate/id validation runs ONCE at stream start (the probe scans every
     * accumulated file); the read side's uniform-rate guard backstops a
-    * concurrent mis-rated writer. */
+    * concurrent mis-rated writer.
+    *
+    * MIGRATION HAZARD (round-11 rate-ladder change): this parameter was
+    * `prefixLen` (hex chars, rate 1/16^p) before the bit ladder and is
+    * now `bits` (rate 1/2^b) IN THE SAME POSITION — a recompiled caller
+    * still passing an old positional value (e.g. 2 for 1/256) would
+    * sample a FRESH store at 1/4 with no guard firing (`requireRate`
+    * only protects appends to existing stores). Old rates convert as
+    * `bits = 4 × prefixLen`; the old default (prefixLen = 1 ≡ 1/16) maps
+    * to the new default (bits = 4), so default-using callers are
+    * unaffected. */
   def sampleIngest(stream: DataFrame, path: String, checkpointDir: String,
       idCol: String, tsCol: String = "ts", bits: Int = 4,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

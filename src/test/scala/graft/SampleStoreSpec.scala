@@ -266,4 +266,26 @@ class SampleStoreSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("layout v1 store (no ts_col column) opens under the legacy 'ts' " +
+      "default; compact backfills the column") {
+    val p0 = SparkTestBase.tempDir("graft-aqp-v1") + "/modern"
+    val p = SparkTestBase.tempDir("graft-aqp-v1") + "/legacy"
+    SampleStore.build(events, p0, idCol = "event_id")
+    // rewrite the store as a v1 layout: same rows, ts_col dropped
+    spark.read.parquet(p0).drop("ts_col")
+      .write.partitionBy("__day").parquet(p)
+    assert(!spark.read.parquet(p).columns.contains("ts_col"))
+    val h = SampleStore.open(spark, p)
+    assert(h.tsCol == "ts", "v1 store did not default to ts")
+    assert(estRows(p) == expected, "v1 fallback changed the estimates")
+    // appends validate against the defaulted ts_col rather than dying
+    // on an unresolved column
+    SampleStore.append(events.limit(0), p, "b#v1", idCol = "event_id")
+    // compact persists the self-description going forward (layout v2)
+    SampleStore.compact(spark, p)
+    assert(spark.read.parquet(p).columns.contains("ts_col"),
+      "compact did not backfill ts_col")
+    assert(estRows(p) == expected, "backfill changed the estimates")
+  }
 }
