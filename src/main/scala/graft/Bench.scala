@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and prints
   * one JSON line. Queries are forced with a count() action. One untimed
@@ -57,9 +58,59 @@ object Bench {
     // per-process-cached — times the routed sampled serve)
     "rollup_route_aqp")
 
+  /** The page-cache fields that actually identify a capture window:
+    * `Cached` near MemTotal + low `MemAvailable` is the post-sweep
+    * state (a 100-GB sweep leaves the cache full, so every later
+    * write/read pays eviction + writeback), `Dirty`/`Writeback` name
+    * the backlog directly. Read once BEFORE any normalization so the
+    * artifact records the window bench was INVOKED in — the round-11
+    * gap was precisely that the artifact could not see this state
+    * while both existing calibrations stayed green. */
+  private def meminfoKb(): Map[String, Long] = {
+    val want = Set("MemTotal", "MemAvailable", "Cached", "Dirty",
+      "Writeback")
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().flatMap { l =>
+        val parts = l.split(":\\s+")
+        val k = parts(0)
+        if (want(k)) Some(k -> parts(1).split(" ")(0).toLong) else None
+      }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  /** Normalize the capture window: flush dirty pages, then drop the
+    * page/dentry/inode caches, so the state the timed samples run from
+    * is ALWAYS "empty cache + exactly what the untimed warm-up pass
+    * re-reads" — a post-sweep invocation becomes byte-equivalent to a
+    * quiesced one instead of silently inflating document-heavy rows
+    * 1.6× with green calibrations (the round-11 natural experiment).
+    * Root-only (best effort): returns false where /proc/sys/vm is not
+    * writable, and the artifact records which state it measured. */
+  private def dropCaches(): Boolean =
+    try {
+      new ProcessBuilder("sync").inheritIO().start().waitFor()
+      val f = new java.io.FileOutputStream("/proc/sys/vm/drop_caches")
+      try f.write('3') finally f.close()
+      true
+    } catch { case _: Throwable => false }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // capture-window evidence FIRST (the invocation state), then
+    // normalize it (env-gated, default ON) — see BASELINE.md's
+    // interpretation rule: a normalized artifact's rows are code
+    // signals; an unnormalized one is read against mem_* + calib_store
+    val memAtInvoke = meminfoKb()
+    val normalize = sys.env.getOrElse("SPARK_GRAFT_BENCH_DROPCACHE",
+      "1") == "1"
+    val normalized = normalize && dropCaches()
+    memAtInvoke.foreach { case (k, v) =>
+      System.err.println(f"[bench] meminfo $k%-14s $v%12d kB") }
+    System.err.println(s"[bench] cache-normalized        $normalized")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -129,6 +180,39 @@ object Bench {
       .apply(Iterations / 2)
     System.err.println(f"[bench] io-calibration           $calibIo%8.3fs")
 
+    // STORE-SHAPE calibration: fixed-work write+fsync+read of a fresh
+    // 64-file partitioned parquet tree (multi-directory listing, many
+    // small files, a shuffle, buffered writes) — the shape the
+    // document/store-heavy queries actually exercise. calib is pure CPU
+    // and calib_io re-reads ONE warm file; BOTH stayed green in the
+    // round-11 post-sweep window while doc-heavy rows inflated 1.66×,
+    // because the state that moves those rows — page-cache eviction
+    // pressure and the dirty-writeback backlog a 100-GB sweep leaves —
+    // only bites fresh WRITES and multi-file trees. This probe pays
+    // both on every sample, so a degraded window inflates it even when
+    // the other two calibrations read clean.
+    def calibStoreSample(): Double = {
+      System.gc()
+      Thread.sleep(250)
+      val dir = s"/tmp/graft-bench-calib-store-" +
+        java.util.UUID.randomUUID().toString
+      val t0 = System.nanoTime()
+      spark.range(1L << 22)
+        .selectExpr("id", "id % 64 as p", "id * 31 + 7 as v")
+        .repartition(col("p"))
+        .write.partitionBy("p").parquet(dir)
+      spark.read.parquet(dir).selectExpr("sum(v)").head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val root = new org.apache.hadoop.fs.Path(dir)
+      root.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(root, true)
+      dt
+    }
+    calibStoreSample() // warm the write/read plans and codegen
+    val calibStore = (1 to Iterations).map(_ => calibStoreSample()).sorted
+      .apply(Iterations / 2)
+    System.err.println(f"[bench] store-calibration        $calibStore%8.3fs")
+
     val results = picked.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def sample(): Double = {
@@ -178,7 +262,19 @@ object Bench {
     val mins = results.map { case (k, (_, m)) => "\"" + k + f"""\":$m%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
+    // the artifact self-identifies its capture window: `normalized`
+    // (caches dropped at invoke → rows are code signals), `mem_*_kb`
+    // (the /proc/meminfo state at INVOKE time — Cached near MemTotal =
+    // post-sweep window), and `calib_store` (the store-shape probe that
+    // inflates under eviction/writeback pressure while calib/calib_io
+    // stay green). BASELINE.md holds the interpretation rule.
+    val mem = Seq("MemTotal" -> "mem_total_kb",
+      "MemAvailable" -> "mem_available_kb", "Cached" -> "mem_cached_kb",
+      "Dirty" -> "mem_dirty_kb", "Writeback" -> "mem_writeback_kb")
+      .flatMap { case (k, out) =>
+        memAtInvoke.get(k).map(v => s""""$out":$v""") }
+      .mkString(",")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"normalized":$normalized,$mem,"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
