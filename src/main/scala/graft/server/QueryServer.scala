@@ -33,9 +33,46 @@ final class QueryServer(engine: Engine, port: Int = 0) {
   })
   /** Prepared sampled routers for `"pin": true` frames, one per
     * (store, sample, valueCol) — the server IS the long-lived serving
-    * layer, so it owns the open-once lifecycle; released on [[stop]]. */
-  private val preparedRouters = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String), graft.storage.RollupStore.SampledRouter]()
+    * layer, so it owns the open-once lifecycle; released on [[stop]].
+    *
+    * LRU-capped (access-order, `SPARK_GRAFT_SERVER_MAX_PINS`, default
+    * 32): each pinned pair persists the deduped sample rows in executor
+    * memory, so an unbounded client-keyed map would let a path-cycling
+    * client pin memory without bound. The eldest pair is closed when a
+    * new distinct triple arrives past the cap — closing unpersists the
+    * cache; an in-flight route on the evicted router still completes
+    * (Spark recomputes de-cached rows), it just loses the pin. */
+  private val maxPreparedRouters: Int =
+    sys.env.get("SPARK_GRAFT_SERVER_MAX_PINS").map(_.toInt).getOrElse(32)
+  private val preparedRouters = new java.util.LinkedHashMap[
+      (String, String, String), graft.storage.RollupStore.SampledRouter](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, String, String),
+        graft.storage.RollupStore.SampledRouter]): Boolean =
+      if (size > maxPreparedRouters) { e.getValue.close(); true }
+      else false
+  }
+
+  /** The pinned-router lifecycle: get-or-prepare under the LRU lock;
+    * `refresh = true` closes and re-prepares the triple FIRST — the
+    * serving-layer verb that picks up appends (and a post-prepare
+    * `tierOff`, which otherwise invalidates a pin silently) without a
+    * server restart. prepareSampled's metadata jobs run under the lock:
+    * concurrent first-pins serialize, which is the dashboard-burst
+    * trade we want (one prepare, not N). */
+  private def pinnedRouter(key: (String, String, String),
+      refresh: Boolean): graft.storage.RollupStore.SampledRouter =
+    preparedRouters.synchronized {
+      if (refresh) Option(preparedRouters.remove(key)).foreach(_.close())
+      var r = preparedRouters.get(key)
+      if (r == null) {
+        r = graft.storage.RollupStore.prepareSampled(
+          engine.spark, key._1, key._2, key._3)
+        preparedRouters.put(key, r)
+      }
+      r
+    }
 
   def start(): Int = {
     val ss = new ServerSocket(port)
@@ -56,8 +93,10 @@ final class QueryServer(engine: Engine, port: Int = 0) {
   def stop(): Unit = {
     server.foreach(_.close())
     pool.shutdown()
-    preparedRouters.values().forEach(_.close())
-    preparedRouters.clear()
+    preparedRouters.synchronized {
+      preparedRouters.values().forEach(_.close())
+      preparedRouters.clear()
+    }
   }
 
   private def handle(sock: Socket): Unit = {
@@ -178,8 +217,13 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     * [[graft.storage.RollupStore.prepareSampled]] runs once per pair
     * (sample rows pinned) and every later pinned frame is pure plan
     * construction, the open-once dashboard-burst shape; the trade is
-    * staleness (the prepared pair does not see later appends — omit
-    * `pin` for read-latest semantics). The response carries `grain_ns`
+    * staleness (the prepared pair does not see later appends, and a
+    * post-prepare `tierOff` on the store invalidates the pin silently
+    * — omit `pin` for read-latest semantics, or add
+    * `"refresh": true` to a pinned frame to close and re-prepare the
+    * pair before serving: the serving-layer verb that picks up
+    * yesterday's appends without a server restart). The response
+    * carries `grain_ns`
     * and `source` like the in-process routers — a dashboard sees which
     * tier answered. */
   private def routeFrame(line: String): org.apache.spark.sql.DataFrame = {
@@ -212,11 +256,10 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     import graft.storage.RollupStore
     val sample = optStr("sample")
     val pin = Option(node.get("pin")).exists(_.asBoolean(false))
+    val refresh = Option(node.get("refresh")).exists(_.asBoolean(false))
     (sample, raw, stores) match {
       case (Some(sm), None, Seq(one)) if pin =>
-        preparedRouters
-          .computeIfAbsent((one, sm, valueCol),
-            _ => RollupStore.prepareSampled(spark, one, sm, valueCol))
+        pinnedRouter((one, sm, valueCol), refresh)
           .route(since, until, maxPoints, keyFilter)
       case (Some(sm), None, Seq(one)) =>
         RollupStore.routeSampled(spark, one, sm, since, until,

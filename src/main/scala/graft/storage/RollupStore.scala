@@ -746,11 +746,18 @@ object RollupStore {
         "this router does not read; use route()/routeCascade() for the " +
         "tiered lifecycle")
     val handle = SampleStore.open(spark, samplePath, pin = pinSample)
-    val missing = keys.filterNot(handle.rows.columns.contains)
-    require(missing.isEmpty,
-      s"routeSampled: the store is keyed by [${keys.mkString(", ")}] " +
-        s"but the sample rows lack ${missing.mkString(", ")} — sample " +
-        "the same raw table the store rolls up")
+    try {
+      val missing = keys.filterNot(handle.rows.columns.contains)
+      require(missing.isEmpty,
+        s"routeSampled: the store is keyed by [${keys.mkString(", ")}] " +
+          s"but the sample rows lack ${missing.mkString(", ")} — sample " +
+          "the same raw table the store rolls up")
+      require(handle.rows.columns.contains(valueCol),
+        s"routeSampled: the sample rows have no '$valueCol' column " +
+          s"(columns: ${handle.rows.columns.mkString(", ")}) — a typo'd " +
+          "valueCol must fail at prepare, not pin rows and then die on " +
+          "the first fine zoom")
+    } catch { case e: Throwable => handle.close(); throw e }
     SampledRouter(stored, bucketNs, keys, handle, valueCol)
   }
 

@@ -163,6 +163,42 @@ class ServerSpec extends AnyFunSuite {
       assert(rows(pinned1) == rows(resp0),
         s"$pinned1 vs $resp0")
       assert(rows(pinned2) == rows(resp0))
+      // a typo'd valueCol fails AT PREPARE, loudly, without pinning
+      val typo = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP", "pin": true, """ +
+          """"valueCol": "vlaue"}""")
+      assert(typo.startsWith("""{"ok":false,"""), typo)
+      assert(typo.contains("vlaue"), typo)
+      // the refresh contract: append to the sample store → the pinned
+      // frame still serves the open-time snapshot (the documented
+      // trade) → a "refresh": true frame closes and re-prepares the
+      // pair → the new rows are served, no server restart
+      val more = (200L until 400L).map(i =>
+        (i, (i % 4) * H, ((i % 7) + 1).toDouble + 0.25))
+        .toDF("event_id", "ts", "value")
+      graft.storage.SampleStore.append(more, smP, batchKey = "b2",
+        idCol = "event_id", bits = 1)
+      val stale = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP", "pin": true}""")
+      assert(rows(stale) == rows(resp0), s"$stale vs $resp0")
+      val fresh = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP", "pin": true, """ +
+          """"refresh": true}""")
+      assert(fresh.startsWith("""{"ok":true,"""), fresh)
+      assert(rows(fresh) != rows(resp0),
+        s"refresh must surface the appended batch: $fresh vs $resp0")
+      assert(rows(fresh).values.map(_._1).sum >
+        rows(resp0).values.map(_._1).sum,
+        s"refreshed n_sample must grow: $fresh vs $resp0")
+      // and the refreshed router replaces the cached one for later
+      // pinned frames
+      val after = roundtrip(port,
+        s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+          s""""store": "$stP", "sample": "$smP", "pin": true}""")
+      assert(rows(after) == rows(fresh), s"$after vs $fresh")
     } finally srv.stop()
   }
 
