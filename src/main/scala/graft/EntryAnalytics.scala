@@ -341,6 +341,23 @@ private[graft] object EntryAnalytics {
           keyFilter = Some(col("event_type") === "click"))
         .orderBy("event_type", "bucket_ts")
     }),
+    "rollup_route_aqp_stratified" -> ((s, d) => {
+      // the keyed routed fine zoom over a STRATIFIED sample store: the
+      // strata are value bands with frozen per-stratum rates, so one
+      // 30-minute bucket mixes rows carrying DIFFERENT rate_den — the
+      // Horvitz-Thompson weighting genuinely bites (rare bands ride at
+      // bits = 0, rate 1, contributing zero variance; dense bands thin
+      // and scale up) and the bucket's rate_den label is the coarsest
+      // contributing rate, not a constant. The oracle re-derives the
+      // frozen stratum→rate map from raw (the same 2× ladder) and
+      // hash-matches every estimate
+      Tables.configure(s)
+      graft.storage.RollupStore.routeSampled(s, keyedStore1h(s, d),
+          aqpStratifiedPath(s, d), ns("2024-01-01"), ns("2024-02-01"),
+          maxPoints = 1488,
+          keyFilter = Some(col("event_type") === "click"))
+        .orderBy("event_type", "bucket_ts")
+    }),
     "stream_aqp_ingest" -> ((s, d) => {
       // the sample tier MAINTAINED BY the stream: membership is a pure
       // function of the row id (zero state), micro-batches append their

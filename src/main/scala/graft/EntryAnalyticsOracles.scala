@@ -1189,6 +1189,50 @@ private[graft] object EntryAnalyticsOracles {
          |  'sample' AS source
          |FROM sm GROUP BY event_type, bucket_ts
          |ORDER BY event_type, bucket_ts""".stripMargin,
+    // the stratified routed fine zoom: re-derive the FROZEN stratum→rate
+    // map from raw (the 2× bits ladder over per-band counts, minRows 50,
+    // maxBits 8), sample each band at its own rate, and HT-weight every
+    // row by its inverse inclusion probability — rate_den per bucket is
+    // the coarsest contributing rate, exactly the store's label
+    "rollup_route_aqp_stratified" ->
+      s"""WITH rates AS (
+         |  SELECT band,
+         |    CASE WHEN n >= 50 * 256 THEN 8
+         |         WHEN n >= 50 * 128 THEN 7
+         |         WHEN n >= 50 * 64  THEN 6
+         |         WHEN n >= 50 * 32  THEN 5
+         |         WHEN n >= 50 * 16  THEN 4
+         |         WHEN n >= 50 * 8   THEN 3
+         |         WHEN n >= 50 * 4   THEN 2
+         |         WHEN n >= 50 * 2   THEN 1
+         |         ELSE 0 END AS bits
+         |  FROM (SELECT CAST(floor(value / 100) AS BIGINT) AS band,
+         |          count(*) AS n
+         |        FROM events GROUP BY 1)
+         |), sm AS (
+         |  SELECT e.event_type,
+         |    (epoch_ns(e.ts) - epoch_ns(e.ts) % 1800000000000)
+         |      AS bucket_ts,
+         |    CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         |    (CAST(1 AS BIGINT) << r.bits) AS rd
+         |  FROM events e
+         |  JOIN rates r ON CAST(floor(e.value / 100) AS BIGINT) = r.band
+         |  WHERE ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+         |          ::BIGINT < (CAST(1 AS BIGINT) << (32 - r.bits))
+         |    AND epoch_ns(e.ts) >= ${ns("2024-01-01")}
+         |    AND epoch_ns(e.ts) < ${ns("2024-02-01")}
+         |    AND e.event_type = 'click'
+         |)
+         |SELECT event_type, bucket_ts,
+         |  CAST(count(*) AS BIGINT) AS n_sample,
+         |  CAST(sum(rd) AS BIGINT) AS est_count,
+         |  CAST(sum(c * rd) AS BIGINT) AS est_sum_cents,
+         |  CAST(sum(c * c * rd * (rd - 1)) AS BIGINT) AS est_var_cents2,
+         |  CAST(max(rd) AS BIGINT) AS rate_den,
+         |  CAST(1800000000000 AS BIGINT) AS grain_ns,
+         |  'sample' AS source
+         |FROM sm GROUP BY event_type, bucket_ts
+         |ORDER BY event_type, bucket_ts""".stripMargin,
     "json_props_stats" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -324,9 +324,15 @@ object SampleStore {
     /** Scoped, replay-deduped rows — the shared front half. A
       * `preDeduped` (pinned) handle already collapsed replays at open,
       * so each estimate is ONE aggregation with no dedup shuffle: at
-      * dashboard burst rates the per-query stage count is the cost. */
-    private def scoped(since: Option[Long],
-        until: Option[Long]): DataFrame = {
+      * dashboard burst rates the per-query stage count is the cost.
+      * `extra` (a key predicate) applies BEFORE the dedup for the same
+      * reason the time scope does: replay duplicates are byte-identical
+      * rows, so any row predicate commutes with the dedup — and placed
+      * below it the predicate reaches the parquet reader as a pushed
+      * filter, where above the dedup aggregate it cannot (the non-key
+      * columns are first() outputs Catalyst will not push through). */
+    private def scoped(since: Option[Long], until: Option[Long],
+        extra: Option[Column] = None): DataFrame = {
       def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
         Math.floorDiv(nanos, DayNs)).toString
       val conds =
@@ -335,7 +341,8 @@ object SampleStore {
           since.map(v =>
             col(WritableStore.PartitionCol) >= lit(dayStr(v))) ++
           until.map(v =>
-            col(WritableStore.PartitionCol) <= lit(dayStr(v - 1)))
+            col(WritableStore.PartitionCol) <= lit(dayStr(v - 1))) ++
+          extra.toSeq
       val sc = conds.reduceOption(_ && _).fold(rows)(rows.filter)
       if (preDeduped) sc else sc.dropDuplicates(idCol, "batch_key")
     }
@@ -413,9 +420,7 @@ object SampleStore {
         keyFilter: Option[Column] = None): DataFrame = {
       require(bucketNanos > 0,
         s"bucketNanos must be positive: $bucketNanos")
-      val sc = keyFilter.fold(scoped(since, until))(
-        scoped(since, until).filter)
-      sc
+      scoped(since, until, keyFilter)
         .withColumn("__c", graft.operators.TsOps.centsExpr(valueCol))
         .groupBy(groupCols.map(col) :+
           expr(graft.operators.TsOps.floorBucketSql(

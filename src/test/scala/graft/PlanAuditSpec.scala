@@ -858,4 +858,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("events.parquet"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("rollup_route_aqp_stratified: the keyed fine zoom reads the " +
+      "STRATIFIED sample store day-pruned with the key predicate " +
+      "pushed, never the raw table") {
+    // the scan metadata here carries ts bounds + the key predicate —
+    // longer than the 100-char default render cap, which would elide
+    // the EqualTo this pin exists to see
+    val key = "spark.sql.maxMetadataStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    val p = try plan("rollup_route_aqp_stratified")
+      finally spark.conf.set(key, prev)
+    // the month window lands as __day PartitionFilters on the sample
+    // scan; the key predicate reaches the reader as a pushed filter
+    // (BELOW the replay dedup — byte-identical duplicates make the
+    // filter/dedup order free) — "one series, zoomed" prunes the scan
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*__day[^\\]]*\\].*"),
+      p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("rate_den"), p)
+    assert(!p.contains("events.parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
