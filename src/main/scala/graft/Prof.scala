@@ -27,6 +27,7 @@ object Prof {
     if (args.contains("triangles")) { profTriangles(spark, sfDir); return }
     if (args.contains("trainprep")) { profTrainPrep(spark, sfDir); return }
     if (args.contains("cascade")) { profCascade(spark, sfDir); return }
+    if (args.contains("jaccard")) { profJaccard(spark, sfDir); return }
     time("warmup count")(docs.count())
     val sets = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("__toks"))
@@ -57,6 +58,81 @@ object Prof {
       Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, 3).count())
     time("nearDuplicates")(
       Dedup.nearDuplicates(docs, "doc_id", "text", 0.3, 16, 4, 3).count())
+    spark.stop()
+  }
+
+  /** Stage split of the dedup_jaccard_pairs bench row: shingling vs the
+    * stop-shingle df-cap vs the capped sets vs the inverted-index
+    * self-join — attributing the ~1.9s quiesced total (the baseline row
+    * is 1.93s, zero headroom). */
+  private def profJaccard(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Dedup, Text}
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    time("warmup count")(docs.count())
+    val sets = Text.fanOut(docs).select(col("doc_id"),
+      Text.shingleSetUdf(3)(col("text")).as("__set"))
+    time("shingle sets")(sets.select(size(col("__set"))).count())
+    time("shingle sets x2")(sets.select(size(col("__set"))).count())
+    time("stopShingles")(
+      Dedup.stopShingles(docs, "doc_id", "text", 3, 20).count())
+    time("cappedSets")(
+      Dedup.cappedSets(docs, "doc_id", "text", 3, 20)
+        .select(col("__n")).count())
+    time("cappedExploded")(
+      Dedup.cappedSets(docs, "doc_id", "text", 3, 20)
+        .select(col("__id"), explode(col("__kept"))).count())
+    // A/B: current vs shared-shingling variants, interleaved (this box
+    // is noisy — the MIN over reps is the stable signal)
+    def pinned(pin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(): Long = {
+      val sets1 = pin(Text.fanOut(docs).select(col("doc_id").as("__id"),
+        Text.shingleSetUdf(3)(col("text")).as("__set")))
+      try {
+        val nDocs = sets1.agg(count(lit(1)).as("__ndocs"))
+        val stop = sets1.select(explode(col("__set")).as("__tok"))
+          .groupBy("__tok").agg(count(lit(1)).as("__df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("__df") > greatest(lit(20L),
+            expr("(__ndocs * 5) div 1000")))
+          .agg(collect_list(col("__tok")).as("__stop"))
+        val kept = sets1.crossJoin(broadcast(stop))
+          .withColumn("__kept", array_except(col("__set"), col("__stop")))
+          .select(col("__id"), size(col("__kept")).as("__n"),
+            explode(col("__kept")).as("__tok"))
+        val joined = kept.alias("l").join(kept.alias("r"),
+            col("l.__tok") === col("r.__tok"))
+          .filter(col("l.__id") < col("r.__id"))
+          .select(col("l.__id").as("id1"), col("l.__n").as("n1"),
+            col("r.__id").as("id2"), col("r.__n").as("n2"))
+          .groupBy("id1", "id2", "n1", "n2")
+          .agg(count(lit(1)).as("shared"))
+          .withColumn("jaccard", col("shared").cast("double") /
+            (col("n1") + col("n2") - col("shared")))
+          .filter(col("jaccard") >= 0.3)
+        joined.count()
+      } finally { sets1.unpersist(); () }
+    }
+    def timed(f: () => Long): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    val variants: Seq[(String, () => Long)] = Seq(
+      "current " -> (() =>
+        Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, 3).count()),
+      "persist " -> pinned(_.persist()) _,
+      "localckp" -> pinned(_.localCheckpoint()) _)
+    val samples = scala.collection.mutable.Map[String,
+      List[Double]]().withDefaultValue(Nil)
+    (1 to 6).foreach { _ =>
+      variants.foreach { case (n, f) => samples(n) ::= timed(f) }
+    }
+    variants.foreach { case (n, _) =>
+      val xs = samples(n)
+      println(f"$n min=${xs.min}%5.2f med=${xs.sorted.apply(xs.size / 2)}%5.2f all=[${xs.reverse.map(x => f"$x%4.2f").mkString(" ")}]")
+    }
     spark.stop()
   }
 

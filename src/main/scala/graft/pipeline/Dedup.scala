@@ -178,13 +178,25 @@ object Dedup {
   /** (`__id`, `__kept`, `__n`): each document's df-capped shingle set and
     * its size — the verify-stage vocabulary. Public so other tiers (e.g.
     * the streaming near-dup probe) verify over the SAME capped vocabulary
-    * as the batch pipeline. */
+    * as the batch pipeline.
+    *
+    * `pin = true` materializes the shingle-set frame ONCE (eager
+    * localCheckpoint) so the stop-list branch and the kept-sets branch
+    * share a single shingling pass — without it the df-count subtree
+    * re-shingles the whole corpus (its exchange child is a partial
+    * aggregate, so ReuseExchange cannot dedup it against the main
+    * path). Measured at bench scale: −0.35s min / −0.38s median on
+    * `dedup_jaccard_pairs`. The trade is executor-local storage of the
+    * set frame (corpus-sized; spills past memory) and localCheckpoint's
+    * non-reliable blocks — on a preemptible fleet where an executor
+    * loss must not fail the job, pass `pin = false` and pay the second
+    * shingling pass. */
   def cappedSets(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxDf: Int): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleSize)
+      shingleSize: Int, maxDf: Int, pin: Boolean = false): DataFrame = {
+    val sets0 = shingleSets(df, idCol, textCol, shingleSize)
+    val sets = if (pin) sets0.localCheckpoint() else sets0
     val kept = applyStop(sets,
-      if (maxDf <= 0) None
-      else Some(stopShingles(df, idCol, textCol, shingleSize, maxDf)))
+      if (maxDf <= 0) None else Some(stopShinglesFromSets(sets, maxDf)))
     kept.select(col("__id"), col("__kept"), size(col("__kept")).as("__n"))
   }
 
@@ -206,8 +218,15 @@ object Dedup {
     * probe embeds it as a literal so incoming docs verify over the same
     * capped vocabulary as the batch pipeline). */
   def stopShingles(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxDf: Int): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleSize)
+      shingleSize: Int, maxDf: Int): DataFrame =
+    stopShinglesFromSets(shingleSets(df, idCol, textCol, shingleSize),
+      maxDf)
+
+  /** [[stopShingles]] over an already-built (`__id`, `__set`) frame —
+    * lets [[cappedSets]]' pin mode derive the stop list from the SAME
+    * materialized sets the kept path reads. */
+  private def stopShinglesFromSets(sets: DataFrame,
+      maxDf: Int): DataFrame = {
     // effective threshold = max(maxDf, nDocs × DfCapPerMille ‰),
     // computed in-plan (1-row agg, broadcast) — no driver action
     val nDocs = sets.agg(count(lit(1)).as("__ndocs"))
@@ -224,8 +243,8 @@ object Dedup {
     * `__n` comes from the set size BEFORE exploding, so the only shuffle
     * in the whole cap is the map-side-combinable df count. */
   private def cappedExploded(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxDf: Int): DataFrame =
-    cappedSets(df, idCol, textCol, shingleSize, maxDf)
+      shingleSize: Int, maxDf: Int, pin: Boolean = false): DataFrame =
+    cappedSets(df, idCol, textCol, shingleSize, maxDf, pin)
       .select(col("__id"), col("__n"), explode(col("__kept")).as("__tok"))
 
   /** MinHash-LSH candidate pairs with oracle-reproducible hashing: md5-60bit
@@ -320,8 +339,10 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+      maxShingleDf: Int = DefaultMaxShingleDf,
+      pinSets: Boolean = true): DataFrame = {
+    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf,
+      pinSets)
     // self-join with BYTE-IDENTICAL children (columns renamed after the
     // join, not before): both sides canonicalize to the same plan, so
     // ReuseExchange materializes the shingle+df-cap pipeline ONCE — with
@@ -347,8 +368,10 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+      maxShingleDf: Int = DefaultMaxShingleDf,
+      pinSets: Boolean = true): DataFrame = {
+    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf,
+      pinSets)
     selfJoinOnTok(e)
       .groupBy("id1", "id2", "n1", "n2")
       .agg(count(lit(1)).as("shared"))
@@ -381,7 +404,8 @@ object Dedup {
     */
   def jaccardPairsGrouped(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleSize: Int = 3,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+      maxShingleDf: Int = DefaultMaxShingleDf,
+      pinSets: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // the posting-list flatMap is typed over (Long, Int) pairs — unlike
@@ -393,7 +417,8 @@ object Dedup {
         s"$idCol is " +
         df.schema(df.schema.fieldIndex(idCol)).dataType.simpleString +
         " — use jaccardPairs (id-type generic) instead")
-    val posting = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+    val posting = cappedExploded(df, idCol, textCol, shingleSize,
+        maxShingleDf, pinSets)
       .groupBy("__tok")
       .agg(collect_list(struct(col("__id").as("_1"), col("__n").as("_2")))
         .as("__docs"))
