@@ -148,34 +148,55 @@ object GraphOps {
   def triangles(pairs: DataFrame, srcCol: String = "src",
       dstCol: String = "dst",
       closeBroadcastMaxEdges: Long = 4000000L): DataFrame = {
-    val (out, pins) = trianglesPlan(pairs, srcCol, dstCol,
+    val (out, cleanup) = trianglesPlan(pairs, srcCol, dstCol,
       closeBroadcastMaxEdges)
     // the result is ONE row of three scalars (metadata-sized by
     // construction), so it materializes here and the call's cache
-    // entries release unconditionally — a serving session running many
-    // graph calls over different edge frames accumulates nothing
+    // entries and scratch spill release unconditionally — a serving
+    // session running many graph calls over different edge frames
+    // accumulates nothing
     try {
       val r = out.collect()(0)
       val sp = pairs.sparkSession
       import sp.implicits._
       Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
         .toDF("n_nodes", "n_edges", "n_triangles")
-    } finally pins.foreach(_.unpersist())
+    } finally cleanup()
   }
 
-  /** The triangle-count plan plus its persisted frames — split out so
-    * the plan audits can pin the join shapes on the terminal frame while
-    * [[triangles]] owns the final materialization and cache release.
-    * The normalized edge frame and degree/oriented frames are persisted
-    * and eagerly materialized HERE (the edge count doubles as the
-    * broadcast decision), so the caller's single collect pays only the
-    * adjacency build + intersection pass. If that materialization
-    * throws, the already-registered pins are released before rethrow —
-    * the no-cache-residue guarantee holds on the failure path too. */
+  /** The triangle-count plan plus a cleanup thunk (cache release +
+    * scratch-spill delete) — split out so the plan audits can pin the
+    * join shapes on the terminal frame while [[triangles]] owns the
+    * final materialization and the cleanup call. The normalize/degree
+    * stages are persisted and eagerly materialized HERE (the edge count
+    * doubles as the broadcast decision); the ORIENTED edge frame spills
+    * to a scratch parquet instead of the cache — a deliberate trade:
+    * both adjacency-join build sides then read identical FileScans,
+    * which canonicalize equal, so AQE ships ONE broadcast adjacency
+    * relation and reuses it on the second join (ReusedExchange). Cached
+    * children defeat that: the per-scan TableCacheQueryStage wrappers
+    * break canonical equality in Spark 4.1's stage cache (measured —
+    * two full m-entry relations built back to back, the humongous-
+    * allocation churn behind this query's BASELINE.md GC-excursion
+    * paragraphs). The same holds on the shuffle fallback: both
+    * adjacency exchanges hash-partition the same file-backed
+    * aggregation, so the second is a ReusedExchange there too. If
+    * materialization throws, pins and spill release before rethrow —
+    * the no-residue guarantee holds on the failure path. */
   private[graft] def trianglesPlan(pairs: DataFrame, srcCol: String = "src",
       dstCol: String = "dst",
-      closeBroadcastMaxEdges: Long = 4000000L): (DataFrame, Seq[DataFrame]) = {
+      closeBroadcastMaxEdges: Long = 4000000L): (DataFrame, () => Unit) = {
     val registered = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val spark = pairs.sparkSession
+    val scratch = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"),
+      s"graft-triangles-${java.util.UUID.randomUUID()}")
+    def cleanup(): Unit = {
+      registered.foreach(_.unpersist())
+      try scratch.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(scratch, true)
+      catch { case _: java.io.IOException => () }
+    }
     def pin(df: DataFrame): DataFrame = { registered += df; df.persist() }
     try {
     val p0 = pairs.select(col(srcCol).cast("long").as("src"),
@@ -198,48 +219,58 @@ object GraphOps {
         .withColumnRenamed("deg", "sdeg"), "src")
       .join(deg.withColumnRenamed("node", "dst")
         .withColumnRenamed("deg", "ddeg"), "dst")
-    val oriented = pin(withDeg.select(
+    // the oriented frame SPILLS to scratch parquet rather than pinning:
+    // its two consumers (adjacency build + probe side) then read
+    // identical FileScans, which is what lets the adjacency exchange be
+    // built ONCE and reused (see the scaladoc) — and the spill write
+    // materializes p's consumers, standing in for the old count()
+    withDeg.select(
       when(col("sdeg") < col("ddeg") ||
           (col("sdeg") === col("ddeg") && col("src") < col("dst")),
         struct(col("src").as("lo"), col("dst").as("hi")))
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
         .as("e"))
-      .select(col("e.lo").as("u"), col("e.hi").as("v")))
-      // two consumers: adjacency build + count pass
-    // materialize the caches NOW; the edge count also decides whether the
-    // adjacency table broadcasts (its total payload is exactly m entries)
+      .select(col("e.lo").as("u"), col("e.hi").as("v"))
+      .write.parquet(scratch.toString)
+    val oriented = spark.read.parquet(scratch.toString)
+    // the edge count decides whether the adjacency table broadcasts
+    // (its total payload is exactly m entries)
     val nE = oriented.count()
     // p's consumers (deg agg, orientation join) are all materialized by
-    // that count — release the largest pin before the counting pass
+    // the spill write — release the largest pin before the counting pass
     p.unpersist(); registered -= p
     // adjacency SORTED at build: the per-edge intersection is then a
     // zero-allocation merge walk ([[graft.functions.SortedIntersectCount]])
     // instead of array_intersect's per-row OpenHashSet + result array —
     // the humongous-allocation churn behind this query's documented GC
     // variance (BASELINE.md round 10); one sort per node at build buys
-    // allocation-free scoring on every edge
-    val adj = pin(oriented.groupBy("u")
-      .agg(sort_array(collect_list("v")).as("nbrs"))) // O(√m)/row, bounded
+    // allocation-free scoring on every edge. NOT pinned: both joins
+    // reference the same aliased frame over the scratch FileScan, so the
+    // aggregation runs once INTO the single reused broadcast relation —
+    // a cache pin would break the reuse and build the relation twice
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_list("v")).as("nbrs")) // O(√m)/row, bounded
     val maybeBcast = (df: DataFrame) =>
       if (nE <= closeBroadcastMaxEdges) broadcast(df) else df
-    val perEdge = oriented
-      .join(maybeBcast(adj), Seq("u"))
-      .join(maybeBcast(adj.select(col("u").as("v"),
-        col("nbrs").as("__vn"))), Seq("v"), "left")
+    val perEdge = oriented.alias("e")
+      .join(maybeBcast(adj.alias("a1")), col("e.u") === col("a1.u"))
+      .join(maybeBcast(adj.alias("a2")), col("e.v") === col("a2.u"),
+        "left")
       // v may have no out-edges — its adjacency is empty, not null; the
       // coalesce target is a foldable constant, not a per-row allocation
       .select(graft.functions.SortedIntersectCount.sorted_intersect_count(
-        col("nbrs"),
-        coalesce(col("__vn"), array().cast("array<long>"))).as("__c"))
+        col("a1.nbrs"),
+        coalesce(col("a2.nbrs"), array().cast("array<long>"))).as("__c"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nTri = perEdge.agg(coalesce(sum("__c"), lit(0L)).as("n_triangles"))
     // the edge count was already materialized on the driver above — ride
-    // it as a literal instead of re-aggregating the cached frame
+    // it as a literal instead of re-aggregating
     (nNodes.withColumn("n_edges", lit(nE)).crossJoin(nTri),
-      registered.toSeq)
+      () => cleanup())
     } catch { case t: Throwable => // a failed materialization (executor
-      // loss, upstream corruption) must not strand cache entries
-      registered.foreach(_.unpersist()); throw t }
+      // loss, upstream corruption) must not strand cache entries or the
+      // scratch spill
+      cleanup(); throw t }
   }
 
   /** k-core decomposition by iterative peeling: repeatedly drop nodes of

@@ -694,14 +694,23 @@ class PlanAuditSpec extends AnyFunSuite {
           "slice(ps, i + 2, greatest(size(ps) - i - 1, 0)), " +
           "y -> struct(x as src, y as dst))))")).as("e"))
       .select(col("e.src"), col("e.dst"))
-    val (frame, pins) = graft.operators.GraphOps.trianglesPlan(pairs)
-    try { // a failed assert must not strand the materialized pins in the
-      // shared session's cache for the rest of the suite
+    val (frame, cleanup) = graft.operators.GraphOps.trianglesPlan(pairs)
+    try { // a failed assert must not strand the materialized pins or the
+      // scratch spill for the rest of the suite
       val p = frame.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), p)
       assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
         p.contains("BroadcastHashJoin"), p)
-    } finally pins.foreach(_.unpersist())
+      // the two adjacency joins must share ONE broadcast relation: both
+      // build sides read the same scratch FileScan, so after execution
+      // (AQE-final plan) the second join reads a ReusedExchange —
+      // building the humongous adjacency relation twice was half the
+      // query's allocation footprint (BASELINE.md round-12)
+      frame.collect()
+      val fin = frame.queryExecution.executedPlan.toString
+      if (fin.contains("BroadcastHashJoin"))
+        assert(fin.contains("ReusedExchange"), fin)
+    } finally cleanup()
   }
 
   test("rollup_route_tiered: each tier scans only its horizon window") {
