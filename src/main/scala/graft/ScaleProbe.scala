@@ -647,6 +647,51 @@ object ScaleProbe {
         "(8x rounds at 4x docs; linear-in-rounds would be ~8, the old " +
         "replay quadratic ~64)")
     }
+    // the PRODUCTION vocabulary: 32k merges (500 rounds × 64 pairs —
+    // the reference-tokenizer scale the round-11 ask named), trained
+    // over glued word 4-GRAMS (the trigram population's 16k types
+    // exhaust under 32k; 4-grams give the merge axis room), vs the same
+    // shape at 4k merges — near-linear in rounds is the claim. The 32k
+    // list then ENCODES the scaled corpus through bpeEncode's
+    // interpreted vocabulary-join path (a 32k-deep replace-chain Column
+    // does not analyze; the big-list path is proven byte-equivalent to
+    // the chain in PipelineSpec) — the end-to-end proof that a trained
+    // production vocabulary both exists and serves
+    if (sel("bpe_train_32k")) {
+      val quadDocs = docScaled
+        .withColumn("__ws", split(lower(col("text")), "[^a-z0-9]+"))
+        .filter(size(col("__ws")) >= 4)
+        .withColumn("text", expr(
+          "array_join(transform(sequence(0, size(__ws) - 4), " +
+            "i -> concat(__ws[i], '000', __ws[i + 1], '000', " +
+            "__ws[i + 2], '000', __ws[i + 3])), ' ')"))
+        .drop("__ws")
+        .localCheckpoint()
+      graft.pipeline.Text.bpeTrainBatch(quadDocs, "text", rounds = 4,
+        pairsPerRound = 64).size // warm the code path
+      // merge-BUDGET training (the production contract): stop at 4k and
+      // 32k LEARNED merges — per-round yield under the rank-window rule
+      // is corpus-dependent (~22/round here), so round counts are what
+      // the early-stop discovers, and rounds-linear cost means the time
+      // ratio tracks the ROUND ratio, not the 8x merge ratio
+      var n4k = 0L
+      var n32k = 0L
+      var m32: Seq[(String, String)] = Nil
+      val t4k = time { val m = graft.pipeline.Text.bpeTrainBatch(quadDocs,
+        "text", rounds = 4096, pairsPerRound = 64,
+        candidatesPerRound = 1024, maxMerges = 4096)
+        n4k = m.size.toLong; n4k }
+      val t32k = time { m32 = graft.pipeline.Text.bpeTrainBatch(quadDocs,
+        "text", rounds = 4096, pairsPerRound = 64,
+        candidatesPerRound = 1024, maxMerges = 32768)
+        n32k = m32.size.toLong; n32k }
+      val tEnc = time(graft.pipeline.Text.bpeEncode(quadDocs, "doc_id",
+        "text", m32).count())
+      println(f"[scale] bpe_train_32k          4k=$t4k%6.2fs ($n4k merges)" +
+        f"  32k=$t32k%6.2fs ($n32k merges)  ratio=${t32k / t4k}%5.2f " +
+        f"(8x merges; rounds-linear ~= the round ratio)  " +
+        f"encode32k=$tEnc%6.2fs")
+    }
     report("collocations", docK,
       graft.pipeline.Text.collocations(docs, "text").count(),
       graft.pipeline.Text.collocations(docScaled, "text").count())

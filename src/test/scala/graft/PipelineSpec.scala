@@ -2148,6 +2148,45 @@ class PipelineSpec extends AnyFunSuite {
       == Seq(("a", "b"), ("e", "f"), ("b", "c"), ("c", "d")))
   }
 
+  test("bpeEncode's interpreted big-list path is byte-equivalent to the " +
+      "codegen replace chain across the threshold") {
+    // train a list ABOVE BpeEncodeChainMax on real corpus text, then
+    // encode the same frame through both paths: the interpreted
+    // vocabulary-join path (list as-is) must produce identical per-doc
+    // counts to the Column chain (list forced through the small path by
+    // splitting the encode into two sequential applications is NOT
+    // valid — replaces do not commute — so compare against the chain
+    // built directly, which still analyzes at this size)
+    // the synthetic corpus's 31-word vocabulary exhausts BPE before the
+    // threshold — glue word trigrams (the ScaleProbe bpe_train_8k
+    // population) so a >64-merge list exists to train
+    import org.apache.spark.sql.functions.{col, explode, size => sz,
+      split, trim, count, lit, sum, lower, expr => exprF}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .withColumn("__ws", split(lower(col("text")), "[^a-z0-9]+"))
+      .filter(sz(col("__ws")) >= 3)
+      .withColumn("text", exprF(
+        "array_join(transform(sequence(0, size(__ws) - 3), " +
+          "i -> concat(__ws[i], '000', __ws[i + 1], '000', " +
+          "__ws[i + 2])), ' ')"))
+      .drop("__ws")
+    val m = Text.bpeTrainBatch(docs, "text", rounds = 20,
+      pairsPerRound = 16, candidatesPerRound = 256)
+    assert(m.size > Text.BpeEncodeChainMax, s"fixture too small: ${m.size}")
+    val big = Text.bpeEncode(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect().toSeq
+    // the chain path, forced: encode via bpeApply directly
+    val chain = Text.fanOut(docs)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .withColumn("__n", sz(split(trim(Text.bpeApply(col("w"), m)), " ")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("__n").cast("long")).as("n_bpe"))
+      .orderBy("doc_id").collect().toSeq
+    assert(big.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      chain.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("bpe merge application is left-to-right non-overlapping") {
     // "aaa" under merge (a,a): " a a a " → " aa a " — the first pair
     // consumes its separator, the scan resumes after the replacement
