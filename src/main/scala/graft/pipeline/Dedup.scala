@@ -90,8 +90,15 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleSize: Int): DataFrame =
-    shingleSets(df, idCol, textCol, shingleSize)
-      .select(col("__id").as(idCol),
+    signaturesFromSets(shingleSets(df, idCol, textCol, shingleSize),
+      idCol, numHashes)
+
+  /** [[minhashSignatures]] over a prebuilt (`__id`, `__set`) frame — the
+    * shared-sets face [[nearDuplicates]]' pin mode uses so the signature
+    * branch reads the SAME materialized shingling as the verify branch. */
+  private def signaturesFromSets(sets: DataFrame, idCol: String,
+      numHashes: Int): DataFrame =
+    sets.select(col("__id").as(idCol),
         MinHash.signatureUdf(numHashes)(col("__set")).as("sig"))
       .filter(col("sig").isNotNull) // docs with no shingles have no signature
 
@@ -100,9 +107,15 @@ object Dedup {
     * bucket are near-dup candidates. Returns one row per (doc, band).
     */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, shingleSize: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val withSig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      bands: Int, rowsPerBand: Int, shingleSize: Int = 3): DataFrame =
+    bucketsOfSignatures(
+      minhashSignatures(df, idCol, textCol, bands * rowsPerBand,
+        shingleSize), idCol, bands, rowsPerBand)
+
+  /** The banding half of [[lshBuckets]], over an already-built signature
+    * frame. */
+  private def bucketsOfSignatures(withSig: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
@@ -133,8 +146,15 @@ object Dedup {
     */
   private def rawCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int, rowsPerBand: Int, shingleSize: Int,
-      maxBucketDocs: Int = 0): DataFrame = {
-    val b0 = lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+      maxBucketDocs: Int = 0): DataFrame =
+    candidatesOfBuckets(
+      lshBuckets(df, idCol, textCol, bands, rowsPerBand, shingleSize),
+      idCol, maxBucketDocs)
+
+  /** The cap + pair-join half of [[rawCandidates]], over a prebuilt
+    * (id, band, bucket) frame. */
+  private def candidatesOfBuckets(b0: DataFrame, idCol: String,
+      maxBucketDocs: Int): DataFrame = {
     val b =
       if (maxBucketDocs <= 0) b0
       else {
@@ -194,7 +214,13 @@ object Dedup {
   def cappedSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxDf: Int, pin: Boolean = false): DataFrame = {
     val sets0 = shingleSets(df, idCol, textCol, shingleSize)
-    val sets = if (pin) sets0.localCheckpoint() else sets0
+    cappedSetsFrom(if (pin) sets0.localCheckpoint() else sets0, maxDf)
+  }
+
+  /** [[cappedSets]] over a prebuilt (`__id`, `__set`) frame — the shared
+    * face pin modes use so the df-cap and the kept sets derive from ONE
+    * materialized shingling. */
+  private def cappedSetsFrom(sets: DataFrame, maxDf: Int): DataFrame = {
     val kept = applyStop(sets,
       if (maxDf <= 0) None else Some(stopShinglesFromSets(sets, maxDf)))
     kept.select(col("__id"), col("__kept"), size(col("__kept")).as("__n"))
@@ -306,8 +332,15 @@ object Dedup {
     */
   def jaccardVerify(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val e = cappedExploded(df, idCol, textCol, shingleSize, maxShingleDf)
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    jaccardVerifyFromSets(shingleSets(df, idCol, textCol, shingleSize),
+      pairs, maxShingleDf)
+
+  /** [[jaccardVerify]] over a prebuilt (`__id`, `__set`) frame. */
+  private def jaccardVerifyFromSets(sets: DataFrame, pairs: DataFrame,
+      maxShingleDf: Int): DataFrame = {
+    val e = cappedSetsFrom(sets, maxShingleDf)
+      .select(col("__id"), col("__n"), explode(col("__kept")).as("__tok"))
     // identical-children self-join → exchange reuse (see jaccardPairs)
     selfJoinOnTok(e)
       .join(pairs, Seq("id1", "id2"), "left_semi")
@@ -319,16 +352,30 @@ object Dedup {
   }
 
   /** All pairs with exact shingle-Jaccard >= threshold: LSH candidates →
-    * exact verify. The canonical fuzzy-dedup pipeline. */
+    * exact verify. The canonical fuzzy-dedup pipeline.
+    *
+    * `pinSets = true` (default) materializes the shingle-set frame ONCE
+    * (eager localCheckpoint) and derives ALL THREE shingle consumers from
+    * it — the MinHash signature branch, the stop-shingle df count, and
+    * the verify kept-sets — where the unpinned chain shingles the corpus
+    * three times (the branches' exchange children differ, so ReuseExchange
+    * cannot dedup them). Same trade as [[jaccardPairs]]' pin: executor-
+    * local storage of the set frame vs repeated corpus passes; pass
+    * `pinSets = false` on preemptible fleets. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
       shingleSize: Int = 3,
       maxShingleDf: Int = DefaultMaxShingleDf,
-      maxBucketDocs: Int = 0): DataFrame = {
+      maxBucketDocs: Int = 0, pinSets: Boolean = true): DataFrame = {
+    val sets0 = shingleSets(df, idCol, textCol, shingleSize)
+    val sets = if (pinSets) sets0.localCheckpoint() else sets0
     // band-duplicate pairs need no distinct: the verify semi-join dedups
-    val cands = rawCandidates(df, idCol, textCol, bands, rowsPerBand,
-      shingleSize, maxBucketDocs)
-    jaccardVerify(df, cands, idCol, textCol, shingleSize, maxShingleDf)
+    val cands = candidatesOfBuckets(
+      bucketsOfSignatures(
+        signaturesFromSets(sets, idCol, bands * rowsPerBand), idCol,
+        bands, rowsPerBand),
+      idCol, maxBucketDocs)
+    jaccardVerifyFromSets(sets, cands, maxShingleDf)
       .filter(col("jaccard") >= threshold)
   }
 
