@@ -188,14 +188,29 @@ object GraphOps {
       closeBroadcastMaxEdges: Long = 4000000L): (DataFrame, () => Unit) = {
     val registered = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val spark = pairs.sparkSession
+    // the spill base MUST be executor-shared on a real cluster: executors
+    // write the partitions, the next stage's tasks read them — a
+    // driver-local tmpdir would silently lose every remote executor's
+    // files. The session checkpoint dir is exactly that shared location
+    // (the same contract reliable checkpoints / PinReliable already
+    // impose); local[*] uses tmpdir, where one machine is both sides. A
+    // multi-executor deployment WITHOUT a checkpoint dir gets no spill —
+    // spillBase = None falls back to the cache-pin shape below: correct
+    // everywhere, just without the single-broadcast exchange reuse
+    val spillBase: Option[String] =
+      if (spark.sparkContext.isLocal)
+        Some(spark.sparkContext.getCheckpointDir
+          .getOrElse(sys.props("java.io.tmpdir")))
+      else spark.sparkContext.getCheckpointDir
     val scratch = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"),
+      spillBase.getOrElse(sys.props("java.io.tmpdir")),
       s"graft-triangles-${java.util.UUID.randomUUID()}")
     def cleanup(): Unit = {
       registered.foreach(_.unpersist())
-      try scratch.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(scratch, true)
-      catch { case _: java.io.IOException => () }
+      if (spillBase.isDefined)
+        try scratch.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(scratch, true)
+        catch { case _: java.io.IOException => () }
     }
     def pin(df: DataFrame): DataFrame = { registered += df; df.persist() }
     try {
@@ -223,16 +238,21 @@ object GraphOps {
     // its two consumers (adjacency build + probe side) then read
     // identical FileScans, which is what lets the adjacency exchange be
     // built ONCE and reused (see the scaladoc) — and the spill write
-    // materializes p's consumers, standing in for the old count()
-    withDeg.select(
+    // materializes p's consumers, standing in for the old count().
+    // Without a shared spill base (multi-executor, no checkpoint dir)
+    // the frame pins in the cache instead — correct, two broadcasts
+    val oriented0 = withDeg.select(
       when(col("sdeg") < col("ddeg") ||
           (col("sdeg") === col("ddeg") && col("src") < col("dst")),
         struct(col("src").as("lo"), col("dst").as("hi")))
         .otherwise(struct(col("dst").as("lo"), col("src").as("hi")))
         .as("e"))
       .select(col("e.lo").as("u"), col("e.hi").as("v"))
-      .write.parquet(scratch.toString)
-    val oriented = spark.read.parquet(scratch.toString)
+    val oriented =
+      if (spillBase.isDefined) {
+        oriented0.write.parquet(scratch.toString)
+        spark.read.parquet(scratch.toString)
+      } else pin(oriented0)
     // the edge count decides whether the adjacency table broadcasts
     // (its total payload is exactly m entries)
     val nE = oriented.count()
