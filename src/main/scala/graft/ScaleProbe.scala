@@ -796,6 +796,49 @@ object ScaleProbe {
         "exact10", "routed10")
       router.close()
     }
+    if (sel("route_aqp_stratified")) {
+      // the STRATIFIED routed fine zoom at evK× (the round-12
+      // composition): ten keyed day drill-ins through a prepared router
+      // whose sample tier carries per-stratum rates — the HT weighting
+      // and the key pushdown both live — vs the same keyed buckets
+      // re-aggregated exactly from raw. Same burst shape as
+      // route_aqp_fine; the added claim is that stratified rates cost
+      // the serve nothing (rate_den rides the rows; the estimator is
+      // the same integer aggregate)
+      val day = 86400L * 1000000000L
+      val minNs = 60L * 1000000000L
+      val stP = s"$work/aqp_rts_store_${evK}x"
+      val smP = s"$work/aqp_rts_sample_${evK}x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stP))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(smP))
+      graft.storage.RollupStore.write(evScaled, stP,
+        3600L * 1000000000L, keyCols = Seq("event_type"))
+      graft.storage.SampleStore.buildStratified(
+        evScaled.withColumn("band",
+          expr("cast(floor(value / 100) as long)")),
+        smP, idCol = "event_id", stratumCol = "band", minRows = 50L,
+        maxBits = 8)
+      val t0 = evScaled.agg(min("ts")).head().getLong(0)
+      val lo0 = t0 - Math.floorMod(t0, day) + day
+      val router = graft.storage.RollupStore.prepareSampled(spark, stP,
+        smP)
+      val key = Some(col("event_type") === "click")
+      def routed(): Long = (0 until 10).map { i =>
+        router.route(lo0 + i * day, lo0 + (i + 1) * day,
+          maxPoints = 1440, keyFilter = key).count()
+      }.sum
+      def exactFine(): Long = (0 until 10).map { i =>
+        TsOps.rangeFilter(evScaled.filter(col("event_type") === "click"),
+            Some(lo0 + i * day), Some(lo0 + (i + 1) * day))
+          .withColumn("__c", TsOps.centsExpr("value"))
+          .groupBy(col("event_type"),
+            expr(TsOps.floorBucketSql("ts", minNs)).as("b"))
+          .agg(count(lit(1)).as("n"), sum("__c").as("sc")).count()
+      }.sum
+      reportPair("route_aqp_stratified", exactFine(), routed(),
+        "exact10", "routed10")
+      router.close()
+    }
     if (sel("tiering_trim")) {
       // A/B on the SAME 10x data: retention trim on a day-partitioned raw
       // tree (whole-directory drop, O(days dropped)) vs a flat tree (full
