@@ -268,13 +268,17 @@ object Bench {
     // post-sweep window), and `calib_store` (the store-shape probe that
     // inflates under eviction/writeback pressure while calib/calib_io
     // stay green). BASELINE.md holds the interpretation rule.
+    // trailing comma ON the mem block: with /proc/meminfo unreadable
+    // (non-Linux, restricted /proc) the block is EMPTY, and an
+    // unconditional separator would emit `,,` — malformed JSON that
+    // fails every artifact consumer instead of just omitting mem_*
     val mem = Seq("MemTotal" -> "mem_total_kb",
       "MemAvailable" -> "mem_available_kb", "Cached" -> "mem_cached_kb",
       "Dirty" -> "mem_dirty_kb", "Writeback" -> "mem_writeback_kb")
       .flatMap { case (k, out) =>
-        memAtInvoke.get(k).map(v => s""""$out":$v""") }
-      .mkString(",")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"normalized":$normalized,$mem,"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
+        memAtInvoke.get(k).map(v => s""""$out":$v,""") }
+      .mkString
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"normalized":$normalized,$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

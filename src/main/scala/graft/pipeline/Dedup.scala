@@ -200,8 +200,9 @@ object Dedup {
     * the streaming near-dup probe) verify over the SAME capped vocabulary
     * as the batch pipeline.
     *
-    * `pin = true` materializes the shingle-set frame ONCE (eager
-    * localCheckpoint) so the stop-list branch and the kept-sets branch
+    * `pin = true` materializes the shingle-set frame ONCE (lazy
+    * localCheckpoint — no job at plan construction; the first action
+    * stores the blocks) so the stop-list branch and the kept-sets branch
     * share a single shingling pass — without it the df-count subtree
     * re-shingles the whole corpus (its exchange child is a partial
     * aggregate, so ReuseExchange cannot dedup it against the main
@@ -214,7 +215,11 @@ object Dedup {
   def cappedSets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxDf: Int, pin: Boolean = false): DataFrame = {
     val sets0 = shingleSets(df, idCol, textCol, shingleSize)
-    cappedSetsFrom(if (pin) sets0.localCheckpoint() else sets0, maxDf)
+    // LAZY checkpoint: no job at plan-construction time (EXPLAIN / plan
+    // audits / discarded frames stay free); the first action materializes
+    // the blocks and every later branch of the same query reads them
+    cappedSetsFrom(if (pin) sets0.localCheckpoint(eager = false) else sets0,
+      maxDf)
   }
 
   /** [[cappedSets]] over a prebuilt (`__id`, `__set`) frame — the shared
@@ -355,7 +360,7 @@ object Dedup {
     * exact verify. The canonical fuzzy-dedup pipeline.
     *
     * `pinSets = true` (default) materializes the shingle-set frame ONCE
-    * (eager localCheckpoint) and derives ALL THREE shingle consumers from
+    * (lazy localCheckpoint — materialized at the first action) and derives ALL THREE shingle consumers from
     * it — the MinHash signature branch, the stop-shingle df count, and
     * the verify kept-sets — where the unpinned chain shingles the corpus
     * three times (the branches' exchange children differ, so ReuseExchange
@@ -368,7 +373,9 @@ object Dedup {
       maxShingleDf: Int = DefaultMaxShingleDf,
       maxBucketDocs: Int = 0, pinSets: Boolean = true): DataFrame = {
     val sets0 = shingleSets(df, idCol, textCol, shingleSize)
-    val sets = if (pinSets) sets0.localCheckpoint() else sets0
+    // lazy for the same reason as cappedSets' pin: construction stays
+    // job-free; the first action materializes the shared blocks
+    val sets = if (pinSets) sets0.localCheckpoint(eager = false) else sets0
     // band-duplicate pairs need no distinct: the verify semi-join dedups
     val cands = candidatesOfBuckets(
       bucketsOfSignatures(

@@ -186,7 +186,11 @@ private[pipeline] trait TextBpe { self: Text.type =>
           val picked = sel.result()
           learned ++= picked
           r += 1
-          if (r < rounds) {
+          // also gate on the merge budget: the final budget-crossing
+          // round must not build+persist+count a re-segmented frame the
+          // loop condition immediately discards (one full vocabulary
+          // aggregation wasted per training run otherwise)
+          if (r < rounds && learned.size < maxMerges) {
             // re-segment with ONLY this round's merges; materialize from
             // the still-persisted parent before releasing it so the next
             // round never recomputes the corpus pass

@@ -43,7 +43,21 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     * cache; an in-flight route on the evicted router still completes
     * (Spark recomputes de-cached rows), it just loses the pin. */
   private val maxPreparedRouters: Int =
-    sys.env.get("SPARK_GRAFT_SERVER_MAX_PINS").map(_.toInt).getOrElse(32)
+    sys.env.get("SPARK_GRAFT_SERVER_MAX_PINS").map { v =>
+      // validated loudly AT CONSTRUCTION: a cap <= 0 would make
+      // removeEldestEntry evict (and close) every router the moment it
+      // is inserted — pinned requests silently slower than unpinned,
+      // no error anywhere — and a bare toInt on a typo'd value throws
+      // with no hint which setting is at fault
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SERVER_MAX_PINS must be a positive int, got '$v'")
+      }
+      require(n >= 1,
+        s"SPARK_GRAFT_SERVER_MAX_PINS must be >= 1, got $n — a " +
+          "non-positive cap would evict every pin on insert")
+      n
+    }.getOrElse(32)
   private val preparedRouters = new java.util.LinkedHashMap[
       (String, String, String), graft.storage.RollupStore.SampledRouter](
       16, 0.75f, true) {
@@ -54,25 +68,52 @@ final class QueryServer(engine: Engine, port: Int = 0) {
       else false
   }
 
-  /** The pinned-router lifecycle: get-or-prepare under the LRU lock;
-    * `refresh = true` closes and re-prepares the triple FIRST — the
-    * serving-layer verb that picks up appends (and a post-prepare
-    * `tierOff`, which otherwise invalidates a pin silently) without a
-    * server restart. prepareSampled's metadata jobs run under the lock:
-    * concurrent first-pins serialize, which is the dashboard-burst
-    * trade we want (one prepare, not N). */
+  /** Per-key in-flight prepares, so [[pinnedRouter]]'s Spark metadata
+    * jobs never run under the global LRU lock (a cold pin of pair B
+    * must not stall the dashboard burst against already-prepared pair
+    * A on a multi-second map lookup); same-key racers join the one
+    * in-flight prepare instead of duplicating it. */
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String),
+    java.util.concurrent.CompletableFuture[
+      graft.storage.RollupStore.SampledRouter]]()
+
+  /** The pinned-router lifecycle: cache hits hold the LRU lock for a
+    * map lookup only; a miss prepares OUTSIDE the lock with a per-key
+    * in-flight guard (one prepare per triple, concurrent keys
+    * independent). `refresh = true` closes and re-prepares the triple
+    * FIRST — the serving-layer verb that picks up appends (and a
+    * post-prepare `tierOff`, which otherwise invalidates a pin
+    * silently) without a server restart. */
   private def pinnedRouter(key: (String, String, String),
-      refresh: Boolean): graft.storage.RollupStore.SampledRouter =
-    preparedRouters.synchronized {
-      if (refresh) Option(preparedRouters.remove(key)).foreach(_.close())
-      var r = preparedRouters.get(key)
-      if (r == null) {
-        r = graft.storage.RollupStore.prepareSampled(
-          engine.spark, key._1, key._2, key._3)
-        preparedRouters.put(key, r)
-      }
-      r
+      refresh: Boolean): graft.storage.RollupStore.SampledRouter = {
+    if (refresh) preparedRouters.synchronized {
+      Option(preparedRouters.remove(key)).foreach(_.close())
     }
+    preparedRouters.synchronized {
+      val r = preparedRouters.get(key)
+      if (r != null) return r
+    }
+    val fut = new java.util.concurrent.CompletableFuture[
+      graft.storage.RollupStore.SampledRouter]()
+    val prev = inFlight.putIfAbsent(key, fut)
+    if (prev != null) return prev.join() // another thread is preparing
+    try {
+      // double-check after winning the in-flight slot: a racer may have
+      // completed between our miss and the putIfAbsent
+      preparedRouters.synchronized {
+        val r = preparedRouters.get(key)
+        if (r != null) { fut.complete(r); return r }
+      }
+      val r = graft.storage.RollupStore.prepareSampled(
+        engine.spark, key._1, key._2, key._3)
+      preparedRouters.synchronized { preparedRouters.put(key, r) }
+      fut.complete(r)
+      r
+    } catch { case t: Throwable =>
+      fut.completeExceptionally(t); throw t
+    } finally inFlight.remove(key)
+  }
 
   def start(): Int = {
     val ss = new ServerSocket(port)
