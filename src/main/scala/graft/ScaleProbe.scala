@@ -652,11 +652,12 @@ object ScaleProbe {
     // over glued word 4-GRAMS (the trigram population's 16k types
     // exhaust under 32k; 4-grams give the merge axis room), vs the same
     // shape at 4k merges — near-linear in rounds is the claim. The 32k
-    // list then ENCODES the scaled corpus through bpeEncode's
-    // interpreted vocabulary-join path (a 32k-deep replace-chain Column
-    // does not analyze; the big-list path is proven byte-equivalent to
-    // the chain in PipelineSpec) — the end-to-end proof that a trained
-    // production vocabulary both exists and serves
+    // list then ENCODES the scaled corpus through bpeEncode's broadcast
+    // rank-priority path (a 32k-deep replace-chain Column does not
+    // analyze; the rank path is proven byte-equivalent to the chain in
+    // PipelineSpec), priced against the same path at 4k and against the
+    // round-12 interpreted vocabulary-join — the end-to-end proof that
+    // a trained production vocabulary exists AND tokenizes at scale
     if (sel("bpe_train_32k")) {
       val quadDocs = docScaled
         .withColumn("__ws", split(lower(col("text")), "[^a-z0-9]+"))
@@ -676,21 +677,36 @@ object ScaleProbe {
       // ratio tracks the ROUND ratio, not the 8x merge ratio
       var n4k = 0L
       var n32k = 0L
+      var m4: Seq[(String, String)] = Nil
       var m32: Seq[(String, String)] = Nil
-      val t4k = time { val m = graft.pipeline.Text.bpeTrainBatch(quadDocs,
+      val t4k = time { m4 = graft.pipeline.Text.bpeTrainBatch(quadDocs,
         "text", rounds = 4096, pairsPerRound = 64,
         candidatesPerRound = 1024, maxMerges = 4096)
-        n4k = m.size.toLong; n4k }
+        n4k = m4.size.toLong; n4k }
       val t32k = time { m32 = graft.pipeline.Text.bpeTrainBatch(quadDocs,
         "text", rounds = 4096, pairsPerRound = 64,
         candidatesPerRound = 1024, maxMerges = 32768)
         n32k = m32.size.toLong; n32k }
+      // ENCODE under both vocabulary depths through the automatic
+      // (broadcast rank-priority) path — the round-13 scale claim is
+      // that encode cost is flat in vocabulary depth, so 32k/4k should
+      // sit near 1 where the old interpreted vocabulary-join path paid
+      // one full symbol scan per merge (~8x here, priced alongside)
+      graft.pipeline.Text.bpeEncode(quadDocs, "doc_id", "text", m4)
+        .count() // warm the encode machinery
+      val tEnc4k = time(graft.pipeline.Text.bpeEncode(quadDocs, "doc_id",
+        "text", m4).count())
       val tEnc = time(graft.pipeline.Text.bpeEncode(quadDocs, "doc_id",
         "text", m32).count())
+      val tEncJoin = time(graft.pipeline.Text.bpeEncodeVia(quadDocs,
+        "doc_id", "text", m32, "join").count())
       println(f"[scale] bpe_train_32k          4k=$t4k%6.2fs ($n4k merges)" +
         f"  32k=$t32k%6.2fs ($n32k merges)  ratio=${t32k / t4k}%5.2f " +
-        f"(8x merges; rounds-linear ~= the round ratio)  " +
-        f"encode32k=$tEnc%6.2fs")
+        f"(8x merges; rounds-linear ~= the round ratio)")
+      println(f"[scale] bpe_encode_32k         rank4k=$tEnc4k%6.2fs  " +
+        f"rank32k=$tEnc%6.2fs  ratio=${tEnc / tEnc4k}%5.2f " +
+        f"(depth-flat ~= 1; join path at 32k for comparison: " +
+        f"$tEncJoin%6.2fs)")
     }
     report("collocations", docK,
       graft.pipeline.Text.collocations(docs, "text").count(),

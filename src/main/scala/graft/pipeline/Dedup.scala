@@ -218,9 +218,27 @@ object Dedup {
     // LAZY checkpoint: no job at plan-construction time (EXPLAIN / plan
     // audits / discarded frames stay free); the first action materializes
     // the blocks and every later branch of the same query reads them
-    cappedSetsFrom(if (pin) sets0.localCheckpoint(eager = false) else sets0,
+    cappedSetsFrom(
+      if (pin && pinSetsEnabled(df.sparkSession))
+        sets0.localCheckpoint(eager = false)
+      else sets0,
       maxDf)
   }
+
+  /** Session kill-switch for the shingle-set pins ([[PinSetsConf]],
+    * default on): `pinSets = true` call sites trade a second (and third)
+    * corpus shingling pass for localCheckpoint blocks — non-replicated,
+    * lineage-truncated, so an executor loss mid-job FAILS the query
+    * instead of recomputing. On a preemptible fleet that trade is wrong
+    * for every caller at once, which is what a per-call parameter cannot
+    * express — set the conf to `false` and every dedup entry point runs
+    * its original recompute-on-loss plan (identical results, one extra
+    * shingling pass per consumer branch). */
+  val PinSetsConf = "spark.graft.dedup.pinSets"
+
+  private[pipeline] def pinSetsEnabled(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(PinSetsConf, "true").trim.toBoolean
 
   /** [[cappedSets]] over a prebuilt (`__id`, `__set`) frame — the shared
     * face pin modes use so the df-cap and the kept sets derive from ONE
@@ -366,7 +384,8 @@ object Dedup {
     * three times (the branches' exchange children differ, so ReuseExchange
     * cannot dedup them). Same trade as [[jaccardPairs]]' pin: executor-
     * local storage of the set frame vs repeated corpus passes; pass
-    * `pinSets = false` on preemptible fleets. */
+    * `pinSets = false` on preemptible fleets (or flip [[PinSetsConf]]
+    * once per session to opt every call site out). */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
       shingleSize: Int = 3,
@@ -375,7 +394,10 @@ object Dedup {
     val sets0 = shingleSets(df, idCol, textCol, shingleSize)
     // lazy for the same reason as cappedSets' pin: construction stays
     // job-free; the first action materializes the shared blocks
-    val sets = if (pinSets) sets0.localCheckpoint(eager = false) else sets0
+    val sets =
+      if (pinSets && pinSetsEnabled(df.sparkSession))
+        sets0.localCheckpoint(eager = false)
+      else sets0
     // band-duplicate pairs need no distinct: the verify semi-join dedups
     val cands = candidatesOfBuckets(
       bucketsOfSignatures(

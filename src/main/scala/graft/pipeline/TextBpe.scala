@@ -198,19 +198,21 @@ private[pipeline] trait TextBpe { self: Text.type =>
               replace(c, lit(s" $a $b "), lit(s" $a$b "))
             }
             val next0 = seg.select(applied.as("w"), col("cnt"))
+            // the eager count can throw mid-round (executor loss, OOM);
+            // until the frame is assigned to seg/lastPin the finally
+            // block below cannot see it, so release it HERE on the
+            // failure path — no cache residue however training dies
+            def countOrRelease(p: DataFrame): DataFrame =
+              try { p.count(); p }
+              catch { case t: Throwable => p.unpersist(); throw t }
             val next =
               if (r % pinEvery == 0) {
-                val pinned = graft.pipeline.Pipelines.pinFrame(next0,
-                  pinMode)
-                pinned.count() // eager: truncate lineage NOW
+                val pinned = countOrRelease( // eager: truncate lineage NOW
+                  graft.pipeline.Pipelines.pinFrame(next0, pinMode))
                 if (lastPin != null) lastPin.unpersist()
                 lastPin = pinned
                 pinned
-              } else {
-                val p = next0.persist()
-                p.count()
-                p
-              }
+              } else countOrRelease(next0.persist())
             seg.unpersist()
             seg = next
           }
@@ -258,27 +260,175 @@ private[pipeline] trait TextBpe { self: Text.type =>
     }
   }
 
+  /** The SCALE encode path: one rank-priority pass per word over a
+    * broadcast merge-rank table, cost independent of vocabulary depth —
+    * where the ordered-replace twin pays one full symbol-string scan PER
+    * MERGE per word (5.99s for the probe corpus at 32k merges, SCALE.md
+    * `bpe_train_32k` round 12 — a per-token constant that becomes THE
+    * tokenizer bottleneck at 100 TB, since every training token flows
+    * through encode exactly once).
+    *
+    * Correctness rests on a provable equivalence with the ordered
+    * replace chain — for ANY merge list, not a new semantics. Let the
+    * encoder repeatedly find the lowest rank STRICTLY ABOVE a cursor
+    * whose pair is adjacent somewhere in the word, run one replace pass
+    * of that rank, and advance the cursor to it. Induction: if both
+    * executions share state S after cursor rank p, and r is the minimum
+    * present rank > p in S, then ordered replace no-ops through every
+    * rank in (p, r) — each was absent in S and no-ops don't change S —
+    * and applies r's pass at exactly S. So the effective pass sequences
+    * coincide, pass for pass, state for state; ranks the cursor skips
+    * are precisely the ranks ordered replace would have no-opped, even
+    * if their pair becomes adjacent LATER (ordered replace never
+    * revisits either). A pair listed at several ranks keeps ALL its
+    * ranks (the cursor picks the lowest one still above itself), which
+    * is why trained lists that re-learn a pair — pass residue keeps a
+    * merged pair's bigram countable, see below — replay exactly.
+    *
+    * The per-pass semantics replicate [[bpeApply]]'s literal string
+    * replace EXACTLY, including its shared-separator quirk: a ` a b `
+    * match consumes the trailing space, so the immediately following
+    * pair in the same pass is ineligible (`abab` under (a,b) →
+    * `[ab, a, b]`, not classic BPE's `[ab, ab]`) — and one pass per
+    * rank, never a revisit, so pass residue stays unmerged exactly as
+    * the replace chain leaves it until a higher-ranked duplicate fires.
+    * Byte-equivalence against the replace chain and the interpreted
+    * vocabulary-join twin is pinned in PipelineSpec across the
+    * threshold, on duplicate-bearing trained lists, and on adversarial
+    * out-of-order lists. */
+  private[graft] final class BpeRankEncoder(
+      lhs: Array[String], rhs: Array[String]) extends Serializable {
+    /** pair → ALL its ranks, ascending; built lazily PER EXECUTOR from
+      * the two broadcast string arrays (a prebuilt map would serialize
+      * per-reference; the arrays ship once via the broadcast). */
+    @transient private lazy val ranks
+        : java.util.HashMap[String, Array[Int]] = {
+      val m = new java.util.HashMap[String, Array[Int]](lhs.length * 2)
+      var i = 0
+      while (i < lhs.length) {
+        // ascending i keeps each array sorted without a sort
+        m.merge(lhs(i) + " " + rhs(i), Array(i), (a, b) => a ++ b)
+        i += 1
+      }
+      m
+    }
+    /** Per-executor word → piece-count memo (the distinct-word saving
+      * the old vocabulary join bought, without its shuffle); bounded so
+      * an adversarial unique-word corpus cannot grow it without limit. */
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private val MemoCap = 1 << 20
+
+    def pieceCount(word: String): Int = {
+      val hit = memo.get(word)
+      if (hit != null) hit.intValue()
+      else {
+        val n = encode(word)
+        if (memo.size < MemoCap) memo.put(word, Integer.valueOf(n))
+        n
+      }
+    }
+
+    private def encode(word: String): Int = {
+      var n = word.length
+      if (n <= 1) return n
+      val syms = new Array[String](n)
+      var i = 0
+      while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+      // strictly-increasing rank cursor: residue of an applied rank
+      // (the shared-separator skip can leave the pair adjacent) must
+      // not re-fire AT THAT RANK — ordered replace runs each listed
+      // merge once; a duplicate listing of the pair at a higher rank
+      // is a separate pass and fires from its own rank
+      var last = -1
+      var done = false
+      while (!done && n > 1) {
+        var best = Int.MaxValue
+        i = 0
+        while (i < n - 1) {
+          val rs = ranks.get(syms(i) + " " + syms(i + 1))
+          if (rs != null) {
+            // lowest listed rank above the cursor (arrays are tiny —
+            // almost always length 1)
+            var j = 0
+            while (j < rs.length && rs(j) <= last) j += 1
+            if (j < rs.length && rs(j) < best) best = rs(j)
+          }
+          i += 1
+        }
+        if (best == Int.MaxValue) done = true
+        else {
+          val a = lhs(best); val b = rhs(best); val ab = a + b
+          var w = 0
+          i = 0
+          while (i < n) {
+            if (i + 1 < n && syms(i) == a && syms(i + 1) == b) {
+              syms(w) = ab; w += 1; i += 2
+              // the match consumed the next pair's leading separator:
+              // copy one symbol verbatim before rescanning (the ` a b `
+              // → ` ab ` left-to-right literal-replace semantics)
+              if (i < n) { syms(w) = syms(i); w += 1; i += 1 }
+            } else { syms(w) = syms(i); w += 1; i += 1 }
+          }
+          n = w
+          last = best
+        }
+      }
+      n
+    }
+  }
+
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
+    bpeEncodeVia(df, idCol, textCol, merges,
+      if (merges.size <= BpeEncodeChainMax) "chain" else "rank")
+
+  /** [[bpeEncode]] with the path pinned — `chain` (codegen replace
+    * chain, small lists only), `rank` (broadcast rank-priority encoder,
+    * the production-vocabulary scale path — equivalent to the chain for
+    * ANY list, [[BpeRankEncoder]] scaladoc), `join` (interpreted
+    * ordered-replace over the distinct-word vocabulary, joined back —
+    * the depth-proportional round-12 path, kept as the equivalence
+    * spec's second witness and the probe's cost comparison). Exposed so
+    * the spec and the scale probe can price the paths against each
+    * other; [[bpeEncode]] picks automatically. */
+  private[graft] def bpeEncodeVia(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)],
+      path: String): DataFrame = {
     val toks = fanOut(df)
       .select(col(idCol), explode(tokens(col(textCol))).as("w"))
-    val withN =
-      if (merges.size <= BpeEncodeChainMax)
+    val withN = path match {
+      case "chain" =>
         toks.withColumn("__n",
           size(split(trim(bpeApply(col("w"), merges)), " ")))
-      else {
-        // real-vocabulary lists: segment each DISTINCT word once (the
-        // vocabulary is tokenizer-metadata-scale next to the corpus),
-        // then join the per-word piece count back to the occurrences —
-        // the trained-classifier tier's explode+vocab-join shape; AQE
-        // broadcasts the vocab side when it fits
+      case "rank" =>
+        // ONE narrow pass over the occurrences: the merge table rides a
+        // broadcast (two string arrays, ~1 MB at 32k), the rank map and
+        // word memo build once per executor — no distinct, no join, no
+        // shuffle before the per-doc aggregate, and per-word cost that
+        // does not grow with vocabulary depth
+        val bc = df.sparkSession.sparkContext.broadcast(
+          new BpeRankEncoder(
+            merges.view.map(_._1).toArray, merges.view.map(_._2).toArray))
+        val nUdf = udf((w: String) => bc.value.pieceCount(w))
+        toks.withColumn("__n", nUdf(col("w")))
+      case "join" =>
+        // the round-12 big-list shape: segment each DISTINCT word once
+        // (the vocabulary is tokenizer-metadata-scale next to the
+        // corpus), then join the per-word piece count back to the
+        // occurrences — the trained-classifier tier's explode+vocab-join
+        // shape; AQE broadcasts the vocab side when it fits. Per-word
+        // cost grows with vocabulary DEPTH (one full scan per merge),
+        // which is why `rank` replaced it as the automatic path
         val applyM = bpeApplyScala(merges.toIndexedSeq)
         val nUdf = udf((w: String) =>
           applyM(w).trim.split(" ").length)
         val vocab = toks.select("w").distinct()
           .withColumn("__n", nUdf(col("w")))
         toks.join(vocab, "w")
-      }
+      case other => throw new IllegalArgumentException(
+        s"unknown bpe encode path '$other' (chain | rank | join)")
+    }
     withN
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),

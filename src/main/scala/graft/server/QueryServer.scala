@@ -28,6 +28,10 @@ import graft.ql.{Ast, Engine, Interpreter, Output}
   */
 final class QueryServer(engine: Engine, port: Int = 0) {
   @volatile private var server: Option[ServerSocket] = None
+  /** Set under the [[preparedRouters]] lock in [[stop]]: an in-flight
+    * prepare that loses the race with shutdown sees it and closes its
+    * fresh router instead of caching into the already-cleared map. */
+  private var closed = false
   private val pool = Executors.newCachedThreadPool(r => {
     val t = new Thread(r, "graft-server-conn"); t.setDaemon(true); t
   })
@@ -90,29 +94,54 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     if (refresh) preparedRouters.synchronized {
       Option(preparedRouters.remove(key)).foreach(_.close())
     }
-    preparedRouters.synchronized {
-      val r = preparedRouters.get(key)
-      if (r != null) return r
+    val hit = preparedRouters.synchronized {
+      Option(preparedRouters.get(key))
     }
-    val fut = new java.util.concurrent.CompletableFuture[
-      graft.storage.RollupStore.SampledRouter]()
-    val prev = inFlight.putIfAbsent(key, fut)
-    if (prev != null) return prev.join() // another thread is preparing
-    try {
-      // double-check after winning the in-flight slot: a racer may have
-      // completed between our miss and the putIfAbsent
-      preparedRouters.synchronized {
-        val r = preparedRouters.get(key)
-        if (r != null) { fut.complete(r); return r }
+    hit.getOrElse {
+      val fut = new java.util.concurrent.CompletableFuture[
+        graft.storage.RollupStore.SampledRouter]()
+      val prev = inFlight.putIfAbsent(key, fut)
+      if (prev != null) prev.join() // another thread is preparing
+      else {
+        // no non-local returns below: the catch must only ever see a
+        // genuine prepare failure, never Scala control-flow throwables
+        // (a NonLocalReturnControl swallowed here would hand racers
+        // joining the future an exception instead of the router)
+        try {
+          // double-check after winning the in-flight slot: a racer may
+          // have completed between our miss and the putIfAbsent
+          val again = preparedRouters.synchronized {
+            Option(preparedRouters.get(key))
+          }
+          val r = again.getOrElse {
+            val fresh = graft.storage.RollupStore.prepareSampled(
+              engine.spark, key._1, key._2, key._3)
+            // cache under the same lock that stop() closes the map
+            // under: once `closed` is set, a late prepare must not
+            // park an orphaned router (and its pinned sample rows)
+            // in a map nobody will ever close again
+            val cached = preparedRouters.synchronized {
+              if (closed) false
+              else { preparedRouters.put(key, fresh); true }
+            }
+            if (!cached) {
+              fresh.close()
+              throw new IllegalStateException(
+                "server is stopped; pinned router discarded")
+            }
+            fresh
+          }
+          fut.complete(r)
+          r
+        } catch { case t: Throwable =>
+          // Throwable on purpose: with no non-local returns in scope,
+          // anything landing here is a real failure, and a fatal error
+          // (OOM, LinkageError) must still release joined racers —
+          // an uncompleted future would park them forever
+          fut.completeExceptionally(t); throw t
+        } finally inFlight.remove(key)
       }
-      val r = graft.storage.RollupStore.prepareSampled(
-        engine.spark, key._1, key._2, key._3)
-      preparedRouters.synchronized { preparedRouters.put(key, r) }
-      fut.complete(r)
-      r
-    } catch { case t: Throwable =>
-      fut.completeExceptionally(t); throw t
-    } finally inFlight.remove(key)
+    }
   }
 
   def start(): Int = {
@@ -135,6 +164,7 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     server.foreach(_.close())
     pool.shutdown()
     preparedRouters.synchronized {
+      closed = true
       preparedRouters.values().forEach(_.close())
       preparedRouters.clear()
     }

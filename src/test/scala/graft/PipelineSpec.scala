@@ -2148,12 +2148,12 @@ class PipelineSpec extends AnyFunSuite {
       == Seq(("a", "b"), ("e", "f"), ("b", "c"), ("c", "d")))
   }
 
-  test("bpeEncode's interpreted big-list path is byte-equivalent to the " +
-      "codegen replace chain across the threshold") {
+  test("bpeEncode's big-list paths (rank encoder, vocabulary join) are " +
+      "byte-equivalent to the codegen replace chain across the threshold") {
     // train a list ABOVE BpeEncodeChainMax on real corpus text, then
-    // encode the same frame through both paths: the interpreted
-    // vocabulary-join path (list as-is) must produce identical per-doc
-    // counts to the Column chain (list forced through the small path by
+    // encode the same frame through all three paths: the automatic rank
+    // path and the forced vocabulary-join path must produce identical
+    // per-doc counts to the Column chain (list forced through the small path by
     // splitting the encode into two sequential applications is NOT
     // valid — replaces do not commute — so compare against the chain
     // built directly, which still analyzes at this size)
@@ -2174,7 +2174,11 @@ class PipelineSpec extends AnyFunSuite {
     val m = Text.bpeTrainBatch(docs, "text", rounds = 20,
       pairsPerRound = 16, candidatesPerRound = 256)
     assert(m.size > Text.BpeEncodeChainMax, s"fixture too small: ${m.size}")
+    // the automatic big-list path is the broadcast rank encoder
     val big = Text.bpeEncode(docs, "doc_id", "text", m)
+      .orderBy("doc_id").collect().toSeq
+    // the interpreted vocabulary-join fallback, forced
+    val join = Text.bpeEncodeVia(docs, "doc_id", "text", m, "join")
       .orderBy("doc_id").collect().toSeq
     // the chain path, forced: encode via bpeApply directly
     val chain = Text.fanOut(docs)
@@ -2183,8 +2187,49 @@ class PipelineSpec extends AnyFunSuite {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("__n").cast("long")).as("n_bpe"))
       .orderBy("doc_id").collect().toSeq
-    assert(big.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
-      chain.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    def flat(s: Seq[org.apache.spark.sql.Row]) =
+      s.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flat(big) == flat(chain))
+    assert(flat(join) == flat(chain))
+  }
+
+  test("bpe rank encoder replicates the shared-separator replace quirk, " +
+      "duplicate listings, and out-of-order lists byte-for-byte") {
+    // ` a b ` → ` ab ` consumes the trailing separator, so the pair
+    // immediately after a match is ineligible IN THAT PASS: abab →
+    // [ab, a, b] (3 pieces, not classic BPE's 2), ababab → [ab, a, b,
+    // ab] (4). Every path must reproduce this byte-for-byte.
+    val df = Seq((0L, "abab ababab aaa ab ba")).toDF("doc_id", "text")
+    val one = Seq(("a", "b"))
+    for (path <- Seq("chain", "rank", "join")) {
+      val r = Text.bpeEncodeVia(df, "doc_id", "text", one, path).collect()
+      assert(r(0).getAs[Long]("n_bpe") == 3 + 4 + 3 + 1 + 2,
+        s"path $path: ${r(0)}")
+    }
+    // an out-of-order list: the consumed symbol `ab` is produced by a
+    // LATER merge, so ordered replace runs (ab,c) as a NO-OP (no `ab`
+    // symbol exists at its turn) and never revisits it — the rank
+    // cursor, having passed rank 0 while its pair was absent, skips it
+    // identically. abc → (a,b) → [ab, c] = 2 per word.
+    val pad = (0 until Text.BpeEncodeChainMax).map(i =>
+      (s"_pad$i", s"_pad$i"))
+    val bad = Seq(("ab", "c"), ("a", "b")) ++ pad
+    val abc = df.withColumn("text", lit("abc abc"))
+    for (path <- Seq("chain", "rank", "join")) {
+      val r = Text.bpeEncodeVia(abc, "doc_id", "text", bad, path).collect()
+      assert(r(0).getAs[Long]("n_bpe") == 4, s"path $path: ${r(0)}")
+    }
+    // a DUPLICATE listing is two passes: pass one leaves the
+    // shared-separator residue ([ab, a, b]), the higher-ranked relisting
+    // fires from its own rank and merges it ([ab, ab]) — trained lists
+    // genuinely contain these (residue keeps a merged pair's bigram
+    // countable, so training can re-learn it)
+    val dup = Seq(("a", "b"), ("a", "b")) ++ pad
+    for (path <- Seq("chain", "rank", "join")) {
+      val r = Text.bpeEncodeVia(df.withColumn("text", lit("abab")),
+        "doc_id", "text", dup, path).collect()
+      assert(r(0).getAs[Long]("n_bpe") == 2, s"path $path: ${r(0)}")
+    }
   }
 
   test("bpe merge application is left-to-right non-overlapping") {
