@@ -17,6 +17,17 @@ object Bench {
     * the reported figure is the median. */
   def Iterations: Int =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+
+  /** Per-query iteration floor: the two dedup rows are the only ones
+    * where NORMALIZED artifacts still spread ~1.4× across capture
+    * contexts on identical code (r12: driver 2.04 vs judge 1.44 on
+    * `dedup_minhash_lsh`) — their timed window straddles the shingle-set
+    * localCheckpoint materialization, so a single stall owns a third of
+    * a 3-sample median. Five samples make the median robust to one
+    * excursion; every other row keeps the cheaper default. */
+  private val extraIterRows = Set("dedup_minhash_lsh", "dedup_jaccard_pairs")
+  def iterationsFor(name: String): Int =
+    if (extraIterRows(name)) math.max(Iterations, 5) else Iterations
   val headline: Seq[String] = Seq(
     "ql_range", "ql_head_limit", "agg_downsample_1h", "agg_event_type_stats",
     "sessionize_stats", "asof_purchase_view", "rolling_24h_stats",
@@ -102,8 +113,10 @@ object Bench {
 
     // capture-window evidence FIRST (the invocation state), then
     // normalize it (env-gated, default ON) — see BASELINE.md's
-    // interpretation rule: a normalized artifact's rows are code
-    // signals; an unnormalized one is read against mem_* + calib_store
+    // interpretation rule: EVERY artifact, normalized or not, is
+    // qualified by its own calibrations (the computed `window` field);
+    // normalization erases page-cache state but not CPU contention or
+    // writeback backlog, so it narrows the rule, never bypasses it
     val memAtInvoke = meminfoKb()
     val normalize = sys.env.getOrElse("SPARK_GRAFT_BENCH_DROPCACHE",
       "1") == "1"
@@ -238,7 +251,7 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}") }
           (System.nanoTime() - t0) / 1e9
         }
-        var samples = (1 to Iterations).map(_ => sample()).sorted
+        var samples = (1 to iterationsFor(name)).map(_ => sample()).sorted
         // a host stall can still slip through — when the spread is wide
         // (max/median > 1.5), take up to 2 extra samples so one outlier
         // iteration can't own a third of the median's support
@@ -253,6 +266,19 @@ object Bench {
         name -> ((dt, samples.head))
       }
     }
+    // the artifact's own window VERDICT, computed from the three
+    // calibrations so consumers stop applying BASELINE.md's band table
+    // by hand — and so a NORMALIZED artifact still carries its
+    // qualification (the r12 rule let normalized rows bypass the calib
+    // check entirely; the judge's own normalized run carried a
+    // calib_store of 3.49 that the rule said to ignore). Bands are the
+    // BASELINE.md observed quiesced ranges with their documented
+    // degradation thresholds: calib > 0.2 (band 0.081-0.141), calib_io
+    // > 0.4 (band 0.12-0.20), calib_store > 2.0 (band 1.0-1.5).
+    val window =
+      if (calib <= 0.2 && calibIo <= 0.4 && calibStore <= 2.0) "clean"
+      else "degraded"
+    System.err.println(s"[bench] window verdict           $window")
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // per-query MIN beside the median: min is robust to the GC-pause
@@ -278,7 +304,7 @@ object Bench {
       .flatMap { case (k, out) =>
         memAtInvoke.get(k).map(v => s""""$out":$v,""") }
       .mkString
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"normalized":$normalized,$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"normalized":$normalized,"window":"$window",$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

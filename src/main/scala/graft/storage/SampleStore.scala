@@ -43,7 +43,34 @@ object SampleStore {
   // rate_den, sample_col (the sampled-id column's name), ts_col (the
   // time column the __day partitions derive from), stratum_col (the
   // stratification column's name; empty string for uniform stores),
-  // batch_key, __day.
+  // layout_version, batch_key, __day.
+
+  /** At-rest layout version, stamped on every written row from v3 on —
+    * the one place the store's schema history lives (the round-12
+    * lesson: version inference by COLUMN ABSENCE nests badly; after two
+    * at-rest changes in two rounds the next one would have needed
+    * absence-of-absence logic):
+    *
+    *  - **v1** (rounds 10-11): `rate_den, sample_col, stratum_col,
+    *    batch_key, __day`. Time column fixed at `ts` by convention.
+    *    The round-11 hex→bit rate-ladder change (1/16^p → 1/2^b)
+    *    happened WITHIN v1 — it widened the set of expressible
+    *    `rate_den` values (every 16^p is a 2^4p) without touching the
+    *    schema, so no layout bump; the [[build]] scaladoc carries the
+    *    positional-parameter migration hazard.
+    *  - **v2** (round 12): + `ts_col` — the store self-describes which
+    *    column its `__day` partitions derive from.
+    *  - **v3** (round 13): + `layout_version` itself.
+    *
+    * Readers accept all three: [[readable]] backfills `ts_col = "ts"`
+    * and the inferred version for unstamped stores. WRITERS require v3:
+    * appending stamped rows to an unstamped tree would give the store
+    * per-file schemas, and the serving read (which samples one footer
+    * rather than merging every file's) would resolve columns
+    * nondeterministically — [[append]]/[[appendStratified]] reject with
+    * "compact first", and [[compact]] (a merged-schema offline pass)
+    * rewrites any legacy or mixed tree as uniform v3. */
+  val LayoutVersion = 3
 
   /** The first 32 bits of `md5(cast(id as string))` as an unsigned long
     * — the shared membership hash. Engine-portable: DuckDB spells it
@@ -86,6 +113,7 @@ object SampleStore {
       .withColumn("sample_col", lit(idCol))
       .withColumn("ts_col", lit(tsCol))
       .withColumn("stratum_col", lit(stratumCol))
+      .withColumn("layout_version", lit(LayoutVersion))
       .withColumn("batch_key", lit(batchKey))
       .withColumn(WritableStore.PartitionCol, date_from_unix_date(
         // backticked: a ts column named e.g. `event.ts` must resolve,
@@ -203,6 +231,7 @@ object SampleStore {
     val stored = readable(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"appendStratified: no stratified store at $path (build first)"))
+    requireStamped(spark, path, "appendStratified")
     val meta = stored.select("sample_col", "stratum_col", "ts_col")
       .distinct().collect()
     require(meta.length == 1 && meta(0).getString(1).nonEmpty,
@@ -244,9 +273,32 @@ object SampleStore {
     * column, or stratification differs — appending a different
     * membership function would silently mis-scale every later estimate,
     * and a different time column would mis-partition it. */
+  /** Writers require a stamped (v3) tree — [[LayoutVersion]]: an append
+    * into an unstamped store would land files carrying columns the
+    * existing files lack, and the serving read samples one footer
+    * rather than merging every file's, so the store's columns would
+    * resolve nondeterministically from then on. Metadata-only check (no
+    * data read); absent/unreadable stores pass — the caller's own
+    * validation or write decides those. */
+  private def requireStamped(spark: SparkSession, path: String,
+      context: String): Unit = {
+    val cols =
+      try spark.read.parquet(path).columns
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Array("layout_version") }
+    if (!cols.contains("layout_version"))
+      throw new IllegalStateException(
+        s"$context: sample store at $path is a legacy " +
+          s"(pre-v$LayoutVersion) layout — run SampleStore.compact(...) " +
+          "once to upgrade the at-rest tree; appending stamped rows to " +
+          "an unstamped tree would give the store per-file schemas " +
+          "(version history: SampleStore.LayoutVersion)")
+  }
+
   private[graft] def requireRate(spark: SparkSession, path: String,
       bits: Int, idCol: String, tsCol: String, context: String): Unit =
     readable(spark, path).foreach { df =>
+      requireStamped(spark, path, context)
       df.select("rate_den", "sample_col", "stratum_col", "ts_col")
         .distinct().collect().foreach { r =>
           require(r.getString(2).isEmpty,
@@ -277,13 +329,18 @@ object SampleStore {
       graft.pipeline.Similarity.recoverCompact(fs, live)
       try {
         val df = spark.read.parquet(path)
-        // layout v2 added the `ts_col` self-description column (one time
-        // column per store); a v1 store predating it always partitioned
+        // legacy backfills (version history at [[LayoutVersion]]): a v1
+        // store predating the ts_col self-description always partitioned
         // on "ts" — read it under that default instead of dying with an
-        // unresolved-column error three calls later (no rewrite needed;
-        // the next compact() persists the column)
-        Some(if (df.columns.contains("ts_col")) df
-        else df.withColumn("ts_col", lit("ts")))
+        // unresolved-column error three calls later; unstamped stores
+        // get their INFERRED version so readers see one schema (no
+        // rewrite needed; the next compact() persists both columns)
+        val withTs =
+          if (df.columns.contains("ts_col")) df
+          else df.withColumn("ts_col", lit("ts"))
+        Some(if (withTs.columns.contains("layout_version")) withTs
+        else withTs.withColumn("layout_version",
+          lit(if (df.columns.contains("ts_col")) 2 else 1)))
       }
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
@@ -539,13 +596,30 @@ object SampleStore {
   def compact(spark: SparkSession, path: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    // the recover steps readable() would have run — compact reads the
+    // tree directly (merged-schema) rather than through readable
+    AtomicDir.recover(fs, live, "sample store")
     graft.pipeline.Similarity.recoverCompact(fs, live)
     AtomicDir.compactPublish(spark, path, "compact sample store") { tmp =>
-      // read through the v1 fallback so compacting a legacy store
-      // backfills the ts_col self-description column (layout v2)
-      val df = readable(spark, path).getOrElse(
-        throw new IllegalArgumentException(
-          s"compact: sample store at $path is absent or empty"))
+      // MERGED-schema read: compact is the one offline pass that must
+      // tolerate a legacy or even MIXED tree (per-file schemas — the
+      // state the requireStamped append guard exists to prevent), so it
+      // merges every footer where the serving read samples one. Rows
+      // from files predating a self-description column read null there;
+      // the coalesce folds them onto the legacy default, and the
+      // rewrite stamps the whole tree at the CURRENT layout — compact
+      // doubles as the one-shot v1/v2 → v3 upgrade
+      val raw =
+        try spark.read.option("mergeSchema", "true").parquet(path)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"compact: sample store at $path is absent or empty")
+        }
+      val df = (if (raw.columns.contains("ts_col"))
+          raw.withColumn("ts_col", coalesce(col("ts_col"), lit("ts")))
+        else raw.withColumn("ts_col", lit("ts")))
+        .drop("layout_version")
+        .withColumn("layout_version", lit(LayoutVersion))
       val idCol = df.select("sample_col").head().getString(0)
       df.dropDuplicates(idCol, "batch_key")
         .repartition(col(WritableStore.PartitionCol))

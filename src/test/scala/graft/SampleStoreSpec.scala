@@ -267,25 +267,68 @@ class SampleStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collide"))
   }
 
-  test("layout v1 store (no ts_col column) opens under the legacy 'ts' " +
-      "default; compact backfills the column") {
-    val p0 = SparkTestBase.tempDir("graft-aqp-v1") + "/modern"
-    val p = SparkTestBase.tempDir("graft-aqp-v1") + "/legacy"
-    SampleStore.build(events, p0, idCol = "event_id")
-    // rewrite the store as a v1 layout: same rows, ts_col dropped
-    spark.read.parquet(p0).drop("ts_col")
-      .write.partitionBy("__day").parquet(p)
-    assert(!spark.read.parquet(p).columns.contains("ts_col"))
-    val h = SampleStore.open(spark, p)
-    assert(h.tsCol == "ts", "v1 store did not default to ts")
-    assert(estRows(p) == expected, "v1 fallback changed the estimates")
-    // appends validate against the defaulted ts_col rather than dying
-    // on an unresolved column
-    SampleStore.append(events.limit(0), p, "b#v1", idCol = "event_id")
-    // compact persists the self-description going forward (layout v2)
-    SampleStore.compact(spark, p)
-    assert(spark.read.parquet(p).columns.contains("ts_col"),
-      "compact did not backfill ts_col")
-    assert(estRows(p) == expected, "backfill changed the estimates")
+  test("layout round-trip: v1/v2/v3 stores all open and estimate " +
+      "identically; appends require a stamped tree; compact upgrades") {
+    val base = SparkTestBase.tempDir("graft-aqp-layout")
+    val p3 = base + "/v3"
+    val p2 = base + "/v2"
+    val p1 = base + "/v1"
+    SampleStore.build(events, p3, idCol = "event_id")
+    // v3 stamps the version on every row
+    assert(spark.read.parquet(p3).select("layout_version").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(SampleStore.LayoutVersion))
+    // rewrite as a v2 layout (round 12: ts_col, no layout_version) and
+    // as a v1 layout (rounds 10-11: neither)
+    spark.read.parquet(p3).drop("layout_version")
+      .write.partitionBy("__day").parquet(p2)
+    spark.read.parquet(p3).drop("layout_version").drop("ts_col")
+      .write.partitionBy("__day").parquet(p1)
+    for ((p, v) <- Seq((p1, 1), (p2, 2), (p3, 3))) {
+      val h = SampleStore.open(spark, p)
+      assert(h.tsCol == "ts", s"v$v store did not resolve ts_col")
+      assert(estRows(p) == expected, s"v$v estimates diverged")
+      // readers see the inferred version even on unstamped trees
+      assert(h.rows.select("layout_version").distinct()
+        .collect().map(_.getInt(0)).toSeq == Seq(v), s"v$v inference")
+    }
+    // appending stamped rows into an unstamped tree would give the
+    // store per-file schemas (the serving read samples ONE footer) —
+    // writers reject pre-v3 trees loudly instead
+    for (p <- Seq(p1, p2)) {
+      val e = intercept[IllegalStateException] {
+        SampleStore.append(events.limit(0), p, "b#legacy",
+          idCol = "event_id")
+      }
+      assert(e.getMessage.contains("compact"), e.getMessage)
+    }
+    // compact is the one-shot upgrade: merged-schema read, whole tree
+    // rewritten at the current layout — appends then proceed
+    for (p <- Seq(p1, p2)) {
+      SampleStore.compact(spark, p)
+      assert(spark.read.parquet(p).select("ts_col", "layout_version")
+        .distinct().collect().map(r => (r.getString(0), r.getInt(1)))
+        .toSeq == Seq(("ts", SampleStore.LayoutVersion)),
+        s"compact did not stamp $p")
+      assert(estRows(p) == expected, "upgrade changed the estimates")
+      SampleStore.append(events.limit(0), p, "b#post", idCol = "event_id")
+    }
+    // and a MIXED tree (stamped files landed on an unstamped store
+    // before the guard existed) repairs through the same merged-schema
+    // compact: legacy rows' null self-descriptions fold onto the
+    // defaults instead of poisoning the store
+    val pm = base + "/mixed"
+    spark.read.parquet(p3).drop("layout_version").drop("ts_col")
+      .write.partitionBy("__day").parquet(pm)
+    // land stamped files beside the unstamped ones: a byte-identical
+    // replay of the base batch, so the read-side (id, batch_key) dedup
+    // collapses the duplicate rows and only the SCHEMA mix is under test
+    SampleStore.build(events, base + "/donor", idCol = "event_id")
+    spark.read.parquet(base + "/donor")
+      .write.mode("append").partitionBy("__day").parquet(pm)
+    SampleStore.compact(spark, pm)
+    assert(spark.read.parquet(pm).select("ts_col", "layout_version")
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1)))
+      .toSeq == Seq(("ts", SampleStore.LayoutVersion)))
+    assert(estRows(pm) == expected, "mixed-tree repair changed estimates")
   }
 }
