@@ -319,6 +319,21 @@ object SampleStore {
         }
     }
 
+  /** Legacy backfills (version history at [[LayoutVersion]]): a v1
+    * store predating the ts_col self-description always partitioned on
+    * "ts" — read it under that default instead of dying with an
+    * unresolved-column error three calls later; unstamped stores get
+    * their INFERRED version so readers see one schema (no rewrite
+    * needed; the next compact() persists both columns). */
+  private def withLegacyBackfills(df: DataFrame): DataFrame = {
+    val withTs =
+      if (df.columns.contains("ts_col")) df
+      else df.withColumn("ts_col", lit("ts"))
+    if (withTs.columns.contains("layout_version")) withTs
+    else withTs.withColumn("layout_version",
+      lit(if (df.columns.contains("ts_col")) 2 else 1))
+  }
+
   private def readable(spark: SparkSession, path: String)
       : Option[DataFrame] = {
     val live = new org.apache.hadoop.fs.Path(path)
@@ -327,21 +342,7 @@ object SampleStore {
     else {
       AtomicDir.recover(fs, live, "sample store")
       graft.pipeline.Similarity.recoverCompact(fs, live)
-      try {
-        val df = spark.read.parquet(path)
-        // legacy backfills (version history at [[LayoutVersion]]): a v1
-        // store predating the ts_col self-description always partitioned
-        // on "ts" — read it under that default instead of dying with an
-        // unresolved-column error three calls later; unstamped stores
-        // get their INFERRED version so readers see one schema (no
-        // rewrite needed; the next compact() persists both columns)
-        val withTs =
-          if (df.columns.contains("ts_col")) df
-          else df.withColumn("ts_col", lit("ts"))
-        Some(if (withTs.columns.contains("layout_version")) withTs
-        else withTs.withColumn("layout_version",
-          lit(if (df.columns.contains("ts_col")) 2 else 1)))
-      }
+      try Some(withLegacyBackfills(spark.read.parquet(path)))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     }
   }
@@ -544,14 +545,50 @@ object SampleStore {
     // estimate — one open-time pass buys every later estimate a single
     // core-sized aggregation (the dedup-before-scope swap is exact:
     // replays are byte-identical rows, so scoping the deduped frame
-    // equals deduping the scoped one)
+    // equals deduping the scoped one).
+    //
+    // The pin reads the EXPLICIT open-time file list, not the
+    // directory: a persist() of the directory read is NOT a snapshot —
+    // Spark's own writers refresh the file index of every CACHED plan
+    // over the written path (recacheByPath), so a same-session append
+    // silently turned the "open-time snapshot" fresh (round-13
+    // finding; the round-12 wire test observed staleness only because
+    // an unrelated failed prepare's unpersist had evicted the shared
+    // cache entry, freezing the stale listing by accident). With the
+    // file list in the plan the snapshot holds by construction: an
+    // executor loss recomputes the same rows, close() stays a plain
+    // unpersist, and appends become visible exactly through the
+    // documented refresh verb (re-open). A post-snapshot compact()
+    // REPLACES the files, so a pinned handle that loses its cached
+    // blocks afterwards fails loudly on recompute rather than serving
+    // a silent mixture — refresh re-prepares, as with appends.
     val idCol = meta(0).getString(0)
     SampleHandle(
-      if (pin) df.dropDuplicates(idCol, "batch_key")
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .persist()
-      else df,
+      if (pin) {
+        val snap = withLegacyBackfills(
+          spark.read.option("basePath", path)
+            .parquet(snapshotFiles(spark, path): _*))
+        snap.dropDuplicates(idCol, "batch_key")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .persist()
+      } else df,
       idCol, meta(0).getString(2), preDeduped = pin)
+  }
+
+  /** The store's current data files — the open-time snapshot [[open]]'s
+    * pinned handles are built over (see the pin comment there). */
+  private def snapshotFiles(spark: SparkSession, path: String)
+      : Seq[String] = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = Option(fs.globStatus(new org.apache.hadoop.fs.Path(live,
+        s"${WritableStore.PartitionCol}=*/*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    require(files.nonEmpty,
+      s"sample store at $path has no data files to snapshot")
+    files
   }
 
   /** One-shot convenience: open cold, estimate once. Serving layers

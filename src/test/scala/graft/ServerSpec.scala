@@ -202,6 +202,113 @@ class ServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("STRATIFIED sampled serve over the wire: a pinned fine zoom " +
+      "returns mixed-rate HT rows in the Arrow-decoded frame; append + " +
+      "refresh updates the served rates without a restart") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.server.ArrowFraming
+    val Min = 60L * 1000000000L
+    val H = 3600L * 1000000000L
+    val base = SparkTestBase.tempDir("graft-srv-aqp-strat")
+    val stP = base + "/store"
+    val smP = base + "/sample"
+    // two strata on disjoint minute ranges: `hot` (50 rows → bits 0,
+    // keep-all, rate_den 1) lives in minutes 100-119, `cold` (350 rows
+    // → largest b with 350 ≥ 30·2^b is 3, rate_den 8) in minutes 0-99 —
+    // so ONE response frame carries buckets at BOTH rates and the
+    // mixed-rate contract is visible over the wire, not just in-process
+    def mk(lo: Long, hi: Long) = (lo until hi).map { i =>
+      val hot = i < 50
+      val ts = if (hot) (100 + (i % 20)) * Min else (i % 100) * Min
+      (i, ts, if (hot) "hot" else "cold", ((i % 7) + 1).toDouble + 0.25)
+    }.toDF("event_id", "ts", "band", "value")
+    val ev = mk(0L, 400L)
+    graft.storage.RollupStore.write(ev, stP, H)
+    graft.storage.SampleStore.buildStratified(ev, smP,
+      idCol = "event_id", stratumCol = "band", minRows = 30, maxBits = 8)
+    val srv = new QueryServer(new Engine(spark, dbDir))
+    val port = srv.start()
+    def frame(extra: String): String =
+      s"""{"maxPoints": 120, "since": 0, "until": ${2 * H}, """ +
+        s""""store": "$stP", "sample": "$smP"$extra}"""
+    // rows compared as a bucket-keyed map — the aggregate emits no
+    // inter-row order, so string equality would flake
+    def srvRows(resp: String): Map[Long, (Long, Long, Long)] = {
+      def longs(f: String): Seq[Long] =
+        (s""""$f":\\[([^\\]]*)\\]""".r.findFirstMatchIn(resp).get
+          .group(1)).split(",").map(_.trim.toLong).toSeq
+      longs("bucket_ts").lazyZip(longs("n_sample"))
+        .lazyZip(longs("est_count")).lazyZip(longs("rate_den"))
+        .map((b, n, c, r) => b -> ((n, c, r))).toMap
+    }
+    try {
+      // cold (unpinned) vs pinned: same stratified answer
+      val cold = roundtrip(port, frame(""))
+      assert(cold.startsWith("""{"ok":true,"""), cold)
+      val pinned = roundtrip(port, frame(""", "pin": true"""))
+      assert(srvRows(pinned) == srvRows(cold), s"$pinned vs $cold")
+      // the Arrow-decoded pinned frame: stock reader, mixed rate_den
+      val sock = new Socket("127.0.0.1", port)
+      val (names, rows) = try {
+        val out = new PrintWriter(sock.getOutputStream, true)
+        out.println(frame(""", "pin": true, "format": "arrow""""))
+        val (header, bytes) = ArrowFraming.readFrame(sock.getInputStream)
+        assert(header.contains("\"ok\":true"), header)
+        ArrowFraming.fromIpcStream(bytes)
+      } finally sock.close()
+      val iRate = names.indexOf("rate_den")
+      val iVar = names.indexOf("est_var_cents2")
+      val iN = names.indexOf("n_sample")
+      val iCount = names.indexOf("est_count")
+      val iBucket = names.indexOf("bucket_ts")
+      assert(iRate >= 0 && iVar >= 0, names.mkString(","))
+      val rates = rows.map(_(iRate).asInstanceOf[Long]).toSet
+      assert(rates == Set(1L, 8L),
+        s"expected mixed per-bucket rates over the wire, got $rates")
+      // keep-all buckets hold no sampling randomness: variance EXACTLY
+      // zero; thinned buckets carry a positive bar
+      assert(rows.filter(_(iRate) == 1L).forall(_(iVar) == 0L))
+      assert(rows.filter(_(iRate) == 8L).forall(
+        _(iVar).asInstanceOf[Long] > 0L))
+      // brute-force HT twin over the deterministic membership: hot rows
+      // all kept (rate 1), cold rows kept iff the first 3 md5 bits are
+      // zero (rate 8) — per-minute est_count must match exactly
+      def keptCold(lo: Long, hi: Long) = (lo until hi)
+        .filter { i =>
+          java.lang.Long.parseLong(
+            SparkTestBase.md5hex(i.toString).substring(0, 8), 16) <
+            (1L << 29)
+        }
+      val expected = ((0L until 50L).map(i => ((100 + (i % 20)) * Min, 1L))
+        ++ keptCold(50L, 400L).map(i => ((i % 100) * Min, 8L)))
+        .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      val got = rows.map(r => r(iBucket).asInstanceOf[Long] ->
+        r(iCount).asInstanceOf[Long]).toMap
+      assert(got == expected, s"$got vs $expected")
+      // append under the FROZEN rate map → pinned frame serves the
+      // open-time snapshot → refresh re-prepares and serves the growth
+      graft.storage.SampleStore.appendStratified(mk(400L, 800L), smP,
+        batchKey = "b2", idCol = "event_id")
+      val stale = roundtrip(port, frame(""", "pin": true"""))
+      assert(srvRows(stale) == srvRows(cold), s"$stale vs $cold")
+      val freshed = roundtrip(port,
+        frame(""", "pin": true, "refresh": true"""))
+      assert(freshed.startsWith("""{"ok":true,"""), freshed)
+      def nSampleSum(resp: String): Long =
+        srvRows(resp).values.map(_._1).sum
+      assert(nSampleSum(freshed) > nSampleSum(cold),
+        s"refresh must serve the appended batch: $freshed vs $cold")
+      // the appended cold rows keep their FROZEN thinned rate: the
+      // refreshed frame still mixes rate 1 and rate 8 buckets
+      assert(srvRows(freshed).values.map(_._3).toSet == Set(1L, 8L),
+        freshed)
+      // later pinned frames serve the refreshed pair
+      val after = roundtrip(port, frame(""", "pin": true"""))
+      assert(srvRows(after) == srvRows(freshed), s"$after vs $freshed")
+    } finally srv.stop()
+  }
+
   test("arrow-framed responses decode to the same values") {
     import graft.server.ArrowFraming
     val srv = new QueryServer(new Engine(spark, dbDir))
