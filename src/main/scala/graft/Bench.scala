@@ -226,6 +226,42 @@ object Bench {
       .apply(Iterations / 2)
     System.err.println(f"[bench] store-calibration        $calibStore%8.3fs")
 
+    // DEEP-DAG calibration (round 13): a fixed-work THREE-stage plan —
+    // broadcast join + two hash exchanges — with no IO at all. The
+    // round-13 host-era finding motivates it: every existing
+    // calibration read green (calib 0.10, calib_io 0.16, calib_store
+    // 1.2) while the multi-stage headline rows (graph_triangles, the
+    // dedup pair family, tpch_q9, ts_seasonal_anomaly) ran ~1.3×
+    // slower than their round-12 values ON BOTH the current AND the
+    // round-12 trees interleaved — a scheduling/hypervisor dimension
+    // that only shows up across stage boundaries. This probe pays
+    // stage scheduling + exchange machinery on every sample, so a
+    // future era shift carries its own evidence in the artifact
+    // instead of needing a pinned-tree A/B. Not yet part of the
+    // `window` verdict: the first recorded band (BASELINE.md round 13)
+    // was measured IN the slow era, so a threshold derived from it
+    // would normalize degradation — the band calibrates once a second
+    // era exists.
+    def calibShuffleSample(): Double = {
+      System.gc()
+      Thread.sleep(250)
+      val t0 = System.nanoTime()
+      val big = spark.range(1L << 22)
+        .selectExpr("id % 65536 as k", "id * 7 as v")
+      val dim = spark.range(1L << 10).selectExpr("id as k", "id * 3 as w")
+      big.join(org.apache.spark.sql.functions.broadcast(dim), "k")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.expr("sum(v + w)").as("s"))
+        .groupBy(org.apache.spark.sql.functions.expr("k % 37").as("g"))
+        .agg(org.apache.spark.sql.functions.expr("sum(s)").as("s2"))
+        .selectExpr("sum(s2)").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibShuffleSample() // warm the probe's own codegen
+    val calibShuffle = (1 to Iterations).map(_ => calibShuffleSample())
+      .sorted.apply(Iterations / 2)
+    System.err.println(f"[bench] shuffle-calibration      $calibShuffle%8.3fs")
+
     val results = picked.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         def sample(): Double = {
@@ -304,7 +340,7 @@ object Bench {
       .flatMap { case (k, out) =>
         memAtInvoke.get(k).map(v => s""""$out":$v,""") }
       .mkString
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"normalized":$normalized,"window":"$window",$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"normalized":$normalized,"window":"$window",$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

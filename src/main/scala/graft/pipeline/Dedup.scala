@@ -236,7 +236,7 @@ object Dedup {
     * shingling pass per consumer branch). */
   val PinSetsConf = "spark.graft.dedup.pinSets"
 
-  private[pipeline] def pinSetsEnabled(
+  private[graft] def pinSetsEnabled(
       spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(PinSetsConf, "true").trim.toBoolean
 

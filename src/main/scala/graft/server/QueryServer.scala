@@ -286,9 +286,11 @@ final class QueryServer(engine: Engine, port: Int = 0) {
     * columns). A sample frame may add `"pin": true` to opt into this
     * server's PREPARED router for the (store, sample) pair —
     * [[graft.storage.RollupStore.prepareSampled]] runs once per pair
-    * (sample rows pinned) and every later pinned frame is pure plan
-    * construction, the open-once dashboard-burst shape; the trade is
-    * staleness (the prepared pair does not see later appends, and a
+    * (sample rows pinned over the open-time FILE SNAPSHOT — from round
+    * 13 the staleness is deterministic: same-session appends never
+    * leak into a pinned frame) and every later pinned frame is pure
+    * plan construction, the open-once dashboard-burst shape; the trade
+    * is staleness (the prepared pair does not see later appends, and a
     * post-prepare `tierOff` on the store invalidates the pin silently
     * — omit `pin` for read-latest semantics, or add
     * `"refresh": true` to a pinned frame to close and re-prepare the

@@ -1184,6 +1184,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(meta.getAs[Int]("shingle_size") == 3)
   }
 
+  test("spark.graft.dedup.pinSets=false disables the shingle-set pins " +
+      "session-wide with identical results (preemptible-fleet opt-out)") {
+    def run() = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.1, shingleSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("shared"),
+        r.getAs[Double]("jaccard"))).toSet
+    def runNd() = Dedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (pinned, pinnedNd) = (run(), runNd())
+    assert(Dedup.pinSetsEnabled(spark))
+    spark.conf.set(Dedup.PinSetsConf, "false")
+    try {
+      assert(!Dedup.pinSetsEnabled(spark))
+      assert(run() == pinned)
+      assert(runNd() == pinnedNd)
+    } finally spark.conf.unset(Dedup.PinSetsConf)
+    assert(Dedup.pinSetsEnabled(spark))
+  }
+
   test("grouped jaccard variant is row-identical to the self-join path") {
     val a = Dedup.jaccardPairs(docs, "doc_id", "text",
       threshold = 0.1, shingleSize = 2, maxShingleDf = 0).collect()
