@@ -311,8 +311,16 @@ object Bench {
     // BASELINE.md observed quiesced ranges with their documented
     // degradation thresholds: calib > 0.2 (band 0.081-0.141), calib_io
     // > 0.4 (band 0.12-0.20), calib_store > 2.0 (band 1.0-1.5).
+    // unnormalized runs measure FROM the invoke state, so the written
+    // rule's mem term applies too: cached pages near MemTotal is the
+    // post-sweep signature the store calibration catches only when the
+    // eviction pressure bites during ITS samples
+    val memClean = normalized ||
+      (for { c <- memAtInvoke.get("Cached"); t <- memAtInvoke.get("MemTotal") }
+        yield c < t / 4).getOrElse(true)
     val window =
-      if (calib <= 0.2 && calibIo <= 0.4 && calibStore <= 2.0) "clean"
+      if (calib <= 0.2 && calibIo <= 0.4 && calibStore <= 2.0 && memClean)
+        "clean"
       else "degraded"
     System.err.println(s"[bench] window verdict           $window")
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }

@@ -72,10 +72,14 @@ private[graft] object EntryOracleParts {
     * the pageRank unrolled-iteration oracle pattern applied to tokenizer
     * training. Precondition (holds on any real corpus): every round finds
     * at least one pair. */
-  def bpeEncodeOracleSql(merges: Int): String = {
-    // AS MATERIALIZED on every level: each wK is referenced twice (the
-    // next round's pair count AND the next wK+1) — inlined, the chain
-    // re-evaluates w0 2^merges times; materialized, each level runs once
+  /** The unrolled greedy-training CTE chain shared by the bpe encode /
+    * tokenize oracles: `w0` (word counts + initial segmentation) and
+    * per-round (`pK` = top pair of w(K-1), `wK` = that pair merged).
+    * AS MATERIALIZED on every level: each wK is referenced twice (the
+    * next round's pair count AND the next wK+1) — inlined, the chain
+    * re-evaluates w0 2^merges times; materialized, each level runs
+    * once. */
+  private def bpeGreedyCtes(merges: Int): String = {
     val rounds = (1 to merges).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT bg AS pair FROM (
@@ -93,16 +97,63 @@ private[graft] object EntryOracleParts {
          |  FROM w${k - 1}
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
        |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq
        |  FROM (SELECT unnest($DuckToks) AS w FROM documents) GROUP BY w
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  def bpeEncodeOracleSql(merges: Int): String =
+    s"""WITH ${bpeGreedyCtes(merges)}
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(len(string_split(trim(seq), ' '))) AS BIGINT) AS n_bpe
        |FROM (SELECT doc_id, unnest($DuckToks) AS w FROM documents) d
        |JOIN w$merges USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The `text_bpe_tokenize` oracle: the same unrolled training chain,
+    * then every word's final segmentation EXPLODED with word and piece
+    * ordinals, each piece mapped to its artifact-induced id (single
+    * chars by alphabet position, merge outputs by `36 + rank`, MIN rank
+    * when a duplicate listing re-creates a string), and the per-doc id
+    * SEQUENCE pinned through scalar columns: the order-weighted
+    * checksum `Σ id × position` plus the first ten ids verbatim. */
+  def bpeTokenizeOracleSql(merges: Int): String = {
+    val mergeIds = (1 to merges).map(k =>
+      s"SELECT (SELECT replace(pair, ' ', '') FROM p$k) AS sym, " +
+        s"${35 + k} AS id").mkString(" UNION ALL ")
+    s"""WITH ${bpeGreedyCtes(merges)}, mvocab AS (
+       |  SELECT sym, MIN(id) AS id FROM ($mergeIds) GROUP BY sym
+       |), wp AS (
+       |  SELECT doc_id, u.wi AS wi, u.w AS w FROM (
+       |    SELECT doc_id, unnest([{'wi': i, 'w': toks[i]}
+       |      for i in generate_series(1, len(toks))]) AS u
+       |    FROM (SELECT doc_id, $DuckToks AS toks FROM documents)
+       |  )
+       |), pc AS (
+       |  SELECT doc_id, wi, v.pi AS pi, v.piece AS piece FROM (
+       |    SELECT doc_id, wi, unnest([{'pi': j, 'piece': ps[j]}
+       |      for j in generate_series(1, len(ps))]) AS v
+       |    FROM (SELECT doc_id, wi, string_split(trim(seq), ' ') AS ps
+       |          FROM wp JOIN w$merges USING (w))
+       |  )
+       |), pids AS (
+       |  SELECT p.doc_id, p.wi, p.pi,
+       |    CASE WHEN len(p.piece) = 1
+       |      THEN strpos('0123456789abcdefghijklmnopqrstuvwxyz',
+       |        p.piece) - 1
+       |      ELSE mv.id END AS id
+       |  FROM pc p LEFT JOIN mvocab mv ON mv.sym = p.piece
+       |), g AS (
+       |  SELECT doc_id, id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi) AS gp
+       |  FROM pids
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+       |  CAST(sum(CAST(id AS BIGINT) * gp) AS BIGINT) AS ids_sum,
+       |  array_to_string(list(id ORDER BY gp)[1:10], '-') AS ids_head
+       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** The `text_bpe_encode_batch` oracle: [[Text.bpeTrainBatch]]'s

@@ -264,6 +264,25 @@ private[graft] object EntryPipeline {
       Text.bpeEncode(docs, "doc_id", "text", Text.openTokenizer(s, path))
         .orderBy("doc_id")
     }),
+    "text_bpe_tokenize" -> ((s, d) => {
+      // the tokenizer's PRODUCT: per-doc token-ID sequences under the
+      // 8-merge trained chain — ids fixed by the artifact alone (chars
+      // 0-35, merge k → 36+k), so training inputs are reproducible at
+      // the id level across engines and runs. The ids array is the
+      // API; the oracle-facing projection pins ORDER and VALUES through
+      // scalar columns (the Σ id×position checksum + the first ten ids
+      // verbatim) — the driver compare stays on scalar types
+      val docs = t(s, d, "documents")
+      Text.bpeTokenize(docs, "doc_id", "text",
+          Text.bpeTrain(docs, "text", merges = 8))
+        .select(col("doc_id"), col("n_bpe"),
+          expr("aggregate(zip_with(ids, sequence(1, size(ids)), " +
+            "(x, i) -> cast(x as bigint) * i), 0L, (a, x) -> a + x)")
+            .as("ids_sum"),
+          expr("array_join(transform(slice(ids, 1, 10), " +
+            "x -> cast(x as string)), '-')").as("ids_head"))
+        .orderBy("doc_id")
+    }),
     "text_bpe_encode_batch" -> ((s, d) => {
       // REAL-vocabulary-scale tokenizer training: 8 rounds × up to 32
       // symbol-disjoint merges per round = a 256-merge tokenizer in 8

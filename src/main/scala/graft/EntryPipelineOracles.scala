@@ -199,6 +199,7 @@ private[graft] object EntryPipelineOracles {
          |SELECT pair, count(*) AS n FROM p
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracleSql(8),
+    "text_bpe_tokenize" -> bpeTokenizeOracleSql(8),
     "text_bpe_encode_batch" -> bpeBatchEncodeOracleSql(8, 32, 256),
     "text_pack_bpe" -> bpePackOracleSql(8, 32, 256, 256, 8),
     "text_dup_chunks" -> {

@@ -243,6 +243,14 @@ private[pipeline] trait TextBpe { self: Text.type =>
     * keeps its plan (and its whole-stage codegen) untouched. */
   val BpeEncodeChainMax = 64
 
+  /** The fixed base alphabet of [[tokens]]' output — the canonical
+    * tokenizer lowercases and strips to `[a-z0-9]`, so a trained merge
+    * list induces a COMPLETE token-id space from the artifact alone
+    * (the GPT-2 bytes+merges posture, chars standing in for bytes):
+    * `'0'..'9'` → ids 0-9, `'a'..'z'` → 10-35, merge k → 36 + k. No
+    * out-of-vocabulary token can exist. */
+  val BpeBaseAlphabet = "0123456789abcdefghijklmnopqrstuvwxyz"
+
   /** The interpreted twin of [[bpeApply]]: the identical ordered
     * left-to-right literal replaces (Java `String.replace` ==
     * `replace()`'s UTF8String semantics on this ASCII-space alphabet),
@@ -312,26 +320,76 @@ private[pipeline] trait TextBpe { self: Text.type =>
       }
       m
     }
-    /** Per-executor word → piece-count memo (the distinct-word saving
-      * the old vocabulary join bought, without its shuffle); bounded so
-      * an adversarial unique-word corpus cannot grow it without limit. */
+    /** symbol string → token id, determined by the ARTIFACT alone (the
+      * GPT-2 bytes+merges posture): [[BpeBaseAlphabet]] chars take ids
+      * 0-35, merge k's output takes 36 + k; when a duplicate listing
+      * re-creates a string the FIRST rank wins (putIfAbsent). Every
+      * piece a segmentation can emit is in here: single chars are
+      * alphabet members ([[tokens]] strips to [a-z0-9]), multi-char
+      * pieces only arise as some merge's lhs+rhs. */
+    @transient private lazy val vocabIds
+        : java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](lhs.length * 2 + 64)
+      var i = 0
+      while (i < BpeBaseAlphabet.length) {
+        m.put(String.valueOf(BpeBaseAlphabet.charAt(i)),
+          Integer.valueOf(i))
+        i += 1
+      }
+      i = 0
+      while (i < lhs.length) {
+        m.putIfAbsent(lhs(i) + rhs(i),
+          Integer.valueOf(BpeBaseAlphabet.length + i))
+        i += 1
+      }
+      m
+    }
+    /** Per-executor word → piece-count / token-id memos (the
+      * distinct-word saving the old vocabulary join bought, without its
+      * shuffle); bounded so an adversarial unique-word corpus cannot
+      * grow them without limit. */
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @transient private lazy val idsMemo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
     private val MemoCap = 1 << 20
 
     def pieceCount(word: String): Int = {
       val hit = memo.get(word)
       if (hit != null) hit.intValue()
       else {
-        val n = encode(word)
+        val syms = segment(word)
+        val n = syms.length
         if (memo.size < MemoCap) memo.put(word, Integer.valueOf(n))
         n
       }
     }
 
-    private def encode(word: String): Int = {
+    /** The word's token-id sequence under the induced vocabulary. */
+    def tokenIds(word: String): Array[Int] = {
+      val hit = idsMemo.get(word)
+      if (hit != null) hit
+      else {
+        val syms = segment(word)
+        val ids = new Array[Int](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          // never null: chars are alphabet members, multi-char pieces
+          // are some merge's output (vocabIds scaladoc)
+          ids(i) = vocabIds.get(syms(i)).intValue()
+          i += 1
+        }
+        if (idsMemo.size < MemoCap) idsMemo.put(word, ids)
+        ids
+      }
+    }
+
+    /** The final symbol sequence — the shared core of [[pieceCount]]
+      * and [[tokenIds]]. */
+    private def segment(word: String): Array[String] = {
       var n = word.length
-      if (n <= 1) return n
+      if (n == 0) return Array.empty
+      if (n == 1) return Array(word)
       val syms = new Array[String](n)
       var i = 0
       while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
@@ -374,7 +432,7 @@ private[pipeline] trait TextBpe { self: Text.type =>
           last = best
         }
       }
-      n
+      java.util.Arrays.copyOf(syms, n)
     }
   }
 
@@ -433,6 +491,41 @@ private[pipeline] trait TextBpe { self: Text.type =>
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),
         sum(col("__n").cast("long")).as("n_bpe"))
+  }
+
+  /** BPE TOKENIZE: the per-doc TOKEN-ID SEQUENCE under a trained merge
+    * list — what a training pipeline actually emits per document (where
+    * [[bpeEncode]] prices documents, this one produces them). Ids come
+    * from the artifact-induced vocabulary ([[BpeBaseAlphabet]] chars
+    * 0-35, merge k → 36 + k, first listing wins on duplicates), so the
+    * same frozen tokenizer yields the same ids on every engine and
+    * every run — the packing/mixture reproducibility contract extended
+    * to the id level. Output: (`idCol`, `ids` array — words in document
+    * order, each word's pieces in order — and `n_bpe = size(ids)`,
+    * byte-consistent with [[bpeEncode]]). Documents with no tokens are
+    * absent, exactly as in [[bpeEncode]].
+    *
+    * Scale shape: one narrow pass per occurrence through the broadcast
+    * [[BpeRankEncoder]] (depth-flat, memoized per executor — any list
+    * size, no threshold: the rank path is byte-equivalent to the chain
+    * everywhere), then ONE per-doc aggregation that reassembles word
+    * order via the posexplode index — no window, no second shuffle. */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(
+      new BpeRankEncoder(
+        merges.view.map(_._1).toArray, merges.view.map(_._2).toArray))
+    val idsUdf = udf((w: String) => bc.value.tokenIds(w))
+    fanOut(df)
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+      .withColumn("__ids", idsUdf(col("__w")))
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__p").as("p"),
+          col("__ids").as("ids")))),
+        x => x.getField("ids"))).as("ids"))
+      .withColumn("n_bpe", size(col("ids")).cast("long"))
   }
 
   // --- DSIR-style importance resampling -----------------------------------

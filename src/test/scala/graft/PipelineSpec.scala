@@ -2252,6 +2252,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenize emits the artifact-induced id sequence in document " +
+      "order, consistent with bpeEncode's counts") {
+    // trained on the classic fixture: merges (l,o)=36, (lo,w)=37,
+    // (low,e)=38, (lowe,r)=39; base ids '0'-'9'→0-9, 'a'-'z'→10-35
+    val df = Seq((0L, "low lower lowest"), (1L, "low low"))
+      .toDF("doc_id", "text")
+    val m = Text.bpeTrain(df, "text", merges = 4)
+    val out = Text.bpeTokenize(df, "doc_id", "text", m)
+      .orderBy("doc_id").collect()
+    // merge outputs: lo=36, low=37, lowe=38, lower=39; chars s=28, t=29.
+    // doc 0 = [low][lower][lowe,s,t] → [37, 39, 38, 28, 29], in order
+    assert(out(0).getAs[scala.collection.Seq[Int]]("ids").toSeq ==
+      Seq(37, 39, 38, 28, 29), out(0).toString)
+    assert(out(1).getAs[scala.collection.Seq[Int]]("ids").toSeq ==
+      Seq(37, 37))
+    assert(out(0).getAs[Long]("n_bpe") == 5 &&
+      out(1).getAs[Long]("n_bpe") == 2)
+    // n_bpe consistency with bpeEncode across a real corpus slice and
+    // a >64-merge list (the rank path end to end, id level included)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val big = Text.bpeTrainBatch(docs, "text", rounds = 6,
+      pairsPerRound = 16, candidatesPerRound = 128)
+    val tok = Text.bpeTokenize(docs, "doc_id", "text", big)
+      .agg(sum("n_bpe")).head().getLong(0)
+    val enc = Text.bpeEncode(docs, "doc_id", "text", big)
+      .agg(sum("n_bpe")).head().getLong(0)
+    assert(tok == enc, s"tokenize $tok vs encode $enc")
+    // every id is decodable: within [0, 36 + merges)
+    val maxId = Text.bpeTokenize(docs, "doc_id", "text", big)
+      .selectExpr("max(array_max(ids))").head().getInt(0)
+    assert(maxId < 36 + big.size)
+  }
+
   test("bpe merge application is left-to-right non-overlapping") {
     // "aaa" under merge (a,a): " a a a " → " aa a " — the first pair
     // consumes its separator, the scan resumes after the replacement
