@@ -119,11 +119,15 @@ private[graft] object EntryOracleParts {
     * when a duplicate listing re-creates a string), and the per-doc id
     * SEQUENCE pinned through scalar columns: the order-weighted
     * checksum `Σ id × position` plus the first ten ids verbatim. */
-  def bpeTokenizeOracleSql(merges: Int): String = {
+  /** The tokenize CTE chain shared by the tokenize / pack-tokens
+    * oracles: training ([[bpeGreedyCtes]]) + the merge-output vocabulary
+    * with MIN-rank ids + per-piece ids, ending with `g`
+    * (doc_id, id, gp — the in-doc 1-based position). */
+  private def bpeTokenizeCtes(merges: Int): String = {
     val mergeIds = (1 to merges).map(k =>
       s"SELECT (SELECT replace(pair, ' ', '') FROM p$k) AS sym, " +
         s"${35 + k} AS id").mkString(" UNION ALL ")
-    s"""WITH ${bpeGreedyCtes(merges)}, mvocab AS (
+    s"""${bpeGreedyCtes(merges)}, mvocab AS (
        |  SELECT sym, MIN(id) AS id FROM ($mergeIds) GROUP BY sym
        |), wp AS (
        |  SELECT doc_id, u.wi AS wi, u.w AS w FROM (
@@ -149,12 +153,52 @@ private[graft] object EntryOracleParts {
        |  SELECT doc_id, id,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY wi, pi) AS gp
        |  FROM pids
-       |)
+       |)""".stripMargin
+  }
+
+  def bpeTokenizeOracleSql(merges: Int): String =
+    s"""WITH ${bpeTokenizeCtes(merges)}
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
        |  CAST(sum(CAST(id AS BIGINT) * gp) AS BIGINT) AS ids_sum,
        |  array_to_string(list(id ORDER BY gp)[1:10], '-') AS ids_head
        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+
+  /** The `text_pack_tokens` oracle: per-id GLOBAL positions (the
+    * bucketed offset cumsum of [[bpeTokenizeCtes]]' per-doc counts, plus
+    * the in-doc position) assign every token to its context window;
+    * per-window scalars pin the materialized ids — count, distinct
+    * docs, the order-weighted checksum, and both edge ids (arg_min/max
+    * by global position). DuckDB explodes per TOKEN where the engine
+    * ships per-span array slices — same windows, different scale
+    * shape, which is the point of the oracle. */
+  def bpePackTokensOracleSql(merges: Int, contextLen: Int,
+      buckets: Int): String =
+    s"""WITH ${bpeTokenizeCtes(merges)}, dn AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM g GROUP BY doc_id
+       |), off AS (
+       |  SELECT doc_id, doc_id % $buckets AS bucket, n,
+       |    CAST(coalesce(sum(n) OVER (PARTITION BY doc_id % $buckets
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM dn
+       |), tok AS (
+       |  SELECT o.bucket,
+       |    CAST((o.off + g.gp - 1) // $contextLen AS BIGINT) AS pack,
+       |    o.off + g.gp - 1 AS gpos, g.id, g.doc_id
+       |  FROM g JOIN off o USING (doc_id)
+       |), wp2 AS (
+       |  SELECT bucket, pack, doc_id, id, gpos,
+       |    row_number() OVER (PARTITION BY bucket, pack
+       |      ORDER BY gpos) AS pp
+       |  FROM tok
+       |)
+       |SELECT bucket, pack, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(id AS BIGINT) * pp) AS BIGINT) AS ids_sum,
+       |  CAST(arg_min(id, gpos) AS BIGINT) AS id_first,
+       |  CAST(arg_max(id, gpos) AS BIGINT) AS id_last
+       |FROM wp2 GROUP BY bucket, pack ORDER BY bucket, pack""".stripMargin
 
   /** The `text_bpe_encode_batch` oracle: [[Text.bpeTrainBatch]]'s
     * round-at-a-time learning unrolled — round r ranks the bigram

@@ -283,6 +283,27 @@ private[graft] object EntryPipeline {
             "x -> cast(x as string)), '-')").as("ids_head"))
         .orderBy("doc_id")
     }),
+    "text_pack_tokens" -> ((s, d) => {
+      // the pipeline's FINAL artifact: materialized context windows —
+      // the 8-merge tokenizer's id sequences packed into 256-id
+      // windows over 8 bucketed streams. Every window's ids are pinned
+      // through scalars: count, contributing docs, the Σ id×position
+      // checksum, both edge ids. The engine ships per-doc SPAN slices
+      // (O(docs + packs) shuffle rows); the oracle explodes per token —
+      // same windows from both shapes
+      val docs = t(s, d, "documents")
+      val toks = Text.bpeTokenize(docs, "doc_id", "text",
+        Text.bpeTrain(docs, "text", merges = 8))
+      Text.packTokenIds(toks, "doc_id", contextLen = 256, numBuckets = 8)
+        .select(col("bucket"), col("pack"), col("n_tokens"),
+          col("n_docs"),
+          expr("aggregate(zip_with(ids, sequence(1, size(ids)), " +
+            "(x, i) -> cast(x as bigint) * i), 0L, (a, x) -> a + x)")
+            .as("ids_sum"),
+          expr("element_at(ids, 1)").cast("long").as("id_first"),
+          expr("element_at(ids, -1)").cast("long").as("id_last"))
+        .orderBy("bucket", "pack")
+    }),
     "text_bpe_encode_batch" -> ((s, d) => {
       // REAL-vocabulary-scale tokenizer training: 8 rounds × up to 32
       // symbol-disjoint merges per round = a 256-merge tokenizer in 8

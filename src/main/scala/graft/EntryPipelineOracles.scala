@@ -200,6 +200,7 @@ private[graft] object EntryPipelineOracles {
          |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_bpe_encode" -> bpeEncodeOracleSql(8),
     "text_bpe_tokenize" -> bpeTokenizeOracleSql(8),
+    "text_pack_tokens" -> bpePackTokensOracleSql(8, 256, 8),
     "text_bpe_encode_batch" -> bpeBatchEncodeOracleSql(8, 32, 256),
     "text_pack_bpe" -> bpePackOracleSql(8, 32, 256, 256, 8),
     "text_dup_chunks" -> {

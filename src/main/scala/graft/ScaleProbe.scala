@@ -707,6 +707,18 @@ object ScaleProbe {
         f"rank32k=$tEnc%6.2fs  ratio=${tEnc / tEnc4k}%5.2f " +
         f"(depth-flat ~= 1; join path at 32k for comparison: " +
         f"$tEncJoin%6.2fs)")
+      // the id-level product end to end at the production vocabulary:
+      // tokenize (ids, not counts) and the materialized context
+      // windows — both should sit near the count-only encode, since
+      // the id mapping is one memoized hash lookup per piece and the
+      // pack reassembly ships span slices, not per-token rows
+      val toks32 = graft.pipeline.Text.bpeTokenize(quadDocs, "doc_id",
+        "text", m32).localCheckpoint()
+      val tTok = time(toks32.count())
+      val tPack = time(graft.pipeline.Text.packTokenIds(toks32,
+        "doc_id", contextLen = 2048, numBuckets = 32).count())
+      println(f"[scale] bpe_tokenize_32k       tokenize=$tTok%6.2fs  " +
+        f"pack2048=$tPack%6.2fs (vs rank32k count-only $tEnc%6.2fs)")
     }
     report("collocations", docK,
       graft.pipeline.Text.collocations(docs, "text").count(),

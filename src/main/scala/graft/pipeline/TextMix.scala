@@ -39,6 +39,63 @@ private[pipeline] trait TextMix { self: Text.type =>
       idCol, "n_tokens", contextLen, buckets)
   }
 
+  /** MATERIALIZED context windows — the training-data pipeline's final
+    * artifact: every `contextLen`-id window of the bucketed document
+    * stream, as an actual id array (where [[packByCounts]] plans the
+    * layout, this one produces the windows a data loader reads).
+    * `tokens` is any (`idCol`, `ids` array) frame — [[Text.bpeTokenize]]
+    * output under a frozen tokenizer is the canonical feed, making the
+    * whole train→tokenize→pack chain reproducible at the id level.
+    * Output: one row per (bucket, pack) with the window's `ids` (docs in
+    * id order, each doc's ids in sequence — identical to the
+    * [[packByCounts]] layout over the same counts), `n_tokens`,
+    * `n_docs`. Every pack is exactly `contextLen` ids except each
+    * bucket's last (partial, as a loader expects).
+    *
+    * Scale shape: a doc is exploded into its PACK SPANS (one row per
+    * context window it touches — O(docs + packs) rows, each carrying an
+    * array slice), never into per-token rows: the reassembly shuffle
+    * moves corpus-token PAYLOAD but only span-count KEYS, and the
+    * window cumsum is the same bucketed single-pass [[packByCounts]]
+    * runs. Buckets grow with the corpus exactly as there. */
+  def packTokenIds(tokens: DataFrame, idCol: String,
+      contextLen: Int, numBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen > 0 && numBuckets > 0,
+      s"packTokenIds needs positive contextLen/numBuckets: " +
+        s"$contextLen/$numBuckets")
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = tokens
+      .select(col(idCol), col("ids"),
+        pmod(col(idCol), lit(numBuckets.toLong)).as("bucket"),
+        size(col("ids")).cast("long").as("n_tokens"))
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      // one row per context window this doc touches; empty docs still
+      // land one (empty) span so n_docs matches the planner's view
+      .withColumn("pack", explode(expr(
+        s"sequence(offset div $contextLen, " +
+          s"(offset + greatest(n_tokens, 1L) - 1L) div $contextLen)")))
+      // the doc's id slice inside this window, in global positions
+      .withColumn("__lo",
+        greatest(col("pack") * contextLen, col("offset")))
+      .withColumn("__hi",
+        least((col("pack") + 1) * contextLen,
+          col("offset") + col("n_tokens")))
+      .withColumn("piece", expr(
+        "slice(ids, cast(__lo - offset + 1 as int), " +
+          "cast(greatest(__hi - __lo, 0L) as int))"))
+    spans
+      .groupBy("bucket", "pack")
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("offset").as("o"),
+            col("piece").as("p")))),
+          x => x.getField("p"))).as("ids"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens", size(col("ids")).cast("long"))
+  }
+
   /** The packing core over ANY per-doc token-count frame — the same
     * bucketed offset cumsum and context-window arithmetic, with the count
     * column supplied by the caller. [[packSequences]] feeds it the

@@ -2286,6 +2286,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(maxId < 36 + big.size)
   }
 
+  test("packTokenIds materializes exact context windows: doc order, " +
+      "span slicing at boundaries, full packs except the bucket tail") {
+    // ids doc0 = [37, 39, 38, 28, 29], doc1 = [37, 37] (the bpeTokenize
+    // fixture); one bucket, contextLen 3 → stream [37,39,38 | 28,29,37 | 37]
+    val df = Seq((0L, "low lower lowest"), (1L, "low low"))
+      .toDF("doc_id", "text")
+    val m = Text.bpeTrain(df, "text", merges = 4)
+    val toks = Text.bpeTokenize(df, "doc_id", "text", m)
+    val packs = Text.packTokenIds(toks, "doc_id", contextLen = 3,
+        numBuckets = 1)
+      .orderBy("pack").collect()
+    def ids(i: Int) =
+      packs(i).getAs[scala.collection.Seq[Int]]("ids").toSeq
+    assert(packs.length == 3)
+    assert(ids(0) == Seq(37, 39, 38) &&
+      packs(0).getAs[Long]("n_docs") == 1)
+    // pack 1 straddles the doc boundary: doc0's tail + doc1's head
+    assert(ids(1) == Seq(28, 29, 37) &&
+      packs(1).getAs[Long]("n_docs") == 2)
+    assert(ids(2) == Seq(37) && packs(2).getAs[Long]("n_docs") == 1)
+    // layout agreement with the planner: same counts, same arithmetic
+    val plan = Text.packByCounts(
+        toks.select(col("doc_id"), col("n_bpe")), "doc_id", "n_bpe",
+        contextLen = 3, numBuckets = 1)
+      .orderBy("doc_id").collect()
+    assert(plan(0).getAs[Long]("pack_first") == 0 &&
+      plan(0).getAs[Long]("pack_last") == 1)
+    assert(plan(1).getAs[Long]("pack_first") == 1 &&
+      plan(1).getAs[Long]("pack_last") == 2)
+    // corpus-scale invariants: token conservation and full packs
+    // everywhere except each bucket's last
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    val big = Text.bpeTokenize(docs, "doc_id", "text",
+      Text.bpeTrain(docs, "text", merges = 8))
+    val p2 = Text.packTokenIds(big, "doc_id", contextLen = 128,
+      numBuckets = 4).persist()
+    try {
+      assert(p2.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+        .head().getLong(0) ==
+        big.agg(org.apache.spark.sql.functions.sum("n_bpe"))
+          .head().getLong(0))
+      val lastPerBucket = p2.groupBy("bucket")
+        .agg(org.apache.spark.sql.functions.max("pack").as("last"))
+      val partials = p2.join(lastPerBucket, "bucket")
+        .filter(col("pack") < col("last") && col("n_tokens") =!= 128)
+      assert(partials.isEmpty,
+        "a non-tail pack must hold exactly contextLen ids")
+    } finally p2.unpersist()
+  }
+
   test("bpe merge application is left-to-right non-overlapping") {
     // "aaa" under merge (a,a): " a a a " → " aa a " — the first pair
     // consumes its separator, the scan resumes after the replacement
