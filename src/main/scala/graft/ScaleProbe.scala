@@ -712,8 +712,12 @@ object ScaleProbe {
       // windows — both should sit near the count-only encode, since
       // the id mapping is one memoized hash lookup per piece and the
       // pack reassembly ships span slices, not per-token rows
+      // LAZY checkpoint: the first action (the timed count) pays the
+      // tokenize pass, and the pack row then prices ONLY the pack
+      // machinery over the cached ids (an eager checkpoint would
+      // materialize outside the timer and report a cache read)
       val toks32 = graft.pipeline.Text.bpeTokenize(quadDocs, "doc_id",
-        "text", m32).localCheckpoint()
+        "text", m32).localCheckpoint(eager = false)
       val tTok = time(toks32.count())
       val tPack = time(graft.pipeline.Text.packTokenIds(toks32,
         "doc_id", contextLen = 2048, numBuckets = 32).count())
