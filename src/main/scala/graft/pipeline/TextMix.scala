@@ -64,6 +64,7 @@ private[pipeline] trait TextMix { self: Text.type =>
     require(contextLen > 0 && numBuckets > 0,
       s"packTokenIds needs positive contextLen/numBuckets: " +
         s"$contextLen/$numBuckets")
+    requireIntegralId(tokens, idCol, "packTokenIds")
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val spans = tokens
@@ -96,6 +97,20 @@ private[pipeline] trait TextMix { self: Text.type =>
       .withColumn("n_tokens", size(col("ids")).cast("long"))
   }
 
+  /** pmod on a non-numeric id coerces via double → NULL buckets, which
+    * silently collapses every doc into one null-keyed bucket and a SINGLE
+    * window-partition task — the exact serialization the bucketing exists
+    * to avoid. Shared guard for every pmod-bucketed packer. */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      caller: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(
+      Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$caller buckets by pmod($idCol, n) — needs an integral id " +
+        s"column, got $dt (string/uuid ids: hash them to a long first)")
+  }
+
   /** The packing core over ANY per-doc token-count frame — the same
     * bucketed offset cumsum and context-window arithmetic, with the count
     * column supplied by the caller. [[packSequences]] feeds it the
@@ -109,16 +124,7 @@ private[pipeline] trait TextMix { self: Text.type =>
     require(contextLen > 0 && numBuckets > 0,
       s"packByCounts needs positive contextLen/numBuckets: " +
         s"$contextLen/$numBuckets")
-    // pmod on a non-numeric id coerces via double → NULL buckets, which
-    // would silently collapse the pack into ONE window partition — the
-    // exact single-task serialization the bucketing exists to avoid
-    require({
-        import org.apache.spark.sql.types._
-        Set[DataType](ByteType, ShortType, IntegerType, LongType)
-          .contains(counts.schema(counts.schema.fieldIndex(idCol)).dataType)
-      },
-      s"packByCounts buckets by pmod($idCol, n) — needs an integral id " +
-        "column (string/uuid ids: hash them to a long first)")
+    requireIntegralId(counts, idCol, "packByCounts")
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     counts

@@ -282,17 +282,40 @@ object SampleStore {
     * validation or write decides those. */
   private def requireStamped(spark: SparkSession, path: String,
       context: String): Unit = {
-    val cols =
-      try spark.read.parquet(path).columns
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        Array("layout_version") }
-    if (!cols.contains("layout_version"))
+    // Per-FILE footer schemas, not spark.read.parquet(path).columns:
+    // the directory read samples ONE footer, so on an already-mixed
+    // tree (stamped files beside unstamped ones) it nondeterministically
+    // saw layout_version and let appends deepen the very per-file-schema
+    // mix this guard exists to prevent. A mergeSchema read is no better
+    // — it UNIONS columns, so one stamped file would mask every
+    // unstamped sibling. Footer-only reads (no row groups, no data
+    // pages); early exit on the first unstamped file; absent/empty
+    // trees pass — the caller's own validation or write decides those.
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    if (!fs.exists(live)) return
+    val files = Option(fs.globStatus(new org.apache.hadoop.fs.Path(live,
+        s"${WritableStore.PartitionCol}=*/*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val unstamped = files.iterator.find { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try !reader.getFooter.getFileMetaData.getSchema
+        .containsField("layout_version")
+      finally reader.close()
+    }
+    unstamped.foreach { f =>
       throw new IllegalStateException(
-        s"$context: sample store at $path is a legacy " +
-          s"(pre-v$LayoutVersion) layout — run SampleStore.compact(...) " +
-          "once to upgrade the at-rest tree; appending stamped rows to " +
-          "an unstamped tree would give the store per-file schemas " +
+        s"$context: sample store at $path holds a legacy " +
+          s"(pre-v$LayoutVersion) file ${f.getName} — run " +
+          "SampleStore.compact(...) once to upgrade the at-rest tree; " +
+          "appending stamped rows beside an unstamped file would give " +
+          "the store per-file schemas " +
           "(version history: SampleStore.LayoutVersion)")
+    }
   }
 
   private[graft] def requireRate(spark: SparkSession, path: String,
@@ -357,7 +380,37 @@ object SampleStore {
     * time column — the one the `__day` partitions derive from, so a
     * time scope can never silently prune against a different column. */
   final case class SampleHandle(rows: DataFrame, idCol: String,
-      tsCol: String, preDeduped: Boolean = false) {
+      tsCol: String, preDeduped: Boolean = false,
+      pinFiles: Set[String] = Set.empty,
+      pinSource: Option[DataFrame] = None) {
+
+    /** The pin's loud-fail guard (round-14): Spark does NOT make a
+      * block-losing snapshot fail on its own — a rewrite under the pin
+      * (compact) triggers `recacheByPath`, which REFRESHES the explicit
+      * file-list index, silently drops the deleted files (a listing
+      * WARN, nothing more), and recaches the pin as EMPTY. A weeks-
+      * lived dashboard handle would serve zeros from then on. So every
+      * estimate first compares the plan's CURRENT file listing against
+      * the open-time set — driver-side metadata from the in-memory file
+      * index, no Spark job, no FS call — and refuses to serve a partial
+      * or empty snapshot. Appends stay invisible by construction (the
+      * refresh re-lists only the named files, which still exist), so
+      * the guard passes exactly when the snapshot bytes are intact.
+      * The listing is read through the UNCACHED source frame
+      * (`pinSource`): `rows` is persisted, so its optimized plan is an
+      * InMemoryRelation with no inputFiles — while the source frame
+      * shares the very InMemoryFileIndex instance recacheByPath
+      * refreshes, so it sees the post-rewrite shrink. */
+    private def requireSnapshotIntact(): Unit =
+      pinSource.foreach { src =>
+        val now = src.inputFiles.toSet
+        if (now != pinFiles) throw new IllegalStateException(
+          s"pinned sample snapshot lost ${pinFiles.size - now.size} of " +
+            s"its ${pinFiles.size} open-time files (a compact/rewrite " +
+            "replaced the store under the pin) — refusing to serve a " +
+            "partial or empty recompute; refresh (re-open pinned) to " +
+            "serve the rewritten tree")
+      }
 
     /** Grouped estimates from the sample alone, in Horvitz-Thompson
       * form: per group, `n_sample` (the evidence),
@@ -391,6 +444,7 @@ object SampleStore {
       * columns are first() outputs Catalyst will not push through). */
     private def scoped(since: Option[Long], until: Option[Long],
         extra: Option[Column] = None): DataFrame = {
+      requireSnapshotIntact()
       def dayStr(nanos: Long): String = java.time.LocalDate.ofEpochDay(
         Math.floorDiv(nanos, DayNs)).toString
       val conds =
@@ -505,9 +559,21 @@ object SampleStore {
     * sample-sized rows it is the cheap half of the aggregation. */
   def open(spark: SparkSession, path: String,
       pin: Boolean = false): SampleHandle = {
-    val df = readable(spark, path).getOrElse(
+    val dirDf = readable(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"sample store at $path is absent or empty"))
+    // Validation and pin must cover IDENTICAL bytes: when pinning, list
+    // the snapshot files FIRST and run every membership/rate guard over
+    // that explicit file-list frame. Validating the live directory and
+    // globbing afterwards would let a concurrent append land between
+    // the two reads, pinning rows the open-time guards never saw — a
+    // mis-rated batch would silently mis-scale every estimate served
+    // from the pinned handle.
+    val df =
+      if (pin) withLegacyBackfills(
+        spark.read.option("basePath", path)
+          .parquet(snapshotFiles(spark, path): _*))
+      else dirDf
     val meta = df.select("sample_col", "stratum_col", "ts_col")
       .distinct().collect()
     require(meta.nonEmpty, s"sample store at $path is empty")
@@ -559,20 +625,26 @@ object SampleStore {
     // executor loss recomputes the same rows, close() stays a plain
     // unpersist, and appends become visible exactly through the
     // documented refresh verb (re-open). A post-snapshot compact()
-    // REPLACES the files, so a pinned handle that loses its cached
-    // blocks afterwards fails loudly on recompute rather than serving
-    // a silent mixture — refresh re-prepares, as with appends.
+    // REPLACES the files; Spark alone would then silently serve an
+    // EMPTY recache (see requireSnapshotIntact — round-14 finding), so
+    // every estimate guards the open-time file set and fails loudly
+    // instead — refresh re-prepares, as with appends.
     val idCol = meta(0).getString(0)
     SampleHandle(
-      if (pin) {
-        val snap = withLegacyBackfills(
-          spark.read.option("basePath", path)
-            .parquet(snapshotFiles(spark, path): _*))
-        snap.dropDuplicates(idCol, "batch_key")
+      if (pin)
+        // `df` IS the file-list snapshot here (built above, before the
+        // guards) — validation and pinned bytes are the same plan
+        df.dropDuplicates(idCol, "batch_key")
           .repartition(spark.sparkContext.defaultParallelism)
           .persist()
-      } else df,
-      idCol, meta(0).getString(2), preDeduped = pin)
+      else df,
+      idCol, meta(0).getString(2), preDeduped = pin,
+      // the open-time listing the loud-fail guard compares against —
+      // read through the same accessor (inputFiles, on the uncached
+      // source frame) the guard uses, so the comparison is
+      // self-normalized
+      pinFiles = if (pin) df.inputFiles.toSet else Set.empty,
+      pinSource = if (pin) Some(df) else None)
   }
 
   /** The store's current data files — the open-time snapshot [[open]]'s

@@ -1519,6 +1519,13 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Text.packByCounts(strIds, "doc_id", "n_tokens", 128, 4)
     }
+    // packTokenIds buckets by the same pmod — a string/uuid id coerces
+    // via double to NULL buckets, collapsing every doc into one
+    // null-keyed single-task window partition; same loud guard
+    val strTok = Seq(("u1", Seq(1, 2, 3))).toDF("doc_id", "ids")
+    intercept[IllegalArgumentException] {
+      Text.packTokenIds(strTok, "doc_id", 128, 4)
+    }
     val intIds = Seq((1, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
       Text.compressionRatio(intIds, "doc_id", "text")

@@ -67,6 +67,37 @@ class SampleSnapshotSpec extends AnyFunSuite {
     } finally pinned.close()
   }
 
+  test("pin across compaction: a block-losing pinned handle FAILS " +
+      "LOUDLY on recompute, never serves a silent mixture; re-open " +
+      "re-prepares") {
+    val p = SparkTestBase.tempDir("graft-snap-c") + "/s"
+    SampleStore.build(mk(0, 400), p, idCol = "event_id", bits = 1)
+    val pinned = SampleStore.open(spark, p, pin = true)
+    try {
+      val n1 = nOf(pinned)
+      // a rewrite REPLACES the open-time files the pin's plan names.
+      // Spark alone would NOT make this loud: the compact's write
+      // triggers recacheByPath, which refreshes the explicit file-list
+      // index, drops the deleted files with a listing WARN, and
+      // recaches the pin as EMPTY — the handle would serve zeros
+      // (observed before the round-14 guard; the estimate returned a
+      // null sum, not an error). The inputFiles guard makes the next
+      // estimate throw instead.
+      SampleStore.compact(spark, p)
+      val ex = intercept[IllegalStateException](nOf(pinned))
+      assert(ex.getMessage.contains("refresh"), ex.getMessage)
+      // same guard covers the executor-loss-after-compact case (blocks
+      // gone, recompute over deleted files)
+      pinned.rows.unpersist(blocking = true)
+      val ex2 = intercept[IllegalStateException](nOf(pinned))
+      assert(ex2.getMessage.contains("open-time files"), ex2.getMessage)
+      // the refresh verb re-prepares over the compacted tree; the
+      // compacted store holds the same logical rows
+      val re = SampleStore.open(spark, p, pin = true)
+      try assert(nOf(re) == n1) finally re.close()
+    } finally pinned.close()
+  }
+
   test("prepared sampled router: fine zoom stays on the open-time " +
       "sample; a re-prepare serves the appended batch") {
     val base = SparkTestBase.tempDir("graft-snap-r")

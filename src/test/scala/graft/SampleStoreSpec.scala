@@ -325,6 +325,14 @@ class SampleStoreSpec extends AnyFunSuite {
     SampleStore.build(events, base + "/donor", idCol = "event_id")
     spark.read.parquet(base + "/donor")
       .write.mode("append").partitionBy("__day").parquet(pm)
+    // on the MIXED tree the append guard must fail DETERMINISTICALLY:
+    // it reads every file's footer (a directory read samples one, so it
+    // used to pass or fail by listing order; a mergeSchema read unions,
+    // so one stamped file would mask every unstamped sibling)
+    val em = intercept[IllegalStateException] {
+      SampleStore.append(events.limit(0), pm, "b#mix", idCol = "event_id")
+    }
+    assert(em.getMessage.contains("compact"), em.getMessage)
     SampleStore.compact(spark, pm)
     assert(spark.read.parquet(pm).select("ts_col", "layout_version")
       .distinct().collect().map(r => (r.getString(0), r.getInt(1)))
