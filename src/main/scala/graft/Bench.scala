@@ -107,7 +107,126 @@ object Bench {
       true
     } catch { case _: Throwable => false }
 
+  private def buildSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Time one headline row with the settle+median discipline (shared by
+    * the in-process path and the forked per-row children). */
+  private def timeRow(spark: SparkSession, sfDir: String, name: String)
+      : Option[(String, (Double, Double))] =
+    SparkEntry.queries.get(name).map { fn =>
+      def sample(): Double = {
+        // idle settle before each timed iteration: a GC pause or host
+        // stall (the VM host showed a 3.3× min-max spread on the
+        // heaviest query in round-6 artifacts) landing mid-iteration
+        // inflates one sample; paying the collection up front keeps the
+        // timed window clean. TWO gc rounds with a settle between:
+        // Spark's ContextCleaner frees broadcast/shuffle state via
+        // reference processing, which needs a second collection after
+        // the references queue — one gc leaves the cleanup backlog of
+        // every prior query in the run, and the memory-heavy rows
+        // (graph_triangles) measured up to 1.7× slower in full-headline
+        // runs than isolated with byte-identical code
+        System.gc()
+        Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS",
+          "250").toLong)
+        System.gc()
+        Thread.sleep(250)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      var samples = (1 to iterationsFor(name)).map(_ => sample()).sorted
+      // a host stall can still slip through — when the spread is wide
+      // (max/median > 1.5), take up to 2 extra samples so one outlier
+      // iteration can't own a third of the median's support
+      var extra = 0
+      while (extra < 2 && samples.last > 1.5 * samples(samples.length / 2)) {
+        samples = (samples :+ sample()).sorted
+        extra += 1
+      }
+      val dt = samples(samples.length / 2)
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs  min=${samples.head}%.2f  " +
+        samples.map(s => f"$s%.2f").mkString("[", " ", "]"))
+      name -> ((dt, samples.head))
+    }
+
+  /** Forked per-row child: fresh JVM + session, warm THIS row, time it,
+    * print one machine-parseable line. Exists because full-run artifacts
+    * mis-reported the tail (round 13: `graph_triangles` 9.41 median in a
+    * clean-window 35-row run vs 3.75 isolated minutes later — up to 3.5×
+    * ON THE MIN): per-process JVM state accumulated over 30+ prior rows
+    * (heap fragmentation, code-cache pressure, ContextCleaner backlog,
+    * per-process-cached fixture block residency) is a dimension no
+    * calibration samples and no inter-row settle fully drains. A fresh
+    * JVM per row makes every row AN isolated measurement by
+    * construction, so one artifact's tail agrees with its own head. */
+  private def runRowChild(sfDir: String, name: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+    // untimed warm-up: JIT, codegen, first-touch scans, and this row's
+    // per-process fixture build all land here, exactly as the full-run
+    // warm-up pass paid them
+    SparkEntry.queries.get(name).foreach { fn =>
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    }
+    timeRow(spark, sfDir, name).foreach { case (n, (med, min)) =>
+      println(f"""BENCHROW {"name":"$n","median":$med%.3f,"min":$min%.3f}""")
+    }
+    spark.stop()
+  }
+
+  private val RowLine =
+    """BENCHROW \{"name":"([^"]+)","median":([0-9.]+),"min":([0-9.]+)\}""".r
+
+  /** Launch one per-row child JVM with this JVM's own arguments (the
+    * add-opens list, netty flag, and heap come through verbatim, however
+    * the parent was launched) and parse its BENCHROW line. */
+  private def forkRow(name: String, sfDir: String)
+      : Option[(String, (Double, Double))] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", sys.props("java.class.path"),
+      "graft.Bench", "--row", sfDir, name)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) proc.destroyForcibly()
+    val parsed = out.linesIterator.collectFirst {
+      case RowLine(n, med, min) => n -> ((med.toDouble, min.toDouble))
+    }
+    if (!finished || proc.exitValue() != 0 || parsed.isEmpty)
+      System.err.println(s"[bench] fork $name yielded no result " +
+        s"(exit=${if (finished) proc.exitValue() else "timeout"}) — " +
+        "falling back to in-process timing for this row")
+    parsed
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--row") {
+      runRowChild(args(1), args(2)); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -124,16 +243,7 @@ object Bench {
     memAtInvoke.foreach { case (k, v) =>
       System.err.println(f"[bench] meminfo $k%-14s $v%12d kB") }
     System.err.println(s"[bench] cache-normalized        $normalized")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.aggregatePushdown", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = buildSession(cpus)
 
     // optional regex filter for local iteration on one query's variance;
     // the driver never sets it, so the headline set is what it measures
@@ -141,15 +251,24 @@ object Bench {
     val picked = headline.filter(n =>
       only.forall(_.findFirstIn(n).isDefined))
 
-    // untimed warm-up pass: run every headline query once so JIT, codegen
-    // compilation, and first-touch file scans are paid before timing
-    picked.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        try { fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    // per-row JVM isolation (round 14, default ON): each headline row is
+    // timed in a FRESH child JVM — see [[runRowChild]] for why. The
+    // parent session exists only for the calibrations; in-process mode
+    // (SPARK_GRAFT_BENCH_FORK=0) keeps the old single-JVM sweep for
+    // quick local iteration and as the fallback when a fork fails.
+    val forkRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") == "1"
+
+    if (!forkRows)
+      // untimed warm-up pass: run every headline query once so JIT,
+      // codegen compilation, and first-touch file scans are paid before
+      // timing (forked mode: each child warms its own row)
+      picked.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+        }
       }
-    }
 
     // fixed-cost host calibration: a constant-work in-memory reduction
     // (no IO, no data dependence) timed with the same settle+median
@@ -237,11 +356,12 @@ object Bench {
     // that only shows up across stage boundaries. This probe pays
     // stage scheduling + exchange machinery on every sample, so a
     // future era shift carries its own evidence in the artifact
-    // instead of needing a pinned-tree A/B. Not yet part of the
-    // `window` verdict: the first recorded band (BASELINE.md round 13)
-    // was measured IN the slow era, so a threshold derived from it
-    // would normalize degradation — the band calibrates once a second
-    // era exists.
+    // instead of needing a pinned-tree A/B. Part of the `window`
+    // verdict since round 14: the first recorded band (round 13) was
+    // measured IN the slow era, so no threshold was derived from it;
+    // the judge's recovered-era windows (0.351-0.418) supplied the
+    // second band and the threshold comes from THAT one (see the
+    // verdict computation below).
     def calibShuffleSample(): Double = {
       System.gc()
       Thread.sleep(250)
@@ -262,46 +382,22 @@ object Bench {
       .sorted.apply(Iterations / 2)
     System.err.println(f"[bench] shuffle-calibration      $calibShuffle%8.3fs")
 
-    val results = picked.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        def sample(): Double = {
-          // idle settle before each timed iteration: a GC pause or host
-          // stall (the VM host showed a 3.3× min-max spread on the
-          // heaviest query in round-6 artifacts) landing mid-iteration
-          // inflates one sample; paying the collection up front keeps the
-          // timed window clean. TWO gc rounds with a settle between:
-          // Spark's ContextCleaner frees broadcast/shuffle state via
-          // reference processing, which needs a second collection after
-          // the references queue — one gc leaves the cleanup backlog of
-          // every prior query in the run, and the memory-heavy rows
-          // (graph_triangles) measured up to 1.7× slower in full-headline
-          // runs than isolated with byte-identical code
-          System.gc()
-          Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_SETTLE_MS",
-            "250").toLong)
-          System.gc()
-          Thread.sleep(250)
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          (System.nanoTime() - t0) / 1e9
+    val results =
+      if (forkRows)
+        picked.flatMap { name =>
+          forkRow(name, sfDir).map { case (n, (med, min)) =>
+            System.err.println(f"[bench] $n%-24s $med%8.2fs  min=$min%.2f  [fork]")
+            n -> ((med, min))
+          }.orElse {
+            // fallback: one failed fork must not hole the artifact —
+            // warm + time the row in the parent JVM (labeled above)
+            SparkEntry.queries.get(name).foreach { fn =>
+              try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+            }
+            timeRow(spark, sfDir, name)
+          }
         }
-        var samples = (1 to iterationsFor(name)).map(_ => sample()).sorted
-        // a host stall can still slip through — when the spread is wide
-        // (max/median > 1.5), take up to 2 extra samples so one outlier
-        // iteration can't own a third of the median's support
-        var extra = 0
-        while (extra < 2 && samples.last > 1.5 * samples(samples.length / 2)) {
-          samples = (samples :+ sample()).sorted
-          extra += 1
-        }
-        val dt = samples(samples.length / 2)
-        System.err.println(f"[bench] $name%-24s $dt%8.2fs  min=${samples.head}%.2f  " +
-          samples.map(s => f"$s%.2f").mkString("[", " ", "]"))
-        name -> ((dt, samples.head))
-      }
-    }
+      else picked.flatMap(timeRow(spark, sfDir, _))
     // the artifact's own window VERDICT, computed from the three
     // calibrations so consumers stop applying BASELINE.md's band table
     // by hand — and so a NORMALIZED artifact still carries its
@@ -318,11 +414,19 @@ object Bench {
     val memClean = normalized ||
       (for { c <- memAtInvoke.get("Cached"); t <- memAtInvoke.get("MemTotal") }
         yield c < t / 4).getOrElse(true)
-    val window =
-      if (calib <= 0.2 && calibIo <= 0.4 && calibStore <= 2.0 && memClean)
-        "clean"
-      else "degraded"
-    System.err.println(s"[bench] window verdict           $window")
+    // calib_shuffle joined the verdict in round 14, once a SECOND era
+    // existed to band against: the recovered era measured 0.351-0.418
+    // (judge windows, round 13) vs the slow era's 0.564-0.773 — the
+    // threshold is derived from the RECOVERED band (0.55 ≈ 1.3× its
+    // top), not the slow era, so a degraded window self-reports instead
+    // of being normalized into the rule (BASELINE.md round-14 bands).
+    val axes = Seq(
+      "cpu" -> (calib > 0.2), "io" -> (calibIo > 0.4),
+      "store" -> (calibStore > 2.0), "shuffle" -> (calibShuffle > 0.55),
+      "mem" -> !memClean).collect { case (a, true) => a }
+    val window = if (axes.isEmpty) "clean" else "degraded"
+    System.err.println(s"[bench] window verdict           $window" +
+      (if (axes.nonEmpty) axes.mkString(" (", ",", ")") else ""))
     val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // per-query MIN beside the median: min is robust to the GC-pause
@@ -348,7 +452,8 @@ object Bench {
       .flatMap { case (k, out) =>
         memAtInvoke.get(k).map(v => s""""$out":$v,""") }
       .mkString
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"normalized":$normalized,"window":"$window",$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
+    val axesJson = axes.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"${if (forkRows) "fork" else "inproc"}",$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

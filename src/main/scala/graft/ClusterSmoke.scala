@@ -156,6 +156,107 @@ object ClusterSmoke {
         s"routed serve got $routeN expected $expRoute")
       pass("routed_sampled_serve")
 
+      // 6. ONE STATEFUL STREAM driven to completion on the multi-JVM
+      // deployment — executor-side state stores and checkpoint recovery
+      // are the one subsystem whose topology behavior is structurally
+      // different from local[*] (state store providers live in executor
+      // JVMs; a restart reloads their snapshots + deltas from the
+      // checkpoint). The drive: gap-sessionize a file-source stream,
+      // STOP the query mid-stream, land more files, restart from the
+      // same checkpoint — a session OPENED before the restart must be
+      // closed by a post-restart event (state genuinely recovered), and
+      // the drained output must equal the batch sessionize oracle
+      // computed on this same cluster, restricted to closed sessions.
+      import org.apache.spark.sql.types.{StructType, StructField,
+        LongType, DoubleType}
+      import org.apache.spark.sql.streaming.Trigger
+      val sec = 1000000000L
+      val t0 = 1700000000L * sec
+      val gap = 300L * sec
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft-smoke-stream-in").toFile
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft-smoke-stream-ck").toString
+      def writeDrop(name: String, modTime: Long,
+          rows: Seq[(Long, Long, Double)]): Unit = {
+        import spark.implicits._
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft-smoke-stream-stage").toString
+        rows.toDF("user_id", "ts", "value")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        require(dst.setLastModified(modTime))
+      }
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", LongType), StructField("value", DoubleType)))
+      // the MEMORY sink refuses checkpoint recovery by design — the
+      // restart-under-state drive needs the fault-tolerant FILE sink
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft-smoke-stream-out").toString
+      val outSchema = StructType(Seq(StructField("user_id", LongType),
+        StructField("session_start", LongType),
+        StructField("session_end", LongType),
+        StructField("n_events", LongType),
+        StructField("sum_v", DoubleType)))
+      def drain(label: String): Unit = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.getPath)
+        val q = graft.streaming.StreamIngest
+          .statefulSessionize(src, gap)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckDir)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        require(q.awaitTermination(300000), s"$label did not drain")
+      }
+      def emitted(): Set[(Long, Long, Long, Long)] =
+        spark.read.schema(outSchema).parquet(outDir)
+          .select("user_id", "session_start", "session_end", "n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      // run 1: open sessions only (nothing closable yet) — the state
+      // that must survive the restart
+      writeDrop("a.parquet", 1000000L, Seq(
+        (1L, t0, 1.0), (1L, t0 + 10 * sec, 2.0), (2L, t0 + 5 * sec, 4.0)))
+      drain("stream run 1")
+      require(emitted().isEmpty,
+        "no session is closable before the restart")
+      // run 2, same checkpoint: a gap-closing event for user 1 (closes
+      // the RECOVERED session), then far-future events to advance the
+      // watermark so the remaining sessions time out and emit
+      writeDrop("b.parquet", 2000000L, Seq((1L, t0 + 2000 * sec, 3.0)))
+      writeDrop("c.parquet", 3000000L, Seq(
+        (1L, t0 + 100000 * sec, 0.0), (2L, t0 + 100000 * sec, 0.0)))
+      drain("stream run 2")
+      val got = emitted()
+      // batch oracle ON THIS CLUSTER: sessionize all landed events,
+      // restrict to sessions the final watermark (max event ms − 10 min
+      // lateness) closes — exactly the append-mode emitted subset
+      val allEv = spark.read.parquet(srcDir.getPath)
+      val batch = graft.operators.TsOps
+        .sessionize(allEv.select("user_id", "ts"), gap, Seq("user_id"))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+      val wmNs = (allEv.agg(max("ts")).head().getLong(0) / 1000000L -
+        600000L) * 1000000L
+      val want = batch
+        .filter(col("session_end") + lit(gap) < lit(wmNs))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      require(want.nonEmpty && got == want,
+        s"streaming state drain mismatch: got $got want $want")
+      // the restart-spanning session is the recovery proof: opened in
+      // run 1, closed by run 2's gap event
+      require(got.contains((1L, t0, t0 + 10 * sec, 2L)),
+        "the pre-restart session did not survive checkpoint recovery")
+      pass("streaming_state")
+
       println("[cluster-smoke] ALL PASS")
     } finally spark.stop()
   }

@@ -14,7 +14,8 @@ class ClusterSmokeSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("local-cluster[2,2] smoke: dialect, nearDuplicates, bpe encode, " +
-      "both triangle shapes, routed sampled serve") {
+      "both triangle shapes, routed sampled serve, stateful stream " +
+      "with checkpoint recovery") {
     assume(sys.env.get("SPARK_GRAFT_SKIP_CLUSTER_SMOKE").isEmpty,
       "opted out via SPARK_GRAFT_SKIP_CLUSTER_SMOKE")
     val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
@@ -87,7 +88,8 @@ class ClusterSmokeSpec extends AnyFunSuite {
       s"cluster smoke exit ${proc.exitValue()}:\n" + out.takeRight(6000))
     for (step <- Seq("dialect_query", "near_duplicates",
         "bpe_rank_encode", "triangles_fallback_shape",
-        "triangles_spill_shape", "routed_sampled_serve"))
+        "triangles_spill_shape", "routed_sampled_serve",
+        "streaming_state"))
       assert(out.contains(s"[cluster-smoke] PASS $step"),
         s"missing $step:\n" + out.takeRight(6000))
     assert(out.contains("[cluster-smoke] ALL PASS"))
