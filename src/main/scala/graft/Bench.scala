@@ -194,6 +194,56 @@ object Bench {
   private val RowLine =
     """BENCHROW \{"name":"([^"]+)","median":([0-9.]+),"min":([0-9.]+)\}""".r
 
+  /** Replicated per-row forks (round 14, second harness iteration). One
+    * fork per row fixed the TAIL (no more 3.5× inflation from 30 rows of
+    * accumulated JVM state) but exposed the other variance dimension:
+    * the whole child JVM lands on a LEVEL (JIT luck, thread placement,
+    * host-noise phase during its ~30s life), and two artifacts' children
+    * can land 2.5× apart on a sub-second row with identical code and
+    * green-identical calibrations (observed: `rolling_24h_stats`
+    * [0.62 0.88 1.28] vs [0.29 0.33 0.40] minutes apart — the within-
+    * child samples agree, the levels don't). No amount of within-child
+    * warmup fixes a level; only replication across JVMs does. So each
+    * row forks until its two LOWEST child medians agree within 1.2× (min
+    * 2, max 4 children), and the artifact reports that reproduced floor:
+    * a second independent JVM must CONFIRM a row's figure before the
+    * artifact carries it — the cross-artifact agreement criterion,
+    * enforced inside each artifact. Rows where four children never agree
+    * are reported at their floor and counted in `rows_unsettled`. */
+  private def forkRowReplicated(name: String, sfDir: String, maxForks: Int)
+      : Option[((String, (Double, Double)), Boolean)] = {
+    var results = List.empty[(String, (Double, Double))]
+    var agreed = false
+    while (results.size < maxForks && !agreed) {
+      forkRow(name, sfDir) match {
+        case Some(r) =>
+          results ::= r
+          val meds = results.map(_._2._1).sorted
+          agreed = meds.size >= 2 && meds(1) <= 1.2 * meds(0)
+          if (results.size >= 2)
+            System.err.println(f"[bench] $name%-24s fork ${results.size}: " +
+              f"medians ${meds.map(m => f"$m%.2f").mkString(" ")} " +
+              (if (agreed) "(agree)" else "(disagree — refork)"))
+        case None =>
+          // a failed fork ends replication; caller falls back if EMPTY
+          return results.sortBy(_._2._1).headOption.map { best =>
+            (combine(name, results, best), agreed)
+          }
+      }
+    }
+    results.sortBy(_._2._1).headOption.map { best =>
+      (combine(name, results, best), agreed)
+    }
+  }
+
+  /** The reported row: the lowest child median (the floor a second JVM
+    * either confirmed or, on an unsettled row, the best observed), with
+    * the min over ALL children's samples. */
+  private def combine(name: String,
+      results: List[(String, (Double, Double))],
+      best: (String, (Double, Double))): (String, (Double, Double)) =
+    name -> ((best._2._1, results.map(_._2._2).min))
+
   /** Launch one per-row child JVM with this JVM's own arguments (the
     * add-opens list, netty flag, and heap come through verbatim, however
     * the parent was launched) and parse its BENCHROW line. */
@@ -252,10 +302,12 @@ object Bench {
       only.forall(_.findFirstIn(n).isDefined))
 
     // per-row JVM isolation (round 14, default ON): each headline row is
-    // timed in a FRESH child JVM — see [[runRowChild]] for why. The
-    // parent session exists only for the calibrations; in-process mode
-    // (SPARK_GRAFT_BENCH_FORK=0) keeps the old single-JVM sweep for
-    // quick local iteration and as the fallback when a fork fails.
+    // timed in FRESH child JVMs — see [[runRowChild]] for the isolation
+    // rationale and [[forkRowReplicated]] for why a row forks until a
+    // second JVM confirms its level. The parent session exists only for
+    // the calibrations; in-process mode (SPARK_GRAFT_BENCH_FORK=0) keeps
+    // the old single-JVM sweep for quick local iteration and as the
+    // fallback when a fork fails.
     val forkRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK", "1") == "1"
 
     if (!forkRows)
@@ -382,12 +434,17 @@ object Bench {
       .sorted.apply(Iterations / 2)
     System.err.println(f"[bench] shuffle-calibration      $calibShuffle%8.3fs")
 
+    val maxForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_FORKS", "4").toInt
+    var unsettled = List.empty[String]
     val results =
       if (forkRows)
         picked.flatMap { name =>
-          forkRow(name, sfDir).map { case (n, (med, min)) =>
-            System.err.println(f"[bench] $n%-24s $med%8.2fs  min=$min%.2f  [fork]")
-            n -> ((med, min))
+          forkRowReplicated(name, sfDir, maxForks).map {
+            case ((n, (med, min)), agreed) =>
+              if (!agreed) unsettled ::= n
+              System.err.println(f"[bench] $n%-24s $med%8.2fs  min=$min%.2f  " +
+                s"[fork${if (agreed) "" else " UNSETTLED"}]")
+              n -> ((med, min))
           }.orElse {
             // fallback: one failed fork must not hole the artifact —
             // warm + time the row in the parent JVM (labeled above)
@@ -453,7 +510,8 @@ object Bench {
         memAtInvoke.get(k).map(v => s""""$out":$v,""") }
       .mkString
     val axesJson = axes.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"${if (forkRows) "fork" else "inproc"}",$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
+    val unsettledJson = unsettled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"${if (forkRows) "fork-replicated" else "inproc"}","rows_unsettled":$unsettledJson,$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

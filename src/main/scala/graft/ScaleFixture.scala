@@ -30,40 +30,37 @@ import org.apache.spark.sql.functions._
   *  - `embeddings` ×M: id-shifted copies, vectors/labels untouched — the
   *    query sets (low vec_ids) stay fixed while the corpus grows, which is
   *    the scan-side shape ANN scaling claims are about.
-  *  - `orders`/`lineitem` ×K: order-key-shifted copies (join keys to the
-  *    dimensions stay in-domain; dates UNshifted so fixed-literal TPC-H
-  *    predicates keep their selectivity and grouped cardinalities — the
-  *    aggregation work grows K×, which is the claim under test). Each
-  *    copy's `l_partkey` is rotated by a per-copy prime offset within the
-  *    part-key domain, so the part co-purchase graph (`graph_triangles`)
-  *    grows ~K× in edges instead of collapsing to K identical copies
-  *    under `distinct`.
-  *  - dimensions (`customer supplier part nation region`): copied as-is.
-  *    Fact tables grow; dimensions staying broadcast-sized is exactly the
-  *    100 TB story (and TPC-H's own dims grow far slower than facts).
+  *  - `orders`/`lineitem`/`part` ×K: order- and part-key-shifted copies
+  *    (dates UNshifted so fixed-literal TPC-H predicates keep their
+  *    selectivity and grouped cardinalities — the aggregation work grows
+  *    K×, which is the claim under test). `part` scales WITH the facts,
+  *    as TPC-H itself scales it, with each lineitem copy referencing its
+  *    own disjoint part-key range: the part co-purchase graph
+  *    (`graph_triangles`) then grows K× in BOTH nodes and edges at
+  *    constant density — the shape a K×-bigger catalog actually has. A
+  *    first fixture cut kept `part` fixed and rotated keys per copy; that
+  *    densified a fixed 20k-node graph 10×, and exact triangle counting
+  *    is Θ(m^1.5) in a densifying graph — a ~30× wall measuring the
+  *    FIXTURE's unrealism, not the operator (real catalogs grow with the
+  *    purchase volume; density stays ~constant).
+  *  - remaining dimensions (`customer supplier nation region`): copied
+  *    as-is. The headline joins broadcast them; at 100 TB dims stay
+  *    orders of magnitude below facts, and their own slow growth is
+  *    probed separately (ScaleProbe's join rows), not in the composition.
   *
   * Output defaults to /tmp/graft_sf10x; ~150 MB at the default factors.
   * Not part of the driver contract.
   */
 object ScaleFixture {
-  def main(args: Array[String]): Unit = {
-    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = args.headOption.getOrElse("/tmp/graft_sf10x")
-    val evK = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "10").toInt
-    val docK = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4").toInt
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      // keep the driver-table timestamp physical type on the way out so
-      // the scaled tables read EXACTLY like the source ones (timestamp[us])
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** Build the scaled sf-dir. Deterministic in (src, evK, docK). */
+  def build(spark: SparkSession, src: String, out: String,
+      evK: Int, docK: Int): Unit = {
+    // keep the driver-table timestamp physical type on the way out so the
+    // scaled tables read EXACTLY like the source ones (timestamp[us]) —
+    // set here, not only in main's builder, so any session (tests) gets it
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
     def read(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
     def copies(k: Int)(f: Int => DataFrame): DataFrame =
@@ -101,31 +98,48 @@ object ScaleFixture {
       emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
     }.repartition(docK))
 
-    // ---- orders/lineitem ×evK: shifted order keys, rotated part keys
+    // ---- orders/lineitem/part ×evK: shifted order keys; part scales
+    // with the facts (as TPC-H scales it), each copy on its own
+    // disjoint part-key range — constant graph density, K× catalog
     val orders = read("orders")
     write("orders", copies(evK) { i =>
       orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000L))
     }.repartition(math.max(evK * 2 / 3, 1)))
 
     val part = read("part")
-    val Array(pMin, pMax) = part
-      .agg(min("p_partkey"), max("p_partkey")).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    val pSpan = pMax - pMin + 1
+    write("part", copies(evK) { i =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(i * 1000000L))
+    })
+
     val lineitem = read("lineitem")
     write("lineitem", copies(evK) { i =>
       lineitem
         .withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000L))
-        .withColumn("l_partkey",
-          pmod(col("l_partkey") - lit(pMin) + lit(i * 7919L), lit(pSpan))
-            + lit(pMin))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 1000000L))
     }.repartition(evK))
 
-    // ---- dimensions: verbatim
-    Seq("customer", "supplier", "part", "nation", "region")
+    // ---- remaining dimensions: verbatim
+    Seq("customer", "supplier", "nation", "region")
       .foreach(n => write(n, read(n)))
 
     println(s"[fixture] done: $out (events x$evK, documents x$docK)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.headOption.getOrElse("/tmp/graft_sf10x")
+    val evK = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "10").toInt
+    val docK = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4").toInt
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    build(spark, src, out, evK, docK)
     spark.stop()
   }
 }
