@@ -121,6 +121,18 @@ object Bench {
     spark
   }
 
+  /** One fixed-work CPU calibration sample (shared by the parent's
+    * start/end window probes and the per-row children): constant-work
+    * in-memory reduction, no IO, no data dependence — moves only with
+    * host condition. */
+  private def calibOnce(spark: SparkSession): Double = {
+    System.gc()
+    Thread.sleep(250)
+    val t0 = System.nanoTime()
+    spark.range(1L << 27).selectExpr("sum(id * 3 + 1)").head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Time one headline row with the settle+median discipline (shared by
     * the in-process path and the forked per-row children). */
   private def timeRow(spark: SparkSession, sfDir: String, name: String)
@@ -185,14 +197,23 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
     }
+    // this child's LOCAL window evidence: one CPU-calibration sample
+    // right before the timed row (after its own warm call). The parent's
+    // start/end calibrations qualify the run; a fork-replicated run
+    // spans 30+ minutes of host phases, so every row additionally
+    // carries the calibration of the JVM/window that actually measured
+    // it — cross-artifact tooling can then tell "code moved" from "this
+    // row's two local windows differ".
+    calibOnce(spark)
+    val rowCalib = calibOnce(spark)
     timeRow(spark, sfDir, name).foreach { case (n, (med, min)) =>
-      println(f"""BENCHROW {"name":"$n","median":$med%.3f,"min":$min%.3f}""")
+      println(f"""BENCHROW {"name":"$n","median":$med%.3f,"min":$min%.3f,"calib":$rowCalib%.3f}""")
     }
     spark.stop()
   }
 
   private val RowLine =
-    """BENCHROW \{"name":"([^"]+)","median":([0-9.]+),"min":([0-9.]+)\}""".r
+    """BENCHROW \{"name":"([^"]+)","median":([0-9.]+),"min":([0-9.]+),"calib":([0-9.]+)\}""".r
 
   /** Replicated per-row forks (round 14, second harness iteration). One
     * fork per row fixed the TAIL (no more 3.5× inflation from 30 rows of
@@ -211,8 +232,8 @@ object Bench {
     * enforced inside each artifact. Rows where four children never agree
     * are reported at their floor and counted in `rows_unsettled`. */
   private def forkRowReplicated(name: String, sfDir: String, maxForks: Int)
-      : Option[((String, (Double, Double)), Boolean)] = {
-    var results = List.empty[(String, (Double, Double))]
+      : Option[((String, (Double, Double, Double)), Boolean)] = {
+    var results = List.empty[(String, (Double, Double, Double))]
     var agreed = false
     while (results.size < maxForks && !agreed) {
       forkRow(name, sfDir) match {
@@ -237,18 +258,20 @@ object Bench {
   }
 
   /** The reported row: the lowest child median (the floor a second JVM
-    * either confirmed or, on an unsettled row, the best observed), with
-    * the min over ALL children's samples. */
+    * either confirmed or, on an unsettled row, the best observed), the
+    * min over ALL children's samples, and the REPORTING child's local
+    * calibration (the window evidence for the published number). */
   private def combine(name: String,
-      results: List[(String, (Double, Double))],
-      best: (String, (Double, Double))): (String, (Double, Double)) =
-    name -> ((best._2._1, results.map(_._2._2).min))
+      results: List[(String, (Double, Double, Double))],
+      best: (String, (Double, Double, Double)))
+      : (String, (Double, Double, Double)) =
+    name -> ((best._2._1, results.map(_._2._2).min, best._2._3))
 
   /** Launch one per-row child JVM with this JVM's own arguments (the
     * add-opens list, netty flag, and heap come through verbatim, however
     * the parent was launched) and parse its BENCHROW line. */
   private def forkRow(name: String, sfDir: String)
-      : Option[(String, (Double, Double))] = {
+      : Option[(String, (Double, Double, Double))] = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getPath
@@ -264,7 +287,8 @@ object Bench {
     val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) proc.destroyForcibly()
     val parsed = out.linesIterator.collectFirst {
-      case RowLine(n, med, min) => n -> ((med.toDouble, min.toDouble))
+      case RowLine(n, med, min, cal) =>
+        n -> ((med.toDouble, min.toDouble, cal.toDouble))
     }
     if (!finished || proc.exitValue() != 0 || parsed.isEmpty)
       System.err.println(s"[bench] fork $name yielded no result " +
@@ -436,25 +460,47 @@ object Bench {
 
     val maxForks = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_FORKS", "4").toInt
     var unsettled = List.empty[String]
+    // in-process rows carry the parent's start calibration as their
+    // window evidence (they run in the parent's window by definition)
+    def inproc(name: String): Option[(String, (Double, Double, Double))] =
+      timeRow(spark, sfDir, name)
+        .map { case (n, (med, min)) => n -> ((med, min, calib)) }
     val results =
       if (forkRows)
         picked.flatMap { name =>
           forkRowReplicated(name, sfDir, maxForks).map {
-            case ((n, (med, min)), agreed) =>
+            case ((n, (med, min, cal)), agreed) =>
               if (!agreed) unsettled ::= n
               System.err.println(f"[bench] $n%-24s $med%8.2fs  min=$min%.2f  " +
-                s"[fork${if (agreed) "" else " UNSETTLED"}]")
-              n -> ((med, min))
+                f"calib=$cal%.2f [fork${if (agreed) "" else " UNSETTLED"}]")
+              n -> ((med, min, cal))
           }.orElse {
             // fallback: one failed fork must not hole the artifact —
             // warm + time the row in the parent JVM (labeled above)
             SparkEntry.queries.get(name).foreach { fn =>
               try { fn(spark, sfDir).count() } catch { case _: Throwable => }
             }
-            timeRow(spark, sfDir, name)
+            inproc(name)
           }
         }
-      else picked.flatMap(timeRow(spark, sfDir, _))
+      else picked.flatMap(inproc)
+    // END-of-run drift samples (round 14): the four calibrations above
+    // qualify the artifact's START window, but a fork-replicated run
+    // spans 30+ minutes and the 2026-08-16 capture day moved calib
+    // 0.21→0.67 between two runs an hour apart — a mid-run era shift is
+    // invisible to a start-only calibration. Re-sample the two cheapest
+    // axes (CPU + the era-tracking shuffle probe) after the last row, so
+    // every artifact carries its own drift evidence: start ≈ end means
+    // the rows share one window; start ≪ end means the tail rows ran in
+    // a worse era than the verdict describes (and vice versa).
+    val calibEnd = (1 to Iterations).map(_ => calibSample()).sorted
+      .apply(Iterations / 2)
+    val calibShuffleEnd = (1 to Iterations).map(_ => calibShuffleSample())
+      .sorted.apply(Iterations / 2)
+    System.err.println(f"[bench] end calib/shuffle        $calibEnd%.3f / " +
+      f"$calibShuffleEnd%.3f (drift vs start: ${calibEnd / calib}%.2f× / " +
+      f"${calibShuffleEnd / calibShuffle}%.2f×)")
+
     // the artifact's own window VERDICT, computed from the three
     // calibrations so consumers stop applying BASELINE.md's band table
     // by hand — and so a NORMALIZED artifact still carries its
@@ -477,20 +523,29 @@ object Bench {
     // threshold is derived from the RECOVERED band (0.55 ≈ 1.3× its
     // top), not the slow era, so a degraded window self-reports instead
     // of being normalized into the rule (BASELINE.md round-14 bands).
+    // cpu/shuffle judge the WORSE of their start and end samples: a
+    // window that degrades mid-run must not read clean just because the
+    // start probe preceded the shift
     val axes = Seq(
-      "cpu" -> (calib > 0.2), "io" -> (calibIo > 0.4),
-      "store" -> (calibStore > 2.0), "shuffle" -> (calibShuffle > 0.55),
+      "cpu" -> (math.max(calib, calibEnd) > 0.2),
+      "io" -> (calibIo > 0.4),
+      "store" -> (calibStore > 2.0),
+      "shuffle" -> (math.max(calibShuffle, calibShuffleEnd) > 0.55),
       "mem" -> !memClean).collect { case (a, true) => a }
     val window = if (axes.isEmpty) "clean" else "degraded"
     System.err.println(s"[bench] window verdict           $window" +
       (if (axes.nonEmpty) axes.mkString(" (", ",", ")") else ""))
-    val qs = results.map { case (k, (v, _)) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // per-query MIN beside the median: min is robust to the GC-pause
     // excursions the broadcast-heavy rows (graph_triangles) show even
     // with clean state and green calibs — BASELINE.md's interpretation
     // rule reads mins before calling a median swing a regression
-    val mins = results.map { case (k, (_, m)) => "\"" + k + f"""\":$m%.3f""" }
+    val mins = results.map { case (k, (_, m, _)) => "\"" + k + f"""\":$m%.3f""" }
+      .mkString("{", ",", "}")
+    // per-row LOCAL calibrations: the reporting child's window evidence
+    val rowCalibs = results
+      .map { case (k, (_, _, c)) => "\"" + k + f"""\":$c%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // the artifact self-identifies its capture window: `normalized`
@@ -511,7 +566,7 @@ object Bench {
       .mkString
     val axesJson = axes.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unsettledJson = unsettled.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"${if (forkRows) "fork-replicated" else "inproc"}","rows_unsettled":$unsettledJson,$mem"queries":$qs,"mins":$mins,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"calib_end":$calibEnd%.3f,"calib_shuffle_end":$calibShuffleEnd%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"${if (forkRows) "fork-replicated" else "inproc"}","rows_unsettled":$unsettledJson,$mem"queries":$qs,"mins":$mins,"row_calibs":$rowCalibs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

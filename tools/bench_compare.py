@@ -66,15 +66,20 @@ def main():
     a, b = load(args[0]), load(args[1])
     qa, qb = a["queries"], b["queries"]
     ma, mb = a.get("mins", {}), b.get("mins", {})
+    ca, cb = a.get("row_calibs", {}), b.get("row_calibs", {})
     names = [n for n in qa if n in qb]
     missing = sorted(set(qa) ^ set(qb))
     band = 1.2 * factor
     print(f"{'row':28s} {'A_med':>8s} {'B_med':>8s} {'med_ratio':>9s} "
-          f"{'A_min':>8s} {'B_min':>8s} {'min_ratio':>9s}")
+          f"{'A_min':>8s} {'B_min':>8s} {'min_ratio':>9s} {'calibs':>12s}")
     flagged = []
     for n in names:
         rm = qb[n] / qa[n] if qa[n] else float("inf")
         rmin = (mb[n] / ma[n]) if n in ma and n in mb and ma[n] else float("nan")
+        # per-row LOCAL window evidence (fork-replicated artifacts): when
+        # the two reporting children's calibrations diverge, the row's
+        # disagreement is window, not code
+        cal = (f"{ca[n]:.2f}/{cb[n]:.2f}" if n in ca and n in cb else "")
         mark = ""
         if rm > band:
             mark = " <== over band"
@@ -86,7 +91,7 @@ def main():
             flagged.append((n, rm))
         print(f"{n:28s} {qa[n]:8.3f} {qb[n]:8.3f} {rm:9.2f} "
               f"{ma.get(n, float('nan')):8.3f} {mb.get(n, float('nan')):8.3f} "
-              f"{rmin:9.2f}{mark}")
+              f"{rmin:9.2f} {cal:>12s}{mark}")
     for w in (a, b):
         print(f"window={w.get('window')} axes={w.get('degraded_axes')} "
               f"calib={w.get('calib')} io={w.get('calib_io')} "
