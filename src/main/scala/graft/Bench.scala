@@ -212,7 +212,7 @@ object Bench {
     spark.stop()
   }
 
-  private val RowLine =
+  private[graft] val RowLine =
     """BENCHROW \{"name":"([^"]+)","median":([0-9.]+),"min":([0-9.]+),"calib":([0-9.]+)\}""".r
 
   /** Replicated per-row forks (round 14, second harness iteration). One
@@ -231,6 +231,15 @@ object Bench {
     * artifact carries it — the cross-artifact agreement criterion,
     * enforced inside each artifact. Rows where four children never agree
     * are reported at their floor and counted in `rows_unsettled`. */
+  /** The replication stop rule, factored pure so BenchSpec can pin it:
+    * a row's level is CONFIRMED when its two lowest child medians agree
+    * within 1.2× (the cross-artifact agreement band applied inside one
+    * artifact). One child is never confirmed. */
+  private[graft] def floorAgreed(medians: Seq[Double]): Boolean = {
+    val s = medians.sorted
+    s.size >= 2 && s(1) <= 1.2 * s(0)
+  }
+
   private def forkRowReplicated(name: String, sfDir: String, maxForks: Int)
       : Option[((String, (Double, Double, Double)), Boolean)] = {
     var results = List.empty[(String, (Double, Double, Double))]
@@ -240,7 +249,7 @@ object Bench {
         case Some(r) =>
           results ::= r
           val meds = results.map(_._2._1).sorted
-          agreed = meds.size >= 2 && meds(1) <= 1.2 * meds(0)
+          agreed = floorAgreed(meds)
           if (results.size >= 2)
             System.err.println(f"[bench] $name%-24s fork ${results.size}: " +
               f"medians ${meds.map(m => f"$m%.2f").mkString(" ")} " +
@@ -283,9 +292,21 @@ object Bench {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    // drain stdout on its own thread: a blocking readAllBytes on the
+    // caller would wait for EOF, so a hung child (stdout open, no exit)
+    // would block PAST the waitFor timeout below — the timeout must be
+    // able to fire and destroy the child while the reader is still
+    // parked in read()
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val reader = new Thread(() =>
+      try proc.getInputStream.transferTo(outBuf)
+      catch { case _: java.io.IOException => () }) // stream closed on kill
+    reader.setDaemon(true)
+    reader.start()
     val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) proc.destroyForcibly()
+    reader.join(10000)
+    val out = new String(outBuf.toByteArray, "UTF-8")
     val parsed = out.linesIterator.collectFirst {
       case RowLine(n, med, min, cal) =>
         n -> ((med.toDouble, min.toDouble, cal.toDouble))
@@ -296,6 +317,24 @@ object Bench {
         "falling back to in-process timing for this row")
     parsed
   }
+
+  /** The banded window verdict, factored pure so BenchSpec pins the
+    * thresholds against their BASELINE.md bands: cpu > 0.2 (quiesced
+    * band 0.081-0.141), io > 0.4 (0.12-0.20), store > 2.0 (1.0-1.5),
+    * shuffle > 0.55 (recovered-era band 0.351-0.418 — the threshold is
+    * 1.3× the RECOVERED band's top, never derived from the slow era).
+    * cpu and shuffle judge the WORSE of their start/end samples: a
+    * window that degrades mid-run must not read clean just because the
+    * start probe preceded the shift. */
+  private[graft] def degradedAxes(calib: Double, calibEnd: Double,
+      calibIo: Double, calibStore: Double, calibShuffle: Double,
+      calibShuffleEnd: Double, memClean: Boolean): Seq[String] =
+    Seq(
+      "cpu" -> (math.max(calib, calibEnd) > 0.2),
+      "io" -> (calibIo > 0.4),
+      "store" -> (calibStore > 2.0),
+      "shuffle" -> (math.max(calibShuffle, calibShuffleEnd) > 0.55),
+      "mem" -> !memClean).collect { case (a, true) => a }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 3 && args(0) == "--row") {
@@ -521,37 +560,21 @@ object Bench {
       f"$calibShuffleEnd%.3f (drift vs start: ${calibEnd / calib}%.2f× / " +
       f"${calibShuffleEnd / calibShuffle}%.2f×)")
 
-    // the artifact's own window VERDICT, computed from the three
-    // calibrations so consumers stop applying BASELINE.md's band table
-    // by hand — and so a NORMALIZED artifact still carries its
-    // qualification (the r12 rule let normalized rows bypass the calib
-    // check entirely; the judge's own normalized run carried a
-    // calib_store of 3.49 that the rule said to ignore). Bands are the
-    // BASELINE.md observed quiesced ranges with their documented
-    // degradation thresholds: calib > 0.2 (band 0.081-0.141), calib_io
-    // > 0.4 (band 0.12-0.20), calib_store > 2.0 (band 1.0-1.5).
-    // unnormalized runs measure FROM the invoke state, so the written
-    // rule's mem term applies too: cached pages near MemTotal is the
-    // post-sweep signature the store calibration catches only when the
-    // eviction pressure bites during ITS samples
+    // the artifact's own window VERDICT (see [[degradedAxes]] for the
+    // bands and their provenance), computed in-artifact so consumers
+    // stop applying BASELINE.md's band table by hand — and so a
+    // NORMALIZED artifact still carries its qualification (the r12 rule
+    // let normalized rows bypass the calib check entirely; the judge's
+    // own normalized run carried a calib_store of 3.49 that the rule
+    // said to ignore). unnormalized runs measure FROM the invoke state,
+    // so the written rule's mem term applies too: cached pages near
+    // MemTotal is the post-sweep signature the store calibration
+    // catches only when the eviction pressure bites during ITS samples
     val memClean = normalized ||
       (for { c <- memAtInvoke.get("Cached"); t <- memAtInvoke.get("MemTotal") }
         yield c < t / 4).getOrElse(true)
-    // calib_shuffle joined the verdict in round 14, once a SECOND era
-    // existed to band against: the recovered era measured 0.351-0.418
-    // (judge windows, round 13) vs the slow era's 0.564-0.773 — the
-    // threshold is derived from the RECOVERED band (0.55 ≈ 1.3× its
-    // top), not the slow era, so a degraded window self-reports instead
-    // of being normalized into the rule (BASELINE.md round-14 bands).
-    // cpu/shuffle judge the WORSE of their start and end samples: a
-    // window that degrades mid-run must not read clean just because the
-    // start probe preceded the shift
-    val axes = Seq(
-      "cpu" -> (math.max(calib, calibEnd) > 0.2),
-      "io" -> (calibIo > 0.4),
-      "store" -> (calibStore > 2.0),
-      "shuffle" -> (math.max(calibShuffle, calibShuffleEnd) > 0.55),
-      "mem" -> !memClean).collect { case (a, true) => a }
+    val axes = degradedAxes(calib, calibEnd, calibIo, calibStore,
+      calibShuffle, calibShuffleEnd, memClean)
     val window = if (axes.isEmpty) "clean" else "degraded"
     System.err.println(s"[bench] window verdict           $window" +
       (if (axes.nonEmpty) axes.mkString(" (", ",", ")") else ""))
