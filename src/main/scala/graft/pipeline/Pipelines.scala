@@ -70,7 +70,11 @@ object Pipelines {
   def clean(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, size: Int = 16, minDf: Long = 3,
       loPct: Int = 5, hiPct: Int = 95): DataFrame = {
-    val scrubbed = df.withColumn(textCol, Text.scrubPii(col(textCol)))
+    // fan out BEFORE the scrub: the PII regexes are the chain's most
+    // expensive per-byte map, and a small input's scan is one task — a
+    // no-op at real scale (see [[Text.fanOut]])
+    val scrubbed = Text.fanOut(df)
+      .withColumn(textCol, Text.scrubPii(col(textCol)))
     val boiled = Text.removeBoilerplate(scrubbed, idCol, textCol,
       size, minDf)
     val withGrp = boiled
@@ -87,7 +91,11 @@ object Pipelines {
       maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
       materialize: Boolean = false,
       pinMode: String = PinLocal): DataFrame = {
-    val feats = Text.langId(Text.qualityFeatures(df, textCol), textCol)
+    // quality features + langid + the fingerprint hash all ride the scan:
+    // fan a narrow input out across cores first (idempotent when the
+    // caller — e.g. [[trainPrep]] — already fanned out before its scrub)
+    val feats = Text.langId(
+      Text.qualityFeatures(Text.fanOut(df), textCol), textCol)
     val kept = feats.filter(col("n_tokens").between(minTokens, maxTokens))
     // exact dedup: keep the smallest id per normalized fingerprint
     val reps = kept.withColumn("__fp", Text.fingerprint(col(textCol)))
@@ -138,7 +146,7 @@ object Pipelines {
     def scrub(f: DataFrame) =
       if (scrubFirst) f.withColumn(textCol, Text.scrubPii(col(textCol)))
       else f
-    val in = scrub(df)
+    val in = scrub(Text.fanOut(df))
     val feats = Text.langId(Text.qualityFeatures(in, textCol), textCol)
     val kept = feats.filter(col("n_tokens").between(minTokens, maxTokens))
     val reps = kept.withColumn("__fp", Text.fingerprint(col(textCol)))
@@ -229,7 +237,8 @@ object Pipelines {
     // reuse — a third checkpoint only adds materialization. clean/docs
     // do not reuse (their branches reshape the plan), hence exactly
     // those two pins.
-    val curated = curate(scrub(df), idCol, textCol, minTokens, maxTokens,
+    val curated = curate(scrub(Text.fanOut(df)), idCol, textCol,
+      minTokens, maxTokens,
       nearDupThreshold, shingleSize, materialize = materialize,
       pinMode = pinMode)
     val contam = Dedup.contamination(curated, scrub(evalDf), idCol, textCol,

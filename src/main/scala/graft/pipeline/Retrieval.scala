@@ -29,7 +29,7 @@ object Retrieval {
     * candidate volume — the jaccard tier's hot-key cap). */
   def buildIndex(docs: DataFrame, maxDf: Long = Long.MaxValue,
       idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
-    val toks = docs.select(col(idCol),
+    val toks = Text.fanOut(docs).select(col(idCol),
       explode(Text.tokens(col(textCol))).as("tok"))
       .filter(col(idCol).isNotNull && col("tok").isNotNull)
     val tf = toks.groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))

@@ -125,7 +125,33 @@ object Text extends TextQuality with TextMix with TextSketches
         case r: org.apache.spark.sql.execution.LogicalRDD =>
           r.rdd.getNumPartitions < math.max(2, target / 2)
       }.getOrElse(false)
-    if (needed) df.repartition(target) else df
+    // IDEMPOTENT through narrow maps: a composed pipeline fans out once at
+    // its head (before its cheap-per-byte scrub/feature maps) and the
+    // operators it calls fan out defensively for direct callers — without
+    // this walk the second call would stack a second full round-robin
+    // exchange (plus its sort-before-repartition pass) on the same rows.
+    if (needed && !fannedAlready(df.queryExecution.optimizedPlan, target))
+      df.repartition(target)
+    else df
+  }
+
+  /** True when `plan` is already an adequate repartition under nothing but
+    * narrow per-row ops — the only shapes the pipeline heads compose
+    * between their fanOut and an operator's defensive one. Anything else
+    * (joins, aggregates, unions) re-shapes partitioning, so the walk stops
+    * and the defensive fanOut stands. */
+  private def fannedAlready(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      target: Int): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case r: Repartition => r.shuffle && r.numPartitions >= target
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.forall(_ >= target)
+      case p: Project => fannedAlready(p.child, target)
+      case f: Filter => fannedAlready(f.child, target)
+      case _ => false
+    }
   }
 
   /** Mergeable Misra-Gries heavy-hitter sketch over the token stream.

@@ -162,7 +162,15 @@ private[pipeline] trait TextClassifier { self: Text.type =>
     * second engine bit for bit — the same reason [[LmRef]] carries counts,
     * not floats. The frame is vocabulary-sized; the scalars fold in at
     * weight-build time. */
-  final case class ClassifierRef(w: DataFrame, w0: Long, s: Long)
+  final case class ClassifierRef(w: DataFrame, w0: Long, s: Long,
+      private val pinned: Option[DataFrame] = None) {
+    /** Release the training-time vocabulary pin (no-op for stored models —
+      * their weights are parquet-backed, nothing is cached). Serving
+      * sessions that train many throwaway models call this; the pin is
+      * evictable MEMORY_AND_DISK with lineage kept, so not calling it
+      * costs at most cache pressure, never correctness. */
+    def release(): Unit = pinned.foreach { p => p.unpersist(); () }
+  }
 
   /** Train a [[ClassifierRef]] from a labeled positive/negative corpus
     * pair — the DCLM/CCNet setup where "positive" is a curated reference
@@ -203,10 +211,18 @@ private[pipeline] trait TextClassifier { self: Text.type =>
   /** Weight derivation shared by [[classifierTrain]] and
     * [[openClassifierCounts]]: merged `(tok, cp, cn)` counts →
     * [[ClassifierRef]], scalars folded in at build time. */
-  private def classifierFromVocab(vocab: DataFrame,
+  private def classifierFromVocab(vocab0: DataFrame,
       scaleLog2: Int): ClassifierRef = {
     require(scaleLog2 >= 10 && scaleLog2 <= 30)
     val s = 1L << scaleLog2
+    // the scalar pass below MATERIALIZES the vocabulary, and the weight
+    // frame derives from the same vocabulary — persist it so the scoring
+    // join reads the counted blocks instead of re-running both class
+    // count passes (tokenize + combinable groupBy each) a second time
+    // through pure lineage. persist (not localCheckpoint) keeps lineage:
+    // an evicted/lost block recomputes, so preemptible fleets need no
+    // opt-out; the frame is vocabulary-sized (KBs per 10k tokens).
+    val vocab = vocab0.persist()
     val m = vocab.agg(coalesce(sum("cp"), lit(0L)),
       coalesce(sum("cn"), lit(0L)), count(lit(1))).head()
     val (nPos, nNeg, v) = (m.getLong(0), m.getLong(1), m.getLong(2))
@@ -219,7 +235,7 @@ private[pipeline] trait TextClassifier { self: Text.type =>
       .withColumn("__den", big(col("cn") + 1) * big(lit(nPos + v)))
       .select(col("tok"), expr("__num div __den").as("w"))
     val w0 = (BigInt(s) * BigInt(nNeg + v) / BigInt(nPos + v)).toLong
-    ClassifierRef(w, w0, s)
+    ClassifierRef(w, w0, s, pinned = Some(vocab))
   }
 
   /** Score documents under a trained [[ClassifierRef]]: per doc,

@@ -378,24 +378,45 @@ object RollupStore {
       horizon: Option[Long])
 
   private def readTiers(spark: SparkSession, storePaths: Seq[String],
-      context: String, mirrorFirst: Boolean): Seq[Option[TierAtRest]] =
-    storePaths.zipWithIndex.map { case (p, i) =>
+      context: String, mirrorFirst: Boolean): Seq[Option[TierAtRest]] = {
+    val readable: Seq[Option[(String, DataFrame)]] = storePaths.map { p =>
       val live = new org.apache.hadoop.fs.Path(p)
       val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
       if (!fs.exists(live)) None
       else {
         AtomicDir.recover(fs, live, "rollup store")
         graft.pipeline.Similarity.recoverCompact(fs, live)
-        readableStore(spark, p).map { df =>
-          val h = tierHorizon(df)
-          if (mirrorFirst) require(i == 0 || h.nonEmpty,
-            s"$context: tiered store at $p has data but no tier horizon" +
-              " — only the FIRST (mirror) store may be horizonless; " +
-              "stitch order must run mirror, then fine → coarse")
-          TierAtRest(p, df, h)
-        }
+        readableStore(spark, p).map(p -> _)
       }
     }
+    // ONE horizon probe across every readable tier (tier-tagged union →
+    // grouped max) instead of one driver-blocking agg job PER tier: a
+    // three-tier cascade's cold read paid three serial metadata jobs over
+    // KB frames before any data work — per-request job count, not bytes,
+    // is the stitched serving path's cost (guide §1). Total rows scanned
+    // are identical; only the job boundary moves.
+    val frames = readable.zipWithIndex.collect {
+      case (Some((_, df)), i) => (df, i) }
+    val horizons: Map[Int, Long] =
+      if (frames.isEmpty) Map.empty
+      else frames.map { case (df, i) =>
+          df.select(lit(i).as("__tier"), horizonExpr.as("__h")) }
+        .reduce(_ unionByName _)
+        .groupBy("__tier").agg(max("__h").as("__h"))
+        .collect().flatMap(r =>
+          if (r.isNullAt(1)) None else Some(r.getInt(0) -> r.getLong(1)))
+        .toMap
+    readable.zipWithIndex.map { case (opt, i) =>
+      opt.map { case (p, df) =>
+        val h = horizons.get(i)
+        if (mirrorFirst) require(i == 0 || h.nonEmpty,
+          s"$context: tiered store at $p has data but no tier horizon" +
+            " — only the FIRST (mirror) store may be horizonless; " +
+            "stitch order must run mirror, then fine → coarse")
+        TierAtRest(p, df, h)
+      }
+    }
+  }
 
   /** A router's key predicate must reference ONLY the store's key
     * columns: a predicate on a value column (`n`, `sum_c`, a bucket stat)
@@ -606,7 +627,8 @@ object RollupStore {
     AtomicDir.recover(fs, live, "rollup store") // serving must self-heal a
     graft.pipeline.Similarity.recoverCompact(fs, live) // crashed swap too
     val stored0 = checkedRead(spark, path)
-    val bucketNs = storeBucketNs(stored0, path)
+    // width + horizon in one metadata job (see storeMetaProbe)
+    val (bucketNs, horizon) = storeMetaProbe(stored0, path)
     keyFilter.foreach(requireKeyPredicate(_, stored0, "route"))
     val stored = keyFilter.fold(stored0)(stored0.filter)
     val rawF = keyFilter.fold(raw)(raw.filter)
@@ -619,11 +641,10 @@ object RollupStore {
     require(!stored.columns.contains("hcnt") || histBoundsCents.nonEmpty,
       "route: the store carries histogram counters — pass histBoundsCents" +
         " so the raw fallback serves the same schema")
-    // horizon from the UNFILTERED store: a key slice with no pre-horizon
-    // rows must not flip the router into believing the store is an
-    // untiered complete mirror (it would then serve that series' empty
-    // store slice instead of its raw samples)
-    val horizon = tierHorizon(stored0)
+    // horizon from the UNFILTERED store (probed above with the width): a
+    // key slice with no pre-horizon rows must not flip the router into
+    // believing the store is an untiered complete mirror (it would then
+    // serve that series' empty store slice instead of its raw samples)
     def widened(g: Long): (Long, Long) = widenTo(since, until, g)
     def fit(g0: Long, roundUp: Long => Long): Long =
       fitGrain(since, until, maxPoints, g0, roundUp)
@@ -738,9 +759,10 @@ object RollupStore {
     AtomicDir.recover(fs, live, "rollup store")
     graft.pipeline.Similarity.recoverCompact(fs, live)
     val stored = checkedRead(spark, storePath)
-    val bucketNs = storeBucketNs(stored, storePath)
+    // width + horizon in one metadata job (see storeMetaProbe)
+    val (bucketNs, horizon) = storeMetaProbe(stored, storePath)
     val keys = keyColsOf(stored)
-    require(tierHorizon(stored).isEmpty,
+    require(horizon.isEmpty,
       "routeSampled serves a complete-mirror store — this store has a " +
         "tier horizon, so its post-horizon samples live in raw, which " +
         "this router does not read; use route()/routeCascade() for the " +
@@ -1118,13 +1140,39 @@ object RollupStore {
     * horizon THROUGH compaction (metadata-sized aggregation over KB
     * rows). None if never tiered. */
   private def tierHorizon(stored: DataFrame): Option[Long] = {
+    val r = stored.agg(max(horizonExpr)).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  private def horizonExpr: Column = {
     val fromTier = when(col("batch_key").startsWith("tier-"),
       expr("CAST(substring(batch_key, 6) AS LONG)"))
     val fromCompact = expr(
       "CAST(nullif(regexp_extract(batch_key, '^compact-[0-9a-f]+-h(-?[0-9]+)$'" +
         ", 1), '') AS LONG)")
-    val r = stored.agg(max(coalesce(fromTier, fromCompact))).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
+    coalesce(fromTier, fromCompact)
+  }
+
+  /** Bucket width + tier horizon in ONE metadata aggregation — the
+    * serving cold path (route / prepareSampled) needs both, and two
+    * separate driver-blocking jobs over the same KB store frame doubled
+    * the per-request metadata cost (guide §1: the routed rows' time is
+    * job count, not bytes). Same failure surface as [[storeBucketNs]] +
+    * [[tierHorizon]]: empty and mixed-width stores fail identically. */
+  private def storeMetaProbe(stored: DataFrame, path: String)
+      : (Long, Option[Long]) = {
+    val r = stored.agg(collect_set(col("bucket_ns")), max(horizonExpr))
+      .head()
+    val widths = r.getSeq[Long](0).sorted
+    val bucketNs = widths match {
+      case Seq(bn) => bn
+      case Seq() => throw new IllegalArgumentException(
+        s"rollup store at $path is empty")
+      case ws => throw new IllegalStateException(
+        s"rollup store at $path holds MIXED bucket widths " +
+          s"${ws.mkString(", ")} — one store holds exactly one grain")
+    }
+    (bucketNs, if (r.isNullAt(1)) None else Some(r.getLong(1)))
   }
 
   /** Stitch raw + tier stores into partial rows and fold at `coarseNanos`

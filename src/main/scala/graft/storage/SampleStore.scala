@@ -574,20 +574,28 @@ object SampleStore {
         spark.read.option("basePath", path)
           .parquet(snapshotFiles(spark, path): _*))
       else dirDf
-    val meta = df.select("sample_col", "stratum_col", "ts_col")
-      .distinct().collect()
+    // ONE metadata job covers the membership triple AND the uniform-rate
+    // guard (rate_den rides the same distinct): the one-shot estimate
+    // path used to pay two driver-blocking collects over the same store
+    // scan — per-request metadata jobs are the cold open's cost, not
+    // bytes (guide §1). Stratified stores still pay the per-stratum rate
+    // probe below (the stratum column's NAME only exists after this
+    // read).
+    val metaRows = df.select("sample_col", "stratum_col", "ts_col",
+      "rate_den").distinct().collect()
+    val meta = metaRows.map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).distinct
     require(meta.nonEmpty, s"sample store at $path is empty")
     if (meta.length > 1) throw new IllegalStateException(
       s"sample store at $path holds MIXED membership functions " +
-        s"${meta.map(r => s"(${r.getString(0)}/${r.getString(1)}/" +
-          s"${r.getString(2)})").mkString(", ")} — one store holds " +
-        "exactly one")
-    val stratumCol = meta(0).getString(1)
+        s"${meta.map(m => s"(${m._1}/${m._2}/${m._3})").mkString(", ")}" +
+        " — one store holds exactly one")
+    val stratumCol = meta(0)._2
     if (stratumCol.isEmpty) {
-      val rates = df.select("rate_den").distinct().collect()
+      val rates = metaRows.map(_.getLong(3)).distinct.sorted
       if (rates.length > 1) throw new IllegalStateException(
         s"sample store at $path holds MIXED rates " +
-          s"${rates.map(r => s"1/${r.getLong(0)}").mkString(", ")} — a " +
+          s"${rates.map(r => s"1/$r").mkString(", ")} — a " +
           "uniform store holds exactly one")
     } else {
       // per-stratum single rate at READ time, mirroring
@@ -629,7 +637,7 @@ object SampleStore {
     // EMPTY recache (see requireSnapshotIntact — round-14 finding), so
     // every estimate guards the open-time file set and fails loudly
     // instead — refresh re-prepares, as with appends.
-    val idCol = meta(0).getString(0)
+    val idCol = meta(0)._1
     SampleHandle(
       if (pin)
         // `df` IS the file-list snapshot here (built above, before the
@@ -638,7 +646,7 @@ object SampleStore {
           .repartition(spark.sparkContext.defaultParallelism)
           .persist()
       else df,
-      idCol, meta(0).getString(2), preDeduped = pin,
+      idCol, meta(0)._3, preDeduped = pin,
       // the open-time listing the loud-fail guard compares against —
       // read through the same accessor (inputFiles, on the uncached
       // source frame) the guard uses, so the comparison is
