@@ -609,7 +609,29 @@ object Bench {
       .mkString
     val axesJson = axes.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unsettledJson = unsettled.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"calib_end":$calibEnd%.3f,"calib_shuffle_end":$calibShuffleEnd%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"${if (forkRows) "fork-replicated" else "inproc"}","rows_unsettled":$unsettledJson,$mem"queries":$qs,"mins":$mins,"row_calibs":$rowCalibs,"sf":"$sfDir"}""")
+    val isolation = if (forkRows) "fork-replicated" else "inproc"
+    // FULL artifact (everything: per-row mins, per-row child calibrations,
+    // meminfo) — mirrored to a file and stderr. The driver's stdout
+    // capture keeps only a bounded tail, and 14 rounds of BENCH_r*.json
+    // carry `parsed: null` because this line (~2.9 KB with three per-row
+    // blocks) overflowed that window, cutting off its own head. The
+    // machine-recovered surface is therefore split: the COMPACT contract
+    // line below is the final stdout line and fits any sane tail window;
+    // the full artifact stays byte-compatible with prior rounds'
+    // artifacts (a superset line) for tools/bench_compare.py.
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_io":$calibIo%.3f,"calib_store":$calibStore%.3f,"calib_shuffle":$calibShuffle%.3f,"calib_end":$calibEnd%.3f,"calib_shuffle_end":$calibShuffleEnd%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"$isolation","rows_unsettled":$unsettledJson,$mem"queries":$qs,"mins":$mins,"row_calibs":$rowCalibs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(full) finally w.close()
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    System.err.println(s"[bench] artifact $full")
+    // the one-line stdout contract: metric/value/unit/queries/sf plus the
+    // window verdict — SHORT enough (~1.4 KB at 35 rows) that a tail-
+    // bounded stdout capture still contains the whole line
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"calib_end":$calibEnd%.3f,"normalized":$normalized,"window":"$window","degraded_axes":$axesJson,"row_isolation":"$isolation","rows_unsettled":$unsettledJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

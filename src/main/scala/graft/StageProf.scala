@@ -35,7 +35,10 @@ object StageProf {
     spark.sparkContext.setLogLevel("ERROR")
 
     val stages = TrieMap[Int, StageRec]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         stages(e.stageInfo.stageId) = StageRec(
           e.stageInfo.name.take(120), System.nanoTime())
@@ -52,14 +55,17 @@ object StageProf {
         }
     }
 
-    for (n <- names) {
-      val fn = SparkEntry.queries(n)
+    for (n <- names; fn <- SparkEntry.queries.get(n).orElse {
+        System.err.println(s"[stageprof] unknown query '$n' — skipped")
+        None
+      }) {
       // warm pass: JIT + codegen + per-process fixture builds land here
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[stageprof] warm $n failed: ${e.getMessage}") }
       spark.sparkContext.addSparkListener(listener)
       stages.clear()
+      jobs.set(0)
       System.gc(); Thread.sleep(300)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -69,7 +75,7 @@ object StageProf {
       // let the last stage-completed events drain
       Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
-      println(s"==== $n  wall=${f"$wall%.2f"}s  stages=${stages.size}")
+      println(s"==== $n  wall=${f"$wall%.2f"}s  jobs=${jobs.get}  stages=${stages.size}")
       val byStart = stages.toSeq.sortBy(_._2.submitted)
       for ((id, r) <- byStart) {
         val stageWall = if (r.completed > 0)

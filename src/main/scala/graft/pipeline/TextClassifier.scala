@@ -169,8 +169,29 @@ private[pipeline] trait TextClassifier { self: Text.type =>
       * sessions that train many throwaway models call this; the pin is
       * evictable MEMORY_AND_DISK with lineage kept, so not calling it
       * costs at most cache pressure, never correctness. */
-    def release(): Unit = pinned.foreach { p => p.unpersist(); () }
+    def release(): Unit = pinned.foreach { p =>
+      p.unpersist()
+      vocabPins.synchronized { vocabPins -= p }
+    }
   }
+
+  /** Outstanding training-vocab pins, oldest first — the backstop for
+    * callers that never [[ClassifierRef.release]] (the entry paths train a
+    * throwaway ref per invocation): past [[MaxVocabPins]] the OLDEST pin
+    * unpersists. Lineage is kept on these pins, so evicting one under an
+    * in-flight query only costs recompute, never correctness — which is
+    * what makes an automatic bound safe where localCheckpoint pins would
+    * need explicit ownership. */
+  private val vocabPins = scala.collection.mutable.Queue.empty[DataFrame]
+  private[pipeline] val MaxVocabPins = 8
+  private def registerVocabPin(p: DataFrame): Unit =
+    vocabPins.synchronized {
+      vocabPins += p
+      while (vocabPins.size > MaxVocabPins)
+        vocabPins.dequeue().unpersist(blocking = false)
+    }
+  private[pipeline] def vocabPinCount: Int =
+    vocabPins.synchronized(vocabPins.size)
 
   /** Train a [[ClassifierRef]] from a labeled positive/negative corpus
     * pair — the DCLM/CCNet setup where "positive" is a curated reference
@@ -223,6 +244,7 @@ private[pipeline] trait TextClassifier { self: Text.type =>
     // an evicted/lost block recomputes, so preemptible fleets need no
     // opt-out; the frame is vocabulary-sized (KBs per 10k tokens).
     val vocab = vocab0.persist()
+    registerVocabPin(vocab)
     val m = vocab.agg(coalesce(sum("cp"), lit(0L)),
       coalesce(sum("cn"), lit(0L)), count(lit(1))).head()
     val (nPos, nNeg, v) = (m.getLong(0), m.getLong(1), m.getLong(2))

@@ -40,6 +40,21 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // predicates over normalizeTs output fold back to native scan filters
     graft.plans.NanoTsRewrite.install(spark)
+    // SCALE-ADAPTIVE post-shuffle parallelism (optimization guide §2.2):
+    // AQE coalescing under `parallelismFirst` (default on) targets
+    // totalBytes / defaultParallelism per partition but never goes below
+    // `minPartitionSize`, whose 1 MB default caps a small intermediate's
+    // parallelism at ⌈bytes/1MB⌉ tasks — a 12 MB post-shuffle frame runs
+    // its whole downstream stage on 4 of 32 cores (measured: the
+    // graph_triangles normalize+distinct stage, 2.9 s of task time in
+    // 0.83 s of wall on 4 tasks; tpch_q9's final agg on 3). At
+    // production scale the computed target (bytes/parallelism) is far
+    // above any floor, so this setting is INERT there — it only governs
+    // how small inputs spread over idle cores, which is exactly the
+    // dimension that must adapt between a laptop bench and a 100 TB
+    // cluster. Env-overridable, same contract as the fanOut guard.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
   }
 
   /** Hadoop conf for catalog path operations — from the active session when
